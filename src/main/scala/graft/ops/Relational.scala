@@ -1,0 +1,537 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** One named query definition: the Spark-native implementation plus
+  * (when SQL-expressible) the equivalent DuckDB oracle SQL run by the
+  * driver's correctness gate over the same parquet tables.
+  *
+  * Oracle-parity rules applied throughout (SURVEY.md §7.4):
+  *  - every query ends in a deterministic ORDER BY over a unique key;
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates are `round`ed (2dp for large sums, 4dp for
+  *    averages/norms) so fp summation order can't flip the hash;
+  *  - DuckDB BIGINT/HUGEINT vs Spark long/int mismatches are removed
+  *    with explicit CASTs in the SQL;
+  *  - event timestamps are `date_trunc('second', ts)` on both sides
+  *    (the raw column is ns-precision, beyond Spark's µs range).
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Relational operator inventory from SURVEY.md §2.1–§2.8, expressed
+  * over the driver testdata. Each entry exercises one operator class
+  * end-to-end (scan → op → deterministic dump).
+  *
+  * Scale notes (100 TB posture): all plans below are fully
+  * declarative — filters/projections push into the parquet scan,
+  * small dimensions are explicitly `broadcast`, aggregations get
+  * map-side partial aggregation from Catalyst, and no operator ever
+  * collects to the driver. AQE (on by default in Spark 4) handles
+  * runtime coalescing and skew-join splitting.
+  */
+object Relational {
+
+  // -- §2.4 A7: the flagship group-by aggregate (TPC-H Q1 shape) ----
+  // Mirrors the reference's declared "key metrics" aggregation
+  // surface (reference README.md:46-49) on the testdata schema.
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val tpchQ1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_extendedprice), 4) AS avg_price,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -- §2.1 S2 / §2.2 P3: projection + predicate pushed to parquet --
+  def scanProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val scanProjectionSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -- §2.2 P6: composite boolean predicates (isin / !/ && / ||) ----
+  def filterPredicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(
+        (col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice") > lit(200000.0) &&
+          !(col("o_orderpriority") === "1-URGENT")) ||
+        col("o_totalprice") < lit(1000.0))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  private val filterPredicatesSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+      |FROM orders
+      |WHERE (o_orderstatus IN ('O','F') AND o_totalprice > 200000.0
+      |       AND NOT (o_orderpriority = '1-URGENT'))
+      |   OR o_totalprice < 1000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -- §2.3 J1: broadcast equi-join (small dim to every executor) ---
+  def broadcastJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_name"))
+      .orderBy("n_nationkey")
+
+  private val broadcastJoinSql =
+    """SELECT n_nationkey, n_name, r_name AS region_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  // -- §2.3 J2: multi-way shuffle join + agg + top-k (TPC-H Q3 shape)
+  def joinAggTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  private val joinAggTopkSql =
+    """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  // -- §2.3 J3: left outer join + coalesce enrichment ---------------
+  def leftJoinCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total_spent"))
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        round(coalesce(col("total_spent"), lit(0.0)), 2).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  private val leftJoinCoalesceSql =
+    """SELECT c_custkey, c_name,
+      | CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+      | round(coalesce(total_spent, 0), 2) AS total_spent
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spent
+      |  FROM orders GROUP BY o_custkey
+      |) o ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // -- §2.3 J4: semi join (EXISTS) ----------------------------------
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val semiJoinSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -- §2.3 J4: anti join (NOT EXISTS) ------------------------------
+  // "customers with no urgent order" — non-trivial on both sides.
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // -- §2.3 J5: range (non-equi) join against a banded dimension ----
+  def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (0.0, 50000.0, "low"),
+      (50000.0, 150000.0, "mid"),
+      (150000.0, 1.0e9, "high")).toDF("lo", "hi", "band")
+    Tables.orders(spark, dir)
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("band")
+  }
+
+  private val rangeJoinBandsSql =
+    """SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN (VALUES (0.0, 50000.0, 'low'),
+      |                         (50000.0, 150000.0, 'mid'),
+      |                         (150000.0, 1000000000.0, 'high')) b(lo, hi, band)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
+  // -- §2.3 J5: as-of join (latest signup at-or-before each purchase)
+  // Scalable union+window formulation: one shuffle on user_id, no
+  // per-row point lookups; equivalent to DuckDB's native ASOF JOIN.
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_left"),
+        lit(null).cast("timestamp").as("sig_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts")).distinct()
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        lit(0).as("is_left"), col("ts").as("sig_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(signups)
+      .withColumn("last_signup_ts", last(col("sig_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"), col("last_signup_ts"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinSql =
+    """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS last_signup_ts
+      |FROM (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT DISTINCT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      |                FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // -- §2.4 A8: rollup ----------------------------------------------
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val rollupAggSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      | round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // -- §2.4 A8: cube ------------------------------------------------
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  private val cubeAggSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // -- §2.4 A5/A8: exact distinct aggregation -----------------------
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val distinctAggSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- §2.4 A2–A6: single-pass data-quality metric suite ------------
+  // One scan computes completeness, compliance, domain containment
+  // and a uniqueness flag (the fused-scan shape of the reference's
+  // Deequ VerificationSuite, ev_sessions_silver_etl_clean.py:155-158).
+  def dqMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(spark, dir).agg(
+      avg(when(col("user_id").isNotNull, 1).otherwise(0)).as("user_id_completeness"),
+      avg(when(col("value").isNotNull, 1).otherwise(0)).as("value_completeness"),
+      avg(when(col("value") >= 0 || col("value").isNull, 1).otherwise(0)).as("value_nonneg_ratio"),
+      avg(when(col("event_type").isin("click", "error", "purchase", "signup", "view"), 1).otherwise(0))
+        .as("event_type_domain_ratio"),
+      (count(col("event_id")) === countDistinct(col("event_id"))).as("event_id_unique"))
+
+  private val dqMetricsSql =
+    """SELECT
+      | avg(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS user_id_completeness,
+      | avg(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS value_completeness,
+      | avg(CASE WHEN value >= 0 OR value IS NULL THEN 1 ELSE 0 END) AS value_nonneg_ratio,
+      | avg(CASE WHEN event_type IN ('click','error','purchase','signup','view') THEN 1 ELSE 0 END)
+      |   AS event_type_domain_ratio,
+      | count(event_id) = count(DISTINCT event_id) AS event_id_unique
+      |FROM events""".stripMargin
+
+  // -- §2.5 W1: ranking window (top-3 orders per customer) ----------
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val windowRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // -- §2.5 W2: analytic window (lag / inter-event gap per user) ----
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), lag(col("ts"), 1).over(w).as("prev_ts"))
+      .withColumn("gap_seconds", col("ts").cast("double") - col("prev_ts").cast("double"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  private val windowLagSql =
+    """WITH e AS (SELECT user_id, event_id,
+      |             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts FROM events)
+      |SELECT user_id, event_id, ts,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+      |  epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |    AS gap_seconds
+      |FROM e
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  // -- §2.5 W3: frame-spec aggregate (running quantity per supplier)
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  private val windowRunningSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      | round(sum(l_quantity) OVER (
+      |   PARTITION BY l_suppkey
+      |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  // -- §2.6 O2: global top-k (TakeOrderedAndProject, no full sort) --
+  def topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(100)
+
+  private val topkSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  // -- §2.7 set operations ------------------------------------------
+  private def urgentCust(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+  private def bigFCust(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000.0)
+      .select("o_custkey")
+
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    urgentCust(spark, dir).union(bigFCust(spark, dir)).distinct().orderBy("o_custkey")
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    urgentCust(spark, dir).intersect(bigFCust(spark, dir)).orderBy("o_custkey")
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    urgentCust(spark, dir).except(bigFCust(spark, dir)).orderBy("o_custkey")
+
+  private def setSql(op: String) =
+    s"""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       |$op
+       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 250000.0
+       |ORDER BY o_custkey""".stripMargin
+
+  // -- §2.8 string functions ----------------------------------------
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 12)).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        translate(col("p_type"), " ", "_").as("type_snake"),
+        col("p_name").contains("green").as("has_green"))
+      .orderBy("p_partkey")
+
+  private val stringFuncsSql =
+    """SELECT p_partkey,
+      | upper(substring(p_name, 1, 12)) AS name_prefix,
+      | CAST(length(p_name) AS INT) AS name_len,
+      | p_brand || '#' || p_type AS brand_type,
+      | replace(p_type, ' ', '_') AS type_snake,
+      | p_name LIKE '%green%' AS has_green
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // -- §2.8 F4/F5/F8: datetime functions + agg ----------------------
+  def datetimeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("yr", "mo")
+
+  private val datetimeAggSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+      | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  // -- §2.8 F6: map-literal decode with pass-through fallback -------
+  // The reference's facilityType/weekday decode pattern
+  // (ev_sessions_silver_etl_clean.py:105-110) generalized: literal
+  // map folds at plan time (ConstantFolding), off-domain keys keep a
+  // derived original.
+  def decodeMap(spark: SparkSession, dir: String): DataFrame = {
+    val m = typedlit(Map(0 -> "AMERICAS", 1 -> "EMEA", 2 -> "APAC"))
+    Tables.nation(spark, dir)
+      .select(
+        col("n_nationkey"), col("n_name"),
+        when(col("n_regionkey").isin(0, 1, 2), element_at(m, col("n_regionkey")))
+          .otherwise(concat(lit("UNK_"), col("n_regionkey").cast("string"))).as("region_code"))
+      .orderBy("n_nationkey")
+  }
+
+  private val decodeMapSql =
+    """SELECT n_nationkey, n_name,
+      | CASE WHEN n_regionkey = 0 THEN 'AMERICAS'
+      |      WHEN n_regionkey = 1 THEN 'EMEA'
+      |      WHEN n_regionkey = 2 THEN 'APAC'
+      |      ELSE 'UNK_' || CAST(n_regionkey AS VARCHAR) END AS region_code
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // -- §2.8 (extension): JSON extraction ----------------------------
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  private val jsonExtractSql =
+    """SELECT event_type, count(*) AS n_events,
+      | count(k) AS n_with_k, round(avg(k), 4) AS avg_k,
+      | CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- §2.9-adjacent: batch sessionization (session_window) ---------
+  // Same semantics as the Structured Streaming session_window op in
+  // graft.streaming; expressed here in batch for the oracle gate.
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val sessionizeSql =
+    """WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      |           FROM events),
+      |d AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                  >= INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e)
+      |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+      | count(*) AS n_events
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** The full oracle-checked relational catalog. */
+  val catalog: Seq[QDef] = Seq(
+    QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
+    QDef("q02_scan_projection", scanProjection, Some(scanProjectionSql)),
+    QDef("q03_filter_predicates", filterPredicates, Some(filterPredicatesSql)),
+    QDef("q04_broadcast_join", broadcastJoin, Some(broadcastJoinSql)),
+    QDef("q05_join_agg_topk", joinAggTopk, Some(joinAggTopkSql)),
+    QDef("q06_left_join_coalesce", leftJoinCoalesce, Some(leftJoinCoalesceSql)),
+    QDef("q07_semi_join", semiJoin, Some(semiJoinSql)),
+    QDef("q08_anti_join", antiJoin, Some(antiJoinSql)),
+    QDef("q09_range_join_bands", rangeJoinBands, Some(rangeJoinBandsSql)),
+    QDef("q10_asof_join", asofJoin, Some(asofJoinSql)),
+    QDef("q11_rollup", rollupAgg, Some(rollupAggSql)),
+    QDef("q12_cube", cubeAgg, Some(cubeAggSql)),
+    QDef("q13_distinct_agg", distinctAgg, Some(distinctAggSql)),
+    QDef("q14_dq_metrics", dqMetrics, Some(dqMetricsSql)),
+    QDef("q15_window_rank", windowRank, Some(windowRankSql)),
+    QDef("q16_window_lag", windowLag, Some(windowLagSql)),
+    QDef("q17_window_running", windowRunning, Some(windowRunningSql)),
+    QDef("q18_topk", topk, Some(topkSql)),
+    QDef("q19_set_union", setUnion, Some(setSql("UNION"))),
+    QDef("q20_set_intersect", setIntersect, Some(setSql("INTERSECT"))),
+    QDef("q21_set_except", setExcept, Some(setSql("EXCEPT"))),
+    QDef("q22_string_funcs", stringFuncs, Some(stringFuncsSql)),
+    QDef("q23_datetime_agg", datetimeAgg, Some(datetimeAggSql)),
+    QDef("q24_decode_map", decodeMap, Some(decodeMapSql)),
+    QDef("q25_json_extract", jsonExtract, Some(jsonExtractSql)),
+    QDef("q27_sessionize", sessionize, Some(sessionizeSql)),
+  )
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Dev tool only (NOT part of the engine): runs after `graft.Verify` has
+dumped each query's result to parquet, re-runs every oracle SQL in
+DuckDB over the same testdata tables, and compares values.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        # unify nullable ints etc.
+        if str(df[c].dtype) in ("Int32", "Int64", "int32"):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name, spark_df, duck_df):
+    a, b = normalize(spark_df), normalize(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"COLS spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            bad = ~((av.isna() & bv.isna()) | (av == bv) |
+                    ((av - bv).abs() < 1e-9))
+        else:
+            bad = ~((av.isna() & bv.isna()) | (av.astype(str) == bv.astype(str)))
+        if bad.any():
+            i = bad.idxmax()
+            return (f"VAL col={c} row={i} spark={a[c][i]!r} duck={b[c][i]!r} "
+                    f"({int(bad.sum())} diffs)")
+    return None
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark dump missing ({e})")
+            n_fail += 1
+            continue
+        try:
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        err = compare(name, spark_df, duck_df)
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"ok   {name} ({len(spark_df)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
