@@ -1,0 +1,80 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.dq.VerificationSuite
+import graft.lake.LakeWriter
+
+/** End-to-end medallion pipeline: bronze CSV → silver (clean +
+  * validate + quarantine) → gold (features + partition-overwrite
+  * fact table). Mirrors the two reference jobs' control flow
+  * (E1/E2 in SURVEY.md §3) with the Python-era inefficiency removed:
+  * the cleaned frame is persisted once instead of recomputing the
+  * scan+clean subtree for every action (the reference re-ran it ~8×).
+  */
+final case class SilverConfig(
+    inputCsv: String,
+    silverPath: String,
+    quarantinePath: String,
+    secondaryPartition: String = "stationId",
+    failMode: String = "quarantine")
+
+final case class SilverResult(goodCount: Long, badCount: Long, dqStatus: String)
+
+final case class GoldConfig(
+    silverPath: String,
+    db: String = "ev_sessions_gold",
+    table: String = "fact_ev_session",
+    eventDate: Option[String] = None)
+
+object EvPipeline {
+
+  /** Silver job (reference jobs/ev_sessions_silver_etl_clean.py). */
+  def runSilver(spark: SparkSession, cfg: SilverConfig): SilverResult = {
+    val bronze = SilverClean.readBronzeCsv(spark, cfg.inputCsv)
+    val cleaned = SilverClean.withQuarantineReasons(SilverClean.normalize(bronze))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vr = VerificationSuite.run(cleaned, Seq(SilverClean.silverCheck))
+      if (cfg.failMode == "fail_job" && vr.status != "Success")
+        throw new RuntimeException(s"Data quality FAILED: ${vr.status}")
+
+      val (good, bad) = SilverClean.split(cleaned)
+      val partCols =
+        if (cleaned.columns.contains(cfg.secondaryPartition))
+          Seq("event_date", cfg.secondaryPartition)
+        else Seq("event_date")
+
+      LakeWriter.writePartitioned(good, cfg.silverPath, partCols)
+      LakeWriter.writePartitioned(bad, cfg.quarantinePath, partCols)
+
+      val badCount = bad.count()
+      if (badCount > 0 && cfg.failMode.toLowerCase == "fail_job")
+        throw new RuntimeException(s"Quality gate failed: $badCount quarantined rows")
+      SilverResult(good.count(), badCount, vr.status)
+    } finally cleaned.unpersist()
+  }
+
+  /** Gold job (reference jobs/ev_sessions_gold_etl.py). Returns rows
+    * loaded (0 = nothing to process, early exit). */
+  def runGold(spark: SparkSession, cfg: GoldConfig): Long = {
+    val silver = spark.read.parquet(cfg.silverPath)
+      .select(GoldFeatures.silverProjection.map(silverCol => silver_col(silverCol)): _*)
+    val filtered = GoldFeatures.eventDateFilter(silver, cfg.eventDate)
+    if (filtered.isEmpty) return 0L
+    val gold = GoldFeatures.derive(filtered)
+    GoldFeatures.createFactTable(spark, cfg.db, cfg.table)
+    // insertInto is positional: order columns as the DDL declares
+    // them, partition column last.
+    val ordered = gold.select(
+      "sessionId", "userId", "stationId", "locationId",
+      "kwhTotal", "dollars", "distance", "chargeTimeHrs",
+      "facilityType", "platform", "weekday", "created", "ended",
+      "session_duration_minutes", "avg_cost_per_kwh", "event_date")
+    LakeWriter.overwritePartitions(ordered, s"`${cfg.db}`.`${cfg.table}`")
+    spark.table(s"`${cfg.db}`.`${cfg.table}`").count()
+  }
+
+  private def silver_col(name: String) = org.apache.spark.sql.functions.col(name)
+}

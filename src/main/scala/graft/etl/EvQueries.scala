@@ -1,0 +1,224 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.QDef
+
+/** EV-pipeline queries for the driver's correctness gate. Each runs
+  * the full silver-clean semantics (SilverClean) over the checked-in
+  * fixture CSV (data/ev_fixture.csv — covers every dataset quirk from
+  * FIXTURES.md §1) and carries a DuckDB oracle that replicates the
+  * same cleaning in SQL over `read_csv` of the same file, so the EV
+  * surface is hash-checked exactly like the relational catalog.
+  *
+  * The testdata sfDir argument is ignored — the EV surface has its
+  * own input contract (bronze CSV), independent of scale factor.
+  */
+object EvQueries {
+
+  val fixturePath: String =
+    sys.env.getOrElse("GRAFT_EV_FIXTURE", "/root/repo/data/ev_fixture.csv")
+
+  /** Cleaned + rule-tagged frame (shared subtree of every EV query). */
+  def tagged(spark: SparkSession): DataFrame =
+    SilverClean.withQuarantineReasons(
+      SilverClean.normalize(SilverClean.readBronzeCsv(spark, fixturePath)))
+
+  private def good(spark: SparkSession): DataFrame =
+    SilverClean.split(tagged(spark))._1
+
+  // ---- Spark sides --------------------------------------------------
+
+  def silverGood(spark: SparkSession, dir: String): DataFrame =
+    good(spark).select(
+      "sessionId", "userId", "stationId", "locationId", "kwhTotal", "dollars",
+      "distance", "chargeTimeHrs", "facilityType", "platform", "weekday",
+      "created", "ended", "event_date", "managerVehicle")
+      .orderBy("sessionId")
+
+  def quarantineReasons(spark: SparkSession, dir: String): DataFrame =
+    SilverClean.split(tagged(spark))._2
+      .select(explode(col("quarantine_reason")).as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+      .orderBy("reason")
+
+  def goldFeatures(spark: SparkSession, dir: String): DataFrame =
+    GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes", "avg_cost_per_kwh")
+      .orderBy("sessionId")
+
+  def avgDurationPerLocation(spark: SparkSession, dir: String): DataFrame =
+    GoldFeatures.derive(good(spark))
+      .groupBy("locationId")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        round(avg(col("session_duration_minutes")), 4).as("avg_duration_minutes"))
+      .orderBy("locationId")
+
+  def peakHourPerStation(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = good(spark)
+      .groupBy(col("stationId"), hour(col("created")).as("peak_hour"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val w = Window.partitionBy(col("stationId"))
+      .orderBy(col("n_sessions").desc, col("peak_hour").asc)
+    hourly.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("stationId", "peak_hour", "n_sessions")
+      .orderBy("stationId")
+  }
+
+  def platformShare(spark: SparkSession, dir: String): DataFrame = {
+    val counts = good(spark).groupBy("platform").agg(count(lit(1)).as("n_sessions"))
+    counts
+      .withColumn("share",
+        round(col("n_sessions") / sum(col("n_sessions")).over(Window.partitionBy()), 6))
+      .orderBy("platform")
+  }
+
+  // ---- DuckDB oracles ----------------------------------------------
+
+  /** SQL replica of SilverClean.normalize + rowRules over the same
+    * CSV: all-varchar read (matching Spark's post-cast state),
+    * NULLIF('') for Spark's empty-field→null, the fix_year string
+    * surgery including its 14-char seconds-truncation, literal-map
+    * decodes with pass-through, and the 11 quarantine rules
+    * (facilityType rule coalesced to FALSE on NULL, matching Spark's
+    * `when` not firing on NULL conditions). */
+  private val prefix: String =
+    s"""WITH raw AS (
+       |  SELECT * FROM read_csv('$fixturePath', header=true, all_varchar=true)
+       |), c1 AS (
+       |  SELECT
+       |    NULLIF(sessionId,'') AS sessionId, NULLIF(userId,'') AS userId,
+       |    NULLIF(stationId,'') AS stationId, NULLIF(locationId,'') AS locationId,
+       |    TRY_CAST(NULLIF(kwhTotal,'') AS DOUBLE) AS kwhTotal,
+       |    TRY_CAST(NULLIF(dollars,'') AS DOUBLE) AS dollars,
+       |    TRY_CAST(NULLIF(distance,'') AS DOUBLE) AS distance,
+       |    TRY_CAST(NULLIF(chargeTimeHrs,'') AS DOUBLE) AS chargeTimeHrs,
+       |    NULLIF(facilityType,'') AS facilityType0, NULLIF(platform,'') AS platform,
+       |    NULLIF(weekday,'') AS weekday0,
+       |    NULLIF(created,'') AS created_s, NULLIF(ended,'') AS ended_s,
+       |    TRY_CAST(NULLIF(managerVehicle,'') AS INT) AS managerVehicle
+       |  FROM raw
+       |), fx AS (
+       |  SELECT *,
+       |    CASE WHEN substring(created_s,1,2)='00'
+       |         THEN '20' || substring(created_s,3,14) ELSE created_s END AS created_f,
+       |    CASE WHEN substring(ended_s,1,2)='00'
+       |         THEN '20' || substring(ended_s,3,14) ELSE ended_s END AS ended_f
+       |  FROM c1
+       |), c2 AS (
+       |  -- the year-fixed strings are seconds-truncated ("…HH:MM");
+       |  -- DuckDB's TIMESTAMP cast needs seconds, so fall back to
+       |  -- strptime for that form (Spark's to_timestamp accepts both)
+       |  SELECT *,
+       |    coalesce(TRY_CAST(created_f AS TIMESTAMP),
+       |             TRY_STRPTIME(created_f, '%Y-%m-%d %H:%M')) AS created,
+       |    coalesce(TRY_CAST(ended_f AS TIMESTAMP),
+       |             TRY_STRPTIME(ended_f, '%Y-%m-%d %H:%M')) AS ended
+       |  FROM fx
+       |), silver AS (
+       |  SELECT sessionId, userId, stationId, locationId, kwhTotal, dollars,
+       |    distance, chargeTimeHrs,
+       |    CASE WHEN facilityType0 IN ('1','2','3','4') THEN
+       |      CASE facilityType0 WHEN '1' THEN 'Manufacturing' WHEN '2' THEN 'Office'
+       |           WHEN '3' THEN 'Research and Development' WHEN '4' THEN 'Other' END
+       |      ELSE facilityType0 END AS facilityType,
+       |    platform,
+       |    CASE WHEN weekday0 IN ('Mon','Tue','Wed','Thu','Fri','Sat','Sun') THEN
+       |      CASE weekday0 WHEN 'Mon' THEN 'Monday' WHEN 'Tue' THEN 'Tuesday'
+       |           WHEN 'Wed' THEN 'Wednesday' WHEN 'Thu' THEN 'Thursday'
+       |           WHEN 'Fri' THEN 'Friday' WHEN 'Sat' THEN 'Saturday'
+       |           WHEN 'Sun' THEN 'Sunday' END
+       |      ELSE weekday0 END AS weekday,
+       |    created, ended, CAST(created AS DATE) AS event_date, managerVehicle
+       |  FROM c2
+       |), flagged AS (
+       |  SELECT *,
+       |    (sessionId IS NULL) AS r_session_null,
+       |    (userId IS NULL) AS r_user_null,
+       |    (stationId IS NULL) AS r_station_null,
+       |    (locationId IS NULL) AS r_location_null,
+       |    (kwhTotal IS NULL OR kwhTotal <= 0) AS r_kwh,
+       |    (dollars IS NULL OR dollars < 0) AS r_dollars,
+       |    (distance IS NULL OR distance < 0) AS r_distance,
+       |    (chargeTimeHrs IS NULL OR chargeTimeHrs <= 0) AS r_duration,
+       |    coalesce(facilityType NOT IN
+       |      ('Manufacturing','Office','Research and Development','Other'), FALSE) AS r_ftype,
+       |    (created IS NULL OR ended IS NULL) AS r_ts_null,
+       |    (created IS NOT NULL AND ended IS NOT NULL AND ended <= created) AS r_end_before
+       |  FROM silver
+       |), marked AS (
+       |  SELECT *, (r_session_null OR r_user_null OR r_station_null OR r_location_null
+       |             OR r_kwh OR r_dollars OR r_distance OR r_duration OR r_ftype
+       |             OR r_ts_null OR r_end_before) AS is_bad
+       |  FROM flagged
+       |)""".stripMargin
+
+  private val silverGoodSql =
+    s"""$prefix
+       |SELECT sessionId, userId, stationId, locationId, kwhTotal, dollars, distance,
+       |  chargeTimeHrs, facilityType, platform, weekday, created, ended, event_date,
+       |  managerVehicle
+       |FROM marked WHERE NOT is_bad ORDER BY sessionId""".stripMargin
+
+  private val quarantineReasonsSql =
+    s"""$prefix
+       |SELECT reason, n FROM (
+       |  SELECT 'sessionId_null' AS reason, count(*) FILTER (WHERE r_session_null) AS n FROM marked
+       |  UNION ALL SELECT 'userId_null', count(*) FILTER (WHERE r_user_null) FROM marked
+       |  UNION ALL SELECT 'stationId_null', count(*) FILTER (WHERE r_station_null) FROM marked
+       |  UNION ALL SELECT 'locationId_null', count(*) FILTER (WHERE r_location_null) FROM marked
+       |  UNION ALL SELECT 'kwhTotal_non_positive', count(*) FILTER (WHERE r_kwh) FROM marked
+       |  UNION ALL SELECT 'dollars_negative', count(*) FILTER (WHERE r_dollars) FROM marked
+       |  UNION ALL SELECT 'distance_negative_or_zero', count(*) FILTER (WHERE r_distance) FROM marked
+       |  UNION ALL SELECT 'duration_invalid', count(*) FILTER (WHERE r_duration) FROM marked
+       |  UNION ALL SELECT 'facilityType_invalid', count(*) FILTER (WHERE r_ftype) FROM marked
+       |  UNION ALL SELECT 'timestamp_null', count(*) FILTER (WHERE r_ts_null) FROM marked
+       |  UNION ALL SELECT 'end_before_start', count(*) FILTER (WHERE r_end_before) FROM marked
+       |) t WHERE n > 0 ORDER BY reason""".stripMargin
+
+  private val goldFeaturesSql =
+    s"""$prefix
+       |SELECT sessionId, event_date,
+       |  (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes,
+       |  CASE WHEN kwhTotal > 0 THEN dollars / kwhTotal END AS avg_cost_per_kwh
+       |FROM marked WHERE NOT is_bad ORDER BY sessionId""".stripMargin
+
+  private val avgDurationSql =
+    s"""$prefix
+       |SELECT locationId, count(*) AS n_sessions,
+       |  round(avg((epoch(ended) - epoch(created)) / 60.0), 4) AS avg_duration_minutes
+       |FROM marked WHERE NOT is_bad GROUP BY locationId ORDER BY locationId""".stripMargin
+
+  private val peakHourSql =
+    s"""$prefix,
+       |hourly AS (
+       |  SELECT stationId, CAST(hour(created) AS INT) AS peak_hour, count(*) AS n_sessions
+       |  FROM marked WHERE NOT is_bad GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT stationId, peak_hour, n_sessions,
+       |    row_number() OVER (PARTITION BY stationId
+       |                       ORDER BY n_sessions DESC, peak_hour ASC) AS rn
+       |  FROM hourly
+       |)
+       |SELECT stationId, peak_hour, n_sessions FROM ranked WHERE rn = 1
+       |ORDER BY stationId""".stripMargin
+
+  private val platformShareSql =
+    s"""$prefix
+       |SELECT platform, count(*) AS n_sessions,
+       |  round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+       |FROM marked WHERE NOT is_bad GROUP BY platform ORDER BY platform""".stripMargin
+
+  val catalog: Seq[QDef] = Seq(
+    QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
+    QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
+    QDef("ev03_gold_features", goldFeatures, Some(goldFeaturesSql)),
+    QDef("ev04_avg_duration_per_location", avgDurationPerLocation, Some(avgDurationSql)),
+    QDef("ev05_peak_hour_per_station", peakHourPerStation, Some(peakHourSql)),
+    QDef("ev06_platform_share", platformShare, Some(platformShareSql)),
+  )
+}

@@ -1,0 +1,60 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Lakehouse sink semantics (SURVEY.md §2.1 S3–S6): partitioned zstd
+  * parquet with dynamic partition overwrite — re-running a layer
+  * replaces only the partitions it touches (the reference's Iceberg
+  * `overwritePartitions` / silver `partitionOverwriteMode=dynamic`,
+  * jobs/ev_sessions_silver_etl_clean.py:41,215-225 and
+  * jobs/ev_sessions_gold_etl.py:66,156).
+  *
+  * Scale posture: dynamic-partition writes sort rows by partition
+  * columns within each task (Spark does this automatically) so each
+  * task opens one file per partition at a time; for heavily skewed
+  * partition keys, pass `repartitionCols` to shuffle-distribute the
+  * hot partitions across tasks before the write.
+  */
+object LakeWriter {
+
+  def ensureDynamicOverwrite(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  /** Partitioned parquet sink (reference :215-219). */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      compression: String = "zstd",
+      repartitionCols: Seq[String] = Nil): Unit = {
+    ensureDynamicOverwrite(df.sparkSession)
+    val out = if (repartitionCols.nonEmpty)
+      df.repartition(repartitionCols.map(df.col): _*)
+    else df
+    out.write
+      .mode("overwrite")
+      .option("compression", compression)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Complementary predicate split — the generalized good/bad
+    * bifurcation (SURVEY.md §2.2 P5). The two frames partition the
+    * input exactly: pred-true rows left, everything else (incl. rows
+    * where pred is NULL) right. */
+  def splitByPredicate(df: DataFrame, pred: Column): (DataFrame, DataFrame) =
+    (df.filter(pred), df.filter(!pred.eqNullSafe(true)))
+
+  /** Idempotent partition-overwrite load into a managed catalog table
+    * (the `writeTo(t).overwritePartitions()` equivalent, reference
+    * gold :156). Only partitions present in `df` are replaced. */
+  def overwritePartitions(df: DataFrame, table: String): Unit = {
+    ensureDynamicOverwrite(df.sparkSession)
+    df.write.mode("overwrite").insertInto(table)
+  }
+
+  /** Partition discovery refresh (the reference's commented
+    * MSCK REPAIR TABLE, silver :262). */
+  def repairTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE $table")
+}

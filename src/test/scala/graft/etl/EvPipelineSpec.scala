@@ -1,0 +1,68 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class EvPipelineSpec extends SparkTestBase {
+
+  test("silver job writes partitioned good/quarantine layers and is idempotent") {
+    val base = Files.createTempDirectory("graft-silver").toString
+    val cfg = SilverConfig(fixture, s"$base/silver", s"$base/quarantine")
+
+    val r1 = EvPipeline.runSilver(spark, cfg)
+    assert(r1.goodCount === 37)
+    assert(r1.badCount === 18)
+    assert(r1.dqStatus === "Error") // fixture deliberately violates checks
+
+    // layout: event_date=… / stationId=… hive partitions
+    val silverDf = spark.read.parquet(s"$base/silver")
+    assert(silverDf.columns.contains("event_date"))
+    assert(silverDf.columns.contains("stationId"))
+    assert(silverDf.count() === 37)
+
+    val badDf = spark.read.parquet(s"$base/quarantine")
+    assert(badDf.count() === 18)
+    assert(badDf.schema("quarantine_reason").dataType.typeName === "array")
+
+    // idempotency: second run replaces, not appends
+    val r2 = EvPipeline.runSilver(spark, cfg)
+    assert(r2.goodCount === 37)
+    assert(spark.read.parquet(s"$base/silver").count() === 37)
+  }
+
+  test("fail_job mode raises on quarantined rows") {
+    val base = Files.createTempDirectory("graft-silver-fail").toString
+    val cfg = SilverConfig(fixture, s"$base/silver", s"$base/quarantine",
+      failMode = "fail_job")
+    assertThrows[RuntimeException](EvPipeline.runSilver(spark, cfg))
+  }
+
+  test("gold job derives features and overwrites only touched partitions") {
+    val base = Files.createTempDirectory("graft-gold").toString
+    val scfg = SilverConfig(fixture, s"$base/silver", s"$base/quarantine")
+    EvPipeline.runSilver(spark, scfg)
+
+    val db = "ev_gold_test"
+    val n = EvPipeline.runGold(spark, GoldConfig(s"$base/silver", db = db))
+    assert(n === 37)
+
+    val fact = spark.table(s"$db.fact_ev_session")
+    // derived fields present with reference NULL semantics
+    val z = fact.filter(col("kwhTotal") <= 0).select("avg_cost_per_kwh")
+    assert(z.filter(col("avg_cost_per_kwh").isNotNull).count() === 0)
+    assert(fact.filter(col("session_duration_minutes") <= 0).count() === 0)
+
+    // idempotent partition overwrite: re-run leaves count unchanged
+    val n2 = EvPipeline.runGold(spark, GoldConfig(s"$base/silver", db = db))
+    assert(n2 === 37)
+
+    // single-partition reprocess prunes to one event_date
+    val oneDate = fact.select("event_date").head().getDate(0).toString
+    val n3 = EvPipeline.runGold(spark,
+      GoldConfig(s"$base/silver", db = db, eventDate = Some(oneDate)))
+    assert(n3 === 37) // table still whole; only that partition rewritten
+  }
+}
