@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EvQueries
-import graft.ops.{QDef, Relational}
+import graft.ops.{QDef, Relational, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   /** All query catalogs, concatenated. Modules own their definitions;
     * this object is just the aggregation point the driver reads. */
   private def allDefs: Seq[QDef] =
-    Relational.catalog ++ EvQueries.catalog
+    Relational.catalog ++ EvQueries.catalog ++
+      TextDedup.catalog ++ TextAnalysis.catalog ++ Similarity.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - brute-force cosine top-k — the exact baseline. One broadcast of
+  *    the query vectors, one scan of the corpus, TakeOrderedAndProject
+  *    for the top-k: correct at any scale where a full scan is
+  *    affordable.
+  *  - multi-table random-hyperplane LSH — the scale path. Each vector
+  *    maps to `numTables` sign-pattern buckets (pure Column
+  *    expressions over literal hyperplanes, fixed seed); candidate
+  *    generation is an equi-join on (table, bucket) — shuffle volume
+  *    O(n · tables), never O(n²) — followed by exact cosine rerank of
+  *    candidates only.
+  *
+  * Dot products / norms are HOF folds (`zip_with` + `aggregate`) in
+  * double precision — codegen'd, no UDF.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  // ---- LSH machinery ------------------------------------------------
+
+  val numTables = 4
+  val bitsPerTable = 8
+  val dim = 64
+
+  /** Deterministic hyperplanes (fixed seed), one literal per (table,
+    * bit). Literals fold into the plan — nothing is shipped at
+    * runtime beyond the generated code. */
+  private val planes: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val rng = new scala.util.Random(7)
+    IndexedSeq.fill(numTables)(IndexedSeq.fill(bitsPerTable)(Seq.fill(dim)(rng.nextGaussian())))
+  }
+
+  private def dotPlane(emb: Column, plane: Seq[Double]): Column =
+    aggregate(zip_with(emb, typedlit(plane), (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-pattern bucket id of one table. */
+  def bucketFor(emb: Column, table: Int): Column =
+    (0 until bitsPerTable).map { j =>
+      when(dotPlane(emb, planes(table)(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, table, bucket) — one row per table per vector. */
+  def bucketize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val buckets = array((0 until numTables).map { t =>
+      struct(lit(t).as("tbl"), bucketFor(col(vecCol), t).as("bucket"))
+    }: _*)
+    emb.select(col(idCol), explode(buckets).as("b"))
+      .select(col(idCol), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+  }
+
+  // ---- brute force --------------------------------------------------
+
+  /** Exact top-k neighbors of one stored vector (excluding itself). */
+  def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryVecId).select(col(vecCol).as("qv"))
+    emb.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // ---- LSH ANN ------------------------------------------------------
+
+  /** Approximate top-k for a set of stored query ids: bucket join →
+    * dedup candidates → exact cosine rerank → top-k per query. */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qBuckets = broadcast(
+      bucketize(queries.withColumnRenamed("query_id", "query_id_tmp"), "query_id_tmp", "qv")
+        .withColumnRenamed("query_id_tmp", "query_id"))
+    val candidates = bucketize(emb, idCol, vecCol)
+      .join(qBuckets, Seq("tbl", "bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol))
+      .distinct()
+    val rescored = candidates
+      .join(emb.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("qv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    rescored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  // ---- driver-gate queries -----------------------------------------
+
+  def vectorNorms(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), round(l2norm(col("embedding")), 4).as("l2_norm"))
+      .orderBy("vec_id")
+
+  val vectorNormsSql: String =
+    """SELECT vec_id, round(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS l2_norm
+      |FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(spark, dir), queryVecId = 0L, k = 20)
+
+  val annBruteForceSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |x AS (
+      |  SELECT e.vec_id,
+      |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dp,
+      |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+      |    sum(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS nb
+      |  FROM embeddings e, q, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  WHERE e.vec_id <> 0
+      |  GROUP BY e.vec_id
+      |)
+      |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
+      |FROM x ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin
+
+  /** LSH ANN for 3 stored queries — engine-specific hyperplanes → no
+    * SQL oracle; recall vs brute force is unit-tested
+    * (SimilaritySpec). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(Tables.embeddings(spark, dir), queryIds = Seq(0L, 1L, 2L), k = 10)
+      .orderBy(col("query_id").asc, col("cosine").desc, col("vec_id").asc)
+
+  val catalog: Seq[QDef] = Seq(
+    QDef("q26_vector_norm", vectorNorms, Some(vectorNormsSql)),
+    QDef("q31_ann_cosine_topk", annBruteForce, Some(annBruteForceSql)),
+    QDef("q37_ann_lsh_topk", annLsh, None),
+  )
+}

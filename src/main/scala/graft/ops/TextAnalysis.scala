@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (stopword-hit heuristic), quality scoring, token
+  * counting, and document fingerprinting. All pure Column expression
+  * composition — codegen'd, no UDFs, embarrassingly parallel over any
+  * partitioning (no shuffle except the final aggregations).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  // Small per-language stopword probes. Deliberately overlapping
+  // (de/la/en appear in several languages) — the argmax with a fixed
+  // tie order keeps the prediction deterministic.
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit"))
+
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang): _*)))
+
+  /** Argmax over language scores with fixed tie-break order
+    * en > es > fr > de. */
+  def predictLang(text: Column): Column = {
+    val t = tokens(text)
+    val en = stopwordHits(t, "en")
+    val es = stopwordHits(t, "es")
+    val fr = stopwordHits(t, "fr")
+    val de = stopwordHits(t, "de")
+    when(en >= greatest(es, fr, de), lit("en"))
+      .when(es >= greatest(fr, de), lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Whitespace token count as space-count+1 — the formulation with
+    * identical semantics in Spark and ANSI SQL engines. */
+  def wordCount(text: Column): Column =
+    length(text) - length(translate(text, " ", "")) + 1
+
+  def avgWordLen(text: Column): Column =
+    length(translate(text, " ", "")).cast("double") / wordCount(text)
+
+  /** Heuristic quality score in [0,1]: length saturation + stopword
+    * density + type-token ratio, the classic cheap pretraining-data
+    * filters. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val lenScore = least(charCount(text).cast("double") / lit(500.0), lit(1.0))
+    val stopRatio = stopwordHits(t, "en").cast("double") / size(t)
+    val typeToken = size(array_distinct(t)).cast("double") / size(t)
+    lit(0.4) * lenScore + lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)) + lit(0.3) * typeToken
+  }
+
+  /** Whitespace-normalized md5 fingerprint (exact-dup key robust to
+    * spacing differences). */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** 31-base polynomial rolling hash over characters, mod 1e9+7 —
+    * kept below 2^63 at every step so it's ANSI-overflow-safe and
+    * reproducible in any engine with a fold primitive. */
+  def rollingHash(text: Column): Column = {
+    val codes = transform(split(text, ""), ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * lit(131L) + c) % lit(1000000007L))
+  }
+
+  // ---- driver-gate queries -----------------------------------------
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        charCount(col("text")).as("n_chars_calc"),
+        (charCount(col("text")).cast("long") === col("n_chars")).as("n_chars_match"),
+        wordCount(col("text")).as("n_words"),
+        round(avgWordLen(col("text")), 6).as("avg_word_len"))
+      .orderBy("doc_id")
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      | CAST(length(text) AS INT) AS n_chars_calc,
+      | length(text) = n_chars AS n_chars_match,
+      | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_words,
+      | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |       / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), predictLang(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  val langIdSql: String = {
+    def hits(l: String) =
+      s"len(list_filter(toks, t -> t IN (${stopwords(l).map(s => s"'$s'").mkString(",")})))"
+    s"""WITH t AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+       |s AS (SELECT lang, ${hits("en")} AS s_en, ${hits("es")} AS s_es,
+       |        ${hits("fr")} AS s_fr, ${hits("de")} AS s_de FROM t),
+       |p AS (SELECT lang,
+       |  CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+       |       WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+       |       WHEN s_fr >= s_de THEN 'fr'
+       |       ELSE 'de' END AS predicted FROM s)
+       |SELECT lang, predicted, count(*) AS n FROM p
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), round(qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+
+  val qualitySql: String = {
+    val en = stopwords("en").map(s => s"'$s'").mkString(",")
+    s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+       |SELECT doc_id, round(
+       |  0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       |  + 0.3 * least(CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE)
+       |                / len(toks) * 5.0, 1.0)
+       |  + 0.3 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"),
+        rollingHash(col("text")).as("fp_rolling"))
+      .orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    """WITH c AS (SELECT doc_id, text,
+      |    [CAST(ascii(ch) AS BIGINT) FOR ch IN string_split(text, '')] AS codes
+      |  FROM documents)
+      |SELECT doc_id,
+      | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+      | list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+      |             (acc, x) -> (acc * 131 + x) % 1000000007) AS fp_rolling
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  val catalog: Seq[QDef] = Seq(
+    QDef("q29_text_stats", textStats, Some(textStatsSql)),
+    QDef("q32_lang_id", langId, Some(langIdSql)),
+    QDef("q33_quality_score", quality, Some(qualitySql)),
+    QDef("q34_fingerprints", fingerprints, Some(fingerprintsSql)),
+  )
+}

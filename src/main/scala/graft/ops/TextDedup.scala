@@ -1,0 +1,250 @@
+package graft.ops
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Deduplication operators for training-data pipelines, each built as
+  * a scalable Spark plan:
+  *
+  *  - exact dedup: hash-groupBy on a content fingerprint (one
+  *    shuffle, map-side combinable);
+  *  - n-gram Jaccard: exact token-set similarity for candidate pairs;
+  *  - MinHash + LSH banding: shingle → k-permutation minhash
+  *    signature (pure Column expressions, codegen'd) → band buckets →
+  *    shuffle join on (band, bucket-hash). The join formulation (not
+  *    collect_list) keeps hot buckets from materializing on one task;
+  *    candidate pairs are then verified with exact Jaccard — only on
+  *    candidates, never all-pairs;
+  *  - SimHash: 64-bit sign-aggregated token hashes via a typed
+  *    Dataset map (per-partition, no shuffle), Hamming-distance
+  *    comparable with bit_count(a ^ b).
+  *
+  * At 100 TB the all-pairs comparison is O(n²) and impossible; every
+  * near-dup path here is bucket-first so the shuffle volume is
+  * O(n · bands) and comparisons are bucket-local.
+  */
+object TextDedup {
+
+  // ---- exact dedup --------------------------------------------------
+
+  /** One row per distinct content hash: the kept (minimum) id and the
+    * number of copies. */
+  def exactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- token / shingle machinery ------------------------------------
+
+  def tokensOf(text: Column): Column = split(lower(text), " ")
+
+  /** n-word shingles; documents shorter than n collapse to a single
+    * whole-document shingle. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  def shingleHashes(sh: Column): Column =
+    array_distinct(transform(sh, s => xxhash64(s)))
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  /** Mersenne prime modulus keeps (a·x + b) in long range. */
+  private val M = 2147483647L // 2^31 - 1
+  val numHashes = 32
+  val numBands = 8
+  private val rowsPerBand = numHashes / numBands
+
+  /** Deterministic permutation coefficients (fixed seed). */
+  private val (hashA, hashB): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(42)
+    (Array.fill(numHashes)(1L + rng.nextInt(Int.MaxValue - 1).toLong),
+      Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Distinct hashed n-word shingles of a document. */
+  def shingleHashSetOf(text: String, n: Int = 3): Set[Long] = {
+    val toks = text.split(" ")
+    val it =
+      if (toks.length >= n) (0 to toks.length - n).iterator.map(i => toks.slice(i, i + n).mkString(" "))
+      else Iterator(toks.mkString(" "))
+    it.map(tokenHash64).toSet
+  }
+
+  /** k-permutation minhash signature. Tight-loop primitive on
+    * purpose: the equivalent nested `transform(aggregate(...))`
+    * Column formulation is CodegenFallback (interpreted per row) and
+    * measured ~50× slower — per SURVEY.md §2.10 preference order,
+    * typed per-partition code beats a non-codegen expression. */
+  def minhashSignatureOf(shingleHashes: Iterable[Long]): Array[Long] = {
+    val sig = Array.fill(numHashes)(M)
+    shingleHashes.foreach { h =>
+      val x = ((h % M) + M) % M
+      var i = 0
+      while (i < numHashes) {
+        val v = (hashA(i) * x + hashB(i)) % M
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** One bucket hash per band (polynomial mix of the band's slice). */
+  def bandBucketsOf(sig: Array[Long]): Array[Long] =
+    Array.tabulate(numBands) { b =>
+      var h = 1125899906842597L
+      var r = b * rowsPerBand
+      while (r < (b + 1) * rowsPerBand) { h = h * 131 + sig(r); r += 1 }
+      h
+    }
+
+  /** (id, band, bucket) rows — the LSH index. Computed in one typed
+    * per-partition pass (no shuffle); shuffle happens only on the
+    * bucket join that consumes it. */
+  def minhashBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val buckets = bandBucketsOf(minhashSignatureOf(shingleHashSetOf(text)))
+        buckets.iterator.zipWithIndex.map { case (bk, band) => (id, band, bk) }
+      }
+      .toDF("id", "band", "bucket")
+  }
+
+  /** Candidate near-duplicate pairs (id_a < id_b) via the banded
+    * bucket equi-join (shuffle on (band, bucket), O(n·bands) — never
+    * all-pairs). */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = minhashBuckets(docs, idCol, textCol)
+    val a = sigs.alias("a")
+    val b = sigs.alias("b")
+    a.join(b,
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for given (id_a, id_b) pairs — cheap
+    * because it only touches candidates. */
+  def withJaccard(pairs: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("jid"),
+      array_distinct(tokensOf(col(textCol))).as("toks"))
+    pairs
+      .join(toks.withColumnRenamed("jid", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(toks.withColumnRenamed("jid", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
+      .drop("toks_a", "toks_b", "inter")
+  }
+
+  /** Near-duplicate detection: LSH candidates verified by exact
+    * Jaccard ≥ threshold. */
+  def nearDuplicates(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withJaccard(minhashCandidates(docs, idCol, textCol), docs, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** Deterministic 64-bit token hash from two seeded murmur32 runs. */
+  def tokenHash64(t: String): Long =
+    (MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
+      (MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
+
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = tokenHash64(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** (id, simhash) — typed per-partition map, no shuffle. */
+  def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text.split(" ").toSeq)) }
+      .toDF(idCol, "simhash")
+  }
+
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- driver-gate queries -----------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    exactDuplicates(Tables.documents(spark, dir)).orderBy("text_hash")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  /** Adjacent-doc token Jaccard — the exact n-gram similarity
+    * primitive, oracle-checked. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = docs.select((col("doc_id") + lit(1L)).as("id_b_key"), col("doc_id").as("id_a"))
+      .join(docs.select(col("doc_id").as("id_b")), col("id_b_key") === col("id_b"))
+      .select("id_a", "id_b")
+    withJaccard(pairs, docs).orderBy("id_a")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+      |           FROM documents),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+      |      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+      |s AS (SELECT id_a, id_b,
+      |        CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE) AS inter,
+      |        len(ta) + len(tb) AS tot
+      |      FROM p)
+      |SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
+      |FROM s ORDER BY id_a""".stripMargin
+
+  /** MinHash-LSH near-dup sweep over a corpus with planted mutations
+    * (each doc unioned with a copy missing its last token) — verifies
+    * the full shingle→minhash→band→join→Jaccard path returns the
+    * planted pairs. Engine-specific hashing → no SQL oracle; value
+    * behavior is unit-tested (TextDedupSpec). */
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val toks = tokensOf(col("text"))
+    val mutated = docs.select(
+      (col("doc_id") + lit(10000000L)).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), size(toks) - lit(1))).as("text"))
+    nearDuplicates(docs.unionByName(mutated), 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash signatures (engine-specific hash → rows-only check;
+    * Hamming-neighborhood behavior unit-tested). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    simhashes(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val catalog: Seq[QDef] = Seq(
+    QDef("q28_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QDef("q30_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QDef("q35_minhash_near_dups", minhashNearDups, None),
+    QDef("q36_simhash", simhashSignatures, None),
+  )
+}

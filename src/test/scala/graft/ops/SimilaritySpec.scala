@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class SimilaritySpec extends SparkTestBase {
+
+  lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("cosine HOF matches a locally computed reference value") {
+    import spark.implicits._
+    val rows = emb.filter(col("vec_id").isin(0L, 1L))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val (a, b) = (rows(0L).map(_.toDouble), rows(1L).map(_.toDouble))
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = emb.filter(col("vec_id") === 0L)
+      .crossJoin(emb.filter(col("vec_id") === 1L).select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding"), col("e2")).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-9)
+  }
+
+  test("brute-force top-k is ordered and self-excluding") {
+    import spark.implicits._
+    val topk = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+    assert(topk.length === 10)
+    assert(!topk.map(_.getLong(0)).contains(0L))
+    val cosines = topk.map(_.getDouble(1))
+    assert(cosines.sameElements(cosines.sorted(Ordering[Double].reverse)))
+  }
+
+  test("LSH ANN finds planted near-neighbors") {
+    import spark.implicits._
+    // plant 5 small deterministic perturbations of vectors 0..2 —
+    // genuine near-neighbors (cosine ≈ 1), the workload LSH exists
+    // for (isotropic random vectors have no neighbor structure and
+    // any bucketing scheme legitimately degrades there)
+    val queries = Seq(0L, 1L, 2L)
+    val planted = (1 to 5).map { i =>
+      emb.filter(col("vec_id").isin(queries: _*))
+        .select(
+          (col("vec_id") + lit(1000L * i)).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.01f * i)).as("embedding"),
+          col("label"))
+    }.reduce(_ unionByName _)
+    val corpus = emb.unionByName(planted)
+    val lsh = Similarity.lshTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = queries.map { q =>
+      val want = (1 to 5).map(i => q + 1000L * i).toSet
+      want.intersect(lsh.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.8, s"planted-neighbor recall $meanRecall too low")
+  }
+
+  test("LSH candidates rerank uses exact cosine (scores match brute force)") {
+    import spark.implicits._
+    val lsh = Similarity.lshTopK(emb, Seq(0L), 10)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    val exact = Similarity.bruteForceTopK(emb, 0L, 499)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    lsh.foreach { case (id, c) => assert(math.abs(c - exact(id)) < 1e-9) }
+  }
+}

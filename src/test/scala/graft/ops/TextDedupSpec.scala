@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class TextDedupSpec extends SparkTestBase {
+
+  lazy val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+
+  test("exact dedup keys duplicates by content hash") {
+    import spark.implicits._
+    val withDups = docs.limit(10)
+      .unionByName(docs.limit(3).withColumn("doc_id", col("doc_id") + 1000L))
+    val dedup = TextDedup.exactDuplicates(withDups)
+    assert(dedup.count() === 10)
+    assert(dedup.filter(col("n_copies") === 2).count() === 3)
+    // kept id is always the minimum of the duplicate group
+    val kept = dedup.filter(col("n_copies") === 2).select("keep_id")
+      .as[Long].collect().toSet
+    assert(kept.subsetOf(Set(0L, 1L, 2L)))
+  }
+
+  test("minhash LSH recovers planted near-duplicates") {
+    val toks = TextDedup.tokensOf(col("text"))
+    val mutated = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), size(toks) - lit(1))).as("text"))
+    val corpus = docs.unionByName(mutated)
+    val found = TextDedup.nearDuplicates(corpus, 0.5)
+      .filter(col("id_b") === col("id_a") + 1000000L)
+    // dropping one token keeps Jaccard ≈ 1 → banding must catch
+    // virtually every planted pair
+    val recall = found.count().toDouble / docs.count()
+    assert(recall >= 0.95, s"planted-pair recall $recall < 0.95")
+  }
+
+  test("near-dup candidates are verified by exact jaccard threshold") {
+    val nd = TextDedup.nearDuplicates(docs, 0.9)
+    import spark.implicits._
+    val sims = nd.select("jaccard").as[Double].collect()
+    sims.foreach(j => assert(j >= 0.9))
+  }
+
+  test("simhash of near-identical docs has small hamming distance") {
+    import spark.implicits._
+    val base = TextDedup.simhashes(docs).withColumnRenamed("simhash", "sh_a")
+    val toks = TextDedup.tokensOf(col("text"))
+    val mutated = docs.select(col("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), size(toks) - lit(1))).as("text"))
+    val mut = TextDedup.simhashes(mutated).withColumnRenamed("simhash", "sh_b")
+    val joined = base.join(mut, "doc_id")
+      .select(TextDedup.hammingDistance(col("sh_a"), col("sh_b")).as("hd"))
+    val avgHd = joined.agg(avg("hd")).head().getDouble(0)
+    assert(avgHd <= 8.0, s"avg hamming distance $avgHd too large for near-dups")
+    // sanity: unrelated docs differ a lot more
+    val shifted = base.withColumn("doc_id", col("doc_id") + 1L)
+      .withColumnRenamed("sh_a", "sh_c")
+    val unrelated = base.join(shifted, "doc_id")
+      .select(TextDedup.hammingDistance(col("sh_a"), col("sh_c")).as("hd"))
+      .agg(avg("hd")).head().getDouble(0)
+    assert(unrelated > avgHd)
+  }
+
+  test("simhash is deterministic") {
+    val a = TextDedup.simhash64(Seq("spark", "join", "merge"))
+    val b = TextDedup.simhash64(Seq("spark", "join", "merge"))
+    assert(a === b)
+    assert(TextDedup.simhash64(Seq("entirely", "different", "words")) !== a)
+  }
+}
