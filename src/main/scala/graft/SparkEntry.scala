@@ -15,9 +15,10 @@ object SparkEntry {
 
   /** All query catalogs, concatenated. Modules own their definitions;
     * this object is just the aggregation point the driver reads. */
-  private def allDefs: Seq[QDef] =
+  private[graft] def allDefs: Seq[QDef] =
     Relational.catalog ++ EvQueries.catalog ++
-      TextDedup.catalog ++ TextAnalysis.catalog ++ Similarity.catalog
+      TextDedup.catalog ++ TextAnalysis.catalog ++ Similarity.catalog ++
+      graft.multimodal.Media.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.etl.SilverClean
+import graft.lake.LakeWriter
+import graft.model.EvSchemas
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference is
+  * pure batch with event-triggered orchestration; this module is the
+  * streaming-native equivalent — the same transform logic (shared
+  * with the batch modules, not duplicated) over `readStream`, with
+  * watermarks, windowed/session aggregation, stateful dedup and
+  * custom per-key state.
+  *
+  * Scale posture: every aggregation keys on (window/session, group
+  * key) so state is bounded by the watermark horizon; file sources
+  * shard by input file, and foreachBatch writes reuse the same
+  * dynamic-partition-overwrite sink as batch (idempotent re-runs per
+  * microbatch epoch).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Streaming read of the events table layout (ns-long ts normalized
+    * to whole-second TimestampType, matching model.Tables.events). */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(EvSchemas.eventsRaw)
+      .parquet(path)
+      .withColumn("ts", timestamp_seconds(expr("ts DIV 1000000000")))
+
+  /** Tumbling-window counts with a watermark bounding state. */
+  def windowedCounts(events: DataFrame,
+      windowLen: String = "5 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Session windows per user (gap-merged), watermarked. */
+  def sessionCounts(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Stateful exact dedup on event_id, state expiring with the
+    * watermark (the streaming analogue of exact dedup in
+    * ops.TextDedup). */
+  def dedupedEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via mapGroupsWithState: running per-user
+    * totals across microbatches. */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          evs.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming silver ETL: bronze CSVs arriving in a directory →
+    * identical clean/validate logic as the batch job → per-microbatch
+    * partitioned good/quarantine writes. Demonstrates that the
+    * cleaning layer is execution-mode-agnostic (same SilverClean
+    * functions drive batch and stream). */
+  def streamSilverCsv(spark: SparkSession, csvDir: String,
+      silverPath: String, quarantinePath: String): StreamingQuery = {
+    val bronze = spark.readStream
+      .option("header", true)
+      .schema(EvSchemas.bronze)
+      .csv(csvDir)
+    val cleaned = SilverClean.withQuarantineReasons(SilverClean.normalize(bronze))
+    cleaned.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (good, bad) = SilverClean.split(batch.persist())
+        LakeWriter.writePartitioned(good, silverPath, Seq("event_date", "stationId"))
+        LakeWriter.writePartitioned(bad, quarantinePath, Seq("event_date", "stationId"))
+        batch.unpersist(): Unit
+      }
+      .start()
+  }
+}

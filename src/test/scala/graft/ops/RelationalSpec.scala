@@ -16,8 +16,7 @@ class RelationalSpec extends SparkTestBase {
   }
 
   test("every query has a unique name and every oracle key exists") {
-    val defs = Relational.catalog ++ graft.etl.EvQueries.catalog ++
-      TextDedup.catalog ++ TextAnalysis.catalog ++ Similarity.catalog
+    val defs = SparkEntry.allDefs
     val names = SparkEntry.queries.keySet
     assert(names.size === defs.size, "duplicate query names would drop entries")
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class EventStreamsSpec extends SparkTestBase {
+
+  /** Stage the events parquet into a dir (file stream sources want a
+    * directory they can watch). */
+  lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("graft-stream-events")
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  test("windowed counts over the stream match the batch computation") {
+    val stream = EventStreams.windowedCounts(EventStreams.readEvents(spark, eventsDir))
+    val q = stream.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete).start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("win_counts")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val want = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "5 minutes").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("session windows over the stream match batch session_window") {
+    val stream = EventStreams.sessionCounts(EventStreams.readEvents(spark, eventsDir))
+    val q = stream.writeStream.format("memory").queryName("sess_counts")
+      .outputMode(OutputMode.Complete).start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("sess_counts")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val want = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-delivered events") {
+    // duplicate every event by staging the same file twice
+    val d = Files.createTempDirectory("graft-stream-dup")
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), d.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), d.resolve("b.parquet"))
+    val deduped = EventStreams.dedupedEvents(EventStreams.readEvents(spark, d.toString))
+    val q = deduped.writeStream.format("memory").queryName("dedup_events")
+      .outputMode(OutputMode.Append).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val n = spark.table("dedup_events").count()
+    val distinct = Tables.events(spark, sf0001).count()
+    assert(n === distinct)
+  }
+
+  test("mapGroupsWithState accumulates running per-user totals") {
+    import spark.implicits._
+    val events = EventStreams.readEvents(spark, eventsDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val out = mutable.Map[Long, EventStreams.UserTotal]()
+    val q = EventStreams.userRunningTotals(events).writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreams.UserTotal], _: Long) =>
+        batch.collect().foreach(u => out.synchronized { out(u.user_id) = u }): Unit
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val want = Tables.events(spark, sf0001).groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size === want.size)
+    want.foreach { case (uid, (n, t)) =>
+      val got = out(uid)
+      assert(got.n_events === n)
+      assert(math.abs(got.total_value - t) < 1e-6)
+    }
+  }
+
+  test("streaming silver CSV pipeline equals the batch pipeline output") {
+    val base = Files.createTempDirectory("graft-stream-silver")
+    val csvDir = Files.createDirectory(base.resolve("in"))
+    Files.copy(Paths.get(fixture), csvDir.resolve("batch1.csv"))
+    val q = EventStreams.streamSilverCsv(spark, csvDir.toString,
+      s"$base/silver", s"$base/quarantine")
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.read.parquet(s"$base/silver").count() === 37)
+    assert(spark.read.parquet(s"$base/quarantine").count() === 18)
+  }
+}
