@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev aid: dumps formatted physical plans for representative queries
+  * so scan pushdown / join strategy / codegen coverage can be
+  * inspected (run: sbt "runMain graft.PlanCheck [names...]").
+  *
+  * Checked invariants (see COVERAGE.md §plans): PushedFilters reach
+  * the parquet scan, ReadSchema is pruned to referenced columns,
+  * small dims build BroadcastHashJoin, global top-k plans
+  * TakeOrderedAndProject (never a full sort), aggregations carry
+  * partial_* (map-side combine) before the exchange.
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q01_tpch_q1", "q02_scan_projection", "q04_broadcast_join",
+        "q05_join_agg_topk", "q09_range_join_bands", "q18_topk")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
