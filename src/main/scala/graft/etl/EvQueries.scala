@@ -77,6 +77,24 @@ object EvQueries {
       .orderBy("platform")
   }
 
+  /** README metric "utilization ratio" (SURVEY.md §2.3 J5 explode
+    * variant): unroll each session's [created, ended] span into hour
+    * rows, then distinct utilized hours / active-span hours per
+    * station. */
+  def stationUtilization(spark: SparkSession, dir: String): DataFrame =
+    good(spark)
+      .select(col("stationId"), col("created"), col("ended"),
+        explode(expr(
+          "sequence(date_trunc('hour', created), date_trunc('hour', ended), interval 1 hour)"))
+          .as("hr"))
+      .groupBy("stationId")
+      .agg(
+        countDistinct(col("hr")).as("utilized_hours"),
+        round(countDistinct(col("hr")) /
+          ((max(col("ended")).cast("long") - min(col("created")).cast("long")) / lit(3600.0)), 6)
+          .as("utilization"))
+      .orderBy("stationId")
+
   // ---- DuckDB oracles ----------------------------------------------
 
   /** SQL replica of SilverClean.normalize + rowRules over the same
@@ -213,6 +231,19 @@ object EvQueries {
        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
        |FROM marked WHERE NOT is_bad GROUP BY platform ORDER BY platform""".stripMargin
 
+  private val stationUtilizationSql =
+    s"""$prefix,
+       |hrs AS (
+       |  SELECT stationId, created, ended,
+       |    unnest(generate_series(date_trunc('hour', created),
+       |                           date_trunc('hour', ended), INTERVAL 1 HOUR)) AS hr
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT stationId, count(DISTINCT hr) AS utilized_hours,
+       |  round(count(DISTINCT hr) /
+       |        ((epoch(max(ended)) - epoch(min(created))) / 3600.0), 6) AS utilization
+       |FROM hrs GROUP BY stationId ORDER BY stationId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -220,5 +251,6 @@ object EvQueries {
     QDef("ev04_avg_duration_per_location", avgDurationPerLocation, Some(avgDurationSql)),
     QDef("ev05_peak_hour_per_station", peakHourPerStation, Some(peakHourSql)),
     QDef("ev06_platform_share", platformShare, Some(platformShareSql)),
+    QDef("ev07_station_utilization", stationUtilization, Some(stationUtilizationSql)),
   )
 }

@@ -505,6 +505,72 @@ object Relational {
       | count(*) AS n_events
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -- §2.5 W3 variant: RANGE frame over event-time (7-day rolling) -
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    // l_shipdate surfaces as TIMESTAMP_NTZ; route through TIMESTAMP
+    // (identical instants under the session's UTC) to get epoch longs
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").cast("timestamp").cast("long"))
+      .rangeBetween(-7L * 86400, 0)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        round(sum(col("l_quantity")).over(w), 2).as("qty_7d"))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  private val windowRangeSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      | round(sum(l_quantity) OVER (
+      |   PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
+      |   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS qty_7d
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  // -- §2.4 A8: GROUPING SETS via the spark.sql entry path ----------
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // -- §2.8 extension: schema-based JSON parse (JsonToStructs) ------
+  def fromJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(spark, dir)
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
+      .orderBy(asc_nulls_first("k_bucket"))
+
+  private val fromJsonSql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+      | count(*) AS n,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY 1 ORDER BY k_bucket ASC NULLS FIRST""".stripMargin
+
+  // -- §2.4 A5 scale path: HLL++ approximate distinct ----------------
+  // Sketch values are engine-specific → rows-only in the gate;
+  // RelationalSpec asserts the estimate lands within 5% of exact.
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -533,5 +599,9 @@ object Relational {
     QDef("q24_decode_map", decodeMap, Some(decodeMapSql)),
     QDef("q25_json_extract", jsonExtract, Some(jsonExtractSql)),
     QDef("q27_sessionize", sessionize, Some(sessionizeSql)),
+    QDef("q40_window_range", windowRange, Some(windowRangeSql)),
+    QDef("q42_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QDef("q43_from_json", fromJson, Some(fromJsonSql)),
+    QDef("q44_approx_distinct", approxDistinct, None),
   )
 }

@@ -25,14 +25,25 @@ import graft.model.Tables
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
+  /** HOF formulations — correct and dependency-free, but
+    * CodegenFallback (interpreted). Kept for reference/tests; the hot
+    * paths use the native codegen'd expressions below. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def cosineHof(a: Column, b: Column): Column = dotHof(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Native fused-loop Catalyst expressions (graft.functions) — same
+    * double-precision math and accumulation order as the HOF forms,
+    * so results (and the DuckDB oracles) are unchanged. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot_product(a, b)
+
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
 
   // ---- LSH machinery ------------------------------------------------
 

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.Tables
+import graft.ops.Similarity
+
+class VectorExpressionsSpec extends SparkTestBase {
+
+  lazy val emb = Tables.embeddings(spark, sf0001)
+  lazy val pairs = emb.select(col("vec_id"), col("embedding"))
+    .crossJoin(emb.filter(col("vec_id") === 0L).select(col("embedding").as("q")))
+
+  test("native cosine matches the HOF formulation exactly") {
+    val both = pairs.select(
+      Similarity.cosine(col("embedding"), col("q")).as("native"),
+      Similarity.cosineHof(col("embedding"), col("q")).as("hof"))
+    val maxDiff = both.agg(max(abs(col("native") - col("hof")))).head().getDouble(0)
+    assert(maxDiff < 1e-12, s"native vs HOF diverged by $maxDiff")
+  }
+
+  test("native dot matches the HOF formulation exactly") {
+    val both = pairs.select(
+      Similarity.dot(col("embedding"), col("q")).as("native"),
+      Similarity.dotHof(col("embedding"), col("q")).as("hof"))
+    val maxDiff = both.agg(max(abs(col("native") - col("hof")))).head().getDouble(0)
+    assert(maxDiff < 1e-12)
+  }
+
+  test("expression participates in whole-stage codegen") {
+    import spark.implicits._
+    // scan → project shape (a join would hide codegen behind
+    // BroadcastNestedLoopJoin); the projection containing the native
+    // expression must sit inside WholeStageCodegen
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select("embedding").as[Array[Float]].head().toSeq
+    val plan = emb.select(Similarity.cosine(col("embedding"), typedlit(qv)).as("c"))
+      .queryExecution.executedPlan
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, s"no WholeStageCodegenExec in:\n$plan")
+    // and the projection with our expression lives inside it
+    assert(wsc.exists(_.toString.contains("cosine_similarity")))
+  }
+
+  test("SQL registration exposes the functions") {
+    VectorFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      """SELECT a.vec_id, cosine_similarity(a.embedding, b.embedding) AS c,
+        |       dot_product(a.embedding, b.embedding) AS d
+        |FROM emb_v a JOIN emb_v b ON b.vec_id = 0 LIMIT 5""".stripMargin)
+    assert(r.count() === 5)
+    assert(r.filter(col("c").isNull || col("d").isNull).count() === 0)
+  }
+
+  test("NULL array yields NULL, mismatched lengths use the common prefix") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 0.0f)), Some(Seq(1.0f, 0.0f))),
+      (None, Some(Seq(1.0f, 0.0f)))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("native expression is faster than the HOF fold on repeated evaluation") {
+    // inflate the pair count so per-row interpretation cost dominates
+    val big = emb.crossJoin(emb.limit(40).select(col("embedding").as("q")))
+    def time(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      big.select(c.as("v")).agg(sum("v")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(Similarity.cosine(col("embedding"), col("q"))) // warm
+    val native = time(Similarity.cosine(col("embedding"), col("q")))
+    val hof = time(Similarity.cosineHof(col("embedding"), col("q")))
+    info(f"native=$native%.3fs hof=$hof%.3fs speedup=${hof / native}%.1fx")
+    assert(native < hof, f"native ($native%.3fs) not faster than HOF ($hof%.3fs)")
+  }
+}

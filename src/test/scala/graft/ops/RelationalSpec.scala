@@ -25,4 +25,12 @@ class RelationalSpec extends SparkTestBase {
   test("entry() returns rows (driver t1 smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("approx_count_distinct lands within 5% of exact") {
+    Relational.approxDistinct(spark, sf0001).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx=$approx exact=$exact for ${r.getString(0)}")
+    }
+  }
 }
