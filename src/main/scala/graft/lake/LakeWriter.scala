@@ -57,4 +57,22 @@ object LakeWriter {
     * MSCK REPAIR TABLE, silver :262). */
   def repairTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"MSCK REPAIR TABLE $table")
+
+  /** Bucketed managed table: rows are hash-distributed into
+    * `numBuckets` files per partition on `bucketCols` and sorted
+    * within each bucket. Joins/aggregations between tables bucketed
+    * on the same key skip the shuffle entirely (Exchange-free
+    * sort-merge) — the co-located-join layout for repeated large
+    * joins at scale. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
 }

@@ -571,6 +571,54 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  // -- §2.8 extension: regexp functions -----------------------------
+  def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
+        regexp_extract(col("p_name"), "(\\d+)", 1).as("name_num"), // no digits → ""
+        col("p_name").rlike("^(small|large)").as("sized"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+      .orderBy("p_partkey")
+
+  private val regexpFuncsSql =
+    """SELECT p_partkey,
+      | regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+      | regexp_extract(p_name, '(\d+)', 1) AS name_num,
+      | regexp_matches(p_name, '^(small|large)') AS sized,
+      | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // -- §2.8 extension: math + date arithmetic ------------------------
+  def mathDateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        abs(col("o_totalprice") - lit(150000.0)).as("abs_delta"),
+        signum(col("o_totalprice") - lit(150000.0)).as("sign_delta"),
+        ceil(col("o_totalprice")).cast("long").as("price_ceil"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        round(sqrt(col("o_totalprice")), 8).as("price_sqrt"),
+        round(log(col("o_totalprice")), 8).as("price_ln"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus_30d"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1994-01-01"))).as("days_since"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"))
+      .orderBy("o_orderkey")
+
+  private val mathDateFuncsSql =
+    """SELECT o_orderkey,
+      | abs(o_totalprice - 150000.0) AS abs_delta,
+      | CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS sign_delta,
+      | CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+      | CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      | round(sqrt(o_totalprice), 8) AS price_sqrt,
+      | round(ln(o_totalprice), 8) AS price_ln,
+      | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+      | CAST(date_diff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+      | last_day(CAST(o_orderdate AS DATE)) AS month_end
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -603,5 +651,7 @@ object Relational {
     QDef("q42_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QDef("q43_from_json", fromJson, Some(fromJsonSql)),
     QDef("q44_approx_distinct", approxDistinct, None),
+    QDef("q46_regexp_funcs", regexpFuncs, Some(regexpFuncsSql)),
+    QDef("q47_math_date_funcs", mathDateFuncs, Some(mathDateFuncsSql)),
   )
 }

@@ -119,6 +119,29 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH bucket self-join
+    * (candidates share a (table, bucket)), native-cosine verification
+    * ≥ threshold. The dedup-by-embedding analogue of
+    * TextDedup.nearDuplicates — same O(n·tables) shuffle bound, exact
+    * scoring only on candidates. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val buckets = bucketize(emb, idCol, vecCol)
+      .withColumnRenamed(idCol, "id")
+    val cand = buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol), col(vecCol))
+    cand
+      .join(vecs.withColumnRenamed(idCol, "id_a").withColumnRenamed(vecCol, "va"), "id_a")
+      .join(vecs.withColumnRenamed(idCol, "id_b").withColumnRenamed(vecCol, "vb"), "id_b")
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   // ---- driver-gate queries -----------------------------------------
 
   def vectorNorms(spark: SparkSession, dir: String): DataFrame =
@@ -155,9 +178,23 @@ object Similarity {
     lshTopK(Tables.embeddings(spark, dir), queryIds = Seq(0L, 1L, 2L), k = 10)
       .orderBy(col("query_id").asc, col("cosine").desc, col("vec_id").asc)
 
+  /** Embedding near-dup sweep over a corpus with planted perturbed
+    * copies (deterministic small offsets) — always yields pairs, so
+    * the full bucket→verify path is exercised in the gate. LSH planes
+    * are engine-specific → rows-only; recall unit-tested. */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val planted = emb.select(
+      (col("vec_id") + lit(10000000L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.005f)).as("embedding"))
+    embeddingNearDups(emb.unionByName(planted), 0.98)
+      .orderBy("id_a", "id_b")
+  }
+
   val catalog: Seq[QDef] = Seq(
     QDef("q26_vector_norm", vectorNorms, Some(vectorNormsSql)),
     QDef("q31_ann_cosine_topk", annBruteForce, Some(annBruteForceSql)),
     QDef("q37_ann_lsh_topk", annLsh, None),
+    QDef("q45_embedding_dedup", embeddingDedup, None),
   )
 }

@@ -60,6 +60,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(meanRecall >= 0.8, s"planted-neighbor recall $meanRecall too low")
   }
 
+  test("embedding near-dup finds planted perturbed copies") {
+    import spark.implicits._
+    val planted = emb.select(
+      (col("vec_id") + lit(10000000L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.005f)).as("embedding"))
+    val pairs = Similarity.embeddingNearDups(
+      emb.select("vec_id", "embedding").unionByName(planted), 0.98)
+      .filter(col("id_b") === col("id_a") + 10000000L)
+    val recall = pairs.count().toDouble / emb.count()
+    assert(recall >= 0.9, s"planted perturbed-copy recall $recall < 0.9")
+    // and every surviving pair really is above the cosine threshold
+    pairs.select("cosine").as[Double].collect().foreach(c => assert(c >= 0.98))
+  }
+
   test("LSH candidates rerank uses exact cosine (scores match brute force)") {
     import spark.implicits._
     val lsh = Similarity.lshTopK(emb, Seq(0L), 10)
