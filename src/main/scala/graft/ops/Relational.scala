@@ -619,6 +619,35 @@ object Relational {
       | last_day(CAST(o_orderdate AS DATE)) AS month_end
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // -- §2.3 J2 at full width: 6-way join + agg (TPC-H Q5 shape) -----
+  // The join-order stress test: two small dims broadcast, three big
+  // tables shuffle-join, local-supplier predicate crosses branches.
+  def tpchQ5ish(spark: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  private val tpchQ5ishSql =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -653,5 +682,6 @@ object Relational {
     QDef("q44_approx_distinct", approxDistinct, None),
     QDef("q46_regexp_funcs", regexpFuncs, Some(regexpFuncsSql)),
     QDef("q47_math_date_funcs", mathDateFuncs, Some(mathDateFuncsSql)),
+    QDef("q48_tpch_q5ish", tpchQ5ish, Some(tpchQ5ishSql)),
   )
 }
