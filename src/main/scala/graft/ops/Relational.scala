@@ -648,6 +648,71 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name ASC""".stripMargin
 
+  // -- §2.5 extension: ranking/distribution window functions --------
+  def windowMisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        dense_rank().over(Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderpriority"))).as("dr"),
+        first_value(col("o_orderkey")).over(w).as("first_key"),
+        last_value(col("o_orderkey")).over(wFull).as("last_key"))
+      .orderBy("o_orderkey")
+  }
+
+  private val windowMiscSql =
+    """SELECT o_orderkey, o_orderstatus,
+      | CAST(ntile(4) OVER w AS INT) AS quartile,
+      | round(percent_rank() OVER w, 6) AS pr,
+      | round(cume_dist() OVER w, 6) AS cd,
+      | CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+      |                         ORDER BY o_orderpriority) AS INT) AS dr,
+      | first_value(o_orderkey) OVER w AS first_key,
+      | last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+      |   ORDER BY o_totalprice ASC, o_orderkey ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -- §2.4 extension: exact interpolated percentiles ----------------
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+      .orderBy("l_returnflag")
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      | round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- §2.4 extension: ordered string aggregation --------------------
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy("l_returnflag")
+
+  private val stringAggSql =
+    """SELECT l_returnflag,
+      | string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+      | count(DISTINCT l_linestatus) AS n_statuses
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -683,5 +748,8 @@ object Relational {
     QDef("q46_regexp_funcs", regexpFuncs, Some(regexpFuncsSql)),
     QDef("q47_math_date_funcs", mathDateFuncs, Some(mathDateFuncsSql)),
     QDef("q48_tpch_q5ish", tpchQ5ish, Some(tpchQ5ishSql)),
+    QDef("q49_window_misc", windowMisc, Some(windowMiscSql)),
+    QDef("q50_percentiles", percentiles, Some(percentilesSql)),
+    QDef("q51_string_agg", stringAgg, Some(stringAggSql)),
   )
 }

@@ -1,0 +1,39 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class LakeWriterSpec extends SparkTestBase {
+
+  test("compaction bounds file counts without changing data") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val orders = Tables.orders(spark, sf0001)
+      .withColumn("o_year", year(col("o_orderdate")))
+    // fragment: many small files per partition
+    orders.repartition(16).write.mode("overwrite")
+      .partitionBy("o_year").parquet(base)
+    def filesPerDir: Map[String, Int] =
+      new java.io.File(base).listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    assert(filesPerDir.values.max > 1, "setup should fragment")
+    val before = spark.read.parquet(base).count()
+
+    LakeWriter.compact(spark, base, Seq("o_year"), filesPerPartition = 1)
+    assert(filesPerDir.values.max === 1, s"still fragmented: $filesPerDir")
+    assert(spark.read.parquet(base).count() === before)
+  }
+
+  test("splitByPredicate partitions rows exactly, nulls to the right") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (null, "c"))
+      .toDF("v", "s")
+    val (yes, no) = LakeWriter.splitByPredicate(df, col("v") > 1)
+    assert(yes.count() === 1)
+    assert(no.count() === 2) // v=1 fails, v=null is not-true
+  }
+}
