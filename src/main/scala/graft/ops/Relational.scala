@@ -713,6 +713,59 @@ object Relational {
       | count(DISTINCT l_linestatus) AS n_statuses
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- §2.4 extension: pivot (wide conditional aggregation) ---------
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy("l_returnflag")
+
+  private val pivotAggSql =
+    """SELECT l_returnflag,
+      | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+      | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- §2.4 extension: unpivot (melt back to long form) -------------
+  def unpivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val wide = pivotAgg(spark, dir)
+    wide.unpivot(
+      ids = Array(col("l_returnflag")),
+      values = Array(col("qty_f"), col("qty_o")),
+      variableColumnName = "status_col",
+      valueColumnName = "qty")
+      .orderBy("l_returnflag", "status_col")
+  }
+
+  private val unpivotAggSql =
+    s"""WITH wide AS ($pivotAggSql)
+       |SELECT l_returnflag, 'qty_f' AS status_col, qty_f AS qty FROM wide
+       |UNION ALL
+       |SELECT l_returnflag, 'qty_o', qty_o FROM wide
+       |ORDER BY l_returnflag, status_col""".stripMargin
+
+  // -- §2.3/§2.4: correlated scalar subquery (Catalyst decorrelation)
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_cs")
+    spark.sql(
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders_cs o
+        |WHERE o.o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+        |                        FROM orders_cs o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  private val correlatedSubquerySql =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+      |                        FROM orders o2
+      |                        WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o.o_orderkey""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -751,5 +804,8 @@ object Relational {
     QDef("q49_window_misc", windowMisc, Some(windowMiscSql)),
     QDef("q50_percentiles", percentiles, Some(percentilesSql)),
     QDef("q51_string_agg", stringAgg, Some(stringAggSql)),
+    QDef("q52_pivot", pivotAgg, Some(pivotAggSql)),
+    QDef("q53_unpivot", unpivotAgg, Some(unpivotAggSql)),
+    QDef("q54_correlated_subquery", correlatedSubquery, Some(correlatedSubquerySql)),
   )
 }

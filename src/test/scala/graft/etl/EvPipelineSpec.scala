@@ -65,4 +65,20 @@ class EvPipelineSpec extends SparkTestBase {
       GoldConfig(s"$base/silver", db = db, eventDate = Some(oneDate)))
     assert(n3 === 37) // table still whole; only that partition rewritten
   }
+
+  test("event_date filter prunes silver partitions at the scan") {
+    val base = Files.createTempDirectory("graft-prune").toString
+    EvPipeline.runSilver(spark,
+      SilverConfig(fixture, s"$base/silver", s"$base/quarantine"))
+    val silver = spark.read.parquet(s"$base/silver")
+    val oneDate = silver.select("event_date").head().getDate(0).toString
+    val pruned = GoldFeatures.eventDateFilter(silver, Some(oneDate))
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // partition filter present and the scan reads a single partition
+    assert(scan.partitionFilters.nonEmpty, "no partition filters pushed")
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.values).distinct.size === 1)
+  }
 }

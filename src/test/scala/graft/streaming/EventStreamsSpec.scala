@@ -91,6 +91,36 @@ class EventStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("checkpointed stream resumes across restarts without reprocessing") {
+    val work = Files.createTempDirectory("graft-stream-ckpt")
+    val inDir = Files.createDirectory(work.resolve("in")).toString
+    val ckpt = work.resolve("ckpt").toString
+    val outDir = work.resolve("out").toString
+
+    def runOnce(): Unit = {
+      val q = EventStreams.readEvents(spark, inDir)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), Paths.get(s"$inDir/a.parquet"))
+    runOnce()
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 === Tables.events(spark, sf0001).count())
+
+    // restart with the same checkpoint: the already-seen file must
+    // NOT be reprocessed; a new file must be picked up exactly once
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), Paths.get(s"$inDir/b.parquet"))
+    runOnce()
+    val n2 = spark.read.parquet(outDir).count()
+    assert(n2 === 2 * n1, s"expected exactly-once resume, got $n2 vs ${2 * n1}")
+  }
+
   test("streaming silver CSV pipeline equals the batch pipeline output") {
     val base = Files.createTempDirectory("graft-stream-silver")
     val csvDir = Files.createDirectory(base.resolve("in"))
