@@ -77,4 +77,48 @@ object EvPipeline {
   }
 
   private def silver_col(name: String) = org.apache.spark.sql.functions.col(name)
+
+  /** Quarantine repair-and-remerge (SURVEY.md §2.7: re-merging
+    * repaired quarantine rows is the natural lakehouse flow the
+    * reference leaves manual). `repair` is a caller-provided
+    * transform over the quarantined frame; rows whose rules all pass
+    * after repair are appended into the silver layer (dynamic
+    * overwrite keeps re-runs idempotent), rows still failing stay
+    * quarantined. Returns (remerged, stillBad) counts.
+    */
+  def remergeRepaired(
+      spark: SparkSession,
+      quarantinePath: String,
+      silverPath: String,
+      repair: DataFrame => DataFrame,
+      secondaryPartition: String = "stationId"): (Long, Long) = {
+    val bad = spark.read.parquet(quarantinePath).drop("quarantine_reason")
+    val repaired = SilverClean.withQuarantineReasons(repair(bad))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // materialize BEFORE rewriting the quarantine path we read from
+      repaired.count()
+      val (nowGood, stillBad) = SilverClean.split(repaired)
+      val partCols = Seq("event_date", secondaryPartition)
+      // counts FIRST: the quarantine overwrite below refreshes that
+      // path's cache entries, after which these plans would recompute
+      // against the rewritten files
+      val rescuedCount = nowGood.count()
+      val stillBadCount = stillBad.count()
+      if (rescuedCount > 0) {
+        // append the rescued rows; existing silver partitions for the
+        // same dates are untouched (append mode, hive-style layout)
+        nowGood.write.mode("append").option("compression", "zstd")
+          .partitionBy(partCols: _*).parquet(silverPath)
+      }
+      // FULL (static) overwrite: dynamic mode would leave stale
+      // copies of rescued rows in partitions stillBad doesn't touch
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      try stillBad.write.mode("overwrite").option("compression", "zstd")
+        .partitionBy(partCols: _*).parquet(quarantinePath)
+      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      (rescuedCount, stillBadCount)
+    } finally repaired.unpersist()
+  }
 }

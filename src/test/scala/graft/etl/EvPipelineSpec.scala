@@ -66,6 +66,42 @@ class EvPipelineSpec extends SparkTestBase {
     assert(n3 === 37) // table still whole; only that partition rewritten
   }
 
+  test("quarantine repair-and-remerge rescues fixable rows exactly once") {
+    val base = Files.createTempDirectory("graft-remerge").toString
+    val cfg = SilverConfig(fixture, s"$base/silver", s"$base/quarantine")
+    EvPipeline.runSilver(spark, cfg) // good=37, bad=18
+
+    // repair: resolve unknown ("NA"-sourced NULL) distances to 0.0 —
+    // rescues rows whose ONLY failure was the distance rule
+    val (rescued, stillBad) = EvPipeline.remergeRepaired(
+      spark, s"$base/quarantine", s"$base/silver",
+      repair = df => df.withColumn("distance",
+        coalesce(col("distance"), lit(0.0))))
+    assert(rescued === 10)
+    assert(stillBad === 8)
+    assert(spark.read.parquet(s"$base/silver").count() === 47)
+    assert(spark.read.parquet(s"$base/quarantine").count() === 8)
+    // no duplicates: every sessionId appears once across both layers
+    val ids = spark.read.parquet(s"$base/silver").select("sessionId")
+      .union(spark.read.parquet(s"$base/quarantine").select("sessionId"))
+    assert(ids.count() === 55)
+    assert(ids.distinct().count() === 54) // fixture has one planted dup id
+  }
+
+  test("typed Dataset[EvSession] view round-trips the silver schema") {
+    val base = Files.createTempDirectory("graft-typed").toString
+    EvPipeline.runSilver(spark,
+      SilverConfig(fixture, s"$base/silver", s"$base/quarantine"))
+    val ds = graft.model.EvSession.typed(spark.read.parquet(s"$base/silver"))
+    val sessions = ds.collect()
+    assert(sessions.length === 37)
+    // typed field access: durations positive, costs well-defined
+    sessions.foreach { s =>
+      assert(s.ended.getTime >= s.created.getTime)
+      assert(s.kwhTotal.exists(_ > 0))
+    }
+  }
+
   test("event_date filter prunes silver partitions at the scan") {
     val base = Files.createTempDirectory("graft-prune").toString
     EvPipeline.runSilver(spark,
