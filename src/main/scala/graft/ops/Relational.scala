@@ -766,6 +766,84 @@ object Relational {
       |                        WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o.o_orderkey""".stripMargin
 
+  // -- §2.8 extension: null-handling semantics ----------------------
+  // Built over the as-of join output (the only gate frame with
+  // genuine NULLs in a non-trivial column).
+  def nullFuncs(spark: SparkSession, dir: String): DataFrame =
+    asofJoin(spark, dir)
+      .select(
+        col("event_id"),
+        col("last_signup_ts").isNull.as("no_signup"),
+        coalesce(col("last_signup_ts"), col("purchase_ts")).as("effective_ts"),
+        col("last_signup_ts").eqNullSafe(col("purchase_ts")).as("same_instant"),
+        when(col("last_signup_ts") === col("purchase_ts"), lit("same"))
+          .otherwise(lit("other")).as("cmp_with_null"),
+        nullif(col("purchase_ts"), col("last_signup_ts")).as("masked_ts"))
+      .orderBy("event_id")
+
+  private val nullFuncsSql =
+    s"""WITH asof_res AS ($asofJoinSql)
+       |SELECT event_id,
+       | last_signup_ts IS NULL AS no_signup,
+       | coalesce(last_signup_ts, purchase_ts) AS effective_ts,
+       | last_signup_ts IS NOT DISTINCT FROM purchase_ts AS same_instant,
+       | CASE WHEN last_signup_ts = purchase_ts THEN 'same' ELSE 'other' END AS cmp_with_null,
+       | nullif(purchase_ts, last_signup_ts) AS masked_ts
+       |FROM asof_res ORDER BY event_id""".stripMargin
+
+  // -- §2.8 extension: array functions over token arrays ------------
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        concat_ws("|", slice(col("toks"), 1, 3)).as("head3"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        array_position(col("toks"), "data").cast("long").as("data_pos"))
+      .orderBy("doc_id")
+
+  private val arrayFuncsSql =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      | CAST(len(toks) AS INT) AS n_toks,
+      | list_contains(toks, 'spark') AS has_spark,
+      | toks[1] AS first_tok,
+      | toks[-1] AS last_tok,
+      | array_to_string(toks[1:3], '|') AS head3,
+      | CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+      | CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // -- §2.4 extension: profiling statistics (the describe() surface)
+  def summaryStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("l_quantity")), 6).as("qty_mean"),
+        round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+        round(var_samp(col("l_quantity")), 6).as("qty_var"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        round(avg(col("l_extendedprice")), 4).as("price_mean"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+        round(skewness(col("l_quantity")), 4).as("qty_skew"))
+
+  private val summaryStatsSql =
+    """SELECT count(*) AS n,
+      | round(avg(l_quantity), 6) AS qty_mean,
+      | round(stddev_samp(l_quantity), 6) AS qty_stddev,
+      | round(var_samp(l_quantity), 6) AS qty_var,
+      | min(l_quantity) AS qty_min,
+      | max(l_quantity) AS qty_max,
+      | round(avg(l_extendedprice), 4) AS price_mean,
+      | round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+      | round(skewness(l_quantity), 4) AS qty_skew
+      |FROM lineitem""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -807,5 +885,8 @@ object Relational {
     QDef("q52_pivot", pivotAgg, Some(pivotAggSql)),
     QDef("q53_unpivot", unpivotAgg, Some(unpivotAggSql)),
     QDef("q54_correlated_subquery", correlatedSubquery, Some(correlatedSubquerySql)),
+    QDef("q55_null_funcs", nullFuncs, Some(nullFuncsSql)),
+    QDef("q56_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
+    QDef("q57_summary_stats", summaryStats, Some(summaryStatsSql)),
   )
 }
