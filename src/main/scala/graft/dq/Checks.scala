@@ -65,6 +65,12 @@ object Constraints {
 
   def satisfies(predicate: Column, name: String): Constraint =
     Constraint(s"Compliance($name)", Some(fraction(predicate)), None, _ == 1.0)
+
+  /** Fraction of non-null values matching an anchored regex; NULLs
+    * are non-compliant (a pattern check implies presence). */
+  def hasPattern(c: String, regex: String,
+      assertion: Double => Boolean = _ == 1.0): Constraint =
+    Constraint(s"Pattern($c)", Some(fraction(col(c).rlike(regex))), None, assertion)
 }
 
 final case class Check(
@@ -76,6 +82,7 @@ final case class Check(
   def isContainedIn(c: String, domain: Seq[String]): Check = add(Constraints.isContainedIn(c, domain))
   def isUnique(c: String): Check = add(Constraints.isUnique(c))
   def satisfies(predicate: Column, name: String): Check = add(Constraints.satisfies(predicate, name))
+  def hasPattern(c: String, regex: String): Check = add(Constraints.hasPattern(c, regex))
   def add(c: Constraint): Check = copy(constraints = constraints :+ c)
 }
 

@@ -41,17 +41,6 @@ object TextDedup {
 
   def tokensOf(text: Column): Column = split(lower(text), " ")
 
-  /** n-word shingles; documents shorter than n collapse to a single
-    * whole-document shingle. */
-  def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
-
-  def shingleHashes(sh: Column): Column =
-    array_distinct(transform(sh, s => xxhash64(s)))
-
   // ---- MinHash + LSH ------------------------------------------------
 
   /** Mersenne prime modulus keeps (a·x + b) in long range. */

@@ -38,4 +38,33 @@ class ChecksSpec extends SparkTestBase {
     val vr = VerificationSuite.run(silver, Seq(check))
     assert(vr.status === "Warning")
   }
+
+  test("hasPattern counts anchored regex compliance, nulls failing") {
+    val check = Check(CheckLevel.Error, "pat")
+      .hasPattern("sessionId", "^[0-9]+$")   // all-numeric ids
+      .hasPattern("platform", "^(android|ios|web)$")
+    val vr = VerificationSuite.run(silver, Seq(check))
+    val m = vr.checkResults.head.results.map(r => r.constraint -> r.metric).toMap
+    assert(m("Pattern(sessionId)") === 1.0)
+    assert(m("Pattern(platform)") === 1.0)
+  }
+
+  test("metrics repository records runs and flags drift") {
+    val path = java.nio.file.Files.createTempDirectory("graft-dqrepo").toString + "/metrics"
+    val vr1 = VerificationSuite.run(silver, Seq(SilverClean.silverCheck))
+    MetricsRepository.append(spark, path, "2026-08-01", vr1)
+
+    // second run over a corrupted slice: userId completeness collapses
+    val corrupted = silver.withColumn("userId",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.rand(7) < 0.5, silver("userId")))
+    val vr2 = VerificationSuite.run(corrupted, Seq(SilverClean.silverCheck))
+    MetricsRepository.append(spark, path, "2026-08-02", vr2)
+
+    val drift = MetricsRepository.driftFrom(spark, path, "2026-08-02", tolerance = 0.1)
+    assert(drift.exists(_.constraint == "Completeness(userId)"),
+      s"expected userId completeness drift, got $drift")
+    // first run has no predecessor → no drift
+    assert(MetricsRepository.driftFrom(spark, path, "2026-08-01", 0.1).isEmpty)
+  }
 }
