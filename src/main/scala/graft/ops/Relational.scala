@@ -844,6 +844,17 @@ object Relational {
       | round(skewness(l_quantity), 4) AS qty_skew
       |FROM lineitem""".stripMargin
 
+  // -- §2.1 extension: custom DataSource V2 scan ---------------------
+  // Generator-table read through graft.sources.SyntheticDocsSource
+  // (column pruning verified in its spec); rows-only in the gate —
+  // the generator is engine-side by definition.
+  def syntheticSourceScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-docs")
+      .option("rows", 10000).option("partitions", 16).load()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -888,5 +899,6 @@ object Relational {
     QDef("q55_null_funcs", nullFuncs, Some(nullFuncsSql)),
     QDef("q56_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     QDef("q57_summary_stats", summaryStats, Some(summaryStatsSql)),
+    QDef("q58_synthetic_source", syntheticSourceScan, None),
   )
 }
