@@ -245,6 +245,22 @@ object Relational {
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // -- §2.3 J5: the SAME as-of semantics through the native custom
+  // operator (graft.plans.AsOfJoinExec) — checked against the SAME
+  // DuckDB ASOF JOIN oracle as q10, so the custom physical operator
+  // is verified end-to-end by the gate, not just unit tests.
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("last_signup_ts")).distinct()
+    graft.plans.AsOf.join(purchases, signups,
+        "user_id", "s_user_id", "purchase_ts", "last_signup_ts")
+      .select("event_id", "user_id", "purchase_ts", "last_signup_ts")
+      .orderBy("event_id")
+  }
+
   // -- §2.4 A8: rollup ----------------------------------------------
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -900,5 +916,6 @@ object Relational {
     QDef("q56_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     QDef("q57_summary_stats", summaryStats, Some(summaryStatsSql)),
     QDef("q58_synthetic_source", syntheticSourceScan, None),
+    QDef("q59_asof_join_native", asofJoinNative, Some(asofJoinSql)),
   )
 }
