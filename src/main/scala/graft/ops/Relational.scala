@@ -871,6 +871,23 @@ object Relational {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("lang")
 
+  // -- §2.10 generator: positional explode (ordinality) -------------
+  def posExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("token_pos"), col("col").as("token"))
+      .orderBy("doc_id", "token_pos")
+
+  // (DuckDB 1.0 has no WITH ORDINALITY — lateral generate_series
+  // over the token list length provides the position)
+  private val posExplodeSql =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |           FROM documents WHERE doc_id < 100)
+      |SELECT doc_id, CAST(s.i AS INT) AS token_pos, toks[s.i] AS token
+      |FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+      |ORDER BY doc_id, token_pos""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -917,5 +934,6 @@ object Relational {
     QDef("q57_summary_stats", summaryStats, Some(summaryStatsSql)),
     QDef("q58_synthetic_source", syntheticSourceScan, None),
     QDef("q59_asof_join_native", asofJoinNative, Some(asofJoinSql)),
+    QDef("q60_posexplode", posExplode, Some(posExplodeSql)),
   )
 }
