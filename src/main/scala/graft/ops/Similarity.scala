@@ -51,31 +51,50 @@ object Similarity {
   val bitsPerTable = 8
   val dim = 64
 
-  /** Deterministic hyperplanes (fixed seed), one literal per (table,
-    * bit). Literals fold into the plan — nothing is shipped at
-    * runtime beyond the generated code. */
-  private val planes: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+  /** Deterministic hyperplanes (fixed seed), flat array for the
+    * tight loop: plane (t, j) occupies
+    * [(t*bitsPerTable + j) * dim, …+dim). */
+  private val planesFlat: Array[Double] = {
     val rng = new scala.util.Random(7)
-    IndexedSeq.fill(numTables)(IndexedSeq.fill(bitsPerTable)(Seq.fill(dim)(rng.nextGaussian())))
+    Array.fill(numTables * bitsPerTable * dim)(rng.nextGaussian())
   }
 
-  private def dotPlane(emb: Column, plane: Seq[Double]): Column =
-    aggregate(zip_with(emb, typedlit(plane), (x, p) => x.cast("double") * p),
-      lit(0.0), (acc, v) => acc + v)
+  /** All table buckets of one vector — tight loop on purpose (the
+    * HOF-expression formulation of 32 plane dot products per row is
+    * CodegenFallback/interpreted; same rationale as the minhash
+    * signature, see TextDedup). */
+  def bucketsOf(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long](numTables)
+    val n = math.min(v.length, dim)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        val base = (t * bitsPerTable + j) * dim
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += v(i) * planesFlat(base + i); i += 1 }
+        if (d > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
 
-  /** Sign-pattern bucket id of one table. */
-  def bucketFor(emb: Column, table: Int): Column =
-    (0 until bitsPerTable).map { j =>
-      when(dotPlane(emb, planes(table)(j)) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** (id, table, bucket) — one row per table per vector. */
+  /** (id, tbl, bucket) — one row per table per vector, computed in a
+    * typed per-partition pass (no shuffle until the consuming join). */
   def bucketize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val buckets = array((0 until numTables).map { t =>
-      struct(lit(t).as("tbl"), bucketFor(col(vecCol), t).as("bucket"))
-    }: _*)
-    emb.select(col(idCol), explode(buckets).as("b"))
-      .select(col(idCol), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        bucketsOf(v).iterator.zipWithIndex.map { case (b, t) => (id, t, b) }
+      }
+      .toDF(idCol, "tbl", "bucket")
   }
 
   // ---- brute force --------------------------------------------------
