@@ -149,6 +149,49 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd polynomial rolling hash over a string's UTF-16 units:
+  * fold (acc * base + charCode) % mod. Matches the HOF formulation
+  * (`aggregate` over `split(text, "")` + `ascii`) for all
+  * basic-multilingual-plane text, without the per-character array
+  * materialization and interpreted fold.
+  */
+case class RollingHash(child: Expression, base: Long, mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc = (acc * base + s.charAt(i)) % mod; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * ${base}L + $s.charAt($i)) % ${mod}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column API for the native expressions. */
@@ -159,6 +202,9 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def rolling_hash(c: Column, base: Long = 131L, mod: Long = 1000000007L): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c), base, mod))
 
   /** SQL registration: SELECT cosine_similarity(a, b) ... */
   def register(spark: SparkSession): Unit = {

@@ -67,13 +67,19 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
-  /** 31-base polynomial rolling hash over characters, mod 1e9+7 —
+  /** 131-base polynomial rolling hash over characters, mod 1e9+7 —
     * kept below 2^63 at every step so it's ANSI-overflow-safe and
-    * reproducible in any engine with a fold primitive. */
-  def rollingHash(text: Column): Column = {
+    * reproducible in any engine with a fold primitive. HOF reference
+    * formulation, used to cross-check the codegen'd expression. */
+  def rollingHashHof(text: Column): Column = {
     val codes = transform(split(text, ""), ch => ascii(ch).cast("long"))
     aggregate(codes, lit(0L), (acc, c) => (acc * lit(131L) + c) % lit(1000000007L))
   }
+
+  /** Native codegen'd rolling hash (graft.functions.RollingHash) —
+    * identical values on BMP text, single fused loop per row. */
+  def rollingHash(text: Column): Column =
+    graft.functions.VectorFunctions.rolling_hash(text)
 
   // ---- driver-gate queries -----------------------------------------
 

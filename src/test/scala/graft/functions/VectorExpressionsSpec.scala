@@ -66,6 +66,22 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(out(1).isNullAt(0))
   }
 
+  test("native rolling hash matches the HOF character fold") {
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val both = docs.select(
+      TextAnalysis.rollingHash(col("text")).as("native"),
+      TextAnalysis.rollingHashHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // empty and unicode-BMP strings agree too
+    import spark.implicits._
+    val edge = Seq("", "a", "héllo wörld", "日本語テキスト").toDF("s")
+    val e = edge.select(
+      TextAnalysis.rollingHash(col("s")).as("native"),
+      TextAnalysis.rollingHashHof(col("s")).as("hof"))
+    assert(e.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("native expression is faster than the HOF fold on repeated evaluation") {
     // inflate the pair count so per-row interpretation cost dominates
     val big = emb.crossJoin(emb.limit(40).select(col("embedding").as("q")))
