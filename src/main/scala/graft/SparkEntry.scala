@@ -18,7 +18,7 @@ object SparkEntry {
   private[graft] def allDefs: Seq[QDef] =
     Relational.catalog ++ EvQueries.catalog ++
       TextDedup.catalog ++ TextAnalysis.catalog ++ Similarity.catalog ++
-      graft.multimodal.Media.catalog
+      graft.ops.Ivf.catalog ++ graft.multimodal.Media.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** IVF (inverted-file) approximate nearest neighbor — the
+  * cluster-structure complement to the hyperplane LSH in Similarity:
+  *
+  *  1. train a k-means coarse quantizer on a BOUNDED sample
+  *     (driver-side Lloyd iterations over ≤ `sampleSize` vectors —
+  *     the standard IVF recipe; the corpus itself is never
+  *     collected);
+  *  2. assign every vector to its nearest centroid in one typed
+  *     per-partition pass (centroids broadcast with the closure);
+  *  3. search probes the `nProbe` centroids nearest each query and
+  *     exact-reranks only vectors in those cells.
+  *
+  * Shuffle volume is O(n) for the assignment and O(candidates) for
+  * the rerank — never all-pairs. Training is deterministic (seeded
+  * init, fixed iteration count).
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def nearest(v: Array[Float]): Int = nearestOf(v, centroids.length)._1
+    def nearestN(v: Array[Float], n: Int): Seq[Int] = {
+      val d = centroids.indices.map(i => i -> dist2(v, centroids(i)))
+      d.sortBy(_._2).take(n).map(_._1)
+    }
+    private def nearestOf(v: Array[Float], k: Int): (Int, Double) = {
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < centroids.length) {
+        val d = dist2(v, centroids(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      (best, bestD)
+    }
+    private def dist2(v: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+  }
+
+  /** Deterministic Lloyd's k-means on a bounded, deterministically
+    * chosen sample (first `sampleSize` ids). */
+  def train(emb: DataFrame, k: Int, iters: Int = 10, sampleSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = emb
+      .orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    // seeded init: evenly strided sample points
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k)
+      .map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      val m = Model(centroids)
+      sample.foreach { v =>
+        val c = m.nearest(v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    Model(centroids)
+  }
+
+  /** (id, cluster) assignment — one typed pass, centroids ride the
+    * closure (broadcast by the task serializer). */
+  def assign(emb: DataFrame, model: Model,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, model.nearest(v)) })
+      .toDF(idCol, "cluster")
+  }
+
+  /** Approximate top-k for stored query ids: probe nProbe cells,
+    * exact-cosine rerank candidates only. */
+  def search(emb: DataFrame, model: Model, queryIds: Seq[Long], k: Int,
+      nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assigned = assign(emb, model, idCol, vecCol)
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = queries.select(col("query_id"), col("qv"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) => model.nearestN(qv, nProbe).map(c => (qid, c)) }
+      .toDF("query_id", "cluster")
+    val candidates = assigned.join(broadcast(probes), "cluster")
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    candidates
+      .join(emb.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(Similarity.cosine(col(vecCol), col("qv")), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Gate query (rows-only: trained quantizer is engine-side):
+    * IVF top-10 for three stored queries. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = train(emb, k = 16, iters = 5, sampleSize = 500)
+    search(emb, model, Seq(0L, 1L, 2L), k = 10)
+      .orderBy(col("query_id").asc, col("cosine").desc, col("vec_id").asc)
+  }
+
+  val catalog: Seq[QDef] = Seq(
+    QDef("q62_ann_ivf", annIvf, None),
+  )
+}

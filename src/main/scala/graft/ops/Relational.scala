@@ -888,6 +888,27 @@ object Relational {
       |FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
       |ORDER BY doc_id, token_pos""".stripMargin
 
+  // -- §2.3/§2.4: outer-join histogram (TPC-H Q13 shape) ------------
+  // Distribution of customers by order count, including zero-order
+  // customers — the left-outer + double-aggregation pattern.
+  def custOrderHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    counts.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val custOrderHistogramSql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -935,5 +956,6 @@ object Relational {
     QDef("q58_synthetic_source", syntheticSourceScan, None),
     QDef("q59_asof_join_native", asofJoinNative, Some(asofJoinSql)),
     QDef("q60_posexplode", posExplode, Some(posExplodeSql)),
+    QDef("q61_cust_order_histogram", custOrderHistogram, Some(custOrderHistogramSql)),
   )
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class IvfSpec extends SparkTestBase {
+
+  lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("training is deterministic and assignment covers every vector") {
+    val m1 = Ivf.train(emb, k = 8, iters = 5, sampleSize = 500)
+    val m2 = Ivf.train(emb, k = 8, iters = 5, sampleSize = 500)
+    m1.centroids.zip(m2.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    val assigned = Ivf.assign(emb, m1)
+    assert(assigned.count() === emb.count())
+    assert(assigned.filter(col("cluster") < 0 || col("cluster") >= 8).count() === 0)
+  }
+
+  test("IVF search finds planted near-neighbors") {
+    import spark.implicits._
+    val queries = Seq(0L, 1L, 2L)
+    val planted = (1 to 5).map { i =>
+      emb.filter(col("vec_id").isin(queries: _*))
+        .select((col("vec_id") + lit(1000L * i)).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.01f * i)).as("embedding"),
+          col("label"))
+    }.reduce(_ unionByName _)
+    val corpus = emb.unionByName(planted)
+    val model = Ivf.train(corpus, k = 16, iters = 5, sampleSize = 600)
+    val got = Vf(corpus, model, queries)
+    val recalls = queries.map { q =>
+      val want = (1 to 5).map(i => q + 1000L * i).toSet
+      want.intersect(got.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"planted-neighbor IVF recall $mean too low")
+  }
+
+  private def Vf(corpus: org.apache.spark.sql.DataFrame, model: Ivf.Model,
+      queries: Seq[Long]): Map[Long, Set[Long]] = {
+    import spark.implicits._
+    Ivf.search(corpus, model, queries, k = 10, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  test("rerank scores are exact cosines") {
+    import spark.implicits._
+    val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)
+    val ivf = Ivf.search(emb, model, Seq(0L), k = 5)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    val exact = Similarity.bruteForceTopK(emb, 0L, 499)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    ivf.foreach { case (id, c) => assert(math.abs(c - exact(id)) < 1e-9) }
+  }
+}
