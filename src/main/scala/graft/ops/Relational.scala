@@ -909,6 +909,47 @@ object Relational {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // -- correlated equality subquery (each customer's cheapest order)
+  def correlatedMin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_cm")
+    spark.sql(
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders_cm o
+        |WHERE o.o_totalprice = (SELECT min(o2.o_totalprice) FROM orders_cm o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  private val correlatedMinSql =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
+      |                        WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // -- TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS ------
+  def richIdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_q22")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q22")
+    spark.sql(
+      """SELECT c_custkey, c_acctbal
+        |FROM customer_q22 c
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6)
+        |                   FROM customer_q22 WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_q22
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val richIdleCustomersSql =
+    """SELECT c_custkey, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6)
+      |                   FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -957,5 +998,7 @@ object Relational {
     QDef("q59_asof_join_native", asofJoinNative, Some(asofJoinSql)),
     QDef("q60_posexplode", posExplode, Some(posExplodeSql)),
     QDef("q61_cust_order_histogram", custOrderHistogram, Some(custOrderHistogramSql)),
+    QDef("q63_correlated_min", correlatedMin, Some(correlatedMinSql)),
+    QDef("q64_rich_idle_customers", richIdleCustomers, Some(richIdleCustomersSql)),
   )
 }

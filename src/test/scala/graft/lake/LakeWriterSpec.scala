@@ -28,6 +28,23 @@ class LakeWriterSpec extends SparkTestBase {
     assert(spark.read.parquet(base).count() === before)
   }
 
+  test("schema evolution: mergeSchema surfaces late-added columns") {
+    val base = Files.createTempDirectory("graft-evolve").toString
+    val v1 = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    v1.write.mode("overwrite").parquet(base)
+    // a later writer adds a column
+    val v2 = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey") + 1000000L, col("o_totalprice"), col("o_orderstatus"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    v2.write.mode("append").parquet(base)
+
+    val merged = spark.read.option("mergeSchema", true).parquet(base)
+    assert(merged.columns.toSet === Set("o_orderkey", "o_totalprice", "o_orderstatus"))
+    assert(merged.count() === v1.count() * 2)
+    // old files read the new column as NULL
+    assert(merged.filter(col("o_orderstatus").isNull).count() === v1.count())
+  }
+
   test("splitByPredicate partitions rows exactly, nulls to the right") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (null, "c"))
