@@ -231,6 +231,25 @@ object EvQueries {
        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
        |FROM marked WHERE NOT is_bad GROUP BY platform ORDER BY platform""".stripMargin
 
+  /** Gold fact through the snapshot-table layer: commit all clean
+    * rows, then reprocess one partition via overwritePartitions, and
+    * report row counts per readable version — exercising versioned
+    * commits + time travel end-to-end in the gate (rows-only: paths
+    * and manifests are engine-side). */
+  def snapshotVersions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-snap-gate").toString + "/fact"
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+    graft.lake.SnapshotTable.append(gold, path, Seq("event_date"))
+    val oneDate = gold.select(min(col("event_date"))).head().getDate(0)
+    graft.lake.SnapshotTable.overwritePartitions(
+      gold.filter(col("event_date") === oneDate), path, Seq("event_date"))
+    graft.lake.SnapshotTable.versions(spark, path).map { v =>
+      (v, graft.lake.SnapshotTable.read(spark, path, Some(v)).count())
+    }.toDF("version", "n_rows").orderBy("version")
+  }
+
   private val stationUtilizationSql =
     s"""$prefix,
        |hrs AS (
@@ -252,5 +271,6 @@ object EvQueries {
     QDef("ev05_peak_hour_per_station", peakHourPerStation, Some(peakHourSql)),
     QDef("ev06_platform_share", platformShare, Some(platformShareSql)),
     QDef("ev07_station_utilization", stationUtilization, Some(stationUtilizationSql)),
+    QDef("ev08_snapshot_versions", snapshotVersions, None),
   )
 }
