@@ -950,6 +950,39 @@ object Relational {
       |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
       |ORDER BY c_custkey""".stripMargin
 
+  // -- TPC-H Q7 shape: two-branch nation join + yearly volume -------
+  def nationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("s_nk") < 5 && col("c_nk") < 5 && col("s_nk") =!= col("c_nk"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val nationVolumeSql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS INT) AS l_year,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+      |  AND n1.n_nationkey <> n2.n_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -1000,5 +1033,6 @@ object Relational {
     QDef("q61_cust_order_histogram", custOrderHistogram, Some(custOrderHistogramSql)),
     QDef("q63_correlated_min", correlatedMin, Some(correlatedMinSql)),
     QDef("q64_rich_idle_customers", richIdleCustomers, Some(richIdleCustomersSql)),
+    QDef("q65_nation_volume", nationVolume, Some(nationVolumeSql)),
   )
 }
