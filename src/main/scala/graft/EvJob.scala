@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.{EvPipeline, GoldConfig, SilverConfig}
+
+/** Runnable EV pipeline entry point — the spark-submit-shaped
+  * equivalent of the reference's two Glue jobs (a user of the
+  * reference invokes this instead of jobs/ev_sessions_*.py):
+  *
+  *   sbt "runMain graft.EvJob silver <inputCsv> <silverPath> <quarantinePath> [failMode]"
+  *   sbt "runMain graft.EvJob gold <silverPath> [db] [table] [eventDate]"
+  *   sbt "runMain graft.EvJob all <inputCsv> <outBase>"
+  */
+object EvJob {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: EvJob silver|gold|all ...")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-ev-${args(0)}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.files.ignoreEmptyFiles", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      args(0) match {
+        case "silver" =>
+          val r = EvPipeline.runSilver(spark, SilverConfig(
+            inputCsv = args(1), silverPath = args(2), quarantinePath = args(3),
+            failMode = if (args.length > 4) args(4) else "quarantine"))
+          println(s"[silver] good=${r.goodCount} quarantined=${r.badCount} dq=${r.dqStatus}")
+        case "gold" =>
+          val n = EvPipeline.runGold(spark, GoldConfig(
+            silverPath = args(1),
+            db = if (args.length > 2) args(2) else "ev_sessions_gold",
+            table = if (args.length > 3) args(3) else "fact_ev_session",
+            eventDate = if (args.length > 4) Some(args(4)) else None))
+          println(s"[gold] fact rows=$n")
+        case "all" =>
+          val base = args(2)
+          val r = EvPipeline.runSilver(spark, SilverConfig(
+            args(1), s"$base/silver", s"$base/quarantine"))
+          println(s"[silver] good=${r.goodCount} quarantined=${r.badCount} dq=${r.dqStatus}")
+          val n = EvPipeline.runGold(spark, GoldConfig(s"$base/silver"))
+          println(s"[gold] fact rows=$n")
+        case other => throw new IllegalArgumentException(s"unknown job: $other")
+      }
+    } finally spark.stop()
+  }
+}

@@ -108,6 +108,24 @@ object SnapshotTable {
       prev => prev.filterNot(e => touched.exists(t => e.filePath.contains(s"/$t/"))))
   }
 
+  /** Expire history: keep only the latest `keepVersions` manifests
+    * and delete data files no kept manifest references. Time travel
+    * to expired versions is gone afterwards (by design — this is the
+    * storage-reclamation half of the snapshot contract). */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "must keep at least one version")
+    val f = fs(spark, path)
+    val all = versions(spark, path)
+    val (expired, kept) = all.splitAt(math.max(0, all.size - keepVersions))
+    if (expired.isEmpty) return
+    val live: Set[String] =
+      kept.flatMap(readManifest(spark, path, _)).map(_.filePath).toSet
+    val dead = expired.flatMap(readManifest(spark, path, _))
+      .map(_.filePath).toSet -- live
+    dead.foreach(p => f.delete(new Path(p), false))
+    expired.foreach(v => f.delete(new Path(s"${logDir(path)}/v$v"), true))
+  }
+
   /** Read the table at `version` (default: latest). Per-commit
     * basePath reads keep hive partition columns visible. */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {

@@ -179,6 +179,32 @@ object TextDedup {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs via byte banding: two 64-bit hashes
+    * within Hamming distance ≤ 8·(1 - matchingBands/8) must share at
+    * least one of the 8 byte-bands (pigeonhole), so a band equi-join
+    * generates candidates — same bucket-first shuffle bound as the
+    * MinHash path, here over Hamming space — and bit_count verifies.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhashes(docs, idCol, textCol)
+    val banded = sh.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- driver-gate queries -----------------------------------------
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =

@@ -43,6 +43,24 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(v1.filter(col("event_date") === "2024-01-01").count() === 5)
   }
 
+  test("vacuum reclaims expired versions but keeps live data intact") {
+    val path = Files.createTempDirectory("graft-snap4").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), path, Seq("event_date"))
+    SnapshotTable.overwritePartitions(
+      mkRows("b", Seq("2024-01-01")), path, Seq("event_date"))
+    val beforeRows = SnapshotTable.read(spark, path).count()
+
+    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    assert(SnapshotTable.versions(spark, path) === Seq(2L))
+    assert(SnapshotTable.read(spark, path).count() === beforeRows)
+    // expired version is no longer readable
+    assertThrows[Exception](SnapshotTable.read(spark, path, Some(1L)).count())
+    // the replaced partition's original files are physically gone,
+    // but files still referenced by the kept manifest survive
+    assert(SnapshotTable.read(spark, path)
+      .filter(col("event_date") === "2024-01-02").count() === 5)
+  }
+
   test("partition columns stay readable and idempotent re-run replaces cleanly") {
     val path = Files.createTempDirectory("graft-snap3").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))

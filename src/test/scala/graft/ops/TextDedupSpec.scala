@@ -63,6 +63,21 @@ class TextDedupSpec extends SparkTestBase {
     assert(unrelated > avgHd)
   }
 
+  test("simhash banding finds near-dup twins and excludes unrelated docs") {
+    import spark.implicits._
+    val toks = TextDedup.tokensOf(col("text"))
+    val mutated = docs.select(
+      (col("doc_id") + 500000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), size(toks) - lit(1))).as("text"))
+    val corpus = docs.unionByName(mutated)
+    val pairs = TextDedup.simhashNearDups(corpus, maxHamming = 10)
+    val planted = pairs.filter(col("id_b") === col("id_a") + 500000L)
+    val recall = planted.count().toDouble / docs.count()
+    assert(recall >= 0.8, s"simhash twin recall $recall < 0.8")
+    // every reported pair is genuinely close in Hamming space
+    pairs.select("hamming").as[Int].collect().foreach(h => assert(h <= 10))
+  }
+
   test("simhash is deterministic") {
     val a = TextDedup.simhash64(Seq("spark", "join", "merge"))
     val b = TextDedup.simhash64(Seq("spark", "join", "merge"))
