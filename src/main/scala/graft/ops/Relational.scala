@@ -983,6 +983,44 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  // -- §2.8: calendar part extraction + aggregation -----------------
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        quarter(col("o_orderdate")).as("qtr"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        dayofyear(col("o_orderdate")).as("doy"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("qtr", "iso_week", "doy")
+
+  private val datePartsSql =
+    """SELECT CAST(quarter(o_orderdate) AS INT) AS qtr,
+      | CAST(week(o_orderdate) AS INT) AS iso_week,
+      | CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      | count(*) AS n_orders
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY qtr, iso_week, doy""".stripMargin
+
+  // -- §2.8: padding / trimming --------------------------------------
+  def padTrim(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .select(
+        col("s_suppkey"),
+        lpad(col("s_suppkey").cast("string"), 8, "0").as("padded_key"),
+        rpad(col("s_name"), 20, ".").as("padded_name"),
+        trim(concat(lit("  "), col("s_name"), lit("  "))).as("trimmed"),
+        ltrim(lit("  x-marker")).as("ltrim_const"),
+        length(rtrim(col("s_name"))).as("rtrim_len"))
+      .orderBy("s_suppkey")
+
+  private val padTrimSql =
+    """SELECT s_suppkey,
+      | lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded_key,
+      | rpad(s_name, 20, '.') AS padded_name,
+      | trim('  ' || s_name || '  ') AS trimmed,
+      | ltrim('  x-marker') AS ltrim_const,
+      | CAST(length(rtrim(s_name)) AS INT) AS rtrim_len
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -1034,5 +1072,7 @@ object Relational {
     QDef("q63_correlated_min", correlatedMin, Some(correlatedMinSql)),
     QDef("q64_rich_idle_customers", richIdleCustomers, Some(richIdleCustomersSql)),
     QDef("q65_nation_volume", nationVolume, Some(nationVolumeSql)),
+    QDef("q66_date_parts", dateParts, Some(datePartsSql)),
+    QDef("q67_pad_trim", padTrim, Some(padTrimSql)),
   )
 }
