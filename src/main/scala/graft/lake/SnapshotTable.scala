@@ -78,7 +78,10 @@ object SnapshotTable {
       carryOver: Seq[Entry] => Seq[Entry]): Long = {
     val spark = df.sparkSession
     val version = latestVersion(spark, path).getOrElse(0L) + 1
-    val commitDir = s"$path/data/c$version"
+    // unique suffix: a crashed attempt (data written, manifest rename
+    // failed) must never block the retry — its orphan dir is simply
+    // never referenced by any manifest
+    val commitDir = s"$path/data/c$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val w = df.write.mode("errorifexists").option("compression", "zstd")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(commitDir)
     val added = listParquet(fs(spark, path), new Path(commitDir))
