@@ -35,10 +35,21 @@ object GoldFeatures {
   def eventDateFilter(df: DataFrame, eventDate: Option[String]): DataFrame =
     eventDate.filter(_.nonEmpty).fold(df)(d => df.filter(col("event_date") === to_date(lit(d))))
 
-  /** Fact-table DDL (:128-150), session-catalog managed parquet
-    * partitioned by event_date. */
+  /** Fact-table DDL (:128-150), parquet partitioned by event_date.
+    * The location is explicit and partitions are recovered after
+    * (re-)registration: a fresh session's in-memory catalog forgets
+    * the table while its warehouse directory persists, and a plain
+    * managed CREATE would then fail with LOCATION_ALREADY_EXISTS —
+    * the explicit-LOCATION + MSCK shape is idempotent across
+    * sessions, matching the reference's re-runnable Glue jobs. */
   def createFactTable(spark: SparkSession, db: String, table: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = s"${warehouse.stripSuffix("/")}/$db.db/$table"
+    // MSCK needs the location to exist (first create on a fresh
+    // warehouse would otherwise FileNotFound)
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS `$db`.`$table` (
          |  sessionId STRING, userId STRING, stationId STRING, locationId STRING,
@@ -48,6 +59,8 @@ object GoldFeatures {
          |  session_duration_minutes DOUBLE, avg_cost_per_kwh DOUBLE,
          |  event_date DATE
          |) USING parquet
-         |PARTITIONED BY (event_date)""".stripMargin)
+         |PARTITIONED BY (event_date)
+         |LOCATION '$loc'""".stripMargin)
+    spark.sql(s"MSCK REPAIR TABLE `$db`.`$table`")
   }
 }
