@@ -36,15 +36,25 @@ object Bench {
       exec(graft.ops.Relational.tpchQ1)
     } catch { case _: Throwable => () }
 
+    // (name, seconds, error). Timings are rounded to 3 decimals so the
+    // whole JSON line stays short enough for log tail buffers; a query
+    // that crashes is reported as null + an entry in "errors" rather
+    // than a bogus near-zero timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { exec(fn); None } catch {
+        case e: Throwable => Some(e.getClass.getSimpleName)
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

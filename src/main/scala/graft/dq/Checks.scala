@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   *  - isNonNegative passes NULL values (row rule `distance` fires on
   *    NULL — both behaviors are kept, in their respective layers);
   *  - isComplete is the fraction of non-null values;
-  *  - isContainedIn counts only in-domain values as compliant (NULL
-  *    fails);
+  *  - isContainedIn passes NULL values (Deequ's predicate is
+  *    `col IS NULL OR col IN (...)`; presence is isComplete's job);
   *  - uniqueness is the fraction of rows whose value occurs exactly
   *    once.
   */
@@ -48,8 +48,10 @@ object Constraints {
   def isNonNegative(c: String): Constraint =
     Constraint(s"NonNegative($c)", Some(fraction(col(c).isNull || col(c) >= 0)), None, _ == 1.0)
 
+  /** NULL values are compliant (Deequ's isContainedIn predicate is
+    * `col IS NULL OR col IN (...)`; completeness is a separate check). */
   def isContainedIn(c: String, domain: Seq[String]): Constraint =
-    Constraint(s"ContainedIn($c)", Some(fraction(col(c).isin(domain: _*))), None, _ == 1.0)
+    Constraint(s"ContainedIn($c)", Some(fraction(col(c).isNull || col(c).isin(domain: _*))), None, _ == 1.0)
 
   def isUnique(c: String): Constraint =
     Constraint(s"Uniqueness($c)", None, Some(c), _ == 1.0)

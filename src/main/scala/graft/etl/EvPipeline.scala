@@ -82,9 +82,15 @@ object EvPipeline {
     * repaired quarantine rows is the natural lakehouse flow the
     * reference leaves manual). `repair` is a caller-provided
     * transform over the quarantined frame; rows whose rules all pass
-    * after repair are appended into the silver layer (dynamic
-    * overwrite keeps re-runs idempotent), rows still failing stay
-    * quarantined. Returns (remerged, stillBad) counts.
+    * after repair are merged into the silver layer, rows still
+    * failing stay quarantined. Returns (remerged, stillBad) counts.
+    *
+    * Idempotency: the touched silver partitions are REBUILT as
+    * (existing rows minus any with a rescued sessionId) ∪ rescued and
+    * written with dynamic partition overwrite — so a retry after a
+    * partial failure (e.g. the quarantine overwrite below crashed)
+    * converges to the same silver state instead of appending the
+    * rescued rows a second time.
     */
   def remergeRepaired(
       spark: SparkSession,
@@ -92,6 +98,7 @@ object EvPipeline {
       silverPath: String,
       repair: DataFrame => DataFrame,
       secondaryPartition: String = "stationId"): (Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val bad = spark.read.parquet(quarantinePath).drop("quarantine_reason")
     val repaired = SilverClean.withQuarantineReasons(repair(bad))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -106,10 +113,26 @@ object EvPipeline {
       val rescuedCount = nowGood.count()
       val stillBadCount = stillBad.count()
       if (rescuedCount > 0) {
-        // append the rescued rows; existing silver partitions for the
-        // same dates are untouched (append mode, hive-style layout)
-        nowGood.write.mode("append").option("compression", "zstd")
-          .partitionBy(partCols: _*).parquet(silverPath)
+        // existing silver rows of the touched partitions only (semi
+        // join on a broadcast of the few touched keys), minus rows a
+        // previous partially-failed remerge already rescued
+        val touched = nowGood.select(partCols.map(col): _*).distinct()
+        val silverNow = spark.read.parquet(silverPath)
+        val existing = silverNow
+          .select(nowGood.columns.map(c =>
+            silverNow.col(c).cast(nowGood.schema(c).dataType).as(c)): _*)
+          .join(broadcast(touched), partCols, "left_semi")
+          .join(nowGood.select("sessionId"), Seq("sessionId"), "left_anti")
+        val combined = existing.unionByName(nowGood)
+        // stage through a temp dir: Spark (correctly) refuses to
+        // overwrite a path that also feeds the plan being executed
+        val tmp = s"${silverPath.stripSuffix("/")}_remerge_staging"
+        combined.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+        val staged = spark.read.parquet(tmp)
+        LakeWriter.writePartitioned(staged, silverPath, partCols)
+        val f = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
       }
       // FULL (static) overwrite: dynamic mode would leave stale
       // copies of rescued rows in partitions stillBad doesn't touch

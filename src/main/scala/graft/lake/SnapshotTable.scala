@@ -101,11 +101,22 @@ object SnapshotTable {
     * previous versions intact. */
   def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Long = {
     require(partitionCols.nonEmpty, "overwritePartitions needs partition columns")
-    // touched partition dir fragments, e.g. "event_date=2014-11-18/stationId=500"
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    // touched partition dir fragments, e.g. "event_date=2014-11-18/stationId=500".
+    // Values must be escaped exactly as Spark's file writer escapes
+    // them in directory names (URL-style for spaces/colons/%/...), and
+    // NULL becomes the hive default partition name — otherwise the
+    // fragment never matches the on-disk path and stale files survive
+    // into the new manifest.
     val touched: Set[String] = df.select(partitionCols.map(col): _*).distinct()
       .collect().map { r =>
-        partitionCols.zipWithIndex
-          .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          val v = r.get(i)
+          val escaped =
+            if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(v.toString)
+          s"${ExternalCatalogUtils.escapePathName(c)}=$escaped"
+        }.mkString("/")
       }.toSet
     commit(df, path, partitionCols,
       prev => prev.filterNot(e => touched.exists(t => e.filePath.contains(s"/$t/"))))

@@ -84,7 +84,15 @@ object EventStreams {
     * identical clean/validate logic as the batch job → per-microbatch
     * partitioned good/quarantine writes. Demonstrates that the
     * cleaning layer is execution-mode-agnostic (same SilverClean
-    * functions drive batch and stream). */
+    * functions drive batch and stream).
+    *
+    * Idempotency: the sink leads with a `_batch_id` partition column,
+    * so the dynamic partition overwrite only ever replaces partitions
+    * of the epoch being written — a retried microbatch rewrites its
+    * own `_batch_id=N` output (exactly-once per epoch) and can never
+    * erase rows that earlier batches wrote into the same
+    * (event_date, stationId). Readers see `_batch_id` as an extra
+    * hive partition column and drop it. */
   def streamSilverCsv(spark: SparkSession, csvDir: String,
       silverPath: String, quarantinePath: String): StreamingQuery = {
     val bronze = spark.readStream
@@ -94,11 +102,14 @@ object EventStreams {
     val cleaned = SilverClean.withQuarantineReasons(SilverClean.normalize(bronze))
     cleaned.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (good, bad) = SilverClean.split(batch.persist())
-        LakeWriter.writePartitioned(good, silverPath, Seq("event_date", "stationId"))
-        LakeWriter.writePartitioned(bad, quarantinePath, Seq("event_date", "stationId"))
-        batch.unpersist(): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val epoch = batch.withColumn("_batch_id", lit(batchId)).persist()
+        val (good, bad) = SilverClean.split(epoch)
+        LakeWriter.writePartitioned(good, silverPath,
+          Seq("_batch_id", "event_date", "stationId"))
+        LakeWriter.writePartitioned(bad, quarantinePath,
+          Seq("_batch_id", "event_date", "stationId"))
+        epoch.unpersist(): Unit
       }
       .start()
   }

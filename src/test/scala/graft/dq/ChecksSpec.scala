@@ -25,6 +25,21 @@ class ChecksSpec extends SparkTestBase {
     assert(vr.status === "Error")
   }
 
+  test("isContainedIn passes NULL values (Deequ parity)") {
+    import org.apache.spark.sql.functions.{col, when}
+    // null out the off-domain "5": with NULLs compliant the domain
+    // check must now fully pass, while completeness still catches it
+    val withNull = silver.withColumn("facilityType",
+      when(col("facilityType") === "5", null).otherwise(col("facilityType")))
+    val check = Check(CheckLevel.Error, "domain")
+      .isContainedIn("facilityType", SilverClean.facilityTypeDomain)
+      .isComplete("facilityType")
+    val m = VerificationSuite.run(withNull, Seq(check))
+      .checkResults.head.results.map(r => r.constraint -> r.metric).toMap
+    assert(m("ContainedIn(facilityType)") === 1.0)
+    assert(m("Completeness(facilityType)") === 54.0 / 55.0)
+  }
+
   test("all-passing check yields Success status") {
     val check = Check(CheckLevel.Error, "ok")
       .isComplete("sessionId")

@@ -88,6 +88,39 @@ class EvPipelineSpec extends SparkTestBase {
     assert(ids.distinct().count() === 54) // fixture has one planted dup id
   }
 
+  test("remerge retry after a partial failure does not duplicate rescued rows") {
+    val base = Files.createTempDirectory("graft-remerge-retry").toString
+    val cfg = SilverConfig(fixture, s"$base/silver", s"$base/quarantine")
+    EvPipeline.runSilver(spark, cfg)
+
+    def remerge() = EvPipeline.remergeRepaired(
+      spark, s"$base/quarantine", s"$base/silver",
+      repair = df => df.withColumn("distance",
+        coalesce(col("distance"), lit(0.0))))
+
+    // keep a copy of the pre-remerge quarantine, run the remerge, then
+    // restore the quarantine — simulating a crash AFTER the silver
+    // write but BEFORE the quarantine overwrite committed
+    val backup = Files.createTempDirectory("graft-remerge-backup").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$base/quarantine"),
+      fs, new org.apache.hadoop.fs.Path(s"$backup/quarantine"), false, conf)
+    remerge()
+    assert(spark.read.parquet(s"$base/silver").count() === 47)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/quarantine"), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$backup/quarantine"),
+      fs, new org.apache.hadoop.fs.Path(s"$base/quarantine"), false, conf)
+
+    // the retry re-reads the ORIGINAL quarantine: it must converge to
+    // the same silver state, not append the 10 rescued rows again
+    val (rescued2, stillBad2) = remerge()
+    assert(rescued2 === 10)
+    assert(stillBad2 === 8)
+    assert(spark.read.parquet(s"$base/silver").count() === 47,
+      "retried remerge must be idempotent")
+  }
+
   test("typed Dataset[EvSession] view round-trips the silver schema") {
     val base = Files.createTempDirectory("graft-typed").toString
     EvPipeline.runSilver(spark,

@@ -61,6 +61,25 @@ class SnapshotTableSpec extends SparkTestBase {
       .filter(col("event_date") === "2024-01-02").count() === 5)
   }
 
+  test("overwritePartitions matches escaped and NULL partition values") {
+    val path = Files.createTempDirectory("graft-snap5").toString + "/t"
+    // values Spark escapes in directory names (space, colon) plus NULL
+    // (__HIVE_DEFAULT_PARTITION__): an unescaped substring match would
+    // keep the old files live and double the rows after overwrite
+    val rows = Seq(("a", "has space", 1.0), ("b", "c:colon", 2.0), ("c", null, 3.0))
+      .toDF("id", "k", "v")
+    SnapshotTable.append(rows, path, Seq("k"))
+    val replacement = Seq(("a2", "has space", 10.0), ("b2", "c:colon", 20.0), ("c2", null, 30.0))
+      .toDF("id", "k", "v")
+    SnapshotTable.overwritePartitions(replacement, path, Seq("k"))
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.count() === 3, "escaped/null partitions must be replaced, not duplicated")
+    assert(latest.filter(col("id").isin("a2", "b2", "c2")).count() === 3)
+    // time travel still shows the originals
+    assert(SnapshotTable.read(spark, path, Some(1L))
+      .filter(col("id").isin("a", "b", "c")).count() === 3)
+  }
+
   test("partition columns stay readable and idempotent re-run replaces cleanly") {
     val path = Files.createTempDirectory("graft-snap3").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))

@@ -127,8 +127,20 @@ class EventStreamsSpec extends SparkTestBase {
     Files.copy(Paths.get(fixture), csvDir.resolve("batch1.csv"))
     val q = EventStreams.streamSilverCsv(spark, csvDir.toString,
       s"$base/silver", s"$base/quarantine")
-    try { q.processAllAvailable() } finally q.stop()
-    assert(spark.read.parquet(s"$base/silver").count() === 37)
-    assert(spark.read.parquet(s"$base/quarantine").count() === 18)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/silver").count() === 37)
+      assert(spark.read.parquet(s"$base/quarantine").count() === 18)
+      // second microbatch touching the SAME (event_date, stationId)
+      // partitions: batch-scoped dynamic overwrite must add its rows
+      // without erasing what the first batch wrote
+      Files.copy(Paths.get(fixture), csvDir.resolve("batch2.csv"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val silver = spark.read.parquet(s"$base/silver")
+    assert(silver.count() === 74,
+      "a later microbatch must not overwrite earlier batches' partitions")
+    assert(silver.select("_batch_id").distinct().count() === 2)
+    assert(spark.read.parquet(s"$base/quarantine").count() === 36)
   }
 }
