@@ -239,15 +239,20 @@ object EvQueries {
   def snapshotVersions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-snap-gate").toString + "/fact"
+    // persist: the commit + min() + overwrite actions below would each
+    // recompute the full CSV clean subtree otherwise
     val gold = GoldFeatures.derive(good(spark))
       .select("sessionId", "event_date", "session_duration_minutes")
-    graft.lake.SnapshotTable.append(gold, path, Seq("event_date"))
-    val oneDate = gold.select(min(col("event_date"))).head().getDate(0)
-    graft.lake.SnapshotTable.overwritePartitions(
-      gold.filter(col("event_date") === oneDate), path, Seq("event_date"))
-    graft.lake.SnapshotTable.versions(spark, path).map { v =>
-      (v, graft.lake.SnapshotTable.read(spark, path, Some(v)).count())
-    }.toDF("version", "n_rows").orderBy("version")
+      .persist()
+    try {
+      graft.lake.SnapshotTable.append(gold, path, Seq("event_date"))
+      val oneDate = gold.select(min(col("event_date"))).head().getDate(0)
+      graft.lake.SnapshotTable.overwritePartitions(
+        gold.filter(col("event_date") === oneDate), path, Seq("event_date"))
+      graft.lake.SnapshotTable.versions(spark, path).map { v =>
+        (v, graft.lake.SnapshotTable.read(spark, path, Some(v)).count())
+      }.toDF("version", "n_rows").orderBy("version")
+    } finally { gold.unpersist(); () }
   }
 
   private val stationUtilizationSql =

@@ -1021,6 +1021,88 @@ object Relational {
       | CAST(length(rtrim(s_name)) AS INT) AS rtrim_len
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  // -- TPC-H Q8 shape: conditional share within a grouped ratio -----
+  // Yearly market share of one supplier nation (nationkey 3) for
+  // ECONOMY parts sold into AMERICA: a 7-table join where the
+  // numerator is a conditional slice of the denominator's sum. The
+  // two tiny dims broadcast; part is filtered before the join so only
+  // matching keys reach the big shuffle.
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val america = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+    val econParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(econParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(america), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("s_nationkey") === 3, volume).otherwise(lit(0.0))) / sum(volume),
+        6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val marketShareSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      | round(sum(CASE WHEN s_nationkey = 3
+      |               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |       / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = n_regionkey AND r_name = 'AMERICA'
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  // -- §2.8 extension: MAP-typed columns end-to-end ------------------
+  // map_from_arrays → map_concat → transform_values → explode back to
+  // rows. The oracle compares the EXPLODED row form (engine-internal
+  // map hashing differs between Spark and DuckDB; rows don't).
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .withColumn("m", map_from_arrays(
+        array(lit("acctbal"), lit("nationkey")),
+        array(col("s_acctbal"), col("s_nationkey").cast("double"))))
+      .withColumn("m", map_concat(col("m"),
+        org.apache.spark.sql.functions.map(lit("suppkey"), col("s_suppkey").cast("double"))))
+      .withColumn("m", transform_values(col("m"), (_, v) => round(v * 2, 2)))
+      .select(col("s_suppkey"), size(col("m")).as("n_keys"),
+        explode(col("m")).as(Seq("k", "v")))
+      .orderBy("s_suppkey", "k")
+
+  private val mapFuncsSql =
+    """SELECT s_suppkey, 3 AS n_keys, k, v FROM (
+      |  SELECT s_suppkey, 'acctbal' AS k, round(s_acctbal * 2, 2) AS v FROM supplier
+      |  UNION ALL SELECT s_suppkey, 'nationkey', round(s_nationkey * 2.0, 2) FROM supplier
+      |  UNION ALL SELECT s_suppkey, 'suppkey', round(s_suppkey * 2.0, 2) FROM supplier
+      |) t ORDER BY s_suppkey, k""".stripMargin
+
+  // -- §2.6 extension: deterministic hash sampling -------------------
+  // Engine-portable sampling: filter on an md5 prefix of the row key
+  // (≈ 16/256 of rows) instead of TABLESAMPLE, whose seeded RNG is
+  // engine-specific. The predicate is codegen'd and pushes nothing to
+  // the scan by design (it must see every row) but needs no shuffle;
+  // the same technique gives reproducible train/test splits at 100 TB.
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 2) < "10")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"), round(sum(col("l_quantity")), 2).as("qty_sampled"))
+      .orderBy("l_returnflag")
+
+  private val hashSampleSql =
+    """SELECT l_returnflag, count(*) AS n_sampled,
+      | round(sum(l_quantity), 2) AS qty_sampled
+      |FROM lineitem
+      |WHERE substring(md5(concat_ws('-', l_orderkey, l_linenumber)), 1, 2) < '10'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -1074,5 +1156,8 @@ object Relational {
     QDef("q65_nation_volume", nationVolume, Some(nationVolumeSql)),
     QDef("q66_date_parts", dateParts, Some(datePartsSql)),
     QDef("q67_pad_trim", padTrim, Some(padTrimSql)),
+    QDef("q68_market_share", marketShare, Some(marketShareSql)),
+    QDef("q69_map_funcs", mapFuncs, Some(mapFuncsSql)),
+    QDef("q70_hash_sample", hashSample, Some(hashSampleSql)),
   )
 }
