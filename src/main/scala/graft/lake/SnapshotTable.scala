@@ -10,18 +10,19 @@ import org.apache.spark.sql.functions._
   * overwrite (SURVEY.md §7.4): versioned reads and time travel.
   *
   * Layout:
-  *   path/data/c<version>/...          immutable per-commit parquet
-  *   path/_graft_log/v<version>/       manifest: the COMPLETE live
-  *                                     file set at that version
+  *   path/data/c-<uuid>/...            immutable per-commit parquet
+  *   path/_graft_log/v<version>        manifest file: the COMPLETE
+  *                                     live file set at that version
   *
   * Each manifest is a full snapshot (no log replay), written to a
   * temp dir and atomically renamed — a reader always sees either the
   * previous or the new version, never a partial commit. Data files
   * are immutable; overwritePartitions drops entries of the touched
   * partitions from the new manifest without deleting files, so every
-  * earlier version remains readable (time travel). Single-writer by
-  * assumption (documented; multi-writer needs a coordinating lock,
-  * out of scope for this round).
+  * earlier version remains readable (time travel). Concurrent writers
+  * are safe via optimistic concurrency: the manifest rename is a CAS
+  * on the version number, and a loser re-reads the winner's manifest
+  * and retries (see commit()) — no lock service required.
   */
 object SnapshotTable {
 
@@ -32,36 +33,62 @@ object SnapshotTable {
 
   private def logDir(path: String) = s"$path/_graft_log"
 
+  private val versionName = "^v(\\d+)$".r
+
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val f = fs(spark, path)
     val dir = new Path(logDir(path))
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted.toSeq
+      .collect { case versionName(n) => n.toLong }.sorted.toSeq
   }
 
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
+  /** Manifests are single small metadata files read/written on the
+    * driver (the table-format norm — Delta/Iceberg logs are driver
+    * IO too): one `commitDir\tfilePath` line per live file. */
   private def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] = {
-    import spark.implicits._
-    spark.read.json(s"${logDir(path)}/v$version")
-      .select("commitDir", "filePath").as[(String, String)]
-      .collect().map(t => Entry(t._1, t._2)).toSeq
+    val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    content.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val Array(c, p) = line.split("\t", 2)
+      Entry(c, p)
+    }.toSeq
   }
 
-  private def writeManifest(spark: SparkSession, path: String, version: Long,
-      entries: Seq[Entry]): Unit = {
-    import spark.implicits._
-    val tmp = s"${logDir(path)}/.tmp-v$version"
-    entries.map(e => (e.commitDir, e.filePath))
-      .toDF("commitDir", "filePath")
-      .repartition(1).write.mode("overwrite").json(tmp)
+  /** Atomically publish manifest `version`; returns false if another
+    * writer won that version. The publish is a create-if-absent CAS:
+    * on the local FS a hard link (atomic, fails if the target exists),
+    * elsewhere a rename (HDFS rename onto an existing FILE fails).
+    * Content is fully written to the tmp file first, so a reader can
+    * never observe a partial manifest. */
+  private def publishManifest(spark: SparkSession, path: String, version: Long,
+      entries: Seq[Entry]): Boolean = {
     val f = fs(spark, path)
+    f.mkdirs(new Path(logDir(path)))
+    val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
+    val out = f.create(tmp, true)
+    try out.write(entries.map(e => s"${e.commitDir}\t${e.filePath}").mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     val dst = new Path(s"${logDir(path)}/v$version")
-    if (!f.rename(new Path(tmp), dst))
-      throw new IllegalStateException(s"commit v$version failed (concurrent writer?)")
+    val won =
+      if (f.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else !f.exists(dst) && f.rename(tmp, dst)
+    if (won && f.getScheme == "file") f.delete(tmp, false)
+    else if (!won) f.delete(tmp, false)
+    won
   }
+
+  final class ConcurrentCommitException(path: String, attempts: Int)
+    extends RuntimeException(s"gave up after $attempts contended commit attempts at $path")
 
   private def listParquet(f: FileSystem, dir: Path): Seq[String] = {
     val it = f.listFiles(dir, true)
@@ -74,22 +101,36 @@ object SnapshotTable {
     buf.toSeq
   }
 
+  /** Optimistic-concurrency commit: the data files are written ONCE
+    * to a unique dir, then the manifest is advanced with a
+    * rename-as-CAS loop — a writer that loses the race re-reads the
+    * winner's manifest, re-applies its own carryOver, and retries with
+    * the next version number. No lock service needed; contention costs
+    * one manifest rewrite per retry, never a data rewrite. A crashed
+    * attempt (data written, manifest never committed) leaves an orphan
+    * dir that no manifest references.
+    */
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
-      carryOver: Seq[Entry] => Seq[Entry]): Long = {
+      carryOver: Seq[Entry] => Seq[Entry], maxAttempts: Int = 20): Long = {
     val spark = df.sparkSession
-    val version = latestVersion(spark, path).getOrElse(0L) + 1
-    // unique suffix: a crashed attempt (data written, manifest rename
-    // failed) must never block the retry — its orphan dir is simply
-    // never referenced by any manifest
-    val commitDir = s"$path/data/c$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    val commitDir = s"$path/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
     val w = df.write.mode("errorifexists").option("compression", "zstd")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(commitDir)
     val added = listParquet(fs(spark, path), new Path(commitDir))
       .map(Entry(commitDir, _))
-    val previous = latestVersion(spark, path).filter(_ < version)
-      .map(readManifest(spark, path, _)).getOrElse(Nil)
-    writeManifest(spark, path, version, carryOver(previous) ++ added)
-    version
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      // linearized log: the commit targets latest+1 and bases its
+      // carryOver on exactly the latest manifest; if another writer
+      // publishes first, the CAS fails and we re-read their manifest
+      val version = latestVersion(spark, path).getOrElse(0L) + 1
+      val previous = if (version == 1L) Nil else readManifest(spark, path, version - 1)
+      if (publishManifest(spark, path, version, carryOver(previous) ++ added))
+        return version
+      attempt += 1
+      Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
+    }
+    throw new ConcurrentCommitException(path, maxAttempts)
   }
 
   /** Append commit: previous live files all carry over. */

@@ -80,6 +80,26 @@ class SnapshotTableSpec extends SparkTestBase {
       .filter(col("id").isin("a", "b", "c")).count() === 3)
   }
 
+  test("concurrent appends all commit via optimistic retry, none lost") {
+    val path = Files.createTempDirectory("graft-snap-mw").toString + "/t"
+    val writers = 6
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to writers).map { i =>
+      Future(SnapshotTable.append(mkRows(s"w$i", Seq("2024-01-01")), path, Seq("event_date")))
+    }
+    val versions = Await.result(Future.sequence(futures), 120.seconds)
+    // every writer got a distinct version and no rows were lost
+    assert(versions.toSet.size === writers)
+    assert(SnapshotTable.versions(spark, path).size === writers)
+    assert(SnapshotTable.read(spark, path).count() === writers * 5L)
+    // each intermediate version is a consistent snapshot (5·k rows)
+    SnapshotTable.versions(spark, path).zipWithIndex.foreach { case (v, i) =>
+      assert(SnapshotTable.read(spark, path, Some(v)).count() === (i + 1) * 5L)
+    }
+  }
+
   test("partition columns stay readable and idempotent re-run replaces cleanly") {
     val path = Files.createTempDirectory("graft-snap3").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
