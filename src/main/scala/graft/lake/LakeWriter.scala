@@ -91,6 +91,68 @@ object LakeWriter {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst): Unit
   }
 
+  /** Per-partition file statistics of a hive-layout parquet dir.
+    * Driver-side listing — the same cost class as Spark's own
+    * partition discovery over the path; at lake scale this is the
+    * input to compaction policy, retention, and small-file alerts. */
+  final case class PartitionStat(partition: String, files: Long, bytes: Long)
+
+  def partitionStats(spark: SparkSession, path: String): Seq[PartitionStat] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val it = f.listFiles(root, true)
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      // skip metadata/hidden trees (_graft_log, _SUCCESS, .tmp…)
+      if (s.isFile && !rel.split("/").exists(seg => seg.startsWith("_") || seg.startsWith("."))) {
+        val part = rel.split("/").dropRight(1).mkString("/")
+        val (n, b) = acc.getOrElse(part, (0L, 0L))
+        acc(part) = (n + 1, b + s.getLen)
+      }
+    }
+    acc.toSeq.map { case (p, (n, b)) => PartitionStat(p, n, b) }.sortBy(_.partition)
+  }
+
+  /** Stats-driven small-file compaction: rewrite ONLY partitions
+    * whose file count exceeds `maxFiles`, leaving every other
+    * partition's files untouched (contrast [[compact]], which
+    * rewrites the whole layout). Each fat partition is rewritten to
+    * `filesPerPartition` files via a hidden staging dir, then swapped
+    * in with two renames; a crash between the renames leaves the
+    * original content in a `.trash-*` dir for manual recovery.
+    * Returns the partitions rewritten. */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      maxFiles: Int,
+      filesPerPartition: Int = 1,
+      compression: String = "zstd"): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fat = partitionStats(spark, path).filter(p => p.partition.nonEmpty && p.files > maxFiles)
+    fat.map { p =>
+      val dir = new Path(s"$path/${p.partition}")
+      val uuid = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(s"$path/.compact-$uuid")
+      val trash = new Path(s"$path/.trash-$uuid")
+      spark.read.parquet(dir.toString)
+        .repartition(filesPerPartition)
+        .write.mode("overwrite").option("compression", compression)
+        .parquet(tmp.toString)
+      if (!f.rename(dir, trash))
+        throw new IllegalStateException(s"compaction swap failed for $dir")
+      if (!f.rename(tmp, dir)) {
+        f.rename(trash, dir) // roll back
+        throw new IllegalStateException(s"compaction swap failed for $dir")
+      }
+      f.delete(trash, true)
+      p.partition
+    }
+  }
+
   /** Bucketed managed table: rows are hash-distributed into
     * `numBuckets` files per partition on `bucketCols` and sorted
     * within each bucket. Joins/aggregations between tables bucketed

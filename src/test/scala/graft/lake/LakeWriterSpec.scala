@@ -45,6 +45,32 @@ class LakeWriterSpec extends SparkTestBase {
     assert(merged.filter(col("o_orderstatus").isNull).count() === v1.count())
   }
 
+  test("partitionStats reports files/bytes and compactPartitions rewrites only fat partitions") {
+    val base = Files.createTempDirectory("graft-stats").toString
+    val li = Tables.lineitem(spark, sf0001)
+    // 4 files per l_returnflag partition
+    li.repartition(4).write.mode("overwrite").partitionBy("l_returnflag").parquet(base)
+    // fatten ONE partition with 8 extra files
+    li.filter(col("l_returnflag") === "R").drop("l_returnflag").repartition(8)
+      .write.mode("append").parquet(s"$base/l_returnflag=R")
+    val before = LakeWriter.partitionStats(spark, base)
+    val fat = before.find(_.partition == "l_returnflag=R").get
+    assert(fat.files === 12)
+    assert(before.filter(_.partition != "l_returnflag=R").forall(_.files === 4))
+    assert(before.forall(_.bytes > 0))
+
+    val total = spark.read.parquet(base).count()
+    val thinFiles = LakeWriter.partitionStats(spark, base)
+      .filter(_.partition != "l_returnflag=R")
+    val rewritten = LakeWriter.compactPartitions(spark, base, maxFiles = 6)
+    assert(rewritten === Seq("l_returnflag=R"))
+    val after = LakeWriter.partitionStats(spark, base)
+    assert(after.find(_.partition == "l_returnflag=R").get.files === 1)
+    // untouched partitions keep their exact stats
+    assert(after.filter(_.partition != "l_returnflag=R") === thinFiles)
+    assert(spark.read.parquet(base).count() === total)
+  }
+
   test("splitByPredicate partitions rows exactly, nulls to the right") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (null, "c"))

@@ -38,6 +38,46 @@ class SkewSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // one pathological key holds ~90% of the left side; with tiny
+    // advisory/skew thresholds AQE must mark the SMJ partition skewed
+    // and split it instead of letting one task absorb the hot key
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(300000).select(
+        when(pmod(col("id"), lit(10)) =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val agg = left.join(right, "k").groupBy().count()
+      val n = agg.collect().head.getLong(0)
+      assert(n > 0)
+      // query stages are leaf nodes to collect(); recurse through them
+      def findSkewJoins(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.joins.SortMergeJoinExec] =
+        p.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec if j.isSkewJoin => Seq(j)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findSkewJoins(q.plan)
+        }.flatten
+      val finalPlan = agg.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(findSkewJoins(finalPlan).nonEmpty,
+        s"expected a runtime skew-split sort-merge join:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     LakeWriter.writeBucketed(
       Tables.orders(spark, sf0001), "orders_b", Seq("o_custkey"), 4, Seq("o_custkey"))
