@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.etl.SilverClean
 import graft.lake.LakeWriter
@@ -79,6 +79,30 @@ object EventStreams {
           next
       }
   }
+
+  /** Switch stateful-streaming state to the RocksDB provider: state
+    * lives off-heap/on-disk per executor instead of in the JVM heap —
+    * the configuration for large keyspaces (millions of sessions/
+    * users) where HDFS-backed in-memory state would OOM. Takes effect
+    * for queries STARTED after the call. */
+  def useRocksDBStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** One-shot batch drain (Trigger.AvailableNow): process everything
+    * available at start across as many rate-limited microbatches as
+    * needed, then stop on its own — the scheduled-ingest mode (cron
+    * backfill) that still keeps streaming checkpoints/exactly-once. */
+  def drainToParquet(events: DataFrame, outPath: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Streaming silver ETL: bronze CSVs arriving in a directory →
     * identical clean/validate logic as the batch job → per-microbatch

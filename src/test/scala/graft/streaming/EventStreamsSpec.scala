@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -119,6 +120,51 @@ class EventStreamsSpec extends SparkTestBase {
     runOnce()
     val n2 = spark.read.parquet(outDir).count()
     assert(n2 === 2 * n1, s"expected exactly-once resume, got $n2 vs ${2 * n1}")
+  }
+
+  test("session windows run on the RocksDB state store with bounded state") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    EventStreams.useRocksDBStateStore(spark)
+    try {
+      val stream = EventStreams.sessionCounts(EventStreams.readEvents(spark, eventsDir))
+      val q = stream.writeStream.format("memory").queryName("rocks_sess")
+        .outputMode(OutputMode.Complete).start()
+      try {
+        q.processAllAvailable()
+        // the state operator really is RocksDB-backed (provider metrics
+        // only exist there) and holds one row per open session
+        val state = q.lastProgress.stateOperators
+        assert(state.nonEmpty)
+        assert(state.head.numRowsTotal > 0)
+        assert(state.head.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+          s"expected rocksdb state metrics, got ${state.head.customMetrics.keySet}")
+      } finally q.stop()
+      // and the result matches the default-provider computation
+      val got = spark.table("rocks_sess")
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      val want = Tables.events(spark, sf0001)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)))
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("Trigger.AvailableNow drains all staged input then stops by itself") {
+    val work = Files.createTempDirectory("graft-stream-avnow")
+    val inDir = Files.createDirectory(work.resolve("in")).toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), Paths.get(s"$inDir/a.parquet"))
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), Paths.get(s"$inDir/b.parquet"))
+    val q = EventStreams.drainToParquet(
+      EventStreams.readEvents(spark, inDir),
+      s"$work/out", s"$work/ckpt", maxFilesPerTrigger = 1)
+    // AvailableNow terminates on its own once the staged files drain
+    assert(q.awaitTermination(120000), "query did not self-terminate")
+    val n = spark.read.parquet(s"$work/out").count()
+    assert(n === 2 * Tables.events(spark, sf0001).count())
   }
 
   test("streaming silver CSV pipeline equals the batch pipeline output") {
