@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke-bench for the training-data extension operators: the
+  * shipped documents/embeddings testdata caps at 500 rows per scale
+  * factor, so this main drives the SAME operators at 1M generated
+  * docs / 200k vectors (via the graft-docs DataSource V2 and a typed
+  * per-partition vector generator — no data files, no driver memory)
+  * and prints ONE JSON line of per-op wall seconds.
+  *
+  *   GRAFT_SCALE_ROWS=1000000 GRAFT_SCALE_VECS=200000 \
+  *     sbt "runMain graft.ScaleBench"
+  *
+  * This is the local stand-in for the 100 TB posture question: every
+  * op below must stay shuffle-light (bucket-first joins, map-side
+  * combine) or it would not finish here either.
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("GRAFT_SCALE_ROWS", "1000000").toLong
+    val vecs = sys.env.getOrElse("GRAFT_SCALE_VECS", "200000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.format("graft-docs")
+      .option("rows", rows).option("partitions", cpus.toInt * 2).load()
+
+    // deterministic synthetic embeddings, generated in parallel from
+    // (id) alone — same reproducibility contract as graft-docs
+    val dim = 64
+    val emb = spark.range(vecs).select(col("id").as("vec_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val r = new scala.util.Random(id * 0x9e3779b97f4a7c15L + 11)
+          (id, Array.fill(dim)(r.nextFloat() * 2f - 1f))
+        }
+      }.toDF("vec_id", "embedding")
+      .persist()
+    emb.count() // materialize outside the timings
+
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    def timed(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      body
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale] $name%-22s $s%8.2f s")
+      name -> s
+    }
+
+    val queryIds = Seq(1L, 1000L, 54321L)
+    val results: Seq[(String, Double)] = Seq(
+      timed("exact_dedup")     { noop(graft.ops.TextDedup.exactDuplicates(docs)) },
+      timed("minhash_buckets") { noop(graft.ops.TextDedup.minhashBuckets(docs)) },
+      timed("minhash_cands")   { noop(graft.ops.TextDedup.minhashCandidates(docs)) },
+      timed("simhash")         { noop(graft.ops.TextDedup.simhashes(docs)) },
+      timed("lang_id")         { noop(docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.predictLang(col("text")).as("lang"))) },
+      timed("quality_score")   { noop(docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("q"))) },
+      timed("fingerprints")    { noop(docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.fingerprintMd5(col("text")).as("m"),
+        graft.ops.TextAnalysis.rollingHash(col("text")).as("h"))) },
+      timed("ann_brute_1q")    { noop(graft.ops.Similarity.bruteForceTopK(emb, 1L, 10)) },
+      timed("ann_lsh_3q")      { noop(graft.ops.Similarity.lshTopK(emb, queryIds, 10)) },
+      timed("ann_ivf_3q")      {
+        val model = graft.ops.Ivf.train(emb, k = 64)
+        noop(graft.ops.Ivf.search(emb, model, queryIds, 10))
+      })
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
+      .mkString("{", ",", "}")
+    val total = "%.3f".format(results.map(_._2).sum)
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","rows":$rows,"vecs":$vecs,"ops":$qs}""")
+    spark.stop()
+  }
+}
