@@ -41,6 +41,38 @@ object TextAnalysis {
       .otherwise(lit("de"))
   }
 
+  // Character-n-gram profiles — the step up from stopword probes
+  // (works on unsegmented/short text where token probes miss). Scores
+  // are occurrence counts of distinctive grams, computed with the
+  // engine-portable replace-count idiom, so the whole classifier
+  // stays codegen'd expression composition.
+  val ngramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "ing", "er", "an"),
+    "es" -> Seq("os", "la", "ci", "qu", "ón"),
+    "fr" -> Seq("ou", "ai", "eu", "le", "ux"),
+    "de" -> Seq("ch", "ei", "ie", "un", "sch"))
+
+  /** Total occurrences of `lang`'s profile grams in (lowercased)
+    * text: Σ (len(t) − len(replace(t, g, ''))) / len(g). */
+  def ngramHits(lowered: Column, lang: String): Column =
+    ngramProfiles(lang).map { g =>
+      ((length(lowered) - length(replace(lowered, lit(g), lit("")))) / g.length).cast("long")
+    }.reduce(_ + _)
+
+  /** Char-n-gram language ID, same argmax/tie order as
+    * [[predictLang]]. */
+  def predictLangNgram(text: Column): Column = {
+    val t = lower(text)
+    val en = ngramHits(t, "en")
+    val es = ngramHits(t, "es")
+    val fr = ngramHits(t, "fr")
+    val de = ngramHits(t, "de")
+    when(en >= greatest(es, fr, de), lit("en"))
+      .when(es >= greatest(fr, de), lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
   def charCount(text: Column): Column = length(text)
 
   /** Whitespace token count as space-count+1 — the formulation with
@@ -123,6 +155,28 @@ object TextAnalysis {
        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
   }
 
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), predictLangNgram(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  val langIdNgramSql: String = {
+    def hits(l: String) = ngramProfiles(l)
+      .map(g => s"CAST((length(t) - length(replace(t, '$g', ''))) / ${g.length} AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH lo AS (SELECT lang, lower(text) AS t FROM documents),
+       |s AS (SELECT lang, ${hits("en")} AS s_en, ${hits("es")} AS s_es,
+       |        ${hits("fr")} AS s_fr, ${hits("de")} AS s_de FROM lo),
+       |p AS (SELECT lang,
+       |  CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+       |       WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+       |       WHEN s_fr >= s_de THEN 'fr'
+       |       ELSE 'de' END AS predicted FROM s)
+       |SELECT lang, predicted, count(*) AS n FROM p
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), round(qualityScore(col("text")), 6).as("quality"))
@@ -160,6 +214,7 @@ object TextAnalysis {
   val catalog: Seq[QDef] = Seq(
     QDef("q29_text_stats", textStats, Some(textStatsSql)),
     QDef("q32_lang_id", langId, Some(langIdSql)),
+    QDef("q71_lang_id_ngram", langIdNgram, Some(langIdNgramSql)),
     QDef("q33_quality_score", quality, Some(qualitySql)),
     QDef("q34_fingerprints", fingerprints, Some(fingerprintsSql)),
   )
