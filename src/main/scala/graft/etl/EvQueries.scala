@@ -241,8 +241,11 @@ object EvQueries {
     val path = java.nio.file.Files.createTempDirectory("graft-snap-gate").toString + "/fact"
     // persist: the commit + min() + overwrite actions below would each
     // recompute the full CSV clean subtree otherwise
+    // coalesce(1): 37 rows across ~13 date partitions — without it
+    // every commit write launches a full default-parallelism task set
     val gold = GoldFeatures.derive(good(spark))
       .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
       .persist()
     try {
       graft.lake.SnapshotTable.append(gold, path, Seq("event_date"))

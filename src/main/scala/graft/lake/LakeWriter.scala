@@ -91,6 +91,23 @@ object LakeWriter {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst): Unit
   }
 
+  /** Partitioned write with free inline metrics: the caller's
+    * aggregate expressions are computed DURING the write pass via
+    * `observe` (CollectMetrics) — no second scan of the input, which
+    * at lake scale is the difference between "metrics for every load"
+    * and "metrics sometimes". Returns the observed row. */
+  def writeObserved(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      metrics: Seq[Column],
+      compression: String = "zstd"): Map[String, Any] = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    writePartitioned(observed, path, partitionCols, compression)
+    obs.get
+  }
+
   /** Per-partition file statistics of a hive-layout parquet dir.
     * Driver-side listing — the same cost class as Spark's own
     * partition discovery over the path; at lake scale this is the

@@ -1103,6 +1103,40 @@ object Relational {
       |WHERE substring(md5(concat_ws('-', l_orderkey, l_linenumber)), 1, 2) < '10'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- §2.5 extension: IGNORE NULLS analytic windows -----------------
+  // Carry-forward/backward over sparse columns (gap filling, last
+  // observation carried forward) — lag/lead/nth/first/last with
+  // ignoreNulls, the time-series staple Spark exposes as flags.
+  def windowIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .withColumn("v", when(pmod(col("o_orderkey"), lit(3)) =!= 0, col("o_totalprice")))
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("v"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+        lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_nn"),
+        nth_value(col("v"), 2, ignoreNulls = true).over(wFull).as("nth2_nn"),
+        first(col("v"), ignoreNulls = true).over(wFull).as("first_nn"),
+        last(col("v"), ignoreNulls = true).over(wFull).as("last_nn"))
+      .orderBy("o_orderkey")
+  }
+
+  private val windowIgnoreNullsSql =
+    """WITH t AS (SELECT o_orderkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END AS v FROM orders)
+      |SELECT o_orderkey, o_orderstatus, v,
+      | lag(v, 1 IGNORE NULLS) OVER w AS prev_nn,
+      | lead(v, 1 IGNORE NULLS) OVER w AS next_nn,
+      | nth_value(v, 2 IGNORE NULLS) OVER wf AS nth2_nn,
+      | first_value(v IGNORE NULLS) OVER wf AS first_nn,
+      | last_value(v IGNORE NULLS) OVER wf AS last_nn
+      |FROM t
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
+      |  wf AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -1159,5 +1193,6 @@ object Relational {
     QDef("q68_market_share", marketShare, Some(marketShareSql)),
     QDef("q69_map_funcs", mapFuncs, Some(mapFuncsSql)),
     QDef("q70_hash_sample", hashSample, Some(hashSampleSql)),
+    QDef("q72_window_ignore_nulls", windowIgnoreNulls, Some(windowIgnoreNullsSql)),
   )
 }

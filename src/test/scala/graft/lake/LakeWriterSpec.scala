@@ -71,6 +71,20 @@ class LakeWriterSpec extends SparkTestBase {
     assert(spark.read.parquet(base).count() === total)
   }
 
+  test("writeObserved computes load metrics during the write pass") {
+    val base = Files.createTempDirectory("graft-observe").toString + "/t"
+    val li = Tables.lineitem(spark, sf0001)
+    val m = LakeWriter.writeObserved(li, base, Seq("l_returnflag"),
+      Seq(count(lit(1)).as("rows"),
+        sum(col("l_quantity")).as("qty"),
+        count(when(col("l_discount") > 0.05, 1)).as("discounted")))
+    assert(m("rows") === li.count())
+    assert(math.abs(m("qty").asInstanceOf[Double] -
+      li.agg(sum("l_quantity")).head.getDouble(0)) < 1e-6)
+    assert(m("discounted") === li.filter(col("l_discount") > 0.05).count())
+    assert(spark.read.parquet(base).count() === li.count())
+  }
+
   test("splitByPredicate partitions rows exactly, nulls to the right") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (null, "c"))
