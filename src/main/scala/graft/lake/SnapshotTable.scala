@@ -182,14 +182,19 @@ object SnapshotTable {
   }
 
   /** Read the table at `version` (default: latest). Per-commit
-    * basePath reads keep hive partition columns visible. */
+    * basePath reads keep hive partition columns visible. Schema
+    * evolution across commits is handled like parquet mergeSchema:
+    * columns a commit lacks surface as NULL (unionByName with
+    * allowMissingColumns), so an old snapshot stays readable after a
+    * later commit adds fields. */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val entries = readManifest(spark, path, v)
     require(entries.nonEmpty, s"empty manifest v$v")
     entries.groupBy(_.commitDir).map { case (dir, es) =>
-      spark.read.option("basePath", dir).parquet(es.map(_.filePath): _*)
-    }.reduce(_ unionByName _)
+      spark.read.option("basePath", dir).option("mergeSchema", true)
+        .parquet(es.map(_.filePath): _*)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 }

@@ -1137,6 +1137,48 @@ object Relational {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
 
+  // -- TPC-H Q2 shape: correlated min over a derived "partsupp" -----
+  // The testdata has no partsupp table, so both engines derive one
+  // from lineitem (min unit price per (part, supplier)); the query
+  // then picks each part's cheapest supplier via a correlated scalar
+  // subquery over that derived table — the decorrelation stress shape
+  // of TPC-H Q2, joined out to supplier/nation for the report.
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q2")
+    Tables.part(spark, dir).createOrReplaceTempView("part_q2")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_q2")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_q2")
+    spark.sql(
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost
+        |  FROM lineitem_q2 GROUP BY 1, 2)
+        |SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, ps.ps_supplycost
+        |FROM partsupp ps
+        |JOIN part_q2 p ON p.p_partkey = ps.ps_partkey
+        |JOIN supplier_q2 s ON s.s_suppkey = ps.ps_suppkey
+        |JOIN nation_q2 n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_size <= 5
+        |  AND ps.ps_supplycost = (SELECT min(ps2.ps_supplycost) FROM partsupp ps2
+        |                          WHERE ps2.ps_partkey = ps.ps_partkey)
+        |ORDER BY p.p_partkey, s.s_name""".stripMargin)
+  }
+
+  private val minCostSupplierSql =
+    """WITH partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, ps.ps_supplycost
+      |FROM partsupp ps
+      |JOIN part p ON p.p_partkey = ps.ps_partkey
+      |JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_size <= 5
+      |  AND ps.ps_supplycost = (SELECT min(ps2.ps_supplycost) FROM partsupp ps2
+      |                          WHERE ps2.ps_partkey = ps.ps_partkey)
+      |ORDER BY p.p_partkey, s.s_name""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -1194,5 +1236,6 @@ object Relational {
     QDef("q69_map_funcs", mapFuncs, Some(mapFuncsSql)),
     QDef("q70_hash_sample", hashSample, Some(hashSampleSql)),
     QDef("q72_window_ignore_nulls", windowIgnoreNulls, Some(windowIgnoreNullsSql)),
+    QDef("q73_min_cost_supplier", minCostSupplier, Some(minCostSupplierSql)),
   )
 }

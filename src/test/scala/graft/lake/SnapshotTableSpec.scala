@@ -100,6 +100,20 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("schema evolution: later commits may add columns, old rows read NULL") {
+    val path = Files.createTempDirectory("graft-snap-evo").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    val widened = mkRows("b", Seq("2024-01-02")).withColumn("note", lit("late"))
+    SnapshotTable.append(widened, path, Seq("event_date"))
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.columns.toSet === Set("id", "event_date", "v", "note"))
+    assert(latest.count() === 10)
+    assert(latest.filter(col("note").isNull).count() === 5) // pre-evolution rows
+    // the old snapshot still reads with its own schema
+    assert(SnapshotTable.read(spark, path, Some(1L)).columns.toSet
+      === Set("id", "event_date", "v"))
+  }
+
   test("partition columns stay readable and idempotent re-run replaces cleanly") {
     val path = Files.createTempDirectory("graft-snap3").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
