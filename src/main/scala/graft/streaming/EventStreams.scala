@@ -80,6 +80,68 @@ object EventStreams {
       }
   }
 
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      start: java.sql.Timestamp, end: java.sql.Timestamp)
+  /** Internal state of [[userSessions]] — public only because the
+    * state encoder's generated code must reach the accessors. */
+  final case class OpenSession(n: Long, startMs: Long, endMs: Long)
+
+  /** Completed-session emission via flatMapGroupsWithState with an
+    * EVENT-TIME timeout: a user's session stays open in state while
+    * events keep arriving within `gap`; once the watermark passes
+    * last-event + gap the state times out and the finished session is
+    * emitted exactly once (Append mode). State per key is O(1) — the
+    * open session only — so the operator scales with concurrent open
+    * sessions, not history. */
+  def userSessions(events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermark: String = "30 minutes"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMillis = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[OpenSession]) =>
+          def summary(s: OpenSession) = SessionSummary(uid, s.n,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(summary(s))
+          } else {
+            // split the batch's events on in-batch gaps: sessions that
+            // visibly closed inside the batch are emitted immediately;
+            // the trailing one stays open awaiting the timeout. (A
+            // late event within the watermark but beyond an observed
+            // gap starts a NEW session — divergence from
+            // session_window's buffer-until-watermark, documented.)
+            val times = evs.map(_.ts.getTime).toArray
+            java.util.Arrays.sort(times)
+            val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.endMs <= gapMillis =>
+                  Some(OpenSession(s.n + 1, s.startMs, math.max(s.endMs, t)))
+                case Some(s) =>
+                  out += summary(s)
+                  Some(OpenSession(1L, t, t))
+                case None => Some(OpenSession(1L, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the timeout must sit beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMillis, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Switch stateful-streaming state to the RocksDB provider: state
     * lives off-heap/on-disk per executor instead of in the JVM heap —
     * the configuration for large keyspaces (millions of sessions/

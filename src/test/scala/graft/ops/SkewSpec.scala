@@ -78,6 +78,42 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // a selective dim-side filter lets Catalyst inject a bloom filter
+    // on the fact side's join key — rows that can't match are dropped
+    // at the scan instead of surviving to the shuffle (the runtime
+    // row-level filtering lever at 100 TB)
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val urgent = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Tables.lineitem(spark, sf0001)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom filter (might_contain) in:\n$plan")
+      // and the filtered join still returns correct results
+      val n = joined.collect().head.getLong(1)
+      val want = Tables.lineitem(spark, sf0001)
+        .join(Tables.orders(spark, sf0001).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(n === want)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     LakeWriter.writeBucketed(
       Tables.orders(spark, sf0001), "orders_b", Seq("o_custkey"), 4, Seq("o_custkey"))

@@ -167,6 +167,53 @@ class EventStreamsSpec extends SparkTestBase {
     assert(n === 2 * Tables.events(spark, sf0001).count())
   }
 
+  test("flatMapGroupsWithState emits completed sessions on event-time timeout") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-stream-fmgws")
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), d.resolve("a.parquet"))
+
+    val events = EventStreams.readEvents(spark, d.toString)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val out = mutable.ArrayBuffer[EventStreams.SessionSummary]()
+    val q = EventStreams.userSessions(events, gapMinutes = 30).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.SessionSummary], _: Long) =>
+        out.synchronized { out ++= b.collect() }: Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      // push the watermark 10 days past file-1: every file-1 session
+      // must time out and be emitted in the next batch
+      val raw = spark.read.schema(graft.model.EvSchemas.eventsRaw)
+        .parquet(s"$sf0001/events.parquet")
+      // stage as a single FILE: the file stream source does not
+      // recurse into the directory a DataFrame write would produce
+      val tmpB = Files.createTempDirectory("graft-fmgws-b")
+      raw.withColumn("ts", col("ts") + lit(10L * 86400 * 1000000000L))
+        .coalesce(1).write.mode("overwrite").parquet(tmpB.toString)
+      val part = java.nio.file.Files.list(tmpB).iterator.asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, d.resolve("b.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cutoff = new java.sql.Timestamp(
+      Tables.events(spark, sf0001).agg(max(col("ts"))).head.getTimestamp(0).getTime + 1)
+    val emitted = out.filter(_.end.before(cutoff))
+      .groupBy(_.user_id)
+      .map { case (u, ss) => u -> (ss.size.toLong, ss.map(_.n_events).sum) }
+    val want = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(emitted.keySet === want.keySet)
+    emitted.foreach { case (u, got) =>
+      assert(got === want(u), s"user $u sessions/events mismatch")
+    }
+  }
+
   test("streaming silver CSV pipeline equals the batch pipeline output") {
     val base = Files.createTempDirectory("graft-stream-silver")
     val csvDir = Files.createDirectory(base.resolve("in"))
