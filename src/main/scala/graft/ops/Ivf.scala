@@ -123,6 +123,24 @@ object Ivf {
       .drop("rn")
   }
 
+  /** Persist a trained quantizer as a tiny parquet (cluster id +
+    * centroid) so repeated searches skip training — the IVF index
+    * lifecycle: train once offline, load per job. */
+  def save(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("cid"), col("centroid")).as[(Int, Array[Double])]
+      .collect().sortBy(_._1)
+    Model(rows.map(_._2))
+  }
+
   /** Gate query (rows-only: trained quantizer is engine-side):
     * IVF top-10 for three stored queries. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {

@@ -1179,6 +1179,20 @@ object Relational {
       |                          WHERE ps2.ps_partkey = ps.ps_partkey)
       |ORDER BY p.p_partkey, s.s_name""".stripMargin
 
+  // -- §2.10 sketch path: mergeable quantile sketch ------------------
+  // percentile_approx computes per-partition sketches merged at the
+  // reducer — O(accuracy) state per group instead of percentile()'s
+  // full value buffer, the only viable form at 100 TB. Sketch values
+  // are engine-specific → rows-only in the gate; RelationalSpec
+  // asserts the estimates land within 1% of exact.
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_qty_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price_approx"))
+      .orderBy("l_returnflag")
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -1237,5 +1251,6 @@ object Relational {
     QDef("q70_hash_sample", hashSample, Some(hashSampleSql)),
     QDef("q72_window_ignore_nulls", windowIgnoreNulls, Some(windowIgnoreNullsSql)),
     QDef("q73_min_cost_supplier", minCostSupplier, Some(minCostSupplierSql)),
+    QDef("q74_approx_percentiles", approxPercentiles, None),
   )
 }

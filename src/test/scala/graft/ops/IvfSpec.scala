@@ -20,6 +20,19 @@ class IvfSpec extends SparkTestBase {
     assert(assigned.filter(col("cluster") < 0 || col("cluster") >= 8).count() === 0)
   }
 
+  test("saved quantizer loads back and searches identically") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/model"
+    val trained = Ivf.train(emb, k = 8, iters = 5, sampleSize = 500)
+    Ivf.save(spark, trained, path)
+    val loaded = Ivf.load(spark, path)
+    trained.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    val a = Ivf.search(emb, trained, Seq(0L, 1L), k = 5).collect().toSet
+    val b = Ivf.search(emb, loaded, Seq(0L, 1L), k = 5).collect().toSet
+    assert(a === b)
+  }
+
   test("IVF search finds planted near-neighbors") {
     import spark.implicits._
     val queries = Seq(0L, 1L, 2L)

@@ -33,4 +33,18 @@ class RelationalSpec extends SparkTestBase {
         s"approx=$approx exact=$exact for ${r.getString(0)}")
     }
   }
+
+  test("percentile_approx lands within 1% of exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.model.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Relational.approxPercentiles(spark, sf0001).collect().foreach { r =>
+      val (w50, w90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - w50) / w50 <= 0.01, s"p50 off: ${r.getDouble(1)} vs $w50")
+      assert(math.abs(r.getDouble(2) - w90) / w90 <= 0.01, s"p90 off: ${r.getDouble(2)} vs $w90")
+    }
+  }
 }
