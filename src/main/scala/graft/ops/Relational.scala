@@ -1193,6 +1193,74 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price_approx"))
       .orderBy("l_returnflag")
 
+  // -- generator + agg + top-k: the canonical wordcount --------------
+  def wordcountTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+
+  private val wordcountTopKSql =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+      |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin
+
+  // -- §2.8 extension: edit-distance fuzzy matching ------------------
+  // Self-join under a levenshtein radius — the record-linkage
+  // primitive. The nested-loop pair space is bounded here by the
+  // small dim table; at corpus scale the same predicate runs after an
+  // LSH/blocking stage (TextDedup) rather than all-pairs.
+  def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val s1 = Tables.supplier(spark, dir).select(col("s_suppkey").as("k1"), col("s_name").as("n1"))
+    val s2 = Tables.supplier(spark, dir).select(col("s_suppkey").as("k2"), col("s_name").as("n2"))
+    s1.join(s2, col("k1") < col("k2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= 1)
+      .select("k1", "k2", "dist")
+      .orderBy("k1", "k2")
+  }
+
+  private val fuzzyNameMatchSql =
+    """SELECT s1.s_suppkey AS k1, s2.s_suppkey AS k2,
+      | CAST(levenshtein(s1.s_name, s2.s_name) AS INT) AS dist
+      |FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
+      |WHERE levenshtein(s1.s_name, s2.s_name) <= 1
+      |ORDER BY k1, k2""".stripMargin
+
+  // -- time-series resample: calendar grid + gap fill ----------------
+  // Daily revenue on a dense date grid (sequence/generate_series),
+  // missing days filled with 0 and with last-observation-carried-
+  // forward — the resample shape every time-series pipeline needs.
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val grid = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("d"), "left")
+      .select(col("d"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        last(col("revenue"), ignoreNulls = true).over(w).as("carry_forward"))
+      .orderBy("d")
+  }
+
+  private val gapFillDailySql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY 1),
+      |grid AS (
+      |  SELECT CAST(unnest(generate_series((SELECT min(d) FROM daily),
+      |                                     (SELECT max(d) FROM daily),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS d),
+      |j AS (SELECT grid.d, daily.revenue FROM grid LEFT JOIN daily USING (d))
+      |SELECT d, coalesce(revenue, 0) AS revenue,
+      | last_value(revenue IGNORE NULLS) OVER (ORDER BY d
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_forward
+      |FROM j ORDER BY d""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -1252,5 +1320,8 @@ object Relational {
     QDef("q72_window_ignore_nulls", windowIgnoreNulls, Some(windowIgnoreNullsSql)),
     QDef("q73_min_cost_supplier", minCostSupplier, Some(minCostSupplierSql)),
     QDef("q74_approx_percentiles", approxPercentiles, None),
+    QDef("q75_wordcount_topk", wordcountTopK, Some(wordcountTopKSql)),
+    QDef("q76_fuzzy_match", fuzzyNameMatch, Some(fuzzyNameMatchSql)),
+    QDef("q77_gap_fill", gapFillDaily, Some(gapFillDailySql)),
   )
 }
