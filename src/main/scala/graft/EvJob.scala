@@ -11,6 +11,13 @@ import graft.etl.{EvPipeline, GoldConfig, SilverConfig}
   *   sbt "runMain graft.EvJob silver <inputCsv> <silverPath> <quarantinePath> [failMode]"
   *   sbt "runMain graft.EvJob gold <silverPath> [db] [table] [eventDate]"
   *   sbt "runMain graft.EvJob all <inputCsv> <outBase>"
+  *
+  * Lake maintenance (the operational tooling around the layers):
+  *
+  *   sbt "runMain graft.EvJob stats <path>"            # files/bytes per partition
+  *   sbt "runMain graft.EvJob compact <path> [maxFiles]"  # rewrite fat partitions
+  *   sbt "runMain graft.EvJob remerge <quarantinePath> <silverPath>"
+  *                                    # re-validate quarantine, rescue fixed rows
   */
 object EvJob {
   def main(args: Array[String]): Unit = {
@@ -47,6 +54,24 @@ object EvJob {
           println(s"[silver] good=${r.goodCount} quarantined=${r.badCount} dq=${r.dqStatus}")
           val n = EvPipeline.runGold(spark, GoldConfig(s"$base/silver"))
           println(s"[gold] fact rows=$n")
+        case "stats" =>
+          graft.lake.LakeWriter.partitionStats(spark, args(1)).foreach { p =>
+            println(f"[stats] ${p.partition}%-50s files=${p.files}%-4d bytes=${p.bytes}")
+          }
+        case "compact" =>
+          val maxFiles = if (args.length > 2) args(2).toInt else 8
+          val done = graft.lake.LakeWriter.compactPartitions(spark, args(1), maxFiles)
+          println(s"[compact] rewrote ${done.size} partitions: ${done.mkString(", ")}")
+        case "remerge" =>
+          // default repair: resolve "NA"-sourced NULL distances to 0.0
+          // (the reference dataset's dominant quarantine cause)
+          val (rescued, stillBad) = EvPipeline.remergeRepaired(
+            spark, args(1), args(2),
+            repair = df => df.withColumn("distance",
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.col("distance"),
+                org.apache.spark.sql.functions.lit(0.0))))
+          println(s"[remerge] rescued=$rescued stillBad=$stillBad")
         case other => throw new IllegalArgumentException(s"unknown job: $other")
       }
     } finally spark.stop()
