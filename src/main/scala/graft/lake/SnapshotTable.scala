@@ -1,5 +1,7 @@
 package graft.lake
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -26,7 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotTable {
 
-  private case class Entry(commitDir: String, filePath: String)
+  /** One live data file; `stats` optionally carries (column, min,
+    * max) of the clustering column for file-level data skipping. */
+  private case class Entry(commitDir: String, filePath: String,
+      stats: Option[(String, Double, Double)] = None)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -48,13 +53,17 @@ object SnapshotTable {
 
   /** Manifests are single small metadata files read/written on the
     * driver (the table-format norm — Delta/Iceberg logs are driver
-    * IO too): one `commitDir\tfilePath` line per live file. */
+    * IO too): one `commitDir\tfilePath[\tcol\tmin\tmax]` line per
+    * live file (the optional tail is clustering-column stats). */
   private def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] = {
     val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     content.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val Array(c, p) = line.split("\t", 2)
-      Entry(c, p)
+      line.split("\t", -1) match {
+        case Array(c, p)                => Entry(c, p)
+        case Array(c, p, col, lo, hi)   => Entry(c, p, Some((col, lo.toDouble, hi.toDouble)))
+        case other => throw new IllegalStateException(s"bad manifest line: $line")
+      }
     }.toSeq
   }
 
@@ -70,7 +79,10 @@ object SnapshotTable {
     f.mkdirs(new Path(logDir(path)))
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
-    try out.write(entries.map(e => s"${e.commitDir}\t${e.filePath}").mkString("\n").getBytes("UTF-8"))
+    try out.write(entries.map { e =>
+      val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.getOrElse("")
+      s"${e.commitDir}\t${e.filePath}$stats"
+    }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(s"${logDir(path)}/v$version")
     val won =
@@ -111,13 +123,15 @@ object SnapshotTable {
     * dir that no manifest references.
     */
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
-      carryOver: Seq[Entry] => Seq[Entry], maxAttempts: Int = 20): Long = {
+      carryOver: Seq[Entry] => Seq[Entry], maxAttempts: Int = 20,
+      statsCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     val commitDir = s"$path/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
     val w = df.write.mode("errorifexists").option("compression", "zstd")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(commitDir)
     val added = listParquet(fs(spark, path), new Path(commitDir))
-      .map(Entry(commitDir, _))
+      .map(f => Entry(commitDir, f,
+        statsCol.flatMap(c => footerMinMax(spark, f, c).map(r => (c, r._1, r._2)))))
     var attempt = 0
     while (attempt < maxAttempts) {
       // linearized log: the commit targets latest+1 and bases its
@@ -136,6 +150,75 @@ object SnapshotTable {
   /** Append commit: previous live files all carry over. */
   def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long =
     commit(df, path, partitionCols, identity)
+
+  /** Per-file (min, max) of a numeric column from the parquet footer
+    * — read driver-side at commit time, exactly how Iceberg/Delta
+    * collect file stats. Returns None for non-numeric or stats-less
+    * columns. */
+  private def footerMinMax(spark: SparkSession, file: String,
+      column: String): Option[(Double, Double)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.column.statistics._
+    val in = HadoopInputFile.fromPath(new Path(file),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val ranges = for {
+        block <- reader.getFooter.getBlocks.asScala.toSeq
+        cc <- block.getColumns.asScala
+        if cc.getPath.toDotString == column
+        s = cc.getStatistics
+        if s != null && !s.isEmpty
+        r <- s match {
+          case l: LongStatistics   => Some((l.getMin.toDouble, l.getMax.toDouble))
+          case i: IntStatistics    => Some((i.getMin.toDouble, i.getMax.toDouble))
+          case d: DoubleStatistics => Some((d.getMin, d.getMax))
+          case f: FloatStatistics  => Some((f.getMin.toDouble, f.getMax.toDouble))
+          case _                   => None
+        }
+      } yield r
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally reader.close()
+  }
+
+  /** Append with the data RANGE-CLUSTERED on `clusterCol` into
+    * `numFiles` files, recording each file's (min, max) in the
+    * manifest. Clustering makes the per-file ranges disjoint, which is
+    * what turns the stats into an effective file-skipping index —
+    * see [[readRange]]. */
+  def appendClustered(df: DataFrame, path: String, clusterCol: String,
+      numFiles: Int = 8): Long = {
+    val clustered = df
+      .repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+    commit(clustered, path, Nil, identity, statsCol = Some(clusterCol))
+  }
+
+  /** Range read with file-level data skipping: only files whose
+    * recorded [min, max] intersects [lo, hi] are opened (files with
+    * no stats are conservatively read). Returns the filtered frame
+    * and the number of files actually scanned, so callers (and tests)
+    * can see the pruning. */
+  def readRange(spark: SparkSession, path: String, clusterCol: String,
+      lo: Double, hi: Double, version: Option[Long] = None): (DataFrame, Int) = {
+    val v = version.orElse(latestVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val entries = readManifest(spark, path, v)
+    val live = entries.filter(e => e.stats match {
+      case Some((c, mn, mx)) if c == clusterCol => mx >= lo && mn <= hi
+      case _                                    => true // no stats → must read
+    })
+    val pred = col(clusterCol) >= lit(lo) && col(clusterCol) <= lit(hi)
+    if (live.isEmpty)
+      return (read(spark, path, Some(v)).filter(pred).limit(0), 0)
+    val df = live.groupBy(_.commitDir).map { case (dir, es) =>
+      spark.read.option("basePath", dir).option("mergeSchema", true)
+        .parquet(es.map(_.filePath): _*)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    (df.filter(pred), live.size)
+  }
 
   /** Replace the partitions present in `df` (Iceberg
     * overwritePartitions semantics), leaving other partitions and all

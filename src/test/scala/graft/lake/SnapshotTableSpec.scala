@@ -114,6 +114,27 @@ class SnapshotTableSpec extends SparkTestBase {
       === Set("id", "event_date", "v"))
   }
 
+  test("clustered commits skip files outside the queried range") {
+    val path = Files.createTempDirectory("graft-snap-skip").toString + "/t"
+    val li = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+    SnapshotTable.appendClustered(li, path, "l_orderkey", numFiles = 8)
+
+    val (lo, hi) = (100.0, 500.0)
+    val (pruned, scanned) = SnapshotTable.readRange(spark, path, "l_orderkey", lo, hi)
+    assert(scanned < 8, s"expected file skipping, scanned $scanned of 8")
+    assert(scanned >= 1)
+    // identical rows to the unpruned filter
+    val want = SnapshotTable.read(spark, path)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi).count()
+    assert(pruned.count() === want)
+    assert(want > 0)
+    // a range beyond the data touches zero files
+    val (empty, n0) = SnapshotTable.readRange(spark, path, "l_orderkey", 1e12, 2e12)
+    assert(n0 === 0)
+    assert(empty.count() === 0)
+  }
+
   test("partition columns stay readable and idempotent re-run replaces cleanly") {
     val path = Files.createTempDirectory("graft-snap3").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
