@@ -77,6 +77,22 @@ object ScaleBench {
       timed("ann_ivf_3q")      {
         val model = graft.ops.Ivf.train(emb, k = 64)
         noop(graft.ops.Ivf.search(emb, model, queryIds, 10))
+      },
+      timed("stream_drain")    {
+        // Structured Streaming throughput at the same 1M rows:
+        // stage the docs as parquet, then a checkpointed
+        // Trigger.AvailableNow drain through the streaming engine
+        val base = java.nio.file.Files.createTempDirectory("graft-scale-stream")
+        docs.coalesce(16).write.parquet(s"$base/in")
+        val q = spark.readStream
+          .schema(graft.sources.SyntheticDocsSource.schema)
+          .parquet(s"$base/in")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "drain did not finish")
       })
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
