@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Minimal snapshot/commit-log table over parquet — the gap left by
@@ -28,10 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotTable {
 
-  /** One live data file; `stats` optionally carries (column, min,
-    * max) of the clustering column for file-level data skipping. */
+  /** One live data file; `stats` carries (column, min, max) of each
+    * clustering column for file-level data skipping. */
   private case class Entry(commitDir: String, filePath: String,
-      stats: Option[(String, Double, Double)] = None)
+      stats: Seq[(String, Double, Double)] = Nil)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -53,17 +53,19 @@ object SnapshotTable {
 
   /** Manifests are single small metadata files read/written on the
     * driver (the table-format norm — Delta/Iceberg logs are driver
-    * IO too): one `commitDir\tfilePath[\tcol\tmin\tmax]` line per
-    * live file (the optional tail is clustering-column stats). */
+    * IO too): one `commitDir\tfilePath[\tcol\tmin\tmax]...` line per
+    * live file (the optional tail is per-column clustering stats,
+    * repeated in groups of three). */
   private def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] = {
     val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     content.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      line.split("\t", -1) match {
-        case Array(c, p)                => Entry(c, p)
-        case Array(c, p, col, lo, hi)   => Entry(c, p, Some((col, lo.toDouble, hi.toDouble)))
-        case other => throw new IllegalStateException(s"bad manifest line: $line")
-      }
+      val parts = line.split("\t", -1)
+      require(parts.length >= 2 && (parts.length - 2) % 3 == 0,
+        s"bad manifest line: $line")
+      val stats = parts.drop(2).grouped(3)
+        .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
+      Entry(parts(0), parts(1), stats)
     }.toSeq
   }
 
@@ -80,7 +82,7 @@ object SnapshotTable {
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
     try out.write(entries.map { e =>
-      val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.getOrElse("")
+      val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
       s"${e.commitDir}\t${e.filePath}$stats"
     }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -124,14 +126,14 @@ object SnapshotTable {
     */
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
       carryOver: Seq[Entry] => Seq[Entry], maxAttempts: Int = 20,
-      statsCol: Option[String] = None): Long = {
+      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val commitDir = s"$path/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
     val w = df.write.mode("errorifexists").option("compression", "zstd")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(commitDir)
     val added = listParquet(fs(spark, path), new Path(commitDir))
       .map(f => Entry(commitDir, f,
-        statsCol.flatMap(c => footerMinMax(spark, f, c).map(r => (c, r._1, r._2)))))
+        statsCols.flatMap(c => footerMinMax(spark, f, c).map(r => (c, r._1, r._2)))))
     var attempt = 0
     while (attempt < maxAttempts) {
       // linearized log: the commit targets latest+1 and bases its
@@ -193,24 +195,79 @@ object SnapshotTable {
     val clustered = df
       .repartitionByRange(numFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
-    commit(clustered, path, Nil, identity, statsCol = Some(clusterCol))
+    commit(clustered, path, Nil, identity, statsCols = Seq(clusterCol))
+  }
+
+  /** Z-value: interleave the bit patterns of each column scaled to
+    * 16-bit buckets over its [min, max] — pure expression composition
+    * (codegen'd), no UDF. */
+  private def zValue(scaled: Seq[Column]): Column = {
+    val dims = scaled.size
+    (0 until 16).flatMap { bit =>
+      scaled.zipWithIndex.map { case (s, d) =>
+        shiftleft(shiftright(s, bit).bitwiseAND(lit(1)), bit * dims + d)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Multi-dimensional clustering: sort by the Z-ORDER curve over
+    * `clusterCols` so EVERY clustered column's per-file range is
+    * narrow — the layout for tables queried along several dimensions
+    * (Delta OPTIMIZE ZORDER BY). Column ranges for the scaling come
+    * from one cheap min/max aggregation; per-file stats for all
+    * clustered columns land in the manifest for [[readRange]] /
+    * [[readBox]] pruning. */
+  def appendZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int = 8): Long = {
+    require(clusterCols.size >= 2, "z-order needs at least two columns")
+    val aggs = clusterCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val range: Map[String, (Double, Double)] = clusterCols.zipWithIndex.map {
+      case (c, i) => c -> (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+    }.toMap
+    val scaled = clusterCols.map { c =>
+      val (lo, hi) = range(c)
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+        .cast("long"), lit(0L)), lit(65535L))
+    }
+    val clustered = df
+      .withColumn("_z", zValue(scaled))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    commit(clustered, path, Nil, identity, statsCols = clusterCols)
   }
 
   /** Range read with file-level data skipping: only files whose
     * recorded [min, max] intersects [lo, hi] are opened (files with
-    * no stats are conservatively read). Returns the filtered frame
-    * and the number of files actually scanned, so callers (and tests)
-    * can see the pruning. */
+    * no stats for the column are conservatively read). Returns the
+    * filtered frame and the number of files actually scanned, so
+    * callers (and tests) can see the pruning. */
   def readRange(spark: SparkSession, path: String, clusterCol: String,
-      lo: Double, hi: Double, version: Option[Long] = None): (DataFrame, Int) = {
+      lo: Double, hi: Double, version: Option[Long] = None): (DataFrame, Int) =
+    readBox(spark, path, Seq((clusterCol, lo, hi)), version)
+
+  /** Multi-dimensional box read: prune with every (col, lo, hi)
+    * predicate a file has stats for, then apply the full filter. */
+  def readBox(spark: SparkSession, path: String,
+      box: Seq[(String, Double, Double)],
+      version: Option[Long] = None): (DataFrame, Int) = {
+    require(box.nonEmpty, "readBox needs at least one (col, lo, hi)")
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val entries = readManifest(spark, path, v)
-    val live = entries.filter(e => e.stats match {
-      case Some((c, mn, mx)) if c == clusterCol => mx >= lo && mn <= hi
-      case _                                    => true // no stats → must read
-    })
-    val pred = col(clusterCol) >= lit(lo) && col(clusterCol) <= lit(hi)
+    val live = entries.filter { e =>
+      box.forall { case (c, lo, hi) =>
+        e.stats.find(_._1 == c) match {
+          case Some((_, mn, mx)) => mx >= lo && mn <= hi
+          case None              => true // no stats → must read
+        }
+      }
+    }
+    val pred = box.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .reduce(_ && _)
     if (live.isEmpty)
       return (read(spark, path, Some(v)).filter(pred).limit(0), 0)
     val df = live.groupBy(_.commitDir).map { case (dir, es) =>

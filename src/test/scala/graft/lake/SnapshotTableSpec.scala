@@ -135,6 +135,26 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(empty.count() === 0)
   }
 
+  test("z-ordered commits prune files on BOTH clustered dimensions") {
+    val path = Files.createTempDirectory("graft-snap-z").toString + "/t"
+    val li = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    SnapshotTable.appendZOrdered(li, path, Seq("l_orderkey", "l_partkey"), numFiles = 16)
+
+    // a tight 2D box: linear clustering on one key could never prune
+    // on the other; the z-curve narrows per-file ranges of both
+    val box = Seq(("l_orderkey", 100.0, 1500.0), ("l_partkey", 10.0, 50.0))
+    val (pruned, scanned) = SnapshotTable.readBox(spark, path, box)
+    assert(scanned < 16, s"expected 2D pruning, scanned $scanned of 16")
+    val want = SnapshotTable.read(spark, path)
+      .filter(col("l_orderkey").between(100, 1500) && col("l_partkey").between(10, 50))
+      .count()
+    assert(pruned.count() === want)
+    // single-dimension reads prune too (stats exist for both columns)
+    val (_, n1) = SnapshotTable.readRange(spark, path, "l_partkey", 0.0, 40.0)
+    assert(n1 < 16)
+  }
+
   test("partition columns stay readable and idempotent re-run replaces cleanly") {
     val path = Files.createTempDirectory("graft-snap3").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
