@@ -47,7 +47,8 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def r3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would break the JSON
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
     }.mkString("{", ",", "}")

@@ -95,9 +95,11 @@ object ScaleBench {
         require(q.awaitTermination(300000), "drain did not finish")
       })
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
+    // Locale.ROOT: a comma-decimal default locale would break the JSON
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = "%.3f".format(results.map(_._2).sum)
+    val total = r3(results.map(_._2).sum)
     println(s"""{"metric":"scale_total","value":$total,"unit":"sec","rows":$rows,"vecs":$vecs,"ops":$qs}""")
     spark.stop()
   }
