@@ -124,7 +124,9 @@ object EventStreams {
             times.foreach { t =>
               cur = cur match {
                 case Some(s) if t - s.endMs <= gapMillis =>
-                  Some(OpenSession(s.n + 1, s.startMs, math.max(s.endMs, t)))
+                  // min: a late (within-watermark) event may precede
+                  // the open session's start
+                  Some(OpenSession(s.n + 1, math.min(s.startMs, t), math.max(s.endMs, t)))
                 case Some(s) =>
                   out += summary(s)
                   Some(OpenSession(1L, t, t))
