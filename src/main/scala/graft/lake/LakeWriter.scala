@@ -71,6 +71,7 @@ object LakeWriter {
       filesPerPartition: Int = 1,
       compression: String = "zstd"): Unit = {
     import org.apache.spark.sql.functions.{lit, monotonically_increasing_id, pmod}
+    requireNotSnapshotTable(spark, path)
     val df = spark.read.parquet(path)
     val tmp = path.stripSuffix("/") + "_compacting"
     // hashing on the partition columns sends each partition value to
@@ -148,6 +149,7 @@ object LakeWriter {
       filesPerPartition: Int = 1,
       compression: String = "zstd"): Seq[String] = {
     import org.apache.hadoop.fs.Path
+    requireNotSnapshotTable(spark, path)
     val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fat = partitionStats(spark, path).filter(p => p.partition.nonEmpty && p.files > maxFiles)
     fat.map { p =>
@@ -168,6 +170,16 @@ object LakeWriter {
       f.delete(trash, true)
       p.partition
     }
+  }
+
+  /** Path-rewriting maintenance must not touch snapshot tables —
+    * moving/deleting their data files would orphan manifest entries;
+    * those tables compact by committing a rewritten version instead. */
+  private def requireNotSnapshotTable(spark: SparkSession, path: String): Unit = {
+    val log = new org.apache.hadoop.fs.Path(s"$path/_graft_log")
+    val f = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!f.exists(log),
+      s"$path is a SnapshotTable (has _graft_log); path-level compaction would orphan its manifests")
   }
 
   /** Bucketed managed table: rows are hash-distributed into

@@ -85,6 +85,16 @@ class LakeWriterSpec extends SparkTestBase {
     assert(spark.read.parquet(base).count() === li.count())
   }
 
+  test("compaction refuses to touch snapshot-table paths") {
+    val base = Files.createTempDirectory("graft-guard").toString + "/t"
+    graft.lake.SnapshotTable.append(
+      Tables.orders(spark, sf0001).limit(10), base)
+    assertThrows[IllegalArgumentException](
+      LakeWriter.compactPartitions(spark, base, maxFiles = 1))
+    assertThrows[IllegalArgumentException](
+      LakeWriter.compact(spark, base, Nil))
+  }
+
   test("splitByPredicate partitions rows exactly, nulls to the right") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (null, "c"))
