@@ -10,6 +10,8 @@ import graft.etl.{EvPipeline, GoldConfig, SilverConfig}
   *
   *   sbt "runMain graft.EvJob silver <inputCsv> <silverPath> <quarantinePath> [failMode]"
   *   sbt "runMain graft.EvJob gold <silverPath> [db] [table] [eventDate]"
+  *   sbt "runMain graft.EvJob gold-snapshot <silverPath> <tablePath> [eventDate]"
+  *                                    # versioned fact table with time travel
   *   sbt "runMain graft.EvJob all <inputCsv> <outBase>"
   *
   * Lake maintenance (the operational tooling around the layers):
@@ -54,6 +56,10 @@ object EvJob {
           println(s"[silver] good=${r.goodCount} quarantined=${r.badCount} dq=${r.dqStatus}")
           val n = EvPipeline.runGold(spark, GoldConfig(s"$base/silver"))
           println(s"[gold] fact rows=$n")
+        case "gold-snapshot" =>
+          val (v, n) = EvPipeline.runGoldSnapshot(spark, args(1), args(2),
+            if (args.length > 3) Some(args(3)) else None)
+          println(s"[gold-snapshot] version=$v fact rows=$n")
         case "stats" =>
           graft.lake.LakeWriter.partitionStats(spark, args(1)).foreach { p =>
             println(f"[stats] ${p.partition}%-50s files=${p.files}%-4d bytes=${p.bytes}")

@@ -78,6 +78,28 @@ object EvPipeline {
 
   private def silver_col(name: String) = org.apache.spark.sql.functions.col(name)
 
+  /** Gold job against the snapshot-table layer — the closest
+    * re-expression of the reference's Iceberg fact table
+    * (jobs/ev_sessions_gold_etl.py:147-156: `USING iceberg` v2 +
+    * `writeTo(t).overwritePartitions()`): every load is a versioned
+    * commit replacing only the touched event_date partitions, with
+    * time travel across loads. Returns (version, rowsNow). */
+  def runGoldSnapshot(spark: SparkSession, silverPath: String,
+      tablePath: String, eventDate: Option[String] = None): (Long, Long) = {
+    val silver = spark.read.parquet(silverPath)
+      .select(GoldFeatures.silverProjection.map(silver_col): _*)
+    val filtered = GoldFeatures.eventDateFilter(silver, eventDate)
+    if (filtered.isEmpty) {
+      val rows = graft.lake.SnapshotTable.latestVersion(spark, tablePath)
+        .map(_ => graft.lake.SnapshotTable.read(spark, tablePath).count()).getOrElse(0L)
+      return (graft.lake.SnapshotTable.latestVersion(spark, tablePath).getOrElse(0L), rows)
+    }
+    val gold = GoldFeatures.derive(filtered)
+    val v = graft.lake.SnapshotTable.overwritePartitions(
+      gold, tablePath, Seq("event_date"))
+    (v, graft.lake.SnapshotTable.read(spark, tablePath).count())
+  }
+
   /** Quarantine repair-and-remerge (SURVEY.md §2.7: re-merging
     * repaired quarantine rows is the natural lakehouse flow the
     * reference leaves manual). `repair` is a caller-provided

@@ -121,6 +121,29 @@ class EvPipelineSpec extends SparkTestBase {
       "retried remerge must be idempotent")
   }
 
+  test("snapshot-backed gold versions every load and time-travels") {
+    val base = Files.createTempDirectory("graft-gold-snap").toString
+    EvPipeline.runSilver(spark,
+      SilverConfig(fixture, s"$base/silver", s"$base/quarantine"))
+    val table = s"$base/gold_fact"
+
+    val (v1, n1) = EvPipeline.runGoldSnapshot(spark, s"$base/silver", table)
+    assert(v1 === 1L)
+    assert(n1 === 37L)
+    // idempotent re-run: new version, same table contents
+    val (v2, n2) = EvPipeline.runGoldSnapshot(spark, s"$base/silver", table)
+    assert(v2 === 2L)
+    assert(n2 === 37L)
+    // time travel still reads the first load
+    assert(graft.lake.SnapshotTable.read(spark, table, Some(1L)).count() === 37L)
+    // single-date reprocess replaces only that partition
+    val oneDate = spark.read.parquet(s"$base/silver")
+      .select("event_date").head().getDate(0).toString
+    val (v3, n3) = EvPipeline.runGoldSnapshot(spark, s"$base/silver", table, Some(oneDate))
+    assert(v3 === 3L)
+    assert(n3 === 37L)
+  }
+
   test("typed Dataset[EvSession] view round-trips the silver schema") {
     val base = Files.createTempDirectory("graft-typed").toString
     EvPipeline.runSilver(spark,
