@@ -39,8 +39,12 @@ object Bench {
     // (name, seconds, error). Timings are rounded to 3 decimals so the
     // whole JSON line stays short enough for log tail buffers; a query
     // that crashes is reported as null + an entry in "errors" rather
-    // than a bogus near-zero timing.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // than a bogus near-zero timing. SPARK_GRAFT_ONLY=q50,q76 restricts
+    // the run to a comma-separated name-prefix list (dev loop).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { exec(fn); None } catch {
         case e: Throwable => Some(e.getClass.getSimpleName)
@@ -55,7 +59,15 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The driver scrapes the last stdout line, but its log tail buffer
+    // has truncated both r1 and r2 — also persist the JSON to a file
+    // (checked in per round) so the numbers survive regardless.
+    if (only.isEmpty) {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    }
+    println(json)
     spark.stop()
   }
 }

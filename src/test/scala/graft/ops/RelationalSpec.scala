@@ -26,25 +26,52 @@ class RelationalSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("approx_count_distinct lands within 5% of exact") {
+  test("approx_count_distinct lands within 5% of exact (gate boolean true)") {
     Relational.approxDistinct(spark, sf0001).collect().foreach { r =>
-      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"approx=$approx exact=$exact for ${r.getString(0)}")
+      assert(r.getBoolean(2), s"HLL++ estimate off >5% for ${r.getString(0)}")
     }
   }
 
-  test("percentile_approx lands within 1% of exact percentiles") {
-    import org.apache.spark.sql.functions._
-    val exact = graft.model.Tables.lineitem(spark, sf0001)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+  test("percentile_approx lands inside the ±0.01-quantile band (gate booleans true)") {
     Relational.approxPercentiles(spark, sf0001).collect().foreach { r =>
-      val (w50, w90) = exact(r.getString(0))
-      assert(math.abs(r.getDouble(1) - w50) / w50 <= 0.01, s"p50 off: ${r.getDouble(1)} vs $w50")
-      assert(math.abs(r.getDouble(2) - w90) / w90 <= 0.01, s"p90 off: ${r.getDouble(2)} vs $w90")
+      assert(r.getBoolean(3), s"p50 sketch outside rank band for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"p90 sketch outside rank band for ${r.getString(0)}")
     }
+  }
+
+  test("histogram exact percentile equals the built-in percentile()") {
+    import org.apache.spark.sql.functions._
+    val builtin = graft.model.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val hist = Relational.exactPercentileHist(
+      graft.model.Tables.lineitem(spark, sf0001)
+        .select("l_returnflag", "l_quantity", "l_extendedprice"),
+      "l_returnflag",
+      Seq(
+        ("l_quantity", 0.5, "p50_qty"),
+        ("l_quantity", 0.9, "p90_qty"),
+        ("l_extendedprice", 0.5, "p50_price")))
+      .collect()
+    assert(hist.length === builtin.size)
+    hist.foreach { r =>
+      val (w50q, w90q, w50p) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(1) - w50q) < 1e-9, s"p50_qty ${r.getDouble(1)} vs $w50q")
+      assert(math.abs(r.getDouble(2) - w90q) < 1e-9, s"p90_qty ${r.getDouble(2)} vs $w90q")
+      assert(math.abs(r.getDouble(3) - w50p) < 1e-9, s"p50_price ${r.getDouble(3)} vs $w50p")
+    }
+  }
+
+  test("fuzzy match blocking plan contains no nested-loop join") {
+    val plan = Relational.fuzzyNameMatch(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 }
