@@ -258,6 +258,54 @@ object EvQueries {
     } finally { gold.unpersist(); () }
   }
 
+  /** Row-level MERGE through the snapshot layer: commit the gold
+    * fact, then upsert a correction batch — the three lowest
+    * sessionIds re-priced to a -1.0 marker plus one brand-new session
+    * — via SnapshotTable.merge, and read the latest version back.
+    * Unlike ev08 this has a full DuckDB oracle: the merged state is
+    * plain SQL over the same cleaned rows, so the row-level-upsert
+    * semantics (update matched, insert unmatched, leave the rest) are
+    * hash-verified, not just row-counted. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-merge-gate").toString + "/fact"
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      graft.lake.SnapshotTable.append(gold, path, Seq("event_date"))
+      val updates = gold.orderBy("sessionId").limit(3)
+        .withColumn("session_duration_minutes", lit(-1.0))
+      val minDate = gold.select(min(col("event_date"))).head().getDate(0)
+      val inserts = Seq(("merged-new", 42.0))
+        .toDF("sessionId", "session_duration_minutes")
+        .select(col("sessionId"), lit(minDate).as("event_date"),
+          col("session_duration_minutes"))
+      graft.lake.SnapshotTable.merge(updates.unionByName(inserts), path,
+        keyCols = Seq("sessionId"), partitionCols = Seq("event_date"))
+      graft.lake.SnapshotTable.read(spark, path)
+        .select("sessionId", "session_duration_minutes")
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val mergeUpsertSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |), upd AS (
+       |  SELECT sessionId FROM gold ORDER BY sessionId LIMIT 3
+       |)
+       |SELECT sessionId,
+       |  CASE WHEN sessionId IN (SELECT sessionId FROM upd)
+       |       THEN -1.0 ELSE session_duration_minutes END AS session_duration_minutes
+       |FROM gold
+       |UNION ALL SELECT 'merged-new', 42.0
+       |ORDER BY sessionId""".stripMargin
+
   private val stationUtilizationSql =
     s"""$prefix,
        |hrs AS (
@@ -280,5 +328,6 @@ object EvQueries {
     QDef("ev06_platform_share", platformShare, Some(platformShareSql)),
     QDef("ev07_station_utilization", stationUtilization, Some(stationUtilizationSql)),
     QDef("ev08_snapshot_versions", snapshotVersions, None),
+    QDef("ev09_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
   )
 }

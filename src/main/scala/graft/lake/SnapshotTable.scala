@@ -22,15 +22,25 @@ import org.apache.spark.sql.functions._
   * are immutable; overwritePartitions drops entries of the touched
   * partitions from the new manifest without deleting files, so every
   * earlier version remains readable (time travel). Concurrent writers
-  * are safe via optimistic concurrency: the manifest rename is a CAS
+  * are safe via optimistic concurrency: the manifest publish is a CAS
   * on the version number, and a loser re-reads the winner's manifest
   * and retries (see commit()) — no lock service required.
+  *
+  * The CAS is only atomic where the filesystem gives us an atomic
+  * create-if-absent: local FS (hard link) and HDFS (rename onto an
+  * existing file fails). Object stores (s3a/gs/abfs) provide NEITHER —
+  * two writers could both pass the existence check and both "win" the
+  * same version, silently dropping one commit — so publishing to an
+  * object-store scheme fails fast unless the caller opts in with
+  * -Dgraft.snapshot.allowNonAtomicPublish=true (single writer or an
+  * external lock, the same posture as delta-on-S3 without a
+  * LogStore/DynamoDB lock).
   */
 object SnapshotTable {
 
   /** One live data file; `stats` carries (column, min, max) of each
     * clustering column for file-level data skipping. */
-  private case class Entry(commitDir: String, filePath: String,
+  private[lake] case class Entry(commitDir: String, filePath: String,
       stats: Seq[(String, Double, Double)] = Nil)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -56,7 +66,7 @@ object SnapshotTable {
     * IO too): one `commitDir\tfilePath[\tcol\tmin\tmax]...` line per
     * live file (the optional tail is per-column clustering stats,
     * repeated in groups of three). */
-  private def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] = {
+  private[lake] def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] = {
     val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     content.split("\n").iterator.filter(_.nonEmpty).map { line =>
@@ -69,15 +79,28 @@ object SnapshotTable {
     }.toSeq
   }
 
+  /** Filesystem schemes with no atomic create-if-absent: the exists
+    * check + rename below is not a CAS there (see object docs). */
+  private val nonAtomicSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
   /** Atomically publish manifest `version`; returns false if another
     * writer won that version. The publish is a create-if-absent CAS:
     * on the local FS a hard link (atomic, fails if the target exists),
-    * elsewhere a rename (HDFS rename onto an existing FILE fails).
-    * Content is fully written to the tmp file first, so a reader can
-    * never observe a partial manifest. */
+    * on HDFS a rename (rename onto an existing FILE fails). Object
+    * stores have neither primitive and fail fast unless explicitly
+    * opted in. Content is fully written to the tmp file first, so a
+    * reader can never observe a partial manifest. */
   private def publishManifest(spark: SparkSession, path: String, version: Long,
       entries: Seq[Entry]): Boolean = {
     val f = fs(spark, path)
+    val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
+    require(!nonAtomicSchemes.contains(scheme)
+        || sys.props.get("graft.snapshot.allowNonAtomicPublish").contains("true"),
+      s"manifest publish on '$scheme' has no atomic create-if-absent: concurrent " +
+        "writers could both win the same version and silently drop a commit. " +
+        "Guarantee a single writer (or an external lock) and set " +
+        "-Dgraft.snapshot.allowNonAtomicPublish=true to proceed.")
     f.mkdirs(new Path(logDir(path)))
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
@@ -198,12 +221,19 @@ object SnapshotTable {
     commit(clustered, path, Nil, identity, statsCols = Seq(clusterCol))
   }
 
+  /** Bits per dimension for the z-curve: capped at 16 and bounded so
+    * the interleaved value never reaches bit 63 (the long sign bit —
+    * a negative z-value would break curve ordering) and shift counts
+    * never hit 64 (Spark's shiftleft wraps mod 64, silently
+    * interleaving wrong bits). */
+  private def zBitsPerDim(dims: Int): Int = math.min(16, 63 / dims)
+
   /** Z-value: interleave the bit patterns of each column scaled to
-    * 16-bit buckets over its [min, max] — pure expression composition
-    * (codegen'd), no UDF. */
+    * zBitsPerDim-bit buckets over its [min, max] — pure expression
+    * composition (codegen'd), no UDF. */
   private def zValue(scaled: Seq[Column]): Column = {
     val dims = scaled.size
-    (0 until 16).flatMap { bit =>
+    (0 until zBitsPerDim(dims)).flatMap { bit =>
       scaled.zipWithIndex.map { case (s, d) =>
         shiftleft(shiftright(s, bit).bitwiseAND(lit(1)), bit * dims + d)
       }
@@ -223,14 +253,19 @@ object SnapshotTable {
     val aggs = clusterCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    clusterCols.zipWithIndex.foreach { case (c, i) =>
+      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
+        s"appendZOrdered needs a non-empty input and a non-all-NULL cluster column; '$c' has no min/max")
+    }
     val range: Map[String, (Double, Double)] = clusterCols.zipWithIndex.map {
       case (c, i) => c -> (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
     }.toMap
+    val maxBucket = (1L << zBitsPerDim(clusterCols.size)) - 1
     val scaled = clusterCols.map { c =>
       val (lo, hi) = range(c)
       val span = if (hi > lo) hi - lo else 1.0
-      least(greatest(((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0))
-        .cast("long"), lit(0L)), lit(65535L))
+      least(greatest(((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxBucket.toDouble))
+        .cast("long"), lit(0L)), lit(maxBucket))
     }
     val clustered = df
       .withColumn("_z", zValue(scaled))
@@ -301,6 +336,98 @@ object SnapshotTable {
       }.toSet
     commit(df, path, partitionCols,
       prev => prev.filterNot(e => touched.exists(t => e.filePath.contains(s"/$t/"))))
+  }
+
+  /** Row-level MERGE (upsert): a source row whose `keyCols` match an
+    * existing row replaces it, the rest insert — `MERGE ... WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, the
+    * row-level path the reference's gold sink enables by declaring an
+    * Iceberg v2 table (reference jobs/ev_sessions_gold_etl.py:147-149,
+    * format-version=2). Unlike [[overwritePartitions]], a late
+    * correction to one session rewrites only the FILES that can
+    * contain its key, not the whole partition: the manifest's per-file
+    * footer stats prune the rewrite set with a broadcast range join
+    * against the distinct source keys (the source is never collected
+    * to the driver), and files lacking stats on every key column are
+    * conservatively rewritten. Per-key-column stats are recorded on
+    * the files this merge writes, so successive merges keep pruning.
+    *
+    * Preconditions: source keys must be unique (the standard MERGE
+    * constraint — an ambiguous multi-update throws), and for a
+    * hive-partitioned table `partitionCols` must repeat the table's
+    * partition columns so rewritten files keep the layout
+    * [[overwritePartitions]] matches on. Concurrency: the rewrite set
+    * is computed against the latest version; if another writer commits
+    * before this merge publishes, the commit aborts (write-skew guard)
+    * — rerun the merge.
+    */
+  def merge(source: DataFrame, path: String, keyCols: Seq[String],
+      partitionCols: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = source.sparkSession
+    require(source.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — " +
+        "each target row may be updated by at most one source row")
+    val base = latestVersion(spark, path) match {
+      case None    => return commit(source, path, partitionCols, identity,
+                        statsCols = keyCols)
+      case Some(v) => v
+    }
+    val entries = readManifest(spark, path, base)
+
+    // files prunable via stats: those carrying min/max for EVERY key
+    // column (others must be rewritten unconditionally)
+    val statCols = keyCols.filter(c => entries.exists(_.stats.exists(_._1 == c)))
+    val (prunable, unprunable) = entries.partition(e =>
+      statCols.nonEmpty && statCols.forall(c => e.stats.exists(_._1 == c)))
+    val hit: Set[String] =
+      if (prunable.isEmpty) Set.empty
+      else {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+        val schema = StructType(StructField("_file", StringType) +:
+          statCols.flatMap(c => Seq(
+            StructField(s"_mn_$c", DoubleType), StructField(s"_mx_$c", DoubleType))))
+        val ranges = spark.createDataFrame(
+          prunable.map(e => Row.fromSeq(e.filePath +: statCols.flatMap { c =>
+            val (_, mn, mx) = e.stats.find(_._1 == c).get
+            Seq(mn, mx)
+          })).asJava, schema)
+        val srcKeys = source
+          .select(statCols.map(c => col(c).cast("double").as(c)): _*).distinct()
+        val inRange = statCols
+          .map(c => col(c) >= col(s"_mn_$c") && col(c) <= col(s"_mx_$c"))
+          .reduce(_ && _)
+        srcKeys.join(broadcast(ranges), inRange)
+          .select("_file").distinct().collect().map(_.getString(0)).toSet
+      }
+    val rewrite: Set[String] = hit ++ unprunable.map(_.filePath)
+
+    // survivors of the rewritten files = rows whose key matches no
+    // source key; everything else in those files is superseded
+    val newData =
+      if (rewrite.isEmpty) source
+      else {
+        val touched = entries.filter(e => rewrite(e.filePath))
+        val current = touched.groupBy(_.commitDir).map { case (dir, es) =>
+          spark.read.option("basePath", dir).option("mergeSchema", true)
+            .parquet(es.map(_.filePath): _*)
+        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        current
+          .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+          .unionByName(source, allowMissingColumns = true)
+      }
+
+    // keep pruning effective across merges: re-record stats for every
+    // column any live file tracks, plus the merge keys themselves
+    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++ keyCols).distinct
+    val baseFiles = entries.map(_.filePath).toSet
+    commit(newData, path, partitionCols, prev => {
+      require(prev.map(_.filePath).toSet == baseFiles,
+        s"concurrent commit advanced $path during merge — rerun the merge")
+      prev.filterNot(e => rewrite(e.filePath))
+    }, statsCols = statsOut)
   }
 
   /** Expire history: keep only the latest `keepVersions` manifests

@@ -155,6 +155,84 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(n1 < 16)
   }
 
+  test("merge upserts: matched keys replaced, unmatched inserted, time travel intact") {
+    val path = Files.createTempDirectory("graft-snap-merge").toString + "/t"
+    val base = (1 to 10).map(i => (i.toLong, "2024-01-01", i * 1.0))
+      .toDF("k", "event_date", "v")
+    SnapshotTable.merge(base, path, Seq("k"), Seq("event_date"))    // empty table → plain insert
+    val src = Seq((3L, "2024-01-01", 300.0), (7L, "2024-01-01", 700.0),
+      (42L, "2024-01-02", 4200.0)).toDF("k", "event_date", "v")
+    SnapshotTable.merge(src, path, Seq("k"), Seq("event_date"))
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.count() === 11) // 10 base − 2 updated + 2 updated + 1 inserted
+    assert(latest.filter(col("k") === 3).select("v").as[Double].head() === 300.0)
+    assert(latest.filter(col("k") === 7).select("v").as[Double].head() === 700.0)
+    assert(latest.filter(col("k") === 42).select("v").as[Double].head() === 4200.0)
+    assert(latest.filter(col("k") === 5).select("v").as[Double].head() === 5.0)
+    // pre-merge snapshot unchanged
+    val v1 = SnapshotTable.read(spark, path, Some(1L))
+    assert(v1.count() === 10)
+    assert(v1.filter(col("k") === 3).select("v").as[Double].head() === 3.0)
+  }
+
+  test("merge rewrites only the files whose stats can contain a source key") {
+    val path = Files.createTempDirectory("graft-snap-merge-prune").toString + "/t"
+    val base = (1 to 800).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    SnapshotTable.appendClustered(base, path, "k", numFiles = 8)
+    val before = SnapshotTable.readManifest(spark, path, 1L).map(_.filePath).toSet
+    assert(before.size === 8)
+    // keys 5 and 17 both land in the first ~[1,100] file
+    val src = Seq((5L, -5.0), (17L, -17.0)).toDF("k", "v")
+    SnapshotTable.merge(src, path, Seq("k"))
+    val after = SnapshotTable.readManifest(spark, path, 2L).map(_.filePath).toSet
+    val survivors = before.intersect(after)
+    assert(survivors.size === 7, s"expected 7 untouched files, got ${survivors.size}")
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.count() === 800)
+    assert(latest.filter(col("k") === 5).select("v").as[Double].head() === -5.0)
+    assert(latest.filter(col("k") === 1).select("v").as[Double].head() === 1.0)
+    // the files this merge wrote carry key stats, so the NEXT merge
+    // still prunes instead of degrading to a full rewrite
+    SnapshotTable.merge(Seq((700L, -700.0)).toDF("k", "v"), path, Seq("k"))
+    val third = SnapshotTable.readManifest(spark, path, 3L).map(_.filePath).toSet
+    assert(after.intersect(third).size === after.size - 1,
+      "second merge should rewrite exactly the one file containing k=700")
+    assert(SnapshotTable.read(spark, path).count() === 800)
+  }
+
+  test("merge with a string key (no footer stats) still upserts correctly") {
+    val path = Files.createTempDirectory("graft-snap-merge-str").toString + "/t"
+    val base = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("id", "v")
+    SnapshotTable.append(base, path)
+    SnapshotTable.merge(Seq(("b", 20.0), ("d", 4.0)).toDF("id", "v"), path, Seq("id"))
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.count() === 4)
+    assert(latest.filter(col("id") === "b").select("v").as[Double].head() === 20.0)
+    assert(latest.filter(col("id") === "a").select("v").as[Double].head() === 1.0)
+  }
+
+  test("merge rejects a source with duplicate keys") {
+    val path = Files.createTempDirectory("graft-snap-merge-dup").toString + "/t"
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), path)
+    val dup = Seq((1L, 10.0), (1L, 11.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.merge(dup, path, Seq("k")))
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
+  test("merge schema evolution: source may add columns, survivors read NULL") {
+    val path = Files.createTempDirectory("graft-snap-merge-evo").toString + "/t"
+    SnapshotTable.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path)
+    val widened = Seq((2L, 20.0, "fixed"), (3L, 3.0, "new"))
+      .toDF("k", "v", "note")
+    SnapshotTable.merge(widened, path, Seq("k"))
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.columns.toSet === Set("k", "v", "note"))
+    assert(latest.count() === 3)
+    assert(latest.filter(col("k") === 1).select("note").head().isNullAt(0))
+    assert(latest.filter(col("k") === 2).select("note").as[String].head() === "fixed")
+  }
+
   test("partition columns stay readable and idempotent re-run replaces cleanly") {
     val path = Files.createTempDirectory("graft-snap3").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
