@@ -121,6 +121,17 @@ object EvPipeline {
       repair: DataFrame => DataFrame,
       secondaryPartition: String = "stationId"): (Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // A streaming-produced layer leads with a `_batch_id` partition
+    // (EventStreams.streamSilverCsv exactly-once scheme). Writing the
+    // batch layout (event_date, stationId) under the same root would
+    // plant a second, conflicting partition scheme and break partition
+    // discovery — so keep `_batch_id` leading in everything we write
+    // (rescued rows carry their original batch id through the repair),
+    // and refuse a half-streamed pair outright.
+    val streamed = hasBatchIdLayout(spark, quarantinePath)
+    require(streamed == hasBatchIdLayout(spark, silverPath),
+      s"silver ($silverPath) and quarantine ($quarantinePath) disagree on the " +
+        "_batch_id streaming layout — remerge would mix partition schemes under one root")
     val bad = spark.read.parquet(quarantinePath).drop("quarantine_reason")
     val repaired = SilverClean.withQuarantineReasons(repair(bad))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -128,7 +139,8 @@ object EvPipeline {
       // materialize BEFORE rewriting the quarantine path we read from
       repaired.count()
       val (nowGood, stillBad) = SilverClean.split(repaired)
-      val partCols = Seq("event_date", secondaryPartition)
+      val partCols =
+        (if (streamed) Seq("_batch_id") else Nil) ++ Seq("event_date", secondaryPartition)
       // counts FIRST: the quarantine overwrite below refreshes that
       // path's cache entries, after which these plans would recompute
       // against the rewritten files
@@ -165,5 +177,14 @@ object EvPipeline {
       finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       (rescuedCount, stillBadCount)
     } finally repaired.unpersist()
+  }
+
+  /** True when `path`'s first-level dirs carry the streaming sink's
+    * leading `_batch_id=` partition. */
+  private def hasBatchIdLayout(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("_batch_id="))
   }
 }

@@ -139,9 +139,14 @@ object LakeWriter {
     * partition's files untouched (contrast [[compact]], which
     * rewrites the whole layout). Each fat partition is rewritten to
     * `filesPerPartition` files via a hidden staging dir, then swapped
-    * in with two renames; a crash between the renames leaves the
-    * original content in a `.trash-*` dir for manual recovery.
-    * Returns the partitions rewritten. */
+    * in with two renames. NOT safe under concurrent readers or
+    * writers on the path: between the renames the partition is
+    * briefly absent, and a crash in that window leaves the original
+    * content only in a hidden `.trash-*` dir that readers skip — the
+    * partition vanishes from query results until the trash dir
+    * (logged below) is renamed back by hand. Run it only in an
+    * exclusive maintenance window (the same contract as Hive/HDFS
+    * dir-swap compaction). Returns the partitions rewritten. */
   def compactPartitions(
       spark: SparkSession,
       path: String,
@@ -161,11 +166,15 @@ object LakeWriter {
         .repartition(filesPerPartition)
         .write.mode("overwrite").option("compression", compression)
         .parquet(tmp.toString)
-      if (!f.rename(dir, trash))
+      if (!f.rename(dir, trash)) {
+        f.delete(tmp, true)
         throw new IllegalStateException(s"compaction swap failed for $dir")
+      }
       if (!f.rename(tmp, dir)) {
         f.rename(trash, dir) // roll back
-        throw new IllegalStateException(s"compaction swap failed for $dir")
+        f.delete(tmp, true)
+        throw new IllegalStateException(
+          s"compaction swap failed for $dir (original restored from $trash)")
       }
       f.delete(trash, true)
       p.partition

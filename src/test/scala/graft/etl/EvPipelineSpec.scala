@@ -121,6 +121,41 @@ class EvPipelineSpec extends SparkTestBase {
       "retried remerge must be idempotent")
   }
 
+  test("remerge preserves a streaming _batch_id layout instead of mixing schemes") {
+    val base = Files.createTempDirectory("graft-remerge-stream").toString
+    EvPipeline.runSilver(spark,
+      SilverConfig(fixture, s"$base/b_silver", s"$base/b_quarantine"))
+    // re-lay both layers exactly as the streaming sink writes them:
+    // a leading _batch_id partition above (event_date, stationId)
+    Seq("silver", "quarantine").foreach { layer =>
+      spark.read.parquet(s"$base/b_$layer").withColumn("_batch_id", lit(0L))
+        .write.partitionBy("_batch_id", "event_date", "stationId")
+        .parquet(s"$base/$layer")
+    }
+    val (rescued, stillBad) = EvPipeline.remergeRepaired(
+      spark, s"$base/quarantine", s"$base/silver",
+      repair = df => df.withColumn("distance",
+        coalesce(col("distance"), lit(0.0))))
+    assert(rescued === 10)
+    assert(stillBad === 8)
+    assert(spark.read.parquet(s"$base/silver").count() === 47)
+    assert(spark.read.parquet(s"$base/quarantine").count() === 8)
+    // the roots must hold ONLY _batch_id= dirs — a second partition
+    // scheme beside them would break partition discovery
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("silver", "quarantine").foreach { layer =>
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$layer"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("_batch_id=")),
+        s"$layer root mixes partition schemes: ${dirs.mkString(",")}")
+    }
+    // a half-streamed pair (streamed quarantine, batch silver) refuses
+    val e = intercept[IllegalArgumentException](EvPipeline.remergeRepaired(
+      spark, s"$base/quarantine", s"$base/b_silver", repair = df => df))
+    assert(e.getMessage.contains("_batch_id"))
+  }
+
   test("snapshot-backed gold versions every load and time-travels") {
     val base = Files.createTempDirectory("graft-gold-snap").toString
     EvPipeline.runSilver(spark,
