@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     // whole-operator extension: plans the AsOfJoin logical node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL-syntax time travel over registered snapshot tables:
+    //   SELECT * FROM name VERSION AS OF 2 / TIMESTAMP AS OF '...'
+    ext.injectResolutionRule(s => graft.lake.ResolveSnapshotRelation(s))
   }
 }

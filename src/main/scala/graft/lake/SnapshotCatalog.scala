@@ -1,0 +1,90 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.DatasetBridge
+import org.apache.spark.sql.types.TimestampType
+
+/** SQL-name registry for snapshot tables plus the analyzer rule that
+  * resolves them — the SQL-syntax half of the time-travel contract
+  * the reference's gold sink gets from Iceberg (`SELECT ... FROM t
+  * VERSION AS OF 3` / `TIMESTAMP AS OF '...'`; reference
+  * jobs/ev_sessions_gold_etl.py writes an Iceberg table whose
+  * catalog exposes exactly this syntax through Athena/Spark SQL).
+  *
+  *   SnapshotCatalog.register("ev_fact", "/lake/gold/fact")
+  *   spark.sql("SELECT * FROM ev_fact VERSION AS OF 2")
+  *
+  * The rule is injected by [[graft.functions.GraftExtensions]]
+  * (spark.sql.extensions) and matches only single-part names present
+  * in the registry, so it can never shadow a real catalog table with
+  * a qualified name. `TIMESTAMP AS OF t` resolves to the newest
+  * version whose manifest was PUBLISHED at or before `t` (manifest
+  * mtime — publish order and version order coincide because the
+  * manifest CAS linearizes commits). Registrations are
+  * process-wide, matching the driver-side nature of the manifest log.
+  */
+object SnapshotCatalog {
+
+  private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def register(name: String, path: String): Unit = {
+    tables.put(name.toLowerCase, path); ()
+  }
+
+  def unregister(name: String): Unit = { tables.remove(name.toLowerCase); () }
+
+  def pathOf(name: String): Option[String] = Option(tables.get(name.toLowerCase))
+
+  /** Newest version whose manifest mtime is ≤ `tsMillis`. */
+  private[lake] def versionAsOf(spark: SparkSession, path: String,
+      tsMillis: Long): Long = {
+    val f = SnapshotTable.fs(spark, path)
+    val eligible = SnapshotTable.versions(spark, path).filter { v =>
+      f.getFileStatus(new Path(s"${SnapshotTable.logDir(path)}/v$v"))
+        .getModificationTime <= tsMillis
+    }
+    require(eligible.nonEmpty,
+      s"no version of $path existed at or before timestamp $tsMillis")
+    eligible.max
+  }
+}
+
+/** Resolves `UnresolvedRelation`s (and their `RelationTimeTravel`
+  * wrappers) whose single-part name is registered in
+  * [[SnapshotCatalog]] into the snapshot read plan. */
+case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def registered(u: UnresolvedRelation): Option[String] =
+    u.multipartIdentifier match {
+      case Seq(n) => SnapshotCatalog.pathOf(n)
+      case _      => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case RelationTimeTravel(u: UnresolvedRelation, ts, version)
+        if registered(u).isDefined =>
+      val path = registered(u).get
+      val v = version match {
+        case Some(s) => s.toLong
+        case None => SnapshotCatalog.versionAsOf(spark, path,
+          ts.map(evalMillis).getOrElse(Long.MaxValue))
+      }
+      DatasetBridge.planOf(SnapshotTable.read(spark, path, Some(v)))
+    case u: UnresolvedRelation if registered(u).isDefined =>
+      DatasetBridge.planOf(SnapshotTable.read(spark, path = registered(u).get))
+  }
+
+  /** `TIMESTAMP AS OF <expr>`: fold the (foldable) expression to
+    * epoch millis via a timestamp cast in the session zone. */
+  private def evalMillis(e: Expression): Long = {
+    val micros = Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)).eval(null)
+    require(micros != null, s"TIMESTAMP AS OF expression $e is not a valid timestamp")
+    micros.asInstanceOf[Long] / 1000L
+  }
+}

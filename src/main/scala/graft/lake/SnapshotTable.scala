@@ -43,10 +43,10 @@ object SnapshotTable {
   private[lake] case class Entry(commitDir: String, filePath: String,
       stats: Seq[(String, Double, Double)] = Nil)
 
-  private def fs(spark: SparkSession, path: String): FileSystem =
+  private[lake] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def logDir(path: String) = s"$path/_graft_log"
+  private[lake] def logDir(path: String) = s"$path/_graft_log"
 
   private val versionName = "^v(\\d+)$".r
 

@@ -82,6 +82,60 @@ object Ivf {
     Model(centroids)
   }
 
+  /** Lloyd's k-means over the FULL corpus, distributed: each
+    * iteration is one typed per-partition pass that folds every
+    * vector into k partial (sum, count) accumulators, and only those
+    * k×dim doubles per partition come back to the driver — the
+    * map-side-combine shape that scales with executors (the corpus is
+    * never collected, unlike [[train]]'s bounded sample). Init reuses
+    * [[train]]'s deterministic strided-sample centroids; partials are
+    * combined in partition order, so the result is deterministic for
+    * a fixed partitioning. Use when the sample cap would
+    * under-represent the corpus (e.g. many fine cells over billions
+    * of vectors); [[train]] remains the cheap default. */
+  def trainDistributed(emb: DataFrame, k: Int, iters: Int = 10,
+      sampleSize: Int = 10000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var centroids = train(emb, k, iters = 0, sampleSize, idCol, vecCol).centroids
+    val dim = centroids.head.length
+    val vecs = emb.select(col(vecCol)).as[Array[Float]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var it = 0
+      while (it < iters) {
+        val m = Model(centroids)
+        val partials: Array[(Int, Array[Double], Long)] = vecs
+          .mapPartitions { part =>
+            val sums = Array.fill(k)(new Array[Double](dim))
+            val counts = new Array[Long](k)
+            part.foreach { v =>
+              val c = m.nearest(v)
+              counts(c) += 1
+              var i = 0
+              while (i < dim) { sums(c)(i) += v(i); i += 1 }
+            }
+            (0 until k).iterator.filter(counts(_) > 0)
+              .map(c => (c, sums(c), counts(c)))
+          }.collect()
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        partials.foreach { case (c, s, n) =>
+          counts(c) += n
+          var i = 0
+          while (i < dim) { sums(c)(i) += s(i); i += 1 }
+        }
+        centroids = Array.tabulate(k) { c =>
+          if (counts(c) == 0) centroids(c)
+          else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      Model(centroids)
+    } finally { vecs.unpersist(); () }
+  }
+
   /** (id, cluster) assignment — one typed pass, centroids ride the
     * closure (broadcast by the task serializer). */
   def assign(emb: DataFrame, model: Model,

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -715,56 +717,149 @@ object Relational {
   // aggregate buffers every value per group in heap arrays, which the
   // r2 bench showed GC-amplifying 5.5x under suite-wide heap pressure
   // (2.5 s standalone vs 10.1 s late in the run) and which cannot
-  // spill at 100 TB. Instead we build a value histogram —
-  // groupBy(group, value).count is map-side combinable and carries
-  // O(distinct values) state — then take a cumulative-rank window
-  // (sort-based, spillable) and interpolate between the two values
-  // straddling each target rank. The interpolation formula mirrors
-  // Spark's Percentile ((hi-pos)*v_lo + (pos-lo)*v_hi), which already
+  // spill at 100 TB. Bucket-histogram refinement instead — the
+  // distributed exact-quantile recipe whose every pass is a map-side-
+  // combinable aggregation with a bounded output and NO large sort:
+  //   1. per-group min/max/count (6 tiny rows);
+  //   2. count rows per equi-width bucket (≤ groups×metrics×buckets
+  //      rows) and cumulative-sum that TINY histogram to find, for
+  //      each target rank, the bucket containing it and the rank of
+  //      the bucket's first value;
+  //   3. re-scan only rows in those few buckets (≈ n/buckets rows),
+  //      order their distinct values, and read off the exact value
+  //      at each target rank.
+  // The previous single cumulative-rank window over all distinct
+  // values sorted each group×metric in ONE task — parallelism ~6
+  // here, one executor-sized sort at 100 TB. Interpolation mirrors
+  // Spark's Percentile ((hi-pos)*v_lo + (pos-lo)*v_hi), which
   // hash-matches DuckDB's quantile_cont at 6 decimals.
   //
   // specs: (valueColumn, percentile, outputColumn). Returns one row
   // per group with one column per spec, plus the group column.
   private[graft] def exactPercentileHist(
       df: DataFrame, groupCol: String,
-      specs: Seq[(String, Double, String)]): DataFrame = {
+      specs: Seq[(String, Double, String)], buckets: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
     val metrics = specs.map(_._1).distinct
+    val groupType = df.schema(groupCol).dataType
+    // re-derived per pass: the parquet scan + unpivot is cheaper than
+    // building a columnar cache of the exploded rows (measured 2x)
     val long = df
       .select(col(groupCol) +: metrics.map(col): _*)
       .unpivot(Array(col(groupCol)), metrics.map(col).toArray, "metric", "v")
-    val hist = long.groupBy(col(groupCol), col("metric"), col("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("v", col("v").cast("double"))
+    // Every intermediate between the three passes is tiny (≤ groups ×
+    // metrics × buckets rows), so it is COLLECTED and re-injected as
+    // a literal broadcast frame rather than left as a shared subplan:
+    // Spark materializes no common subexpressions, so plan-level
+    // reuse would re-execute the full upstream scan once per
+    // reference (the q73 CTE lesson). Driver state stays O(buckets).
+    // pass 1 (job): per-(group, metric) min/max/count — no unpivot
+    // needed, one multi-column aggregate over the raw rows
+    // (count(col) counts non-NULLs, matching the isNotNull filter)
+    val stats: Map[(Any, String), (Double, Double, Long)] = {
+      val aggs = metrics.flatMap(m => Seq(
+        min(col(m).cast("double")), max(col(m).cast("double")), count(col(m))))
+      df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .flatMap { r =>
+          metrics.zipWithIndex.collect {
+            case (m, i) if !r.isNullAt(1 + 3 * i) =>
+              (r.get(0), m) -> (r.getDouble(1 + 3 * i), r.getDouble(2 + 3 * i),
+                r.getLong(3 + 3 * i))
+          }
+        }.toMap
+    }
+    // target 0-based ranks per (group, metric): pos = p·(n−1)
+    case class Target(g: Any, metric: String, out: String, pos: Double, lo: Long, hi: Long)
+    val targets = for {
+      ((g, m), (_, _, n)) <- stats.toSeq
+      (mc, p, outName) <- specs if mc == m
+    } yield {
+      val pos = p * (n - 1).toDouble
+      Target(g, m, outName, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
+    }
+    val wantedRanks: Map[(Any, String), Set[Long]] = targets
+      .groupBy(t => (t.g, t.metric))
+      .view.mapValues(_.flatMap(t => Seq(t.lo, t.hi)).toSet).toMap
+    // pass 2 (job): equi-width bucket counts; the driver prefix-sums
+    // the small histogram to find each wanted rank's bucket and the
+    // global rank of that bucket's first value
+    def statsDf = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField(groupCol, groupType),
+        StructField("metric", StringType), StructField("mn", DoubleType),
+        StructField("mx", DoubleType)))
+      spark.createDataFrame(
+        stats.toSeq.map { case ((g, m), (mn, mx, _)) => Row(g, m, mn, mx) }.asJava, schema)
+    }
+    val width = when(col("mx") > col("mn"),
+      (col("mx") - col("mn")) / lit(buckets.toDouble)).otherwise(lit(1.0))
+    def bucketed = long.join(broadcast(statsDf), Seq(groupCol, "metric"))
+      .withColumn("bkt", least(greatest(
+        floor((col("v") - col("mn")) / width).cast("long"), lit(0L)),
+        lit(buckets - 1L)))
+    val bhist: Seq[((Any, String), (Long, Long))] = bucketed
+      .groupBy(col(groupCol), col("metric"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy(groupCol, "metric").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCol, "metric")
-    // each distinct value occupies 0-based ranks [cum_end-cnt, cum_end)
-    val ranked = hist.select(
-      col(groupCol), col("metric"), col("v"), col("cnt"),
-      sum(col("cnt")).over(wCum).as("cum_end"),
-      sum(col("cnt")).over(wAll).as("n"))
-    import df.sparkSession.implicits._
-    val specDf = specs.toDF("metric", "p", "out")
-    val covers = (rank: Column) =>
-      col("cum_end") - col("cnt") <= rank && rank < col("cum_end")
-    ranked.join(broadcast(specDf), "metric")
-      .withColumn("pos", col("p") * (col("n") - lit(1)).cast("double"))
-      .withColumn("lo", floor(col("pos")))
-      .withColumn("hi", ceil(col("pos")))
-      .filter(covers(col("lo")) || covers(col("hi")))
-      .groupBy(col(groupCol), col("out"))
-      .agg(
-        max(when(covers(col("lo")), col("v"))).as("v_lo"),
-        max(when(covers(col("hi")), col("v"))).as("v_hi"),
-        first(col("pos")).as("pos"),
-        first(col("lo")).as("lo"),
-        first(col("hi")).as("hi"))
-      .withColumn("res",
-        when(col("lo") === col("hi"), col("v_lo")).otherwise(
-          (col("hi") - col("pos")) * col("v_lo") +
-            (col("pos") - col("lo")) * col("v_hi")))
-      .groupBy(col(groupCol))
-      .pivot("out", specs.map(_._3))
-      .agg(first(col("res")))
+      .collect()
+      .map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toSeq
+    // (group, metric, bkt) -> global rank of the bucket's first value
+    val hits: Map[(Any, String, Long), Long] = bhist.groupBy(_._1).flatMap {
+      case (key, rows) =>
+        val ranks = wantedRanks.getOrElse(key, Set.empty)
+        var cum = 0L
+        rows.map(_._2).sortBy(_._1).flatMap { case (b, cnt) =>
+          val start = cum
+          cum += cnt
+          if (ranks.exists(r => start <= r && r < cum))
+            Some((key._1, key._2, b) -> start)
+          else None
+        }
+    }
+    // pass 3 (job): distinct values inside the hit buckets only
+    // (≈ n/buckets rows each); the driver orders them and reads off
+    // the exact value at each wanted rank
+    def hitsDf = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField(groupCol, groupType),
+        StructField("metric", StringType), StructField("bkt", LongType)))
+      spark.createDataFrame(
+        hits.keys.toSeq.map { case (g, m, b) => Row(g, m, b) }.asJava, schema)
+    }
+    val inHit: Seq[((Any, String, Long), (Double, Long))] = bucketed
+      .join(broadcast(hitsDf), Seq(groupCol, "metric", "bkt"))
+      .groupBy(col(groupCol), col("metric"), col("bkt"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2)) -> (r.getDouble(3), r.getLong(4)))
+      .toSeq
+    val valAt: Map[(Any, String, Long), Double] = inHit.groupBy(_._1).flatMap {
+      case (key @ (g, m, _), rows) =>
+        val ranks = wantedRanks.getOrElse((g, m), Set.empty)
+        var cum = hits(key)
+        rows.map(_._2).sortBy(_._1).flatMap { case (v, cnt) =>
+          val start = cum
+          cum += cnt
+          ranks.filter(r => start <= r && r < cum).map(r => (g, m, r) -> v)
+        }
+    }
+    // interpolate and assemble the (group × spec-columns) result
+    val resByGroup: Map[Any, Map[String, Double]] = targets
+      .groupBy(_.g).view.mapValues(_.map { t =>
+        val vLo = valAt((t.g, t.metric, t.lo))
+        val vHi = valAt((t.g, t.metric, t.hi))
+        t.out -> (if (t.lo == t.hi) vLo
+                  else (t.hi - t.pos) * vLo + (t.pos - t.lo) * vHi)
+      }.toMap).toMap
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(StructField(groupCol, groupType) +:
+      specs.map(s => StructField(s._3, DoubleType)))
+    spark.createDataFrame(
+      resByGroup.toSeq.map { case (g, m) =>
+        Row.fromSeq(g +: specs.map(s => m.get(s._3).map(Double.box).orNull))
+      }.asJava, outSchema)
   }
 
   def percentiles(spark: SparkSession, dir: String): DataFrame =

@@ -9,4 +9,8 @@ import org.apache.spark.sql.classic.ClassicConversions._
 object DatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Analyzed logical plan of a DataFrame (for substitution into a
+    * plan under analysis, e.g. view-style relation resolution). */
+  def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 }

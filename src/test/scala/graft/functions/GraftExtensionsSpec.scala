@@ -32,4 +32,45 @@ class GraftExtensionsSpec extends SparkTestBase {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("registered snapshot tables resolve in SQL with VERSION/TIMESTAMP AS OF") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-tt-test")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft-sql-tt").toString + "/t"
+      graft.lake.SnapshotTable.append(Seq((1L, "a")).toDF("k", "s"), path)
+      val betweenCommits = System.currentTimeMillis() + 500
+      Thread.sleep(1200) // manifest mtime resolution
+      graft.lake.SnapshotTable.append(Seq((2L, "b")).toDF("k", "s"), path)
+      graft.lake.SnapshotCatalog.register("snap_tt", path)
+      try {
+        assert(s2.sql("SELECT * FROM snap_tt").count() === 2)
+        assert(s2.sql("SELECT k FROM snap_tt VERSION AS OF 1").as[Long].collect()
+          === Array(1L))
+        val ts = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(betweenCommits),
+          java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+        assert(s2.sql(s"SELECT * FROM snap_tt TIMESTAMP AS OF '$ts'").count() === 1)
+        // a timestamp before the first commit has no version to serve
+        val e = intercept[Exception](
+          s2.sql("SELECT * FROM snap_tt TIMESTAMP AS OF '1999-01-01'").collect())
+        assert(e.getMessage.contains("no version"))
+        // unregistered names still go through normal (failing) resolution
+        intercept[Exception](s2.sql("SELECT * FROM snap_tt_missing").collect())
+      } finally graft.lake.SnapshotCatalog.unregister("snap_tt")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

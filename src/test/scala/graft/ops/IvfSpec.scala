@@ -61,6 +61,33 @@ class IvfSpec extends SparkTestBase {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
 
+  test("distributed training matches sampled training's recall on planted neighbors") {
+    import spark.implicits._
+    val queries = Seq(0L, 1L, 2L)
+    val planted = (1 to 5).map { i =>
+      emb.filter(col("vec_id").isin(queries: _*))
+        .select((col("vec_id") + lit(1000L * i)).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.01f * i)).as("embedding"),
+          col("label"))
+    }.reduce(_ unionByName _)
+    val corpus = emb.unionByName(planted)
+    val model = Ivf.trainDistributed(corpus, k = 16, iters = 5, sampleSize = 600)
+    assert(model.centroids.length === 16)
+    val got = Vf(corpus, model, queries)
+    val recalls = queries.map { q =>
+      val want = (1 to 5).map(i => q + 1000L * i).toSet
+      want.intersect(got.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"distributed-train IVF recall $mean too low")
+    // full-corpus partial sums: every vector contributes, so no cell
+    // exceeds the corpus and the cells partition it exactly
+    val assigned = Ivf.assign(corpus, model)
+    assert(assigned.count() === corpus.count())
+    assert(assigned.groupBy("cluster").count()
+      .agg(sum("count")).head().getLong(0) === corpus.count())
+  }
+
   test("rerank scores are exact cosines") {
     import spark.implicits._
     val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)
