@@ -1365,15 +1365,15 @@ object Relational {
   // values are engine-specific, so the gate checks the exact
   // interpolated percentiles (histogram path, shared with q50) plus
   // the sketch's RANK contract as booleans the oracle asserts true:
-  // with accuracy=10000 the estimate's rank error is ~n/10000, far
+  // with accuracy=2000 the estimate's rank error is ~n/2000, far
   // inside the [p-0.01, p+0.01] quantile band we test against.
   // RelationalSpec additionally asserts the numeric bound.
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val approx = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50a"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90a"))
+        percentile_approx(col("l_quantity"), lit(0.5), lit(2000)).as("p50a"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(2000)).as("p90a"))
     val exact = exactPercentileHist(
       Tables.lineitem(spark, dir)
         .select("l_returnflag", "l_quantity", "l_extendedprice"),

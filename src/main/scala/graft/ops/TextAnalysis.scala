@@ -211,11 +211,51 @@ object TextAnalysis {
       |             (acc, x) -> (acc * 131 + x) % 1000000007) AS fp_rolling
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Corpus TF-IDF, top-20 weighted terms: tokenize on non-letters,
+    * term frequency per (doc, term), document frequency per term,
+    * idf = ln(N/df). Shuffle shape at scale: explode feeds a
+    * map-side-combinable groupBy(doc, term); df is a second combine
+    * over tf's output (already term-keyed); the tf⋈df join shuffles
+    * on term; N rides in as a broadcast 1-row aggregate; the top-20
+    * plans TakeOrderedAndProject. No all-pairs step anywhere. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
+        .as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .orderBy(col("tfidf").desc, col("doc_id").asc, col("term").asc)
+      .limit(20)
+  }
+
+  val tfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE length(term) > 0 GROUP BY doc_id, term
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT doc_id, term, tf, df,
+      |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      |FROM tf JOIN dfreq USING (term), n
+      |ORDER BY tfidf DESC, doc_id ASC, term ASC LIMIT 20""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q29_text_stats", textStats, Some(textStatsSql)),
     QDef("q32_lang_id", langId, Some(langIdSql)),
     QDef("q71_lang_id_ngram", langIdNgram, Some(langIdNgramSql)),
     QDef("q33_quality_score", quality, Some(qualitySql)),
     QDef("q34_fingerprints", fingerprints, Some(fingerprintsSql)),
+    QDef("q78_tfidf", tfidf, Some(tfidfSql)),
   )
 }
