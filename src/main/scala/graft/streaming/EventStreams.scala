@@ -168,6 +168,32 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming MERGE sink: upsert every microbatch into a
+    * [[graft.lake.SnapshotTable]] by key — the streaming half of the
+    * Iceberg-v2 row-level story: late corrections arriving on the
+    * stream UPDATE the fact table in place (stats-pruned file
+    * rewrite) instead of appending duplicates. Restart/retry safe
+    * without the `_batch_id` partition trick: replaying an epoch
+    * re-merges the same rows, matched keys are re-updated to the
+    * same values and the epoch's earlier inserts become no-op
+    * updates, so a retried batch converges to the same table state.
+    * Rows are deduplicated on the key within each batch (merge's
+    * unique-source precondition); cross-row conflicts inside one
+    * batch should be resolved upstream. */
+  def streamMergeSnapshot(rows: DataFrame, tablePath: String,
+      keyCols: Seq[String], checkpoint: String,
+      partitionCols: Seq[String] = Nil): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val src = batch.dropDuplicates(keyCols)
+        if (!src.isEmpty)
+          graft.lake.SnapshotTable.merge(src, tablePath, keyCols, partitionCols): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming silver ETL: bronze CSVs arriving in a directory →
     * identical clean/validate logic as the batch job → per-microbatch
     * partitioned good/quarantine writes. Demonstrates that the
