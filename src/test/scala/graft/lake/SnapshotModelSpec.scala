@@ -2,18 +2,22 @@ package graft.lake
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.SparkTestBase
 
 /** Model-based property test for the snapshot layer: a random
-  * sequence of append / overwritePartitions ops is applied both to a
-  * real SnapshotTable and to a trivial in-memory model (a Map from
-  * partition to rows); after every op, the latest table state must
-  * equal the model, and at the end every historical version must
+  * sequence of append / overwritePartitions / merge ops is applied
+  * both to a real SnapshotTable and to a trivial in-memory model
+  * (id → (partition, value)); after every op, the latest table state
+  * must equal the model, and at the end every historical version must
   * still replay to its recorded model state (time-travel soundness).
+  * Merge ops deliberately re-target ids from earlier ops, so the same
+  * source row exercises the update path when the id survived and the
+  * insert path when an overwrite already dropped it — including
+  * cross-partition moves (an update that changes the row's partition
+  * value).
   */
 class SnapshotModelSpec extends SparkTestBase {
 
@@ -22,55 +26,84 @@ class SnapshotModelSpec extends SparkTestBase {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
-  // an op: append or overwrite, a partition key, a batch tag, a size
-  private case class Op(overwrite: Boolean, part: String, tag: String, n: Int)
+  private sealed trait Kind
+  private case object Append extends Kind
+  private case object Overwrite extends Kind
+  private case object Merge extends Kind
+
+  // an op: kind, partition key, source-op index (merge re-targets
+  // that op's ids), row count
+  private case class Op(kind: Kind, part: String, target: Int, n: Int)
 
   private val genOp: Gen[Op] = for {
-    overwrite <- Gen.oneOf(true, false)
+    kind <- Gen.frequency(3 -> Gen.const(Append: Kind),
+      2 -> Gen.const(Overwrite: Kind), 3 -> Gen.const(Merge: Kind))
     part <- Gen.oneOf("p1", "p2", "p3")
+    target <- Gen.choose(0, 7)
     n <- Gen.choose(1, 6)
-  } yield Op(overwrite, part, "", n)
+  } yield Op(kind, part, target, n)
 
-  private def rowsOf(op: Op, i: Int) =
-    (0 until op.n).map(j => (s"op$i-$j", op.part, j.toDouble)).toDF("id", "k", "v")
-
-  test("random append/overwrite sequences match the in-memory model (3 seeds)") {
+  test("random append/overwrite/merge sequences match the in-memory model (3 seeds)") {
     (1L to 3L).foreach { seed =>
       val path = Files.createTempDirectory(s"graft-snap-model-$seed").toString + "/t"
       val ops = sample(Gen.listOfN(8, genOp), seed).zipWithIndex
 
-      // model: partition -> set of row ids; history: version -> model
-      var model = Map[String, Set[String]]().withDefaultValue(Set.empty)
-      var history = List.empty[(Long, Map[String, Set[String]])]
+      // model: id -> (partition, value); history: version -> model
+      var model = Map[String, (String, Double)]()
+      var history = List.empty[(Long, Map[String, (String, Double)])]
+
+      def tableState() = SnapshotTable.read(spark, path)
+        .select("id", "k", "v").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
 
       ops.foreach { case (op, i) =>
-        val df = rowsOf(op, i)
-        val ids = (0 until op.n).map(j => s"op$i-$j").toSet
-        val v =
-          if (op.overwrite) {
-            val ver = SnapshotTable.overwritePartitions(df, path, Seq("k"))
-            model = model.updated(op.part, ids)
-            ver
-          } else {
+        val v = op.kind match {
+          case Append =>
+            val ids = (0 until op.n).map(j => s"op$i-$j")
+            val df = ids.zipWithIndex
+              .map { case (id, j) => (id, op.part, i * 100.0 + j) }
+              .toDF("id", "k", "v")
             val ver = SnapshotTable.append(df, path, Seq("k"))
-            model = model.updated(op.part, model(op.part) ++ ids)
+            model ++= ids.zipWithIndex.map { case (id, j) =>
+              id -> (op.part, i * 100.0 + j)
+            }
             ver
-          }
+          case Overwrite =>
+            val ids = (0 until op.n).map(j => s"op$i-$j")
+            val df = ids.zipWithIndex
+              .map { case (id, j) => (id, op.part, i * 100.0 + j) }
+              .toDF("id", "k", "v")
+            val ver = SnapshotTable.overwritePartitions(df, path, Seq("k"))
+            model = model.filterNot(_._2._1 == op.part) ++
+              ids.zipWithIndex.map { case (id, j) => id -> (op.part, i * 100.0 + j) }
+            ver
+          case Merge =>
+            // re-target an EARLIER op's ids (clamped — minting a
+            // FUTURE append's ids would make that append a legitimate
+            // duplicate): updates where they still exist (possibly
+            // moving partitions), inserts where not
+            val target = op.target % math.max(i, 1)
+            val ids = (0 until op.n).map(j => s"op$target-$j")
+            val df = ids.zipWithIndex
+              .map { case (id, j) => (id, op.part, i * 100.0 + j) }
+              .toDF("id", "k", "v")
+            val ver = SnapshotTable.merge(df, path, Seq("id"), Seq("k"))
+            model ++= ids.zipWithIndex.map { case (id, j) =>
+              id -> (op.part, i * 100.0 + j)
+            }
+            ver
+        }
         history ::= (v, model)
-
-        val got = SnapshotTable.read(spark, path)
-          .select("id", "k").collect()
-          .groupBy(_.getString(1)).map { case (k, rs) => k -> rs.map(_.getString(0)).toSet }
-        assert(got === model.filter(_._2.nonEmpty),
+        assert(tableState() === model,
           s"seed=$seed after op $i ($op): table diverged from model")
       }
 
       // time travel: every recorded version still replays its model
       history.foreach { case (v, m) =>
         val got = SnapshotTable.read(spark, path, Some(v))
-          .select("id", "k").collect()
-          .groupBy(_.getString(1)).map { case (k, rs) => k -> rs.map(_.getString(0)).toSet }
-        assert(got === m.filter(_._2.nonEmpty), s"seed=$seed version $v diverged")
+          .select("id", "k", "v").collect()
+          .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+        assert(got === m, s"seed=$seed version $v diverged")
       }
     }
   }
