@@ -154,9 +154,23 @@ object SnapshotTable {
     val commitDir = s"$path/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
     val w = df.write.mode("errorifexists").option("compression", "zstd")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(commitDir)
-    val added = listParquet(fs(spark, path), new Path(commitDir))
-      .map(f => Entry(commitDir, f,
-        statsCols.flatMap(c => footerMinMax(spark, f, c).map(r => (c, r._1, r._2)))))
+    val files = listParquet(fs(spark, path), new Path(commitDir))
+    // footer stats are driver-side metadata reads (the table-format
+    // norm), but SEQUENTIAL opens would bottleneck a many-file
+    // commit — read them on a bounded pool
+    val added: Seq[Entry] =
+      if (statsCols.isEmpty || files.isEmpty) files.map(Entry(commitDir, _))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, files.size))
+        implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        try Await.result(Future.traverse(files)(f => Future(Entry(commitDir, f,
+          statsCols.flatMap(c => footerMinMax(spark, f, c).map(r => (c, r._1, r._2)))))),
+          Duration.Inf)
+        finally { pool.shutdown(); () }
+      }
     var attempt = 0
     while (attempt < maxAttempts) {
       // linearized log: the commit targets latest+1 and bases its

@@ -68,6 +68,11 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("tfidf plan ends in a global top-k, not a full sort") {
+    val plan = TextAnalysis.tfidf(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("fuzzy match blocking plan contains no nested-loop join") {
     val plan = Relational.fuzzyNameMatch(spark, sf0001)
       .queryExecution.executedPlan.toString
