@@ -20,6 +20,10 @@ import graft.etl.{EvPipeline, GoldConfig, SilverConfig}
   *   sbt "runMain graft.EvJob compact <path> [maxFiles]"  # rewrite fat partitions
   *   sbt "runMain graft.EvJob remerge <quarantinePath> <silverPath>"
   *                                    # re-validate quarantine, rescue fixed rows
+  *   sbt "runMain graft.EvJob snap-compact <tablePath> [numFiles] [clusterCol]"
+  *                                    # snapshot-table compaction (new version,
+  *                                    # readers undisturbed; vacuum reclaims)
+  *   sbt "runMain graft.EvJob vacuum <tablePath> [keepVersions]"
   */
 object EvJob {
   def main(args: Array[String]): Unit = {
@@ -78,6 +82,15 @@ object EvJob {
                 org.apache.spark.sql.functions.col("distance"),
                 org.apache.spark.sql.functions.lit(0.0))))
           println(s"[remerge] rescued=$rescued stillBad=$stillBad")
+        case "snap-compact" =>
+          val numFiles = if (args.length > 2) args(2).toInt else 8
+          val cluster = if (args.length > 3) Some(args(3)) else None
+          val v = graft.lake.SnapshotTable.compact(spark, args(1), numFiles, cluster)
+          println(s"[snap-compact] committed version=$v files<=$numFiles cluster=$cluster")
+        case "vacuum" =>
+          val keep = if (args.length > 2) args(2).toInt else 1
+          graft.lake.SnapshotTable.vacuum(spark, args(1), keep)
+          println(s"[vacuum] kept last $keep versions of ${args(1)}")
         case other => throw new IllegalArgumentException(s"unknown job: $other")
       }
     } finally spark.stop()

@@ -127,6 +127,21 @@ object SnapshotTable {
   final class ConcurrentCommitException(path: String, attempts: Int)
     extends RuntimeException(s"gave up after $attempts contended commit attempts at $path")
 
+  /** Hive partition columns of the table's current layout, inferred
+    * from a live file's path relative to its commit dir (the `k=v`
+    * directory components). Rewriting maintenance ([[merge]],
+    * [[compact]]) must keep this layout or [[overwritePartitions]]'s
+    * path-fragment matching silently stops finding the rewritten
+    * files. */
+  private def inferPartitionCols(entries: Seq[Entry]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    entries.headOption.toSeq.flatMap { e =>
+      e.filePath.stripPrefix(e.commitDir).split("/")
+        .filter(seg => seg.nonEmpty && seg.contains("=")).toSeq
+        .map(seg => ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '=')))
+    }
+  }
+
   private def listParquet(f: FileSystem, dir: Path): Seq[String] = {
     val it = f.listFiles(dir, true)
     val buf = scala.collection.mutable.ArrayBuffer[String]()
@@ -367,10 +382,11 @@ object SnapshotTable {
     * the files this merge writes, so successive merges keep pruning.
     *
     * Preconditions: source keys must be unique (the standard MERGE
-    * constraint — an ambiguous multi-update throws), and for a
-    * hive-partitioned table `partitionCols` must repeat the table's
-    * partition columns so rewritten files keep the layout
-    * [[overwritePartitions]] matches on. Concurrency: the rewrite set
+    * constraint — an ambiguous multi-update throws). A
+    * hive-partitioned table keeps its layout automatically: when
+    * `partitionCols` is not given, the table's partition columns are
+    * inferred from the live files' paths, so rewritten files stay
+    * where [[overwritePartitions]] matches them. Concurrency: the rewrite set
     * is computed against the latest version; if another writer commits
     * before this merge publishes, the commit aborts (write-skew guard)
     * — rerun the merge.
@@ -436,11 +452,53 @@ object SnapshotTable {
     // keep pruning effective across merges: re-record stats for every
     // column any live file tracks, plus the merge keys themselves
     val statsOut = (entries.flatMap(_.stats.map(_._1)) ++ keyCols).distinct
+    val partCols =
+      if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
     val baseFiles = entries.map(_.filePath).toSet
-    commit(newData, path, partitionCols, prev => {
+    commit(newData, path, partCols, prev => {
       require(prev.map(_.filePath).toSet == baseFiles,
         s"concurrent commit advanced $path during merge — rerun the merge")
       prev.filterNot(e => rewrite(e.filePath))
+    }, statsCols = statsOut)
+  }
+
+  /** Maintenance compaction: rewrite the CURRENT table state into
+    * `numFiles` files — optionally range-clustered on `clusterCol`,
+    * which (re)builds the file-skipping index — and commit a version
+    * whose manifest references only the rewritten files (Iceberg's
+    * rewrite_data_files action). Unlike
+    * [[LakeWriter.compactPartitions]] (an in-place directory swap
+    * needing an exclusive window — and refused on snapshot tables),
+    * this is just another commit: concurrent readers keep their
+    * version, time travel still serves the old files, and [[vacuum]]
+    * reclaims them later. A concurrent writer aborts the commit
+    * (write-skew guard) — rerun the compaction. A hive-partitioned
+    * table keeps its directory layout automatically: the partition
+    * columns are inferred from the live files' paths when
+    * `partitionCols` is not given, so [[overwritePartitions]] keeps
+    * matching the rewritten files.
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 8,
+      clusterCol: Option[String] = None,
+      partitionCols: Seq[String] = Nil): Long = {
+    val base = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val entries = readManifest(spark, path, base)
+    val current = read(spark, path, Some(base))
+    val shaped = clusterCol match {
+      case Some(c) => current.repartitionByRange(numFiles, col(c))
+        .sortWithinPartitions(c)
+      case None => current.repartition(numFiles)
+    }
+    // keep every tracked stats column effective on the rewritten files
+    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++ clusterCol).distinct
+    val partCols =
+      if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
+    val baseFiles = entries.map(_.filePath).toSet
+    commit(shaped, path, partCols, prev => {
+      require(prev.map(_.filePath).toSet == baseFiles,
+        s"concurrent commit advanced $path during compaction — rerun")
+      Nil
     }, statsCols = statsOut)
   }
 

@@ -233,6 +233,57 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(latest.filter(col("k") === 2).select("note").as[String].head() === "fixed")
   }
 
+  test("compact rewrites the live state as a new version; history and pruning survive") {
+    val path = Files.createTempDirectory("graft-snap-compact").toString + "/t"
+    // many small commits → many small files
+    (0 until 6).foreach { i =>
+      SnapshotTable.appendClustered(
+        (1 to 100).map(j => ((i * 100 + j).toLong, j * 1.0)).toDF("k", "v"),
+        path, "k", numFiles = 4)
+    }
+    val before = SnapshotTable.readManifest(spark, path, 6L)
+    assert(before.size === 24)
+    val rows = SnapshotTable.read(spark, path).count()
+
+    val v = SnapshotTable.compact(spark, path, numFiles = 4, clusterCol = Some("k"))
+    assert(v === 7L)
+    val after = SnapshotTable.readManifest(spark, path, 7L)
+    assert(after.size <= 4, s"expected <= 4 files after compaction, got ${after.size}")
+    assert(SnapshotTable.read(spark, path).count() === rows)
+    // clustering keeps the file-skipping index effective
+    val (pruned, scanned) = SnapshotTable.readRange(spark, path, "k", 1.0, 100.0)
+    assert(scanned < after.size || after.size == 1)
+    assert(pruned.count() === 100)
+    // pre-compaction versions still read the original files
+    assert(SnapshotTable.read(spark, path, Some(6L)).count() === rows)
+    assert(SnapshotTable.read(spark, path, Some(3L)).count() === 300)
+    // vacuum reclaims the superseded small files, latest still whole
+    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    assert(SnapshotTable.read(spark, path).count() === rows)
+    assertThrows[Exception](SnapshotTable.read(spark, path, Some(6L)).count())
+  }
+
+  test("compact and merge preserve a hive-partitioned layout (inferred partition cols)") {
+    val path = Files.createTempDirectory("graft-snap-infer").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), path, Seq("event_date"))
+    // compact WITHOUT passing partitionCols — the layout must survive
+    SnapshotTable.compact(spark, path, numFiles = 1)
+    assert(SnapshotTable.read(spark, path).count() === 10)
+    // merge without partitionCols keeps the layout too
+    val fix = Seq(("a-0-0", "2024-01-01", 999.0)).toDF("id", "event_date", "v")
+    SnapshotTable.merge(fix, path, Seq("id"))
+    assert(SnapshotTable.read(spark, path).count() === 10)
+    // overwritePartitions still matches the rewritten files: the
+    // replaced date must not resurrect compacted copies
+    val rep = Seq(("r-0", "2024-01-01", 1.0)).toDF("id", "event_date", "v")
+    SnapshotTable.overwritePartitions(rep, path, Seq("event_date"))
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.count() === 6,
+      "flattened layout would leave stale 2024-01-01 rows live after overwrite")
+    assert(latest.filter(col("event_date") === "2024-01-01").count() === 1)
+    assert(latest.filter(col("event_date") === "2024-01-02").count() === 5)
+  }
+
   test("partition columns stay readable and idempotent re-run replaces cleanly") {
     val path = Files.createTempDirectory("graft-snap3").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))

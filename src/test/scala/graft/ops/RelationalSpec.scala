@@ -68,6 +68,37 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("histogram percentile property: random distributions incl. ties match percentile()") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // adversarial shapes: heavy ties (small int domain), near-unique
+    // doubles, constant column, single-row group
+    val rows = Seq.tabulate(3000) { i =>
+      val g = if (i == 0) "solo" else Seq("a", "b")(rnd.nextInt(2))
+      val tied = rnd.nextInt(7).toDouble
+      val spread = math.round(rnd.nextDouble() * 1e6) / 1e3
+      (if (g == "solo") "solo" else g, tied, spread, 5.0)
+    }
+    val df = rows.toDF("g", "tied", "spread", "const")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val specs = for {
+      m <- Seq("tied", "spread", "const"); p <- ps
+    } yield (m, p, s"${m}_${(p * 100).toInt}")
+    val aggs = specs.map { case (m, p, out) => expr(s"percentile($m, $p)").as(out) }
+    val builtin = df.groupBy("g").agg(aggs.head, aggs.tail: _*).collect()
+      .map(r => r.getString(0) -> specs.indices.map(i => r.getDouble(i + 1))).toMap
+    val hist = Relational.exactPercentileHist(df, "g", specs).collect()
+    assert(hist.length === builtin.size)
+    hist.foreach { r =>
+      val want = builtin(r.getString(0))
+      specs.indices.foreach { i =>
+        assert(math.abs(r.getDouble(i + 1) - want(i)) < 1e-9,
+          s"g=${r.getString(0)} ${specs(i)}: ${r.getDouble(i + 1)} vs ${want(i)}")
+      }
+    }
+  }
+
   test("tfidf plan ends in a global top-k, not a full sort") {
     val plan = TextAnalysis.tfidf(spark, sf0001).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
