@@ -505,12 +505,28 @@ object SnapshotTable {
   /** Expire history: keep only the latest `keepVersions` manifests
     * and delete data files no kept manifest references. Time travel
     * to expired versions is gone afterwards (by design — this is the
-    * storage-reclamation half of the snapshot contract). */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+    * storage-reclamation half of the snapshot contract).
+    *
+    * `minAgeMs` is the concurrent-writer guard: versions whose
+    * manifest was published within the last `minAgeMs` are never
+    * expired, so an in-flight commit that based its carryOver on a
+    * recent version cannot have its carried-over files deleted
+    * underneath it (the Delta/Iceberg retention-window posture —
+    * vacuum with `minAgeMs = 0` assumes a quiesced table). In-flight
+    * READS of an expired version are inherently unprotected; size
+    * `minAgeMs` beyond the longest expected query. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+      minAgeMs: Long = 0L): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
     val f = fs(spark, path)
     val all = versions(spark, path)
-    val (expired, kept) = all.splitAt(math.max(0, all.size - keepVersions))
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val (candidates, kept0) = all.splitAt(math.max(0, all.size - keepVersions))
+    val (expired, young) = candidates.partition { v =>
+      minAgeMs <= 0L ||
+        f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime <= cutoff
+    }
+    val kept = young ++ kept0
     if (expired.isEmpty) return
     val live: Set[String] =
       kept.flatMap(readManifest(spark, path, _)).map(_.filePath).toSet

@@ -602,6 +602,38 @@ object Relational {
       | true AS approx_within_5pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- mergeable-sketch surface: two-level HLL union -----------------
+  // The 100 TB distinct-count pattern: build DataSketches HLL sketches
+  // once per fine grain (map-side combinable), then answer coarser
+  // grains by UNIONING the stored sketches — never re-touching the raw
+  // rows. This is the shape of an incrementally-maintained sketch
+  // table (q44's approx_count_distinct is the one-shot form; this is
+  // the re-aggregable form). The gate emits the exact distinct per
+  // nation (oracle-checkable) plus the unioned sketch's error
+  // contract as a boolean.
+  def hllUnionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val fine = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+    val coarse = fine.groupBy(col("c_nationkey"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"))
+    val exact = c.groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_custkey")).as("exact_custs"))
+    exact.join(coarse, "c_nationkey")
+      .select(
+        col("c_nationkey"),
+        col("exact_custs"),
+        (abs(col("approx_custs") - col("exact_custs")) <=
+          col("exact_custs") * lit(0.05)).as("union_within_5pct"))
+      .orderBy("c_nationkey")
+  }
+
+  private val hllUnionAggSql =
+    """SELECT c_nationkey,
+      | CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_custs,
+      | true AS union_within_5pct
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // -- §2.8 extension: regexp functions -----------------------------
   def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
@@ -1548,5 +1580,6 @@ object Relational {
     QDef("q75_wordcount_topk", wordcountTopK, Some(wordcountTopKSql)),
     QDef("q76_fuzzy_match", fuzzyNameMatch, Some(fuzzyNameMatchSql)),
     QDef("q77_gap_fill", gapFillDaily, Some(gapFillDailySql)),
+    QDef("q79_hll_union", hllUnionAgg, Some(hllUnionAggSql)),
   )
 }

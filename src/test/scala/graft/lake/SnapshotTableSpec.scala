@@ -155,6 +155,20 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(n1 < 16)
   }
 
+  test("vacuum minAgeMs retention never expires recently-published versions") {
+    val path = Files.createTempDirectory("graft-snap-vac-age").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    SnapshotTable.append(mkRows("b", Seq("2024-01-02")), path, Seq("event_date"))
+    // both manifests are seconds old: an hour-long retention window
+    // must refuse to expire v1 even though keepVersions says so
+    SnapshotTable.vacuum(spark, path, keepVersions = 1, minAgeMs = 3600L * 1000)
+    assert(SnapshotTable.versions(spark, path) === Seq(1L, 2L))
+    assert(SnapshotTable.read(spark, path, Some(1L)).count() === 5)
+    // without the window the expiry proceeds
+    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    assert(SnapshotTable.versions(spark, path) === Seq(2L))
+  }
+
   test("merge upserts: matched keys replaced, unmatched inserted, time travel intact") {
     val path = Files.createTempDirectory("graft-snap-merge").toString + "/t"
     val base = (1 to 10).map(i => (i.toLong, "2024-01-01", i * 1.0))

@@ -9,6 +9,7 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -58,6 +59,12 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # mirror Verify's dev-loop filter: only check queries whose dumps
+    # this filtered run actually produced
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        prefixes = tuple(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k.startswith(prefixes)}
     n_ok = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
