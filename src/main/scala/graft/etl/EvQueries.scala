@@ -234,8 +234,11 @@ object EvQueries {
   /** Gold fact through the snapshot-table layer: commit all clean
     * rows, then reprocess one partition via overwritePartitions, and
     * report row counts per readable version — exercising versioned
-    * commits + time travel end-to-end in the gate (rows-only: paths
-    * and manifests are engine-side). */
+    * commits + time travel end-to-end in the gate. Oracle: versions
+    * are 1 (append) and 2 (same-content partition overwrite), and
+    * both row counts equal the clean-row count the oracle derives
+    * from the same CSV — so the versioning semantics are checked
+    * against independently computed numbers, not engine echoes. */
   def snapshotVersions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-snap-gate").toString + "/fact"
@@ -306,6 +309,13 @@ object EvQueries {
        |UNION ALL SELECT 'merged-new', 42.0
        |ORDER BY sessionId""".stripMargin
 
+  private val snapshotVersionsSql =
+    s"""$prefix,
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM marked WHERE NOT is_bad)
+       |SELECT CAST(1 AS BIGINT) AS version, n_rows FROM n
+       |UNION ALL SELECT CAST(2 AS BIGINT), n_rows FROM n
+       |ORDER BY version""".stripMargin
+
   private val stationUtilizationSql =
     s"""$prefix,
        |hrs AS (
@@ -327,7 +337,7 @@ object EvQueries {
     QDef("ev05_peak_hour_per_station", peakHourPerStation, Some(peakHourSql)),
     QDef("ev06_platform_share", platformShare, Some(platformShareSql)),
     QDef("ev07_station_utilization", stationUtilization, Some(stationUtilizationSql)),
-    QDef("ev08_snapshot_versions", snapshotVersions, None),
+    QDef("ev08_snapshot_versions", snapshotVersions, Some(snapshotVersionsSql)),
     QDef("ev09_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
   )
 }

@@ -250,8 +250,56 @@ object TextAnalysis {
       |FROM tf JOIN dfreq USING (term), n
       |ORDER BY tfidf DESC, doc_id ASC, term ASC LIMIT 20""".stripMargin
 
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before anything ships: count then replace emails and phone
+    * numbers with typed placeholders, pure regexp expression
+    * composition (codegen'd, embarrassingly parallel). The synthetic
+    * corpus carries no PII, so the gate PLANTS deterministic
+    * doc_id-derived contact strings on both engines and proves the
+    * scrub removes exactly them — the operator is exercised on
+    * matching input, not vacuously green on clean text. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\d{3}-\\d{4}-\\d{4}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
+      lit(phonePattern), lit("<PHONE>"))
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit("-9876 thanks"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(planted, lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(planted, lit(phonePattern), lit(0))).as("n_phones"),
+      scrubPii(planted).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      || '-9876 thanks' AS txt
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(txt, '\d{3}-\d{4}-\d{4}')) AS INT) AS n_phones,
+      |  regexp_replace(regexp_replace(txt,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{3}-\d{4}-\d{4}', '<PHONE>', 'g') AS scrubbed
+      |FROM planted ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q29_text_stats", textStats, Some(textStatsSql)),
+    QDef("q80_pii_scrub", piiScrub, Some(piiScrubSql)),
     QDef("q32_lang_id", langId, Some(langIdSql)),
     QDef("q71_lang_id_ngram", langIdNgram, Some(langIdNgramSql)),
     QDef("q33_quality_score", quality, Some(qualitySql)),

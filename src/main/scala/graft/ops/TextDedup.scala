@@ -256,10 +256,106 @@ object TextDedup {
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
     simhashes(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Connected components over a near-duplicate pair list — the step
+    * that turns pairwise matches into dedup groups (keep the min-id
+    * doc per component, drop the rest). Each round does (1) min-label
+    * propagation — every node adopts the smallest label among itself
+    * and its neighbors — then (2) pointer jumping — l(id) ← l(l(id)) —
+    * so even path-shaped components converge in O(log n) rounds, not
+    * O(diameter) (the GraphX/large-star recipe). One round is two
+    * shuffle joins + a combinable min aggregation; state never
+    * exceeds one (node, label) row per node. Every round ends in an
+    * eager localCheckpoint: iterative self-referencing lineage
+    * otherwise grows a plan Catalyst re-optimizes exponentially
+    * (observed as a driver heap blowup at ~15 rounds). Eager: runs to
+    * convergence and returns the final (id, cluster) frame; throws if
+    * maxIters rounds don't converge.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id"))
+        .localCheckpoint(true)
+      var it = 0
+      while (it < maxIters) {
+        val nmin = edges
+          .join(labels.select(col("id").as("dst"), col("cluster").as("dst_cluster")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("dst_cluster")).as("nmin"))
+        val merged = labels
+          .join(nmin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        // pointer jumping: follow the label one hop (labels are node
+        // ids, so l(l(id)) is always defined)
+        val updated = merged
+          .join(merged.select(col("id").as("cluster"), col("cluster").as("jump")),
+            Seq("cluster"), "left")
+          .select(col("id"), coalesce(col("jump"), col("cluster")).as("cluster"))
+          .localCheckpoint(true)
+        // labels only ever decrease, so "any strictly smaller" = changed
+        val changed = updated
+          .join(labels.select(col("id"), col("cluster").as("old")), "id")
+          .filter(col("cluster") < col("old")).limit(1).count() > 0
+        labels = updated
+        if (!changed) return labels
+        it += 1
+      }
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds")
+    } finally { edges.unpersist(); () }
+  }
+
+  /** Gate: dedup grouping end-to-end — adjacent-doc Jaccard edges at
+    * ≥ 0.75, clustered into components, labeled by min doc id. The
+    * oracle replays the same edges and closure with a recursive CTE,
+    * so the component semantics (not just counts) are hash-checked. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = docs.select((col("doc_id") + lit(1L)).as("id_b_key"), col("doc_id").as("id_a"))
+      .join(docs.select(col("doc_id").as("id_b")), col("id_b_key") === col("id_b"))
+      .select("id_a", "id_b")
+    val edges = withJaccard(pairs, docs).filter(col("jaccard") >= 0.75)
+      .select("id_a", "id_b")
+    connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+      |  FROM documents
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+      |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |), s AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE) AS inter,
+      |    len(ta) + len(tb) AS tot
+      |  FROM p
+      |), e0 AS (
+      |  SELECT id_a, id_b FROM s WHERE round(inter / (tot - inter), 6) >= 0.75
+      |), e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM e0
+      |  UNION ALL SELECT id_b, id_a FROM e0
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+      |)
+      |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q28_dedup_exact", dedupExact, Some(dedupExactSql)),
     QDef("q30_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QDef("q35_minhash_near_dups", minhashNearDups, None),
     QDef("q36_simhash", simhashSignatures, None),
+    QDef("q81_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
   )
 }

@@ -78,6 +78,23 @@ class TextDedupSpec extends SparkTestBase {
     pairs.select("hamming").as[Int].collect().foreach(h => assert(h <= 10))
   }
 
+  test("connected components label planted cliques, chains, and singletons correctly") {
+    import spark.implicits._
+    // component shapes: a 3-clique {1,2,3}, a LONG chain 100..160
+    // (adversarial for plain min-propagation: diameter 60 — pointer
+    // jumping must converge well inside maxIters), an isolated pair
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val chain = (100L until 160L).map(i => (i, i + 1))
+    val pair = Seq((900L, 901L))
+    val edges = (clique ++ chain ++ pair).toDF("id_a", "id_b")
+    val got = TextDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 3L).forall(got(_) === 1L))
+    assert((100L to 160L).forall(got(_) === 100L))
+    assert(got(900L) === 900L && got(901L) === 900L)
+    assert(got.size === 3 + 61 + 2)
+  }
+
   test("simhash is deterministic") {
     val a = TextDedup.simhash64(Seq("spark", "join", "merge"))
     val b = TextDedup.simhash64(Seq("spark", "join", "merge"))
