@@ -87,12 +87,17 @@ class TextDedupSpec extends SparkTestBase {
     val chain = (100L until 160L).map(i => (i, i + 1))
     val pair = Seq((900L, 901L))
     val edges = (clique ++ chain ++ pair).toDF("id_a", "id_b")
-    val got = TextDedup.connectedComponents(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 3L).forall(got(_) === 1L))
-    assert((100L to 160L).forall(got(_) === 100L))
-    assert(got(900L) === 900L && got(901L) === 900L)
-    assert(got.size === 3 + 61 + 2)
+    // both tiers must produce identical labels: the driver union-find
+    // (default for small graphs) and the distributed log-rounds loop
+    // (forced via driverThreshold = 0)
+    Seq(500000L, 0L).foreach { thr =>
+      val got = TextDedup.connectedComponents(edges, driverThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 3L).forall(got(_) === 1L), s"threshold=$thr")
+      assert((100L to 160L).forall(got(_) === 100L), s"threshold=$thr")
+      assert(got(900L) === 900L && got(901L) === 900L, s"threshold=$thr")
+      assert(got.size === 3 + 61 + 2, s"threshold=$thr")
+    }
   }
 
   test("simhash is deterministic") {
