@@ -297,6 +297,63 @@ object TextAnalysis {
       |    '\d{3}-\d{4}-\d{4}', '<PHONE>', 'g') AS scrubbed
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified source mixing — the "mix 30% web, 60%
+    * code" primitive of training-data assembly: each source keeps a
+    * source-dependent fraction of docs chosen by md5-prefix on the
+    * doc id (portable, seedless, rerun-stable — q70's idiom with
+    * per-stratum thresholds). Pure filter + combinable agg: no
+    * shuffle before the final per-source rollup, scales trivially. */
+  def stratifiedMix(spark: SparkSession, dir: String): DataFrame = {
+    val tier = pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(4))
+    val thr = element_at(array(lit("20"), lit("40"), lit("80"), lit("c0")), tier + 1)
+    Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars_sampled"))
+      .orderBy("source")
+  }
+
+  val stratifiedMixSql: String =
+    """WITH d AS (
+      |  SELECT *, CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 AS tier
+      |  FROM documents
+      |)
+      |SELECT source, count(*) AS n_sampled,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+      |FROM d
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < (['20','40','80','c0'])[tier + 1]
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-source token budgeting — fill each source's slice of a
+    * training mix in deterministic doc order until the token budget
+    * is spent. One cumulative window per source (range-partitioned
+    * sort at scale); the budget cut is a plain filter on the running
+    * sum. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 400)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM t
+      |)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= 400 ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q29_text_stats", textStats, Some(textStatsSql)),
     QDef("q80_pii_scrub", piiScrub, Some(piiScrubSql)),
@@ -305,5 +362,7 @@ object TextAnalysis {
     QDef("q33_quality_score", quality, Some(qualitySql)),
     QDef("q34_fingerprints", fingerprints, Some(fingerprintsSql)),
     QDef("q78_tfidf", tfidf, Some(tfidfSql)),
+    QDef("q82_stratified_mix", stratifiedMix, Some(stratifiedMixSql)),
+    QDef("q83_token_budget", tokenBudget, Some(tokenBudgetSql)),
   )
 }
