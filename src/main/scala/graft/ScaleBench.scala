@@ -78,6 +78,18 @@ object ScaleBench {
         val model = graft.ops.Ivf.train(emb, k = 64)
         noop(graft.ops.Ivf.search(emb, model, queryIds, 10))
       },
+      timed("tfidf")           { noop(graft.ops.TextAnalysis.tfidfOf(docs)) },
+      timed("pii_scrub")       { noop(docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.scrubPii(col("text")).as("scrubbed"))) },
+      timed("cc_900k_edges")   {
+        // 100k chains of 10 nodes → 900k edges: above the union-find
+        // threshold, so this exercises the DISTRIBUTED pointer-jumping
+        // tier at 1M nodes
+        val pairs = spark.range(rows)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+          .filter(pmod(col("id_a"), lit(10)) =!= 9)
+        noop(graft.ops.TextDedup.connectedComponents(pairs))
+      },
       timed("stream_drain")    {
         // Structured Streaming throughput at the same 1M rows:
         // stage the docs as parquet, then a checkpointed

@@ -218,8 +218,10 @@ object TextAnalysis {
     * over tf's output (already term-keyed); the tf⋈df join shuffles
     * on term; N rides in as a broadcast 1-row aggregate; the top-20
     * plans TakeOrderedAndProject. No all-pairs step anywhere. */
-  def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfOf(Tables.documents(spark, dir))
+
+  def tfidfOf(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
         .as("term"))
