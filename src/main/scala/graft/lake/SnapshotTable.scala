@@ -38,10 +38,11 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotTable {
 
-  /** One live data file; `stats` carries (column, min, max) of each
-    * clustering column for file-level data skipping. */
+  /** One live data file; `rows` is the footer row count (−1 when the
+    * manifest predates row counting), `stats` carries (column, min,
+    * max) of each clustering column for file-level data skipping. */
   private[lake] case class Entry(commitDir: String, filePath: String,
-      stats: Seq[(String, Double, Double)] = Nil)
+      rows: Long = -1L, stats: Seq[(String, Double, Double)] = Nil)
 
   private[lake] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -63,19 +64,24 @@ object SnapshotTable {
 
   /** Manifests are single small metadata files read/written on the
     * driver (the table-format norm — Delta/Iceberg logs are driver
-    * IO too): one `commitDir\tfilePath[\tcol\tmin\tmax]...` line per
-    * live file (the optional tail is per-column clustering stats,
-    * repeated in groups of three). */
+    * IO too): one `commitDir\tfilePath[\trows=<n>][\tcol\tmin\tmax]...`
+    * line per live file (an optional footer row count, then
+    * per-column clustering stats in groups of three; the row-count
+    * field is parsed leniently so pre-rowcount manifests still load). */
   private[lake] def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] = {
     val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     content.split("\n").iterator.filter(_.nonEmpty).map { line =>
       val parts = line.split("\t", -1)
-      require(parts.length >= 2 && (parts.length - 2) % 3 == 0,
-        s"bad manifest line: $line")
-      val stats = parts.drop(2).grouped(3)
+      require(parts.length >= 2, s"bad manifest line: $line")
+      val (rows, rest) =
+        if (parts.length > 2 && parts(2).startsWith("rows="))
+          (parts(2).stripPrefix("rows=").toLong, parts.drop(3))
+        else (-1L, parts.drop(2))
+      require(rest.length % 3 == 0, s"bad manifest line: $line")
+      val stats = rest.grouped(3)
         .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
-      Entry(parts(0), parts(1), stats)
+      Entry(parts(0), parts(1), rows, stats)
     }.toSeq
   }
 
@@ -105,8 +111,9 @@ object SnapshotTable {
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
     try out.write(entries.map { e =>
+      val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
       val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
-      s"${e.commitDir}\t${e.filePath}$stats"
+      s"${e.commitDir}\t${e.filePath}$rows$stats"
     }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(s"${logDir(path)}/v$version")
@@ -170,19 +177,20 @@ object SnapshotTable {
     val w = df.write.mode("errorifexists").option("compression", "zstd")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(commitDir)
     val files = listParquet(fs(spark, path), new Path(commitDir))
-    // footer stats are driver-side metadata reads (the table-format
-    // norm), but SEQUENTIAL opens would bottleneck a many-file
-    // commit — read them on a bounded pool
+    // footer reads (row count + per-column min/max) are driver-side
+    // metadata IO (the table-format norm), but SEQUENTIAL opens would
+    // bottleneck a many-file commit — one open per file, on a bounded
+    // pool
     val added: Seq[Entry] =
-      if (statsCols.isEmpty || files.isEmpty) files.map(Entry(commitDir, _))
+      if (files.isEmpty) Nil
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, files.size))
         implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        try Await.result(Future.traverse(files)(f => Future(Entry(commitDir, f,
-          statsCols.flatMap(c => footerMinMax(spark, f, c).map(r => (c, r._1, r._2)))))),
+        try Await.result(
+          Future.traverse(files)(f => Future(footerEntry(spark, commitDir, f, statsCols))),
           Duration.Inf)
         finally { pool.shutdown(); () }
       }
@@ -205,12 +213,12 @@ object SnapshotTable {
   def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long =
     commit(df, path, partitionCols, identity)
 
-  /** Per-file (min, max) of a numeric column from the parquet footer
-    * — read driver-side at commit time, exactly how Iceberg/Delta
-    * collect file stats. Returns None for non-numeric or stats-less
-    * columns. */
-  private def footerMinMax(spark: SparkSession, file: String,
-      column: String): Option[(Double, Double)] = {
+  /** One footer open per committed file: the row count plus (min,
+    * max) of each requested numeric column — read driver-side at
+    * commit time, exactly how Iceberg/Delta collect file stats.
+    * Non-numeric / stats-less columns simply contribute no range. */
+  private def footerEntry(spark: SparkSession, commitDir: String, file: String,
+      statsCols: Seq[String]): Entry = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.column.statistics._
@@ -218,23 +226,40 @@ object SnapshotTable {
       spark.sparkContext.hadoopConfiguration)
     val reader = ParquetFileReader.open(in)
     try {
-      val ranges = for {
-        block <- reader.getFooter.getBlocks.asScala.toSeq
-        cc <- block.getColumns.asScala
-        if cc.getPath.toDotString == column
-        s = cc.getStatistics
-        if s != null && !s.isEmpty
-        r <- s match {
-          case l: LongStatistics   => Some((l.getMin.toDouble, l.getMax.toDouble))
-          case i: IntStatistics    => Some((i.getMin.toDouble, i.getMax.toDouble))
-          case d: DoubleStatistics => Some((d.getMin, d.getMax))
-          case f: FloatStatistics  => Some((f.getMin.toDouble, f.getMax.toDouble))
-          case _                   => None
-        }
-      } yield r
-      if (ranges.isEmpty) None
-      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = statsCols.flatMap { column =>
+        val ranges = for {
+          block <- blocks
+          cc <- block.getColumns.asScala
+          if cc.getPath.toDotString == column
+          s = cc.getStatistics
+          if s != null && !s.isEmpty
+          r <- s match {
+            case l: LongStatistics   => Some((l.getMin.toDouble, l.getMax.toDouble))
+            case i: IntStatistics    => Some((i.getMin.toDouble, i.getMax.toDouble))
+            case d: DoubleStatistics => Some((d.getMin, d.getMax))
+            case f: FloatStatistics  => Some((f.getMin.toDouble, f.getMax.toDouble))
+            case _                   => None
+          }
+        } yield r
+        if (ranges.isEmpty) None
+        else Some((column, ranges.map(_._1).min, ranges.map(_._2).max))
+      }
+      Entry(commitDir, file, rows, stats)
     } finally reader.close()
+  }
+
+  /** Metadata-only row count of the table at `version` (default
+    * latest): the sum of the manifest's per-file footer counts — no
+    * data scan, the Iceberg snapshot-summary pattern. Falls back to a
+    * real count only if an entry predates row counting. */
+  def count(spark: SparkSession, path: String, version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val entries = readManifest(spark, path, v)
+    if (entries.forall(_.rows >= 0)) entries.map(_.rows).sum
+    else read(spark, path, Some(v)).count()
   }
 
   /** Append with the data RANGE-CLUSTERED on `clusterCol` into

@@ -155,6 +155,25 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(n1 < 16)
   }
 
+  test("metadata-only count matches the scanned count across every write path") {
+    val path = Files.createTempDirectory("graft-snap-count").toString + "/t"
+    def check(): Unit =
+      assert(SnapshotTable.count(spark, path) === SnapshotTable.read(spark, path).count())
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), path, Seq("event_date"))
+    check()
+    SnapshotTable.overwritePartitions(mkRows("b", Seq("2024-01-01")), path, Seq("event_date"))
+    check()
+    SnapshotTable.merge(
+      Seq(("b-0-0", "2024-01-01", 99.0), ("new-1", "2024-01-02", 1.0))
+        .toDF("id", "event_date", "v"), path, Seq("id"))
+    check()
+    SnapshotTable.compact(spark, path, numFiles = 1)
+    check()
+    // historical versions count from their own manifests
+    assert(SnapshotTable.count(spark, path, Some(1L)) === 10L)
+    assert(SnapshotTable.count(spark, path, Some(2L)) === 10L)
+  }
+
   test("vacuum minAgeMs retention never expires recently-published versions") {
     val path = Files.createTempDirectory("graft-snap-vac-age").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
