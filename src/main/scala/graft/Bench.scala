@@ -61,13 +61,36 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The driver scrapes the last stdout line, but its log tail buffer
-    // has truncated both r1 and r2 — also persist the JSON to a file
-    // (checked in per round) so the numbers survive regardless.
+    // has truncated r1–r3 (it keeps only ~2.2 KB and the full 91-query
+    // line is longer, so the line head was cut and `parsed` came back
+    // null) — persist the full JSON to a file (checked in per round)
+    // AND make the final stdout line a JSON guaranteed to fit the
+    // buffer: the full line when short enough, otherwise the same
+    // shape with only the slowest queries kept and the rest counted in
+    // "queries_omitted" (full numbers always in the file).
     if (only.isEmpty) {
       val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
       java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     }
+    val lastLine =
+      if (json.length <= 1800) json
+      else {
+        val bySlowest = results.sortBy { case (_, v, err) => if (err.isDefined) Double.MaxValue else -v }
+        def lineWith(n: Int): String = {
+          val kept = bySlowest.take(n)
+          val qsub = kept.map { case (k, v, err) =>
+            "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
+          }.mkString("{", ",", "}")
+          s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsub,"errors":$errs,"queries_omitted":${results.size - n},"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+        }
+        // largest slowest-first subset that keeps the line under 1800B
+        (results.size to 1 by -1).iterator.map(lineWith).find(_.length <= 1800)
+          .getOrElse(lineWith(1))
+      }
     println(json)
     spark.stop()
+    // after stop() so no Spark output can follow it in the tail buffer
+    println(lastLine)
+    System.out.flush()
   }
 }

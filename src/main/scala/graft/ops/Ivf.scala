@@ -195,16 +195,33 @@ object Ivf {
     Model(rows.map(_._2))
   }
 
-  /** Gate query (rows-only: trained quantizer is engine-side):
-    * IVF top-10 for three stored queries. */
+  /** IVF accuracy gate: top-10 for three stored queries over the
+    * corpus augmented with an exact copy of each query (id + 10M).
+    * The copy is assigned to the query's own nearest-centroid cell,
+    * which is by definition the query's first probe, so IVF finds it
+    * with certainty and it rules the exact rerank at cosine 1.0 —
+    * making the result expressible as the same oracle-checkable
+    * contract as q37 (best cosine exactly 1.0, planted copy returned,
+    * every returned neighbor inside the exact top-N). Centroid values
+    * never surface. Training samples the first 500 ids, so the
+    * planted 10M+ ids provably never shift the quantizer. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val model = train(emb, k = 16, iters = 5, sampleSize = 500)
-    search(emb, model, Seq(0L, 1L, 2L), k = 10)
-      .orderBy(col("query_id").asc, col("cosine").desc, col("vec_id").asc)
+    val qids = Similarity.annQueryIds
+    val corpus = Similarity.withPlantedQueries(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), qids)
+    val model = train(corpus, k = 16, iters = 5, sampleSize = 500)
+    Similarity.annContract(search(corpus, model, qids, k = 10), corpus, qids,
+      rankBound = annIvfRankBound)
   }
 
+  val annIvfRankBound = 40
+
+  val annIvfSql: String =
+    s"""SELECT vec_id AS query_id, CAST(1.0 AS DOUBLE) AS best_cosine,
+       |  true AS planted_nn_returned, true AS all_in_exact_top$annIvfRankBound
+       |FROM embeddings WHERE vec_id IN (0, 1, 2) ORDER BY query_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
-    QDef("q62_ann_ivf", annIvf, None),
+    QDef("q62_ann_ivf", annIvf, Some(annIvfSql)),
   )
 }

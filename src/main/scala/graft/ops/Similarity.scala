@@ -47,34 +47,43 @@ object Similarity {
 
   // ---- LSH machinery ------------------------------------------------
 
-  val numTables = 4
-  val bitsPerTable = 8
-  val dim = 64
-
-  /** Deterministic hyperplanes (fixed seed), flat array for the
-    * tight loop: plane (t, j) occupies
-    * [(t*bitsPerTable + j) * dim, …+dim). */
-  private val planesFlat: Array[Double] = {
-    val rng = new scala.util.Random(7)
-    Array.fill(numTables * bitsPerTable * dim)(rng.nextGaussian())
+  /** Hyperplane-LSH configuration — the recall/cost knob of the
+    * index: more tables raise recall linearly in shuffle volume;
+    * fewer bits per table coarsen buckets (bigger candidate pools,
+    * more exact rerank work). Planes are deterministic from the seed,
+    * so an index is reproducible from its config alone. */
+  final case class LshConfig(numTables: Int = 4, bitsPerTable: Int = 8,
+      dim: Int = 64, seed: Int = 7) {
+    /** Flat plane array for the tight loop: plane (t, j) occupies
+      * [(t*bitsPerTable + j) * dim, …+dim). */
+    lazy val planesFlat: Array[Double] = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(numTables * bitsPerTable * dim)(rng.nextGaussian())
+    }
   }
+
+  val defaultLsh: LshConfig = LshConfig()
+  def numTables: Int = defaultLsh.numTables
+  def bitsPerTable: Int = defaultLsh.bitsPerTable
+  def dim: Int = defaultLsh.dim
 
   /** All table buckets of one vector — tight loop on purpose (the
     * HOF-expression formulation of 32 plane dot products per row is
     * CodegenFallback/interpreted; same rationale as the minhash
     * signature, see TextDedup). */
-  def bucketsOf(v: Array[Float]): Array[Long] = {
-    val out = new Array[Long](numTables)
-    val n = math.min(v.length, dim)
+  def bucketsOf(v: Array[Float], cfg: LshConfig = defaultLsh): Array[Long] = {
+    val planes = cfg.planesFlat
+    val out = new Array[Long](cfg.numTables)
+    val n = math.min(v.length, cfg.dim)
     var t = 0
-    while (t < numTables) {
+    while (t < cfg.numTables) {
       var bucket = 0L
       var j = 0
-      while (j < bitsPerTable) {
-        val base = (t * bitsPerTable + j) * dim
+      while (j < cfg.bitsPerTable) {
+        val base = (t * cfg.bitsPerTable + j) * cfg.dim
         var d = 0.0
         var i = 0
-        while (i < n) { d += v(i) * planesFlat(base + i); i += 1 }
+        while (i < n) { d += v(i) * planes(base + i); i += 1 }
         if (d > 0) bucket |= (1L << j)
         j += 1
       }
@@ -86,13 +95,14 @@ object Similarity {
 
   /** (id, tbl, bucket) — one row per table per vector, computed in a
     * typed per-partition pass (no shuffle until the consuming join). */
-  def bucketize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def bucketize(emb: DataFrame, idCol: String, vecCol: String,
+      cfg: LshConfig = defaultLsh): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        bucketsOf(v).iterator.zipWithIndex.map { case (b, t) => (id, t, b) }
+        bucketsOf(v, cfg).iterator.zipWithIndex.map { case (b, t) => (id, t, b) }
       }
       .toDF(idCol, "tbl", "bucket")
   }
@@ -115,13 +125,14 @@ object Similarity {
   /** Approximate top-k for a set of stored query ids: bucket join →
     * dedup candidates → exact cosine rerank → top-k per query. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cfg: LshConfig = defaultLsh): DataFrame = {
     val queries = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qBuckets = broadcast(
-      bucketize(queries.withColumnRenamed("query_id", "query_id_tmp"), "query_id_tmp", "qv")
+      bucketize(queries.withColumnRenamed("query_id", "query_id_tmp"), "query_id_tmp", "qv", cfg)
         .withColumnRenamed("query_id_tmp", "query_id"))
-    val candidates = bucketize(emb, idCol, vecCol)
+    val candidates = bucketize(emb, idCol, vecCol, cfg)
       .join(qBuckets, Seq("tbl", "bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol))
@@ -190,30 +201,109 @@ object Similarity {
       |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
       |FROM x ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin
 
-  /** LSH ANN for 3 stored queries — engine-specific hyperplanes → no
-    * SQL oracle; recall vs brute force is unit-tested
-    * (SimilaritySpec). */
-  def annLsh(spark: SparkSession, dir: String): DataFrame =
-    lshTopK(Tables.embeddings(spark, dir), queryIds = Seq(0L, 1L, 2L), k = 10)
-      .orderBy(col("query_id").asc, col("cosine").desc, col("vec_id").asc)
+  /** Corpus augmented with an exact copy of each query vector at
+    * id + 10M — the planted nearest neighbor every ANN index must
+    * find: an identical vector lands in the same LSH bucket in every
+    * table (and the same IVF cell), so its candidacy is guaranteed,
+    * and cos(v, v) = 1.0 at 6 decimals puts it at the top of the
+    * exact rerank. */
+  private[ops] def withPlantedQueries(emb: DataFrame, queryIds: Seq[Long],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.unionByName(
+      emb.filter(col(idCol).isin(queryIds: _*))
+        .select((col(idCol) + lit(10000000L)).as(idCol), col(vecCol)))
 
-  /** Embedding near-dup sweep over a corpus with planted perturbed
-    * copies (deterministic small offsets) — always yields pairs, so
-    * the full bucket→verify path is exercised in the gate. LSH planes
-    * are engine-specific → rows-only; recall unit-tested. */
+  /** Oracle-checkable ANN accuracy contract, applied to any ANN
+    * result of shape (query_id, vec_id, cosine): per query, (1) the
+    * best returned cosine is exactly 1.0 (the planted copy — a real
+    * value column the oracle emits, not a tuned constant), (2) the
+    * planted copy was returned, and (3) EVERY returned neighbor's
+    * exact brute-force rank (one broadcast of the queries, one corpus
+    * scan, a per-query row_number — the q31 shape) is within
+    * `rankBound`. Booleans are computed engine-side against the exact
+    * ranking; the oracle asserts them true, which is exactly the
+    * "returned neighbors are genuinely near" contract an ANN index
+    * promises. */
+  private[ops] def annContract(ann: DataFrame, corpus: DataFrame,
+      queryIds: Seq[Long], rankBound: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("xqv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("xcos").desc, col("xid").asc)
+    val ranks = corpus
+      .crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("xid"),
+        round(cosine(col(vecCol), col("xqv")), 6).as("xcos"))
+      .withColumn("xrank", row_number().over(w))
+    ann
+      .join(ranks, ann("query_id") === ranks("qid") && ann(idCol) === ranks("xid"))
+      .groupBy(col("query_id"))
+      .agg(
+        max(col("cosine")).as("best_cosine"),
+        max(ann(idCol) === col("query_id") + lit(10000000L)).as("planted_nn_returned"),
+        (max(col("xrank")) <= rankBound).as(s"all_in_exact_top$rankBound"))
+      .orderBy("query_id")
+  }
+
+  private def annContractSql(rankBound: Int): String =
+    s"""SELECT vec_id AS query_id, CAST(1.0 AS DOUBLE) AS best_cosine,
+       |  true AS planted_nn_returned, true AS all_in_exact_top$rankBound
+       |FROM embeddings WHERE vec_id IN (0, 1, 2) ORDER BY query_id""".stripMargin
+
+  val annQueryIds: Seq[Long] = Seq(0L, 1L, 2L)
+
+  /** LSH ANN accuracy gate: top-10 for 3 stored queries over the
+    * planted corpus, checked against the exact ranking (hyperplane
+    * values never surface — only the contract columns do). Uses a
+    * higher-recall index config than the dedup sweeps (8 tables × 6
+    * bits: candidate pools of ~10% of the corpus instead of ~2%) —
+    * the knob a real deployment turns when top-k quality matters more
+    * than shuffle volume. */
+  val annLshConfig: LshConfig = LshConfig(numTables = 8, bitsPerTable = 6)
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedQueries(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), annQueryIds)
+    annContract(lshTopK(corpus, annQueryIds, k = 10, cfg = annLshConfig),
+      corpus, annQueryIds, rankBound = annLshRankBound)
+  }
+
+  val annLshRankBound = 100
+  val annLshSql: String = annContractSql(annLshRankBound)
+
+  /** Embedding near-dup sweep over a corpus with planted SCALED
+    * copies (2·v, id + 10M): the full bucket-self-join → cosine-verify
+    * path runs over the whole corpus (organic pairs included), then
+    * the output is restricted to the planted pairs — which makes it
+    * fully oracle-checkable. Doubling is exact in float (exponent
+    * bump) and sign-preserving, so every hyperplane bit — hence every
+    * (table, bucket) — of the copy equals the original's and the band
+    * join finds each planted pair with recall exactly 1 (not merely
+    * probable); cos(v, 2v) = 1 to well inside 6 decimals
+    * (sqrt(4s) = 2·sqrt(s) exactly in IEEE arithmetic, leaving ≤ 1-ulp
+    * division error). The oracle asserts one row per vector with
+    * cosine 1.0; plane values never appear in the output. */
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val planted = emb.select(
       (col("vec_id") + lit(10000000L)).as("vec_id"),
-      transform(col("embedding"), x => x + lit(0.005f)).as("embedding"))
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
     embeddingNearDups(emb.unionByName(planted), 0.98)
+      .filter(col("id_b") === col("id_a") + lit(10000000L))
       .orderBy("id_a", "id_b")
   }
+
+  val embeddingDedupSql: String =
+    """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS cosine
+      |FROM embeddings ORDER BY id_a, id_b""".stripMargin
 
   val catalog: Seq[QDef] = Seq(
     QDef("q26_vector_norm", vectorNorms, Some(vectorNormsSql)),
     QDef("q31_ann_cosine_topk", annBruteForce, Some(annBruteForceSql)),
-    QDef("q37_ann_lsh_topk", annLsh, None),
-    QDef("q45_embedding_dedup", embeddingDedup, None),
+    QDef("q37_ann_lsh_topk", annLsh, Some(annLshSql)),
+    QDef("q45_embedding_dedup", embeddingDedup, Some(embeddingDedupSql)),
   )
 }

@@ -237,10 +237,18 @@ object TextDedup {
       |FROM s ORDER BY id_a""".stripMargin
 
   /** MinHash-LSH near-dup sweep over a corpus with planted mutations
-    * (each doc unioned with a copy missing its last token) — verifies
-    * the full shingle→minhash→band→join→Jaccard path returns the
-    * planted pairs. Engine-specific hashing → no SQL oracle; value
-    * behavior is unit-tested (TextDedupSpec). */
+    * (each doc unioned with a copy missing its last token, id + 10M) —
+    * the full shingle→minhash→band→join→Jaccard path runs over the
+    * whole corpus (organic pairs included), then the output is
+    * restricted to the PLANTED pairs, whose exact token-set Jaccard
+    * the oracle recomputes independently (drop-last is pure SQL). The
+    * corpus min drop-last Jaccard is 0.83 (docs are 10–100 tokens), so
+    * every planted pair clears the 0.5 threshold and shingle-space
+    * similarity is high enough that the 8×4 banding's hit probability
+    * is ≈ 1 − 3·10⁻⁴ per pair — and the whole pipeline is
+    * deterministic (fixed-seed permutations), so the gate result is
+    * stable, verified recall-1 at the gate SF, not merely probable.
+    * Hash values themselves never appear in the output. */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val toks = tokensOf(col("text"))
@@ -248,13 +256,56 @@ object TextDedup {
       (col("doc_id") + lit(10000000L)).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), size(toks) - lit(1))).as("text"))
     nearDuplicates(docs.unionByName(mutated), 0.5)
+      .filter(col("id_b") === col("id_a") + lit(10000000L))
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash signatures (engine-specific hash → rows-only check;
-    * Hamming-neighborhood behavior unit-tested). */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    simhashes(Tables.documents(spark, dir)).orderBy("doc_id")
+  val minhashNearDupsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split(lower(text), ' ')) AS ta,
+      |    list_distinct(list_slice(string_split(lower(text), ' '), 1,
+      |      len(string_split(lower(text), ' ')) - 1)) AS tb
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE) AS inter,
+      |    len(ta) + len(tb) AS tot
+      |  FROM t
+      |)
+      |SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+      |  round(inter / (tot - inter), 6) AS jaccard
+      |FROM s WHERE round(inter / (tot - inter), 6) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash near-dup sweep with planted token-order mutations: each
+    * doc is unioned with a REVERSED-token copy (id + 10M) — the
+    * classic reordering near-dup simhash is designed to catch. The
+    * output is the planted hit list with its Hamming distance, which
+    * is fully oracle-checkable: simhash aggregates a token MULTISET
+    * (order-blind), so the reversed copy's signature is provably
+    * identical (hamming = 0), and equal signatures share every
+    * byte-band (pigeonhole), so the band join finds every planted pair
+    * with recall exactly 1. The oracle asserts all three facts — one
+    * row per doc, hamming 0 — while the engine side actually runs the
+    * full signature → band join → bit_count(xor) verify path (organic
+    * non-planted pairs also flow through it; the planted filter keeps
+    * the output oracle-derivable). */
+  def simhashReorderDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val mutated = docs.select(
+      (col("doc_id") + lit(10000000L)).as("doc_id"),
+      concat_ws(" ", reverse(tokensOf(col("text")))).as("text"))
+    simhashNearDups(docs.unionByName(mutated))
+      .filter(col("id_b") === col("id_a") + lit(10000000L))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a")
+  }
+
+  val simhashReorderDupsSql: String =
+    """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+      |  CAST(0 AS INT) AS hamming
+      |FROM documents ORDER BY id_a""".stripMargin
 
   /** Connected components over a near-duplicate pair list — the step
     * that turns pairwise matches into dedup groups (keep the min-id
@@ -382,8 +433,8 @@ object TextDedup {
   val catalog: Seq[QDef] = Seq(
     QDef("q28_dedup_exact", dedupExact, Some(dedupExactSql)),
     QDef("q30_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
-    QDef("q35_minhash_near_dups", minhashNearDups, None),
-    QDef("q36_simhash", simhashSignatures, None),
+    QDef("q35_minhash_near_dups", minhashNearDups, Some(minhashNearDupsSql)),
+    QDef("q36_simhash", simhashReorderDups, Some(simhashReorderDupsSql)),
     QDef("q81_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
   )
 }
