@@ -81,6 +81,11 @@ object ScaleBench {
       timed("tfidf")           { noop(graft.ops.TextAnalysis.tfidfOf(docs)) },
       timed("pii_scrub")       { noop(docs.select(col("doc_id"),
         graft.ops.TextAnalysis.scrubPii(col("text")).as("scrubbed"))) },
+      timed("token_prefix_sum") {
+        // the two-phase prefix sum at 1M docs: no per-source window,
+        // so no single-task source history no matter the cardinality
+        noop(graft.ops.TextAnalysis.runningTokenTotals(docs))
+      },
       timed("cc_900k_edges")   {
         // 100k chains of 10 nodes → 900k edges: above the union-find
         // threshold, so this exercises the DISTRIBUTED pointer-jumping

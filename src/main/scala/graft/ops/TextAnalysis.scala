@@ -326,22 +326,70 @@ object TextAnalysis {
       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < (['20','40','80','c0'])[tier + 1]
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source running token total over (source, doc_id) order,
+    * computed as a two-phase distributed prefix sum. The obvious
+    * `sum().over(Window.partitionBy(source).orderBy(doc_id))` puts a
+    * source's ENTIRE history on one task (window partitions never
+    * split), and source cardinality is small — at 100 TB that is one
+    * task per source doing a terabyte-sized sort. Here instead:
+    *
+    *  1. range-repartition + sort on (source, doc_id) — the same
+    *     shuffle the window would need, but the data stays spread
+    *     over ALL partitions (a source may span many);
+    *  2. one per-partition pass folds each partition's per-source
+    *     token totals; only (partition, source, total) rows — ≤
+    *     partitions × sources — come to the driver, which prefix-sums
+    *     them into per-(partition, source) start offsets;
+    *  3. a second per-partition pass emits each row's running total
+    *     as offset + local prefix.
+    *
+    * The eager localCheckpoint freezes the partition layout between
+    * the two passes (a recompute could re-sample different range
+    * bounds, silently pairing offsets with the wrong partitions). */
+  def runningTokenTotals(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .select(col("doc_id").cast("long"), col("source"), col("n_tokens"))
+      .as[(Long, String, Int)]
+      .repartitionByRange(col("source"), col("doc_id"))
+      .sortWithinPartitions("source", "doc_id")
+      .localCheckpoint(true)
+    val partials: Array[(Int, String, Long)] = sorted
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val totals = scala.collection.mutable.LinkedHashMap[String, Long]()
+        it.foreach { case (_, src, n) => totals(src) = totals.getOrElse(src, 0L) + n }
+        totals.iterator.map { case (s, t) => (pid, s, t) }
+      }.collect()
+    val offsets: Map[(Int, String), Long] = partials
+      .groupBy(_._2).iterator.flatMap { case (src, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (pid, _, t) =>
+          val off = cum; cum += t; (pid, src) -> off
+        }
+      }.toMap
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val cum = scala.collection.mutable.HashMap[String, Long]()
+      it.map { case (id, src, n) =>
+        val c = cum.getOrElse(src, bcOffsets.value.getOrElse((pid, src), 0L)) + n
+        cum(src) = c
+        (id, src, n, c)
+      }
+    }.toDF("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   /** Per-source token budgeting — fill each source's slice of a
     * training mix in deterministic doc order until the token budget
-    * is spent. One cumulative window per source (range-partitioned
-    * sort at scale); the budget cut is a plain filter on the running
-    * sum. */
-  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Long.MinValue, 0)
-    Tables.documents(spark, dir)
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    * is spent: the scalable prefix sum above, then a plain filter on
+    * the running total. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    runningTokenTotals(Tables.documents(spark, dir))
       .filter(col("cum_tokens") <= 400)
-      .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
-  }
 
   val tokenBudgetSql: String =
     """WITH t AS (

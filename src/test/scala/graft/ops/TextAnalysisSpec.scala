@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  /** Reference formulation: the per-source cumulative window. Correct
+    * but serial per source — kept here only to pin the distributed
+    * prefix sum's semantics. */
+  private def windowTotals(docs: org.apache.spark.sql.DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  test("two-phase prefix sum matches the window formulation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val scan = TextAnalysis.runningTokenTotals(docs)
+    val window = windowTotals(docs)
+    assert(scan.count() === docs.count())
+    assert(scan.exceptAll(window).isEmpty && window.exceptAll(scan).isEmpty)
+  }
+
+  test("prefix sum is exact when one source spans many partitions") {
+    import spark.implicits._
+    // single source, 10k docs of 1 token each over 32 shuffle
+    // partitions → every partition boundary crosses the source, so any
+    // offset bug shows up as a wrong running total
+    val docs = spark.range(10000)
+      .select(col("id").as("doc_id"), lit("only").as("source"),
+        lit("x").as("text"))
+    val got = TextAnalysis.runningTokenTotals(docs)
+      .select(col("doc_id"), col("cum_tokens")).as[(Long, Long)]
+      .collect().toMap
+    assert(got.size === 10000)
+    // 1 token per doc in doc_id order → cum(doc k) = k + 1
+    assert((0L until 10000L).forall(k => got(k) === k + 1))
+  }
+
+  test("token budget plans no per-source window") {
+    val plan = TextAnalysis.tokenBudget(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+  }
+}
