@@ -15,6 +15,10 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); Spark 4 only reads it
       // with this legacy conf (as epoch-nano longs, see model.Tables)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // library-grade extension wiring: native functions, the as-of
+      // join strategy, and snapshot-table SQL (time travel + MERGE/
+      // DELETE routing) — ev10 runs SQL statement text in the gate
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -293,6 +293,67 @@ object EvQueries {
     } finally { gold.unpersist(); () }
   }
 
+  /** The same row-level surface as ev09, driven through SQL TEXT: the
+    * gold fact is registered in the SnapshotCatalog and mutated with
+    * `MERGE INTO ... UPDATE SET * / INSERT *` and `DELETE FROM ...
+    * WHERE` statements, which the injected resolution rule routes to
+    * SnapshotTable.merge/delete (the Iceberg-v2 statement surface the
+    * reference's gold table declares; jobs/ev_sessions_gold_etl.py:
+    * 147-149). Oracle: the merged-then-deleted state is plain SQL
+    * over the same cleaned rows, so statement routing AND row-level
+    * semantics are hash-verified end-to-end. */
+  def sqlMergeDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-sqldml-gate").toString + "/fact"
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      graft.lake.SnapshotTable.append(gold, path, Seq("event_date"))
+      val updates = gold.orderBy("sessionId").limit(3)
+        .withColumn("session_duration_minutes", lit(-1.0))
+      val minDate = gold.select(min(col("event_date"))).head().getDate(0)
+      val inserts = Seq(("merged-new", 42.0))
+        .toDF("sessionId", "session_duration_minutes")
+        .select(col("sessionId"), lit(minDate).as("event_date"),
+          col("session_duration_minutes"))
+      updates.unionByName(inserts).createOrReplaceTempView("ev10_src")
+      graft.lake.SnapshotCatalog.register("ev10_fact", path)
+      try {
+        spark.sql(
+          """MERGE INTO ev10_fact t USING ev10_src s
+            |ON t.sessionId = s.sessionId
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+        spark.sql(
+          "DELETE FROM ev10_fact WHERE session_duration_minutes > 120").collect()
+      } finally graft.lake.SnapshotCatalog.unregister("ev10_fact")
+      graft.lake.SnapshotTable.read(spark, path)
+        .select("sessionId", "session_duration_minutes")
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val sqlMergeDeleteSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |), upd AS (
+       |  SELECT sessionId FROM gold ORDER BY sessionId LIMIT 3
+       |), merged AS (
+       |  SELECT sessionId,
+       |    CASE WHEN sessionId IN (SELECT sessionId FROM upd)
+       |         THEN -1.0 ELSE session_duration_minutes END AS session_duration_minutes
+       |  FROM gold
+       |  UNION ALL SELECT 'merged-new', 42.0
+       |)
+       |SELECT sessionId, session_duration_minutes FROM merged
+       |WHERE NOT session_duration_minutes > 120
+       |ORDER BY sessionId""".stripMargin
+
   private val mergeUpsertSql =
     s"""$prefix,
        |gold AS (
@@ -339,5 +400,6 @@ object EvQueries {
     QDef("ev07_station_utilization", stationUtilization, Some(stationUtilizationSql)),
     QDef("ev08_snapshot_versions", snapshotVersions, Some(snapshotVersionsSql)),
     QDef("ev09_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    QDef("ev10_sql_merge_delete", sqlMergeDelete, Some(sqlMergeDeleteSql)),
   )
 }

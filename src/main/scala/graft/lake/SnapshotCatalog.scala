@@ -66,7 +66,22 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
       case _      => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+  /** DML targets may carry an alias (`MERGE INTO t alias`) — unwrap
+    * to the underlying relation. */
+  private def unwrapped(p: LogicalPlan): Option[UnresolvedRelation] = p match {
+    case u: UnresolvedRelation => Some(u)
+    case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => unwrapped(a.child)
+    case _ => None
+  }
+
+  private def registeredTarget(p: LogicalPlan): Option[(UnresolvedRelation, String)] =
+    unwrapped(p).flatMap(u => registered(u).map(u -> _))
+
+  // resolveOperatorsDOWN: the DML statements must see their target
+  // while it is still an UnresolvedRelation — bottom-up would rewrite
+  // the target into a snapshot read plan first and the command cases
+  // would never match
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)
         if registered(u).isDefined =>
       val path = registered(u).get
@@ -76,6 +91,39 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
           ts.map(evalMillis).getOrElse(Long.MaxValue))
       }
       DatasetBridge.planOf(SnapshotTable.read(spark, path, Some(v)))
+
+    // row-level SQL statements over registered tables → runnable
+    // commands (the Iceberg-v2 statement surface; see
+    // SnapshotSqlCommands). The predicate rides as a Column (not an
+    // Expression constructor arg) so the command node is `resolved`
+    // even though its attributes bind only at run time.
+    case d @ org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable(target, cond) =>
+      registeredTarget(target) match {
+        case Some((u, path)) =>
+          SnapshotDeleteCommand(u.multipartIdentifier.last, path,
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(cond))
+        case None => d
+      }
+
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      registeredTarget(m.targetTable) match {
+        case Some((u, path)) =>
+          import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, UpdateStarAction}
+          val supported = m.matchedActions.forall {
+            case UpdateStarAction(None) => true
+            case _                      => false
+          } && m.notMatchedActions.forall {
+            case InsertStarAction(None) => true
+            case _                      => false
+          } && m.notMatchedBySourceActions.isEmpty
+          if (!supported) throw new UnsupportedOperationException(
+            "snapshot MERGE supports exactly WHEN MATCHED THEN UPDATE SET * " +
+              "WHEN NOT MATCHED THEN INSERT * (unconditional); got: " + m.simpleString(5))
+          SnapshotMergeCommand(u.multipartIdentifier.last, path,
+            m.sourceTable, SnapshotSqlCommands.keyColsOf(m.mergeCondition))
+        case None => m
+      }
+
     case u: UnresolvedRelation if registered(u).isDefined =>
       DatasetBridge.planOf(SnapshotTable.read(spark, path = registered(u).get))
   }

@@ -1,0 +1,79 @@
+package graft.lake
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+import org.apache.spark.sql.types.LongType
+
+/** SQL-statement surface for registered snapshot tables — the
+  * remaining Iceberg-v2 row-level syntax the reference's gold table
+  * declares (`format-version=2`, reference
+  * jobs/ev_sessions_gold_etl.py:147-149):
+  *
+  *   MERGE INTO t USING s ON t.k = s.k
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  *   DELETE FROM t WHERE p
+  *
+  * [[ResolveSnapshotRelation]] rewrites the parsed `MergeIntoTable` /
+  * `DeleteFromTable` nodes into these runnable commands when the
+  * target's single-part name is registered in [[SnapshotCatalog]];
+  * Spark then executes them eagerly like any DDL/DML command. Each
+  * returns the committed version as a one-row result. The MERGE form
+  * supported is exactly [[SnapshotTable.merge]]'s semantics — full-row
+  * upsert keyed by the ON equality columns; conditional or
+  * column-level actions raise a clear error instead of silently
+  * diverging.
+  */
+private[lake] object SnapshotSqlCommands {
+
+  /** ON-clause → merge key columns: a conjunction of `t.c = s.c`
+    * equalities (either side may be unqualified; both must name the
+    * same column). */
+  def keyColsOf(cond: Expression): Seq[String] = {
+    def nameOf(e: Expression): Option[String] = e match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case a: Attribute           => Some(a.name)
+      case _                      => None
+    }
+    cond match {
+      case And(l, r) => keyColsOf(l) ++ keyColsOf(r)
+      case EqualTo(l, r) =>
+        (nameOf(l), nameOf(r)) match {
+          case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => Seq(a)
+          case _ => throw new UnsupportedOperationException(
+            s"snapshot MERGE ON clause must equate the same column on both sides, got: $l = $r")
+        }
+      case other => throw new UnsupportedOperationException(
+        "snapshot MERGE ON clause must be a conjunction of column equalities, got: " + other.sql)
+    }
+  }
+}
+
+/** `MERGE INTO <registered> USING ... ON ... UPDATE SET * / INSERT *`
+  * → [[SnapshotTable.merge]]. */
+case class SnapshotMergeCommand(table: String, path: String,
+    source: LogicalPlan, keyCols: Seq[String]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = DatasetBridge.ofRows(spark, source)
+    Seq(Row(SnapshotTable.merge(src, path, keyCols)))
+  }
+}
+
+/** `DELETE FROM <registered> WHERE p` → [[SnapshotTable.delete]]. */
+case class SnapshotDeleteCommand(table: String, path: String,
+    condition: org.apache.spark.sql.Column) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.delete(spark, path, condition, sqlAlias = Some(table))))
+}

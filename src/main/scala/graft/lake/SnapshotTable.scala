@@ -487,6 +487,58 @@ object SnapshotTable {
     }, statsCols = statsOut)
   }
 
+  /** Row-level DELETE: remove the rows matching `predicate` by
+    * rewriting ONLY the files that contain at least one matching row
+    * — `DELETE FROM t WHERE p`, the other half of the row-level
+    * surface the reference's gold sink enables via Iceberg v2
+    * (reference jobs/ev_sessions_gold_etl.py:147-149). The touched
+    * set comes from one scan that tags `input_file_name()` on
+    * matching rows: parquet row-group statistics + predicate pushdown
+    * prune that scan for free, and the result is the EXACT minimal
+    * rewrite set (a file with no matching row is never rewritten —
+    * same effect as Delta's stats-then-scan file finding, without
+    * maintaining per-column stats for every predicate shape). Rows
+    * whose predicate evaluates NULL are kept, per SQL DELETE
+    * semantics. Untouched files carry over by manifest reference;
+    * every earlier version remains readable (time travel). Returns
+    * the new version, or the current one if nothing matched.
+    * Concurrency: like [[merge]], a concurrent commit aborts the
+    * publish (write-skew guard) — rerun the delete. */
+  def delete(spark: SparkSession, path: String, predicate: Column,
+      partitionCols: Seq[String] = Nil, sqlAlias: Option[String] = None): Long = {
+    val base = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val entries = readManifest(spark, path, base)
+    def normalize(p: String): String = new Path(p).toUri.getPath
+    // sqlAlias: the SQL path may qualify predicate columns with the
+    // table name (`DELETE FROM t WHERE t.c = 1`) — aliasing the scan
+    // lets both qualified and bare references resolve
+    def aliased(df: DataFrame): DataFrame =
+      sqlAlias.fold(df)(df.alias(_))
+    val current = aliased(read(spark, path, Some(base)))
+    val touched: Set[String] = current.filter(predicate)
+      .select(input_file_name()).distinct()
+      .collect().map(r => normalize(r.getString(0))).toSet
+    if (touched.isEmpty) return base
+    val rewrite = entries.filter(e => touched(normalize(e.filePath)))
+    val touchedDf = aliased(rewrite.groupBy(_.commitDir).map { case (dir, es) =>
+      spark.read.option("basePath", dir).option("mergeSchema", true)
+        .parquet(es.map(_.filePath): _*)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+    // keep rows where the predicate is FALSE or NULL
+    val survivors = touchedDf.filter(!coalesce(predicate, lit(false)))
+    val statsOut = entries.flatMap(_.stats.map(_._1)).distinct
+    val partCols =
+      if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
+    val rewriteSet = rewrite.map(_.filePath).toSet
+    val baseFiles = entries.map(_.filePath).toSet
+    commit(survivors, path, partCols, prev => {
+      require(prev.map(_.filePath).toSet == baseFiles,
+        s"concurrent commit advanced $path during delete — rerun the delete")
+      prev.filterNot(e => rewriteSet(e.filePath))
+    }, statsCols = statsOut)
+  }
+
   /** Maintenance compaction: rewrite the CURRENT table state into
     * `numFiles` files — optionally range-clustered on `clusterCol`,
     * which (re)builds the file-skipping index — and commit a version

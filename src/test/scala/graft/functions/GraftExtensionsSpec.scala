@@ -73,4 +73,58 @@ class GraftExtensionsSpec extends SparkTestBase {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("SQL MERGE INTO and DELETE FROM route to the snapshot table") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-dml-test")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft-sql-dml").toString + "/t"
+      graft.lake.SnapshotTable.append(
+        Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v"), path)
+      graft.lake.SnapshotCatalog.register("snap_dml", path)
+      try {
+        Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+          .createOrReplaceTempView("dml_src")
+        val v1 = s2.sql(
+          """MERGE INTO snap_dml t USING dml_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(0)
+        assert(v1 === 2L)
+        assert(s2.sql("SELECT k, s, v FROM snap_dml ORDER BY k")
+          .as[(Long, String, Double)].collect().toSeq
+          === Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+        // DELETE with an unqualified and a table-qualified predicate
+        // (v > 35 removes the merged k=2 row at v=99 and k=4 at v=40)
+        val v2 = s2.sql("DELETE FROM snap_dml WHERE v > 35.0").head().getLong(0)
+        assert(v2 === 3L)
+        val v3 = s2.sql("DELETE FROM snap_dml WHERE snap_dml.k = 1").head().getLong(0)
+        assert(v3 === 4L)
+        assert(s2.sql("SELECT k FROM snap_dml ORDER BY k").as[Long].collect().toSeq
+          === Seq(3L))
+        // versioned reads still serve every pre-DML state
+        assert(s2.sql("SELECT count(*) FROM snap_dml VERSION AS OF 1").head().getLong(0) === 3L)
+        assert(s2.sql("SELECT count(*) FROM snap_dml VERSION AS OF 2").head().getLong(0) === 4L)
+        // a no-match DELETE commits nothing and reports the current version
+        assert(s2.sql("DELETE FROM snap_dml WHERE k = 999").head().getLong(0) === 4L)
+        // unsupported merge shapes fail loudly instead of diverging
+        val e = intercept[Exception](s2.sql(
+          """MERGE INTO snap_dml t USING dml_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin).collect())
+        assert(e.getMessage.contains("snapshot MERGE supports exactly"))
+      } finally graft.lake.SnapshotCatalog.unregister("snap_dml")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
