@@ -634,6 +634,42 @@ object Relational {
       | true AS union_within_5pct
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // -- mergeable-sketch surface: two-level KLL quantile union --------
+  // The quantile half of the q79 pattern (q79 = mergeable HLL
+  // distinct counts): build KLL quantile sketches once per fine grain
+  // (map-side combinable, O(k) state), answer a coarser grain by
+  // MERGING the stored sketches — the re-aggregable percentile table
+  // every metrics-rollup lakehouse keeps, never re-touching raw rows.
+  // k = 2048 bounds the merged sketch's rank error well inside the
+  // ±0.01-quantile band the gate asserts (datasketches 99%-confidence
+  // rank error ≈ 2.3/k^0.9 ≈ 0.24%). The oracle checks the exact
+  // count carried by the merged sketch, the exact interpolated p50
+  // (from the shared histogram pass), and the band contract.
+  def kllQuantileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val fine = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("kll_sketch_agg_double(l_quantity, 2048)").as("sk"))
+    val coarse = fine.groupBy(col("l_returnflag"))
+      .agg(expr("kll_merge_agg_double(sk, 2048)").as("msk"))
+      .select(col("l_returnflag"),
+        expr("kll_sketch_get_n_double(msk)").as("sketch_n"),
+        expr("kll_sketch_get_quantile_double(msk, 0.5)").as("p50s"))
+    coarse.join(lineitemPercentiles(spark, dir), "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        col("sketch_n"),
+        round(col("p50_qty"), 6).as("p50_qty"),
+        (col("p50s") >= col("q_lo") && col("p50s") <= col("q_hi")).as("p50_in_band"))
+      .orderBy("l_returnflag")
+  }
+
+  private val kllQuantileMergeSql =
+    """SELECT l_returnflag,
+      | CAST(count(l_quantity) AS BIGINT) AS sketch_n,
+      | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      | true AS p50_in_band
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // -- §2.8 extension: regexp functions -----------------------------
   def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
@@ -1638,5 +1674,6 @@ object Relational {
     QDef("q76_fuzzy_match", fuzzyNameMatch, Some(fuzzyNameMatchSql)),
     QDef("q77_gap_fill", gapFillDaily, Some(gapFillDailySql)),
     QDef("q79_hll_union", hllUnionAgg, Some(hllUnionAggSql)),
+    QDef("q84_kll_quantile_merge", kllQuantileMerge, Some(kllQuantileMergeSql)),
   )
 }
