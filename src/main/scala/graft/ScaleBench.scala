@@ -95,6 +95,29 @@ object ScaleBench {
           .filter(pmod(col("id_a"), lit(10)) =!= 9)
         noop(graft.ops.TextDedup.connectedComponents(pairs))
       },
+      timed("merge_file_prune") {
+        // row-level MERGE against a MANY-file table: 1M rows clustered
+        // over 256 files with id stats, then a 50-key correction batch
+        // in one id range. The footer-stat pruning must rewrite only
+        // the file(s) whose [min, max] can contain the keys — the
+        // whole point of stats-pruned merge at 100 TB (rewriting all
+        // files would be a full table rewrite per correction).
+        val base = java.nio.file.Files.createTempDirectory("graft-scale-merge")
+        val path = s"$base/t"
+        val df = spark.range(rows)
+          .select(col("id"), (col("id") % 97).cast("double").as("v"))
+        graft.lake.SnapshotTable.appendClustered(df, path, "id", numFiles = 256)
+        val v1 = graft.lake.SnapshotTable.liveFiles(spark, path).toSet
+        val src = spark.range(5000, 5050)
+          .select(col("id"), lit(-1.0).as("v"))
+        graft.lake.SnapshotTable.merge(src, path, Seq("id"))
+        val v2 = graft.lake.SnapshotTable.liveFiles(spark, path).toSet
+        val rewritten = (v1 -- v2).size
+        System.err.println(s"[scale] merge rewrote $rewritten/${v1.size} files")
+        require(v1.size >= 200, s"expected a many-file table, got ${v1.size}")
+        require(rewritten <= 4,
+          s"stats pruning failed: merge rewrote $rewritten of ${v1.size} files")
+      },
       timed("stream_drain")    {
         // Structured Streaming throughput at the same 1M rows:
         // stage the docs as parquet, then a checkpointed

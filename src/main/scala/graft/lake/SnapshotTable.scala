@@ -250,6 +250,16 @@ object SnapshotTable {
     } finally reader.close()
   }
 
+  /** Live data-file paths at `version` (default latest) — the Delta
+    * `inputFiles` analogue; lets callers and scale smokes observe a
+    * rewrite's scope (e.g. how few files a stats-pruned merge
+    * touched). */
+  def liveFiles(spark: SparkSession, path: String, version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latestVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    readManifest(spark, path, v).map(_.filePath)
+  }
+
   /** Metadata-only row count of the table at `version` (default
     * latest): the sum of the manifest's per-file footer counts — no
     * data scan, the Iceberg snapshot-summary pattern. Falls back to a
