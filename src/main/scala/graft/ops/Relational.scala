@@ -1491,6 +1491,62 @@ object Relational {
       |                          WHERE ps2.ps_partkey = ps.ps_partkey)
       |ORDER BY p.p_partkey, s.s_name""".stripMargin
 
+  // -- TPC-H Q11 shape: value concentration + scalar-subquery HAVING -
+  // The other classic partsupp query (Q2's correlated min is q73):
+  // total supply value per part for two nations' suppliers, keeping
+  // parts above a fraction of the GLOBAL total — the group-agg +
+  // scalar-subquery-HAVING decorrelation shape. Both engines derive
+  // partsupp from lineitem (the testdata ships none). Plan: the
+  // per-part aggregate is materialized ONCE (eager localCheckpoint —
+  // a scalar subquery over a shared CTE would re-aggregate lineitem
+  // twice, the q73 lesson), the threshold is a driver scalar off that
+  // tiny frame, and the HAVING is a plain filter. Threshold and group
+  // values are rounded identically on both engines so no boundary row
+  // can flip (oracle-parity rule).
+  def partValueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_7", "NATION_11"))
+    val supps = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(col("l_quantity")).as("ps_availqty"),
+        round(min(col("l_extendedprice") / col("l_quantity")), 4).as("ps_supplycost"))
+    val byPart = ps
+      .join(broadcast(supps), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("raw_value"))
+      .localCheckpoint(true)
+    val thr = byPart
+      .agg(round(sum(col("raw_value")) * lit(0.001), 2)).head().getDouble(0)
+    byPart
+      .filter(round(col("raw_value"), 2) > lit(thr))
+      .select(col("l_partkey").as("ps_partkey"),
+        round(col("raw_value"), 2).as("part_value"))
+      .orderBy(col("part_value").desc, col("ps_partkey").asc)
+  }
+
+  private val partValueConcentrationSql =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS ps_availqty,
+      |         round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2
+      |), j AS (
+      |  SELECT l_partkey, ps_supplycost * ps_availqty AS value
+      |  FROM ps
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  WHERE n_name IN ('NATION_7', 'NATION_11')
+      |), bp AS (
+      |  SELECT l_partkey, sum(value) AS raw_value FROM j GROUP BY 1
+      |)
+      |SELECT l_partkey AS ps_partkey, round(raw_value, 2) AS part_value
+      |FROM bp
+      |WHERE round(raw_value, 2) > (SELECT round(sum(raw_value) * 0.001, 2) FROM bp)
+      |ORDER BY part_value DESC, ps_partkey ASC""".stripMargin
+
   // -- §2.10 sketch path: mergeable quantile sketch ------------------
   // percentile_approx computes per-partition sketches merged at the
   // reducer — O(accuracy) state per group instead of percentile()'s
@@ -1675,5 +1731,6 @@ object Relational {
     QDef("q77_gap_fill", gapFillDaily, Some(gapFillDailySql)),
     QDef("q79_hll_union", hllUnionAgg, Some(hllUnionAggSql)),
     QDef("q84_kll_quantile_merge", kllQuantileMerge, Some(kllQuantileMergeSql)),
+    QDef("q85_tpch_q11", partValueConcentration, Some(partValueConcentrationSql)),
   )
 }
