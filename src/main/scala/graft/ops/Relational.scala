@@ -1505,46 +1505,60 @@ object Relational {
   // can flip (oracle-parity rule).
   def partValueConcentration(spark: SparkSession, dir: String): DataFrame = {
     val nations = Tables.nation(spark, dir)
-      .filter(col("n_name").isin("NATION_7", "NATION_11"))
+      .filter(col("n_name").isin("NATION_8", "NATION_13"))
     val supps = Tables.supplier(spark, dir)
       .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
+    // Value arithmetic happens in exact integer space (supplycost
+    // scaled to 1e-4 units as BIGINT × integer-valued quantity):
+    // a double sum's addend ORDER differs between engines and can
+    // flip a 2dp rounding at the half-cent boundary (seen live:
+    // 221163.33 vs .34). Integer sums are order-independent, and the
+    // threshold compare is pure-integer (value·1000 > total), so no
+    // rounding can flip a boundary row on either engine.
     val ps = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(
-        sum(col("l_quantity")).as("ps_availqty"),
-        round(min(col("l_extendedprice") / col("l_quantity")), 4).as("ps_supplycost"))
+        sum(col("l_quantity")).cast("long").as("ps_availqty"),
+        round(min(col("l_extendedprice") / col("l_quantity")) * 10000)
+          .cast("long").as("cost_e4"))
     val byPart = ps
       .join(broadcast(supps), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
-      .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("raw_value"))
+      .agg(sum(col("cost_e4") * col("ps_availqty")).as("value_e4"))
       .localCheckpoint(true)
-    val thr = byPart
-      .agg(round(sum(col("raw_value")) * lit(0.001), 2)).head().getDouble(0)
+    val totRow = byPart.agg(sum(col("value_e4"))).head()
+    // sum over an empty frame is NULL — surface the real cause (no
+    // supplier in the chosen nations at this SF) instead of an NPE
+    require(!totRow.isNullAt(0),
+      "partValueConcentration: no supplier rows for the filtered nations in " + dir)
+    val total = totRow.getLong(0)
     byPart
-      .filter(round(col("raw_value"), 2) > lit(thr))
+      .filter(col("value_e4") * lit(1000L) > lit(total))
       .select(col("l_partkey").as("ps_partkey"),
-        round(col("raw_value"), 2).as("part_value"))
+        round(col("value_e4") / 10000.0, 2).as("part_value"))
       .orderBy(col("part_value").desc, col("ps_partkey").asc)
   }
 
   private val partValueConcentrationSql =
     """WITH ps AS (
-      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS ps_availqty,
-      |         round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(sum(l_quantity) AS BIGINT) AS ps_availqty,
+      |         CAST(round(min(l_extendedprice / l_quantity) * 10000, 0) AS BIGINT)
+      |           AS cost_e4
       |  FROM lineitem GROUP BY 1, 2
       |), j AS (
-      |  SELECT l_partkey, ps_supplycost * ps_availqty AS value
+      |  SELECT l_partkey, cost_e4 * ps_availqty AS value_e4
       |  FROM ps
       |  JOIN supplier ON s_suppkey = l_suppkey
       |  JOIN nation ON n_nationkey = s_nationkey
-      |  WHERE n_name IN ('NATION_7', 'NATION_11')
+      |  WHERE n_name IN ('NATION_8', 'NATION_13')
       |), bp AS (
-      |  SELECT l_partkey, sum(value) AS raw_value FROM j GROUP BY 1
+      |  SELECT l_partkey, CAST(sum(value_e4) AS BIGINT) AS value_e4 FROM j GROUP BY 1
       |)
-      |SELECT l_partkey AS ps_partkey, round(raw_value, 2) AS part_value
+      |SELECT l_partkey AS ps_partkey, round(value_e4 / 10000.0, 2) AS part_value
       |FROM bp
-      |WHERE round(raw_value, 2) > (SELECT round(sum(raw_value) * 0.001, 2) FROM bp)
+      |WHERE value_e4 * 1000 > (SELECT CAST(sum(value_e4) AS BIGINT) FROM bp)
       |ORDER BY part_value DESC, ps_partkey ASC""".stripMargin
 
   // -- §2.10 sketch path: mergeable quantile sketch ------------------
@@ -1667,6 +1681,197 @@ object Relational {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_forward
       |FROM j ORDER BY d""".stripMargin
 
+  // -- TPC-H Q4 shape: EXISTS → left-semi join + priority count -----
+  // Orders from one quarter with at least one returned line
+  // (testdata has no l_commitdate/l_receiptdate; l_returnflag='R'
+  // stands in for "late"). The EXISTS decorrelates to a left-semi
+  // join — no row duplication, no DISTINCT pass — and the date
+  // filter prunes the probe side at the scan.
+  def orderPriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val quarter = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    quarter.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val orderPriorityCountSql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // -- TPC-H Q12 shape: join + conditional (CASE) aggregation -------
+  // High/low-priority line counts per line status (testdata has no
+  // l_shipmode; l_linestatus is the category column). Both buckets
+  // come out of ONE aggregation pass via sum(CASE ...) — not a scan
+  // or join per bucket — and the l_shipdate range reaches the scan
+  // as a pushed filter.
+  def lineStatusPriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  private val lineStatusPriorityCountSql =
+    """SELECT l_linestatus,
+      | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // -- TPC-H Q17 shape: per-part avg bracket, decorrelated ----------
+  // Revenue lost to below-20%-of-average-quantity orders for one
+  // brand. The correlated scalar subquery decorrelates into a
+  // pre-aggregated per-part average joined back — one extra shuffle
+  // over the brand-pruned lineitem instead of a rescan per row; the
+  // brand part list and the per-part averages both broadcast.
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  private val smallQuantityRevenueSql =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+      |                    WHERE l_partkey = p.p_partkey)""".stripMargin
+
+  // -- TPC-H Q18 shape: group-HAVING as join back to the fact ------
+  // Large-volume orders: aggregate lineitem once, keep orders whose
+  // total quantity clears the threshold, then enrich via joins. The
+  // HAVING-IN decorrelates to an equi-join against the (small)
+  // qualifying-order set; global top-100 plans TakeOrderedAndProject.
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  private val largeVolumeCustomersSql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      | CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING sum(l_quantity) > 250) big ON o_orderkey = big.l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  // -- TPC-H Q19 shape: disjunctive multi-table predicate -----------
+  // OR-of-conjunctions mixing part and lineitem columns. Catalyst's
+  // CNF conversion (PushCNFPredicateThroughJoin) extracts the
+  // table-local parts of the disjunction so each scan is still
+  // pruned; the part side broadcasts.
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  private val disjunctiveRevenueSql =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // -- TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact --
+  // Suppliers who were the sole "late" (returned) line in a
+  // multi-supplier finished order. Spark plans the EXISTS as a
+  // left-semi and the NOT EXISTS as a left-anti join on l_orderkey —
+  // the decorrelated shape that scales (no per-row rescan).
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_q21")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q21")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q21")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier_q21 s
+        |JOIN lineitem_q21 l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders_q21 o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
+  private val waitingSuppliersSql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -1732,5 +1937,11 @@ object Relational {
     QDef("q79_hll_union", hllUnionAgg, Some(hllUnionAggSql)),
     QDef("q84_kll_quantile_merge", kllQuantileMerge, Some(kllQuantileMergeSql)),
     QDef("q85_tpch_q11", partValueConcentration, Some(partValueConcentrationSql)),
+    QDef("q86_tpch_q4", orderPriorityCount, Some(orderPriorityCountSql)),
+    QDef("q87_tpch_q12", lineStatusPriorityCount, Some(lineStatusPriorityCountSql)),
+    QDef("q88_tpch_q17", smallQuantityRevenue, Some(smallQuantityRevenueSql)),
+    QDef("q89_tpch_q18", largeVolumeCustomers, Some(largeVolumeCustomersSql)),
+    QDef("q90_tpch_q19", disjunctiveRevenue, Some(disjunctiveRevenueSql)),
+    QDef("q91_tpch_q21", waitingSuppliers, Some(waitingSuppliersSql)),
   )
 }

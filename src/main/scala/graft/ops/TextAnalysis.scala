@@ -404,6 +404,56 @@ object TextAnalysis {
       |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
       |FROM c WHERE cum_tokens <= 400 ORDER BY doc_id""".stripMargin
 
+  // ---- Gopher-style repetition quality filter ----------------------
+  // Per-document repetition metrics in the shape of the published
+  // Gopher corpus rules (Rae et al. 2021, "Scaling Language Models"),
+  // adapted to this corpus (no newlines/punctuation in the synthetic
+  // docs, so the line- and symbol-based rules are vacuous here):
+  // fraction of tokens covered by the most frequent 2-gram, duplicate
+  // -word fraction, and a minimum word count, combined into a
+  // keep/drop flag. Plan shape for 100 TB: the most-frequent-bigram
+  // metric is explode → two combinable hash aggregations keyed by
+  // (doc_id, gram) then doc_id — map-side partials, no window, no
+  // per-doc driver state; the array metrics stay row-local.
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_words"))
+    val grams = base.filter(col("n_words") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("gram"))
+    val top = grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    // both ratios are exact-integer quotients — bit-identical across
+    // engines, so the keep-flag threshold compares cannot flip
+    val t2 = lit(2.0) * coalesce(col("top_c"), lit(0L)) / col("n_words")
+    val dwf = lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_words")
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        round(t2, 6).as("top2gram_frac"),
+        round(dwf, 6).as("dup_word_frac"),
+        (col("n_words") >= 30 && t2 < 0.125 && dwf < 0.6).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |      FROM t WHERE len(toks) >= 2),
+      |top AS (SELECT doc_id, max(c) AS top_c
+      |        FROM (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2)
+      |        GROUP BY 1),
+      |m AS (SELECT t.doc_id, len(toks) AS n_words,
+      |        2.0 * coalesce(top_c, 0) / len(toks) AS t2,
+      |        1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dwf
+      |      FROM t LEFT JOIN top USING (doc_id))
+      |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+      | round(t2, 6) AS top2gram_frac, round(dwf, 6) AS dup_word_frac,
+      | (n_words >= 30 AND t2 < 0.125 AND dwf < 0.6) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q29_text_stats", textStats, Some(textStatsSql)),
     QDef("q80_pii_scrub", piiScrub, Some(piiScrubSql)),
@@ -414,5 +464,6 @@ object TextAnalysis {
     QDef("q78_tfidf", tfidf, Some(tfidfSql)),
     QDef("q82_stratified_mix", stratifiedMix, Some(stratifiedMixSql)),
     QDef("q83_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    QDef("q92_repetition_filter", repetitionStats, Some(repetitionStatsSql)),
   )
 }
