@@ -6,6 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal snapshot/commit-log table over parquet — the gap left by
   * emulating the reference's Iceberg sink with dynamic partition
@@ -68,10 +69,31 @@ object SnapshotTable {
     * line per live file (an optional footer row count, then
     * per-column clustering stats in groups of three; the row-count
     * field is parsed leniently so pre-rowcount manifests still load). */
-  private[lake] def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] = {
+  private[lake] def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] =
+    readManifestFull(spark, path, version)._2
+
+  /** Recorded table schema at `version` (default latest) — O(1)
+    * manifest-header lookup, no parquet footer sweep. None for
+    * manifests written before schema recording. */
+  def schemaOf(spark: SparkSession, path: String,
+      version: Option[Long] = None): Option[StructType] = {
+    val v = version.orElse(latestVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    readManifestFull(spark, path, v)._1
+  }
+
+  /** Manifest = optional `#schema=<StructType.json>` header + entry
+    * lines. JSON escapes control characters, so the single-line header
+    * can never collide with the tab-separated entry grammar; unknown
+    * `#`-prefixed lines are skipped for forward compatibility. */
+  private def readManifestFull(spark: SparkSession, path: String,
+      version: Long): (Option[StructType], Seq[Entry]) = {
     val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    content.split("\n").iterator.filter(_.nonEmpty).map { line =>
+    val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+    val schema = lines.find(_.startsWith("#schema="))
+      .map(l => DataType.fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType])
+    val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val parts = line.split("\t", -1)
       require(parts.length >= 2, s"bad manifest line: $line")
       val (rows, rest) =
@@ -83,6 +105,7 @@ object SnapshotTable {
         .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
       Entry(parts(0), parts(1), rows, stats)
     }.toSeq
+    (schema, entries)
   }
 
   /** Filesystem schemes with no atomic create-if-absent: the exists
@@ -98,7 +121,7 @@ object SnapshotTable {
     * opted in. Content is fully written to the tmp file first, so a
     * reader can never observe a partial manifest. */
   private def publishManifest(spark: SparkSession, path: String, version: Long,
-      entries: Seq[Entry]): Boolean = {
+      entries: Seq[Entry], schema: Option[StructType] = None): Boolean = {
     val f = fs(spark, path)
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
     require(!nonAtomicSchemes.contains(scheme)
@@ -110,11 +133,12 @@ object SnapshotTable {
     f.mkdirs(new Path(logDir(path)))
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
-    try out.write(entries.map { e =>
+    val header = schema.map(s => s"#schema=${s.json}\n").getOrElse("")
+    try out.write((header + entries.map { e =>
       val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
       val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
       s"${e.commitDir}\t${e.filePath}$rows$stats"
-    }.mkString("\n").getBytes("UTF-8"))
+    }.mkString("\n")).getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(s"${logDir(path)}/v$version")
     val won =
@@ -200,13 +224,44 @@ object SnapshotTable {
       // carryOver on exactly the latest manifest; if another writer
       // publishes first, the CAS fails and we re-read their manifest
       val version = latestVersion(spark, path).getOrElse(0L) + 1
-      val previous = if (version == 1L) Nil else readManifest(spark, path, version - 1)
-      if (publishManifest(spark, path, version, carryOver(previous) ++ added))
+      val (prevSchema, previous) =
+        if (version == 1L) (None, Nil)
+        else readManifestFull(spark, path, version - 1)
+      // drift gate + schema evolution, recomputed per attempt (a
+      // contending writer may have evolved the schema): additive
+      // columns merge in, a type change on a shared column is drift
+      // and fails loudly before any manifest is published
+      val merged = mergeSchemas(prevSchema, df.schema, path)
+      if (publishManifest(spark, path, version, carryOver(previous) ++ added, Some(merged)))
         return version
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
     }
     throw new ConcurrentCommitException(path, maxAttempts)
+  }
+
+  /** Additive schema evolution with a drift gate: the recorded table
+    * schema is the previous schema plus any new incoming columns (old
+    * files lacking them read as NULL); an incoming column whose type
+    * differs from the recorded one is incompatible drift — silent
+    * acceptance would make existing files unreadable under the
+    * recorded schema — and fails before the commit publishes.
+    * Nullability is not drift (Spark treats it as advisory). */
+  private def mergeSchemas(prev: Option[StructType], incoming: StructType,
+      path: String): StructType = prev match {
+    case None => incoming
+    case Some(p) =>
+      val prevByName = p.fields.map(f => f.name -> f).toMap
+      incoming.fields.foreach { f =>
+        prevByName.get(f.name).foreach { old =>
+          require(old.dataType == f.dataType,
+            s"schema drift at $path: column '${f.name}' is ${old.dataType.simpleString} " +
+              s"in the table but ${f.dataType.simpleString} in the incoming data; " +
+              "cast the incoming column (type changes are not auto-applied)")
+        }
+      }
+      val newFields = incoming.fields.filterNot(f => prevByName.contains(f.name))
+      StructType(p.fields ++ newFields)
   }
 
   /** Append commit: previous live files all carry over. */
@@ -369,12 +424,26 @@ object SnapshotTable {
       .reduce(_ && _)
     if (live.isEmpty)
       return (read(spark, path, Some(v)).filter(pred).limit(0), 0)
-    val df = live.groupBy(_.commitDir).map { case (dir, es) =>
-      spark.read.option("basePath", dir).option("mergeSchema", true)
-        .parquet(es.map(_.filePath): _*)
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val df = readGroups(spark, live, schemaOf(spark, path, Some(v)))
     (df.filter(pred), live.size)
   }
+
+  /** Read a set of manifest entries, grouped per commit dir so hive
+    * partition columns resolve against the right basePath. Under a
+    * recorded schema the partition-column TYPES come from the schema
+    * (no directory-name inference — an unpinned read would e.g. turn
+    * a string `event_date` into DateType and trip the drift gate on
+    * the next rewrite commit); pre-schema manifests fall back to
+    * mergeSchema + inference. */
+  private def readGroups(spark: SparkSession, entries: Seq[Entry],
+      schema: Option[StructType]): DataFrame =
+    entries.groupBy(_.commitDir).map { case (dir, es) =>
+      val base = spark.read.option("basePath", dir)
+      schema match {
+        case Some(s) => base.schema(s).parquet(es.map(_.filePath): _*)
+        case None    => base.option("mergeSchema", true).parquet(es.map(_.filePath): _*)
+      }
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
   /** Replace the partitions present in `df` (Iceberg
     * overwritePartitions semantics), leaving other partitions and all
@@ -475,10 +544,7 @@ object SnapshotTable {
       if (rewrite.isEmpty) source
       else {
         val touched = entries.filter(e => rewrite(e.filePath))
-        val current = touched.groupBy(_.commitDir).map { case (dir, es) =>
-          spark.read.option("basePath", dir).option("mergeSchema", true)
-            .parquet(es.map(_.filePath): _*)
-        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        val current = readGroups(spark, touched, schemaOf(spark, path, Some(base)))
         current
           .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = true)
@@ -531,10 +597,7 @@ object SnapshotTable {
       .collect().map(r => normalize(r.getString(0))).toSet
     if (touched.isEmpty) return base
     val rewrite = entries.filter(e => touched(normalize(e.filePath)))
-    val touchedDf = aliased(rewrite.groupBy(_.commitDir).map { case (dir, es) =>
-      spark.read.option("basePath", dir).option("mergeSchema", true)
-        .parquet(es.map(_.filePath): _*)
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+    val touchedDf = aliased(readGroups(spark, rewrite, schemaOf(spark, path, Some(base))))
     // keep rows where the predicate is FALSE or NULL
     val survivors = touchedDf.filter(!coalesce(predicate, lit(false)))
     val statsOut = entries.flatMap(_.stats.map(_._1)).distinct
@@ -624,19 +687,18 @@ object SnapshotTable {
   }
 
   /** Read the table at `version` (default: latest). Per-commit
-    * basePath reads keep hive partition columns visible. Schema
-    * evolution across commits is handled like parquet mergeSchema:
-    * columns a commit lacks surface as NULL (unionByName with
-    * allowMissingColumns), so an old snapshot stays readable after a
-    * later commit adds fields. */
+    * basePath reads keep hive partition columns visible. When the
+    * manifest records a schema (the normal case), every commit group
+    * is read under it directly — no per-file footer sweep to merge
+    * schemas, and columns a commit predates surface as NULL. Pre-
+    * schema manifests fall back to parquet mergeSchema + unionByName
+    * with allowMissingColumns (same observable semantics, footer IO
+    * at planning time). */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-    val entries = readManifest(spark, path, v)
+    val (schema, entries) = readManifestFull(spark, path, v)
     require(entries.nonEmpty, s"empty manifest v$v")
-    entries.groupBy(_.commitDir).map { case (dir, es) =>
-      spark.read.option("basePath", dir).option("mergeSchema", true)
-        .parquet(es.map(_.filePath): _*)
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    readGroups(spark, entries, schema)
   }
 }

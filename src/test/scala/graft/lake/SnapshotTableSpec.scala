@@ -2,6 +2,8 @@ package graft.lake
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -112,6 +114,57 @@ class SnapshotTableSpec extends SparkTestBase {
     // the old snapshot still reads with its own schema
     assert(SnapshotTable.read(spark, path, Some(1L)).columns.toSet
       === Set("id", "event_date", "v"))
+  }
+
+  test("manifest records the schema; schemaOf is O(1) and evolves additively") {
+    val path = Files.createTempDirectory("graft-snap-sch").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    val s1 = SnapshotTable.schemaOf(spark, path)
+    assert(s1.isDefined)
+    assert(s1.get.fieldNames.toSet === Set("id", "event_date", "v"))
+    SnapshotTable.append(
+      mkRows("b", Seq("2024-01-02")).withColumn("note", lit("late")), path, Seq("event_date"))
+    // v2's recorded schema gains the column; v1's stays as written
+    assert(SnapshotTable.schemaOf(spark, path).get.fieldNames.toSet
+      === Set("id", "event_date", "v", "note"))
+    assert(SnapshotTable.schemaOf(spark, path, Some(1L)).get.fieldNames.toSet
+      === Set("id", "event_date", "v"))
+    // a commit that DROPS a column keeps it in the recorded schema
+    // (old files still carry it) and rows from the narrow commit read NULL
+    SnapshotTable.append(
+      mkRows("c", Seq("2024-01-03")).drop("v"), path, Seq("event_date"))
+    assert(SnapshotTable.schemaOf(spark, path).get.fieldNames.toSet
+      === Set("id", "event_date", "v", "note"))
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.count() === 15)
+    assert(latest.filter(col("v").isNull).count() === 5)
+  }
+
+  test("incompatible type change on a shared column is rejected as drift") {
+    val path = Files.createTempDirectory("graft-snap-drift").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    val drifted = mkRows("b", Seq("2024-01-02"))
+      .withColumn("v", col("v").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.append(drifted, path, Seq("event_date"))
+    }
+    assert(e.getMessage.contains("schema drift"))
+    assert(e.getMessage.contains("'v'"))
+    // the failed commit published nothing
+    assert(SnapshotTable.versions(spark, path) === Seq(1L))
+  }
+
+  test("pre-schema manifests (no header) still read via mergeSchema fallback") {
+    val path = Files.createTempDirectory("graft-snap-presch").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    // strip the header in place, emulating a manifest written before
+    // schema recording
+    val manifest = java.nio.file.Paths.get(s"$path/_graft_log/v1")
+    val stripped = Files.readAllLines(manifest).asScala
+      .filterNot(_.startsWith("#")).mkString("\n")
+    Files.write(manifest, stripped.getBytes("UTF-8"))
+    assert(SnapshotTable.schemaOf(spark, path).isEmpty)
+    assert(SnapshotTable.read(spark, path).count() === 5)
   }
 
   test("clustered commits skip files outside the queried range") {
