@@ -79,6 +79,7 @@ object ScaleBench {
         noop(graft.ops.Ivf.search(emb, model, queryIds, 10))
       },
       timed("tfidf")           { noop(graft.ops.TextAnalysis.tfidfOf(docs)) },
+      timed("repetition_filter") { noop(graft.ops.TextAnalysis.repetitionStatsOf(docs)) },
       timed("pii_scrub")       { noop(docs.select(col("doc_id"),
         graft.ops.TextAnalysis.scrubPii(col("text")).as("scrubbed"))) },
       timed("token_prefix_sum") {

@@ -1745,17 +1745,19 @@ object Relational {
   // Revenue lost to below-20%-of-average-quantity orders for one
   // brand. The correlated scalar subquery decorrelates into a
   // pre-aggregated per-part average joined back — one extra shuffle
-  // over the brand-pruned lineitem instead of a rescan per row; the
-  // brand part list and the per-part averages both broadcast.
+  // over the brand-pruned lineitem instead of a rescan per row. No
+  // broadcast hints: the brand part list and per-part averages are
+  // SF-proportional (1/25 of parts), so AQE picks broadcast at small
+  // SF and a shuffle join once they outgrow the threshold.
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     val brandParts = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#23")
       .select(col("p_partkey"))
     val li = Tables.lineitem(spark, dir)
-      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
     val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
-    li.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+    li.join(avgQty, col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
@@ -1802,10 +1804,12 @@ object Relational {
   // OR-of-conjunctions mixing part and lineitem columns. Catalyst's
   // CNF conversion (PushCNFPredicateThroughJoin) extracts the
   // table-local parts of the disjunction so each scan is still
-  // pruned; the part side broadcasts.
+  // pruned. No broadcast hint on part — it is SF-proportional; AQE
+  // broadcasts the brand-pruned side while it fits and falls back to
+  // a shuffle join at scale.
   def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("p_partkey") === col("l_partkey"))
+      .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
           col("l_quantity").between(1, 11)) ||

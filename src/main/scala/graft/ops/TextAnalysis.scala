@@ -415,11 +415,19 @@ object TextAnalysis {
   // metric is explode → two combinable hash aggregations keyed by
   // (doc_id, gram) then doc_id — map-side partials, no window, no
   // per-doc driver state; the array metrics stay row-local.
-  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(Tables.documents(spark, dir))
+
+  def repetitionStatsOf(docs: DataFrame): DataFrame = {
+    // row-local metrics reduce to SCALARS before any shuffle — the
+    // token array itself never rides a join (measured 2x at 1M docs)
+    val base = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_words"))
-    val grams = base.filter(col("n_words") >= 2)
+      .select(col("doc_id"), size(col("toks")).as("n_words"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
         .as("gram"))
@@ -428,7 +436,7 @@ object TextAnalysis {
     // both ratios are exact-integer quotients — bit-identical across
     // engines, so the keep-flag threshold compares cannot flip
     val t2 = lit(2.0) * coalesce(col("top_c"), lit(0L)) / col("n_words")
-    val dwf = lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_words")
+    val dwf = lit(1.0) - col("n_distinct").cast("double") / col("n_words")
     base.join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         round(t2, 6).as("top2gram_frac"),

@@ -35,6 +35,22 @@ object EventStreams {
       .parquet(path)
       .withColumn("ts", timestamp_seconds(expr("ts DIV 1000000000")))
 
+  /** Unbounded synthetic event stream off the built-in rate source —
+    * the soak-test input: rows arrive forever at `rowsPerSecond`, so
+    * any state a downstream operator fails to evict grows without
+    * bound (exactly what a watermark must prevent). The rate source's
+    * own timestamp becomes event time. */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(97)).as("user_id"),
+        lit("soak").as("event_type"),
+        (col("value") % 10).cast("double").as("value"))
+
   /** Tumbling-window counts with a watermark bounding state. */
   def windowedCounts(events: DataFrame,
       windowLen: String = "5 minutes",

@@ -153,6 +153,37 @@ class EventStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: watermark evicts window state, no unbounded growth") {
+    // an endless stream through a 1s-window aggregation with a 2s
+    // watermark: without eviction, state rows track total windows
+    // ever seen (~1 per second of soak); with eviction they track
+    // only the un-finalized horizon. Soak long enough that the two
+    // regimes are unambiguous.
+    val stream = EventStreams.windowedCounts(
+      EventStreams.rateEvents(spark, rowsPerSecond = 500),
+      windowLen = "1 second", watermark = "2 seconds")
+    val q = stream.writeStream.format("memory").queryName("soak_win")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val start = System.currentTimeMillis()
+      val deadline = start + 60000
+      var rows = 0L
+      // soak for 12s of wall clock (≥12 one-second windows generated),
+      // sampling the state-row metric as batches complete
+      while (System.currentTimeMillis() < math.min(start + 12000, deadline)) {
+        Thread.sleep(1000)
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          rows = p.stateOperators.head.numRowsTotal
+      }
+      assert(rows > 0, "stream never built state")
+      // ≥12s of 1s-windows have flowed; an un-evicting operator would
+      // hold ≥12 state rows. The watermark horizon (2s) + in-flight
+      // slack bounds a healthy operator far below that.
+      assert(rows <= 8, s"state grew to $rows rows — watermark is not evicting")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains all staged input then stops by itself") {
     val work = Files.createTempDirectory("graft-stream-avnow")
     val inDir = Files.createDirectory(work.resolve("in")).toString
