@@ -462,6 +462,54 @@ object TextAnalysis {
       | (n_words >= 30 AND t2 < 0.125 AND dwf < 0.6) AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- benchmark decontamination ----------------------------------
+  // The training-pipeline op that keeps eval sets out of the corpus:
+  // per-document n-gram-shingle overlap against a benchmark set
+  // (docs 0-9 stand in for the benchmark here; 3-gram shingles fit
+  // this corpus' ~30-word vocabulary — real pipelines use 8-13-gram
+  // windows, same plan). Plan shape for 100 TB: the benchmark shingle
+  // set is SMALL by definition (eval sets are), so it broadcasts into
+  // a left-semi probe; the corpus side is one explode + two
+  // combinable hash aggs keyed by doc_id — row-linear, no all-pairs.
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        .as("s"))
+      .distinct()
+    val docs = Tables.documents(spark, dir)
+    val bench = shingles(docs.filter(col("doc_id") < 10)).select("s").distinct()
+    val corpus = shingles(docs.filter(col("doc_id") >= 10))
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.join(broadcast(bench), Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val frac = coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles")
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(frac, 6).as("overlap_frac"),
+        (frac >= 0.2).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |           i -> array_to_string(t[i:i+2], ' '))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+      |m AS (SELECT doc_id, count(*) AS n_shingles,
+      |        count(*) FILTER (s IN (SELECT s FROM bench)) AS n_hit
+      |      FROM sh WHERE doc_id >= 10 GROUP BY 1)
+      |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+      | CAST(n_hit AS BIGINT) AS n_hit,
+      | round(1.0 * n_hit / n_shingles, 6) AS overlap_frac,
+      | 1.0 * n_hit / n_shingles >= 0.2 AS contaminated
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q29_text_stats", textStats, Some(textStatsSql)),
     QDef("q80_pii_scrub", piiScrub, Some(piiScrubSql)),
@@ -473,5 +521,6 @@ object TextAnalysis {
     QDef("q82_stratified_mix", stratifiedMix, Some(stratifiedMixSql)),
     QDef("q83_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QDef("q92_repetition_filter", repetitionStats, Some(repetitionStatsSql)),
+    QDef("q93_decontaminate", decontaminate, Some(decontaminateSql)),
   )
 }

@@ -50,4 +50,24 @@ class TextAnalysisSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
   }
+
+  test("decontamination: bounds, flag consistency, benchmark excluded") {
+    import spark.implicits._
+    val out = TextAnalysis.decontaminate(spark, sf0001)
+      .select($"doc_id".cast("long"), $"n_shingles", $"n_hit",
+        $"overlap_frac", $"contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._1 >= 10), "benchmark docs must not be scored")
+    assert(out.forall(r => r._3 >= 0 && r._3 <= r._2))
+    assert(out.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(out.forall(r => r._5 == (r._4 >= 0.2)))
+  }
+
+  test("decontamination broadcasts the benchmark shingle set") {
+    val plan = TextAnalysis.decontaminate(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi probe in plan:\n$plan")
+  }
 }
