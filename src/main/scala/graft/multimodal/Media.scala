@@ -151,7 +151,12 @@ object Media {
       .toDF("media_id", "frame_idx", "frame_bytes")
   }
 
-  // ---- driver-gate query (rows-only: binary stub, no SQL oracle) ----
+  // ---- driver-gate queries -----------------------------------------
+  // The stub container is a CLOSED-FORM function of media_id, so the
+  // oracle recomputes the header math in SQL and the gate verifies the
+  // REAL dataflow end-to-end: the binary round-trip (encode → bytes →
+  // mapPartitions decode), the frame-explode generator, and the aggs.
+  // Swapping in a real codec would drop these back to rows-only.
 
   def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     val media = syntheticMedia(spark, 300)
@@ -160,11 +165,24 @@ object Media {
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n"),
-        avg(col("meta.width")).as("avg_width"),
-        avg(col("meta.sample_rate")).as("avg_sample_rate"),
+        round(avg(col("meta.width")), 4).as("avg_width"),
+        round(avg(col("meta.sample_rate")), 4).as("avg_sample_rate"),
         sum(col("meta.payload_len")).as("total_payload_bytes"))
       .orderBy("kind")
   }
+
+  val mediaPipelineSql: String =
+    """WITH ids AS (SELECT unnest(range(0, 300)) AS id),
+      |m AS (SELECT id,
+      |        CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |        CASE WHEN id % 3 <> 1 THEN 64 + (id % 8) * 32 ELSE 0 END AS width,
+      |        CASE WHEN id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
+      |        256 + (id % 7) * 64 AS payload_len
+      |      FROM ids)
+      |SELECT kind, count(*) AS n, round(avg(width), 4) AS avg_width,
+      | round(avg(sample_rate), 4) AS avg_sample_rate,
+      | CAST(sum(payload_len) AS BIGINT) AS total_payload_bytes
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     sampledFrames(syntheticMedia(spark, 300))
@@ -172,8 +190,16 @@ object Media {
         sum(length(col("frame_bytes"))).as("frame_bytes_total"))
       .orderBy("media_id")
 
+  // video payload_len = 256 + (id%7)*64 is divisible by 4, so the 4
+  // sampled slices tile the payload exactly: total bytes = payload_len.
+  val mediaFramesSql: String =
+    """WITH ids AS (SELECT unnest(range(0, 300)) AS id)
+      |SELECT id AS media_id, CAST(4 AS BIGINT) AS n_frames,
+      | CAST(256 + (id % 7) * 64 AS BIGINT) AS frame_bytes_total
+      |FROM ids WHERE id % 3 = 2 ORDER BY media_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
-    QDef("q38_media_decode", mediaPipeline, None),
-    QDef("q39_media_frames", mediaFrames, None),
+    QDef("q38_media_decode", mediaPipeline, Some(mediaPipelineSql)),
+    QDef("q39_media_frames", mediaFrames, Some(mediaFramesSql)),
   )
 }

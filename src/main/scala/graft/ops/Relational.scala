@@ -1166,14 +1166,27 @@ object Relational {
 
   // -- §2.1 extension: custom DataSource V2 scan ---------------------
   // Generator-table read through graft.sources.SyntheticDocsSource
-  // (column pruning verified in its spec); rows-only in the gate —
-  // the generator is engine-side by definition.
+  // (column pruning verified in its spec). The lang/doc_id columns are
+  // closed-form in the row index, so the oracle recomputes them from
+  // range(); the JVM-Random text column is asserted via a derivable
+  // bounds contract (30-79 words of 1-8 chars → 59..710 chars), which
+  // still forces the generator to materialize text.
   def syntheticSourceScan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graft-docs")
       .option("rows", 10000).option("partitions", 16).load()
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"),
+        (min(col("n_chars")) >= 59 && max(col("n_chars")) <= 710)
+          .as("chars_in_bounds"))
       .orderBy("lang")
+
+  private val syntheticSourceScanSql =
+    """WITH ids AS (SELECT unnest(range(0, 10000)) AS id)
+      |SELECT CASE id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'fr'
+      |         WHEN 3 THEN 'de' ELSE 'zh' END AS lang,
+      | count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS sum_doc_id,
+      | TRUE AS chars_in_bounds
+      |FROM ids GROUP BY 1 ORDER BY lang""".stripMargin
 
   // -- §2.10 generator: positional explode (ordinality) -------------
   def posExplode(spark: SparkSession, dir: String): DataFrame =
@@ -1920,7 +1933,7 @@ object Relational {
     QDef("q55_null_funcs", nullFuncs, Some(nullFuncsSql)),
     QDef("q56_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     QDef("q57_summary_stats", summaryStats, Some(summaryStatsSql)),
-    QDef("q58_synthetic_source", syntheticSourceScan, None),
+    QDef("q58_synthetic_source", syntheticSourceScan, Some(syntheticSourceScanSql)),
     QDef("q59_asof_join_native", asofJoinNative, Some(asofJoinSql)),
     QDef("q60_posexplode", posExplode, Some(posExplodeSql)),
     QDef("q61_cust_order_histogram", custOrderHistogram, Some(custOrderHistogramSql)),
