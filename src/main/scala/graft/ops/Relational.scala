@@ -1889,6 +1889,98 @@ object Relational {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  // -- TPC-H Q15 shape: top-revenue supplier over a quarter ----------
+  // The "revenue view" query: per-supplier revenue in a 3-month
+  // window, keep the supplier(s) whose revenue equals the global max.
+  // Revenue sums in exact integer space (price cents × (100 −
+  // discount pct), 1e-4-dollar units): a double sum's addend order
+  // differs between engines and a max-EQUALITY predicate is maximally
+  // boundary-sensitive. The per-supplier frame is tiny, so the max is
+  // a driver scalar off a localCheckpoint (one lineitem scan; a
+  // scalar subquery over the view would aggregate lineitem twice).
+  def topRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      .localCheckpoint(true)
+    val maxRow = rev.agg(max(col("rev_e4"))).head()
+    require(!maxRow.isNullAt(0),
+      "topRevenueSupplier: no lineitem rows in the revenue window in " + dir)
+    val maxRev = maxRow.getLong(0)
+    rev.filter(col("rev_e4") === lit(maxRev))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_e4") / 10000.0, 2).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val topRevenueSupplierSql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |              (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+      |           AS rev_e4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, round(rev_e4 / 10000.0, 2) AS total_revenue
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // -- TPC-H Q20 shape: potential part promotion ---------------------
+  // Suppliers (in two nations) of 'small %' parts whose 1996 volume
+  // exceeded half their lifetime volume — Q20's nested-semi-join +
+  // correlated-quantity-threshold algebra with the roles assigned so
+  // the predicate is selective on this 1995-2001 corpus. Lifetime and
+  // window sums come out of ONE conditional-agg lineitem scan;
+  // quantities are integer-valued so the 2× compare is exact in long;
+  // pairs with no 1996 shipments drop via the NULL predicate, exactly
+  // the correlated subquery's empty-sum semantics.
+  def potentialPartPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("availqty"),
+        sum(when(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"), col("l_quantity")))
+          .cast("long").as("shipped_1996"))
+      .filter(col("shipped_1996") * 2 > col("availqty"))
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small ")).select("p_partkey")
+    val supps = ps
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin("NATION_3", "NATION_7"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(supps, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  private val potentialPartPromotionSql =
+    """SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_3', 'NATION_7')
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM (
+      |      SELECT l_partkey, l_suppkey,
+      |             CAST(sum(l_quantity) AS BIGINT) AS availqty,
+      |             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+      |                            AND l_shipdate < TIMESTAMP '1997-01-01'
+      |                           THEN l_quantity END) AS BIGINT) AS shipped_1996
+      |      FROM lineitem GROUP BY 1, 2) ps
+      |    WHERE 2 * shipped_1996 > availqty
+      |      AND l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'small %'))
+      |ORDER BY s_suppkey""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -1960,5 +2052,7 @@ object Relational {
     QDef("q89_tpch_q18", largeVolumeCustomers, Some(largeVolumeCustomersSql)),
     QDef("q90_tpch_q19", disjunctiveRevenue, Some(disjunctiveRevenueSql)),
     QDef("q91_tpch_q21", waitingSuppliers, Some(waitingSuppliersSql)),
+    QDef("q94_tpch_q15", topRevenueSupplier, Some(topRevenueSupplierSql)),
+    QDef("q95_tpch_q20", potentialPartPromotion, Some(potentialPartPromotionSql)),
   )
 }
