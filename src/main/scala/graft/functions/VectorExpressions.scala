@@ -192,6 +192,85 @@ case class RollingHash(child: Expression, base: Long, mod: Long)
     copy(child = newChild)
 }
 
+/** Most-frequent-adjacent-bigram multiplicity of a token array, as a
+  * single codegen'd pass (0 when the array has fewer than 2 tokens).
+  *
+  * Why an Expression: the bigram-repetition quality metric (Gopher
+  * rule shape) is a ROW-LOCAL property of the token array, but the
+  * compositional formulation (explode bigrams → count per (doc, gram)
+  * → max per doc) pushes every token through TWO shuffles — at corpus
+  * scale that is shuffle volume proportional to total tokens, for a
+  * value each row can compute alone. This keeps the metric inside
+  * whole-stage codegen with zero data movement.
+  *
+  * Bigram keys join the two tokens with a space; a token containing a
+  * space could alias a pair boundary, which whitespace-split tokens
+  * never contain.
+  */
+case class TopBigramCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_bigram_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var max = 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Long]()
+      var prev = String.valueOf(arr.getUTF8String(0))
+      var i = 1
+      while (i < n) {
+        val cur = String.valueOf(arr.getUTF8String(i))
+        val key = prev + " " + cur
+        val c = counts.merge(key, 1L, (a, b) => a + b)
+        if (c > max) max = c
+        prev = cur
+        i += 1
+      }
+    }
+    max
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val max = ctx.freshName("max")
+      val counts = ctx.freshName("counts")
+      val prev = ctx.freshName("prev")
+      val cur = ctx.freshName("cur")
+      val key = ctx.freshName("key")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $arr.numElements();
+         |long $max = 0L;
+         |if ($n >= 2) {
+         |  java.util.HashMap<String, Long> $counts = new java.util.HashMap<String, Long>();
+         |  String $prev = String.valueOf($arr.getUTF8String(0));
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    String $cur = String.valueOf($arr.getUTF8String($i));
+         |    String $key = $prev + " " + $cur;
+         |    Long $c = $counts.merge($key, 1L, Long::sum);
+         |    if ($c > $max) $max = $c;
+         |    $prev = $cur;
+         |  }
+         |}
+         |${ev.value} = $max;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column API for the native expressions. */
@@ -205,6 +284,9 @@ object VectorFunctions {
 
   def rolling_hash(c: Column, base: Long = 131L, mod: Long = 1000000007L): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c), base, mod))
+
+  def top_bigram_count(c: Column): Column =
+    ColumnBridge.column(TopBigramCount(ColumnBridge.expression(c)))
 
   /** SQL registration: SELECT cosine_similarity(a, b) ... */
   def register(spark: SparkSession): Unit = {

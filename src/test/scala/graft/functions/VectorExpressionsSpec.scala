@@ -82,6 +82,40 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(e.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("top_bigram_count matches the explode+groupBy formulation") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    val native = docs.select(col("doc_id"),
+      VectorFunctions.top_bigram_count(col("toks")).as("top_c"))
+    val exploded = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    val joined = native.join(exploded, Seq("doc_id"), "left")
+      .select(native("top_c").as("a"),
+        coalesce(exploded("top_c"), lit(0L)).as("b"))
+    assert(joined.filter(col("a") =!= col("b")).count() === 0)
+    // edge cases: empty, single token, all-same tokens, nulls
+    import spark.implicits._
+    val edge = Seq("", "one", "x x x x", "a b a b a").toDF("text")
+      .select(VectorFunctions.top_bigram_count(split(col("text"), " ")).as("c"))
+      .as[Long].collect()
+    assert(edge.toSeq === Seq(0L, 0L, 3L, 2L))
+  }
+
+  test("top_bigram_count stays inside whole-stage codegen") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = docs
+      .select(VectorFunctions.top_bigram_count(split(col("text"), " ")).as("c"))
+      .queryExecution.executedPlan
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, s"no WholeStageCodegenExec in:\n$plan")
+  }
+
   test("native expression is faster than the HOF fold on repeated evaluation") {
     // inflate the pair count so per-row interpretation cost dominates
     val big = emb.crossJoin(emb.limit(40).select(col("embedding").as("q")))
