@@ -87,6 +87,11 @@ object ScaleBench {
         // so no single-task source history no matter the cardinality
         noop(graft.ops.TextAnalysis.runningTokenTotals(docs))
       },
+      timed("seq_packing")     {
+        // global packing layout at 1M docs — one token stream cut
+        // into 2048-token training sequences without a global window
+        noop(graft.ops.TextAnalysis.packSequencesOf(docs, 2048))
+      },
       timed("cc_900k_edges")   {
         // 100k chains of 10 nodes → 900k edges: above the union-find
         // threshold, so this exercises the DISTRIBUTED pointer-jumping

@@ -455,6 +455,82 @@ object TextAnalysis {
       | (n_words >= 30 AND t2 < 0.125 AND dwf < 0.6) AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- sequence packing --------------------------------------------
+  // The final assembly step of a pretraining-data pipeline: lay the
+  // corpus out as one deterministic token stream (doc_id order) and
+  // cut it into fixed-length training sequences, documents crossing
+  // chunk boundaries (the standard "packed" pretraining layout).
+  // Emits, per document, its start offset in the stream and the chunk
+  // span it lands on.
+  //
+  // Plan shape for 100 TB: the global running offset is the same
+  // two-phase distributed prefix sum as runningTokenTotals — a range
+  // repartition keeps the stream spread over ALL partitions, one
+  // (partition, total) row per partition reaches the driver, and the
+  // chunk arithmetic is row-local on top. The naive
+  // Window.orderBy(doc_id) global cumsum would sort the entire corpus
+  // on ONE task.
+  def packSequencesOf(docs: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(col("doc_id").cast("long"), size(tokens(col("text"))).as("n_tokens"))
+      .as[(Long, Int)]
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .localCheckpoint(true)
+    val partials: Array[(Int, Long)] = sorted
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var t = 0L
+        it.foreach { case (_, n) => t += n }
+        Iterator.single((pid, t))
+      }.collect()
+    val offsets: Map[Int, Long] = {
+      var cum = 0L
+      partials.sortBy(_._1).map { case (pid, t) =>
+        val off = cum; cum += t; pid -> off
+      }.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = bcOffsets.value.getOrElse(pid, 0L)
+      it.map { case (id, n) =>
+        val start = cum
+        cum += n
+        // a whitespace-split array is never empty, so n >= 1 and the
+        // inclusive last-token offset start + n - 1 is well defined
+        (id, n, start, start / seqLen, (start + n - 1) / seqLen)
+      }
+    }.toDF("doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk")
+      .withColumn("n_chunks",
+        (col("last_chunk") - col("first_chunk") + lit(1L)).cast("int"))
+  }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOf(Tables.documents(spark, dir), 256).orderBy("doc_id")
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_offset
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, start_offset,
+      |  CAST(start_offset // 256 AS BIGINT) AS first_chunk,
+      |  CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS last_chunk,
+      |  CAST((start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1 AS INT)
+      |    AS n_chunks
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- benchmark decontamination ----------------------------------
   // The training-pipeline op that keeps eval sets out of the corpus:
   // per-document n-gram-shingle overlap against a benchmark set
@@ -515,5 +591,6 @@ object TextAnalysis {
     QDef("q83_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QDef("q92_repetition_filter", repetitionStats, Some(repetitionStatsSql)),
     QDef("q93_decontaminate", decontaminate, Some(decontaminateSql)),
+    QDef("q96_sequence_packing", packSequences, Some(packSequencesSql)),
   )
 }

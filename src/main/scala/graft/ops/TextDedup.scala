@@ -430,11 +430,86 @@ object TextDedup {
       |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Dedup apply / canonical-document selection — the step after
+    * [[dedupClusters]] that turns near-dup groups back into a corpus:
+    * within each cluster keep the highest-quality document (longest
+    * text, ties to the smallest id); documents in no cluster keep
+    * themselves. Plan shape for 100 TB: the cluster frame (one row
+    * per CLUSTERED doc — far smaller than the corpus) left-joins the
+    * corpus, and the keeper per cluster is one combinable max_by
+    * aggregation — no window, no per-cluster sort; the keepers frame
+    * (≤ one row per cluster) broadcasts back onto the labeled corpus.
+    */
+  def dedupKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = docs.select((col("doc_id") + lit(1L)).as("id_b_key"), col("doc_id").as("id_a"))
+      .join(docs.select(col("doc_id").as("id_b")), col("id_b_key") === col("id_b"))
+      .select("id_a", "id_b")
+    val edges = withJaccard(pairs, docs).filter(col("jaccard") >= 0.75)
+      .select("id_a", "id_b")
+    val clusters = connectedComponents(edges)
+    val labeled = docs.select(col("doc_id"), col("n_chars"))
+      .join(clusters.select(col("id").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    // (n_chars, -doc_id) is a unique ordering key, so max_by is
+    // deterministic: longest doc wins, ties to the smallest id
+    val keepers = labeled.groupBy("cluster").agg(
+      max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("keeper"),
+      count(lit(1)).cast("int").as("cluster_size"))
+    labeled.join(broadcast(keepers), Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === col("keeper")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepersSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+      |  FROM documents
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+      |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |), s AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE) AS inter,
+      |    len(ta) + len(tb) AS tot
+      |  FROM p
+      |), e0 AS (
+      |  SELECT id_a, id_b FROM s WHERE round(inter / (tot - inter), 6) >= 0.75
+      |), e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM e0
+      |  UNION ALL SELECT id_b, id_a FROM e0
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+      |), comp AS (
+      |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+      |  FROM reach GROUP BY id
+      |), lab AS (
+      |  SELECT d.doc_id, d.n_chars, coalesce(c.cluster, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN comp c USING (doc_id)
+      |), rn AS (
+      |  SELECT cluster, doc_id,
+      |    row_number() OVER (PARTITION BY cluster
+      |      ORDER BY n_chars DESC, doc_id) AS rnum,
+      |    count(*) OVER (PARTITION BY cluster) AS csize
+      |  FROM lab
+      |), k AS (
+      |  SELECT cluster, doc_id AS keeper, csize FROM rn WHERE rnum = 1
+      |)
+      |SELECT l.doc_id, CAST(l.cluster AS BIGINT) AS cluster,
+      |  CAST(k.csize AS INT) AS cluster_size,
+      |  l.doc_id = k.keeper AS keep
+      |FROM lab l JOIN k USING (cluster) ORDER BY l.doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q28_dedup_exact", dedupExact, Some(dedupExactSql)),
     QDef("q30_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QDef("q35_minhash_near_dups", minhashNearDups, Some(minhashNearDupsSql)),
     QDef("q36_simhash", simhashReorderDups, Some(simhashReorderDupsSql)),
     QDef("q81_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QDef("q97_dedup_keeper", dedupKeepers, Some(dedupKeepersSql)),
   )
 }

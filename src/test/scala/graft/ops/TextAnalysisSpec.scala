@@ -70,4 +70,48 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"expected broadcast left-semi probe in plan:\n$plan")
   }
+
+  test("sequence packing matches the global-window formulation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Long.MinValue, -1)
+    val want = docs
+      .withColumn("n_tokens", size(split(lower(col("text")), " ")))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id").cast("long"), col("n_tokens"),
+        col("start_offset"))
+    val got = TextAnalysis.packSequencesOf(docs, 256)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"))
+    assert(got.count() === docs.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("sequence packing: stream is contiguous and chunk spans are consistent") {
+    import spark.implicits._
+    val out = TextAnalysis.packSequences(spark, sf0001)
+      .as[(Long, Int, Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.head._3 === 0L, "stream must start at offset 0")
+    // contiguity in doc_id order: next start = start + n_tokens
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 === a._3 + a._2, s"gap between ${a._1} and ${b._1}")
+      case _ => ()
+    }
+    out.foreach { case (id, n, start, first, last, nChunks) =>
+      assert(first === start / 256, s"doc $id first_chunk")
+      assert(last === (start + n - 1) / 256, s"doc $id last_chunk")
+      assert(nChunks === (last - first + 1).toInt, s"doc $id n_chunks")
+      assert(n >= 1)
+    }
+  }
+
+  test("sequence packing plans no global window") {
+    val plan = TextAnalysis.packSequencesOf(
+      Tables.documents(spark, sf0001), 256)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+  }
 }

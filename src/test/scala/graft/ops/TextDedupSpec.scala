@@ -100,6 +100,30 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("dedup keeper: one keeper per cluster, longest doc wins, singletons kept") {
+    import spark.implicits._
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val out = TextDedup.dedupKeepers(spark, sf0001)
+      .as[(Long, Long, Int, Boolean)].collect()
+    assert(out.length.toLong === docs.count(), "one row per corpus doc")
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.count(_._4) === 1, s"cluster $c must have exactly one keeper")
+      assert(rows.forall(_._3 === rows.length), s"cluster $c size mismatch")
+    }
+    // singletons keep themselves and are labeled by their own id
+    byCluster.filter(_._2.length == 1).foreach { case (c, Array(row)) =>
+      assert(row._4 && row._1 === c)
+    }
+    // the keeper is the longest doc, ties to the smallest id
+    val chars = docs.select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    byCluster.filter(_._2.length > 1).foreach { case (c, rows) =>
+      val want = rows.map(_._1).minBy(id => (-chars(id), id))
+      val got = rows.filter(_._4).head._1
+      assert(got === want, s"cluster $c keeper: got $got want $want")
+    }
+  }
+
   test("simhash is deterministic") {
     val a = TextDedup.simhash64(Seq("spark", "join", "merge"))
     val b = TextDedup.simhash64(Seq("spark", "join", "merge"))
