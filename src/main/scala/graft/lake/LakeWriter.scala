@@ -134,6 +134,60 @@ object LakeWriter {
     acc.toSeq.map { case (p, (n, b)) => PartitionStat(p, n, b) }.sortBy(_.partition)
   }
 
+  /** Append one timestamped [[partitionStats]] snapshot of `path` to
+    * a metrics table at `metricsPath` — the history that turns
+    * point-in-time file counts into trends (small-file growth,
+    * ingest-volume drift, retention pressure). `observedAtMs` is
+    * caller-supplied so replays/backfills are deterministic and
+    * testable. The metrics table is itself a plain parquet append —
+    * snapshots are tiny (one row per partition), so a day of hourly
+    * snapshots of a 10k-partition lake is ~240k rows. */
+  def recordStats(
+      spark: SparkSession,
+      path: String,
+      metricsPath: String,
+      observedAtMs: Long): Unit = {
+    import spark.implicits._
+    val snap = partitionStats(spark, path)
+      .map(p => (observedAtMs, p.partition, p.files, p.bytes))
+      .toDF("observed_at", "partition", "files", "bytes")
+    snap.coalesce(1).write.mode("append").parquet(metricsPath)
+  }
+
+  def statsHistory(spark: SparkSession, metricsPath: String): DataFrame =
+    spark.read.parquet(metricsPath)
+
+  /** Trend-driven compaction candidates from the metrics history:
+    * partitions whose file count in the LATEST snapshot exceeds
+    * `maxFiles`, or grew by at least `minGrowth` files since the
+    * EARLIEST snapshot in the history (catching partitions that will
+    * blow past the threshold before the next maintenance window).
+    * Returns (partition, files_then, files_now, growth) — feed the
+    * partition column into [[compactPartitions]]. */
+  def compactionCandidates(
+      spark: SparkSession,
+      metricsPath: String,
+      maxFiles: Int,
+      minGrowth: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hist = statsHistory(spark, metricsPath)
+    val bounds = hist.agg(
+      min(col("observed_at")).as("first_at"),
+      max(col("observed_at")).as("last_at")).collect()(0)
+    val (firstAt, lastAt) = (bounds.getLong(0), bounds.getLong(1))
+    val now = hist.filter(col("observed_at") === lastAt)
+      .select(col("partition"), col("files").as("files_now"))
+    val then_ = hist.filter(col("observed_at") === firstAt)
+      .select(col("partition"), col("files").as("files_then"))
+    now.join(then_, Seq("partition"), "left")
+      .select(col("partition"),
+        coalesce(col("files_then"), lit(0L)).as("files_then"),
+        col("files_now"),
+        (col("files_now") - coalesce(col("files_then"), lit(0L))).as("growth"))
+      .filter(col("files_now") > maxFiles || col("growth") >= minGrowth)
+      .orderBy("partition")
+  }
+
   /** Stats-driven small-file compaction: rewrite ONLY partitions
     * whose file count exceeds `maxFiles`, leaving every other
     * partition's files untouched (contrast [[compact]], which

@@ -71,6 +71,45 @@ class LakeWriterSpec extends SparkTestBase {
     assert(spark.read.parquet(base).count() === total)
   }
 
+  test("metrics history records snapshots and trends drive compaction") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-hist").toString
+    val metrics = s"$base/_metrics_table"
+    val data = s"$base/t"
+    val li = Tables.lineitem(spark, sf0001)
+    li.repartition(2).write.mode("overwrite").partitionBy("l_returnflag").parquet(data)
+    LakeWriter.recordStats(spark, data, metrics, observedAtMs = 1000L)
+    // partition R accretes small files between snapshots
+    li.filter(col("l_returnflag") === "R").drop("l_returnflag").repartition(6)
+      .write.mode("append").parquet(s"$data/l_returnflag=R")
+    LakeWriter.recordStats(spark, data, metrics, observedAtMs = 2000L)
+
+    val hist = LakeWriter.statsHistory(spark, metrics)
+    assert(hist.select("observed_at").distinct().count() === 2)
+    assert(hist.filter(col("observed_at") === 1000L).count() ===
+      hist.filter(col("observed_at") === 2000L).count())
+
+    // absolute threshold: only R is past maxFiles
+    val byMax = LakeWriter.compactionCandidates(spark, metrics, maxFiles = 4)
+      .as[(String, Long, Long, Long)].collect()
+    assert(byMax.toSeq === Seq(("l_returnflag=R", 2L, 8L, 6L)))
+    // growth trend: R grew by 6, others by 0
+    val byGrowth = LakeWriter
+      .compactionCandidates(spark, metrics, maxFiles = 100, minGrowth = 3L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(byGrowth.map(_._1).toSeq === Seq("l_returnflag=R"))
+
+    // the candidate feeds the existing compactor; the next snapshot
+    // shows the file count back under control
+    val rewritten = LakeWriter.compactPartitions(spark, data, maxFiles = 4)
+    assert(rewritten === byMax.map(_._1).toSeq)
+    LakeWriter.recordStats(spark, data, metrics, observedAtMs = 3000L)
+    val nowR = LakeWriter.statsHistory(spark, metrics)
+      .filter(col("observed_at") === 3000L && col("partition") === "l_returnflag=R")
+      .select("files").as[Long].collect()
+    assert(nowR.toSeq === Seq(1L))
+  }
+
   test("writeObserved computes load metrics during the write pass") {
     val base = Files.createTempDirectory("graft-observe").toString + "/t"
     val li = Tables.lineitem(spark, sf0001)
