@@ -92,6 +92,42 @@ object ScaleBench {
         // into 2048-token training sequences without a global window
         noop(graft.ops.TextAnalysis.packSequencesOf(docs, 2048))
       },
+      timed("asof_native_4m")  {
+        // the custom AsOfJoinExec at 4M probes / 400k quotes over
+        // 100k keys: one co-partitioned sort-merge pass, no
+        // union+window state. Semantic parity with the window
+        // formulation is gate-checked (q59 and q10 share one DuckDB
+        // ASOF oracle); this is the throughput comparison at scale.
+        val trades = spark.range(4 * rows)
+          .select(pmod(col("id") * 31, lit(100000)).as("k"),
+            pmod(col("id") * 17, lit(10000000)).as("t"),
+            col("id").as("trade_id"))
+        val quotes = spark.range(rows / 4 * 2)
+          .select(pmod(col("id") * 37, lit(100000)).as("qk"),
+            pmod(col("id") * 53, lit(10000000)).as("qt"))
+        noop(graft.plans.AsOf.join(trades, quotes, "k", "qk", "t", "qt"))
+      },
+      timed("asof_window_4m")  {
+        // the same join as the union+window composition Spark can
+        // express natively — the baseline the custom exec must beat
+        val trades = spark.range(4 * rows)
+          .select(pmod(col("id") * 31, lit(100000)).as("k"),
+            pmod(col("id") * 17, lit(10000000)).as("t"),
+            col("id").as("trade_id"), lit(1).as("is_left"),
+            lit(null).cast("long").as("q_t"))
+        val quotes = spark.range(rows / 4 * 2)
+          .select(pmod(col("id") * 37, lit(100000)).as("k"),
+            pmod(col("id") * 53, lit(10000000)).as("t"),
+            lit(null).cast("long").as("trade_id"), lit(0).as("is_left"),
+            pmod(col("id") * 53, lit(10000000)).as("q_t"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(col("t").asc, col("is_left").asc)
+          .rowsBetween(Long.MinValue, 0)
+        noop(trades.unionByName(quotes)
+          .withColumn("last_q", last(col("q_t"), ignoreNulls = true).over(w))
+          .filter(col("is_left") === 1)
+          .select("trade_id", "k", "t", "last_q"))
+      },
       timed("cc_900k_edges")   {
         // 100k chains of 10 nodes → 900k edges: above the union-find
         // threshold, so this exercises the DISTRIBUTED pointer-jumping
