@@ -1981,6 +1981,252 @@ object Relational {
       |                        WHERE p_name LIKE 'small %'))
       |ORDER BY s_suppkey""".stripMargin
 
+  // -- TPC-H Q6 shape: forecasting revenue change --------------------
+  // The canonical scan-dominated aggregate: a tight one-year ship
+  // window, a discount band, a quantity cap, one global sum. Plan:
+  // every predicate reaches the parquet scan (PushedFilters on
+  // l_shipdate/l_discount/l_quantity), the projection carries only
+  // two columns, and the sum is one combinable agg — the query the
+  // columnar format exists for. Revenue is summed in exact e4 integer
+  // space (ext_e2 × disc_pct) so addend order cannot flip the 2dp
+  // rounding between engines.
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(round(col("l_extendedprice") * 100).cast("long") *
+          round(col("l_discount") * 100).cast("long")) / 10000.0, 2)
+          .as("revenue"))
+
+  private val forecastRevenueSql =
+    """SELECT count(*) AS n_lines,
+      | round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |           CAST(round(l_discount * 100, 0) AS BIGINT)) / 10000.0, 2)
+      |   AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // -- TPC-H Q9 shape: product-type profit by nation and year --------
+  // Profit per supplier nation per order year on one part family:
+  // revenue minus supply cost, where the testdata's missing partsupp
+  // is derived from lineitem exactly as in q73/q85 (min unit price per
+  // (part, supplier) pair). The five-table join tree: lineitem joins
+  // orders on the fact key (shuffle), part is filtered + broadcast,
+  // supplier/nation broadcast, and the derived cost frame joins back
+  // on (partkey, suppkey). All money arithmetic is exact e4 integer
+  // space — a double sum's addend ORDER differs between engines and
+  // flips 2dp roundings (the q85 lesson).
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cost = li.groupBy(col("l_partkey").as("c_partkey"), col("l_suppkey").as("c_suppkey"))
+      .agg(round(min(col("l_extendedprice") / col("l_quantity")) * 10000)
+        .cast("long").as("cost_e4"))
+    val widgetParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget")).select("p_partkey")
+    li.join(widgetParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(cost, col("l_partkey") === col("c_partkey") &&
+        col("l_suppkey") === col("c_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+          col("cost_e4") * col("l_quantity").cast("long")) / 10000.0, 2)
+        .as("profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  private val productProfitSql =
+    """WITH cost AS (
+      |  SELECT l_partkey AS c_partkey, l_suppkey AS c_suppkey,
+      |         CAST(round(min(l_extendedprice / l_quantity) * 10000, 0) AS BIGINT)
+      |           AS cost_e4
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      | round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |             (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) -
+      |           cost_e4 * CAST(l_quantity AS BIGINT)) / 10000.0, 2) AS profit
+      |FROM lineitem
+      |JOIN cost ON c_partkey = l_partkey AND c_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // -- TPC-H Q10 shape: returned-item reporting ----------------------
+  // Top-20 customers by revenue lost to returns in one quarter — the
+  // classic fact⋈fact⋈dim join with a global top-k. Plan: the order
+  // window filter reaches the orders scan, returnflag reaches the
+  // lineitem scan, nation broadcasts, and the final ORDER BY+LIMIT
+  // plans TakeOrderedAndProject (no global sort). Revenue in exact e4
+  // space; ties at the boundary break on c_custkey so the row set is
+  // deterministic on both engines.
+  def returnedItemReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-07-01") &&
+            col("o_orderdate") < lit("1996-10-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("rev_e4") / 10000.0, 2).as("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("rev_e4").desc, col("c_custkey").asc)
+      .limit(20)
+
+  private val returnedItemReportSql =
+    """SELECT c_custkey, c_name,
+      | round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2)
+      |   AS revenue,
+      | c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |             (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) DESC,
+      |         c_custkey
+      |LIMIT 20""".stripMargin
+
+  // -- TPC-H Q14 shape: promotion effect ------------------------------
+  // Share of one month's revenue from PROMO-type parts: a fact⋈dim
+  // join reduced to a single ratio — the conditional-aggregation +
+  // broadcast-dim shape. Numerator and denominator are exact e4
+  // longs; the one final division is a single IEEE op on two exact
+  // integers, identical on both engines.
+  def promotionEffect(spark: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_e4"),
+        sum(rev).as("total_e4"))
+      .select(
+        round(lit(100.0) * col("promo_e4") / col("total_e4"), 4).as("promo_share_pct"),
+        round(col("total_e4") / 10000.0, 2).as("total_revenue"))
+  }
+
+  private val promotionEffectSql =
+    """SELECT
+      | round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |         THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |              (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+      |         ELSE 0 END) /
+      |       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))), 4)
+      |   AS promo_share_pct,
+      | round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2)
+      |   AS total_revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
+  // -- TPC-H Q16 shape: parts/supplier relationship -------------------
+  // Distinct supplier count per (brand, type, size) for a part
+  // subset, excluding a supplier blacklist — the NOT-IN + grouped
+  // count-distinct shape. The supplier relationship is the q73-style
+  // derived partsupp (distinct pairs from lineitem); the blacklist
+  // (negative account balance stands in for the spec's complaints
+  // scan) broadcasts into an anti-join, which is exactly how Catalyst
+  // plans a non-nullable NOT IN.
+  def partSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    pairs
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") =!= "Brand#13" && col("p_size").isin(5, 10, 15, 20, 25))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  private val partSupplierCountsSql =
+    """SELECT p_brand, p_type, p_size,
+      | count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_size IN (5, 10, 15, 20, 25)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // -- TPC-H Q22 shape: global sales opportunity ----------------------
+  // Wealthy-but-idle customers per country: account balance above the
+  // average POSITIVE balance of a country group, with no orders since
+  // mid-2000 — the scalar-subquery-threshold + anti-join shape
+  // (c_nationkey stands in for the spec's phone country code — this
+  // schema has no phone — and "idle since a cutoff" for the spec's
+  // no-orders-at-all, which is vacuous here: every testdata customer
+  // has orders). The above-average compare is done as an exact integer
+  // cross-multiply (bal_e2 × count > sum_e2) — comparing against a
+  // double avg would let engine-specific addend order flip boundary
+  // rows. The threshold frame is tiny (two longs) and the order check
+  // is a broadcast anti-join.
+  def salesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val codes = Seq(1, 2, 3, 4, 5, 6, 7)
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(codes: _*))
+      .withColumn("bal_e2", round(col("c_acctbal") * 100).cast("long"))
+      .localCheckpoint(true)
+    val t = cust.filter(col("bal_e2") > 0)
+      .agg(sum(col("bal_e2")).as("s"), count(lit(1)).as("n")).head()
+    require(!t.isNullAt(0), "salesOpportunity: no positive balances in " + dir)
+    val (sumE2, n) = (t.getLong(0), t.getLong(1))
+    cust
+      .filter(col("bal_e2") * lit(n) > lit(sumE2))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-07-01")).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("bal_e2")) / 100.0, 2).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  private val salesOpportunitySql =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_e2
+      |  FROM customer WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)),
+      |t AS (
+      |  SELECT CAST(sum(bal_e2) AS BIGINT) AS s, count(*) AS n
+      |  FROM cust WHERE bal_e2 > 0)
+      |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+      | round(sum(bal_e2) / 100.0, 2) AS totacctbal
+      |FROM cust, t
+      |WHERE bal_e2 * n > s
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderdate >= TIMESTAMP '2000-07-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
@@ -2054,5 +2300,11 @@ object Relational {
     QDef("q91_tpch_q21", waitingSuppliers, Some(waitingSuppliersSql)),
     QDef("q94_tpch_q15", topRevenueSupplier, Some(topRevenueSupplierSql)),
     QDef("q95_tpch_q20", potentialPartPromotion, Some(potentialPartPromotionSql)),
+    QDef("q98_tpch_q6", forecastRevenue, Some(forecastRevenueSql)),
+    QDef("q99_tpch_q9", productProfit, Some(productProfitSql)),
+    QDef("q100_tpch_q10", returnedItemReport, Some(returnedItemReportSql)),
+    QDef("q101_tpch_q14", promotionEffect, Some(promotionEffectSql)),
+    QDef("q102_tpch_q16", partSupplierCounts, Some(partSupplierCountsSql)),
+    QDef("q103_tpch_q22", salesOpportunity, Some(salesOpportunitySql)),
   )
 }

@@ -135,6 +135,27 @@ class RelationalSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("tpch q6 predicates all reach the scan; q10 plans a global top-k") {
+    val q6 = Relational.forecastRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(q6.contains(s"IsNotNull($c)"), s"$c filter not pushed:\n${q6.take(2000)}")
+    }
+    val q10 = Relational.returnedItemReport(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q10.contains("TakeOrderedAndProject"), s"expected top-k plan:\n${q10.take(2000)}")
+  }
+
+  test("tpch q16/q22 plan the NOT IN as anti-joins, never nested loops") {
+    Seq(Relational.partSupplierCounts(spark, sf0001),
+        Relational.salesOpportunity(spark, sf0001)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"expected anti-join:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        plan.take(2000))
+    }
+  }
+
   test("fuzzy match blocking plan contains no nested-loop join") {
     val plan = Relational.fuzzyNameMatch(spark, sf0001)
       .queryExecution.executedPlan.toString
