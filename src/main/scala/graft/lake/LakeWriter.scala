@@ -235,6 +235,50 @@ object LakeWriter {
     }
   }
 
+  /** Pin the current inferred schema of a hive-layout parquet dir as
+    * the path's read contract (`_graft_schema.json` at the root,
+    * Spark StructType JSON). Snapshot tables already pin schema in
+    * their manifest header; this closes the same gap for plain
+    * partitioned dirs, where every reader otherwise re-infers —
+    * paying a footer-sampling pass AND silently absorbing whatever a
+    * late writer appended. */
+  def pinSchema(spark: SparkSession, path: String): Unit = {
+    val schema = spark.read.parquet(path).schema
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json"), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def pinnedSchema(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(p), s"$path has no pinned schema (run pinSchema first)")
+    val in = f.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  /** Read with the pinned schema: no inference pass (no footer
+    * sampling at plan time), stable column set and types no matter
+    * what later writers appended — columns a late file added are
+    * ignored, columns it dropped read as NULL (parquet
+    * read-by-name). The type-pinned contract readers get from the
+    * snapshot table format, on a plain dir. */
+  def readPinned(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(pinnedSchema(spark, path)).parquet(path)
+
+  /** Drift report: columns the CURRENT layout has that the pinned
+    * contract lacks (added) and pinned columns no longer present
+    * (removed). Cheap gate for ingest jobs: refuse or re-pin when
+    * nonempty. */
+  def schemaDrift(spark: SparkSession, path: String): (Seq[String], Seq[String]) = {
+    val pinned = pinnedSchema(spark, path).fieldNames.toSet
+    val now = spark.read.option("mergeSchema", true).parquet(path).schema.fieldNames.toSet
+    ((now -- pinned).toSeq.sorted, (pinned -- now).toSeq.sorted)
+  }
+
   /** Path-rewriting maintenance must not touch snapshot tables —
     * moving/deleting their data files would orphan manifest entries;
     * those tables compact by committing a rewritten version instead. */

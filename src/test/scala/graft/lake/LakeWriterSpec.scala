@@ -71,6 +71,33 @@ class LakeWriterSpec extends SparkTestBase {
     assert(spark.read.parquet(base).count() === total)
   }
 
+  test("pinned schema survives late writer drift; drift report names the columns") {
+    val base = Files.createTempDirectory("graft-pin").toString + "/t"
+    val v1 = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    LakeWriter.writePartitioned(v1, base, Seq("o_orderstatus"))
+    LakeWriter.pinSchema(spark, base)
+
+    // a late writer appends a file with an extra column and a missing one
+    Tables.orders(spark, sf0001).limit(10)
+      .select(col("o_orderkey") + 9000000L, col("o_orderpriority"),
+        lit("X").as("o_orderstatus"))
+      .toDF("o_orderkey", "o_surprise", "o_orderstatus")
+      .write.mode("append").partitionBy("o_orderstatus").parquet(base)
+
+    val pinned = LakeWriter.readPinned(spark, base)
+    assert(pinned.columns.toSeq.sorted ===
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    assert(pinned.count() === v1.count() + 10)
+    // the late file's rows read the missing pinned column as NULL
+    assert(pinned.filter(col("o_totalprice").isNull).count() === 10)
+    val (added, removed) = LakeWriter.schemaDrift(spark, base)
+    assert(added === Seq("o_surprise") && removed === Nil)
+    // unpinned path fails loudly
+    assertThrows[IllegalArgumentException](
+      LakeWriter.readPinned(spark, Files.createTempDirectory("graft-nopin").toString))
+  }
+
   test("metrics history records snapshots and trends drive compaction") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-hist").toString
