@@ -670,6 +670,55 @@ object Relational {
       | true AS p50_in_band
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- A5+ extension: mergeable heavy-hitter sketch (q84's frequency
+  // pair). Fine-grain count-min sketches from Spark's built-in
+  // count_min_sketch aggregate, re-aggregated to a coarser grain with
+  // the custom CmsMergeAggregator — persist-once / re-roll-up-later,
+  // like the HLL (q79) and KLL (q84) halves of the sketch table.
+  // Oracle contract (the q84 technique): exact per-key frequencies as
+  // hash-checked columns, plus two accuracy booleans the CMS
+  // guarantees make deterministic under a fixed seed — estimates
+  // never undercount, and overcount by at most eps·N.
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val fine = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("count_min_sketch(l_suppkey, 0.001d, 0.999d, 42)").as("sk"),
+        count(lit(1)).as("n"))
+    val coarse = fine.groupBy(col("l_returnflag"))
+      .agg(graft.functions.Cms.mergeUdaf(col("sk")).as("msk"),
+        sum(col("n")).as("n_flag"))
+    val keys = Seq(1L, 2L, 3L)
+    val exact = li.filter(col("l_suppkey").isin(keys: _*))
+      .groupBy(col("l_returnflag"), col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val est = udf((b: Array[Byte], k: Long) => graft.functions.Cms.estimate(b, k))
+    coarse.crossJoin(keys.toDF("suppkey"))
+      .join(exact, Seq("l_returnflag", "suppkey"), "left")
+      .select(col("l_returnflag"), col("suppkey"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+        est(col("msk"), col("suppkey")).as("est"),
+        col("n_flag"))
+      .select(col("l_returnflag"), col("suppkey"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("never_under"),
+        (col("est") <= col("exact_cnt") +
+          ceil(col("n_flag") * lit(0.001)).cast("long")).as("within_eps"))
+      .orderBy("l_returnflag", "suppkey")
+  }
+
+  private val cmsHeavyHittersSql =
+    """WITH f AS (SELECT DISTINCT l_returnflag FROM lineitem),
+      |k AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS suppkey),
+      |e AS (SELECT l_returnflag, l_suppkey AS suppkey, count(*) AS c
+      |      FROM lineitem WHERE l_suppkey IN (1, 2, 3) GROUP BY 1, 2)
+      |SELECT f.l_returnflag, k.suppkey,
+      | CAST(coalesce(e.c, 0) AS BIGINT) AS exact_cnt,
+      | true AS never_under,
+      | true AS within_eps
+      |FROM f CROSS JOIN k
+      |LEFT JOIN e ON e.l_returnflag = f.l_returnflag AND e.suppkey = k.suppkey
+      |ORDER BY f.l_returnflag, k.suppkey""".stripMargin
+
   // -- §2.8 extension: regexp functions -----------------------------
   def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
@@ -2306,5 +2355,6 @@ object Relational {
     QDef("q101_tpch_q14", promotionEffect, Some(promotionEffectSql)),
     QDef("q102_tpch_q16", partSupplierCounts, Some(partSupplierCountsSql)),
     QDef("q103_tpch_q22", salesOpportunity, Some(salesOpportunitySql)),
+    QDef("q104_cms_heavy_hitters", cmsHeavyHitters, Some(cmsHeavyHittersSql)),
   )
 }
