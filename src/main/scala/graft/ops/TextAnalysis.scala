@@ -455,6 +455,64 @@ object TextAnalysis {
       | (n_words >= 30 AND t2 < 0.125 AND dwf < 0.6) AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- collocation mining ------------------------------------------
+  // Corpus-level collocation scoring — the phrase-mining /
+  // tokenizer-vocabulary primitive: bigrams whose observed frequency
+  // beats the independence expectation, scored by lift
+  // c12·N / (c1·c2) (PMI without the log — log(x) last-ulp behavior
+  // differs across libm implementations; lift is a single IEEE
+  // divide of exactly-derived doubles, bit-identical on both
+  // engines). Plan shape for 100 TB: two explode → combinable-agg
+  // passes (row-linear, map-side combined), the unigram table joined
+  // in twice by token key (shuffle equi-joins — vocabulary can be
+  // millions of rows, so no broadcast hint; AQE may still choose
+  // one), a min-count floor BEFORE the joins, and a global top-30
+  // that plans TakeOrderedAndProject. N comes off the tiny
+  // checkpointed bigram aggregate as a driver scalar.
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(tokens(col("text")).as("toks"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val nRow = bi.agg(sum(col("c12"))).head()
+    require(!nRow.isNullAt(0), "collocations: no bigrams in " + dir)
+    val n = nRow.getLong(0)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val u1 = uni.select(col("w").as("w1"), col("c").as("c1"))
+    val u2 = uni.select(col("w").as("w2"), col("c").as("c2"))
+    bi.filter(col("c12") >= 5)
+      .select(expr("split_part(gram, ' ', 1)").as("w1"),
+        expr("split_part(gram, ' ', 2)").as("w2"), col("c12"))
+      .join(u1, "w1").join(u2, "w2")
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("c12").cast("double") * lit(n) /
+          (col("c1").cast("double") * col("c2")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(30)
+  }
+
+  val collocationsSql: String =
+    """WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+      |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |      FROM t WHERE len(toks) >= 2),
+      |bi AS (SELECT gram, count(*) AS c12 FROM g GROUP BY 1),
+      |n AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bi),
+      |u AS (SELECT w, count(*) AS c
+      |      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1)
+      |SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+      | CAST(c12 AS BIGINT) AS c12,
+      | round(CAST(c12 AS DOUBLE) * nb / (CAST(u1.c AS DOUBLE) * u2.c), 6) AS lift
+      |FROM bi, n
+      |JOIN u u1 ON u1.w = split_part(gram, ' ', 1)
+      |JOIN u u2 ON u2.w = split_part(gram, ' ', 2)
+      |WHERE c12 >= 5
+      |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin
+
   // ---- sequence packing --------------------------------------------
   // The final assembly step of a pretraining-data pipeline: lay the
   // corpus out as one deterministic token stream (doc_id order) and
@@ -592,5 +650,6 @@ object TextAnalysis {
     QDef("q92_repetition_filter", repetitionStats, Some(repetitionStatsSql)),
     QDef("q93_decontaminate", decontaminate, Some(decontaminateSql)),
     QDef("q96_sequence_packing", packSequences, Some(packSequencesSql)),
+    QDef("q105_collocations", collocations, Some(collocationsSql)),
   )
 }

@@ -71,6 +71,24 @@ class TextAnalysisSpec extends SparkTestBase {
       s"expected broadcast left-semi probe in plan:\n$plan")
   }
 
+  test("collocations: floor respected, lift positive, global top-k plan") {
+    import spark.implicits._
+    val df = TextAnalysis.collocations(spark, sf0001)
+    val out = df.as[(String, String, Long, Double)].collect()
+    assert(out.nonEmpty && out.length <= 30)
+    assert(out.forall(_._3 >= 5), "min-count floor violated")
+    assert(out.forall(_._4 > 0.0), "lift must be positive")
+    // descending by lift with (w1, w2) tie-break
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 &&
+          (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2))))
+      case _ => ()
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n${plan.take(2000)}")
+  }
+
   test("sequence packing matches the global-window formulation") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
