@@ -77,6 +77,23 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming exact dedup by CONTENT fingerprint — the ingest-time
+    * half of the dedup family (ops.TextDedup.exactDuplicates is the
+    * batch half): the first occurrence of a normalized-text md5 wins,
+    * later copies arriving within the watermark window are dropped.
+    * State holds one fingerprint row per distinct doc inside the
+    * horizon and is evicted past it, so endless ingest cannot grow
+    * state without bound — the trade every streaming dedup makes:
+    * duplicates separated by more than the watermark re-enter (catch
+    * those in the batch dedup pass). */
+  def dedupDocsByContent(docs: DataFrame,
+      tsCol: String = "ingest_ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(lower(col("text"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Custom keyed state via mapGroupsWithState: running per-user
     * totals across microbatches. */
   def userRunningTotals(events: Dataset[Event]): Dataset[UserTotal] = {

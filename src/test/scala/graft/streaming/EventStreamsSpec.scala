@@ -67,6 +67,40 @@ class EventStreamsSpec extends SparkTestBase {
     assert(n === distinct)
   }
 
+  test("streaming content dedup drops cross-batch duplicate docs within the watermark") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-stream-docdedup")
+    val schema = "doc_id LONG, text STRING, ingest_ts TIMESTAMP"
+    def stage(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      // file stream sources ignore subdirs: write aside, move the
+      // part file into the watched root
+      val tmp = Files.createTempDirectory("graft-docdedup-stage")
+      rows.toDF("doc_id", "text", "ts")
+        .select(col("doc_id"), col("text"), col("ts").cast("timestamp").as("ingest_ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, d.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    // batch 1: two distinct docs
+    stage("b1", Seq((1L, "alpha beta gamma", "2024-01-01 10:00:00"),
+      (2L, "delta epsilon", "2024-01-01 10:01:00")))
+    val in = spark.readStream.schema(schema).parquet(d.toString)
+    val q = EventStreams.dedupDocsByContent(in)
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one exact duplicate (case-insensitive), one new doc
+      stage("b2", Seq((3L, "ALPHA beta GAMMA", "2024-01-01 10:05:00"),
+        (4L, "zeta eta", "2024-01-01 10:06:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("doc_dedup").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 4L), "duplicate content must be dropped once seen")
+  }
+
   test("mapGroupsWithState accumulates running per-user totals") {
     import spark.implicits._
     val events = EventStreams.readEvents(spark, eventsDir)
