@@ -300,10 +300,84 @@ object Similarity {
       |  CAST(1.0 AS DOUBLE) AS cosine
       |FROM embeddings ORDER BY id_a, id_b""".stripMargin
 
+  // ---- int8 scalar quantization ------------------------------------
+
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127,
+    * q[i] = round(x[i]/scale) clamped to [-127, 127]. The 4× smaller
+    * corpus is what the ANN scan reads at scale — the scan is memory-
+    * bandwidth-bound, so the compression is throughput. Exact copies
+    * quantize identically (same scale, same bytes), which makes
+    * planted-copy recall provable, and quantized cosine needs no
+    * scales at all — they cancel:
+    * dot(qa,qb)/(sqrt(dot(qa,qa))·sqrt(dot(qb,qb))), three EXACT
+    * integer dots per pair (DotProductI8, codegen'd) and one IEEE
+    * division — bit-identical across engines. Typed per-partition
+    * pass (the minhash tier — HOF folds are CodegenFallback). */
+  def quantize(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var mx = 0f
+          var i = 0
+          while (i < v.length) {
+            val a = math.abs(v(i)); if (a > mx) mx = a; i += 1
+          }
+          val scale = if (mx == 0f) 1.0f else mx / 127f
+          val q = new Array[Byte](v.length)
+          i = 0
+          while (i < v.length) {
+            q(i) = math.max(-127, math.min(127, math.round(v(i) / scale))).toByte
+            i += 1
+          }
+          (id, scale.toDouble, q)
+        }
+      }.toDF(idCol, "scale", "qvec")
+  }
+
+  def quantizedCosine(a: Column, b: Column): Column = {
+    val dq = graft.functions.VectorFunctions.dot_product_i8(a, b).cast("double")
+    val na = graft.functions.VectorFunctions.dot_product_i8(a, a).cast("double")
+    val nb = graft.functions.VectorFunctions.dot_product_i8(b, b).cast("double")
+    dq / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Quantized-ANN accuracy gate: brute-force top-10 per query over
+    * the int8 corpus, checked against the exact float ranking via the
+    * shared ANN contract — planted exact copies quantize to identical
+    * bytes (quantized cosine exactly 1.0 at 6 dp), and every neighbor
+    * the quantized ranking returns must sit inside the exact top-100.
+    * This is the "is int8 good enough" question asked as an oracle-
+    * checkable query. */
+  def quantizedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedQueries(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), annQueryIds)
+    val qcorp = quantize(corpus)
+    val queries = qcorp.filter(col("vec_id").isin(annQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val ann = qcorp
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(quantizedCosine(col("qvec"), col("q_qvec")), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).drop("rn")
+    annContract(ann, corpus, annQueryIds, rankBound = quantizedRankBound)
+  }
+
+  val quantizedRankBound = 100
+  val quantizedAnnSql: String = annContractSql(quantizedRankBound)
+
   val catalog: Seq[QDef] = Seq(
     QDef("q26_vector_norm", vectorNorms, Some(vectorNormsSql)),
     QDef("q31_ann_cosine_topk", annBruteForce, Some(annBruteForceSql)),
     QDef("q37_ann_lsh_topk", annLsh, Some(annLshSql)),
     QDef("q45_embedding_dedup", embeddingDedup, Some(embeddingDedupSql)),
+    QDef("q106_quantized_ann", quantizedAnn, Some(quantizedAnnSql)),
   )
 }

@@ -105,6 +105,32 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(edge.toSeq === Seq(0L, 0L, 3L, 2L))
   }
 
+  test("dot_product_i8 matches exact integer arithmetic and stays codegen'd") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong, Array.fill(64)((rnd.nextInt(255) - 127).toByte),
+        Array.fill(64)((rnd.nextInt(255) - 127).toByte))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      VectorFunctions.dot_product_i8(col("a"), col("b")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, a, b) =>
+      val want = a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+      assert(got(id) === want, s"id $id")
+    }
+    // a LocalTableScan short-circuits codegen — assert over the real
+    // quantized-corpus shape instead
+    val plan = graft.ops.Similarity.quantize(emb)
+      .select(VectorFunctions.dot_product_i8(col("qvec"), col("qvec")).as("nq"))
+      .queryExecution.executedPlan
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, s"no WholeStageCodegenExec in:\n$plan")
+  }
+
   test("top_bigram_count stays inside whole-stage codegen") {
     val docs = Tables.documents(spark, sf0001)
     val plan = docs

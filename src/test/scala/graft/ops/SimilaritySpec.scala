@@ -82,4 +82,39 @@ class SimilaritySpec extends SparkTestBase {
       .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
     lsh.foreach { case (id, c) => assert(math.abs(c - exact(id)) < 1e-9) }
   }
+
+  test("int8 quantization bounds per-component error and preserves cosine closely") {
+    import spark.implicits._
+    val floats = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val q = Similarity.quantize(emb)
+      .as[(Long, Double, Array[Byte])].collect()
+    assert(q.length === floats.size)
+    q.foreach { case (id, scale, qv) =>
+      val v = floats(id)
+      assert(qv.length === v.length)
+      // reconstruction error per component is at most half a step
+      v.indices.foreach { i =>
+        assert(math.abs(qv(i) * scale - v(i)) <= scale / 2 + 1e-6,
+          s"vec $id component $i")
+      }
+    }
+    // quantized cosine tracks float cosine for a sample of pairs
+    def qcos(a: (Double, Array[Byte]), b: (Double, Array[Byte])): Double = {
+      def dot(x: Array[Byte], y: Array[Byte]) =
+        x.zip(y).map { case (p, r) => p.toLong * r.toLong }.sum.toDouble
+      dot(a._2, b._2) / (math.sqrt(dot(a._2, a._2)) * math.sqrt(dot(b._2, b._2)))
+    }
+    def fcos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val byId = q.map(t => t._1 -> (t._2, t._3)).toMap
+    val ids = floats.keys.toSeq.sorted.take(20)
+    for (a <- ids; b <- ids if a < b) {
+      assert(math.abs(qcos(byId(a), byId(b)) - fcos(floats(a), floats(b))) < 0.02,
+        s"pair ($a, $b)")
+    }
+  }
 }
