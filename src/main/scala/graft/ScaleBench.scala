@@ -78,6 +78,26 @@ object ScaleBench {
         val model = graft.ops.Ivf.train(emb, k = 64)
         noop(graft.ops.Ivf.search(emb, model, queryIds, 10))
       },
+      timed("ann_brute_i8_3q") {
+        // int8 path: quantize the corpus once, then 3 brute-force
+        // queries over the 4x-smaller byte vectors via the codegen'd
+        // integer dot product
+        val q = graft.ops.Similarity.quantize(emb).persist()
+        q.count()
+        val queries = q.filter(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        noop(q.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.ops.Similarity.quantizedCosine(col("qvec"), col("q_qvec")).as("cosine"))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") <= 10))
+        q.unpersist()
+        ()
+      },
       timed("tfidf")           { noop(graft.ops.TextAnalysis.tfidfOf(docs)) },
       timed("repetition_filter") { noop(graft.ops.TextAnalysis.repetitionStatsOf(docs)) },
       timed("pii_scrub")       { noop(docs.select(col("doc_id"),
