@@ -77,6 +77,31 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: each purchase joins the SAME user's
+    * signup that happened at-or-before it, within a bounded
+    * event-time range — the attribution-join shape. Both sides are
+    * watermarked and the join condition bounds purchase_ts relative
+    * to signup_ts, which is what lets the engine EVICT buffered
+    * signup state once the watermark passes the range (an unbounded
+    * condition would buffer both streams forever). State per key is
+    * one window of signups, not the stream's history. */
+  def purchaseAttributionJoin(events: DataFrame,
+      maxGap: String = "interval 2 hours",
+      watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", watermark)
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(maxGap))
+      .select("event_id", "user_id", "purchase_ts", "signup_ts", "value")
+  }
+
   /** Streaming exact dedup by CONTENT fingerprint — the ingest-time
     * half of the dedup family (ops.TextDedup.exactDuplicates is the
     * batch half): the first occurrence of a normalized-text md5 wins,

@@ -67,6 +67,29 @@ class EventStreamsSpec extends SparkTestBase {
     assert(n === distinct)
   }
 
+  test("stream-stream attribution join matches the batch join") {
+    val joined = EventStreams.purchaseAttributionJoin(
+      EventStreams.readEvents(spark, eventsDir))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("ss_join")
+
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id"), col("value"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    val want = p.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("interval 2 hours"))
+      .select("event_id", "user_id", "purchase_ts", "signup_ts", "value")
+    assert(got.count() > 0, "join should produce rows on this fixture")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming content dedup drops cross-batch duplicate docs within the watermark") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-stream-docdedup")
