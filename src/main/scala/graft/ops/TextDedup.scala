@@ -437,9 +437,11 @@ object TextDedup {
     * themselves. Plan shape for 100 TB: the cluster frame (one row
     * per CLUSTERED doc — far smaller than the corpus) left-joins the
     * corpus, and the keeper per cluster is one combinable max_by
-    * aggregation — no window, no per-cluster sort; the keepers frame
-    * (≤ one row per cluster) broadcasts back onto the labeled corpus.
-    */
+    * aggregation — no window, no per-cluster sort. The keepers frame
+    * has one row per cluster (singletons included), which is
+    * corpus-order cardinality — so it joins back by shuffle on the
+    * cluster key, NOT a broadcast (AQE may still downgrade to
+    * broadcast when it is actually small). */
   def dedupKeepers(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = docs.select((col("doc_id") + lit(1L)).as("id_b_key"), col("doc_id").as("id_a"))
@@ -457,7 +459,7 @@ object TextDedup {
     val keepers = labeled.groupBy("cluster").agg(
       max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("keeper"),
       count(lit(1)).cast("int").as("cluster_size"))
-    labeled.join(broadcast(keepers), Seq("cluster"))
+    labeled.join(keepers, Seq("cluster"))
       .select(col("doc_id"), col("cluster"), col("cluster_size"),
         (col("doc_id") === col("keeper")).as("keep"))
       .orderBy("doc_id")
