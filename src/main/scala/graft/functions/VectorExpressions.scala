@@ -352,5 +352,11 @@ object VectorFunctions {
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product_i8", exprs => DotProductI8(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs(0), 131L, 1000000007L), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_bigram_count", exprs => TopBigramCount(exprs(0)), "built-in")
   }
 }

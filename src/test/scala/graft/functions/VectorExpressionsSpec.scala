@@ -54,6 +54,16 @@ class VectorExpressionsSpec extends SparkTestBase {
         |FROM emb_v a JOIN emb_v b ON b.vec_id = 0 LIMIT 5""".stripMargin)
     assert(r.count() === 5)
     assert(r.filter(col("c").isNull || col("d").isNull).count() === 0)
+    // the newer expressions are SQL-visible too
+    val r2 = spark.sql(
+      """SELECT top_bigram_count(split('a b a b', ' ')) AS t,
+        |       rolling_hash('abc') AS h,
+        |       dot_product_i8(CAST('ab' AS BINARY), CAST('ab' AS BINARY)) AS d8""".stripMargin)
+      .head()
+    assert(r2.getLong(0) === 2L) // "a b" occurs twice
+    assert(!r2.isNullAt(1))
+    // 'a'=97, 'b'=98 → 97*97 + 98*98
+    assert(r2.getLong(2) === 97L * 97 + 98L * 98)
   }
 
   test("NULL array yields NULL, mismatched lengths use the common prefix") {
