@@ -148,30 +148,61 @@ object Ivf {
       .toDF(idCol, "cluster")
   }
 
+  /** Candidate pairs for stored query ids: probe nProbe cells per
+    * query against the cell assignment — the shared first half of
+    * both rerank tiers below. */
+  private def candidatesOf(emb: DataFrame, model: Model, queryIds: Seq[Long],
+      nProbe: Int, idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assigned = assign(emb, model, idCol, vecCol)
+    val probes = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) => model.nearestN(qv, nProbe).map(c => (qid, c)) }
+      .toDF("query_id", "cluster")
+    assigned.join(broadcast(probes), "cluster")
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol))
+      .distinct()
+  }
+
   /** Approximate top-k for stored query ids: probe nProbe cells,
     * exact-cosine rerank candidates only. */
   def search(emb: DataFrame, model: Model, queryIds: Seq[Long], k: Int,
       nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val assigned = assign(emb, model, idCol, vecCol)
     val queries = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = queries.select(col("query_id"), col("qv"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, qv) => model.nearestN(qv, nProbe).map(c => (qid, c)) }
-      .toDF("query_id", "cluster")
-    val candidates = assigned.join(broadcast(probes), "cluster")
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol))
-      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
-    candidates
+    candidatesOf(emb, model, queryIds, nProbe, idCol, vecCol)
       .join(emb.select(col(idCol), col(vecCol)), idCol)
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col(idCol),
         round(Similarity.cosine(col(vecCol), col("qv")), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** The same IVF probe with an int8 rerank: candidates join the
+    * QUANTIZED corpus (4× smaller — at scale the rerank reads are
+    * the cost), scored by quantized cosine (three exact integer dots
+    * + one divide; see Similarity.quantize). Cell assignment still
+    * uses float centroids — quantization error belongs in the
+    * rerank, not the index geometry. */
+  def searchQuantized(emb: DataFrame, model: Model, queryIds: Seq[Long], k: Int,
+      nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qcorp = Similarity.quantize(emb.select(col(idCol), col(vecCol)), idCol, vecCol)
+    val qq = qcorp.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("qvec").as("q_qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    candidatesOf(emb, model, queryIds, nProbe, idCol, vecCol)
+      .join(qcorp.select(col(idCol), col("qvec")), idCol)
+      .join(broadcast(qq), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(Similarity.quantizedCosine(col("qvec"), col("q_qvec")), 6).as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
@@ -221,7 +252,31 @@ object Ivf {
        |  true AS planted_nn_returned, true AS all_in_exact_top$annIvfRankBound
        |FROM embeddings WHERE vec_id IN (0, 1, 2) ORDER BY query_id""".stripMargin
 
+  /** The end-to-end quantized index gate: float-centroid probe +
+    * int8 rerank, under the same accuracy contract as q62 — the
+    * planted copy sits in the query's first probe cell AND quantizes
+    * to identical bytes (quantized cosine exactly 1.0 at 6 dp), and
+    * every neighbor the int8 ranking returns must be inside the
+    * exact FLOAT top-N (a wider band than q62's: the rank bound also
+    * absorbs quantization reordering). */
+  def annIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val qids = Similarity.annQueryIds
+    val corpus = Similarity.withPlantedQueries(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), qids)
+    val model = train(corpus, k = 16, iters = 5, sampleSize = 500)
+    Similarity.annContract(searchQuantized(corpus, model, qids, k = 10), corpus, qids,
+      rankBound = annIvfQuantizedRankBound)
+  }
+
+  val annIvfQuantizedRankBound = 100
+
+  val annIvfQuantizedSql: String =
+    s"""SELECT vec_id AS query_id, CAST(1.0 AS DOUBLE) AS best_cosine,
+       |  true AS planted_nn_returned, true AS all_in_exact_top$annIvfQuantizedRankBound
+       |FROM embeddings WHERE vec_id IN (0, 1, 2) ORDER BY query_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q62_ann_ivf", annIvf, Some(annIvfSql)),
+    QDef("q107_ann_ivf_i8", annIvfQuantized, Some(annIvfQuantizedSql)),
   )
 }

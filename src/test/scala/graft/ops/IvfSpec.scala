@@ -97,4 +97,20 @@ class IvfSpec extends SparkTestBase {
       .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
     ivf.foreach { case (id, c) => assert(math.abs(c - exact(id)) < 1e-9) }
   }
+
+  test("quantized rerank returns nearly the float rerank's neighbors") {
+    import spark.implicits._
+    val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)
+    val qids = Seq(0L, 7L, 42L)
+    val fl = Ivf.search(emb, model, qids, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val i8 = Ivf.searchQuantized(emb, model, qids, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qids.foreach { q =>
+      val overlap = (fl(q) intersect i8(q)).size
+      assert(overlap >= 8, s"query $q: only $overlap/10 overlap with float rerank")
+    }
+  }
 }
