@@ -455,6 +455,47 @@ object TextAnalysis {
       | (n_words >= 30 AND t2 < 0.125 AND dwf < 0.6) AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- overlapping chunking ----------------------------------------
+  // Split each document into overlapping token windows (size W,
+  // stride S) with token offsets — the chunking primitive RAG
+  // ingestion and long-context training both start from. Entirely
+  // row-local (one explode, no shuffle, no state): each row expands
+  // to ceil(max(n - overlap, 1) / stride) chunks, so the op is
+  // embarrassingly parallel at any corpus size. The last chunk keeps
+  // the tail even when shorter than W.
+  def chunkDocuments(spark: SparkSession, dir: String,
+      window: Int = 40, stride: Int = 30): DataFrame = {
+    require(stride > 0 && window >= stride,
+      "need stride > 0 and window >= stride")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(cast(ceil((size(toks) - $window) / $stride) as int), 0)),
+           |  i -> concat_ws(' ', slice(toks, i * $stride + 1, $window)))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_token"),
+        size(split(col("chunk_text"), " ")).as("chunk_tokens"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkDocumentsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, greatest(CAST(ceil((len(toks) - 40) / 30.0) AS INT), 0) + 1))
+      |      AS chunk_idx,
+      |    toks
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      | CAST(chunk_idx * 30 AS BIGINT) AS start_token,
+      | CAST(len(toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40]) AS INT) AS chunk_tokens,
+      | array_to_string(toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---- collocation mining ------------------------------------------
   // Corpus-level collocation scoring — the phrase-mining /
   // tokenizer-vocabulary primitive: bigrams whose observed frequency
@@ -651,5 +692,6 @@ object TextAnalysis {
     QDef("q93_decontaminate", decontaminate, Some(decontaminateSql)),
     QDef("q96_sequence_packing", packSequences, Some(packSequencesSql)),
     QDef("q105_collocations", collocations, Some(collocationsSql)),
+    QDef("q108_doc_chunking", (s, d) => chunkDocuments(s, d), Some(chunkDocumentsSql)),
   )
 }

@@ -71,6 +71,40 @@ class TextAnalysisSpec extends SparkTestBase {
       s"expected broadcast left-semi probe in plan:\n$plan")
   }
 
+  test("chunking: windows cover each doc exactly, overlap by window - stride") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val out = TextAnalysis.chunkDocuments(spark, sf0001)
+      .select("doc_id", "chunk_idx", "start_token", "chunk_tokens")
+      .as[(Long, Int, Long, Int)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val n = docs(id)
+      val sorted = chunks.sortBy(_._2)
+      // indices contiguous from 0, strides of 30
+      sorted.zipWithIndex.foreach { case ((_, idx, start, _), i) =>
+        assert(idx === i && start === i.toLong * 30, s"doc $id chunk $i")
+      }
+      // every chunk is full-width except possibly the last, which
+      // ends exactly at the doc's last token
+      sorted.init.foreach { case (_, _, _, w) => assert(w === 40, s"doc $id") }
+      val (_, _, lastStart, lastW) = sorted.last
+      assert(lastStart + lastW === n.toLong, s"doc $id tail coverage")
+      // chunk count matches the closed form
+      val want = math.max(math.ceil((n - 40) / 30.0).toInt, 0) + 1
+      assert(sorted.length === want, s"doc $id chunk count")
+    }
+    // no shuffle: the plan is scan -> generate -> project (+ sort for
+    // the deterministic dump order only)
+    val plan = TextAnalysis.chunkDocuments(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle:\n${plan.take(2000)}")
+  }
+
   test("collocations: floor respected, lift positive, global top-k plan") {
     import spark.implicits._
     val df = TextAnalysis.collocations(spark, sf0001)
