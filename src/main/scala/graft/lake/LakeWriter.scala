@@ -188,6 +188,37 @@ object LakeWriter {
       .orderBy("partition")
   }
 
+  /** Cold-partition report from the metrics history: partitions whose
+    * (files, bytes) have not changed across the most recent
+    * `unchangedSnapshots` snapshots — the retention/archival side of
+    * [[compactionCandidates]] (move to cold storage, final
+    * compaction, tighter vacuum). A partition must appear in ALL of
+    * the inspected snapshots to count as cold — one absent from an
+    * older snapshot is newly created, i.e. hot by definition. */
+  def coldPartitions(
+      spark: SparkSession,
+      metricsPath: String,
+      unchangedSnapshots: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(unchangedSnapshots >= 2, "need at least 2 snapshots to call anything cold")
+    val hist = statsHistory(spark, metricsPath)
+    val times = hist.select("observed_at").distinct()
+      .orderBy(col("observed_at").desc).limit(unchangedSnapshots)
+      .collect().map(_.getLong(0))
+    require(times.length >= unchangedSnapshots,
+      s"history has only ${times.length} snapshots, need $unchangedSnapshots")
+    hist.filter(col("observed_at").isin(times.toSeq: _*))
+      .groupBy(col("partition"))
+      .agg(
+        countDistinct(struct(col("files"), col("bytes"))).as("variants"),
+        count(lit(1)).as("snaps"),
+        max(col("files")).as("files"),
+        max(col("bytes")).as("bytes"))
+      .filter(col("variants") === 1 && col("snaps") === unchangedSnapshots)
+      .select(col("partition"), col("files"), col("bytes"))
+      .orderBy("partition")
+  }
+
   /** Stats-driven small-file compaction: rewrite ONLY partitions
     * whose file count exceeds `maxFiles`, leaving every other
     * partition's files untouched (contrast [[compact]], which

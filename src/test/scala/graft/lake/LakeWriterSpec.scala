@@ -135,6 +135,19 @@ class LakeWriterSpec extends SparkTestBase {
       .filter(col("observed_at") === 3000L && col("partition") === "l_returnflag=R")
       .select("files").as[Long].collect()
     assert(nowR.toSeq === Seq(1L))
+
+    // retention side: over the last 2 snapshots (t2, t3) only R
+    // changed — every other partition reports cold
+    val cold = LakeWriter.coldPartitions(spark, metrics, unchangedSnapshots = 2)
+      .select("partition").as[String].collect().toSet
+    val all = LakeWriter.partitionStats(spark, data).map(_.partition).toSet
+    assert(cold === all - "l_returnflag=R")
+    // over all 3 snapshots R changed twice, so still excluded
+    val cold3 = LakeWriter.coldPartitions(spark, metrics, unchangedSnapshots = 3)
+      .select("partition").as[String].collect().toSet
+    assert(cold3 === all - "l_returnflag=R")
+    assertThrows[IllegalArgumentException](
+      LakeWriter.coldPartitions(spark, metrics, unchangedSnapshots = 9))
   }
 
   test("writeObserved computes load metrics during the write pass") {
