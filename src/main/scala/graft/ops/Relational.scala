@@ -2070,14 +2070,18 @@ object Relational {
   // space — a double sum's addend ORDER differs between engines and
   // flips 2dp roundings (the q85 lesson).
   def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val widgetParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget")).select("p_partkey")
+    // restrict BEFORE the cost aggregation: min unit price per
+    // (part, supplier) grouped by partkey is unchanged by dropping
+    // other partkeys' rows, and the part family is selective — the
+    // heaviest shuffle in the query shrinks by the family's share
     val li = Tables.lineitem(spark, dir)
+      .join(widgetParts, col("l_partkey") === col("p_partkey"), "left_semi")
     val cost = li.groupBy(col("l_partkey").as("c_partkey"), col("l_suppkey").as("c_suppkey"))
       .agg(round(min(col("l_extendedprice") / col("l_quantity")) * 10000)
         .cast("long").as("cost_e4"))
-    val widgetParts = Tables.part(spark, dir)
-      .filter(col("p_name").contains("widget")).select("p_partkey")
-    li.join(widgetParts, col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(cost, col("l_partkey") === col("c_partkey") &&
+    li.join(cost, col("l_partkey") === col("c_partkey") &&
         col("l_suppkey") === col("c_suppkey"))
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
