@@ -2206,15 +2206,20 @@ object Relational {
   // scan) broadcasts into an anti-join, which is exactly how Catalyst
   // plans a non-nullable NOT IN.
   def partSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val goodParts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_size").isin(5, 10, 15, 20, 25))
+    // semi-filter the fact by the selective part subset BEFORE the
+    // pair distinct — the distinct is the query's one big shuffle,
+    // and this shrinks its input by the part filter's selectivity
     val pairs = Tables.lineitem(spark, dir)
+      .join(broadcast(goodParts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
     val badSupp = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0).select("s_suppkey")
     pairs
       .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(Tables.part(spark, dir)
-          .filter(col("p_brand") =!= "Brand#13" && col("p_size").isin(5, 10, 15, 20, 25))),
-        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(goodParts), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
