@@ -335,6 +335,111 @@ object EvQueries {
     } finally { gold.unpersist(); () }
   }
 
+  /** Row-level UPDATE through SQL TEXT: the gold fact is registered
+    * and mutated with `UPDATE ... SET ... WHERE`, which the injected
+    * resolution rule routes to SnapshotTable.update — the third
+    * statement of the Iceberg-v2 row-level DML surface (MERGE ev10,
+    * DELETE ev10, UPDATE here; reference jobs/ev_sessions_gold_etl
+    * .py:147-149). The SET expression references the column being
+    * updated, so pre-update-row semantics (not a sequential
+    * reassignment) are part of what the oracle hash-verifies. */
+  def sqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-sqlupd-gate").toString + "/fact"
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      graft.lake.SnapshotTable.append(gold, path, Seq("event_date"))
+      graft.lake.SnapshotCatalog.register("ev11_fact", path)
+      try spark.sql(
+        """UPDATE ev11_fact
+          |SET session_duration_minutes = session_duration_minutes - 1000
+          |WHERE session_duration_minutes > 120""".stripMargin).collect()
+      finally graft.lake.SnapshotCatalog.unregister("ev11_fact")
+      graft.lake.SnapshotTable.read(spark, path)
+        .select("sessionId", "session_duration_minutes")
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val sqlUpdateSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId,
+       |  CASE WHEN session_duration_minutes > 120
+       |       THEN session_duration_minutes - 1000
+       |       ELSE session_duration_minutes END AS session_duration_minutes
+       |FROM gold ORDER BY sessionId""".stripMargin
+
+  /** Change-data feed over the snapshot layer: append (v1), merge a
+    * correction batch (v2), row-level delete (v3), then read
+    * `SnapshotTable.changes(1, 3)` — the incremental-consumption
+    * surface (Iceberg incremental read / Delta CDF) over the same
+    * commits ev09/ev10 verify. Oracle: every delete/insert row of
+    * both commits is independently derivable in SQL from the cleaned
+    * CSV, so the feed's row-level diff semantics (update = delete of
+    * the old values + insert of the new, carried-over rows cancel)
+    * are hash-verified, not just counted. */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc-gate").toString + "/fact"
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      graft.lake.SnapshotTable.append(gold, path, Seq("event_date"))
+      val updates = gold.orderBy("sessionId").limit(3)
+        .withColumn("session_duration_minutes", lit(-1.0))
+      val minDate = gold.select(min(col("event_date"))).head().getDate(0)
+      val inserts = Seq(("merged-new", 42.0))
+        .toDF("sessionId", "session_duration_minutes")
+        .select(col("sessionId"), lit(minDate).as("event_date"),
+          col("session_duration_minutes"))
+      graft.lake.SnapshotTable.merge(updates.unionByName(inserts), path,
+        keyCols = Seq("sessionId"), partitionCols = Seq("event_date"))
+      graft.lake.SnapshotTable.delete(spark, path,
+        col("session_duration_minutes") > 120)
+      graft.lake.SnapshotTable.changes(spark, path, 1L, 3L)
+        .select("sessionId", "session_duration_minutes", "_change_type",
+          "_commit_version")
+        .orderBy("_commit_version", "_change_type", "sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val changeFeedSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |), upd AS (
+       |  SELECT sessionId FROM gold ORDER BY sessionId LIMIT 3
+       |), merged AS (
+       |  SELECT sessionId,
+       |    CASE WHEN sessionId IN (SELECT sessionId FROM upd)
+       |         THEN -1.0 ELSE session_duration_minutes END AS session_duration_minutes
+       |  FROM gold
+       |  UNION ALL SELECT 'merged-new', 42.0
+       |), feed AS (
+       |  -- v2 (merge): updated rows = delete(old) + insert(new); new row inserts
+       |  SELECT sessionId, -1.0 AS session_duration_minutes,
+       |    'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM upd
+       |  UNION ALL SELECT 'merged-new', 42.0, 'insert', CAST(2 AS BIGINT)
+       |  UNION ALL SELECT g.sessionId, g.session_duration_minutes, 'delete', CAST(2 AS BIGINT)
+       |    FROM gold g WHERE g.sessionId IN (SELECT sessionId FROM upd)
+       |  -- v3 (delete): rows over the threshold at the v2 state
+       |  UNION ALL SELECT sessionId, session_duration_minutes, 'delete', CAST(3 AS BIGINT)
+       |    FROM merged WHERE session_duration_minutes > 120
+       |)
+       |SELECT sessionId, session_duration_minutes, _change_type, _commit_version
+       |FROM feed ORDER BY _commit_version, _change_type, sessionId""".stripMargin
+
   private val sqlMergeDeleteSql =
     s"""$prefix,
        |gold AS (
@@ -401,5 +506,7 @@ object EvQueries {
     QDef("ev08_snapshot_versions", snapshotVersions, Some(snapshotVersionsSql)),
     QDef("ev09_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QDef("ev10_sql_merge_delete", sqlMergeDelete, Some(sqlMergeDeleteSql)),
+    QDef("ev11_sql_update", sqlUpdate, Some(sqlUpdateSql)),
+    QDef("ev12_change_feed", changeFeed, Some(changeFeedSql)),
   )
 }

@@ -105,6 +105,26 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
         case None => d
       }
 
+    case up: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+      registeredTarget(up.table) match {
+        case Some((u, path)) =>
+          import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          val assigns = up.assignments.map { a =>
+            val name = a.key match {
+              case ua: UnresolvedAttribute => ua.nameParts.last
+              case at: org.apache.spark.sql.catalyst.expressions.Attribute => at.name
+              case other => throw new UnsupportedOperationException(
+                "snapshot UPDATE SET must assign plain columns, got: " + other.sql)
+            }
+            name -> ColumnBridge.column(a.value)
+          }
+          SnapshotUpdateCommand(u.multipartIdentifier.last, path, assigns,
+            up.condition.map(ColumnBridge.column)
+              .getOrElse(org.apache.spark.sql.functions.lit(true)))
+        case None => up
+      }
+
     case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
       registeredTarget(m.targetTable) match {
         case Some((u, path)) =>

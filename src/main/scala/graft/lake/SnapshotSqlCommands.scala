@@ -67,6 +67,20 @@ case class SnapshotMergeCommand(table: String, path: String,
   }
 }
 
+/** `UPDATE <registered> SET c = e, ... WHERE p` →
+  * [[SnapshotTable.update]]. */
+case class SnapshotUpdateCommand(table: String, path: String,
+    assignments: Seq[(String, org.apache.spark.sql.Column)],
+    condition: org.apache.spark.sql.Column) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.update(spark, path, assignments, condition,
+      sqlAlias = Some(table))))
+}
+
 /** `DELETE FROM <registered> WHERE p` → [[SnapshotTable.delete]]. */
 case class SnapshotDeleteCommand(table: String, path: String,
     condition: org.apache.spark.sql.Column) extends LeafRunnableCommand {

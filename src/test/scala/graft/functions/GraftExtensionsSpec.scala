@@ -127,4 +127,47 @@ class GraftExtensionsSpec extends SparkTestBase {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("SQL UPDATE routes to the snapshot table with pre-update-row semantics") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-upd-test")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft-sql-upd").toString + "/t"
+      graft.lake.SnapshotTable.append(
+        Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0), (3L, 30.0, 300.0))
+          .toDF("k", "a", "b"), path)
+      graft.lake.SnapshotCatalog.register("snap_upd", path)
+      try {
+        // both SET expressions see the PRE-update row: a=b, b=a swaps
+        val v1 = s2.sql(
+          "UPDATE snap_upd SET a = b, b = a WHERE snap_upd.k <= 2").head().getLong(0)
+        assert(v1 === 2L)
+        assert(s2.sql("SELECT k, a, b FROM snap_upd ORDER BY k")
+          .as[(Long, Double, Double)].collect().toSeq
+          === Seq((1L, 100.0, 10.0), (2L, 200.0, 20.0), (3L, 30.0, 300.0)))
+        // no-match UPDATE commits nothing, reports the current version
+        assert(s2.sql("UPDATE snap_upd SET a = 0.0 WHERE k = 999").head().getLong(0) === 2L)
+        // time travel still serves the pre-update state
+        assert(s2.sql("SELECT a FROM snap_upd VERSION AS OF 1 WHERE k = 1")
+          .head().getDouble(0) === 10.0)
+        // unknown SET column fails loudly
+        val e = intercept[Exception](
+          s2.sql("UPDATE snap_upd SET nope = 1 WHERE k = 1").collect())
+        assert(e.getMessage.contains("not in the table"))
+      } finally graft.lake.SnapshotCatalog.unregister("snap_upd")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

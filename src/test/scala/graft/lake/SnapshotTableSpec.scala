@@ -381,4 +381,77 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(latest.schema.fieldNames.contains("event_date"))
     assert(SnapshotTable.versions(spark, path) === Seq(1L, 2L, 3L))
   }
+
+  test("update rewrites only matching files; SET sees pre-update values; NULL predicate keeps rows") {
+    val path = Files.createTempDirectory("graft-snap-upd").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), path, Seq("event_date"))
+    val v = SnapshotTable.update(spark, path,
+      Seq("v" -> (col("v") + 1000)), col("event_date") === "2024-01-02")
+    assert(v === 2L)
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.filter(col("event_date") === "2024-01-02")
+      .agg(min(col("v"))).as[Double].head() === 1000.0)
+    assert(latest.filter(col("event_date") === "2024-01-01")
+      .agg(max(col("v"))).as[Double].head() === 40.0)
+    // exact-minimal rewrite: the untouched date's file carries over
+    val before = SnapshotTable.liveFiles(spark, path, Some(1L)).toSet
+    val after = SnapshotTable.liveFiles(spark, path, Some(2L)).toSet
+    assert(before.intersect(after).nonEmpty, "untouched file should carry over by reference")
+    // time travel serves the pre-update state
+    assert(SnapshotTable.read(spark, path, Some(1L))
+      .agg(max(col("v"))).as[Double].head() === 40.0)
+    // no-match update commits nothing
+    assert(SnapshotTable.update(spark, path,
+      Seq("v" -> lit(0.0)), col("event_date") === "2031-01-01") === 2L)
+
+    // simultaneous assignment + NULL-predicate row retention
+    val p2 = Files.createTempDirectory("graft-snap-upd2").toString + "/t"
+    SnapshotTable.append(
+      Seq((1L, Some(1.0), 10.0), (2L, None, 20.0)).toDF("k", "x", "y"), p2)
+    SnapshotTable.update(spark, p2,
+      Seq("x" -> col("y"), "y" -> col("x")), col("x") > 0) // NULL for k=2
+    val rows = SnapshotTable.read(spark, p2).orderBy("k")
+      .select("x", "y").collect()
+    assert(rows(0).getDouble(0) === 10.0 && rows(0).getDouble(1) === 1.0) // swapped
+    assert(rows(1).isNullAt(0) && rows(1).getDouble(1) === 20.0)          // untouched
+  }
+
+  test("changes feeds per-commit row-level diffs; compaction contributes none") {
+    val path = Files.createTempDirectory("graft-snap-cdc").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    SnapshotTable.append(mkRows("b", Seq("2024-01-02")), path, Seq("event_date")) // v2
+    SnapshotTable.delete(spark, path, col("v") === 40.0)                          // v3
+    SnapshotTable.merge(Seq(("a-0-0", "2024-01-01", 999.0)).toDF("id", "event_date", "v"),
+      path, Seq("id"))                                                            // v4
+    SnapshotTable.compact(spark, path, numFiles = 1)                              // v5
+
+    // v2: the appended rows surface as inserts, nothing deleted
+    val c12 = SnapshotTable.changes(spark, path, 1L, 2L)
+    assert(c12.filter(col("_change_type") === "insert").count() === 5)
+    assert(c12.filter(col("_change_type") === "delete").count() === 0)
+    assert(c12.select("_commit_version").distinct().as[Long].collect().toSeq === Seq(2L))
+
+    // v3: exactly the two v=40 rows deleted (one per date), no inserts
+    val c23 = SnapshotTable.changes(spark, path, 2L, 3L)
+    assert(c23.filter(col("_change_type") === "delete")
+      .select("id").as[String].collect().sorted.toSeq === Seq("a-0-4", "b-0-4"))
+    assert(c23.filter(col("_change_type") === "insert").count() === 0)
+
+    // v4: an update is delete(old) + insert(new); carried-over rows cancel
+    val c34 = SnapshotTable.changes(spark, path, 3L, 4L).orderBy("_change_type")
+      .select("id", "v", "_change_type").as[(String, Double, String)].collect().toSeq
+    assert(c34 === Seq(("a-0-0", 0.0, "delete"), ("a-0-0", 999.0, "insert")))
+
+    // v5 (compaction): full rewrite, zero net changes
+    assert(SnapshotTable.changes(spark, path, 4L, 5L).count() === 0)
+
+    // bootstrap from version 0 covers the initial commit; empty range is empty
+    assert(SnapshotTable.changes(spark, path, 0L, 1L)
+      .filter(col("_change_type") === "insert").count() === 5)
+    assert(SnapshotTable.changes(spark, path, 3L, 3L).count() === 0)
+
+    // the whole range composes the same multiset as replaying each step
+    val all = SnapshotTable.changes(spark, path, 0L, 5L)
+    assert(all.count() === 5 + 5 + 2 + 2 + 0)
+  }
 }
