@@ -304,16 +304,22 @@ case class TopBigramCount(child: Expression)
       val cur = ctx.freshName("cur")
       val key = ctx.freshName("key")
       val c = ctx.freshName("c")
+      val o = ctx.freshName("o")
+      // Janino cannot compile method references (Long::sum) or rely on
+      // autoboxing — raw HashMap + explicit get/put/valueOf keeps this
+      // inside whole-stage codegen instead of silently falling back
       s"""
          |int $n = $arr.numElements();
          |long $max = 0L;
          |if ($n >= 2) {
-         |  java.util.HashMap<String, Long> $counts = new java.util.HashMap<String, Long>();
+         |  java.util.HashMap $counts = new java.util.HashMap();
          |  String $prev = String.valueOf($arr.getUTF8String(0));
          |  for (int $i = 1; $i < $n; $i++) {
          |    String $cur = String.valueOf($arr.getUTF8String($i));
          |    String $key = $prev + " " + $cur;
-         |    Long $c = $counts.merge($key, 1L, Long::sum);
+         |    Object $o = $counts.get($key);
+         |    long $c = ($o == null) ? 1L : ((java.lang.Long) $o).longValue() + 1L;
+         |    $counts.put($key, java.lang.Long.valueOf($c));
          |    if ($c > $max) $max = $c;
          |    $prev = $cur;
          |  }

@@ -506,6 +506,66 @@ object TextDedup {
       |  l.doc_id = k.keeper AS keep
       |FROM lab l JOIN k USING (cluster) ORDER BY l.doc_id""".stripMargin
 
+  /** C4-style line-level exact dedup generalized to unpunctuated
+    * corpora: the document is cut row-locally into consecutive
+    * `wordsPerSegment`-word segments (a corpus with real line breaks
+    * would segment on those instead), then each distinct segment
+    * string survives ONLY at its first occurrence — the minimum
+    * (id, position) across the whole corpus — and every other copy is
+    * dropped; documents are finally reassembled in original segment
+    * order. Plan shape at 100 TB: segmentation is a pure projection
+    * (no shuffle); the keeper choice is one hash-groupBy on the
+    * segment with a map-side-combinable min(struct(id, pos)); the
+    * membership test is an equi-join back on the segment (Spark
+    * shuffles on the key's hash, so hot segments spread normally and
+    * AQE skew-split covers pathological ones); reassembly is one
+    * groupBy(id) with an order-restoring array_sort. Three shuffles
+    * total — no corpus-wide window, no driver collection. */
+  def dedupSegments(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", wordsPerSegment: Int = 15): DataFrame = {
+    val n = wordsPerSegment
+    require(n > 0, "wordsPerSegment must be positive")
+    val segs = docs.select(col(idCol).as("id"),
+      posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(split($textCol, ' ')) / $n.0) as int) - 1), " +
+          s"i -> array_join(slice(split($textCol, ' '), i * $n + 1, $n), ' '))"))
+        .as(Seq("seg_pos", "segment")))
+    val keepers = segs.groupBy("segment")
+      .agg(min(struct(col("id"), col("seg_pos"))).as("keeper"))
+    segs.join(keepers, "segment")
+      .filter(col("keeper.id") === col("id") && col("keeper.seg_pos") === col("seg_pos"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("kept_segments"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_pos"), col("segment")))),
+            s => s.getField("segment")), " ").as("dedup_text"))
+  }
+
+  def dedupLines(spark: SparkSession, dir: String): DataFrame =
+    dedupSegments(Tables.documents(spark, dir))
+      .select(col("id").as("doc_id"), col("kept_segments"), col("dedup_text"))
+      .orderBy("doc_id")
+
+  val dedupLinesSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), segs AS (
+      |  SELECT doc_id, CAST(s.i AS BIGINT) - 1 AS seg_pos,
+      |    array_to_string(ws[(s.i - 1) * 15 + 1 : s.i * 15], ' ') AS segment
+      |  FROM w, LATERAL (SELECT unnest(generate_series(
+      |    1, CAST(ceil(len(ws) / 15.0) AS BIGINT))) AS i) s
+      |), ranked AS (
+      |  SELECT doc_id, seg_pos, segment,
+      |    row_number() OVER (PARTITION BY segment
+      |                       ORDER BY doc_id, seg_pos) AS rn
+      |  FROM segs
+      |)
+      |SELECT doc_id, count(*) AS kept_segments,
+      |  string_agg(segment, ' ' ORDER BY seg_pos) AS dedup_text
+      |FROM ranked WHERE rn = 1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q28_dedup_exact", dedupExact, Some(dedupExactSql)),
     QDef("q30_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
@@ -513,5 +573,6 @@ object TextDedup {
     QDef("q36_simhash", simhashReorderDups, Some(simhashReorderDupsSql)),
     QDef("q81_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QDef("q97_dedup_keeper", dedupKeepers, Some(dedupKeepersSql)),
+    QDef("q109_dedup_lines", dedupLines, Some(dedupLinesSql)),
   )
 }

@@ -43,6 +43,8 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(wsc.nonEmpty, s"no WholeStageCodegenExec in:\n$plan")
     // and the projection with our expression lives inside it
     assert(wsc.exists(_.toString.contains("cosine_similarity")))
+    // the generated source must actually compile under Janino
+    org.apache.spark.sql.graftbridge.CodegenBridge.compileWholeStage(plan)
   }
 
   test("SQL registration exposes the functions") {
@@ -135,10 +137,8 @@ class VectorExpressionsSpec extends SparkTestBase {
     val plan = graft.ops.Similarity.quantize(emb)
       .select(VectorFunctions.dot_product_i8(col("qvec"), col("qvec")).as("nq"))
       .queryExecution.executedPlan
-    val wsc = plan.collect {
-      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-    }
-    assert(wsc.nonEmpty, s"no WholeStageCodegenExec in:\n$plan")
+    val compiled = org.apache.spark.sql.graftbridge.CodegenBridge.compileWholeStage(plan)
+    assert(compiled > 0, s"no WholeStageCodegenExec in:\n$plan")
   }
 
   test("top_bigram_count stays inside whole-stage codegen") {
@@ -146,10 +146,11 @@ class VectorExpressionsSpec extends SparkTestBase {
     val plan = docs
       .select(VectorFunctions.top_bigram_count(split(col("text"), " ")).as("c"))
       .queryExecution.executedPlan
-    val wsc = plan.collect {
-      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-    }
-    assert(wsc.nonEmpty, s"no WholeStageCodegenExec in:\n$plan")
+    // force-compile the generated source: a Janino-incompatible
+    // construct otherwise falls back to interpreted execution with
+    // only a WARN (this caught a Long::sum method reference)
+    val compiled = org.apache.spark.sql.graftbridge.CodegenBridge.compileWholeStage(plan)
+    assert(compiled > 0, s"no WholeStageCodegenExec in:\n$plan")
   }
 
   test("native expression is faster than the HOF fold on repeated evaluation") {

@@ -124,6 +124,29 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("segment dedup keeps each segment at its first (id, pos) occurrence only") {
+    import spark.implicits._
+    // 4-word segments; "a b c d" appears in doc 1 (pos 0), doc 1 again
+    // (pos 1), and doc 2 (pos 0) — only the first survives, both
+    // within-doc and cross-doc. Doc 3 opens with "e f g h", which doc
+    // 1 already owns at pos 2, so only its trailing partial segment
+    // survives. Unique segments elsewhere are untouched.
+    val docs = Seq(
+      (1L, "a b c d a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "e f g h tail"),
+      (4L, "solo words only here")).toDF("doc_id", "text")
+    val out = TextDedup.dedupSegments(docs, wordsPerSegment = 4)
+      .orderBy("id")
+      .select("id", "kept_segments", "dedup_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, "a b c d e f g h"),   // duplicate middle segment dropped
+      (2L, 1L, "x y z w"),           // cross-doc duplicate dropped
+      (3L, 1L, "tail"),              // "e f g h" already kept in doc 1
+      (4L, 1L, "solo words only here")))
+  }
+
   test("simhash is deterministic") {
     val a = TextDedup.simhash64(Seq("spark", "join", "merge"))
     val b = TextDedup.simhash64(Seq("spark", "join", "merge"))
