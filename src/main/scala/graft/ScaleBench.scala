@@ -107,6 +107,12 @@ object ScaleBench {
         // so no single-task source history no matter the cardinality
         noop(graft.ops.TextAnalysis.runningTokenTotals(docs))
       },
+      timed("segment_dedup")   {
+        // corpus-wide first-occurrence segment dedup at 1M docs:
+        // row-local segmentation + one combinable min-keeper agg +
+        // equi-join membership + ordered reassembly (three shuffles)
+        noop(graft.ops.TextDedup.dedupSegments(docs))
+      },
       timed("seq_packing")     {
         // global packing layout at 1M docs — one token stream cut
         // into 2048-token training sequences without a global window

@@ -512,15 +512,19 @@ object TextAnalysis {
   // checkpointed bigram aggregate as a driver scalar.
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir).select(tokens(col("text")).as("toks"))
+    // total bigram count directly from the token counts — one cheap
+    // scan instead of materializing the bigram aggregate twice (the
+    // previous eager localCheckpoint held the whole aggregate in
+    // executor memory for the rest of a bench suite)
+    val nRow = toks.agg(sum(when(size(col("toks")) >= 2,
+      (size(col("toks")) - 1).cast("long")).otherwise(lit(0L)))).head()
+    require(!nRow.isNullAt(0), "collocations: no documents in " + dir)
+    val n = nRow.getLong(0)
     val bi = toks.filter(size(col("toks")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
         .as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(true)
-    val nRow = bi.agg(sum(col("c12"))).head()
-    require(!nRow.isNullAt(0), "collocations: no bigrams in " + dir)
-    val n = nRow.getLong(0)
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val u1 = uni.select(col("w").as("w1"), col("c").as("c1"))
