@@ -121,7 +121,8 @@ object SnapshotTable {
     * opted in. Content is fully written to the tmp file first, so a
     * reader can never observe a partial manifest. */
   private def publishManifest(spark: SparkSession, path: String, version: Long,
-      entries: Seq[Entry], schema: Option[StructType] = None): Boolean = {
+      entries: Seq[Entry], schema: Option[StructType] = None,
+      op: Option[String] = None): Boolean = {
     val f = fs(spark, path)
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
     require(!nonAtomicSchemes.contains(scheme)
@@ -133,7 +134,8 @@ object SnapshotTable {
     f.mkdirs(new Path(logDir(path)))
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
-    val header = schema.map(s => s"#schema=${s.json}\n").getOrElse("")
+    val header = schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
+      op.map(o => s"#op=$o\n").getOrElse("")
     try out.write((header + entries.map { e =>
       val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
       val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
@@ -195,7 +197,7 @@ object SnapshotTable {
     */
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
       carryOver: Seq[Entry] => Seq[Entry], maxAttempts: Int = 20,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, op: String = "append"): Long = {
     val spark = df.sparkSession
     val commitDir = s"$path/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
     val w = df.write.mode("errorifexists").option("compression", "zstd")
@@ -232,7 +234,8 @@ object SnapshotTable {
       // columns merge in, a type change on a shared column is drift
       // and fails loudly before any manifest is published
       val merged = mergeSchemas(prevSchema, df.schema, path)
-      if (publishManifest(spark, path, version, carryOver(previous) ++ added, Some(merged)))
+      if (publishManifest(spark, path, version, carryOver(previous) ++ added,
+          Some(merged), Some(op)))
         return version
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
@@ -327,6 +330,43 @@ object SnapshotTable {
     else read(spark, path, Some(v)).count()
   }
 
+  /** Operation that produced `version` (`#op=` manifest header);
+    * None for manifests written before operation recording. */
+  def opOf(spark: SparkSession, path: String, version: Long): Option[String] = {
+    val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    content.split("\n").find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
+  }
+
+  /** Commit history of the table, newest first — the DESCRIBE HISTORY
+    * surface: one row per version with the operation that produced it
+    * (append / append_clustered / append_zordered /
+    * overwrite_partitions / merge / delete / update / compact; NULL
+    * for pre-recording manifests), the manifest publish timestamp,
+    * and metadata-only file/row counts (row count NULL if any live
+    * file predates footer counting). Pure driver-side manifest reads
+    * — no data scan, any history length. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val f = fs(spark, path)
+    val rows: Seq[Row] = versions(spark, path).sorted.reverse.map { v =>
+      val entries = readManifest(spark, path, v)
+      val ts = new java.sql.Timestamp(
+        f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime)
+      val nRows: java.lang.Long =
+        if (entries.forall(_.rows >= 0)) Long.box(entries.map(_.rows).sum) else null
+      Row(v, opOf(spark, path, v).orNull, ts, entries.size, nRows)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType),
+      StructField("published_at", TimestampType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_rows", LongType)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Append with the data RANGE-CLUSTERED on `clusterCol` into
     * `numFiles` files, recording each file's (min, max) in the
     * manifest. Clustering makes the per-file ranges disjoint, which is
@@ -337,7 +377,8 @@ object SnapshotTable {
     val clustered = df
       .repartitionByRange(numFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
-    commit(clustered, path, Nil, identity, statsCols = Seq(clusterCol))
+    commit(clustered, path, Nil, identity, statsCols = Seq(clusterCol),
+      op = "append_clustered")
   }
 
   /** Bits per dimension for the z-curve: capped at 16 and bounded so
@@ -391,7 +432,8 @@ object SnapshotTable {
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-    commit(clustered, path, Nil, identity, statsCols = clusterCols)
+    commit(clustered, path, Nil, identity, statsCols = clusterCols,
+      op = "append_zordered")
   }
 
   /** Range read with file-level data skipping: only files whose
@@ -435,7 +477,7 @@ object SnapshotTable {
     * a string `event_date` into DateType and trip the drift gate on
     * the next rewrite commit); pre-schema manifests fall back to
     * mergeSchema + inference. */
-  private def readGroups(spark: SparkSession, entries: Seq[Entry],
+  private[lake] def readGroups(spark: SparkSession, entries: Seq[Entry],
       schema: Option[StructType]): DataFrame =
     entries.groupBy(_.commitDir).map { case (dir, es) =>
       val base = spark.read.option("basePath", dir)
@@ -468,7 +510,8 @@ object SnapshotTable {
         }.mkString("/")
       }.toSet
     commit(df, path, partitionCols,
-      prev => prev.filterNot(e => touched.exists(t => e.filePath.contains(s"/$t/"))))
+      prev => prev.filterNot(e => touched.exists(t => e.filePath.contains(s"/$t/"))),
+      op = "overwrite_partitions")
   }
 
   /** Row-level MERGE (upsert): a source row whose `keyCols` match an
@@ -505,7 +548,7 @@ object SnapshotTable {
         "each target row may be updated by at most one source row")
     val base = latestVersion(spark, path) match {
       case None    => return commit(source, path, partitionCols, identity,
-                        statsCols = keyCols)
+                        statsCols = keyCols, op = "merge")
       case Some(v) => v
     }
     val entries = readManifest(spark, path, base)
@@ -560,7 +603,7 @@ object SnapshotTable {
       require(prev.map(_.filePath).toSet == baseFiles,
         s"concurrent commit advanced $path during merge — rerun the merge")
       prev.filterNot(e => rewrite(e.filePath))
-    }, statsCols = statsOut)
+    }, statsCols = statsOut, op = "merge")
   }
 
   /** Row-level DELETE: remove the rows matching `predicate` by
@@ -609,7 +652,7 @@ object SnapshotTable {
       require(prev.map(_.filePath).toSet == baseFiles,
         s"concurrent commit advanced $path during delete — rerun the delete")
       prev.filterNot(e => rewriteSet(e.filePath))
-    }, statsCols = statsOut)
+    }, statsCols = statsOut, op = "delete")
   }
 
   /** Row-level UPDATE: apply `assignments` (column → new-value
@@ -667,7 +710,7 @@ object SnapshotTable {
       require(prev.map(_.filePath).toSet == baseFiles,
         s"concurrent commit advanced $path during update — rerun the update")
       prev.filterNot(e => rewriteSet(e.filePath))
-    }, statsCols = statsOut)
+    }, statsCols = statsOut, op = "update")
   }
 
   /** Maintenance compaction: rewrite the CURRENT table state into
@@ -707,7 +750,7 @@ object SnapshotTable {
       require(prev.map(_.filePath).toSet == baseFiles,
         s"concurrent commit advanced $path during compaction — rerun")
       Nil
-    }, statsCols = statsOut)
+    }, statsCols = statsOut, op = "compact")
   }
 
   /** Expire history: keep only the latest `keepVersions` manifests

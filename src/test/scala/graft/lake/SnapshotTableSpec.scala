@@ -382,6 +382,27 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.versions(spark, path) === Seq(1L, 2L, 3L))
   }
 
+  test("history reports one row per version with operation, files, and metadata-only rows") {
+    val path = Files.createTempDirectory("graft-snap-hist").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    SnapshotTable.merge(Seq(("a-0-0", "2024-01-01", 1.0)).toDF("id", "event_date", "v"),
+      path, Seq("id"))
+    SnapshotTable.delete(spark, path, col("v") === 40.0)
+    SnapshotTable.update(spark, path, Seq("v" -> lit(7.0)), col("v") === 10.0)
+    SnapshotTable.compact(spark, path, numFiles = 1)
+    val h = SnapshotTable.history(spark, path)
+      .select("version", "operation", "n_rows").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(5L, 4L, 3L, 2L, 1L)) // newest first
+    assert(h.map(_.getString(1)).toSeq
+      === Seq("compact", "update", "delete", "merge", "append"))
+    assert(h.map(_.getLong(2)).toSeq === Seq(4L, 4L, 4L, 5L, 5L))
+    // timestamps are monotone non-decreasing in version order
+    val ts = SnapshotTable.history(spark, path)
+      .orderBy("version").select("published_at")
+      .collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(ts === ts.sorted)
+  }
+
   test("update rewrites only matching files; SET sees pre-update values; NULL predicate keeps rows") {
     val path = Files.createTempDirectory("graft-snap-upd").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), path, Seq("event_date"))
