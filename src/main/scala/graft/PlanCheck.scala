@@ -23,12 +23,35 @@ object PlanCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q01_tpch_q1", "q02_scan_projection", "q04_broadcast_join",
-        "q05_join_agg_topk", "q09_range_join_bands", "q18_topk")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    if (args.headOption.contains("--codegen-sweep")) {
+      // force-compile every query's WholeStageCodegen sources with
+      // Janino: an incompatible construct otherwise only WARNs at run
+      // time and silently degrades to interpreted execution (this is
+      // how the TopBigramCount Long::sum fallback was caught). ev*
+      // queries execute side-effecting snapshot commits during plan
+      // construction — the gate runs them; skip here.
+      graft.functions.VectorFunctions.register(spark)
+      var bad = 0
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(_._1.startsWith("ev")).foreach { case (n, fn) =>
+          try {
+            val plan = fn(spark, dir).queryExecution.executedPlan
+            val stages = org.apache.spark.sql.graftbridge.CodegenBridge.compileWholeStage(plan)
+            println(s"[codegen] $n: $stages stage(s) compiled")
+          } catch { case e: Throwable =>
+            bad += 1
+            println(s"[codegen] $n FAILED: ${e.getMessage.take(300)}")
+          }
+        }
+      println(s"[codegen] sweep done, $bad failure(s)")
+    } else {
+      val names = if (args.nonEmpty) args.toSeq
+        else Seq("q01_tpch_q1", "q02_scan_projection", "q04_broadcast_join",
+          "q05_join_agg_topk", "q09_range_join_bands", "q18_topk")
+      names.foreach { n =>
+        println(s"\n========== $n ==========")
+        SparkEntry.queries(n)(spark, dir).explain("formatted")
+      }
     }
     spark.stop()
   }
