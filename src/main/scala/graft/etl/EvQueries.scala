@@ -440,6 +440,48 @@ object EvQueries {
        |SELECT sessionId, session_duration_minutes, _change_type, _commit_version
        |FROM feed ORDER BY _commit_version, _change_type, sessionId""".stripMargin
 
+  /** Incremental consumption through the offset-checkpointed reader:
+    * the gold fact lands in two append commits (the 20 lowest
+    * sessionIds, then the rest), and SnapshotIncremental.processNew
+    * is called after each — so batch 1 must see exactly the first
+    * commit's rows and batch 2 ONLY the second's (never a rescan).
+    * Oracle: both batch row counts and version ranges are derived
+    * from the same cleaned CSV in SQL, so the exactly-once range
+    * accounting is hash-verified. */
+  def incrementalFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-gate").toString
+    val path = base + "/fact"
+    val ckpt = base + "/ckpt"
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      val first = gold.orderBy("sessionId").limit(20)
+      val rest = gold.join(first.select("sessionId"), Seq("sessionId"), "left_anti")
+      var batches = Seq.empty[(Long, Long, Long, Long)]
+      def consume(batch: Long): Unit =
+        graft.lake.SnapshotIncremental.processNew(spark, path, ckpt) { (df, from, to) =>
+          batches :+= ((batch, from, to, df.count()))
+        }
+      graft.lake.SnapshotTable.append(first, path, Seq("event_date"))
+      consume(1L)
+      graft.lake.SnapshotTable.append(rest, path, Seq("event_date"))
+      consume(2L)
+      batches.toDF("batch", "from_version", "to_version", "n_rows")
+        .orderBy("batch")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val incrementalFeedSql =
+    s"""$prefix,
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM marked WHERE NOT is_bad)
+       |SELECT CAST(1 AS BIGINT) AS batch, CAST(1 AS BIGINT) AS from_version,
+       |  CAST(1 AS BIGINT) AS to_version, CAST(20 AS BIGINT) AS n_rows FROM n
+       |UNION ALL SELECT 2, 2, 2, total - 20 FROM n
+       |ORDER BY batch""".stripMargin
+
   private val sqlMergeDeleteSql =
     s"""$prefix,
        |gold AS (
@@ -508,5 +550,6 @@ object EvQueries {
     QDef("ev10_sql_merge_delete", sqlMergeDelete, Some(sqlMergeDeleteSql)),
     QDef("ev11_sql_update", sqlUpdate, Some(sqlUpdateSql)),
     QDef("ev12_change_feed", changeFeed, Some(changeFeedSql)),
+    QDef("ev13_incremental_read", incrementalFeed, Some(incrementalFeedSql)),
   )
 }
