@@ -24,6 +24,9 @@ import graft.etl.{EvPipeline, GoldConfig, SilverConfig}
   *                                    # snapshot-table compaction (new version,
   *                                    # readers undisturbed; vacuum reclaims)
   *   sbt "runMain graft.EvJob vacuum <tablePath> [keepVersions]"
+  *   sbt "runMain graft.EvJob history <tablePath>"     # DESCRIBE HISTORY
+  *   sbt "runMain graft.EvJob changes <tablePath> <fromV> <toV>"
+  *                                    # change-data feed between versions
   */
 object EvJob {
   def main(args: Array[String]): Unit = {
@@ -91,6 +94,15 @@ object EvJob {
           val keep = if (args.length > 2) args(2).toInt else 1
           graft.lake.SnapshotTable.vacuum(spark, args(1), keep)
           println(s"[vacuum] kept last $keep versions of ${args(1)}")
+        case "history" =>
+          graft.lake.SnapshotTable.history(spark, args(1)).collect().foreach { r =>
+            println(f"[history] v=${r.getLong(0)}%-4d op=${Option(r.getString(1)).getOrElse("?")}%-22s " +
+              f"at=${r.getTimestamp(2)} files=${r.getInt(3)}%-4d rows=${if (r.isNullAt(4)) "?" else r.getLong(4).toString}")
+          }
+        case "changes" =>
+          val feed = graft.lake.SnapshotTable.changes(
+            spark, args(1), args(2).toLong, args(3).toLong)
+          feed.orderBy("_commit_version", "_change_type").show(100, truncate = false)
         case other => throw new IllegalArgumentException(s"unknown job: $other")
       }
     } finally spark.stop()
