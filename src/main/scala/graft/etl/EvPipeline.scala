@@ -100,6 +100,46 @@ object EvPipeline {
     (v, graft.lake.SnapshotTable.read(spark, tablePath).count())
   }
 
+  /** Incremental gold job: silver lives in a SNAPSHOT table and gold
+    * advances by consuming only the silver commits it has not seen —
+    * the scalable form of the reference's per-run gold rebuild
+    * (jobs/ev_sessions_gold_etl.py re-derives whole event_date
+    * partitions each run; at 100 TB a load that re-reads the full
+    * silver layer per run is the bottleneck, so this reads O(new
+    * commits) instead). Each batch derives the gold features for the
+    * NEW silver rows only and row-level-MERGEs them into the gold
+    * snapshot keyed by sessionId. The SnapshotIncremental offset
+    * advances only after the merge commits, and re-merging a replayed
+    * batch converges — so a crash anywhere replays to the same gold
+    * state (the same idempotency contract as remergeRepaired).
+    * Returns (consumedRange, goldVersion, goldRows); None range when
+    * nothing new. */
+  def runGoldIncremental(spark: SparkSession, silverTablePath: String,
+      goldTablePath: String, checkpointDir: String): (Option[(Long, Long)], Long, Long) = {
+    val range = graft.lake.SnapshotIncremental.processNew(
+      spark, silverTablePath, checkpointDir) { (newSilver, _, _) =>
+      // a batch may carry several versions of one session (the fixture
+      // plants a duplicated sessionId; real feeds redeliver) — MERGE
+      // requires unique keys, so keep the latest observation per key
+      // (created desc, ended desc — the CDC upsert norm, deterministic
+      // because (sessionId, created, ended) identifies a reading)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number}
+      val w = Window.partitionBy("sessionId")
+        .orderBy(col("created").desc, col("ended").desc)
+      val latest = newSilver
+        .select(GoldFeatures.silverProjection.map(silver_col): _*)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      graft.lake.SnapshotTable.merge(GoldFeatures.derive(latest), goldTablePath,
+        keyCols = Seq("sessionId"), partitionCols = Seq("event_date"))
+      ()
+    }
+    val v = graft.lake.SnapshotTable.latestVersion(spark, goldTablePath).getOrElse(0L)
+    val rows = if (v == 0L) 0L else graft.lake.SnapshotTable.count(spark, goldTablePath)
+    (range, v, rows)
+  }
+
   /** Quarantine repair-and-remerge (SURVEY.md §2.7: re-merging
     * repaired quarantine rows is the natural lakehouse flow the
     * reference leaves manual). `repair` is a caller-provided

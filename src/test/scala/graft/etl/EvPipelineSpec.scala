@@ -179,6 +179,64 @@ class EvPipelineSpec extends SparkTestBase {
     assert(n3 === 37L)
   }
 
+  test("incremental gold consumes only new silver commits and replays a crashed batch") {
+    val base = Files.createTempDirectory("graft-gold-inc").toString
+    EvPipeline.runSilver(spark,
+      SilverConfig(fixture, s"$base/silver", s"$base/quarantine"))
+    // silver as a SNAPSHOT table, loaded in two append commits
+    val silverAll = spark.read.parquet(s"$base/silver")
+    val first = silverAll.orderBy("sessionId").limit(20)
+    val rest = silverAll.join(first.select("sessionId"), Seq("sessionId"), "left_anti")
+    val silverTable = s"$base/silver_snap"
+    val gold = s"$base/gold_fact"
+    val ckpt = s"$base/ckpt"
+    graft.lake.SnapshotTable.append(first, silverTable, Seq("event_date"))
+
+    // the fixture plants a duplicated sessionId, so gold cardinality
+    // is DISTINCT keys, not silver row counts
+    val distinctFirst = first.select("sessionId").distinct().count()
+    val distinctAll = silverAll.select("sessionId").distinct().count()
+    assert(distinctAll < silverAll.count()) // the dup is really there
+
+    val (r1, gv1, rows1) = EvPipeline.runGoldIncremental(spark, silverTable, gold, ckpt)
+    assert(r1 === Some((1L, 1L)) && gv1 === 1L && rows1 === distinctFirst)
+
+    // nothing new → no gold commit
+    val (r2, gv2, rows2) = EvPipeline.runGoldIncremental(spark, silverTable, gold, ckpt)
+    assert(r2 === None && gv2 === 1L && rows2 === distinctFirst)
+
+    graft.lake.SnapshotTable.append(rest, silverTable, Seq("event_date"))
+    val (r3, gv3, rows3) = EvPipeline.runGoldIncremental(spark, silverTable, gold, ckpt)
+    assert(r3 === Some((2L, 2L)) && gv3 === 2L && rows3 === distinctAll)
+    // gold features match a full-rebuild derivation under the same
+    // latest-observation-wins dedup rule
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sessionId").orderBy(col("created").desc, col("ended").desc)
+    val expect = GoldFeatures.derive(
+      silverAll.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn"))
+      .select("sessionId", "session_duration_minutes")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = graft.lake.SnapshotTable.read(spark, gold)
+      .select("sessionId", "session_duration_minutes")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === expect)
+
+    // crash-replay: a third silver commit whose first merge attempt
+    // dies mid-batch leaves the offset behind; the retry re-merges the
+    // same batch and converges (merge is keyed upsert)
+    val third = silverAll.orderBy(col("sessionId").desc).limit(5)
+      .withColumn("kwhTotal", col("kwhTotal") + 1.0)
+    graft.lake.SnapshotTable.append(third, silverTable, Seq("event_date"))
+    intercept[RuntimeException] {
+      graft.lake.SnapshotIncremental.processNew(spark, silverTable, ckpt) { (_, _, _) =>
+        throw new RuntimeException("executor lost")
+      }
+    }
+    val (r4, _, rows4) = EvPipeline.runGoldIncremental(spark, silverTable, gold, ckpt)
+    assert(r4 === Some((3L, 3L)) && rows4 === distinctAll) // upserted, not duplicated
+  }
+
   test("typed Dataset[EvSession] view round-trips the silver schema") {
     val base = Files.createTempDirectory("graft-typed").toString
     EvPipeline.runSilver(spark,
