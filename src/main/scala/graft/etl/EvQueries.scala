@@ -482,6 +482,48 @@ object EvQueries {
        |UNION ALL SELECT 2, 2, 2, total - 20 FROM n
        |ORDER BY batch""".stripMargin
 
+  /** The flagship incremental pipeline end-to-end: silver lands in a
+    * snapshot table in two append commits, runGoldIncremental runs
+    * after each, and the final GOLD table is read back. The oracle
+    * re-derives it in SQL: latest-observation dedup per sessionId
+    * (the fixture's planted duplicate exercises the rule) then the
+    * gold feature derivation — so batch accounting, per-batch dedup,
+    * and the keyed MERGE composition are all hash-verified. */
+  def incrementalGold(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-incgold-gate").toString
+    val silverTable = base + "/silver"
+    val goldTable = base + "/gold"
+    val ckpt = base + "/ckpt"
+    val silver = good(spark).coalesce(1).persist()
+    try {
+      // key-range split (not limit): a duplicated key must land whole
+      // in one batch or the anti-join-style split would drop a copy
+      val first = silver.filter(col("sessionId") < "2000")
+      val rest = silver.filter(col("sessionId") >= "2000")
+      graft.lake.SnapshotTable.append(first, silverTable, Seq("event_date"))
+      EvPipeline.runGoldIncremental(spark, silverTable, goldTable, ckpt)
+      graft.lake.SnapshotTable.append(rest, silverTable, Seq("event_date"))
+      EvPipeline.runGoldIncremental(spark, silverTable, goldTable, ckpt)
+      graft.lake.SnapshotTable.read(spark, goldTable)
+        .select("sessionId", "session_duration_minutes", "avg_cost_per_kwh")
+        .orderBy("sessionId")
+    } finally { silver.unpersist(); () }
+  }
+
+  private val incrementalGoldSql =
+    s"""$prefix,
+       |latest AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY sessionId
+       |      ORDER BY created DESC, ended DESC) AS rn
+       |    FROM marked WHERE NOT is_bad
+       |  ) WHERE rn = 1
+       |)
+       |SELECT sessionId,
+       |  (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes,
+       |  CASE WHEN kwhTotal > 0 THEN dollars / kwhTotal END AS avg_cost_per_kwh
+       |FROM latest ORDER BY sessionId""".stripMargin
+
   private val sqlMergeDeleteSql =
     s"""$prefix,
        |gold AS (
@@ -551,5 +593,6 @@ object EvQueries {
     QDef("ev11_sql_update", sqlUpdate, Some(sqlUpdateSql)),
     QDef("ev12_change_feed", changeFeed, Some(changeFeedSql)),
     QDef("ev13_incremental_read", incrementalFeed, Some(incrementalFeedSql)),
+    QDef("ev14_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
   )
 }

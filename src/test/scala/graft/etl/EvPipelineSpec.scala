@@ -185,8 +185,10 @@ class EvPipelineSpec extends SparkTestBase {
       SilverConfig(fixture, s"$base/silver", s"$base/quarantine"))
     // silver as a SNAPSHOT table, loaded in two append commits
     val silverAll = spark.read.parquet(s"$base/silver")
-    val first = silverAll.orderBy("sessionId").limit(20)
-    val rest = silverAll.join(first.select("sessionId"), Seq("sessionId"), "left_anti")
+    // key-range split: the planted duplicate key ('2000' twice) must
+    // land whole in one batch
+    val first = silverAll.filter(col("sessionId") < "2000")
+    val rest = silverAll.filter(col("sessionId") >= "2000")
     val silverTable = s"$base/silver_snap"
     val gold = s"$base/gold_fact"
     val ckpt = s"$base/ckpt"
