@@ -60,6 +60,7 @@ object ScaleBench {
     }
 
     val queryIds = Seq(1L, 1000L, 54321L)
+    var mergeScaleBase: Option[String] = None
     val results: Seq[(String, Double)] = Seq(
       timed("exact_dedup")     { noop(graft.ops.TextDedup.exactDuplicates(docs)) },
       timed("minhash_buckets") { noop(graft.ops.TextDedup.minhashBuckets(docs)) },
@@ -171,6 +172,7 @@ object ScaleBench {
         // whole point of stats-pruned merge at 100 TB (rewriting all
         // files would be a full table rewrite per correction).
         val base = java.nio.file.Files.createTempDirectory("graft-scale-merge")
+        mergeScaleBase = Some(base.toString)
         val path = s"$base/t"
         val df = spark.range(rows)
           .select(col("id"), (col("id") % 97).cast("double").as("v"))
@@ -185,6 +187,18 @@ object ScaleBench {
         require(v1.size >= 200, s"expected a many-file table, got ${v1.size}")
         require(rewritten <= 4,
           s"stats pruning failed: merge rewrote $rewritten of ${v1.size} files")
+      },
+      timed("cdc_after_merge") {
+        // the change feed over the 256-file table's merge commit must
+        // scope its IO to the rewritten file(s): 1M-row table, but the
+        // feed only diffs the touched files and yields exactly the
+        // 50 updated keys as delete+insert pairs
+        val feed = graft.lake.SnapshotTable.changes(spark,
+          s"${mergeScaleBase.get}/t", 1L, 2L)
+        val byType = feed.groupBy("_change_type").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(byType("insert") == 50 && byType("delete") == 50,
+          s"expected 50/50 insert/delete in the merge feed, got $byType")
       },
       timed("stream_drain")    {
         // Structured Streaming throughput at the same 1M rows:

@@ -2285,8 +2285,34 @@ object Relational {
       |                        WHERE o_orderdate >= TIMESTAMP '2000-07-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- §2.1 file-skipping read path, oracle-checked ------------------
+  // Z-ordered snapshot commit + a two-dimensional box read: the
+  // file-skipping index must change WHICH files are read, never WHAT
+  // the query returns — so the box read's rows are hash-compared to a
+  // plain SQL range filter over the same source. (The strict
+  // files-pruned assertion lives in SnapshotTableSpec; file counts
+  // are engine-specific and stay out of the oracle.)
+  def zorderBoxRead(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-zbox-gate").toString + "/t"
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    graft.lake.SnapshotTable.appendZOrdered(li, path,
+      Seq("l_orderkey", "l_partkey"), numFiles = 8)
+    val (df, _) = graft.lake.SnapshotTable.readBox(spark, path,
+      Seq(("l_orderkey", 1000.0, 3000.0), ("l_partkey", 100.0, 1000.0)))
+    df.orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val zorderBoxReadSql =
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1000 AND 3000
+      |  AND l_partkey BETWEEN 100 AND 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
+    QDef("q110_zorder_box", zorderBoxRead, Some(zorderBoxReadSql)),
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
     QDef("q02_scan_projection", scanProjection, Some(scanProjectionSql)),
     QDef("q03_filter_predicates", filterPredicates, Some(filterPredicatesSql)),
