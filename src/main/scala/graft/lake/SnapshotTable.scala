@@ -69,7 +69,7 @@ object SnapshotTable {
     * line per live file (an optional footer row count, then
     * per-column clustering stats in groups of three; the row-count
     * field is parsed leniently so pre-rowcount manifests still load). */
-  private[lake] def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] =
+  private[graft] def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] =
     readManifestFull(spark, path, version)._2
 
   /** Recorded table schema at `version` (default latest) — O(1)

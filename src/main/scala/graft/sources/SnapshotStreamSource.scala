@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.SnapshotTable
+
+/** Structured Streaming source over a snapshot table — the
+  * `spark.readStream` half of the lake (Delta's streaming-source
+  * parity; the batch-driven contract lives in
+  * [[graft.lake.SnapshotIncremental]]):
+  *
+  *   spark.readStream.format("graft-snapshot").load(tablePath)
+  *     .writeStream... // each microbatch = the files NEW commits added
+  *
+  * Offsets are table VERSIONS (checkpointed by the engine), so a
+  * restarted query resumes exactly after the last committed version.
+  * Each microbatch reads ONLY the files its commit range added —
+  * O(new data) IO, no rescans. A commit that removed or rewrote files
+  * (merge/delete/update/compact) fails the query by default, naming
+  * the version and operation; `.option("ignoreChanges", true)`
+  * accepts re-emission of rewritten carried-over rows instead (the
+  * Delta semantics of the same option).
+  *
+  * Options: `startingVersion` (default 0 = the whole table, i.e. the
+  * first batch bootstraps every live file of the starting snapshot's
+  * successors), `ignoreChanges` (default false).
+  *
+  * Reader notes: files are decoded with parquet-hadoop's Group API —
+  * flat (primitive-column) schemas only, which is what the snapshot
+  * writer produces for relational tables; hive partition-directory
+  * values are filled from the file path exactly like the batch
+  * reader. Timestamps handle both INT96 and annotated INT64
+  * encodings.
+  */
+class SnapshotStreamSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  private def pathOf(options: java.util.Map[String, String]): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-snapshot needs the table path: .load(<tablePath>) or .option(\"path\", ...)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val path = pathOf(options)
+    SnapshotTable.schemaOf(spark, path)
+      .getOrElse(SnapshotTable.read(spark, path).schema)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // properties carry the options with their ORIGINAL key case —
+    // normalize so .option("ignoreChanges", ...) matches
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SnapshotStreamTable(pathOf(opts), schema,
+      Option(opts.get("startingversion")).map(_.toLong).getOrElse(0L),
+      opts.getBoolean("ignorechanges", false))
+  }
+}
+
+private class SnapshotStreamTable(path: String, tableSchema: StructType,
+    startingVersion: Long, ignoreChanges: Boolean) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-snapshot($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = tableSchema
+      override def description(): String = s"SnapshotStream $path"
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new SnapshotMicroBatchStream(path, tableSchema, startingVersion, ignoreChanges)
+    }
+}
+
+private case class SnapshotVersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private class SnapshotMicroBatchStream(path: String, schema: StructType,
+    startingVersion: Long, ignoreChanges: Boolean) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = SnapshotVersionOffset(startingVersion)
+
+  override def latestOffset(): Offset =
+    SnapshotVersionOffset(SnapshotTable.latestVersion(spark, path).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotVersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotVersionOffset].version
+    val e = end.asInstanceOf[SnapshotVersionOffset].version
+    if (e <= s) return Array.empty
+    if (!ignoreChanges) {
+      ((s + 1) to e).foreach { v =>
+        val prev =
+          if (v == 1) Set.empty[String]
+          else SnapshotTable.readManifest(spark, path, v - 1).map(_.filePath).toSet
+        val cur = SnapshotTable.readManifest(spark, path, v).map(_.filePath).toSet
+        if ((prev -- cur).nonEmpty) throw new IllegalStateException(
+          s"version $v of $path is not append-only (op=" +
+            s"${SnapshotTable.opOf(spark, path, v).getOrElse("unknown")}): rewritten " +
+            "files would re-emit carried rows in the stream — set " +
+            ".option(\"ignoreChanges\", true) to accept re-emission")
+      }
+    }
+    val from =
+      if (s == 0) Set.empty[String]
+      else SnapshotTable.readManifest(spark, path, s).map(_.filePath).toSet
+    SnapshotTable.readManifest(spark, path, e)
+      .filterNot(en => from(en.filePath))
+      .map(en => SnapshotFilePartition(en.filePath, en.commitDir, schema): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => new SnapshotFileReader(p.asInstanceOf[SnapshotFilePartition])
+}
+
+private case class SnapshotFilePartition(filePath: String, commitDir: String,
+    schema: StructType) extends InputPartition
+
+/** One parquet data file → InternalRows under the table schema:
+  * file columns via the Group API, hive partition columns from the
+  * path, columns the file predates as NULL. */
+private class SnapshotFileReader(p: SnapshotFilePartition)
+    extends PartitionReader[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  private val partValues: Map[String, String] =
+    p.filePath.stripPrefix(p.commitDir).split("/")
+      .filter(seg => seg.nonEmpty && seg.contains("="))
+      .map { seg =>
+        val k = ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '='))
+        val v = ExternalCatalogUtils.unescapePathName(seg.dropWhile(_ != '=').drop(1))
+        k -> v
+      }.toMap
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(p.filePath)).build()
+  private var current: Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val g = current
+    val gt = g.getType
+    InternalRow.fromSeq(p.schema.fields.toIndexedSeq.map { f =>
+      if (gt.containsField(f.name)) {
+        val idx = gt.getFieldIndex(f.name)
+        if (g.getFieldRepetitionCount(idx) == 0) null else extract(g, idx, f)
+      } else partValues.get(f.name) match {
+        case Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) | None => null
+        case Some(v) => partitionValue(v, f.dataType, f.name)
+      }
+    })
+  }
+
+  private def extract(g: Group, idx: Int, f: StructField): Any = {
+    val pt = g.getType.getType(idx)
+    require(pt.isPrimitive,
+      s"graft-snapshot streams flat (primitive-column) schemas; '${f.name}' is nested")
+    val prim = pt.asPrimitiveType().getPrimitiveTypeName
+    f.dataType match {
+      case LongType    => g.getLong(idx, 0)
+      case IntegerType => g.getInteger(idx, 0)
+      case ShortType   => g.getInteger(idx, 0).toShort
+      case ByteType    => g.getInteger(idx, 0).toByte
+      case DoubleType  => g.getDouble(idx, 0)
+      case FloatType   => g.getFloat(idx, 0)
+      case BooleanType => g.getBoolean(idx, 0)
+      case StringType  => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+      case BinaryType  => g.getBinary(idx, 0).getBytes
+      case DateType    => g.getInteger(idx, 0) // parquet DATE = epoch days
+      case TimestampType => prim match {
+        case PrimitiveTypeName.INT96 =>
+          // 12 bytes LE: nanos-of-day then julian day
+          val buf = java.nio.ByteBuffer.wrap(g.getInt96(idx, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanos = buf.getLong
+          val julian = buf.getInt
+          (julian - 2440588).toLong * 86400L * 1000000L + nanos / 1000L
+        case _ =>
+          val raw = g.getLong(idx, 0)
+          pt.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                case LogicalTypeAnnotation.TimeUnit.NANOS  => raw / 1000L
+              }
+            case _ => raw // assume micros
+          }
+      }
+      case other => throw new UnsupportedOperationException(
+        s"graft-snapshot stream reader does not support ${other.simpleString} ('${f.name}')")
+    }
+  }
+
+  private def partitionValue(v: String, dt: DataType, name: String): Any = dt match {
+    case StringType  => UTF8String.fromString(v)
+    case IntegerType => v.toInt
+    case LongType    => v.toLong
+    case ShortType   => v.toShort
+    case DoubleType  => v.toDouble
+    case FloatType   => v.toFloat
+    case BooleanType => v.toBoolean
+    case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
+    case TimestampType =>
+      java.sql.Timestamp.valueOf(v).toInstant.toEpochMilli * 1000L
+    case other => throw new UnsupportedOperationException(
+      s"unsupported partition column type ${other.simpleString} ('$name')")
+  }
+
+  override def close(): Unit = reader.close()
+}

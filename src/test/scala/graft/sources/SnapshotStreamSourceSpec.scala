@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.lake.SnapshotTable
+
+class SnapshotStreamSourceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Run an AvailableNow pass of the snapshot stream into a buffer. */
+  private def drain(path: String, ckpt: String,
+      opts: Map[String, String] = Map.empty): Seq[Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Row]()
+    val q = spark.readStream.format("graft-snapshot").options(opts).load(path)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        buf.synchronized { buf ++= df.collect() }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
+  test("streams each commit exactly once across restarts; offsets are checkpointed versions") {
+    val base = Files.createTempDirectory("graft-stream-snap").toString
+    val path = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    SnapshotTable.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v"), path)
+    SnapshotTable.append(Seq((3L, "c", 3.0)).toDF("k", "s", "v"), path)
+
+    assert(drain(path, ckpt).map(_.getLong(0)).sorted === Seq(1L, 2L, 3L))
+    // restart on the same checkpoint: nothing new to emit
+    assert(drain(path, ckpt).isEmpty)
+    SnapshotTable.append(Seq((4L, "d", 4.0)).toDF("k", "s", "v"), path)
+    assert(drain(path, ckpt).map(_.getLong(0)) === Seq(4L)) // ONLY the new commit
+    // a fresh checkpoint bootstraps the whole table again
+    assert(drain(path, s"$base/ckpt2").size === 4)
+  }
+
+  test("date/timestamp/boolean/partition columns round-trip identical to the batch read") {
+    val base = Files.createTempDirectory("graft-stream-types").toString
+    val path = s"$base/t"
+    val df = Seq(
+      (1L, "x", 1.5, true, java.sql.Timestamp.valueOf("2024-03-01 10:30:00"),
+        java.sql.Date.valueOf("2024-03-01")),
+      (2L, "y", -2.5, false, java.sql.Timestamp.valueOf("2024-03-02 23:59:59"),
+        java.sql.Date.valueOf("2024-03-02")))
+      .toDF("id", "name", "v", "ok", "ts", "event_date")
+    SnapshotTable.append(df, path, Seq("event_date"))
+    // NULL row in a later commit (schema evolution not involved)
+    SnapshotTable.append(Seq((3L, null.asInstanceOf[String], 0.0, true,
+      null.asInstanceOf[java.sql.Timestamp], java.sql.Date.valueOf("2024-03-03")))
+      .toDF("id", "name", "v", "ok", "ts", "event_date"), path, Seq("event_date"))
+
+    val batch = SnapshotTable.read(spark, path)
+    val streamed = drain(path, s"$base/ckpt")
+    val cols = batch.columns.sorted
+    def canon(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType): Set[String] =
+      rows.map { r =>
+        cols.map(c => String.valueOf(r.get(schema.fieldIndex(c)))).mkString("|")
+      }.toSet
+    assert(streamed.size === 3)
+    // streamed batches carry the same recorded table schema as the
+    // batch read, so rows compare field-by-field
+    assert(canon(streamed, batch.schema) === canon(batch.collect().toSeq, batch.schema))
+  }
+
+  test("rewrite commits fail the stream by name unless ignoreChanges accepts re-emission") {
+    val base = Files.createTempDirectory("graft-stream-rw").toString
+    val path = s"$base/t"
+    // one data file, so the delete rewrite touches exactly it and the
+    // re-emitted survivor set is the whole remainder
+    SnapshotTable.append((1 to 10).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .coalesce(1), path)
+    assert(drain(path, s"$base/ckpt").size === 10)
+    SnapshotTable.delete(spark, path, col("v") >= 9.0) // v2: a rewrite
+    val e = intercept[Exception](drain(path, s"$base/ckpt"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("not append-only")))
+    // ignoreChanges: the rewritten file's surviving rows re-emit
+    val got = drain(path, s"$base/ckpt", Map("ignoreChanges" -> "true"))
+    assert(got.map(_.getLong(0)).sorted === (1L to 8L))
+  }
+}
