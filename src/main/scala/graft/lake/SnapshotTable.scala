@@ -765,17 +765,28 @@ object SnapshotTable {
     * underneath it (the Delta/Iceberg retention-window posture —
     * vacuum with `minAgeMs = 0` assumes a quiesced table). In-flight
     * READS of an expired version are inherently unprotected; size
-    * `minAgeMs` beyond the longest expected query. */
+    * `minAgeMs` beyond the longest expected query.
+    *
+    * `protectConsumers` closes the retention/consumption gap: each
+    * entry is a [[SnapshotIncremental]] checkpoint directory, and no
+    * version at or above a listed consumer's last-consumed offset is
+    * ever expired (the offset version itself is the manifest-diff
+    * base of the consumer's next batch). A listed checkpoint with no
+    * offset yet protects the whole history, so a provisioned-but-
+    * never-run consumer cannot silently lose its bootstrap. */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
-      minAgeMs: Long = 0L): Unit = {
+      minAgeMs: Long = 0L, protectConsumers: Seq[String] = Nil): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
     val f = fs(spark, path)
     val all = versions(spark, path)
     val cutoff = System.currentTimeMillis() - minAgeMs
+    val floor: Long = protectConsumers
+      .map(SnapshotIncremental.lastConsumed(spark, _).getOrElse(0L))
+      .minOption.getOrElse(Long.MaxValue)
     val (candidates, kept0) = all.splitAt(math.max(0, all.size - keepVersions))
     val (expired, young) = candidates.partition { v =>
-      minAgeMs <= 0L ||
-        f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime <= cutoff
+      v < floor && (minAgeMs <= 0L ||
+        f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime <= cutoff)
     }
     val kept = young ++ kept0
     if (expired.isEmpty) return

@@ -73,6 +73,32 @@ class SnapshotIncrementalSpec extends SparkTestBase {
     assert(SnapshotIncremental.lastConsumed(spark, ckpt) === Some(2L))
   }
 
+  test("vacuum never expires versions a registered consumer still needs") {
+    val path = Files.createTempDirectory("graft-inc-vac").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-inc-vac-ckpt").toString
+    SnapshotTable.append(mk("a", 3), path)                 // v1
+    SnapshotIncremental.processNew(spark, path, ckpt) { (_, _, _) => () } // consumed 1
+    SnapshotTable.append(mk("b", 3), path)                 // v2
+    SnapshotTable.append(mk("c", 3), path)                 // v3
+    // keepVersions=1 would normally expire v1 and v2; the consumer's
+    // offset (1) protects v1 upward, so nothing expires
+    SnapshotTable.vacuum(spark, path, keepVersions = 1, protectConsumers = Seq(ckpt))
+    assert(SnapshotTable.versions(spark, path) === Seq(1L, 2L, 3L))
+    // the consumer catches up cleanly over the protected range
+    var rows = 0L
+    SnapshotIncremental.processNew(spark, path, ckpt) { (df, _, _) => rows = df.count() }
+    assert(rows === 6L)
+    // once consumed through v3, only versions below the offset expire
+    SnapshotTable.vacuum(spark, path, keepVersions = 1, protectConsumers = Seq(ckpt))
+    assert(SnapshotTable.versions(spark, path) === Seq(3L))
+    // a provisioned-but-never-run consumer protects the whole history
+    val freshCkpt = Files.createTempDirectory("graft-inc-vac-fresh").toString
+    SnapshotTable.append(mk("d", 3), path)                 // v4
+    SnapshotTable.vacuum(spark, path, keepVersions = 1,
+      protectConsumers = Seq(freshCkpt))
+    assert(SnapshotTable.versions(spark, path) === Seq(3L, 4L))
+  }
+
   test("first Cdc batch from version 0 bootstraps the whole table as inserts") {
     val path = Files.createTempDirectory("graft-inc-boot").toString + "/t"
     SnapshotTable.append(mk("a", 5), path)
