@@ -100,6 +100,8 @@ object EvJob {
               f"at=${r.getTimestamp(2)} files=${r.getInt(3)}%-4d rows=${if (r.isNullAt(4)) "?" else r.getLong(4).toString}")
           }
         case "changes" =>
+          require(args.length >= 4,
+            "usage: EvJob changes <tablePath> <fromVersion> <toVersion>")
           val feed = graft.lake.SnapshotTable.changes(
             spark, args(1), args(2).toLong, args(3).toLong)
           feed.orderBy("_commit_version", "_change_type").show(100, truncate = false)

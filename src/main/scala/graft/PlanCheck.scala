@@ -27,20 +27,22 @@ object PlanCheck {
       // force-compile every query's WholeStageCodegen sources with
       // Janino: an incompatible construct otherwise only WARNs at run
       // time and silently degrades to interpreted execution (this is
-      // how the TopBigramCount Long::sum fallback was caught). ev*
-      // queries execute side-effecting snapshot commits during plan
-      // construction — the gate runs them; skip here.
+      // how the TopBigramCount Long::sum fallback was caught).
+      // Queries that run side-effecting snapshot commits during plan
+      // construction are skipped — the gate runs them.
+      val sideEffecting = Set("q110_zorder_box")
       graft.functions.VectorFunctions.register(spark)
       var bad = 0
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filterNot(_._1.startsWith("ev")).foreach { case (n, fn) =>
+        .filterNot(q => q._1.startsWith("ev") || sideEffecting(q._1))
+        .foreach { case (n, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.executedPlan
             val stages = org.apache.spark.sql.graftbridge.CodegenBridge.compileWholeStage(plan)
             println(s"[codegen] $n: $stages stage(s) compiled")
           } catch { case e: Throwable =>
             bad += 1
-            println(s"[codegen] $n FAILED: ${e.getMessage.take(300)}")
+            println(s"[codegen] $n FAILED: ${String.valueOf(e).take(300)}")
           }
         }
       println(s"[codegen] sweep done, $bad failure(s)")

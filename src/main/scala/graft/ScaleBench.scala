@@ -197,7 +197,7 @@ object ScaleBench {
           s"${mergeScaleBase.get}/t", 1L, 2L)
         val byType = feed.groupBy("_change_type").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        require(byType("insert") == 50 && byType("delete") == 50,
+        require(byType.getOrElse("insert", 0L) == 50 && byType.getOrElse("delete", 0L) == 50,
           s"expected 50/50 insert/delete in the merge feed, got $byType")
       },
       timed("stream_drain")    {

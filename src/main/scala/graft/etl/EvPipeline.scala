@@ -112,6 +112,16 @@ object EvPipeline {
     * advances only after the merge commits, and re-merging a replayed
     * batch converges — so a crash anywhere replays to the same gold
     * state (the same idempotency contract as remergeRepaired).
+    *
+    * Apply-order contract: WITHIN a batch the latest observation per
+    * key wins (see below); ACROSS batches, commit order is apply
+    * order — last writer wins, the standard apply semantics for an
+    * ordered feed. This assumes silver commits land in observation
+    * order (true of the silver job, which appends as it ingests); a
+    * feed that can redeliver OLDER readings in later commits would
+    * need gold to carry the observation timestamp and the merge to
+    * compare against it before overwriting.
+    *
     * Returns (consumedRange, goldVersion, goldRows); None range when
     * nothing new. */
   def runGoldIncremental(spark: SparkSession, silverTablePath: String,

@@ -70,31 +70,63 @@ object SnapshotIncremental {
       else SnapshotTable.readGroups(spark, added, schema)
   }
 
-  private def offsetFile(checkpointDir: String) = new Path(s"$checkpointDir/offset")
+  private val offsetName = "^offset-(\\d+)$".r
 
-  /** Last version a successful [[processNew]] consumed through, if any. */
+  /** Last version a successful [[processNew]] consumed through, if
+    * any. Offsets are monotone write-once files (`offset-<v>`), so
+    * the cursor is the max present — there is no delete-then-rename
+    * window in which a crash could lose the checkpoint and trigger a
+    * full-history replay. */
   def lastConsumed(spark: SparkSession, checkpointDir: String): Option[Long] = {
     val f = SnapshotTable.fs(spark, checkpointDir)
-    val p = offsetFile(checkpointDir)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      Some(s.toLong)
+    val dir = new Path(checkpointDir)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case offsetName(v) => v.toLong }
+      .maxOption
+  }
+
+  /** Retention floor for a consumer checkpoint directory — the
+    * version the consumer's NEXT batch diffs against, which vacuum
+    * must keep (with everything after). Accepts BOTH consumer kinds:
+    * a [[SnapshotIncremental]] checkpoint (offset-<v> files) and a
+    * Structured Streaming checkpointLocation of the graft-snapshot
+    * source (offsets/commits layout — the floor is the end offset of
+    * the last COMMITTED batch). A checkpoint with no progress yet
+    * floors at 0, protecting the whole history. */
+  private[graft] def consumedFloor(spark: SparkSession, dir: String): Long = {
+    val f = SnapshotTable.fs(spark, dir)
+    val offsets = new Path(s"$dir/offsets")
+    if (!f.exists(offsets)) return lastConsumed(spark, dir).getOrElse(0L)
+    val num = "^(\\d+)$".r
+    val commitsDir = new Path(s"$dir/commits")
+    val committed =
+      if (!f.exists(commitsDir)) Nil
+      else f.listStatus(commitsDir).map(_.getPath.getName)
+        .collect { case num(n) => n.toLong }.toSeq
+    committed.maxOption match {
+      case None => 0L
+      case Some(batch) =>
+        // offsets/<batch>: "v1" line, metadata json, then one line per
+        // source — ours is the plain version number
+        val in = f.open(new Path(s"$dir/offsets/$batch"))
+        val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        content.split("\n").map(_.trim).filter(_.nonEmpty).lastOption
+          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
     }
   }
 
   private def writeOffset(spark: SparkSession, checkpointDir: String, v: Long): Unit = {
     val f = SnapshotTable.fs(spark, checkpointDir)
     f.mkdirs(new Path(checkpointDir))
-    val tmp = new Path(s"$checkpointDir/.offset-${java.util.UUID.randomUUID.toString.take(12)}")
-    val out = f.create(tmp, true)
+    val next = new Path(s"$checkpointDir/offset-$v")
+    val out = f.create(next, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    // rename-over-existing replaces atomically on local FS/HDFS; the
-    // offset is a single consumer's cursor, so no CAS race to guard
-    f.delete(offsetFile(checkpointDir), false)
-    require(f.rename(tmp, offsetFile(checkpointDir)),
-      s"could not advance offset at $checkpointDir")
+    // best-effort cleanup of superseded cursors — a crash here leaves
+    // extra files, and max-wins reading stays correct
+    f.listStatus(new Path(checkpointDir)).map(_.getPath)
+      .filter(p => offsetName.findFirstIn(p.getName).isDefined && p.getName != s"offset-$v")
+      .foreach(p => f.delete(p, false))
   }
 
   /** Run `fn` over everything committed since the checkpoint (or the

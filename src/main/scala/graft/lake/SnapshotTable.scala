@@ -70,7 +70,12 @@ object SnapshotTable {
     * per-column clustering stats in groups of three; the row-count
     * field is parsed leniently so pre-rowcount manifests still load). */
   private[graft] def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] =
-    readManifestFull(spark, path, version)._2
+    readManifestFull(spark, path, version).entries
+
+  /** One parsed manifest: recorded schema, live-file entries, and the
+    * producing operation — all from a single file read. */
+  private case class Manifest(schema: Option[StructType], entries: Seq[Entry],
+      op: Option[String])
 
   /** Recorded table schema at `version` (default latest) — O(1)
     * manifest-header lookup, no parquet footer sweep. None for
@@ -79,7 +84,7 @@ object SnapshotTable {
       version: Option[Long] = None): Option[StructType] = {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-    readManifestFull(spark, path, v)._1
+    readManifestFull(spark, path, v).schema
   }
 
   /** Manifest = optional `#schema=<StructType.json>` header + entry
@@ -87,12 +92,13 @@ object SnapshotTable {
     * can never collide with the tab-separated entry grammar; unknown
     * `#`-prefixed lines are skipped for forward compatibility. */
   private def readManifestFull(spark: SparkSession, path: String,
-      version: Long): (Option[StructType], Seq[Entry]) = {
+      version: Long): Manifest = {
     val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val lines = content.split("\n").toSeq.filter(_.nonEmpty)
     val schema = lines.find(_.startsWith("#schema="))
       .map(l => DataType.fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType])
+    val op = lines.find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val parts = line.split("\t", -1)
       require(parts.length >= 2, s"bad manifest line: $line")
@@ -105,7 +111,7 @@ object SnapshotTable {
         .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
       Entry(parts(0), parts(1), rows, stats)
     }.toSeq
-    (schema, entries)
+    Manifest(schema, entries, op)
   }
 
   /** Filesystem schemes with no atomic create-if-absent: the exists
@@ -228,7 +234,10 @@ object SnapshotTable {
       val version = latestVersion(spark, path).getOrElse(0L) + 1
       val (prevSchema, previous) =
         if (version == 1L) (None, Nil)
-        else readManifestFull(spark, path, version - 1)
+        else {
+          val m = readManifestFull(spark, path, version - 1)
+          (m.schema, m.entries)
+        }
       // drift gate + schema evolution, recomputed per attempt (a
       // contending writer may have evolved the schema): additive
       // columns merge in, a type change on a shared column is drift
@@ -332,11 +341,8 @@ object SnapshotTable {
 
   /** Operation that produced `version` (`#op=` manifest header);
     * None for manifests written before operation recording. */
-  def opOf(spark: SparkSession, path: String, version: Long): Option[String] = {
-    val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
-    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    content.split("\n").find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
-  }
+  def opOf(spark: SparkSession, path: String, version: Long): Option[String] =
+    readManifestFull(spark, path, version).op
 
   /** Commit history of the table, newest first — the DESCRIBE HISTORY
     * surface: one row per version with the operation that produced it
@@ -345,18 +351,18 @@ object SnapshotTable {
     * for pre-recording manifests), the manifest publish timestamp,
     * and metadata-only file/row counts (row count NULL if any live
     * file predates footer counting). Pure driver-side manifest reads
-    * — no data scan, any history length. */
+    * — one read per version, no data scan, any history length. */
   def history(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val f = fs(spark, path)
     val rows: Seq[Row] = versions(spark, path).sorted.reverse.map { v =>
-      val entries = readManifest(spark, path, v)
+      val m = readManifestFull(spark, path, v)
       val ts = new java.sql.Timestamp(
         f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime)
       val nRows: java.lang.Long =
-        if (entries.forall(_.rows >= 0)) Long.box(entries.map(_.rows).sum) else null
-      Row(v, opOf(spark, path, v).orNull, ts, entries.size, nRows)
+        if (m.entries.forall(_.rows >= 0)) Long.box(m.entries.map(_.rows).sum) else null
+      Row(v, m.op.orNull, ts, m.entries.size, nRows)
     }
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -676,6 +682,11 @@ object SnapshotTable {
       assignments: Seq[(String, Column)], predicate: Column,
       partitionCols: Seq[String] = Nil, sqlAlias: Option[String] = None): Long = {
     require(assignments.nonEmpty, "update needs at least one SET assignment")
+    val dupCols = assignments.groupBy(_._1.toLowerCase).collect {
+      case (c, as) if as.size > 1 => c
+    }
+    require(dupCols.isEmpty,
+      s"UPDATE SET assigns the same column more than once: ${dupCols.mkString(", ")}")
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val entries = readManifest(spark, path, base)
@@ -768,12 +779,14 @@ object SnapshotTable {
     * `minAgeMs` beyond the longest expected query.
     *
     * `protectConsumers` closes the retention/consumption gap: each
-    * entry is a [[SnapshotIncremental]] checkpoint directory, and no
-    * version at or above a listed consumer's last-consumed offset is
-    * ever expired (the offset version itself is the manifest-diff
-    * base of the consumer's next batch). A listed checkpoint with no
-    * offset yet protects the whole history, so a provisioned-but-
-    * never-run consumer cannot silently lose its bootstrap. */
+    * entry is a consumer checkpoint directory — either a
+    * [[SnapshotIncremental]] checkpoint or a Structured Streaming
+    * checkpointLocation of the `graft-snapshot` source — and no
+    * version at or above that consumer's floor (the manifest-diff
+    * base of its next batch) is ever expired. A listed checkpoint
+    * with no progress yet protects the whole history, so a
+    * provisioned-but-never-run consumer cannot silently lose its
+    * bootstrap. */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
       minAgeMs: Long = 0L, protectConsumers: Seq[String] = Nil): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
@@ -781,7 +794,7 @@ object SnapshotTable {
     val all = versions(spark, path)
     val cutoff = System.currentTimeMillis() - minAgeMs
     val floor: Long = protectConsumers
-      .map(SnapshotIncremental.lastConsumed(spark, _).getOrElse(0L))
+      .map(SnapshotIncremental.consumedFloor(spark, _))
       .minOption.getOrElse(Long.MaxValue)
     val (candidates, kept0) = all.splitAt(math.max(0, all.size - keepVersions))
     val (expired, young) = candidates.partition { v =>
@@ -809,9 +822,9 @@ object SnapshotTable {
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-    val (schema, entries) = readManifestFull(spark, path, v)
-    require(entries.nonEmpty, s"empty manifest v$v")
-    readGroups(spark, entries, schema)
+    val m = readManifestFull(spark, path, v)
+    require(m.entries.nonEmpty, s"empty manifest v$v")
+    readGroups(spark, m.entries, m.schema)
   }
 
   /** Change-data feed: the row-level differences the table went

@@ -238,7 +238,13 @@ private class SnapshotFileReader(p: SnapshotFilePartition)
     case BooleanType => v.toBoolean
     case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
     case TimestampType =>
-      java.sql.Timestamp.valueOf(v).toInstant.toEpochMilli * 1000L
+      // partition-dir timestamps are rendered in the writing session's
+      // timezone; every engine session pins UTC, so parse as UTC with
+      // full microsecond precision (java.sql.Timestamp.valueOf would
+      // use the JVM-default zone and truncate to millis)
+      val ldt = java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+      val ins = ldt.toInstant(java.time.ZoneOffset.UTC)
+      ins.getEpochSecond * 1000000L + ins.getNano / 1000L
     case other => throw new UnsupportedOperationException(
       s"unsupported partition column type ${other.simpleString} ('$name')")
   }

@@ -74,6 +74,27 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(canon(streamed, batch.schema) === canon(batch.collect().toSeq, batch.schema))
   }
 
+  test("vacuum honors a streaming checkpoint as a retention floor") {
+    val base = Files.createTempDirectory("graft-stream-vac").toString
+    val path = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), path)   // v1
+    assert(drain(path, ckpt).size === 1)                        // consumed through 1
+    SnapshotTable.append(Seq((2L, 2.0)).toDF("k", "v"), path)   // v2
+    SnapshotTable.append(Seq((3L, 3.0)).toDF("k", "v"), path)   // v3
+    // keepVersions=1 alone would expire v1/v2; the paused stream's
+    // checkpoint floors retention at its last committed offset (1)
+    SnapshotTable.vacuum(spark, path, keepVersions = 1, protectConsumers = Seq(ckpt))
+    assert(SnapshotTable.versions(spark, path) === Seq(1L, 2L, 3L))
+    // the stream resumes cleanly over the protected range
+    assert(drain(path, ckpt).map(_.getLong(0)).sorted === Seq(2L, 3L))
+    // consumed through 3 → older versions may now expire
+    SnapshotTable.vacuum(spark, path, keepVersions = 1, protectConsumers = Seq(ckpt))
+    assert(SnapshotTable.versions(spark, path) === Seq(3L))
+    SnapshotTable.append(Seq((4L, 4.0)).toDF("k", "v"), path)   // v4
+    assert(drain(path, ckpt).map(_.getLong(0)) === Seq(4L))
+  }
+
   test("rewrite commits fail the stream by name unless ignoreChanges accepts re-emission") {
     val base = Files.createTempDirectory("graft-stream-rw").toString
     val path = s"$base/t"
