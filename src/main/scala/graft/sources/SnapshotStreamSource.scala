@@ -76,12 +76,14 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new SnapshotStreamTable(pathOf(opts), schema,
       Option(opts.get("startingversion")).map(_.toLong).getOrElse(0L),
-      opts.getBoolean("ignorechanges", false))
+      opts.getBoolean("ignorechanges", false),
+      Option(opts.get("maxversionspertrigger")).map(_.toLong))
   }
 }
 
 private class SnapshotStreamTable(path: String, tableSchema: StructType,
-    startingVersion: Long, ignoreChanges: Boolean) extends Table with SupportsRead {
+    startingVersion: Long, ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long]) extends Table with SupportsRead {
 
   override def name(): String = s"graft-snapshot($path)"
   override def schema(): StructType = tableSchema
@@ -93,7 +95,8 @@ private class SnapshotStreamTable(path: String, tableSchema: StructType,
       override def readSchema(): StructType = tableSchema
       override def description(): String = s"SnapshotStream $path"
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new SnapshotMicroBatchStream(path, tableSchema, startingVersion, ignoreChanges)
+        new SnapshotMicroBatchStream(path, tableSchema, startingVersion,
+          ignoreChanges, maxVersionsPerTrigger)
     }
 }
 
@@ -102,13 +105,42 @@ private case class SnapshotVersionOffset(version: Long) extends Offset {
 }
 
 private class SnapshotMicroBatchStream(path: String, schema: StructType,
-    startingVersion: Long, ignoreChanges: Boolean) extends MicroBatchStream {
+    startingVersion: Long, ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private def spark = SparkSession.active
+
+  // Trigger.AvailableNow drains up to the versions present when the
+  // query started, across as many rate-limited batches as needed
+  private var availableAtStart: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableAtStart = Some(SnapshotTable.latestVersion(spark, path).getOrElse(0L))
 
   override def initialOffset(): Offset = SnapshotVersionOffset(startingVersion)
 
   override def latestOffset(): Offset =
+    SnapshotVersionOffset(SnapshotTable.latestVersion(spark, path).getOrElse(0L))
+
+  /** Rate limiting (`maxVersionsPerTrigger`, the Delta
+    * maxFilesPerTrigger analogue at commit granularity): a microbatch
+    * advances at most that many versions, so bootstrapping a long
+    * history proceeds in bounded batches instead of one giant first
+    * batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SnapshotVersionOffset].version
+    val latest = availableAtStart
+      .getOrElse(SnapshotTable.latestVersion(spark, path).getOrElse(0L))
+    SnapshotVersionOffset(maxVersionsPerTrigger
+      .map(m => math.min(latest, s + math.max(1L, m))).getOrElse(latest))
+  }
+
+  override def reportLatestOffset(): Offset =
     SnapshotVersionOffset(SnapshotTable.latestVersion(spark, path).getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset =

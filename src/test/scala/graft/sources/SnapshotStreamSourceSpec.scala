@@ -74,6 +74,37 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(canon(streamed, batch.schema) === canon(batch.collect().toSeq, batch.schema))
   }
 
+  test("maxVersionsPerTrigger bounds each microbatch to a commit-count budget") {
+    val base = Files.createTempDirectory("graft-stream-rate").toString
+    val path = s"$base/t"
+    (1 to 3).foreach(i =>
+      SnapshotTable.append(Seq((i.toLong, i * 1.0)).toDF("k", "v"), path))
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxVersionsPerTrigger", 1).load(path)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // three commits, one version per trigger → three one-row batches
+    assert(batchSizes.toSeq === Seq(1L, 1L, 1L))
+  }
+
+  test("schema evolution: files predating a column stream it as NULL under the latest schema") {
+    val base = Files.createTempDirectory("graft-stream-evo").toString
+    val path = s"$base/t"
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), path)
+    SnapshotTable.append(Seq((2L, 2.0, "w2")).toDF("k", "v", "w"), path)
+    val rows = drain(path, s"$base/ckpt").sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)) === Seq(1L, 2L))
+    assert(rows(0).isNullAt(2) && rows(1).getString(2) === "w2")
+  }
+
   test("vacuum honors a streaming checkpoint as a retention floor") {
     val base = Files.createTempDirectory("graft-stream-vac").toString
     val path = s"$base/t"
