@@ -27,6 +27,11 @@ import graft.etl.{EvPipeline, GoldConfig, SilverConfig}
   *   sbt "runMain graft.EvJob history <tablePath>"     # DESCRIBE HISTORY
   *   sbt "runMain graft.EvJob changes <tablePath> <fromV> <toV>"
   *                                    # change-data feed between versions
+  *   sbt "runMain graft.EvJob snap-append <parquetDir> <tablePath> [partCols]"
+  *                                    # load a parquet dir as a snapshot commit
+  *   sbt "runMain graft.EvJob gold-incremental <silverTable> <goldTable> <ckptDir>"
+  *                                    # consume NEW silver commits only,
+  *                                    # merge derived features into gold
   */
 object EvJob {
   def main(args: Array[String]): Unit = {
@@ -94,6 +99,24 @@ object EvJob {
           val keep = if (args.length > 2) args(2).toInt else 1
           graft.lake.SnapshotTable.vacuum(spark, args(1), keep)
           println(s"[vacuum] kept last $keep versions of ${args(1)}")
+        case "snap-append" =>
+          require(args.length >= 3,
+            "usage: EvJob snap-append <parquetDir> <tablePath> [partCol1,partCol2,...]")
+          val parts = if (args.length > 3) args(3).split(",").toSeq.filter(_.nonEmpty) else Nil
+          val v = graft.lake.SnapshotTable.append(
+            spark.read.parquet(args(1)), args(2), parts)
+          println(s"[snap-append] committed version=$v partitions=${parts.mkString(",")}")
+        case "gold-incremental" =>
+          require(args.length >= 4,
+            "usage: EvJob gold-incremental <silverTable> <goldTable> <checkpointDir>")
+          val (range, v, n) = EvPipeline.runGoldIncremental(
+            spark, args(1), args(2), args(3))
+          range match {
+            case Some((from, to)) =>
+              println(s"[gold-incremental] consumed v$from..v$to gold version=$v rows=$n")
+            case None =>
+              println(s"[gold-incremental] nothing new; gold version=$v rows=$n")
+          }
         case "history" =>
           graft.lake.SnapshotTable.history(spark, args(1)).collect().foreach { r =>
             println(f"[history] v=${r.getLong(0)}%-4d op=${Option(r.getString(1)).getOrElse("?")}%-22s " +
