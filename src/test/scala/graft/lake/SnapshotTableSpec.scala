@@ -437,6 +437,26 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(rows(1).isNullAt(0) && rows(1).getDouble(1) === 20.0)          // untouched
   }
 
+  test("update on a partition column moves rows between partitions, layout intact") {
+    val path = Files.createTempDirectory("graft-snap-updpart").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), path, Seq("event_date"))
+    SnapshotTable.update(spark, path,
+      Seq("event_date" -> lit("2024-01-03")), col("id") === "a-0-0")
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.count() === 10)
+    assert(latest.filter(col("event_date") === "2024-01-03")
+      .select("id").as[String].collect().toSeq === Seq("a-0-0"))
+    assert(latest.filter(col("event_date") === "2024-01-01").count() === 4)
+    // the moved row landed in a real hive partition dir:
+    // overwritePartitions on the new date must replace it
+    SnapshotTable.overwritePartitions(
+      Seq(("r-0", "2024-01-03", 0.0)).toDF("id", "event_date", "v"), path, Seq("event_date"))
+    val after = SnapshotTable.read(spark, path)
+    assert(after.filter(col("event_date") === "2024-01-03")
+      .select("id").as[String].collect().toSeq === Seq("r-0"))
+    assert(after.count() === 10)
+  }
+
   test("changes feeds per-commit row-level diffs; compaction contributes none") {
     val path = Files.createTempDirectory("graft-snap-cdc").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
