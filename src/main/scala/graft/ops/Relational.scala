@@ -1597,8 +1597,13 @@ object Relational {
     val total = totRow.getLong(0)
     byPart
       .filter(col("value_e4") * lit(1000L) > lit(total))
+      // 2dp display rounding in EXACT integer space (half-up on the e4
+      // units): round(value_e4/10000.0, 2) hits double half-cent
+      // boundaries the two engines resolve differently (seen live at
+      // sf0.001: 135876.74 vs .73); (e4+50) div 100 is exact, and the
+      // final /100.0 of an integer is bit-identical IEEE on both
       .select(col("l_partkey").as("ps_partkey"),
-        round(col("value_e4") / 10000.0, 2).as("part_value"))
+        (expr("(value_e4 + 50) div 100") / 100.0).as("part_value"))
       .orderBy(col("part_value").desc, col("ps_partkey").asc)
   }
 
@@ -1618,7 +1623,8 @@ object Relational {
       |), bp AS (
       |  SELECT l_partkey, CAST(sum(value_e4) AS BIGINT) AS value_e4 FROM j GROUP BY 1
       |)
-      |SELECT l_partkey AS ps_partkey, round(value_e4 / 10000.0, 2) AS part_value
+      |SELECT l_partkey AS ps_partkey,
+      |  ((value_e4 + 50) // 100) / 100.0 AS part_value
       |FROM bp
       |WHERE value_e4 * 1000 > (SELECT CAST(sum(value_e4) AS BIGINT) FROM bp)
       |ORDER BY part_value DESC, ps_partkey ASC""".stripMargin
