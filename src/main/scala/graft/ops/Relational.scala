@@ -125,17 +125,31 @@ object Relational {
       .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      // revenue in EXACT integer space (price cents x (100 - discount
+      // cents) = e4 units): a double sum's addend order differs
+      // between engines and can flip the 2dp rounding at a half-cent
+      // boundary (seen live at sf0.1: 594295.15 vs .14); integer sums
+      // are order-independent and the display rounding is exact
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      .select(col("o_orderkey"),
+        (expr("(rev_e4 + 50) div 100") / 100.0).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(100)
 
   private val joinAggTopkSql =
-    """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-      |FROM customer
-      |JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON o_orderkey = l_orderkey
-      |WHERE c_mktsegment = 'BUILDING'
-      |GROUP BY o_orderkey
+    """WITH g AS (
+      |  SELECT o_orderkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |             (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+      |      AS rev_e4
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |  GROUP BY o_orderkey)
+      |SELECT o_orderkey, ((rev_e4 + 50) // 100) / 100.0 AS revenue
+      |FROM g
       |ORDER BY revenue DESC, o_orderkey ASC
       |LIMIT 100""".stripMargin
 
@@ -370,8 +384,14 @@ object Relational {
 
   // -- §2.5 W3: frame-spec aggregate (running quantity per supplier)
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    // l_quantity as the final key: the synthetic lineitem contains
+    // duplicate (shipdate, orderkey, linenumber) rows with different
+    // quantities, and a ROWS frame over a non-total order makes the
+    // intermediate running sums engine/run-dependent (any remaining
+    // full ties have equal quantity, hence equal prefix sums)
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_quantity").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
@@ -383,7 +403,7 @@ object Relational {
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
       | round(sum(l_quantity) OVER (
       |   PARTITION BY l_suppkey
-      |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
       |FROM lineitem
       |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
@@ -514,9 +534,12 @@ object Relational {
     """WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
       |           FROM events),
       |d AS (SELECT user_id, ts,
+      |        -- Spark's session_window MERGES an event landing exactly at
+      |        -- the gap boundary (inclusive end), so a new session starts
+      |        -- only on a STRICTLY larger gap
       |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |                  >= INTERVAL 30 MINUTE
+      |                  > INTERVAL 30 MINUTE
       |             THEN 1 ELSE 0 END AS new_s
       |      FROM e)
       |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
@@ -1519,10 +1542,14 @@ object Relational {
     // below) would aggregate lineitem TWICE. A window min over one
     // aggregation is the same predicate with a single heavy scan —
     // the decorrelated plan we'd want Catalyst to reach.
+    // ps_supplycost stays UNROUNDED: min over identical IEEE
+    // quotients is bit-identical on both engines, while round(x, 4)
+    // itself diverges at display boundaries (seen live at sf0.1:
+    // 508.8792 vs 508.8793 from the same double)
     spark.sql(
       """WITH partsupp AS (
         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-        |         round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
         |  FROM lineitem_q2 GROUP BY 1, 2),
         |ranked AS (
         |  SELECT ps_partkey, ps_suppkey, ps_supplycost,
@@ -1541,7 +1568,7 @@ object Relational {
   private val minCostSupplierSql =
     """WITH partsupp AS (
       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-      |         round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost
+      |         min(l_extendedprice / l_quantity) AS ps_supplycost
       |  FROM lineitem GROUP BY 1, 2)
       |SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, ps.ps_supplycost
       |FROM partsupp ps

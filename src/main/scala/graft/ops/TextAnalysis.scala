@@ -178,18 +178,25 @@ object TextAnalysis {
   }
 
   def quality(spark: SparkSession, dir: String): DataFrame =
+    // UNROUNDED: the score is a pure function of the row computed by
+    // an identical IEEE op sequence on both engines (bit-identical
+    // doubles), while round(x, 6) itself diverges at display
+    // boundaries (seen live at sf0.1: 0.501113 vs 0.501112)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), round(qualityScore(col("text")), 6).as("quality"))
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
   val qualitySql: String = {
     val en = stopwords("en").map(s => s"'$s'").mkString(",")
     s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
-       |SELECT doc_id, round(
+       |SELECT doc_id,
+       |  -- parenthesized to the SAME op order as the Spark column
+       |  -- (0.3 * (dist / len), not (0.3 * dist) / len) so the
+       |  -- doubles are bit-identical and need no rounding
        |  0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-       |  + 0.3 * least(CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE)
-       |                / len(toks) * 5.0, 1.0)
-       |  + 0.3 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS quality
+       |  + 0.3 * least((CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE)
+       |                 / len(toks)) * 5.0, 1.0)
+       |  + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS quality
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
