@@ -30,7 +30,7 @@ object PlanCheck {
       // how the TopBigramCount Long::sum fallback was caught).
       // Queries that run side-effecting snapshot commits during plan
       // construction are skipped — the gate runs them.
-      val sideEffecting = Set("q110_zorder_box")
+      val sideEffecting = Set("q110_zorder_box", "q111_zorder_partitioned")
       graft.functions.VectorFunctions.register(spark)
       var bad = 0
       SparkEntry.queries.toSeq.sortBy(_._1)
@@ -46,6 +46,13 @@ object PlanCheck {
           }
         }
       println(s"[codegen] sweep done, $bad failure(s)")
+      if (bad > 0) {
+        // a CI/gate invocation must SEE the regression — the whole
+        // point of the sweep is that a codegen fallback is otherwise a
+        // silent WARN
+        spark.stop()
+        sys.exit(1)
+      }
     } else {
       val names = if (args.nonEmpty) args.toSeq
         else Seq("q01_tpch_q1", "q02_scan_projection", "q04_broadcast_join",

@@ -3,6 +3,7 @@ package graft.lake
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Incremental (streaming-style) consumption of a snapshot table: an
   * offset-checkpointed reader that hands each new commit range to a
@@ -36,6 +37,41 @@ object SnapshotIncremental {
   case object AppendOnly extends Mode
   case object Cdc extends Mode
 
+  /** Files the commits in (fromVersion, toVersion] added, plus the
+    * schema recorded at toVersion — ONE manifest read per version in
+    * the range (each step's file set carries forward as the next
+    * step's base; no manifest is opened twice). `onRemoved` fires for
+    * every version that removed/rewrote files, letting the caller
+    * enforce append-only with its own message — op names are advisory;
+    * the file sets are the truth. Shared by the batch-driven reader
+    * below and [[graft.sources.SnapshotStreamSource]]'s microbatch
+    * planner. */
+  private[graft] def addedBetween(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long,
+      onRemoved: Option[(Long, Int) => Unit] = None)
+      : (Option[StructType], Seq[SnapshotTable.Entry]) = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val fromSet: Set[String] =
+      if (fromVersion == 0) Set.empty
+      else SnapshotTable.readManifest(spark, path, fromVersion).map(_.filePath).toSet
+    var prevSet = fromSet
+    var schema: Option[StructType] = None
+    var entries: Seq[SnapshotTable.Entry] = Nil
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val m = SnapshotTable.readManifestFull(spark, path, v)
+      val curSet = m.entries.map(_.filePath).toSet
+      onRemoved.foreach { cb =>
+        val removed = prevSet.diff(curSet).size
+        if (removed > 0) cb(v, removed)
+      }
+      prevSet = curSet
+      schema = m.schema
+      entries = m.entries
+    }
+    (schema, entries.filterNot(e => fromSet(e.filePath)))
+  }
+
   /** Rows the commits in (fromVersion, toVersion] contributed.
     * AppendOnly: the added files' rows, read directly (verified
     * append-only via the manifest file sets, not just the recorded op
@@ -44,30 +80,37 @@ object SnapshotIncremental {
       toVersion: Long, mode: Mode = AppendOnly): DataFrame = mode match {
     case Cdc => SnapshotTable.changes(spark, path, fromVersion, toVersion)
     case AppendOnly =>
-      require(fromVersion <= toVersion,
-        s"fromVersion $fromVersion must be <= toVersion $toVersion")
-      // verify no step removed files — op names are advisory; the
-      // file sets are the truth
-      ((fromVersion + 1) to toVersion).foreach { v =>
-        val prev =
-          if (v == 1) Set.empty[String]
-          else SnapshotTable.readManifest(spark, path, v - 1).map(_.filePath).toSet
-        val cur = SnapshotTable.readManifest(spark, path, v).map(_.filePath).toSet
-        val removed = prev -- cur
-        require(removed.isEmpty,
-          s"version $v of $path is not append-only (op=" +
-            s"${SnapshotTable.opOf(spark, path, v).getOrElse("unknown")}, " +
-            s"${removed.size} file(s) removed) — consume with Mode=Cdc")
-      }
-      val from =
-        if (fromVersion == 0) Set.empty[String]
-        else SnapshotTable.readManifest(spark, path, fromVersion).map(_.filePath).toSet
-      val (schema, toEntries) = (SnapshotTable.schemaOf(spark, path, Some(toVersion)),
-        SnapshotTable.readManifest(spark, path, toVersion))
-      val added = toEntries.filterNot(e => from(e.filePath))
+      val (schema, added) = addedBetween(spark, path, fromVersion, toVersion,
+        onRemoved = Some { (v, n) =>
+          throw new IllegalArgumentException(
+            s"version $v of $path is not append-only (op=" +
+              s"${SnapshotTable.opOf(spark, path, v).getOrElse("unknown")}, " +
+              s"$n file(s) removed) — consume with Mode=Cdc")
+        })
       if (added.isEmpty)
         SnapshotTable.read(spark, path, Some(toVersion)).limit(0)
       else SnapshotTable.readGroups(spark, added, schema)
+  }
+
+  /** Consume a long version range in bounded sub-ranges: yields
+    * `(rangeFrom, rangeTo, rows)` per batch of at most
+    * `maxVersionsPerBatch` versions, each batch the same frame
+    * [[readBetween]] would give for that sub-range. This bounds the
+    * PLAN, not just the data: a Cdc read of `(0, 500]` is otherwise
+    * one 500-branch union of diff subtrees, while 10 batches of 50
+    * keep every plan tree (and its shuffle count) commit-sized. The
+    * iterator is lazy — each sub-range's manifests are read when the
+    * consumer advances to it. */
+  def readBatched(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, maxVersionsPerBatch: Long,
+      mode: Mode = AppendOnly): Iterator[(Long, Long, DataFrame)] = {
+    require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    (fromVersion until toVersion by maxVersionsPerBatch).iterator.map { s =>
+      val e = math.min(toVersion, s + maxVersionsPerBatch)
+      (s + 1, e, readBetween(spark, path, s, e, mode))
+    }
   }
 
   private val offsetName = "^offset-(\\d+)$".r
@@ -132,15 +175,29 @@ object SnapshotIncremental {
   /** Run `fn` over everything committed since the checkpoint (or the
     * table's beginning on first run). The offset advances only after
     * `fn` returns, so a failed batch is replayed on the next call.
-    * Returns the (firstVersion, lastVersion) range consumed, or None
-    * when there is nothing new. */
+    * With `maxVersionsPerBatch` the backlog is consumed in bounded
+    * sub-ranges ([[readBatched]]), the offset advancing after EACH
+    * sub-range — a consumer resuming after a long pause replays at
+    * most one bounded batch, not the whole backlog. Returns the
+    * (firstVersion, lastVersion) range consumed, or None when there
+    * is nothing new. */
   def processNew(spark: SparkSession, path: String, checkpointDir: String,
-      mode: Mode = AppendOnly)(fn: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+      mode: Mode = AppendOnly, maxVersionsPerBatch: Option[Long] = None)(
+      fn: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val from = lastConsumed(spark, checkpointDir).getOrElse(0L)
     val latest = SnapshotTable.latestVersion(spark, path).getOrElse(0L)
     if (latest <= from) return None
-    fn(readBetween(spark, path, from, latest, mode), from + 1, latest)
-    writeOffset(spark, checkpointDir, latest)
+    maxVersionsPerBatch match {
+      case None =>
+        fn(readBetween(spark, path, from, latest, mode), from + 1, latest)
+        writeOffset(spark, checkpointDir, latest)
+      case Some(m) =>
+        readBatched(spark, path, from, latest, m, mode).foreach {
+          case (f, t, df) =>
+            fn(df, f, t)
+            writeOffset(spark, checkpointDir, t)
+        }
+    }
     Some((from + 1, latest))
   }
 }

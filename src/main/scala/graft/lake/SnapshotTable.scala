@@ -74,7 +74,7 @@ object SnapshotTable {
 
   /** One parsed manifest: recorded schema, live-file entries, and the
     * producing operation — all from a single file read. */
-  private case class Manifest(schema: Option[StructType], entries: Seq[Entry],
+  private[lake] case class Manifest(schema: Option[StructType], entries: Seq[Entry],
       op: Option[String])
 
   /** Recorded table schema at `version` (default latest) — O(1)
@@ -91,7 +91,7 @@ object SnapshotTable {
     * lines. JSON escapes control characters, so the single-line header
     * can never collide with the tab-separated entry grammar; unknown
     * `#`-prefixed lines are skipped for forward compatibility. */
-  private def readManifestFull(spark: SparkSession, path: String,
+  private[lake] def readManifestFull(spark: SparkSession, path: String,
       version: Long): Manifest = {
     val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
@@ -222,7 +222,8 @@ object SnapshotTable {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         try Await.result(
-          Future.traverse(files)(f => Future(footerEntry(spark, commitDir, f, statsCols))),
+          Future.traverse(files)(f => Future(
+            withPartitionStats(footerEntry(spark, commitDir, f, statsCols)))),
           Duration.Inf)
         finally { pool.shutdown(); () }
       }
@@ -317,6 +318,26 @@ object SnapshotTable {
     } finally reader.close()
   }
 
+  /** Hive partition values are constant over a file, so each NUMERIC
+    * partition value in the file's path is a free (v, v) manifest stat
+    * — [[readBox]] then prunes partitions from the manifest exactly
+    * like any clustered dimension. Non-numeric and
+    * `__HIVE_DEFAULT_PARTITION__` (NULL) values contribute no stat and
+    * stay conservatively readable. */
+  private def withPartitionStats(e: Entry): Entry = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val fromPath = e.filePath.stripPrefix(e.commitDir).split("/")
+      .filter(seg => seg.nonEmpty && seg.contains("=")).toSeq
+      .flatMap { seg =>
+        val k = ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '='))
+        val v = ExternalCatalogUtils.unescapePathName(seg.dropWhile(_ != '=').drop(1))
+        v.toDoubleOption.collect {
+          case d if !e.stats.exists(_._1 == k) => (k, d, d)
+        }
+      }
+    if (fromPath.isEmpty) e else e.copy(stats = e.stats ++ fromPath)
+  }
+
   /** Live data-file paths at `version` (default latest) — the Delta
     * `inputFiles` analogue; lets callers and scale smokes observe a
     * rewrite's scope (e.g. how few files a stats-pruned merge
@@ -406,22 +427,25 @@ object SnapshotTable {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Multi-dimensional clustering: sort by the Z-ORDER curve over
-    * `clusterCols` so EVERY clustered column's per-file range is
-    * narrow — the layout for tables queried along several dimensions
-    * (Delta OPTIMIZE ZORDER BY). Column ranges for the scaling come
-    * from one cheap min/max aggregation; per-file stats for all
-    * clustered columns land in the manifest for [[readRange]] /
-    * [[readBox]] pruning. */
-  def appendZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
-      numFiles: Int = 8): Long = {
+  /** Shape `df` for a z-ordered write: compute the z-value over
+    * `clusterCols` (scaled into zBitsPerDim-bit buckets from one cheap
+    * global min/max aggregation), then range-partition and sort by
+    * `(prefixCols..., _z)`. An empty prefix yields one global z-curve;
+    * a hive-partition prefix clusters the curve WITHIN each partition
+    * (Delta `OPTIMIZE ZORDER BY` scope), so each written file covers
+    * one partition value and a narrow z-range inside it. */
+  private def zShape(df: DataFrame, clusterCols: Seq[String], numFiles: Int,
+      prefixCols: Seq[String]): DataFrame = {
     require(clusterCols.size >= 2, "z-order needs at least two columns")
+    require(prefixCols.intersect(clusterCols).isEmpty,
+      s"z-order columns must not repeat partition columns: " +
+        prefixCols.intersect(clusterCols).mkString(", "))
     val aggs = clusterCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     clusterCols.zipWithIndex.foreach { case (c, i) =>
       require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
-        s"appendZOrdered needs a non-empty input and a non-all-NULL cluster column; '$c' has no min/max")
+        s"z-ordering needs a non-empty input and a non-all-NULL cluster column; '$c' has no min/max")
     }
     val range: Map[String, (Double, Double)] = clusterCols.zipWithIndex.map {
       case (c, i) => c -> (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
@@ -433,14 +457,28 @@ object SnapshotTable {
       least(greatest(((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxBucket.toDouble))
         .cast("long"), lit(0L)), lit(maxBucket))
     }
-    val clustered = df
-      .withColumn("_z", zValue(scaled))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
+    val keys = prefixCols.map(col) :+ col("_z")
+    df.withColumn("_z", zValue(scaled))
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .drop("_z")
-    commit(clustered, path, Nil, identity, statsCols = clusterCols,
-      op = "append_zordered")
   }
+
+  /** Multi-dimensional clustering: sort by the Z-ORDER curve over
+    * `clusterCols` so EVERY clustered column's per-file range is
+    * narrow — the layout for tables queried along several dimensions
+    * (Delta OPTIMIZE ZORDER BY). Per-file stats for all clustered
+    * columns land in the manifest for [[readRange]] / [[readBox]]
+    * pruning. With `partitionCols` the table keeps a hive layout AND
+    * the z-curve clusters within each partition — partition pruning
+    * and multi-dimension file skipping compose (numeric partition
+    * values are recorded as (v, v) stats from the file path, so a
+    * partition-pinned box prunes to one partition's files before the
+    * z-stats narrow further). */
+  def appendZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int = 8, partitionCols: Seq[String] = Nil): Long =
+    commit(zShape(df, clusterCols, numFiles, partitionCols), path, partitionCols,
+      identity, statsCols = clusterCols, op = "append_zordered")
 
   /** Range read with file-level data skipping: only files whose
     * recorded [min, max] intersects [lo, hi] are opened (files with
@@ -534,24 +572,28 @@ object SnapshotTable {
     * conservatively rewritten. Per-key-column stats are recorded on
     * the files this merge writes, so successive merges keep pruning.
     *
-    * Preconditions: source keys must be unique (the standard MERGE
-    * constraint — an ambiguous multi-update throws). A
-    * hive-partitioned table keeps its layout automatically: when
-    * `partitionCols` is not given, the table's partition columns are
-    * inferred from the live files' paths, so rewritten files stay
-    * where [[overwritePartitions]] matches them. Concurrency: the rewrite set
-    * is computed against the latest version; if another writer commits
-    * before this merge publishes, the commit aborts (write-skew guard)
-    * — rerun the merge.
+    * Preconditions: a target row may be matched by at most ONE source
+    * row (the standard MERGE constraint, Delta's "multiple source rows
+    * matched" error). The guard rides the rewrite pass itself — the
+    * per-key source counts join the touched files' rows and a
+    * multi-match raises DURING the rewrite job, before any manifest
+    * publish — rather than costing a separate full source aggregation
+    * up front. Source keys that match no target row simply insert
+    * (per SQL MERGE; duplicate unmatched keys insert multiply, as in
+    * every engine). A hive-partitioned table keeps its layout
+    * automatically: when `partitionCols` is not given, the table's
+    * partition columns are inferred from the live files' paths, so
+    * rewritten files stay where [[overwritePartitions]] matches them.
+    * Concurrency: the rewrite set is computed against the latest
+    * version; if another writer commits before this merge publishes,
+    * the commit aborts (write-skew guard) — rerun the merge.
     */
   def merge(source: DataFrame, path: String, keyCols: Seq[String],
       partitionCols: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = source.sparkSession
-    require(source.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).isEmpty,
-      s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — " +
-        "each target row may be updated by at most one source row")
+    val dupMsg = s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — " +
+      "each target row may be updated by at most one source row"
     val base = latestVersion(spark, path) match {
       case None    => return commit(source, path, partitionCols, identity,
                         statsCols = keyCols, op = "merge")
@@ -588,14 +630,22 @@ object SnapshotTable {
     val rewrite: Set[String] = hit ++ unprunable.map(_.filePath)
 
     // survivors of the rewritten files = rows whose key matches no
-    // source key; everything else in those files is superseded
+    // source key; everything else in those files is superseded. The
+    // join carries the per-key source count, so the ambiguity guard
+    // (a target row matched by >1 source rows) fires inside this same
+    // pass via raise_error — no separate source pre-scan job.
     val newData =
       if (rewrite.isEmpty) source
       else {
         val touched = entries.filter(e => rewrite(e.filePath))
         val current = readGroups(spark, touched, schemaOf(spark, path, Some(base)))
-        current
-          .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        val srcKeys = source.groupBy(keyCols.map(col): _*)
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("_graft_src_cnt"))
+        current.join(srcKeys, keyCols.toSeq, "left")
+          .filter(when(col("_graft_src_cnt") > 1,
+              raise_error(lit(dupMsg)).cast("boolean"))
+            .otherwise(col("_graft_src_cnt").isNull))
+          .drop("_graft_src_cnt")
           .unionByName(source, allowMissingColumns = true)
       }
 
@@ -605,11 +655,20 @@ object SnapshotTable {
     val partCols =
       if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
     val baseFiles = entries.map(_.filePath).toSet
-    commit(newData, path, partCols, prev => {
+    def raisedDup(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("duplicate keys")) ||
+        raisedDup(t.getCause))
+    try commit(newData, path, partCols, prev => {
       require(prev.map(_.filePath).toSet == baseFiles,
         s"concurrent commit advanced $path during merge — rerun the merge")
       prev.filterNot(e => rewrite(e.filePath))
     }, statsCols = statsOut, op = "merge")
+    catch {
+      // surface the in-pass ambiguity guard as the API-level error
+      // (the raise_error fires inside the rewrite job, wrapped in the
+      // job-failure exception; no manifest was published)
+      case e: Throwable if raisedDup(e) => throw new IllegalArgumentException(dupMsg, e)
+    }
   }
 
   /** Row-level DELETE: remove the rows matching `predicate` by
@@ -738,24 +797,35 @@ object SnapshotTable {
     * table keeps its directory layout automatically: the partition
     * columns are inferred from the live files' paths when
     * `partitionCols` is not given, so [[overwritePartitions]] keeps
-    * matching the rewritten files.
+    * matching the rewritten files. `zorderCols` (≥2 columns) rewrites
+    * into a Z-ORDER layout instead — clustered WITHIN each hive
+    * partition when the table is partitioned, which is exactly Delta's
+    * `OPTIMIZE t ZORDER BY (...)` scope: a date-partitioned fact gets
+    * partition pruning and multi-dimension file skipping from the same
+    * maintenance pass.
     */
   def compact(spark: SparkSession, path: String, numFiles: Int = 8,
       clusterCol: Option[String] = None,
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): Long = {
+    require(clusterCol.isEmpty || zorderCols.isEmpty,
+      "pass clusterCol (1-D range clustering) OR zorderCols (z-curve), not both")
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val entries = readManifest(spark, path, base)
     val current = read(spark, path, Some(base))
-    val shaped = clusterCol match {
-      case Some(c) => current.repartitionByRange(numFiles, col(c))
-        .sortWithinPartitions(c)
-      case None => current.repartition(numFiles)
-    }
-    // keep every tracked stats column effective on the rewritten files
-    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++ clusterCol).distinct
     val partCols =
       if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
+    val shaped =
+      if (zorderCols.nonEmpty) zShape(current, zorderCols, numFiles, partCols)
+      else clusterCol match {
+        case Some(c) => current.repartitionByRange(numFiles, col(c))
+          .sortWithinPartitions(c)
+        case None => current.repartition(numFiles)
+      }
+    // keep every tracked stats column effective on the rewritten files
+    val statsOut =
+      (entries.flatMap(_.stats.map(_._1)) ++ clusterCol ++ zorderCols).distinct
     val baseFiles = entries.map(_.filePath).toSet
     commit(shaped, path, partCols, prev => {
       require(prev.map(_.filePath).toSet == baseFiles,
@@ -836,12 +906,20 @@ object SnapshotTable {
     * REMOVED are read — the manifest diff scopes IO to the changed
     * data, never the whole table — and within a rewritten file the
     * carried-over rows cancel out via a multiset difference
-    * (`EXCEPT ALL`), leaving exactly the changed rows. That also makes
-    * a pure compaction commit correctly yield zero changes (at the
-    * cost of diffing what it rewrote — skip known-compaction versions
-    * when consuming incrementally at scale). The multiset diff
+    * (`EXCEPT ALL`), leaving exactly the changed rows. Pure-layout
+    * versions are skipped without reading any data file: a commit
+    * whose manifest records `op=compact` rewrites files but preserves
+    * the row multiset by construction, so it contributes zero changes
+    * and costs zero file reads (no diff of its full rewritten file
+    * set); a pure-carryover commit (no files added or removed) is
+    * likewise skipped from the manifest alone. The multiset diff
     * shuffles only the changed-file rows, so a stats-pruned merge's
-    * feed stays proportional to the touched data at 100 TB. */
+    * feed stays proportional to the touched data at 100 TB. Each
+    * manifest in the range is read exactly once (carried forward as
+    * the next step's base). For histories long enough that a single
+    * `changes` plan gets unwieldy (one diff subtree per changed
+    * version), consume in bounded sub-ranges via
+    * [[SnapshotIncremental.readBatched]]. */
   def changes(spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
     val avail = versions(spark, path).toSet
@@ -857,16 +935,19 @@ object SnapshotTable {
         (if (df.columns.contains(f.name)) col(f.name)
          else lit(null).cast(f.dataType)).as(f.name)).toSeq: _*)
 
+    var prev: Seq[Entry] =
+      if (fromVersion == 0) Nil else readManifest(spark, path, fromVersion)
     val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val prev = if (v - 1 == 0) Nil else readManifest(spark, path, v - 1)
-      val next = readManifest(spark, path, v)
+      val m = readManifestFull(spark, path, v)
       val prevSet = prev.map(_.filePath).toSet
-      val nextSet = next.map(_.filePath).toSet
+      val nextSet = m.entries.map(_.filePath).toSet
       val removed = prev.filterNot(e => nextSet(e.filePath))
-      val added = next.filterNot(e => prevSet(e.filePath))
-      if (removed.isEmpty && added.isEmpty) None
+      val added = m.entries.filterNot(e => prevSet(e.filePath))
+      prev = m.entries
+      if (m.op.contains("compact")) None // row-preserving by construction
+      else if (removed.isEmpty && added.isEmpty) None
       else {
-        val sch = schemaOf(spark, path, Some(v))
+        val sch = m.schema
         val sides = Seq(added, removed).map(es =>
           if (es.isEmpty) None else Some(readGroups(spark, es, sch)))
         val target = sides.flatten.head.schema

@@ -2343,9 +2343,36 @@ object Relational {
       |  AND l_partkey BETWEEN 100 AND 1000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // Partitioned variant: the table keeps a hive layout (partition
+  // pruning) AND the z-curve clusters within each partition (2-D file
+  // skipping inside the partition) — Delta OPTIMIZE ZORDER scope. The
+  // partition dimension rides the same box read: numeric partition
+  // values are manifest stats parsed from the file path.
+  def zorderPartitionedRead(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-zpart-gate").toString + "/t"
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    graft.lake.SnapshotTable.appendZOrdered(li, path,
+      Seq("l_orderkey", "l_partkey"), numFiles = 16,
+      partitionCols = Seq("l_linenumber"))
+    val (df, _) = graft.lake.SnapshotTable.readBox(spark, path,
+      Seq(("l_linenumber", 2.0, 3.0),
+        ("l_orderkey", 1000.0, 3000.0), ("l_partkey", 100.0, 1000.0)))
+    df.orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val zorderPartitionedReadSql =
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_linenumber BETWEEN 2 AND 3
+      |  AND l_orderkey BETWEEN 1000 AND 3000
+      |  AND l_partkey BETWEEN 100 AND 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q110_zorder_box", zorderBoxRead, Some(zorderBoxReadSql)),
+    QDef("q111_zorder_partitioned", zorderPartitionedRead, Some(zorderPartitionedReadSql)),
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
     QDef("q02_scan_projection", scanProjection, Some(scanProjectionSql)),
     QDef("q03_filter_predicates", filterPredicates, Some(filterPredicatesSql)),

@@ -41,9 +41,11 @@ import graft.lake.SnapshotTable
   * accepts re-emission of rewritten carried-over rows instead (the
   * Delta semantics of the same option).
   *
-  * Options: `startingVersion` (default 0 = the whole table, i.e. the
-  * first batch bootstraps every live file of the starting snapshot's
-  * successors), `ignoreChanges` (default false).
+  * Options: `startingVersion` — the first table version the stream
+  * emits, INCLUSIVE, matching Delta's option of the same name
+  * (`startingVersion = N` means the first batch covers commits
+  * N..latest; absent = 0 = bootstrap the whole table);
+  * `ignoreChanges` (default false).
   *
   * Reader notes: files are decoded with parquet-hadoop's Group API —
   * flat (primitive-column) schemas only, which is what the snapshot
@@ -122,7 +124,10 @@ private class SnapshotMicroBatchStream(path: String, schema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableAtStart = Some(SnapshotTable.latestVersion(spark, path).getOrElse(0L))
 
-  override def initialOffset(): Offset = SnapshotVersionOffset(startingVersion)
+  // offsets are EXCLUSIVE lower bounds (batch = (start, end]), so the
+  // inclusive startingVersion option maps to offset startingVersion-1
+  override def initialOffset(): Offset =
+    SnapshotVersionOffset(math.max(0L, startingVersion - 1))
 
   override def latestOffset(): Offset =
     SnapshotVersionOffset(SnapshotTable.latestVersion(spark, path).getOrElse(0L))
@@ -153,25 +158,21 @@ private class SnapshotMicroBatchStream(path: String, schema: StructType,
     val s = start.asInstanceOf[SnapshotVersionOffset].version
     val e = end.asInstanceOf[SnapshotVersionOffset].version
     if (e <= s) return Array.empty
-    if (!ignoreChanges) {
-      ((s + 1) to e).foreach { v =>
-        val prev =
-          if (v == 1) Set.empty[String]
-          else SnapshotTable.readManifest(spark, path, v - 1).map(_.filePath).toSet
-        val cur = SnapshotTable.readManifest(spark, path, v).map(_.filePath).toSet
-        if ((prev -- cur).nonEmpty) throw new IllegalStateException(
+    // one manifest read per version in the range (the file set carries
+    // forward), with the append-only verification riding the same pass
+    val (_, added) = graft.lake.SnapshotIncremental.addedBetween(spark, path, s, e,
+      onRemoved = if (ignoreChanges) None else Some { (v, _) =>
+        throw new IllegalStateException(
           s"version $v of $path is not append-only (op=" +
             s"${SnapshotTable.opOf(spark, path, v).getOrElse("unknown")}): rewritten " +
             "files would re-emit carried rows in the stream — set " +
             ".option(\"ignoreChanges\", true) to accept re-emission")
-      }
-    }
-    val from =
-      if (s == 0) Set.empty[String]
-      else SnapshotTable.readManifest(spark, path, s).map(_.filePath).toSet
-    SnapshotTable.readManifest(spark, path, e)
-      .filterNot(en => from(en.filePath))
-      .map(en => SnapshotFilePartition(en.filePath, en.commitDir, schema): InputPartition)
+      })
+    // executor-side reads must see the session's Hadoop settings
+    // (s3a/abfs credentials, endpoints) — capture them serializably
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    added
+      .map(en => SnapshotFilePartition(en.filePath, en.commitDir, schema, conf): InputPartition)
       .toArray
   }
 
@@ -179,8 +180,25 @@ private class SnapshotMicroBatchStream(path: String, schema: StructType,
     (p: InputPartition) => new SnapshotFileReader(p.asInstanceOf[SnapshotFilePartition])
 }
 
+/** java-serializable Hadoop Configuration carrier (the session's
+  * `spark.hadoop.*` settings must reach executor-side ParquetReaders —
+  * a default `Configuration()` there would lack object-store
+  * credentials/endpoints even though the batch path has them). */
+private class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private case class SnapshotFilePartition(filePath: String, commitDir: String,
-    schema: StructType) extends InputPartition
+    schema: StructType, conf: SerializableHadoopConf) extends InputPartition
 
 /** One parquet data file → InternalRows under the table schema:
   * file columns via the Group API, hive partition columns from the
@@ -200,7 +218,8 @@ private class SnapshotFileReader(p: SnapshotFilePartition)
       }.toMap
 
   private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new Path(p.filePath)).build()
+    ParquetReader.builder(new GroupReadSupport(), new Path(p.filePath))
+      .withConf(p.conf.value).build()
   private var current: Group = _
 
   override def next(): Boolean = { current = reader.read(); current != null }

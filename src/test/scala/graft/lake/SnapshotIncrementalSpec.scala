@@ -99,6 +99,65 @@ class SnapshotIncrementalSpec extends SparkTestBase {
     assert(SnapshotTable.versions(spark, path) === Seq(3L, 4L))
   }
 
+  test("Cdc feed skips compact versions from the manifest alone — zero file reads, same content") {
+    val path = Files.createTempDirectory("graft-inc-skip").toString + "/t"
+    SnapshotTable.append(mk("a", 5), path)                 // v1
+    SnapshotTable.append(mk("b", 3), path)                 // v2
+    SnapshotTable.delete(spark, path, col("v") >= 4.0)     // v3: one real rewrite
+    SnapshotTable.compact(spark, path, numFiles = 2)       // v4: row-preserving
+    SnapshotTable.append(mk("c", 2), path)                 // v5
+    val compactFiles = SnapshotTable.liveFiles(spark, path, Some(4L))
+      .filterNot(SnapshotTable.liveFiles(spark, path, Some(3L)).toSet).toSet
+    assert(compactFiles.nonEmpty) // the compact DID rewrite files
+    val feed = SnapshotIncremental.readBetween(spark, path, 0L, 5L,
+      SnapshotIncremental.Cdc)
+    // the plan never touches the compact version's rewritten files
+    assert(feed.inputFiles.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+      .toSet.intersect(compactFiles
+        .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)).isEmpty)
+    // and the feed content is exactly what the diffs say happened
+    val got = feed.select("id", "_change_type", "_commit_version")
+      .as[(String, String, Long)].collect().toSet
+    val expected =
+      (0 until 5).map(i => (s"a-$i", "insert", 1L)).toSet ++
+      (0 until 3).map(i => (s"b-$i", "insert", 2L)).toSet ++
+      Set(("a-4", "delete", 3L)) ++
+      (0 until 2).map(i => (s"c-$i", "insert", 5L)).toSet
+    assert(got === expected)
+  }
+
+  test("readBatched splits a long range into bounded sub-ranges equal to the single read") {
+    val path = Files.createTempDirectory("graft-inc-batch").toString + "/t"
+    (1 to 5).foreach(i => SnapshotTable.append(mk(s"c$i", i), path))
+    val batches = SnapshotIncremental.readBatched(spark, path, 0L, 5L, 2L).toSeq
+    assert(batches.map(b => (b._1, b._2)) === Seq((1L, 2L), (3L, 4L), (5L, 5L)))
+    assert(batches.map(_._3.count()) === Seq(3L, 7L, 5L)) // 1+2, 3+4, 5
+    val single = SnapshotIncremental.readBetween(spark, path, 0L, 5L)
+    assert(batches.map(_._3.count()).sum === single.count())
+  }
+
+  test("processNew with maxVersionsPerBatch advances the offset per sub-range") {
+    val path = Files.createTempDirectory("graft-inc-bp").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-inc-bp-ckpt").toString
+    (1 to 4).foreach(i => SnapshotTable.append(mk(s"c$i", 1), path))
+    var calls = 0
+    intercept[RuntimeException] {
+      SnapshotIncremental.processNew(spark, path, ckpt,
+        maxVersionsPerBatch = Some(2L)) { (_, _, to) =>
+        calls += 1
+        if (to >= 4L) throw new RuntimeException("sink down mid-backlog")
+      }
+    }
+    // first sub-range (1,2] committed before the second (3,4] failed
+    assert(calls === 2)
+    assert(SnapshotIncremental.lastConsumed(spark, ckpt) === Some(2L))
+    // resume consumes ONLY the failed sub-range
+    var ranges = Seq.empty[(Long, Long)]
+    SnapshotIncremental.processNew(spark, path, ckpt,
+      maxVersionsPerBatch = Some(2L)) { (_, f, t) => ranges :+= ((f, t)) }
+    assert(ranges === Seq((3L, 4L)))
+  }
+
   test("first Cdc batch from version 0 bootstraps the whole table as inserts") {
     val path = Files.createTempDirectory("graft-inc-boot").toString + "/t"
     SnapshotTable.append(mk("a", 5), path)

@@ -208,6 +208,47 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(n1 < 16)
   }
 
+  test("hive-partitioned z-order: partition pruning and in-partition file skipping compose") {
+    val path = Files.createTempDirectory("graft-snap-pz").toString + "/t"
+    val li = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    SnapshotTable.appendZOrdered(li, path, Seq("l_orderkey", "l_partkey"),
+      numFiles = 32, partitionCols = Seq("l_linenumber"))
+
+    // the layout IS hive-partitioned (overwritePartitions keeps working)
+    val files = SnapshotTable.liveFiles(spark, path)
+    assert(files.forall(_.contains("l_linenumber=")))
+    val inPart = files.count(_.contains("l_linenumber=1/"))
+    assert(inPart >= 2, s"want several files inside partition 1, got $inPart")
+
+    // a partition-pinned 2D box: the partition stat prunes to ONE
+    // partition's files, the z-stats prune WITHIN it — a strict subset
+    val box = Seq(("l_linenumber", 1.0, 1.0),
+      ("l_orderkey", 100.0, 1200.0), ("l_partkey", 10.0, 60.0))
+    val (pruned, scanned) = SnapshotTable.readBox(spark, path, box)
+    assert(scanned < inPart,
+      s"expected in-partition skipping: scanned $scanned of $inPart partition files")
+    val want = SnapshotTable.read(spark, path)
+      .filter(col("l_linenumber") === 1 &&
+        col("l_orderkey").between(100, 1200) && col("l_partkey").between(10, 60))
+    assert(pruned.count() === want.count())
+    assert(want.count() > 0)
+
+    // the z-order maintenance pass (compact zorderCols) produces the
+    // same composed layout on an existing partitioned table
+    val path2 = Files.createTempDirectory("graft-snap-pz2").toString + "/t"
+    SnapshotTable.append(li, path2, Seq("l_linenumber"))
+    SnapshotTable.compact(spark, path2, numFiles = 32,
+      zorderCols = Seq("l_orderkey", "l_partkey"))
+    val files2 = SnapshotTable.liveFiles(spark, path2)
+    assert(files2.forall(_.contains("l_linenumber=")))
+    val inPart2 = files2.count(_.contains("l_linenumber=1/"))
+    val (pruned2, scanned2) = SnapshotTable.readBox(spark, path2, box)
+    assert(scanned2 < inPart2,
+      s"expected in-partition skipping after compact: $scanned2 of $inPart2")
+    assert(pruned2.count() === want.count())
+  }
+
   test("metadata-only count matches the scanned count across every write path") {
     val path = Files.createTempDirectory("graft-snap-count").toString + "/t"
     def check(): Unit =
@@ -295,6 +336,35 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(latest.count() === 4)
     assert(latest.filter(col("id") === "b").select("v").as[Double].head() === 20.0)
     assert(latest.filter(col("id") === "a").select("v").as[Double].head() === 1.0)
+  }
+
+  test("merge is one job: the duplicate-key guard rides the rewrite pass, no pre-scan") {
+    val path = Files.createTempDirectory("graft-snap-merge-1job").toString + "/t"
+    SnapshotTable.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path)
+    @volatile var execs = 0
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        execs += 1
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        execs += 1
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SnapshotTable.merge(Seq((2L, 20.0), (3L, 3.0)).toDF("k", "v"), path, Seq("k"))
+      // listener delivery is async — wait for the write's event, then a
+      // grace period in which any EXTRA (pre-scan) event would land
+      val deadline = System.currentTimeMillis + 10000
+      while (execs < 1 && System.currentTimeMillis < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(execs === 1,
+        s"merge on a stats-less table must be exactly the rewrite job, saw $execs executions")
+    } finally spark.listenerManager.unregister(listener)
+    // and the merge itself was correct
+    val latest = SnapshotTable.read(spark, path)
+    assert(latest.count() === 3)
+    assert(latest.filter(col("k") === 2L).select("v").as[Double].head() === 20.0)
   }
 
   test("merge rejects a source with duplicate keys") {

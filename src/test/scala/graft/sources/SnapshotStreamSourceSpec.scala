@@ -46,6 +46,17 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(drain(path, s"$base/ckpt2").size === 4)
   }
 
+  test("startingVersion is inclusive, matching Delta's option of the same name") {
+    val base = Files.createTempDirectory("graft-stream-sv").toString
+    val path = s"$base/t"
+    SnapshotTable.append(Seq((1L, "v1")).toDF("k", "s"), path)
+    SnapshotTable.append(Seq((2L, "v2")).toDF("k", "s"), path)
+    SnapshotTable.append(Seq((3L, "v3")).toDF("k", "s"), path)
+    // startingVersion=2 → first batch covers commits 2..3 (NOT 3..3)
+    val got = drain(path, s"$base/ckpt", Map("startingVersion" -> "2"))
+    assert(got.map(_.getLong(0)).sorted === Seq(2L, 3L))
+  }
+
   test("date/timestamp/boolean/partition columns round-trip identical to the batch read") {
     val base = Files.createTempDirectory("graft-stream-types").toString
     val path = s"$base/t"
