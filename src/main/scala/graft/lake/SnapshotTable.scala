@@ -119,24 +119,43 @@ object SnapshotTable {
   private val nonAtomicSchemes =
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
 
+  /** Commit-lock hook for object-store deployments: when registered,
+    * publishes on schemes with no native CAS run inside the provider's
+    * exclusive section, making the exists-check + rename safe under
+    * concurrent writers (the delta-on-S3 LogStore posture). Atomic
+    * schemes (local FS, HDFS) never need it and bypass it. */
+  @volatile private var lockProviderOpt: Option[CommitLockProvider] = None
+  def setLockProvider(p: Option[CommitLockProvider]): Unit = lockProviderOpt = p
+
+  /** Test hook: treat the local FS as if it had no atomic
+    * create-if-absent, so the lock-provider publish path is exercisable
+    * in specs without an object store. */
+  private def forceNonAtomic: Boolean =
+    sys.props.get("graft.snapshot.testForceNonAtomic").contains("true")
+
   /** Atomically publish manifest `version`; returns false if another
     * writer won that version. The publish is a create-if-absent CAS:
     * on the local FS a hard link (atomic, fails if the target exists),
     * on HDFS a rename (rename onto an existing FILE fails). Object
-    * stores have neither primitive and fail fast unless explicitly
-    * opted in. Content is fully written to the tmp file first, so a
-    * reader can never observe a partial manifest. */
+    * stores have neither primitive: there the publish requires either
+    * a registered [[CommitLockProvider]] (which serializes the
+    * check-and-rename, restoring the CAS) or the explicit
+    * single-writer opt-out. Content is fully written to the tmp file
+    * first, so a reader can never observe a partial manifest. */
   private def publishManifest(spark: SparkSession, path: String, version: Long,
       entries: Seq[Entry], schema: Option[StructType] = None,
       op: Option[String] = None): Boolean = {
     val f = fs(spark, path)
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
-    require(!nonAtomicSchemes.contains(scheme)
+    val atomicScheme = !nonAtomicSchemes.contains(scheme) && !forceNonAtomic
+    val lock = lockProviderOpt
+    require(atomicScheme || lock.isDefined
         || sys.props.get("graft.snapshot.allowNonAtomicPublish").contains("true"),
       s"manifest publish on '$scheme' has no atomic create-if-absent: concurrent " +
         "writers could both win the same version and silently drop a commit. " +
-        "Guarantee a single writer (or an external lock) and set " +
-        "-Dgraft.snapshot.allowNonAtomicPublish=true to proceed.")
+        "Register a CommitLockProvider (SnapshotTable.setLockProvider) to " +
+        "serialize publishes — the safe multi-writer path — or guarantee a " +
+        "single writer and set -Dgraft.snapshot.allowNonAtomicPublish=true.")
     f.mkdirs(new Path(logDir(path)))
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
@@ -149,8 +168,9 @@ object SnapshotTable {
     }.mkString("\n")).getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(s"${logDir(path)}/v$version")
-    val won =
-      if (f.getScheme == "file")
+    val useLink = f.getScheme == "file" && !forceNonAtomic
+    def casPublish(): Boolean =
+      if (useLink)
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(dst.toUri.getPath),
@@ -158,8 +178,12 @@ object SnapshotTable {
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       else !f.exists(dst) && f.rename(tmp, dst)
-    if (won && f.getScheme == "file") f.delete(tmp, false)
-    else if (!won) f.delete(tmp, false)
+    val won =
+      if (!atomicScheme && lock.isDefined) lock.get.withLock(path)(casPublish())
+      else casPublish()
+    // hard-link publish leaves the tmp behind on success; rename
+    // consumes it — delete whatever remains
+    if ((won && useLink) || !won) f.delete(tmp, false)
     won
   }
 

@@ -338,6 +338,41 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(latest.filter(col("id") === "a").select("v").as[Double].head() === 1.0)
   }
 
+  test("a registered lock provider serializes non-atomic publishes; no commit lost") {
+    val path = Files.createTempDirectory("graft-snap-lock").toString + "/t"
+    // simulate an object store: the publish CAS is exists+rename (not
+    // atomic); the lock provider must restore mutual exclusion
+    sys.props("graft.snapshot.testForceNonAtomic") = "true"
+    SnapshotTable.setLockProvider(Some(new FileCommitLockProvider()))
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 6).map { i =>
+        new Thread(() =>
+          try SnapshotTable.append(Seq((i.toLong, i * 1.0)).toDF("k", "v"), path)
+          catch { case t: Throwable => errs.add(t); () })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errs.isEmpty, s"concurrent commits failed: ${errs.peek()}")
+      assert(SnapshotTable.versions(spark, path) === (1L to 6L))
+      assert(SnapshotTable.read(spark, path).count() === 6)
+    } finally {
+      sys.props.remove("graft.snapshot.testForceNonAtomic")
+      SnapshotTable.setLockProvider(None)
+    }
+  }
+
+  test("non-atomic publish without a lock provider fails fast, naming the safe opt-in") {
+    val path = Files.createTempDirectory("graft-snap-nolock").toString + "/t"
+    sys.props("graft.snapshot.testForceNonAtomic") = "true"
+    try {
+      val e = intercept[IllegalArgumentException](
+        SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), path))
+      assert(e.getMessage.contains("CommitLockProvider"))
+      assert(e.getMessage.contains("allowNonAtomicPublish"))
+    } finally sys.props.remove("graft.snapshot.testForceNonAtomic")
+  }
+
   test("merge is one job: the duplicate-key guard rides the rewrite pass, no pre-scan") {
     val path = Files.createTempDirectory("graft-snap-merge-1job").toString + "/t"
     SnapshotTable.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path)
