@@ -1492,6 +1492,37 @@ object Relational {
       |WHERE substring(md5(concat_ws('-', l_orderkey, l_linenumber)), 1, 2) < '10'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- §2.6 extension: seeded TABLESAMPLE ----------------------------
+  // The engine-native sampling surface: `TABLESAMPLE (20 PERCENT)
+  // REPEATABLE (seed)`. The sampled ROWS are engine-specific (each
+  // engine seeds its own RNG), so the cross-engine oracle is the
+  // behavioral contract, not the row set: a repeated seed reproduces
+  // the exact same sample, the sample is a true subset of the table,
+  // and the fraction lands near the requested rate. q70_hash_sample
+  // remains the portable variant whose ROWS are engine-identical
+  // (md5-prefix predicate) — use that when two engines must agree on
+  // the split at 100 TB; use TABLESAMPLE when one engine samples for
+  // itself (it is cheaper: the Bernoulli filter rides the scan).
+  def tablesampleContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    c.createOrReplaceTempView("graft_ts_customer")
+    def sampled() = spark.sql(
+      "SELECT c_custkey FROM graft_ts_customer TABLESAMPLE (20 PERCENT) REPEATABLE (42)")
+    val s1 = sampled()
+    val s2 = sampled()
+    val deterministic =
+      s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty
+    val subset = s1.join(c, Seq("c_custkey"), "left_anti").isEmpty
+    val frac = s1.count().toDouble / c.count()
+    Seq((deterministic, subset, math.abs(frac - 0.20) < 0.05))
+      .toDF("is_deterministic", "is_subset", "frac_in_tolerance")
+  }
+
+  private val tablesampleContractSql =
+    """SELECT true AS is_deterministic, true AS is_subset,
+      | true AS frac_in_tolerance""".stripMargin
+
   // -- §2.5 extension: IGNORE NULLS analytic windows -----------------
   // Carry-forward/backward over sparse columns (gap filling, last
   // observation carried forward) — lag/lead/nth/first/last with
@@ -2427,6 +2458,7 @@ object Relational {
     QDef("q68_market_share", marketShare, Some(marketShareSql)),
     QDef("q69_map_funcs", mapFuncs, Some(mapFuncsSql)),
     QDef("q70_hash_sample", hashSample, Some(hashSampleSql)),
+    QDef("q112_tablesample", tablesampleContract, Some(tablesampleContractSql)),
     QDef("q72_window_ignore_nulls", windowIgnoreNulls, Some(windowIgnoreNullsSql)),
     QDef("q73_min_cost_supplier", minCostSupplier, Some(minCostSupplierSql)),
     QDef("q74_approx_percentiles", approxPercentiles, Some(approxPercentilesSql)),
