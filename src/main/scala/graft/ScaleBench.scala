@@ -61,6 +61,7 @@ object ScaleBench {
 
     val queryIds = Seq(1L, 1000L, 54321L)
     var mergeScaleBase: Option[String] = None
+    var snapBootBase: Option[String] = None
     val results: Seq[(String, Double)] = Seq(
       timed("exact_dedup")     { noop(graft.ops.TextDedup.exactDuplicates(docs)) },
       timed("minhash_buckets") { noop(graft.ops.TextDedup.minhashBuckets(docs)) },
@@ -199,6 +200,29 @@ object ScaleBench {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         require(byType.getOrElse("insert", 0L) == 50 && byType.getOrElse("delete", 0L) == 50,
           s"expected 50/50 insert/delete in the merge feed, got $byType")
+      },
+      timed("snap_bootstrap_stage") {
+        // stage a 1M-row snapshot table in a few fat files — the shape
+        // where the streaming bootstrap used to degrade to one
+        // row-at-a-time task per file
+        val base = java.nio.file.Files.createTempDirectory("graft-scale-snapboot")
+        snapBootBase = Some(base.toString)
+        graft.lake.SnapshotTable.append(docs.coalesce(4), s"${base}/t")
+      },
+      timed("snap_bootstrap_batch") {
+        noop(graft.lake.SnapshotTable.read(spark, s"${snapBootBase.get}/t"))
+      },
+      timed("snap_bootstrap_stream") {
+        // the whole table as one first batch: auto mode routes it
+        // through the vectorized reader with byte-range splits, so
+        // this should track snap_bootstrap_batch, not trail it 10x
+        val base = snapBootBase.get
+        val q = spark.readStream.format("graft-snapshot").load(s"$base/t")
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "bootstrap drain did not finish")
       },
       timed("stream_drain")    {
         // Structured Streaming throughput at the same 1M rows:

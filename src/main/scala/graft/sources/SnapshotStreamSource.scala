@@ -45,14 +45,24 @@ import graft.lake.SnapshotTable
   * emits, INCLUSIVE, matching Delta's option of the same name
   * (`startingVersion = N` means the first batch covers commits
   * N..latest; absent = 0 = bootstrap the whole table);
-  * `ignoreChanges` (default false).
+  * `ignoreChanges` (default false); `vectorizedReader` —
+  * `auto` (default) | `always` | `never`; `vectorizedThresholdBytes`
+  * (auto mode switches to the vectorized reader when a batch spans at
+  * least this many bytes, default 16 MiB); `maxBytesPerPartition`
+  * (vectorized files split into byte ranges of at most this, default
+  * 128 MiB, so one fat bootstrap file fans out over tasks).
   *
-  * Reader notes: files are decoded with parquet-hadoop's Group API —
-  * flat (primitive-column) schemas only, which is what the snapshot
-  * writer produces for relational tables; hive partition-directory
-  * values are filled from the file path exactly like the batch
-  * reader. Timestamps handle both INT96 and annotated INT64
-  * encodings.
+  * Reader notes: TWO decode paths share the partition-value logic.
+  * Small commit-sized batches use parquet-hadoop's Group API (simple,
+  * per-row); batches at bootstrap scale route through Spark's
+  * VectorizedParquetRecordReader with byte-range file splitting — the
+  * same columnar decoder the batch reader uses, so bootstrapping a
+  * large table through the stream is no longer row-at-a-time with one
+  * task per file. Flat (primitive-column) schemas only, which is what
+  * the snapshot writer produces; hive partition-directory values are
+  * filled from the file path exactly like the batch reader; columns a
+  * file predates read as NULL. Timestamps handle both INT96 and
+  * annotated INT64 encodings.
   */
 class SnapshotStreamSource extends TableProvider with DataSourceRegister {
 
@@ -76,16 +86,26 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
     // properties carry the options with their ORIGINAL key case —
     // normalize so .option("ignoreChanges", ...) matches
     val opts = new CaseInsensitiveStringMap(properties)
-    new SnapshotStreamTable(pathOf(opts), schema,
+    val vectorized = Option(opts.get("vectorizedreader")).getOrElse("auto")
+    require(Set("auto", "always", "never")(vectorized),
+      s"vectorizedReader must be auto|always|never, got '$vectorized'")
+    new SnapshotStreamTable(pathOf(opts), schema, SnapshotStreamOptions(
       Option(opts.get("startingversion")).map(_.toLong).getOrElse(0L),
       opts.getBoolean("ignorechanges", false),
-      Option(opts.get("maxversionspertrigger")).map(_.toLong))
+      Option(opts.get("maxversionspertrigger")).map(_.toLong),
+      vectorized,
+      opts.getLong("vectorizedthresholdbytes", 16L << 20),
+      opts.getLong("maxbytesperpartition", 128L << 20)))
   }
 }
 
+private case class SnapshotStreamOptions(startingVersion: Long,
+    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long],
+    vectorizedReader: String, vectorizedThresholdBytes: Long,
+    maxBytesPerPartition: Long)
+
 private class SnapshotStreamTable(path: String, tableSchema: StructType,
-    startingVersion: Long, ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Long]) extends Table with SupportsRead {
+    opts: SnapshotStreamOptions) extends Table with SupportsRead {
 
   override def name(): String = s"graft-snapshot($path)"
   override def schema(): StructType = tableSchema
@@ -97,8 +117,7 @@ private class SnapshotStreamTable(path: String, tableSchema: StructType,
       override def readSchema(): StructType = tableSchema
       override def description(): String = s"SnapshotStream $path"
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new SnapshotMicroBatchStream(path, tableSchema, startingVersion,
-          ignoreChanges, maxVersionsPerTrigger)
+        new SnapshotMicroBatchStream(path, tableSchema, opts)
     }
 }
 
@@ -107,13 +126,16 @@ private case class SnapshotVersionOffset(version: Long) extends Offset {
 }
 
 private class SnapshotMicroBatchStream(path: String, schema: StructType,
-    startingVersion: Long, ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Long])
+    opts: SnapshotStreamOptions)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  private val startingVersion = opts.startingVersion
+  private val ignoreChanges = opts.ignoreChanges
+  private val maxVersionsPerTrigger = opts.maxVersionsPerTrigger
 
   private def spark = SparkSession.active
 
@@ -171,13 +193,38 @@ private class SnapshotMicroBatchStream(path: String, schema: StructType,
     // executor-side reads must see the session's Hadoop settings
     // (s3a/abfs credentials, endpoints) — capture them serializably
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-    added
-      .map(en => SnapshotFilePartition(en.filePath, en.commitDir, schema, conf): InputPartition)
-      .toArray
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sized = added.map(en => en -> fs.getFileStatus(new Path(en.filePath)).getLen)
+    val vectorize = opts.vectorizedReader match {
+      case "always" => true
+      case "never"  => false
+      // auto: commit-sized batches stay on the simple Group reader;
+      // a bootstrap-sized batch gets the columnar decoder + splitting
+      case _        => sized.map(_._2).sum >= opts.vectorizedThresholdBytes
+    }
+    if (!vectorize)
+      sized.map { case (en, _) =>
+        SnapshotFilePartition(en.filePath, en.commitDir, schema, conf,
+          0L, Long.MaxValue, vectorized = false): InputPartition
+      }.toArray
+    else
+      // byte-range splits: the parquet reader takes the row groups
+      // whose midpoint falls in [start, start+length) — standard file
+      // splitting, so one fat bootstrap file fans out over tasks
+      sized.flatMap { case (en, len) =>
+        (0L until math.max(len, 1L) by opts.maxBytesPerPartition).map { off =>
+          SnapshotFilePartition(en.filePath, en.commitDir, schema, conf,
+            off, math.min(opts.maxBytesPerPartition, len - off),
+            vectorized = true): InputPartition
+        }
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (p: InputPartition) => new SnapshotFileReader(p.asInstanceOf[SnapshotFilePartition])
+    (p: InputPartition) => {
+      val sp = p.asInstanceOf[SnapshotFilePartition]
+      if (sp.vectorized) new SnapshotVectorReader(sp) else new SnapshotFileReader(sp)
+    }
 }
 
 /** java-serializable Hadoop Configuration carrier (the session's
@@ -198,7 +245,107 @@ private class SerializableHadoopConf(
 }
 
 private case class SnapshotFilePartition(filePath: String, commitDir: String,
-    schema: StructType, conf: SerializableHadoopConf) extends InputPartition
+    schema: StructType, conf: SerializableHadoopConf,
+    start: Long, length: Long, vectorized: Boolean) extends InputPartition
+
+/** Hive partition-value handling shared by both decode paths: parse
+  * the `k=v` path segments and convert a directory-string value to
+  * its Catalyst representation under the table schema's type. */
+private object SnapshotPartValues {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  def parse(filePath: String, commitDir: String): Map[String, String] =
+    filePath.stripPrefix(commitDir).split("/")
+      .filter(seg => seg.nonEmpty && seg.contains("="))
+      .map { seg =>
+        val k = ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '='))
+        val v = ExternalCatalogUtils.unescapePathName(seg.dropWhile(_ != '=').drop(1))
+        k -> v
+      }.toMap
+
+  def toCatalyst(v: String, dt: DataType, name: String): Any =
+    if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+    else dt match {
+      case StringType  => UTF8String.fromString(v)
+      case IntegerType => v.toInt
+      case LongType    => v.toLong
+      case ShortType   => v.toShort
+      case DoubleType  => v.toDouble
+      case FloatType   => v.toFloat
+      case BooleanType => v.toBoolean
+      case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case TimestampType =>
+        // partition-dir timestamps are rendered in the writing
+        // session's timezone; every engine session pins UTC, so parse
+        // as UTC with full microsecond precision
+        val ldt = java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+        val ins = ldt.toInstant(java.time.ZoneOffset.UTC)
+        ins.getEpochSecond * 1000000L + ins.getNano / 1000L
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition column type ${other.simpleString} ('$name')")
+    }
+}
+
+/** Bootstrap-scale decode path: Spark's vectorized parquet reader
+  * over a byte range of one file (row groups chosen by split range),
+  * partition columns appended as constant vectors, rows projected
+  * back into table-schema order. This is the columnar decoder the
+  * batch read uses — bootstrap throughput tracks the batch reader
+  * instead of the per-row Group API. */
+private class SnapshotVectorReader(p: SnapshotFilePartition)
+    extends PartitionReader[InternalRow] {
+
+  import org.apache.hadoop.mapreduce.TaskAttemptID
+  import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+
+  private val partValues = SnapshotPartValues.parse(p.filePath, p.commitDir)
+  private val partFields = p.schema.fields.filter(f => partValues.contains(f.name))
+  private val dataFields = p.schema.fields.filterNot(f => partValues.contains(f.name))
+
+  private val conf = new org.apache.hadoop.conf.Configuration(p.conf.value)
+  // the requested-schema contract of Spark's parquet record reader
+  // (missing columns surface as NULL vectors — schema evolution)
+  conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+    StructType(dataFields).json)
+  conf.set("parquet.read.support.class",
+    "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+  // keys ParquetFileFormat normally pins on the hadoopConf before
+  // handing it to this reader (schema-converter construction needs
+  // them present); setIfUnset so propagated session values win
+  Seq("spark.sql.parquet.binaryAsString" -> "false",
+    "spark.sql.parquet.int96AsTimestamp" -> "true",
+    "spark.sql.caseSensitive" -> "false",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "false")
+    .foreach { case (k, v) => if (conf.get(k) == null) conf.set(k, v) }
+
+  private val reader = new VectorizedParquetRecordReader(
+    null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+  // Spark's reader base casts the split to the mapred-API FileSplit
+  // (which extends the mapreduce one in Hadoop 3) — construct that
+  reader.initialize(
+    new org.apache.hadoop.mapred.FileSplit(
+      new Path(p.filePath), p.start, p.length, Array.empty[String]),
+    new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+  reader.initBatch(StructType(partFields), InternalRow.fromSeq(
+    partFields.toIndexedSeq.map(f =>
+      SnapshotPartValues.toCatalyst(partValues(f.name), f.dataType, f.name))))
+
+  // batch rows come out as (dataFields ++ partFields); project back to
+  // the table schema's column order, copying off the mutable batch row
+  private val batchOrder = (dataFields ++ partFields).map(_.name)
+  private val proj = UnsafeProjection.create(p.schema.fields.map { f =>
+    BoundReference(batchOrder.indexOf(f.name), f.dataType, nullable = true): Expression
+  }.toIndexedSeq)
+
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): InternalRow =
+    proj(reader.getCurrentValue.asInstanceOf[InternalRow])
+  override def close(): Unit = reader.close()
+}
 
 /** One parquet data file → InternalRows under the table schema:
   * file columns via the Group API, hive partition columns from the
@@ -206,16 +353,8 @@ private case class SnapshotFilePartition(filePath: String, commitDir: String,
 private class SnapshotFileReader(p: SnapshotFilePartition)
     extends PartitionReader[InternalRow] {
 
-  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-
   private val partValues: Map[String, String] =
-    p.filePath.stripPrefix(p.commitDir).split("/")
-      .filter(seg => seg.nonEmpty && seg.contains("="))
-      .map { seg =>
-        val k = ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '='))
-        val v = ExternalCatalogUtils.unescapePathName(seg.dropWhile(_ != '=').drop(1))
-        k -> v
-      }.toMap
+    SnapshotPartValues.parse(p.filePath, p.commitDir)
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(p.filePath))
@@ -232,8 +371,8 @@ private class SnapshotFileReader(p: SnapshotFilePartition)
         val idx = gt.getFieldIndex(f.name)
         if (g.getFieldRepetitionCount(idx) == 0) null else extract(g, idx, f)
       } else partValues.get(f.name) match {
-        case Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) | None => null
-        case Some(v) => partitionValue(v, f.dataType, f.name)
+        case None    => null
+        case Some(v) => SnapshotPartValues.toCatalyst(v, f.dataType, f.name)
       }
     })
   }
@@ -277,27 +416,6 @@ private class SnapshotFileReader(p: SnapshotFilePartition)
       case other => throw new UnsupportedOperationException(
         s"graft-snapshot stream reader does not support ${other.simpleString} ('${f.name}')")
     }
-  }
-
-  private def partitionValue(v: String, dt: DataType, name: String): Any = dt match {
-    case StringType  => UTF8String.fromString(v)
-    case IntegerType => v.toInt
-    case LongType    => v.toLong
-    case ShortType   => v.toShort
-    case DoubleType  => v.toDouble
-    case FloatType   => v.toFloat
-    case BooleanType => v.toBoolean
-    case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
-    case TimestampType =>
-      // partition-dir timestamps are rendered in the writing session's
-      // timezone; every engine session pins UTC, so parse as UTC with
-      // full microsecond precision (java.sql.Timestamp.valueOf would
-      // use the JVM-default zone and truncate to millis)
-      val ldt = java.time.LocalDateTime.parse(v.replace(' ', 'T'))
-      val ins = ldt.toInstant(java.time.ZoneOffset.UTC)
-      ins.getEpochSecond * 1000000L + ins.getNano / 1000L
-    case other => throw new UnsupportedOperationException(
-      s"unsupported partition column type ${other.simpleString} ('$name')")
   }
 
   override def close(): Unit = reader.close()

@@ -116,6 +116,38 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(rows(0).isNullAt(2) && rows(1).getString(2) === "w2")
   }
 
+  test("vectorized bootstrap decode: parity with the Group path across splits, " +
+      "partitions, types, and schema evolution") {
+    val base = Files.createTempDirectory("graft-stream-vec").toString
+    val path = s"$base/t"
+    // commit 1: partitioned, wide enough that a tiny maxBytesPerPartition
+    // forces several byte-range splits per file
+    SnapshotTable.append((1 to 5000).map(i => (i.toLong, s"name-$i", i * 0.5,
+      i % 2 == 0, java.sql.Timestamp.valueOf(f"2024-03-01 10:${i % 60}%02d:00"),
+      java.sql.Date.valueOf(s"2024-03-0${i % 3 + 1}")))
+      .toDF("k", "s", "v", "ok", "ts", "event_date"), path, Seq("event_date"))
+    // commit 2 adds a column → commit-1 files must decode it as NULL vectors
+    SnapshotTable.append(Seq((9001L, "x", 1.0, false,
+      java.sql.Timestamp.valueOf("2024-03-04 00:00:00"),
+      java.sql.Date.valueOf("2024-03-01"), "new"))
+      .toDF("k", "s", "v", "ok", "ts", "event_date", "w"), path, Seq("event_date"))
+
+    def canon(rows: Seq[Row]): Map[String, Int] =
+      rows.map(r => (0 until r.length).map(i => String.valueOf(r.get(i)))
+        .mkString("|")).groupBy(identity).view.mapValues(_.size).toMap
+    val grouped = drain(path, s"$base/c1", Map("vectorizedReader" -> "never"))
+    val vector = drain(path, s"$base/c2", Map(
+      "vectorizedReader" -> "always", "maxBytesPerPartition" -> "16384"))
+    assert(vector.size === 5001)
+    assert(canon(vector) === canon(grouped))
+    // auto mode on a commit-sized second batch stays correct too
+    SnapshotTable.append(Seq((9002L, "y", 2.0, true,
+      java.sql.Timestamp.valueOf("2024-03-05 00:00:00"),
+      java.sql.Date.valueOf("2024-03-02"), "w2"))
+      .toDF("k", "s", "v", "ok", "ts", "event_date", "w"), path, Seq("event_date"))
+    assert(drain(path, s"$base/c2").map(_.getLong(0)) === Seq(9002L))
+  }
+
   test("vacuum honors a streaming checkpoint as a retention floor") {
     val base = Files.createTempDirectory("graft-stream-vac").toString
     val path = s"$base/t"
