@@ -23,15 +23,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      // Runtime bloom-filter join pruning. On a real cluster the
-      // default thresholds fire on their own (probe-side scans exceed
-      // 10GB); at bench SF the scans are below the application-side
-      // threshold, so lower it to measure the same plans a 100 TB run
-      // would get. Measured on the 8 orders⋈lineitem shapes at sf0.1:
-      // 15% faster wall (q73 3.3→2.2s, q99 2.0→1.8s), no consistent
-      // regression on any query across repeated pairs.
-      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // Runtime bloom-filter thresholds stay at Spark defaults here.
+      // Round 4 forced applicationSideScanSizeThreshold=0 claiming 15%
+      // on the join shapes; the round-5 paired same-session A/B
+      // (bloom_ab below, medians of 3 interleaved pairs at sf0.1)
+      // refuted that: forcing blooms at bench SF is net SLOWER (8.1s vs
+      // 7.2s across the 8 shapes — only q73 gains, q99/q91/q05 lose).
+      // At 100 TB the default thresholds fire on their own where the
+      // filter pays for itself; the bloom_ab artifact re-measures the
+      // pair every round.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -70,13 +70,57 @@ object Bench {
     }
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+
+    // Paired A/B of the runtime bloom-filter conf on the 8 join-heavy
+    // TPC-H shapes, interleaved on/off within the SAME session so host
+    // drift cancels — the only way round-over-round deltas on these
+    // shapes are adjudicable (r3→r4 doubled q48/q73 in the artifact
+    // and solo reruns couldn't separate conf from weather). Medians of
+    // 3 pairs; [on, off] per shape.
+    val abShapes = Seq("q05_join_agg_topk", "q48_tpch_q5ish",
+      "q61_cust_order_histogram", "q73_min_cost_supplier", "q89_tpch_q18",
+      "q91_tpch_q21", "q99_tpch_q9", "q100_tpch_q10")
+      .filter(SparkEntry.queries.contains)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val bloomAb: Seq[(String, Double, Double)] =
+      if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_NO_AB")) Seq.empty
+      else {
+        val appKey = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        val creKey = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        def setBloom(on: Boolean): Unit =
+          if (on) { spark.conf.set(appKey, "0"); spark.conf.set(creKey, "100MB") }
+          else { spark.conf.unset(appKey); spark.conf.unset(creKey) }
+        val samples = scala.collection.mutable.Map.empty[(String, Boolean), List[Double]]
+          .withDefaultValue(Nil)
+        for (_ <- 1 to 3; name <- abShapes; on <- Seq(true, false)) {
+          setBloom(on)
+          val t0 = System.nanoTime()
+          try exec(SparkEntry.queries(name)) catch { case _: Throwable => () }
+          samples((name, on)) ::= (System.nanoTime() - t0) / 1e9
+          System.gc()
+        }
+        setBloom(false)
+        abShapes.map(n => (n, median(samples((n, true))), median(samples((n, false)))))
+      }
+    val abJson = bloomAb.map { case (n, on, off) =>
+      "\"" + n.takeWhile(_ != '_') + "\":[" + r3(on) + "," + r3(off) + "]"
+    }.mkString("{", ",", "}")
+
+    // read vs snapshot-write split: ev08–ev14 are write+commit gates
+    // (temp-table writes, multiple commits each) — inherently heavy and
+    // not comparable with the read-query population
+    val writeGates = Set("ev08", "ev09", "ev10", "ev11", "ev12", "ev13", "ev14")
+    def isWriteGate(n: String) = writeGates.exists(n.startsWith)
+    val readTotal = results.collect { case (n, v, None) if !isWriteGate(n) => v }.sum
+    val writeTotal = results.collect { case (n, v, None) if isWriteGate(n) => v }.sum
+    val splitJson = s""""read_total":${r3(readTotal)},"write_total":${r3(writeTotal)},"bloom_ab":$abJson"""
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec",$splitJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The driver scrapes the last stdout line, but its log tail buffer
     // has truncated r1–r3 (it keeps only ~2.2 KB and the full 91-query
     // line is longer, so the line head was cut and `parsed` came back
@@ -98,7 +142,7 @@ object Bench {
           val qsub = kept.map { case (k, v, err) =>
             "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
           }.mkString("{", ",", "}")
-          s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsub,"errors":$errs,"queries_omitted":${results.size - n},"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+          s"""{"metric":"total","value":${r3(total)},"unit":"sec",$splitJson,"queries":$qsub,"errors":$errs,"queries_omitted":${results.size - n},"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}"""
         }
         // largest slowest-first subset that keeps the line under 1800B
         (results.size to 1 by -1).iterator.map(lineWith).find(_.length <= 1800)
