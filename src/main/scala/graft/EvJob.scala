@@ -32,6 +32,9 @@ import graft.etl.{EvPipeline, GoldConfig, SilverConfig}
   *   sbt "runMain graft.EvJob gold-incremental <silverTable> <goldTable> <ckptDir>"
   *                                    # consume NEW silver commits only,
   *                                    # merge derived features into gold
+  *   sbt "runMain graft.EvJob dq-incremental <silverTable> <workDir> [tolerance]"
+  *                                    # verify ONLY new commits, append to the
+  *                                    # metric history, report drift
   */
 object EvJob {
   def main(args: Array[String]): Unit = {
@@ -116,6 +119,21 @@ object EvJob {
               println(s"[gold-incremental] consumed v$from..v$to gold version=$v rows=$n")
             case None =>
               println(s"[gold-incremental] nothing new; gold version=$v rows=$n")
+          }
+        case "dq-incremental" =>
+          require(args.length >= 3,
+            "usage: EvJob dq-incremental <silverTable> <workDir> [tolerance]")
+          val tol = if (args.length > 3) args(3).toDouble else 0.5
+          val reports = graft.dq.IncrementalDq.run(spark, args(1),
+            s"${args(2)}/ckpt", s"${args(2)}/metrics",
+            Seq(graft.etl.SilverClean.silverCheck.hasSize(_ > 0)), tol)
+          if (reports.isEmpty) println("[dq-incremental] nothing new")
+          reports.foreach { r =>
+            println(s"[dq-incremental] v${r.fromVersion}..v${r.toVersion} " +
+              s"status=${r.status} drifts=${r.drifts.size}")
+            r.drifts.foreach(d => println(
+              f"[dq-drift] ${d.constraint} ${d.previous}%.4f -> ${d.current}%.4f " +
+                f"(rel=${d.relativeChange}%.2f)"))
           }
         case "history" =>
           graft.lake.SnapshotTable.history(spark, args(1)).collect().foreach { r =>

@@ -73,6 +73,12 @@ object Constraints {
   def hasPattern(c: String, regex: String,
       assertion: Double => Boolean = _ == 1.0): Constraint =
     Constraint(s"Pattern($c)", Some(fraction(col(c).rlike(regex))), None, assertion)
+
+  /** Row count as a metric (Deequ Size) — rides the fused scan pass.
+    * Mostly useful with a [[MetricsRepository]] history: a batch whose
+    * volume halves passes every fraction check but fails size drift. */
+  def hasSize(assertion: Double => Boolean = _ >= 0): Constraint =
+    Constraint("Size", Some(count(lit(1)).cast("double")), None, assertion)
 }
 
 final case class Check(
@@ -85,6 +91,7 @@ final case class Check(
   def isUnique(c: String): Check = add(Constraints.isUnique(c))
   def satisfies(predicate: Column, name: String): Check = add(Constraints.satisfies(predicate, name))
   def hasPattern(c: String, regex: String): Check = add(Constraints.hasPattern(c, regex))
+  def hasSize(assertion: Double => Boolean): Check = add(Constraints.hasSize(assertion))
   def add(c: Constraint): Check = copy(constraints = constraints :+ c)
 }
 
