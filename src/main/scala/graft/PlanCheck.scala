@@ -20,6 +20,13 @@ object PlanCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE wraps any exchange-bearing plan in AdaptiveSparkPlanExec,
+      // whose codegen stages only materialize at execution — a
+      // plan.collect sees ZERO WholeStageCodegenExec nodes, so with
+      // AQE on the sweep silently force-compiled only map-only plans.
+      // The generated constructs are the same either way; compiling
+      // the non-adaptive plan covers every stage.
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -101,6 +101,12 @@ object ScaleBench {
         ()
       },
       timed("tfidf")           { noop(graft.ops.TextAnalysis.tfidfOf(docs)) },
+      timed("inverted_index")  { noop(graft.ops.TextAnalysis.invertedIndexOf(docs)) },
+      timed("char_lm_score")   { noop(graft.ops.TextAnalysis.charLmScoreOf(docs)) },
+      timed("sem_dedup")       {
+        // 200k vectors, k=512 → bounded Σ|cluster|² pair space
+        noop(graft.ops.Similarity.semDedup(emb, k = 512, threshold = 0.99, iters = 3))
+      },
       timed("repetition_filter") { noop(graft.ops.TextAnalysis.repetitionStatsOf(docs)) },
       timed("pii_scrub")       { noop(docs.select(col("doc_id"),
         graft.ops.TextAnalysis.scrubPii(col("text")).as("scrubbed"))) },

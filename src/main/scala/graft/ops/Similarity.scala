@@ -373,11 +373,83 @@ object Similarity {
   val quantizedRankBound = 100
   val quantizedAnnSql: String = annContractSql(quantizedRankBound)
 
+  // ---- SemDeDup ----------------------------------------------------
+  // Semantic dedup via embedding clusters (Abbas et al. 2023,
+  // arXiv:2303.09540): cluster normalized embeddings with k-means,
+  // then compare pairs only WITHIN a cluster and drop every vector
+  // whose cosine to a lower-id cluster-mate reaches the threshold.
+  // This is the scale contract of the published method: the pair space
+  // is Σ|cluster|² instead of n², and k grows with the corpus so
+  // clusters stay bounded. Plan shape: one typed normalize pass, the
+  // distributed k-means partial-sum training (driver state = k×dim),
+  // one map-only assign pass (model in closure), a cluster-keyed
+  // self-join for candidates, and an anti-join-shaped keep flag.
+  def semDedup(emb: DataFrame, k: Int, threshold: Double, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // unit-normalize: SemDeDup's geometry is cosine, and k-means cells
+    // under L2 on unit vectors ARE cosine cells; scaled duplicates
+    // normalize to bit-identical floats (×2 is exact in IEEE), so
+    // copies provably co-cluster
+    val unit = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        val n = math.sqrt(s)
+        val u =
+          if (n == 0.0) v
+          else {
+            val o = new Array[Float](v.length)
+            var j = 0
+            while (j < v.length) { o(j) = (v(j) / n).toFloat; j += 1 }
+            o
+          }
+        (id, u)
+      }).toDF(idCol, vecCol)
+    val model = Ivf.trainDistributed(unit, k, iters, idCol = idCol, vecCol = vecCol)
+    val assigned = unit.as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, model.nearest(v), v) })
+      .toDF(idCol, "cluster", vecCol)
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val dropped = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("va"), col("vb")) >= lit(threshold))
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left_outer")
+      .select(col(idCol), col("cluster"), col("is_dup").isNull.as("kept"))
+  }
+
+  /** Contract entry: planted ×2-scaled copies (id + 10M) normalize to
+    * bit-identical unit vectors, so each provably lands in its base's
+    * cluster at cosine 1.0 and — having the higher id — is dropped.
+    * The oracle states that closed form; recall below 1 on ANY planted
+    * copy hash-mismatches. */
+  def semDedupDemo(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val planted = emb.select(
+      (col("vec_id") + lit(10000000L)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    semDedup(emb.unionByName(planted), k = 32, threshold = 0.99)
+      .filter(col("vec_id") >= 10000000L)
+      .select(col("vec_id"), col("kept"))
+      .orderBy("vec_id")
+  }
+
+  val semDedupSql: String =
+    """SELECT vec_id + 10000000 AS vec_id, false AS kept
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q26_vector_norm", vectorNorms, Some(vectorNormsSql)),
     QDef("q31_ann_cosine_topk", annBruteForce, Some(annBruteForceSql)),
     QDef("q37_ann_lsh_topk", annLsh, Some(annLshSql)),
     QDef("q45_embedding_dedup", embeddingDedup, Some(embeddingDedupSql)),
     QDef("q106_quantized_ann", quantizedAnn, Some(quantizedAnnSql)),
+    QDef("q115_semdedup", semDedupDemo, Some(semDedupSql)),
   )
 }

@@ -689,6 +689,105 @@ object TextAnalysis {
       | 1.0 * n_hit / n_shingles >= 0.2 AS contaminated
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- inverted index ----------------------------------------------
+  // Posting-list materialization — the retrieval-side primitive of a
+  // corpus pipeline (BM25 lookup, contamination probes, targeted
+  // re-crawl all start from term → documents). Plan shape for 100 TB:
+  // one row-local explode of per-doc DISTINCT terms, then a single
+  // combinable aggregation where the df count AND the bounded posting
+  // list both map-side combine — BoundedMinListAggregator caps every
+  // agg buffer at k ids, so a stopword key costs k longs, not the
+  // corpus (see the aggregator scaladoc for why collect_list and
+  // windows don't survive this). Global top-50 plans
+  // TakeOrderedAndProject.
+  def invertedIndexOf(docs: DataFrame, k: Int = 20, topTerms: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        graft.functions.BoundedMinList.minList(col("doc_id"), k).as("plist"))
+      // CSV render of the posting array: the oracle gate hashes scalar
+      // columns (array cells don't sort/hash portably across engines)
+      .select(col("term"), col("df"),
+        array_join(transform(col("plist"), _.cast("string")), ",").as("postings"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(topTerms)
+
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexOf(Tables.documents(spark, dir))
+
+  val invertedIndexSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |           FROM documents),
+      |d AS (SELECT DISTINCT doc_id, term FROM w)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      | array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+      |FROM d GROUP BY term ORDER BY df DESC, term ASC LIMIT 50""".stripMargin
+
+  // ---- character-bigram LM quality score ---------------------------
+  // CCNet-style LM quality filtering without the external model: train
+  // a char-bigram language model ON the corpus itself (one combinable
+  // agg pass over exploded bigrams — the model is at most 27×27 rows
+  // over [a-z ]), then score every document by its mean bigram
+  // probability avg p(c2|c1). Natural text scores near the corpus
+  // mode; gibberish / wrong-alphabet / boilerplate-free-noise docs sit
+  // in the low tail, exactly where a perplexity filter would put them.
+  // Log-free on purpose: log(x) last-ulp behavior differs across libm
+  // implementations (the q105 lesson) while each p is one IEEE divide
+  // of exactly-derived longs — cross-engine-stable under round(6).
+  // Plan shape for 100 TB: bigram explode is row-local; both model
+  // aggs map-side combine; the ≤729-row model broadcast-joins to the
+  // per-doc bigram stream; the final per-doc avg is combinable.
+  def charLmScoreOf(docs: DataFrame): DataFrame = {
+    val norm = docs
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z ]", "").as("s"))
+      .filter(length(col("s")) >= 2)
+    val grams = norm.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")).as("bg"))
+    val model = grams.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val firsts = model.groupBy(substring(col("bg"), 1, 1).as("c1ch"))
+      .agg(sum(col("c12")).as("c1"))
+    // the model is ≤729 rows — collect it and score ROW-LOCALLY with
+    // the codegen'd CharBigramScore expression (one map-only pass; the
+    // explode+join+re-agg formulation of the same score measured ~3×
+    // slower at 1M docs). p values are the identical IEEE divides the
+    // join would compute; summation order is the document's, rounded.
+    val collected = model
+      .join(broadcast(firsts), substring(col("bg"), 1, 1) === col("c1ch"))
+      .select(col("bg"),
+        (col("c12").cast("double") / col("c1").cast("double")).as("p"))
+      .collect()
+    val parr = new Array[Double](729)
+    def ix(c: Char): Int = if (c == ' ') 26 else c - 'a'
+    collected.foreach { r =>
+      val bg = r.getString(0)
+      parr(ix(bg.charAt(0)) * 27 + ix(bg.charAt(1))) = r.getDouble(1)
+    }
+    norm.select(col("doc_id"), (length(col("s")) - 1).cast("long").as("n_bigrams"),
+      round(graft.functions.VectorFunctions.char_bigram_score(
+        col("s"), parr.toIndexedSeq), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  def charLmScore(spark: SparkSession, dir: String): DataFrame =
+    charLmScoreOf(Tables.documents(spark, dir))
+
+  val charLmScoreSql: String =
+    """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s
+      |           FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, length(s)),
+      |        i -> substr(s, i, 2))) AS bg
+      |      FROM t WHERE length(s) >= 2),
+      |m AS (SELECT bg, count(*) AS c12 FROM b GROUP BY 1),
+      |u AS (SELECT substr(bg, 1, 1) AS c1ch, sum(c12) AS c1 FROM m GROUP BY 1),
+      |p AS (SELECT bg, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+      |      FROM m JOIN u ON substr(bg, 1, 1) = c1ch)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      | round(avg(p), 6) AS lm_score
+      |FROM b JOIN p USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q29_text_stats", textStats, Some(textStatsSql)),
     QDef("q80_pii_scrub", piiScrub, Some(piiScrubSql)),
@@ -704,5 +803,7 @@ object TextAnalysis {
     QDef("q96_sequence_packing", packSequences, Some(packSequencesSql)),
     QDef("q105_collocations", collocations, Some(collocationsSql)),
     QDef("q108_doc_chunking", (s, d) => chunkDocuments(s, d), Some(chunkDocumentsSql)),
+    QDef("q113_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    QDef("q114_char_lm_score", charLmScore, Some(charLmScoreSql)),
   )
 }

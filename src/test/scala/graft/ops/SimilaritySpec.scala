@@ -9,6 +9,26 @@ class SimilaritySpec extends SparkTestBase {
 
   lazy val emb = Tables.embeddings(spark, sf0001)
 
+  test("semDedup drops every planted scaled copy, keeps the distinct base corpus") {
+    import spark.implicits._
+    val base = emb.select("vec_id", "embedding").limit(100)
+    val copies = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+    val out = Similarity.semDedup(base.unionByName(copies), k = 4, threshold = 0.99)
+      .as[(Long, Int, Boolean)].collect()
+    assert(out.length === 200)
+    val (planted, originals) = out.partition(_._1 >= 1000000L)
+    // every ×4 copy normalizes to its base's unit vector → same
+    // cluster, cosine 1.0, higher id → dropped
+    assert(planted.forall(!_._3), "all planted copies dropped")
+    // random 64-dim base vectors are nowhere near cosine 0.99 of each
+    // other → the base corpus survives intact
+    assert(originals.forall(_._3), "all distinct bases kept")
+    // copy and base agree on the cluster assignment
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    assert(planted.forall(p => cluster(p._1 - 1000000L) === p._2))
+  }
+
   test("cosine HOF matches a locally computed reference value") {
     import spark.implicits._
     val rows = emb.filter(col("vec_id").isin(0L, 1L))

@@ -166,4 +166,52 @@ class TextAnalysisSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
   }
+
+  test("inverted index: df counts distinct docs, postings = smallest ids sorted") {
+    import spark.implicits._
+    val out = TextAnalysis.invertedIndex(spark, sf0001)
+      .as[(String, Long, String)].collect()
+    assert(out.nonEmpty)
+    // deterministic ordering contract: df desc, term asc
+    assert(out.map(r => (-r._2, r._1)).toSeq === out.map(r => (-r._2, r._1)).sorted)
+    val byTerm = out.map(r => r._1 -> (r._2, r._3.split(",").map(_.toLong))).toMap
+    byTerm.values.foreach { case (df, postings) =>
+      assert(postings.length <= 20 && postings.length <= df)
+      assert(postings.toSeq === postings.sorted.toSeq, "postings sorted ascending")
+      assert(postings.distinct.length === postings.length, "one entry per doc")
+    }
+    // cross-check one term end-to-end against a direct computation
+    val (term, (df, postings)) = byTerm.head
+    val expected = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("t"))
+      .filter(col("t") === term).select("doc_id")
+      .as[Long].collect().sorted
+    assert(df === expected.length)
+    assert(postings.toSeq === expected.take(20).toSeq)
+  }
+
+  test("char-bigram LM score matches a driver-side model recomputation") {
+    import spark.implicits._
+    val out = TextAnalysis.charLmScore(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, score) =>
+      assert(n >= 1, s"doc $id")
+      assert(score > 0.0 && score <= 1.0, s"doc $id score $score")
+    }
+    // recompute one doc's score against a driver-side bigram model
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), regexp_replace(lower(col("text")), "[^a-z ]", "").as("s"))
+      .as[(Long, String)].collect().filter(_._2.length >= 2)
+    val bigrams = texts.flatMap(t => t._2.sliding(2))
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val c1 = bigrams.groupBy(_.take(1)).view.mapValues(_.length.toDouble).toMap
+    val (id0, s0) = texts.head
+    val ps = s0.sliding(2).map(bg => c12(bg) / c1(bg.take(1))).toSeq
+    val expected = BigDecimal(ps.sum / ps.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = out.find(_._1 === id0).get
+    assert(got._2 === ps.size)
+    assert(math.abs(got._3 - expected) < 2e-6, s"doc $id0: ${got._3} vs $expected")
+  }
 }
