@@ -566,6 +566,100 @@ object TextDedup {
       |FROM ranked WHERE rn = 1
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- incremental dedup -------------------------------------------
+  // How dedup actually runs at corpus scale: the table grows by
+  // commits, and each NEW batch is checked against the accumulated
+  // fingerprint history — never a full-corpus re-dedup. The batch op
+  // below is the per-increment kernel; [[dedupNewCommits]] wires it to
+  // the lake (SnapshotIncremental checkpoint + a fingerprint store
+  // that is itself a snapshot table).
+
+  /** Flag a batch of new documents against an existing fingerprint
+    * set: `dup_of_history` (content already in the corpus),
+    * `dup_in_batch` (an earlier id in THIS batch has the same
+    * content — first occurrence wins), `kept` (neither). Plan shape
+    * for 100 TB: the history can be billions of fingerprints, so both
+    * probes are fp-keyed shuffle joins (no broadcast), and the
+    * in-batch keeper is one combinable min per fp. */
+  def dedupAgainstHistory(newDocs: DataFrame, historyFps: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withFp = newDocs.select(col(idCol), md5(col(textCol)).as("fp"))
+    val hist = historyFps.select(col("fp")).distinct()
+      .withColumn("in_history", lit(true))
+    val firstInBatch = withFp.groupBy("fp").agg(min(col(idCol)).as("first_id"))
+    withFp
+      .join(hist, Seq("fp"), "left_outer")
+      .join(firstInBatch, "fp")
+      .select(col(idCol),
+        coalesce(col("in_history"), lit(false)).as("dup_of_history"),
+        (col(idCol) =!= col("first_id")).as("dup_in_batch"))
+      .withColumn("kept", !col("dup_of_history") && !col("dup_in_batch"))
+  }
+
+  /** The lake loop: consume NEW commits of a documents table through a
+    * [[graft.lake.SnapshotIncremental]] checkpoint, flag each batch
+    * against the fingerprint store (a snapshot table at `fpStorePath`),
+    * hand the flagged frame to `fn`, then append the KEPT batch's
+    * fingerprints to the store. A crash between the store append and
+    * the offset write replays the batch; the store may then hold a
+    * duplicate fp row, which is harmless — probes are DISTINCT-keyed.
+    * Returns the consumed range, or None when there is nothing new. */
+  def dedupNewCommits(spark: SparkSession, docsTablePath: String,
+      fpStorePath: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text")(
+      fn: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] =
+    graft.lake.SnapshotIncremental.processNew(spark, docsTablePath, checkpointDir) {
+      (batch, from, to) =>
+        val history =
+          if (graft.lake.SnapshotTable.latestVersion(spark, fpStorePath).isDefined)
+            graft.lake.SnapshotTable.read(spark, fpStorePath)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("fp",
+                org.apache.spark.sql.types.StringType))))
+        val flagged = dedupAgainstHistory(batch, history, idCol, textCol)
+        fn(flagged, from, to)
+        val keptFps = batch.select(col(idCol), md5(col(textCol)).as("fp"))
+          .join(flagged.filter(col("kept")).select(col(idCol)), idCol)
+          .select("fp").distinct()
+        graft.lake.SnapshotTable.append(keptFps, fpStorePath)
+    }
+
+  /** Gate entry: the whole corpus is history; the new batch plants all
+    * three outcomes — exact copies of docs 0–24 (history dups),
+    * reversed docs 25–49 (novel content, kept), and a second reversed
+    * copy of docs 25–29 (in-batch dups of the novel rows). The oracle
+    * recomputes every flag from the same closed construction. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val newBatch = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("doc_id"), reverse(col("text")).as("text")))
+      .unionByName(docs.filter(col("doc_id") >= 25 && col("doc_id") < 30)
+        .select((col("doc_id") + 20000L).as("doc_id"), reverse(col("text")).as("text")))
+    dedupAgainstHistory(newBatch, docs.select(md5(col("text")).as("fp")))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH hist AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+      |nb AS (
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 25
+      |  UNION ALL
+      |  SELECT doc_id + 10000, reverse(text) FROM documents
+      |  WHERE doc_id >= 25 AND doc_id < 50
+      |  UNION ALL
+      |  SELECT doc_id + 20000, reverse(text) FROM documents
+      |  WHERE doc_id >= 25 AND doc_id < 30),
+      |f AS (SELECT doc_id, md5(text) AS fp FROM nb),
+      |m AS (SELECT fp, min(doc_id) AS first_id FROM f GROUP BY 1)
+      |SELECT f.doc_id,
+      | f.fp IN (SELECT fp FROM hist) AS dup_of_history,
+      | f.doc_id <> m.first_id AS dup_in_batch,
+      | NOT (f.fp IN (SELECT fp FROM hist) OR f.doc_id <> m.first_id) AS kept
+      |FROM f JOIN m USING (fp) ORDER BY f.doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q28_dedup_exact", dedupExact, Some(dedupExactSql)),
     QDef("q30_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
@@ -574,5 +668,6 @@ object TextDedup {
     QDef("q81_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QDef("q97_dedup_keeper", dedupKeepers, Some(dedupKeepersSql)),
     QDef("q109_dedup_lines", dedupLines, Some(dedupLinesSql)),
+    QDef("q116_incremental_dedup", dedupIncremental, Some(dedupIncrementalSql)),
   )
 }

@@ -147,6 +147,47 @@ class TextDedupSpec extends SparkTestBase {
       (4L, 1L, "solo words only here")))
   }
 
+  test("incremental dedup loop: each commit checked against the fp store, store grows by kept only") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-dedup").toString
+    val table = s"$base/docs"
+    val store = s"$base/fps"
+    val ckpt = s"$base/ckpt"
+    graft.lake.SnapshotTable.append(
+      Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text"), table)
+    var flags = Map.empty[Long, (Boolean, Boolean, Boolean)]
+    def drain(): Option[(Long, Long)] =
+      TextDedup.dedupNewCommits(spark, table, store, ckpt) { (df, _, _) =>
+        flags = df.as[(Long, Boolean, Boolean, Boolean)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      }
+
+    assert(drain() === Some((1L, 1L)))
+    assert(flags === Map(1L -> (false, false, true), 2L -> (false, false, true)))
+    assert(graft.lake.SnapshotTable.read(spark, store).count() === 2)
+
+    // commit 2: a history dup, a novel doc, and an in-batch dup of it
+    graft.lake.SnapshotTable.append(
+      Seq((3L, "alpha text"), (4L, "gamma text"), (5L, "gamma text"))
+        .toDF("doc_id", "text"), table)
+    assert(drain() === Some((2L, 2L)))
+    assert(flags === Map(
+      3L -> (true, false, false),
+      4L -> (false, false, true),
+      5L -> (false, true, false)))
+    // only gamma's fingerprint is new to the store
+    assert(graft.lake.SnapshotTable.read(spark, store).distinct().count() === 3)
+
+    // nothing new → no batch, store untouched
+    assert(drain() === None)
+
+    // a re-submission of already-kept content in a later commit is a
+    // history dup now
+    graft.lake.SnapshotTable.append(Seq((6L, "gamma text")).toDF("doc_id", "text"), table)
+    assert(drain() === Some((3L, 3L)))
+    assert(flags === Map(6L -> (true, false, false)))
+  }
+
   test("simhash is deterministic") {
     val a = TextDedup.simhash64(Seq("spark", "join", "merge"))
     val b = TextDedup.simhash64(Seq("spark", "join", "merge"))
