@@ -788,6 +788,95 @@ object TextAnalysis {
       | round(avg(p), 6) AS lm_score
       |FROM b JOIN p USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- BPE vocabulary induction ------------------------------------
+  // Tokenizer-training primitive: learn byte-pair-encoding merge rules
+  // from the corpus. The classic trainer iterates over a WORD
+  // FREQUENCY table, not the corpus — so the distributed shape is: one
+  // combinable word-count pass over the corpus (the only corpus-sized
+  // job), then each merge round runs on the distinct-word table
+  // (vocabulary-sized): one weighted pair-count aggregation, a
+  // driver-side argmax (count desc, pair asc — deterministic), and one
+  // row-local merge application. Lineage is cut every few rounds
+  // (iterative-loop precedent: connectedComponents). A min word-count
+  // floor keeps the word table bounded at corpus scale (hapax
+  // legomena carry no merge signal).
+
+  /** Learned merge rules, most frequent first: (left, right, count). */
+  def bpeTrain(docs: DataFrame, numMerges: Int, minWordCount: Long = 1,
+      textCol: String = "text"): Seq[(String, String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minWordCount)
+      .select(split(col("word"), "").as("syms"), col("c"))
+      .as[(Seq[String], Long)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    while (round < numMerges) {
+      val top = words.flatMap { case (syms, c) =>
+        syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, c))
+      }.toDF("l", "r", "c")
+        .groupBy("l", "r").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .as[(String, String, Long)]
+        .take(1)
+      if (top.isEmpty) round = numMerges
+      else {
+        val (l, r, n) = top.head
+        merges += ((l, r, n))
+        words = words.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq, c)
+        }
+        round += 1
+        // cut the per-round lineage so the plan doesn't deepen
+        // linearly with merges; release the previous round's blocks
+        if (round % 4 == 0 && round < numMerges)
+          words = words.localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Gate entry: the FIRST merge decision in closed form — weighted
+    * adjacent-char pair counts over the word frequency table, top 10.
+    * (The iterative trainer's later rounds depend on earlier merges —
+    * not expressible as one SQL statement; TextAnalysisSpec pins them
+    * against a driver-side reference implementation.) */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(col("word"), col("c"))
+      .select(explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> struct(substring(word, i, 1) AS l,
+          |              substring(word, i + 1, 1) AS r))""".stripMargin)).as("p"),
+        col("c"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("c")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
+      .limit(10)
+
+  val bpePairCountsSql: String =
+    """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+      |           FROM documents),
+      |wc AS (SELECT word, count(*) AS c FROM w WHERE length(word) > 0 GROUP BY 1),
+      |p AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, c
+      |      FROM wc, unnest(range(1, length(word))) AS t(i))
+      |SELECT l, r, CAST(sum(c) AS BIGINT) AS pair_count
+      |FROM p GROUP BY l, r
+      |ORDER BY pair_count DESC, l ASC, r ASC LIMIT 10""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q29_text_stats", textStats, Some(textStatsSql)),
     QDef("q80_pii_scrub", piiScrub, Some(piiScrubSql)),
@@ -805,5 +894,6 @@ object TextAnalysis {
     QDef("q108_doc_chunking", (s, d) => chunkDocuments(s, d), Some(chunkDocumentsSql)),
     QDef("q113_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QDef("q114_char_lm_score", charLmScore, Some(charLmScoreSql)),
+    QDef("q117_bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
   )
 }

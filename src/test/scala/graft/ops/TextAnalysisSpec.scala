@@ -190,6 +190,56 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(postings.toSeq === expected.take(20).toSeq)
   }
 
+  test("BPE trainer learns the classic merge sequence on the textbook corpus") {
+    import spark.implicits._
+    // Sennrich et al.'s example shape: {low ×5, lower ×2, newest ×6,
+    // widest ×3} — spelled out as documents
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 5)
+    // reference: pair counts weighted by word freq; argmax count desc,
+    // pair asc. Round 1: (e,s) 9 wins over (s,t) 9 by pair order.
+    assert(merges.map(m => (m._1, m._2)) ===
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w")))
+    assert(merges.map(_._3) === Seq(9L, 9L, 7L, 7L, 6L))
+  }
+
+  test("BPE trainer matches a driver-side reference on real corpus text") {
+    import spark.implicits._
+    val sample = Tables.documents(spark, sf0001).limit(50)
+    val got = TextAnalysis.bpeTrain(sample, numMerges = 6)
+    // independent reference implementation over collected words
+    var words: Map[List[String], Long] = sample
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .as[String].collect().groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+      .map { case (w, c) => w.split("").toList -> c }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    (1 to 6).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) += c)
+      }
+      val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+      expected += ((l, r, n))
+      words = words.groupBy { case (syms, _) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList
+      }.view.mapValues(_.values.sum).toMap
+    }
+    assert(got === expected.toSeq)
+  }
+
   test("char-bigram LM score matches a driver-side model recomputation") {
     import spark.implicits._
     val out = TextAnalysis.charLmScore(spark, sf0001)
