@@ -107,6 +107,19 @@ object ScaleBench {
         // 200k vectors, k=512 → bounded Σ|cluster|² pair space
         noop(graft.ops.Similarity.semDedup(emb, k = 512, threshold = 0.99, iters = 3))
       },
+      timed("bpe_8_merges")    {
+        // corpus-sized pass once; 8 rounds on the word table (the
+        // floor keeps it vocabulary-sized)
+        val merges = graft.ops.TextAnalysis.bpeTrain(docs, 8, minWordCount = 5)
+        require(merges.size == 8, s"expected 8 merges, got ${merges.size}")
+      },
+      timed("incr_dedup_1m")   {
+        // 1M-doc batch probed against a 1M-fp history — both joins
+        // fp-keyed shuffles, the shape that scales past broadcast
+        val history = docs.select(md5(col("text")).as("fp"))
+        noop(graft.ops.TextDedup.dedupAgainstHistory(
+          docs.withColumn("doc_id", col("doc_id") + 10000000L), history))
+      },
       timed("repetition_filter") { noop(graft.ops.TextAnalysis.repetitionStatsOf(docs)) },
       timed("pii_scrub")       { noop(docs.select(col("doc_id"),
         graft.ops.TextAnalysis.scrubPii(col("text")).as("scrubbed"))) },
