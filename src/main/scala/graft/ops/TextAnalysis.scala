@@ -411,6 +411,131 @@ object TextAnalysis {
       |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
       |FROM c WHERE cum_tokens <= 400 ORDER BY doc_id""".stripMargin
 
+  // ---- temperature-weighted source mixing --------------------------
+  // α-sampling (the XLM / multilingual-rebalancing primitive, Lample &
+  // Conneau 2019): source s with n_s docs gets a doc quota ∝ n_s^α —
+  // α<1 upweights small sources relative to their natural share. The
+  // quotas sum EXACTLY to the requested budget via deterministic
+  // largest-remainder apportionment (floor the ideal shares, hand the
+  // leftovers to the largest remainders, remainder-then-source order),
+  // and each source keeps its first quota docs in (md5(doc_id),
+  // doc_id) order — the corpus-stable seedless shuffle idiom of
+  // q70/q82. Plan shape for 100 TB: the per-source counts are one
+  // combinable agg collapsing to #sources rows (driver apportionment
+  // is bounded and trivially cheap); selection ranks docs per source
+  // with the SAME two-phase prefix pattern as runningTokenTotals —
+  // weight-1 counting instead of token sums — so no per-source
+  // single-task window anywhere. A quota larger than a source (budget
+  // ≳ corpus) just keeps the whole source and under-fills the budget.
+  def temperatureMixOf(docs: DataFrame, alpha: Double = 0.5,
+                       budget: Long = 60): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // driver apportionment over the tiny (source, n_docs) table;
+    // source-ascending fold order keeps the float sum deterministic
+    val counts: Array[(String, Long)] = docs
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    // α=0.5 → sqrt, which is IEEE-correctly-rounded on BOTH engines
+    // (Math.pow(x, 0.5) is only 1-ulp-accurate; sqrt is exact)
+    val wts = counts.map { case (s, n) =>
+      (s, if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha))
+    }
+    val tw = wts.iterator.map(_._2).sum
+    val shares = wts.map { case (s, w) =>
+      val ideal = budget * w / tw
+      (s, math.floor(ideal).toLong, ideal - math.floor(ideal))
+    }
+    val leftover = (budget - shares.iterator.map(_._2).sum).toInt
+    val bumped = shares.sortBy { case (s, _, rem) => (-rem, s) }
+      .take(leftover).map(_._1).toSet
+    val quotas: Map[String, Long] = shares.map { case (s, base, _) =>
+      s -> (base + (if (bumped(s)) 1L else 0L))
+    }.toMap
+    val bcQuotas = spark.sparkContext.broadcast(quotas)
+
+    // per-source rank in (md5, doc_id) order: two-phase prefix count
+    // (see runningTokenTotals for why not a per-source window)
+    val keyed = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("k"))
+      .as[(Long, String, String)]
+      .repartitionByRange(col("source"), col("k"), col("doc_id"))
+      .sortWithinPartitions("source", "k", "doc_id")
+      .localCheckpoint(true)
+    val partials: Array[(Int, String, Long)] = keyed
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val n = scala.collection.mutable.LinkedHashMap[String, Long]()
+        it.foreach { case (_, src, _) => n(src) = n.getOrElse(src, 0L) + 1L }
+        n.iterator.map { case (s, t) => (pid, s, t) }
+      }.collect()
+    val offsets: Map[(Int, String), Long] = partials
+      .groupBy(_._2).iterator.flatMap { case (src, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (pid, _, t) =>
+          val off = cum; cum += t; (pid, src) -> off
+        }
+      }.toMap
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    keyed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val cum = scala.collection.mutable.HashMap[String, Long]()
+      it.flatMap { case (id, src, _) =>
+        val r = cum.getOrElse(src, bcOffsets.value.getOrElse((pid, src), 0L)) + 1L
+        cum(src) = r
+        val q = bcQuotas.value.getOrElse(src, 0L)
+        if (r <= q) Some((id, src, r, q)) else None
+      }
+    }.toDF("doc_id", "source", "rank", "quota")
+      .orderBy("doc_id")
+  }
+
+  /** Gate query: the corpus's per-source counts are uniform at every
+    * SF (α-weighting would be degenerate), so the gate first applies
+    * q82's deterministic tier filter to create a SKEWED corpus — tier
+    * thresholds keep ~12/25/50/75% per source — then α=0.5-mixes 60
+    * docs from it. Small (heavily-filtered) sources must end up with
+    * a larger quota share than their doc share. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val tier = pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(4))
+    val thr = element_at(array(lit("20"), lit("40"), lit("80"), lit("c0")), tier + 1)
+    val skewed = Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
+    temperatureMixOf(skewed, alpha = 0.5, budget = 60)
+  }
+
+  val temperatureMixSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 AS tier
+      |  FROM documents
+      |), skewed AS (
+      |  SELECT doc_id, source FROM d
+      |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      |    < (['20','40','80','c0'])[tier + 1]
+      |), n AS (SELECT source, count(*) AS n_docs FROM skewed GROUP BY 1),
+      |w AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM n),
+      |t AS (SELECT sum(wt) AS tw FROM w),
+      |q AS (SELECT source, 60 * wt / tw AS ideal,
+      |        floor(60 * wt / tw) AS base,
+      |        60 * wt / tw - floor(60 * wt / tw) AS rem
+      |      FROM w, t),
+      |alloc AS (
+      |  SELECT source, CAST(base AS BIGINT)
+      |    + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+      |        <= 60 - (SELECT CAST(sum(base) AS BIGINT) FROM q)
+      |      THEN 1 ELSE 0 END AS quota
+      |  FROM q
+      |), r AS (
+      |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM skewed
+      |)
+      |SELECT doc_id, source, CAST(rk AS BIGINT) AS rank, quota
+      |FROM r JOIN alloc USING (source)
+      |WHERE rk <= quota ORDER BY doc_id""".stripMargin
+
   // ---- Gopher-style repetition quality filter ----------------------
   // Per-document repetition metrics in the shape of the published
   // Gopher corpus rules (Rae et al. 2021, "Scaling Language Models"),
@@ -788,6 +913,65 @@ object TextAnalysis {
       | round(avg(p), 6) AS lm_score
       |FROM b JOIN p USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- BM25 retrieval ----------------------------------------------
+  // Okapi BM25 top-k over the corpus for a literal query — the scoring
+  // half of the retrieval pair (q113's inverted index is the lookup
+  // half); contamination probes and RAG-style corpus search both rank
+  // with exactly this formula. Plan shape for 100 TB: the ONLY
+  // corpus-sized work is two combinable aggregations over the token
+  // stream (per-doc length; per-(doc, query-term) tf with the term
+  // filter applied BEFORE the aggregation, so the shuffled tf table is
+  // |query|-bounded, not vocabulary-sized). df and the (N, avgdl)
+  // stats are tiny and broadcast; the per-doc score sum is combinable;
+  // the top-k plans TakeOrderedAndProject. Deliberately re-scans the
+  // parquet for the two token passes instead of caching the exploded
+  // stream (measured slower to cache — see exactPercentileHist note).
+  // Scores are rounded to 4dp and ties break on doc_id, so the
+  // ordering is cross-engine-deterministic despite the ln in idf.
+  def bm25TopKOf(docs: DataFrame, queryTerms: Seq[String], k: Int = 15,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(tokens(col("text")), t => length(t) > 0)).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qtf = toks.where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val qdf = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    qtf.join(broadcast(qdf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * col("tf") * (k1 + 1) / norm).as("contrib"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Gate query: a 3-term query mixing one rare term ("dup", df≈25 at
+    * every SF — idf carries the ranking) with two common ones. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKOf(Tables.documents(spark, dir), Seq("dup", "customer", "stream"))
+
+  val bm25TopKSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents
+      |), toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |qtf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+      |        WHERE term IN ('dup', 'customer', 'stream') GROUP BY 1, 2),
+      |qdf AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1)
+      |SELECT doc_id,
+      |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |            * tf * 2.2
+      |            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+      |FROM qtf JOIN qdf USING (term) JOIN dl USING (doc_id), stats
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
+
   // ---- BPE vocabulary induction ------------------------------------
   // Tokenizer-training primitive: learn byte-pair-encoding merge rules
   // from the corpus. The classic trainer iterates over a WORD
@@ -895,5 +1079,7 @@ object TextAnalysis {
     QDef("q113_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QDef("q114_char_lm_score", charLmScore, Some(charLmScoreSql)),
     QDef("q117_bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
+    QDef("q118_bm25_topk", bm25TopK, Some(bm25TopKSql)),
+    QDef("q119_temperature_mix", temperatureMix, Some(temperatureMixSql)),
   )
 }

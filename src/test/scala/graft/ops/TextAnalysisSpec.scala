@@ -264,4 +264,89 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got._2 === ps.size)
     assert(math.abs(got._3 - expected) < 2e-6, s"doc $id0: ${got._3} vs $expected")
   }
+
+  test("bm25: hand-computed scores, tf ranking, non-matching docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat sat"),          // dl=2, tf(cat)=1
+      (2L, "cat cat dog"),      // dl=3, tf(cat)=2
+      (3L, "dog runs far away") // dl=4, no query term
+    ).toDF("doc_id", "text")
+    val df = TextAnalysis.bm25TopKOf(docs, Seq("cat"), k = 10)
+    val got = df.as[(Long, Double)].collect().toMap
+    // N=3 docs, avgdl=3, df(cat)=2 → Okapi idf = ln(1.6)
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def score(tf: Long, dl: Long): Double = {
+      val norm = tf + 1.2 * (0.25 + 0.75 * dl / 3.0)
+      BigDecimal(idf * tf * 2.2 / norm)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === Map(1L -> score(1, 2), 2L -> score(2, 3)))
+    assert(got(2L) > got(1L), "higher tf must outrank at similar length")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k plan:\n${plan.take(2000)}")
+  }
+
+  test("bm25 gate query: rare term dominates, k respected") {
+    import spark.implicits._
+    val df = TextAnalysis.bm25TopK(spark, sf0001)
+    val out = df.as[(Long, Double)].collect()
+    assert(out.length === 15)
+    // descending by rounded score, doc_id tie-break
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ => ()
+    }
+    // every top-15 doc must actually contain a query term
+    val hits = Tables.documents(spark, sf0001)
+      .where(col("text").rlike("(^| )(dup|customer|stream)( |$)"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.forall(r => hits.contains(r._1)))
+  }
+
+  test("temperature mix: largest-remainder quotas, md5 rank order, upweighting") {
+    import spark.implicits._
+    // skewed corpus: 100 / 25 / 4 docs → sqrt weights 10 / 5 / 2,
+    // tw=17, ideals 11.76 / 5.88 / 2.35 → floors 11/5/2, two leftovers
+    // go to the largest remainders (B .88, then A .76) → 12 / 6 / 2
+    val docs = ((0 until 100).map(i => (i.toLong, "srcA")) ++
+      (100 until 125).map(i => (i.toLong, "srcB")) ++
+      (125 until 129).map(i => (i.toLong, "srcC")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val out = TextAnalysis.temperatureMixOf(docs, alpha = 0.5, budget = 20)
+      .as[(Long, String, Long, Long)].collect()
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc.view.mapValues(_.map(_._4).head).toMap ===
+      Map("srcA" -> 12L, "srcB" -> 6L, "srcC" -> 2L))
+    assert(bySrc.view.mapValues(_.length).toMap ===
+      Map("srcA" -> 12, "srcB" -> 6, "srcC" -> 2))
+    // α=0.5 upweights the small source: doc share 4/129 ≈ 3.1%,
+    // quota share 2/20 = 10%
+    // selection must be the md5-smallest quota docs of each source
+    val md5of = docs.select(col("doc_id"),
+      md5(col("doc_id").cast("string")).as("k"))
+      .as[(Long, String)].collect().toMap
+    bySrc.foreach { case (src, rows) =>
+      val all = docs.where(col("source") === src)
+        .select("doc_id").as[Long].collect()
+        .sortBy(id => (md5of(id), id))
+      assert(rows.sortBy(_._3).map(_._1).toSeq === all.take(rows.length).toSeq,
+        s"$src selection must be the md5-first docs")
+    }
+  }
+
+  test("temperature mix: quota above source size keeps the whole source") {
+    import spark.implicits._
+    val docs = ((0 until 6).map(i => (i.toLong, "a")) ++
+      (6 until 9).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val out = TextAnalysis.temperatureMixOf(docs, alpha = 0.5, budget = 50)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length === 9, "budget beyond the corpus keeps everything")
+    val plan = TextAnalysis.temperatureMixOf(docs, alpha = 0.5, budget = 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no per-source window allowed")
+  }
 }
