@@ -864,21 +864,19 @@ object TextAnalysis {
   // Plan shape for 100 TB: bigram explode is row-local; both model
   // aggs map-side combine; the ≤729-row model broadcast-joins to the
   // per-doc bigram stream; the final per-doc avg is combinable.
-  def charLmScoreOf(docs: DataFrame): DataFrame = {
+  /** Train the ≤729-entry char-bigram model on the corpus and collect
+    * it: one combinable agg pass; the result array is broadcast-sized
+    * by construction. Shared by the LM score query and the filter
+    * funnel. */
+  def charLmModel(docs: DataFrame): Array[Double] = {
     val norm = docs
-      .select(col("doc_id"),
-        regexp_replace(lower(col("text")), "[^a-z ]", "").as("s"))
+      .select(regexp_replace(lower(col("text")), "[^a-z ]", "").as("s"))
       .filter(length(col("s")) >= 2)
-    val grams = norm.select(col("doc_id"), explode(expr(
+    val grams = norm.select(explode(expr(
       "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")).as("bg"))
     val model = grams.groupBy("bg").agg(count(lit(1)).as("c12"))
     val firsts = model.groupBy(substring(col("bg"), 1, 1).as("c1ch"))
       .agg(sum(col("c12")).as("c1"))
-    // the model is ≤729 rows — collect it and score ROW-LOCALLY with
-    // the codegen'd CharBigramScore expression (one map-only pass; the
-    // explode+join+re-agg formulation of the same score measured ~3×
-    // slower at 1M docs). p values are the identical IEEE divides the
-    // join would compute; summation order is the document's, rounded.
     val collected = model
       .join(broadcast(firsts), substring(col("bg"), 1, 1) === col("c1ch"))
       .select(col("bg"),
@@ -890,9 +888,23 @@ object TextAnalysis {
       val bg = r.getString(0)
       parr(ix(bg.charAt(0)) * 27 + ix(bg.charAt(1))) = r.getDouble(1)
     }
-    norm.select(col("doc_id"), (length(col("s")) - 1).cast("long").as("n_bigrams"),
-      round(graft.functions.VectorFunctions.char_bigram_score(
-        col("s"), parr.toIndexedSeq), 6).as("lm_score"))
+    parr
+  }
+
+  def charLmScoreOf(docs: DataFrame): DataFrame = {
+    // the model is ≤729 rows — collect it and score ROW-LOCALLY with
+    // the codegen'd CharBigramScore expression (one map-only pass; the
+    // explode+join+re-agg formulation of the same score measured ~3×
+    // slower at 1M docs). p values are the identical IEEE divides the
+    // join would compute; summation order is the document's, rounded.
+    val parr = charLmModel(docs)
+    docs
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z ]", "").as("s"))
+      .filter(length(col("s")) >= 2)
+      .select(col("doc_id"), (length(col("s")) - 1).cast("long").as("n_bigrams"),
+        round(graft.functions.VectorFunctions.char_bigram_score(
+          col("s"), parr.toIndexedSeq), 6).as("lm_score"))
       .orderBy("doc_id")
   }
 
@@ -971,6 +983,76 @@ object TextAnalysis {
       |            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
       |FROM qtf JOIN qdf USING (term) JOIN dl USING (doc_id), stats
       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
+
+  // ---- corpus filter funnel ----------------------------------------
+  // The report a production filtering pipeline actually emits: run the
+  // quality rules as an ORDERED funnel and account every document to
+  // its first failing rule — Gopher min-words, top-2-gram repetition,
+  // duplicate-word fraction (q92's thresholds), then the char-bigram
+  // LM floor (q114's score). Per-stage counts are what you tune
+  // thresholds against and what you monitor release-over-release.
+  // Plan shape for 100 TB: one corpus pass trains the ≤729-entry LM
+  // model (combinable aggs, bounded collect); the funnel itself is ONE
+  // map-only pass — every rule metric is row-local via the codegen'd
+  // TopBigramCount and CharBigramScore expressions — feeding a ≤5-row
+  // combinable count. No join, no window, nothing doc-keyed shuffles.
+  // Rule metrics reuse the exact arithmetic of q92/q114, so the stage
+  // assignment is cross-engine-deterministic (integer quotients;
+  // CharBigramScore is null below 2 normalized chars on both engines,
+  // and null comparisons fall through to kept identically).
+  def filterFunnelOf(docs: DataFrame): DataFrame = {
+    val parr = charLmModel(docs)
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    val t2 = lit(2.0) * graft.functions.VectorFunctions.top_bigram_count(toks) / nWords
+    val dwf = lit(1.0) - size(array_distinct(toks)).cast("double") / nWords
+    val lm = round(graft.functions.VectorFunctions.char_bigram_score(
+      regexp_replace(lower(col("text")), "[^a-z ]", ""), parr.toIndexedSeq), 6)
+    val stage = when(nWords < 30, "1_min_words")
+      .when(t2 >= 0.125, "2_repetition")
+      .when(dwf >= 0.6, "3_dup_words")
+      .when(lm < 0.23, "4_lm_score")
+      .otherwise("5_kept")
+    docs.select(stage.as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+      .orderBy("stage")
+  }
+
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame =
+    filterFunnelOf(Tables.documents(spark, dir))
+
+  val filterFunnelSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |      FROM t WHERE len(toks) >= 2),
+      |top AS (SELECT doc_id, max(c) AS top_c
+      |        FROM (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2)
+      |        GROUP BY 1),
+      |rep AS (SELECT t.doc_id, len(toks) AS n_words,
+      |          2.0 * coalesce(top_c, 0) / len(toks) AS t2,
+      |          1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dwf
+      |        FROM t LEFT JOIN top USING (doc_id)),
+      |nt AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s
+      |       FROM documents),
+      |bgt AS (SELECT doc_id, unnest(list_transform(range(1, length(s)),
+      |          i -> substr(s, i, 2))) AS bg
+      |        FROM nt WHERE length(s) >= 2),
+      |m AS (SELECT bg, count(*) AS c12 FROM bgt GROUP BY 1),
+      |u AS (SELECT substr(bg, 1, 1) AS c1ch, sum(c12) AS c1 FROM m GROUP BY 1),
+      |p AS (SELECT bg, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+      |      FROM m JOIN u ON substr(bg, 1, 1) = c1ch),
+      |lmt AS (SELECT doc_id, round(avg(p), 6) AS lm_score
+      |        FROM bgt JOIN p USING (bg) GROUP BY 1),
+      |j AS (SELECT rep.doc_id, n_words, t2, dwf, lm_score
+      |      FROM rep LEFT JOIN lmt USING (doc_id)),
+      |st AS (SELECT CASE WHEN n_words < 30 THEN '1_min_words'
+      |                   WHEN t2 >= 0.125 THEN '2_repetition'
+      |                   WHEN dwf >= 0.6 THEN '3_dup_words'
+      |                   WHEN lm_score < 0.23 THEN '4_lm_score'
+      |                   ELSE '5_kept' END AS stage
+      |       FROM j)
+      |SELECT stage, count(*) AS n_docs FROM st GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- BPE vocabulary induction ------------------------------------
   // Tokenizer-training primitive: learn byte-pair-encoding merge rules
@@ -1081,5 +1163,6 @@ object TextAnalysis {
     QDef("q117_bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
     QDef("q118_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QDef("q119_temperature_mix", temperatureMix, Some(temperatureMixSql)),
+    QDef("q120_filter_funnel", filterFunnel, Some(filterFunnelSql)),
   )
 }

@@ -337,6 +337,34 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("filter funnel: stages partition the corpus, map-only plan, matches composed ops") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val df = TextAnalysis.filterFunnel(spark, sf0001)
+    val got = df.as[(String, Long)].collect().toMap
+    assert(got.values.sum === docs.count(), "funnel must account every doc")
+    assert(got.keySet.subsetOf(Set("1_min_words", "2_repetition",
+      "3_dup_words", "4_lm_score", "5_kept")))
+    assert(got.getOrElse("5_kept", 0L) > 0, "something must survive")
+    // recompute by composing the standalone ops (join formulation)
+    val rep = TextAnalysis.repetitionStatsOf(docs)
+      .select("doc_id", "n_words", "top2gram_frac", "dup_word_frac")
+    val lm = TextAnalysis.charLmScoreOf(docs).select("doc_id", "lm_score")
+    val joined = rep.join(lm, Seq("doc_id"), "left")
+      .select(when(col("n_words") < 30, "1_min_words")
+        .when(col("top2gram_frac") >= 0.125, "2_repetition")
+        .when(col("dup_word_frac") >= 0.6, "3_dup_words")
+        .when(col("lm_score") < 0.23, "4_lm_score")
+        .otherwise("5_kept").as("stage"))
+      .groupBy("stage").count()
+      .as[(String, Long)].collect().toMap
+    assert(got === joined, "fused funnel must match the composed-op formulation")
+    // the funnel pass itself must be map-only: no join, no window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"funnel must be one map-only pass:\n${plan.take(1500)}")
+  }
+
   test("temperature mix: quota above source size keeps the whole source") {
     import spark.implicits._
     val docs = ((0 until 6).map(i => (i.toLong, "a")) ++
