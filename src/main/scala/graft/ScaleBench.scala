@@ -103,6 +103,20 @@ object ScaleBench {
       timed("tfidf")           { noop(graft.ops.TextAnalysis.tfidfOf(docs)) },
       timed("inverted_index")  { noop(graft.ops.TextAnalysis.invertedIndexOf(docs)) },
       timed("char_lm_score")   { noop(graft.ops.TextAnalysis.charLmScoreOf(docs)) },
+      timed("filter_funnel")   {
+        // model pass + ONE map-only funnel pass; ≤5-row result
+        noop(graft.ops.TextAnalysis.filterFunnelOf(docs))
+      },
+      timed("bm25_3term")      {
+        // query filter BEFORE the tf agg → query-bounded shuffle
+        noop(graft.ops.TextAnalysis.bm25TopKOf(
+          docs, Seq("customer", "stream", "vector"), k = 15))
+      },
+      timed("temp_mix")        {
+        // #sources-bounded driver apportionment + prefix-count select
+        noop(graft.ops.TextAnalysis.temperatureMixOf(
+          docs, alpha = 0.5, budget = rows / 10))
+      },
       timed("sem_dedup")       {
         // 200k vectors, k=512 → bounded Σ|cluster|² pair space
         noop(graft.ops.Similarity.semDedup(emb, k = 512, threshold = 0.99, iters = 3))

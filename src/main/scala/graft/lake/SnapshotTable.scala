@@ -72,10 +72,23 @@ object SnapshotTable {
   private[graft] def readManifest(spark: SparkSession, path: String, version: Long): Seq[Entry] =
     readManifestFull(spark, path, version).entries
 
-  /** One parsed manifest: recorded schema, live-file entries, and the
-    * producing operation — all from a single file read. */
+  /** One parsed manifest: recorded schema, live-file entries, the
+    * producing operation, and the table's CHECK constraints — all
+    * from a single file read. */
   private[lake] case class Manifest(schema: Option[StructType], entries: Seq[Entry],
-      op: Option[String])
+      op: Option[String], constraints: Map[String, String] = Map.empty)
+
+  // `#constraints=` header codec: URL-encode every name/expr token so
+  // no raw tab can appear, then tab-join (name, expr) pairs flat. Self
+  // -contained (no JSON dependency) and collision-free by encoding.
+  private def encodeConstraints(cs: Map[String, String]): String =
+    cs.toSeq.sortBy(_._1).flatMap { case (n, e) => Seq(n, e) }
+      .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("\t")
+
+  private def decodeConstraints(s: String): Map[String, String] =
+    s.split("\t", -1).filter(_.nonEmpty)
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+      .grouped(2).collect { case Array(n, e) => n -> e }.toMap
 
   /** Recorded table schema at `version` (default latest) — O(1)
     * manifest-header lookup, no parquet footer sweep. None for
@@ -99,6 +112,9 @@ object SnapshotTable {
     val schema = lines.find(_.startsWith("#schema="))
       .map(l => DataType.fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType])
     val op = lines.find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
+    val constraints = lines.find(_.startsWith("#constraints="))
+      .map(l => decodeConstraints(l.stripPrefix("#constraints=")))
+      .getOrElse(Map.empty[String, String])
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val parts = line.split("\t", -1)
       require(parts.length >= 2, s"bad manifest line: $line")
@@ -111,7 +127,7 @@ object SnapshotTable {
         .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
       Entry(parts(0), parts(1), rows, stats)
     }.toSeq
-    Manifest(schema, entries, op)
+    Manifest(schema, entries, op, constraints)
   }
 
   /** Filesystem schemes with no atomic create-if-absent: the exists
@@ -144,7 +160,8 @@ object SnapshotTable {
     * first, so a reader can never observe a partial manifest. */
   private def publishManifest(spark: SparkSession, path: String, version: Long,
       entries: Seq[Entry], schema: Option[StructType] = None,
-      op: Option[String] = None): Boolean = {
+      op: Option[String] = None,
+      constraints: Map[String, String] = Map.empty): Boolean = {
     val f = fs(spark, path)
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
     val atomicScheme = !nonAtomicSchemes.contains(scheme) && !forceNonAtomic
@@ -160,7 +177,9 @@ object SnapshotTable {
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
     val header = schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
-      op.map(o => s"#op=$o\n").getOrElse("")
+      op.map(o => s"#op=$o\n").getOrElse("") +
+      (if (constraints.nonEmpty)
+        s"#constraints=${encodeConstraints(constraints)}\n" else "")
     try out.write((header + entries.map { e =>
       val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
       val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
@@ -230,7 +249,16 @@ object SnapshotTable {
       statsCols: Seq[String] = Nil, op: String = "append"): Long = {
     val spark = df.sparkSession
     val commitDir = s"$path/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
-    val w = df.write.mode("errorifexists").option("compression", "zstd")
+    // CHECK constraints ride the write job as a guard projection (no
+    // extra pass): a violating row fails the write before anything
+    // can publish. Read once here; the CAS loop re-checks for
+    // constraints added concurrently and validates the written files
+    // on that (rare) path.
+    val guardedCs: Map[String, String] = latestVersion(spark, path)
+      .map(v => readManifestFull(spark, path, v).constraints)
+      .getOrElse(Map.empty)
+    val guarded = withConstraintGuard(df, guardedCs)
+    val w = guarded.write.mode("errorifexists").option("compression", "zstd")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(commitDir)
     val files = listParquet(fs(spark, path), new Path(commitDir))
     // footer reads (row count + per-column min/max) are driver-side
@@ -257,19 +285,32 @@ object SnapshotTable {
       // carryOver on exactly the latest manifest; if another writer
       // publishes first, the CAS fails and we re-read their manifest
       val version = latestVersion(spark, path).getOrElse(0L) + 1
-      val (prevSchema, previous) =
-        if (version == 1L) (None, Nil)
+      val (prevSchema, previous, prevCs) =
+        if (version == 1L) (None, Nil, Map.empty[String, String])
         else {
           val m = readManifestFull(spark, path, version - 1)
-          (m.schema, m.entries)
+          (m.schema, m.entries, m.constraints)
         }
+      // a constraint added between our pre-write read and this attempt
+      // was not enforced by the write guard — validate the committed
+      // files directly (rare contention path, one bounded scan)
+      val unguarded = prevCs -- guardedCs.keySet
+      if (unguarded.nonEmpty && added.nonEmpty) {
+        val written = spark.read.parquet(commitDir)
+        unguarded.foreach { case (name, e) =>
+          val bad = written.filter(!coalesce(expr(e), lit(true))).limit(1).count()
+          require(bad == 0L,
+            s"CHECK constraint '$name' ($e) added concurrently is violated " +
+              s"by this commit's data at $path")
+        }
+      }
       // drift gate + schema evolution, recomputed per attempt (a
       // contending writer may have evolved the schema): additive
       // columns merge in, a type change on a shared column is drift
       // and fails loudly before any manifest is published
       val merged = mergeSchemas(prevSchema, df.schema, path)
       if (publishManifest(spark, path, version, carryOver(previous) ++ added,
-          Some(merged), Some(op)))
+          Some(merged), Some(op), prevCs))
         return version
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
@@ -304,6 +345,85 @@ object SnapshotTable {
   /** Append commit: previous live files all carry over. */
   def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long =
     commit(df, path, partitionCols, identity)
+
+  // ---- CHECK constraints -------------------------------------------
+  // Delta-style table invariants (`ALTER TABLE ... ADD CONSTRAINT ...
+  // CHECK (expr)` semantics): stored in the manifest header, carried
+  // forward by every commit, enforced on EVERY write path (append /
+  // clustered / z-ordered / overwrite / merge / update / delete all
+  // funnel through commit()). SQL-standard tri-valued logic: a NULL
+  // evaluation PASSES — only an explicit FALSE violates.
+
+  /** Wrap the first output column in a per-constraint raise_error
+    * CaseWhen: zero extra jobs (the guard rides the write projection),
+    * and branch laziness means the error expression only evaluates on
+    * a violating row. */
+  private def withConstraintGuard(df: DataFrame,
+      cs: Map[String, String]): DataFrame =
+    if (cs.isEmpty) df
+    else {
+      val first = df.columns.head
+      val t = df.schema.head.dataType
+      val guarded = cs.toSeq.sortBy(_._1).foldLeft(col(first)) {
+        case (acc, (name, e)) =>
+          when(!coalesce(expr(e), lit(true)),
+            raise_error(concat(lit(s"CHECK constraint '$name' violated: ($e)")))
+              .cast(t))
+            .otherwise(acc)
+      }
+      df.withColumn(first, guarded)
+    }
+
+  /** Current CHECK constraints (name → SQL expression). */
+  def checkConstraints(spark: SparkSession, path: String): Map[String, String] = {
+    val v = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    readManifestFull(spark, path, v).constraints
+  }
+
+  /** Add a CHECK constraint: validates EXISTING rows first (one scan,
+    * exactly Delta's ADD CONSTRAINT behavior), then publishes a
+    * metadata-only commit (op=addConstraint, same live files). */
+  def addCheckConstraint(spark: SparkSession, path: String,
+      name: String, exprSql: String): Long = {
+    require(name.nonEmpty && exprSql.nonEmpty, "need a name and an expression")
+    val bad = read(spark, path).filter(!coalesce(expr(exprSql), lit(true)))
+      .limit(1).count()
+    require(bad == 0L,
+      s"cannot add CHECK constraint '$name': ($exprSql) is violated by existing rows")
+    publishMetadataCommit(spark, path, "addConstraint") { m =>
+      require(!m.constraints.contains(name),
+        s"constraint '$name' already exists at $path")
+      m.constraints + (name -> exprSql)
+    }
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit). */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String): Long =
+    publishMetadataCommit(spark, path, "dropConstraint") { m =>
+      require(m.constraints.contains(name),
+        s"no constraint '$name' at $path")
+      m.constraints - name
+    }
+
+  /** CAS-retry publish of a metadata-only version: live files, schema
+    * and op-unrelated headers carry over unchanged. */
+  private def publishMetadataCommit(spark: SparkSession, path: String,
+      op: String)(newCs: Manifest => Map[String, String]): Long = {
+    var attempt = 0
+    while (attempt < 20) {
+      val base = latestVersion(spark, path)
+        .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+      val m = readManifestFull(spark, path, base)
+      if (publishManifest(spark, path, base + 1, m.entries, m.schema,
+          Some(op), newCs(m)))
+        return base + 1
+      attempt += 1
+      Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
+    }
+    throw new ConcurrentCommitException(path, 20)
+  }
 
   /** One footer open per committed file: the row count plus (min,
     * max) of each requested numeric column — read driver-side at

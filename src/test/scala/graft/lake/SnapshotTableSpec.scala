@@ -600,4 +600,52 @@ class SnapshotTableSpec extends SparkTestBase {
     val all = SnapshotTable.changes(spark, path, 0L, 5L)
     assert(all.count() === 5 + 5 + 2 + 2 + 0)
   }
+
+  test("CHECK constraints: enforced on every write path, NULL passes, drop restores") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+
+    // add validates existing data: v >= 0 holds, v > 100 does not
+    val v2 = SnapshotTable.addCheckConstraint(spark, path, "v_nonneg", "v >= 0")
+    assert(v2 === 2L)
+    val exAdd = intercept[IllegalArgumentException] {
+      SnapshotTable.addCheckConstraint(spark, path, "v_huge", "v > 100")
+    }
+    assert(exAdd.getMessage.contains("v_huge"))
+    assert(SnapshotTable.checkConstraints(spark, path) === Map("v_nonneg" -> "v >= 0"))
+
+    // metadata-only commit: same live rows, zero net changes in the feed
+    assert(SnapshotTable.read(spark, path).count() === 5)
+    assert(SnapshotTable.changes(spark, path, 1L, 2L).count() === 0)
+
+    // append of a violating batch fails inside the write job
+    val bad = Seq(("x-0", "2024-01-02", -1.0)).toDF("id", "event_date", "v")
+    val exAppend = intercept[Exception] {
+      SnapshotTable.append(bad, path, Seq("event_date"))
+    }
+    assert(exAppend.getMessage.contains("v_nonneg")
+      || Option(exAppend.getCause).exists(_.getMessage.contains("v_nonneg")))
+    // nothing published
+    assert(SnapshotTable.latestVersion(spark, path) === Some(2L))
+
+    // a NULL evaluation passes (SQL tri-valued semantics)
+    val nullRow = Seq(("n-0", "2024-01-02", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "event_date", "v")
+    SnapshotTable.append(nullRow, path, Seq("event_date"))
+    assert(SnapshotTable.read(spark, path).count() === 6)
+
+    // merge with a violating source row fails too (same guard)
+    val badSrc = Seq(("a-0-0", "2024-01-01", -5.0)).toDF("id", "event_date", "v")
+    val exMerge = intercept[Exception] {
+      SnapshotTable.merge(badSrc, path, Seq("id"), Seq("event_date"))
+    }
+    assert(exMerge.getMessage.contains("v_nonneg")
+      || Option(exMerge.getCause).exists(_.getMessage.contains("v_nonneg")))
+
+    // drop, then the formerly-violating append goes through
+    SnapshotTable.dropCheckConstraint(spark, path, "v_nonneg")
+    assert(SnapshotTable.checkConstraints(spark, path).isEmpty)
+    SnapshotTable.append(bad, path, Seq("event_date"))
+    assert(SnapshotTable.read(spark, path).count() === 7)
+  }
 }
