@@ -984,6 +984,69 @@ object TextAnalysis {
       |FROM qtf JOIN qdf USING (term) JOIN dl USING (doc_id), stats
       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
 
+  // ---- URL / domain analysis ---------------------------------------
+  // The domain-level accounting step of a web-corpus pipeline: extract
+  // URLs, reduce hosts to their registered domain, and report per
+  // -domain url/doc counts with a blocklist flag — what you feed a
+  // domain-mixing policy or a blocklist review. The synthetic corpus
+  // carries no URLs, so the gate PLANTS deterministic doc_id-derived
+  // URLs on both engines (the q80 piiScrub idiom: exercised on
+  // matching input, not vacuously green). Plan shape for 100 TB:
+  // regexp extraction and host parsing are row-local; one combinable
+  // aggregation keyed by registered domain (web domain counts are
+  // zipfian — the heavy key is exactly what map-side combine absorbs);
+  // the blocklist is a literal isin here, a broadcast left-semi for
+  // real blocklists (q93's decontamination shape).
+  val urlPattern = "https?://[a-z0-9.-]+"
+
+  /** host → registered domain (last two dot-labels). */
+  def registeredDomain(host: Column): Column =
+    concat_ws(".", slice(split(host, "\\."), -2, 2))
+
+  def urlDomainReport(spark: SparkSession, dir: String): DataFrame = {
+    val blocklist = Seq("ads0.net", "ads1.net", "ads2.net")
+    val planted = concat(col("text"),
+      lit(" visit https://www.site"),
+      pmod(col("doc_id"), lit(20L)).cast("string"),
+      lit(".com/p"), col("doc_id").cast("string"),
+      lit(" and http://cdn.ads"),
+      pmod(col("doc_id"), lit(5L)).cast("string"),
+      lit(".net/track"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(
+        regexp_extract_all(planted, lit(urlPattern), lit(0))).as("url"))
+      .select(col("doc_id"),
+        registeredDomain(regexp_extract(col("url"), "https?://([a-z0-9.-]+)", 1))
+          .as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("blocked", col("domain").isin(blocklist: _*))
+      .orderBy("domain")
+  }
+
+  val urlDomainReportSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' visit https://www.site' || CAST(doc_id % 20 AS VARCHAR)
+      |      || '.com/p' || CAST(doc_id AS VARCHAR)
+      |      || ' and http://cdn.ads' || CAST(doc_id % 5 AS VARCHAR)
+      |      || '.net/track' AS txt
+      |  FROM documents
+      |), urls AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://[a-z0-9.-]+')) AS url
+      |  FROM planted
+      |), doms AS (
+      |  SELECT doc_id, array_to_string(
+      |    string_split(regexp_extract(url, 'https?://([a-z0-9.-]+)', 1), '.')[-2:],
+      |    '.') AS domain
+      |  FROM urls
+      |)
+      |SELECT domain, count(*) AS n_urls,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  domain IN ('ads0.net', 'ads1.net', 'ads2.net') AS blocked
+      |FROM doms GROUP BY domain ORDER BY domain""".stripMargin
+
   // ---- corpus filter funnel ----------------------------------------
   // The report a production filtering pipeline actually emits: run the
   // quality rules as an ORDERED funnel and account every document to
@@ -1164,5 +1227,6 @@ object TextAnalysis {
     QDef("q118_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QDef("q119_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     QDef("q120_filter_funnel", filterFunnel, Some(filterFunnelSql)),
+    QDef("q121_url_domains", urlDomainReport, Some(urlDomainReportSql)),
   )
 }

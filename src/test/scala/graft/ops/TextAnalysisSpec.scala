@@ -365,6 +365,27 @@ class TextAnalysisSpec extends SparkTestBase {
       s"funnel must be one map-only pass:\n${plan.take(1500)}")
   }
 
+  test("url domain report: planted urls resolve to registered domains, counts exact") {
+    import spark.implicits._
+    val out = TextAnalysis.urlDomainReport(spark, sf0001)
+      .as[(String, Long, Long, Boolean)].collect()
+    val n = Tables.documents(spark, sf0001).count()
+    // 20 site<k>.com + 5 ads<k>.net domains, every doc plants exactly
+    // one url of each family
+    assert(out.length === 25)
+    assert(out.map(_._2).sum === 2 * n, "one url per family per doc")
+    val (ads, sites) = out.partition(_._1.endsWith(".net"))
+    assert(sites.forall(d => d._1.matches("site\\d+\\.com") && !d._4))
+    assert(ads.forall(d => d._1.matches("ads\\d+\\.net")))
+    assert(ads.filter(_._4).map(_._1).sorted.toSeq ===
+      Seq("ads0.net", "ads1.net", "ads2.net"))
+    // registered-domain reduction strips the subdomain
+    assert(!out.exists(d => d._1.startsWith("www.") || d._1.startsWith("cdn.")))
+    // n_docs tracks the modulus classes exactly
+    ads.foreach(d => assert(d._3 === n / 5, d.toString))
+    sites.foreach(d => assert(d._3 === n / 20, d.toString))
+  }
+
   test("temperature mix: quota above source size keeps the whole source") {
     import spark.implicits._
     val docs = ((0 until 6).map(i => (i.toLong, "a")) ++
