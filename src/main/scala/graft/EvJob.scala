@@ -135,6 +135,29 @@ object EvJob {
               f"[dq-drift] ${d.constraint} ${d.previous}%.4f -> ${d.current}%.4f " +
                 f"(rel=${d.relativeChange}%.2f)"))
           }
+        case "delete-dv" =>
+          require(args.length >= 3,
+            "usage: EvJob delete-dv <tablePath> <sqlPredicate> [maxDvRows]")
+          val cap = if (args.length > 3) args(3).toLong else 1000000L
+          val v = graft.lake.SnapshotTable.deleteWithVectors(
+            spark, args(1), org.apache.spark.sql.functions.expr(args(2)), cap)
+          println(s"[delete-dv] committed version=$v predicate=${args(2)}")
+        case "constraint" =>
+          require(args.length >= 3,
+            "usage: EvJob constraint <tablePath> add <name> <sqlExpr> | drop <name> | list")
+          args(2) match {
+            case "add" =>
+              val v = graft.lake.SnapshotTable.addCheckConstraint(
+                spark, args(1), args(3), args(4))
+              println(s"[constraint] added '${args(3)}' version=$v")
+            case "drop" =>
+              val v = graft.lake.SnapshotTable.dropCheckConstraint(spark, args(1), args(3))
+              println(s"[constraint] dropped '${args(3)}' version=$v")
+            case "list" =>
+              graft.lake.SnapshotTable.checkConstraints(spark, args(1)).toSeq.sorted
+                .foreach { case (n, e) => println(s"[constraint] $n CHECK ($e)") }
+            case other => throw new IllegalArgumentException(s"unknown constraint op: $other")
+          }
         case "history" =>
           graft.lake.SnapshotTable.history(spark, args(1)).collect().foreach { r =>
             println(f"[history] v=${r.getLong(0)}%-4d op=${Option(r.getString(1)).getOrElse("?")}%-22s " +

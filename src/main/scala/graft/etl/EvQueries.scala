@@ -440,6 +440,65 @@ object EvQueries {
        |SELECT sessionId, session_duration_minutes, _change_type, _commit_version
        |FROM feed ORDER BY _commit_version, _change_type, sessionId""".stripMargin
 
+  /** Deletion-vector deletes end-to-end: the gold fact takes two
+    * deleteWithVectors commits (the over-threshold rows, then one
+    * more row — exercising the merged REPLACEMENT DV on a file
+    * already carrying one) WITHOUT rewriting a single data file. The
+    * output carries the surviving rows plus two behavioral-contract
+    * columns the oracle pins: `files_unchanged` (the live file set
+    * and count is identical across all three versions, and both
+    * delete commits record op=delete_dv — i.e. the deletes really
+    * were metadata+DV, not rewrites) and `meta_count` (the
+    * metadata-only count that must see through DVs). Row content and
+    * both contract columns are hash-verified against the same
+    * cleaned CSV in SQL. */
+  def dvDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-dv-gate").toString + "/fact"
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      graft.lake.SnapshotTable.append(gold, path, Seq("event_date"))
+      graft.lake.SnapshotTable.deleteWithVectors(spark, path,
+        col("session_duration_minutes") > 120)
+      val victim = graft.lake.SnapshotTable.read(spark, path)
+        .agg(min(col("sessionId"))).as[String].head()
+      graft.lake.SnapshotTable.deleteWithVectors(spark, path,
+        col("sessionId") === victim)
+      val hist = graft.lake.SnapshotTable.history(spark, path)
+        .select("version", "n_files").as[(Long, Int)].collect().toMap
+      val filesUnchanged = hist(1L) == hist(3L) &&
+        graft.lake.SnapshotTable.opOf(spark, path, 2L).contains("delete_dv") &&
+        graft.lake.SnapshotTable.opOf(spark, path, 3L).contains("delete_dv")
+      val metaCount = graft.lake.SnapshotTable.count(spark, path)
+      graft.lake.SnapshotTable.read(spark, path)
+        .select("sessionId", "session_duration_minutes")
+        .withColumn("files_unchanged", lit(filesUnchanged))
+        .withColumn("meta_count", lit(metaCount))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val dvDeleteSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |), kept1 AS (
+       |  SELECT * FROM gold WHERE NOT session_duration_minutes > 120
+       |), victim AS (
+       |  SELECT min(sessionId) AS v FROM kept1
+       |), final AS (
+       |  SELECT * FROM kept1 WHERE sessionId <> (SELECT v FROM victim)
+       |)
+       |SELECT sessionId, session_duration_minutes,
+       |  true AS files_unchanged,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM final) AS meta_count
+       |FROM final ORDER BY sessionId""".stripMargin
+
   /** Incremental consumption through the offset-checkpointed reader:
     * the gold fact lands in two append commits (the 20 lowest
     * sessionIds, then the rest), and SnapshotIncremental.processNew
@@ -594,5 +653,6 @@ object EvQueries {
     QDef("ev12_change_feed", changeFeed, Some(changeFeedSql)),
     QDef("ev13_incremental_read", incrementalFeed, Some(incrementalFeedSql)),
     QDef("ev14_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
+    QDef("ev15_dv_delete", dvDelete, Some(dvDeleteSql)),
   )
 }

@@ -52,10 +52,15 @@ object SnapshotIncremental {
       : (Option[StructType], Seq[SnapshotTable.Entry]) = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
-    val fromSet: Set[String] =
-      if (fromVersion == 0) Set.empty
-      else SnapshotTable.readManifest(spark, path, fromVersion).map(_.filePath).toSet
+    val fromEntries =
+      if (fromVersion == 0) Nil
+      else SnapshotTable.readManifest(spark, path, fromVersion)
+    val fromSet: Set[String] = fromEntries.map(_.filePath).toSet
     var prevSet = fromSet
+    // a deletion-vector change removes ROWS without removing files —
+    // for append-only verification it counts as a removal too
+    var prevDv: Map[String, Option[(String, Long)]] =
+      fromEntries.map(e => e.filePath -> e.dv).toMap
     var schema: Option[StructType] = None
     var entries: Seq[SnapshotTable.Entry] = Nil
     ((fromVersion + 1) to toVersion).foreach { v =>
@@ -63,9 +68,12 @@ object SnapshotIncremental {
       val curSet = m.entries.map(_.filePath).toSet
       onRemoved.foreach { cb =>
         val removed = prevSet.diff(curSet).size
-        if (removed > 0) cb(v, removed)
+        val dvChanged = m.entries.count(e =>
+          prevSet(e.filePath) && prevDv.getOrElse(e.filePath, None) != e.dv)
+        if (removed + dvChanged > 0) cb(v, removed + dvChanged)
       }
       prevSet = curSet
+      prevDv = m.entries.map(e => e.filePath -> e.dv).toMap
       schema = m.schema
       entries = m.entries
     }

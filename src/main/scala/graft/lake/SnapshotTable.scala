@@ -42,8 +42,14 @@ object SnapshotTable {
   /** One live data file; `rows` is the footer row count (−1 when the
     * manifest predates row counting), `stats` carries (column, min,
     * max) of each clustering column for file-level data skipping. */
+  /** `dv`: optional deletion vector — (dv file path, deleted-row
+    * count). A file with a DV stays live; its rows at the DV's
+    * recorded positions are dead. DV files are immutable (a new
+    * delete writes a merged REPLACEMENT dv file), so every earlier
+    * version's row set remains reconstructable — time travel holds. */
   private[lake] case class Entry(commitDir: String, filePath: String,
-      rows: Long = -1L, stats: Seq[(String, Double, Double)] = Nil)
+      rows: Long = -1L, stats: Seq[(String, Double, Double)] = Nil,
+      dv: Option[(String, Long)] = None)
 
   private[lake] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -118,14 +124,22 @@ object SnapshotTable {
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val parts = line.split("\t", -1)
       require(parts.length >= 2, s"bad manifest line: $line")
-      val (rows, rest) =
+      val (rows, afterRows) =
         if (parts.length > 2 && parts(2).startsWith("rows="))
           (parts(2).stripPrefix("rows=").toLong, parts.drop(3))
         else (-1L, parts.drop(2))
+      val (dv, rest) = afterRows.headOption match {
+        case Some(t) if t.startsWith("dv=") =>
+          val body = t.stripPrefix("dv=")
+          val sep = body.lastIndexOf('#')
+          (Some((java.net.URLDecoder.decode(body.take(sep), "UTF-8"),
+            body.drop(sep + 1).toLong)), afterRows.drop(1))
+        case _ => (None, afterRows)
+      }
       require(rest.length % 3 == 0, s"bad manifest line: $line")
       val stats = rest.grouped(3)
         .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
-      Entry(parts(0), parts(1), rows, stats)
+      Entry(parts(0), parts(1), rows, stats, dv)
     }.toSeq
     Manifest(schema, entries, op, constraints)
   }
@@ -182,8 +196,10 @@ object SnapshotTable {
         s"#constraints=${encodeConstraints(constraints)}\n" else "")
     try out.write((header + entries.map { e =>
       val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
+      val dv = e.dv.map { case (p, n) =>
+        s"\tdv=${java.net.URLEncoder.encode(p, "UTF-8")}#$n" }.getOrElse("")
       val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
-      s"${e.commitDir}\t${e.filePath}$rows$stats"
+      s"${e.commitDir}\t${e.filePath}$rows$dv$stats"
     }.mkString("\n")).getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(s"${logDir(path)}/v$version")
@@ -500,7 +516,8 @@ object SnapshotTable {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val entries = readManifest(spark, path, v)
-    if (entries.forall(_.rows >= 0)) entries.map(_.rows).sum
+    if (entries.forall(_.rows >= 0))
+      entries.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum
     else read(spark, path, Some(v)).count()
   }
 
@@ -526,7 +543,9 @@ object SnapshotTable {
       val ts = new java.sql.Timestamp(
         f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime)
       val nRows: java.lang.Long =
-        if (m.entries.forall(_.rows >= 0)) Long.box(m.entries.map(_.rows).sum) else null
+        if (m.entries.forall(_.rows >= 0))
+          Long.box(m.entries.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
+        else null
       Row(v, m.op.orNull, ts, m.entries.size, nRows)
     }
     val schema = StructType(Seq(
@@ -665,7 +684,27 @@ object SnapshotTable {
     * a string `event_date` into DateType and trip the drift gate on
     * the next rewrite commit); pre-schema manifests fall back to
     * mergeSchema + inference. */
+  /** Read a set of live entries. Files carrying a deletion vector are
+    * read through a position-aware scan that anti-joins the (file,
+    * row_index) dead set — the DV side is driver-loaded and broadcast
+    * (bounded by the deleteWithVectors collection cap), so the filter
+    * costs no shuffle. Plain files keep the direct scan (no metadata
+    * columns, nothing in the way of pushdown). */
   private[lake] def readGroups(spark: SparkSession, entries: Seq[Entry],
+      schema: Option[StructType]): DataFrame = {
+    val (dvE, plainE) = entries.partition(_.dv.isDefined)
+    val parts = Seq(
+      if (plainE.isEmpty) None else Some(readPlainGroups(spark, plainE, schema)),
+      if (dvE.isEmpty) None
+      else {
+        val withPos = readWithPositions(spark, dvE, schema)
+        val dataCols = withPos.columns.filterNot(_.startsWith("__graft_"))
+        Some(applyDvFilter(spark, withPos, dvE).select(dataCols.map(col): _*))
+      }).flatten
+    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  private def readPlainGroups(spark: SparkSession, entries: Seq[Entry],
       schema: Option[StructType]): DataFrame =
     entries.groupBy(_.commitDir).map { case (dir, es) =>
       val base = spark.read.option("basePath", dir)
@@ -674,6 +713,71 @@ object SnapshotTable {
         case None    => base.option("mergeSchema", true).parquet(es.map(_.filePath): _*)
       }
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+  /** File identity for DV bookkeeping: the last three path segments
+    * (`c-<uuid>/<partition dirs…>/<leaf>` — the commit-dir UUID makes
+    * it table-unique). The LEAF name alone is NOT unique: one task
+    * writing several partition dirs (e.g. coalesce(1) + partitionBy)
+    * emits the same part-file name into each of them. A path suffix
+    * also stays scheme-independent, so the driver-side manifest path
+    * and the scan-side `_metadata.file_path` URI agree. */
+  private def dvFileKey(filePath: String): String =
+    filePath.split("/").takeRight(3).mkString("/")
+
+  /** Same scan plus `__graft_fname` (the [[dvFileKey]] path suffix) /
+    * `__graft_idx` (row index) position columns. No DV is applied
+    * here — callers decide. */
+  private def readWithPositions(spark: SparkSession, entries: Seq[Entry],
+      schema: Option[StructType]): DataFrame =
+    entries.groupBy(_.commitDir).map { case (dir, es) =>
+      val base = spark.read.option("basePath", dir)
+      val df = schema match {
+        case Some(s) => base.schema(s).parquet(es.map(_.filePath): _*)
+        case None    => base.option("mergeSchema", true).parquet(es.map(_.filePath): _*)
+      }
+      df.withColumn("__graft_fname",
+          substring_index(col("_metadata.file_path"), "/", -3))
+        .withColumn("__graft_idx", col("_metadata.row_index"))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+  /** Anti-join the dead (file, row_index) pairs of `dvEntries` out of
+    * a position-tagged frame. */
+  private def applyDvFilter(spark: SparkSession, withPos: DataFrame,
+      dvEntries: Seq[Entry]): DataFrame = {
+    val dead: Seq[(String, Long)] = dvEntries.flatMap { e =>
+      val fname = dvFileKey(e.filePath)
+      e.dv.toSeq.flatMap(d => readDv(spark, e.filePath, d._1).map(fname -> _))
+    }
+    if (dead.isEmpty) withPos
+    else {
+      import spark.implicits._
+      val deadDf = dead.toDF("__dv_fname", "__dv_idx")
+      withPos.join(broadcast(deadDf),
+        col("__graft_fname") === col("__dv_fname") &&
+          col("__graft_idx") === col("__dv_idx"),
+        "left_anti")
+    }
+  }
+
+  // ---- deletion-vector file IO (driver-side, like manifests) -------
+  private def dvDir(tablePath: String): String = s"$tablePath/_graft_dv"
+
+  private[lake] def readDv(spark: SparkSession, nearPath: String,
+      dvPath: String): Array[Long] = {
+    val in = fs(spark, nearPath).open(new Path(dvPath))
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    content.split("\n").iterator.filter(_.nonEmpty).map(_.toLong).toArray
+  }
+
+  private def writeDv(spark: SparkSession, tablePath: String,
+      idxs: Array[Long]): String = {
+    val f = fs(spark, tablePath)
+    f.mkdirs(new Path(dvDir(tablePath)))
+    val p = s"${dvDir(tablePath)}/dv-${java.util.UUID.randomUUID.toString.take(12)}"
+    val out = f.create(new Path(p), false)
+    try out.write(idxs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    p
+  }
 
   /** Replace the partitions present in `df` (Iceberg
     * overwritePartitions semantics), leaving other partitions and all
@@ -862,6 +966,58 @@ object SnapshotTable {
         s"concurrent commit advanced $path during delete — rerun the delete")
       prev.filterNot(e => rewriteSet(e.filePath))
     }, statsCols = statsOut, op = "delete")
+  }
+
+  /** Row-level DELETE via deletion vectors (Delta DV / Iceberg-v3
+    * position-delete shape): instead of rewriting every file that
+    * holds a matching row, record the matching ROW POSITIONS in a
+    * per-file deletion vector and publish a metadata+DV commit — the
+    * data files are untouched. This is the small-delete fast path a
+    * 100 TB fact table needs: deleting 100 rows from a 1 GB file
+    * costs a DV of 100 longs, not a 1 GB rewrite. Readers apply DVs
+    * as a broadcast (file, row_index) anti-join (no shuffle);
+    * [[compact]] materializes survivors and clears DVs; time travel
+    * holds because DV files are immutable (a second delete writes a
+    * MERGED replacement DV). The matched-position collect is bounded
+    * by `maxDvRows` — past that, a delete is not "small" and the
+    * rewriting [[delete]] is the right tool (the error says so).
+    * SQL NULL semantics match [[delete]]: predicate NULL keeps rows. */
+  def deleteWithVectors(spark: SparkSession, path: String, predicate: Column,
+      maxDvRows: Long = 1000000L): Long = {
+    val base = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val m = readManifestFull(spark, path, base)
+    // live rows with positions: existing DVs applied so an already
+    // -dead row can never be re-deleted or double-counted
+    val withPos = readWithPositions(spark, m.entries, m.schema)
+    val live = applyDvFilter(spark, withPos, m.entries.filter(_.dv.isDefined))
+    val matched = live.filter(coalesce(predicate, lit(false)))
+      .select(col("__graft_fname"), col("__graft_idx"))
+    val cnt = matched.count()
+    if (cnt == 0L) return base
+    require(cnt <= maxDvRows,
+      s"deleteWithVectors matched $cnt rows (cap $maxDvRows) at $path — " +
+        "this is not a small delete; use delete() (file rewrite) instead")
+    val byFile: Map[String, Array[Long]] = matched.collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    val newEntries = m.entries.map { e =>
+      val fname = dvFileKey(e.filePath)
+      byFile.get(fname) match {
+        case None => e
+        case Some(fresh) =>
+          val existing = e.dv.map(d => readDv(spark, path, d._1))
+            .getOrElse(Array.empty[Long])
+          val merged = (existing ++ fresh).distinct.sorted
+          e.copy(dv = Some((writeDv(spark, path, merged), merged.length.toLong)))
+      }
+    }
+    // single-attempt CAS at base+1: a concurrent commit means our
+    // positions may be stale (same policy as delete's rerun guard)
+    require(publishManifest(spark, path, base + 1, newEntries, m.schema,
+      Some("delete_dv"), m.constraints),
+      s"concurrent commit advanced $path during deleteWithVectors — rerun")
+    base + 1
   }
 
   /** Row-level UPDATE: apply `assignments` (column → new-value
@@ -1087,10 +1243,46 @@ object SnapshotTable {
       val nextSet = m.entries.map(_.filePath).toSet
       val removed = prev.filterNot(e => nextSet(e.filePath))
       val added = m.entries.filterNot(e => prevSet(e.filePath))
+      // a deletion-vector commit keeps every filePath but grows some
+      // entries' DVs: the rows at the freshly-dead positions are this
+      // commit's deletes — read ONLY those positions (semi-join on the
+      // broadcast delta), never the whole file
+      val prevByPath = prev.map(e => e.filePath -> e).toMap
+      val dvDeltas: Seq[(Entry, Array[Long])] = m.entries.flatMap { e =>
+        prevByPath.get(e.filePath) match {
+          case Some(p) if p.dv != e.dv =>
+            val old = p.dv.map(d => readDv(spark, e.filePath, d._1))
+              .getOrElse(Array.empty[Long]).toSet
+            val dead = e.dv.map(d => readDv(spark, e.filePath, d._1))
+              .getOrElse(Array.empty[Long]).filterNot(old)
+            if (dead.isEmpty) None else Some((e, dead))
+          case _ => None
+        }
+      }
       prev = m.entries
       if (m.op.contains("compact")) None // row-preserving by construction
-      else if (removed.isEmpty && added.isEmpty) None
+      else if (removed.isEmpty && added.isEmpty && dvDeltas.isEmpty) None
+      else if (removed.isEmpty && added.isEmpty) {
+        // pure DV commit: deletes only
+        import spark.implicits._
+        val sch = m.schema
+        val deltaPairs = dvDeltas.flatMap { case (e, idxs) =>
+          val fname = dvFileKey(e.filePath)
+          idxs.map(fname -> _)
+        }.toDF("__dv_fname", "__dv_idx")
+        val withPos = readWithPositions(spark, dvDeltas.map(_._1), sch)
+        val dataCols = withPos.columns.filterNot(_.startsWith("__graft_"))
+        Some(withPos.join(broadcast(deltaPairs),
+            col("__graft_fname") === col("__dv_fname") &&
+              col("__graft_idx") === col("__dv_idx"), "left_semi")
+          .select(dataCols.map(col): _*)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v)))
+      }
       else {
+        require(dvDeltas.isEmpty,
+          s"version $v of $path changes deletion vectors AND the file set " +
+            "in one commit — no supported operation produces this shape")
         val sch = m.schema
         val sides = Seq(added, removed).map(es =>
           if (es.isEmpty) None else Some(readGroups(spark, es, sch)))

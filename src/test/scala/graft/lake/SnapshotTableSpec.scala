@@ -601,6 +601,83 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(all.count() === 5 + 5 + 2 + 2 + 0)
   }
 
+  test("deletion vectors: delete without rewrite, time travel, merge of DVs, compact clears") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), path, Seq("event_date"))
+    val filesV1 = SnapshotTable.readManifest(spark, path, 1L).map(_.filePath).toSet
+
+    // DV delete: same file set, rows gone, metadata count adjusted
+    val v2 = SnapshotTable.deleteWithVectors(spark, path, col("v") === 0.0)
+    assert(v2 === 2L)
+    val m2 = SnapshotTable.readManifest(spark, path, 2L)
+    assert(m2.map(_.filePath).toSet === filesV1, "no file rewritten")
+    assert(m2.count(_.dv.isDefined) === 2, "one DV per touched file")
+    assert(SnapshotTable.read(spark, path).count() === 8)
+    assert(SnapshotTable.read(spark, path).filter(col("v") === 0.0).count() === 0)
+    assert(SnapshotTable.count(spark, path) === 8, "metadata-only count sees DVs")
+    assert(SnapshotTable.opOf(spark, path, 2L) === Some("delete_dv"))
+
+    // time travel: v1 still sees everything
+    assert(SnapshotTable.read(spark, path, Some(1L)).count() === 10)
+
+    // a second DV delete merges with the first (replacement DV file)
+    val v3 = SnapshotTable.deleteWithVectors(spark, path, col("v") === 10.0)
+    assert(v3 === 3L)
+    assert(SnapshotTable.read(spark, path).count() === 6)
+    assert(SnapshotTable.read(spark, path, Some(2L)).count() === 8, "old DV intact")
+    // deleting already-dead rows is a no-op (positions never double-count)
+    assert(SnapshotTable.deleteWithVectors(spark, path, col("v") === 10.0) === 3L)
+
+    // the change feed emits exactly the DV-deleted rows
+    val c23 = SnapshotTable.changes(spark, path, 2L, 3L)
+    assert(c23.count() === 2)
+    assert(c23.select("_change_type").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("delete"))
+    assert(c23.select("v").collect().forall(_.getDouble(0) === 10.0))
+
+    // compact materializes survivors and clears every DV
+    SnapshotTable.compact(spark, path, numFiles = 2)
+    val mC = SnapshotTable.readManifest(spark, path, 4L)
+    assert(mC.forall(_.dv.isEmpty), "compaction must clear DVs")
+    assert(SnapshotTable.read(spark, path).count() === 6)
+    // compact contributes zero changes even from a DV'd base
+    assert(SnapshotTable.changes(spark, path, 3L, 4L).count() === 0)
+  }
+
+  test("deletion vectors: rewrite paths respect DVs; append-only consumers refuse DV commits") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    // one data file, so the dead row and the updated row share it
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")).coalesce(1), path,
+      Seq("event_date"))
+    assert(SnapshotTable.readManifest(spark, path, 1L).size === 1)
+    SnapshotTable.deleteWithVectors(spark, path, col("id") === "a-0-1")
+    assert(SnapshotTable.read(spark, path).count() === 4)
+
+    // update rewrites the DV'd file: the dead row must not resurrect
+    SnapshotTable.update(spark, path, Seq("v" -> lit(999.0)), col("id") === "a-0-2")
+    val after = SnapshotTable.read(spark, path)
+    assert(after.count() === 4)
+    assert(after.filter(col("id") === "a-0-1").count() === 0, "dead row resurrected")
+    assert(after.filter(col("v") === 999.0).count() === 1)
+    // the rewritten entry carries no DV (survivors were materialized)
+    assert(SnapshotTable.readManifest(spark, path,
+      SnapshotTable.latestVersion(spark, path).get).forall(_.dv.isEmpty))
+
+    // append-only incremental consumption refuses the DV version
+    val path2 = Files.createTempDirectory("graft-snap").toString + "/t2"
+    SnapshotTable.append(mkRows("b", Seq("2024-01-01")), path2, Seq("event_date"))
+    SnapshotTable.deleteWithVectors(spark, path2, col("id") === "b-0-0")
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotIncremental.readBetween(spark, path2, 0L, 2L).count()
+    }
+    assert(ex.getMessage.toLowerCase.contains("append"), ex.getMessage)
+    // Cdc mode consumes it as tagged deletes
+    val cdc = SnapshotIncremental.readBetween(spark, path2, 1L, 2L,
+      SnapshotIncremental.Cdc)
+    assert(cdc.count() === 1)
+    assert(cdc.select("_change_type").head.getString(0) === "delete")
+  }
+
   test("CHECK constraints: enforced on every write path, NULL passes, drop restores") {
     val path = Files.createTempDirectory("graft-snap").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
