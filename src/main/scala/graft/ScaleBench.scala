@@ -234,6 +234,34 @@ object ScaleBench {
         require(byType.getOrElse("insert", 0L) == 50 && byType.getOrElse("delete", 0L) == 50,
           s"expected 50/50 insert/delete in the merge feed, got $byType")
       },
+      timed("delete_dv_vs_rewrite") {
+        // the deletion-vector fast path on the SAME 256-file table:
+        // a 50-row delete as a metadata+DV commit (zero data files
+        // rewritten) immediately followed by an equivalent rewriting
+        // delete of 50 other rows — the pair in one timing shows the
+        // shape difference; the file-set requires prove each took its
+        // intended path
+        val path = s"${mergeScaleBase.get}/t"
+        val before = graft.lake.SnapshotTable.liveFiles(spark, path).toSet
+        val dvLo = rows / 2
+        val rwLo = rows / 4
+        val tDv = System.nanoTime()
+        graft.lake.SnapshotTable.deleteWithVectors(spark, path,
+          col("id").between(dvLo, dvLo + 49L))
+        val dvS = (System.nanoTime() - tDv) / 1e9
+        require(graft.lake.SnapshotTable.liveFiles(spark, path).toSet == before,
+          "DV delete must not rewrite any data file")
+        val tRw = System.nanoTime()
+        graft.lake.SnapshotTable.delete(spark, path,
+          col("id").between(rwLo, rwLo + 49L))
+        val rwS = (System.nanoTime() - tRw) / 1e9
+        require(graft.lake.SnapshotTable.liveFiles(spark, path).toSet != before,
+          "rewrite delete must replace the touched file")
+        require(graft.lake.SnapshotTable.read(spark, path)
+          .filter(col("id").between(dvLo, dvLo + 49L) ||
+            col("id").between(rwLo, rwLo + 49L)).count() == 0L)
+        System.err.println(f"[scale] delete dv=$dvS%.2fs rewrite=$rwS%.2fs")
+      },
       timed("snap_bootstrap_stage") {
         // stage a 1M-row snapshot table in a few fat files — the shape
         // where the streaming bootstrap used to degrade to one

@@ -1173,11 +1173,14 @@ object SnapshotTable {
     }
     val kept = young ++ kept0
     if (expired.isEmpty) return
-    val live: Set[String] =
-      kept.flatMap(readManifest(spark, path, _)).map(_.filePath).toSet
-    val dead = expired.flatMap(readManifest(spark, path, _))
-      .map(_.filePath).toSet -- live
+    val keptEntries = kept.flatMap(readManifest(spark, path, _))
+    val expiredEntries = expired.flatMap(readManifest(spark, path, _))
+    val dead = expiredEntries.map(_.filePath).toSet -- keptEntries.map(_.filePath).toSet
     dead.foreach(p => f.delete(new Path(p), false))
+    // deletion-vector files referenced only by expired versions go too
+    val deadDv = expiredEntries.flatMap(_.dv.map(_._1)).toSet --
+      keptEntries.flatMap(_.dv.map(_._1)).toSet
+    deadDv.foreach(p => f.delete(new Path(p), false))
     expired.foreach(v => f.delete(new Path(s"${logDir(path)}/v$v"), true))
   }
 

@@ -642,6 +642,14 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, path).count() === 6)
     // compact contributes zero changes even from a DV'd base
     assert(SnapshotTable.changes(spark, path, 3L, 4L).count() === 0)
+
+    // vacuum drops DV files once only expired versions reference them
+    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    val dvDirP = new org.apache.hadoop.fs.Path(path + "/_graft_dv")
+    val fsys = dvDirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fsys.exists(dvDirP) || fsys.listStatus(dvDirP).isEmpty,
+      "orphaned DV files survived vacuum")
+    assert(SnapshotTable.read(spark, path).count() === 6)
   }
 
   test("deletion vectors: rewrite paths respect DVs; append-only consumers refuse DV commits") {
