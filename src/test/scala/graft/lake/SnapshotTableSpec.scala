@@ -686,6 +686,32 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(cdc.select("_change_type").head.getString(0) === "delete")
   }
 
+  test("deletion vectors: multi-round parity with the rewriting delete") {
+    // the two delete implementations must be observationally identical:
+    // apply the same predicate sequence to twin tables via DV and via
+    // rewrite, comparing full content after every round
+    val pathA = Files.createTempDirectory("graft-snap").toString + "/dv"
+    val pathB = Files.createTempDirectory("graft-snap").toString + "/rw"
+    val rows = mkRows("p", Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    SnapshotTable.append(rows, pathA, Seq("event_date"))
+    SnapshotTable.append(rows, pathB, Seq("event_date"))
+    val preds = Seq(
+      col("v") === 30.0,
+      col("id").endsWith("-1"),
+      col("event_date") === "2024-01-02" && col("v") > 15.0)
+    preds.foreach { p =>
+      SnapshotTable.deleteWithVectors(spark, pathA, p)
+      SnapshotTable.delete(spark, pathB, p)
+      val a = SnapshotTable.read(spark, pathA)
+      val b = SnapshotTable.read(spark, pathB)
+      assert(a.count() === b.count())
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"content diverged after predicate $p")
+      assert(SnapshotTable.count(spark, pathA) === b.count(),
+        "metadata count must track DV deletes")
+    }
+  }
+
   test("CHECK constraints: enforced on every write path, NULL passes, drop restores") {
     val path = Files.createTempDirectory("graft-snap").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
