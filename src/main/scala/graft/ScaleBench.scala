@@ -103,6 +103,11 @@ object ScaleBench {
       timed("tfidf")           { noop(graft.ops.TextAnalysis.tfidfOf(docs)) },
       timed("inverted_index")  { noop(graft.ops.TextAnalysis.invertedIndexOf(docs)) },
       timed("char_lm_score")   { noop(graft.ops.TextAnalysis.charLmScoreOf(docs)) },
+      timed("word_lm_score")   {
+        // vocabulary²-bounded model stays DISTRIBUTED: scoring is the
+        // (w1,w2)-keyed join, the shape a real word LM needs at scale
+        noop(graft.ops.TextAnalysis.wordLmScoreOf(docs))
+      },
       timed("filter_funnel")   {
         // model pass + ONE map-only funnel pass; ≤5-row result
         noop(graft.ops.TextAnalysis.filterFunnelOf(docs))

@@ -1117,6 +1117,61 @@ object TextAnalysis {
       |       FROM j)
       |SELECT stage, count(*) AS n_docs FROM st GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- word-bigram LM quality score --------------------------------
+  // The WORD-level counterpart of q114's char-bigram score — the
+  // KenLM-style fluency signal corpus filters actually rank with. The
+  // architectural contrast with q114 is the point: a char model is
+  // ≤729 rows (collect it, score row-locally via a codegen'd
+  // expression), but a word-bigram model is VOCABULARY²-bounded — at
+  // corpus scale it cannot live on the driver or in a closure, so the
+  // model stays distributed and scoring is a (w1, w2)-keyed JOIN of
+  // the document bigram stream against the model table. Plan shape
+  // for 100 TB: bigram explode is row-local; both model aggs map-side
+  // combine; the scoring join shuffles on the bigram key (zipfian
+  // head absorbed by partial aggregation on the model side; AQE
+  // handles the skewed join); the per-doc avg is combinable. Each p
+  // is one IEEE divide of exactly-derived longs (the q114/q105
+  // log-free lesson), rounded at 6dp.
+  def wordLmScoreOf(docs: DataFrame): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val grams = toked.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"))
+    val model = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val firsts = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val scored = model.join(firsts, "w1")
+      .select(col("w1"), col("w2"),
+        (col("c12").cast("double") / col("c1").cast("double")).as("p"))
+    grams.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(col("p")), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  def wordLmScore(spark: SparkSession, dir: String): DataFrame =
+    wordLmScoreOf(Tables.documents(spark, dir))
+
+  val wordLmScoreSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(toks)),
+      |          i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS g
+      |      FROM t WHERE len(toks) >= 2),
+      |b AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g),
+      |m AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+      |u AS (SELECT w1, sum(c12) AS c1 FROM m GROUP BY 1),
+      |p AS (SELECT w1, w2, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+      |      FROM m JOIN u USING (w1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(p), 6) AS lm_score
+      |FROM b JOIN p USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- BPE vocabulary induction ------------------------------------
   // Tokenizer-training primitive: learn byte-pair-encoding merge rules
   // from the corpus. The classic trainer iterates over a WORD
@@ -1228,5 +1283,6 @@ object TextAnalysis {
     QDef("q119_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     QDef("q120_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QDef("q121_url_domains", urlDomainReport, Some(urlDomainReportSql)),
+    QDef("q122_word_lm_score", wordLmScore, Some(wordLmScoreSql)),
   )
 }

@@ -265,6 +265,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(got._3 - expected) < 2e-6, s"doc $id0: ${got._3} vs $expected")
   }
 
+  test("word-bigram LM score matches a driver-side model recomputation") {
+    import spark.implicits._
+    val out = TextAnalysis.wordLmScore(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, s) =>
+      assert(n >= 1 && s > 0.0 && s <= 1.0, s"doc $id: n=$n score=$s")
+    }
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), lower(col("text")))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ", -1)) }
+      .filter(_._2.length >= 2)
+    val bigrams = texts.flatMap(_._2.sliding(2).map(a => (a(0), a(1))))
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val (id0, w0) = texts.head
+    val ps = w0.sliding(2).map(a => c12((a(0), a(1))) / c1(a(0))).toSeq
+    val expected = ps.sum / ps.size
+    val got = out.find(_._1 === id0).get
+    assert(got._2 === ps.size)
+    assert(math.abs(got._3 - expected) < 2e-6, s"doc $id0: ${got._3} vs $expected")
+  }
+
   test("bm25: hand-computed scores, tf ranking, non-matching docs absent") {
     import spark.implicits._
     val docs = Seq(
