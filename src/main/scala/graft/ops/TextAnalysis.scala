@@ -1117,6 +1117,41 @@ object TextAnalysis {
       |       FROM j)
       |SELECT stage, count(*) AS n_docs FROM st GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- training-shard writer ---------------------------------------
+  // The LAST step of a corpus pipeline: write the final mixture as N
+  // shuffled shards. Training wants (a) document order decorrelated
+  // from ingestion order, (b) byte-balanced shards, (c) bit-identical
+  // re-runs (resumable jobs, reproducible ablations). Deterministic by
+  // construction, not by seed-plumbing: shard = first 8 md5 hex chars
+  // of (seed, doc_id) mod N, and rows sort within the shard by the
+  // same digest — so the layout is a pure function of (corpus, seed,
+  // N) regardless of cluster size or task scheduling (a plain
+  // repartition+shuffle write is neither ordered nor stable across
+  // configs; range-repartition samples its bounds, also unstable).
+  // Plan shape for 100 TB: one md5 projection, one hash shuffle on
+  // the shard id, per-partition sort riding the shuffle — no global
+  // sort, no driver state. maxRecordsPerFile splits fat shards.
+  def shardAssignment(seed: String, numShards: Int): Column = {
+    require(numShards > 0, "need at least one shard")
+    val key = md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+    pmod(conv(substring(key, 1, 8), 16, 10).cast("long"), lit(numShards.toLong))
+  }
+
+  def writeTrainingShards(docs: DataFrame, outDir: String, numShards: Int,
+      seed: String = "graft", maxRecordsPerFile: Long = 0L): Unit = {
+    val key = md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+    val w = docs
+      .withColumn("shard", shardAssignment(seed, numShards))
+      .withColumn("__pos", key)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "__pos")
+      .drop("__pos")
+      .write.mode("overwrite").option("compression", "zstd")
+    (if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .partitionBy("shard").parquet(outDir)
+  }
+
   // ---- word-bigram LM quality score --------------------------------
   // The WORD-level counterpart of q114's char-bigram score — the
   // KenLM-style fluency signal corpus filters actually rank with. The

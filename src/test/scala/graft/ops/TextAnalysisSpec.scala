@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -263,6 +265,41 @@ class TextAnalysisSpec extends SparkTestBase {
     val got = out.find(_._1 === id0).get
     assert(got._2 === ps.size)
     assert(math.abs(got._3 - expected) < 2e-6, s"doc $id0: ${got._3} vs $expected")
+  }
+
+  test("training shards: deterministic assignment, full coverage, balance, stable re-runs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val out1 = Files.createTempDirectory("graft-shards").toString
+    TextAnalysis.writeTrainingShards(docs, out1, numShards = 8)
+    val back = spark.read.parquet(out1)
+    // every doc exactly once, assignment matches the closed form
+    assert(back.count() === n)
+    assert(back.select("doc_id").distinct().count() === n)
+    val expected = docs.select(col("doc_id"),
+      TextAnalysis.shardAssignment("graft", 8).as("shard"))
+      .as[(Long, Long)].collect().toMap
+    back.select("doc_id", "shard").as[(Long, Int)].collect().foreach {
+      case (id, s) => assert(s.toLong === expected(id), s"doc $id")
+    }
+    // balanced-ish: no empty shard, max within 3x of min at 500/8
+    val sizes = back.groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(sizes.size === 8 && sizes.values.min > 0)
+    assert(sizes.values.max <= 3 * sizes.values.min, sizes.toString)
+    // a second write is bit-stable: same per-shard doc sets
+    val out2 = Files.createTempDirectory("graft-shards").toString
+    TextAnalysis.writeTrainingShards(docs, out2, numShards = 8)
+    val a = back.select("shard", "doc_id").as[(Int, Long)].collect().toSet
+    val b = spark.read.parquet(out2).select("shard", "doc_id")
+      .as[(Int, Long)].collect().toSet
+    assert(a === b)
+    // a different seed reshuffles
+    val out3 = Files.createTempDirectory("graft-shards").toString
+    TextAnalysis.writeTrainingShards(docs, out3, numShards = 8, seed = "other")
+    val c = spark.read.parquet(out3).select("shard", "doc_id")
+      .as[(Int, Long)].collect().toSet
+    assert(c !== a)
   }
 
   test("word-bigram LM score matches a driver-side model recomputation") {
