@@ -144,6 +144,35 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
         case None => m
       }
 
+    // ALTER TABLE ... ADD CONSTRAINT n CHECK (e): the parser wraps the
+    // target as Filter(NOT e, UnresolvedRelation) — dig the relation
+    // out of the subtree; the constraint node carries the original
+    // condition SQL text
+    case ac: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+      val target = ac.child.collectFirst {
+        case u: UnresolvedRelation => u
+      }.flatMap(u => registered(u).map(u -> _))
+      target match {
+        case Some((u, path)) =>
+          val cc = ac.checkConstraint
+          val name = Option(cc.userProvidedName).getOrElse(
+            "check_" + java.lang.Integer.toHexString(cc.condition.hashCode))
+          SnapshotAddConstraintCommand(u.multipartIdentifier.last, path,
+            name, cc.condition)
+        case None => ac
+      }
+
+    case dc: org.apache.spark.sql.catalyst.plans.logical.DropConstraint =>
+      dc.table match {
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if t.multipartIdentifier.size == 1 &&
+              SnapshotCatalog.pathOf(t.multipartIdentifier.head).isDefined =>
+          val n = t.multipartIdentifier.head
+          SnapshotDropConstraintCommand(n, SnapshotCatalog.pathOf(n).get,
+            dc.name, dc.ifExists)
+        case _ => dc
+      }
+
     case u: UnresolvedRelation if registered(u).isDefined =>
       DatasetBridge.planOf(SnapshotTable.read(spark, path = registered(u).get))
   }

@@ -91,3 +91,31 @@ case class SnapshotDeleteCommand(table: String, path: String,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(SnapshotTable.delete(spark, path, condition, sqlAlias = Some(table))))
 }
+
+/** `ALTER TABLE <registered> ADD CONSTRAINT n CHECK (e)` →
+  * [[SnapshotTable.addCheckConstraint]] (validates existing rows,
+  * then publishes a metadata-only commit). */
+case class SnapshotAddConstraintCommand(table: String, path: String,
+    name: String, conditionSql: String) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.addCheckConstraint(spark, path, name, conditionSql)))
+}
+
+/** `ALTER TABLE <registered> DROP CONSTRAINT [IF EXISTS] n` →
+  * [[SnapshotTable.dropCheckConstraint]]. */
+case class SnapshotDropConstraintCommand(table: String, path: String,
+    name: String, ifExists: Boolean) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    if (ifExists && !SnapshotTable.checkConstraints(spark, path).contains(name))
+      Seq(Row(SnapshotTable.latestVersion(spark, path).getOrElse(0L)))
+    else
+      Seq(Row(SnapshotTable.dropCheckConstraint(spark, path, name)))
+}

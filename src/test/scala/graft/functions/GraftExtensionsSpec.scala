@@ -170,4 +170,52 @@ class GraftExtensionsSpec extends SparkTestBase {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("SQL ALTER TABLE ADD/DROP CONSTRAINT routes to the snapshot table") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-constraint-test")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft-sql-cons").toString + "/t"
+      graft.lake.SnapshotTable.append(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), path)
+      graft.lake.SnapshotCatalog.register("snap_cons", path)
+      try {
+        val v2 = s2.sql(
+          "ALTER TABLE snap_cons ADD CONSTRAINT v_pos CHECK (v > 0)").head().getLong(0)
+        assert(v2 === 2L)
+        assert(graft.lake.SnapshotTable.checkConstraints(s2, path)
+          === Map("v_pos" -> "v > 0"))
+        // the constraint is live: a violating append fails
+        val ex = intercept[Exception] {
+          graft.lake.SnapshotTable.append(Seq((3L, -1.0)).toDF("k", "v"), path)
+        }
+        assert(ex.getMessage.contains("v_pos")
+          || Option(ex.getCause).exists(_.getMessage.contains("v_pos")))
+        // existing-data validation blocks a bad ADD through SQL too
+        val exAdd = intercept[Exception](s2.sql(
+          "ALTER TABLE snap_cons ADD CONSTRAINT v_big CHECK (v > 15)").collect())
+        assert(exAdd.getMessage.contains("v_big"))
+        // IF EXISTS on a missing name is a no-op; DROP removes
+        assert(s2.sql("ALTER TABLE snap_cons DROP CONSTRAINT IF EXISTS nope")
+          .head().getLong(0) === 2L)
+        s2.sql("ALTER TABLE snap_cons DROP CONSTRAINT v_pos").collect()
+        assert(graft.lake.SnapshotTable.checkConstraints(s2, path).isEmpty)
+        graft.lake.SnapshotTable.append(Seq((3L, -1.0)).toDF("k", "v"), path)
+        assert(graft.lake.SnapshotTable.read(s2, path).count() === 3)
+      } finally graft.lake.SnapshotCatalog.unregister("snap_cons")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
