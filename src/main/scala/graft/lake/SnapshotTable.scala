@@ -1020,6 +1020,26 @@ object SnapshotTable {
     base + 1
   }
 
+  /** Auto-tiered DELETE (Delta's behavior): probe the matched-row
+    * count with a `limit(threshold + 1)` bound (the probe never scans
+    * past deciding), then route a small delete through
+    * [[deleteWithVectors]] (metadata+DV, zero rewrite) and a large one
+    * through the rewriting [[delete]]. The threshold is the point
+    * where rewriting the touched files costs less than carrying DV
+    * anti-joins on every future read. */
+  def deleteAuto(spark: SparkSession, path: String, predicate: Column,
+      dvThreshold: Long = 100000L,
+      partitionCols: Seq[String] = Nil): Long = {
+    val base = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val matched = read(spark, path, Some(base))
+      .filter(coalesce(predicate, lit(false)))
+      .limit((dvThreshold + 1).toInt).count()
+    if (matched == 0L) base
+    else if (matched <= dvThreshold) deleteWithVectors(spark, path, predicate)
+    else delete(spark, path, predicate, partitionCols)
+  }
+
   /** Row-level UPDATE: apply `assignments` (column → new-value
     * expression) to the rows matching `predicate` by rewriting ONLY
     * the files that contain at least one matching row — `UPDATE t SET

@@ -686,6 +686,27 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(cdc.select("_change_type").head.getString(0) === "delete")
   }
 
+  test("auto-tiered delete: DV under the threshold, rewrite above, no-op on no match") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), path,
+      Seq("event_date"))
+    val filesV1 = SnapshotTable.readManifest(spark, path, 1L).map(_.filePath).toSet
+
+    // 2 matching rows, threshold 5 → DV path
+    SnapshotTable.deleteAuto(spark, path, col("v") === 0.0, dvThreshold = 5L)
+    assert(SnapshotTable.opOf(spark, path, 2L) === Some("delete_dv"))
+    assert(SnapshotTable.readManifest(spark, path, 2L).map(_.filePath).toSet === filesV1)
+
+    // 2 matching rows, threshold 1 → rewrite path
+    SnapshotTable.deleteAuto(spark, path, col("v") === 10.0, dvThreshold = 1L)
+    assert(SnapshotTable.opOf(spark, path, 3L) === Some("delete"))
+    assert(SnapshotTable.readManifest(spark, path, 3L).map(_.filePath).toSet !== filesV1)
+
+    // no match commits nothing
+    assert(SnapshotTable.deleteAuto(spark, path, col("v") === 12345.0) === 3L)
+    assert(SnapshotTable.read(spark, path).count() === 6)
+  }
+
   test("deletion vectors: multi-round parity with the rewriting delete") {
     // the two delete implementations must be observationally identical:
     // apply the same predicate sequence to twin tables via DV and via
