@@ -714,15 +714,40 @@ object SnapshotTable {
       }
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
-  /** File identity for DV bookkeeping: the last three path segments
-    * (`c-<uuid>/<partition dirs…>/<leaf>` — the commit-dir UUID makes
-    * it table-unique). The LEAF name alone is NOT unique: one task
-    * writing several partition dirs (e.g. coalesce(1) + partitionBy)
-    * emits the same part-file name into each of them. A path suffix
-    * also stays scheme-independent, so the driver-side manifest path
-    * and the scan-side `_metadata.file_path` URI agree. */
-  private def dvFileKey(filePath: String): String =
-    filePath.split("/").takeRight(3).mkString("/")
+  /** File identity for DV bookkeeping: the path RELATIVE to the
+    * table's `data/` dir (`c-<uuid>/<partition dirs…>/<leaf>`). The
+    * LEAF name alone is NOT unique: one task writing several
+    * partition dirs (e.g. coalesce(1) + partitionBy) emits the same
+    * part-file name into each of them — and a FIXED-depth suffix
+    * (the old last-3-segments key) breaks the same way once a table
+    * has 3+ partition levels, because the commit-dir UUID falls out
+    * of the key. Anchoring at `data/c-` keeps the UUID in the key at
+    * any partition depth, and a path suffix stays scheme-independent
+    * so the driver-side manifest path and the scan-side
+    * `_metadata.file_path` URI agree. Legacy fallback (no `data/c-`
+    * marker, e.g. externally-adopted files): last three segments. */
+  private val dvKeyPattern = ".*/data/(c-[^/]+/.+)$"
+  private def dvFileKey(filePath: String): String = {
+    val m = dvKeyPattern.r.findFirstMatchIn(filePath)
+    m.map(_.group(1)).getOrElse(filePath.split("/").takeRight(3).mkString("/"))
+  }
+
+  /** Scan-side mirror of [[dvFileKey]] over `_metadata.file_path`. */
+  private def dvFileKeyCol(p: Column): Column = {
+    val rel = regexp_extract(p, dvKeyPattern, 1)
+    when(rel === lit(""), substring_index(p, "/", -3)).otherwise(rel)
+  }
+
+  /** Write-skew guard identity for rewrite commits (merge / delete /
+    * update / compact): a concurrent commit that changes ONLY a
+    * file's deletion vector leaves the filePath set intact, but a
+    * rewrite computed from the pre-DV snapshot would republish the
+    * DV'd rows — silently undoing the concurrent delete. So the
+    * carry-over guard compares (filePath, dv) pairs, treating a DV
+    * update like a file modification (Delta's conflict-detection
+    * posture). */
+  private def guardState(es: Seq[Entry]): Set[(String, Option[(String, Long)])] =
+    es.map(e => (e.filePath, e.dv)).toSet
 
   /** Same scan plus `__graft_fname` (the [[dvFileKey]] path suffix) /
     * `__graft_idx` (row index) position columns. No DV is applied
@@ -736,7 +761,7 @@ object SnapshotTable {
         case None    => base.option("mergeSchema", true).parquet(es.map(_.filePath): _*)
       }
       df.withColumn("__graft_fname",
-          substring_index(col("_metadata.file_path"), "/", -3))
+          dvFileKeyCol(col("_metadata.file_path")))
         .withColumn("__graft_idx", col("_metadata.row_index"))
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
@@ -902,12 +927,12 @@ object SnapshotTable {
     val statsOut = (entries.flatMap(_.stats.map(_._1)) ++ keyCols).distinct
     val partCols =
       if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
-    val baseFiles = entries.map(_.filePath).toSet
+    val baseState = guardState(entries)
     def raisedDup(t: Throwable): Boolean =
       t != null && (Option(t.getMessage).exists(_.contains("duplicate keys")) ||
         raisedDup(t.getCause))
     try commit(newData, path, partCols, prev => {
-      require(prev.map(_.filePath).toSet == baseFiles,
+      require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during merge — rerun the merge")
       prev.filterNot(e => rewrite(e.filePath))
     }, statsCols = statsOut, op = "merge")
@@ -960,9 +985,9 @@ object SnapshotTable {
     val partCols =
       if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
     val rewriteSet = rewrite.map(_.filePath).toSet
-    val baseFiles = entries.map(_.filePath).toSet
+    val baseState = guardState(entries)
     commit(survivors, path, partCols, prev => {
-      require(prev.map(_.filePath).toSet == baseFiles,
+      require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during delete — rerun the delete")
       prev.filterNot(e => rewriteSet(e.filePath))
     }, statsCols = statsOut, op = "delete")
@@ -1032,11 +1057,19 @@ object SnapshotTable {
       partitionCols: Seq[String] = Nil): Long = {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    // clamp: a threshold near Long.MaxValue must not overflow the
+    // Int-typed limit, and the chosen threshold IS the DV cap (a
+    // threshold above deleteWithVectors' default must not trip its
+    // cap error instead of the intended auto-routing)
+    val probeLimit =
+      if (dvThreshold >= Int.MaxValue.toLong) Int.MaxValue
+      else (dvThreshold + 1).toInt
     val matched = read(spark, path, Some(base))
       .filter(coalesce(predicate, lit(false)))
-      .limit((dvThreshold + 1).toInt).count()
+      .limit(probeLimit).count()
     if (matched == 0L) base
-    else if (matched <= dvThreshold) deleteWithVectors(spark, path, predicate)
+    else if (matched <= dvThreshold)
+      deleteWithVectors(spark, path, predicate, maxDvRows = dvThreshold)
     else delete(spark, path, predicate, partitionCols)
   }
 
@@ -1095,9 +1128,9 @@ object SnapshotTable {
     val partCols =
       if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
     val rewriteSet = rewrite.map(_.filePath).toSet
-    val baseFiles = entries.map(_.filePath).toSet
+    val baseState = guardState(entries)
     commit(updated, path, partCols, prev => {
-      require(prev.map(_.filePath).toSet == baseFiles,
+      require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during update — rerun the update")
       prev.filterNot(e => rewriteSet(e.filePath))
     }, statsCols = statsOut, op = "update")
@@ -1146,9 +1179,9 @@ object SnapshotTable {
     // keep every tracked stats column effective on the rewritten files
     val statsOut =
       (entries.flatMap(_.stats.map(_._1)) ++ clusterCol ++ zorderCols).distinct
-    val baseFiles = entries.map(_.filePath).toSet
+    val baseState = guardState(entries)
     commit(shaped, path, partCols, prev => {
-      require(prev.map(_.filePath).toSet == baseFiles,
+      require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during compaction — rerun")
       Nil
     }, statsCols = statsOut, op = "compact")
@@ -1282,8 +1315,22 @@ object SnapshotTable {
           case _ => None
         }
       }
+      // op names are advisory elsewhere in this file (file sets are
+      // the truth), so the compact fast path must not take the label
+      // on faith: verify row preservation from the manifest alone
+      // (live rows = footer rows − DV'd rows, equal on both sides,
+      // with every count recorded). A non-row-preserving commit
+      // mislabelled op=compact falls through to the multiset diff
+      // instead of silently vanishing from the feed.
+      def liveRows(es: Seq[Entry]): Option[Long] =
+        if (es.forall(_.rows >= 0L))
+          Some(es.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
+        else None
+      val compactPreservesRows = m.op.contains("compact") &&
+        (for (a <- liveRows(prev); b <- liveRows(m.entries)) yield a == b)
+          .getOrElse(false)
       prev = m.entries
-      if (m.op.contains("compact")) None // row-preserving by construction
+      if (compactPreservesRows) None // verified row-preserving
       else if (removed.isEmpty && added.isEmpty && dvDeltas.isEmpty) None
       else if (removed.isEmpty && added.isEmpty) {
         // pure DV commit: deletes only

@@ -2,11 +2,30 @@ package graft.lake
 
 import java.nio.file.Files
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
+
+/** Same-JVM gates for the write-skew race test: local-mode tasks run
+  * in this JVM, and a task closure's reference to a top-level object
+  * re-resolves to the same singleton after deserialization, so the
+  * latches coordinate the driver thread and the in-task UDF. */
+object DvRaceGates {
+  val scanning = new java.util.concurrent.CountDownLatch(1)
+  val proceed = new java.util.concurrent.CountDownLatch(1)
+  private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def enter(): Unit =
+    if (fired.compareAndSet(false, true)) {
+      scanning.countDown()
+      proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+}
 
 class SnapshotTableSpec extends SparkTestBase {
 
@@ -779,5 +798,156 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.checkConstraints(spark, path).isEmpty)
     SnapshotTable.append(bad, path, Seq("event_date"))
     assert(SnapshotTable.read(spark, path).count() === 7)
+  }
+
+  test("write-skew guard: a concurrent DV-only commit aborts a rewrite (no resurrection)") {
+    // An UPDATE computes its rewrite from the pre-DV snapshot; if a
+    // deleteWithVectors lands in between, publishing that rewrite
+    // would resurrect the DV-deleted rows. The carry-over guard must
+    // treat the DV change like a file change and abort — comparing
+    // filePath sets alone would let it through (DV commits keep every
+    // path).
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")).coalesce(1), path,
+      Seq("event_date"))
+    val gate = udf((s: String) => { DvRaceGates.enter(); s == "a-0-2" })
+    val upd = Future {
+      SnapshotTable.update(spark, path, Seq("v" -> lit(999.0)), gate(col("id")))
+    }
+    assert(DvRaceGates.scanning.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "update never started scanning")
+    // DV-only commit: same file set, one row dead
+    SnapshotTable.deleteWithVectors(spark, path, col("id") === "a-0-1")
+    DvRaceGates.proceed.countDown()
+    val ex = intercept[IllegalArgumentException] { Await.result(upd, 120.seconds) }
+    assert(ex.getMessage.contains("concurrent commit advanced"), ex.getMessage)
+    // the DV delete survives, nothing was republished
+    val after = SnapshotTable.read(spark, path)
+    assert(after.count() === 4)
+    assert(after.filter(col("id") === "a-0-1").count() === 0, "DV-deleted row resurrected")
+    assert(after.filter(col("v") === 999.0).count() === 0, "aborted update published data")
+  }
+
+  test("deletion vectors: keys stay unique at 3+ partition levels (same leaf names)") {
+    // coalesce(1) + 3-level partitionBy: ONE task writes the same
+    // part-file leaf name into every partition dir, and the last-3
+    // -segments key (p2/p3/leaf) would collide across p1 values —
+    // the key must anchor at the commit dir instead
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    val df = Seq(
+      ("r1", "a", "x", "y", 1.0), ("r2", "a", "x", "y", 2.0),
+      ("r3", "b", "x", "y", 3.0), ("r4", "b", "x", "y", 4.0))
+      .toDF("id", "p1", "p2", "p3", "v")
+    SnapshotTable.append(df.coalesce(1), path, Seq("p1", "p2", "p3"))
+    val m1 = SnapshotTable.readManifest(spark, path, 1L)
+    assert(m1.size === 2)
+    assert(m1.map(_.filePath.split("/").takeRight(3).mkString("/")).distinct.size === 1,
+      "precondition lost: files no longer share their last three path segments")
+
+    // r1 is row 0 of the p1=a file; r3 is row 0 of the p1=b file — a
+    // colliding key would kill both
+    SnapshotTable.deleteWithVectors(spark, path, col("id") === "r1")
+    val m2 = SnapshotTable.readManifest(spark, path, 2L)
+    assert(m2.count(_.dv.isDefined) === 1, "DV attached to more than the one touched file")
+    val after = SnapshotTable.read(spark, path)
+    assert(after.count() === 3)
+    assert(after.filter(col("id") === "r1").count() === 0)
+    assert(after.filter(col("p1") === "b").count() === 2,
+      "DV leaked into the wrong partition's file")
+    assert(SnapshotTable.count(spark, path) === 3)
+  }
+
+  test("auto-tiered delete: thresholds past Int.MaxValue neither overflow nor trip the DV cap") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    // Long.MaxValue threshold: the old (threshold+1).toInt overflowed
+    // (negative limit → empty probe → silent no-op), and a threshold
+    // above deleteWithVectors' default cap used to trip its cap error
+    // instead of routing — the threshold IS the cap now
+    val v = SnapshotTable.deleteAuto(spark, path, col("v") === 0.0,
+      dvThreshold = Long.MaxValue)
+    assert(v === 2L)
+    assert(SnapshotTable.opOf(spark, path, 2L) === Some("delete_dv"))
+    assert(SnapshotTable.read(spark, path).count() === 4)
+  }
+
+  test("changes() does not trust an op=compact label that is not row-preserving") {
+    // op names are advisory: an external/buggy writer can publish a
+    // commit labelled compact that actually drops rows. The CDC fast
+    // path must verify row preservation from the manifest (footer rows
+    // minus DV counts) and fall back to the multiset diff when the
+    // label lies — otherwise real deletes vanish from the feed.
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), path,
+      Seq("event_date"))
+    val logV1 = java.nio.file.Paths.get(s"$path/_graft_log/v1")
+    val lines = new String(java.nio.file.Files.readAllBytes(logV1), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val forged = (lines.filter(_.startsWith("#")).filterNot(_.startsWith("#op=")) :+
+      "#op=compact") ++
+      lines.filterNot(l => l.startsWith("#") || l.contains("event_date=2024-01-02"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_graft_log/v2"),
+      forged.mkString("\n").getBytes("UTF-8"))
+
+    val c = SnapshotTable.changes(spark, path, 1L, 2L)
+    assert(c.count() === 5, "mislabelled compact silently skipped — deletes lost")
+    assert(c.select("_change_type").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("delete"))
+    assert(c.select("event_date").distinct().head.getString(0) === "2024-01-02")
+    // and a GENUINE compact still contributes zero changes (fast path intact)
+    SnapshotTable.compact(spark, path, numFiles = 1)
+    val top = SnapshotTable.latestVersion(spark, path).get
+    assert(SnapshotTable.changes(spark, path, top - 1, top).count() === 0)
+  }
+
+  test("commit lock: release only removes its own incarnation; foreign lock left intact") {
+    spark // force session init (withLock resolves SparkSession.active)
+    val dir = Files.createTempDirectory("graft-lock").toString + "/t"
+    val p = new FileCommitLockProvider(leaseMs = 60000L, acquireTimeoutMs = 5000L)
+    val lockFile = java.nio.file.Paths.get(s"$dir/_graft_log/.commit.lock")
+    p.withLock(dir) {
+      // simulate a breaker stealing + re-acquiring while we run (e.g.
+      // after a long GC pause suppressed our heartbeats)
+      java.nio.file.Files.delete(lockFile)
+      java.nio.file.Files.write(lockFile, "foreign-token".getBytes("UTF-8"))
+    }
+    assert(java.nio.file.Files.exists(lockFile),
+      "release clobbered a lock it no longer owned")
+    assert(new String(java.nio.file.Files.readAllBytes(lockFile), "UTF-8")
+      === "foreign-token")
+  }
+
+  test("commit lock: heartbeat keeps a slow holder alive past the lease; no overlap") {
+    spark
+    val dir = Files.createTempDirectory("graft-lock").toString + "/t"
+    val p = new FileCommitLockProvider(leaseMs = 300L, acquireTimeoutMs = 15000L)
+    val inside = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holder = Future {
+      p.withLock(dir) { inside.set(true); Thread.sleep(1500); inside.set(false) }
+    }
+    Thread.sleep(200) // let the holder acquire
+    val contender = Future {
+      p.withLock(dir) { if (inside.get()) overlapped.set(true) }
+    }
+    Await.result(holder, 30.seconds)
+    Await.result(contender, 30.seconds)
+    assert(!overlapped.get(),
+      "a live holder slower than the lease was broken (heartbeat not renewing)")
+  }
+
+  test("commit lock: a crashed holder's stale lock is broken via its observed token") {
+    spark
+    val dir = Files.createTempDirectory("graft-lock").toString + "/t"
+    val lockFile = java.nio.file.Paths.get(s"$dir/_graft_log/.commit.lock")
+    java.nio.file.Files.createDirectories(lockFile.getParent)
+    java.nio.file.Files.write(lockFile, "dead-holder".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000L))
+    val p = new FileCommitLockProvider(leaseMs = 500L, acquireTimeoutMs = 10000L)
+    var ran = false
+    p.withLock(dir) { ran = true }
+    assert(ran)
+    assert(!java.nio.file.Files.exists(lockFile), "lock not released after a broken lease")
   }
 }
