@@ -638,6 +638,67 @@ object EvQueries {
        |        ((epoch(max(ended)) - epoch(min(created))) / 3600.0), 6) AS utilization
        |FROM hrs GROUP BY stationId ORDER BY stationId""".stripMargin
 
+  /** Files the frame's scans actually read (post-execution metric;
+    * AQE stages are leaf nodes and must be walked into explicitly). */
+  private def scannedFiles(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def files(p: SparkPlan): Long =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+        case q: QueryStageExec        => files(q.plan)
+        case s: FileSourceScanExec    => s.metrics("numFiles").value
+      }.sum
+    files(df.queryExecution.executedPlan)
+  }
+
+  /** Hidden partitioning (Iceberg partition-transform shape): the
+    * gold fact is created with `months(created)` — the user never
+    * writes, names, or filters on a partition column — and consumed
+    * through readWhere with a plain timestamp predicate. Verified
+    * against the oracle: the surviving rows equal the SQL filter, the
+    * derived column never surfaces (`hidden_absent`), the transform
+    * is recorded (`transform_ok`), and the scan PHYSICALLY pruned to
+    * a strict subset of the table's files (`pruned`, from the
+    * executed plan's numFiles metric — non-vacuous because the
+    * fixture spans many months). */
+  def hiddenPartitioning(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-gate").toString + "/fact"
+    val gold = good(spark).select(col("sessionId"), col("created"), col("kwhTotal"))
+      .coalesce(1)
+      .persist()
+    try {
+      graft.lake.SnapshotTable.appendTransformed(gold, path, Seq("months(created)"))
+      val cut = gold.select(date_trunc("MONTH", max(col("created"))))
+        .head().getTimestamp(0)
+      def q = graft.lake.SnapshotTable.readWhere(spark, path,
+        col("created") >= lit(cut))
+      val hiddenAbsent = !q.columns.exists(_.startsWith("__p_"))
+      val transformOk = graft.lake.SnapshotTable.partitionTransforms(spark, path)
+        .sameElements(Seq("months(created)"))
+      val total = graft.lake.SnapshotTable.liveFiles(spark, path).size
+      val scanned = scannedFiles(q)
+      val pruned = scanned > 0 && scanned < total
+      q.withColumn("hidden_absent", lit(hiddenAbsent))
+        .withColumn("transform_ok", lit(transformOk))
+        .withColumn("pruned", lit(pruned))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val hiddenPartitioningSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, created, kwhTotal FROM marked WHERE NOT is_bad
+       |), cut AS (
+       |  SELECT date_trunc('month', max(created)) AS c FROM gold
+       |)
+       |SELECT sessionId, created, kwhTotal,
+       |  true AS hidden_absent, true AS transform_ok, true AS pruned
+       |FROM gold WHERE created >= (SELECT c FROM cut)
+       |ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -654,5 +715,6 @@ object EvQueries {
     QDef("ev13_incremental_read", incrementalFeed, Some(incrementalFeedSql)),
     QDef("ev14_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
     QDef("ev15_dv_delete", dvDelete, Some(dvDeleteSql)),
+    QDef("ev16_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningSql)),
   )
 }

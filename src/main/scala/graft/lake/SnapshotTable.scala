@@ -82,7 +82,8 @@ object SnapshotTable {
     * producing operation, and the table's CHECK constraints — all
     * from a single file read. */
   private[lake] case class Manifest(schema: Option[StructType], entries: Seq[Entry],
-      op: Option[String], constraints: Map[String, String] = Map.empty)
+      op: Option[String], constraints: Map[String, String] = Map.empty,
+      transforms: Seq[PartitionTransform] = Nil)
 
   // `#constraints=` header codec: URL-encode every name/expr token so
   // no raw tab can appear, then tab-join (name, expr) pairs flat. Self
@@ -121,6 +122,9 @@ object SnapshotTable {
     val constraints = lines.find(_.startsWith("#constraints="))
       .map(l => decodeConstraints(l.stripPrefix("#constraints=")))
       .getOrElse(Map.empty[String, String])
+    val transforms = lines.find(_.startsWith("#ptransforms="))
+      .map(l => PartitionTransform.decode(l.stripPrefix("#ptransforms=")))
+      .getOrElse(Nil)
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val parts = line.split("\t", -1)
       require(parts.length >= 2, s"bad manifest line: $line")
@@ -141,7 +145,7 @@ object SnapshotTable {
         .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
       Entry(parts(0), parts(1), rows, stats, dv)
     }.toSeq
-    Manifest(schema, entries, op, constraints)
+    Manifest(schema, entries, op, constraints, transforms)
   }
 
   /** Filesystem schemes with no atomic create-if-absent: the exists
@@ -175,7 +179,8 @@ object SnapshotTable {
   private def publishManifest(spark: SparkSession, path: String, version: Long,
       entries: Seq[Entry], schema: Option[StructType] = None,
       op: Option[String] = None,
-      constraints: Map[String, String] = Map.empty): Boolean = {
+      constraints: Map[String, String] = Map.empty,
+      transforms: Seq[PartitionTransform] = Nil): Boolean = {
     val f = fs(spark, path)
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
     val atomicScheme = !nonAtomicSchemes.contains(scheme) && !forceNonAtomic
@@ -193,7 +198,9 @@ object SnapshotTable {
     val header = schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
       op.map(o => s"#op=$o\n").getOrElse("") +
       (if (constraints.nonEmpty)
-        s"#constraints=${encodeConstraints(constraints)}\n" else "")
+        s"#constraints=${encodeConstraints(constraints)}\n" else "") +
+      (if (transforms.nonEmpty)
+        s"#ptransforms=${PartitionTransform.encode(transforms)}\n" else "")
     try out.write((header + entries.map { e =>
       val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
       val dv = e.dv.map { case (p, n) =>
@@ -262,7 +269,8 @@ object SnapshotTable {
     */
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
       carryOver: Seq[Entry] => Seq[Entry], maxAttempts: Int = 20,
-      statsCols: Seq[String] = Nil, op: String = "append"): Long = {
+      statsCols: Seq[String] = Nil, op: String = "append",
+      newTransforms: Seq[PartitionTransform] = Nil): Long = {
     val spark = df.sparkSession
     val commitDir = s"$path/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
     // CHECK constraints ride the write job as a guard projection (no
@@ -270,12 +278,37 @@ object SnapshotTable {
     // can publish. Read once here; the CAS loop re-checks for
     // constraints added concurrently and validates the written files
     // on that (rare) path.
-    val guardedCs: Map[String, String] = latestVersion(spark, path)
-      .map(v => readManifestFull(spark, path, v).constraints)
-      .getOrElse(Map.empty)
-    val guarded = withConstraintGuard(df, guardedCs)
+    val prevMeta: Option[Manifest] = latestVersion(spark, path)
+      .map(v => readManifestFull(spark, path, v))
+    val guardedCs: Map[String, String] =
+      prevMeta.map(_.constraints).getOrElse(Map.empty)
+    // hidden partitioning: the transform set is fixed at table
+    // creation and every write path re-derives the partition columns
+    // from it — a rewrite that moved a row's source value
+    // re-partitions the row for free
+    if (prevMeta.exists(_.transforms.isEmpty))
+      require(newTransforms.isEmpty,
+        s"table at $path was created without partition transforms — " +
+          "transforms can only be set on the first commit")
+    val transforms = prevMeta.map(_.transforms).filter(_.nonEmpty) match {
+      case None => newTransforms
+      case Some(recorded) =>
+        require(newTransforms.isEmpty ||
+            newTransforms.map(_.spec) == recorded.map(_.spec),
+          s"table at $path already records partition transforms " +
+            s"[${recorded.map(_.spec).mkString(", ")}] — they cannot be changed")
+        recorded
+    }
+    if (transforms.isEmpty)
+      require(df.columns.forall(!_.startsWith("__p_")),
+        "column prefix '__p_' is reserved for hidden partition columns")
+    val (data, partCols) =
+      if (transforms.isEmpty) (df, partitionCols)
+      else (PartitionTransform.apply(df, transforms),
+        transforms.map(_.pcol) ++ partitionCols.filterNot(transforms.map(_.pcol).contains))
+    val guarded = withConstraintGuard(data, guardedCs)
     val w = guarded.write.mode("errorifexists").option("compression", "zstd")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(commitDir)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(commitDir)
     val files = listParquet(fs(spark, path), new Path(commitDir))
     // footer reads (row count + per-column min/max) are driver-side
     // metadata IO (the table-format norm), but SEQUENTIAL opens would
@@ -324,9 +357,9 @@ object SnapshotTable {
       // contending writer may have evolved the schema): additive
       // columns merge in, a type change on a shared column is drift
       // and fails loudly before any manifest is published
-      val merged = mergeSchemas(prevSchema, df.schema, path)
+      val merged = mergeSchemas(prevSchema, data.schema, path)
       if (publishManifest(spark, path, version, carryOver(previous) ++ added,
-          Some(merged), Some(op), prevCs))
+          Some(merged), Some(op), prevCs, transforms))
         return version
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
@@ -361,6 +394,63 @@ object SnapshotTable {
   /** Append commit: previous live files all carry over. */
   def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long =
     commit(df, path, partitionCols, identity)
+
+  /** Create a HIDDEN-PARTITIONED table (Iceberg partition-spec
+    * shape): `transformSpecs` — e.g. `Seq("days(ts)")`,
+    * `Seq("bucket(16, id)")`, `Seq("months(ts)", "truncate(2, code)")`
+    * — are recorded in the manifest at creation and fixed for the
+    * table's lifetime; every subsequent write path (plain [[append]],
+    * [[merge]], [[update]], [[delete]], [[compact]]) re-derives the
+    * physical partition columns from them automatically. Reads hide
+    * the derived columns; [[readWhere]] turns predicates on the
+    * SOURCE columns into partition pruning. `statsCols` adds footer
+    * min/max on the named user columns for file skipping inside a
+    * partition. Only valid as the table's FIRST commit. */
+  def appendTransformed(df: DataFrame, path: String,
+      transformSpecs: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    val ts = transformSpecs.map(PartitionTransform.parse)
+    require(ts.nonEmpty, "appendTransformed needs at least one transform spec")
+    val dups = ts.groupBy(_.pcol).collect { case (c, xs) if xs.size > 1 => c }
+    require(dups.isEmpty,
+      s"partition transforms derive colliding columns: ${dups.mkString(", ")}")
+    commit(df, path, Nil, identity, statsCols = statsCols, newTransforms = ts)
+  }
+
+  /** The table's recorded partition transform specs (empty for plain
+    * tables). */
+  def partitionTransforms(spark: SparkSession, path: String): Seq[String] = {
+    val v = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    readManifestFull(spark, path, v).transforms.map(_.spec)
+  }
+
+  /** Filtered read of a hidden-partitioned table: `predicate` is
+    * written against the USER schema (e.g. `col("ts") >=
+    * "2024-01-02"`), and its INCLUSIVE PROJECTION onto the derived
+    * partition columns is conjoined before the hidden columns are
+    * dropped — so the day/month/bucket directories that cannot match
+    * are pruned at listing time (visible as `numFiles` in the scan),
+    * exactly what querying the raw layout by hand would require the
+    * user to know. On a plain table this is just `read().filter`. */
+  def readWhere(spark: SparkSession, path: String, predicate: Column,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val m = readManifestFull(spark, path, v)
+    require(m.entries.nonEmpty, s"empty manifest v$v")
+    val raw = readGroups(spark, m.entries, m.schema)
+    val hiddenCols = m.transforms.filter(_.hidden).map(_.pcol)
+    // resolve the user predicate against the table frame, then
+    // project the ANALYZED condition (see PartitionTransform.translate)
+    val analyzedCond = raw.filter(predicate).queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    val ppred = analyzedCond
+      .map(c => PartitionTransform.translate(c, m.transforms))
+      .getOrElse(lit(true))
+    raw.filter(ppred && predicate).drop(hiddenCols: _*)
+  }
 
   // ---- CHECK constraints -------------------------------------------
   // Delta-style table invariants (`ALTER TABLE ... ADD CONSTRAINT ...
@@ -433,7 +523,7 @@ object SnapshotTable {
         .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
       val m = readManifestFull(spark, path, base)
       if (publishManifest(spark, path, base + 1, m.entries, m.schema,
-          Some(op), newCs(m)))
+          Some(op), newCs(m), m.transforms))
         return base + 1
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
@@ -787,7 +877,7 @@ object SnapshotTable {
   // ---- deletion-vector file IO (driver-side, like manifests) -------
   private def dvDir(tablePath: String): String = s"$tablePath/_graft_dv"
 
-  private[lake] def readDv(spark: SparkSession, nearPath: String,
+  private[graft] def readDv(spark: SparkSession, nearPath: String,
       dvPath: String): Array[Long] = {
     val in = fs(spark, nearPath).open(new Path(dvPath))
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
@@ -1040,7 +1130,7 @@ object SnapshotTable {
     // single-attempt CAS at base+1: a concurrent commit means our
     // positions may be stale (same policy as delete's rerun guard)
     require(publishManifest(spark, path, base + 1, newEntries, m.schema,
-      Some("delete_dv"), m.constraints),
+      Some("delete_dv"), m.constraints, m.transforms),
       s"concurrent commit advanced $path during deleteWithVectors — rerun")
     base + 1
   }
@@ -1165,8 +1255,12 @@ object SnapshotTable {
       "pass clusterCol (1-D range clustering) OR zorderCols (z-curve), not both")
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-    val entries = readManifest(spark, path, base)
-    val current = read(spark, path, Some(base))
+    val mFull = readManifestFull(spark, path, base)
+    val entries = mFull.entries
+    // raw read (hidden partition columns kept): zShape clusters
+    // within partitions and needs them present; commit() re-derives
+    // them anyway before writing
+    val current = readGroups(spark, entries, mFull.schema)
     val partCols =
       if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
     val shaped =
@@ -1250,7 +1344,11 @@ object SnapshotTable {
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val m = readManifestFull(spark, path, v)
     require(m.entries.nonEmpty, s"empty manifest v$v")
-    readGroups(spark, m.entries, m.schema)
+    val raw = readGroups(spark, m.entries, m.schema)
+    // hidden partition columns are an implementation detail of the
+    // layout — user reads never see them
+    val hiddenCols = m.transforms.filter(_.hidden).map(_.pcol)
+    if (hiddenCols.isEmpty) raw else raw.drop(hiddenCols: _*)
   }
 
   /** Change-data feed: the row-level differences the table went

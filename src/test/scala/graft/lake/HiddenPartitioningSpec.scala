@@ -1,0 +1,218 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class HiddenPartitioningSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def mkEvents() = Seq(
+    ("e1", ts("2024-01-01 08:00:00"), 1.0),
+    ("e2", ts("2024-01-01 17:30:00"), 2.0),
+    ("e3", ts("2024-01-02 09:15:00"), 3.0),
+    ("e4", ts("2024-01-03 23:59:59"), 4.0),
+    ("e5", ts("2024-01-04 00:00:01"), 5.0),
+    ("e6", ts("2024-01-05 12:00:00"), 6.0)
+  ).toDF("id", "ts", "v")
+
+  /** Files actually read by the frame's scans (post-execution metric)
+    * — partition pruning shows up here. AQE hides materialized stages
+    * behind leaf QueryStageExec nodes, so the walk recurses into them
+    * explicitly (a plain collect would silently report 0 scans). */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    def files(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => files(q.plan)
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    files(df.queryExecution.executedPlan)
+  }
+
+  test("days(ts): layout is day-partitioned, reads hide the derived column") {
+    val path = Files.createTempDirectory("graft-hp").toString + "/t"
+    SnapshotTable.appendTransformed(mkEvents(), path, Seq("days(ts)"))
+    assert(SnapshotTable.partitionTransforms(spark, path) === Seq("days(ts)"))
+
+    // physical layout: one dir per day, named by the derived column
+    val files = SnapshotTable.liveFiles(spark, path)
+    assert(files.forall(_.contains("__p_ts_day=")), files.mkString("\n"))
+    assert(files.map(_.split("__p_ts_day=")(1).take(10)).distinct.sorted ===
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"))
+
+    // the user never sees the derived column
+    val out = SnapshotTable.read(spark, path)
+    assert(out.columns.toSeq === Seq("id", "ts", "v"))
+    assert(out.count() === 6)
+  }
+
+  test("readWhere projects ts predicates into partition pruning") {
+    val path = Files.createTempDirectory("graft-hp").toString + "/t"
+    SnapshotTable.appendTransformed(mkEvents(), path, Seq("days(ts)"))
+    val total = SnapshotTable.liveFiles(spark, path).size
+
+    // range predicate on the SOURCE column — never mentions the layout
+    val r = SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-01-02 00:00:00") && col("ts") < lit("2024-01-04 00:00:00"))
+    assert(r.columns.toSeq === Seq("id", "ts", "v"))
+    assert(r.select("id").as[String].collect().sorted.toSeq === Seq("e3", "e4"))
+    val n = scannedFiles(SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-01-02 00:00:00") && col("ts") < lit("2024-01-04 00:00:00")))
+    // inclusive projection keeps the boundary day (`< 04 00:00:00`
+    // cannot exclude the 01-04 dir) — so exactly days 02, 03, 04
+    assert(n === 3, s"expected day-dir pruning to 3 of $total files, scanned $n")
+
+    // equality and IN project too; flipped operand order as well
+    assert(SnapshotTable.readWhere(spark, path,
+      lit("2024-01-05 12:00:00") <= col("ts")).count() === 1)
+    // IN with typed literals (a string-literal IN casts the COLUMN
+    // side to string — different semantics, correctly not projected)
+    val inN = scannedFiles(SnapshotTable.readWhere(spark, path,
+      col("ts").isin(ts("2024-01-01 08:00:00"), ts("2024-01-02 09:15:00"))))
+    val inExpected = SnapshotTable.liveFiles(spark, path).count(f =>
+      f.contains("__p_ts_day=2024-01-01") || f.contains("__p_ts_day=2024-01-02"))
+    assert(inN === inExpected,
+      s"IN over two days must scan exactly the $inExpected files of those " +
+        s"day dirs, scanned $inN")
+
+    // an untranslatable predicate is still correct (no pruning claimed)
+    assert(SnapshotTable.readWhere(spark, path, length(col("id")) === 2).count() === 6)
+  }
+
+  test("every write path re-derives: append, update across a day boundary, compact") {
+    val path = Files.createTempDirectory("graft-hp").toString + "/t"
+    SnapshotTable.appendTransformed(mkEvents(), path, Seq("days(ts)"))
+    // plain append on the transformed table derives automatically
+    SnapshotTable.append(Seq(("e7", ts("2024-01-06 01:00:00"), 7.0))
+      .toDF("id", "ts", "v"), path)
+    assert(SnapshotTable.liveFiles(spark, path)
+      .exists(_.contains("__p_ts_day=2024-01-06")))
+
+    // UPDATE that moves a row to another day must relocate it
+    SnapshotTable.update(spark, path,
+      Seq("ts" -> lit(ts("2024-02-15 10:00:00"))), col("id") === "e1")
+    val moved = SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-02-15 00:00:00") && col("ts") < lit("2024-02-16 00:00:00"))
+    assert(moved.select("id").as[String].collect().toSeq === Seq("e1"))
+    assert(SnapshotTable.liveFiles(spark, path)
+      .exists(_.contains("__p_ts_day=2024-02-15")))
+    assert(SnapshotTable.read(spark, path).count() === 7)
+
+    // compact keeps the day layout and the transform header
+    SnapshotTable.compact(spark, path, numFiles = 2)
+    assert(SnapshotTable.partitionTransforms(spark, path) === Seq("days(ts)"))
+    assert(SnapshotTable.liveFiles(spark, path).forall(_.contains("__p_ts_day=")))
+    assert(SnapshotTable.read(spark, path).count() === 7)
+    val again = SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-02-15 00:00:00") && col("ts") < lit("2024-02-16 00:00:00"))
+    assert(again.select("id").as[String].collect().toSeq === Seq("e1"))
+  }
+
+  test("bucket(n, id): equality prunes to one bucket dir") {
+    val path = Files.createTempDirectory("graft-hp").toString + "/t"
+    val df = (0 until 64).map(i => (s"k$i", i.toDouble)).toDF("id", "v")
+    SnapshotTable.appendTransformed(df.repartition(4), path, Seq("bucket(8, id)"))
+    val total = SnapshotTable.liveFiles(spark, path).size
+    assert(SnapshotTable.liveFiles(spark, path).forall(_.contains("__p_id_bucket=")))
+
+    val q = SnapshotTable.readWhere(spark, path, col("id") === "k17")
+    assert(q.select("v").as[Double].collect().toSeq === Seq(17.0))
+    // exactly the files of k17's bucket dir, nothing else
+    val hit = SnapshotTable.readWhere(spark, path, col("id") === "k17")
+      .select(input_file_name()).as[String].head()
+    val bucketDir = hit.split("/").find(_.startsWith("__p_id_bucket=")).get
+    val expected = SnapshotTable.liveFiles(spark, path)
+      .count(_.contains(s"/$bucketDir/"))
+    val n = scannedFiles(SnapshotTable.readWhere(spark, path, col("id") === "k17"))
+    assert(n === expected && n < total,
+      s"expected bucket pruning to the $expected files of $bucketDir " +
+        s"(of $total total), scanned $n")
+  }
+
+  test("months + truncate compose; truncate projects ranges") {
+    val path = Files.createTempDirectory("graft-hp").toString + "/t"
+    val df = Seq(
+      ("DE-BER", ts("2024-01-10 00:00:00"), 1.0),
+      ("DE-MUC", ts("2024-02-10 00:00:00"), 2.0),
+      ("FR-PAR", ts("2024-02-20 00:00:00"), 3.0),
+      ("IT-ROM", ts("2024-03-01 00:00:00"), 4.0)
+    ).toDF("code", "ts", "v")
+    SnapshotTable.appendTransformed(df, path, Seq("months(ts)", "truncate(2, code)"))
+    val files = SnapshotTable.liveFiles(spark, path)
+    assert(files.forall(f => f.contains("__p_ts_month=") && f.contains("__p_code_trunc=")))
+
+    // both dimensions project: month range AND country prefix equality
+    val r = SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-02-01 00:00:00") && col("code") === "DE-MUC")
+    assert(r.select("v").as[Double].collect().toSeq === Seq(2.0))
+    val n = scannedFiles(SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-02-01 00:00:00") && col("code") === "DE-MUC"))
+    assert(n === 1, s"month>=02 AND code prefix DE should isolate 1 file, scanned $n")
+
+    // OR of two translatable sides still projects
+    val or = SnapshotTable.readWhere(spark, path,
+      col("code") === "FR-PAR" || col("code") === "IT-ROM")
+    assert(or.count() === 2)
+  }
+
+  test("transforms are fixed at creation; __p_ prefix is reserved") {
+    val path = Files.createTempDirectory("graft-hp").toString + "/t"
+    SnapshotTable.appendTransformed(mkEvents(), path, Seq("days(ts)"))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.appendTransformed(mkEvents(), path, Seq("months(ts)"))
+    }
+    assert(ex.getMessage.contains("cannot be changed"))
+
+    // a plain table cannot later become transformed
+    val plain = Files.createTempDirectory("graft-hp").toString + "/t"
+    SnapshotTable.append(mkEvents(), plain)
+    val ex2 = intercept[IllegalArgumentException] {
+      SnapshotTable.appendTransformed(mkEvents(), plain, Seq("days(ts)"))
+    }
+    assert(ex2.getMessage.contains("first commit"))
+
+    // reserved prefix on plain tables
+    val ex3 = intercept[IllegalArgumentException] {
+      SnapshotTable.append(mkEvents().withColumn("__p_x", lit(1)),
+        Files.createTempDirectory("graft-hp").toString + "/t")
+    }
+    assert(ex3.getMessage.contains("reserved"))
+
+    // same specs re-stated are accepted (idempotent creation calls)
+    SnapshotTable.appendTransformed(mkEvents(), path, Seq("days(ts)"))
+    assert(SnapshotTable.read(spark, path).count() === 12)
+  }
+
+  test("merge and DV delete work on a hidden-partitioned table") {
+    val path = Files.createTempDirectory("graft-hp").toString + "/t"
+    SnapshotTable.appendTransformed(mkEvents(), path, Seq("days(ts)"),
+      statsCols = Seq("v"))
+    // merge: update e3's v, insert e9 on a new day
+    val src = Seq(
+      ("e3", ts("2024-01-02 09:15:00"), 33.0),
+      ("e9", ts("2024-04-01 00:00:00"), 9.0)).toDF("id", "ts", "v")
+    SnapshotTable.merge(src, path, Seq("id"))
+    val after = SnapshotTable.read(spark, path)
+    assert(after.count() === 7)
+    assert(after.filter(col("id") === "e3").select("v").as[Double].head() === 33.0)
+    assert(SnapshotTable.liveFiles(spark, path)
+      .exists(_.contains("__p_ts_day=2024-04-01")))
+
+    SnapshotTable.deleteWithVectors(spark, path, col("id") === "e2")
+    assert(SnapshotTable.read(spark, path).count() === 6)
+    val day1 = SnapshotTable.readWhere(spark, path,
+      col("ts") < lit("2024-01-02 00:00:00"))
+    assert(day1.select("id").as[String].collect().toSeq === Seq("e1"),
+      "DV delete must remove exactly e2 from day 1")
+  }
+}
