@@ -43,24 +43,31 @@ object SnapshotIncremental {
     * step's base; no manifest is opened twice). `onRemoved` fires for
     * every version that removed/rewrote files, letting the caller
     * enforce append-only with its own message — op names are advisory;
-    * the file sets are the truth. Shared by the batch-driven reader
-    * below and [[graft.sources.SnapshotStreamSource]]'s microbatch
-    * planner. */
+    * the file sets are the truth. The third result element is the
+    * CARRIED files whose deletion vector changed within the range
+    * (latest entry, so its dv is the current one) — a DV-aware
+    * `ignoreChanges` consumer re-emits their still-live rows; an
+    * append-only consumer sees them via `onRemoved` first. The added
+    * entries likewise carry their LATEST dv, so a file appended and
+    * then DV'd inside one range is emitted without its dead rows.
+    * Shared by the batch-driven reader below and
+    * [[graft.sources.SnapshotStreamSource]]'s microbatch planner. */
   private[graft] def addedBetween(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long,
       onRemoved: Option[(Long, Int) => Unit] = None)
-      : (Option[StructType], Seq[SnapshotTable.Entry]) = {
+      : (Option[StructType], Seq[SnapshotTable.Entry], Seq[SnapshotTable.Entry]) = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     val fromEntries =
       if (fromVersion == 0) Nil
       else SnapshotTable.readManifest(spark, path, fromVersion)
     val fromSet: Set[String] = fromEntries.map(_.filePath).toSet
+    val fromDv: Map[String, Option[(String, Long)]] =
+      fromEntries.map(e => e.filePath -> e.dv).toMap
     var prevSet = fromSet
     // a deletion-vector change removes ROWS without removing files —
     // for append-only verification it counts as a removal too
-    var prevDv: Map[String, Option[(String, Long)]] =
-      fromEntries.map(e => e.filePath -> e.dv).toMap
+    var prevDv: Map[String, Option[(String, Long)]] = fromDv
     var schema: Option[StructType] = None
     var entries: Seq[SnapshotTable.Entry] = Nil
     ((fromVersion + 1) to toVersion).foreach { v =>
@@ -77,7 +84,9 @@ object SnapshotIncremental {
       schema = m.schema
       entries = m.entries
     }
-    (schema, entries.filterNot(e => fromSet(e.filePath)))
+    val dvChanged = entries.filter(e =>
+      fromSet(e.filePath) && fromDv.getOrElse(e.filePath, None) != e.dv)
+    (schema, entries.filterNot(e => fromSet(e.filePath)), dvChanged)
   }
 
   /** Rows the commits in (fromVersion, toVersion] contributed.
@@ -88,7 +97,7 @@ object SnapshotIncremental {
       toVersion: Long, mode: Mode = AppendOnly): DataFrame = mode match {
     case Cdc => SnapshotTable.changes(spark, path, fromVersion, toVersion)
     case AppendOnly =>
-      val (schema, added) = addedBetween(spark, path, fromVersion, toVersion,
+      val (schema, added, _) = addedBetween(spark, path, fromVersion, toVersion,
         onRemoved = Some { (v, n) =>
           throw new IllegalArgumentException(
             s"version $v of $path is not append-only (op=" +

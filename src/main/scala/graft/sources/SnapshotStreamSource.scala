@@ -36,10 +36,14 @@ import graft.lake.SnapshotTable
   * restarted query resumes exactly after the last committed version.
   * Each microbatch reads ONLY the files its commit range added —
   * O(new data) IO, no rescans. A commit that removed or rewrote files
-  * (merge/delete/update/compact) fails the query by default, naming
-  * the version and operation; `.option("ignoreChanges", true)`
-  * accepts re-emission of rewritten carried-over rows instead (the
-  * Delta semantics of the same option).
+  * (merge/delete/update/compact) — or changed a deletion vector —
+  * fails the query by default, naming the version and operation;
+  * `.option("ignoreChanges", true)` accepts re-emission of rewritten
+  * carried-over rows instead (the Delta semantics of the same
+  * option). Under ignoreChanges a DELETION-VECTOR commit re-emits the
+  * touched files' still-live rows only — dead positions are applied
+  * in the reader, so DV'd rows never reach the sink, matching what a
+  * batch read of the same version returns.
   *
   * Options: `startingVersion` — the first table version the stream
   * emits, INCLUSIVE, matching Delta's option of the same name
@@ -182,19 +186,32 @@ private class SnapshotMicroBatchStream(path: String, schema: StructType,
     if (e <= s) return Array.empty
     // one manifest read per version in the range (the file set carries
     // forward), with the append-only verification riding the same pass
-    val (_, added) = graft.lake.SnapshotIncremental.addedBetween(spark, path, s, e,
-      onRemoved = if (ignoreChanges) None else Some { (v, _) =>
-        throw new IllegalStateException(
-          s"version $v of $path is not append-only (op=" +
-            s"${SnapshotTable.opOf(spark, path, v).getOrElse("unknown")}): rewritten " +
-            "files would re-emit carried rows in the stream — set " +
-            ".option(\"ignoreChanges\", true) to accept re-emission")
-      })
+    val (_, added, dvChanged) =
+      graft.lake.SnapshotIncremental.addedBetween(spark, path, s, e,
+        onRemoved = if (ignoreChanges) None else Some { (v, _) =>
+          throw new IllegalStateException(
+            s"version $v of $path is not append-only (op=" +
+              s"${SnapshotTable.opOf(spark, path, v).getOrElse("unknown")}): rewritten " +
+              "files would re-emit carried rows in the stream — set " +
+              ".option(\"ignoreChanges\", true) to accept re-emission")
+        })
+    // DV-aware ignoreChanges (Delta's semantics on a DV table): a
+    // deletion-vector commit re-emits the touched files' STILL-LIVE
+    // rows — never the dead ones — and an added file DV'd inside the
+    // same range is emitted with its dead positions already removed.
+    // Positions are driver-read (bounded by the DV-delete cap) and
+    // shipped in the partition; DV'd files use the position-tracking
+    // row reader (a byte-range split cannot know its row offset).
+    val emit = added ++ (if (ignoreChanges) dvChanged else Nil)
     // executor-side reads must see the session's Hadoop settings
     // (s3a/abfs credentials, endpoints) — capture them serializably
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sized = added.map(en => en -> fs.getFileStatus(new Path(en.filePath)).getLen)
+    val sized = emit.map { en =>
+      val dead = en.dv.map(d => SnapshotTable.readDv(spark, path, d._1))
+        .getOrElse(Array.empty[Long])
+      (en, fs.getFileStatus(new Path(en.filePath)).getLen, dead)
+    }
     val vectorize = opts.vectorizedReader match {
       case "always" => true
       case "never"  => false
@@ -202,22 +219,20 @@ private class SnapshotMicroBatchStream(path: String, schema: StructType,
       // a bootstrap-sized batch gets the columnar decoder + splitting
       case _        => sized.map(_._2).sum >= opts.vectorizedThresholdBytes
     }
-    if (!vectorize)
-      sized.map { case (en, _) =>
-        SnapshotFilePartition(en.filePath, en.commitDir, schema, conf,
-          0L, Long.MaxValue, vectorized = false): InputPartition
-      }.toArray
-    else
-      // byte-range splits: the parquet reader takes the row groups
-      // whose midpoint falls in [start, start+length) — standard file
-      // splitting, so one fat bootstrap file fans out over tasks
-      sized.flatMap { case (en, len) =>
+    sized.flatMap { case (en, len, dead) =>
+      if (!vectorize || dead.nonEmpty)
+        Seq(SnapshotFilePartition(en.filePath, en.commitDir, schema, conf,
+          0L, Long.MaxValue, vectorized = false, dead): InputPartition)
+      else
+        // byte-range splits: the parquet reader takes the row groups
+        // whose midpoint falls in [start, start+length) — standard file
+        // splitting, so one fat bootstrap file fans out over tasks
         (0L until math.max(len, 1L) by opts.maxBytesPerPartition).map { off =>
           SnapshotFilePartition(en.filePath, en.commitDir, schema, conf,
             off, math.min(opts.maxBytesPerPartition, len - off),
             vectorized = true): InputPartition
         }
-      }.toArray
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -246,7 +261,8 @@ private class SerializableHadoopConf(
 
 private case class SnapshotFilePartition(filePath: String, commitDir: String,
     schema: StructType, conf: SerializableHadoopConf,
-    start: Long, length: Long, vectorized: Boolean) extends InputPartition
+    start: Long, length: Long, vectorized: Boolean,
+    deadPositions: Array[Long] = Array.empty) extends InputPartition
 
 /** Hive partition-value handling shared by both decode paths: parse
   * the `k=v` path segments and convert a directory-string value to
@@ -361,7 +377,22 @@ private class SnapshotFileReader(p: SnapshotFilePartition)
       .withConf(p.conf.value).build()
   private var current: Group = _
 
-  override def next(): Boolean = { current = reader.read(); current != null }
+  // deletion-vector application: skip the dead row positions (sorted
+  // array + cursor — the scan is sequential, so this is O(1) amortized)
+  private val dead = p.deadPositions
+  private var deadIdx = 0
+  private var rowIdx = -1L
+
+  override def next(): Boolean = {
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      rowIdx += 1
+      while (deadIdx < dead.length && dead(deadIdx) < rowIdx) deadIdx += 1
+      if (deadIdx >= dead.length || dead(deadIdx) != rowIdx) return true
+    }
+    false
+  }
 
   override def get(): InternalRow = {
     val g = current

@@ -186,4 +186,35 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     val got = drain(path, s"$base/ckpt", Map("ignoreChanges" -> "true"))
     assert(got.map(_.getLong(0)).sorted === (1L to 8L))
   }
+
+  test("DV commits: default refuses; ignoreChanges re-emits only the still-live rows") {
+    val base = Files.createTempDirectory("graft-stream-dv").toString
+    val path = s"$base/t"
+    SnapshotTable.append((1 to 10).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .coalesce(1), path)
+    assert(drain(path, s"$base/ckpt").size === 10)
+
+    // v2: a deletion-vector commit — zero files rewritten
+    SnapshotTable.deleteWithVectors(spark, path, col("v") >= 9.0)
+    val e = intercept[Exception](drain(path, s"$base/ckpt"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("not append-only")))
+
+    // ignoreChanges: the DV'd file re-emits its LIVE rows — never the
+    // dead ones (a plain ignoreChanges that re-read the file whole
+    // would resurrect 9 and 10 in the sink)
+    val got = drain(path, s"$base/ckpt", Map("ignoreChanges" -> "true"))
+    assert(got.map(_.getLong(0)).sorted === (1L to 8L))
+
+    // a file appended AND DV'd inside one consumed range emits with
+    // the dead position already removed
+    SnapshotTable.append(Seq((11L, 11.0), (12L, 12.0)).toDF("k", "v")
+      .coalesce(1), path)                                    // v3
+    SnapshotTable.deleteWithVectors(spark, path, col("k") === 11L) // v4
+    val got2 = drain(path, s"$base/ckpt", Map("ignoreChanges" -> "true"))
+    assert(got2.map(_.getLong(0)) === Seq(12L),
+      "added-then-DV'd file must emit without its dead rows and " +
+        "without re-emitting v1's file")
+  }
 }
