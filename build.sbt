@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver parses the LAST stdout lines of `runMain
+// graft.Bench` as JSON: pass the forked process' output through raw
+// (no "[info] " logger prefix) and drop the trailing "[success]
+// Total time" line so the bench JSON line is last and parseable.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
