@@ -145,12 +145,15 @@ object PartitionTransform {
       .map(t => parse(java.net.URLDecoder.decode(t, "UTF-8")))
 
   /** Derive (or re-derive) every transform's partition column on a
-    * write-bound frame. Hidden columns are dropped first and
-    * recomputed from the source column, so a rewrite whose SET moved
-    * a row's source value re-partitions the row correctly. */
+    * write-bound frame. ALL hidden (`__p_`) columns are dropped first
+    * — including retired ones a rewrite read back from an old-era
+    * layout — and the current spec's are recomputed from the source
+    * column, so a rewrite whose SET moved a row's source value
+    * re-partitions the row correctly and a rewrite on an evolved
+    * table migrates rows to the current layout. */
   def apply(df: org.apache.spark.sql.DataFrame,
       ts: Seq[PartitionTransform]): org.apache.spark.sql.DataFrame = {
-    val dropped = df.drop(ts.filter(_.hidden).map(_.pcol): _*)
+    val dropped = df.drop(df.columns.filter(_.startsWith("__p_")).toSeq: _*)
     ts.filter(_.hidden).foldLeft(dropped) { (d, t) =>
       val f = d.schema.fields.find(_.name.equalsIgnoreCase(t.src)).getOrElse(
         throw new IllegalArgumentException(
@@ -198,18 +201,26 @@ object PartitionTransform {
         l: Expression): Column =
       t.derive(ColumnBridge.column(l), a.dataType)
 
+    // NULL-safe: a NULL partition value (NULL source values, or rows
+    // written under a DIFFERENT spec era that never had this column)
+    // must never be pruned — the projection is inclusive, and a
+    // retired-era file's rows surface the current spec's __p column
+    // as NULL
+    def nullSafe(t: PartitionTransform, c: Column): Column =
+      c || col(t.pcol).isNull
     def eqProj(a: AttributeReference, l: Expression): Option[Column] =
-      forSrc(a.name).map(t => col(t.pcol) === derived(t, a, l))
+      forSrc(a.name).map(t => nullSafe(t, col(t.pcol) === derived(t, a, l)))
         .reduceOption(_ && _)
     def rangeProj(a: AttributeReference, l: Expression,
         upper: Boolean): Option[Column] =
       forSrc(a.name).filter(_.monotonic)
-        .map(t => if (upper) col(t.pcol) <= derived(t, a, l)
-                  else col(t.pcol) >= derived(t, a, l))
+        .map(t => nullSafe(t,
+          if (upper) col(t.pcol) <= derived(t, a, l)
+          else col(t.pcol) >= derived(t, a, l)))
         .reduceOption(_ && _)
     def inProj(a: AttributeReference, ls: Seq[Expression]): Option[Column] =
-      forSrc(a.name).map(t => ls.map(l => col(t.pcol) === derived(t, a, l))
-          .reduce(_ || _))
+      forSrc(a.name).map(t => nullSafe(t,
+          ls.map(l => col(t.pcol) === derived(t, a, l)).reduce(_ || _)))
         .reduceOption(_ && _)
 
     def proj(e: Expression): Option[Column] = e match {

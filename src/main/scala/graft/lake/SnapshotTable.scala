@@ -83,7 +83,8 @@ object SnapshotTable {
     * from a single file read. */
   private[lake] case class Manifest(schema: Option[StructType], entries: Seq[Entry],
       op: Option[String], constraints: Map[String, String] = Map.empty,
-      transforms: Seq[PartitionTransform] = Nil)
+      transforms: Seq[PartitionTransform] = Nil,
+      retiredTransforms: Seq[PartitionTransform] = Nil)
 
   // `#constraints=` header codec: URL-encode every name/expr token so
   // no raw tab can appear, then tab-join (name, expr) pairs flat. Self
@@ -125,6 +126,9 @@ object SnapshotTable {
     val transforms = lines.find(_.startsWith("#ptransforms="))
       .map(l => PartitionTransform.decode(l.stripPrefix("#ptransforms=")))
       .getOrElse(Nil)
+    val retired = lines.find(_.startsWith("#ptransformsRetired="))
+      .map(l => PartitionTransform.decode(l.stripPrefix("#ptransformsRetired=")))
+      .getOrElse(Nil)
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val parts = line.split("\t", -1)
       require(parts.length >= 2, s"bad manifest line: $line")
@@ -145,7 +149,7 @@ object SnapshotTable {
         .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
       Entry(parts(0), parts(1), rows, stats, dv)
     }.toSeq
-    Manifest(schema, entries, op, constraints, transforms)
+    Manifest(schema, entries, op, constraints, transforms, retired)
   }
 
   /** Filesystem schemes with no atomic create-if-absent: the exists
@@ -180,7 +184,8 @@ object SnapshotTable {
       entries: Seq[Entry], schema: Option[StructType] = None,
       op: Option[String] = None,
       constraints: Map[String, String] = Map.empty,
-      transforms: Seq[PartitionTransform] = Nil): Boolean = {
+      transforms: Seq[PartitionTransform] = Nil,
+      retiredTransforms: Seq[PartitionTransform] = Nil): Boolean = {
     val f = fs(spark, path)
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
     val atomicScheme = !nonAtomicSchemes.contains(scheme) && !forceNonAtomic
@@ -200,7 +205,9 @@ object SnapshotTable {
       (if (constraints.nonEmpty)
         s"#constraints=${encodeConstraints(constraints)}\n" else "") +
       (if (transforms.nonEmpty)
-        s"#ptransforms=${PartitionTransform.encode(transforms)}\n" else "")
+        s"#ptransforms=${PartitionTransform.encode(transforms)}\n" else "") +
+      (if (retiredTransforms.nonEmpty)
+        s"#ptransformsRetired=${PartitionTransform.encode(retiredTransforms)}\n" else "")
     try out.write((header + entries.map { e =>
       val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
       val dv = e.dv.map { case (p, n) =>
@@ -283,29 +290,36 @@ object SnapshotTable {
     val guardedCs: Map[String, String] =
       prevMeta.map(_.constraints).getOrElse(Map.empty)
     // hidden partitioning: the transform set is fixed at table
-    // creation and every write path re-derives the partition columns
-    // from it — a rewrite that moved a row's source value
-    // re-partitions the row for free
+    // creation (changed only through evolvePartitionTransforms) and
+    // every write path re-derives the partition columns from the
+    // CURRENT spec — a rewrite that moved a row's source value
+    // re-partitions the row for free, and a rewrite on an evolved
+    // table migrates the rewritten rows to the current layout
     if (prevMeta.exists(_.transforms.isEmpty))
       require(newTransforms.isEmpty,
         s"table at $path was created without partition transforms — " +
-          "transforms can only be set on the first commit")
+          "set them on the first commit or evolvePartitionTransforms")
     val transforms = prevMeta.map(_.transforms).filter(_.nonEmpty) match {
       case None => newTransforms
       case Some(recorded) =>
         require(newTransforms.isEmpty ||
             newTransforms.map(_.spec) == recorded.map(_.spec),
           s"table at $path already records partition transforms " +
-            s"[${recorded.map(_.spec).mkString(", ")}] — they cannot be changed")
+            s"[${recorded.map(_.spec).mkString(", ")}] — evolve them with " +
+            "evolvePartitionTransforms, not by re-creating")
         recorded
     }
+    val retired = prevMeta.map(_.retiredTransforms).getOrElse(Nil)
     if (transforms.isEmpty)
       require(df.columns.forall(!_.startsWith("__p_")),
         "column prefix '__p_' is reserved for hidden partition columns")
     val (data, partCols) =
       if (transforms.isEmpty) (df, partitionCols)
       else (PartitionTransform.apply(df, transforms),
-        transforms.map(_.pcol) ++ partitionCols.filterNot(transforms.map(_.pcol).contains))
+        // caller-supplied cols from an inferred MIXED-era layout
+        // (rewrite paths) must not leak retired __p dirs into the write
+        transforms.map(_.pcol) ++ partitionCols.filterNot(c =>
+          c.startsWith("__p_") || transforms.map(_.pcol).contains(c)))
     val guarded = withConstraintGuard(data, guardedCs)
     val w = guarded.write.mode("errorifexists").option("compression", "zstd")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(commitDir)
@@ -359,7 +373,7 @@ object SnapshotTable {
       // and fails loudly before any manifest is published
       val merged = mergeSchemas(prevSchema, data.schema, path)
       if (publishManifest(spark, path, version, carryOver(previous) ++ added,
-          Some(merged), Some(op), prevCs, transforms))
+          Some(merged), Some(op), prevCs, transforms, retired))
         return version
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
@@ -439,15 +453,23 @@ object SnapshotTable {
     val m = readManifestFull(spark, path, v)
     require(m.entries.nonEmpty, s"empty manifest v$v")
     val raw = readGroups(spark, m.entries, m.schema)
-    val hiddenCols = m.transforms.filter(_.hidden).map(_.pcol)
+    val hiddenCols = raw.columns.filter(_.startsWith("__p_")).toSeq
     // resolve the user predicate against the table frame, then
     // project the ANALYZED condition (see PartitionTransform.translate)
+    // onto the CURRENT and RETIRED specs — each era's files prune by
+    // the layout they were written under (null-safe projections make
+    // cross-era conjunction inclusive)
     val analyzedCond = raw.filter(predicate).queryExecution.analyzed
       .collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
+    // a spec evolved onto before any new write has no column in the
+    // recorded schema yet — only project specs whose column exists
+    val known = raw.columns.toSet
+    val projectable =
+      (m.transforms ++ m.retiredTransforms).filter(t => known(t.pcol))
     val ppred = analyzedCond
-      .map(c => PartitionTransform.translate(c, m.transforms))
+      .map(c => PartitionTransform.translate(c, projectable))
       .getOrElse(lit(true))
     raw.filter(ppred && predicate).drop(hiddenCols: _*)
   }
@@ -500,7 +522,7 @@ object SnapshotTable {
     publishMetadataCommit(spark, path, "addConstraint") { m =>
       require(!m.constraints.contains(name),
         s"constraint '$name' already exists at $path")
-      m.constraints + (name -> exprSql)
+      m.copy(constraints = m.constraints + (name -> exprSql))
     }
   }
 
@@ -510,25 +532,64 @@ object SnapshotTable {
     publishMetadataCommit(spark, path, "dropConstraint") { m =>
       require(m.constraints.contains(name),
         s"no constraint '$name' at $path")
-      m.constraints - name
+      m.copy(constraints = m.constraints - name)
     }
 
-  /** CAS-retry publish of a metadata-only version: live files, schema
-    * and op-unrelated headers carry over unchanged. */
+  /** CAS-retry publish of a metadata-only version: live files and
+    * schema carry over unchanged; `mutate` rewrites the header-borne
+    * metadata (constraints, partition transforms). */
   private def publishMetadataCommit(spark: SparkSession, path: String,
-      op: String)(newCs: Manifest => Map[String, String]): Long = {
+      op: String)(mutate: Manifest => Manifest): Long = {
     var attempt = 0
     while (attempt < 20) {
       val base = latestVersion(spark, path)
         .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-      val m = readManifestFull(spark, path, base)
+      val m = mutate(readManifestFull(spark, path, base))
       if (publishManifest(spark, path, base + 1, m.entries, m.schema,
-          Some(op), newCs(m), m.transforms))
+          Some(op), m.constraints, m.transforms, m.retiredTransforms))
         return base + 1
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
     }
     throw new ConcurrentCommitException(path, 20)
+  }
+
+  /** PARTITION EVOLUTION (Iceberg's evolve-partition-spec shape): a
+    * metadata-only commit replacing the table's partition transforms.
+    * Existing data files keep their old-era directory layout — no
+    * rewrite happens — and only NEW writes (and rewritten rows of
+    * merge/update/delete/compact) use the new spec. Reads stay
+    * correct across eras: every era's hidden columns are dropped from
+    * user reads, and [[readWhere]] projects predicates onto the
+    * current AND retired specs with NULL-safe projections, so both
+    * eras keep pruning by their own layout. A full [[compact]] after
+    * evolving migrates the whole table to the new spec (the
+    * re-cluster-after-reshape maintenance pass); until then old-era
+    * files prune by the retired spec only. Works on plain tables too
+    * (evolving an unpartitioned table into a transformed one). */
+  def evolvePartitionTransforms(spark: SparkSession, path: String,
+      transformSpecs: Seq[String]): Long = {
+    val ts = transformSpecs.map(PartitionTransform.parse)
+    require(ts.nonEmpty, "evolvePartitionTransforms needs at least one spec " +
+      "(evolving to unpartitioned is not supported)")
+    val dups = ts.groupBy(_.pcol).collect { case (c, xs) if xs.size > 1 => c }
+    require(dups.isEmpty,
+      s"partition transforms derive colliding columns: ${dups.mkString(", ")}")
+    publishMetadataCommit(spark, path, "evolvePartitionSpec") { m =>
+      require(m.transforms.map(_.spec) != ts.map(_.spec),
+        s"table at $path already uses exactly [${ts.map(_.spec).mkString(", ")}]")
+      m.schema.foreach { s =>
+        val missing = ts.map(_.src).filterNot(c =>
+          s.fields.exists(_.name.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"transform source column(s) not in the table schema: ${missing.mkString(", ")}")
+      }
+      val newSpecs = ts.map(_.spec).toSet
+      m.copy(transforms = ts,
+        retiredTransforms = (m.retiredTransforms ++ m.transforms)
+          .filterNot(t => newSpecs.contains(t.spec))
+          .groupBy(_.spec).map(_._2.head).toSeq)
+    }
   }
 
   /** One footer open per committed file: the row count plus (min,
@@ -1130,7 +1191,7 @@ object SnapshotTable {
     // single-attempt CAS at base+1: a concurrent commit means our
     // positions may be stale (same policy as delete's rerun guard)
     require(publishManifest(spark, path, base + 1, newEntries, m.schema,
-      Some("delete_dv"), m.constraints, m.transforms),
+      Some("delete_dv"), m.constraints, m.transforms, m.retiredTransforms),
       s"concurrent commit advanced $path during deleteWithVectors — rerun")
     base + 1
   }
@@ -1345,9 +1406,9 @@ object SnapshotTable {
     val m = readManifestFull(spark, path, v)
     require(m.entries.nonEmpty, s"empty manifest v$v")
     val raw = readGroups(spark, m.entries, m.schema)
-    // hidden partition columns are an implementation detail of the
-    // layout — user reads never see them
-    val hiddenCols = m.transforms.filter(_.hidden).map(_.pcol)
+    // hidden partition columns — CURRENT or retired-era — are an
+    // implementation detail of the layout; user reads never see them
+    val hiddenCols = raw.columns.filter(_.startsWith("__p_")).toSeq
     if (hiddenCols.isEmpty) raw else raw.drop(hiddenCols: _*)
   }
 

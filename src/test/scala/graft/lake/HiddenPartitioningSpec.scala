@@ -171,7 +171,7 @@ class HiddenPartitioningSpec extends SparkTestBase {
     val ex = intercept[IllegalArgumentException] {
       SnapshotTable.appendTransformed(mkEvents(), path, Seq("months(ts)"))
     }
-    assert(ex.getMessage.contains("cannot be changed"))
+    assert(ex.getMessage.contains("evolve them"))
 
     // a plain table cannot later become transformed
     val plain = Files.createTempDirectory("graft-hp").toString + "/t"
@@ -214,5 +214,75 @@ class HiddenPartitioningSpec extends SparkTestBase {
       col("ts") < lit("2024-01-02 00:00:00"))
     assert(day1.select("id").as[String].collect().toSeq === Seq("e1"),
       "DV delete must remove exactly e2 from day 1")
+  }
+
+  test("partition evolution: days→months, both eras stay correct AND both keep pruning") {
+    val path = Files.createTempDirectory("graft-hp").toString + "/t"
+    SnapshotTable.appendTransformed(mkEvents(), path, Seq("days(ts)")) // era 1
+    SnapshotTable.evolvePartitionTransforms(spark, path, Seq("months(ts)"))
+    assert(SnapshotTable.partitionTransforms(spark, path) === Seq("months(ts)"))
+    // era 2: lands in month dirs
+    SnapshotTable.append(Seq(
+      ("f1", ts("2024-03-10 10:00:00"), 10.0),
+      ("f2", ts("2024-04-20 10:00:00"), 20.0)).toDF("id", "ts", "v"), path)
+    val files = SnapshotTable.liveFiles(spark, path)
+    assert(files.exists(_.contains("__p_ts_month=2024-03")))
+    assert(files.count(_.contains("__p_ts_day=")) === 6, "era-1 files untouched")
+
+    // reads hide BOTH eras' hidden columns
+    assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id", "ts", "v"))
+    assert(SnapshotTable.read(spark, path).count() === 8)
+
+    // a predicate spanning the era boundary returns rows of both eras
+    val r = SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-01-05 00:00:00") && col("ts") < lit("2024-04-01 00:00:00"))
+    assert(r.select("id").as[String].collect().sorted.toSeq === Seq("e6", "f1"))
+    // ...and BOTH eras prune: era-1 days 01–04 dirs and the era-2
+    // 2024-04 month dir are all excluded
+    val n = scannedFiles(SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-01-05 00:00:00") && col("ts") < lit("2024-04-01 00:00:00")))
+    val expected = SnapshotTable.liveFiles(spark, path).count(f =>
+      f.contains("__p_ts_day=2024-01-05") || f.contains("__p_ts_month=2024-03") ||
+        f.contains("__p_ts_month=2024-04"))
+    assert(n === expected,
+      s"cross-era pruning: expected the $expected files of day-05 + months 03/04, scanned $n")
+
+    // compact migrates EVERYTHING to the current spec (the re-cluster
+    // -after-reshape maintenance pass), z-ordered within months
+    SnapshotTable.compact(spark, path, numFiles = 4, zorderCols = Seq("ts", "v"))
+    val after = SnapshotTable.liveFiles(spark, path)
+    assert(after.forall(_.contains("__p_ts_month=")), after.mkString("\n"))
+    assert(!after.exists(_.contains("__p_ts_day=")), "era-1 layout must be gone")
+    assert(SnapshotTable.read(spark, path).count() === 8)
+    assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id", "ts", "v"))
+    val r2 = SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-01-05 00:00:00") && col("ts") < lit("2024-04-01 00:00:00"))
+    assert(r2.select("id").as[String].collect().sorted.toSeq === Seq("e6", "f1"))
+  }
+
+  test("partition evolution: a plain table evolves into a transformed one") {
+    val path = Files.createTempDirectory("graft-hp").toString + "/t"
+    SnapshotTable.append(mkEvents(), path) // unpartitioned
+    SnapshotTable.evolvePartitionTransforms(spark, path, Seq("days(ts)"))
+    // readWhere BEFORE any new write: no hidden column exists yet —
+    // must not fail, must return correct rows (no pruning claimed)
+    assert(SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-01-05 00:00:00")).count() === 1)
+    SnapshotTable.append(Seq(("e7", ts("2024-01-06 01:00:00"), 7.0))
+      .toDF("id", "ts", "v"), path)
+    assert(SnapshotTable.liveFiles(spark, path)
+      .exists(_.contains("__p_ts_day=2024-01-06")))
+    assert(SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-01-05 00:00:00")).count() === 2)
+    assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id", "ts", "v"))
+
+    // validation: re-stating the current spec is rejected; unknown
+    // source columns are rejected
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.evolvePartitionTransforms(spark, path, Seq("days(ts)"))
+    }.getMessage.contains("already uses"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.evolvePartitionTransforms(spark, path, Seq("days(nope)"))
+    }.getMessage.contains("not in the table schema"))
   }
 }
