@@ -1296,6 +1296,54 @@ object TextAnalysis {
       |FROM p GROUP BY l, r
       |ORDER BY pair_count DESC, l ASC, r ASC LIMIT 10""".stripMargin
 
+  /** FastText-style HASHED bag-of-ngrams features: each unigram and
+    * word-bigram maps to a bucket in a fixed feature space via the
+    * hashing trick (no vocabulary build, no driver state — the
+    * property that makes feature hashing the scalable front-end for
+    * classifier training over corpora whose vocabulary doesn't fit
+    * anywhere). The bucket is the first 6 md5 hex chars of the token
+    * taken as an integer mod `numBuckets` — engine-portable (md5 is
+    * md5 everywhere; q70's idiom), deterministic across runs and
+    * partitionings. Output is the sparse matrix in COO form
+    * (doc, bucket, tf) — one row-local projection + explode, one
+    * combinable count shuffle; nothing corpus-global. */
+  def hashedNgramFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "concat(ws, transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), '_', element_at(ws, i + 1))))"))
+        .as("token"))
+    toks
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("token")), 1, 6), 16, 10).cast("long"),
+          lit(numBuckets.toLong)).cast("int"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  def hashedFeatures(spark: SparkSession, dir: String): DataFrame =
+    hashedNgramFeatures(Tables.documents(spark, dir))
+      .orderBy("doc_id", "bucket")
+
+  val hashedFeaturesSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), toks AS (
+      |  SELECT doc_id, unnest(list_concat(ws,
+      |    list_transform(generate_series(1, len(ws) - 1),
+      |      i -> ws[i] || '_' || ws[i + 1]))) AS token
+      |  FROM w
+      |)
+      |SELECT doc_id,
+      |  CAST(CAST('0x' || substring(md5(token), 1, 6) AS BIGINT) % 4096 AS INT)
+      |    AS bucket,
+      |  count(*) AS tf
+      |FROM toks GROUP BY doc_id, bucket
+      |ORDER BY doc_id, bucket""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q29_text_stats", textStats, Some(textStatsSql)),
     QDef("q80_pii_scrub", piiScrub, Some(piiScrubSql)),
@@ -1319,5 +1367,6 @@ object TextAnalysis {
     QDef("q120_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QDef("q121_url_domains", urlDomainReport, Some(urlDomainReportSql)),
     QDef("q122_word_lm_score", wordLmScore, Some(wordLmScoreSql)),
+    QDef("q124_hashed_features", hashedFeatures, Some(hashedFeaturesSql)),
   )
 }

@@ -566,6 +566,81 @@ object TextDedup {
       |FROM ranked WHERE rn = 1
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C4/CCNet-style BOILERPLATE REMOVAL — the complement of
+    * [[dedupSegments]]: a segment occurring in at least `minDocs`
+    * DISTINCT documents is boilerplate (nav bars, cookie banners,
+    * license headers, quoted templates) and is dropped from EVERY
+    * document, first occurrence included; rare segments survive
+    * everywhere. Documents are reassembled in original segment order,
+    * and a document whose every segment was boilerplate still appears
+    * (empty text) so corpus accounting stays exact. Plan shape at
+    * 100 TB: segmentation is a pure projection (no shuffle); the
+    * document-frequency count is a (segment, id)-distinct followed by
+    * a combinable per-segment count (two shuffles on the segment
+    * hash); membership removal is a left-anti equi-join on the
+    * segment (hot segments spread over the key hash, AQE skew-split
+    * covers pathological ones); reassembly is one groupBy(id). No
+    * corpus window, no driver state. */
+  def removeBoilerplate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", wordsPerSegment: Int = 15,
+      minDocs: Int = 2): DataFrame = {
+    val n = wordsPerSegment
+    require(n > 0, "wordsPerSegment must be positive")
+    require(minDocs >= 2, "minDocs < 2 would drop every segment")
+    val segs = docs.select(col(idCol).as("id"),
+      posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(split($textCol, ' ')) / $n.0) as int) - 1), " +
+          s"i -> array_join(slice(split($textCol, ' '), i * $n + 1, $n), ' '))"))
+        .as(Seq("seg_pos", "segment")))
+    // document frequency: a segment repeated INSIDE one doc counts once
+    val boiler = segs.select("segment", "id").distinct()
+      .groupBy("segment").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("segment")
+    val kept = segs.join(boiler, Seq("segment"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("kept_segments"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_pos"), col("segment")))),
+            s => s.getField("segment")), " ").as("clean_text"))
+    // keep fully-boilerplate docs visible with zero segments
+    docs.select(col(idCol).as("id")).distinct()
+      .join(kept, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    removeBoilerplate(Tables.documents(spark, dir))
+      .select(col("id").as("doc_id"), col("kept_segments"), col("clean_text"))
+      .orderBy("doc_id")
+
+  val boilerplateSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), segs AS (
+      |  SELECT doc_id, CAST(s.i AS BIGINT) - 1 AS seg_pos,
+      |    array_to_string(ws[(s.i - 1) * 15 + 1 : s.i * 15], ' ') AS segment
+      |  FROM w, LATERAL (SELECT unnest(generate_series(
+      |    1, CAST(ceil(len(ws) / 15.0) AS BIGINT))) AS i) s
+      |), freq AS (
+      |  SELECT segment, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY segment
+      |), kept AS (
+      |  SELECT s.doc_id, count(*) AS kept_segments,
+      |    string_agg(s.segment, ' ' ORDER BY s.seg_pos) AS clean_text
+      |  FROM segs s JOIN freq USING (segment)
+      |  WHERE freq.ndocs < 2
+      |  GROUP BY s.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  coalesce(k.kept_segments, 0) AS kept_segments,
+      |  coalesce(k.clean_text, '') AS clean_text
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN kept k USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- incremental dedup -------------------------------------------
   // How dedup actually runs at corpus scale: the table grows by
   // commits, and each NEW batch is checked against the accumulated
@@ -669,5 +744,6 @@ object TextDedup {
     QDef("q97_dedup_keeper", dedupKeepers, Some(dedupKeepersSql)),
     QDef("q109_dedup_lines", dedupLines, Some(dedupLinesSql)),
     QDef("q116_incremental_dedup", dedupIncremental, Some(dedupIncrementalSql)),
+    QDef("q123_boilerplate_removal", boilerplate, Some(boilerplateSql)),
   )
 }

@@ -459,4 +459,29 @@ class TextAnalysisSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "no per-source window allowed")
   }
+
+  test("hashed ngram features: portable md5 buckets, unigrams + bigrams, tf counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark joins data"), (2L, "spark spark")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedNgramFeatures(docs, numBuckets = 4096)
+      .orderBy("doc_id", "bucket")
+      .as[(Long, Int, Long)].collect().toSeq
+
+    // the bucket function is pinned: first 6 md5 hex chars mod 4096
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(6), 16) % 4096L).toInt
+    }
+    // doc 1: unigrams spark/joins/data + bigrams spark_joins/joins_data
+    val d1 = Seq("spark", "joins", "data", "spark_joins", "joins_data")
+      .map(bucketOf).groupBy(identity).map { case (b, xs) => (1L, b, xs.size.toLong) }
+    // doc 2: spark ×2 + bigram spark_spark
+    val d2 = (Seq("spark", "spark", "spark_spark"))
+      .map(bucketOf).groupBy(identity).map { case (b, xs) => (2L, b, xs.size.toLong) }
+    val expected = (d1 ++ d2).toSeq.sortBy(t => (t._1, t._2))
+    assert(out === expected)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 4096))
+    assert(out.filter(_._1 == 2L).map(_._3).max === 2L, "tf must count repeats")
+  }
 }

@@ -147,6 +147,35 @@ class TextDedupSpec extends SparkTestBase {
       (4L, 1L, "solo words only here")))
   }
 
+  test("boilerplate removal drops frequent segments from EVERY doc, keeps empty docs visible") {
+    import spark.implicits._
+    // "a b c d" appears in 3 docs → boilerplate, removed everywhere
+    // (unlike dedupSegments, the first occurrence dies too). Unique
+    // segments survive; doc 3 is pure boilerplate and must still
+    // appear with zero segments; repeating a segment INSIDE one doc
+    // does not make it boilerplate (document frequency, not term
+    // frequency).
+    val docs = Seq(
+      (1L, "a b c d keep me one"),
+      (2L, "a b c d keep me two"),
+      (3L, "a b c d"),
+      (4L, "solo solo solo solo solo solo solo solo")).toDF("doc_id", "text")
+    val out = TextDedup.removeBoilerplate(docs, wordsPerSegment = 4, minDocs = 3)
+      .orderBy("id")
+      .select("id", "kept_segments", "clean_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, "keep me one"),
+      (2L, 1L, "keep me two"),
+      (3L, 0L, ""),
+      (4L, 2L, "solo solo solo solo solo solo solo solo")))
+
+    // threshold boundary: minDocs=4 keeps everything (only 3 docs share)
+    val loose = TextDedup.removeBoilerplate(docs, wordsPerSegment = 4, minDocs = 4)
+      .orderBy("id").select("kept_segments").as[Long].collect().toSeq
+    assert(loose === Seq(2L, 2L, 1L, 2L))
+  }
+
   test("incremental dedup loop: each commit checked against the fp store, store grows by kept only") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-inc-dedup").toString
