@@ -158,6 +158,17 @@ object EvJob {
                 .foreach { case (n, e) => println(s"[constraint] $n CHECK ($e)") }
             case other => throw new IllegalArgumentException(s"unknown constraint op: $other")
           }
+        case "snap-evolve" =>
+          require(args.length >= 3,
+            "usage: EvJob snap-evolve <tablePath> <spec1,spec2,...>  " +
+              "(e.g. days(ts) or bucket(16,id))")
+          val specs = args(2).split(",").toSeq.filter(_.nonEmpty)
+          val v = graft.lake.SnapshotTable.evolvePartitionTransforms(
+            spark, args(1), specs)
+          println(s"[snap-evolve] committed version=$v transforms=${specs.mkString(",")}")
+        case "transforms" =>
+          val ts = graft.lake.SnapshotTable.partitionTransforms(spark, args(1))
+          println(s"[transforms] ${if (ts.isEmpty) "(none)" else ts.mkString(", ")}")
         case "history" =>
           graft.lake.SnapshotTable.history(spark, args(1)).collect().foreach { r =>
             println(f"[history] v=${r.getLong(0)}%-4d op=${Option(r.getString(1)).getOrElse("?")}%-22s " +

@@ -153,6 +153,17 @@ object ScaleBench {
         // equi-join membership + ordered reassembly (three shuffles)
         noop(graft.ops.TextDedup.dedupSegments(docs))
       },
+      timed("boilerplate_1m")  {
+        // C4-style boilerplate removal at 1M docs: document-frequency
+        // count (two combinable shuffles) + left-anti removal +
+        // ordered reassembly — no corpus window
+        noop(graft.ops.TextDedup.removeBoilerplate(docs))
+      },
+      timed("hashed_feats_1m") {
+        // fastText hashing trick at 1M docs: row-local unigram+bigram
+        // explode + ONE combinable count shuffle into COO form
+        noop(graft.ops.TextAnalysis.hashedNgramFeatures(docs))
+      },
       timed("seq_packing")     {
         // global packing layout at 1M docs — one token stream cut
         // into 2048-token training sequences without a global window

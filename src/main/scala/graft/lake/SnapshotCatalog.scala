@@ -173,6 +173,26 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
         case _ => dc
       }
 
+    // a WHERE clause directly above a registered relation resolves
+    // through readWhere, so HIDDEN-PARTITIONED tables get their
+    // inclusive-projection partition pruning in SQL too (the Iceberg
+    // behavior: `SELECT ... FROM t WHERE ts >= X` prunes day dirs the
+    // query never names). Plain tables take the same path — readWhere
+    // on them is read().filter. The alias (AS name or the table name)
+    // is applied so qualified column references resolve.
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
+        if registeredTarget(child).isDefined &&
+          !cond.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) =>
+      val (u, path) = registeredTarget(child).get
+      val alias = child match {
+        case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          a.alias
+        case _ => u.multipartIdentifier.last
+      }
+      DatasetBridge.planOf(SnapshotTable.readWhere(spark, path,
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(cond),
+        sqlAlias = Some(alias)))
+
     case u: UnresolvedRelation if registered(u).isDefined =>
       DatasetBridge.planOf(SnapshotTable.read(spark, path = registered(u).get))
   }

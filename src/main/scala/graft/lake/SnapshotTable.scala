@@ -447,12 +447,15 @@ object SnapshotTable {
     * exactly what querying the raw layout by hand would require the
     * user to know. On a plain table this is just `read().filter`. */
   def readWhere(spark: SparkSession, path: String, predicate: Column,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None, sqlAlias: Option[String] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val m = readManifestFull(spark, path, v)
     require(m.entries.nonEmpty, s"empty manifest v$v")
-    val raw = readGroups(spark, m.entries, m.schema)
+    // sqlAlias: the SQL path may qualify predicate columns with the
+    // table (or AS) name — aliasing lets both forms resolve
+    val raw = sqlAlias.foldLeft(readGroups(spark, m.entries, m.schema))(
+      (df, a) => df.alias(a))
     val hiddenCols = raw.columns.filter(_.startsWith("__p_")).toSeq
     // resolve the user predicate against the table frame, then
     // project the ANALYZED condition (see PartitionTransform.translate)

@@ -74,6 +74,73 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("SQL WHERE on a hidden-partitioned table prunes day dirs via the injected rule") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-hp-test")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        df.collect()
+        def files(p: SparkPlan): Long = p.collect {
+          case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+          case q: QueryStageExec        => files(q.plan)
+          case sc: FileSourceScanExec   => sc.metrics("numFiles").value
+        }.sum
+        files(df.queryExecution.executedPlan)
+      }
+      val path = java.nio.file.Files.createTempDirectory("graft-sql-hp").toString + "/t"
+      graft.lake.SnapshotTable.appendTransformed(Seq(
+        ("e1", ts("2024-01-01 08:00:00"), 1.0),
+        ("e2", ts("2024-01-02 09:00:00"), 2.0),
+        ("e3", ts("2024-01-03 10:00:00"), 3.0),
+        ("e4", ts("2024-01-04 11:00:00"), 4.0),
+        ("e5", ts("2024-01-05 12:00:00"), 5.0)
+      ).toDF("id", "ts", "v").coalesce(1), path, Seq("days(ts)"))
+      graft.lake.SnapshotCatalog.register("snap_hp", path)
+      try {
+        val total = graft.lake.SnapshotTable.liveFiles(s2, path).size
+        assert(total === 5)
+        // SQL never names the layout; the day dirs prune anyway
+        val q = s2.sql(
+          "SELECT id, v FROM snap_hp WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'")
+        assert(q.columns.toSeq === Seq("id", "v"))
+        assert(q.select("id").as[String].collect().sorted.toSeq === Seq("e4", "e5"))
+        assert(scannedFiles(s2.sql(
+          "SELECT id, v FROM snap_hp WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'")) === 2,
+          "SQL filter must prune to the two matching day files")
+
+        // alias-qualified references resolve and prune too
+        assert(s2.sql("SELECT x.id FROM snap_hp AS x " +
+          "WHERE x.ts >= TIMESTAMP '2024-01-05 00:00:00'")
+          .as[String].collect().toSeq === Seq("e5"))
+
+        // aggregates above the filter keep the pruned path
+        assert(s2.sql("SELECT count(*) FROM snap_hp " +
+          "WHERE ts < TIMESTAMP '2024-01-02 00:00:00'").head().getLong(0) === 1L)
+
+        // subquery predicates bypass the readWhere path but stay correct
+        assert(s2.sql("SELECT id FROM snap_hp " +
+          "WHERE v IN (SELECT max(v) FROM snap_hp)")
+          .as[String].collect().toSeq === Seq("e5"))
+      } finally graft.lake.SnapshotCatalog.unregister("snap_hp")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("SQL MERGE INTO and DELETE FROM route to the snapshot table") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
