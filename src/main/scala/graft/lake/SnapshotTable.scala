@@ -828,7 +828,8 @@ object SnapshotTable {
     if (live.isEmpty)
       return (read(spark, path, Some(v)).filter(pred).limit(0), 0)
     val df = readGroups(spark, live, schemaOf(spark, path, Some(v)))
-    (df.filter(pred), live.size)
+    val hidden = df.columns.filter(_.startsWith("__p_")).toSeq
+    (df.filter(pred).drop(hidden: _*), live.size)
   }
 
   /** Read a set of manifest entries, grouped per commit dir so hive

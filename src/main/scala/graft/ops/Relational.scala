@@ -1492,6 +1492,39 @@ object Relational {
       |WHERE substring(md5(concat_ws('-', l_orderkey, l_linenumber)), 1, 2) < '10'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- SQL:1999 WITH RECURSIVE ---------------------------------------
+  // Spark 4.1 executes recursive CTEs natively (UnionLoop: the
+  // anchor seeds an iteration whose step re-joins the previous
+  // iteration's output until a fixpoint or the recursion guard —
+  // each iteration is a normal distributed join+union, so the closure
+  // of a billion-edge hop relation is iterations × equi-join cost,
+  // not a driver loop). The SAME SQL text (modulo the string type
+  // keyword) runs on DuckDB as the oracle: SQL-surface parity, not
+  // just DataFrame parity. The hop relation is deterministic
+  // (n_nationkey → n_nationkey + 5), giving 5-node chains with known
+  // closures; `path` accumulates recursion state so the oracle
+  // verifies per-step ORDER, not just reach counts.
+  private def recursiveCteSqlText(table: String, strType: String): String =
+    s"""WITH RECURSIVE reach(start_key, hop_key, depth, path) AS (
+       |  SELECT n_nationkey, n_nationkey, 0, CAST(n_nationkey AS $strType)
+       |  FROM $table
+       |  UNION ALL
+       |  SELECT r.start_key, n.n_nationkey, r.depth + 1,
+       |    r.path || '->' || CAST(n.n_nationkey AS $strType)
+       |  FROM reach r JOIN $table n ON n.n_nationkey = r.hop_key + 5
+       |  WHERE r.depth < 10
+       |)
+       |SELECT start_key, count(*) AS n_reachable, max(depth) AS max_depth,
+       |  max(path) AS longest_path
+       |FROM reach GROUP BY start_key ORDER BY start_key""".stripMargin
+
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_rec")
+    spark.sql(recursiveCteSqlText("nation_rec", "STRING"))
+  }
+
+  private val recursiveCteOracleSql = recursiveCteSqlText("nation", "VARCHAR")
+
   // -- §2.6 extension: seeded TABLESAMPLE ----------------------------
   // The engine-native sampling surface: `TABLESAMPLE (20 PERCENT)
   // REPEATABLE (seed)`. The sampled ROWS are engine-specific (each
@@ -2458,6 +2491,7 @@ object Relational {
     QDef("q68_market_share", marketShare, Some(marketShareSql)),
     QDef("q69_map_funcs", mapFuncs, Some(mapFuncsSql)),
     QDef("q70_hash_sample", hashSample, Some(hashSampleSql)),
+    QDef("q125_recursive_cte", recursiveCte, Some(recursiveCteOracleSql)),
     QDef("q112_tablesample", tablesampleContract, Some(tablesampleContractSql)),
     QDef("q72_window_ignore_nulls", windowIgnoreNulls, Some(windowIgnoreNullsSql)),
     QDef("q73_min_cost_supplier", minCostSupplier, Some(minCostSupplierSql)),

@@ -79,8 +79,11 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = pathOf(options)
-    SnapshotTable.schemaOf(spark, path)
+    val s = SnapshotTable.schemaOf(spark, path)
       .getOrElse(SnapshotTable.read(spark, path).schema)
+    // hidden partition columns (any era) are layout, not data — the
+    // stream exposes the same user schema as the batch read
+    StructType(s.fields.filterNot(_.name.startsWith("__p_")))
   }
 
   override def getTable(

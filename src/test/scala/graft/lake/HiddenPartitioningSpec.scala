@@ -214,6 +214,12 @@ class HiddenPartitioningSpec extends SparkTestBase {
       col("ts") < lit("2024-01-02 00:00:00"))
     assert(day1.select("id").as[String].collect().toSeq === Seq("e1"),
       "DV delete must remove exactly e2 from day 1")
+
+    // stats-box reads hide the layout too
+    val (box, _) = SnapshotTable.readBox(spark, path, Seq(("v", 30.0, 40.0)))
+    assert(box.columns.forall(!_.startsWith("__p_")),
+      "readBox leaked a hidden partition column")
+    assert(box.select("id").as[String].collect().toSeq === Seq("e3"))
   }
 
   test("partition evolution: days→months, both eras stay correct AND both keep pruning") {

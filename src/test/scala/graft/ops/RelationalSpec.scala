@@ -162,4 +162,19 @@ class RelationalSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("recursive CTE: the hop closure is exact, with per-step path order") {
+    import spark.implicits._
+    val out = Relational.recursiveCte(spark, sf0001)
+      .selectExpr("cast(start_key as long)", "n_reachable",
+        "cast(max_depth as long)", "longest_path")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.length === 25, "one closure row per nation")
+    // hop relation k -> k+5 over keys 0..24: start 0 chains 5 deep
+    assert(out.find(_._1 == 0L).get === ((0L, 5L, 4L, "0->5->10->15->20")))
+    // a chain tail reaches only itself
+    assert(out.find(_._1 == 22L).get === ((22L, 1L, 0L, "22")))
+    // mid-chain start: 13 -> 18 -> 23
+    assert(out.find(_._1 == 13L).get === ((13L, 3L, 2L, "13->18->23")))
+  }
 }

@@ -187,6 +187,28 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(got.map(_.getLong(0)).sorted === (1L to 8L))
   }
 
+  test("hidden-partitioned tables stream the user schema — no __p_ columns, rows complete") {
+    val base = Files.createTempDirectory("graft-stream-hp").toString
+    val path = s"$base/t"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    SnapshotTable.appendTransformed(Seq(
+      ("e1", ts("2024-01-01 08:00:00"), 1.0),
+      ("e2", ts("2024-01-02 09:00:00"), 2.0),
+      ("e3", ts("2024-01-02 10:00:00"), 3.0)).toDF("id", "ts", "v"),
+      path, Seq("days(ts)"))
+    val got = drain(path, s"$base/ckpt")
+    assert(got.head.schema.fieldNames.toSeq === Seq("id", "ts", "v"),
+      "hidden partition column leaked into the stream")
+    assert(got.map(_.getString(0)).sorted === Seq("e1", "e2", "e3"))
+    assert(got.map(_.getTimestamp(1)).contains(ts("2024-01-02 09:00:00")))
+    // later commits stream incrementally, still hidden-free
+    SnapshotTable.append(Seq(("e4", ts("2024-02-01 00:00:00"), 4.0))
+      .toDF("id", "ts", "v"), path)
+    val got2 = drain(path, s"$base/ckpt")
+    assert(got2.map(_.getString(0)) === Seq("e4"))
+    assert(got2.head.schema.fieldNames.toSeq === Seq("id", "ts", "v"))
+  }
+
   test("DV commits: default refuses; ignoreChanges re-emits only the still-live rows") {
     val base = Files.createTempDirectory("graft-stream-dv").toString
     val path = s"$base/t"
