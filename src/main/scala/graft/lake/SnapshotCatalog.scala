@@ -193,6 +193,21 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
         org.apache.spark.sql.graftbridge.ColumnBridge.column(cond),
         sqlAlias = Some(alias)))
 
+    // Iceberg-style metadata tables: `SELECT * FROM t.history`,
+    // `t.files`, `t.partitions` — the inspection surface an Iceberg
+    // catalog exposes, resolved from the registered name's manifest
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.size == 2 &&
+          SnapshotCatalog.pathOf(u.multipartIdentifier.head).isDefined &&
+          Set("history", "files", "partitions")(u.multipartIdentifier(1).toLowerCase) =>
+      val path = SnapshotCatalog.pathOf(u.multipartIdentifier.head).get
+      val df = u.multipartIdentifier(1).toLowerCase match {
+        case "history"    => SnapshotTable.history(spark, path)
+        case "files"      => SnapshotTable.filesMetadata(spark, path)
+        case "partitions" => SnapshotTable.partitionsMetadata(spark, path)
+      }
+      DatasetBridge.planOf(df)
+
     case u: UnresolvedRelation if registered(u).isDefined =>
       DatasetBridge.planOf(SnapshotTable.read(spark, path = registered(u).get))
   }

@@ -711,6 +711,68 @@ object SnapshotTable {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** Iceberg-style `t.files` metadata table: one row per live data
+    * file of the (optionally time-traveled) snapshot — path, hive
+    * partition fragment, footer rows, on-disk bytes, DV'd row count,
+    * commit dir. Driver-side manifest + filesystem metadata, like
+    * [[history]]; SQL reaches it as `SELECT * FROM <name>.files` via
+    * the injected rule. */
+  def filesMetadata(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    val v = version.orElse(latestVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val m = readManifestFull(spark, path, v)
+    val f = fs(spark, path)
+    val rows: Seq[Row] = m.entries.map { e =>
+      val part = partitionFragment(e)
+      val size = f.getFileStatus(new Path(e.filePath)).getLen
+      Row(e.filePath, if (part.isEmpty) null else part,
+        if (e.rows >= 0) Long.box(e.rows) else null,
+        size, e.dv.map(d => Long.box(d._2)).getOrElse(Long.box(0L)),
+        e.commitDir)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("file_path", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("partition", org.apache.spark.sql.types.StringType),
+      StructField("rows", org.apache.spark.sql.types.LongType),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("dv_rows", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("commit_dir", org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
+  /** Iceberg-style `t.partitions` metadata table: per hive-partition
+    * aggregate of the live snapshot — files, live rows (footer rows
+    * minus DV'd), bytes. `SELECT * FROM <name>.partitions` in SQL. */
+  def partitionsMetadata(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    val v = version.orElse(latestVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val m = readManifestFull(spark, path, v)
+    val f = fs(spark, path)
+    val rows: Seq[Row] = m.entries.groupBy(partitionFragment).toSeq
+      .sortBy(_._1).map { case (part, es) =>
+        val nRows: java.lang.Long =
+          if (es.forall(_.rows >= 0))
+            Long.box(es.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
+          else null
+        Row(if (part.isEmpty) null else part, es.size,
+          nRows, es.map(e => f.getFileStatus(new Path(e.filePath)).getLen).sum)
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("partition", org.apache.spark.sql.types.StringType),
+      StructField("n_files", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("n_rows", org.apache.spark.sql.types.LongType),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** `k=v/k=v` hive fragment of a file's path under its commit dir
+    * (empty for unpartitioned layouts). */
+  private def partitionFragment(e: Entry): String =
+    e.filePath.stripPrefix(e.commitDir).split("/")
+      .filter(seg => seg.nonEmpty && seg.contains("=")).mkString("/")
+
   /** Append with the data RANGE-CLUSTERED on `clusterCol` into
     * `numFiles` files, recording each file's (min, max) in the
     * manifest. Clustering makes the per-file ranges disjoint, which is

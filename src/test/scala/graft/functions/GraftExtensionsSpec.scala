@@ -74,6 +74,55 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("SQL metadata tables: <name>.history / .files / .partitions resolve via the rule") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-meta-test")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft-sql-meta").toString + "/t"
+      graft.lake.SnapshotTable.append(
+        Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+          .toDF("k", "s", "p").coalesce(1), path, Seq("p"))
+      graft.lake.SnapshotTable.append(
+        Seq((4L, "d", "d2")).toDF("k", "s", "p"), path, Seq("p"))
+      graft.lake.SnapshotCatalog.register("snap_meta", path)
+      try {
+        val hist = s2.sql("SELECT version, operation, n_files, n_rows " +
+          "FROM snap_meta.history").collect()
+        assert(hist.map(_.getLong(0)).toSeq === Seq(2L, 1L), "newest first")
+        assert(hist.forall(_.getString(1) == "append"))
+        assert(hist.head.getLong(3) === 4L)
+
+        val files = s2.sql("SELECT file_path, partition, rows, size_bytes, dv_rows " +
+          "FROM snap_meta.files").collect()
+        assert(files.length === graft.lake.SnapshotTable.liveFiles(s2, path).size)
+        assert(files.forall(r => r.getString(1).startsWith("p=")))
+        assert(files.forall(_.getLong(3) > 0L))
+        assert(files.forall(_.getLong(4) === 0L))
+        // metadata tables compose with normal SQL (filters, aggs)
+        assert(s2.sql("SELECT sum(rows) FROM snap_meta.files WHERE partition = 'p=d2'")
+          .head().getLong(0) === 2L)
+
+        val parts = s2.sql("SELECT partition, n_files, n_rows " +
+          "FROM snap_meta.partitions ORDER BY partition").collect()
+        assert(parts.map(_.getString(0)).toSeq === Seq("p=d1", "p=d2"))
+        assert(parts.map(_.getLong(2)).toSeq === Seq(2L, 2L))
+      } finally graft.lake.SnapshotCatalog.unregister("snap_meta")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("SQL WHERE on a hidden-partitioned table prunes day dirs via the injected rule") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
