@@ -158,6 +158,21 @@ object EvJob {
                 .foreach { case (n, e) => println(s"[constraint] $n CHECK ($e)") }
             case other => throw new IllegalArgumentException(s"unknown constraint op: $other")
           }
+        case "tag" =>
+          require(args.length >= 3,
+            "usage: EvJob tag <tablePath> <name> [version] | tag <tablePath> --drop <name>")
+          if (args(2) == "--drop") {
+            graft.lake.SnapshotTable.dropTag(spark, args(1), args(3))
+            println(s"[tag] dropped '${args(3)}'")
+          } else {
+            val v = graft.lake.SnapshotTable.tag(spark, args(1), args(2),
+              if (args.length > 3) Some(args(3).toLong) else None)
+            println(s"[tag] '${args(2)}' -> version $v")
+          }
+        case "restore" =>
+          require(args.length >= 3, "usage: EvJob restore <tablePath> <toVersion>")
+          val v = graft.lake.SnapshotTable.restore(spark, args(1), args(2).toLong)
+          println(s"[restore] table restored to v${args(2)} as new version $v")
         case "snap-evolve" =>
           require(args.length >= 3,
             "usage: EvJob snap-evolve <tablePath> <spec1,spec2,...>  " +

@@ -86,7 +86,10 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
         if registered(u).isDefined =>
       val path = registered(u).get
       val v = version match {
-        case Some(s) => s.toLong
+        // a non-numeric VERSION AS OF is a tag name (Iceberg refs)
+        case Some(s) => scala.util.Try(s.toLong).getOrElse(
+          SnapshotTable.tagVersion(spark, path, s).getOrElse(
+            throw new IllegalArgumentException(s"no tag '$s' at $path")))
         case None => SnapshotCatalog.versionAsOf(spark, path,
           ts.map(evalMillis).getOrElse(Long.MaxValue))
       }

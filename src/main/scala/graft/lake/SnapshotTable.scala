@@ -538,9 +538,10 @@ object SnapshotTable {
       m.copy(constraints = m.constraints - name)
     }
 
-  /** CAS-retry publish of a metadata-only version: live files and
-    * schema carry over unchanged; `mutate` rewrites the header-borne
-    * metadata (constraints, partition transforms). */
+  /** CAS-retry publish of a metadata-only version: no data is
+    * written; `mutate` derives the manifest to publish from the
+    * current one (constraint/transform changes keep entries+schema;
+    * [[restore]] swaps in a prior version's whole state). */
   private def publishMetadataCommit(spark: SparkSession, path: String,
       op: String)(mutate: Manifest => Manifest): Long = {
     var attempt = 0
@@ -709,6 +710,80 @@ object SnapshotTable {
       StructField("n_files", IntegerType, nullable = false),
       StructField("n_rows", LongType)))
     spark.createDataFrame(rows.asJava, schema)
+  }
+
+  // ---- named refs (tags) + restore ---------------------------------
+  private def refsDir(path: String) = s"${logDir(path)}/refs"
+
+  /** Tag a version with a stable name (Iceberg tag): `read` by
+    * [[tagVersion]] and SQL `VERSION AS OF '<name>'` resolve it, and
+    * [[vacuum]] never expires a tagged version — the audit/repro pin
+    * ("the snapshot we trained on") that survives retention. Numeric
+    * names are rejected (they would shadow version numbers in SQL).
+    * Returns the tagged version. */
+  def tag(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None, replace: Boolean = false): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '/' || c.isWhitespace),
+      s"invalid tag name '$name'")
+    require(scala.util.Try(name.toLong).isFailure,
+      s"numeric tag '$name' would shadow version numbers")
+    val v = version.orElse(latestVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    require(versions(spark, path).contains(v), s"version $v of $path does not exist")
+    val f = fs(spark, path)
+    f.mkdirs(new Path(refsDir(path)))
+    val p = new Path(s"${refsDir(path)}/$name")
+    require(replace || !f.exists(p),
+      s"tag '$name' already exists at $path (pass replace = true to move it)")
+    val out = f.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  def dropTag(spark: SparkSession, path: String, name: String): Unit = {
+    val f = fs(spark, path)
+    val p = new Path(s"${refsDir(path)}/$name")
+    require(f.exists(p), s"no tag '$name' at $path")
+    f.delete(p, false)
+    ()
+  }
+
+  /** All tags (name → version). */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val f = fs(spark, path)
+    val dir = new Path(refsDir(path))
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).map { st =>
+      val in = f.open(st.getPath)
+      val v = try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      st.getPath.getName -> v
+    }.toMap
+  }
+
+  def tagVersion(spark: SparkSession, path: String, name: String): Option[Long] =
+    tags(spark, path).get(name)
+
+  /** RESTORE (Delta `RESTORE TABLE t TO VERSION AS OF v`): publish a
+    * NEW version whose state — live files, schema, constraints,
+    * partition transforms — is `toVersion`'s. History is preserved
+    * (the restore is just another commit, op=restore) and every
+    * version in between stays time-travelable; an accidental DELETE
+    * is undone by one metadata commit, no data rewrite. Transform
+    * eras recompose: the restored spec becomes current and everything
+    * else seen by either side retires, so cross-era reads keep
+    * pruning. */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val target = readManifestFull(spark, path, toVersion)
+    publishMetadataCommit(spark, path, "restore") { cur =>
+      val tSpecs = target.transforms.map(_.spec).toSet
+      cur.copy(entries = target.entries, schema = target.schema,
+        constraints = target.constraints,
+        transforms = target.transforms,
+        retiredTransforms =
+          (cur.retiredTransforms ++ cur.transforms ++ target.retiredTransforms)
+            .filterNot(t => tSpecs(t.spec))
+            .groupBy(_.spec).map(_._2.head).toSeq)
+    }
   }
 
   /** Iceberg-style `t.files` metadata table: one row per live data
@@ -1441,8 +1516,10 @@ object SnapshotTable {
       .map(SnapshotIncremental.consumedFloor(spark, _))
       .minOption.getOrElse(Long.MaxValue)
     val (candidates, kept0) = all.splitAt(math.max(0, all.size - keepVersions))
+    // tagged versions are pinned: retention never expires them
+    val tagged = tags(spark, path).values.toSet
     val (expired, young) = candidates.partition { v =>
-      v < floor && (minAgeMs <= 0L ||
+      v < floor && !tagged(v) && (minAgeMs <= 0L ||
         f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime <= cutoff)
     }
     val kept = young ++ kept0

@@ -61,6 +61,13 @@ class GraftExtensionsSpec extends SparkTestBase {
           java.time.Instant.ofEpochMilli(betweenCommits),
           java.time.ZoneOffset.UTC).toString.replace('T', ' ')
         assert(s2.sql(s"SELECT * FROM snap_tt TIMESTAMP AS OF '$ts'").count() === 1)
+        // a non-numeric VERSION AS OF resolves through tags
+        graft.lake.SnapshotTable.tag(s2, path, "golden", Some(1L))
+        assert(s2.sql("SELECT k FROM snap_tt VERSION AS OF 'golden'").as[Long]
+          .collect() === Array(1L))
+        val eTag = intercept[Exception](
+          s2.sql("SELECT * FROM snap_tt VERSION AS OF 'nope'").collect())
+        assert(eTag.getMessage.contains("no tag"))
         // a timestamp before the first commit has no version to serve
         val e = intercept[Exception](
           s2.sql("SELECT * FROM snap_tt TIMESTAMP AS OF '1999-01-01'").collect())

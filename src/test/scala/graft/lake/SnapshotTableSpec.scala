@@ -900,6 +900,59 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.changes(spark, path, top - 1, top).count() === 0)
   }
 
+  test("restore publishes the old state as a new version; history and time travel intact") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), path,
+      Seq("event_date"))                                       // v1: 10 rows
+    SnapshotTable.delete(spark, path, col("v") >= 20.0)        // v2: 4 rows
+    val v3 = SnapshotTable.restore(spark, path, 1L)
+    assert(v3 === 3L)
+    assert(SnapshotTable.read(spark, path).count() === 10, "restore must undo the delete")
+    assert(SnapshotTable.opOf(spark, path, 3L) === Some("restore"))
+    // the deleted state remains time-travelable — restore is a commit,
+    // not a rollback of history
+    assert(SnapshotTable.read(spark, path, Some(2L)).count() === 4)
+    assert(SnapshotTable.read(spark, path, Some(1L)).count() === 10)
+    // restoring costs no data write: v3 references v1's files
+    assert(SnapshotTable.readManifest(spark, path, 3L).map(_.filePath).toSet
+      === SnapshotTable.readManifest(spark, path, 1L).map(_.filePath).toSet)
+    // writes continue normally on top
+    SnapshotTable.append(mkRows("b", Seq("2024-01-03")), path, Seq("event_date"))
+    assert(SnapshotTable.read(spark, path).count() === 15)
+  }
+
+  test("tags pin versions: name resolution, vacuum protection, drop releases") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    SnapshotTable.tag(spark, path, "golden")
+    SnapshotTable.overwritePartitions(
+      mkRows("b", Seq("2024-01-01")), path, Seq("event_date"))                    // v2
+    SnapshotTable.append(mkRows("c", Seq("2024-01-02")), path, Seq("event_date")) // v3
+    assert(SnapshotTable.tagVersion(spark, path, "golden") === Some(1L))
+    assert(SnapshotTable.tags(spark, path) === Map("golden" -> 1L))
+
+    // a numeric tag would shadow version numbers in SQL
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.tag(spark, path, "7")
+    }.getMessage.contains("numeric"))
+    // duplicate needs replace
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.tag(spark, path, "golden", Some(2L))
+    }.getMessage.contains("replace"))
+
+    // vacuum keeps the tagged version AND its files readable
+    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    assert(SnapshotTable.versions(spark, path).contains(1L), "tagged version expired")
+    assert(SnapshotTable.read(spark, path, Some(1L)).count() === 5)
+    assert(!SnapshotTable.versions(spark, path).contains(2L), "untagged v2 should expire")
+
+    // dropping the tag releases it for retention
+    SnapshotTable.dropTag(spark, path, "golden")
+    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    assert(!SnapshotTable.versions(spark, path).contains(1L))
+    assert(SnapshotTable.read(spark, path).count() === 10)
+  }
+
   test("commit lock: release only removes its own incarnation; foreign lock left intact") {
     spark // force session init (withLock resolves SparkSession.active)
     val dir = Files.createTempDirectory("graft-lock").toString + "/t"
