@@ -699,6 +699,58 @@ object EvQueries {
        |FROM gold WHERE created >= (SELECT c FROM cut)
        |ORDER BY sessionId""".stripMargin
 
+  /** Tags + RESTORE through the gate: commit the gold fact, tag it
+    * `golden`, corrupt it with a DELETE, then RESTORE — the final
+    * table must hash-match the ORIGINAL gold (the oracle recomputes
+    * it straight from the CSV, so the restore really did undo the
+    * delete), with contract columns proving the tag resolves to v1,
+    * the deleted state stayed time-travelable, and the restore wrote
+    * no data files (v3 references v1's exact file set). */
+  def restoreTags(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-restore-gate").toString + "/fact"
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      graft.lake.SnapshotTable.append(gold, path, Seq("event_date"))   // v1
+      graft.lake.SnapshotTable.tag(spark, path, "golden")
+      graft.lake.SnapshotTable.delete(spark, path,
+        col("session_duration_minutes") > 120)                         // v2
+      graft.lake.SnapshotTable.restore(spark, path, 1L)                // v3
+      val tagOk = graft.lake.SnapshotTable.tagVersion(spark, path, "golden")
+        .contains(1L)
+      val deletedStateRows = graft.lake.SnapshotTable.read(spark, path, Some(2L)).count()
+      // delete's SQL semantics keep predicate-NULL rows — mirror that
+      val midStateOk = deletedStateRows ==
+        graft.lake.SnapshotTable.read(spark, path)
+          .filter(!coalesce(col("session_duration_minutes") > 120, lit(false))).count()
+      val noRewrite = graft.lake.SnapshotTable.readManifest(spark, path, 3L)
+        .map(_.filePath).toSet ==
+        graft.lake.SnapshotTable.readManifest(spark, path, 1L).map(_.filePath).toSet
+      val restoreOp = graft.lake.SnapshotTable.opOf(spark, path, 3L).contains("restore")
+      graft.lake.SnapshotTable.read(spark, path)
+        .select("sessionId", "session_duration_minutes")
+        .withColumn("tag_ok", lit(tagOk))
+        .withColumn("mid_state_ok", lit(midStateOk))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("restore_op", lit(restoreOp))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val restoreTagsSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, session_duration_minutes,
+       |  true AS tag_ok, true AS mid_state_ok,
+       |  true AS no_rewrite, true AS restore_op
+       |FROM gold ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -716,5 +768,6 @@ object EvQueries {
     QDef("ev14_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
     QDef("ev15_dv_delete", dvDelete, Some(dvDeleteSql)),
     QDef("ev16_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningSql)),
+    QDef("ev17_restore_tags", restoreTags, Some(restoreTagsSql)),
   )
 }
