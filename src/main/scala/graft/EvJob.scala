@@ -169,6 +169,17 @@ object EvJob {
               if (args.length > 3) Some(args(3).toLong) else None)
             println(s"[tag] '${args(2)}' -> version $v")
           }
+        case "clone" =>
+          require(args.length >= 3,
+            "usage: EvJob clone <sourcePath> <targetPath> [version|tag]")
+          val ref = if (args.length > 3) Some(args(3)) else None
+          val (v, t) = ref match {
+            case Some(r) if scala.util.Try(r.toLong).isSuccess => (Some(r.toLong), None)
+            case Some(r) => (None, Some(r))
+            case None => (None, None)
+          }
+          graft.lake.SnapshotTable.shallowClone(spark, args(1), args(2), v, t)
+          println(s"[clone] ${args(2)} <- ${args(1)}${ref.fold("")(" @ " + _)} (zero-copy)")
         case "restore" =>
           require(args.length >= 3, "usage: EvJob restore <tablePath> <toVersion>")
           val v = graft.lake.SnapshotTable.restore(spark, args(1), args(2).toLong)

@@ -786,6 +786,39 @@ object SnapshotTable {
     }
   }
 
+  /** Delta-style SHALLOW CLONE: create a NEW snapshot table at
+    * `targetPath` whose v1 manifest references the SOURCE's data (and
+    * deletion-vector) files — zero bytes copied, instant fork of a
+    * 100 TB table. From then on the tables diverge independently:
+    * writes on the clone land under the clone's own path (the source
+    * never sees them), writes on the source publish new source
+    * manifests (the clone keeps reading the immutable files it
+    * pinned). `compact` on the clone materializes it into its own
+    * files, severing the dependency. The clone can start from a
+    * version or a tag (the "sandbox on the snapshot we trained on"
+    * workflow). Caveat (same as Delta shallow clones): [[vacuum]] on
+    * the SOURCE cannot see clone references, so retention there can
+    * delete files a clone still pins — tag the cloned version on the
+    * source (tags are vacuum-pinned) or compact the clone. Vacuum on
+    * the CLONE is safe by construction: it only ever deletes files
+    * under its own table path. */
+  def shallowClone(spark: SparkSession, sourcePath: String, targetPath: String,
+      version: Option[Long] = None, tagName: Option[String] = None): Long = {
+    require(latestVersion(spark, targetPath).isEmpty,
+      s"shallowClone target $targetPath already has commits")
+    val v = tagName match {
+      case Some(t) => tagVersion(spark, sourcePath, t).getOrElse(
+        throw new IllegalArgumentException(s"no tag '$t' at $sourcePath"))
+      case None => version.orElse(latestVersion(spark, sourcePath)).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $sourcePath"))
+    }
+    val m = readManifestFull(spark, sourcePath, v)
+    require(publishManifest(spark, targetPath, 1L, m.entries, m.schema,
+      Some("clone"), m.constraints, m.transforms, m.retiredTransforms),
+      s"concurrent writer created $targetPath during shallowClone")
+    1L
+  }
+
   /** Iceberg-style `t.files` metadata table: one row per live data
     * file of the (optionally time-traveled) snapshot — path, hive
     * partition fragment, footer rows, on-disk bytes, DV'd row count,
@@ -1526,11 +1559,18 @@ object SnapshotTable {
     if (expired.isEmpty) return
     val keptEntries = kept.flatMap(readManifest(spark, path, _))
     val expiredEntries = expired.flatMap(readManifest(spark, path, _))
-    val dead = expiredEntries.map(_.filePath).toSet -- keptEntries.map(_.filePath).toSet
+    // ownership guard: only ever delete files under THIS table's path
+    // — a shallow clone's manifests reference the SOURCE table's
+    // files, and expiring the clone's history must never reach into
+    // the source's data
+    def owned(p: String): Boolean =
+      new Path(p).toUri.getPath.startsWith(new Path(path).toUri.getPath + "/")
+    val dead = (expiredEntries.map(_.filePath).toSet --
+      keptEntries.map(_.filePath).toSet).filter(owned)
     dead.foreach(p => f.delete(new Path(p), false))
     // deletion-vector files referenced only by expired versions go too
-    val deadDv = expiredEntries.flatMap(_.dv.map(_._1)).toSet --
-      keptEntries.flatMap(_.dv.map(_._1)).toSet
+    val deadDv = (expiredEntries.flatMap(_.dv.map(_._1)).toSet --
+      keptEntries.flatMap(_.dv.map(_._1)).toSet).filter(owned)
     deadDv.foreach(p => f.delete(new Path(p), false))
     expired.foreach(v => f.delete(new Path(s"${logDir(path)}/v$v"), true))
   }

@@ -953,6 +953,50 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, path).count() === 10)
   }
 
+  test("shallow clone: zero-copy fork, independent divergence, vacuum ownership guard") {
+    val base = Files.createTempDirectory("graft-clone").toString
+    val src = s"$base/src"
+    val clone = s"$base/clone"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01", "2024-01-02")), src,
+      Seq("event_date"))                                       // src v1
+    SnapshotTable.tag(spark, src, "golden")
+    SnapshotTable.append(mkRows("b", Seq("2024-01-03")), src,
+      Seq("event_date"))                                       // src v2
+
+    // clone from the tag: references src v1's exact files, zero copy
+    assert(SnapshotTable.shallowClone(spark, src, clone, tagName = Some("golden")) === 1L)
+    assert(SnapshotTable.readManifest(spark, clone, 1L).map(_.filePath).toSet
+      === SnapshotTable.readManifest(spark, src, 1L).map(_.filePath).toSet)
+    assert(SnapshotTable.read(spark, clone).count() === 10)
+    assert(SnapshotTable.opOf(spark, clone, 1L) === Some("clone"))
+
+    // divergence: writes on either side never reach the other
+    SnapshotTable.append(mkRows("c", Seq("2024-01-04")), clone, Seq("event_date"))
+    SnapshotTable.delete(spark, src, col("v") >= 30.0)
+    assert(SnapshotTable.read(spark, clone).count() === 15)
+    assert(SnapshotTable.read(spark, src).count() === 9)
+    // 4 "a" rows + 2 "c" rows with v >= 30 — all still in the clone
+    assert(SnapshotTable.read(spark, clone).filter(col("v") >= 30.0).count() === 6,
+      "source delete leaked into the clone")
+
+    // cloning into an existing table is refused
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.shallowClone(spark, src, clone)
+    }.getMessage.contains("already has commits"))
+
+    // vacuum on the CLONE must not delete source-owned files
+    SnapshotTable.vacuum(spark, clone, keepVersions = 1)
+    assert(SnapshotTable.read(spark, src, Some(1L)).count() === 10,
+      "clone vacuum deleted source files")
+    // compact materializes the clone into its own files
+    SnapshotTable.compact(spark, clone, numFiles = 2)
+    val srcRoot = new org.apache.hadoop.fs.Path(src).toUri.getPath
+    assert(SnapshotTable.liveFiles(spark, clone)
+      .forall(f => !new org.apache.hadoop.fs.Path(f).toUri.getPath.startsWith(srcRoot + "/")),
+      "compact left source references in the clone")
+    assert(SnapshotTable.read(spark, clone).count() === 15)
+  }
+
   test("commit lock: release only removes its own incarnation; foreign lock left intact") {
     spark // force session init (withLock resolves SparkSession.active)
     val dir = Files.createTempDirectory("graft-lock").toString + "/t"
