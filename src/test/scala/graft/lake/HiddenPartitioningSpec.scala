@@ -266,6 +266,62 @@ class HiddenPartitioningSpec extends SparkTestBase {
     assert(r2.select("id").as[String].collect().sorted.toSeq === Seq("e6", "f1"))
   }
 
+  test("property: readWhere equals read().filter for random data and predicate shapes") {
+    // soundness of the inclusive projection: for ANY predicate the
+    // projection may only PRUNE, never change the result — verified
+    // over random timestamps (incl. NULLs and day boundaries) and a
+    // grid of predicate shapes across days+bucket transforms and an
+    // evolved months era
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+
+    val genTs: Gen[java.sql.Timestamp] = for {
+      day <- Gen.choose(0, 9)
+      sec <- Gen.choose(0, 86399)
+    } yield java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 3, 1, 0, 0).plusDays(day).plusSeconds(sec))
+    val genRow: Gen[(String, java.sql.Timestamp, Double)] = for {
+      id <- Gen.choose(0, 9999).map(i => s"d$i")
+      ts <- Gen.frequency(9 -> genTs.map(Option(_)), 1 -> Gen.const(None))
+      v <- Gen.choose(0, 100).map(_.toDouble)
+    } yield (id, ts.orNull, v)
+
+    val rows = sample(Gen.listOfN(120, genRow), 0xC0FFEE)
+    val df = rows.toDF("id", "ts", "v")
+    val path = Files.createTempDirectory("graft-hp-prop").toString + "/t"
+    SnapshotTable.appendTransformed(df, path, Seq("days(ts)", "bucket(4, id)"))
+    // evolve mid-history so retired-spec projection is exercised too
+    SnapshotTable.evolvePartitionTransforms(spark, path, Seq("months(ts)"))
+    SnapshotTable.append(sample(Gen.listOfN(60, genRow), 0xBEEF).toDF("id", "ts", "v"), path)
+
+    val plain = SnapshotTable.read(spark, path)
+    val cut = java.sql.Timestamp.valueOf("2024-03-04 11:30:00")
+    val cut2 = java.sql.Timestamp.valueOf("2024-03-07 00:00:00")
+    val preds: Seq[org.apache.spark.sql.Column] = Seq(
+      col("ts") >= lit(cut),
+      col("ts") < lit(cut),
+      col("ts") >= lit(cut) && col("ts") < lit(cut2),
+      col("ts") === lit(cut2),
+      lit(cut) <= col("ts"),
+      col("ts").isin(rows.collect { case (_, t, _) if t != null => t }.take(3): _*),
+      col("id") === "d7",
+      col("id").isin("d1", "d2", "d3"),
+      col("id") === "d7" || col("ts") >= lit(cut2),
+      col("ts").isNull,
+      col("ts").isNotNull && col("ts") < lit(cut),
+      col("v") > 50.0,                                   // untranslatable
+      (col("ts") >= lit(cut)) === lit(false),            // negated shape, untranslatable
+      col("id") === "d7" && col("v") > 10.0 && col("ts") < lit(cut2))
+    preds.zipWithIndex.foreach { case (p, i) =>
+      val got = SnapshotTable.readWhere(spark, path, p)
+      val want = plain.filter(p)
+      val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+      assert(diff === 0L, s"predicate #$i diverged (projection changed results)")
+    }
+  }
+
   test("partition evolution: a plain table evolves into a transformed one") {
     val path = Files.createTempDirectory("graft-hp").toString + "/t"
     SnapshotTable.append(mkEvents(), path) // unpartitioned

@@ -8,7 +8,7 @@ import org.scalacheck.rng.Seed
 import graft.SparkTestBase
 
 /** Model-based property test for the snapshot layer: a random
-  * sequence of append / overwritePartitions / merge ops is applied
+  * sequence of append / overwritePartitions / merge / restore ops is applied
   * both to a real SnapshotTable and to a trivial in-memory model
   * (id → (partition, value)); after every op, the latest table state
   * must equal the model, and at the end every historical version must
@@ -30,20 +30,23 @@ class SnapshotModelSpec extends SparkTestBase {
   private case object Append extends Kind
   private case object Overwrite extends Kind
   private case object Merge extends Kind
+  private case object Restore extends Kind
 
   // an op: kind, partition key, source-op index (merge re-targets
-  // that op's ids), row count
+  // that op's ids; restore targets that EXISTING version index),
+  // row count
   private case class Op(kind: Kind, part: String, target: Int, n: Int)
 
   private val genOp: Gen[Op] = for {
     kind <- Gen.frequency(3 -> Gen.const(Append: Kind),
-      2 -> Gen.const(Overwrite: Kind), 3 -> Gen.const(Merge: Kind))
+      2 -> Gen.const(Overwrite: Kind), 3 -> Gen.const(Merge: Kind),
+      1 -> Gen.const(Restore: Kind))
     part <- Gen.oneOf("p1", "p2", "p3")
     target <- Gen.choose(0, 7)
     n <- Gen.choose(1, 6)
   } yield Op(kind, part, target, n)
 
-  test("random append/overwrite/merge sequences match the in-memory model (3 seeds)") {
+  test("random append/overwrite/merge/restore sequences match the in-memory model (3 seeds)") {
     (1L to 3L).foreach { seed =>
       val path = Files.createTempDirectory(s"graft-snap-model-$seed").toString + "/t"
       val ops = sample(Gen.listOfN(8, genOp), seed).zipWithIndex
@@ -92,6 +95,21 @@ class SnapshotModelSpec extends SparkTestBase {
               id -> (op.part, i * 100.0 + j)
             }
             ver
+          case Restore =>
+            // jump the table back to a random EXISTING version; the
+            // model jumps to that version's recorded state. A first-op
+            // restore has no version to target — degrade to an append.
+            if (history.isEmpty) {
+              val df = Seq((s"op$i-0", op.part, i * 100.0)).toDF("id", "k", "v")
+              val ver = SnapshotTable.append(df, path, Seq("k"))
+              model += (s"op$i-0" -> (op.part, i * 100.0))
+              ver
+            } else {
+              val (tv, tm) = history(op.target % history.size)
+              val ver = SnapshotTable.restore(spark, path, tv)
+              model = tm
+              ver
+            }
         }
         history ::= (v, model)
         assert(tableState() === model,
