@@ -186,9 +186,10 @@ object EvJob {
           println(s"[restore] table restored to v${args(2)} as new version $v")
         case "snap-evolve" =>
           require(args.length >= 3,
-            "usage: EvJob snap-evolve <tablePath> <spec1,spec2,...>  " +
-              "(e.g. days(ts) or bucket(16,id))")
-          val specs = args(2).split(",").toSeq.filter(_.nonEmpty)
+            "usage: EvJob snap-evolve <tablePath> <spec1[;spec2...]>  " +
+              "(e.g. 'days(ts)' or 'bucket(16,id);truncate(2,code)' — " +
+              "';'-separated because bucket/truncate specs contain commas)")
+          val specs = args(2).split(";").toSeq.map(_.trim).filter(_.nonEmpty)
           val v = graft.lake.SnapshotTable.evolvePartitionTransforms(
             spark, args(1), specs)
           println(s"[snap-evolve] committed version=$v transforms=${specs.mkString(",")}")
