@@ -348,11 +348,29 @@ object SnapshotTable {
       // carryOver on exactly the latest manifest; if another writer
       // publishes first, the CAS fails and we re-read their manifest
       val version = latestVersion(spark, path).getOrElse(0L) + 1
-      val (prevSchema, previous, prevCs) =
-        if (version == 1L) (None, Nil, Map.empty[String, String])
+      val (prevSchema, previous, prevCs, prevTs, prevRetired) =
+        if (version == 1L)
+          (None, Nil, Map.empty[String, String],
+            Seq.empty[PartitionTransform], Seq.empty[PartitionTransform])
         else {
           val m = readManifestFull(spark, path, version - 1)
-          (m.schema, m.entries, m.constraints)
+          (m.schema, m.entries, m.constraints, m.transforms, m.retiredTransforms)
+        }
+      // the partition spec may have CHANGED between our pre-write read
+      // and this attempt (a concurrent evolvePartitionTransforms or
+      // restore): keep the concurrent change — publishing our earlier
+      // snapshot of the headers would silently revert it — and file
+      // OUR layout's spec under the retired list, so the files this
+      // commit wrote (an old-era layout now) keep pruning in readWhere
+      // exactly like any other retired era
+      val (tsOut, retiredOut) =
+        if (version == 1L) (transforms, retired)
+        else if (prevTs.map(_.spec) == transforms.map(_.spec)) (prevTs, prevRetired)
+        else {
+          val curSpecs = prevTs.map(_.spec).toSet
+          (prevTs,
+            (prevRetired ++ transforms).filterNot(t => curSpecs(t.spec))
+              .groupBy(_.spec).map(_._2.head).toSeq)
         }
       // a constraint added between our pre-write read and this attempt
       // was not enforced by the write guard — validate the committed
@@ -373,7 +391,7 @@ object SnapshotTable {
       // and fails loudly before any manifest is published
       val merged = mergeSchemas(prevSchema, data.schema, path)
       if (publishManifest(spark, path, version, carryOver(previous) ++ added,
-          Some(merged), Some(op), prevCs, transforms, retired))
+          Some(merged), Some(op), prevCs, tsOut, retiredOut))
         return version
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)

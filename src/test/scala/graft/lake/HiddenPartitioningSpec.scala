@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
 
+/** Same-JVM gates for the concurrent-evolve race test (cf.
+  * DvRaceGates in SnapshotTableSpec). */
+object EvolveRaceGates {
+  val writing = new java.util.concurrent.CountDownLatch(1)
+  val proceed = new java.util.concurrent.CountDownLatch(1)
+  private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def enter(): Unit =
+    if (fired.compareAndSet(false, true)) {
+      writing.countDown()
+      proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+}
+
 class HiddenPartitioningSpec extends SparkTestBase {
 
   import spark.implicits._
@@ -320,6 +334,44 @@ class HiddenPartitioningSpec extends SparkTestBase {
       val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
       assert(diff === 0L, s"predicate #$i diverged (projection changed results)")
     }
+  }
+
+  test("a commit racing a concurrent evolve keeps the evolution; its layout joins the retired eras") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val path = Files.createTempDirectory("graft-hp-race").toString + "/t"
+    SnapshotTable.appendTransformed(mkEvents(), path, Seq("days(ts)"))
+    // the append reads the spec (days), then blocks inside its write
+    // job; the evolve lands in that window — publishing the append's
+    // stale header snapshot would silently revert it
+    val gate = udf((d: Double) => { EvolveRaceGates.enter(); d })
+    val df2 = Seq(("r1", ts("2024-05-01 10:00:00"), 50.0),
+      ("r2", ts("2024-05-02 10:00:00"), 51.0)).toDF("id", "ts", "v")
+      .withColumn("v", gate(col("v")))
+    val app = Future { SnapshotTable.append(df2, path) }
+    assert(EvolveRaceGates.writing.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "append never started writing")
+    SnapshotTable.evolvePartitionTransforms(spark, path, Seq("months(ts)"))
+    EvolveRaceGates.proceed.countDown()
+    Await.result(app, 120.seconds)
+
+    // the evolution SURVIVED the racing commit
+    assert(SnapshotTable.partitionTransforms(spark, path) === Seq("months(ts)"))
+    // the raced commit's files are day-layout (it derived pre-evolve)
+    assert(SnapshotTable.liveFiles(spark, path)
+      .exists(_.contains("__p_ts_day=2024-05-01")))
+    // and that layout still PRUNES as a retired era
+    val r = SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-05-02 00:00:00"))
+    assert(r.select("id").as[String].collect().toSeq === Seq("r2"))
+    val n = scannedFiles(SnapshotTable.readWhere(spark, path,
+      col("ts") >= lit("2024-05-02 00:00:00")))
+    val expected = SnapshotTable.liveFiles(spark, path)
+      .count(_.contains("__p_ts_day=2024-05-02"))
+    assert(n === expected, s"retired-era pruning after the race: scanned $n, want $expected")
+    assert(SnapshotTable.read(spark, path).count() === 8)
+    assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id", "ts", "v"))
   }
 
   test("partition evolution: a plain table evolves into a transformed one") {
