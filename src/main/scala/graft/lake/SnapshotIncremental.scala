@@ -106,7 +106,11 @@ object SnapshotIncremental {
         })
       if (added.isEmpty)
         SnapshotTable.read(spark, path, Some(toVersion)).limit(0)
-      else SnapshotTable.readGroups(spark, added, schema)
+      else {
+        val raw = SnapshotTable.readGroups(spark, added, schema)
+        // hidden partition columns are layout, not data
+        raw.drop(raw.columns.filter(_.startsWith("__p_")).toSeq: _*)
+      }
   }
 
   /** Consume a long version range in bounded sub-ranges: yields

@@ -1725,13 +1725,17 @@ object SnapshotTable {
           .withColumn("_commit_version", lit(v)))
       }
     }
-    steps.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
-      val sch = schemaOf(spark, path, Some(toVersion))
-        .getOrElse(read(spark, path, Some(toVersion)).schema)
-      val out = StructType(sch.fields :+
-        StructField("_change_type", org.apache.spark.sql.types.StringType, nullable = false) :+
-        StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false))
-      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), out)
-    }
+    val feed = steps.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val sch = schemaOf(spark, path, Some(toVersion))
+          .getOrElse(read(spark, path, Some(toVersion)).schema)
+        val out = StructType(sch.fields :+
+          StructField("_change_type", org.apache.spark.sql.types.StringType, nullable = false) :+
+          StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false))
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), out)
+      }
+    // hidden partition columns (any era) are layout, not data — the
+    // change feed exposes the user schema like every other read
+    feed.drop(feed.columns.filter(_.startsWith("__p_")).toSeq: _*)
   }
 }

@@ -374,6 +374,24 @@ class HiddenPartitioningSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id", "ts", "v"))
   }
 
+  test("CDC feed and incremental reads expose the user schema — no __p_ columns") {
+    val path = Files.createTempDirectory("graft-hp-cdc").toString + "/t"
+    SnapshotTable.appendTransformed(mkEvents(), path, Seq("days(ts)"))
+    SnapshotTable.append(Seq(("e7", ts("2024-01-07 00:00:00"), 7.0))
+      .toDF("id", "ts", "v"), path)
+    val feed = SnapshotTable.changes(spark, path, 0L, 2L)
+    assert(feed.columns.toSeq === Seq("id", "ts", "v", "_change_type", "_commit_version"),
+      "change feed leaked a hidden partition column")
+    assert(feed.count() === 7)
+    val inc = SnapshotIncremental.readBetween(spark, path, 1L, 2L)
+    assert(inc.columns.toSeq === Seq("id", "ts", "v"),
+      "incremental read leaked a hidden partition column")
+    assert(inc.select("id").as[String].collect().toSeq === Seq("e7"))
+    // an empty range keeps the same shape
+    assert(SnapshotIncremental.readBetween(spark, path, 2L, 2L).columns.toSeq
+      === Seq("id", "ts", "v"))
+  }
+
   test("partition evolution: a plain table evolves into a transformed one") {
     val path = Files.createTempDirectory("graft-hp").toString + "/t"
     SnapshotTable.append(mkEvents(), path) // unpartitioned
