@@ -110,7 +110,7 @@ object Bench {
     // (temp-table writes, multiple commits each) — inherently heavy and
     // not comparable with the read-query population
     val writeGates = Set("ev08", "ev09", "ev10", "ev11", "ev12", "ev13", "ev14",
-      "ev15", "ev16", "ev17")
+      "ev15", "ev16", "ev17", "ev18")
     def isWriteGate(n: String) = writeGates.exists(n.startsWith)
     val readTotal = results.collect { case (n, v, None) if !isWriteGate(n) => v }.sum
     val writeTotal = results.collect { case (n, v, None) if isWriteGate(n) => v }.sum

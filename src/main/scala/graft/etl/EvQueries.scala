@@ -751,6 +751,85 @@ object EvQueries {
        |  true AS no_rewrite, true AS restore_op
        |FROM gold ORDER BY sessionId""".stripMargin
 
+  /** Full DSv2-catalog lifecycle through the gate, all in SQL — the
+    * reference's Glue-catalog workflow (`CREATE TABLE` in a
+    * configured catalog, `INSERT INTO`, `MERGE INTO`, `DELETE FROM`,
+    * time travel; reference jobs/ev_sessions_gold_etl.py:125-150) with
+    * zero `register()` calls: the gold fact is CREATEd as
+    * `cat.gold.fact PARTITIONED BY (months(created))`, loaded by
+    * `INSERT INTO ... SELECT`, merged (3 earliest sessions → −1 plus
+    * one new row), trimmed by `DELETE`, and read back — hash-checked
+    * against the CSV-derived oracle. Contract columns: the table
+    * lists in SHOW TABLES (`catalog_ok`), `VERSION AS OF` the insert
+    * commit still counts every original row (`tt_ok`), and the hidden
+    * month column never surfaces (`hidden_ok`). A fresh warehouse and
+    * catalog name per run — Spark caches catalog instances, so a
+    * reused name would pin the first run's warehouse. */
+  def catalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-cat-gate").toString
+    val cat = "evcat_" + java.util.UUID.randomUUID.toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "created", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      gold.createOrReplaceTempView("ev_cat_gold_src")
+      spark.sql(s"CREATE NAMESPACE $cat.gold")
+      spark.sql(s"CREATE TABLE $cat.gold.fact (sessionId STRING, " +
+        "created TIMESTAMP, session_duration_minutes DOUBLE) " +
+        "USING `graft-snapshot` PARTITIONED BY (months(created))")   // v1
+      spark.sql(s"INSERT INTO $cat.gold.fact " +
+        "SELECT sessionId, created, session_duration_minutes FROM ev_cat_gold_src") // v2
+      val catalogOk = spark.sql(s"SHOW TABLES IN $cat.gold").collect()
+        .map(_.getString(1)).contains("fact")
+      val n0 = gold.count()
+      gold.orderBy("sessionId").limit(3)
+        .withColumn("session_duration_minutes", lit(-1.0))
+        .unionByName(spark.sql("SELECT 'merged-new' AS sessionId, " +
+          "TIMESTAMP '2020-01-01 00:00:00' AS created, " +
+          "CAST(42.0 AS DOUBLE) AS session_duration_minutes"))
+        .createOrReplaceTempView("ev_cat_updates")
+      spark.sql(s"MERGE INTO $cat.gold.fact t USING ev_cat_updates s " +
+        "ON t.sessionId = s.sessionId " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *") // v3
+      spark.sql(s"DELETE FROM $cat.gold.fact " +
+        "WHERE session_duration_minutes > 120")                          // v4
+      val ttOk = spark.sql(s"SELECT count(*) FROM $cat.gold.fact VERSION AS OF 2")
+        .head().getLong(0) == n0
+      val hiddenOk = !spark.sql(s"SELECT * FROM $cat.gold.fact").columns
+        .exists(_.startsWith("__p_"))
+      spark.sql(s"SELECT sessionId, session_duration_minutes FROM $cat.gold.fact")
+        .withColumn("catalog_ok", lit(catalogOk))
+        .withColumn("tt_ok", lit(ttOk))
+        .withColumn("hidden_ok", lit(hiddenOk))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val catalogSqlSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |), upd AS (
+       |  SELECT sessionId FROM gold ORDER BY sessionId LIMIT 3
+       |), merged AS (
+       |  SELECT sessionId,
+       |    CASE WHEN sessionId IN (SELECT sessionId FROM upd)
+       |         THEN -1.0 ELSE session_duration_minutes END AS session_duration_minutes
+       |  FROM gold
+       |  UNION ALL SELECT 'merged-new', 42.0
+       |)
+       |SELECT sessionId, session_duration_minutes,
+       |  true AS catalog_ok, true AS tt_ok, true AS hidden_ok
+       |FROM merged
+       |WHERE NOT session_duration_minutes > 120
+       |ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -769,5 +848,6 @@ object EvQueries {
     QDef("ev15_dv_delete", dvDelete, Some(dvDeleteSql)),
     QDef("ev16_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningSql)),
     QDef("ev17_restore_tags", restoreTags, Some(restoreTagsSql)),
+    QDef("ev18_catalog_sql", catalogSql, Some(catalogSqlSql)),
   )
 }

@@ -1,0 +1,346 @@
+package graft.lake
+
+import java.util.{Collections, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 `TableCatalog` over snapshot tables — the no-
+  * `register()` front door:
+  *
+  *   spark.sql.catalog.graft            = graft.lake.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse  = /lake/warehouse
+  *
+  *   CREATE NAMESPACE graft.gold;
+  *   CREATE TABLE graft.gold.fact (id BIGINT, ts TIMESTAMP, v DOUBLE)
+  *     USING graft-snapshot PARTITIONED BY (days(ts));
+  *   INSERT INTO graft.gold.fact SELECT ...;
+  *   SELECT * FROM graft.gold.fact VERSION AS OF 2;
+  *   MERGE INTO graft.gold.fact t USING updates s ON t.id = s.id ...;
+  *
+  * The catalog maps `graft.ns….name` to the directory
+  * `<warehouse>/ns…/name`; a table is any directory with a
+  * `_graft_log`. DDL goes through this class; reads and row-level DML
+  * are rewritten by [[ResolveSnapshotRelation]] onto the native
+  * snapshot read/command plans (full manifest pruning, DVs, hidden
+  * partitioning), and INSERT/CTAS write through the V1 write fallback
+  * ([[GraftTable.newWriteBuilder]]) into [[SnapshotTable.append]] /
+  * [[SnapshotTable.overwrite]] — so every SQL path funnels into the
+  * same commit protocol as the programmatic API. Mirrors the Iceberg
+  * `SparkCatalog` shape (reference jobs/ev_sessions_gold_etl.py
+  * configures exactly such a catalog for its gold table).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = SparkSession.active
+  private def hfs(p: String) = new Path(p).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"GraftCatalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ns: Seq[String]): String = (warehouse +: ns).mkString("/")
+
+  /** A table is a directory with a snapshot log. */
+  private def isTable(dir: String): Boolean =
+    hfs(dir).exists(new Path(SnapshotTable.logDir(dir)))
+
+  def tablePath(ident: Identifier): String =
+    dirOf(ident.namespace.toSeq) + "/" + ident.name
+
+  // ---- tables ------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace.toSeq)
+    val f = hfs(dir)
+    if (!f.exists(new Path(dir))) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(new Path(dir)).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isTable(dir + "/" + n))
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (isTable(path)) GraftTable(ident.toString, path)
+    else metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** `SELECT * FROM graft.ns.t.history / .files / .partitions` —
+    * Iceberg's inspection-table surface: the metadata name arrives as
+    * a table identifier one level BELOW the real table. */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    val parent = dirOf(ident.namespace.toSeq)
+    if (GraftTable.metaKinds(ident.name.toLowerCase) && isTable(parent))
+      Some(GraftTable(ident.toString, parent,
+        metaKind = Some(ident.name.toLowerCase)))
+    else None
+  }
+
+  /** Time travel: `VERSION AS OF <n | 'tag'>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(
+      SnapshotTable.tagVersion(spark, path, version).getOrElse(
+        throw new IllegalArgumentException(s"no tag '$version' at $path")))
+    GraftTable(ident.toString, path, pinnedVersion = Some(v))
+  }
+
+  /** Time travel: `TIMESTAMP AS OF` — `timestamp` is epoch MICROS. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    GraftTable(ident.toString, path, pinnedVersion =
+      Some(SnapshotCatalog.versionAsOf(spark, path, timestamp / 1000L)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val path = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .getOrElse(tablePath(ident))
+    if (isTable(path)) throw new TableAlreadyExistsException(ident)
+    SnapshotTable.create(spark, path, schema,
+      partitions.toSeq.map(GraftCatalog.specOf))
+    GraftTable(ident.toString, path)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val rest = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+      // table/column comments and properties have no manifest slot yet;
+      // accept-and-ignore would silently drop user intent, so refuse
+    require(rest.isEmpty, "GraftCatalog supports ALTER TABLE ... ADD COLUMNS " +
+      s"only; got: ${rest.map(_.getClass.getSimpleName).mkString(", ")}")
+    if (adds.nonEmpty) {
+      adds.foreach(a => require(a.fieldNames.length == 1,
+        "nested ADD COLUMN is not supported"))
+      SnapshotTable.addColumns(spark, path, adds.map(a =>
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
+          nullable = true)))
+    }
+    GraftTable(ident.toString, path)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    if (!isTable(path)) false
+    else hfs(path).delete(new Path(path), true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = tablePath(from)
+    val dst = tablePath(to)
+    if (!isTable(src)) throw new NoSuchTableException(from)
+    if (isTable(dst)) throw new TableAlreadyExistsException(to)
+    val f = hfs(src)
+    require(f.exists(new Path(dirOf(to.namespace.toSeq))),
+      s"target namespace ${to.namespace.mkString(".")} does not exist")
+    require(f.rename(new Path(src), new Path(dst)),
+      s"rename $src -> $dst failed")
+    // manifests record absolute paths — re-anchor them at the new home
+    SnapshotTable.relocate(spark, dst, src)
+  }
+
+  // ---- namespaces --------------------------------------------------
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = dirOf(namespace.toSeq)
+    val f = hfs(dir)
+    if (!f.exists(new Path(dir))) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(new Path(dir)).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => !isTable(dir + "/" + n))
+      .map(n => namespace :+ n)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = dirOf(namespace.toSeq)
+    namespace.isEmpty || (hfs(dir).exists(new Path(dir)) && !isTable(dir))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Collections.singletonMap(SupportsNamespaces.PROP_LOCATION,
+      dirOf(namespace.toSeq))
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    val dir = dirOf(namespace.toSeq)
+    val f = hfs(dir)
+    require(!f.exists(new Path(dir)),
+      s"namespace ${namespace.mkString(".")} already exists")
+    f.mkdirs(new Path(dir)); ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    require(namespace.nonEmpty, "cannot drop the root namespace")
+    val dir = dirOf(namespace.toSeq)
+    val f = hfs(dir)
+    if (!f.exists(new Path(dir))) false
+    else {
+      if (!cascade)
+        require(f.listStatus(new Path(dir)).isEmpty,
+          s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      f.delete(new Path(dir), true)
+    }
+  }
+}
+
+object GraftCatalog {
+
+  /** DSv2 partition `Transform` → the snapshot spec grammar
+    * ([[PartitionTransform.parse]]). Literal/reference argument order
+    * is accepted either way (`truncate(4, c)` and `truncate(c, 4)`
+    * both parse in Spark SQL). */
+  private[lake] def specOf(t: Transform): String = {
+    def refOf(args: Seq[AnyRef]): String = {
+      val refs = args.collect { case r: NamedReference => r }
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        s"partition transform ${t.describe} must reference exactly one " +
+          "top-level column")
+      refs.head.fieldNames.head
+    }
+    def litOf(args: Seq[AnyRef]): Int = args.collectFirst {
+      case l: V2Literal[_] => l.value match {
+        case i: java.lang.Integer => i.intValue
+        case l2: java.lang.Long   => l2.intValue
+        case other => throw new IllegalArgumentException(
+          s"partition transform ${t.describe}: non-integer argument $other")
+      }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"partition transform ${t.describe} needs an integer argument"))
+    val args = t.arguments.toSeq
+    t.name.toLowerCase match {
+      case "identity"                           => s"identity(${refOf(args)})"
+      case n @ ("years" | "months" | "days" | "hours") => s"$n(${refOf(args)})"
+      // Spark's parser also emits singular forms (year(ts), day(ts))
+      case "year"  => s"years(${refOf(args)})"
+      case "month" => s"months(${refOf(args)})"
+      case "day"   => s"days(${refOf(args)})"
+      case "hour"  => s"hours(${refOf(args)})"
+      case "bucket"   => s"bucket(${litOf(args)}, ${refOf(args)})"
+      case "truncate" => s"truncate(${litOf(args)}, ${refOf(args)})"
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform '$other' — supported: identity, " +
+          "years, months, days, hours, bucket(n, col), truncate(w, col)")
+    }
+  }
+
+  /** Snapshot spec string → DSv2 `Transform` (for `Table.partitioning`
+    * / DESCRIBE output). */
+  private[lake] def v2Of(spec: String): Transform =
+    PartitionTransform.parse(spec) match {
+      case DaysTransform(c)        => Expressions.days(c)
+      case HoursTransform(c)       => Expressions.hours(c)
+      case MonthsTransform(c)      => Expressions.months(c)
+      case YearsTransform(c)       => Expressions.years(c)
+      case IdentityTransform(c)    => Expressions.identity(c)
+      case BucketTransform(n, c)   => Expressions.bucket(n, c)
+      case TruncateTransform(w, c) =>
+        Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+    }
+}
+
+/** Catalog-resolved snapshot table. Reads are substituted onto the
+  * native snapshot plan by [[ResolveSnapshotRelation]] (so this class
+  * deliberately does NOT implement SupportsRead — a read that somehow
+  * bypassed the rule fails analysis loudly instead of scanning
+  * wrongly); writes go through the V1 fallback into the commit
+  * protocol. `pinnedVersion` marks a time-travel read; `metaKind`
+  * marks a history/files/partitions inspection table. */
+case class GraftTable(identName: String, path: String,
+    pinnedVersion: Option[Long] = None, metaKind: Option[String] = None)
+  extends Table with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = identName
+
+  /** The metadata frame for a `metaKind` table. */
+  private[lake] def metaFrame: org.apache.spark.sql.DataFrame = metaKind match {
+    case Some("history")    => SnapshotTable.history(spark, path)
+    case Some("files")      => SnapshotTable.filesMetadata(spark, path)
+    case Some("partitions") => SnapshotTable.partitionsMetadata(spark, path)
+    case other => throw new IllegalStateException(s"not a metadata table: $other")
+  }
+
+  override def schema(): StructType = metaKind match {
+    case Some(_) => metaFrame.schema
+    case None =>
+      SnapshotTable.schemaOf(spark, path, pinnedVersion)
+        .map(s => StructType(s.fields.filterNot(_.name.startsWith("__p_"))))
+        .getOrElse(SnapshotTable.read(spark, path, pinnedVersion).schema)
+  }
+
+  override def partitioning(): Array[Transform] =
+    if (metaKind.isDefined) Array.empty
+    else SnapshotTable.partitionTransforms(spark, path)
+      .map(GraftCatalog.v2Of).toArray
+
+  override def properties(): JMap[String, String] =
+    Map(TableCatalog.PROP_PROVIDER -> "graft-snapshot",
+      TableCatalog.PROP_LOCATION -> path).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(metaKind.isEmpty, s"metadata table $identName is read-only")
+    require(pinnedVersion.isEmpty,
+      s"cannot write to time-travel read $identName@v${pinnedVersion.get}")
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              if (truncateFirst || overwrite) SnapshotTable.overwrite(data, path)
+              else SnapshotTable.append(data, path)
+              ()
+            }
+          }
+      }
+    }
+  }
+}
+
+object GraftTable {
+  private[lake] val metaKinds = Set("history", "files", "partitions")
+}

@@ -3,11 +3,12 @@ package graft.lake
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, ResolvedTable, UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.graftbridge.DatasetBridge
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
 import org.apache.spark.sql.types.TimestampType
 
 /** SQL-name registry for snapshot tables plus the analyzer rule that
@@ -28,6 +29,13 @@ import org.apache.spark.sql.types.TimestampType
   * mtime — publish order and version order coincide because the
   * manifest CAS linearizes commits). Registrations are
   * process-wide, matching the driver-side nature of the manifest log.
+  *
+  * The same rule is the read/DML half of [[GraftCatalog]]: relations
+  * a `TableCatalog` lookup resolved to a [[GraftTable]] are
+  * substituted onto the native snapshot read plan (exprId-aligned, so
+  * already-resolved parents keep binding), and row-level statements
+  * whose target is a catalog table become the same Snapshot*Command
+  * nodes as registry-named ones.
   */
 object SnapshotCatalog {
 
@@ -55,10 +63,21 @@ object SnapshotCatalog {
   }
 }
 
-/** Resolves `UnresolvedRelation`s (and their `RelationTimeTravel`
-  * wrappers) whose single-part name is registered in
-  * [[SnapshotCatalog]] into the snapshot read plan. */
+/** Resolves snapshot-table relations into the native read plan and
+  * snapshot DML statements into runnable commands — for BOTH name
+  * sources: single-part names registered in [[SnapshotCatalog]]
+  * (still `UnresolvedRelation` when this rule sees them) and
+  * [[GraftCatalog]] tables (already a `DataSourceV2Relation` holding
+  * a [[GraftTable]], resolved by Spark's own catalog lookup). */
 case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** A rewritable snapshot-table occurrence: `name` (short table
+    * name), `alias` (SQL-visible qualifier: AS alias, or the name),
+    * the storage path, and — when Spark already resolved the relation
+    * (catalog path) — its output attributes, which any substitute
+    * plan must keep answering to by exprId. */
+  private case class Target(name: String, alias: String, path: String,
+      out: Option[Seq[Attribute]])
 
   private def registered(u: UnresolvedRelation): Option[String] =
     u.multipartIdentifier match {
@@ -67,21 +86,73 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
     }
 
   /** DML targets may carry an alias (`MERGE INTO t alias`) — unwrap
-    * to the underlying relation. */
-  private def unwrapped(p: LogicalPlan): Option[UnresolvedRelation] = p match {
-    case u: UnresolvedRelation => Some(u)
-    case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => unwrapped(a.child)
+    * to the underlying relation. Pinned time-travel and metadata
+    * relations are never DML/pruning targets. */
+  private def targetOf(p: LogicalPlan): Option[Target] = p match {
+    case u: UnresolvedRelation =>
+      registered(u).map(path =>
+        Target(u.multipartIdentifier.last, u.multipartIdentifier.last, path, None))
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable if t.pinnedVersion.isEmpty && t.metaKind.isEmpty =>
+        val short = t.identName.split("\\.").last
+        Some(Target(short, short, t.path, Some(r.output)))
+      case _ => None
+    }
+    case a: SubqueryAlias =>
+      targetOf(a.child).map(t => t.copy(alias = a.alias))
     case _ => None
   }
 
-  private def registeredTarget(p: LogicalPlan): Option[(UnresolvedRelation, String)] =
-    unwrapped(p).flatMap(u => registered(u).map(u -> _))
+  /** Re-target a resolved condition at a fresh frame: attribute
+    * references become plain unresolved names (the registry path's
+    * conditions arrive unresolved already — this is a no-op there).
+    * Resolved-by-exprId attrs can never bind against the readWhere /
+    * command frame, which has its own exprIds. */
+  private def deresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
 
-  // resolveOperatorsDOWN: the DML statements must see their target
-  // while it is still an UnresolvedRelation — bottom-up would rewrite
-  // the target into a snapshot read plan first and the command cases
-  // would never match
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+  /** Wrap a substitute plan so it exposes exactly `out`'s exprIds:
+    * parents that resolved against the original relation's output
+    * keep binding. Used only on catalog relations (registry relations
+    * are still unresolved when replaced, so nothing references them
+    * yet). */
+  private def aligned(plan: LogicalPlan, out: Seq[Attribute]): LogicalPlan = {
+    val byName = plan.output.map(a => a.name.toLowerCase -> a).toMap
+    Project(out.map { o =>
+      val src = byName.getOrElse(o.name.toLowerCase,
+        throw new IllegalStateException(
+          s"snapshot read plan lacks column '${o.name}' of the catalog schema"))
+      Alias(src, o.name)(exprId = o.exprId)
+    }, plan)
+  }
+
+  private def substituted(df: org.apache.spark.sql.DataFrame,
+      out: Option[Seq[Attribute]]): LogicalPlan = {
+    val plan = DatasetBridge.planOf(df)
+    out.map(aligned(plan, _)).getOrElse(plan)
+  }
+
+  // Top-down custom recursion (not resolveOperatorsDown): write
+  // commands keep their TABLE child un-substituted — an
+  // InsertIntoStatement / AppendData target must stay a relation for
+  // Spark's own insert resolution and the V1 write fallback, while
+  // the same relation in read position becomes the native plan.
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  private def rewrite(p: LogicalPlan): LogicalPlan = {
+    val applied = cases.applyOrElse(p, identity[LogicalPlan])
+    if (!(applied eq p)) applied
+    else p match {
+      case w: V2WriteCommand =>
+        w.mapChildren(c => if (c eq w.table) c else rewrite(c))
+      case i: InsertIntoStatement =>
+        i.mapChildren(c => if (c eq i.table) c else rewrite(c))
+      case _ => p.mapChildren(rewrite)
+    }
+  }
+
+  private val cases: PartialFunction[LogicalPlan, LogicalPlan] = {
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)
         if registered(u).isDefined =>
       val path = registered(u).get
@@ -95,54 +166,73 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
       }
       DatasetBridge.planOf(SnapshotTable.read(spark, path, Some(v)))
 
-    // row-level SQL statements over registered tables → runnable
+    // row-level SQL statements over snapshot tables → runnable
     // commands (the Iceberg-v2 statement surface; see
     // SnapshotSqlCommands). The predicate rides as a Column (not an
     // Expression constructor arg) so the command node is `resolved`
     // even though its attributes bind only at run time.
-    case d @ org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable(target, cond) =>
-      registeredTarget(target) match {
-        case Some((u, path)) =>
-          SnapshotDeleteCommand(u.multipartIdentifier.last, path,
-            org.apache.spark.sql.graftbridge.ColumnBridge.column(cond))
+    case d @ DeleteFromTable(target, cond) =>
+      targetOf(target) match {
+        case Some(t) =>
+          SnapshotDeleteCommand(t.alias, t.path,
+            ColumnBridge.column(deresolve(cond)))
         case None => d
       }
 
-    case up: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
-      registeredTarget(up.table) match {
-        case Some((u, path)) =>
-          import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          import org.apache.spark.sql.graftbridge.ColumnBridge
+    case up: UpdateTable =>
+      targetOf(up.table) match {
+        case Some(t) =>
           val assigns = up.assignments.map { a =>
             val name = a.key match {
               case ua: UnresolvedAttribute => ua.nameParts.last
-              case at: org.apache.spark.sql.catalyst.expressions.Attribute => at.name
+              case at: Attribute => at.name
               case other => throw new UnsupportedOperationException(
                 "snapshot UPDATE SET must assign plain columns, got: " + other.sql)
             }
-            name -> ColumnBridge.column(a.value)
+            name -> ColumnBridge.column(deresolve(a.value))
           }
-          SnapshotUpdateCommand(u.multipartIdentifier.last, path, assigns,
-            up.condition.map(ColumnBridge.column)
+          SnapshotUpdateCommand(t.alias, t.path, assigns,
+            up.condition.map(c => ColumnBridge.column(deresolve(c)))
               .getOrElse(org.apache.spark.sql.functions.lit(true)))
         case None => up
       }
 
-    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
-      registeredTarget(m.targetTable) match {
-        case Some((u, path)) =>
-          import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, UpdateStarAction}
+    case m: MergeIntoTable =>
+      targetOf(m.targetTable) match {
+        case Some(t) =>
+          // the supported shape is full-row upsert: star actions, or
+          // their analyzer-expanded equivalent (one name-aligned
+          // assignment per target column — ResolveReferences expands
+          // `SET *` before this rule runs when the target resolved
+          // through a catalog)
+          val width = t.out.map(_.size)
+          def fullRowAligned(assigns: Seq[Assignment]): Boolean =
+            width.forall(_ == assigns.size) && assigns.forall { a =>
+              val k = a.key match {
+                case ua: UnresolvedAttribute => Some(ua.nameParts.last)
+                case at: Attribute           => Some(at.name)
+                case _                       => None
+              }
+              val v = a.value match {
+                case ua: UnresolvedAttribute => Some(ua.nameParts.last)
+                case at: Attribute           => Some(at.name)
+                case _                       => None
+              }
+              k.zip(v).exists { case (a1, b1) => a1.equalsIgnoreCase(b1) }
+            }
           val supported = m.matchedActions.forall {
-            case UpdateStarAction(None) => true
-            case _                      => false
+            case UpdateStarAction(None)          => true
+            case UpdateAction(None, assigns, _)  => fullRowAligned(assigns)
+            case _                               => false
           } && m.notMatchedActions.forall {
-            case InsertStarAction(None) => true
-            case _                      => false
+            case InsertStarAction(None)          => true
+            case InsertAction(None, assigns)     => fullRowAligned(assigns)
+            case _                               => false
           } && m.notMatchedBySourceActions.isEmpty
           if (!supported) throw new UnsupportedOperationException(
             "snapshot MERGE supports exactly WHEN MATCHED THEN UPDATE SET * " +
               "WHEN NOT MATCHED THEN INSERT * (unconditional); got: " + m.simpleString(5))
-          SnapshotMergeCommand(u.multipartIdentifier.last, path,
+          SnapshotMergeCommand(t.alias, t.path,
             m.sourceTable, SnapshotSqlCommands.keyColsOf(m.mergeCondition))
         case None => m
       }
@@ -151,58 +241,61 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
     // target as Filter(NOT e, UnresolvedRelation) — dig the relation
     // out of the subtree; the constraint node carries the original
     // condition SQL text
-    case ac: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+    case ac: AddCheckConstraint =>
       val target = ac.child.collectFirst {
-        case u: UnresolvedRelation => u
-      }.flatMap(u => registered(u).map(u -> _))
+        case u: UnresolvedRelation if registered(u).isDefined =>
+          (u.multipartIdentifier.last, registered(u).get)
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+            r.table.asInstanceOf[GraftTable].metaKind.isEmpty =>
+          val t = r.table.asInstanceOf[GraftTable]
+          (t.identName.split("\\.").last, t.path)
+      }
       target match {
-        case Some((u, path)) =>
+        case Some((name, path)) =>
           val cc = ac.checkConstraint
-          val name = Option(cc.userProvidedName).getOrElse(
+          val cname = Option(cc.userProvidedName).getOrElse(
             "check_" + java.lang.Integer.toHexString(cc.condition.hashCode))
-          SnapshotAddConstraintCommand(u.multipartIdentifier.last, path,
-            name, cc.condition)
+          SnapshotAddConstraintCommand(name, path, cname, cc.condition)
         case None => ac
       }
 
-    case dc: org.apache.spark.sql.catalyst.plans.logical.DropConstraint =>
+    case dc: DropConstraint =>
       dc.table match {
-        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        case t: UnresolvedTable
             if t.multipartIdentifier.size == 1 &&
               SnapshotCatalog.pathOf(t.multipartIdentifier.head).isDefined =>
           val n = t.multipartIdentifier.head
           SnapshotDropConstraintCommand(n, SnapshotCatalog.pathOf(n).get,
             dc.name, dc.ifExists)
+        case r: ResolvedTable if r.table.isInstanceOf[GraftTable] =>
+          val t = r.table.asInstanceOf[GraftTable]
+          SnapshotDropConstraintCommand(t.identName.split("\\.").last, t.path,
+            dc.name, dc.ifExists)
         case _ => dc
       }
 
-    // a WHERE clause directly above a registered relation resolves
+    // a WHERE clause directly above a snapshot relation resolves
     // through readWhere, so HIDDEN-PARTITIONED tables get their
     // inclusive-projection partition pruning in SQL too (the Iceberg
     // behavior: `SELECT ... FROM t WHERE ts >= X` prunes day dirs the
     // query never names). Plain tables take the same path — readWhere
     // on them is read().filter. The alias (AS name or the table name)
     // is applied so qualified column references resolve.
-    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
-        if registeredTarget(child).isDefined &&
-          !cond.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) =>
-      val (u, path) = registeredTarget(child).get
-      val alias = child match {
-        case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
-          a.alias
-        case _ => u.multipartIdentifier.last
-      }
-      DatasetBridge.planOf(SnapshotTable.readWhere(spark, path,
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(cond),
-        sqlAlias = Some(alias)))
+    case Filter(cond, child)
+        if targetOf(child).isDefined &&
+          !cond.exists(_.isInstanceOf[SubqueryExpression]) =>
+      val t = targetOf(child).get
+      substituted(SnapshotTable.readWhere(spark, t.path,
+        ColumnBridge.column(deresolve(cond)), sqlAlias = Some(t.alias)), t.out)
 
     // Iceberg-style metadata tables: `SELECT * FROM t.history`,
     // `t.files`, `t.partitions` — the inspection surface an Iceberg
     // catalog exposes, resolved from the registered name's manifest
+    // (GraftCatalog names resolve these through loadTable instead)
     case u: UnresolvedRelation
         if u.multipartIdentifier.size == 2 &&
           SnapshotCatalog.pathOf(u.multipartIdentifier.head).isDefined &&
-          Set("history", "files", "partitions")(u.multipartIdentifier(1).toLowerCase) =>
+          GraftTable.metaKinds(u.multipartIdentifier(1).toLowerCase) =>
       val path = SnapshotCatalog.pathOf(u.multipartIdentifier.head).get
       val df = u.multipartIdentifier(1).toLowerCase match {
         case "history"    => SnapshotTable.history(spark, path)
@@ -213,6 +306,19 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
 
     case u: UnresolvedRelation if registered(u).isDefined =>
       DatasetBridge.planOf(SnapshotTable.read(spark, path = registered(u).get))
+
+    // a GraftCatalog relation in read position → the native snapshot
+    // read plan (manifest-scoped parquet scan: file pruning, DVs,
+    // hidden-partition drop), exprId-aligned for already-resolved
+    // parents. GraftTable deliberately has no DSv2 scan — this
+    // substitution IS the read path.
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+      val t = r.table.asInstanceOf[GraftTable]
+      val df = t.metaKind match {
+        case Some(_) => t.metaFrame
+        case None    => SnapshotTable.read(spark, t.path, t.pinnedVersion)
+      }
+      substituted(df, Some(r.output))
   }
 
   /** `TIMESTAMP AS OF <expr>`: fold the (foldable) expression to

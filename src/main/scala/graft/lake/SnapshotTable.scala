@@ -52,9 +52,34 @@ object SnapshotTable {
       dv: Option[(String, Long)] = None)
 
   private[lake] def fs(spark: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(realPathOf(path)).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private[lake] def logDir(path: String) = s"$path/_graft_log"
+  // ---- branch handles ----------------------------------------------
+  // A BRANCH (Iceberg branch-ref shape) is a second manifest log under
+  // the same table directory — `_graft_log/branch-<name>/` — sharing
+  // the immutable data files. The handle `path@@name` routes EVERY
+  // operation (read / append / merge / delete / compact / changes /
+  // history / tags) onto the branch's log: data lands under the shared
+  // `data/` dir, manifests under the branch log, so main and branch
+  // diverge independently with zero data copied.
+  private val BranchSep = "@@"
+
+  /** The table directory a (possibly branch-) handle points at. */
+  private[lake] def realPathOf(path: String): String = {
+    val i = path.indexOf(BranchSep)
+    if (i < 0) path else path.take(i)
+  }
+
+  /** Branch name of a handle, None for the main table. */
+  private[lake] def branchOf(path: String): Option[String] = {
+    val i = path.indexOf(BranchSep)
+    if (i < 0) None else Some(path.drop(i + BranchSep.length))
+  }
+
+  private[lake] def logDir(path: String) = branchOf(path) match {
+    case None    => s"${realPathOf(path)}/_graft_log"
+    case Some(b) => s"${realPathOf(path)}/_graft_log/branch-$b"
+  }
 
   private val versionName = "^v(\\d+)$".r
 
@@ -200,21 +225,8 @@ object SnapshotTable {
     f.mkdirs(new Path(logDir(path)))
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
-    val header = schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
-      op.map(o => s"#op=$o\n").getOrElse("") +
-      (if (constraints.nonEmpty)
-        s"#constraints=${encodeConstraints(constraints)}\n" else "") +
-      (if (transforms.nonEmpty)
-        s"#ptransforms=${PartitionTransform.encode(transforms)}\n" else "") +
-      (if (retiredTransforms.nonEmpty)
-        s"#ptransformsRetired=${PartitionTransform.encode(retiredTransforms)}\n" else "")
-    try out.write((header + entries.map { e =>
-      val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
-      val dv = e.dv.map { case (p, n) =>
-        s"\tdv=${java.net.URLEncoder.encode(p, "UTF-8")}#$n" }.getOrElse("")
-      val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
-      s"${e.commitDir}\t${e.filePath}$rows$dv$stats"
-    }.mkString("\n")).getBytes("UTF-8"))
+    try out.write(manifestBytes(Manifest(schema, entries, op, constraints,
+      transforms, retiredTransforms)))
     finally out.close()
     val dst = new Path(s"${logDir(path)}/v$version")
     val useLink = f.getScheme == "file" && !forceNonAtomic
@@ -234,6 +246,55 @@ object SnapshotTable {
     // consumes it — delete whatever remains
     if ((won && useLink) || !won) f.delete(tmp, false)
     won
+  }
+
+  /** Serialized manifest (header lines + one entry line per file) —
+    * the single codec both [[publishManifest]] and [[relocate]]
+    * write; [[readManifestFull]] is its inverse. */
+  private def manifestBytes(m: Manifest): Array[Byte] = {
+    val header = m.schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
+      m.op.map(o => s"#op=$o\n").getOrElse("") +
+      (if (m.constraints.nonEmpty)
+        s"#constraints=${encodeConstraints(m.constraints)}\n" else "") +
+      (if (m.transforms.nonEmpty)
+        s"#ptransforms=${PartitionTransform.encode(m.transforms)}\n" else "") +
+      (if (m.retiredTransforms.nonEmpty)
+        s"#ptransformsRetired=${PartitionTransform.encode(m.retiredTransforms)}\n" else "")
+    (header + m.entries.map { e =>
+      val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
+      val dv = e.dv.map { case (p, n) =>
+        s"\tdv=${java.net.URLEncoder.encode(p, "UTF-8")}#$n" }.getOrElse("")
+      val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
+      s"${e.commitDir}\t${e.filePath}$rows$dv$stats"
+    }.mkString("\n")).getBytes("UTF-8")
+  }
+
+  /** Post-rename relocation: manifests record ABSOLUTE paths, so a
+    * table whose directory moved from `fromPath` to `path` must have
+    * every version's recorded commit-dir/file/DV paths re-anchored.
+    * Pure driver-side metadata IO (one small file per version),
+    * rewritten in place — the caller must guarantee no concurrent
+    * writers (the table was just renamed; anyone still writing to the
+    * OLD path is already broken). Scheme prefixes (`file:`, `s3a:`)
+    * are preserved: only the path suffix under `fromPath` is moved. */
+  private[graft] def relocate(spark: SparkSession, path: String,
+      fromPath: String): Unit = {
+    val from = fromPath.stripSuffix("/")
+    val to = path.stripSuffix("/")
+    def remap(p: String): String = {
+      val i = p.indexOf(from + "/")
+      if (i >= 0) p.take(i) + to + p.drop(i + from.length) else p
+    }
+    val f = fs(spark, path)
+    versions(spark, path).foreach { v =>
+      val m = readManifestFull(spark, path, v)
+      val mapped = m.copy(entries = m.entries.map(e => e.copy(
+        commitDir = remap(e.commitDir),
+        filePath = remap(e.filePath),
+        dv = e.dv.map { case (dp, n) => (remap(dp), n) })))
+      val out = f.create(new Path(s"${logDir(path)}/v$v"), true)
+      try out.write(manifestBytes(mapped)) finally out.close()
+    }
   }
 
   final class ConcurrentCommitException(path: String, attempts: Int)
@@ -279,7 +340,8 @@ object SnapshotTable {
       statsCols: Seq[String] = Nil, op: String = "append",
       newTransforms: Seq[PartitionTransform] = Nil): Long = {
     val spark = df.sparkSession
-    val commitDir = s"$path/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
+    val commitDir =
+      s"${realPathOf(path)}/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
     // CHECK constraints ride the write job as a guard projection (no
     // extra pass): a violating row fails the write before anything
     // can publish. Read once here; the CAS loop re-checks for
@@ -427,6 +489,39 @@ object SnapshotTable {
   def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long =
     commit(df, path, partitionCols, identity)
 
+  /** CREATE TABLE: publish version 1 as an empty manifest carrying
+    * the declared schema (and optional partition transform specs) —
+    * the catalog-DDL shape (`CREATE TABLE ... USING graft-snapshot`).
+    * Subsequent writes pick the recorded transforms up automatically
+    * and the schema drift gate applies from the first insert. The
+    * create itself is a CAS on v1: losing it means another writer
+    * created the table first, which surfaces as "already exists". */
+  def create(spark: SparkSession, path: String, schema: StructType,
+      transformSpecs: Seq[String] = Nil): Long = {
+    require(latestVersion(spark, path).isEmpty,
+      s"table already exists at $path")
+    require(schema.fieldNames.forall(!_.startsWith("__p_")),
+      "column prefix '__p_' is reserved for hidden partition columns")
+    val ts = transformSpecs.map(PartitionTransform.parse)
+    val dups = ts.groupBy(_.pcol).collect { case (c, xs) if xs.size > 1 => c }
+    require(dups.isEmpty,
+      s"partition transforms derive colliding columns: ${dups.mkString(", ")}")
+    ts.foreach(t => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(t.src)),
+      s"transform ${t.spec}: source column '${t.src}' not in the schema"))
+    require(publishManifest(spark, path, 1L, Nil, Some(schema),
+      Some("create"), transforms = ts),
+      s"table already exists at $path (concurrent create won version 1)")
+    1L
+  }
+
+  /** INSERT OVERWRITE / truncate-and-load: one commit replacing the
+    * ENTIRE live file set with `df`'s rows. Previous versions stay
+    * readable (time travel); the table's partition transforms and
+    * constraints carry forward like any other commit. */
+  def overwrite(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long =
+    commit(df, path, partitionCols, _ => Nil, op = "overwrite")
+
   /** Create a HIDDEN-PARTITIONED table (Iceberg partition-spec
     * shape): `transformSpecs` — e.g. `Seq("days(ts)")`,
     * `Seq("bucket(16, id)")`, `Seq("months(ts)", "truncate(2, code)")`
@@ -469,7 +564,9 @@ object SnapshotTable {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val m = readManifestFull(spark, path, v)
-    require(m.entries.nonEmpty, s"empty manifest v$v")
+    if (m.entries.isEmpty)
+      return sqlAlias.foldLeft(emptyFrame(spark, path, v, m))(
+        (df, a) => df.alias(a)).filter(predicate)
     // sqlAlias: the SQL path may qualify predicate columns with the
     // table (or AS) name — aliasing lets both forms resolve
     val raw = sqlAlias.foldLeft(readGroups(spark, m.entries, m.schema))(
@@ -555,6 +652,30 @@ object SnapshotTable {
         s"no constraint '$name' at $path")
       m.copy(constraints = m.constraints - name)
     }
+
+  /** ALTER TABLE ... ADD COLUMNS: metadata-only commit appending the
+    * new fields to the recorded schema. Existing files simply lack
+    * the columns and read as NULL (the additive-evolution contract
+    * [[read]] already implements for schema growth via appends); new
+    * fields land BEFORE any hidden `__p_` block so the user-visible
+    * column order stays `old columns, new columns`. */
+  def addColumns(spark: SparkSession, path: String,
+      newFields: Seq[StructField]): Long = {
+    require(newFields.nonEmpty, "addColumns needs at least one field")
+    require(newFields.forall(!_.name.startsWith("__p_")),
+      "column prefix '__p_' is reserved for hidden partition columns")
+    publishMetadataCommit(spark, path, "addColumns") { m =>
+      val sch = m.schema.getOrElse(throw new IllegalArgumentException(
+        s"table at $path records no schema (pre-recording manifest) — " +
+          "append once before evolving"))
+      newFields.foreach(f => require(
+        !sch.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"column '${f.name}' already exists at $path"))
+      val (user, hidden) = sch.fields.partition(!_.name.startsWith("__p_"))
+      m.copy(schema = Some(StructType(
+        user ++ newFields.map(_.copy(nullable = true)) ++ hidden)))
+    }
+  }
 
   /** CAS-retry publish of a metadata-only version: no data is
     * written; `mutate` derives the manifest to publish from the
@@ -1128,7 +1249,8 @@ object SnapshotTable {
   }
 
   // ---- deletion-vector file IO (driver-side, like manifests) -------
-  private def dvDir(tablePath: String): String = s"$tablePath/_graft_dv"
+  private def dvDir(tablePath: String): String =
+    s"${realPathOf(tablePath)}/_graft_dv"
 
   private[graft] def readDv(spark: SparkSession, nearPath: String,
       dvPath: String): Array[Long] = {
@@ -1605,12 +1727,25 @@ object SnapshotTable {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val m = readManifestFull(spark, path, v)
-    require(m.entries.nonEmpty, s"empty manifest v$v")
+    if (m.entries.isEmpty) return emptyFrame(spark, path, v, m)
     val raw = readGroups(spark, m.entries, m.schema)
     // hidden partition columns — CURRENT or retired-era — are an
     // implementation detail of the layout; user reads never see them
     val hiddenCols = raw.columns.filter(_.startsWith("__p_")).toSeq
     if (hiddenCols.isEmpty) raw else raw.drop(hiddenCols: _*)
+  }
+
+  /** Zero-row frame in the recorded user schema — what reading a
+    * freshly-created (or fully-truncated) table yields. Requires a
+    * recorded schema: only pre-schema-recording manifests lack one,
+    * and those always have entries. */
+  private def emptyFrame(spark: SparkSession, path: String, v: Long,
+      m: Manifest): DataFrame = {
+    val sch = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"empty manifest v$v at $path records no schema"))
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(sch.fields.filterNot(_.name.startsWith("__p_"))))
   }
 
   /** Change-data feed: the row-level differences the table went

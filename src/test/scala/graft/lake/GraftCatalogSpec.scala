@@ -1,0 +1,202 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** End-to-end DSv2 catalog surface: `CREATE TABLE graft.ns.t`,
+  * INSERT/CTAS through the V1 write fallback, reads substituted onto
+  * the native snapshot plan, SQL row-level DML, time travel, schema
+  * evolution, metadata tables — no `register()` anywhere. */
+class GraftCatalogSpec extends SparkTestBase {
+
+  private var prevDefault: Option[SparkSession] = None
+  private var prevActive: Option[SparkSession] = None
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-cat-wh").toString
+
+  /** Session with the catalog + extensions configured (the shared
+    * suite session has neither; getOrCreate on a cleared default
+    * builds a genuinely new one over the same SparkContext). */
+  private lazy val s2: SparkSession = {
+    prevDefault = SparkSession.getDefaultSession
+    prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-catalog-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    prevActive.foreach(SparkSession.setActiveSession)
+    super.afterAll()
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    def files(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => files(q.plan)
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    files(df.queryExecution.executedPlan)
+  }
+
+  test("namespace + table DDL: create, list, describe, drop") {
+    s2.sql("CREATE NAMESPACE graft.ddl")
+    assert(s2.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("ddl"))
+    s2.sql("CREATE TABLE graft.ddl.t1 (id BIGINT, name STRING) USING `graft-snapshot`")
+    assert(s2.sql("SHOW TABLES IN graft.ddl").collect()
+      .map(_.getString(1)).toSeq === Seq("t1"))
+    val desc = s2.sql("DESCRIBE TABLE graft.ddl.t1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("id") === "bigint" && desc("name") === "string")
+    // a freshly created table reads as zero rows with the right shape
+    assert(s2.sql("SELECT * FROM graft.ddl.t1").columns.toSeq === Seq("id", "name"))
+    assert(s2.sql("SELECT * FROM graft.ddl.t1").count() === 0)
+    s2.sql("DROP TABLE graft.ddl.t1")
+    assert(s2.sql("SHOW TABLES IN graft.ddl").count() === 0)
+    intercept[Exception](s2.sql("SELECT * FROM graft.ddl.t1").collect())
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE / SELECT round-trip with time travel") {
+    s2.sql("CREATE NAMESPACE graft.ins")
+    s2.sql("CREATE TABLE graft.ins.t (id BIGINT, v DOUBLE) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.ins.t VALUES (1, 1.5), (2, 2.5)")
+    s2.sql("INSERT INTO graft.ins.t VALUES (3, 3.5)")
+    assert(s2.sql("SELECT sum(id) FROM graft.ins.t").head().getLong(0) === 6L)
+    // versions: 1=create, 2=first insert, 3=second
+    assert(s2.sql("SELECT count(*) FROM graft.ins.t VERSION AS OF 2")
+      .head().getLong(0) === 2L)
+    s2.sql("INSERT OVERWRITE graft.ins.t VALUES (9, 9.0)")
+    assert(s2.sql("SELECT id FROM graft.ins.t").collect().map(_.getLong(0)).toSeq
+      === Seq(9L))
+    // overwrite is a commit like any other: the pre-overwrite state survives
+    assert(s2.sql("SELECT count(*) FROM graft.ins.t VERSION AS OF 3")
+      .head().getLong(0) === 3L)
+  }
+
+  test("CTAS creates and loads in one statement") {
+    s2.sql("CREATE NAMESPACE graft.ctas")
+    s2.sql("CREATE TABLE graft.ctas.squares USING `graft-snapshot` AS " +
+      "SELECT id, id * id AS sq FROM range(5)")
+    assert(s2.sql("SELECT sum(sq) FROM graft.ctas.squares").head().getLong(0) === 30L)
+    assert(SnapshotTable.opOf(s2, s"$warehouse/ctas/squares", 1L) === Some("create"))
+  }
+
+  test("PARTITIONED BY hidden transforms: layout, pruning, invisible columns") {
+    s2.sql("CREATE NAMESPACE graft.hp")
+    s2.sql("CREATE TABLE graft.hp.ev (id STRING, ts TIMESTAMP, v DOUBLE) " +
+      "USING `graft-snapshot` PARTITIONED BY (days(ts), bucket(4, id))")
+    import s2.implicits._
+    Seq(("e1", ts("2024-01-01 08:00:00"), 1.0),
+      ("e2", ts("2024-01-02 09:00:00"), 2.0),
+      ("e3", ts("2024-01-03 10:00:00"), 3.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("ev_src")
+    s2.sql("INSERT INTO graft.hp.ev SELECT * FROM ev_src")
+    assert(SnapshotTable.partitionTransforms(s2, s"$warehouse/hp/ev")
+      === Seq("days(ts)", "bucket(4, id)"))
+    // hidden columns stay hidden in SQL
+    assert(s2.sql("SELECT * FROM graft.hp.ev").columns.toSeq === Seq("id", "ts", "v"))
+    // WHERE on the source column prunes day directories at listing time
+    val pruned = s2.sql(
+      "SELECT id FROM graft.hp.ev WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'")
+    assert(pruned.collect().map(_.getString(0)).toSeq === Seq("e3"))
+    val all = scannedFiles(s2.sql("SELECT id FROM graft.hp.ev"))
+    val few = scannedFiles(s2.sql(
+      "SELECT id FROM graft.hp.ev WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'"))
+    assert(few < all, s"expected partition pruning: $few vs $all files")
+  }
+
+  test("SQL MERGE / UPDATE / DELETE against a catalog table") {
+    s2.sql("CREATE NAMESPACE graft.dml")
+    s2.sql("CREATE TABLE graft.dml.t (k BIGINT, s STRING) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.dml.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    import s2.implicits._
+    Seq((2L, "B"), (4L, "d")).toDF("k", "s").createOrReplaceTempView("updates")
+    s2.sql("MERGE INTO graft.dml.t t USING updates s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(s2.sql("SELECT s FROM graft.dml.t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "B", "c", "d"))
+    s2.sql("UPDATE graft.dml.t SET s = concat(s, '!') WHERE k >= 3")
+    assert(s2.sql("SELECT s FROM graft.dml.t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "B", "c!", "d!"))
+    s2.sql("DELETE FROM graft.dml.t WHERE k = 2")
+    assert(s2.sql("SELECT k FROM graft.dml.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("ALTER TABLE ADD COLUMNS: old rows read NULL, inserts carry the column") {
+    s2.sql("CREATE NAMESPACE graft.alt")
+    s2.sql("CREATE TABLE graft.alt.t (id BIGINT) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.alt.t VALUES (1)")
+    s2.sql("ALTER TABLE graft.alt.t ADD COLUMNS (note STRING)")
+    s2.sql("INSERT INTO graft.alt.t VALUES (2, 'fresh')")
+    val rows = s2.sql("SELECT id, note FROM graft.alt.t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq === Seq((1L, null), (2L, "fresh")))
+  }
+
+  test("tags resolve through VERSION AS OF; metadata tables reachable by name") {
+    s2.sql("CREATE NAMESPACE graft.meta")
+    s2.sql("CREATE TABLE graft.meta.t (id BIGINT) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.meta.t VALUES (1)")
+    s2.sql("INSERT INTO graft.meta.t VALUES (2)")
+    val path = s"$warehouse/meta/t"
+    SnapshotTable.tag(s2, path, "golden", Some(2L))
+    assert(s2.sql("SELECT count(*) FROM graft.meta.t VERSION AS OF 'golden'")
+      .head().getLong(0) === 1L)
+    val hist = s2.sql("SELECT version, operation FROM graft.meta.t.history").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L))
+    assert(hist.map(_.getString(1)).toSeq === Seq("append", "append", "create"))
+    assert(s2.sql("SELECT count(*) FROM graft.meta.t.files").head().getLong(0) >= 2L)
+  }
+
+  test("DataFrame writeTo API appends; constraints enforce on catalog writes") {
+    s2.sql("CREATE NAMESPACE graft.api")
+    s2.sql("CREATE TABLE graft.api.t (id BIGINT, v DOUBLE) USING `graft-snapshot`")
+    import s2.implicits._
+    Seq((1L, 0.5)).toDF("id", "v").writeTo("graft.api.t").append()
+    assert(s2.sql("SELECT count(*) FROM graft.api.t").head().getLong(0) === 1L)
+    s2.sql("ALTER TABLE graft.api.t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val e = intercept[Exception](
+      s2.sql("INSERT INTO graft.api.t VALUES (2, -1.0)"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("v_pos")), s"got: $e")
+    s2.sql("ALTER TABLE graft.api.t DROP CONSTRAINT v_pos")
+    s2.sql("INSERT INTO graft.api.t VALUES (2, -1.0)")
+    assert(s2.sql("SELECT count(*) FROM graft.api.t").head().getLong(0) === 2L)
+  }
+
+  test("rename table; drop namespace cascade") {
+    s2.sql("CREATE NAMESPACE graft.mv")
+    s2.sql("CREATE TABLE graft.mv.a (id BIGINT) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.mv.a VALUES (7)")
+    // the RENAME TO target is an identifier WITHIN the same catalog
+    s2.sql("ALTER TABLE graft.mv.a RENAME TO mv.b")
+    assert(s2.sql("SELECT id FROM graft.mv.b").head().getLong(0) === 7L)
+    intercept[Exception](s2.sql("SELECT * FROM graft.mv.a").collect())
+    s2.sql("DROP NAMESPACE graft.mv CASCADE")
+    assert(!s2.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("mv"))
+  }
+}

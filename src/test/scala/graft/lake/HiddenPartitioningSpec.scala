@@ -239,6 +239,10 @@ class HiddenPartitioningSpec extends SparkTestBase {
   test("partition evolution: days→months, both eras stay correct AND both keep pruning") {
     val path = Files.createTempDirectory("graft-hp").toString + "/t"
     SnapshotTable.appendTransformed(mkEvents(), path, Seq("days(ts)")) // era 1
+    // file COUNT depends on write parallelism (whichever suite built
+    // the shared SparkContext fixed the core count) — capture the
+    // actual era-1 set and assert identity, not a literal count
+    val era1Files = SnapshotTable.liveFiles(spark, path).toSet
     SnapshotTable.evolvePartitionTransforms(spark, path, Seq("months(ts)"))
     assert(SnapshotTable.partitionTransforms(spark, path) === Seq("months(ts)"))
     // era 2: lands in month dirs
@@ -247,7 +251,8 @@ class HiddenPartitioningSpec extends SparkTestBase {
       ("f2", ts("2024-04-20 10:00:00"), 20.0)).toDF("id", "ts", "v"), path)
     val files = SnapshotTable.liveFiles(spark, path)
     assert(files.exists(_.contains("__p_ts_month=2024-03")))
-    assert(files.count(_.contains("__p_ts_day=")) === 6, "era-1 files untouched")
+    assert(files.filter(_.contains("__p_ts_day=")).toSet === era1Files,
+      "era-1 files untouched")
 
     // reads hide BOTH eras' hidden columns
     assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id", "ts", "v"))
