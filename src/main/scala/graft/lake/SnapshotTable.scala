@@ -958,6 +958,170 @@ object SnapshotTable {
     1L
   }
 
+  // ---- writable branches -------------------------------------------
+
+  /** Handle routing every SnapshotTable operation onto branch `name`
+    * of the table at `path` — pass it anywhere a table path goes
+    * (read / append / merge / delete / compact / changes / history /
+    * tags / vacuum). */
+  def branchHandle(path: String, name: String): String =
+    s"${realPathOf(path)}$BranchSep$name"
+
+  private val branchDirName = "^branch-(.+)$".r
+
+  /** All branch names of the table (sorted). */
+  def branches(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val dir = new Path(s"${realPathOf(path)}/_graft_log")
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case branchDirName(n) => n }.sorted.toSeq
+  }
+
+  /** CREATE BRANCH (Iceberg branch ref): start a writable line of
+    * history at `version` (default latest) or at a tag — zero bytes
+    * copied; the branch log's first manifest duplicates the fork
+    * point's AT THE SAME VERSION NUMBER, so branch numbering stays
+    * aligned with the fork ancestry (which is exactly what
+    * [[fastForward]] verifies). Writes through [[branchHandle]] land
+    * data files under the shared table dir and manifests under the
+    * branch log; main never sees them until a merge. Unlike
+    * [[shallowClone]] (a separate table), a branch stays inside the
+    * table's retention domain: [[vacuum]] on ANY ref pins files live
+    * on every other ref, so branch-referenced data cannot be
+    * reclaimed out from under it. Returns the fork version. */
+  def createBranch(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None, tagName: Option[String] = None): Long = {
+    require(branchOf(path).isEmpty, "create branches from the main table handle")
+    require(name.nonEmpty && !name.exists(c => c == '/' || c.isWhitespace)
+        && !name.contains(BranchSep), s"invalid branch name '$name'")
+    val v = tagName match {
+      case Some(t) => tagVersion(spark, path, t).getOrElse(
+        throw new IllegalArgumentException(s"no tag '$t' at $path"))
+      case None => version.orElse(latestVersion(spark, path)).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $path"))
+    }
+    require(versions(spark, path).contains(v),
+      s"version $v of $path does not exist")
+    val bh = branchHandle(path, name)
+    require(latestVersion(spark, bh).isEmpty,
+      s"branch '$name' already exists at $path")
+    val m = readManifestFull(spark, path, v)
+    require(publishManifest(spark, bh, v, m.entries, m.schema, Some("branch"),
+      m.constraints, m.transforms, m.retiredTransforms),
+      s"concurrent writer created branch '$name' during createBranch")
+    v
+  }
+
+  /** DROP BRANCH: removes the branch's manifests (and its branch-local
+    * tags). Data files only the branch referenced become unreferenced
+    * and are reclaimed by the next [[vacuum]] on the main handle. */
+  def dropBranch(spark: SparkSession, path: String, name: String): Unit = {
+    val bh = branchHandle(path, name)
+    require(latestVersion(spark, bh).nonEmpty, s"no branch '$name' at $path")
+    fs(spark, path).delete(new Path(logDir(bh)), true)
+    ()
+  }
+
+  /** Identical table state: same live (file, dv) set, schema,
+    * constraints, and partition-spec — the ancestry check backing
+    * [[fastForward]]. DV-aware for the same reason the write-skew
+    * guards are: a DV-only change IS a data change. */
+  private def sameState(a: Manifest, b: Manifest): Boolean =
+    a.entries.map(e => (e.filePath, e.dv)).toSet ==
+      b.entries.map(e => (e.filePath, e.dv)).toSet &&
+      a.schema == b.schema && a.constraints == b.constraints &&
+      a.transforms.map(_.spec) == b.transforms.map(_.spec)
+
+  /** FAST-FORWARD main to a branch head (Iceberg
+    * `fast_forward('main', <branch>)`): requires main to be an
+    * ANCESTOR of the branch — main's head version number exists in
+    * the branch log with the IDENTICAL state, i.e. main has not
+    * advanced since the fork (or advanced only along already-merged
+    * branch history). The branch's newer manifests are then published
+    * onto main one by one, preserving the branch's commit-by-commit
+    * history with each commit's original op. Each publish is the same
+    * CAS as any commit: a concurrent main writer makes the
+    * fast-forward fail partway with main left on a VALID branch
+    * prefix (every published manifest is a complete branch state) —
+    * re-run to continue, or resolve with [[cherryPick]]. Returns
+    * main's new head version. */
+  def fastForward(spark: SparkSession, path: String, name: String): Long = {
+    require(branchOf(path).isEmpty, "fast-forward targets the main handle")
+    val bh = branchHandle(path, name)
+    val bVersions = versions(spark, bh)
+    require(bVersions.nonEmpty, s"no branch '$name' at $path")
+    val mainHead = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    require(bVersions.contains(mainHead),
+      s"main (v$mainHead) is not an ancestor of branch '$name' " +
+        s"(branch history spans v${bVersions.head}..v${bVersions.last}) — " +
+        "main advanced since the fork; use cherryPick instead")
+    require(sameState(readManifestFull(spark, path, mainHead),
+        readManifestFull(spark, bh, mainHead)),
+      s"main's v$mainHead differs from branch '$name' at v$mainHead — " +
+        "histories diverged under the same version number; use cherryPick")
+    bVersions.filter(_ > mainHead).foreach { v =>
+      val m = readManifestFull(spark, bh, v)
+      require(publishManifest(spark, path, v, m.entries, m.schema, m.op,
+        m.constraints, m.transforms, m.retiredTransforms),
+        s"concurrent main writer during fastForward at v$v — main holds a " +
+          s"valid branch prefix up to v${v - 1}; re-run to continue")
+    }
+    latestVersion(spark, path).get
+  }
+
+  /** CHERRY-PICK one branch commit onto main (Iceberg cherrypick):
+    * replay the file-level delta of branch commit `branchVersion`
+    * (vs its branch parent) as a NEW commit on main's CURRENT head —
+    * the resolution path when main advanced past the fork and
+    * [[fastForward]] refuses. Conflict rules match Iceberg's: every
+    * (file, dv) the branch commit removed or re-DV'd must still be
+    * live on main in exactly that state, and no added file may
+    * already be live (double-pick guard) — otherwise main touched the
+    * same data and the pick fails instead of silently losing an
+    * update. Pure appends therefore always apply. Columns the branch
+    * commit added merge additively; type drift fails (the normal
+    * schema gate). */
+  def cherryPick(spark: SparkSession, path: String, name: String,
+      branchVersion: Long): Long = {
+    require(branchOf(path).isEmpty, "cherry-pick targets the main handle")
+    val bh = branchHandle(path, name)
+    val bVersions = versions(spark, bh)
+    require(bVersions.contains(branchVersion),
+      s"branch '$name' has no version $branchVersion")
+    val parent = bVersions.filter(_ < branchVersion).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"v$branchVersion is branch '$name''s fork base — nothing to pick"))
+    val picked = readManifestFull(spark, bh, branchVersion)
+    val base = readManifestFull(spark, bh, parent)
+    def key(e: Entry) = (e.filePath, e.dv)
+    val pickedKeys = picked.entries.map(key).toSet
+    val baseKeys = base.entries.map(key).toSet
+    val added = picked.entries.filterNot(e => baseKeys(key(e)))
+    val removed = base.entries.filterNot(e => pickedKeys(key(e)))
+    val pickOp = picked.op.map(o => s"cherrypick-$o").getOrElse("cherrypick")
+    publishMetadataCommit(spark, path, pickOp) { m =>
+      val liveKeys = m.entries.map(key).toSet
+      val conflicts = removed.filterNot(e => liveKeys(key(e)))
+      require(conflicts.isEmpty,
+        s"cherry-pick conflict: branch '$name' commit v$branchVersion " +
+          s"rewrites ${conflicts.size} file state(s) main no longer holds " +
+          s"(e.g. ${conflicts.head.filePath}) — main changed the same data")
+      val dupes = added.filter(e => liveKeys(key(e)))
+      require(dupes.isEmpty,
+        s"cherry-pick of branch '$name' v$branchVersion would re-add " +
+          s"${dupes.size} already-live file(s) (e.g. ${dupes.head.filePath}) " +
+          "— commit already picked")
+      val removedKeys = removed.map(key).toSet
+      m.copy(entries = m.entries.filterNot(e => removedKeys(key(e))) ++ added,
+        schema = (m.schema, picked.schema) match {
+          case (p @ Some(_), Some(c)) => Some(mergeSchemas(p, c, path))
+          case (p, c) => c.orElse(p)
+        })
+    }
+  }
+
   /** Iceberg-style `t.files` metadata table: one row per live data
     * file of the (optionally time-traveled) snapshot — path, hive
     * partition fragment, footer rows, on-disk bytes, DV'd row count,
@@ -1691,20 +1855,40 @@ object SnapshotTable {
     val (candidates, kept0) = all.splitAt(math.max(0, all.size - keepVersions))
     // tagged versions are pinned: retention never expires them
     val tagged = tags(spark, path).values.toSet
+    // files live on ANY OTHER ref of this table are pinned too:
+    // branches share the table's data dir with main, so a version
+    // whose files another ref still references stays in history (the
+    // tag posture) — expiring its manifest would strand those files
+    // as unreachable orphans once the branch drops. After dropBranch
+    // the next vacuum reclaims the version normally.
+    val table = realPathOf(path)
+    val self = branchOf(path)
+    val otherRefs: Seq[String] =
+      (if (self.isDefined) Seq(table) else Nil) ++
+        branches(spark, table).filterNot(self.contains)
+          .map(branchHandle(table, _))
+    val refEntries = otherRefs.flatMap(h =>
+      versions(spark, h).flatMap(readManifest(spark, h, _)))
+    val refFiles = refEntries.map(_.filePath).toSet
+    val candEntries: Map[Long, Seq[Entry]] =
+      candidates.map(v => v -> readManifest(spark, path, v)).toMap
     val (expired, young) = candidates.partition { v =>
-      v < floor && !tagged(v) && (minAgeMs <= 0L ||
-        f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime <= cutoff)
+      v < floor && !tagged(v) &&
+        !candEntries(v).exists(e => refFiles(e.filePath)) &&
+        (minAgeMs <= 0L ||
+          f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime <= cutoff)
     }
     val kept = young ++ kept0
     if (expired.isEmpty) return
-    val keptEntries = kept.flatMap(readManifest(spark, path, _))
-    val expiredEntries = expired.flatMap(readManifest(spark, path, _))
+    val keptEntries = kept.flatMap(v =>
+      candEntries.getOrElse(v, readManifest(spark, path, v))) ++ refEntries
+    val expiredEntries = expired.flatMap(candEntries)
     // ownership guard: only ever delete files under THIS table's path
     // — a shallow clone's manifests reference the SOURCE table's
     // files, and expiring the clone's history must never reach into
     // the source's data
     def owned(p: String): Boolean =
-      new Path(p).toUri.getPath.startsWith(new Path(path).toUri.getPath + "/")
+      new Path(p).toUri.getPath.startsWith(new Path(table).toUri.getPath + "/")
     val dead = (expiredEntries.map(_.filePath).toSet --
       keptEntries.map(_.filePath).toSet).filter(owned)
     dead.foreach(p => f.delete(new Path(p), false))

@@ -1,0 +1,163 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Writable branches (Iceberg branch refs): fork, isolated divergence,
+  * fast-forward / cherry-pick merge-back, and retention safety across
+  * refs sharing one data dir. */
+class SnapshotBranchSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def mkRows(tag: String, dates: Seq[String]) =
+    dates.zipWithIndex.flatMap { case (d, i) =>
+      (0 until 5).map(j => (s"$tag-$i-$j", d, 10.0 * j))
+    }.toDF("id", "event_date", "v")
+
+  test("branch writes are invisible on main and vice versa") {
+    val path = Files.createTempDirectory("graft-br").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    val fork = SnapshotTable.createBranch(spark, path, "dev")
+    assert(fork === 1L)
+    assert(SnapshotTable.branches(spark, path) === Seq("dev"))
+    val bh = SnapshotTable.branchHandle(path, "dev")
+
+    SnapshotTable.append(mkRows("b", Seq("2024-01-02")), bh, Seq("event_date")) // branch v2
+    SnapshotTable.delete(spark, bh, col("v") >= 40.0)                           // branch v3
+    SnapshotTable.append(mkRows("c", Seq("2024-01-03")), path, Seq("event_date")) // main v2
+
+    // main: a + c rows, untouched by the branch delete
+    assert(SnapshotTable.read(spark, path).count() === 10)
+    assert(SnapshotTable.read(spark, path).filter(col("v") >= 40.0).count() === 2)
+    // branch: a + b rows minus the deleted ones; main's c append invisible
+    val br = SnapshotTable.read(spark, bh)
+    assert(br.count() === 8)
+    assert(br.filter(col("id").startsWith("c-")).count() === 0)
+    assert(SnapshotTable.versions(spark, bh) === Seq(1L, 2L, 3L))
+  }
+
+  test("createBranch from a tag; dropBranch removes the ref") {
+    val path = Files.createTempDirectory("graft-br-tag").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    SnapshotTable.tag(spark, path, "golden")
+    SnapshotTable.append(mkRows("b", Seq("2024-01-02")), path, Seq("event_date")) // v2
+    val fork = SnapshotTable.createBranch(spark, path, "audit", tagName = Some("golden"))
+    assert(fork === 1L)
+    val bh = SnapshotTable.branchHandle(path, "audit")
+    assert(SnapshotTable.read(spark, bh).count() === 5) // tag state, not head
+    SnapshotTable.dropBranch(spark, path, "audit")
+    assert(SnapshotTable.branches(spark, path) === Nil)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropBranch(spark, path, "audit")
+    }
+  }
+
+  test("fastForward replays branch history onto an unmoved main, ops preserved") {
+    val path = Files.createTempDirectory("graft-br-ff").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    SnapshotTable.createBranch(spark, path, "dev")
+    val bh = SnapshotTable.branchHandle(path, "dev")
+    SnapshotTable.append(mkRows("b", Seq("2024-01-02")), bh, Seq("event_date")) // v2
+    SnapshotTable.delete(spark, bh, col("v") >= 40.0)                           // v3
+
+    val head = SnapshotTable.fastForward(spark, path, "dev")
+    assert(head === 3L)
+    assert(SnapshotTable.read(spark, path).count() === 8)
+    // commit-by-commit history with original ops, not one squash
+    assert(SnapshotTable.opOf(spark, path, 2L) === Some("append"))
+    assert(SnapshotTable.opOf(spark, path, 3L) === Some("delete"))
+    // zero rewrite: main head references the branch's exact file set
+    assert(SnapshotTable.liveFiles(spark, path).toSet ===
+      SnapshotTable.liveFiles(spark, bh).toSet)
+    // the intermediate branch state is time-travelable on main too
+    assert(SnapshotTable.read(spark, path, Some(2L)).count() === 10)
+  }
+
+  test("fastForward refuses a diverged main; cherryPick applies the append") {
+    val path = Files.createTempDirectory("graft-br-cp").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    SnapshotTable.createBranch(spark, path, "dev")
+    val bh = SnapshotTable.branchHandle(path, "dev")
+    SnapshotTable.append(mkRows("b", Seq("2024-01-02")), bh, Seq("event_date")) // branch v2
+    SnapshotTable.append(mkRows("m", Seq("2024-02-01")), path, Seq("event_date")) // main v2
+
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.fastForward(spark, path, "dev")
+    }
+    assert(ex.getMessage.contains("cherryPick"))
+
+    val v = SnapshotTable.cherryPick(spark, path, "dev", 2L)
+    assert(v === 3L)
+    val main = SnapshotTable.read(spark, path)
+    assert(main.count() === 15) // a + m + picked b
+    assert(main.filter(col("id").startsWith("b-")).count() === 5)
+    assert(SnapshotTable.opOf(spark, path, 3L) === Some("cherrypick-append"))
+    // double-pick guard
+    val dup = intercept[IllegalArgumentException] {
+      SnapshotTable.cherryPick(spark, path, "dev", 2L)
+    }
+    assert(dup.getMessage.contains("already picked"))
+  }
+
+  test("cherryPick conflicts when main rewrote the same files") {
+    val path = Files.createTempDirectory("graft-br-cf").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    SnapshotTable.createBranch(spark, path, "dev")
+    val bh = SnapshotTable.branchHandle(path, "dev")
+    SnapshotTable.delete(spark, bh, col("v") >= 40.0)   // branch rewrites a's files
+    SnapshotTable.delete(spark, path, col("v") <= 0.0)  // main rewrites them too
+
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.cherryPick(spark, path, "dev", 2L)
+    }
+    assert(ex.getMessage.contains("conflict"))
+    // picking the fork base itself is meaningless and refused
+    intercept[IllegalArgumentException] {
+      SnapshotTable.cherryPick(spark, path, "dev", 1L)
+    }
+  }
+
+  test("vacuum on main never deletes files a branch still references") {
+    val path = Files.createTempDirectory("graft-br-vac").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    SnapshotTable.createBranch(spark, path, "dev")
+    val bh = SnapshotTable.branchHandle(path, "dev")
+    // main replaces everything: v1's files are dead on main...
+    SnapshotTable.overwritePartitions(
+      mkRows("x", Seq("2024-01-01")), path, Seq("event_date"))                  // v2
+    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    // ...but still live on the branch, so the branch read survives
+    assert(SnapshotTable.read(spark, bh).count() === 5)
+    assert(SnapshotTable.read(spark, bh).filter(col("id").startsWith("a-")).count() === 5)
+
+    // after the branch is dropped the same vacuum reclaims them
+    SnapshotTable.dropBranch(spark, path, "dev")
+    SnapshotTable.append(mkRows("y", Seq("2024-01-02")), path, Seq("event_date")) // v3
+    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val liveNow = SnapshotTable.liveFiles(spark, path).map(norm).toSet
+    val f = SnapshotTable.fs(spark, path)
+    val onDisk = f.globStatus(new org.apache.hadoop.fs.Path(s"$path/data/*/*/*.parquet"))
+      .map(st => norm(st.getPath.toString)).toSet
+    assert((onDisk -- liveNow).isEmpty, "dropped-branch-only files must be reclaimed")
+  }
+
+  test("vacuum through a branch handle only touches branch manifests, pins main") {
+    val path = Files.createTempDirectory("graft-br-vac2").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    SnapshotTable.createBranch(spark, path, "dev")
+    val bh = SnapshotTable.branchHandle(path, "dev")
+    SnapshotTable.overwritePartitions(
+      mkRows("b", Seq("2024-01-01")), bh, Seq("event_date")) // branch v2: a's files dead on branch
+    SnapshotTable.vacuum(spark, bh, keepVersions = 1)
+    // branch history trimmed to its head...
+    assert(SnapshotTable.versions(spark, bh) === Seq(2L))
+    // ...but main (which still lives on a's files) is untouched
+    assert(SnapshotTable.read(spark, path).count() === 5)
+    assert(SnapshotTable.read(spark, path).filter(col("id").startsWith("a-")).count() === 5)
+  }
+}
