@@ -99,14 +99,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else None
   }
 
-  /** Time travel: `VERSION AS OF <n | 'tag'>`. */
+  /** Time travel: `VERSION AS OF <n | 'tag' | 'branch'>` — a
+    * non-numeric version is an Iceberg-style ref: a tag pins a main
+    * version, a branch name reads the branch head. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse(
-      SnapshotTable.tagVersion(spark, path, version).getOrElse(
-        throw new IllegalArgumentException(s"no tag '$version' at $path")))
-    GraftTable(ident.toString, path, pinnedVersion = Some(v))
+    version.toLongOption match {
+      case Some(v) => GraftTable(ident.toString, path, pinnedVersion = Some(v))
+      case None =>
+        val (h, v) = SnapshotTable.resolveRef(spark, path, version).getOrElse(
+          throw new IllegalArgumentException(
+            s"no tag or branch '$version' at $path"))
+        GraftTable(ident.toString, h, pinnedVersion = v)
+    }
   }
 
   /** Time travel: `TIMESTAMP AS OF` — `timestamp` is epoch MICROS. */

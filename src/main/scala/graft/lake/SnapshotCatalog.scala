@@ -156,15 +156,22 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)
         if registered(u).isDefined =>
       val path = registered(u).get
-      val v = version match {
-        // a non-numeric VERSION AS OF is a tag name (Iceberg refs)
-        case Some(s) => scala.util.Try(s.toLong).getOrElse(
-          SnapshotTable.tagVersion(spark, path, s).getOrElse(
-            throw new IllegalArgumentException(s"no tag '$s' at $path")))
-        case None => SnapshotCatalog.versionAsOf(spark, path,
-          ts.map(evalMillis).getOrElse(Long.MaxValue))
+      val df = version match {
+        // a non-numeric VERSION AS OF is a ref name: tag or branch
+        // head (Iceberg refs share one namespace)
+        case Some(s) => s.toLongOption match {
+          case Some(v) => SnapshotTable.read(spark, path, Some(v))
+          case None =>
+            val (h, v) = SnapshotTable.resolveRef(spark, path, s).getOrElse(
+              throw new IllegalArgumentException(
+                s"no tag or branch '$s' at $path"))
+            SnapshotTable.read(spark, h, v)
+        }
+        case None => SnapshotTable.read(spark, path,
+          Some(SnapshotCatalog.versionAsOf(spark, path,
+            ts.map(evalMillis).getOrElse(Long.MaxValue))))
       }
-      DatasetBridge.planOf(SnapshotTable.read(spark, path, Some(v)))
+      DatasetBridge.planOf(df)
 
     // row-level SQL statements over snapshot tables → runnable
     // commands (the Iceberg-v2 statement surface; see

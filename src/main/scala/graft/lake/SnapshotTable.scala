@@ -1013,6 +1013,17 @@ object SnapshotTable {
     v
   }
 
+  /** Resolve a non-numeric `VERSION AS OF` ref the Iceberg way
+    * (tags and branches share one ref namespace): a tag pins a
+    * version of the main history; otherwise a branch name reads the
+    * branch HEAD. Returns the (handle, pinned version) to read, None
+    * if the name matches neither. */
+  def resolveRef(spark: SparkSession, path: String,
+      ref: String): Option[(String, Option[Long])] =
+    tagVersion(spark, path, ref).map(v => (path, Some(v): Option[Long]))
+      .orElse(if (branches(spark, path).contains(ref))
+        Some((branchHandle(path, ref), None)) else None)
+
   /** DROP BRANCH: removes the branch's manifests (and its branch-local
     * tags). Data files only the branch referenced become unreferenced
     * and are reclaimed by the next [[vacuum]] on the main handle. */

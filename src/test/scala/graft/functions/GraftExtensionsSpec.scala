@@ -68,6 +68,13 @@ class GraftExtensionsSpec extends SparkTestBase {
         val eTag = intercept[Exception](
           s2.sql("SELECT * FROM snap_tt VERSION AS OF 'nope'").collect())
         assert(eTag.getMessage.contains("no tag"))
+        // ...and through branches: a branch ref reads the branch HEAD
+        graft.lake.SnapshotTable.createBranch(s2, path, "dev")
+        val bh = graft.lake.SnapshotTable.branchHandle(path, "dev")
+        graft.lake.SnapshotTable.append(Seq((3L, "c")).toDF("k", "s"), bh)
+        assert(s2.sql("SELECT k FROM snap_tt VERSION AS OF 'dev'")
+          .as[Long].collect().sorted === Array(1L, 2L, 3L))
+        assert(s2.sql("SELECT count(*) FROM snap_tt").head().getLong(0) === 2L)
         // a timestamp before the first commit has no version to serve
         val e = intercept[Exception](
           s2.sql("SELECT * FROM snap_tt TIMESTAMP AS OF '1999-01-01'").collect())

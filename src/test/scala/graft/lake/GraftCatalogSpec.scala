@@ -170,6 +170,25 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(s2.sql("SELECT count(*) FROM graft.meta.t.files").head().getLong(0) >= 2L)
   }
 
+  test("branch refs resolve through VERSION AS OF to the branch head") {
+    s2.sql("CREATE NAMESPACE graft.br")
+    s2.sql("CREATE TABLE graft.br.t (id BIGINT) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.br.t VALUES (1)")
+    val path = s"$warehouse/br/t"
+    SnapshotTable.createBranch(s2, path, "dev")
+    val bh = SnapshotTable.branchHandle(path, "dev")
+    import s2.implicits._
+    SnapshotTable.append(Seq(2L, 3L).toDF("id"), bh)
+    // branch head through SQL; main untouched
+    assert(s2.sql("SELECT count(*) FROM graft.br.t VERSION AS OF 'dev'")
+      .head().getLong(0) === 3L)
+    assert(s2.sql("SELECT count(*) FROM graft.br.t").head().getLong(0) === 1L)
+    // unknown ref names a tag-or-branch error, not a silent fallback
+    val e = intercept[Exception](
+      s2.sql("SELECT * FROM graft.br.t VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("no tag or branch"))
+  }
+
   test("DataFrame writeTo API appends; constraints enforce on catalog writes") {
     s2.sql("CREATE NAMESPACE graft.api")
     s2.sql("CREATE TABLE graft.api.t (id BIGINT, v DOUBLE) USING `graft-snapshot`")
