@@ -27,13 +27,25 @@ object EventStreams {
       event_type: String, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Streaming read of the events table layout (ns-long ts normalized
-    * to whole-second TimestampType, matching model.Tables.events). */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(EvSchemas.eventsRaw)
-      .parquet(path)
-      .withColumn("ts", timestamp_seconds(expr("ts DIV 1000000000")))
+  /** Streaming read of the events table layout, normalized to
+    * whole-second TimestampType (matching model.Tables.events).
+    *
+    * The stored `ts` has two eras: legacy ns-epoch Longs (surfaced
+    * under spark.sql.legacy.parquet.nanosAsLong) and native µs
+    * TIMESTAMP. A file stream source needs its schema up front, so we
+    * sniff the directory ONCE with a driver-side batch read — footer
+    * metadata only, no data scan — and branch the normalization the
+    * same way the batch reader does. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val stored = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(stored).parquet(path)
+    stored("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_seconds(expr("ts DIV 1000000000")))
+      case _ =>
+        raw.withColumn("ts", date_trunc("second", col("ts")))
+    }
+  }
 
   /** Unbounded synthetic event stream off the built-in rate source —
     * the soak-test input: rows arrive forever at `rowsPerSecond`, so

@@ -273,13 +273,18 @@ class EventStreamsSpec extends SparkTestBase {
       q.processAllAvailable()
       // push the watermark 10 days past file-1: every file-1 session
       // must time out and be emitted in the next batch
-      val raw = spark.read.schema(graft.model.EvSchemas.eventsRaw)
-        .parquet(s"$sf0001/events.parquet")
+      val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      // era-aware shift: ns-epoch Long vs native µs TIMESTAMP
+      val shifted = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", col("ts") + lit(10L * 86400 * 1000000000L))
+        case _ =>
+          raw.withColumn("ts", col("ts") + expr("INTERVAL 10 DAYS"))
+      }
       // stage as a single FILE: the file stream source does not
       // recurse into the directory a DataFrame write would produce
       val tmpB = Files.createTempDirectory("graft-fmgws-b")
-      raw.withColumn("ts", col("ts") + lit(10L * 86400 * 1000000000L))
-        .coalesce(1).write.mode("overwrite").parquet(tmpB.toString)
+      shifted.coalesce(1).write.mode("overwrite").parquet(tmpB.toString)
       val part = java.nio.file.Files.list(tmpB).iterator.asScala
         .find(_.toString.endsWith(".parquet")).get
       Files.copy(part, d.resolve("b.parquet"))
