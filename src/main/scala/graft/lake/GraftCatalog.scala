@@ -111,7 +111,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val (h, v) = SnapshotTable.resolveRef(spark, path, version).getOrElse(
           throw new IllegalArgumentException(
             s"no tag or branch '$version' at $path"))
-        GraftTable(ident.toString, h, pinnedVersion = v)
+        GraftTable(ident.toString, h, pinnedVersion = v,
+          // a branch ref pins no version (it reads the branch HEAD)
+          // but came through versioned loadTable, so the read-only
+          // invariant must hold structurally, not by unreachability
+          readOnly = v.isEmpty)
     }
   }
 
@@ -288,9 +292,13 @@ object GraftCatalog {
   * bypassed the rule fails analysis loudly instead of scanning
   * wrongly); writes go through the V1 fallback into the commit
   * protocol. `pinnedVersion` marks a time-travel read; `metaKind`
-  * marks a history/files/partitions inspection table. */
+  * marks a history/files/partitions inspection table; `readOnly`
+  * marks a branch-head time-travel resolution (VERSION AS OF
+  * '<branch>'), which pins no version but must stay write-blocked
+  * like every other versioned loadTable. */
 case class GraftTable(identName: String, path: String,
-    pinnedVersion: Option[Long] = None, metaKind: Option[String] = None)
+    pinnedVersion: Option[Long] = None, metaKind: Option[String] = None,
+    readOnly: Boolean = false)
   extends Table with SupportsWrite {
 
   private def spark = SparkSession.active
@@ -329,6 +337,9 @@ case class GraftTable(identName: String, path: String,
     require(metaKind.isEmpty, s"metadata table $identName is read-only")
     require(pinnedVersion.isEmpty,
       s"cannot write to time-travel read $identName@v${pinnedVersion.get}")
+    require(!readOnly,
+      s"cannot write to versioned (branch-ref) read $identName — " +
+        "write through the branch handle instead")
     new WriteBuilder with SupportsTruncate {
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }

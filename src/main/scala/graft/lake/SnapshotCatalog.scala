@@ -77,7 +77,15 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
     * (catalog path) — its output attributes, which any substitute
     * plan must keep answering to by exprId. */
   private case class Target(name: String, alias: String, path: String,
-      out: Option[Seq[Attribute]])
+      out: Option[Seq[Attribute]], readOnly: Boolean = false)
+
+  /** A branch-ref time-travel relation prunes like a table but is
+    * never a DML target — DML on a branch goes through its branch
+    * handle, where the writer explicitly chose the ref. */
+  private def requireWritable(t: Target, stmt: String): Unit =
+    if (t.readOnly) throw new UnsupportedOperationException(
+      s"$stmt on versioned (branch-ref) read '${t.name}' is not supported — " +
+        "run the statement against the branch handle instead")
 
   private def registered(u: UnresolvedRelation): Option[String] =
     u.multipartIdentifier match {
@@ -87,7 +95,12 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
 
   /** DML targets may carry an alias (`MERGE INTO t alias`) — unwrap
     * to the underlying relation. Pinned time-travel and metadata
-    * relations are never DML/pruning targets. */
+    * relations never match. A branch-head time-travel relation
+    * (VERSION AS OF '<branch>', pinnedVersion=None, readOnly=true)
+    * DOES match — intentionally, so Filter pruning applies on the
+    * branch handle — but carries `readOnly`, which the DML cases
+    * check so a branch-ref can never silently become a write
+    * target. */
   private def targetOf(p: LogicalPlan): Option[Target] = p match {
     case u: UnresolvedRelation =>
       registered(u).map(path =>
@@ -95,7 +108,7 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
     case r: DataSourceV2Relation => r.table match {
       case t: GraftTable if t.pinnedVersion.isEmpty && t.metaKind.isEmpty =>
         val short = t.identName.split("\\.").last
-        Some(Target(short, short, t.path, Some(r.output)))
+        Some(Target(short, short, t.path, Some(r.output), readOnly = t.readOnly))
       case _ => None
     }
     case a: SubqueryAlias =>
@@ -181,6 +194,7 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
     case d @ DeleteFromTable(target, cond) =>
       targetOf(target) match {
         case Some(t) =>
+          requireWritable(t, "DELETE")
           SnapshotDeleteCommand(t.alias, t.path,
             ColumnBridge.column(deresolve(cond)))
         case None => d
@@ -189,6 +203,7 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
     case up: UpdateTable =>
       targetOf(up.table) match {
         case Some(t) =>
+          requireWritable(t, "UPDATE")
           val assigns = up.assignments.map { a =>
             val name = a.key match {
               case ua: UnresolvedAttribute => ua.nameParts.last
@@ -207,6 +222,7 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
     case m: MergeIntoTable =>
       targetOf(m.targetTable) match {
         case Some(t) =>
+          requireWritable(t, "MERGE")
           // the supported shape is full-row upsert: star actions, or
           // their analyzer-expanded equivalent (one name-aligned
           // assignment per target column — ResolveReferences expands

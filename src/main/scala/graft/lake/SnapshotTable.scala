@@ -866,6 +866,12 @@ object SnapshotTable {
       s"invalid tag name '$name'")
     require(scala.util.Try(name.toLong).isFailure,
       s"numeric tag '$name' would shadow version numbers")
+    // tags and branches share one ref namespace (the Iceberg rule):
+    // a tag shadowing a branch would make VERSION AS OF '<name>'
+    // silently read the pinned tag instead of the branch head
+    require(!branches(spark, path).contains(name),
+      s"ref '$name' already names a branch of $path — " +
+        "tags and branches share one namespace")
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     require(versions(spark, path).contains(v), s"version $v of $path does not exist")
@@ -995,6 +1001,10 @@ object SnapshotTable {
     require(branchOf(path).isEmpty, "create branches from the main table handle")
     require(name.nonEmpty && !name.exists(c => c == '/' || c.isWhitespace)
         && !name.contains(BranchSep), s"invalid branch name '$name'")
+    // shared ref namespace, other direction (see tag())
+    require(tagVersion(spark, path, name).isEmpty,
+      s"ref '$name' already names a tag of $path — " +
+        "tags and branches share one namespace")
     val v = tagName match {
       case Some(t) => tagVersion(spark, path, t).getOrElse(
         throw new IllegalArgumentException(s"no tag '$t' at $path"))
@@ -1014,15 +1024,25 @@ object SnapshotTable {
   }
 
   /** Resolve a non-numeric `VERSION AS OF` ref the Iceberg way
-    * (tags and branches share one ref namespace): a tag pins a
-    * version of the main history; otherwise a branch name reads the
-    * branch HEAD. Returns the (handle, pinned version) to read, None
-    * if the name matches neither. */
+    * (tags and branches share one ref namespace, enforced at
+    * creation): a tag pins a version of the main history; a branch
+    * name reads the branch HEAD. Returns the (handle, pinned
+    * version) to read, None if the name matches neither. A name
+    * matching BOTH (possible only on a pre-namespace-rule table)
+    * throws instead of silently preferring the tag — either answer
+    * would be wrong data for callers expecting the other ref. */
   def resolveRef(spark: SparkSession, path: String,
-      ref: String): Option[(String, Option[Long])] =
-    tagVersion(spark, path, ref).map(v => (path, Some(v): Option[Long]))
-      .orElse(if (branches(spark, path).contains(ref))
-        Some((branchHandle(path, ref), None)) else None)
+      ref: String): Option[(String, Option[Long])] = {
+    val asTag = tagVersion(spark, path, ref)
+    val asBranch = branches(spark, path).contains(ref)
+    if (asTag.isDefined && asBranch)
+      throw new IllegalArgumentException(
+        s"ambiguous ref '$ref' at $path: both a tag and a branch carry " +
+          "this name (created before the shared-namespace rule) — " +
+          "drop or rename one of them")
+    asTag.map(v => (path, Some(v): Option[Long]))
+      .orElse(if (asBranch) Some((branchHandle(path, ref), None)) else None)
+  }
 
   /** DROP BRANCH: removes the branch's manifests (and its branch-local
     * tags). Data files only the branch referenced become unreferenced
@@ -1866,12 +1886,17 @@ object SnapshotTable {
     val (candidates, kept0) = all.splitAt(math.max(0, all.size - keepVersions))
     // tagged versions are pinned: retention never expires them
     val tagged = tags(spark, path).values.toSet
-    // files live on ANY OTHER ref of this table are pinned too:
-    // branches share the table's data dir with main, so a version
-    // whose files another ref still references stays in history (the
-    // tag posture) — expiring its manifest would strand those files
-    // as unreachable orphans once the branch drops. After dropBranch
-    // the next vacuum reclaims the version normally.
+    // On the MAIN handle, a version whose files another ref still
+    // references stays in history (the tag posture): branches share
+    // the table's data dir, dropBranch deletes the branch log without
+    // touching data, and "next vacuum on main reclaims" only works if
+    // main still holds a manifest naming those files — expiring it
+    // would strand them as unreachable orphans once the branch drops.
+    // A BRANCH handle needs no such pin: every file a branch manifest
+    // shares with another ref is a fork-ancestry file that main's own
+    // (pinned) history also names, so expiring the branch's fork-base
+    // manifest cannot orphan anything. Physical deletion is guarded
+    // separately below (keptEntries includes refEntries) either way.
     val table = realPathOf(path)
     val self = branchOf(path)
     val otherRefs: Seq[String] =
@@ -1881,11 +1906,12 @@ object SnapshotTable {
     val refEntries = otherRefs.flatMap(h =>
       versions(spark, h).flatMap(readManifest(spark, h, _)))
     val refFiles = refEntries.map(_.filePath).toSet
+    val pinSharedFiles = self.isEmpty
     val candEntries: Map[Long, Seq[Entry]] =
       candidates.map(v => v -> readManifest(spark, path, v)).toMap
     val (expired, young) = candidates.partition { v =>
       v < floor && !tagged(v) &&
-        !candEntries(v).exists(e => refFiles(e.filePath)) &&
+        !(pinSharedFiles && candEntries(v).exists(e => refFiles(e.filePath))) &&
         (minAgeMs <= 0L ||
           f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime <= cutoff)
     }
@@ -1994,17 +2020,47 @@ object SnapshotTable {
       // commit's deletes — read ONLY those positions (semi-join on the
       // broadcast delta), never the whole file
       val prevByPath = prev.map(e => e.filePath -> e).toMap
-      val dvDeltas: Seq[(Entry, Array[Long])] = m.entries.flatMap { e =>
-        prevByPath.get(e.filePath) match {
-          case Some(p) if p.dv != e.dv =>
-            val old = p.dv.map(d => readDv(spark, e.filePath, d._1))
+      val dvChanged: Seq[(Entry, Option[String], Option[String])] =
+        m.entries.flatMap { e =>
+          prevByPath.get(e.filePath) match {
+            case Some(p) if p.dv != e.dv =>
+              Some((e, p.dv.map(_._1), e.dv.map(_._1)))
+            case _ => None
+          }
+        }
+      // Freshly-dead positions per changed file (new DV minus old DV).
+      // A handful of files reads fine on the driver; a wide DV commit
+      // (one DV per file across a big table) would serialize that IO,
+      // so past the threshold the per-file DV reads run as one
+      // distributed pass — same text parse, executor-side.
+      val dvDeltas: Seq[(Entry, Array[Long])] =
+        if (dvChanged.size <= 8)
+          dvChanged.flatMap { case (e, oldP, newP) =>
+            val old = oldP.map(readDv(spark, e.filePath, _))
               .getOrElse(Array.empty[Long]).toSet
-            val dead = e.dv.map(d => readDv(spark, e.filePath, d._1))
+            val dead = newP.map(readDv(spark, e.filePath, _))
               .getOrElse(Array.empty[Long]).filterNot(old)
             if (dead.isEmpty) None else Some((e, dead))
-          case _ => None
+          }
+        else {
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration)
+          val work = dvChanged.map { case (e, o, n) => (e.filePath, o, n) }
+          val deadByFile: Map[String, Array[Long]] = spark.sparkContext
+            .parallelize(work, math.min(work.size, 64))
+            .map { case (fp, oldP, newP) =>
+              def longs(p: String): Array[Long] = {
+                val f = new Path(p).getFileSystem(conf.value)
+                val in = f.open(new Path(p))
+                val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+                s.split("\n").iterator.filter(_.nonEmpty).map(_.toLong).toArray
+              }
+              val old = oldP.map(longs).getOrElse(Array.empty[Long]).toSet
+              fp -> newP.map(longs).getOrElse(Array.empty[Long]).filterNot(old)
+            }
+            .filter(_._2.nonEmpty).collect().toMap
+          dvChanged.flatMap { case (e, _, _) => deadByFile.get(e.filePath).map((e, _)) }
         }
-      }
       // op names are advisory elsewhere in this file (file sets are
       // the truth), so the compact fast path must not take the label
       // on faith: verify row preservation from the manifest alone

@@ -2,6 +2,10 @@ package graft.lake
 
 import java.nio.file.Files
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -105,11 +109,22 @@ class SnapshotBranchSpec extends SparkTestBase {
 
   test("cherryPick conflicts when main rewrote the same files") {
     val path = Files.createTempDirectory("graft-br-cf").toString + "/t"
-    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    // single data file, so both deletes below PROVABLY touch it —
+    // a multi-file fixture can route the two predicates to disjoint
+    // files, where no conflict exists and the pick rightly succeeds
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")).coalesce(1),
+      path, Seq("event_date"))                                                  // v1
+    val v1Files = SnapshotTable.liveFiles(spark, path).toSet
+    assert(v1Files.size === 1, "fixture must be a single file for a true conflict")
     SnapshotTable.createBranch(spark, path, "dev")
     val bh = SnapshotTable.branchHandle(path, "dev")
-    SnapshotTable.delete(spark, bh, col("v") >= 40.0)   // branch rewrites a's files
-    SnapshotTable.delete(spark, path, col("v") <= 0.0)  // main rewrites them too
+    SnapshotTable.delete(spark, bh, col("v") >= 40.0)   // branch rewrites THE file
+    SnapshotTable.delete(spark, path, col("v") <= 0.0)  // main rewrites it too
+    // non-vacuous premise: both refs replaced the same v1 file state
+    assert(!SnapshotTable.liveFiles(spark, path).toSet.exists(v1Files),
+      "main delete must have rewritten the v1 file")
+    assert(!SnapshotTable.liveFiles(spark, bh).toSet.exists(v1Files),
+      "branch delete must have rewritten the v1 file")
 
     val ex = intercept[IllegalArgumentException] {
       SnapshotTable.cherryPick(spark, path, "dev", 2L)
@@ -144,6 +159,81 @@ class SnapshotBranchSpec extends SparkTestBase {
     val onDisk = f.globStatus(new org.apache.hadoop.fs.Path(s"$path/data/*/*/*.parquet"))
       .map(st => norm(st.getPath.toString)).toSet
     assert((onDisk -- liveNow).isEmpty, "dropped-branch-only files must be reclaimed")
+  }
+
+  test("concurrent main and branch writers never cross-talk or lose commits") {
+    // branches share the data dir and the commit-lock namespace with
+    // main, but their logs are separate CAS domains: N writers on
+    // each ref, all racing, must all land — on their OWN ref
+    val path = Files.createTempDirectory("graft-br-race").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    SnapshotTable.createBranch(spark, path, "dev")
+    val bh = SnapshotTable.branchHandle(path, "dev")
+    val n = 3
+    val writers = (1 to n).flatMap { i =>
+      Seq(
+        Future { SnapshotTable.append(
+          mkRows(s"m$i", Seq(s"2024-02-0$i")), path, Seq("event_date")) },
+        Future { SnapshotTable.append(
+          mkRows(s"b$i", Seq(s"2024-03-0$i")), bh, Seq("event_date")) })
+    }
+    writers.foreach(Await.result(_, 120.seconds))
+    // every commit landed: v1 + n appends per ref, versions contiguous
+    assert(SnapshotTable.versions(spark, path) === (1L to (n + 1L)))
+    assert(SnapshotTable.versions(spark, bh) === (1L to (n + 1L)))
+    val main = SnapshotTable.read(spark, path)
+    val branch = SnapshotTable.read(spark, bh)
+    assert(main.count() === 5L * (n + 1))
+    assert(branch.count() === 5L * (n + 1))
+    // isolation: no b- rows on main, no m- rows on the branch
+    assert(main.filter(col("id").startsWith("b")).count() === 0)
+    assert(branch.filter(col("id").startsWith("m")).count() === 0)
+  }
+
+  test("racing createBranch: exactly one of two same-name forks wins") {
+    val path = Files.createTempDirectory("graft-br-race2").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    val attempts = (1 to 2).map(_ => Future {
+      scala.util.Try(SnapshotTable.createBranch(spark, path, "dev"))
+    })
+    val results = attempts.map(Await.result(_, 60.seconds))
+    assert(results.count(_.isSuccess) === 1,
+      s"expected exactly one winner, got: $results")
+    assert(SnapshotTable.branches(spark, path) === Seq("dev"))
+    assert(SnapshotTable.versions(spark,
+      SnapshotTable.branchHandle(path, "dev")) === Seq(1L))
+  }
+
+  test("tags and branches share one ref namespace") {
+    val path = Files.createTempDirectory("graft-br-ns").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    SnapshotTable.createBranch(spark, path, "dev")
+    SnapshotTable.tag(spark, path, "golden")
+    // a tag may not shadow a branch: VERSION AS OF 'dev' would
+    // silently read the pinned tag instead of the branch head
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.tag(spark, path, "dev")
+    }
+    assert(e1.getMessage.contains("namespace"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.createBranch(spark, path, "golden")
+    }
+    assert(e2.getMessage.contains("namespace"))
+    // both refs still resolve to their own kind
+    assert(SnapshotTable.resolveRef(spark, path, "dev") ===
+      Some((SnapshotTable.branchHandle(path, "dev"), None)))
+    assert(SnapshotTable.resolveRef(spark, path, "golden") === Some((path, Some(1L))))
+  }
+
+  test("branch-ref versioned loadTable is structurally write-blocked") {
+    // VERSION AS OF '<branch>' pins no version (it reads the branch
+    // head), so the pinnedVersion guard alone would let a write
+    // through — the readOnly flag must block it
+    val t = GraftTable("ns.t", "/nonexistent", pinnedVersion = None, readOnly = true)
+    val ex = intercept[IllegalArgumentException] {
+      t.newWriteBuilder(null)
+    }
+    assert(ex.getMessage.contains("branch-ref"))
   }
 
   test("vacuum through a branch handle only touches branch manifests, pins main") {

@@ -671,6 +671,35 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, path).count() === 6)
   }
 
+  test("wide DV commit: change feed reads delta positions distributed, stays exact") {
+    val path = Files.createTempDirectory("graft-dv-wide").toString + "/t"
+    // 12 input partitions of 5 consecutive ids each → 12 data files,
+    // every file holding exactly one v=0 row: the DV delete below
+    // touches all 12, which is past the driver-read threshold (8) and
+    // exercises the distributed DV-delta path in changes()
+    val rows = (0 until 60).map(i =>
+      org.apache.spark.sql.Row(f"id-$i%02d", "2024-01-01", (i % 5) * 10.0))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_date", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 12), schema)
+    SnapshotTable.append(df, path, Seq("event_date"))                 // v1
+    assert(SnapshotTable.liveFiles(spark, path).size >= 9,
+      "fixture must span more files than the driver-read threshold")
+    SnapshotTable.deleteWithVectors(spark, path, col("v") === 0.0)    // v2
+    assert(SnapshotTable.readManifest(spark, path, 2L).count(_.dv.isDefined) >= 9,
+      "DV delta must span enough files to take the distributed path")
+    assert(SnapshotTable.read(spark, path).count() === 48)
+    val feed = SnapshotTable.changes(spark, path, 1L, 2L)
+    assert(feed.count() === 12)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("delete"))
+    assert(feed.select("id").collect().map(_.getString(0)).toSet ===
+      (0 until 60 by 5).map(i => f"id-$i%02d").toSet)
+  }
+
   test("deletion vectors: rewrite paths respect DVs; append-only consumers refuse DV commits") {
     val path = Files.createTempDirectory("graft-snap").toString + "/t"
     // one data file, so the dead row and the updated row share it
