@@ -830,6 +830,101 @@ object EvQueries {
        |WHERE NOT session_duration_minutes > 120
        |ORDER BY sessionId""".stripMargin
 
+  /** Writable branches + shallow clone through the gate (Iceberg
+    * branch refs / Delta shallow clone): commit the gold fact, fork a
+    * `dev` branch, diverge it (DELETE long sessions + append fixups)
+    * while main stays untouched, FAST-FORWARD main onto the branch
+    * head (commit-by-commit, ops preserved, zero-rewrite file
+    * identity), then diverge BOTH refs — fastForward must refuse and
+    * CHERRY-PICK merges the branch commit instead — and finally
+    * shallow-clone the merged table (instant, isolated fork). The
+    * final main table hash-matches the DuckDB oracle recomputing the
+    * merged state straight from the CSV; every branch-protocol claim
+    * rides as a contract column. */
+  def branchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-branch-gate").toString
+    val path = base + "/fact"
+    import graft.lake.SnapshotTable
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      SnapshotTable.append(gold, path, Seq("event_date"))                // main v1
+      // phase 1: diverge on a branch while main is unmoved → fastForward
+      SnapshotTable.createBranch(spark, path, "dev")
+      val bh = SnapshotTable.branchHandle(path, "dev")
+      SnapshotTable.delete(spark, bh,
+        col("session_duration_minutes") > 120)                           // branch v2
+      val fixups = gold.orderBy("sessionId").limit(3)
+        .withColumn("sessionId", concat(col("sessionId"), lit("-fix")))
+        .withColumn("session_duration_minutes", lit(1.0))
+      SnapshotTable.append(fixups, bh, Seq("event_date"))                // branch v3
+      val mainIsolated = SnapshotTable.read(spark, path).count() == gold.count()
+      val ffHead = SnapshotTable.fastForward(spark, path, "dev")         // main → v3
+      val ffOps = SnapshotTable.opOf(spark, path, 2L).contains("delete") &&
+        SnapshotTable.opOf(spark, path, 3L).contains("append")
+      val ffZeroRewrite = SnapshotTable.liveFiles(spark, path).toSet ==
+        SnapshotTable.liveFiles(spark, bh).toSet
+      // phase 2: diverge BOTH refs → fastForward refuses, cherryPick merges
+      SnapshotTable.createBranch(spark, path, "hotfix")
+      val hh = SnapshotTable.branchHandle(path, "hotfix")
+      SnapshotTable.append(spark.sql(
+        "SELECT 'hotfix-1' AS sessionId, DATE '2020-01-01' AS event_date, " +
+          "CAST(7.0 AS DOUBLE) AS session_duration_minutes"),
+        hh, Seq("event_date"))                                           // hotfix v4
+      SnapshotTable.append(spark.sql(
+        "SELECT 'mainline-1' AS sessionId, DATE '2020-01-02' AS event_date, " +
+          "CAST(9.0 AS DOUBLE) AS session_duration_minutes"),
+        path, Seq("event_date"))                                         // main v4
+      val ffRefused = scala.util.Try(
+        SnapshotTable.fastForward(spark, path, "hotfix")).isFailure
+      val picked = SnapshotTable.cherryPick(spark, path, "hotfix", 4L)   // main v5
+      val pickOp = SnapshotTable.opOf(spark, path, 5L).contains("cherrypick-append")
+      // phase 3: shallow clone — instant fork, writes stay isolated
+      val clonePath = base + "/clone"
+      SnapshotTable.shallowClone(spark, path, clonePath)
+      val mainCount = SnapshotTable.read(spark, path).count()
+      val cloneSame = SnapshotTable.read(spark, clonePath).count() == mainCount
+      SnapshotTable.append(spark.sql(
+        "SELECT 'clone-only' AS sessionId, DATE '2020-01-03' AS event_date, " +
+          "CAST(5.0 AS DOUBLE) AS session_duration_minutes"),
+        clonePath, Seq("event_date"))                                    // clone v2
+      val cloneIsolated =
+        SnapshotTable.read(spark, clonePath).count() == mainCount + 1 &&
+          SnapshotTable.read(spark, path).count() == mainCount
+      SnapshotTable.read(spark, path)
+        .select("sessionId", "session_duration_minutes")
+        .withColumn("main_isolated", lit(mainIsolated))
+        .withColumn("ff_ok", lit(ffHead == 3L && ffOps && ffZeroRewrite))
+        .withColumn("ff_refused", lit(ffRefused))
+        .withColumn("picked_ok", lit(picked == 5L && pickOp))
+        .withColumn("clone_ok", lit(cloneSame && cloneIsolated))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val branchMergeSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |), fix AS (
+       |  SELECT sessionId || '-fix' AS sessionId, 1.0 AS session_duration_minutes
+       |  FROM gold ORDER BY sessionId LIMIT 3
+       |), merged AS (
+       |  SELECT sessionId, session_duration_minutes FROM gold
+       |  WHERE NOT session_duration_minutes > 120
+       |  UNION ALL SELECT * FROM fix
+       |  UNION ALL SELECT 'hotfix-1', 7.0
+       |  UNION ALL SELECT 'mainline-1', 9.0
+       |)
+       |SELECT sessionId, session_duration_minutes,
+       |  true AS main_isolated, true AS ff_ok, true AS ff_refused,
+       |  true AS picked_ok, true AS clone_ok
+       |FROM merged ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -849,5 +944,6 @@ object EvQueries {
     QDef("ev16_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningSql)),
     QDef("ev17_restore_tags", restoreTags, Some(restoreTagsSql)),
     QDef("ev18_catalog_sql", catalogSql, Some(catalogSqlSql)),
+    QDef("ev19_branch_merge", branchMerge, Some(branchMergeSql)),
   )
 }
