@@ -925,6 +925,102 @@ object EvQueries {
        |  true AS picked_ok, true AS clone_ok
        |FROM merged ORDER BY sessionId""".stripMargin
 
+  /** The ev19 branch workflow again, through PURE SQL (the injected
+    * extension parser's ref DDL + the registered-name DML surface):
+    * `ALTER TABLE .. CREATE BRANCH`, branch DML via its registered
+    * handle, `VERSION AS OF '<branch>'` reads, `FAST FORWARD BRANCH`,
+    * `CHERRY PICK BRANCH .. VERSION`, `CREATE TAG` + tag read, `DROP
+    * BRANCH` — final state hash-matched against the same oracle shape
+    * as ev19 (minus the clone, which has its own API gate there). */
+  def branchSql(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-brsql-gate").toString
+    val path = base + "/fact"
+    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      SnapshotTable.append(gold, path, Seq("event_date"))              // main v1
+      SnapshotCatalog.register("ev20_fact", path)
+      SnapshotCatalog.register("ev20_fact_dev",
+        SnapshotTable.branchHandle(path, "dev"))
+      SnapshotCatalog.register("ev20_fact_hotfix",
+        SnapshotTable.branchHandle(path, "hotfix"))
+
+      spark.sql("ALTER TABLE ev20_fact CREATE BRANCH dev")
+      spark.sql(
+        "DELETE FROM ev20_fact_dev WHERE session_duration_minutes > 120") // dev v2
+      gold.orderBy("sessionId").limit(3)
+        .withColumn("sessionId", concat(col("sessionId"), lit("-fix")))
+        .withColumn("session_duration_minutes", lit(1.0))
+        .createOrReplaceTempView("ev20_fixups")
+      spark.sql("MERGE INTO ev20_fact_dev t USING ev20_fixups s " +
+        "ON t.sessionId = s.sessionId " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")  // dev v3
+      val branchReadOk = spark.sql(
+        "SELECT count(*) FROM ev20_fact VERSION AS OF 'dev'").head().getLong(0) ==
+        spark.sql("SELECT count(*) FROM ev20_fact_dev").head().getLong(0)
+      val ffV = spark.sql("ALTER TABLE ev20_fact FAST FORWARD BRANCH dev")
+        .head().getLong(0)                                             // main → v3
+
+      spark.sql("ALTER TABLE ev20_fact CREATE BRANCH hotfix")
+      spark.sql("SELECT 'hotfix-1' AS sessionId, " +
+          "DATE '2020-01-01' AS event_date, " +
+          "CAST(7.0 AS DOUBLE) AS session_duration_minutes")
+        .createOrReplaceTempView("ev20_hot")
+      spark.sql("MERGE INTO ev20_fact_hotfix t USING ev20_hot s " +
+        "ON t.sessionId = s.sessionId " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")  // hotfix v4
+      SnapshotTable.append(spark.sql(
+        "SELECT 'mainline-1' AS sessionId, DATE '2020-01-02' AS event_date, " +
+          "CAST(9.0 AS DOUBLE) AS session_duration_minutes"),
+        path, Seq("event_date"))                                       // main v4
+      val ffRefused = scala.util.Try(spark.sql(
+        "ALTER TABLE ev20_fact FAST FORWARD BRANCH hotfix").collect()).isFailure
+      val pickV = spark.sql(
+        "ALTER TABLE ev20_fact CHERRY PICK BRANCH hotfix VERSION 4")
+        .head().getLong(0)                                             // main v5
+
+      spark.sql("ALTER TABLE ev20_fact CREATE TAG merged")
+      val tagReadOk = spark.sql(
+        "SELECT count(*) FROM ev20_fact VERSION AS OF 'merged'").head().getLong(0) ==
+        spark.sql("SELECT count(*) FROM ev20_fact").head().getLong(0)
+      spark.sql("ALTER TABLE ev20_fact DROP BRANCH dev")
+      val dropOk = SnapshotTable.branches(spark, path) == Seq("hotfix")
+
+      spark.sql("SELECT sessionId, session_duration_minutes FROM ev20_fact")
+        .withColumn("branch_read_ok", lit(branchReadOk))
+        .withColumn("ff_ok", lit(ffV == 3L))
+        .withColumn("ff_refused", lit(ffRefused))
+        .withColumn("picked_ok", lit(pickV == 5L))
+        .withColumn("tag_read_ok", lit(tagReadOk))
+        .withColumn("drop_ok", lit(dropOk))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val branchSqlSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |), fix AS (
+       |  SELECT sessionId || '-fix' AS sessionId, 1.0 AS session_duration_minutes
+       |  FROM gold ORDER BY sessionId LIMIT 3
+       |), merged AS (
+       |  SELECT sessionId, session_duration_minutes FROM gold
+       |  WHERE NOT session_duration_minutes > 120
+       |  UNION ALL SELECT * FROM fix
+       |  UNION ALL SELECT 'hotfix-1', 7.0
+       |  UNION ALL SELECT 'mainline-1', 9.0
+       |)
+       |SELECT sessionId, session_duration_minutes,
+       |  true AS branch_read_ok, true AS ff_ok, true AS ff_refused,
+       |  true AS picked_ok, true AS tag_read_ok, true AS drop_ok
+       |FROM merged ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -945,5 +1041,6 @@ object EvQueries {
     QDef("ev17_restore_tags", restoreTags, Some(restoreTagsSql)),
     QDef("ev18_catalog_sql", catalogSql, Some(catalogSqlSql)),
     QDef("ev19_branch_merge", branchMerge, Some(branchMergeSql)),
+    QDef("ev20_branch_sql", branchSql, Some(branchSqlSql)),
   )
 }

@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL-syntax time travel over registered snapshot tables:
     //   SELECT * FROM name VERSION AS OF 2 / TIMESTAMP AS OF '...'
     ext.injectResolutionRule(s => graft.lake.ResolveSnapshotRelation(s))
+    // branch/tag ref DDL statements (ALTER TABLE t CREATE BRANCH ...)
+    // — syntax Spark's grammar lacks; everything else delegates
+    ext.injectParser((_, delegate) => new graft.lake.GraftSqlParser(delegate))
   }
 }

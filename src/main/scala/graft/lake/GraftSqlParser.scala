@@ -1,0 +1,158 @@
+package graft.lake
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** Injected SQL parser adding the branch/tag DDL statements Spark's
+  * grammar has no syntax for (the Iceberg ref-management surface,
+  * statement-shaped rather than `CALL system.*` procedures):
+  *
+  *   ALTER TABLE t CREATE BRANCH dev [AS OF VERSION 3 | AS OF TAG golden]
+  *   ALTER TABLE t DROP BRANCH dev
+  *   ALTER TABLE t CREATE [OR REPLACE] TAG golden [AS OF VERSION 3]
+  *   ALTER TABLE t DROP TAG golden
+  *   ALTER TABLE t FAST FORWARD BRANCH dev
+  *   ALTER TABLE t CHERRY PICK BRANCH dev VERSION 4
+  *
+  * Reading a ref needs no new syntax — `VERSION AS OF '<ref>'`
+  * resolves tags and branch heads already; writing to a branch goes
+  * through its registered handle. Everything else delegates to
+  * Spark's parser untouched, so this is a pure statement-surface
+  * extension (the Delta/Iceberg extension-parser pattern). The table
+  * identifier resolves at RUN time: a single-part name through
+  * [[SnapshotCatalog]]'s registry, a multi-part name through the
+  * session's catalog manager (a [[GraftCatalog]] table carries its
+  * storage path).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateBranchAtVersion(t, b, v) =>
+      SnapshotRefDdlCommand(idents(t), "create_branch", b, Some(v.toLong), None)
+    case CreateBranchAtTag(t, b, tag) =>
+      SnapshotRefDdlCommand(idents(t), "create_branch", b, None, Some(tag))
+    case CreateBranch(t, b) =>
+      SnapshotRefDdlCommand(idents(t), "create_branch", b, None, None)
+    case DropBranch(t, b) =>
+      SnapshotRefDdlCommand(idents(t), "drop_branch", b, None, None)
+    case CreateTagAtVersion(t, orReplace, tag, v) =>
+      SnapshotRefDdlCommand(idents(t), "create_tag", tag, Some(v.toLong), None,
+        replace = orReplace != null)
+    case CreateTag(t, orReplace, tag) =>
+      SnapshotRefDdlCommand(idents(t), "create_tag", tag, None, None,
+        replace = orReplace != null)
+    case DropTag(t, tag) =>
+      SnapshotRefDdlCommand(idents(t), "drop_tag", tag, None, None)
+    case FastForward(t, b) =>
+      SnapshotRefDdlCommand(idents(t), "fast_forward", b, None, None)
+    case CherryPick(t, b, v) =>
+      SnapshotRefDdlCommand(idents(t), "cherry_pick", b, Some(v.toLong), None)
+    case other => delegate.parsePlan(other)
+  }
+
+  private def idents(t: String): Seq[String] =
+    delegate.parseMultipartIdentifier(t)
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+private object GraftSqlParser {
+  // identifiers: optionally backquoted parts joined by dots; ref
+  // names: one capture group, bare or single-quoted (quotes lenient).
+  // (?is) = case-insensitive, dot-all; trailing ;? tolerates a
+  // statement terminator.
+  private val T = """((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)"""
+  private val N = """'?(\w[\w-]*)'?"""
+
+  private def rx(body: String) =
+    new scala.util.matching.Regex(s"(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+$body\\s*;?\\s*")
+
+  private[lake] val CreateBranchAtVersion =
+    rx(s"CREATE\\s+BRANCH\\s+$N\\s+AS\\s+OF\\s+VERSION\\s+(\\d+)")
+  private[lake] val CreateBranchAtTag =
+    rx(s"CREATE\\s+BRANCH\\s+$N\\s+AS\\s+OF\\s+TAG\\s+$N")
+  private[lake] val CreateBranch = rx(s"CREATE\\s+BRANCH\\s+$N")
+  private[lake] val DropBranch = rx(s"DROP\\s+BRANCH\\s+$N")
+  private[lake] val CreateTagAtVersion =
+    rx(s"CREATE\\s+(OR\\s+REPLACE\\s+)?TAG\\s+$N\\s+AS\\s+OF\\s+VERSION\\s+(\\d+)")
+  private[lake] val CreateTag = rx(s"CREATE\\s+(OR\\s+REPLACE\\s+)?TAG\\s+$N")
+  private[lake] val DropTag = rx(s"DROP\\s+TAG\\s+$N")
+  private[lake] val FastForward = rx(s"FAST\\s+FORWARD\\s+BRANCH\\s+$N")
+  private[lake] val CherryPick =
+    rx(s"CHERRY\\s+PICK\\s+BRANCH\\s+$N\\s+VERSION\\s+(\\d+)")
+}
+
+/** Runnable ref-DDL command: resolves the table identifier to a
+  * storage path (registered name or catalog table) and applies the
+  * [[SnapshotTable]] ref operation. Returns the resulting version
+  * (for drops: the head, unchanged). */
+case class SnapshotRefDdlCommand(ident: Seq[String], op: String,
+    ref: String, version: Option[Long], fromTag: Option[String],
+    replace: Boolean = false) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  private def pathOf(spark: SparkSession): String = ident match {
+    case Seq(n) => SnapshotCatalog.pathOf(n).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$n' is not a registered snapshot table (SnapshotCatalog.register)"))
+    case parts =>
+      spark.sessionState.catalogManager.catalog(parts.head) match {
+        case tc: TableCatalog =>
+          tc.loadTable(Identifier.of(parts.slice(1, parts.size - 1).toArray,
+              parts.last)) match {
+            case g: GraftTable => g.path
+            case other => throw new IllegalArgumentException(
+              s"${ident.mkString(".")} is not a snapshot table: $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"catalog '${parts.head}' is not a table catalog: $other")
+      }
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = pathOf(spark)
+    val v: Long = op match {
+      case "create_branch" =>
+        SnapshotTable.createBranch(spark, path, ref, version, fromTag)
+      case "drop_branch" =>
+        SnapshotTable.dropBranch(spark, path, ref)
+        SnapshotTable.latestVersion(spark, path).getOrElse(0L)
+      case "create_tag" =>
+        SnapshotTable.tag(spark, path, ref, version, replace)
+      case "drop_tag" =>
+        SnapshotTable.dropTag(spark, path, ref)
+        SnapshotTable.latestVersion(spark, path).getOrElse(0L)
+      case "fast_forward" =>
+        SnapshotTable.fastForward(spark, path, ref)
+      case "cherry_pick" =>
+        SnapshotTable.cherryPick(spark, path, ref, version.get)
+      case other => throw new IllegalStateException(s"unknown ref op: $other")
+    }
+    Seq(Row(v))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Branch/tag ref DDL through SQL (the injected extension parser):
+  * every statement form parses, resolves its table (registered name
+  * and catalog ident), runs the ref operation, and returns the
+  * version; everything else still delegates to Spark's parser. */
+class GraftSqlParserSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private var prevDefault: Option[SparkSession] = None
+  private var prevActive: Option[SparkSession] = None
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-psql-wh").toString
+
+  private lazy val s2: SparkSession = {
+    prevDefault = SparkSession.getDefaultSession
+    prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sqlparser-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.catalog.graftp", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graftp.warehouse", warehouse)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    prevActive.foreach(SparkSession.setActiveSession)
+    super.afterAll()
+  }
+
+  private def mk(tag: String) =
+    (0 until 5).map(j => (s"$tag-$j", "2024-01-01", 10.0 * j))
+      .toDF("id", "event_date", "v")
+
+  test("branch and tag DDL round-trip on a registered table") {
+    val path = Files.createTempDirectory("graft-psql").toString + "/t"
+    SnapshotTable.append(mk("a"), path, Seq("event_date"))          // v1
+    SnapshotCatalog.register("psql_t", path)
+
+    assert(s2.sql("ALTER TABLE psql_t CREATE BRANCH dev")
+      .head().getLong(0) === 1L)
+    assert(SnapshotTable.branches(s2, path) === Seq("dev"))
+
+    // diverge the branch through its registered handle, read it back
+    // through the ref SQL
+    SnapshotCatalog.register("psql_t_dev", SnapshotTable.branchHandle(path, "dev"))
+    s2.sql("DELETE FROM psql_t_dev WHERE v >= 40.0")                // branch v2
+    assert(s2.sql("SELECT count(*) FROM psql_t VERSION AS OF 'dev'")
+      .head().getLong(0) === 4L)
+    assert(s2.sql("SELECT count(*) FROM psql_t").head().getLong(0) === 5L)
+
+    // fast-forward main onto the branch head, all SQL
+    assert(s2.sql("ALTER TABLE psql_t FAST FORWARD BRANCH dev")
+      .head().getLong(0) === 2L)
+    assert(s2.sql("SELECT count(*) FROM psql_t").head().getLong(0) === 4L)
+
+    // tag DDL: create, AS OF VERSION, OR REPLACE, drop
+    assert(s2.sql("ALTER TABLE psql_t CREATE TAG merged")
+      .head().getLong(0) === 2L)
+    assert(SnapshotTable.tagVersion(s2, path, "merged") === Some(2L))
+    assert(s2.sql("ALTER TABLE psql_t CREATE OR REPLACE TAG merged AS OF VERSION 1")
+      .head().getLong(0) === 1L)
+    assert(s2.sql("SELECT count(*) FROM psql_t VERSION AS OF 'merged'")
+      .head().getLong(0) === 5L)
+    s2.sql("ALTER TABLE psql_t DROP TAG merged")
+    assert(SnapshotTable.tagVersion(s2, path, "merged") === None)
+
+    s2.sql("ALTER TABLE psql_t DROP BRANCH dev")
+    assert(SnapshotTable.branches(s2, path) === Nil)
+  }
+
+  test("cherry pick via SQL after both refs diverge") {
+    val path = Files.createTempDirectory("graft-psql-cp").toString + "/t"
+    SnapshotTable.append(mk("a"), path, Seq("event_date"))          // v1
+    SnapshotCatalog.register("psql_cp", path)
+    s2.sql("ALTER TABLE psql_cp CREATE BRANCH fix")
+    val bh = SnapshotTable.branchHandle(path, "fix")
+    SnapshotTable.append(mk("b"), bh, Seq("event_date"))            // branch v2
+    SnapshotTable.append(mk("m"), path, Seq("event_date"))          // main v2
+    val ex = intercept[Exception] {
+      s2.sql("ALTER TABLE psql_cp FAST FORWARD BRANCH fix").collect()
+    }
+    assert(ex.getMessage.contains("cherryPick"))
+    assert(s2.sql("ALTER TABLE psql_cp CHERRY PICK BRANCH fix VERSION 2")
+      .head().getLong(0) === 3L)
+    assert(s2.sql("SELECT count(*) FROM psql_cp").head().getLong(0) === 15L)
+  }
+
+  test("catalog idents resolve; branch from a tag; non-ref SQL delegates") {
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS graftp.ns")
+    s2.sql("CREATE TABLE graftp.ns.bt (id STRING, v DOUBLE) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graftp.ns.bt SELECT 'x', 1.0")              // v2
+    s2.sql("ALTER TABLE graftp.ns.bt CREATE TAG base")
+    assert(s2.sql("ALTER TABLE graftp.ns.bt CREATE BRANCH sandbox AS OF TAG base")
+      .head().getLong(0) === 2L)
+    // ref reads through the catalog's versioned loadTable
+    assert(s2.sql("SELECT count(*) FROM graftp.ns.bt VERSION AS OF 'sandbox'")
+      .head().getLong(0) === 1L)
+    // ordinary statements still parse through the delegate
+    assert(s2.sql("SELECT 1 + 1").head().getInt(0) === 2)
+    s2.sql("ALTER TABLE graftp.ns.bt ADD COLUMNS (note STRING)")
+    assert(s2.table("graftp.ns.bt").columns.contains("note"))
+  }
+}
