@@ -434,6 +434,9 @@ object VectorFunctions {
   def char_bigram_score(c: Column, probs: Seq[Double]): Column =
     ColumnBridge.column(CharBigramScore(ColumnBridge.expression(c), probs))
 
+  def hashed_ngram_buckets(c: Column, numBuckets: Int): Column =
+    ColumnBridge.column(HashedNgramBuckets(ColumnBridge.expression(c), numBuckets))
+
   /** SQL registration: SELECT cosine_similarity(a, b) ... */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -869,24 +869,30 @@ object TextAnalysis {
     * by construction. Shared by the LM score query and the filter
     * funnel. */
   def charLmModel(docs: DataFrame): Array[Double] = {
-    val norm = docs
+    // one custom-aggregate pass over the normalized strings (no
+    // per-bigram row explosion — see CharBigramCountsAggregator);
+    // counts are bit-identical to the exploded groupBy formulation,
+    // so the p divides (and every downstream score) are unchanged
+    val counts: Seq[Long] = docs
       .select(regexp_replace(lower(col("text")), "[^a-z ]", "").as("s"))
       .filter(length(col("s")) >= 2)
-    val grams = norm.select(explode(expr(
-      "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")).as("bg"))
-    val model = grams.groupBy("bg").agg(count(lit(1)).as("c12"))
-    val firsts = model.groupBy(substring(col("bg"), 1, 1).as("c1ch"))
-      .agg(sum(col("c12")).as("c1"))
-    val collected = model
-      .join(broadcast(firsts), substring(col("bg"), 1, 1) === col("c1ch"))
-      .select(col("bg"),
-        (col("c12").cast("double") / col("c1").cast("double")).as("p"))
-      .collect()
+      .agg(graft.functions.CharBigramCounts.udafFn(col("s")).as("m"))
+      .head().getSeq[Long](0)
     val parr = new Array[Double](729)
-    def ix(c: Char): Int = if (c == ' ') 26 else c - 'a'
-    collected.foreach { r =>
-      val bg = r.getString(0)
-      parr(ix(bg.charAt(0)) * 27 + ix(bg.charAt(1))) = r.getDouble(1)
+    var i = 0
+    while (i < 27) {
+      var c1 = 0L
+      var j = 0
+      while (j < 27) { c1 += counts(i * 27 + j); j += 1 }
+      if (c1 > 0L) {
+        j = 0
+        while (j < 27) {
+          val c12 = counts(i * 27 + j)
+          if (c12 > 0L) parr(i * 27 + j) = c12.toDouble / c1.toDouble
+          j += 1
+        }
+      }
+      i += 1
     }
     parr
   }
@@ -1310,18 +1316,15 @@ object TextAnalysis {
   def hashedNgramFeatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numBuckets: Int = 4096): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
-    val toks = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        "concat(ws, transform(sequence(1, size(ws) - 1), " +
-          "i -> concat(element_at(ws, i), '_', element_at(ws, i + 1))))"))
-        .as("token"))
-    toks
-      .withColumn("bucket",
-        pmod(conv(substring(md5(col("token")), 1, 6), 16, 10).cast("long"),
-          lit(numBuckets.toLong)).cast("int"))
-      .groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("tf"))
+    // one map-only pass: per-doc bucket counts computed inside the
+    // codegen'd HashedNgramBuckets expression (identical md5-bucket
+    // arithmetic to the SQL formulation), then exploded to the COO
+    // rows — no corpus-token-sized explode, no (doc, bucket) shuffle
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.VectorFunctions.hashed_ngram_buckets(
+          split(col(textCol), " "), numBuckets)).as("bt"))
+      .select(col("doc_id"), col("bt.bucket").as("bucket"), col("bt.tf").as("tf"))
   }
 
   def hashedFeatures(spark: SparkSession, dir: String): DataFrame =
