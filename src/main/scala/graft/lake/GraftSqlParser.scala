@@ -20,6 +20,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   ALTER TABLE t FAST FORWARD BRANCH dev
   *   ALTER TABLE t CHERRY PICK BRANCH dev VERSION 4
   *
+  * and the Delta-shaped maintenance statements:
+  *
+  *   VACUUM t [KEEP n VERSIONS]
+  *   OPTIMIZE t [FILES n | ZORDER BY (c1, c2)]
+  *
   * Reading a ref needs no new syntax — `VERSION AS OF '<ref>'`
   * resolves tags and branch heads already; writing to a branch goes
   * through its registered handle. Everything else delegates to
@@ -55,6 +60,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotRefDdlCommand(idents(t), "fast_forward", b, None, None)
     case CherryPick(t, b, v) =>
       SnapshotRefDdlCommand(idents(t), "cherry_pick", b, Some(v.toLong), None)
+    case VacuumKeep(t, n) =>
+      SnapshotMaintenanceCommand(idents(t), "vacuum", keepVersions = n.toInt)
+    case Vacuum(t) =>
+      SnapshotMaintenanceCommand(idents(t), "vacuum")
+    case OptimizeZorder(t, cols) =>
+      SnapshotMaintenanceCommand(idents(t), "optimize",
+        zorderCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case OptimizeFiles(t, n) =>
+      SnapshotMaintenanceCommand(idents(t), "optimize", numFiles = n.toInt)
+    case Optimize(t) =>
+      SnapshotMaintenanceCommand(idents(t), "optimize")
     case other => delegate.parsePlan(other)
   }
 
@@ -103,20 +119,26 @@ private object GraftSqlParser {
   private[lake] val FastForward = rx(s"FAST\\s+FORWARD\\s+BRANCH\\s+$N")
   private[lake] val CherryPick =
     rx(s"CHERRY\\s+PICK\\s+BRANCH\\s+$N\\s+VERSION\\s+(\\d+)")
+
+  // maintenance statements (Delta-shaped VACUUM / OPTIMIZE)
+  private def stmt(body: String) =
+    new scala.util.matching.Regex(s"(?is)\\s*$body\\s*;?\\s*")
+  private[lake] val VacuumKeep =
+    stmt(s"VACUUM\\s+$T\\s+KEEP\\s+(\\d+)\\s+VERSIONS?")
+  private[lake] val Vacuum = stmt(s"VACUUM\\s+$T")
+  private[lake] val OptimizeZorder =
+    stmt(s"OPTIMIZE\\s+$T\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)")
+  private[lake] val OptimizeFiles =
+    stmt(s"OPTIMIZE\\s+$T\\s+FILES\\s+(\\d+)")
+  private[lake] val Optimize = stmt(s"OPTIMIZE\\s+$T")
 }
 
-/** Runnable ref-DDL command: resolves the table identifier to a
-  * storage path (registered name or catalog table) and applies the
-  * [[SnapshotTable]] ref operation. Returns the resulting version
-  * (for drops: the head, unchanged). */
-case class SnapshotRefDdlCommand(ident: Seq[String], op: String,
-    ref: String, version: Option[Long], fromTag: Option[String],
-    replace: Boolean = false) extends LeafRunnableCommand {
+private[lake] object SnapshotStatementTarget {
 
-  override def output: Seq[Attribute] =
-    Seq(AttributeReference("version", LongType, nullable = false)())
-
-  private def pathOf(spark: SparkSession): String = ident match {
+  /** Resolve a statement's table identifier to a storage path: a
+    * single-part name through [[SnapshotCatalog]]'s registry, a
+    * multi-part name through the session's catalog manager. */
+  def pathOf(spark: SparkSession, ident: Seq[String]): String = ident match {
     case Seq(n) => SnapshotCatalog.pathOf(n).getOrElse(
       throw new IllegalArgumentException(
         s"'$n' is not a registered snapshot table (SnapshotCatalog.register)"))
@@ -133,9 +155,21 @@ case class SnapshotRefDdlCommand(ident: Seq[String], op: String,
           s"catalog '${parts.head}' is not a table catalog: $other")
       }
   }
+}
+
+/** Runnable ref-DDL command: resolves the table identifier to a
+  * storage path (registered name or catalog table) and applies the
+  * [[SnapshotTable]] ref operation. Returns the resulting version
+  * (for drops: the head, unchanged). */
+case class SnapshotRefDdlCommand(ident: Seq[String], op: String,
+    ref: String, version: Option[Long], fromTag: Option[String],
+    replace: Boolean = false) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val path = pathOf(spark)
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
     val v: Long = op match {
       case "create_branch" =>
         SnapshotTable.createBranch(spark, path, ref, version, fromTag)
@@ -152,6 +186,32 @@ case class SnapshotRefDdlCommand(ident: Seq[String], op: String,
       case "cherry_pick" =>
         SnapshotTable.cherryPick(spark, path, ref, version.get)
       case other => throw new IllegalStateException(s"unknown ref op: $other")
+    }
+    Seq(Row(v))
+  }
+}
+
+/** Runnable maintenance command: `VACUUM t [KEEP n VERSIONS]` →
+  * [[SnapshotTable.vacuum]]; `OPTIMIZE t [FILES n | ZORDER BY
+  * (c1, c2)]` → [[SnapshotTable.compact]] (the Delta statement
+  * shapes). Returns the head version after the operation. */
+case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
+    keepVersions: Int = 1, numFiles: Int = 8,
+    zorderCols: Seq[String] = Nil) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    val v: Long = op match {
+      case "vacuum" =>
+        SnapshotTable.vacuum(spark, path, keepVersions = keepVersions)
+        SnapshotTable.latestVersion(spark, path).getOrElse(0L)
+      case "optimize" =>
+        SnapshotTable.compact(spark, path, numFiles = numFiles,
+          zorderCols = zorderCols)
+      case other => throw new IllegalStateException(s"unknown maintenance op: $other")
     }
     Seq(Row(v))
   }

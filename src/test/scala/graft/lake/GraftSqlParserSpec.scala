@@ -103,6 +103,28 @@ class GraftSqlParserSpec extends SparkTestBase {
     assert(s2.sql("SELECT count(*) FROM psql_cp").head().getLong(0) === 15L)
   }
 
+  test("VACUUM and OPTIMIZE statements run against a registered table") {
+    val path = Files.createTempDirectory("graft-psql-mnt").toString + "/t"
+    // two numeric columns — the z-curve needs ≥2 numeric dims
+    def mk2(tag: String) =
+      (0 until 5).map(j => (s"$tag-$j", "2024-01-01", 10.0 * j, j.toDouble))
+        .toDF("id", "event_date", "v", "w")
+    SnapshotTable.append(mk2("a"), path, Seq("event_date"))         // v1
+    SnapshotTable.append(mk2("b"), path, Seq("event_date"))         // v2
+    SnapshotCatalog.register("psql_mnt", path)
+
+    // OPTIMIZE compacts the live state into one new version
+    assert(s2.sql("OPTIMIZE psql_mnt FILES 1").head().getLong(0) === 3L)
+    assert(SnapshotTable.liveFiles(s2, path).size === 1)
+    assert(SnapshotTable.read(s2, path).count() === 10)
+    assert(s2.sql("OPTIMIZE psql_mnt ZORDER BY (v, w)").head().getLong(0) === 4L)
+
+    // VACUUM trims history to the kept window
+    assert(s2.sql("VACUUM psql_mnt KEEP 1 VERSIONS").head().getLong(0) === 4L)
+    assert(SnapshotTable.versions(s2, path) === Seq(4L))
+    assert(SnapshotTable.read(s2, path).count() === 10)
+  }
+
   test("catalog idents resolve; branch from a tag; non-ref SQL delegates") {
     s2.sql("CREATE NAMESPACE IF NOT EXISTS graftp.ns")
     s2.sql("CREATE TABLE graftp.ns.bt (id STRING, v DOUBLE) USING `graft-snapshot`")
