@@ -437,6 +437,12 @@ object VectorFunctions {
   def hashed_ngram_buckets(c: Column, numBuckets: Int): Column =
     ColumnBridge.column(HashedNgramBuckets(ColumnBridge.expression(c), numBuckets))
 
+  def term_counts(c: Column): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(c)))
+
+  def bigram_counts(c: Column): Column =
+    ColumnBridge.column(BigramCounts(ColumnBridge.expression(c)))
+
   /** SQL registration: SELECT cosine_similarity(a, b) ... */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

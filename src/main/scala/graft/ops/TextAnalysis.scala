@@ -229,10 +229,14 @@ object TextAnalysis {
     tfidfOf(Tables.documents(spark, dir))
 
   def tfidfOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
-        .as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // per-doc tf computed row-locally (TermCounts): the (doc, term)
+    // shuffle that only ever collided within a document is gone; the
+    // distinct-term stream feeding df/idf is unchanged
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.term_counts(
+          filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)))
+          .as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(dfreq, "term")
@@ -948,18 +952,33 @@ object TextAnalysis {
   // ordering is cross-engine-deterministic despite the ln in idf.
   def bm25TopKOf(docs: DataFrame, queryTerms: Seq[String], k: Int = 15,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(filter(tokens(col("text")), t => length(t) > 0)).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val qtf = toks.where(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // every per-document quantity is ROW-LOCAL on the token array:
+    // dl = size(toks) (the old explode+groupBy re-derived exactly
+    // this), per-query-term tf = one array filter per term with dl
+    // riding the same row (the old dl join gone). The only corpus
+    // aggregates left are the tiny (n_docs, avgdl) pair and the
+    // |query|-bounded df — the operator is map-only until the final
+    // combinable per-doc sum + TakeOrdered. Counts match the exploded
+    // formulation exactly; docs with zero surviving tokens stay
+    // excluded from the stats like before.
+    val base = docs
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val qtf = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(array(queryTerms.map(t => struct(lit(t).as("term"),
+          size(filter(col("toks"), x => x === lit(t))).cast("long").as("tf"))): _*))
+          .as("s"))
+      .select(col("doc_id"), col("dl"), col("s.term"), col("s.tf"))
+      .where(col("tf") > 0)
     val qdf = qtf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val norm = col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
     qtf.join(broadcast(qdf), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), (idf * col("tf") * (k1 + 1) / norm).as("contrib"))
       .groupBy("doc_id")
@@ -1174,22 +1193,28 @@ object TextAnalysis {
   // is one IEEE divide of exactly-derived longs (the q114/q105
   // log-free lesson), rounded at 6dp.
   def wordLmScoreOf(docs: DataFrame): DataFrame = {
-    val toked = docs
+    // per-doc bigram multiplicities collapse in the row (the
+    // codegen'd BigramCounts expression), so BOTH the model
+    // aggregation and the scoring join consume the distinct-pair
+    // stream instead of every pair instance; model counts aggregate
+    // to bit-identical longs (sum of per-doc counts), and the per-doc
+    // mean over instances is the count-weighted mean over distinct
+    // pairs: sum(p·tf)/sum(tf) with the same 6dp rounding
+    val grams = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-    val grams = toked.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(toks) - 1), " +
-        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("g"))
-      .select(col("doc_id"), col("g.w1"), col("g.w2"))
-    val model = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.bigram_counts(col("toks"))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"), col("b.tf"))
+    val model = grams.groupBy("w1", "w2").agg(sum(col("tf")).as("c12"))
     val firsts = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val scored = model.join(firsts, "w1")
       .select(col("w1"), col("w2"),
         (col("c12").cast("double") / col("c1").cast("double")).as("p"))
     grams.join(scored, Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        round(avg(col("p")), 6).as("lm_score"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("p") * col("tf")) / sum(col("tf")), 6).as("lm_score"))
       .orderBy("doc_id")
   }
 
