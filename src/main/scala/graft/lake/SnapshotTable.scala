@@ -349,6 +349,14 @@ object SnapshotTable {
     // on that (rare) path.
     val prevMeta: Option[Manifest] = latestVersion(spark, path)
       .map(v => readManifestFull(spark, path, v))
+    // a first commit CREATES a table — but never a branch: a write
+    // through a stale handle after dropBranch (or a typo'd branch
+    // name) must fail, not silently resurrect the ref as a fresh
+    // one-commit history
+    require(branchOf(path).isEmpty || prevMeta.nonEmpty,
+      s"no branch '${branchOf(path).get}' at ${realPathOf(path)} — " +
+        "createBranch first; a write through a dropped or unknown " +
+        "branch handle does not re-create the branch")
     val guardedCs: Map[String, String] =
       prevMeta.map(_.constraints).getOrElse(Map.empty)
     // hidden partitioning: the transform set is fixed at table

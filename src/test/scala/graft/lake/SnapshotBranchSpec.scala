@@ -204,6 +204,28 @@ class SnapshotBranchSpec extends SparkTestBase {
       SnapshotTable.branchHandle(path, "dev")) === Seq(1L))
   }
 
+  test("a write through a dropped or unknown branch handle does not re-create it") {
+    val path = Files.createTempDirectory("graft-br-stale").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    SnapshotTable.createBranch(spark, path, "dev")
+    val bh = SnapshotTable.branchHandle(path, "dev")
+    SnapshotTable.dropBranch(spark, path, "dev")
+    // stale handle: the append must fail loudly, not resurrect the
+    // branch as a fresh one-commit history
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.append(mkRows("b", Seq("2024-01-02")), bh, Seq("event_date"))
+    }
+    assert(ex.getMessage.contains("createBranch first"))
+    assert(SnapshotTable.branches(spark, path) === Nil)
+    // unknown branch name: same refusal
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(mkRows("c", Seq("2024-01-03")),
+        SnapshotTable.branchHandle(path, "nope"), Seq("event_date"))
+    }
+    // main is untouched
+    assert(SnapshotTable.read(spark, path).count() === 5)
+  }
+
   test("tags and branches share one ref namespace") {
     val path = Files.createTempDirectory("graft-br-ns").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
