@@ -24,6 +24,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *
   *   VACUUM t [KEEP n VERSIONS]
   *   OPTIMIZE t [FILES n | ZORDER BY (c1, c2)]
+  *   SHOW BRANCHES [IN] t / SHOW TAGS [IN] t
   *
   * Reading a ref needs no new syntax — `VERSION AS OF '<ref>'`
   * resolves tags and branch heads already; writing to a branch goes
@@ -71,6 +72,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotMaintenanceCommand(idents(t), "optimize", numFiles = n.toInt)
     case Optimize(t) =>
       SnapshotMaintenanceCommand(idents(t), "optimize")
+    case ShowBranches(t) => SnapshotShowRefsCommand(idents(t), "branches")
+    case ShowTags(t)     => SnapshotShowRefsCommand(idents(t), "tags")
     case other => delegate.parsePlan(other)
   }
 
@@ -131,6 +134,8 @@ private object GraftSqlParser {
   private[lake] val OptimizeFiles =
     stmt(s"OPTIMIZE\\s+$T\\s+FILES\\s+(\\d+)")
   private[lake] val Optimize = stmt(s"OPTIMIZE\\s+$T")
+  private[lake] val ShowBranches = stmt(s"SHOW\\s+BRANCHES\\s+(?:IN\\s+|FROM\\s+)?$T")
+  private[lake] val ShowTags = stmt(s"SHOW\\s+TAGS\\s+(?:IN\\s+|FROM\\s+)?$T")
 }
 
 private[lake] object SnapshotStatementTarget {
@@ -214,5 +219,31 @@ case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
       case other => throw new IllegalStateException(s"unknown maintenance op: $other")
     }
     Seq(Row(v))
+  }
+}
+
+/** `SHOW BRANCHES [IN] t` / `SHOW TAGS [IN] t`: one row per ref —
+  * (name, version), where a branch's version is its HEAD and a tag's
+  * the pinned one (Iceberg `refs` metadata shape). */
+case class SnapshotShowRefsCommand(ident: Seq[String], kind: String)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    kind match {
+      case "branches" =>
+        SnapshotTable.branches(spark, path).map { b =>
+          Row(b, SnapshotTable.latestVersion(
+            spark, SnapshotTable.branchHandle(path, b)).getOrElse(0L))
+        }
+      case _ =>
+        SnapshotTable.tags(spark, path).toSeq.sortBy(_._1)
+          .map { case (n, v) => Row(n, v) }
+    }
   }
 }

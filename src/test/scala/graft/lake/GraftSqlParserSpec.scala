@@ -57,6 +57,8 @@ class GraftSqlParserSpec extends SparkTestBase {
     assert(s2.sql("ALTER TABLE psql_t CREATE BRANCH dev")
       .head().getLong(0) === 1L)
     assert(SnapshotTable.branches(s2, path) === Seq("dev"))
+    assert(s2.sql("SHOW BRANCHES IN psql_t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("dev", 1L)))
 
     // diverge the branch through its registered handle, read it back
     // through the ref SQL
@@ -75,6 +77,8 @@ class GraftSqlParserSpec extends SparkTestBase {
     assert(s2.sql("ALTER TABLE psql_t CREATE TAG merged")
       .head().getLong(0) === 2L)
     assert(SnapshotTable.tagVersion(s2, path, "merged") === Some(2L))
+    assert(s2.sql("SHOW TAGS psql_t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("merged", 2L)))
     assert(s2.sql("ALTER TABLE psql_t CREATE OR REPLACE TAG merged AS OF VERSION 1")
       .head().getLong(0) === 1L)
     assert(s2.sql("SELECT count(*) FROM psql_t VERSION AS OF 'merged'")
