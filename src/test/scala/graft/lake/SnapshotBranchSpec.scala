@@ -258,6 +258,26 @@ class SnapshotBranchSpec extends SparkTestBase {
     assert(ex.getMessage.contains("branch-ref"))
   }
 
+  test("streaming source follows a branch through its handle, blind to main") {
+    val path = Files.createTempDirectory("graft-br-stream").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
+    SnapshotTable.createBranch(spark, path, "dev")
+    val bh = SnapshotTable.branchHandle(path, "dev")
+    SnapshotTable.append(mkRows("b", Seq("2024-01-02")), bh, Seq("event_date"))   // branch v2
+    SnapshotTable.append(mkRows("m", Seq("2024-02-01")), path, Seq("event_date")) // main v2
+
+    val q = spark.readStream.format("graft-snapshot").load(bh)
+      .writeStream.format("memory").queryName("br_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("br_stream")
+    // bootstrap = the branch's history: fork base + branch append;
+    // main's divergent append never reaches the branch stream
+    assert(got.count() === 10)
+    assert(got.filter(col("id").startsWith("m")).count() === 0)
+    assert(got.filter(col("id").startsWith("b")).count() === 5)
+  }
+
   test("vacuum through a branch handle only touches branch manifests, pins main") {
     val path = Files.createTempDirectory("graft-br-vac2").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1
