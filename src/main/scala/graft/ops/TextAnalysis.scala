@@ -1206,6 +1206,11 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.functions.VectorFunctions.bigram_counts(col("toks"))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"), col("b.tf"))
+    // measured note: a two-window formulation (sum(tf) over w1 /
+    // over (w1, w2), one exchange) was tried and ran ~2x SLOWER at
+    // 1M docs — the two full sorts of the pair stream cost more than
+    // these hash joins, which also get AQE skew handling on the
+    // zipfian head. Keep the join shape.
     val model = grams.groupBy("w1", "w2").agg(sum(col("tf")).as("c12"))
     val firsts = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val scored = model.join(firsts, "w1")
