@@ -530,9 +530,14 @@ object TextDedup {
         s"transform(sequence(0, cast(ceil(size(split($textCol, ' ')) / $n.0) as int) - 1), " +
           s"i -> array_join(slice(split($textCol, ' '), i * $n + 1, $n), ' '))"))
         .as(Seq("seg_pos", "segment")))
-    val keepers = segs.groupBy("segment")
-      .agg(min(struct(col("id"), col("seg_pos"))).as("keeper"))
-    segs.join(keepers, "segment")
+    // keeper selection as a whole-partition window min: the
+    // agg+self-join formulation re-derived the exploded segment
+    // subtree twice and shuffled it twice; one exchange on segment
+    // does the same cross-doc min with the explode evaluated once
+    val segWin = org.apache.spark.sql.expressions.Window.partitionBy("segment")
+    segs
+      .withColumn("keeper",
+        min(struct(col("id"), col("seg_pos"))).over(segWin))
       .filter(col("keeper.id") === col("id") && col("keeper.seg_pos") === col("seg_pos"))
       .groupBy(col("id"))
       .agg(
