@@ -597,12 +597,25 @@ object TextDedup {
         s"transform(sequence(0, cast(ceil(size(split($textCol, ' ')) / $n.0) as int) - 1), " +
           s"i -> array_join(slice(split($textCol, ' '), i * $n + 1, $n), ' '))"))
         .as(Seq("seg_pos", "segment")))
-    // document frequency: a segment repeated INSIDE one doc counts once
-    val boiler = segs.select("segment", "id").distinct()
-      .groupBy("segment").agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= minDocs)
-      .select("segment")
-    val kept = segs.join(boiler, Seq("segment"), "left_anti")
+    // document frequency (a segment repeated INSIDE one doc counts
+    // once) as window arithmetic over ONE exchange on segment: a
+    // lag-marker flags each segment's first row per doc, the
+    // whole-partition sum of markers is the distinct-doc count, and
+    // the boilerplate filter applies in place — the
+    // distinct+agg+anti-join formulation shuffled the exploded
+    // segment stream twice and re-derived its subtree on both sides.
+    // Deliberately NOT collect_set-based: true boilerplate appears in
+    // millions of docs and a per-partition set would be that large,
+    // while the marker sum is O(1) state per row.
+    val bySeg = org.apache.spark.sql.expressions.Window.partitionBy("segment")
+    val bySegDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment").orderBy("id")
+    val kept = segs
+      .withColumn("first_of_doc",
+        when(lag(col("id"), 1).over(bySegDoc) === col("id"), lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("ndocs", sum(col("first_of_doc")).over(bySeg))
+      .filter(col("ndocs") < minDocs)
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("kept_segments"),
