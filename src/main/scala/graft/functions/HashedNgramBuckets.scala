@@ -78,7 +78,14 @@ object HashedNgramBuckets {
     (((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)) % n
   }
 
-  /** Static entry point for both eval and generated code. */
+  /** Static entry point for both eval and generated code.
+    *
+    * Null tokens are skipped and break bigram adjacency (matching
+    * [[BigramCounts]]/[[TermCounts]]). The reused per-thread count
+    * plane is reset in a `finally` over the touched list, so a row
+    * that throws mid-loop can never leak nonzero buckets into later
+    * rows computed on the same executor thread.
+    */
   def compute(arr: ArrayData, numBuckets: Int): ArrayData = {
     val md = digests.get()
     var counts = planes.get()
@@ -88,37 +95,48 @@ object HashedNgramBuckets {
     }
     val n = arr.numElements()
     val touched = new java.util.ArrayList[Integer](math.min(n * 2, 256))
-    val underscore = '_'.toByte
-    var prevBytes: Array[Byte] = null
-    var i = 0
-    while (i < n) {
-      val curBytes = arr.getUTF8String(i).getBytes
-      md.reset()
-      md.update(curBytes)
-      val b1 = bucketOf(md, numBuckets)
-      if (counts(b1) == 0L) touched.add(b1)
-      counts(b1) += 1L
-      if (prevBytes != null) {
-        md.reset()
-        md.update(prevBytes)
-        md.update(underscore)
-        md.update(curBytes)
-        val b2 = bucketOf(md, numBuckets)
-        if (counts(b2) == 0L) touched.add(b2)
-        counts(b2) += 1L
+    try {
+      val underscore = '_'.toByte
+      var prevBytes: Array[Byte] = null
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) {
+          prevBytes = null // a null token breaks bigram adjacency
+        } else {
+          val curBytes = arr.getUTF8String(i).getBytes
+          md.reset()
+          md.update(curBytes)
+          val b1 = bucketOf(md, numBuckets)
+          if (counts(b1) == 0L) touched.add(b1)
+          counts(b1) += 1L
+          if (prevBytes != null) {
+            md.reset()
+            md.update(prevBytes)
+            md.update(underscore)
+            md.update(curBytes)
+            val b2 = bucketOf(md, numBuckets)
+            if (counts(b2) == 0L) touched.add(b2)
+            counts(b2) += 1L
+          }
+          prevBytes = curBytes
+        }
+        i += 1
       }
-      prevBytes = curBytes
-      i += 1
+      java.util.Collections.sort(touched)
+      val out = new Array[Any](touched.size())
+      var j = 0
+      while (j < touched.size()) {
+        val b = touched.get(j).intValue()
+        out(j) = InternalRow(b, counts(b))
+        j += 1
+      }
+      new GenericArrayData(out)
+    } finally {
+      var j = 0
+      while (j < touched.size()) {
+        counts(touched.get(j).intValue()) = 0L
+        j += 1
+      }
     }
-    java.util.Collections.sort(touched)
-    val out = new Array[Any](touched.size())
-    var j = 0
-    while (j < touched.size()) {
-      val b = touched.get(j).intValue()
-      out(j) = InternalRow(b, counts(b))
-      counts(b) = 0L // reset the plane for the next row
-      j += 1
-    }
-    new GenericArrayData(out)
   }
 }

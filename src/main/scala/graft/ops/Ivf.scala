@@ -185,22 +185,58 @@ object Ivf {
       .drop("rn")
   }
 
-  /** The same IVF probe with an int8 rerank: candidates join the
-    * QUANTIZED corpus (4× smaller — at scale the rerank reads are
-    * the cost), scored by quantized cosine (three exact integer dots
-    * + one divide; see Similarity.quantize). Cell assignment still
-    * uses float centroids — quantization error belongs in the
-    * rerank, not the index geometry. */
+  /** The same IVF probe with an int8 rerank, scored by quantized
+    * cosine (three exact integer dots + one divide; see
+    * Similarity.quantize). Cell assignment still uses float
+    * centroids — quantization error belongs in the rerank, not the
+    * index geometry.
+    *
+    * Only the probe-selected CANDIDATE rows are quantized (one typed
+    * pass carrying query_id, so the candidate subtree is built
+    * exactly once): an earlier formulation quantized the full corpus
+    * per search, which at scale is a second complete corpus scan per
+    * query batch. An id serving several queries quantizes once per
+    * pair — trivial next to the scan it replaces. When searches
+    * repeat, pay the quantization once at index-build time instead:
+    * [[buildQuantizedIndex]]/[[loadQuantizedIndex]] +
+    * [[searchQuantizedIndexed]]. */
   def searchQuantized(emb: DataFrame, model: Model, queryIds: Seq[Long], k: Int,
       nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qcorp = Similarity.quantize(emb.select(col(idCol), col(vecCol)), idCol, vecCol)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qcand = candidatesOf(emb, model, queryIds, nProbe, idCol, vecCol)
+      .join(emb.select(col(idCol), col(vecCol).cast("array<float>").as("v")), idCol)
+      .select(col("query_id"), col(idCol).cast("long"), col("v"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions(_.map { case (qid, id, v) =>
+        (qid, id, Similarity.quantizeVec(v)._2)
+      }).toDF("query_id", idCol, "qvec")
+    val qq = Similarity.quantize(
+      emb.filter(col(idCol).isin(queryIds: _*)).select(col(idCol), col(vecCol)),
+      idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("q_qvec"))
+    rerankQuantized(qcand, qq, k, idCol)
+  }
+
+  /** int8 rerank over a PRE-BUILT quantized corpus (the index-artifact
+    * tier): candidates join the persisted (id, scale, qvec) table, so
+    * a search reads the 4× smaller index and never touches the float
+    * corpus except for the probe assignment. */
+  def searchQuantizedIndexed(emb: DataFrame, qcorp: DataFrame, model: Model,
+      queryIds: Seq[Long], k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qcand = candidatesOf(emb, model, queryIds, nProbe, idCol, vecCol)
+      .join(qcorp.select(col(idCol), col("qvec")), idCol)
     val qq = qcorp.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col("qvec").as("q_qvec"))
+    rerankQuantized(qcand, qq, k, idCol)
+  }
+
+  private def rerankQuantized(qcand: DataFrame, qq: DataFrame, k: Int,
+      idCol: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
-    candidatesOf(emb, model, queryIds, nProbe, idCol, vecCol)
-      .join(qcorp.select(col(idCol), col("qvec")), idCol)
-      .join(broadcast(qq), "query_id")
+    qcand.join(broadcast(qq), "query_id")
       .select(col("query_id"), col(idCol),
         round(Similarity.quantizedCosine(col("qvec"), col("q_qvec")), 6).as("cosine"))
       .withColumn("rn", row_number().over(w))
@@ -225,6 +261,19 @@ object Ivf {
       .collect().sortBy(_._1)
     Model(rows.map(_._2))
   }
+
+  /** Persist the quantized corpus as the second index artifact
+    * (alongside [[save]]'s centroids): one quantization pass at
+    * build time, after which every search reads the 4× smaller
+    * (id, scale, qvec) parquet via [[searchQuantizedIndexed]] and
+    * never re-quantizes anything. */
+  def buildQuantizedIndex(emb: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Similarity.quantize(emb.select(col(idCol), col(vecCol)), idCol, vecCol)
+      .write.mode("overwrite").parquet(path)
+
+  def loadQuantizedIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** IVF accuracy gate: top-10 for three stored queries over the
     * corpus augmented with an exact copy of each query (id + 10M).

@@ -321,21 +321,28 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>
-          var mx = 0f
-          var i = 0
-          while (i < v.length) {
-            val a = math.abs(v(i)); if (a > mx) mx = a; i += 1
-          }
-          val scale = if (mx == 0f) 1.0f else mx / 127f
-          val q = new Array[Byte](v.length)
-          i = 0
-          while (i < v.length) {
-            q(i) = math.max(-127, math.min(127, math.round(v(i) / scale))).toByte
-            i += 1
-          }
-          (id, scale.toDouble, q)
+          val (scale, q) = quantizeVec(v)
+          (id, scale, q)
         }
       }.toDF(idCol, "scale", "qvec")
+  }
+
+  /** The per-vector quantization core shared by [[quantize]] and the
+    * candidate-only quantization in [[Ivf.searchQuantized]]. */
+  private[ops] def quantizeVec(v: Array[Float]): (Double, Array[Byte]) = {
+    var mx = 0f
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i)); if (a > mx) mx = a; i += 1
+    }
+    val scale = if (mx == 0f) 1.0f else mx / 127f
+    val q = new Array[Byte](v.length)
+    i = 0
+    while (i < v.length) {
+      q(i) = math.max(-127, math.min(127, math.round(v(i) / scale))).toByte
+      i += 1
+    }
+    (scale.toDouble, q)
   }
 
   def quantizedCosine(a: Column, b: Column): Column = {

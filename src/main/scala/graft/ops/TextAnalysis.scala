@@ -961,6 +961,11 @@ object TextAnalysis {
     // combinable per-doc sum + TakeOrdered. Counts match the exploded
     // formulation exactly; docs with zero surviving tokens stay
     // excluded from the stats like before.
+    // duplicate query terms would emit one struct row per occurrence
+    // (inflating df and double-counting the term's contribution) —
+    // dedup up front so the public API matches the old isin+groupBy
+    // formulation for any caller.
+    val terms = queryTerms.distinct
     val base = docs
       .select(col("doc_id"),
         filter(tokens(col("text")), t => length(t) > 0).as("toks"))
@@ -969,7 +974,7 @@ object TextAnalysis {
       avg(size(col("toks"))).as("avgdl"))
     val qtf = base
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(array(queryTerms.map(t => struct(lit(t).as("term"),
+        explode(array(terms.map(t => struct(lit(t).as("term"),
           size(filter(col("toks"), x => x === lit(t))).cast("long").as("tf"))): _*))
           .as("s"))
       .select(col("doc_id"), col("dl"), col("s.term"), col("s.tf"))
@@ -1198,8 +1203,12 @@ object TextAnalysis {
     // aggregation and the scoring join consume the distinct-pair
     // stream instead of every pair instance; model counts aggregate
     // to bit-identical longs (sum of per-doc counts), and the per-doc
-    // mean over instances is the count-weighted mean over distinct
-    // pairs: sum(p·tf)/sum(tf) with the same 6dp rounding
+    // mean over instances equals the count-weighted mean over distinct
+    // pairs: sum(p·tf)/sum(tf). NOTE: equal mathematically, not
+    // bit-for-bit in IEEE (p+p+p can round differently from 3·p), so
+    // the 6dp rounding could in principle flip on an exact half-ulp
+    // boundary vs the oracle's avg(p); gates have held at all three
+    // SFs, but the equivalence is to last-ulp, not exact
     val grams = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)

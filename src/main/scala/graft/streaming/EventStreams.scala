@@ -35,9 +35,23 @@ object EventStreams {
     * TIMESTAMP. A file stream source needs its schema up front, so we
     * sniff the directory ONCE with a driver-side batch read — footer
     * metadata only, no data scan — and branch the normalization the
-    * same way the batch reader does. */
+    * same way the batch reader does.
+    *
+    * If the directory has no files yet at stream start, the sniff
+    * can't infer anything ("Unable to infer schema") — fall back to
+    * the declared raw schema (ns-epoch Long era) so the stream can
+    * start on an empty directory and pick files up as they arrive,
+    * like the pre-sniff explicit-schema reader could. A directory
+    * mixing both eras is a layout error and still fails loudly at
+    * read time. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    val stored = spark.read.parquet(path).schema
+    val stored =
+      try spark.read.parquet(path).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && e.getMessage.contains("infer schema") =>
+          EvSchemas.eventsRaw
+      }
     val raw = spark.readStream.schema(stored).parquet(path)
     stored("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -77,4 +77,23 @@ class RowLocalCountsSpec extends SparkTestBase {
     assert(got.filter(col("doc_id") === 3).count() === 1) // one unigram, no bigram
     assert(got.filter(col("doc_id") === 4).count() === 1) // md5("") bucket, tf=1
   }
+
+  test("HashedNgramBuckets: null elements skipped and break bigram adjacency") {
+    val df = Seq((1, Seq("a", "b"))).toDF("id", "toks")
+      .unionByName(Seq((2, Seq("a", null, "b"))).toDF("id", "toks"))
+      .unionByName(Seq((3, null.asInstanceOf[Seq[String]])).toDF("id", "toks"))
+    val out = df.select(col("id"), V.hashed_ngram_buckets(col("toks"), 4096).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Row](1)).toMap
+    // doc 1: a, b, a_b -> 3 total tf; doc 2: the null forms no bigram,
+    // so just the two unigrams; doc 3: null array -> null result
+    assert(out(1).map(_.getLong(1)).sum === 3L)
+    assert(out(2).map(_.getLong(1)).sum === 2L)
+    assert(out(3) == null)
+    // doc 2's unigram buckets equal doc 1's (same tokens), with no
+    // bigram bucket — and repeated evaluation on the same thread stays
+    // clean (the reused count plane is reset per row)
+    val u1 = out(1).map(r => (r.getInt(0), r.getLong(1))).toMap
+    val u2 = out(2).map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(u2.forall { case (b, tf) => u1.getOrElse(b, 0L) >= tf })
+  }
 }

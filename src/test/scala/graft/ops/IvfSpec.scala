@@ -113,4 +113,18 @@ class IvfSpec extends SparkTestBase {
       assert(overlap >= 8, s"query $q: only $overlap/10 overlap with float rerank")
     }
   }
+
+  test("pre-built quantized index searches identically to candidate-only quantization") {
+    val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)
+    val qids = Seq(0L, 7L, 42L)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString + "/qindex"
+    Ivf.buildQuantizedIndex(emb, path)
+    val qcorp = Ivf.loadQuantizedIndex(spark, path)
+    // exact copies quantize to identical bytes whichever pass produced
+    // them, so the two tiers must return row-identical results
+    val adhoc = Ivf.searchQuantized(emb, model, qids, k = 10).collect().toSet
+    val indexed = Ivf.searchQuantizedIndexed(emb, qcorp, model, qids, k = 10)
+      .collect().toSet
+    assert(adhoc === indexed)
+  }
 }

@@ -67,6 +67,30 @@ class EventStreamsSpec extends SparkTestBase {
     assert(n === distinct)
   }
 
+  test("readEvents starts on an empty directory and picks up late-arriving files") {
+    import spark.implicits._
+    // no files yet: the schema sniff can't infer, so readEvents must
+    // fall back to the declared raw schema instead of throwing
+    val d = Files.createTempDirectory("graft-stream-empty")
+    val stream = EventStreams.readEvents(spark, d.toString)
+    val q = stream.writeStream.format("memory").queryName("late_events")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable() // drains zero files without error
+      assert(spark.table("late_events").count() === 0)
+      // a legacy-era file (ns-epoch Long ts) arrives after start
+      Seq((1L, 1700000000L * 1000000000L, 7L, "click", 1.5, "{}"),
+          (2L, 1700000060L * 1000000000L, 8L, "view", 0.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(d.toString)
+      q.processAllAvailable()
+      val got = spark.table("late_events")
+        .select(col("event_id"), col("ts").cast("long").as("sec"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 1700000000L, 2L -> 1700000060L))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch join") {
     val joined = EventStreams.purchaseAttributionJoin(
       EventStreams.readEvents(spark, eventsDir))
