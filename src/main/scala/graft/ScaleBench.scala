@@ -108,6 +108,13 @@ object ScaleBench {
         // (w1,w2)-keyed join, the shape a real word LM needs at scale
         noop(graft.ops.TextAnalysis.wordLmScoreOf(docs))
       },
+      timed("word_lm_topk")    {
+        // top-64 continuation pruning A/B vs word_lm_score: the model
+        // shrinks vocab² → vocab·64; on this corpus' small vocabulary
+        // the delta isolates the pruning overhead (window) vs the
+        // smaller join build side
+        noop(graft.ops.TextAnalysis.wordLmScoreTopKOf(docs, topK = 64))
+      },
       timed("filter_funnel")   {
         // model pass + ONE map-only funnel pass; ≤5-row result
         noop(graft.ops.TextAnalysis.filterFunnelOf(docs))
@@ -300,6 +307,22 @@ object ScaleBench {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         require(q.awaitTermination(300000), "bootstrap drain did not finish")
+      },
+      timed("snap_sink_1m")    {
+        // the native exactly-once sink at 1M rows: snapshot source →
+        // graft-snapshot sink in one AvailableNow pass. Data flows
+        // executor→parquet directly (N partition writers, zstd); the
+        // driver's share is one manifest CAS carrying the epoch
+        // watermark — the count proves the full row set landed once
+        val base = snapBootBase.get
+        val q = spark.readStream.format("graft-snapshot").load(s"$base/t")
+          .writeStream.format("graft-snapshot")
+          .option("checkpointLocation", s"$base/sink-ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$base/sink")
+        require(q.awaitTermination(300000), "sink drain did not finish")
+        require(graft.lake.SnapshotTable.count(spark, s"$base/sink") == rows,
+          "sink must land exactly the source rows")
       },
       timed("stream_drain")    {
         // Structured Streaming throughput at the same 1M rows:

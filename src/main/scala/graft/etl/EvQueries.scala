@@ -1021,6 +1021,75 @@ object EvQueries {
        |  true AS picked_ok, true AS tag_read_ok, true AS drop_ok
        |FROM merged ORDER BY sessionId""".stripMargin
 
+  /** Exactly-once NATIVE streaming sink through the gate
+    * (`writeStream.format("graft-snapshot")`, the Delta-sink pattern
+    * over the manifest txn watermark): commit the gold fact in two
+    * snapshot versions, stream source→sink at one version per
+    * trigger (two real epochs), then simulate the crash window — the
+    * checkpoint's newest commit-log entry is deleted so restart
+    * REPLAYS the final epoch against the sink — and pump again. The
+    * sink's rows must hash-match the oracle recomputing gold straight
+    * from the CSV (no duplicate, no loss), with the exactly-once
+    * claims riding as contract columns. */
+  def streamSink(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-gate").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    import graft.lake.SnapshotTable
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "event_date", "session_duration_minutes")
+      .coalesce(1)
+      .persist()
+    try {
+      // two commits → two stream epochs at maxVersionsPerTrigger=1
+      val (head, tail) = {
+        val all = gold.orderBy("sessionId")
+        (all.limit(5), all.exceptAll(all.limit(5)))
+      }
+      SnapshotTable.append(head, src)
+      SnapshotTable.append(tail, src)
+      def pump(): Unit = {
+        val q = spark.readStream.format("graft-snapshot")
+          .option("maxVersionsPerTrigger", 1).load(src)
+          .writeStream.format("graft-snapshot")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      pump()
+      val afterFirst = SnapshotTable.count(spark, dst)
+      // crash window: sink committed the last epoch, engine never
+      // acked → drop the newest checkpoint commit entry and restart
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val crc = new java.io.File(commits.last.getParentFile,
+        s".${commits.last.getName}.crc")
+      require(commits.last.delete() && (!crc.exists() || crc.delete()))
+      val vBefore = SnapshotTable.latestVersion(spark, dst).get
+      pump() // replays the final epoch; txn watermark must skip it
+      val exactlyOnce = SnapshotTable.count(spark, dst) == afterFirst &&
+        SnapshotTable.latestVersion(spark, dst).get == vBefore
+      val txnRecorded = SnapshotTable.history(spark, dst)
+        .filter(col("operation") === "streamAppend").count() >= 2L
+      SnapshotTable.read(spark, dst)
+        .select("sessionId", "session_duration_minutes")
+        .withColumn("exactly_once_ok", lit(exactlyOnce))
+        .withColumn("txn_ok", lit(txnRecorded))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val streamSinkSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, session_duration_minutes,
+       |  true AS exactly_once_ok, true AS txn_ok
+       |FROM gold ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1042,5 +1111,6 @@ object EvQueries {
     QDef("ev18_catalog_sql", catalogSql, Some(catalogSqlSql)),
     QDef("ev19_branch_merge", branchMerge, Some(branchMergeSql)),
     QDef("ev20_branch_sql", branchSql, Some(branchSqlSql)),
+    QDef("ev21_stream_sink", streamSink, Some(streamSinkSql)),
   )
 }

@@ -76,6 +76,10 @@ object SnapshotTable {
     if (i < 0) None else Some(path.drop(i + BranchSep.length))
   }
 
+  /** The shared data dir a (possibly branch-) handle's files land in. */
+  private[graft] def dataDirOf(path: String): String =
+    s"${realPathOf(path)}/data"
+
   private[lake] def logDir(path: String) = branchOf(path) match {
     case None    => s"${realPathOf(path)}/_graft_log"
     case Some(b) => s"${realPathOf(path)}/_graft_log/branch-$b"
@@ -104,12 +108,15 @@ object SnapshotTable {
     readManifestFull(spark, path, version).entries
 
   /** One parsed manifest: recorded schema, live-file entries, the
-    * producing operation, and the table's CHECK constraints — all
-    * from a single file read. */
+    * producing operation, the table's CHECK constraints, and the
+    * per-application transaction watermarks (`txns`: app id → highest
+    * committed version, the Delta SetTransaction shape backing the
+    * exactly-once streaming sink) — all from a single file read. */
   private[lake] case class Manifest(schema: Option[StructType], entries: Seq[Entry],
       op: Option[String], constraints: Map[String, String] = Map.empty,
       transforms: Seq[PartitionTransform] = Nil,
-      retiredTransforms: Seq[PartitionTransform] = Nil)
+      retiredTransforms: Seq[PartitionTransform] = Nil,
+      txns: Map[String, Long] = Map.empty)
 
   // `#constraints=` header codec: URL-encode every name/expr token so
   // no raw tab can appear, then tab-join (name, expr) pairs flat. Self
@@ -122,6 +129,21 @@ object SnapshotTable {
     s.split("\t", -1).filter(_.nonEmpty)
       .map(java.net.URLDecoder.decode(_, "UTF-8"))
       .grouped(2).collect { case Array(n, e) => n -> e }.toMap
+
+  // `#txns=` header codec: same URL-encoded flat-pair grammar as the
+  // constraints header, values being version numbers
+  private def encodeTxns(ts: Map[String, Long]): String =
+    encodeConstraints(ts.map { case (k, v) => k -> v.toString })
+
+  private def decodeTxns(s: String): Map[String, Long] =
+    decodeConstraints(s).map { case (k, v) => k -> v.toLong }
+
+  /** Per-appId MAX-merge of two txn watermark maps: watermarks only
+    * ever advance, so whichever side saw the later version wins. */
+  private def mergeTxns(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    (a.keySet ++ b.keySet).map { k =>
+      k -> math.max(a.getOrElse(k, Long.MinValue), b.getOrElse(k, Long.MinValue))
+    }.toMap
 
   /** Recorded table schema at `version` (default latest) — O(1)
     * manifest-header lookup, no parquet footer sweep. None for
@@ -154,6 +176,9 @@ object SnapshotTable {
     val retired = lines.find(_.startsWith("#ptransformsRetired="))
       .map(l => PartitionTransform.decode(l.stripPrefix("#ptransformsRetired=")))
       .getOrElse(Nil)
+    val txns = lines.find(_.startsWith("#txns="))
+      .map(l => decodeTxns(l.stripPrefix("#txns=")))
+      .getOrElse(Map.empty[String, Long])
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val parts = line.split("\t", -1)
       require(parts.length >= 2, s"bad manifest line: $line")
@@ -174,7 +199,7 @@ object SnapshotTable {
         .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
       Entry(parts(0), parts(1), rows, stats, dv)
     }.toSeq
-    Manifest(schema, entries, op, constraints, transforms, retired)
+    Manifest(schema, entries, op, constraints, transforms, retired, txns)
   }
 
   /** Filesystem schemes with no atomic create-if-absent: the exists
@@ -210,7 +235,8 @@ object SnapshotTable {
       op: Option[String] = None,
       constraints: Map[String, String] = Map.empty,
       transforms: Seq[PartitionTransform] = Nil,
-      retiredTransforms: Seq[PartitionTransform] = Nil): Boolean = {
+      retiredTransforms: Seq[PartitionTransform] = Nil,
+      txns: Map[String, Long] = Map.empty): Boolean = {
     val f = fs(spark, path)
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
     val atomicScheme = !nonAtomicSchemes.contains(scheme) && !forceNonAtomic
@@ -226,7 +252,7 @@ object SnapshotTable {
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
     try out.write(manifestBytes(Manifest(schema, entries, op, constraints,
-      transforms, retiredTransforms)))
+      transforms, retiredTransforms, txns)))
     finally out.close()
     val dst = new Path(s"${logDir(path)}/v$version")
     val useLink = f.getScheme == "file" && !forceNonAtomic
@@ -259,7 +285,8 @@ object SnapshotTable {
       (if (m.transforms.nonEmpty)
         s"#ptransforms=${PartitionTransform.encode(m.transforms)}\n" else "") +
       (if (m.retiredTransforms.nonEmpty)
-        s"#ptransformsRetired=${PartitionTransform.encode(m.retiredTransforms)}\n" else "")
+        s"#ptransformsRetired=${PartitionTransform.encode(m.retiredTransforms)}\n" else "") +
+      (if (m.txns.nonEmpty) s"#txns=${encodeTxns(m.txns)}\n" else "")
     (header + m.entries.map { e =>
       val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
       val dv = e.dv.map { case (p, n) =>
@@ -418,13 +445,15 @@ object SnapshotTable {
       // carryOver on exactly the latest manifest; if another writer
       // publishes first, the CAS fails and we re-read their manifest
       val version = latestVersion(spark, path).getOrElse(0L) + 1
-      val (prevSchema, previous, prevCs, prevTs, prevRetired) =
+      val (prevSchema, previous, prevCs, prevTs, prevRetired, prevTxns) =
         if (version == 1L)
           (None, Nil, Map.empty[String, String],
-            Seq.empty[PartitionTransform], Seq.empty[PartitionTransform])
+            Seq.empty[PartitionTransform], Seq.empty[PartitionTransform],
+            Map.empty[String, Long])
         else {
           val m = readManifestFull(spark, path, version - 1)
-          (m.schema, m.entries, m.constraints, m.transforms, m.retiredTransforms)
+          (m.schema, m.entries, m.constraints, m.transforms, m.retiredTransforms,
+            m.txns)
         }
       // the partition spec may have CHANGED between our pre-write read
       // and this attempt (a concurrent evolvePartitionTransforms or
@@ -461,7 +490,7 @@ object SnapshotTable {
       // and fails loudly before any manifest is published
       val merged = mergeSchemas(prevSchema, data.schema, path)
       if (publishManifest(spark, path, version, carryOver(previous) ++ added,
-          Some(merged), Some(op), prevCs, tsOut, retiredOut))
+          Some(merged), Some(op), prevCs, tsOut, retiredOut, prevTxns))
         return version
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
@@ -496,6 +525,78 @@ object SnapshotTable {
   /** Append commit: previous live files all carry over. */
   def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long =
     commit(df, path, partitionCols, identity)
+
+  /** Exactly-once streaming append (the manifest half of the
+    * `writeStream.format("graft-snapshot")` sink): publish `files` —
+    * (commitDir, path, footer rows) triples already written by
+    * executor-side epoch writers — as ONE commit that also advances
+    * the `(txnAppId → txnVersion)` watermark in the manifest header.
+    * If the table has already committed `txnVersion` (or later) for
+    * this app id, returns None WITHOUT committing: the caller is
+    * replaying an epoch whose rows are already live (engine restart
+    * between sink commit and checkpoint write — the Delta idempotent-
+    * writer/SetTransaction pattern), and should discard its files.
+    * The check and the publish ride the same CAS loop, so a replayed
+    * epoch can never double-commit even under concurrent writers.
+    *
+    * CHECK constraints are enforced on the written files BEFORE any
+    * publish (one bounded scan of only the new files) — a violating
+    * microbatch fails the query with zero manifest change, the
+    * reject-mode write gate. */
+  def commitStreamEpoch(spark: SparkSession, path: String,
+      files: Seq[(String, String, Long)], writeSchema: StructType,
+      txnAppId: String, txnVersion: Long, maxAttempts: Int = 20): Option[Long] = {
+    require(txnAppId.nonEmpty, "txnAppId must be nonempty")
+    val added = files.map { case (dir, f, rows) => Entry(dir, f, rows) }
+    var validatedCs: Set[String] = Set.empty
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val version = latestVersion(spark, path).getOrElse(0L) + 1
+      val prev =
+        if (version == 1L) Manifest(None, Nil, None)
+        else readManifestFull(spark, path, version - 1)
+      // same guard as commit(): a first commit creates a TABLE, never
+      // a branch — a stale handle after dropBranch must fail loudly
+      require(branchOf(path).isEmpty || version > 1L,
+        s"no branch '${branchOf(path).get}' at ${realPathOf(path)} — " +
+          "createBranch first; a write through a dropped or unknown " +
+          "branch handle does not re-create the branch")
+      if (prev.txns.get(txnAppId).exists(_ >= txnVersion)) return None
+      require(prev.transforms.isEmpty,
+        s"the streaming sink writes unpartitioned files; table at $path " +
+          "records hidden partition transforms — stream into a plain table " +
+          "and OPTIMIZE/compact into the layout, or use foreachBatch")
+      // write-path CHECK gate: validate the epoch's files against the
+      // current constraint set before anything publishes; re-validated
+      // only for constraints added since the last attempt
+      val toCheck = prev.constraints -- validatedCs
+      if (toCheck.nonEmpty && added.nonEmpty) {
+        val written = spark.read.parquet(files.map(_._2): _*)
+        toCheck.foreach { case (name, e) =>
+          val bad = written.filter(!coalesce(expr(e), lit(true))).limit(1).count()
+          require(bad == 0L,
+            s"CHECK constraint '$name' ($e) is violated by streaming epoch " +
+              s"$txnVersion of '$txnAppId' at $path — batch rejected, no commit")
+        }
+        validatedCs = validatedCs ++ toCheck.keySet
+      }
+      val merged = mergeSchemas(prev.schema, writeSchema, path)
+      if (publishManifest(spark, path, version, prev.entries ++ added,
+          Some(merged), Some("streamAppend"), prev.constraints, prev.transforms,
+          prev.retiredTransforms, mergeTxns(prev.txns, Map(txnAppId -> txnVersion))))
+        return Some(version)
+      attempt += 1
+      Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
+    }
+    throw new ConcurrentCommitException(path, maxAttempts)
+  }
+
+  /** Highest committed txn version for `txnAppId` (Delta's
+    * `txnVersion` surface) — None if the app never committed. */
+  def streamTxnVersion(spark: SparkSession, path: String,
+      txnAppId: String): Option[Long] =
+    latestVersion(spark, path)
+      .flatMap(v => readManifestFull(spark, path, v).txns.get(txnAppId))
 
   /** CREATE TABLE: publish version 1 as an empty manifest carrying
     * the declared schema (and optional partition transform specs) —
@@ -695,9 +796,15 @@ object SnapshotTable {
     while (attempt < 20) {
       val base = latestVersion(spark, path)
         .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-      val m = mutate(readManifestFull(spark, path, base))
+      val cur = readManifestFull(spark, path, base)
+      val m = mutate(cur)
+      // txn watermarks are monotonic even across restore (which swaps
+      // in an old manifest wholesale): an idempotent streaming writer
+      // must never re-commit an epoch the table has already seen —
+      // Delta's restore keeps SetTransaction identities the same way
       if (publishManifest(spark, path, base + 1, m.entries, m.schema,
-          Some(op), m.constraints, m.transforms, m.retiredTransforms))
+          Some(op), m.constraints, m.transforms, m.retiredTransforms,
+          mergeTxns(cur.txns, m.txns)))
         return base + 1
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
@@ -967,7 +1074,7 @@ object SnapshotTable {
     }
     val m = readManifestFull(spark, sourcePath, v)
     require(publishManifest(spark, targetPath, 1L, m.entries, m.schema,
-      Some("clone"), m.constraints, m.transforms, m.retiredTransforms),
+      Some("clone"), m.constraints, m.transforms, m.retiredTransforms, m.txns),
       s"concurrent writer created $targetPath during shallowClone")
     1L
   }
@@ -1026,7 +1133,7 @@ object SnapshotTable {
       s"branch '$name' already exists at $path")
     val m = readManifestFull(spark, path, v)
     require(publishManifest(spark, bh, v, m.entries, m.schema, Some("branch"),
-      m.constraints, m.transforms, m.retiredTransforms),
+      m.constraints, m.transforms, m.retiredTransforms, m.txns),
       s"concurrent writer created branch '$name' during createBranch")
     v
   }
@@ -1103,7 +1210,7 @@ object SnapshotTable {
     bVersions.filter(_ > mainHead).foreach { v =>
       val m = readManifestFull(spark, bh, v)
       require(publishManifest(spark, path, v, m.entries, m.schema, m.op,
-        m.constraints, m.transforms, m.retiredTransforms),
+        m.constraints, m.transforms, m.retiredTransforms, m.txns),
         s"concurrent main writer during fastForward at v$v — main holds a " +
           s"valid branch prefix up to v${v - 1}; re-run to continue")
     }
@@ -1708,7 +1815,8 @@ object SnapshotTable {
     // single-attempt CAS at base+1: a concurrent commit means our
     // positions may be stale (same policy as delete's rerun guard)
     require(publishManifest(spark, path, base + 1, newEntries, m.schema,
-      Some("delete_dv"), m.constraints, m.transforms, m.retiredTransforms),
+      Some("delete_dv"), m.constraints, m.transforms, m.retiredTransforms,
+      m.txns),
       s"concurrent commit advanced $path during deleteWithVectors — rerun")
     base + 1
   }

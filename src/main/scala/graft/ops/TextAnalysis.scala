@@ -1232,6 +1232,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[wordLmScoreOf]] with the model PRUNED to the top-K
+    * continuations per head word (the classic LM-pruning trade): keep
+    * only the K most frequent (w1 → w2) rows per w1 — ties broken by
+    * w2 for determinism — and renormalize p over the kept mass. The
+    * model shrinks from vocabulary² to vocabulary·K rows, which at
+    * real-corpus vocabularies turns the scoring join's build side
+    * from "distributed-only" into "often broadcastable" (Catalyst /
+    * AQE decide by size — no forced broadcast hint, because
+    * vocabulary·K can still exceed the driver at web scale). Bigrams
+    * outside the pruned model simply don't score (inner join), so
+    * n_bigrams counts kept-pair instances — the bounded quality loss
+    * the pruning buys its speed with. The round-8 A/B vs the full
+    * model is recorded in ROADMAP (ScaleBench word_lm_topk). */
+  def wordLmScoreTopKOf(docs: DataFrame, topK: Int = 64): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.bigram_counts(col("toks"))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"), col("b.tf"))
+    val model = grams.groupBy("w1", "w2").agg(sum(col("tf")).as("c12"))
+    val byHead = org.apache.spark.sql.expressions.Window
+      .partitionBy("w1").orderBy(col("c12").desc, col("w2").asc)
+    val pruned = model.withColumn("rn", row_number().over(byHead))
+      .filter(col("rn") <= topK).drop("rn")
+    val firsts = pruned.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val scored = pruned.join(firsts, "w1")
+      .select(col("w1"), col("w2"),
+        (col("c12").cast("double") / col("c1").cast("double")).as("p"))
+    grams.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("p") * col("tf")) / sum(col("tf")), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  def wordLmScoreTopK(spark: SparkSession, dir: String): DataFrame =
+    wordLmScoreTopKOf(Tables.documents(spark, dir), topK = 2)
+
+  val wordLmScoreTopKSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(toks)),
+      |          i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS g
+      |      FROM t WHERE len(toks) >= 2),
+      |b AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g),
+      |m AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+      |pr AS (SELECT w1, w2, c12 FROM m
+      |       QUALIFY row_number() OVER (PARTITION BY w1
+      |         ORDER BY c12 DESC, w2 ASC) <= 2),
+      |u AS (SELECT w1, sum(c12) AS c1 FROM pr GROUP BY 1),
+      |p AS (SELECT w1, w2, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+      |      FROM pr JOIN u USING (w1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(p), 6) AS lm_score
+      |FROM b JOIN p USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def wordLmScore(spark: SparkSession, dir: String): DataFrame =
     wordLmScoreOf(Tables.documents(spark, dir))
 
@@ -1409,6 +1469,7 @@ object TextAnalysis {
     QDef("q120_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QDef("q121_url_domains", urlDomainReport, Some(urlDomainReportSql)),
     QDef("q122_word_lm_score", wordLmScore, Some(wordLmScoreSql)),
+    QDef("q126_word_lm_topk", wordLmScoreTopK, Some(wordLmScoreTopKSql)),
     QDef("q124_hashed_features", hashedFeatures, Some(hashedFeaturesSql)),
   )
 }

@@ -79,6 +79,12 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = pathOf(options)
+    // a SINK may target a not-yet-created table (first epoch creates
+    // it, like a batch append) — empty schema here; the write path
+    // uses the query's schema and the READ path guards loudly in
+    // newScanBuilder instead
+    if (SnapshotTable.latestVersion(spark, path).isEmpty)
+      return new StructType()
     val s = SnapshotTable.schemaOf(spark, path)
       .getOrElse(SnapshotTable.read(spark, path).schema)
     // hidden partition columns (any era) are layout, not data — the
@@ -112,19 +118,35 @@ private case class SnapshotStreamOptions(startingVersion: Long,
     maxBytesPerPartition: Long)
 
 private class SnapshotStreamTable(path: String, tableSchema: StructType,
-    opts: SnapshotStreamOptions) extends Table with SupportsRead {
+    opts: SnapshotStreamOptions) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
 
   override def name(): String = s"graft-snapshot($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
-      override def readSchema(): StructType = tableSchema
+      override def readSchema(): StructType = {
+        require(tableSchema.nonEmpty,
+          s"no committed version at $path — create the table (or stream " +
+            "into it) before reading it as a stream")
+        tableSchema
+      }
       override def description(): String = s"SnapshotStream $path"
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new SnapshotMicroBatchStream(path, tableSchema, opts)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new SnapshotStreamingWrite(path, info.schema(), info.queryId())
+      }
     }
 }
 
@@ -215,13 +237,22 @@ private class SnapshotMicroBatchStream(path: String, schema: StructType,
         .getOrElse(Array.empty[Long])
       (en, fs.getFileStatus(new Path(en.filePath)).getLen, dead)
     }
+    val totalBytes = sized.map(_._2).sum
     val vectorize = opts.vectorizedReader match {
       case "always" => true
       case "never"  => false
       // auto: commit-sized batches stay on the simple Group reader;
       // a bootstrap-sized batch gets the columnar decoder + splitting
-      case _        => sized.map(_._2).sum >= opts.vectorizedThresholdBytes
+      case _        => totalBytes >= opts.vectorizedThresholdBytes
     }
+    // split sizing mirrors FilePartition.maxSplitBytes: cap at
+    // maxBytesPerPartition but SHRINK toward totalBytes/parallelism
+    // (floored at a 4 MiB open cost) so a bootstrap batch of a few
+    // fat files fans out over every core instead of one task per
+    // 128 MiB — this was the round-7 bootstrap-vs-batch gap
+    val openCost = 4L << 20
+    val splitBytes = math.max(openCost, math.min(opts.maxBytesPerPartition,
+      totalBytes / math.max(1, spark.sparkContext.defaultParallelism)))
     sized.flatMap { case (en, len, dead) =>
       if (!vectorize || dead.nonEmpty)
         Seq(SnapshotFilePartition(en.filePath, en.commitDir, schema, conf,
@@ -230,9 +261,9 @@ private class SnapshotMicroBatchStream(path: String, schema: StructType,
         // byte-range splits: the parquet reader takes the row groups
         // whose midpoint falls in [start, start+length) — standard file
         // splitting, so one fat bootstrap file fans out over tasks
-        (0L until math.max(len, 1L) by opts.maxBytesPerPartition).map { off =>
+        (0L until math.max(len, 1L) by splitBytes).map { off =>
           SnapshotFilePartition(en.filePath, en.commitDir, schema, conf,
-            off, math.min(opts.maxBytesPerPartition, len - off),
+            off, math.min(splitBytes, len - off),
             vectorized = true): InputPartition
         }
     }.toArray

@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.lake.SnapshotTable
+
+/** The exactly-once `writeStream.format("graft-snapshot")` sink:
+  * source→sink round trips, idempotent epoch replay through a
+  * simulated crash window (checkpoint commit log truncated between
+  * sink commit and engine ack), CHECK-constraint reject mode, and
+  * table creation on first epoch. */
+class SnapshotStreamSinkSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** One AvailableNow pass: snapshot-source(src) → snapshot-sink(dst). */
+  private def pump(src: String, dst: String, ckpt: String): Unit = {
+    val q = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+  }
+
+  private def keysOf(path: String): Seq[Long] =
+    SnapshotTable.read(spark, path).select("k").as[Long].collect().toSeq.sorted
+
+  test("source→sink round trip lands every commit's rows exactly once, " +
+      "creating the target table on the first epoch") {
+    val base = Files.createTempDirectory("graft-sink-rt").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    SnapshotTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), src)
+    SnapshotTable.append(Seq((3L, "c")).toDF("k", "s"), src)
+
+    pump(src, dst, ckpt)
+    assert(keysOf(dst) === Seq(1L, 2L, 3L))
+    assert(SnapshotTable.read(spark, dst).schema.fieldNames.toSeq === Seq("k", "s"))
+
+    // nothing new: a second pass commits nothing
+    val v = SnapshotTable.latestVersion(spark, dst).get
+    pump(src, dst, ckpt)
+    assert(SnapshotTable.latestVersion(spark, dst).get === v)
+
+    // incremental: only the new commit's rows land
+    SnapshotTable.append(Seq((4L, "d")).toDF("k", "s"), src)
+    pump(src, dst, ckpt)
+    assert(keysOf(dst) === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("crash between sink commit and checkpoint ack: the replayed epoch " +
+      "is skipped by the txn watermark — no duplicate rows") {
+    val base = Files.createTempDirectory("graft-sink-crash").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    SnapshotTable.append((1L to 100L).map(i => (i, s"r$i")).toDF("k", "s"), src)
+    pump(src, dst, ckpt)
+    assert(keysOf(dst) === (1L to 100L))
+
+    // simulate the crash window: the sink committed the epoch but the
+    // engine never acked it — drop the newest entry of the checkpoint's
+    // commit log, so restart replays that epoch against the sink
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+
+    val vBefore = SnapshotTable.latestVersion(spark, dst).get
+    pump(src, dst, ckpt) // replays the last epoch
+    assert(keysOf(dst) === (1L to 100L), "replayed epoch must not duplicate rows")
+    assert(SnapshotTable.latestVersion(spark, dst).get === vBefore,
+      "skipped replay must publish no new version")
+    // and the replay's duplicate files were cleaned up, not orphaned
+    assert(SnapshotTable.count(spark, dst) === 100L)
+  }
+
+  test("commitStreamEpoch is idempotent per (appId, epoch) and tracks apps independently") {
+    val base = Files.createTempDirectory("graft-sink-epoch").toString
+    val t = s"$base/t"
+    def writeEpochFiles(tag: String): (String, Seq[(String, String, Long)]) = {
+      val dir = s"$t/data/c-$tag"
+      Seq((10L, tag)).toDF("k", "s").coalesce(1)
+        .write.mode("errorifexists").parquet(dir)
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      (dir, Seq((dir, f, 1L)))
+    }
+    val (_, files1) = writeEpochFiles("e1")
+    val schema = Seq((10L, "x")).toDF("k", "s").schema
+    assert(SnapshotTable.commitStreamEpoch(spark, t, files1, schema, "appA", 5L)
+      === Some(1L))
+    // same epoch again (replay): skipped
+    val (_, files2) = writeEpochFiles("e2")
+    assert(SnapshotTable.commitStreamEpoch(spark, t, files2, schema, "appA", 5L)
+      === None)
+    // an EARLIER epoch of the same app: also skipped (watermark is max)
+    assert(SnapshotTable.commitStreamEpoch(spark, t, files2, schema, "appA", 3L)
+      === None)
+    // a different app at the same epoch number: commits
+    assert(SnapshotTable.commitStreamEpoch(spark, t, files2, schema, "appB", 5L)
+      === Some(2L))
+    assert(SnapshotTable.streamTxnVersion(spark, t, "appA") === Some(5L))
+    assert(SnapshotTable.streamTxnVersion(spark, t, "appB") === Some(5L))
+    assert(SnapshotTable.count(spark, t) === 2L)
+    // the watermark survives unrelated commits and a branch fork
+    SnapshotTable.append(Seq((11L, "y")).toDF("k", "s"), t)
+    assert(SnapshotTable.streamTxnVersion(spark, t, "appA") === Some(5L))
+    SnapshotTable.createBranch(spark, t, "dev")
+    assert(SnapshotTable.streamTxnVersion(spark,
+      SnapshotTable.branchHandle(t, "dev"), "appA") === Some(5L))
+  }
+
+  test("CHECK constraint rejects a violating microbatch atomically (no partial commit)") {
+    val base = Files.createTempDirectory("graft-sink-check").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    SnapshotTable.append(Seq((1L, 10.0)).toDF("k", "v"), dst)
+    SnapshotTable.addCheckConstraint(spark, dst, "v_nonneg", "v >= 0")
+    SnapshotTable.append(Seq((2L, 5.0), (3L, -1.0)).toDF("k", "v"), src)
+
+    val vBefore = SnapshotTable.latestVersion(spark, dst).get
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      pump(src, dst, ckpt)
+    }
+    assert(ex.getMessage.contains("v_nonneg") ||
+      Option(ex.getCause).exists(_.getMessage.contains("v_nonneg")))
+    assert(SnapshotTable.latestVersion(spark, dst).get === vBefore,
+      "a rejected batch must not publish any version")
+    assert(keysOf(dst) === Seq(1L))
+  }
+
+  test("sink rejects hidden-partitioned targets with guidance") {
+    val base = Files.createTempDirectory("graft-sink-hidden").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    SnapshotTable.append(Seq((1L, "a")).toDF("k", "s"), src)
+    SnapshotTable.appendTransformed(
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L)).toDF("ts", "k"),
+      dst, Seq("days(ts)"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      pump(src, dst, ckpt)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("hidden partition transforms"))
+  }
+
+  test("types round-trip through sink then batch read (timestamp/date/bool/binary/null)") {
+    val base = Files.createTempDirectory("graft-sink-types").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    val df = Seq(
+      (1L, "x", 1.5f, 2.5, true, java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456"),
+        java.sql.Date.valueOf("2024-03-01"), Array[Byte](1, 2, 3)),
+      (2L, null.asInstanceOf[String], -0.5f, -3.5, false,
+        null.asInstanceOf[java.sql.Timestamp], java.sql.Date.valueOf("2024-12-31"),
+        null.asInstanceOf[Array[Byte]]))
+      .toDF("k", "s", "f", "d", "b", "ts", "dt", "bin")
+    SnapshotTable.append(df, src)
+    pump(src, dst, ckpt)
+    val got = SnapshotTable.read(spark, dst)
+    val want = SnapshotTable.read(spark, src)
+    assert(got.schema === want.schema)
+    def canon(x: org.apache.spark.sql.DataFrame): Set[String] =
+      x.collect().map(r => (0 until r.length).map { i =>
+        r.get(i) match {
+          case a: Array[Byte] => a.mkString(",")
+          case v              => String.valueOf(v)
+        }
+      }.mkString("|")).toSet
+    assert(canon(got) === canon(want))
+  }
+}
