@@ -1090,6 +1090,97 @@ object EvQueries {
        |  true AS exactly_once_ok, true AS txn_ok
        |FROM gold ORDER BY sessionId""".stripMargin
 
+  /** Write-path CHECK constraints through the gate — the reference
+    * driver's `fail_mode` semantics (infra/glue-jobs.tf:28) moved
+    * into the write path, in both modes:
+    *
+    *  1. constraint DDL via PURE SQL: `ALTER TABLE ... ADD CONSTRAINT
+    *     ... CHECK (...)` / `DROP CONSTRAINT` / `SHOW CONSTRAINTS`
+    *     (the Delta statement shapes, via the injected parser);
+    *  2. reject mode is ATOMIC: a batch with violating rows fails the
+    *     whole append — version and row count both unchanged, no
+    *     partial commit;
+    *  3. divert mode: [[graft.lake.SnapshotTable.appendQuarantine]]
+    *     splits one mixed batch in a single source pass — compliant
+    *     rows commit, violators land in a quarantine snapshot table
+    *     tagged with the violated constraint names.
+    *
+    * Output: every gold row with its disposition + diagnosis,
+    * hash-checked against the oracle recomputing the same split. */
+  def constraintQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cq-gate").toString
+    val (path, qpath) = (s"$base/t", s"$base/q")
+    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    val gold = GoldFeatures.derive(good(spark))
+      .select("sessionId", "session_duration_minutes")
+      .coalesce(1).persist()
+    try {
+      val ranked = gold.withColumn("rn",
+        row_number().over(Window.orderBy("sessionId")))
+      // the batch to load: first 3 rows (by sessionId) corrupted to a
+      // constant negative duration (float-exact on both engines — a
+      // negated 0.0 would be -0.0 and PASS >= 0), the rest untouched
+      val batch = ranked.withColumn("session_duration_minutes",
+          when(col("rn") <= 3, lit(-1.0))
+            .otherwise(col("session_duration_minutes")))
+        .drop("rn")
+      val badRows = batch.filter(col("session_duration_minutes") < 0)
+      // v1: schema-only commit, so constraints exist BEFORE any data
+      SnapshotTable.append(gold.limit(0).coalesce(1), path)
+      SnapshotCatalog.register("ev22_fact", path)
+      spark.sql("ALTER TABLE ev22_fact ADD CONSTRAINT dur_nonneg " +
+        "CHECK (session_duration_minutes >= 0)")
+      spark.sql("ALTER TABLE ev22_fact ADD CONSTRAINT dur_cap " +
+        "CHECK (session_duration_minutes <= 1e6)")
+      spark.sql("ALTER TABLE ev22_fact DROP CONSTRAINT dur_cap")
+      val sqlDdlOk = spark.sql("SHOW CONSTRAINTS IN ev22_fact")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("dur_nonneg", "session_duration_minutes >= 0"))
+      // reject mode: the violating batch must fail atomically
+      val vBefore = SnapshotTable.latestVersion(spark, path).get
+      val rejected = scala.util.Try(SnapshotTable.append(badRows, path))
+      val rejectOk = rejected.isFailure &&
+        SnapshotTable.latestVersion(spark, path).get == vBefore &&
+        SnapshotTable.count(spark, path) == 0L
+      // divert mode: one mixed batch, one source pass, split on commit
+      val (_, nQuarantined) =
+        SnapshotTable.appendQuarantine(batch, path, qpath)
+      val kept = SnapshotTable.read(spark, path)
+        .select("sessionId", "session_duration_minutes")
+        .withColumn("disposition", lit("kept"))
+        .withColumn("reasons", lit(""))
+      val quarantined = SnapshotTable.read(spark, qpath)
+        .select(col("sessionId"), col("session_duration_minutes"),
+          lit("quarantined").as("disposition"),
+          array_join(col("_violated"), ",").as("reasons"))
+      kept.unionByName(quarantined)
+        .withColumn("sql_ddl_ok", lit(sqlDdlOk))
+        .withColumn("reject_ok", lit(rejectOk))
+        .withColumn("quarantined_n", lit(nQuarantined))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val constraintQuarantineSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |), ranked AS (
+       |  SELECT sessionId, session_duration_minutes,
+       |    row_number() OVER (ORDER BY sessionId) AS rn
+       |  FROM gold
+       |)
+       |SELECT sessionId,
+       |  CASE WHEN rn <= 3 THEN CAST(-1.0 AS DOUBLE)
+       |       ELSE session_duration_minutes END AS session_duration_minutes,
+       |  CASE WHEN rn <= 3 THEN 'quarantined' ELSE 'kept' END AS disposition,
+       |  CASE WHEN rn <= 3 THEN 'dur_nonneg' ELSE '' END AS reasons,
+       |  true AS sql_ddl_ok, true AS reject_ok,
+       |  CAST(3 AS BIGINT) AS quarantined_n
+       |FROM ranked ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1112,5 +1203,7 @@ object EvQueries {
     QDef("ev19_branch_merge", branchMerge, Some(branchMergeSql)),
     QDef("ev20_branch_sql", branchSql, Some(branchSqlSql)),
     QDef("ev21_stream_sink", streamSink, Some(streamSinkSql)),
+    QDef("ev22_constraint_quarantine", constraintQuarantine,
+      Some(constraintQuarantineSql)),
   )
 }

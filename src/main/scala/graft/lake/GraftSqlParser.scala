@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 /** Injected SQL parser adding the branch/tag DDL statements Spark's
   * grammar has no syntax for (the Iceberg ref-management surface,
@@ -19,6 +19,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   ALTER TABLE t DROP TAG golden
   *   ALTER TABLE t FAST FORWARD BRANCH dev
   *   ALTER TABLE t CHERRY PICK BRANCH dev VERSION 4
+  *
+  * the constraint inspection statement Spark has no syntax for
+  * (`ALTER TABLE ... ADD/DROP CONSTRAINT` itself parses NATIVELY in
+  * Spark 4.1 and routes through [[ResolveSnapshotRelation]]):
+  *
+  *   SHOW CONSTRAINTS [IN] t
   *
   * and the Delta-shaped maintenance statements:
   *
@@ -61,6 +67,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotRefDdlCommand(idents(t), "fast_forward", b, None, None)
     case CherryPick(t, b, v) =>
       SnapshotRefDdlCommand(idents(t), "cherry_pick", b, Some(v.toLong), None)
+    case ShowConstraints(t) => SnapshotShowConstraintsCommand(idents(t))
     case VacuumKeep(t, n) =>
       SnapshotMaintenanceCommand(idents(t), "vacuum", keepVersions = n.toInt)
     case Vacuum(t) =>
@@ -136,6 +143,8 @@ private object GraftSqlParser {
   private[lake] val Optimize = stmt(s"OPTIMIZE\\s+$T")
   private[lake] val ShowBranches = stmt(s"SHOW\\s+BRANCHES\\s+(?:IN\\s+|FROM\\s+)?$T")
   private[lake] val ShowTags = stmt(s"SHOW\\s+TAGS\\s+(?:IN\\s+|FROM\\s+)?$T")
+  private[lake] val ShowConstraints =
+    stmt(s"SHOW\\s+CONSTRAINTS\\s+(?:IN\\s+|FROM\\s+)?$T")
 }
 
 private[lake] object SnapshotStatementTarget {
@@ -245,5 +254,23 @@ case class SnapshotShowRefsCommand(ident: Seq[String], kind: String)
         SnapshotTable.tags(spark, path).toSeq.sortBy(_._1)
           .map { case (n, v) => Row(n, v) }
     }
+  }
+}
+
+/** `SHOW CONSTRAINTS [IN] t`: one row per CHECK constraint —
+  * (name, expr), name-sorted. ADD/DROP CONSTRAINT need no parser
+  * support: Spark 4.1 parses them natively and
+  * [[ResolveSnapshotRelation]] routes them to the snapshot table. */
+case class SnapshotShowConstraintsCommand(ident: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("expr", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    SnapshotTable.checkConstraints(spark, path).toSeq.sortBy(_._1)
+      .map { case (n, e) => Row(n, e) }
   }
 }

@@ -526,6 +526,73 @@ object SnapshotTable {
   def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long =
     commit(df, path, partitionCols, identity)
 
+  /** Quarantine fail-mode append — the reference driver's
+    * `fail_mode` gate (reference infra/glue-jobs.tf:28 +
+    * jobs/ev_sessions_silver_etl_clean.py:161-164) lifted from the
+    * driver into the WRITE PATH. [[append]] is reject mode: one
+    * violating row fails the whole batch before anything publishes.
+    * This is divert mode: rows violating any recorded CHECK
+    * constraint land in `quarantinePath` — itself a snapshot table —
+    * with a `_violated` array column naming every failed constraint
+    * (sorted, so diagnoses are deterministic), and only compliant
+    * rows commit to the table.
+    *
+    * The source is evaluated ONCE: the tagged batch is staged to
+    * parquet partitioned by the violation flag, so each side's
+    * follow-up append re-reads only its own partition (pruned,
+    * columnar) — never the upstream computation twice. At 100 TB the
+    * staging write is the same IO the commit itself costs; the
+    * alternative (two passes over the source plan) re-executes
+    * arbitrary upstream joins/aggregations.
+    *
+    * Quarantine commits BEFORE the main table: a crash between the
+    * two appends leaves diverted rows visible in quarantine and the
+    * main table unadvanced — re-running the batch double-quarantines
+    * at worst (caller owns retry, like the reference re-runs a failed
+    * job), but no violating row is ever silently dropped and the main
+    * table never sees a partial batch. NULL evaluations PASS (the
+    * same tri-valued semantics as the reject guard).
+    *
+    * Returns (table version, rows quarantined). With no constraints
+    * recorded this is plain [[append]] with 0 quarantined.
+    */
+  def appendQuarantine(df: DataFrame, path: String, quarantinePath: String,
+      partitionCols: Seq[String] = Nil): (Long, Long) = {
+    val spark = df.sparkSession
+    require(!df.columns.contains("_violated"),
+      "column name '_violated' is reserved for quarantine diagnostics")
+    val cs: Map[String, String] = latestVersion(spark, path)
+      .map(v => readManifestFull(spark, path, v).constraints)
+      .getOrElse(Map.empty)
+    if (cs.isEmpty) return (append(df, path, partitionCols), 0L)
+    // one branch per constraint, evaluated inside the row: emits the
+    // constraint's name when violated, NULL otherwise; filter() keeps
+    // the names — all codegen'd, no UDF, rides the staging write
+    val tags = array(cs.toSeq.sortBy(_._1).map { case (name, e) =>
+      when(!coalesce(expr(e), lit(true)), lit(name))
+        .otherwise(lit(null).cast("string"))
+    }: _*)
+    // int flag, not boolean: partition-column type inference on the
+    // staging re-read covers numerics but not booleans
+    val tagged = df
+      .withColumn("_violated", filter(tags, c => c.isNotNull))
+      .withColumn("__q_bad", when(size(col("_violated")) > 0, 1).otherwise(0))
+    val staging = s"${realPathOf(path)}/_staging/q-" +
+      java.util.UUID.randomUUID.toString.take(12)
+    tagged.write.mode("errorifexists").option("compression", "zstd")
+      .partitionBy("__q_bad").parquet(staging)
+    try {
+      val staged = spark.read.parquet(staging)
+      val bad = staged.filter(col("__q_bad") === 1).drop("__q_bad")
+      val nBad = bad.count()
+      if (nBad > 0) append(bad, quarantinePath)
+      val clean = staged.filter(col("__q_bad") === 0).drop("__q_bad", "_violated")
+      (append(clean, path, partitionCols), nBad)
+    } finally {
+      fs(spark, path).delete(new Path(staging), true); ()
+    }
+  }
+
   /** Exactly-once streaming append (the manifest half of the
     * `writeStream.format("graft-snapshot")` sink): publish `files` —
     * (commitDir, path, footer rows) triples already written by

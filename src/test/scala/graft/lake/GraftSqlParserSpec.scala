@@ -144,4 +144,35 @@ class GraftSqlParserSpec extends SparkTestBase {
     s2.sql("ALTER TABLE graftp.ns.bt ADD COLUMNS (note STRING)")
     assert(s2.table("graftp.ns.bt").columns.contains("note"))
   }
+
+  test("constraint DDL: add validates existing rows, enforces writes, show/drop") {
+    val path = Files.createTempDirectory("graft-psql-ck").toString + "/t"
+    SnapshotTable.append(mk("a"), path, Seq("event_date"))          // v1
+    SnapshotCatalog.register("psql_ck", path)
+
+    assert(s2.sql(
+      "ALTER TABLE psql_ck ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+      .head().getLong(0) === 2L)
+    // an ADD whose expression existing rows violate fails up front
+    val ex = intercept[Exception] {
+      s2.sql("ALTER TABLE psql_ck ADD CONSTRAINT v_huge CHECK (v > 100)")
+    }
+    assert(ex.getMessage.contains("v_huge"))
+    assert(s2.sql("SHOW CONSTRAINTS IN psql_ck").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("v_nonneg", "v >= 0")))
+
+    // the recorded constraint gates every write path (reject mode)
+    val bad = Seq(("bad-0", "2024-01-01", -2.0)).toDF("id", "event_date", "v")
+    val exW = intercept[Exception] { SnapshotTable.append(bad, path, Seq("event_date")) }
+    assert(exW.getMessage.contains("v_nonneg")
+      || Option(exW.getCause).exists(_.getMessage.contains("v_nonneg")))
+    assert(SnapshotTable.latestVersion(s2, path) === Some(2L))
+
+    assert(s2.sql("ALTER TABLE psql_ck DROP CONSTRAINT v_nonneg")
+      .head().getLong(0) === 3L)
+    assert(s2.sql("SHOW CONSTRAINTS IN psql_ck").count() === 0L)
+    SnapshotTable.append(bad, path, Seq("event_date"))              // now fine
+    assert(SnapshotTable.read(s2, path).count() === 6)
+  }
 }

@@ -829,6 +829,58 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, path).count() === 7)
   }
 
+  test("quarantine fail-mode append splits a mixed batch; violators carry diagnoses") {
+    val base = Files.createTempDirectory("graft-snap-q").toString
+    val (path, qpath) = (s"$base/t", s"$base/q")
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date"))
+    SnapshotTable.addCheckConstraint(spark, path, "v_nonneg", "v >= 0")
+    SnapshotTable.addCheckConstraint(spark, path, "v_cap", "v <= 100")
+    SnapshotTable.addCheckConstraint(spark, path, "v_whole", "v = floor(v)")
+
+    // mixed batch: 2 clean, 1 below floor, 1 violating TWO rules at
+    // once, 1 NULL (tri-valued: passes) — one source pass splits it
+    val batch = Seq(
+      ("ok-1", "2024-01-02", Some(5.0)), ("ok-2", "2024-01-02", Some(7.0)),
+      ("low", "2024-01-02", Some(-3.0)), ("frac", "2024-01-02", Some(250.5)),
+      ("nul", "2024-01-02", None: Option[Double]))
+      .toDF("id", "event_date", "v")
+
+    val (v, nQ) = SnapshotTable.appendQuarantine(batch, path, qpath,
+      Seq("event_date"))
+    assert(nQ === 2L)
+    // clean rows (incl. the NULL) committed; violators did not
+    val ids = SnapshotTable.read(spark, path).select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("ok-1", "ok-2", "nul").subsetOf(ids))
+    assert(!ids.contains("low") && !ids.contains("frac"))
+    assert(SnapshotTable.read(spark, path, Some(v)).count() === 8)
+
+    // quarantine table: every violator, tagged with ALL its violated
+    // constraint names (name-sorted)
+    val q = SnapshotTable.read(spark, qpath)
+      .select(col("id"), array_join(col("_violated"), ",").as("why"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q === Map("low" -> "v_nonneg", "frac" -> "v_cap,v_whole"))
+
+    // no constraints on the target → plain append, nothing diverted
+    val plain = s"$base/p"
+    SnapshotTable.append(mkRows("p", Seq("2024-01-01")), plain, Seq("event_date"))
+    val (v2, n2) = SnapshotTable.appendQuarantine(
+      mkRows("q", Seq("2024-01-02")), plain, s"$base/pq", Seq("event_date"))
+    assert(v2 === 2L && n2 === 0L)
+
+    // the staging dir is cleaned up
+    val staging = new java.io.File(s"$path/_staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty)
+
+    // reserved diagnostic column name is rejected
+    val clash = Seq(("x", "2024-01-02", 1.0, "boom"))
+      .toDF("id", "event_date", "v", "_violated")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.appendQuarantine(clash, path, qpath, Seq("event_date"))
+    }
+  }
+
   test("write-skew guard: a concurrent DV-only commit aborts a rewrite (no resurrection)") {
     // An UPDATE computes its rewrite from the pre-DV snapshot; if a
     // deleteWithVectors lands in between, publishing that rewrite
