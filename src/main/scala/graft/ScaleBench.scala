@@ -62,6 +62,7 @@ object ScaleBench {
     val queryIds = Seq(1L, 1000L, 54321L)
     var mergeScaleBase: Option[String] = None
     var snapBootBase: Option[String] = None
+    var qidxDir: Option[String] = None
     val results: Seq[(String, Double)] = Seq(
       timed("exact_dedup")     { noop(graft.ops.TextDedup.exactDuplicates(docs)) },
       timed("minhash_buckets") { noop(graft.ops.TextDedup.minhashBuckets(docs)) },
@@ -99,6 +100,30 @@ object ScaleBench {
           .filter(col("rn") <= 10))
         q.unpersist()
         ()
+      },
+      timed("ivf_i8_adhoc_3q") {
+        // A/B left side: the ad-hoc quantized IVF search — probe
+        // cells, then quantize ONLY the candidate rows (the round-7
+        // version quantized the whole corpus per search; this entry
+        // exists to show that second full scan gone)
+        val model = graft.ops.Ivf.train(emb, k = 64)
+        noop(graft.ops.Ivf.searchQuantized(emb, model, queryIds, 10))
+      },
+      timed("ivf_i8_index_build") {
+        // the one-time cost the index tier amortizes: quantize the
+        // corpus to the (id, scale, qvec) artifact
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-qidx").toString
+        qidxDir = Some(dir)
+        graft.ops.Ivf.buildQuantizedIndex(emb, dir)
+      },
+      timed("ivf_i8_indexed_3q") {
+        // A/B right side: searches against the pre-built index read
+        // only the 4x-smaller quantized parquet — per-search cost
+        // once the build above is paid
+        val model = graft.ops.Ivf.train(emb, k = 64)
+        val qcorp = graft.ops.Ivf.loadQuantizedIndex(spark, qidxDir.get)
+        noop(graft.ops.Ivf.searchQuantizedIndexed(emb, qcorp, model, queryIds, 10))
       },
       timed("tfidf")           { noop(graft.ops.TextAnalysis.tfidfOf(docs)) },
       timed("inverted_index")  { noop(graft.ops.TextAnalysis.invertedIndexOf(docs)) },
@@ -292,9 +317,28 @@ object ScaleBench {
         val base = java.nio.file.Files.createTempDirectory("graft-scale-snapboot")
         snapBootBase = Some(base.toString)
         graft.lake.SnapshotTable.append(docs.coalesce(4), s"${base}/t")
+        // tiny table for stream_fixed_overhead (staged here so that
+        // entry times ONLY the streaming machinery, not a commit)
+        graft.lake.SnapshotTable.append(
+          docs.limit(100).coalesce(1), s"$base/tiny")
       },
       timed("snap_bootstrap_batch") {
         noop(graft.lake.SnapshotTable.read(spark, s"${snapBootBase.get}/t"))
+      },
+      timed("stream_fixed_overhead") {
+        // pure streaming-query machinery on a ~100-row table: query
+        // start, checkpoint IO, AvailableNow's plan+commit cycles.
+        // snap_bootstrap_stream minus THIS is the data cost to
+        // compare against snap_bootstrap_batch — at 100 TB the fixed
+        // part amortizes to zero, so it must not be billed to the
+        // reader's throughput
+        val base = snapBootBase.get
+        val q = spark.readStream.format("graft-snapshot").load(s"$base/tiny")
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$base/tiny-ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "tiny drain did not finish")
       },
       timed("snap_bootstrap_stream") {
         // the whole table as one first batch: auto mode routes it

@@ -353,6 +353,28 @@ object SnapshotTable {
     buf.toSeq
   }
 
+  /** Manifest entries for a freshly written commit dir. Footer reads
+    * (row count + per-column min/max) are driver-side metadata IO
+    * (the table-format norm), but SEQUENTIAL opens would bottleneck a
+    * many-file commit — one open per file, on a bounded pool. */
+  private def commitEntries(spark: SparkSession, commitDir: String,
+      statsCols: Seq[String]): Seq[Entry] = {
+    val files = listParquet(fs(spark, commitDir), new Path(commitDir))
+    if (files.isEmpty) Nil
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      try Await.result(
+        Future.traverse(files)(f => Future(
+          withPartitionStats(footerEntry(spark, commitDir, f, statsCols)))),
+        Duration.Inf)
+      finally { pool.shutdown(); () }
+    }
+  }
+
   /** Optimistic-concurrency commit: the data files are written ONCE
     * to a unique dir, then the manifest is advanced with a
     * rename-as-CAS loop — a writer that loses the race re-reads the
@@ -420,25 +442,7 @@ object SnapshotTable {
     val guarded = withConstraintGuard(data, guardedCs)
     val w = guarded.write.mode("errorifexists").option("compression", "zstd")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(commitDir)
-    val files = listParquet(fs(spark, path), new Path(commitDir))
-    // footer reads (row count + per-column min/max) are driver-side
-    // metadata IO (the table-format norm), but SEQUENTIAL opens would
-    // bottleneck a many-file commit — one open per file, on a bounded
-    // pool
-    val added: Seq[Entry] =
-      if (files.isEmpty) Nil
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, files.size))
-        implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        try Await.result(
-          Future.traverse(files)(f => Future(
-            withPartitionStats(footerEntry(spark, commitDir, f, statsCols)))),
-          Duration.Inf)
-        finally { pool.shutdown(); () }
-      }
+    val added: Seq[Entry] = commitEntries(spark, commitDir, statsCols)
     var attempt = 0
     while (attempt < maxAttempts) {
       // linearized log: the commit targets latest+1 and bases its
@@ -561,21 +565,16 @@ object SnapshotTable {
     val spark = df.sparkSession
     require(!df.columns.contains("_violated"),
       "column name '_violated' is reserved for quarantine diagnostics")
+    require(!df.columns.contains("__q_bad"),
+      "column name '__q_bad' is reserved for the quarantine staging flag")
     val cs: Map[String, String] = latestVersion(spark, path)
       .map(v => readManifestFull(spark, path, v).constraints)
       .getOrElse(Map.empty)
     if (cs.isEmpty) return (append(df, path, partitionCols), 0L)
-    // one branch per constraint, evaluated inside the row: emits the
-    // constraint's name when violated, NULL otherwise; filter() keeps
-    // the names — all codegen'd, no UDF, rides the staging write
-    val tags = array(cs.toSeq.sortBy(_._1).map { case (name, e) =>
-      when(!coalesce(expr(e), lit(true)), lit(name))
-        .otherwise(lit(null).cast("string"))
-    }: _*)
     // int flag, not boolean: partition-column type inference on the
     // staging re-read covers numerics but not booleans
     val tagged = df
-      .withColumn("_violated", filter(tags, c => c.isNotNull))
+      .withColumn("_violated", violatedArray(cs))
       .withColumn("__q_bad", when(size(col("_violated")) > 0, 1).otherwise(0))
     val staging = s"${realPathOf(path)}/_staging/q-" +
       java.util.UUID.randomUUID.toString.take(12)
@@ -591,6 +590,91 @@ object SnapshotTable {
     } finally {
       fs(spark, path).delete(new Path(staging), true); ()
     }
+  }
+
+  /** One branch per constraint, evaluated inside the row: emits the
+    * constraint's name when violated, NULL otherwise; filter() keeps
+    * the names (name-sorted, so diagnoses are deterministic) — all
+    * codegen'd, no UDF. */
+  private def violatedArray(cs: Map[String, String]): Column =
+    filter(array(cs.toSeq.sortBy(_._1).map { case (name, e) =>
+      when(!coalesce(expr(e), lit(true)), lit(name))
+        .otherwise(lit(null).cast("string"))
+    }: _*), c => c.isNotNull)
+
+  /** Quarantine fail-mode variant of [[commitStreamEpoch]] — the
+    * streaming sink's divert mode (`.option("failMode",
+    * "quarantine")`): when the epoch's files violate a recorded CHECK
+    * constraint, the batch is split instead of rejected — violators
+    * land in `quarantinePath` with the `_violated` diagnosis column,
+    * compliant rows commit to the table, and the original mixed files
+    * are dropped. A fully-compliant epoch takes [[commitStreamEpoch]]'s
+    * fast path untouched (no rewrite, the executor-written files
+    * publish as-is).
+    *
+    * Exactly-once holds PER TABLE via the same (txnAppId, epoch)
+    * watermark, carried by both commits: quarantine commits first, so
+    * a crash between the two leaves the violators visible and the
+    * main table unadvanced; the engine's replay re-splits the epoch,
+    * the quarantine commit skips on its watermark (fresh duplicate
+    * files deleted), and the clean side commits — every row lands
+    * exactly once on exactly one side.
+    *
+    * Returns (main-table version — None when the whole epoch was a
+    * replay, rows quarantined THIS call). */
+  def commitStreamEpochQuarantine(spark: SparkSession, path: String,
+      quarantinePath: String, files: Seq[(String, String, Long)],
+      writeSchema: StructType, txnAppId: String,
+      txnVersion: Long): (Option[Long], Long) = {
+    if (streamTxnVersion(spark, path, txnAppId).exists(_ >= txnVersion))
+      return (None, 0L)
+    val cs: Map[String, String] = latestVersion(spark, path)
+      .map(v => readManifestFull(spark, path, v).constraints)
+      .getOrElse(Map.empty)
+    val staged =
+      if (files.isEmpty || cs.isEmpty) None
+      else Some(spark.read.schema(writeSchema).parquet(files.map(_._2): _*))
+    val anyBad = staged.exists { df =>
+      val violated = cs.values
+        .map(e => !coalesce(expr(e), lit(true))).reduce(_ || _)
+      df.filter(violated).limit(1).count() > 0L
+    }
+    if (!anyBad)
+      return (commitStreamEpoch(spark, path, files, writeSchema,
+        txnAppId, txnVersion), 0L)
+
+    def freshDir(table: String): String =
+      s"${dataDirOf(table)}/c-${java.util.UUID.randomUUID.toString.take(12)}"
+    def triplesOf(dir: String): Seq[(String, String, Long)] =
+      commitEntries(spark, dir, Nil).map(e => (e.commitDir, e.filePath, e.rows))
+
+    val tagged = staged.get.withColumn("_violated", violatedArray(cs))
+    // quarantine first (its watermark makes a replay skip and clean
+    // up): a crash window never silently drops a violating row
+    val badDir = freshDir(quarantinePath)
+    tagged.filter(size(col("_violated")) > 0)
+      .write.mode("errorifexists").option("compression", "zstd").parquet(badDir)
+    val badFiles = triplesOf(badDir)
+    val nBad = badFiles.map(_._3).sum
+    val qSchema = StructType(writeSchema.fields :+
+      StructField("_violated", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+    if (commitStreamEpoch(spark, quarantinePath, badFiles, qSchema,
+        txnAppId, txnVersion).isEmpty)
+      fs(spark, quarantinePath).delete(new Path(badDir), true): Unit
+    // then the compliant side; an EMPTY clean side still publishes a
+    // zero-file commit so the main watermark advances (idempotence)
+    val cleanDir = freshDir(path)
+    tagged.filter(size(col("_violated")) === 0).drop("_violated")
+      .write.mode("errorifexists").option("compression", "zstd").parquet(cleanDir)
+    val v = commitStreamEpoch(spark, path, triplesOf(cleanDir), writeSchema,
+      txnAppId, txnVersion)
+    if (v.isEmpty) fs(spark, path).delete(new Path(cleanDir), true): Unit
+    // the original mixed epoch files are superseded by the split
+    files.map(_._1).distinct.foreach { d =>
+      fs(spark, path).delete(new Path(d), true): Unit
+    }
+    (v, nBad)
   }
 
   /** Exactly-once streaming append (the manifest half of the

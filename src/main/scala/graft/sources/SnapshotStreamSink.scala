@@ -48,8 +48,16 @@ import graft.lake.SnapshotTable
   * batch writer); the driver's share is one manifest CAS per epoch
   * plus footer-free row counts carried in the commit messages.
   * CHECK constraints are enforced on the epoch's files before any
-  * publish (reject mode: a violating batch fails the query with zero
-  * manifest change). Writes target plain or hive-partition-free
+  * publish. Default is reject mode: a violating batch fails the
+  * query with zero manifest change. `.option("failMode",
+  * "quarantine")` + `.option("quarantinePath", ...)` switches to
+  * divert mode (the dead-letter pattern, mirroring
+  * [[graft.lake.SnapshotTable.appendQuarantine]]): the epoch splits —
+  * violators land in the quarantine snapshot table with a
+  * `_violated` diagnosis column, compliant rows commit, and BOTH
+  * commits carry the epoch watermark so exactly-once holds per
+  * table across crash replays. A fully-compliant epoch keeps the
+  * no-rewrite fast path. Writes target plain or hive-partition-free
   * snapshot tables; hidden-partitioned tables reject with guidance
   * (their layout derivation belongs to the batch writer).
   *
@@ -59,7 +67,13 @@ import graft.lake.SnapshotTable
   * exactly-once gap natively, Delta-sink style.
   */
 private[sources] class SnapshotStreamingWrite(path: String, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String, failMode: String = "reject",
+    quarantinePath: Option[String] = None) extends StreamingWrite {
+
+  require(Set("reject", "quarantine")(failMode),
+    s"failMode must be reject|quarantine, got '$failMode'")
+  require(failMode == "reject" || quarantinePath.nonEmpty,
+    "failMode=quarantine needs .option(\"quarantinePath\", ...)")
 
   // one txn app id per (streaming query, table): the engine keeps
   // queryId stable across restarts from the same checkpoint, which is
@@ -86,9 +100,17 @@ private[sources] class SnapshotStreamingWrite(path: String, schema: StructType,
     // and replaying an empty epoch re-produces nothing — exactly-once
     // needs no watermark advance for it
     val commitDirs = files.map(_.commitDir).distinct.toSeq
-    val committed = SnapshotTable.commitStreamEpoch(spark, path,
-      files.map(m => (m.commitDir, m.filePath, m.rows)).toSeq, schema,
-      txnAppId, epochId)
+    val triples = files.map(m => (m.commitDir, m.filePath, m.rows)).toSeq
+    val committed =
+      if (failMode == "quarantine")
+        // the split path deletes the mixed dirs itself when it
+        // rewrites; on its no-rewrite fast path (or a replay) the
+        // dirs survive to the cleanup below
+        SnapshotTable.commitStreamEpochQuarantine(spark, path,
+          quarantinePath.get, triples, schema, txnAppId, epochId)._1
+      else
+        SnapshotTable.commitStreamEpoch(spark, path, triples, schema,
+          txnAppId, epochId)
     if (committed.isEmpty) {
       // replayed epoch: rows are already live from the pre-crash
       // commit — drop the duplicates this attempt wrote

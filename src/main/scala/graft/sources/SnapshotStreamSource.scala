@@ -144,8 +144,12 @@ private class SnapshotStreamTable(path: String, tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new SnapshotStreamingWrite(path, info.schema(), info.queryId())
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          val o = info.options()
+          new SnapshotStreamingWrite(path, info.schema(), info.queryId(),
+            Option(o.get("failmode")).getOrElse("reject").toLowerCase,
+            Option(o.get("quarantinepath")))
+        }
       }
     }
 }

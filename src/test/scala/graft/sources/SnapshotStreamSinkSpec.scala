@@ -134,6 +134,99 @@ class SnapshotStreamSinkSpec extends SparkTestBase {
     assert(keysOf(dst) === Seq(1L))
   }
 
+  test("failMode=quarantine diverts violating epoch rows; exactly-once on " +
+      "both tables across a crash replay") {
+    val base = Files.createTempDirectory("graft-sink-q").toString
+    val (src, dst, qt, ckpt) = (s"$base/src", s"$base/dst", s"$base/q", s"$base/ckpt")
+    SnapshotTable.append(Seq((1L, 10.0)).toDF("k", "v"), dst)
+    SnapshotTable.addCheckConstraint(spark, dst, "v_nonneg", "v >= 0")
+    // two source commits → two epochs at maxVersionsPerTrigger=1: the
+    // first fully compliant (fast path, no rewrite), the LAST mixed —
+    // so the crash replay below re-runs the split epoch
+    SnapshotTable.append(Seq((2L, 5.0), (4L, 7.0)).toDF("k", "v"), src)
+    SnapshotTable.append(Seq((3L, -1.0), (5L, 9.0)).toDF("k", "v"), src)
+
+    def qpump(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", ckpt)
+        .option("failMode", "quarantine")
+        .option("quarantinePath", qt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    qpump()
+    assert(keysOf(dst) === Seq(1L, 2L, 4L, 5L))
+    val quar = SnapshotTable.read(spark, qt)
+    assert(quar.select("k").as[Long].collect().toSeq === Seq(3L))
+    assert(quar.select(array_join(col("_violated"), ",")).as[String].head()
+      === "v_nonneg")
+
+    // crash window: drop the newest checkpoint commit → the SPLIT
+    // epoch replays; both watermarks must skip it
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    require(commits.last.delete() && (!crc.exists() || crc.delete()))
+    val (vD, vQ) = (SnapshotTable.latestVersion(spark, dst).get,
+      SnapshotTable.latestVersion(spark, qt).get)
+    qpump()
+    assert(SnapshotTable.latestVersion(spark, dst).get === vD)
+    assert(SnapshotTable.latestVersion(spark, qt).get === vQ)
+    assert(keysOf(dst) === Seq(1L, 2L, 4L, 5L))
+    assert(SnapshotTable.count(spark, qt) === 1L)
+  }
+
+  test("crash BETWEEN quarantine and main commit: the replayed split epoch " +
+      "skips the quarantine side and completes the clean side") {
+    val base = Files.createTempDirectory("graft-sink-qcrash").toString
+    val (t, qt) = (s"$base/t", s"$base/q")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), t)
+    SnapshotTable.addCheckConstraint(spark, t, "v_nonneg", "v >= 0")
+
+    // the crashed first attempt committed ONLY the quarantine side of
+    // epoch 7: its watermark carries (app, 7), main's does not
+    val preDir = s"$base/pre"
+    Seq((3L, -1.0, Seq("v_nonneg"))).toDF("k", "v", "_violated")
+      .coalesce(1).write.parquet(preDir)
+    val preFiles = new java.io.File(preDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (preDir, f.getAbsolutePath, 1L)).toSeq
+    val qSchema = StructType(schema.fields :+
+      StructField("_violated", ArrayType(StringType)))
+    assert(SnapshotTable.commitStreamEpoch(spark, qt, preFiles, qSchema,
+      "app", 7L) === Some(1L))
+
+    // the engine replays epoch 7 with freshly written mixed files
+    val mixDir = s"$base/mix"
+    Seq((2L, 5.0), (3L, -1.0)).toDF("k", "v").coalesce(1).write.parquet(mixDir)
+    val mixFiles = new java.io.File(mixDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (mixDir, f.getAbsolutePath, 2L)).toSeq
+    val (v, nBad) = SnapshotTable.commitStreamEpochQuarantine(spark, t, qt,
+      mixFiles, schema, "app", 7L)
+    assert(v.nonEmpty, "the clean side must complete on replay")
+    assert(SnapshotTable.read(spark, t).select("k").as[Long].collect().toSeq.sorted
+      === Seq(1L, 2L))
+    // no double-quarantine: only the pre-crash copy of k=3 exists
+    assert(SnapshotTable.count(spark, qt) === 1L)
+    assert(SnapshotTable.streamTxnVersion(spark, t, "app") === Some(7L))
+    assert(SnapshotTable.streamTxnVersion(spark, qt, "app") === Some(7L))
+
+    // a SECOND full replay (crash after everything): whole-epoch skip
+    val (v2, n2) = SnapshotTable.commitStreamEpochQuarantine(spark, t, qt,
+      mixFiles, schema, "app", 7L)
+    assert(v2 === None && n2 === 0L)
+    assert(SnapshotTable.count(spark, qt) === 1L)
+    assert(SnapshotTable.read(spark, t).count() === 2L)
+  }
+
   test("sink rejects hidden-partitioned targets with guidance") {
     val base = Files.createTempDirectory("graft-sink-hidden").toString
     val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
