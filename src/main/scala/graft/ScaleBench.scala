@@ -185,6 +185,13 @@ object ScaleBench {
         // equi-join membership + ordered reassembly (three shuffles)
         noop(graft.ops.TextDedup.dedupSegments(docs))
       },
+      timed("dup_substrings_1m") {
+        // ExactSubstr span dedup at 1M docs: row-local L-gram shingle
+        // projection, one gram-keyed window (min + count, grouping
+        // only — no per-gram sort), one doc-keyed window+agg pair
+        // sharing an exchange, row-local kept-text reconstruction
+        noop(graft.ops.TextDedup.duplicateSpans(docs))
+      },
       timed("boilerplate_1m")  {
         // C4-style boilerplate removal at 1M docs: document-frequency
         // count (two combinable shuffles) + left-anti removal +

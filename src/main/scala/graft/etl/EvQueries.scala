@@ -1181,6 +1181,51 @@ object EvQueries {
        |  CAST(3 AS BIGINT) AS quarantined_n
        |FROM ranked ORDER BY sessionId""".stripMargin
 
+  /** Manifest-stats data skipping through PURE SQL (the Delta
+    * data-skipping surface, complementing ev16's transform pruning):
+    * the gold fact is range-clustered on kwhTotal into 6 files whose
+    * footer (min, max) land in the manifest; a plain
+    * `WHERE kwhTotal >= 10` SELECT — no API call, no hint — must
+    * return exactly the oracle's rows AND physically scan a strict
+    * subset of the table's files (executed-plan numFiles). Proven
+    * non-vacuous in both directions: the unfiltered SELECT scans
+    * every file, and an impossible range scans ZERO. */
+  def dataSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-skip-gate")
+      .toString + "/fact"
+    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .coalesce(1).persist()
+    try {
+      SnapshotTable.appendClustered(gold, path, "kwhTotal", numFiles = 6)
+      SnapshotCatalog.register("ev23_fact", path)
+      val total = SnapshotTable.liveFiles(spark, path).size
+      def q = spark.sql(
+        "SELECT sessionId, kwhTotal FROM ev23_fact WHERE kwhTotal >= 10.0")
+      val scanned = scannedFiles(q)
+      val pruned = scanned >= 1 && scanned < total
+      val fullScanOk = scannedFiles(
+        spark.sql("SELECT sessionId FROM ev23_fact")) == total
+      val emptyProbe = spark.sql(
+        "SELECT sessionId FROM ev23_fact WHERE kwhTotal > 1000.0")
+      val emptyScanOk = scannedFiles(emptyProbe) == 0 && emptyProbe.count() == 0
+      q.withColumn("pruned", lit(pruned))
+        .withColumn("full_scan_ok", lit(fullScanOk))
+        .withColumn("empty_scan_ok", lit(emptyScanOk))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val dataSkippingSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, kwhTotal,
+       |  true AS pruned, true AS full_scan_ok, true AS empty_scan_ok
+       |FROM gold WHERE kwhTotal >= 10.0
+       |ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1205,5 +1250,6 @@ object EvQueries {
     QDef("ev21_stream_sink", streamSink, Some(streamSinkSql)),
     QDef("ev22_constraint_quarantine", constraintQuarantine,
       Some(constraintQuarantineSql)),
+    QDef("ev23_data_skipping", dataSkipping, Some(dataSkippingSql)),
   )
 }

@@ -849,7 +849,134 @@ object SnapshotTable {
     val ppred = analyzedCond
       .map(c => PartitionTransform.translate(c, projectable))
       .getOrElse(lit(true))
-    raw.filter(ppred && predicate).drop(hiddenCols: _*)
+    // manifest-stats file skipping (the Delta/Iceberg data-skipping
+    // half of pruning): conservative numeric intervals from the
+    // predicate's top-level conjuncts drop files whose recorded
+    // (min, max) cannot intersect — clustered/z-ordered tables skip
+    // on a plain SQL WHERE, not only through the readBox API. Files
+    // without a stat on a constrained column stay readable.
+    val intervals = analyzedCond.map(skipIntervals).getOrElse(Nil)
+    val live =
+      if (intervals.isEmpty) m.entries
+      else m.entries.filter { e =>
+        intervals.forall { case (c, lo, hi) =>
+          e.stats.find(_._1 == c) match {
+            case Some((_, mn, mx)) => mx >= lo && mn <= hi
+            case None              => true
+          }
+        }
+      }
+    val base =
+      if (live.size == m.entries.size) raw
+      else if (live.isEmpty)
+        return sqlAlias.foldLeft(emptyFrame(spark, path, v, m))(
+          (df, a) => df.alias(a)).filter(predicate)
+      else sqlAlias.foldLeft(readGroups(spark, live, m.schema))(
+        (df, a) => df.alias(a))
+    base.filter(ppred && predicate).drop(hiddenCols: _*)
+  }
+
+  /** Conservative per-column numeric intervals implied by a predicate,
+    * for manifest-stats file skipping. Only top-level conjuncts of
+    * simple shape (attr ⟨cmp⟩ literal, attr IN (literals…)) contribute;
+    * anything else — OR branches, casts, functions, non-numeric
+    * literals — contributes nothing, so skipping can only ever be
+    * conservative (a file is dropped only when NO row in it can
+    * satisfy the conjunct). Wide-integer literals are widened by one
+    * ulp after the Double conversion so the same rounding the footer
+    * stats went through can never skip a boundary file. */
+  private[lake] def skipIntervals(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.NumericType
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    // the attribute side may carry a WIDENING numeric cast inserted by
+    // type coercion (int column vs double literal) — order-preserving,
+    // so the interval transfers to the underlying column's stats
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case Cast(a: AttributeReference, dt, _, _)
+          if a.dataType.isInstanceOf[NumericType] && dt.isInstanceOf[NumericType] =>
+        Some(a.name)
+      case _ => None
+    }
+    // exact-in-Double values pass through; wide integers/decimals get
+    // the one-ulp widening (their footer stats took the same lossy
+    // Double path)
+    def numLo(l: Literal): Option[Double] = num(l).map {
+      case (d, true)  => d
+      case (d, false) => Math.nextDown(d)
+    }
+    def numHi(l: Literal): Option[Double] = num(l).map {
+      case (d, true)  => d
+      case (d, false) => Math.nextUp(d)
+    }
+    def num(l: Literal): Option[(Double, Boolean)] = l.value match {
+      case null => None
+      case b: Byte   => Some((b.toDouble, true))
+      case s: Short  => Some((s.toDouble, true))
+      case i: Int    => Some((i.toDouble, true))
+      case j: Long   => Some((j.toDouble, math.abs(j) <= (1L << 52)))
+      case f: Float  => Some((f.toDouble, true))
+      case d: Double => Some((d, true))
+      case d: org.apache.spark.sql.types.Decimal =>
+        val v = d.toDouble
+        Some((v, java.math.BigDecimal.valueOf(v).compareTo(d.toJavaBigDecimal) == 0))
+      case _ => None
+    }
+    // the value side of a SQL comparison is often not a bare Literal —
+    // a DECIMAL literal under a coercion Cast is typical — so accept
+    // any foldable expression and evaluate it to a constant
+    object Lit {
+      def unapply(e: Expression): Option[Literal] = e match {
+        case l: Literal => Some(l)
+        case c if c.foldable =>
+          scala.util.Try(Literal.create(c.eval(), c.dataType)).toOption
+        case _ => None
+      }
+    }
+    val inf = Double.PositiveInfinity
+    val raw: Seq[(String, Double, Double)] = conjuncts(cond).flatMap {
+      case EqualTo(a, Lit(l)) if attrOf(a).isDefined =>
+        attrOf(a).flatMap(n => for (lo <- numLo(l); hi <- numHi(l)) yield (n, lo, hi))
+      case EqualTo(Lit(l), a) =>
+        attrOf(a).flatMap(n => for (lo <- numLo(l); hi <- numHi(l)) yield (n, lo, hi))
+      case GreaterThan(a, Lit(l)) if attrOf(a).isDefined =>
+        attrOf(a).flatMap(n => numLo(l).map(v => (n, v, inf)))
+      case GreaterThanOrEqual(a, Lit(l)) if attrOf(a).isDefined =>
+        attrOf(a).flatMap(n => numLo(l).map(v => (n, v, inf)))
+      case LessThan(a, Lit(l)) if attrOf(a).isDefined =>
+        attrOf(a).flatMap(n => numHi(l).map(v => (n, -inf, v)))
+      case LessThanOrEqual(a, Lit(l)) if attrOf(a).isDefined =>
+        attrOf(a).flatMap(n => numHi(l).map(v => (n, -inf, v)))
+      // literal-on-the-left comparisons flip the direction
+      case GreaterThan(Lit(l), a) =>
+        attrOf(a).flatMap(n => numHi(l).map(v => (n, -inf, v)))
+      case GreaterThanOrEqual(Lit(l), a) =>
+        attrOf(a).flatMap(n => numHi(l).map(v => (n, -inf, v)))
+      case LessThan(Lit(l), a) =>
+        attrOf(a).flatMap(n => numLo(l).map(v => (n, v, inf)))
+      case LessThanOrEqual(Lit(l), a) =>
+        attrOf(a).flatMap(n => numLo(l).map(v => (n, v, inf)))
+      case In(a, vs) if vs.nonEmpty =>
+        attrOf(a).flatMap { n =>
+          val lits = vs.flatMap(Lit.unapply)
+          val los = lits.flatMap(numLo)
+          val his = lits.flatMap(numHi)
+          if (los.size == vs.size && his.size == vs.size)
+            Some((n, los.min, his.max))
+          else None
+        }
+      case _ => None
+    }
+    // several conjuncts on one column intersect
+    raw.groupBy(_._1).map { case (c, xs) =>
+      (c, xs.map(_._2).max, xs.map(_._3).min)
+    }.toSeq
   }
 
   // ---- CHECK constraints -------------------------------------------

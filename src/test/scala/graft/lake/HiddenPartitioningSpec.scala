@@ -314,6 +314,12 @@ class HiddenPartitioningSpec extends SparkTestBase {
     // evolve mid-history so retired-spec projection is exercised too
     SnapshotTable.evolvePartitionTransforms(spark, path, Seq("months(ts)"))
     SnapshotTable.append(sample(Gen.listOfN(60, genRow), 0xBEEF).toDF("id", "ts", "v"), path)
+    // a clustered era records v-stats, so the v predicates below also
+    // exercise manifest-stats file skipping under the same soundness
+    // contract (skipping may only prune, never change the result)
+    SnapshotTable.appendClustered(
+      sample(Gen.listOfN(40, genRow), 0xFACE).toDF("id", "ts", "v"), path, "v",
+      numFiles = 3)
 
     val plain = SnapshotTable.read(spark, path)
     val cut = java.sql.Timestamp.valueOf("2024-03-04 11:30:00")
@@ -330,7 +336,8 @@ class HiddenPartitioningSpec extends SparkTestBase {
       col("id") === "d7" || col("ts") >= lit(cut2),
       col("ts").isNull,
       col("ts").isNotNull && col("ts") < lit(cut),
-      col("v") > 50.0,                                   // untranslatable
+      col("v") > 50.0,                // untranslatable; stats-skippable
+      col("v") <= 0.0,                // stats-skippable, likely empty
       (col("ts") >= lit(cut)) === lit(false),            // negated shape, untranslatable
       col("id") === "d7" && col("v") > 10.0 && col("ts") < lit(cut2))
     preds.zipWithIndex.foreach { case (p, i) =>

@@ -207,6 +207,74 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(empty.count() === 0)
   }
 
+  test("readWhere skips files by manifest stats (the SQL-path data-skipping half)") {
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      df.collect()
+      def files(p: org.apache.spark.sql.execution.SparkPlan): Long =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+          case q: QueryStageExec        => files(q.plan)
+          case s: FileSourceScanExec    => s.metrics("numFiles").value
+        }.sum
+      files(df.queryExecution.executedPlan)
+    }
+    val path = Files.createTempDirectory("graft-where-skip").toString + "/t"
+    val li = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    SnapshotTable.appendClustered(li, path, "l_orderkey", numFiles = 8)
+
+    // a plain predicate — the one the SQL rule forwards — prunes
+    val q = SnapshotTable.readWhere(spark, path,
+      col("l_orderkey") >= 100L && col("l_orderkey") <= 500L)
+    val n = scanned(q)
+    assert(n < 8 && n >= 1, s"expected stats skipping, scanned $n of 8")
+    val want = SnapshotTable.read(spark, path)
+      .filter(col("l_orderkey").between(100L, 500L))
+    assert(q.exceptAll(want).count() === 0 && want.exceptAll(q).count() === 0)
+
+    // equality and IN prune too
+    assert(scanned(SnapshotTable.readWhere(spark, path,
+      col("l_orderkey") === 1L)) < 8)
+    assert(scanned(SnapshotTable.readWhere(spark, path,
+      col("l_orderkey").isin(1L, 2L, 3L))) < 8)
+    // a disjunctive or stats-less predicate must NOT skip
+    assert(scanned(SnapshotTable.readWhere(spark, path,
+      col("l_orderkey") === 1L || col("l_returnflag") === "X")) === 8)
+    assert(scanned(SnapshotTable.readWhere(spark, path,
+      col("l_quantity") > 0)) === 8)
+    // a range beyond the data reads zero files but keeps the schema
+    val none = SnapshotTable.readWhere(spark, path, col("l_orderkey") > lit(5000000L))
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("l_orderkey", "l_quantity", "l_returnflag"))
+  }
+
+  test("skipIntervals: conservative numeric envelopes from top-level conjuncts only") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, "a")).toDF("x", "v", "s")
+    def condOf(c: org.apache.spark.sql.Column) =
+      df.filter(c).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.get
+    def iv(c: org.apache.spark.sql.Column): Map[String, (Double, Double)] =
+      SnapshotTable.skipIntervals(condOf(c))
+        .map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap
+
+    assert(iv(col("x") >= 5L && col("x") < 10L)("x") === ((5.0, 10.0)))
+    assert(iv(col("x") === 7L)("x") === ((7.0, 7.0)))
+    assert(iv(lit(3L) <= col("x"))("x") === ((3.0, Double.PositiveInfinity)))
+    assert(iv(col("x").isin(4L, 9L, 2L))("x") === ((2.0, 9.0)))
+    // OR poisons nothing else but contributes nothing itself
+    val m = iv((col("x") === 1L || col("x") === 99L) && col("v") <= 0.5)
+    assert(!m.contains("x") && m("v") === ((Double.NegativeInfinity, 0.5)))
+    // non-numeric comparisons contribute nothing
+    assert(iv(col("s") === "q").isEmpty)
+    // a huge long literal is widened by an ulp, never narrowed
+    val (lo, hi) = iv(col("x") === Long.MaxValue)("x")
+    assert(lo < Long.MaxValue.toDouble && hi > 0 && lo <= hi)
+  }
+
   test("z-ordered commits prune files on BOTH clustered dimensions") {
     val path = Files.createTempDirectory("graft-snap-z").toString + "/t"
     val li = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.001")

@@ -223,4 +223,47 @@ class TextDedupSpec extends SparkTestBase {
     assert(a === b)
     assert(TextDedup.simhash64(Seq("entirely", "different", "words")) !== a)
   }
+
+  test("duplicate spans: first occurrence kept, later occurrences cut, regions merge") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e f"),            // owns every gram it contains
+      (1L, "x y a b c d z"),          // re-occurring "a b c"/"b c d" at pos 2,3
+      (2L, "a b c a b c a b c"))      // self-repetition past the first window
+      .toDF("doc_id", "text")
+    val out = TextDedup.duplicateSpans(corpus, spanLen = 3)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+
+    // doc 0: every window is the global first occurrence — untouched
+    assert(out(0) === ((0L, 0L, 0L, 0L, 6L, "a b c d e f")))
+    // doc 1: dup windows at pos 2 and 3 merge into one region covering
+    // tokens 2..5 (4 tokens) — "a b c d" cut, frame survives
+    assert(out(1) === ((1L, 2L, 1L, 4L, 3L, "x y z")))
+    // doc 2: "a b c" owned by doc 0, and its own "b c a"/"c a b"
+    // windows repeat — dup positions {0,3,4,5,6} cover all 9 tokens
+    assert(out(2) === ((2L, 5L, 1L, 9L, 0L, "")))
+  }
+
+  test("duplicate spans: doc shorter than the span is never cut") {
+    import spark.implicits._
+    val corpus = Seq((0L, "a b"), (1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextDedup.duplicateSpans(corpus, spanLen = 4)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(out.forall(_._2 == 0L), "no window fits → no duplicate can exist")
+    assert(out.map(_._6).toSeq === Seq("a b", "a b", "a b c d"))
+  }
+
+  test("duplicate spans: kept_text token count always equals kept_tokens on real docs") {
+    import spark.implicits._
+    val out = TextDedup.duplicateSpans(Tables.documents(spark, sf0001))
+    val bad = out.filter(
+      when(col("kept_text") === "", lit(0L))
+        .otherwise(size(split(col("kept_text"), " ")).cast("long"))
+        =!= col("kept_tokens"))
+    assert(bad.count() === 0)
+    // the corpus genuinely exercises the operator at this SF
+    assert(out.filter(col("n_dup") > 0).count() > 0)
+  }
 }
