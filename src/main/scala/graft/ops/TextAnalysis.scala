@@ -656,18 +656,22 @@ object TextAnalysis {
       (size(col("toks")) - 1).cast("long")).otherwise(lit(0L)))).head()
     require(!nRow.isNullAt(0), "collocations: no documents in " + dir)
     val n = nRow.getLong(0)
+    // per-doc multiplicities collapse in the row (codegen'd
+    // BigramCounts / TermCounts — the q78/q122/q124 pattern): both
+    // aggregates consume distinct-key-per-doc streams with counts
+    // instead of one row per occurrence, and the bigram key stays
+    // (w1, w2) end-to-end — no concat/split_part round trip
     val bi = toks.filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
-        .as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("c12"))
-    val uni = toks.select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(explode(
+        graft.functions.VectorFunctions.bigram_counts(col("toks"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(sum(col("b.tf")).as("c12"))
+    val uni = toks.select(explode(
+        graft.functions.VectorFunctions.term_counts(col("toks"))).as("tc"))
+      .groupBy(col("tc.term").as("w")).agg(sum(col("tc.tf")).as("c"))
     val u1 = uni.select(col("w").as("w1"), col("c").as("c1"))
     val u2 = uni.select(col("w").as("w2"), col("c").as("c2"))
     bi.filter(col("c12") >= 5)
-      .select(expr("split_part(gram, ' ', 1)").as("w1"),
-        expr("split_part(gram, ' ', 2)").as("w2"), col("c12"))
       .join(u1, "w1").join(u2, "w2")
       .select(col("w1"), col("w2"), col("c12"),
         round(col("c12").cast("double") * lit(n) /
