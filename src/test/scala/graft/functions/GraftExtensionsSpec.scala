@@ -348,4 +348,95 @@ class GraftExtensionsSpec extends SparkTestBase {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("the full native function surface resolves in SQL and matches the Column API") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-fns-test")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT dot_product_i8(X'020304', X'050607') AS di8, " +
+          "rolling_hash('abc') AS rh, " +
+          "rolling_hash('abc', 131, 1000000007) AS rh3, " +
+          "top_bigram_count(array('a','b','a','b')) AS tbc, " +
+          "term_counts(array('x','y','x')) AS tc, " +
+          "bigram_counts(array('x','y','x')) AS bc, " +
+          "hashed_ngram_buckets(array('x','y'), 64) AS hb").head()
+      // 2*5 + 3*6 + 4*7 = 56
+      assert(r.getAs[Long]("di8") === 56L)
+      assert(r.getAs[Long]("rh") === r.getAs[Long]("rh3"))
+      // 'a b' occurs twice — the top adjacent bigram count
+      assert(r.getAs[Long]("tbc") === 2L)
+      val tc = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("tc"))
+        .map(x => (x.getString(0), x.getLong(1)))
+      assert(tc === Seq(("x", 2L), ("y", 1L)))
+      val bc = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("bc"))
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      assert(bc === Seq(("x", "y", 1L), ("y", "x", 1L)))
+      assert(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("hb")).nonEmpty)
+      // SHOW FUNCTIONS sees the injected registrations
+      val shown = s2.sql("SHOW FUNCTIONS LIKE '*bigram*'")
+        .collect().map(_.getString(0)).toSet
+      assert(shown.exists(_.endsWith("bigram_counts")))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("table_changes TVF: the SQL spelling of the change feed") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-tvf-test")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft-tvf").toString + "/t"
+      graft.lake.SnapshotTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), path)
+      graft.lake.SnapshotTable.append(Seq((3L, "c")).toDF("k", "s"), path)
+      graft.lake.SnapshotTable.delete(s2, path,
+        org.apache.spark.sql.functions.col("k") === 1L)
+      graft.lake.SnapshotCatalog.register("snap_tvf", path)
+      try {
+        val viaSql = s2.sql(
+          "SELECT k, _change_type, _commit_version FROM table_changes('snap_tvf', 1, 3) ORDER BY _commit_version, k")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        val viaApi = graft.lake.SnapshotTable.changes(s2, path, 1L, 3L)
+          .select("k", "_change_type", "_commit_version")
+          .orderBy("_commit_version", "k")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        assert(viaSql === viaApi)
+        assert(viaSql.nonEmpty && viaSql.exists(_._2 == "delete"))
+        // two-arg form runs to the latest version
+        assert(s2.sql("SELECT count(*) FROM table_changes('snap_tvf', 1)")
+          .head().getLong(0) === viaSql.size.toLong)
+        // the TVF composes like any relation
+        assert(s2.sql(
+          "SELECT count(*) FROM table_changes('snap_tvf', 0, 3) c " +
+            "WHERE c._change_type = 'insert'").head().getLong(0) === 3L)
+        // unknown table fails with the registration hint
+        val err = intercept[Exception](
+          s2.sql("SELECT * FROM table_changes('nope', 0)").collect())
+        assert(err.getMessage.contains("nope"))
+      } finally graft.lake.SnapshotCatalog.unregister("snap_tvf")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
