@@ -185,6 +185,30 @@ object Ivf {
       .drop("rn")
   }
 
+  /** Metadata-filtered IVF search — the hybrid-search scale path for
+    * predicates too WIDE for pre-filter + exact scan
+    * ([[Similarity.filteredTopK]] is optimal for selective ones):
+    * probe cells as usual, OVER-FETCH `k * overfetch` per query from
+    * the rerank, then post-filter against the allowed-id set and cut
+    * to k. Over-fetching bounds the classic post-filter failure (all
+    * k unfiltered neighbors violate the predicate → empty result):
+    * with survivor fraction f, k/f candidates are needed on average,
+    * so callers size `overfetch ≈ ceil(1/f)`. The allowed side joins
+    * on the id key AFTER the candidate set is already
+    * probe-bounded — the join input is candidates, never the corpus. */
+  def searchFiltered(emb: DataFrame, allowedIds: DataFrame, model: Model,
+      queryIds: Seq[Long], k: Int, nProbe: Int = 4, overfetch: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    search(emb, model, queryIds, k * overfetch, nProbe, idCol, vecCol)
+      .join(allowedIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** The same IVF probe with an int8 rerank, scored by quantized
     * cosine (three exact integer dots + one divide; see
     * Similarity.quantize). Cell assignment still uses float

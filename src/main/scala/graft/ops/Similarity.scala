@@ -120,6 +120,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-filtered (hybrid) exact search: top-k among only the
+    * vectors whose ids survive a metadata predicate — "nearest
+    * neighbors within source X / language Y / date range Z", the
+    * filtered-vector-search shape every retrieval stack needs. The
+    * allowed-id side prunes FIRST (left-semi on the id key, so the
+    * cosine work touches only survivors); the scan stays one pass
+    * over the pruned corpus with the query broadcast. For a
+    * NON-selective predicate at index scale, compose the IVF path
+    * instead — [[Ivf.searchFiltered]] probes cells, over-fetches,
+    * and post-filters — and for a selective one this pre-filter form
+    * is optimal (the fewer the survivors, the cheaper the exact
+    * scan, while an IVF probe's cost would not shrink at all). */
+  def filteredTopK(emb: DataFrame, allowedIds: DataFrame, queryVecId: Long,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryVecId).select(col(vecCol).as("qv"))
+    emb.join(allowedIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ---- LSH ANN ------------------------------------------------------
 
   /** Approximate top-k for a set of stored query ids: bucket join →
@@ -451,6 +474,35 @@ object Similarity {
     """SELECT vec_id + 10000000 AS vec_id, false AS kept
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Hybrid search gate: exact top-15 neighbors of vector 0 among
+    * only the embeddings whose DOCUMENT row (vec_id = doc_id) is from
+    * source 'src1' with ≥ 200 chars — the predicate runs on the
+    * metadata table, the distance on the vector table, composed by a
+    * semi-join. Fully exact, so the oracle recomputes it closed-form. */
+  def filteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("source") === "src1" && col("n_chars") >= 200)
+      .select(col("doc_id").as("vec_id"))
+    filteredTopK(Tables.embeddings(spark, dir), allowed, queryVecId = 0L, k = 15)
+  }
+
+  val filteredAnnSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |a AS (SELECT doc_id FROM documents WHERE source = 'src1' AND n_chars >= 200),
+      |x AS (
+      |  SELECT e.vec_id,
+      |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dp,
+      |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+      |    sum(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS nb
+      |  FROM embeddings e
+      |  JOIN a ON e.vec_id = a.doc_id, q,
+      |    (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  WHERE e.vec_id <> 0
+      |  GROUP BY e.vec_id
+      |)
+      |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
+      |FROM x ORDER BY cosine DESC, vec_id ASC LIMIT 15""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q26_vector_norm", vectorNorms, Some(vectorNormsSql)),
     QDef("q31_ann_cosine_topk", annBruteForce, Some(annBruteForceSql)),
@@ -458,5 +510,6 @@ object Similarity {
     QDef("q45_embedding_dedup", embeddingDedup, Some(embeddingDedupSql)),
     QDef("q106_quantized_ann", quantizedAnn, Some(quantizedAnnSql)),
     QDef("q115_semdedup", semDedupDemo, Some(semDedupSql)),
+    QDef("q128_ann_filtered", filteredAnn, Some(filteredAnnSql)),
   )
 }

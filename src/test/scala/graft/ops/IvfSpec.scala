@@ -127,4 +127,35 @@ class IvfSpec extends SparkTestBase {
       .collect().toSet
     assert(adhoc === indexed)
   }
+
+  test("filtered IVF search post-filters with over-fetch; planted allowed copy always found") {
+    import spark.implicits._
+    val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)
+    val qids = Seq(0L, 7L)
+    // every even id is allowed — a wide predicate, the post-filter regime
+    val allowed = emb.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+    val r = Ivf.searchFiltered(emb, allowed, model, qids, k = 5, overfetch = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_._2 % 2 == 0), "a disallowed id leaked through the filter")
+    assert(r.groupBy(_._1).forall(_._2.length <= 5))
+
+    // plant an exact ALLOWED copy of query 0 (even id): it shares the
+    // cell, survives the filter, and must surface at cosine 1.0
+    val planted = emb.filter(col("vec_id") === 0L)
+      .select(lit(10000000L).as("vec_id"), col("embedding"))
+    val emb2 = emb.select("vec_id", "embedding").unionByName(planted)
+    val allowed2 = emb2.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+    val top = Ivf.searchFiltered(emb2, allowed2, model, Seq(0L), k = 3, overfetch = 4)
+      .orderBy(col("cosine").desc).head()
+    assert(top.getAs[Long]("vec_id") === 10000000L)
+    assert(top.getAs[Double]("cosine") === 1.0)
+
+    // overfetch = 1 with a filter that kills most near neighbors can
+    // come back short — the documented failure over-fetching exists for
+    val narrow = spark.range(1).select(lit(10000000L).as("vec_id"))
+    val only = Ivf.searchFiltered(emb2, narrow, model, Seq(0L), k = 5, overfetch = 4)
+      .select("vec_id").as[Long].collect()
+    assert(only.toSeq === Seq(10000000L))
+  }
 }

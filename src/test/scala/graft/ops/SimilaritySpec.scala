@@ -137,4 +137,20 @@ class SimilaritySpec extends SparkTestBase {
         s"pair ($a, $b)")
     }
   }
+
+  test("filtered exact search equals brute force over the pre-filtered corpus") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val allowed = emb.select(col("vec_id")).filter(col("vec_id") % 3 === 0)
+    val got = Similarity.filteredTopK(emb, allowed, queryVecId = 0L, k = 8)
+      .as[(Long, Double)].collect().toSeq
+    // reference: restrict the corpus FIRST (query vector re-injected
+    // since 0 % 3 == 0 keeps it anyway), then plain brute force
+    val restricted = emb.join(allowed, Seq("vec_id"), "left_semi")
+    val want = Similarity.bruteForceTopK(restricted, queryVecId = 0L, k = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.forall(_._1 % 3 == 0))
+    assert(got.size === 8)
+  }
 }
