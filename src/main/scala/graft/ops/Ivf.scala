@@ -299,6 +299,51 @@ object Ivf {
   def loadQuantizedIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Keep a quantized index FRESH as its corpus snapshot table
+    * commits — the index-maintenance half of serving ANN off the
+    * lake. The index is itself a snapshot table of quantized rows;
+    * each call drains the corpus' new commits through the CDC
+    * checkpoint: inserts (and the insert half of updates) quantize
+    * ONLY the new rows and upsert by id (file-pruned
+    * [[graft.lake.SnapshotTable.merge]]); ids whose final state in
+    * the batch is absent are deleted. Both operations are idempotent
+    * on replay, and the checkpoint offset advances only after the
+    * batch lands, so a crash anywhere re-applies the same batch to
+    * the same effect — the index converges to exactly the corpus
+    * state. Serve reads with `SnapshotTable.read(indexPath)` into
+    * [[searchQuantizedIndexed]].
+    *
+    * Deleted ids are collected to the driver for the delete
+    * predicate, capped at `deleteCollectCap` — a delete wave past
+    * the cap (rare for an index feed; that's a table rebuild, not
+    * maintenance) fails loudly rather than silently scanning. */
+  def syncQuantizedIndex(spark: SparkSession, corpusPath: String,
+      indexPath: String, checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      deleteCollectCap: Int = 100000): Option[(Long, Long)] = {
+    import graft.lake.{SnapshotIncremental, SnapshotTable}
+    SnapshotIncremental.processNew(spark, corpusPath, checkpointDir,
+      SnapshotIncremental.Cdc) { (changes, _, _) =>
+      val ins = changes.filter(col("_change_type") === "insert")
+        .select(col(idCol), col(vecCol))
+      val insQ = Similarity.quantize(ins, idCol, vecCol)
+      // an update is delete(old)+insert(new) of one id — the upsert
+      // covers it, so only ids with no re-insert are true deletes
+      val gone = changes.filter(col("_change_type") === "delete")
+        .select(col(idCol)).except(ins.select(col(idCol)))
+      if (!insQ.isEmpty) SnapshotTable.merge(insQ, indexPath, Seq(idCol))
+      if (SnapshotTable.latestVersion(spark, indexPath).isDefined) {
+        val ids = gone.limit(deleteCollectCap + 1)
+          .collect().map(_.getLong(0)).toSeq
+        require(ids.size <= deleteCollectCap,
+          s"syncQuantizedIndex: > $deleteCollectCap deleted ids in one " +
+            "batch — rebuild the index instead of incremental maintenance")
+        if (ids.nonEmpty)
+          SnapshotTable.delete(spark, indexPath, col(idCol).isin(ids: _*))
+      }
+    }
+  }
+
   /** IVF accuracy gate: top-10 for three stored queries over the
     * corpus augmented with an exact copy of each query (id + 10M).
     * The copy is assigned to the query's own nearest-centroid cell,

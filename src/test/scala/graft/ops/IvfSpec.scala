@@ -158,4 +158,51 @@ class IvfSpec extends SparkTestBase {
       .select("vec_id").as[Long].collect()
     assert(only.toSeq === Seq(10000000L))
   }
+
+  test("incremental index sync converges to the corpus through append/update/delete") {
+    import spark.implicits._
+    import graft.lake.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-sync").toString
+    val (corpus, index, ckpt) = (s"$base/corpus", s"$base/index", s"$base/ckpt")
+    def indexed = SnapshotTable.read(spark, index)
+      .select("vec_id", "scale", "qvec")
+    def expected = Similarity.quantize(
+      SnapshotTable.read(spark, corpus).select("vec_id", "embedding"))
+    def assertConverged(): Unit = {
+      val got = indexed
+      assert(got.exceptAll(expected).count() === 0 &&
+        expected.exceptAll(got).count() === 0, "index != quantize(corpus)")
+    }
+
+    // bootstrap: first sync builds the index from scratch
+    SnapshotTable.append(
+      emb.select("vec_id", "embedding").filter(col("vec_id") < 100), corpus)
+    assert(Ivf.syncQuantizedIndex(spark, corpus, index, ckpt).isDefined)
+    assertConverged()
+    // nothing new → None, index untouched
+    assert(Ivf.syncQuantizedIndex(spark, corpus, index, ckpt).isEmpty)
+
+    // append + delete + update, then one sync drains all three commits
+    SnapshotTable.append(
+      emb.select("vec_id", "embedding")
+        .filter(col("vec_id") >= 100 && col("vec_id") < 120), corpus)
+    SnapshotTable.delete(spark, corpus, col("vec_id") < 10)
+    SnapshotTable.update(spark, corpus,
+      Seq("embedding" -> org.apache.spark.sql.functions.transform(
+        col("embedding"), x => x * lit(2.0f))),
+      col("vec_id") === 50L)
+    assert(Ivf.syncQuantizedIndex(spark, corpus, index, ckpt).isDefined)
+    assertConverged()
+    assert(indexed.filter(col("vec_id") < 10).count() === 0)
+
+    // the maintained index serves searches identically to ad-hoc
+    val model = Ivf.train(SnapshotTable.read(spark, corpus), k = 8,
+      iters = 3, sampleSize = 500)
+    val live = SnapshotTable.read(spark, corpus).select("vec_id", "embedding")
+    val viaIndex = Ivf.searchQuantizedIndexed(live, indexed, model,
+      Seq(20L, 110L), k = 5).collect().toSet
+    val adhoc = Ivf.searchQuantized(live, model, Seq(20L, 110L), k = 5)
+      .collect().toSet
+    assert(viaIndex === adhoc)
+  }
 }
