@@ -81,6 +81,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotMaintenanceCommand(idents(t), "optimize")
     case ShowBranches(t) => SnapshotShowRefsCommand(idents(t), "branches")
     case ShowTags(t)     => SnapshotShowRefsCommand(idents(t), "tags")
+    case ReplacePartitionSpec(t, specs) =>
+      SnapshotEvolveSpecCommand(idents(t), GraftSqlParser.splitSpecs(specs))
+    case ShowPartitionSpec(t) => SnapshotShowSpecCommand(idents(t))
     case other => delegate.parsePlan(other)
   }
 
@@ -145,6 +148,30 @@ private object GraftSqlParser {
   private[lake] val ShowTags = stmt(s"SHOW\\s+TAGS\\s+(?:IN\\s+|FROM\\s+)?$T")
   private[lake] val ShowConstraints =
     stmt(s"SHOW\\s+CONSTRAINTS\\s+(?:IN\\s+|FROM\\s+)?$T")
+  // partition evolution (Iceberg REPLACE PARTITION FIELD semantics,
+  // whole-spec form): greedy capture to the LAST ')' because specs
+  // like bucket(4, id) nest parens and commas
+  private[lake] val ReplacePartitionSpec =
+    rx(s"REPLACE\\s+PARTITION\\s+SPEC\\s*\\((.+)\\)")
+  private[lake] val ShowPartitionSpec =
+    stmt(s"SHOW\\s+PARTITION\\s+SPEC\\s+(?:IN\\s+|FROM\\s+)?$T")
+
+  /** Split a spec list on TOP-LEVEL commas only — `months(ts),
+    * bucket(4, id)` is two specs, not three. */
+  private[lake] def splitSpecs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.toSeq.filter(_.nonEmpty)
+  }
 }
 
 private[lake] object SnapshotStatementTarget {
@@ -272,5 +299,39 @@ case class SnapshotShowConstraintsCommand(ident: Seq[String])
     val path = SnapshotStatementTarget.pathOf(spark, ident)
     SnapshotTable.checkConstraints(spark, path).toSeq.sortBy(_._1)
       .map { case (n, e) => Row(n, e) }
+  }
+}
+
+/** `ALTER TABLE t REPLACE PARTITION SPEC (months(ts), bucket(4, id))`
+  * → [[SnapshotTable.evolvePartitionTransforms]] — the SQL spelling
+  * of partition evolution (Iceberg's REPLACE PARTITION FIELD
+  * semantics, whole-spec form): a metadata-only commit; existing
+  * files keep pruning under their retired era. Returns the commit
+  * version. */
+case class SnapshotEvolveSpecCommand(ident: Seq[String],
+    specs: Seq[String]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    Seq(Row(SnapshotTable.evolvePartitionTransforms(spark, path, specs)))
+  }
+}
+
+/** `SHOW PARTITION SPEC [IN] t`: one row per transform of the
+  * CURRENT spec, in spec order. */
+case class SnapshotShowSpecCommand(ident: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("position", LongType, nullable = false)(),
+    AttributeReference("transform", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    SnapshotTable.partitionTransforms(spark, path).zipWithIndex
+      .map { case (s, i) => Row(i.toLong, s) }
   }
 }
