@@ -1434,6 +1434,60 @@ object TextAnalysis {
     hashedNgramFeatures(Tables.documents(spark, dir))
       .orderBy("doc_id", "bucket")
 
+  /** fastText-style linear classifier INFERENCE over the hashed
+    * bag-of-ngrams (the CCNet/LLaMA-pipeline quality filter: score
+    * every document with a linear model on hashed features, keep the
+    * positive margin). `weightOf` maps a bucket to an integer weight
+    * in [-1000, 1000] — here a deterministic pseudo-random stand-in
+    * for trained weights (a real model would broadcast its weight
+    * array; the dataflow is identical). The margin accumulates in
+    * EXACT integer space (Σ tf·w as a long, one divide at the end),
+    * so the rounded score is bit-identical on any engine. Plan: one
+    * map-only pass — row-local bucket counts (codegen'd
+    * HashedNgramBuckets) folded in the row; NO shuffle before the
+    * final sort, at any corpus size. */
+  def qualityClassify(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numBuckets: Int = 4096): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.VectorFunctions.hashed_ngram_buckets(
+          split(col(textCol), " "), numBuckets).as("fb"))
+      .select(col("doc_id"),
+        expr("aggregate(fb, 0L, (acc, x) -> " +
+          "acc + x.tf * ((x.bucket * 2654435761L) % 2001 - 1000))").as("mi"),
+        expr("aggregate(fb, 0L, (acc, x) -> acc + x.tf)").as("n_feats"))
+      .select(col("doc_id"),
+        round(col("mi") / lit(1000.0), 6).as("margin"),
+        (col("mi") > 0L).as("keep"),
+        col("n_feats"))
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassify(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val qualityClassifierSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), toks AS (
+      |  SELECT doc_id, unnest(list_concat(ws,
+      |    list_transform(generate_series(1, len(ws) - 1),
+      |      i -> ws[i] || '_' || ws[i + 1]))) AS token
+      |  FROM w
+      |), f AS (
+      |  SELECT doc_id,
+      |    CAST(CAST('0x' || substring(md5(token), 1, 6) AS BIGINT) % 4096 AS INT)
+      |      AS bucket,
+      |    count(*) AS tf
+      |  FROM toks GROUP BY doc_id, bucket
+      |), m AS (
+      |  SELECT doc_id,
+      |    sum(tf * ((bucket * 2654435761) % 2001 - 1000)) AS mi,
+      |    sum(tf) AS n_feats
+      |  FROM f GROUP BY doc_id
+      |)
+      |SELECT doc_id, round(mi / 1000.0, 6) AS margin, mi > 0 AS keep,
+      |  CAST(n_feats AS BIGINT) AS n_feats
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val hashedFeaturesSql: String =
     """WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1475,5 +1529,6 @@ object TextAnalysis {
     QDef("q122_word_lm_score", wordLmScore, Some(wordLmScoreSql)),
     QDef("q126_word_lm_topk", wordLmScoreTopK, Some(wordLmScoreTopKSql)),
     QDef("q124_hashed_features", hashedFeatures, Some(hashedFeaturesSql)),
+    QDef("q129_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
   )
 }
