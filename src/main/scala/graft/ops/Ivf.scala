@@ -209,6 +209,47 @@ object Ivf {
       .drop("rn")
   }
 
+  /** Tier decision for metadata-filtered search — pure, spec-pinned:
+    * a survivor fraction at or below `threshold` routes to pre-filter
+    * + exact scan ([[Similarity.filteredTopK]]: the fewer the
+    * survivors, the cheaper the scan, while probe cost would not
+    * shrink); above it, IVF probe + over-fetch + post-filter with the
+    * 1/f sizing rule, `overfetch = ceil(1/f)` clamped to [1, 64]
+    * (expected candidates needed to surface k survivors). */
+  private[ops] def hybridTier(survivorFraction: Double,
+      threshold: Double): (String, Int) =
+    if (survivorFraction <= threshold) ("prefilter", 1)
+    else ("ivf-postfilter",
+      math.min(64, math.max(1, math.ceil(1.0 / survivorFraction).toInt)))
+
+  /** Metadata-filtered search with AUTOMATIC tier selection: estimate
+    * the survivor fraction and route per [[hybridTier]] — callers no
+    * longer choose between [[Similarity.filteredTopK]] and
+    * [[searchFiltered]] by hand. The estimate is two count
+    * aggregates; when the corpus is a snapshot table, pass
+    * `corpusRows = Some(SnapshotTable.count(...))` (manifest-header
+    * arithmetic, zero scan) and a known `allowedRows` to skip them.
+    * Output shape matches [[Similarity.filteredTopK]]:
+    * (idCol, cosine), best first. */
+  def hybridTopK(emb: DataFrame, allowedIds: DataFrame, model: Model,
+      queryVecId: Long, k: Int, nProbe: Int = 4,
+      selectivityThreshold: Double = 0.05,
+      corpusRows: Option[Long] = None, allowedRows: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = corpusRows.getOrElse(emb.count())
+    val a = allowedRows.getOrElse(allowedIds.count())
+    val f = if (n <= 0L) 1.0 else a.toDouble / n.toDouble
+    hybridTier(f, selectivityThreshold) match {
+      case ("prefilter", _) =>
+        Similarity.filteredTopK(emb, allowedIds, queryVecId, k, idCol, vecCol)
+      case (_, of) =>
+        searchFiltered(emb, allowedIds, model, Seq(queryVecId), k, nProbe,
+          of, idCol, vecCol)
+          .select(col(idCol), col("cosine"))
+          .orderBy(col("cosine").desc, col(idCol).asc)
+    }
+  }
+
   /** The same IVF probe with an int8 rerank, scored by quantized
     * cosine (three exact integer dots + one divide; see
     * Similarity.quantize). Cell assignment still uses float
@@ -324,13 +365,25 @@ object Ivf {
     import graft.lake.{SnapshotIncremental, SnapshotTable}
     SnapshotIncremental.processNew(spark, corpusPath, checkpointDir,
       SnapshotIncremental.Cdc) { (changes, _, _) =>
-      val ins = changes.filter(col("_change_type") === "insert")
+      // A drained batch can span SEVERAL commits, so the change rows
+      // must first collapse to the final state per id — latest
+      // `_commit_version` wins; within one commit an update emits
+      // delete(old)+insert(new) at the same version and the row IS
+      // present afterwards, so insert outranks delete at equal
+      // version. Without this reduction an id inserted in v2 and
+      // deleted in v3 of one batch would be upserted (stale vector
+      // persists forever), and an id updated in two commits would put
+      // duplicate keys into merge's source, which rejects them.
+      val w = Window.partitionBy(col(idCol)).orderBy(
+        col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+      val fin = changes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val ins = fin.filter(col("_change_type") === "insert")
         .select(col(idCol), col(vecCol))
       val insQ = Similarity.quantize(ins, idCol, vecCol)
-      // an update is delete(old)+insert(new) of one id — the upsert
-      // covers it, so only ids with no re-insert are true deletes
-      val gone = changes.filter(col("_change_type") === "delete")
-        .select(col(idCol)).except(ins.select(col(idCol)))
+      val gone = fin.filter(col("_change_type") === "delete")
+        .select(col(idCol))
       if (!insQ.isEmpty) SnapshotTable.merge(insQ, indexPath, Seq(idCol))
       if (SnapshotTable.latestVersion(spark, indexPath).isDefined) {
         val ids = gone.limit(deleteCollectCap + 1)

@@ -159,6 +159,36 @@ class IvfSpec extends SparkTestBase {
     assert(only.toSeq === Seq(10000000L))
   }
 
+  test("hybrid tier auto-selection: selective → pre-filter, wide → over-fetched post-filter") {
+    import spark.implicits._
+    // the pure routing rule, spec-pinned
+    assert(Ivf.hybridTier(0.001, 0.05) === (("prefilter", 1)))
+    assert(Ivf.hybridTier(0.05, 0.05) === (("prefilter", 1)))    // boundary inclusive
+    assert(Ivf.hybridTier(0.5, 0.05) === (("ivf-postfilter", 2)))
+    assert(Ivf.hybridTier(0.9, 0.05) === (("ivf-postfilter", 2)))
+    assert(Ivf.hybridTier(0.06, 0.05)._2 === 17)                 // ceil(1/f) sizing
+    assert(Ivf.hybridTier(0.01, 0.005) === (("ivf-postfilter", 64))) // clamp
+
+    val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)
+    // 0.1%-selective filter (one allowed id): the pre-filter tier must
+    // return exactly that id — an over-fetch post-filter could miss it
+    val one = emb.select(col("vec_id")).filter(col("vec_id") === 123L)
+    val narrow = Ivf.hybridTopK(emb, one, model, queryVecId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(narrow === Seq(123L), "selective predicate must route to exact pre-filter")
+
+    // 50%-wide filter: routes to the IVF tier — identical output to
+    // calling searchFiltered with the 1/f-sized overfetch by hand
+    val wide = emb.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+    val auto = Ivf.hybridTopK(emb, wide, model, queryVecId = 0L, k = 5)
+      .collect().toSeq
+    val manual = Ivf.searchFiltered(emb, wide, model, Seq(0L), k = 5, overfetch = 2)
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).collect().toSeq
+    assert(auto === manual)
+    assert(auto.nonEmpty && auto.forall(_.getAs[Long]("vec_id") % 2 == 0))
+  }
+
   test("incremental index sync converges to the corpus through append/update/delete") {
     import spark.implicits._
     import graft.lake.SnapshotTable
@@ -204,5 +234,41 @@ class IvfSpec extends SparkTestBase {
     val adhoc = Ivf.searchQuantized(live, model, Seq(20L, 110L), k = 5)
       .collect().toSet
     assert(viaIndex === adhoc)
+  }
+
+  test("sync collapses a multi-commit batch to the FINAL state per id") {
+    import graft.lake.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-sync2").toString
+    val (corpus, index, ckpt) = (s"$base/corpus", s"$base/index", s"$base/ckpt")
+    SnapshotTable.append(
+      emb.select("vec_id", "embedding").filter(col("vec_id") < 50), corpus)
+    assert(Ivf.syncQuantizedIndex(spark, corpus, index, ckpt).isDefined)
+
+    // four commits drained by ONE sync:
+    //   v: insert ids 200-204          — later deleted; must NOT land
+    //   v+1: delete ids 200-204 and 10 — final state for all six: gone
+    //   v+2: update id 20 (×2)         — two updates to one id in one
+    //   v+3: update id 20 again (×3)   —   batch: no duplicate-key throw
+    SnapshotTable.append(
+      emb.select((col("vec_id") + 200).as("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 5), corpus)
+    SnapshotTable.delete(spark, corpus,
+      col("vec_id").between(200, 204) || col("vec_id") === 10)
+    SnapshotTable.update(spark, corpus,
+      Seq("embedding" -> transform(col("embedding"), x => x * lit(2.0f))),
+      col("vec_id") === 20L)
+    SnapshotTable.update(spark, corpus,
+      Seq("embedding" -> transform(col("embedding"), x => x * lit(3.0f))),
+      col("vec_id") === 20L)
+    assert(Ivf.syncQuantizedIndex(spark, corpus, index, ckpt).isDefined)
+
+    val got = SnapshotTable.read(spark, index).select("vec_id", "scale", "qvec")
+    val want = Similarity.quantize(
+      SnapshotTable.read(spark, corpus).select("vec_id", "embedding"))
+    assert(got.exceptAll(want).count() === 0 &&
+      want.exceptAll(got).count() === 0, "index != quantize(corpus)")
+    // the insert-then-delete ids must not have been resurrected
+    assert(got.filter(col("vec_id") >= 200).count() === 0)
+    assert(got.filter(col("vec_id") === 10).count() === 0)
   }
 }
