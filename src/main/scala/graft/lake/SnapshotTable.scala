@@ -155,14 +155,83 @@ object SnapshotTable {
     readManifestFull(spark, path, v).schema
   }
 
-  /** Manifest = optional `#schema=<StructType.json>` header + entry
-    * lines. JSON escapes control characters, so the single-line header
-    * can never collide with the tab-separated entry grammar; unknown
-    * `#`-prefixed lines are skipped for forward compatibility. */
-  private[lake] def readManifestFull(spark: SparkSession, path: String,
-      version: Long): Manifest = {
-    val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
-    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  // ---- incremental log: deltas, checkpoints, driver cache ----------
+  // A version file is either a CHECKPOINT (the complete live-file
+  // list — the only form before round 9) or a DELTA against exactly
+  // version−1 (`#delta=<v−1>` header; `+\t<entry>` added, `-\t<entry>`
+  // removed lines). Deltas keep commit cost proportional to the
+  // files a commit TOUCHED, not the table's total file count — the
+  // Delta-log shape; the full list is republished every
+  // `checkpointInterval` versions so replay reads a bounded chain.
+  // No `_last_checkpoint` pointer is needed: each delta names its
+  // base and the chain is bounded by the interval, so a read opens at
+  // most interval-many small files — all but the first served from
+  // the cache below on a warm driver.
+
+  /** Commits between full checkpoints (delta chain length bound). */
+  private def checkpointInterval: Int =
+    sys.props.get("graft.snapshot.checkpointInterval").map(_.toInt).getOrElse(20)
+
+  // Published manifests are immutable, so parsed manifests cache by
+  // the version file's (path, mtime, length) — the two in-place
+  // rewrites (relocate, vacuum's checkpoint materialization) change
+  // the file and therefore the key, self-invalidating. Bounded by
+  // total cached ENTRY count (one 10⁶-file manifest weighs what it
+  // weighs however many versions are cached), evicting LRU-first.
+  private val manifestCacheMaxWeight = 4000000L
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Manifest](64, 0.75f, true)
+  private var manifestCacheWeight = 0L
+  private def cacheWeight(m: Manifest): Long = math.max(1L, m.entries.size.toLong)
+  private def cacheGet(k: (String, Long, Long)): Option[Manifest] =
+    manifestCache.synchronized(Option(manifestCache.get(k)))
+  private def cachePut(k: (String, Long, Long), m: Manifest): Unit =
+    manifestCache.synchronized {
+      val prev = manifestCache.put(k, m)
+      manifestCacheWeight +=
+        cacheWeight(m) - Option(prev).map(cacheWeight).getOrElse(0L)
+      val it = manifestCache.entrySet().iterator()
+      while (manifestCacheWeight > manifestCacheMaxWeight &&
+          manifestCache.size() > 1 && it.hasNext) {
+        manifestCacheWeight -= cacheWeight(it.next().getValue)
+        it.remove()
+      }
+    }
+
+  /** Test/metrics hook: count of version files physically opened and
+    * parsed (cache misses) — lets specs assert the cache works. */
+  private[lake] val manifestFileReads = new java.util.concurrent.atomic.AtomicLong
+  private[lake] def clearManifestCache(): Unit = manifestCache.synchronized {
+    manifestCache.clear(); manifestCacheWeight = 0L
+  }
+
+  private def parseEntryLine(line: String): Entry = {
+    val parts = line.split("\t", -1)
+    require(parts.length >= 2, s"bad manifest line: $line")
+    val (rows, afterRows) =
+      if (parts.length > 2 && parts(2).startsWith("rows="))
+        (parts(2).stripPrefix("rows=").toLong, parts.drop(3))
+      else (-1L, parts.drop(2))
+    val (dv, rest) = afterRows.headOption match {
+      case Some(t) if t.startsWith("dv=") =>
+        val body = t.stripPrefix("dv=")
+        val sep = body.lastIndexOf('#')
+        (Some((java.net.URLDecoder.decode(body.take(sep), "UTF-8"),
+          body.drop(sep + 1).toLong)), afterRows.drop(1))
+      case _ => (None, afterRows)
+    }
+    require(rest.length % 3 == 0, s"bad manifest line: $line")
+    val stats = rest.grouped(3)
+      .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
+    Entry(parts(0), parts(1), rows, stats, dv)
+  }
+
+  /** Raw parse of one version file: headers + its OWN entry lines.
+    * For a checkpoint, `entries` is the complete list and `deltaBase`
+    * is None; for a delta, `entries` holds the adds and `removes` the
+    * removed entries, to be replayed onto `deltaBase`'s state. */
+  private def parseManifest(content: String)
+      : (Manifest, Option[Long], Seq[Entry]) = {
     val lines = content.split("\n").toSeq.filter(_.nonEmpty)
     val schema = lines.find(_.startsWith("#schema="))
       .map(l => DataType.fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType])
@@ -179,27 +248,77 @@ object SnapshotTable {
     val txns = lines.find(_.startsWith("#txns="))
       .map(l => decodeTxns(l.stripPrefix("#txns=")))
       .getOrElse(Map.empty[String, Long])
-    val entries = lines.filterNot(_.startsWith("#")).map { line =>
-      val parts = line.split("\t", -1)
-      require(parts.length >= 2, s"bad manifest line: $line")
-      val (rows, afterRows) =
-        if (parts.length > 2 && parts(2).startsWith("rows="))
-          (parts(2).stripPrefix("rows=").toLong, parts.drop(3))
-        else (-1L, parts.drop(2))
-      val (dv, rest) = afterRows.headOption match {
-        case Some(t) if t.startsWith("dv=") =>
-          val body = t.stripPrefix("dv=")
-          val sep = body.lastIndexOf('#')
-          (Some((java.net.URLDecoder.decode(body.take(sep), "UTF-8"),
-            body.drop(sep + 1).toLong)), afterRows.drop(1))
-        case _ => (None, afterRows)
+    val deltaBase = lines.find(_.startsWith("#delta="))
+      .map(_.stripPrefix("#delta=").toLong)
+    val adds = Seq.newBuilder[Entry]
+    val removes = Seq.newBuilder[Entry]
+    lines.filterNot(_.startsWith("#")).foreach { line =>
+      if (line.startsWith("+\t")) adds += parseEntryLine(line.drop(2))
+      else if (line.startsWith("-\t")) removes += parseEntryLine(line.drop(2))
+      else adds += parseEntryLine(line)
+    }
+    (Manifest(schema, adds.result(), op, constraints, transforms, retired, txns),
+      deltaBase, removes.result())
+  }
+
+  /** Multiset a − b over full Entry equality (a file whose DV or
+    * stats changed is a different entry state, encoded remove+add). */
+  private def multisetDiff(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] = {
+    val cnt = scala.collection.mutable.HashMap.empty[Entry, Int]
+    b.foreach(e => cnt.update(e, cnt.getOrElse(e, 0) + 1))
+    a.filter { e =>
+      val n = cnt.getOrElse(e, 0)
+      if (n > 0) { cnt.update(e, n - 1); false } else true
+    }
+  }
+
+  /** Replay one delta onto its base's live-file list: removals first
+    * (each must match a base entry — a miss means log corruption and
+    * fails loudly), then the adds appended. */
+  private def applyDelta(base: Seq[Entry], removes: Seq[Entry],
+      adds: Seq[Entry]): Seq[Entry] = {
+    if (removes.isEmpty) return base ++ adds
+    val need = scala.collection.mutable.HashMap.empty[Entry, Int]
+    removes.foreach(e => need.update(e, need.getOrElse(e, 0) + 1))
+    val kept = base.filter { e =>
+      val n = need.getOrElse(e, 0)
+      if (n > 0) { need.update(e, n - 1); false } else true
+    }
+    require(need.valuesIterator.forall(_ == 0),
+      s"corrupt manifest delta: ${need.valuesIterator.count(_ > 0)} " +
+        "removal(s) reference entries absent from the base version")
+    kept ++ adds
+  }
+
+  /** Manifest = optional `#schema=<StructType.json>` header + entry
+    * lines (checkpoint) or `#delta=` + signed entry lines (delta).
+    * JSON escapes control characters, so the single-line header can
+    * never collide with the tab-separated entry grammar; unknown
+    * `#`-prefixed lines are skipped for forward compatibility.
+    * Returns the RECONSTRUCTED manifest (deltas replayed onto their
+    * checkpoint), memoized per immutable version file. */
+  private[lake] def readManifestFull(spark: SparkSession, path: String,
+      version: Long): Manifest = {
+    val f = fs(spark, path)
+    val p = new Path(s"${logDir(path)}/v$version")
+    val st = f.getFileStatus(p)
+    val key = (p.toString, st.getModificationTime, st.getLen)
+    cacheGet(key).getOrElse {
+      manifestFileReads.incrementAndGet()
+      val in = f.open(p)
+      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val (m, deltaBase, removes) = parseManifest(content)
+      val full = deltaBase match {
+        case None => m
+        case Some(b) =>
+          require(b == version - 1,
+            s"manifest v$version at $path declares delta base v$b; only v${version - 1} is valid")
+          val base = readManifestFull(spark, path, b)
+          m.copy(entries = applyDelta(base.entries, removes, m.entries))
       }
-      require(rest.length % 3 == 0, s"bad manifest line: $line")
-      val stats = rest.grouped(3)
-        .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
-      Entry(parts(0), parts(1), rows, stats, dv)
-    }.toSeq
-    Manifest(schema, entries, op, constraints, transforms, retired, txns)
+      cachePut(key, full)
+      full
+    }
   }
 
   /** Filesystem schemes with no atomic create-if-absent: the exists
@@ -249,11 +368,34 @@ object SnapshotTable {
         "serialize publishes — the safe multi-writer path — or guarantee a " +
         "single writer and set -Dgraft.snapshot.allowNonAtomicPublish=true.")
     f.mkdirs(new Path(logDir(path)))
+    val m = Manifest(schema, entries, op, constraints, transforms,
+      retiredTransforms, txns)
+    val fullBytes = manifestBytes(m)
+    // Incremental log: publish a DELTA against v−1 when one exists
+    // and is smaller — commit IO proportional to files touched, not
+    // total live files. Checkpoint (full list) every
+    // `checkpointInterval`-th version to bound the replay chain, on
+    // the first version of a log (incl. a branch's fork manifest,
+    // whose base lives in ANOTHER log), and whenever the delta would
+    // not be smaller (e.g. a full overwrite). `canonical` is the
+    // entry list a cold reader will reconstruct (base order, adds
+    // appended) — cached below so warm reads agree byte-for-byte.
+    val (bytes, canonical) =
+      if (version <= 1 || version % checkpointInterval == 0 ||
+          !f.exists(new Path(s"${logDir(path)}/v${version - 1}")))
+        (fullBytes, entries)
+      else {
+        val prev = readManifestFull(spark, path, version - 1)
+        val removes = multisetDiff(prev.entries, entries)
+        val adds = multisetDiff(entries, prev.entries)
+        val db = deltaManifestBytes(m, version - 1, adds, removes)
+        if (db.length < fullBytes.length)
+          (db, applyDelta(prev.entries, removes, adds))
+        else (fullBytes, entries)
+      }
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
-    try out.write(manifestBytes(Manifest(schema, entries, op, constraints,
-      transforms, retiredTransforms, txns)))
-    finally out.close()
+    try out.write(bytes) finally out.close()
     val dst = new Path(s"${logDir(path)}/v$version")
     val useLink = f.getScheme == "file" && !forceNonAtomic
     def casPublish(): Boolean =
@@ -271,14 +413,19 @@ object SnapshotTable {
     // hard-link publish leaves the tmp behind on success; rename
     // consumes it — delete whatever remains
     if ((won && useLink) || !won) f.delete(tmp, false)
+    // the committer just materialized the full state — prime the
+    // cache so the immediate re-read (every commit path reads its
+    // own result next) never replays the chain
+    if (won) {
+      val st = f.getFileStatus(dst)
+      cachePut((dst.toString, st.getModificationTime, st.getLen),
+        m.copy(entries = canonical))
+    }
     won
   }
 
-  /** Serialized manifest (header lines + one entry line per file) —
-    * the single codec both [[publishManifest]] and [[relocate]]
-    * write; [[readManifestFull]] is its inverse. */
-  private def manifestBytes(m: Manifest): Array[Byte] = {
-    val header = m.schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
+  private def headerBlock(m: Manifest): String =
+    m.schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
       m.op.map(o => s"#op=$o\n").getOrElse("") +
       (if (m.constraints.nonEmpty)
         s"#constraints=${encodeConstraints(m.constraints)}\n" else "") +
@@ -287,14 +434,31 @@ object SnapshotTable {
       (if (m.retiredTransforms.nonEmpty)
         s"#ptransformsRetired=${PartitionTransform.encode(m.retiredTransforms)}\n" else "") +
       (if (m.txns.nonEmpty) s"#txns=${encodeTxns(m.txns)}\n" else "")
-    (header + m.entries.map { e =>
-      val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
-      val dv = e.dv.map { case (p, n) =>
-        s"\tdv=${java.net.URLEncoder.encode(p, "UTF-8")}#$n" }.getOrElse("")
-      val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
-      s"${e.commitDir}\t${e.filePath}$rows$dv$stats"
-    }.mkString("\n")).getBytes("UTF-8")
+
+  private def entryLine(e: Entry): String = {
+    val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
+    val dv = e.dv.map { case (p, n) =>
+      s"\tdv=${java.net.URLEncoder.encode(p, "UTF-8")}#$n" }.getOrElse("")
+    val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
+    s"${e.commitDir}\t${e.filePath}$rows$dv$stats"
   }
+
+  /** Serialized CHECKPOINT manifest (header lines + one entry line
+    * per live file) — written by [[publishManifest]] at checkpoint
+    * versions, [[relocate]], and [[vacuum]]'s materialization;
+    * [[readManifestFull]] is its inverse. Headers ride EVERY version
+    * file (delta or checkpoint) — they are O(1)-sized and per-version
+    * (op, txn watermarks), so only the entry list is incremental. */
+  private def manifestBytes(m: Manifest): Array[Byte] =
+    (headerBlock(m) + m.entries.map(entryLine).mkString("\n")).getBytes("UTF-8")
+
+  /** Serialized DELTA manifest: same headers, then the touched
+    * entries only, signed (`-` removed from the base, `+` added). */
+  private def deltaManifestBytes(m: Manifest, base: Long,
+      adds: Seq[Entry], removes: Seq[Entry]): Array[Byte] =
+    (headerBlock(m) + s"#delta=$base\n" +
+      (removes.map(e => s"-\t${entryLine(e)}") ++
+        adds.map(e => s"+\t${entryLine(e)}")).mkString("\n")).getBytes("UTF-8")
 
   /** Post-rename relocation: manifests record ABSOLUTE paths, so a
     * table whose directory moved from `fromPath` to `path` must have
@@ -313,8 +477,12 @@ object SnapshotTable {
       if (i >= 0) p.take(i) + to + p.drop(i + from.length) else p
     }
     val f = fs(spark, path)
-    versions(spark, path).foreach { v =>
-      val m = readManifestFull(spark, path, v)
+    // Read EVERY version before rewriting any: the rewrite converts
+    // deltas to checkpoints with remapped paths, and replaying a
+    // still-delta v(n+1) onto an already-remapped v(n) would fail
+    // (its removal entries reference the old paths).
+    val all = versions(spark, path).map(v => v -> readManifestFull(spark, path, v))
+    all.foreach { case (v, m) =>
       val mapped = m.copy(entries = m.entries.map(e => e.copy(
         commitDir = remap(e.commitDir),
         filePath = remap(e.filePath),
@@ -698,7 +866,12 @@ object SnapshotTable {
       files: Seq[(String, String, Long)], writeSchema: StructType,
       txnAppId: String, txnVersion: Long, maxAttempts: Int = 20): Option[Long] = {
     require(txnAppId.nonEmpty, "txnAppId must be nonempty")
-    val added = files.map { case (dir, f, rows) => Entry(dir, f, rows) }
+    var added = files.map { case (dir, f, rows) => Entry(dir, f, rows) }
+    // hidden-partitioned target: the epoch's flat files are re-laid
+    // into the transform layout below, tracked here so a CAS retry
+    // only re-derives when the spec itself changed concurrently
+    var layoutSpecs: Seq[String] = Nil
+    var layoutDir: Option[String] = None
     var validatedCs: Set[String] = Set.empty
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -712,11 +885,36 @@ object SnapshotTable {
         s"no branch '${branchOf(path).get}' at ${realPathOf(path)} — " +
           "createBranch first; a write through a dropped or unknown " +
           "branch handle does not re-create the branch")
-      if (prev.txns.get(txnAppId).exists(_ >= txnVersion)) return None
-      require(prev.transforms.isEmpty,
-        s"the streaming sink writes unpartitioned files; table at $path " +
-          "records hidden partition transforms — stream into a plain table " +
-          "and OPTIMIZE/compact into the layout, or use foreachBatch")
+      if (prev.txns.get(txnAppId).exists(_ >= txnVersion)) {
+        // a replay detected mid-retry abandons any re-laid dir too
+        layoutDir.foreach(d => fs(spark, path).delete(new Path(d), true): Unit)
+        return None
+      }
+      // HIDDEN-PARTITIONED tables take the epoch too: the flat files
+      // the executor-side epoch writers produced are re-laid into the
+      // transform layout with the SAME derivation every batch write
+      // path uses (PartitionTransform.apply + partitionBy), so dir
+      // values, pruning stats, and overwritePartitions matching are
+      // identical by construction. Cost: one distributed read+write
+      // of the EPOCH's rows (never table-sized) — the price of
+      // layout parity without a custom per-partition task writer;
+      // the rewrite happens before any publish, so the crash-replay
+      // contract is unchanged (an orphaned re-laid dir is the same
+      // class as any crashed commit's dir). The exactly-once
+      // watermark above is checked first, so a replayed epoch never
+      // pays the rewrite.
+      if (prev.transforms.nonEmpty && files.nonEmpty &&
+          prev.transforms.map(_.spec) != layoutSpecs) {
+        layoutDir.foreach(d => fs(spark, path).delete(new Path(d), true): Unit)
+        val flat = spark.read.schema(writeSchema).parquet(files.map(_._2): _*)
+        val data = PartitionTransform.apply(flat, prev.transforms)
+        val dir = s"${dataDirOf(path)}/c-${java.util.UUID.randomUUID.toString.take(12)}"
+        data.write.mode("errorifexists").option("compression", "zstd")
+          .partitionBy(prev.transforms.map(_.pcol): _*).parquet(dir)
+        added = commitEntries(spark, dir, Nil)
+        layoutSpecs = prev.transforms.map(_.spec)
+        layoutDir = Some(dir)
+      }
       // write-path CHECK gate: validate the epoch's files against the
       // current constraint set before anything publishes; re-validated
       // only for constraints added since the last attempt
@@ -734,8 +932,15 @@ object SnapshotTable {
       val merged = mergeSchemas(prev.schema, writeSchema, path)
       if (publishManifest(spark, path, version, prev.entries ++ added,
           Some(merged), Some("streamAppend"), prev.constraints, prev.transforms,
-          prev.retiredTransforms, mergeTxns(prev.txns, Map(txnAppId -> txnVersion))))
+          prev.retiredTransforms, mergeTxns(prev.txns, Map(txnAppId -> txnVersion)))) {
+        // the re-laid dir is what the manifest references now — the
+        // epoch's original flat files are superseded
+        if (layoutDir.isDefined)
+          files.map(_._1).distinct.foreach { d =>
+            fs(spark, path).delete(new Path(d), true): Unit
+          }
         return Some(version)
+      }
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
     }
@@ -827,10 +1032,22 @@ object SnapshotTable {
     if (m.entries.isEmpty)
       return sqlAlias.foldLeft(emptyFrame(spark, path, v, m))(
         (df, a) => df.alias(a)).filter(predicate)
+    // Predicate ANALYSIS runs against a zero-row frame in the
+    // recorded schema — resolving the user predicate must not build a
+    // file index over every live file (at 10⁶ files that listing
+    // dwarfs the query); the real scan is constructed below over the
+    // PRUNED entry subset only. Pre-schema-recording manifests (rare,
+    // legacy) fall back to the footer-derived frame.
+    // `translate`'s output and `skipIntervals` are both name-based,
+    // so conditions analyzed here apply cleanly to the scan frame.
     // sqlAlias: the SQL path may qualify predicate columns with the
     // table (or AS) name — aliasing lets both forms resolve
-    val raw = sqlAlias.foldLeft(readGroups(spark, m.entries, m.schema))(
-      (df, a) => df.alias(a))
+    val analysisFrame = m.schema match {
+      case Some(s) => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+      case None => readGroups(spark, m.entries, m.schema)
+    }
+    val raw = sqlAlias.foldLeft(analysisFrame)((df, a) => df.alias(a))
     val hiddenCols = raw.columns.filter(_.startsWith("__p_")).toSeq
     // resolve the user predicate against the table frame, then
     // project the ANALYZED condition (see PartitionTransform.translate)
@@ -861,16 +1078,21 @@ object SnapshotTable {
       else m.entries.filter { e =>
         intervals.forall { case (c, lo, hi) =>
           e.stats.find(_._1 == c) match {
-            case Some((_, mn, mx)) => mx >= lo && mn <= hi
-            case None              => true
+            // NaN-poisoned footer stats (a double/float file containing
+            // NaN can record NaN min/max) compare false to everything,
+            // which would silently SKIP a file that holds matching real
+            // rows — treat NaN stats as absent instead.
+            case Some((_, mn, mx)) if !mn.isNaN && !mx.isNaN =>
+              mx >= lo && mn <= hi
+            case _ => true
           }
         }
       }
     val base =
-      if (live.size == m.entries.size) raw
-      else if (live.isEmpty)
+      if (live.isEmpty)
         return sqlAlias.foldLeft(emptyFrame(spark, path, v, m))(
           (df, a) => df.alias(a)).filter(predicate)
+      else if (m.schema.isEmpty && live.size == m.entries.size) raw
       else sqlAlias.foldLeft(readGroups(spark, live, m.schema))(
         (df, a) => df.alias(a))
     base.filter(ppred && predicate).drop(hiddenCols: _*)
@@ -895,12 +1117,18 @@ object SnapshotTable {
       case other     => Seq(other)
     }
     // the attribute side may carry a WIDENING numeric cast inserted by
-    // type coercion (int column vs double literal) — order-preserving,
-    // so the interval transfers to the underlying column's stats
+    // type coercion (int column vs double literal). Only guaranteed
+    // lossless widenings (Cast.canUpCast) are order-preserving AND
+    // invertible, so only those let the literal's interval transfer to
+    // the base column's stats. A narrowing/truncating cast — e.g.
+    // CAST(doubleCol AS INT) = 5, satisfied by 5.7 — would let a file
+    // holding only (5.2, 5.9) be skipped; such casts contribute no
+    // interval and the file stays readable (skipping may only prune).
     def attrOf(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       case Cast(a: AttributeReference, dt, _, _)
-          if a.dataType.isInstanceOf[NumericType] && dt.isInstanceOf[NumericType] =>
+          if a.dataType.isInstanceOf[NumericType] &&
+            dt.isInstanceOf[NumericType] && Cast.canUpCast(a.dataType, dt) =>
         Some(a.name)
       case _ => None
     }
@@ -1715,8 +1943,11 @@ object SnapshotTable {
     val live = entries.filter { e =>
       box.forall { case (c, lo, hi) =>
         e.stats.find(_._1 == c) match {
-          case Some((_, mn, mx)) => mx >= lo && mn <= hi
-          case None              => true // no stats → must read
+          // NaN min/max (file contained NaN doubles) → stats unusable;
+          // treat as absent so the file is still read, never skipped.
+          case Some((_, mn, mx)) if !mn.isNaN && !mx.isNaN =>
+            mx >= lo && mn <= hi
+          case _ => true // no usable stats → must read
         }
       }
     }
@@ -2327,6 +2558,26 @@ object SnapshotTable {
     val deadDv = (expiredEntries.flatMap(_.dv.map(_._1)).toSet --
       keptEntries.flatMap(_.dv.map(_._1)).toSet).filter(owned)
     deadDv.foreach(p => f.delete(new Path(p), false))
+    // Incremental-log invariant: a surviving DELTA manifest must not
+    // lose its replay base. Any kept version whose predecessor is
+    // expiring is first rewritten in place as a full checkpoint —
+    // same logical content, now self-sufficient. Checkpoints are left
+    // untouched (rewriting would shift history()'s modtime-derived
+    // commit timestamp); for rewritten deltas the original mtime is
+    // restored for the same reason.
+    val expiredSet = expired.toSet
+    kept.filter(k => expiredSet(k - 1)).foreach { k =>
+      val vp = new Path(s"${logDir(path)}/v$k")
+      val in = f.open(vp)
+      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      if (content.split("\n").exists(_.startsWith("#delta="))) {
+        val full = readManifestFull(spark, path, k)
+        val mtime = f.getFileStatus(vp).getModificationTime
+        val out = f.create(vp, true)
+        try out.write(manifestBytes(full)) finally out.close()
+        f.setTimes(vp, mtime, -1)
+      }
+    }
     expired.foreach(v => f.delete(new Path(s"${logDir(path)}/v$v"), true))
   }
 

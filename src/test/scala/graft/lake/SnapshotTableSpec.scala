@@ -273,6 +273,15 @@ class SnapshotTableSpec extends SparkTestBase {
     // a huge long literal is widened by an ulp, never narrowed
     val (lo, hi) = iv(col("x") === Long.MaxValue)("x")
     assert(lo < Long.MaxValue.toDouble && hi > 0 && lo <= hi)
+
+    // a lossless WIDENING cast on the column transfers the interval…
+    assert(iv(col("x").cast("double") === lit(7.0))("x") === ((7.0, 7.0)))
+    // …but a narrowing/truncating cast is not order-preserving-
+    // invertible: CAST(v AS INT) = 5 is satisfied by v = 5.7, so
+    // transferring [5, 5] to v's stats could skip a file holding only
+    // (5.2, 5.9). Such casts must contribute NO interval.
+    assert(iv(col("v").cast("int") === lit(5)).isEmpty)
+    assert(iv(col("x").cast("int") === lit(5)).isEmpty) // long→int wraps
   }
 
   test("z-ordered commits prune files on BOTH clustered dimensions") {
