@@ -57,9 +57,12 @@ import graft.lake.SnapshotTable
   * `_violated` diagnosis column, compliant rows commit, and BOTH
   * commits carry the epoch watermark so exactly-once holds per
   * table across crash replays. A fully-compliant epoch keeps the
-  * no-rewrite fast path. Writes target plain or hive-partition-free
-  * snapshot tables; hidden-partitioned tables reject with guidance
-  * (their layout derivation belongs to the batch writer).
+  * no-rewrite fast path. Hidden-partitioned tables are first-class
+  * targets: the epoch's flat files are re-laid into the transform
+  * layout at commit time with the same derivation the batch writer
+  * uses (one distributed read+write of the EPOCH, never the table —
+  * see [[SnapshotTable.commitStreamEpoch]]), so `readWhere` pruning
+  * and `overwritePartitions` matching hold on streamed data too.
   *
   * Reference basis: the reference lands its streaming-shaped loads
   * through batch Glue jobs + Iceberg commits
@@ -208,40 +211,63 @@ private class SnapshotParquetDataWriter(commitDir: String, schema: StructType,
 }
 
 /** StructType → parquet MessageType + InternalRow → Group, covering
-  * the flat primitive surface the snapshot stream READER decodes
+  * the flat primitive + primitive-list surface the snapshot stream
+  * READER decodes
   * ([[SnapshotStreamSource]] extract()) — the two sides stay codec-
   * symmetric by construction. Timestamps are annotated INT64 MICROS
   * (adjusted to UTC), matching what Spark's own parquet writer emits
   * and what the reader's annotation branch expects. */
 private[sources] object SnapshotParquetCodec {
 
+  /** The list element types the sink can carry — the vector-column
+    * surface an ANN-maintenance pipeline streams (`array<float>`
+    * embeddings and friends). Written as the standard 3-level
+    * parquet LIST with OPTIONAL elements, decoded index-based on the
+    * read side so pyarrow's `item` / Spark's `element` naming both
+    * round-trip. */
+  private val listElemTypes: Set[DataType] =
+    Set(FloatType, DoubleType, IntegerType, LongType)
+
   def messageTypeOf(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       val rep = if (f.nullable) Repetition.OPTIONAL else Repetition.REQUIRED
-      val prim = f.dataType match {
-        case LongType    => Types.primitive(PrimitiveTypeName.INT64, rep)
-        case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep)
+      val t: org.apache.parquet.schema.Type = f.dataType match {
+        case ArrayType(et, _) if listElemTypes(et) =>
+          val e = et match {
+            case FloatType   => Types.optional(PrimitiveTypeName.FLOAT)
+            case DoubleType  => Types.optional(PrimitiveTypeName.DOUBLE)
+            case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+            case LongType    => Types.optional(PrimitiveTypeName.INT64)
+            case other => throw new IllegalStateException(other.toString)
+          }
+          Types.buildGroup(rep)
+            .as(LogicalTypeAnnotation.listType())
+            .addField(Types.repeatedGroup()
+              .addField(e.named("element")).named("list"))
+            .named(f.name)
+        case LongType    => Types.primitive(PrimitiveTypeName.INT64, rep).named(f.name)
+        case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep).named(f.name)
         case ShortType   => Types.primitive(PrimitiveTypeName.INT32, rep)
-          .as(LogicalTypeAnnotation.intType(16, true))
+          .as(LogicalTypeAnnotation.intType(16, true)).named(f.name)
         case ByteType    => Types.primitive(PrimitiveTypeName.INT32, rep)
-          .as(LogicalTypeAnnotation.intType(8, true))
-        case DoubleType  => Types.primitive(PrimitiveTypeName.DOUBLE, rep)
-        case FloatType   => Types.primitive(PrimitiveTypeName.FLOAT, rep)
-        case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep)
+          .as(LogicalTypeAnnotation.intType(8, true)).named(f.name)
+        case DoubleType  => Types.primitive(PrimitiveTypeName.DOUBLE, rep).named(f.name)
+        case FloatType   => Types.primitive(PrimitiveTypeName.FLOAT, rep).named(f.name)
+        case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep).named(f.name)
         case StringType  => Types.primitive(PrimitiveTypeName.BINARY, rep)
-          .as(LogicalTypeAnnotation.stringType())
-        case BinaryType  => Types.primitive(PrimitiveTypeName.BINARY, rep)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case BinaryType  => Types.primitive(PrimitiveTypeName.BINARY, rep).named(f.name)
         case DateType    => Types.primitive(PrimitiveTypeName.INT32, rep)
-          .as(LogicalTypeAnnotation.dateType())
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
         case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
           .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
         case other => throw new UnsupportedOperationException(
-          s"graft-snapshot streaming sink writes flat primitive schemas; " +
-            s"column '${f.name}' is ${other.simpleString}")
+          s"graft-snapshot streaming sink writes flat primitive (or " +
+            s"primitive-list) schemas; column '${f.name}' is ${other.simpleString}")
       }
-      b.addField(prim.named(f.name))
+      b.addField(t)
     }
     b.named("spark_schema")
   }
@@ -252,6 +278,22 @@ private[sources] object SnapshotParquetCodec {
     var i = 0
     while (i < schema.length) {
       if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case ArrayType(et, _) =>
+          val arr = row.getArray(i)
+          val lg = g.addGroup(i)
+          var j = 0
+          while (j < arr.numElements()) {
+            val entry = lg.addGroup(0) // one repeated "list" wrapper per element
+            if (!arr.isNullAt(j)) et match {
+              case FloatType   => entry.add(0, arr.getFloat(j))
+              case DoubleType  => entry.add(0, arr.getDouble(j))
+              case IntegerType => entry.add(0, arr.getInt(j))
+              case LongType    => entry.add(0, arr.getLong(j))
+              case other => throw new UnsupportedOperationException(
+                s"unsupported sink list element ${other.simpleString}")
+            }
+            j += 1
+          }
         case LongType | TimestampType => g.add(i, row.getLong(i))
         case IntegerType | DateType   => g.add(i, row.getInt(i))
         case ShortType                => g.add(i, row.getShort(i).toInt)

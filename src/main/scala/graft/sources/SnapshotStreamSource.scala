@@ -448,8 +448,36 @@ private class SnapshotFileReader(p: SnapshotFilePartition)
 
   private def extract(g: Group, idx: Int, f: StructField): Any = {
     val pt = g.getType.getType(idx)
-    require(pt.isPrimitive,
-      s"graft-snapshot streams flat (primitive-column) schemas; '${f.name}' is nested")
+    // standard 3-level LIST (Spark's `element`, pyarrow's `item`, the
+    // sink's own writer): decoded index-based so the element-field
+    // name never matters — the vector-column surface (array<float>
+    // embeddings and friends) streams like any primitive
+    (f.dataType, pt.isPrimitive) match {
+      case (ArrayType(et, _), false) =>
+        val lg = g.getGroup(idx, 0)
+        val n = lg.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val e = lg.getGroup(0, j)
+          out(j) =
+            if (e.getFieldRepetitionCount(0) == 0) null
+            else et match {
+              case FloatType   => e.getFloat(0, 0)
+              case DoubleType  => e.getDouble(0, 0)
+              case IntegerType => e.getInteger(0, 0)
+              case LongType    => e.getLong(0, 0)
+              case other => throw new UnsupportedOperationException(
+                s"unsupported list element ${other.simpleString} in '${f.name}'")
+            }
+          j += 1
+        }
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case _ =>
+        require(pt.isPrimitive,
+          s"graft-snapshot streams flat primitive (or primitive-list) " +
+            s"schemas; '${f.name}' is nested")
+    }
     val prim = pt.asPrimitiveType().getPrimitiveTypeName
     f.dataType match {
       case LongType    => g.getLong(idx, 0)

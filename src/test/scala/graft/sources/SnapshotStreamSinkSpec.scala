@@ -227,19 +227,57 @@ class SnapshotStreamSinkSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, t).count() === 2L)
   }
 
-  test("sink rejects hidden-partitioned targets with guidance") {
+  test("sink streams into a hidden-partitioned days(ts) table: layout parity, " +
+      "pruning on streamed rows, crash replay") {
     val base = Files.createTempDirectory("graft-sink-hidden").toString
     val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
-    SnapshotTable.append(Seq((1L, "a")).toDF("k", "s"), src)
+    val rows = (1L to 40L).map(i => (java.sql.Timestamp.valueOf(
+      if (i % 2 == 0) "2024-01-01 08:00:00" else "2024-01-02 09:00:00"), i))
+    SnapshotTable.append(rows.toDF("ts", "k"), src)
+    // the target's partition spec is fixed by a batch first commit
     SnapshotTable.appendTransformed(
-      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L)).toDF("ts", "k"),
+      Seq((java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 100L)).toDF("ts", "k"),
       dst, Seq("days(ts)"))
-    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      pump(src, dst, ckpt)
-    }
-    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(_.getMessage).mkString("\n")
-    assert(msgs.contains("hidden partition transforms"))
+
+    pump(src, dst, ckpt)
+    assert(keysOf(dst) === ((1L to 40L) :+ 100L))
+    // layout parity: the streamed epoch's files live under the SAME
+    // __p_ts_day=<v> dirs the batch derivation produces — three days
+    // live, every file inside a day dir
+    val files = SnapshotTable.liveFiles(spark, dst)
+    assert(files.forall(_.contains("__p_ts_day=")), s"unlaid file: ${files.mkString("\n")}")
+    val days = files.flatMap(_.split("/").find(_.startsWith("__p_ts_day="))).distinct
+    assert(days.size === 3, s"want 3 day dirs, got $days")
+    // partition pruning works on streamed rows through readWhere
+    val jan1 = SnapshotTable.readWhere(spark, dst,
+      col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+    assert(jan1.select("k").as[Long].collect().sorted === (2L to 40L by 2).toArray)
+    // the user never sees the hidden column
+    assert(SnapshotTable.read(spark, dst).columns.toSeq === Seq("ts", "k"))
+
+    // crash window: drop the newest checkpoint commit-log entry so the
+    // engine replays the epoch — the watermark must skip it and the
+    // replayed flat+re-laid files must not land twice
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    val vBefore = SnapshotTable.latestVersion(spark, dst).get
+    pump(src, dst, ckpt)
+    assert(keysOf(dst) === ((1L to 40L) :+ 100L), "replay duplicated streamed rows")
+    assert(SnapshotTable.latestVersion(spark, dst).get === vBefore)
+
+    // incremental epochs keep landing in the layout
+    SnapshotTable.append(Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 23:00:00"), 200L)).toDF("ts", "k"), src)
+    pump(src, dst, ckpt)
+    assert(keysOf(dst).contains(200L))
+    assert(SnapshotTable.readWhere(spark, dst,
+      col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .select("k").as[Long].collect().sorted === ((2L to 40L by 2) :+ 200L).toArray)
   }
 
   test("types round-trip through sink then batch read (timestamp/date/bool/binary/null)") {
