@@ -63,6 +63,7 @@ object ScaleBench {
     var mergeScaleBase: Option[String] = None
     var snapBootBase: Option[String] = None
     var qidxDir: Option[String] = None
+    var dupUniformSec: Option[Double] = None
     val results: Seq[(String, Double)] = Seq(
       timed("exact_dedup")     { noop(graft.ops.TextDedup.exactDuplicates(docs)) },
       timed("minhash_buckets") { noop(graft.ops.TextDedup.minhashBuckets(docs)) },
@@ -187,10 +188,35 @@ object ScaleBench {
       },
       timed("dup_substrings_1m") {
         // ExactSubstr span dedup at 1M docs: row-local L-gram shingle
-        // projection, one gram-keyed window (min + count, grouping
-        // only — no per-gram sort), one doc-keyed window+agg pair
-        // sharing an exchange, row-local kept-text reconstruction
+        // projection, map-side-combined dup-key count + semi join,
+        // min-agg + join first-occurrence selection, one doc-keyed
+        // window+agg pair sharing an exchange, row-local kept-text
+        // reconstruction
+        val t0 = System.nanoTime()
         noop(graft.ops.TextDedup.duplicateSpans(docs))
+        dupUniformSec = Some((System.nanoTime() - t0) / 1e9)
+      },
+      timed("dup_substr_skew") {
+        // the straggler case the agg+semi-join formulation exists
+        // for: ONE 8-gram planted into half the corpus (classic
+        // boilerplate header). The old Window.partitionBy(k64) count
+        // put every planted occurrence into a single task — runtime
+        // grew with corpus size; partial aggregation + AQE skew-join
+        // splitting must keep this within a small factor of the
+        // uniform entry above (compare within THIS run only).
+        val skewDocs = docs.withColumn("text",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("common header tokens repeated across half the corpus | "),
+              col("text"))).otherwise(col("text")))
+        val t0 = System.nanoTime()
+        noop(graft.ops.TextDedup.duplicateSpans(skewDocs))
+        val s = (System.nanoTime() - t0) / 1e9
+        val u = dupUniformSec.getOrElse(s)
+        System.err.println(f"[scale] dup skew=$s%.2fs uniform=$u%.2fs ratio=${s / u}%.2f")
+        // generous bound (host variance): a regression back to a
+        // single-task hot-key plan would blow far past this
+        require(s < u * 4 + 2.0,
+          f"planted-skew dup-span dedup straggled: $s%.2fs vs uniform $u%.2fs")
       },
       timed("boilerplate_1m")  {
         // C4-style boilerplate removal at 1M docs: document-frequency
@@ -316,6 +342,61 @@ object ScaleBench {
           .filter(col("id").between(dvLo, dvLo + 49L) ||
             col("id").between(rwLo, rwLo + 49L)).count() == 0L)
         System.err.println(f"[scale] delete dv=$dvS%.2fs rewrite=$rwS%.2fs")
+      },
+      timed("manifest_commit_scaling") {
+        // The incremental-log posture at 10⁶-file scale, shrunk 10×:
+        // two tables whose live-file lists differ 100× (10³ vs 10⁵
+        // entries — the big one synthesized as a checkpoint manifest
+        // of fabricated stats-disjoint files around one real file, so
+        // no actual 10⁵-file write is needed). A small append must
+        // publish a DELTA whose size does not scale with the list
+        // (the old full-list-per-commit log wrote ~20 MB of driver
+        // text for every 1-file commit at 10⁵ entries), and
+        // readWhere's stats pruning over the 10⁵ entries must still
+        // plan off one (cached) parse and scan only the real file.
+        import java.nio.file.{Files => JF, Paths => JP}
+        val base = JF.createTempDirectory("graft-scale-manifest")
+        def mk(path: String, fakes: Int): Unit = {
+          val df = spark.range(1000)
+            .select(col("id"), col("id").cast("double").as("v"))
+          graft.lake.SnapshotTable.appendClustered(df, path, "id", numFiles = 1)
+          val v1 = new String(JF.readAllBytes(JP.get(s"$path/_graft_log/v1")), "UTF-8")
+          val commitDir = v1.split("\n").filterNot(_.startsWith("#")).head.split("\t")(0)
+          val sb = new StringBuilder(v1)
+          var i = 0
+          while (i < fakes) {
+            val lo = 1000000L + i * 10L
+            sb.append(s"\n$commitDir\t$commitDir/fake-$i.parquet\trows=10\tid\t$lo.0\t${lo + 9}.0")
+            i += 1
+          }
+          JF.write(JP.get(s"$path/_graft_log/v2"), sb.toString.getBytes("UTF-8"))
+        }
+        val small = s"$base/small"; val big = s"$base/big"
+        mk(small, 1000); mk(big, 100000)
+        def commitSec(path: String): Double = {
+          val t0 = System.nanoTime()
+          graft.lake.SnapshotTable.append(spark.range(10)
+            .select(col("id"), col("id").cast("double").as("v")).coalesce(1), path)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cSmall = commitSec(small)
+        val cBig = commitSec(big)
+        val dSmall = JF.size(JP.get(s"$small/_graft_log/v3"))
+        val dBig = JF.size(JP.get(s"$big/_graft_log/v3"))
+        require(dBig < 10000 && dBig < dSmall * 3,
+          s"delta commit bytes scale with live-file count: small=$dSmall big=$dBig")
+        def whereSec(path: String): Double = {
+          val t0 = System.nanoTime()
+          val n = graft.lake.SnapshotTable.readWhere(spark, path,
+            col("id") < 1000L).count()
+          require(n == 1010L, s"stats-pruned read over synthetic manifest got $n rows")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val wSmall = whereSec(small)
+        val wBig = whereSec(big)     // same manifest, now cached
+        val wBig2 = whereSec(big)
+        System.err.println(f"[scale] manifest commit small=$cSmall%.2fs big=$cBig%.2fs " +
+          f"delta_bytes=$dSmall/$dBig readWhere small=$wSmall%.2fs big=$wBig%.2fs warm=$wBig2%.2fs")
       },
       timed("snap_bootstrap_stage") {
         // stage a 1M-row snapshot table in a few fat files — the shape

@@ -1461,6 +1461,37 @@ object TextAnalysis {
         (col("mi") > 0L).as("keep"),
         col("n_feats"))
 
+  /** [[qualityClassify]] with REAL trained weights: `weights` maps a
+    * feature bucket to its integer weight (missing buckets score 0).
+    * The model ships to executors as a bucket-indexed array literal
+    * riding the plan — at fastText scale (numBuckets ≤ a few million
+    * ints) that is megabytes, the same order Spark broadcasts join
+    * sides at; no per-row lookup structure is built. The margin
+    * arithmetic is the same exact-integer fold, so handing this
+    * function the stand-in weight formula reproduces
+    * [[qualityClassify]] bit-for-bit (the spec pins that). */
+  def qualityClassifyWeighted(docs: DataFrame, weights: Map[Int, Int],
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = 4096): DataFrame = {
+    require(weights.keys.forall(b => b >= 0 && b < numBuckets),
+      s"weight bucket out of range [0, $numBuckets)")
+    val warr = typedLit((0 until numBuckets).map(b => weights.getOrElse(b, 0)).toArray)
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.VectorFunctions.hashed_ngram_buckets(
+          split(col(textCol), " "), numBuckets).as("fb"))
+      .select(col("doc_id"),
+        aggregate(col("fb"), lit(0L), (acc, x) =>
+          acc + x.getField("tf").cast("long") *
+            element_at(warr, x.getField("bucket") + 1).cast("long")).as("mi"),
+        aggregate(col("fb"), lit(0L),
+          (acc, x) => acc + x.getField("tf").cast("long")).as("n_feats"))
+      .select(col("doc_id"),
+        round(col("mi") / lit(1000.0), 6).as("margin"),
+        (col("mi") > 0L).as("keep"),
+        col("n_feats"))
+  }
+
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     qualityClassify(Tables.documents(spark, dir)).orderBy("doc_id")
 

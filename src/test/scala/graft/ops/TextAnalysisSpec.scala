@@ -484,4 +484,63 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.forall(t => t._2 >= 0 && t._2 < 4096))
     assert(out.filter(_._1 == 2L).map(_._3).max === 2L, "tf must count repeats")
   }
+
+  test("quality classifier: exact integer margin vs driver reference, stable under repartition") {
+    import spark.implicits._
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(6), 16) % 4096L).toInt
+    }
+    def standInW(b: Int): Long = (b * 2654435761L) % 2001L - 1000L
+    def refMargin(text: String): (Double, Boolean, Long) = {
+      val ws = text.split(" ").toSeq
+      val toks = ws ++ ws.sliding(2).collect { case Seq(a, b) => s"${a}_$b" }
+      val tf = toks.map(bucketOf).groupBy(identity).view.mapValues(_.size.toLong)
+      val mi = tf.map { case (b, n) => n * standInW(b) }.sum
+      (math.rint(mi / 1000.0 * 1e6) / 1e6, mi > 0L, tf.values.sum)
+    }
+    val docs = Seq((1L, "spark joins data"), (2L, "spark spark"),
+      (3L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassify(docs).orderBy("doc_id")
+      .as[(Long, Double, Boolean, Long)].collect().toSeq
+    val want = Seq((1L, "spark joins data"), (2L, "spark spark"),
+      (3L, "the quick brown fox jumps over the lazy dog")).map { case (id, t) =>
+      val (m, k, n) = refMargin(t); (id, m, k, n)
+    }
+    assert(got === want, "margin must be EXACT integer arithmetic, not float-accumulated")
+    // partitioning cannot change a row-local computation
+    val re = TextAnalysis.qualityClassify(docs.repartition(7)).orderBy("doc_id")
+      .as[(Long, Double, Boolean, Long)].collect().toSeq
+    assert(re === got)
+  }
+
+  test("quality classifier with broadcast weights reproduces the stand-in bit-for-bit") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    def standInW(b: Int): Int = ((b * 2654435761L) % 2001L - 1000L).toInt
+    val weights = (0 until 4096).map(b => b -> standInW(b)).toMap
+    val viaMap = TextAnalysis.qualityClassifyWeighted(docs, weights).orderBy("doc_id")
+    val viaFormula = TextAnalysis.qualityClassify(docs).orderBy("doc_id")
+    assert(viaMap.exceptAll(viaFormula).count() === 0 &&
+      viaFormula.exceptAll(viaMap).count() === 0)
+
+    // sparse real-weights path: only two buckets carry weight — every
+    // doc's margin is exactly (tf in those buckets) · w / 1000
+    val tiny = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(6), 16) % 4096L).toInt
+    }
+    val bAlpha = bucketOf("alpha")
+    val sparse = TextAnalysis.qualityClassifyWeighted(tiny, Map(bAlpha -> 500))
+      .as[(Long, Double, Boolean, Long)].head()
+    // "alpha" ×2; bigrams alpha_beta / beta_alpha and "beta" unweighted
+    // (collision into bAlpha would add to tf — recompute honestly)
+    val tfInBucket = Seq("alpha", "beta", "alpha", "alpha_beta", "beta_alpha")
+      .count(t => bucketOf(t) == bAlpha)
+    assert(sparse._2 === math.rint(tfInBucket * 500L / 1000.0 * 1e6) / 1e6)
+    assert(sparse._3 === (tfInBucket * 500L > 0))
+  }
 }
