@@ -1226,6 +1226,73 @@ object EvQueries {
        |FROM gold WHERE kwhTotal >= 10.0
        |ORDER BY sessionId""".stripMargin
 
+  /** Streaming sink into a HIDDEN-PARTITIONED table — closing the
+    * sink's one remaining principled gap: the target is created empty
+    * with a `days(created)` transform spec, EVERY row arrives through
+    * the exactly-once stream (two epochs at maxVersionsPerTrigger=1,
+    * then ev21's crash-window replay), and the gate proves
+    * (a) the streamed epochs landed in the SAME `__p_created_day=`
+    * layout batch writes derive, (b) a `readWhere` on the SOURCE
+    * column prunes streamed files (executed-plan numFiles, strict
+    * subset), (c) exactly-once held through the replay. Rows are
+    * hash-checked against the oracle recomputing the pruned read. */
+  def streamHiddenPartition(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-sinkhp-gate").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    import graft.lake.SnapshotTable
+    val data = good(spark)
+      .select(col("sessionId"), col("created"), col("kwhTotal"))
+      .coalesce(1).persist()
+    try {
+      val all = data.orderBy("sessionId")
+      SnapshotTable.append(all.limit(5), src)
+      SnapshotTable.append(all.exceptAll(all.limit(5)), src)
+      SnapshotTable.create(spark, dst, data.schema, Seq("days(created)"))
+      def pump(): Unit = {
+        val q = spark.readStream.format("graft-snapshot")
+          .option("maxVersionsPerTrigger", 1).load(src)
+          .writeStream.format("graft-snapshot")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      pump()
+      val afterFirst = SnapshotTable.count(spark, dst)
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val crc = new java.io.File(commits.last.getParentFile,
+        s".${commits.last.getName}.crc")
+      require(commits.last.delete() && (!crc.exists() || crc.delete()))
+      val vBefore = SnapshotTable.latestVersion(spark, dst).get
+      pump() // replayed epoch: watermark must skip it
+      val exactlyOnce = SnapshotTable.count(spark, dst) == afterFirst &&
+        SnapshotTable.latestVersion(spark, dst).get == vBefore
+      val files = SnapshotTable.liveFiles(spark, dst)
+      val layoutOk = files.nonEmpty && files.forall(_.contains("__p_created_day="))
+      val cutoff = java.sql.Timestamp.valueOf("2015-01-01 00:00:00")
+      val pruned = SnapshotTable.readWhere(spark, dst, col("created") < lit(cutoff))
+      val nScanned = scannedFiles(pruned)
+      System.err.println(s"[ev24] scanned=$nScanned files=${files.size}")
+      val pruneOk = nScanned < files.size && nScanned >= 1
+      pruned.select("sessionId", "kwhTotal")
+        .withColumn("layout_ok", lit(layoutOk))
+        .withColumn("prune_ok", lit(pruneOk))
+        .withColumn("exactly_once_ok", lit(exactlyOnce))
+        .orderBy("sessionId")
+    } finally { data.unpersist(); () }
+  }
+
+  private val streamHiddenPartitionSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal, created FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, kwhTotal,
+       |  true AS layout_ok, true AS prune_ok, true AS exactly_once_ok
+       |FROM gold WHERE created < TIMESTAMP '2015-01-01 00:00:00'
+       |ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1251,5 +1318,7 @@ object EvQueries {
     QDef("ev22_constraint_quarantine", constraintQuarantine,
       Some(constraintQuarantineSql)),
     QDef("ev23_data_skipping", dataSkipping, Some(dataSkippingSql)),
+    QDef("ev24_stream_hidden_partition", streamHiddenPartition,
+      Some(streamHiddenPartitionSql)),
   )
 }

@@ -446,8 +446,65 @@ object Ivf {
        |  true AS planted_nn_returned, true AS all_in_exact_top$annIvfQuantizedRankBound
        |FROM embeddings WHERE vec_id IN (0, 1, 2) ORDER BY query_id""".stripMargin
 
+  /** Auto-tier hybrid gate, NARROW side: ~1% of ids allowed routes
+    * [[hybridTopK]] to the exact pre-filter tier, so the result is
+    * closed-form and the oracle recomputes it exactly — a mis-route
+    * to the probe tier would hash-mismatch by missing exact
+    * neighbors the probes don't cover. */
+  def hybridNarrow(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 === 3).select(col("doc_id").as("vec_id"))
+    val model = train(emb, k = 16, iters = 5, sampleSize = 500)
+    hybridTopK(emb, allowed, model, queryVecId = 0L, k = 10)
+  }
+
+  val hybridNarrowSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |a AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 3),
+      |x AS (
+      |  SELECT e.vec_id,
+      |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dp,
+      |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+      |    sum(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS nb
+      |  FROM embeddings e
+      |  JOIN a ON e.vec_id = a.doc_id, q,
+      |    (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  WHERE e.vec_id <> 0
+      |  GROUP BY e.vec_id
+      |)
+      |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
+      |FROM x ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** Auto-tier hybrid gate, WIDE side: half the ids allowed routes to
+    * the IVF probe + 1/f over-fetch + post-filter tier. Exact results
+    * are approximate there, so the gate states the same accuracy
+    * contract as q62: an ALLOWED exact copy of the query (id + 10M,
+    * even, sharing the query's first probe cell by construction) must
+    * come back at cosine exactly 1.0, and every returned id must
+    * satisfy the predicate within the k bound. */
+  def hybridWide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Similarity.withPlantedQueries(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), Seq(0L))
+    val allowed = emb.select("vec_id").filter(col("vec_id") % 2 === 0)
+    val model = train(emb, k = 16, iters = 5, sampleSize = 500)
+    val r = hybridTopK(emb, allowed, model, queryVecId = 0L, k = 10).collect()
+    val best = r.map(_.getAs[Double]("cosine")).max
+    Seq((0L, best,
+      r.exists(_.getAs[Long]("vec_id") == 10000000L),
+      r.nonEmpty && r.length <= 10 && r.forall(_.getAs[Long]("vec_id") % 2 == 0)))
+      .toDF("query_id", "best_cosine", "planted_nn_returned", "all_allowed")
+  }
+
+  val hybridWideSql: String =
+    """SELECT CAST(0 AS BIGINT) AS query_id, CAST(1.0 AS DOUBLE) AS best_cosine,
+      |  true AS planted_nn_returned, true AS all_allowed""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q62_ann_ivf", annIvf, Some(annIvfSql)),
     QDef("q107_ann_ivf_i8", annIvfQuantized, Some(annIvfQuantizedSql)),
+    QDef("q130_hybrid_prefilter", hybridNarrow, Some(hybridNarrowSql)),
+    QDef("q131_hybrid_postfilter", hybridWide, Some(hybridWideSql)),
   )
 }
