@@ -290,6 +290,22 @@ object SnapshotTable {
     kept ++ adds
   }
 
+  /** Raw single-file parse of one version, NO chain replay and no
+    * cache: for a DELTA manifest, Some((headers + its own ADDED
+    * entries, base version, REMOVED entries)); None for checkpoints.
+    * This is the O(files touched) view of a commit — the CDC feed
+    * diffs versions straight off it instead of materializing two
+    * full live-file lists. Delta files are small by construction
+    * (the size comparison at publish time), so the uncached re-parse
+    * is noise. */
+  private[lake] def readManifestDelta(spark: SparkSession, path: String,
+      version: Long): Option[(Manifest, Long, Seq[Entry])] = {
+    val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val (m, deltaBase, removes) = parseManifest(content)
+    deltaBase.map(b => (m, b, removes))
+  }
+
   /** Manifest = optional `#schema=<StructType.json>` header + entry
     * lines (checkpoint) or `#delta=` + signed entry lines (delta).
     * JSON escapes control characters, so the single-line header can
@@ -872,6 +888,12 @@ object SnapshotTable {
     // only re-derives when the spec itself changed concurrently
     var layoutSpecs: Seq[String] = Nil
     var layoutDir: Option[String] = None
+    // the schema this epoch records: the re-laid frame's schema when
+    // a transform layout applies (it carries the derived __p columns
+    // — without them the recorded schema never learns the partition
+    // column and readWhere's projection cannot prune), else the
+    // writer's flat schema
+    var layoutSchema: StructType = writeSchema
     var validatedCs: Set[String] = Set.empty
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -914,6 +936,7 @@ object SnapshotTable {
         added = commitEntries(spark, dir, Nil)
         layoutSpecs = prev.transforms.map(_.spec)
         layoutDir = Some(dir)
+        layoutSchema = data.schema
       }
       // write-path CHECK gate: validate the epoch's files against the
       // current constraint set before anything publishes; re-validated
@@ -929,7 +952,7 @@ object SnapshotTable {
         }
         validatedCs = validatedCs ++ toCheck.keySet
       }
-      val merged = mergeSchemas(prev.schema, writeSchema, path)
+      val merged = mergeSchemas(prev.schema, layoutSchema, path)
       if (publishManifest(spark, path, version, prev.entries ++ added,
           Some(merged), Some("streamAppend"), prev.constraints, prev.transforms,
           prev.retiredTransforms, mergeTxns(prev.txns, Map(txnAppId -> txnVersion)))) {
@@ -2631,9 +2654,10 @@ object SnapshotTable {
     * set); a pure-carryover commit (no files added or removed) is
     * likewise skipped from the manifest alone. The multiset diff
     * shuffles only the changed-file rows, so a stats-pruned merge's
-    * feed stays proportional to the touched data at 100 TB. Each
-    * manifest in the range is read exactly once (carried forward as
-    * the next step's base). For histories long enough that a single
+    * feed stays proportional to the touched data at 100 TB. Delta
+    * manifests feed the diff directly (O(files touched) per version
+    * — see [[readManifestDelta]]); checkpoint versions fall back to
+    * a cached full-manifest diff. For histories long enough that a single
     * `changes` plan gets unwieldy (one diff subtree per changed
     * version), consume in bounded sub-ranges via
     * [[SnapshotIncremental.readBatched]]. */
@@ -2652,26 +2676,67 @@ object SnapshotTable {
         (if (df.columns.contains(f.name)) col(f.name)
          else lit(null).cast(f.dataType)).as(f.name)).toSeq: _*)
 
-    var prev: Seq[Entry] =
-      if (fromVersion == 0) Nil else readManifest(spark, path, fromVersion)
+    def liveRowsOf(es: Seq[Entry]): Option[Long] =
+      if (es.forall(_.rows >= 0L))
+        Some(es.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
+      else None
+
     val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val m = readManifestFull(spark, path, v)
-      val prevSet = prev.map(_.filePath).toSet
-      val nextSet = m.entries.map(_.filePath).toSet
-      val removed = prev.filterNot(e => nextSet(e.filePath))
-      val added = m.entries.filterNot(e => prevSet(e.filePath))
-      // a deletion-vector commit keeps every filePath but grows some
-      // entries' DVs: the rows at the freshly-dead positions are this
-      // commit's deletes — read ONLY those positions (semi-join on the
-      // broadcast delta), never the whole file
-      val prevByPath = prev.map(e => e.filePath -> e).toMap
-      val dvChanged: Seq[(Entry, Option[String], Option[String])] =
-        m.entries.flatMap { e =>
-          prevByPath.get(e.filePath) match {
-            case Some(p) if p.dv != e.dv =>
-              Some((e, p.dv.map(_._1), e.dv.map(_._1)))
-            case _ => None
-          }
+      // Incremental-log fast path: a DELTA manifest already lists
+      // exactly the entries its commit touched, so the per-version
+      // diff is O(files touched) instead of O(total live files) — at
+      // 10⁶ files the old full-list set-diff per version dominated a
+      // CDC feed of small commits. Checkpoint versions (periodic,
+      // full overwrites, fork bases) fall back to the full multiset
+      // diff of two reconstructed manifests (driver-cached). A DV
+      // replacement encodes as remove(old)+add(new) on one filePath,
+      // which is exactly the old prev-vs-next dv comparison.
+      val (m, added, removed, dvChanged, rowsPreserved) =
+        readManifestDelta(spark, path, v) match {
+          case Some((raw, base, removes)) if base == v - 1 =>
+            val adds = raw.entries
+            val remByPath = removes.map(e => e.filePath -> e).toMap
+            val addPaths = adds.map(_.filePath).toSet
+            val dvCh: Seq[(Entry, Option[String], Option[String])] =
+              adds.flatMap { e =>
+                remByPath.get(e.filePath) match {
+                  case Some(o) if o.dv != e.dv =>
+                    Some((e, o.dv.map(_._1), e.dv.map(_._1)))
+                  case _ => None
+                }
+              }
+            // row preservation from the TOUCHED entries alone:
+            // untouched files cancel on both sides of the full-list
+            // equality, so equal touched sums ⟺ the old check —
+            // and files the commit never touched need no row counts
+            val preserved = (for (a <- liveRowsOf(adds); r <- liveRowsOf(removes))
+              yield a == r).getOrElse(false)
+            (raw,
+              adds.filterNot(e => remByPath.contains(e.filePath)),
+              removes.filterNot(e => addPaths(e.filePath)),
+              dvCh, preserved)
+          case _ =>
+            val mf = readManifestFull(spark, path, v)
+            val prev: Seq[Entry] =
+              if (v - 1 == 0) Nil
+              else readManifestFull(spark, path, v - 1).entries
+            val prevSet = prev.map(_.filePath).toSet
+            val nextSet = mf.entries.map(_.filePath).toSet
+            val prevByPath = prev.map(e => e.filePath -> e).toMap
+            val dvCh: Seq[(Entry, Option[String], Option[String])] =
+              mf.entries.flatMap { e =>
+                prevByPath.get(e.filePath) match {
+                  case Some(p) if p.dv != e.dv =>
+                    Some((e, p.dv.map(_._1), e.dv.map(_._1)))
+                  case _ => None
+                }
+              }
+            val preserved = (for (a <- liveRowsOf(prev); b <- liveRowsOf(mf.entries))
+              yield a == b).getOrElse(false)
+            (mf,
+              mf.entries.filterNot(e => prevSet(e.filePath)),
+              prev.filterNot(e => nextSet(e.filePath)),
+              dvCh, preserved)
         }
       // Freshly-dead positions per changed file (new DV minus old DV).
       // A handful of files reads fine on the driver; a wide DV commit
@@ -2709,18 +2774,12 @@ object SnapshotTable {
       // op names are advisory elsewhere in this file (file sets are
       // the truth), so the compact fast path must not take the label
       // on faith: verify row preservation from the manifest alone
-      // (live rows = footer rows − DV'd rows, equal on both sides,
-      // with every count recorded). A non-row-preserving commit
-      // mislabelled op=compact falls through to the multiset diff
-      // instead of silently vanishing from the feed.
-      def liveRows(es: Seq[Entry]): Option[Long] =
-        if (es.forall(_.rows >= 0L))
-          Some(es.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
-        else None
-      val compactPreservesRows = m.op.contains("compact") &&
-        (for (a <- liveRows(prev); b <- liveRows(m.entries)) yield a == b)
-          .getOrElse(false)
-      prev = m.entries
+      // (live rows = footer rows − DV'd rows, computed above from
+      // either the delta's touched entries or the full lists). A
+      // non-row-preserving commit mislabelled op=compact falls
+      // through to the multiset diff instead of silently vanishing
+      // from the feed.
+      val compactPreservesRows = m.op.contains("compact") && rowsPreserved
       if (compactPreservesRows) None // verified row-preserving
       else if (removed.isEmpty && added.isEmpty && dvDeltas.isEmpty) None
       else if (removed.isEmpty && added.isEmpty) {
