@@ -397,8 +397,23 @@ object ScaleBench {
         val wSmall = whereSec(small)
         val wBig = whereSec(big)     // same manifest, now cached
         val wBig2 = whereSec(big)
+        // CDC off the delta log: the feed of the 1-file append must
+        // not scale with the table's live-file count — the fast path
+        // diffs the delta's own adds/removes, never the full lists
+        def cdcSec(path: String): Double = {
+          val t0 = System.nanoTime()
+          val n = graft.lake.SnapshotTable.changes(spark, path, 2L, 3L)
+            .filter(col("_change_type") === "insert").count()
+          require(n == 10L, s"delta-log CDC over $path read $n rows, want 10")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cdcSmall = cdcSec(small)
+        val cdcBig = cdcSec(big)
+        require(cdcBig < cdcSmall * 3 + 2.0,
+          f"CDC feed scales with live-file count: small=$cdcSmall%.2fs big=$cdcBig%.2fs")
         System.err.println(f"[scale] manifest commit small=$cSmall%.2fs big=$cBig%.2fs " +
-          f"delta_bytes=$dSmall/$dBig readWhere small=$wSmall%.2fs big=$wBig%.2fs warm=$wBig2%.2fs")
+          f"delta_bytes=$dSmall/$dBig readWhere small=$wSmall%.2fs big=$wBig%.2fs " +
+          f"warm=$wBig2%.2fs cdc small=$cdcSmall%.2fs big=$cdcBig%.2fs")
       },
       timed("snap_bootstrap_stage") {
         // stage a 1M-row snapshot table in a few fat files — the shape

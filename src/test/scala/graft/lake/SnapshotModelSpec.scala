@@ -47,9 +47,29 @@ class SnapshotModelSpec extends SparkTestBase {
   } yield Op(kind, part, target, n)
 
   test("random append/overwrite/merge/restore sequences match the in-memory model (3 seeds)") {
-    (1L to 3L).foreach { seed =>
+    (1L to 3L).foreach(runSequence(_, nOps = 8, vacuumMid = false))
+  }
+
+  test("same property at checkpointInterval=3 with a mid-sequence vacuum: " +
+      "delta/checkpoint boundaries and base materialization under random ops") {
+    // a dense interval makes every sequence cross several
+    // checkpoint↔delta boundaries; the mid-run vacuum expires bases
+    // under surviving deltas, exercising the materialization path,
+    // and the cache is cleared before the final replay so every
+    // historical version reconstructs cold from disk
+    val prev = sys.props.get("graft.snapshot.checkpointInterval")
+    sys.props("graft.snapshot.checkpointInterval") = "3"
+    try (11L to 13L).foreach(runSequence(_, nOps = 14, vacuumMid = true))
+    finally prev match {
+      case Some(v) => sys.props("graft.snapshot.checkpointInterval") = v
+      case None => sys.props.remove("graft.snapshot.checkpointInterval"): Unit
+    }
+  }
+
+  private def runSequence(seed: Long, nOps: Int, vacuumMid: Boolean): Unit = {
+    {
       val path = Files.createTempDirectory(s"graft-snap-model-$seed").toString + "/t"
-      val ops = sample(Gen.listOfN(8, genOp), seed).zipWithIndex
+      val ops = sample(Gen.listOfN(nOps, genOp), seed).zipWithIndex
 
       // model: id -> (partition, value); history: version -> model
       var model = Map[String, (String, Double)]()
@@ -114,9 +134,21 @@ class SnapshotModelSpec extends SparkTestBase {
         history ::= (v, model)
         assert(tableState() === model,
           s"seed=$seed after op $i ($op): table diverged from model")
+
+        // mid-sequence retention: expire old versions (possibly the
+        // replay base of a surviving delta), then keep going — later
+        // restores may only target surviving versions, and the model
+        // history drops the expired ones like a consumer would
+        if (vacuumMid && i == nOps / 2) {
+          SnapshotTable.vacuum(spark, path, keepVersions = 3)
+          val live = SnapshotTable.versions(spark, path).toSet
+          history = history.filter(h => live(h._1))
+        }
       }
 
-      // time travel: every recorded version still replays its model
+      // time travel: every SURVIVING version still replays its model,
+      // reconstructed cold (no cached manifests)
+      SnapshotTable.clearManifestCache()
       history.foreach { case (v, m) =>
         val got = SnapshotTable.read(spark, path, Some(v))
           .select("id", "k", "v").collect()
