@@ -486,8 +486,8 @@ object SnapshotTable {
     * are preserved: only the path suffix under `fromPath` is moved. */
   private[graft] def relocate(spark: SparkSession, path: String,
       fromPath: String): Unit = {
-    val from = fromPath.stripSuffix("/")
-    val to = path.stripSuffix("/")
+    val from = realPathOf(fromPath).stripSuffix("/")
+    val to = realPathOf(path).stripSuffix("/")
     def remap(p: String): String = {
       val i = p.indexOf(from + "/")
       if (i >= 0) p.take(i) + to + p.drop(i + from.length) else p
@@ -506,6 +506,13 @@ object SnapshotTable {
       val out = f.create(new Path(s"${logDir(path)}/v$v"), true)
       try out.write(manifestBytes(mapped)) finally out.close()
     }
+    // a renamed TABLE carries its branch logs along — each branch's
+    // manifests hold the same absolute paths and re-anchor the same
+    // way (the recursion passes the branch HANDLE; the remap range is
+    // the shared real table dir either way)
+    if (branchOf(path).isEmpty)
+      branches(spark, path).foreach(b =>
+        relocate(spark, branchHandle(path, b), fromPath))
   }
 
   final class ConcurrentCommitException(path: String, attempts: Int)

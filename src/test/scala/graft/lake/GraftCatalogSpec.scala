@@ -218,4 +218,31 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(!s2.sql("SHOW NAMESPACES IN graft").collect()
       .map(_.getString(0)).contains("mv"))
   }
+
+  test("rename re-anchors BRANCH logs too: branch reads and writes survive the move") {
+    import graft.lake.SnapshotTable
+    s2.sql("CREATE NAMESPACE graft.rnb")
+    s2.sql("CREATE TABLE graft.rnb.t (id BIGINT) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.rnb.t VALUES (1)")
+    val oldPath = warehouse + "/rnb/t"
+    SnapshotTable.createBranch(s2, oldPath, "dev")
+    import s2.implicits._
+    SnapshotTable.append(Seq(2L).toDF("id"),
+      SnapshotTable.branchHandle(oldPath, "dev"))
+
+    s2.sql("ALTER TABLE graft.rnb.t RENAME TO rnb.t2")
+    val newPath = warehouse + "/rnb/t2"
+    // main reads at the new home; the branch's manifests (incl. the
+    // fork base and its own commit) must have been re-anchored too —
+    // stale absolute paths would fail the read or silently read the
+    // OLD location
+    assert(SnapshotTable.read(s2, newPath).as[Long].collect().toSeq === Seq(1L))
+    val bh = SnapshotTable.branchHandle(newPath, "dev")
+    assert(SnapshotTable.read(s2, bh).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(SnapshotTable.liveFiles(s2, bh).forall(_.contains("/rnb/t2/")),
+      "branch manifest still references the pre-rename path")
+    // and the branch stays writable at the new home
+    SnapshotTable.append(Seq(3L).toDF("id"), bh)
+    assert(SnapshotTable.read(s2, bh).count() === 3L)
+  }
 }
