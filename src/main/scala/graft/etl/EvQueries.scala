@@ -1293,6 +1293,55 @@ object EvQueries {
        |FROM gold WHERE created < TIMESTAMP '2015-01-01 00:00:00'
        |ORDER BY sessionId""".stripMargin
 
+  /** STRING-column data skipping on the SQL path — the string half
+    * of ev23 (whose envelopes are numeric-only): the gold fact is
+    * clustered on `stationId` (a STRING key — no partitioning, no
+    * z-order), and a plain SQL `WHERE stationId = '...'` against the
+    * registered table scans a strict subset of the files
+    * (executed-plan numFiles); an impossible value scans ZERO files;
+    * a range predicate prunes too; the unfiltered read scans all.
+    * Bounds live in the manifest as UTF-8 byte-ordered min/max from
+    * the parquet BINARY footer stats. */
+  def stringSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-sskip-gate")
+      .toString + "/fact"
+    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    val gold = good(spark).select(col("sessionId"), col("stationId"), col("kwhTotal"))
+      .coalesce(1).persist()
+    try {
+      SnapshotTable.appendClustered(gold, path, "stationId", numFiles = 6)
+      SnapshotCatalog.register("ev25_fact", path)
+      val total = SnapshotTable.liveFiles(spark, path).size
+      def q = spark.sql(
+        "SELECT sessionId, stationId, kwhTotal FROM ev25_fact WHERE stationId = '502'")
+      val nEq = scannedFiles(q)
+      val pruned = nEq >= 1 && nEq < total
+      val rangePruned = scannedFiles(spark.sql(
+        "SELECT sessionId FROM ev25_fact WHERE stationId >= '520'")) < total
+      val emptyProbe = spark.sql(
+        "SELECT sessionId FROM ev25_fact WHERE stationId = 'zzz'")
+      val emptyScanOk = scannedFiles(emptyProbe) == 0 && emptyProbe.count() == 0
+      val fullScanOk = scannedFiles(
+        spark.sql("SELECT sessionId FROM ev25_fact")) == total
+      q.withColumn("pruned", lit(pruned))
+        .withColumn("range_pruned", lit(rangePruned))
+        .withColumn("empty_scan_ok", lit(emptyScanOk))
+        .withColumn("full_scan_ok", lit(fullScanOk))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val stringSkippingSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, stationId, kwhTotal FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, stationId, kwhTotal,
+       |  true AS pruned, true AS range_pruned,
+       |  true AS empty_scan_ok, true AS full_scan_ok
+       |FROM gold WHERE stationId = '502'
+       |ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1320,5 +1369,6 @@ object EvQueries {
     QDef("ev23_data_skipping", dataSkipping, Some(dataSkippingSql)),
     QDef("ev24_stream_hidden_partition", streamHiddenPartition,
       Some(streamHiddenPartitionSql)),
+    QDef("ev25_string_skipping", stringSkipping, Some(stringSkippingSql)),
   )
 }

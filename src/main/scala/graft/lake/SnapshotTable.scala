@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Minimal snapshot/commit-log table over parquet — the gap left by
   * emulating the reference's Iceberg sink with dynamic partition
@@ -41,7 +41,10 @@ object SnapshotTable {
 
   /** One live data file; `rows` is the footer row count (−1 when the
     * manifest predates row counting), `stats` carries (column, min,
-    * max) of each clustering column for file-level data skipping. */
+    * max) of each NUMERIC clustering column and `sstats` the same for
+    * STRING columns (min/max under unsigned UTF-8 byte order — the
+    * ordering both parquet BINARY stats and Spark's UTF8String
+    * comparisons use) for file-level data skipping. */
   /** `dv`: optional deletion vector — (dv file path, deleted-row
     * count). A file with a DV stays live; its rows at the DV's
     * recorded positions are dead. DV files are immutable (a new
@@ -49,7 +52,24 @@ object SnapshotTable {
     * version's row set remains reconstructable — time travel holds. */
   private[lake] case class Entry(commitDir: String, filePath: String,
       rows: Long = -1L, stats: Seq[(String, Double, Double)] = Nil,
-      dv: Option[(String, Long)] = None)
+      dv: Option[(String, Long)] = None,
+      sstats: Seq[(String, String, String)] = Nil)
+
+  /** Unsigned UTF-8 byte-order comparison — the shared ordering of
+    * parquet BINARY footer stats and Spark's UTF8String, so string
+    * skipping bounds compare in exactly the space both sides use. */
+  private[lake] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 
   private[lake] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(realPathOf(path)).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -212,7 +232,7 @@ object SnapshotTable {
       if (parts.length > 2 && parts(2).startsWith("rows="))
         (parts(2).stripPrefix("rows=").toLong, parts.drop(3))
       else (-1L, parts.drop(2))
-    val (dv, rest) = afterRows.headOption match {
+    val (dv, afterDv) = afterRows.headOption match {
       case Some(t) if t.startsWith("dv=") =>
         val body = t.stripPrefix("dv=")
         val sep = body.lastIndexOf('#')
@@ -220,10 +240,24 @@ object SnapshotTable {
           body.drop(sep + 1).toLong)), afterRows.drop(1))
       case _ => (None, afterRows)
     }
+    // string-stat tokens are self-tagged (`sstat=col#lo#hi`, parts
+    // URL-encoded so '#' can never occur inside), the numeric stats
+    // remain raw triples — filter by tag, then the remainder must
+    // group cleanly
+    val (sstatToks, rest) = afterDv.partition(_.startsWith("sstat="))
+    val sstats = sstatToks.toSeq.map { t =>
+      t.stripPrefix("sstat=").split("#", -1) match {
+        case Array(c, lo, hi) =>
+          (java.net.URLDecoder.decode(c, "UTF-8"),
+            java.net.URLDecoder.decode(lo, "UTF-8"),
+            java.net.URLDecoder.decode(hi, "UTF-8"))
+        case _ => throw new IllegalArgumentException(s"bad sstat token: $t")
+      }
+    }
     require(rest.length % 3 == 0, s"bad manifest line: $line")
     val stats = rest.grouped(3)
       .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
-    Entry(parts(0), parts(1), rows, stats, dv)
+    Entry(parts(0), parts(1), rows, stats, dv, sstats)
   }
 
   /** Raw parse of one version file: headers + its OWN entry lines.
@@ -455,8 +489,11 @@ object SnapshotTable {
     val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
     val dv = e.dv.map { case (p, n) =>
       s"\tdv=${java.net.URLEncoder.encode(p, "UTF-8")}#$n" }.getOrElse("")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val sstats = e.sstats.map { case (c, lo, hi) =>
+      s"\tsstat=${enc(c)}#${enc(lo)}#${enc(hi)}" }.mkString
     val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
-    s"${e.commitDir}\t${e.filePath}$rows$dv$stats"
+    s"${e.commitDir}\t${e.filePath}$rows$dv$sstats$stats"
   }
 
   /** Serialized CHECKPOINT manifest (header lines + one entry line
@@ -1097,14 +1134,16 @@ object SnapshotTable {
       .map(c => PartitionTransform.translate(c, projectable))
       .getOrElse(lit(true))
     // manifest-stats file skipping (the Delta/Iceberg data-skipping
-    // half of pruning): conservative numeric intervals from the
-    // predicate's top-level conjuncts drop files whose recorded
-    // (min, max) cannot intersect — clustered/z-ordered tables skip
-    // on a plain SQL WHERE, not only through the readBox API. Files
-    // without a stat on a constrained column stay readable.
+    // half of pruning): conservative numeric intervals AND string
+    // bounds from the predicate's top-level conjuncts drop files
+    // whose recorded (min, max) cannot intersect — clustered/
+    // z-ordered tables skip on a plain SQL WHERE, not only through
+    // the readBox API. Files without a stat on a constrained column
+    // stay readable.
     val intervals = analyzedCond.map(skipIntervals).getOrElse(Nil)
+    val sbounds = analyzedCond.map(skipStringBounds).getOrElse(Nil)
     val live =
-      if (intervals.isEmpty) m.entries
+      if (intervals.isEmpty && sbounds.isEmpty) m.entries
       else m.entries.filter { e =>
         intervals.forall { case (c, lo, hi) =>
           e.stats.find(_._1 == c) match {
@@ -1115,6 +1154,14 @@ object SnapshotTable {
             case Some((_, mn, mx)) if !mn.isNaN && !mx.isNaN =>
               mx >= lo && mn <= hi
             case _ => true
+          }
+        } &&
+        sbounds.forall { case (c, lo, hi) =>
+          e.sstats.find(_._1 == c) match {
+            case Some((_, mn, mx)) =>
+              lo.forall(l => utf8Cmp(mx, l) >= 0) &&
+                hi.forall(h => utf8Cmp(mn, h) <= 0)
+            case None => true
           }
         }
       }
@@ -1235,6 +1282,70 @@ object SnapshotTable {
     raw.groupBy(_._1).map { case (c, xs) =>
       (c, xs.map(_._2).max, xs.map(_._3).min)
     }.toSeq
+  }
+
+  /** Conservative per-column STRING bounds implied by a predicate's
+    * top-level conjuncts — the string half of manifest-stats file
+    * skipping ([[skipIntervals]] covers numerics). Only bare
+    * StringType attributes compared/IN'd against foldable string
+    * literals contribute (a cast changes the comparison space and
+    * contributes nothing); bounds are inclusive even for strict
+    * comparisons (slightly less pruning, never wrong) and compare
+    * under unsigned UTF-8 byte order ([[utf8Cmp]]), the ordering both
+    * parquet BINARY footer stats and Spark string comparisons use.
+    * Each element is (column, lower, upper) with None = unbounded;
+    * conjuncts on one column apply independently (forall =
+    * intersection). */
+  private[lake] def skipStringBounds(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference if a.dataType == StringType => Some(a.name)
+      case _ => None
+    }
+    object SLit {
+      def unapply(e: Expression): Option[String] = e match {
+        case c if c.foldable && c.dataType == StringType =>
+          scala.util.Try(Option(c.eval()).map(_.toString)).toOption.flatten
+        case _ => None
+      }
+    }
+    conjuncts(cond).flatMap {
+      case EqualTo(a, SLit(v)) if attr(a).isDefined =>
+        attr(a).map(n => (n, Some(v), Some(v)))
+      case EqualTo(SLit(v), a) if attr(a).isDefined =>
+        attr(a).map(n => (n, Some(v), Some(v)))
+      case GreaterThan(a, SLit(v)) if attr(a).isDefined =>
+        attr(a).map(n => (n, Some(v), None))
+      case GreaterThanOrEqual(a, SLit(v)) if attr(a).isDefined =>
+        attr(a).map(n => (n, Some(v), None))
+      case LessThan(a, SLit(v)) if attr(a).isDefined =>
+        attr(a).map(n => (n, None, Some(v)))
+      case LessThanOrEqual(a, SLit(v)) if attr(a).isDefined =>
+        attr(a).map(n => (n, None, Some(v)))
+      // literal-on-the-left comparisons flip the direction
+      case GreaterThan(SLit(v), a) if attr(a).isDefined =>
+        attr(a).map(n => (n, None, Some(v)))
+      case GreaterThanOrEqual(SLit(v), a) if attr(a).isDefined =>
+        attr(a).map(n => (n, None, Some(v)))
+      case LessThan(SLit(v), a) if attr(a).isDefined =>
+        attr(a).map(n => (n, Some(v), None))
+      case LessThanOrEqual(SLit(v), a) if attr(a).isDefined =>
+        attr(a).map(n => (n, Some(v), None))
+      case In(a, ls) if attr(a).isDefined && ls.nonEmpty =>
+        val vs = ls.map(SLit.unapply)
+        if (vs.exists(_.isEmpty)) None
+        else {
+          val sorted = vs.flatten.sortWith(utf8Cmp(_, _) < 0)
+          attr(a).map(n => (n, Some(sorted.head), Some(sorted.last)))
+        }
+      case _ => None
+    }
   }
 
   // ---- CHECK constraints -------------------------------------------
@@ -1419,28 +1530,71 @@ object SnapshotTable {
         if (ranges.isEmpty) None
         else Some((column, ranges.map(_._1).min, ranges.map(_._2).max))
       }
-      Entry(commitDir, file, rows, stats)
+      // STRING columns: parquet BINARY min/max, kept only when the
+      // bytes round-trip UTF-8 exactly (a true-binary column whose
+      // bytes aren't valid UTF-8 would corrupt the ordering through
+      // the string codec — such columns just record no bound). Block
+      // ranges merge under the same unsigned byte order the footer
+      // wrote them in.
+      val sstats = statsCols.flatMap { column =>
+        val ranges = for {
+          block <- blocks
+          cc <- block.getColumns.asScala
+          if cc.getPath.toDotString == column
+          s = cc.getStatistics
+          if s != null && !s.isEmpty
+          r <- s match {
+            case b: BinaryStatistics
+                if b.genericGetMin != null && b.genericGetMax != null =>
+              val (mnB, mxB) = (b.genericGetMin.getBytes, b.genericGetMax.getBytes)
+              val mn = new String(mnB, java.nio.charset.StandardCharsets.UTF_8)
+              val mx = new String(mxB, java.nio.charset.StandardCharsets.UTF_8)
+              if (java.util.Arrays.equals(
+                  mn.getBytes(java.nio.charset.StandardCharsets.UTF_8), mnB) &&
+                java.util.Arrays.equals(
+                  mx.getBytes(java.nio.charset.StandardCharsets.UTF_8), mxB))
+                Some((mn, mx))
+              else None
+            case _ => None
+          }
+        } yield r
+        if (ranges.isEmpty) None
+        else Some((column,
+          ranges.map(_._1).min(Ordering.comparatorToOrdering(
+            (a: String, b: String) => utf8Cmp(a, b))),
+          ranges.map(_._2).max(Ordering.comparatorToOrdering(
+            (a: String, b: String) => utf8Cmp(a, b)))))
+      }
+      Entry(commitDir, file, rows, stats, sstats = sstats)
     } finally reader.close()
   }
 
-  /** Hive partition values are constant over a file, so each NUMERIC
-    * partition value in the file's path is a free (v, v) manifest stat
-    * — [[readBox]] then prunes partitions from the manifest exactly
-    * like any clustered dimension. Non-numeric and
-    * `__HIVE_DEFAULT_PARTITION__` (NULL) values contribute no stat and
-    * stay conservatively readable. */
+  /** Hive partition values are constant over a file, so each
+    * partition value in the file's path is a free (v, v) manifest
+    * stat — numeric values as numeric intervals ([[readBox]] and
+    * [[readWhere]] prune them like any clustered dimension), other
+    * values as string bounds. `__HIVE_DEFAULT_PARTITION__` (NULL)
+    * contributes nothing and stays conservatively readable. */
   private def withPartitionStats(e: Entry): Entry = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val fromPath = e.filePath.stripPrefix(e.commitDir).split("/")
+    val kvs = e.filePath.stripPrefix(e.commitDir).split("/")
       .filter(seg => seg.nonEmpty && seg.contains("=")).toSeq
-      .flatMap { seg =>
-        val k = ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '='))
-        val v = ExternalCatalogUtils.unescapePathName(seg.dropWhile(_ != '=').drop(1))
-        v.toDoubleOption.collect {
-          case d if !e.stats.exists(_._1 == k) => (k, d, d)
-        }
+      .map { seg =>
+        (ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '=')),
+          ExternalCatalogUtils.unescapePathName(seg.dropWhile(_ != '=').drop(1)))
       }
-    if (fromPath.isEmpty) e else e.copy(stats = e.stats ++ fromPath)
+      .filter(_._2 != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+    val num = kvs.flatMap { case (k, v) =>
+      v.toDoubleOption.collect {
+        case d if !e.stats.exists(_._1 == k) => (k, d, d)
+      }
+    }
+    val str = kvs.collect {
+      case (k, v) if v.toDoubleOption.isEmpty && !e.sstats.exists(_._1 == k) =>
+        (k, v, v)
+    }
+    if (num.isEmpty && str.isEmpty) e
+    else e.copy(stats = e.stats ++ num, sstats = e.sstats ++ str)
   }
 
   /** Live data-file paths at `version` (default latest) — the Delta
@@ -2189,27 +2343,44 @@ object SnapshotTable {
     val entries = readManifest(spark, path, base)
 
     // files prunable via stats: those carrying min/max for EVERY key
-    // column (others must be rewritten unconditionally)
+    // column (others must be rewritten unconditionally). Numeric keys
+    // compare against numeric footer intervals; STRING keys against
+    // the UTF-8 byte-ordered string bounds — Spark's own StringType
+    // comparison IS unsigned byte order, so the range join below is
+    // sound for both without any casting tricks.
     val statCols = keyCols.filter(c => entries.exists(_.stats.exists(_._1 == c)))
+    val sStatCols = keyCols.filterNot(statCols.contains)
+      .filter(c => entries.exists(_.sstats.exists(_._1 == c)))
     val (prunable, unprunable) = entries.partition(e =>
-      statCols.nonEmpty && statCols.forall(c => e.stats.exists(_._1 == c)))
+      (statCols.nonEmpty || sStatCols.nonEmpty) &&
+        statCols.forall(c => e.stats.exists(_._1 == c)) &&
+        sStatCols.forall(c => e.sstats.exists(_._1 == c)))
     val hit: Set[String] =
       if (prunable.isEmpty) Set.empty
       else {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
         val schema = StructType(StructField("_file", StringType) +:
-          statCols.flatMap(c => Seq(
-            StructField(s"_mn_$c", DoubleType), StructField(s"_mx_$c", DoubleType))))
+          (statCols.flatMap(c => Seq(
+            StructField(s"_mn_$c", DoubleType), StructField(s"_mx_$c", DoubleType))) ++
+            sStatCols.flatMap(c => Seq(
+              StructField(s"_smn_$c", StringType), StructField(s"_smx_$c", StringType)))))
         val ranges = spark.createDataFrame(
-          prunable.map(e => Row.fromSeq(e.filePath +: statCols.flatMap { c =>
-            val (_, mn, mx) = e.stats.find(_._1 == c).get
-            Seq(mn, mx)
-          })).asJava, schema)
+          prunable.map(e => Row.fromSeq(e.filePath +:
+            (statCols.flatMap { c =>
+              val (_, mn, mx) = e.stats.find(_._1 == c).get
+              Seq(mn, mx)
+            } ++ sStatCols.flatMap { c =>
+              val (_, mn, mx) = e.sstats.find(_._1 == c).get
+              Seq(mn, mx)
+            }))).asJava, schema)
         val srcKeys = source
-          .select(statCols.map(c => col(c).cast("double").as(c)): _*).distinct()
-        val inRange = statCols
-          .map(c => col(c) >= col(s"_mn_$c") && col(c) <= col(s"_mx_$c"))
+          .select(statCols.map(c => col(c).cast("double").as(c)) ++
+            sStatCols.map(c => col(c).cast("string").as(c)): _*).distinct()
+        val inRange = (statCols
+          .map(c => col(c) >= col(s"_mn_$c") && col(c) <= col(s"_mx_$c")) ++
+          sStatCols
+            .map(c => col(c) >= col(s"_smn_$c") && col(c) <= col(s"_smx_$c")))
           .reduce(_ && _)
         srcKeys.join(broadcast(ranges), inRange)
           .select("_file").distinct().collect().map(_.getString(0)).toSet
@@ -2237,8 +2408,10 @@ object SnapshotTable {
       }
 
     // keep pruning effective across merges: re-record stats for every
-    // column any live file tracks, plus the merge keys themselves
-    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++ keyCols).distinct
+    // column any live file tracks (numeric or string), plus the merge
+    // keys themselves
+    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
+      entries.flatMap(_.sstats.map(_._1)) ++ keyCols).distinct
     val partCols =
       if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
     val baseState = guardState(entries)
@@ -2295,7 +2468,8 @@ object SnapshotTable {
     val touchedDf = aliased(readGroups(spark, rewrite, schemaOf(spark, path, Some(base))))
     // keep rows where the predicate is FALSE or NULL
     val survivors = touchedDf.filter(!coalesce(predicate, lit(false)))
-    val statsOut = entries.flatMap(_.stats.map(_._1)).distinct
+    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
+      entries.flatMap(_.sstats.map(_._1))).distinct
     val partCols =
       if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
     val rewriteSet = rewrite.map(_.filePath).toSet
@@ -2439,7 +2613,8 @@ object SnapshotTable {
         case None         => col(f.name)
       }
     }.toSeq: _*)
-    val statsOut = entries.flatMap(_.stats.map(_._1)).distinct
+    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
+      entries.flatMap(_.sstats.map(_._1))).distinct
     val partCols =
       if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
     val rewriteSet = rewrite.map(_.filePath).toSet
@@ -2497,7 +2672,8 @@ object SnapshotTable {
       }
     // keep every tracked stats column effective on the rewritten files
     val statsOut =
-      (entries.flatMap(_.stats.map(_._1)) ++ clusterCol ++ zorderCols).distinct
+      (entries.flatMap(_.stats.map(_._1)) ++
+        entries.flatMap(_.sstats.map(_._1)) ++ clusterCol ++ zorderCols).distinct
     val baseState = guardState(entries)
     commit(shaped, path, partCols, prev => {
       require(guardState(prev) == baseState,

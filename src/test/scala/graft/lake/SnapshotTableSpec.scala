@@ -284,6 +284,101 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(iv(col("x").cast("int") === lit(5)).isEmpty) // long→int wraps
   }
 
+  test("skipStringBounds: conservative string envelopes; casts and non-strings contribute nothing") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, "a")).toDF("x", "v", "s")
+    def condOf(c: org.apache.spark.sql.Column) =
+      df.filter(c).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.get
+    def sb(c: org.apache.spark.sql.Column)
+        : Map[String, (Option[String], Option[String])] =
+      SnapshotTable.skipStringBounds(condOf(c))
+        .map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap
+
+    assert(sb(col("s") === "q")("s") === ((Some("q"), Some("q"))))
+    assert(sb(col("s") >= "b" && col("s") < "m")("s") === ((Some("b"), None)) ||
+      SnapshotTable.skipStringBounds(condOf(col("s") >= "b" && col("s") < "m"))
+        .toSet === Set(("s", Some("b"), None), ("s", None, Some("m"))))
+    assert(sb(lit("k") <= col("s"))("s") === ((Some("k"), None)))
+    assert(sb(col("s").isin("m", "b", "x"))("s") === ((Some("b"), Some("x"))))
+    // numeric comparisons and casts contribute nothing on the string side
+    assert(sb(col("x") === 5L).isEmpty)
+    assert(sb(col("x").cast("string") === "5").isEmpty)
+    // OR contributes nothing
+    assert(sb(col("s") === "a" || col("s") === "z").isEmpty)
+  }
+
+  test("string stats skip files on SQL-path reads; absent stats stay readable") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-sskip").toString + "/t"
+    val df = (0 until 800).map(i => (f"station-${i % 40}%03d", i.toLong))
+      .toDF("station", "n")
+    SnapshotTable.appendClustered(df, path, "station", numFiles = 8)
+    def scanned(d: org.apache.spark.sql.DataFrame): Int = {
+      d.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def files(p: SparkPlan): Long = p.collect {
+        case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+        case q: QueryStageExec        => files(q.plan)
+        case s: FileSourceScanExec    => s.metrics("numFiles").value
+      }.sum
+      files(d.queryExecution.executedPlan).toInt
+    }
+    val total = SnapshotTable.liveFiles(spark, path).size
+    assert(total === 8)
+    // equality on the clustered string key scans a strict subset…
+    val q = SnapshotTable.readWhere(spark, path, col("station") === "station-007")
+    assert(q.count() === 20L)
+    val nEq = scanned(q)
+    assert(nEq < total && nEq >= 1)
+    // …a range too…
+    val r = SnapshotTable.readWhere(spark, path,
+      col("station") >= "station-030" && col("station") <= "station-033")
+    assert(r.count() === 80L)
+    assert(scanned(r) < total)
+    // …IN prunes by its min/max envelope…
+    assert(scanned(SnapshotTable.readWhere(spark, path,
+      col("station").isin("station-001", "station-002"))) < total)
+    // …an impossible value reads ZERO files but keeps the schema…
+    val none = SnapshotTable.readWhere(spark, path, col("station") === "zzz")
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("station", "n"))
+    // …and a predicate on an unstated column scans everything
+    assert(scanned(SnapshotTable.readWhere(spark, path, col("n") >= 0L)) === total)
+    // soundness: pruned read ≡ full filter
+    val want = SnapshotTable.read(spark, path)
+      .filter(col("station") >= "station-030" && col("station") <= "station-033")
+    assert(r.exceptAll(want).count() === 0 && want.exceptAll(r).count() === 0)
+  }
+
+  test("merge on a STRING key prunes files via string stats") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-smerge").toString + "/t"
+    val df = (0 until 800).map(i => (f"k-$i%04d", i.toLong)).toDF("sk", "n")
+    SnapshotTable.appendClustered(df, path, "sk", numFiles = 8)
+    val before = SnapshotTable.liveFiles(spark, path).toSet
+    assert(before.size === 8)
+    SnapshotTable.merge(
+      Seq(("k-0100", -1L), ("k-0101", -2L), ("k-9999", 7L)).toDF("sk", "n"),
+      path, Seq("sk"))
+    val after = SnapshotTable.liveFiles(spark, path).toSet
+    // the two updated keys sit in ONE range-clustered file; k-9999 is
+    // beyond every file's max and must rewrite nothing
+    val rewritten = (before -- after).size
+    assert(rewritten === 1, s"string-stat pruning failed: rewrote $rewritten of 8 files")
+    val got = SnapshotTable.read(spark, path)
+    assert(got.count() === 801L)
+    assert(got.filter(col("sk") === "k-0100").select("n").as[Long].head() === -1L)
+    assert(got.filter(col("sk") === "k-9999").select("n").as[Long].head() === 7L)
+    // the rewritten + inserted files re-record string stats, so a
+    // SECOND string-keyed merge still prunes
+    val before2 = SnapshotTable.liveFiles(spark, path).toSet
+    SnapshotTable.merge(Seq(("k-0500", -5L)).toDF("sk", "n"), path, Seq("sk"))
+    assert((before2 -- SnapshotTable.liveFiles(spark, path).toSet).size === 1)
+  }
+
   test("z-ordered commits prune files on BOTH clustered dimensions") {
     val path = Files.createTempDirectory("graft-snap-z").toString + "/t"
     val li = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.001")
