@@ -1512,58 +1512,61 @@ object SnapshotTable {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val stats = statsCols.flatMap { column =>
-        val ranges = for {
+      // A column's bound is recorded ONLY when EVERY row group
+      // contributes a usable range: parquet suppresses min/max on
+      // NaN-poisoned double chunks (and may omit stats per chunk), so
+      // merging only the blocks that HAVE stats would claim bounds
+      // that exclude the unstated block's rows — a file the skipper
+      // could then wrongly drop. All-or-nothing keeps skipping
+      // strictly conservative at block granularity.
+      def columnBounds[A](column: String)(
+          one: org.apache.parquet.column.statistics.Statistics[_] => Option[A])
+          : Option[Seq[A]] = {
+        val perBlock: Seq[Option[A]] = for {
           block <- blocks
-          cc <- block.getColumns.asScala
+          cc <- block.getColumns.asScala.toSeq
           if cc.getPath.toDotString == column
-          s = cc.getStatistics
-          if s != null && !s.isEmpty
-          r <- s match {
-            case l: LongStatistics   => Some((l.getMin.toDouble, l.getMax.toDouble))
-            case i: IntStatistics    => Some((i.getMin.toDouble, i.getMax.toDouble))
-            case d: DoubleStatistics => Some((d.getMin, d.getMax))
-            case f: FloatStatistics  => Some((f.getMin.toDouble, f.getMax.toDouble))
-            case _                   => None
-          }
-        } yield r
-        if (ranges.isEmpty) None
-        else Some((column, ranges.map(_._1).min, ranges.map(_._2).max))
+        } yield Option(cc.getStatistics).filterNot(_.isEmpty).flatMap(one)
+        if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+        else Some(perBlock.flatten)
+      }
+      val stats = statsCols.flatMap { column =>
+        columnBounds(column) {
+          case l: LongStatistics   => Some((l.getMin.toDouble, l.getMax.toDouble))
+          case i: IntStatistics    => Some((i.getMin.toDouble, i.getMax.toDouble))
+          case d: DoubleStatistics => Some((d.getMin, d.getMax))
+          case f: FloatStatistics  => Some((f.getMin.toDouble, f.getMax.toDouble))
+          case _                   => None
+        }.map(rs => (column, rs.map(_._1).min, rs.map(_._2).max))
       }
       // STRING columns: parquet BINARY min/max, kept only when the
       // bytes round-trip UTF-8 exactly (a true-binary column whose
       // bytes aren't valid UTF-8 would corrupt the ordering through
-      // the string codec — such columns just record no bound). Block
-      // ranges merge under the same unsigned byte order the footer
-      // wrote them in.
+      // the string codec) AND both bounds are short (statsCols on a
+      // long text column would copy document-sized strings into every
+      // manifest entry; key/id columns — the ones pruning serves —
+      // are short, and safe prefix truncation of an UPPER bound
+      // requires character surgery that isn't worth the subtlety).
+      // Unqualified columns just record no bound. Block ranges merge
+      // under the same unsigned byte order the footer wrote them in.
+      val utf8Ord = Ordering.comparatorToOrdering(
+        (a: String, b: String) => utf8Cmp(a, b))
       val sstats = statsCols.flatMap { column =>
-        val ranges = for {
-          block <- blocks
-          cc <- block.getColumns.asScala
-          if cc.getPath.toDotString == column
-          s = cc.getStatistics
-          if s != null && !s.isEmpty
-          r <- s match {
-            case b: BinaryStatistics
-                if b.genericGetMin != null && b.genericGetMax != null =>
-              val (mnB, mxB) = (b.genericGetMin.getBytes, b.genericGetMax.getBytes)
-              val mn = new String(mnB, java.nio.charset.StandardCharsets.UTF_8)
-              val mx = new String(mxB, java.nio.charset.StandardCharsets.UTF_8)
-              if (java.util.Arrays.equals(
-                  mn.getBytes(java.nio.charset.StandardCharsets.UTF_8), mnB) &&
-                java.util.Arrays.equals(
-                  mx.getBytes(java.nio.charset.StandardCharsets.UTF_8), mxB))
-                Some((mn, mx))
-              else None
-            case _ => None
-          }
-        } yield r
-        if (ranges.isEmpty) None
-        else Some((column,
-          ranges.map(_._1).min(Ordering.comparatorToOrdering(
-            (a: String, b: String) => utf8Cmp(a, b))),
-          ranges.map(_._2).max(Ordering.comparatorToOrdering(
-            (a: String, b: String) => utf8Cmp(a, b)))))
+        columnBounds(column) {
+          case b: BinaryStatistics
+              if b.genericGetMin != null && b.genericGetMax != null =>
+            val (mnB, mxB) = (b.genericGetMin.getBytes, b.genericGetMax.getBytes)
+            val mn = new String(mnB, java.nio.charset.StandardCharsets.UTF_8)
+            val mx = new String(mxB, java.nio.charset.StandardCharsets.UTF_8)
+            if (mn.length <= 64 && mx.length <= 64 &&
+              java.util.Arrays.equals(
+                mn.getBytes(java.nio.charset.StandardCharsets.UTF_8), mnB) &&
+              java.util.Arrays.equals(
+                mx.getBytes(java.nio.charset.StandardCharsets.UTF_8), mxB))
+              Some((mn, mx))
+            else None
+          case _ => None
+        }.map(rs => (column, rs.map(_._1).min(utf8Ord), rs.map(_._2).max(utf8Ord)))
       }
       Entry(commitDir, file, rows, stats, sstats = sstats)
     } finally reader.close()
