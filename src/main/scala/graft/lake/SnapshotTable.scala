@@ -224,6 +224,24 @@ object SnapshotTable {
   private[lake] def clearManifestCache(): Unit = manifestCache.synchronized {
     manifestCache.clear(); manifestCacheWeight = 0L
   }
+  /** Drop any cached parse of one version file. The (path, mtime,
+    * length) key normally self-invalidates on rewrite, but vacuum's
+    * checkpoint materialization RESTORES the original mtime — on the
+    * (unlikely) chance the checkpoint also matches the delta's byte
+    * length the stale parse would survive, so the rewrite site
+    * invalidates explicitly. */
+  private[lake] def clearManifestCacheFor(path: String, version: Long): Unit = {
+    val vp = new Path(s"${logDir(path)}/v$version").toString
+    manifestCache.synchronized {
+      val it = manifestCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == vp) {
+          manifestCacheWeight -= cacheWeight(e.getValue); it.remove()
+        }
+      }
+    }
+  }
 
   private def parseEntryLine(line: String): Entry = {
     val parts = line.split("\t", -1)
@@ -550,6 +568,12 @@ object SnapshotTable {
     if (branchOf(path).isEmpty)
       branches(spark, path).foreach(b =>
         relocate(spark, branchHandle(path, b), fromPath))
+    // the in-place rewrites above rely on (path, mtime, length) cache
+    // keys to self-invalidate; a rename to an equal-length path on a
+    // coarse-mtime filesystem could leave a stale manifest pointing at
+    // the old location — relocate is rare, so table-wide invalidation
+    // is cheap insurance
+    clearManifestCache()
   }
 
   final class ConcurrentCommitException(path: String, attempts: Int)
@@ -1011,6 +1035,10 @@ object SnapshotTable {
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
     }
+    // no manifest ever referenced the re-laid dir, so vacuum could
+    // never reclaim it — clean it up before surfacing the failure,
+    // mirroring the replay-detected path
+    layoutDir.foreach(d => fs(spark, path).delete(new Path(d), true): Unit)
     throw new ConcurrentCommitException(path, maxAttempts)
   }
 
@@ -1512,6 +1540,25 @@ object SnapshotTable {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
+      // The physical type alone is ambiguous: DECIMAL(p≤18) is
+      // INT32/INT64-backed and its footer stats are UNSCALED values,
+      // DECIMAL(p>18) is BINARY-backed and its big-endian unscaled
+      // bytes can even round-trip UTF-8 ("09" = 0x3039) — either way
+      // the recorded bound would compare against the wrong value
+      // domain and wrongly skip files. Resolve the column's LOGICAL
+      // annotation from the footer schema and gate both stats passes
+      // on it: numeric bounds only for un-annotated/int-annotated
+      // physical numerics, string bounds only for true STRING columns.
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val colAnn: Map[String, Option[LogicalTypeAnnotation]] =
+        reader.getFooter.getFileMetaData.getSchema.getColumns.asScala.map { cd =>
+          cd.getPath.mkString(".") ->
+            Option(cd.getPrimitiveType.getLogicalTypeAnnotation)
+        }.toMap
+      def isDecimal(column: String): Boolean = colAnn.get(column).flatten
+        .exists(_.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
+      def isString(column: String): Boolean = colAnn.get(column).flatten
+        .exists(_.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
       // A column's bound is recorded ONLY when EVERY row group
       // contributes a usable range: parquet suppresses min/max on
       // NaN-poisoned double chunks (and may omit stats per chunk), so
@@ -1530,7 +1577,7 @@ object SnapshotTable {
         if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
         else Some(perBlock.flatten)
       }
-      val stats = statsCols.flatMap { column =>
+      val stats = statsCols.filterNot(isDecimal).flatMap { column =>
         columnBounds(column) {
           case l: LongStatistics   => Some((l.getMin.toDouble, l.getMax.toDouble))
           case i: IntStatistics    => Some((i.getMin.toDouble, i.getMax.toDouble))
@@ -1551,7 +1598,7 @@ object SnapshotTable {
       // under the same unsigned byte order the footer wrote them in.
       val utf8Ord = Ordering.comparatorToOrdering(
         (a: String, b: String) => utf8Cmp(a, b))
-      val sstats = statsCols.flatMap { column =>
+      val sstats = statsCols.filter(isString).flatMap { column =>
         columnBounds(column) {
           case b: BinaryStatistics
               if b.genericGetMin != null && b.genericGetMax != null =>
@@ -2769,11 +2816,16 @@ object SnapshotTable {
     deadDv.foreach(p => f.delete(new Path(p), false))
     // Incremental-log invariant: a surviving DELTA manifest must not
     // lose its replay base. Any kept version whose predecessor is
-    // expiring is first rewritten in place as a full checkpoint —
-    // same logical content, now self-sufficient. Checkpoints are left
-    // untouched (rewriting would shift history()'s modtime-derived
-    // commit timestamp); for rewritten deltas the original mtime is
-    // restored for the same reason.
+    // expiring is first rewritten as a full checkpoint — same logical
+    // content, now self-sufficient. The rewrite goes through a tmp
+    // file + rename: a committed version file is never open-for-write
+    // in place, so a concurrent reader either sees the old delta
+    // (base still present until the delete below) or the complete
+    // checkpoint, never a truncated manifest — and a crash leaves the
+    // log intact. Checkpoints are left untouched (rewriting would
+    // shift history()'s modtime-derived commit timestamp); for
+    // rewritten deltas the original mtime is restored where the
+    // filesystem supports it.
     val expiredSet = expired.toSet
     kept.filter(k => expiredSet(k - 1)).foreach { k =>
       val vp = new Path(s"${logDir(path)}/v$k")
@@ -2782,9 +2834,22 @@ object SnapshotTable {
       if (content.split("\n").exists(_.startsWith("#delta="))) {
         val full = readManifestFull(spark, path, k)
         val mtime = f.getFileStatus(vp).getModificationTime
-        val out = f.create(vp, true)
+        val tmp = new Path(
+          s"${logDir(path)}/.tmp-ckpt-${java.util.UUID.randomUUID.toString.take(12)}")
+        val out = f.create(tmp, true)
         try out.write(manifestBytes(full)) finally out.close()
-        f.setTimes(vp, mtime, -1)
+        if (f.getScheme == "file")
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(vp.toUri.getPath),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        else { f.delete(vp, false); f.rename(tmp, vp) }
+        // some object-store connectors don't support setTimes; a
+        // slightly shifted history() timestamp is the lesser evil
+        try f.setTimes(vp, mtime, -1)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException => () }
+        clearManifestCacheFor(path, k)
       }
     }
     expired.foreach(v => f.delete(new Path(s"${logDir(path)}/v$v"), true))
