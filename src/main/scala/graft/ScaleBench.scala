@@ -309,13 +309,15 @@ object ScaleBench {
         // the change feed over the 256-file table's merge commit must
         // scope its IO to the rewritten file(s): 1M-row table, but the
         // feed only diffs the touched files and yields exactly the
-        // 50 updated keys as delete+insert pairs
+        // 50 updated keys as CDF update pre/post image pairs (merge
+        // records its keys in the manifest)
         val feed = graft.lake.SnapshotTable.changes(spark,
           s"${mergeScaleBase.get}/t", 1L, 2L)
         val byType = feed.groupBy("_change_type").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        require(byType.getOrElse("insert", 0L) == 50 && byType.getOrElse("delete", 0L) == 50,
-          s"expected 50/50 insert/delete in the merge feed, got $byType")
+        require(byType.getOrElse("update_postimage", 0L) == 50 &&
+            byType.getOrElse("update_preimage", 0L) == 50,
+          s"expected 50/50 update post/preimage in the merge feed, got $byType")
       },
       timed("delete_dv_vs_rewrite") {
         // the deletion-vector fast path on the SAME 256-file table:

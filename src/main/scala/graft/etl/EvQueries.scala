@@ -427,11 +427,12 @@ object EvQueries {
        |  FROM gold
        |  UNION ALL SELECT 'merged-new', 42.0
        |), feed AS (
-       |  -- v2 (merge): updated rows = delete(old) + insert(new); new row inserts
+       |  -- v2 (merge records its keys): updated rows emit CDF
+       |  -- update_preimage/update_postimage pairs; the new row inserts
        |  SELECT sessionId, -1.0 AS session_duration_minutes,
-       |    'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM upd
+       |    'update_postimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM upd
        |  UNION ALL SELECT 'merged-new', 42.0, 'insert', CAST(2 AS BIGINT)
-       |  UNION ALL SELECT g.sessionId, g.session_duration_minutes, 'delete', CAST(2 AS BIGINT)
+       |  UNION ALL SELECT g.sessionId, g.session_duration_minutes, 'update_preimage', CAST(2 AS BIGINT)
        |    FROM gold g WHERE g.sessionId IN (SELECT sessionId FROM upd)
        |  -- v3 (delete): rows over the threshold at the v2 state
        |  UNION ALL SELECT sessionId, session_duration_minutes, 'delete', CAST(3 AS BIGINT)
@@ -1342,6 +1343,158 @@ object EvQueries {
        |FROM gold WHERE stationId = '502'
        |ORDER BY sessionId""".stripMargin
 
+  /** Per-file BLOOM skipping for point lookups — the case min/max
+    * bounds can't serve: the gold fact is loaded in round-robin
+    * slices of the sessionId key (the reference's natural merge key,
+    * reference jobs/ev_sessions_gold_etl.py:139), so every file's
+    * recorded key bounds span the whole id range and range skipping
+    * keeps ALL files; the manifest's per-file blooms are what prune.
+    * Proofs (executed-plan numFiles): a point `WHERE sessionId = k`
+    * scans a strict subset; an absent in-range key scans ZERO files;
+    * a point MERGE on the key rewrites exactly the files whose bloom
+    * might hold it (strict subset); the unfiltered read scans all. */
+  def bloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-bloom-gate")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .coalesce(1).persist()
+    try {
+      SnapshotTable.create(spark, path, gold.schema)
+      SnapshotTable.setBloomColumns(spark, path, Seq("sessionId"))
+      val rows = gold.orderBy("sessionId").collect()
+      val nFiles = 6
+      (0 until nFiles).foreach { g =>
+        val slice = rows.zipWithIndex.collect { case (r, i) if i % nFiles == g =>
+          (r.getString(0), r.getDouble(1)) }.toSeq
+        SnapshotTable.merge(slice.toDF("sessionId", "kwhTotal").coalesce(1),
+          path, Seq("sessionId"))
+      }
+      val total = SnapshotTable.liveFiles(spark, path).size
+      // the (n+1)/2-th smallest id — mid-range, inside every slice's
+      // bounds by the round-robin construction (same row the oracle
+      // SQL selects by row_number)
+      val ids = rows.map(_.getString(0))
+      val probe = ids((ids.length + 1) / 2 - 1)
+      val v = SnapshotTable.latestVersion(spark, path).get
+      val entries = SnapshotTable.readManifest(spark, path, v).filter(_.rows > 0)
+      val boundsKeepAll = entries.forall(_.sstats.find(_._1 == "sessionId")
+        .exists { case (_, mn, mx) => mn <= probe && probe <= mx })
+      def q = SnapshotTable.readWhere(spark, path, col("sessionId") === probe)
+      val nPoint = scannedFiles(q)
+      val pointPruned = boundsKeepAll && nPoint >= 1 && nPoint < total
+      val absent = probe + "x" // lexically in-range, never a real id
+      val qAbs = SnapshotTable.readWhere(spark, path, col("sessionId") === absent)
+      val absentZero = qAbs.count() == 0 && scannedFiles(qAbs) == 0
+      val fullScanOk = scannedFiles(SnapshotTable.readWhere(spark, path,
+        lit(true))) == total
+      // point MERGE: only the bloom-hit file is rewritten. The upsert
+      // re-writes the ORIGINAL value (the gate's output frame is
+      // evaluated lazily against the post-merge table, and the oracle
+      // expects the fixture's kwhTotal) — pruning is keyed on the
+      // match, not the value, so the numFiles proof is unaffected.
+      val kwh = q.select("kwhTotal").as[Double].head()
+      val before = SnapshotTable.liveFiles(spark, path).toSet
+      SnapshotTable.merge(Seq((probe, kwh)).toDF("sessionId", "kwhTotal")
+        .coalesce(1), path, Seq("sessionId"))
+      val after = SnapshotTable.liveFiles(spark, path).toSet
+      val mergePruned = (before -- after).size < total &&
+        (before -- after).nonEmpty
+      // the fixture intentionally repeats sessionId 2000 (the
+      // uniqueness DQ metric's fodder) — the slice merges upsert the
+      // second copy, so the table correctly holds DISTINCT keys
+      val mergeLanded = SnapshotTable.readWhere(spark, path,
+        col("sessionId") === probe).select("kwhTotal").as[Double]
+        .collect().toSeq == Seq(kwh) &&
+        SnapshotTable.read(spark, path).count() == ids.distinct.length
+      q.withColumn("point_pruned", lit(pointPruned))
+        .withColumn("absent_zero", lit(absentZero))
+        .withColumn("full_scan_ok", lit(fullScanOk))
+        .withColumn("merge_pruned", lit(mergePruned))
+        .withColumn("merge_landed", lit(mergeLanded))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val bloomSkippingSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad
+       |),
+       |ranked AS (
+       |  SELECT sessionId, kwhTotal,
+       |    row_number() OVER (ORDER BY sessionId) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM gold
+       |)
+       |SELECT sessionId, kwhTotal,
+       |  true AS point_pruned, true AS absent_zero, true AS full_scan_ok,
+       |  true AS merge_pruned, true AS merge_landed
+       |FROM ranked WHERE rn = (n + 1) // 2
+       |ORDER BY sessionId""".stripMargin
+
+  /** CDF update pre/post images: a MERGE records its key columns in
+    * the manifest (`#opKeys`), so the change feed pairs the same-key
+    * delete+insert INSIDE that commit into
+    * `update_preimage`/`update_postimage` (Delta CDF schema) — while
+    * a genuine delete-then-insert of the same key across TWO commits
+    * keeps the plain 'delete' and 'insert' tags. One table, three
+    * histories in one feed: v2 merge-updates the two smallest ids
+    * (→ images), v3 deletes the third (→ delete), v4 re-inserts the
+    * third with a new value (→ insert) — consumers can tell an
+    * update from a coincidental remove+add. */
+  def cdcUpdateImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc-upd")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .coalesce(1).persist()
+    try {
+      SnapshotTable.append(gold, path)                                 // v1
+      val ids = gold.select("sessionId").as[String].collect().sorted
+      val upd = gold.orderBy("sessionId").limit(2)
+        .select(col("sessionId"),
+          round(col("kwhTotal") + 100.0, 2).as("kwhTotal"))
+      SnapshotTable.merge(upd, path, Seq("sessionId"))                 // v2
+      SnapshotTable.delete(spark, path, col("sessionId") === ids(2))   // v3
+      SnapshotTable.append(Seq((ids(2), -5.0))
+        .toDF("sessionId", "kwhTotal"), path)                          // v4
+      SnapshotTable.changes(spark, path, 1L, 4L)
+        .select(col("sessionId"), round(col("kwhTotal"), 2).as("kwhTotal"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val cdcUpdateImagesSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad
+       |),
+       |ranked AS (
+       |  SELECT sessionId, kwhTotal,
+       |    dense_rank() OVER (ORDER BY sessionId) AS rk
+       |  FROM gold
+       |),
+       |feed AS (
+       |  -- v2 (merge, keys recorded): the two updated ids emit CDF images
+       |  SELECT sessionId, round(kwhTotal + 100.0, 2) AS kwhTotal,
+       |    'update_postimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+       |  FROM ranked WHERE rk <= 2
+       |  UNION ALL SELECT sessionId, round(kwhTotal, 2), 'update_preimage', CAST(2 AS BIGINT)
+       |  FROM ranked WHERE rk <= 2
+       |  -- v3: a plain delete stays a delete
+       |  UNION ALL SELECT sessionId, round(kwhTotal, 2), 'delete', CAST(3 AS BIGINT)
+       |  FROM ranked WHERE rk = 3
+       |  -- v4: re-inserting the same key in a LATER commit stays an insert
+       |  UNION ALL SELECT sessionId, -5.0, 'insert', CAST(4 AS BIGINT)
+       |  FROM ranked WHERE rk = 3
+       |)
+       |SELECT sessionId, kwhTotal, _change_type, _commit_version
+       |FROM feed ORDER BY _commit_version, _change_type, sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1370,5 +1523,7 @@ object EvQueries {
     QDef("ev24_stream_hidden_partition", streamHiddenPartition,
       Some(streamHiddenPartitionSql)),
     QDef("ev25_string_skipping", stringSkipping, Some(stringSkippingSql)),
+    QDef("ev26_bloom_skipping", bloomSkipping, Some(bloomSkippingSql)),
+    QDef("ev27_cdc_update_images", cdcUpdateImages, Some(cdcUpdateImagesSql)),
   )
 }

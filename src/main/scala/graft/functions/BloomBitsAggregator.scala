@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-group bloom-filter build over pre-hashed 64-bit items — the
+  * manifest-stats companion to min/max bounds: grouped by
+  * `input_file_name()` at commit time it yields one size-budgeted
+  * bloom per data file, which the snapshot manifest records for
+  * point-lookup file skipping (`WHERE key = x`, point MERGE) where
+  * min/max bounds prune nothing on high-cardinality/unclustered keys.
+  *
+  * Items are `xxhash64(column)` values computed by Spark's codegen'd
+  * hash expression on the executors; the driver probes the same space
+  * via `XXH64.hashLong`/`hashUTF8String` (identical seed 42), so
+  * build and probe agree bit-for-bit without shipping raw values.
+  * The buffer is Spark's own `org.apache.spark.util.sketch
+  * .BloomFilter` (Serializable — the same class broadcast joins
+  * ship); only partial-aggregation exchanges pay its serialization,
+  * the per-row `reduce` is two bit-sets on a live object. NULL items
+  * are skipped: a bloom never contains NULL, and `IS NULL` pruning is
+  * the null-count stats' job, not this one's.
+  */
+class BloomBitsAggregator(expectedItems: Long, numBits: Long)
+    extends Aggregator[java.lang.Long, BloomFilter, Array[Byte]] {
+
+  override def zero: BloomFilter =
+    BloomFilter.create(math.max(1L, expectedItems), math.max(64L, numBits))
+
+  override def reduce(b: BloomFilter, x: java.lang.Long): BloomFilter = {
+    if (x != null) b.putLong(x.longValue())
+    b
+  }
+
+  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+    a.mergeInPlace(b)
+
+  override def finish(b: BloomFilter): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    b.writeTo(o)
+    o.toByteArray
+  }
+
+  override def bufferEncoder: Encoder[BloomFilter] =
+    Encoders.javaSerialization[BloomFilter]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}

@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
+  ShortType, StringType, StructField, StructType}
 
 /** Minimal snapshot/commit-log table over parquet — the gap left by
   * emulating the reference's Iceberg sink with dynamic partition
@@ -50,10 +51,19 @@ object SnapshotTable {
     * recorded positions are dead. DV files are immutable (a new
     * delete writes a merged REPLACEMENT dv file), so every earlier
     * version's row set remains reconstructable — time travel holds. */
+  /** `blooms`: optional per-file bloom filters — (column, base64 of
+    * Spark's BloomFilter stream format) over `xxhash64(column)`
+    * items, for point-lookup skipping where min/max bounds prune
+    * nothing (high-cardinality unclustered keys). Opt-in per column
+    * via [[setBloomColumns]]; size-budgeted per file. With the
+    * incremental delta log a commit pays bloom bytes only for the
+    * files it TOUCHED, so manifest growth is O(files touched), not
+    * O(live files), per commit. */
   private[lake] case class Entry(commitDir: String, filePath: String,
       rows: Long = -1L, stats: Seq[(String, Double, Double)] = Nil,
       dv: Option[(String, Long)] = None,
-      sstats: Seq[(String, String, String)] = Nil)
+      sstats: Seq[(String, String, String)] = Nil,
+      blooms: Seq[(String, String)] = Nil)
 
   /** Unsigned UTF-8 byte-order comparison — the shared ordering of
     * parquet BINARY footer stats and Spark's UTF8String, so string
@@ -136,7 +146,9 @@ object SnapshotTable {
       op: Option[String], constraints: Map[String, String] = Map.empty,
       transforms: Seq[PartitionTransform] = Nil,
       retiredTransforms: Seq[PartitionTransform] = Nil,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      bloomCols: Seq[String] = Nil,
+      opKeys: Seq[String] = Nil)
 
   // `#constraints=` header codec: URL-encode every name/expr token so
   // no raw tab can appear, then tab-join (name, expr) pairs flat. Self
@@ -202,7 +214,11 @@ object SnapshotTable {
   private val manifestCache =
     new java.util.LinkedHashMap[(String, Long, Long), Manifest](64, 0.75f, true)
   private var manifestCacheWeight = 0L
-  private def cacheWeight(m: Manifest): Long = math.max(1L, m.entries.size.toLong)
+  // a bloom-carrying entry weighs its payload, not 1 — without this a
+  // few hundred 64 KiB blooms would evade the entry-count bound
+  private def cacheWeight(m: Manifest): Long = math.max(1L,
+    m.entries.size.toLong +
+      m.entries.iterator.map(_.blooms.iterator.map(_._2.length.toLong).sum).sum / 256)
   private def cacheGet(k: (String, Long, Long)): Option[Manifest] =
     manifestCache.synchronized(Option(manifestCache.get(k)))
   private def cachePut(k: (String, Long, Long), m: Manifest): Unit =
@@ -262,7 +278,15 @@ object SnapshotTable {
     // URL-encoded so '#' can never occur inside), the numeric stats
     // remain raw triples — filter by tag, then the remainder must
     // group cleanly
-    val (sstatToks, rest) = afterDv.partition(_.startsWith("sstat="))
+    val (bloomToks, afterBloom) = afterDv.partition(_.startsWith("bloom="))
+    val blooms = bloomToks.toSeq.map { t =>
+      t.stripPrefix("bloom=").split("#", -1) match {
+        case Array(c, payload) =>
+          (java.net.URLDecoder.decode(c, "UTF-8"), payload)
+        case _ => throw new IllegalArgumentException(s"bad bloom token: $t")
+      }
+    }
+    val (sstatToks, rest) = afterBloom.partition(_.startsWith("sstat="))
     val sstats = sstatToks.toSeq.map { t =>
       t.stripPrefix("sstat=").split("#", -1) match {
         case Array(c, lo, hi) =>
@@ -275,7 +299,7 @@ object SnapshotTable {
     require(rest.length % 3 == 0, s"bad manifest line: $line")
     val stats = rest.grouped(3)
       .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
-    Entry(parts(0), parts(1), rows, stats, dv, sstats)
+    Entry(parts(0), parts(1), rows, stats, dv, sstats, blooms)
   }
 
   /** Raw parse of one version file: headers + its OWN entry lines.
@@ -300,6 +324,14 @@ object SnapshotTable {
     val txns = lines.find(_.startsWith("#txns="))
       .map(l => decodeTxns(l.stripPrefix("#txns=")))
       .getOrElse(Map.empty[String, Long])
+    val bloomCols = lines.find(_.startsWith("#bloomCols="))
+      .map(_.stripPrefix("#bloomCols=").split(",").toSeq
+        .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")))
+      .getOrElse(Nil)
+    val opKeys = lines.find(_.startsWith("#opKeys="))
+      .map(_.stripPrefix("#opKeys=").split(",").toSeq
+        .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")))
+      .getOrElse(Nil)
     val deltaBase = lines.find(_.startsWith("#delta="))
       .map(_.stripPrefix("#delta=").toLong)
     val adds = Seq.newBuilder[Entry]
@@ -309,8 +341,8 @@ object SnapshotTable {
       else if (line.startsWith("-\t")) removes += parseEntryLine(line.drop(2))
       else adds += parseEntryLine(line)
     }
-    (Manifest(schema, adds.result(), op, constraints, transforms, retired, txns),
-      deltaBase, removes.result())
+    (Manifest(schema, adds.result(), op, constraints, transforms, retired, txns,
+      bloomCols, opKeys), deltaBase, removes.result())
   }
 
   /** Multiset a − b over full Entry equality (a file whose DV or
@@ -423,7 +455,9 @@ object SnapshotTable {
       constraints: Map[String, String] = Map.empty,
       transforms: Seq[PartitionTransform] = Nil,
       retiredTransforms: Seq[PartitionTransform] = Nil,
-      txns: Map[String, Long] = Map.empty): Boolean = {
+      txns: Map[String, Long] = Map.empty,
+      bloomCols: Seq[String] = Nil,
+      opKeys: Seq[String] = Nil): Boolean = {
     val f = fs(spark, path)
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
     val atomicScheme = !nonAtomicSchemes.contains(scheme) && !forceNonAtomic
@@ -437,7 +471,7 @@ object SnapshotTable {
         "single writer and set -Dgraft.snapshot.allowNonAtomicPublish=true.")
     f.mkdirs(new Path(logDir(path)))
     val m = Manifest(schema, entries, op, constraints, transforms,
-      retiredTransforms, txns)
+      retiredTransforms, txns, bloomCols, opKeys)
     val fullBytes = manifestBytes(m)
     // Incremental log: publish a DELTA against v−1 when one exists
     // and is smaller — commit IO proportional to files touched, not
@@ -501,7 +535,13 @@ object SnapshotTable {
         s"#ptransforms=${PartitionTransform.encode(m.transforms)}\n" else "") +
       (if (m.retiredTransforms.nonEmpty)
         s"#ptransformsRetired=${PartitionTransform.encode(m.retiredTransforms)}\n" else "") +
-      (if (m.txns.nonEmpty) s"#txns=${encodeTxns(m.txns)}\n" else "")
+      (if (m.txns.nonEmpty) s"#txns=${encodeTxns(m.txns)}\n" else "") +
+      (if (m.bloomCols.nonEmpty)
+        s"#bloomCols=${m.bloomCols.map(java.net.URLEncoder.encode(_, "UTF-8"))
+          .mkString(",")}\n" else "") +
+      (if (m.opKeys.nonEmpty)
+        s"#opKeys=${m.opKeys.map(java.net.URLEncoder.encode(_, "UTF-8"))
+          .mkString(",")}\n" else "")
 
   private def entryLine(e: Entry): String = {
     val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
@@ -510,8 +550,11 @@ object SnapshotTable {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val sstats = e.sstats.map { case (c, lo, hi) =>
       s"\tsstat=${enc(c)}#${enc(lo)}#${enc(hi)}" }.mkString
+    // base64 never contains '#' or tab, so the 2-part split is safe
+    val blooms = e.blooms.map { case (c, payload) =>
+      s"\tbloom=${enc(c)}#$payload" }.mkString
     val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
-    s"${e.commitDir}\t${e.filePath}$rows$dv$sstats$stats"
+    s"${e.commitDir}\t${e.filePath}$rows$dv$blooms$sstats$stats"
   }
 
   /** Serialized CHECKPOINT manifest (header lines + one entry line
@@ -639,7 +682,8 @@ object SnapshotTable {
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
       carryOver: Seq[Entry] => Seq[Entry], maxAttempts: Int = 20,
       statsCols: Seq[String] = Nil, op: String = "append",
-      newTransforms: Seq[PartitionTransform] = Nil): Long = {
+      newTransforms: Seq[PartitionTransform] = Nil,
+      opKeys: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val commitDir =
       s"${realPathOf(path)}/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
@@ -694,22 +738,25 @@ object SnapshotTable {
     val guarded = withConstraintGuard(data, guardedCs)
     val w = guarded.write.mode("errorifexists").option("compression", "zstd")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(commitDir)
-    val added: Seq[Entry] = commitEntries(spark, commitDir, statsCols)
+    val added: Seq[Entry] = withBlooms(spark,
+      commitEntries(spark, commitDir, statsCols),
+      prevMeta.map(_.bloomCols).getOrElse(Nil))
     var attempt = 0
     while (attempt < maxAttempts) {
       // linearized log: the commit targets latest+1 and bases its
       // carryOver on exactly the latest manifest; if another writer
       // publishes first, the CAS fails and we re-read their manifest
       val version = latestVersion(spark, path).getOrElse(0L) + 1
-      val (prevSchema, previous, prevCs, prevTs, prevRetired, prevTxns) =
+      val (prevSchema, previous, prevCs, prevTs, prevRetired, prevTxns,
+          prevBloomCols) =
         if (version == 1L)
           (None, Nil, Map.empty[String, String],
             Seq.empty[PartitionTransform], Seq.empty[PartitionTransform],
-            Map.empty[String, Long])
+            Map.empty[String, Long], Seq.empty[String])
         else {
           val m = readManifestFull(spark, path, version - 1)
           (m.schema, m.entries, m.constraints, m.transforms, m.retiredTransforms,
-            m.txns)
+            m.txns, m.bloomCols)
         }
       // the partition spec may have CHANGED between our pre-write read
       // and this attempt (a concurrent evolvePartitionTransforms or
@@ -746,7 +793,8 @@ object SnapshotTable {
       // and fails loudly before any manifest is published
       val merged = mergeSchemas(prevSchema, data.schema, path)
       if (publishManifest(spark, path, version, carryOver(previous) ++ added,
-          Some(merged), Some(op), prevCs, tsOut, retiredOut, prevTxns))
+          Some(merged), Some(op), prevCs, tsOut, retiredOut, prevTxns,
+          prevBloomCols, opKeys))
         return version
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
@@ -963,6 +1011,7 @@ object SnapshotTable {
     // writer's flat schema
     var layoutSchema: StructType = writeSchema
     var validatedCs: Set[String] = Set.empty
+    var bloomed = false
     var attempt = 0
     while (attempt < maxAttempts) {
       val version = latestVersion(spark, path).getOrElse(0L) + 1
@@ -1002,6 +1051,7 @@ object SnapshotTable {
         data.write.mode("errorifexists").option("compression", "zstd")
           .partitionBy(prev.transforms.map(_.pcol): _*).parquet(dir)
         added = commitEntries(spark, dir, Nil)
+        bloomed = false // re-laid files need their blooms rebuilt
         layoutSpecs = prev.transforms.map(_.spec)
         layoutDir = Some(dir)
         layoutSchema = data.schema
@@ -1020,10 +1070,15 @@ object SnapshotTable {
         }
         validatedCs = validatedCs ++ toCheck.keySet
       }
+      if (!bloomed && prev.bloomCols.nonEmpty && added.nonEmpty) {
+        added = withBlooms(spark, added, prev.bloomCols)
+        bloomed = true
+      }
       val merged = mergeSchemas(prev.schema, layoutSchema, path)
       if (publishManifest(spark, path, version, prev.entries ++ added,
           Some(merged), Some("streamAppend"), prev.constraints, prev.transforms,
-          prev.retiredTransforms, mergeTxns(prev.txns, Map(txnAppId -> txnVersion)))) {
+          prev.retiredTransforms, mergeTxns(prev.txns, Map(txnAppId -> txnVersion)),
+          prev.bloomCols)) {
         // the re-laid dir is what the manifest references now — the
         // epoch's original flat files are superseded
         if (layoutDir.isDefined)
@@ -1170,9 +1225,23 @@ object SnapshotTable {
     // stay readable.
     val intervals = analyzedCond.map(skipIntervals).getOrElse(Nil)
     val sbounds = analyzedCond.map(skipStringBounds).getOrElse(Nil)
+    // bloom probes only make sense when some live file carries a
+    // bloom on a point-constrained column — compute hashes lazily
+    val pointKeys =
+      if (m.entries.exists(_.blooms.nonEmpty))
+        analyzedCond.map(skipPointHashes).getOrElse(Nil)
+      else Nil
     val live =
-      if (intervals.isEmpty && sbounds.isEmpty) m.entries
+      if (intervals.isEmpty && sbounds.isEmpty && pointKeys.isEmpty) m.entries
       else m.entries.filter { e =>
+        pointKeys.forall { case (c, hs) =>
+          e.blooms.find(_._1 == c) match {
+            case Some((_, payload)) =>
+              val bf = decodeBloom(payload)
+              hs.exists(bf.mightContainLong)
+            case None => true
+          }
+        } &&
         intervals.forall { case (c, lo, hi) =>
           e.stats.find(_._1 == c) match {
             // NaN-poisoned footer stats (a double/float file containing
@@ -1479,7 +1548,7 @@ object SnapshotTable {
       // Delta's restore keeps SetTransaction identities the same way
       if (publishManifest(spark, path, base + 1, m.entries, m.schema,
           Some(op), m.constraints, m.transforms, m.retiredTransforms,
-          mergeTxns(cur.txns, m.txns)))
+          mergeTxns(cur.txns, m.txns), m.bloomCols))
         return base + 1
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
@@ -1645,6 +1714,193 @@ object SnapshotTable {
     }
     if (num.isEmpty && str.isEmpty) e
     else e.copy(stats = e.stats ++ num, sstats = e.sstats ++ str)
+  }
+
+  // ---- per-file bloom filters --------------------------------------
+  // Point-lookup data skipping for high-cardinality keys: min/max
+  // bounds prune NOTHING when every file's range spans the key space
+  // (a uniformly distributed natural key like the reference's
+  // sessionId — reference jobs/ev_sessions_gold_etl.py:139 — is
+  // exactly this shape), so a point MERGE/DELETE/WHERE reads the
+  // whole table. An opt-in per-file bloom over xxhash64(column)
+  // closes it: `WHERE key = x` and point MERGE consult the manifest's
+  // blooms driver-side and drop every file whose bloom excludes the
+  // key. Files without a bloom (pre-opt-in, zero-row, or ineligible
+  // type) stay conservatively readable.
+
+  /** Column types blooms support: hashed as UTF8 bytes (strings) or
+    * as a long (integrals) — both via Spark's codegen'd xxhash64 on
+    * the build side and XXH64 statics on the probe side (seed 42). */
+  private def bloomEligible(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private def bloomMaxBits: Long =
+    sys.props.get("graft.snapshot.bloomMaxBits").map(_.toLong)
+      .getOrElse(1L << 19) // 64 KiB/file/column at the cap
+
+  /** Attach per-file blooms for `bloomCols` to freshly committed
+    * entries: ONE distributed job reading only the bloom columns of
+    * the new files (columnar, projection-pruned — the same order of
+    * IO the commit's footer-stats pass already pays), grouped by
+    * `input_file_name()`, aggregated by [[graft.functions
+    * .BloomBitsAggregator]]. Sized for the commit's largest file at
+    * ~1% FPR, capped by `graft.snapshot.bloomMaxBits`. The driver
+    * receives files × columns × ≤cap bytes — bounded by the COMMIT's
+    * file count, never the table's. */
+  private def withBlooms(spark: SparkSession, entries: Seq[Entry],
+      bloomCols: Seq[String]): Seq[Entry] = {
+    if (bloomCols.isEmpty || entries.isEmpty) return entries
+    val df = spark.read.parquet(entries.map(_.filePath): _*)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val eligible = bloomCols.filter(c => types.get(c).exists(bloomEligible))
+    if (eligible.isEmpty) return entries
+    val maxRows = math.max(1L, entries.map(_.rows).max)
+    val agg = udaf(new graft.functions.BloomBitsAggregator(maxRows,
+      math.min(bloomMaxBits, optimalBloomBits(maxRows, 0.01))))
+    val hashed = eligible.map { c =>
+      val h = types(c) match {
+        case StringType => xxhash64(col(c))
+        case _          => xxhash64(col(c).cast("long"))
+      }
+      agg(h).as(c)
+    }
+    val perFile = df.select(input_file_name().as("_graft_file") +:
+        eligible.map(col): _*)
+      .groupBy("_graft_file").agg(hashed.head, hashed.tail: _*)
+      .collect()
+    val byFile: Map[String, Map[String, String]] = perFile.map { r =>
+      val key = new Path(r.getString(0)).toUri.getPath
+      key -> eligible.zipWithIndex.map { case (c, i) =>
+        c -> java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](i + 1))
+      }.toMap
+    }.toMap
+    entries.map { e =>
+      byFile.get(new Path(e.filePath).toUri.getPath) match {
+        case Some(m) => e.copy(blooms = eligible.flatMap(c => m.get(c).map(c -> _)))
+        case None    => e // zero-row file: no group, conservatively bloom-less
+      }
+    }
+  }
+
+  /** Standard bloom sizing: m = -n·ln(p)/ln(2)², rounded up. */
+  private def optimalBloomBits(n: Long, p: Double): Long =
+    math.ceil(-n * math.log(p) / (math.log(2) * math.log(2))).toLong
+
+  /** Opt columns into per-file bloom recording (metadata-only
+    * commit). Applies to files written AFTER this commit — existing
+    * files stay bloom-less and conservatively readable until a
+    * rewrite (merge/update/compact) re-records them, the same policy
+    * Delta applies to stats-schema changes. Columns must exist in the
+    * recorded schema and be string/integral. Pass Nil to disable. */
+  def setBloomColumns(spark: SparkSession, path: String,
+      cols: Seq[String]): Long =
+    publishMetadataCommit(spark, path, "setBloomCols") { m =>
+      m.schema.foreach { s =>
+        cols.foreach { c =>
+          val f = s.fields.find(_.name.equalsIgnoreCase(c))
+          require(f.nonEmpty, s"bloom column '$c' not in the table schema")
+          require(bloomEligible(f.get.dataType),
+            s"bloom column '$c' has type ${f.get.dataType.simpleString}; " +
+              "only string and integral columns are supported")
+        }
+      }
+      m.copy(bloomCols = cols.distinct)
+    }
+
+  /** Current bloom columns (empty when the feature is off). */
+  def bloomColumns(spark: SparkSession, path: String): Seq[String] = {
+    val v = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    readManifestFull(spark, path, v).bloomCols
+  }
+
+  /** Probe-side hash of a key value, matching the build side's
+    * `xxhash64(col)` / `xxhash64(cast(col as long))` exactly
+    * (XXH64, seed 42). None = unprobeable value (never prune). */
+  private def bloomProbeHash(v: Any): Option[Long] = v match {
+    case s: String => Some(org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L))
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      Some(org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, 42L))
+    case l: Long  => Some(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(l, 42L))
+    case i: Int   => Some(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, 42L))
+    case s: Short => Some(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(s.toLong, 42L))
+    case b: Byte  => Some(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(b.toLong, 42L))
+    case _ => None
+  }
+
+  private def decodeBloom(payload: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      java.util.Base64.getDecoder.decode(payload))
+
+  /** Per-conjunct point-lookup hash sets implied by a predicate, for
+    * bloom file skipping: `attr = literal` and `attr IN (literals…)`
+    * over bare string/integral attributes (plus lossless integral
+    * upcasts — the build side hashed `cast(col as long)`, so the
+    * upcast literal probes the same domain). Each element is
+    * (column, candidate hashes): a file survives a conjunct iff SOME
+    * candidate might be contained; conjuncts apply independently
+    * (intersection). Anything else contributes nothing — skipping
+    * stays strictly conservative. */
+  private[lake] def skipPointHashes(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Seq[Long])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def attrOf(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if bloomEligible(a.dataType) => Some(a)
+      case Cast(a: AttributeReference, dt, _, _)
+          if a.dataType != StringType && bloomEligible(a.dataType) &&
+            bloomEligible(dt) && dt != StringType &&
+            Cast.canUpCast(a.dataType, dt) => Some(a)
+      case _ => None
+    }
+    def hashLit(a: AttributeReference, l: Literal): Option[Long] =
+      (a.dataType, l.value) match {
+        case (_, null) => None // col = NULL never matches; no pruning claim
+        case (StringType, v) => bloomProbeHash(v)
+        case (_, v: Byte)  => bloomProbeHash(v.toLong)
+        case (_, v: Short) => bloomProbeHash(v.toLong)
+        case (_, v: Int)   => bloomProbeHash(v.toLong)
+        case (_, v: Long)  => bloomProbeHash(v)
+        case _ => None
+      }
+    object Lit {
+      def unapply(e: Expression): Option[Literal] = e match {
+        case l: Literal => Some(l)
+        case c if c.foldable =>
+          scala.util.Try(Literal.create(c.eval(), c.dataType)).toOption
+        case _ => None
+      }
+    }
+    conjuncts(cond).flatMap {
+      case EqualTo(a, Lit(l)) if attrOf(a).isDefined =>
+        attrOf(a).flatMap(ar => hashLit(ar, l).map(h => (ar.name, Seq(h))))
+      case EqualTo(Lit(l), a) if attrOf(a).isDefined =>
+        attrOf(a).flatMap(ar => hashLit(ar, l).map(h => (ar.name, Seq(h))))
+      case In(a, vs) if attrOf(a).isDefined && vs.nonEmpty =>
+        attrOf(a).flatMap { ar =>
+          val hs = vs.map {
+            case Lit(l) => hashLit(ar, l)
+            case _      => None
+          }
+          // every branch must be probeable or the conjunct is unusable
+          // (an unprobeable branch could match rows in any file); a
+          // NULL branch simply never matches and drops out
+          val nonNull = vs.zip(hs).filterNot { case (v, _) =>
+            Lit.unapply(v).exists(_.value == null) }
+          if (nonNull.forall(_._2.isDefined))
+            Some((ar.name, nonNull.flatMap(_._2)))
+          else None
+        }
+      case _ => None
+    }
   }
 
   /** Live data-file paths at `version` (default latest) — the Delta
@@ -1814,7 +2070,8 @@ object SnapshotTable {
     }
     val m = readManifestFull(spark, sourcePath, v)
     require(publishManifest(spark, targetPath, 1L, m.entries, m.schema,
-      Some("clone"), m.constraints, m.transforms, m.retiredTransforms, m.txns),
+      Some("clone"), m.constraints, m.transforms, m.retiredTransforms, m.txns,
+      m.bloomCols),
       s"concurrent writer created $targetPath during shallowClone")
     1L
   }
@@ -1873,7 +2130,7 @@ object SnapshotTable {
       s"branch '$name' already exists at $path")
     val m = readManifestFull(spark, path, v)
     require(publishManifest(spark, bh, v, m.entries, m.schema, Some("branch"),
-      m.constraints, m.transforms, m.retiredTransforms, m.txns),
+      m.constraints, m.transforms, m.retiredTransforms, m.txns, m.bloomCols),
       s"concurrent writer created branch '$name' during createBranch")
     v
   }
@@ -1950,7 +2207,7 @@ object SnapshotTable {
     bVersions.filter(_ > mainHead).foreach { v =>
       val m = readManifestFull(spark, bh, v)
       require(publishManifest(spark, path, v, m.entries, m.schema, m.op,
-        m.constraints, m.transforms, m.retiredTransforms, m.txns),
+        m.constraints, m.transforms, m.retiredTransforms, m.txns, m.bloomCols),
         s"concurrent main writer during fastForward at v$v — main holds a " +
           s"valid branch prefix up to v${v - 1}; re-run to continue")
     }
@@ -2349,49 +2606,15 @@ object SnapshotTable {
       op = "overwrite_partitions")
   }
 
-  /** Row-level MERGE (upsert): a source row whose `keyCols` match an
-    * existing row replaces it, the rest insert — `MERGE ... WHEN
-    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, the
-    * row-level path the reference's gold sink enables by declaring an
-    * Iceberg v2 table (reference jobs/ev_sessions_gold_etl.py:147-149,
-    * format-version=2). Unlike [[overwritePartitions]], a late
-    * correction to one session rewrites only the FILES that can
-    * contain its key, not the whole partition: the manifest's per-file
-    * footer stats prune the rewrite set with a broadcast range join
-    * against the distinct source keys (the source is never collected
-    * to the driver), and files lacking stats on every key column are
-    * conservatively rewritten. Per-key-column stats are recorded on
-    * the files this merge writes, so successive merges keep pruning.
-    *
-    * Preconditions: a target row may be matched by at most ONE source
-    * row (the standard MERGE constraint, Delta's "multiple source rows
-    * matched" error). The guard rides the rewrite pass itself — the
-    * per-key source counts join the touched files' rows and a
-    * multi-match raises DURING the rewrite job, before any manifest
-    * publish — rather than costing a separate full source aggregation
-    * up front. Source keys that match no target row simply insert
-    * (per SQL MERGE; duplicate unmatched keys insert multiply, as in
-    * every engine). A hive-partitioned table keeps its layout
-    * automatically: when `partitionCols` is not given, the table's
-    * partition columns are inferred from the live files' paths, so
-    * rewritten files stay where [[overwritePartitions]] matches them.
-    * Concurrency: the rewrite set is computed against the latest
-    * version; if another writer commits before this merge publishes,
-    * the commit aborts (write-skew guard) — rerun the merge.
+  /** Files that may contain ANY of `source`'s key tuples — the
+    * shared rewrite-set pruner of [[merge]] and [[deleteKeys]]:
+    * manifest min/max range join (numeric + string bounds), then
+    * per-file bloom refinement for small distinct key sets. Files
+    * lacking stats on every key column are conservatively included.
     */
-  def merge(source: DataFrame, path: String, keyCols: Seq[String],
-      partitionCols: Seq[String] = Nil): Long = {
-    require(keyCols.nonEmpty, "merge needs at least one key column")
-    val spark = source.sparkSession
-    val dupMsg = s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — " +
-      "each target row may be updated by at most one source row"
-    val base = latestVersion(spark, path) match {
-      case None    => return commit(source, path, partitionCols, identity,
-                        statsCols = keyCols, op = "merge")
-      case Some(v) => v
-    }
-    val entries = readManifest(spark, path, base)
-
+  private def keyRewriteSet(spark: SparkSession, path: String, base: Long,
+      entries: Seq[Entry], source: DataFrame,
+      keyCols: Seq[String]): Set[String] = {
     // files prunable via stats: those carrying min/max for EVERY key
     // column (others must be rewritten unconditionally). Numeric keys
     // compare against numeric footer intervals; STRING keys against
@@ -2435,7 +2658,130 @@ object SnapshotTable {
         srcKeys.join(broadcast(ranges), inRange)
           .select("_file").distinct().collect().map(_.getString(0)).toSet
       }
-    val rewrite: Set[String] = hit ++ unprunable.map(_.filePath)
+    val rewrite0: Set[String] = hit ++ unprunable.map(_.filePath)
+    // bloom refinement: min/max kept a file because the key fell
+    // inside its range, but on a high-cardinality unclustered key
+    // every file's range spans the whole space — the per-file blooms
+    // are what actually prune a point merge. Applied only when the
+    // DISTINCT source key set is small (the late-correction shape
+    // blooms exist for): collect up to `cap` key tuples and test
+    // driver-side against the manifest's blooms. A larger source
+    // skips refinement (min/max behavior — a broad merge rewrites
+    // broadly anyway, and a driver loop over keys × files would not
+    // be the bottleneck worth paying). NULL key components or
+    // type-mismatched columns also skip — conservative, never wrong.
+    val refined: Set[String] = {
+      val tblTypes: Map[String, DataType] = schemaOf(spark, path, Some(base))
+        .map(_.fields.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+      val srcTypes = source.schema.fields.map(f => f.name -> f.dataType).toMap
+      // build domain is the TABLE type: string→string hash,
+      // integral→long hash; the source column must live in the same
+      // domain for the probe hash to mean anything
+      def sameDomain(c: String): Boolean =
+        (tblTypes.get(c), srcTypes.get(c)) match {
+          case (Some(StringType), Some(StringType)) => true
+          case (Some(t), Some(s)) =>
+            Seq(ByteType, ShortType, IntegerType, LongType).contains(t) &&
+              Seq(ByteType, ShortType, IntegerType, LongType).contains(s)
+          case _ => false
+        }
+      val bCols = keyCols.filter(c =>
+        entries.exists(_.blooms.exists(_._1 == c)) && sameDomain(c))
+      if (bCols.isEmpty || rewrite0.isEmpty) rewrite0
+      else {
+        val cap = sys.props.get("graft.snapshot.mergeBloomProbeCap")
+          .map(_.toInt).getOrElse(1024)
+        val keyRows = source.select(bCols.map(col): _*)
+          .distinct().limit(cap + 1).collect()
+        val hashTuples: Option[Seq[Map[String, Long]]] =
+          if (keyRows.length > cap) None
+          else {
+            val ts = keyRows.toSeq.map { r =>
+              bCols.zipWithIndex.map { case (c, i) =>
+                val raw = r.get(i)
+                val norm = (tblTypes(c), raw) match {
+                  case (_, null)            => null
+                  case (StringType, v)      => v
+                  case (_, v: java.lang.Number) => Long.box(v.longValue())
+                  case (_, v)               => v
+                }
+                c -> Option(norm).flatMap(bloomProbeHash)
+              }
+            }
+            if (ts.exists(_.exists(_._2.isEmpty))) None
+            else Some(ts.map(_.map { case (c, h) => c -> h.get }.toMap))
+          }
+        hashTuples match {
+          case None => rewrite0
+          case Some(tuples) =>
+            val byPath = entries.map(e => e.filePath -> e).toMap
+            rewrite0.filter { f =>
+              byPath.get(f) match {
+                case Some(e) =>
+                  val fbs = bCols.flatMap(c =>
+                    e.blooms.find(_._1 == c).map(b => decodeBloom(b._2)))
+                  // a file lacking SOME bloom still tests the ones it
+                  // has; lacking all → keep
+                  val present = bCols.filter(c => e.blooms.exists(_._1 == c))
+                  if (present.isEmpty) true
+                  else {
+                    val bfByCol = present.zip(fbs).toMap
+                    tuples.exists(t =>
+                      present.forall(c => bfByCol(c).mightContainLong(t(c))))
+                  }
+                case None => true
+              }
+            }
+        }
+      }
+    }
+    refined
+  }
+
+  /** Row-level MERGE (upsert): a source row whose `keyCols` match an
+    * existing row replaces it, the rest insert — `MERGE ... WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, the
+    * row-level path the reference's gold sink enables by declaring an
+    * Iceberg v2 table (reference jobs/ev_sessions_gold_etl.py:147-149,
+    * format-version=2). Unlike [[overwritePartitions]], a late
+    * correction to one session rewrites only the FILES that can
+    * contain its key, not the whole partition: the manifest's per-file
+    * footer stats prune the rewrite set with a broadcast range join
+    * against the distinct source keys (the source is never collected
+    * to the driver), and files lacking stats on every key column are
+    * conservatively rewritten. Per-key-column stats are recorded on
+    * the files this merge writes, so successive merges keep pruning.
+    *
+    * Preconditions: a target row may be matched by at most ONE source
+    * row (the standard MERGE constraint, Delta's "multiple source rows
+    * matched" error). The guard rides the rewrite pass itself — the
+    * per-key source counts join the touched files' rows and a
+    * multi-match raises DURING the rewrite job, before any manifest
+    * publish — rather than costing a separate full source aggregation
+    * up front. Source keys that match no target row simply insert
+    * (per SQL MERGE; duplicate unmatched keys insert multiply, as in
+    * every engine). A hive-partitioned table keeps its layout
+    * automatically: when `partitionCols` is not given, the table's
+    * partition columns are inferred from the live files' paths, so
+    * rewritten files stay where [[overwritePartitions]] matches them.
+    * Concurrency: the rewrite set is computed against the latest
+    * version; if another writer commits before this merge publishes,
+    * the commit aborts (write-skew guard) — rerun the merge.
+    */
+  def merge(source: DataFrame, path: String, keyCols: Seq[String],
+      partitionCols: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = source.sparkSession
+    val dupMsg = s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — " +
+      "each target row may be updated by at most one source row"
+    val base = latestVersion(spark, path) match {
+      case None    => return commit(source, path, partitionCols, identity,
+                        statsCols = keyCols, op = "merge", opKeys = keyCols)
+      case Some(v) => v
+    }
+    val entries = readManifest(spark, path, base)
+
+    val rewrite: Set[String] = keyRewriteSet(spark, path, base, entries, source, keyCols)
 
     // survivors of the rewritten files = rows whose key matches no
     // source key; everything else in those files is superseded. The
@@ -2472,7 +2818,7 @@ object SnapshotTable {
       require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during merge — rerun the merge")
       prev.filterNot(e => rewrite(e.filePath))
-    }, statsCols = statsOut, op = "merge")
+    }, statsCols = statsOut, op = "merge", opKeys = keyCols)
     catch {
       // surface the in-pass ambiguity guard as the API-level error
       // (the raise_error fires inside the rewrite job, wrapped in the
@@ -2531,6 +2877,46 @@ object SnapshotTable {
     }, statsCols = statsOut, op = "delete")
   }
 
+  /** Distributed key-set DELETE — `MERGE ... WHEN MATCHED THEN
+    * DELETE` with no `WHEN NOT MATCHED` branch: every target row
+    * whose `keyCols` tuple appears in `source` is removed. Unlike
+    * [[delete]]'s predicate form, the match set is a DataFrame, so a
+    * MILLION-key delete wave never touches the driver: the rewrite
+    * set comes from the same manifest-stats + bloom pruning as
+    * [[merge]] ([[keyRewriteSet]]), survivors are a distributed
+    * LEFT ANTI join of only the touched files against the distinct
+    * source keys, and untouched files carry over by reference. This
+    * is the scale path [[graft.ops.Ivf.syncQuantizedIndex]] falls
+    * back to when a CDC batch's delete list exceeds its driver
+    * collect cap. Duplicate source keys are harmless (anti-join
+    * semantics); NULL key components never match (SQL equality).
+    * Returns the new version, or the current one when no file can
+    * contain any source key. */
+  def deleteKeys(source: DataFrame, path: String, keyCols: Seq[String],
+      partitionCols: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val spark = source.sparkSession
+    val base = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val entries = readManifest(spark, path, base)
+    val rewrite = keyRewriteSet(spark, path, base, entries, source, keyCols)
+    if (rewrite.isEmpty) return base
+    val touched = entries.filter(e => rewrite(e.filePath))
+    val current = readGroups(spark, touched, schemaOf(spark, path, Some(base)))
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val survivors = current.join(srcKeys, keyCols.toSeq, "left_anti")
+    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
+      entries.flatMap(_.sstats.map(_._1)) ++ keyCols).distinct
+    val partCols =
+      if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
+    val baseState = guardState(entries)
+    commit(survivors, path, partCols, prev => {
+      require(guardState(prev) == baseState,
+        s"concurrent commit advanced $path during deleteKeys — rerun")
+      prev.filterNot(e => rewrite(e.filePath))
+    }, statsCols = statsOut, op = "delete_keys")
+  }
+
   /** Row-level DELETE via deletion vectors (Delta DV / Iceberg-v3
     * position-delete shape): instead of rewriting every file that
     * holds a matching row, record the matching ROW POSITIONS in a
@@ -2579,7 +2965,7 @@ object SnapshotTable {
     // positions may be stale (same policy as delete's rerun guard)
     require(publishManifest(spark, path, base + 1, newEntries, m.schema,
       Some("delete_dv"), m.constraints, m.transforms, m.retiredTransforms,
-      m.txns),
+      m.txns, m.bloomCols),
       s"concurrent commit advanced $path during deleteWithVectors — rerun")
     base + 1
   }
@@ -2891,9 +3277,13 @@ object SnapshotTable {
   /** Change-data feed: the row-level differences the table went
     * through from `fromVersion` (exclusive) to `toVersion` (inclusive)
     * — Iceberg's incremental read / Delta's CDF shape. Each commit in
-    * the range contributes rows tagged `_change_type`
-    * ('insert'/'delete'; an update is a delete + an insert of the new
-    * values) and `_commit_version`. Only the files the commit ADDED or
+    * the range contributes rows tagged `_change_type` and
+    * `_commit_version`. Plain commits emit 'insert'/'delete'; a
+    * commit that records its key columns in the manifest (`#opKeys`
+    * — [[merge]] does) emits Delta-CDF-style
+    * 'update_preimage'/'update_postimage' pairs for keys changed on
+    * both sides of the diff, so consumers can distinguish an UPDATE
+    * from an unrelated delete-then-insert. Only the files the commit ADDED or
     * REMOVED are read — the manifest diff scopes IO to the changed
     * data, never the whole table — and within a rewritten file the
     * carried-over rows cancel out via a multiset difference
@@ -3061,9 +3451,35 @@ object SnapshotTable {
         val Seq(addDf, remDf) = sides.map(
           _.map(conform(_, target)).getOrElse(
             spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), target)))
-        Some(addDf.exceptAll(remDf).withColumn("_change_type", lit("insert"))
-          .unionByName(remDf.exceptAll(addDf).withColumn("_change_type", lit("delete")))
-          .withColumn("_commit_version", lit(v)))
+        val insRaw = addDf.exceptAll(remDf)
+        val delRaw = remDf.exceptAll(addDf)
+        // UPDATE pre/post images (Delta CDF shape): a commit that
+        // RECORDS its key columns (#opKeys — merge does) lets the
+        // feed distinguish an update from an unrelated
+        // delete-then-insert: a key present on BOTH sides of the
+        // version's diff was updated — its old row emits
+        // `update_preimage`, its new row `update_postimage`;
+        // one-sided keys stay plain insert/delete. Keyless commits
+        // keep the raw two-row encoding. Cost: the semi+anti split
+        // reads each side's TOUCHED-file subtree twice — still
+        // scoped to the commit's files, never the table.
+        val tagged =
+          if (m.opKeys.nonEmpty && m.opKeys.forall(target.fieldNames.contains)) {
+            val ks = m.opKeys
+            val insKeys = insRaw.select(ks.map(col): _*).distinct()
+            val delKeys = delRaw.select(ks.map(col): _*).distinct()
+            insRaw.join(delKeys, ks, "left_anti")
+              .withColumn("_change_type", lit("insert"))
+              .unionByName(insRaw.join(delKeys, ks, "left_semi")
+                .withColumn("_change_type", lit("update_postimage")))
+              .unionByName(delRaw.join(insKeys, ks, "left_anti")
+                .withColumn("_change_type", lit("delete")))
+              .unionByName(delRaw.join(insKeys, ks, "left_semi")
+                .withColumn("_change_type", lit("update_preimage")))
+          } else
+            insRaw.withColumn("_change_type", lit("insert"))
+              .unionByName(delRaw.withColumn("_change_type", lit("delete")))
+        Some(tagged.withColumn("_commit_version", lit(v)))
       }
     }
     val feed = steps.reduceOption(_.unionByName(_, allowMissingColumns = true))

@@ -355,9 +355,12 @@ object Ivf {
     * [[searchQuantizedIndexed]].
     *
     * Deleted ids are collected to the driver for the delete
-    * predicate, capped at `deleteCollectCap` — a delete wave past
-    * the cap (rare for an index feed; that's a table rebuild, not
-    * maintenance) fails loudly rather than silently scanning. */
+    * predicate, capped at `deleteCollectCap`; a delete wave past the
+    * cap never reaches the driver — it routes through the
+    * distributed anti-join delete
+    * ([[graft.lake.SnapshotTable.deleteKeys]]) over the
+    * stats-pruned file set, so the sync job survives bulk
+    * retention waves without a rebuild. */
   def syncQuantizedIndex(spark: SparkSession, corpusPath: String,
       indexPath: String, checkpointDir: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
@@ -374,25 +377,33 @@ object Ivf {
       // deleted in v3 of one batch would be upserted (stale vector
       // persists forever), and an id updated in two commits would put
       // duplicate keys into merge's source, which rejects them.
+      // update_postimage counts as the row's presence (the corpus
+      // table records merge keys, so its feed carries CDF update
+      // images); update_preimage/delete as absence
+      val present = col("_change_type").isin("insert", "update_postimage")
       val w = Window.partitionBy(col(idCol)).orderBy(
         col("_commit_version").desc,
-        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+        when(present, 1).otherwise(0).desc)
       val fin = changes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
-      val ins = fin.filter(col("_change_type") === "insert")
-        .select(col(idCol), col(vecCol))
+      val ins = fin.filter(present).select(col(idCol), col(vecCol))
       val insQ = Similarity.quantize(ins, idCol, vecCol)
-      val gone = fin.filter(col("_change_type") === "delete")
-        .select(col(idCol))
+      val gone = fin.filter(!present).select(col(idCol))
       if (!insQ.isEmpty) SnapshotTable.merge(insQ, indexPath, Seq(idCol))
       if (SnapshotTable.latestVersion(spark, indexPath).isDefined) {
         val ids = gone.limit(deleteCollectCap + 1)
           .collect().map(_.getLong(0)).toSeq
-        require(ids.size <= deleteCollectCap,
-          s"syncQuantizedIndex: > $deleteCollectCap deleted ids in one " +
-            "batch — rebuild the index instead of incremental maintenance")
-        if (ids.nonEmpty)
-          SnapshotTable.delete(spark, indexPath, col(idCol).isin(ids: _*))
+        if (ids.size <= deleteCollectCap) {
+          // fast path: bounded driver list → stats-pruned predicate
+          // delete (the common maintenance-trickle shape)
+          if (ids.nonEmpty)
+            SnapshotTable.delete(spark, indexPath, col(idCol).isin(ids: _*))
+        } else
+          // delete wave past the cap: never collect it — distributed
+          // anti-join delete (MERGE WHEN MATCHED THEN DELETE) over
+          // only the stats/bloom-pruned files. Same idempotence: a
+          // replay re-deletes already-absent ids to no effect.
+          SnapshotTable.deleteKeys(gone, indexPath, Seq(idCol))
       }
     }
   }

@@ -774,10 +774,12 @@ class SnapshotTableSpec extends SparkTestBase {
       .select("id").as[String].collect().sorted.toSeq === Seq("a-0-4", "b-0-4"))
     assert(c23.filter(col("_change_type") === "insert").count() === 0)
 
-    // v4: an update is delete(old) + insert(new); carried-over rows cancel
+    // v4: merge records its keys → the updated row emits CDF
+    // update pre/post images; carried-over rows cancel
     val c34 = SnapshotTable.changes(spark, path, 3L, 4L).orderBy("_change_type")
       .select("id", "v", "_change_type").as[(String, Double, String)].collect().toSeq
-    assert(c34 === Seq(("a-0-0", 0.0, "delete"), ("a-0-0", 999.0, "insert")))
+    assert(c34 === Seq(("a-0-0", 999.0, "update_postimage"),
+      ("a-0-0", 0.0, "update_preimage")))
 
     // v5 (compaction): full rewrite, zero net changes
     assert(SnapshotTable.changes(spark, path, 4L, 5L).count() === 0)

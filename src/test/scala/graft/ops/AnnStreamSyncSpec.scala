@@ -89,4 +89,30 @@ class AnnStreamSyncSpec extends SparkTestBase {
       .collect().toSet
     assert(viaIndex === adhoc)
   }
+
+  test("delete wave past the collect cap routes through the distributed anti-join delete") {
+    val base = Files.createTempDirectory("graft-ann-bigdel").toString
+    val (corpus, index, syncCkpt) = (s"$base/corpus", s"$base/index", s"$base/sync-ckpt")
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+      .filter(col("vec_id") < 300)
+    SnapshotTable.append(emb, corpus)
+    assert(Ivf.syncQuantizedIndex(spark, corpus, index, syncCkpt).isDefined)
+    assert(SnapshotTable.read(spark, index).count() === 300L)
+    // a retention wave deletes half the corpus: 150 ids ≫ the lowered
+    // cap — the sync must converge WITHOUT collecting them (the old
+    // behavior threw here)
+    SnapshotTable.delete(spark, corpus, col("vec_id") < 150)
+    assert(Ivf.syncQuantizedIndex(spark, corpus, index, syncCkpt,
+      deleteCollectCap = 50).isDefined)
+    val got = SnapshotTable.read(spark, index).select("vec_id", "scale", "qvec")
+    val want = Similarity.quantize(
+      SnapshotTable.read(spark, corpus).select("vec_id", "embedding"))
+    assert(got.count() === 150L)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "index != quantize(corpus) after the big-delete sync")
+    // replaying the same drained batch is a no-op (cursor advanced)
+    assert(Ivf.syncQuantizedIndex(spark, corpus, index, syncCkpt,
+      deleteCollectCap = 50).isEmpty)
+    assert(SnapshotTable.read(spark, index).count() === 150L)
+  }
 }
