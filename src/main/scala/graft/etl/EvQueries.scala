@@ -1453,13 +1453,24 @@ object EvQueries {
       .coalesce(1).persist()
     try {
       SnapshotTable.append(gold, path)                                 // v1
-      val ids = gold.select("sessionId").as[String].collect().sorted
-      val upd = gold.orderBy("sessionId").limit(2)
+      // Target keys come from the ids that appear EXACTLY ONCE in the
+      // fixture: the fixture intentionally duplicates a sessionId
+      // (uniqueness-metric fodder), and a duplicated key among the
+      // targets would give merge a multi-row match whose per-copy
+      // preimages the single-row oracle below could never mirror —
+      // robust to fixture reordering, not an accident of it.
+      val ids = gold.groupBy("sessionId").agg(
+          count(lit(1)).as("n"), first(col("kwhTotal")).as("kwhTotal"))
+        .filter(col("n") === 1)
+        .orderBy("sessionId").limit(3)
+        .select("sessionId", "kwhTotal").as[(String, Double)].collect()
+      val upd = ids.take(2).toSeq.toDF("sessionId", "kwhTotal")
         .select(col("sessionId"),
           round(col("kwhTotal") + 100.0, 2).as("kwhTotal"))
-      SnapshotTable.merge(upd, path, Seq("sessionId"))                 // v2
-      SnapshotTable.delete(spark, path, col("sessionId") === ids(2))   // v3
-      SnapshotTable.append(Seq((ids(2), -5.0))
+      SnapshotTable.merge(upd.coalesce(1), path, Seq("sessionId"))     // v2
+      val third = ids(2)._1
+      SnapshotTable.delete(spark, path, col("sessionId") === third)    // v3
+      SnapshotTable.append(Seq((third, -5.0))
         .toDF("sessionId", "kwhTotal"), path)                          // v4
       SnapshotTable.changes(spark, path, 1L, 4L)
         .select(col("sessionId"), round(col("kwhTotal"), 2).as("kwhTotal"),
@@ -1473,10 +1484,16 @@ object EvQueries {
        |gold AS (
        |  SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad
        |),
+       |-- target keys: ids occurring exactly once (see the Spark side
+       |-- — the fixture's duplicated sessionId must never be a target)
+       |uniq AS (
+       |  SELECT sessionId, min(kwhTotal) AS kwhTotal
+       |  FROM gold GROUP BY sessionId HAVING count(*) = 1
+       |),
        |ranked AS (
        |  SELECT sessionId, kwhTotal,
-       |    dense_rank() OVER (ORDER BY sessionId) AS rk
-       |  FROM gold
+       |    row_number() OVER (ORDER BY sessionId) AS rk
+       |  FROM uniq
        |),
        |feed AS (
        |  -- v2 (merge, keys recorded): the two updated ids emit CDF images
@@ -1494,6 +1511,70 @@ object EvQueries {
        |)
        |SELECT sessionId, kwhTotal, _change_type, _commit_version
        |FROM feed ORDER BY _commit_version, _change_type, sessionId""".stripMargin
+
+  /** NULL-count skipping — the stats leg min/max can't serve (an
+    * all-null chunk records no bounds at all) and the one the
+    * reference's quarantine rules lean on: they are null-predicates
+    * (reference jobs/ev_sessions_silver_etl_clean.py:171-183). The
+    * gold slice derives a partially-null column and lands in three
+    * files — one all-null, two null-free — then proves with
+    * executed-plan numFiles that BOTH polarities prune: `IS NULL`
+    * scans only the all-null file, `IS NOT NULL` skips it, a plain
+    * comparison (implied NOT NULL; no min/max recorded, so the null
+    * counts alone do the work) skips it too, and an unfiltered read
+    * scans everything. */
+  def nullSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-null-gate")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    val gold = good(spark).select(col("sessionId"),
+      when(col("platform") === "android", col("kwhTotal")).as("opt_kwh"))
+      .coalesce(1).persist()
+    try {
+      SnapshotTable.create(spark, path, gold.schema)
+      SnapshotTable.append(gold.filter(col("opt_kwh").isNull).coalesce(1), path)
+      val nn = gold.filter(col("opt_kwh").isNotNull)
+      val ids = nn.select("sessionId").as[String].collect().sorted
+      val pivot = ids(ids.length / 2)
+      SnapshotTable.append(nn.filter(col("sessionId") < pivot).coalesce(1), path)
+      SnapshotTable.append(nn.filter(col("sessionId") >= pivot).coalesce(1), path)
+      val total = SnapshotTable.liveFiles(spark, path).size
+      val nNull = scannedFiles(
+        SnapshotTable.readWhere(spark, path, col("opt_kwh").isNull))
+      val nullScanOne = total == 3 && nNull == 1L
+      def qNotNull = SnapshotTable.readWhere(spark, path, col("opt_kwh").isNotNull)
+      val notnullPruned = scannedFiles(qNotNull) == total - 1L
+      // no min/max was recorded (plain appends, no stats columns) —
+      // the comparison prunes via the implied NOT NULL alone
+      val boundsFree = SnapshotTable
+        .readManifest(spark, path, SnapshotTable.latestVersion(spark, path).get)
+        .forall(_.stats.isEmpty)
+      val cmpPruned = boundsFree && scannedFiles(
+        SnapshotTable.readWhere(spark, path, col("opt_kwh") > lit(-1.0))) == total - 1L
+      val fullScanOk = scannedFiles(
+        SnapshotTable.readWhere(spark, path, lit(true))) == total.toLong
+      qNotNull
+        .withColumn("null_scan_one", lit(nullScanOne))
+        .withColumn("notnull_pruned", lit(notnullPruned))
+        .withColumn("cmp_pruned", lit(cmpPruned))
+        .withColumn("full_scan_ok", lit(fullScanOk))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val nullSkippingSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    CASE WHEN platform = 'android' THEN kwhTotal END AS opt_kwh
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, opt_kwh,
+       |  true AS null_scan_one, true AS notnull_pruned,
+       |  true AS cmp_pruned, true AS full_scan_ok
+       |FROM gold WHERE opt_kwh IS NOT NULL
+       |ORDER BY sessionId""".stripMargin
 
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
@@ -1525,5 +1606,6 @@ object EvQueries {
     QDef("ev25_string_skipping", stringSkipping, Some(stringSkippingSql)),
     QDef("ev26_bloom_skipping", bloomSkipping, Some(bloomSkippingSql)),
     QDef("ev27_cdc_update_images", cdcUpdateImages, Some(cdcUpdateImagesSql)),
+    QDef("ev28_null_skipping", nullSkipping, Some(nullSkippingSql)),
   )
 }

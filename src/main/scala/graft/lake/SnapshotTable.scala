@@ -59,11 +59,22 @@ object SnapshotTable {
     * incremental delta log a commit pays bloom bytes only for the
     * files it TOUCHED, so manifest growth is O(files touched), not
     * O(live files), per commit. */
+  /** `nulls`: per-column NULL counts — the third leg of the stats
+    * triple (min/max bounds, blooms, null counts — Delta's
+    * nullCount parity). Recorded for the first
+    * `graft.snapshot.nullStatsMaxCols` (default 32) top-level
+    * primitive columns plus every stats column, all-or-nothing
+    * across row groups like the bounds. They prune `IS NULL` (a
+    * file with zero nulls can't match) and `IS NOT NULL` / any
+    * comparison conjunct (an all-null file can't match — the case
+    * min/max can't serve, because an all-null chunk records no
+    * bounds at all). Files without a recorded count stay readable. */
   private[lake] case class Entry(commitDir: String, filePath: String,
       rows: Long = -1L, stats: Seq[(String, Double, Double)] = Nil,
       dv: Option[(String, Long)] = None,
       sstats: Seq[(String, String, String)] = Nil,
-      blooms: Seq[(String, String)] = Nil)
+      blooms: Seq[(String, String)] = Nil,
+      nulls: Seq[(String, Long)] = Nil)
 
   /** Unsigned UTF-8 byte-order comparison — the shared ordering of
     * parquet BINARY footer stats and Spark's UTF8String, so string
@@ -83,6 +94,20 @@ object SnapshotTable {
 
   private[lake] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(realPathOf(path)).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Scheme-stripped, percent-DECODED path — the one identity for
+    * matching `input_file_name()` output (a URI-escaped string:
+    * spaces arrive as `%20`) against manifest `filePath`s (Hadoop
+    * listing strings: literal spaces). A valid URI decodes through
+    * `java.net.URI`; a raw path with URI-illegal characters (the
+    * listing side) goes through Hadoop `Path`, whose encode+decode
+    * round-trip yields the same decoded form. Matching either side
+    * without this silently misses files whose path contains any
+    * URL-encodable character. */
+  private[lake] def normFile(s: String): String =
+    scala.util.Try(new java.net.URI(s)).toOption
+      .flatMap(u => Option(u.getPath)).filter(_.nonEmpty)
+      .getOrElse(new Path(s).toUri.getPath)
 
   // ---- branch handles ----------------------------------------------
   // A BRANCH (Iceberg branch-ref shape) is a second manifest log under
@@ -116,13 +141,35 @@ object SnapshotTable {
   }
 
   private val versionName = "^v(\\d+)$".r
+  // vacuum's crash-safe checkpoint swap on non-atomic-rename stores
+  // stages `v<k>.ckpt` before replacing `v<k>` — mid-swap, the
+  // sidecar IS the version (see vacuum + versionFileStatus)
+  private val versionCkptName = "^v(\\d+)\\.ckpt$".r
 
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val f = fs(spark, path)
     val dir = new Path(logDir(path))
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case versionName(n) => n.toLong }.sorted.toSeq
+      .collect {
+        case versionName(n)     => n.toLong
+        case versionCkptName(n) => n.toLong
+      }.distinct.sorted.toSeq
+  }
+
+  /** Locate version `v`'s file: `v<k>` normally; its `.ckpt` sidecar
+    * when a vacuum checkpoint swap crashed between delete and rename
+    * (content is identical — the sidecar is the staged replacement).
+    * The common case costs exactly one getFileStatus. */
+  private def versionFileStatus(f: FileSystem, path: String, version: Long)
+      : (Path, org.apache.hadoop.fs.FileStatus) = {
+    val p = new Path(s"${logDir(path)}/v$version")
+    try (p, f.getFileStatus(p))
+    catch {
+      case _: java.io.FileNotFoundException =>
+        val side = new Path(s"${logDir(path)}/v$version.ckpt")
+        (side, f.getFileStatus(side))
+    }
   }
 
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
@@ -286,7 +333,7 @@ object SnapshotTable {
         case _ => throw new IllegalArgumentException(s"bad bloom token: $t")
       }
     }
-    val (sstatToks, rest) = afterBloom.partition(_.startsWith("sstat="))
+    val (sstatToks, afterSstat) = afterBloom.partition(_.startsWith("sstat="))
     val sstats = sstatToks.toSeq.map { t =>
       t.stripPrefix("sstat=").split("#", -1) match {
         case Array(c, lo, hi) =>
@@ -296,10 +343,17 @@ object SnapshotTable {
         case _ => throw new IllegalArgumentException(s"bad sstat token: $t")
       }
     }
+    val (nullToks, rest) = afterSstat.partition(_.startsWith("nulls="))
+    val nulls = nullToks.toSeq.map { t =>
+      t.stripPrefix("nulls=").split("#", -1) match {
+        case Array(c, n) => (java.net.URLDecoder.decode(c, "UTF-8"), n.toLong)
+        case _ => throw new IllegalArgumentException(s"bad nulls token: $t")
+      }
+    }
     require(rest.length % 3 == 0, s"bad manifest line: $line")
     val stats = rest.grouped(3)
       .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
-    Entry(parts(0), parts(1), rows, stats, dv, sstats, blooms)
+    Entry(parts(0), parts(1), rows, stats, dv, sstats, blooms, nulls)
   }
 
   /** Raw parse of one version file: headers + its OWN entry lines.
@@ -384,7 +438,8 @@ object SnapshotTable {
     * is noise. */
   private[lake] def readManifestDelta(spark: SparkSession, path: String,
       version: Long): Option[(Manifest, Long, Seq[Entry])] = {
-    val in = fs(spark, path).open(new Path(s"${logDir(path)}/v$version"))
+    val f = fs(spark, path)
+    val in = f.open(versionFileStatus(f, path, version)._1)
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val (m, deltaBase, removes) = parseManifest(content)
     deltaBase.map(b => (m, b, removes))
@@ -400,8 +455,7 @@ object SnapshotTable {
   private[lake] def readManifestFull(spark: SparkSession, path: String,
       version: Long): Manifest = {
     val f = fs(spark, path)
-    val p = new Path(s"${logDir(path)}/v$version")
-    val st = f.getFileStatus(p)
+    val (p, st) = versionFileStatus(f, path, version)
     val key = (p.toString, st.getModificationTime, st.getLen)
     cacheGet(key).getOrElse {
       manifestFileReads.incrementAndGet()
@@ -553,8 +607,10 @@ object SnapshotTable {
     // base64 never contains '#' or tab, so the 2-part split is safe
     val blooms = e.blooms.map { case (c, payload) =>
       s"\tbloom=${enc(c)}#$payload" }.mkString
+    val nulls = e.nulls.map { case (c, n) =>
+      s"\tnulls=${enc(c)}#$n" }.mkString
     val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
-    s"${e.commitDir}\t${e.filePath}$rows$dv$blooms$sstats$stats"
+    s"${e.commitDir}\t${e.filePath}$rows$dv$blooms$sstats$nulls$stats"
   }
 
   /** Serialized CHECKPOINT manifest (header lines + one entry line
@@ -1225,6 +1281,7 @@ object SnapshotTable {
     // stay readable.
     val intervals = analyzedCond.map(skipIntervals).getOrElse(Nil)
     val sbounds = analyzedCond.map(skipStringBounds).getOrElse(Nil)
+    val nullReqs = analyzedCond.map(skipNullPredicates).getOrElse(Nil)
     // bloom probes only make sense when some live file carries a
     // bloom on a point-constrained column — compute hashes lazily
     val pointKeys =
@@ -1232,13 +1289,27 @@ object SnapshotTable {
         analyzedCond.map(skipPointHashes).getOrElse(Nil)
       else Nil
     val live =
-      if (intervals.isEmpty && sbounds.isEmpty && pointKeys.isEmpty) m.entries
+      if (intervals.isEmpty && sbounds.isEmpty && pointKeys.isEmpty &&
+          nullReqs.isEmpty) m.entries
       else m.entries.filter { e =>
         pointKeys.forall { case (c, hs) =>
           e.blooms.find(_._1 == c) match {
             case Some((_, payload)) =>
               val bf = decodeBloom(payload)
               hs.exists(bf.mightContainLong)
+            case None => true
+          }
+        } &&
+        nullReqs.forall { case (c, needsNull) =>
+          e.nulls.find(_._1 == c) match {
+            // needsNull: the file must HOLD a null; else it must
+            // hold a non-null (count < footer rows — unknowable when
+            // the row count is unrecorded, so those stay readable).
+            // DV-safe both ways: deleted rows only ever SHRINK the
+            // live set, and "no null present" / "no non-null
+            // present" remain true of any subset.
+            case Some((_, n)) =>
+              if (needsNull) n > 0 else e.rows < 0 || n < e.rows
             case None => true
           }
         } &&
@@ -1443,6 +1514,67 @@ object SnapshotTable {
         }
       case _ => None
     }
+  }
+
+  /** Per-column nullability REQUIREMENTS implied by a predicate's
+    * top-level conjuncts, for null-count file skipping. Each element
+    * is (column, needsNull): `true` — the conjunct is satisfiable
+    * only by a NULL in the column (`IS NULL`, `<=> NULL`), so a file
+    * whose recorded null count is 0 is skipped; `false` — only by a
+    * NON-null (`IS NOT NULL`, and every comparison / IN conjunct,
+    * since SQL comparisons never evaluate TRUE on NULL input), so an
+    * all-null file (count = footer rows) is skipped. This is the
+    * case bounds can't serve: an all-null chunk records NO min/max,
+    * so interval skipping keeps the file. Only BARE attributes
+    * contribute — a cast or function can manufacture or absorb
+    * nulls (`try_cast`, `coalesce`) and contributes nothing; files
+    * without a recorded count stay readable either way. */
+  private[lake] def skipNullPredicates(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // both sides of a comparison must be non-NULL for it to be TRUE
+    // — `a < b` needs a non-null in a AND in b
+    def cmpSides(l: Expression, r: Expression): Seq[(String, Boolean)] =
+      (attr(l).toSeq ++ attr(r).toSeq).map(_ -> false)
+    // `<=> NULL` in the ANALYZED (unoptimized) plan carries the NULL
+    // under a coercion Cast — fold it, like the other skippers do
+    object FoldLit {
+      def unapply(e: Expression): Option[Literal] = e match {
+        case l: Literal => Some(l)
+        case c if c.foldable =>
+          scala.util.Try(Literal.create(c.eval(), c.dataType)).toOption
+        case _ => None
+      }
+    }
+    conjuncts(cond).flatMap {
+      case IsNull(a)          => attr(a).map(_ -> true)
+      case IsNotNull(a)       => attr(a).map(_ -> false)
+      case Not(IsNull(a))     => attr(a).map(_ -> false)
+      case Not(IsNotNull(a))  => attr(a).map(_ -> true)
+      case EqualNullSafe(a, FoldLit(l)) if attr(a).isDefined =>
+        attr(a).map(_ -> (l.value == null))
+      case EqualNullSafe(FoldLit(l), a) if attr(a).isDefined =>
+        attr(a).map(_ -> (l.value == null))
+      case EqualTo(l, r)            => cmpSides(l, r)
+      case GreaterThan(l, r)        => cmpSides(l, r)
+      case GreaterThanOrEqual(l, r) => cmpSides(l, r)
+      case LessThan(l, r)           => cmpSides(l, r)
+      case LessThanOrEqual(l, r)    => cmpSides(l, r)
+      // IN is TRUE only when the attribute equals SOME branch — a
+      // NULL attribute yields NULL/UNKNOWN, never TRUE
+      case In(a, _)      => attr(a).map(_ -> false).toSeq
+      case InSet(a, _)   => attr(a).map(_ -> false).toSeq
+      case _ => Nil
+    }.distinct
   }
 
   // ---- CHECK constraints -------------------------------------------
@@ -1684,7 +1816,27 @@ object SnapshotTable {
           case _ => None
         }.map(rs => (column, rs.map(_._1).min(utf8Ord), rs.map(_._2).max(utf8Ord)))
       }
-      Entry(commitDir, file, rows, stats, sstats = sstats)
+      // NULL counts (type-agnostic) for the first
+      // `graft.snapshot.nullStatsMaxCols` TOP-LEVEL primitive columns
+      // (the IS NULL targets — a nested leaf's null count says
+      // nothing about its parent) plus every requested stats column;
+      // the cap bounds manifest growth on wide tables (Delta's
+      // dataSkippingNumIndexedCols posture). Same all-or-nothing
+      // row-group rule as the bounds: a chunk without numNulls set
+      // (legacy writer) forfeits the column's count for the file.
+      val nullCap = sys.props.get("graft.snapshot.nullStatsMaxCols")
+        .map(_.toInt).getOrElse(32)
+      val nullCols =
+        (reader.getFooter.getFileMetaData.getSchema.getColumns.asScala
+          .map(_.getPath.mkString("."))
+          .filter(!_.contains(".")).take(nullCap) ++ statsCols).distinct
+      val nulls = nullCols.flatMap { column =>
+        columnBounds(column)(st =>
+          if (st.isNumNullsSet && st.getNumNulls >= 0) Some(st.getNumNulls)
+          else None)
+          .map(ns => (column, ns.sum))
+      }
+      Entry(commitDir, file, rows, stats, sstats = sstats, nulls = nulls.toSeq)
     } finally reader.close()
   }
 
@@ -1696,13 +1848,13 @@ object SnapshotTable {
     * contributes nothing and stays conservatively readable. */
   private def withPartitionStats(e: Entry): Entry = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val kvs = e.filePath.stripPrefix(e.commitDir).split("/")
+    val kvsAll = e.filePath.stripPrefix(e.commitDir).split("/")
       .filter(seg => seg.nonEmpty && seg.contains("=")).toSeq
       .map { seg =>
         (ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '=')),
           ExternalCatalogUtils.unescapePathName(seg.dropWhile(_ != '=').drop(1)))
       }
-      .filter(_._2 != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+    val kvs = kvsAll.filter(_._2 != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
     val num = kvs.flatMap { case (k, v) =>
       v.toDoubleOption.collect {
         case d if !e.stats.exists(_._1 == k) => (k, d, d)
@@ -1712,8 +1864,18 @@ object SnapshotTable {
       case (k, v) if v.toDoubleOption.isEmpty && !e.sstats.exists(_._1 == k) =>
         (k, v, v)
     }
-    if (num.isEmpty && str.isEmpty) e
-    else e.copy(stats = e.stats ++ num, sstats = e.sstats ++ str)
+    // a partition value is constant over the file: a non-NULL value
+    // is a free zero null count; `__HIVE_DEFAULT_PARTITION__` means
+    // every row is NULL there (count = footer rows, when known)
+    val nul = kvsAll.flatMap { case (k, v) =>
+      if (e.nulls.exists(_._1 == k)) None
+      else if (v != ExternalCatalogUtils.DEFAULT_PARTITION_NAME) Some((k, 0L))
+      else if (e.rows >= 0) Some((k, e.rows))
+      else None
+    }
+    if (num.isEmpty && str.isEmpty && nul.isEmpty) e
+    else e.copy(stats = e.stats ++ num, sstats = e.sstats ++ str,
+      nulls = e.nulls ++ nul)
   }
 
   // ---- per-file bloom filters --------------------------------------
@@ -1771,13 +1933,22 @@ object SnapshotTable {
       .groupBy("_graft_file").agg(hashed.head, hashed.tail: _*)
       .collect()
     val byFile: Map[String, Map[String, String]] = perFile.map { r =>
-      val key = new Path(r.getString(0)).toUri.getPath
-      key -> eligible.zipWithIndex.map { case (c, i) =>
+      normFile(r.getString(0)) -> eligible.zipWithIndex.map { case (c, i) =>
         c -> java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](i + 1))
       }.toMap
     }.toMap
+    // every non-empty file MUST have produced an aggregation group —
+    // a miss means the input_file_name/manifest path identities
+    // drifted, which would silently leave files bloom-less (pruning
+    // quietly defeated, never wrong results). Fail loudly instead.
+    val missing = entries.filter(e =>
+      e.rows > 0 && !byFile.contains(normFile(e.filePath)))
+    require(missing.isEmpty,
+      s"bloom build matched no aggregation group for ${missing.size} " +
+        s"non-empty file(s) (e.g. ${missing.head.filePath}) — " +
+        "input_file_name/manifest path normalization drift")
     entries.map { e =>
-      byFile.get(new Path(e.filePath).toUri.getPath) match {
+      byFile.get(normFile(e.filePath)) match {
         case Some(m) => e.copy(blooms = eligible.flatMap(c => m.get(c).map(c -> _)))
         case None    => e // zero-row file: no group, conservatively bloom-less
       }
@@ -1831,10 +2002,41 @@ object SnapshotTable {
     case _ => None
   }
 
+  // Decoded blooms are pure functions of their base64 payload, and
+  // the same payload string rides every manifest that lists the file
+  // — memoized, so repeated point lookups / merge probes over a
+  // bloom-heavy table stop re-base64ing up to manifest-size bytes of
+  // driver CPU per query. Keyed by payload VALUE (identical across
+  // cached manifest versions), weight-bounded by payload size, LRU.
+  private val bloomDecodeCacheMaxBytes = 64L << 20
+  private val bloomDecodeCache = new java.util.LinkedHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter](64, 0.75f, true)
+  private var bloomDecodeCacheBytes = 0L
+  /** Test/metrics hook: decode cache misses (actual deserializations). */
+  private[lake] val bloomDecodes = new java.util.concurrent.atomic.AtomicLong
+  private[lake] def clearBloomDecodeCache(): Unit =
+    bloomDecodeCache.synchronized {
+      bloomDecodeCache.clear(); bloomDecodeCacheBytes = 0L
+    }
+
   private def decodeBloom(payload: String)
       : org.apache.spark.util.sketch.BloomFilter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      java.util.Base64.getDecoder.decode(payload))
+    bloomDecodeCache.synchronized {
+      Option(bloomDecodeCache.get(payload)).getOrElse {
+        bloomDecodes.incrementAndGet()
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          java.util.Base64.getDecoder.decode(payload))
+        bloomDecodeCache.put(payload, bf)
+        bloomDecodeCacheBytes += payload.length.toLong
+        val it = bloomDecodeCache.entrySet().iterator()
+        while (bloomDecodeCacheBytes > bloomDecodeCacheMaxBytes &&
+            bloomDecodeCache.size() > 1 && it.hasNext) {
+          bloomDecodeCacheBytes -= it.next().getKey.length.toLong
+          it.remove()
+        }
+        bf
+      }
+    }
 
   /** Per-conjunct point-lookup hash sets implied by a predicate, for
     * bloom file skipping: `attr = literal` and `attr IN (literals…)`
@@ -2207,7 +2409,8 @@ object SnapshotTable {
     bVersions.filter(_ > mainHead).foreach { v =>
       val m = readManifestFull(spark, bh, v)
       require(publishManifest(spark, path, v, m.entries, m.schema, m.op,
-        m.constraints, m.transforms, m.retiredTransforms, m.txns, m.bloomCols),
+        m.constraints, m.transforms, m.retiredTransforms, m.txns, m.bloomCols,
+        m.opKeys),
         s"concurrent main writer during fastForward at v$v — main holds a " +
           s"valid branch prefix up to v${v - 1}; re-run to continue")
     }
@@ -2613,8 +2816,17 @@ object SnapshotTable {
     * lacking stats on every key column are conservatively included.
     */
   private def keyRewriteSet(spark: SparkSession, path: String, base: Long,
-      entries: Seq[Entry], source: DataFrame,
+      entries0: Seq[Entry], source: DataFrame,
       keyCols: Seq[String]): Set[String] = {
+    // a file recording ALL-NULL in some key column can never hold a
+    // matched row — SQL equality never matches NULL, whatever the
+    // source keys — so it is excluded outright (carried over, not
+    // rewritten). This is the null-stats analogue of bounds pruning,
+    // and the only stats that CAN prune such a file: an all-null
+    // chunk records no min/max at all.
+    val entries = entries0.filterNot(e =>
+      e.rows >= 0 && keyCols.exists(c =>
+        e.nulls.find(_._1 == c).exists(_._2 == e.rows)))
     // files prunable via stats: those carrying min/max for EVERY key
     // column (others must be rewritten unconditionally). Numeric keys
     // compare against numeric footer intervals; STRING keys against
@@ -2849,7 +3061,7 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val entries = readManifest(spark, path, base)
-    def normalize(p: String): String = new Path(p).toUri.getPath
+    def normalize(p: String): String = normFile(p)
     // sqlAlias: the SQL path may qualify predicate columns with the
     // table name (`DELETE FROM t WHERE t.c = 1`) — aliasing the scan
     // lets both qualified and bare references resolve
@@ -3027,7 +3239,7 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val entries = readManifest(spark, path, base)
-    def normalize(p: String): String = new Path(p).toUri.getPath
+    def normalize(p: String): String = normFile(p)
     def aliased(df: DataFrame): DataFrame = sqlAlias.fold(df)(df.alias(_))
     val current = aliased(read(spark, path, Some(base)))
     val fields = current.schema.fields
@@ -3145,6 +3357,24 @@ object SnapshotTable {
       minAgeMs: Long = 0L, protectConsumers: Seq[String] = Nil): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
     val f = fs(spark, path)
+    // Complete any crashed checkpoint swap from a previous vacuum on
+    // a non-atomic-rename store (see the materialization loop below):
+    // a `v<k>.ckpt` sidecar with `v<k>` missing is the staged
+    // replacement — rename it into place; a sidecar beside an intact
+    // `v<k>` is a pre-delete leftover (same logical content) — drop
+    // it so this run's loop re-materializes from a clean slate.
+    if (f.exists(new Path(logDir(path))))
+      f.listStatus(new Path(logDir(path))).map(_.getPath).foreach { pth =>
+        pth.getName match {
+          case versionCkptName(n) =>
+            val vp = new Path(s"${logDir(path)}/v$n")
+            if (!f.exists(vp)) {
+              require(f.rename(pth, vp), s"vacuum: cannot repair $vp from $pth")
+              clearManifestCacheFor(path, n.toLong)
+            } else f.delete(pth, false)
+          case _ => ()
+        }
+      }
     val all = versions(spark, path)
     val cutoff = System.currentTimeMillis() - minAgeMs
     val floor: Long = protectConsumers
@@ -3224,13 +3454,28 @@ object SnapshotTable {
           s"${logDir(path)}/.tmp-ckpt-${java.util.UUID.randomUUID.toString.take(12)}")
         val out = f.create(tmp, true)
         try out.write(manifestBytes(full)) finally out.close()
-        if (f.getScheme == "file")
+        if (f.getScheme == "file" && !forceNonAtomic)
           java.nio.file.Files.move(
             java.nio.file.Paths.get(tmp.toUri.getPath),
             java.nio.file.Paths.get(vp.toUri.getPath),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        else { f.delete(vp, false); f.rename(tmp, vp) }
+        else {
+          // No overwrite-capable atomic rename (object stores, HDFS):
+          // a bare delete+rename has a crash window where committed
+          // v$k does not exist — later deltas would lose their replay
+          // base and a concurrent replay through v$k would hit
+          // FileNotFound. Stage the checkpoint at the `v$k.ckpt`
+          // sidecar FIRST: readers fall back to the sidecar whenever
+          // v$k is missing (versionFileStatus), and the next vacuum
+          // completes a crashed swap (repair loop above), so v$k's
+          // content is reachable at every instant of the protocol.
+          val side = new Path(s"${logDir(path)}/v$k.ckpt")
+          f.delete(side, false)
+          require(f.rename(tmp, side), s"vacuum: cannot stage checkpoint $side")
+          f.delete(vp, false)
+          require(f.rename(side, vp), s"vacuum: cannot publish checkpoint $vp")
+        }
         // some object-store connectors don't support setTimes; a
         // slightly shifted history() timestamp is the lesser evil
         try f.setTimes(vp, mtime, -1)

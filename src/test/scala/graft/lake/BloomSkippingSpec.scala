@@ -177,6 +177,37 @@ class BloomSkippingSpec extends SparkTestBase {
     assert(fp < 300, s"FPR ${fp / 10000.0} far above the 1% design point")
   }
 
+  test("blooms attach under paths with URL-encodable characters (space in dir name)") {
+    // input_file_name() returns a URI-ESCAPED string while manifest
+    // paths carry literal characters — withBlooms must normalize both
+    // sides or these files silently stay bloom-less (and its internal
+    // every-non-empty-file-got-a-bloom require would throw here)
+    val path = Files.createTempDirectory("graft bloom sp").toString + "/t a ble"
+    buildTable(path, 300, 3)
+    val v = SnapshotTable.latestVersion(spark, path).get
+    val dataFiles = SnapshotTable.readManifest(spark, path, v).filter(_.rows > 0)
+    assert(dataFiles.nonEmpty)
+    assert(dataFiles.forall(_.blooms.exists(_._1 == "id")),
+      "files under a URL-encodable path missed their blooms")
+    val qAbs = SnapshotTable.readWhere(spark, path, col("id") === "zz-absent")
+    assert(qAbs.count() === 0 && scannedFiles(qAbs) === 0)
+  }
+
+  test("decoded blooms are memoized: repeated point lookups never re-deserialize") {
+    val path = Files.createTempDirectory("graft-bloom-cache").toString + "/t"
+    buildTable(path, 600, 6)
+    SnapshotTable.clearBloomDecodeCache()
+    val before = SnapshotTable.bloomDecodes.get()
+    SnapshotTable.readWhere(spark, path, col("id") === key(49)).count()
+    val firstProbe = SnapshotTable.bloomDecodes.get() - before
+    assert(firstProbe > 0, "cold probe must decode payloads")
+    // different keys, same files: every payload is already decoded
+    SnapshotTable.readWhere(spark, path, col("id") === key(123)).count()
+    SnapshotTable.readWhere(spark, path, col("id") === "zz-absent").count()
+    assert(SnapshotTable.bloomDecodes.get() - before === firstProbe,
+      "warm probes re-decoded bloom payloads")
+  }
+
   test("ineligible and unknown columns are rejected; non-bloom tables unaffected") {
     val path = Files.createTempDirectory("graft-bloom8").toString + "/t"
     SnapshotTable.create(spark, path,

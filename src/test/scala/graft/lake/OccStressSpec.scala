@@ -1,0 +1,169 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Optimistic-concurrency STRESS: the CAS commit loop
+  * (SnapshotTable.commit), the write-skew guards on the rewrite
+  * paths, and the lease-break lock under real thread contention —
+  * the multi-writer semantics a 1000-executor deployment's drivers
+  * rely on, adversarially exercised rather than assumed. */
+class OccStressSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("8 threads x 3 disjoint-partition appends: versions dense, no lost update") {
+    val path = Files.createTempDirectory("graft-occ-app").toString + "/t"
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { tid =>
+      new Thread(() =>
+        try (1 to 3).foreach { j =>
+          SnapshotTable.append(
+            Seq((s"t$tid-$j", tid.toLong)).toDF("id", "p").coalesce(1),
+            path, Seq("p"))
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"contended appends failed: ${errs.peek()}")
+    // linearized log: exactly one commit per attempt, no gaps, no
+    // overwrites (a lost CAS would leave a gap or a missing row)
+    assert(SnapshotTable.versions(spark, path) === (1L to 24L))
+    val got = SnapshotTable.read(spark, path)
+    assert(got.count() === 24)
+    assert(got.select("id").as[String].collect().toSet ===
+      (for (t <- 1 to 8; j <- 1 to 3) yield s"t$t-$j").toSet)
+    // every version's manifest parses and carries the schema forward
+    (1L to 24L).foreach { v =>
+      assert(SnapshotTable.read(spark, path, Some(v)).count() === v)
+    }
+  }
+
+  test("conflicting merge pair: loser aborts with the write-skew guard, rerun lands both") {
+    val path = Files.createTempDirectory("graft-occ-mrg").toString + "/t"
+    // one file so both merges PROVABLY rewrite the same file state
+    SnapshotTable.append(
+      (1 to 20).map(i => (i.toLong, 0.0)).toDF("k", "v").coalesce(1), path)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    def mergeWave(keys: Seq[Long], value: Double): Thread = new Thread(() => {
+      val src = keys.map((_, value)).toDF("k", "v").coalesce(1)
+      gate.await()
+      try SnapshotTable.merge(src, path, Seq("k"))
+      catch {
+        case t: Throwable if Option(t.getMessage)
+            .exists(_.contains("concurrent commit advanced")) =>
+          // the documented contract: the loser reruns against the
+          // winner's base
+          try SnapshotTable.merge(src, path, Seq("k"))
+          catch { case u: Throwable => errs.add(u); () }
+        case t: Throwable => errs.add(t); ()
+      }
+    })
+    val a = mergeWave(Seq(1L, 2L), 10.0)
+    val b = mergeWave(Seq(2L, 3L), 20.0)
+    a.start(); b.start(); a.join(); b.join()
+    assert(errs.isEmpty, s"merge contention broke: ${errs.peek()}")
+    val byK = SnapshotTable.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byK.size === 20, "merge contention lost or duplicated rows")
+    // k=1 took wave A, k=3 wave B; k=2 took WHICHEVER ran last —
+    // never a torn mix, never the base value
+    assert(byK(1L) === 10.0 && byK(3L) === 20.0)
+    assert(byK(2L) === 10.0 || byK(2L) === 20.0)
+    assert((4L to 20L).forall(k => byK(k) === 0.0))
+  }
+
+  test("append racing a delete: the delete's rerun contract holds, no resurrection") {
+    val path = Files.createTempDirectory("graft-occ-del").toString + "/t"
+    SnapshotTable.append(
+      (1 to 10).map(i => (i.toLong, "base")).toDF("k", "s").coalesce(1), path)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      gate.await()
+      try SnapshotTable.append(Seq((100L, "late")).toDF("k", "s").coalesce(1), path)
+      catch { case t: Throwable => errs.add(t); () }
+    })
+    val deleter = new Thread(() => {
+      gate.await()
+      try SnapshotTable.delete(spark, path, col("k") <= 5L)
+      catch {
+        case t: Throwable if Option(t.getMessage)
+            .exists(_.contains("concurrent commit advanced")) =>
+          try SnapshotTable.delete(spark, path, col("k") <= 5L)
+          catch { case u: Throwable => errs.add(u); () }
+        case t: Throwable => errs.add(t); ()
+      }
+    })
+    appender.start(); deleter.start(); appender.join(); deleter.join()
+    assert(errs.isEmpty, s"append/delete race broke: ${errs.peek()}")
+    val ks = SnapshotTable.read(spark, path).select("k").as[Long].collect().toSet
+    assert(ks === ((6L to 10L).toSet + 100L),
+      s"race lost a commit or resurrected deleted rows: $ks")
+  }
+
+  test("lease-break fuzz: short-lease lock + planted dead holder, 6 contending writers") {
+    val path = Files.createTempDirectory("graft-occ-lock").toString + "/t"
+    // non-atomic publish (object-store simulation) forces every
+    // commit through the lock; a mutual-exclusion failure would lose
+    // a version (both "winning" the same CAS) and fail the density
+    // assert below
+    sys.props("graft.snapshot.testForceNonAtomic") = "true"
+    SnapshotTable.setLockProvider(Some(
+      new FileCommitLockProvider(leaseMs = 400L, acquireTimeoutMs = 60000L)))
+    try {
+      // plant a crashed holder's stale lock: the first acquirer must
+      // token-break it, racing the other five
+      val lockFile = java.nio.file.Paths.get(s"$path/_graft_log/.commit.lock")
+      java.nio.file.Files.createDirectories(lockFile.getParent)
+      java.nio.file.Files.write(lockFile, "dead-holder".getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(lockFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000L))
+      val errs = new ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 6).map { tid =>
+        new Thread(() =>
+          try (1 to 2).foreach { j =>
+            SnapshotTable.append(
+              Seq((s"t$tid-$j", tid.toLong)).toDF("id", "p").coalesce(1), path)
+          } catch { case t: Throwable => errs.add(t); () })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errs.isEmpty, s"lock fuzz failed: ${errs.peek()}")
+      assert(SnapshotTable.versions(spark, path) === (1L to 12L))
+      assert(SnapshotTable.read(spark, path).count() === 12)
+      assert(!java.nio.file.Files.exists(lockFile), "lock not released")
+    } finally {
+      sys.props.remove("graft.snapshot.testForceNonAtomic")
+      SnapshotTable.setLockProvider(None)
+    }
+  }
+
+  test("constraint added mid-stream is enforced by every later contended commit") {
+    val path = Files.createTempDirectory("graft-occ-cs").toString + "/t"
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), path)
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() =>
+      try (2 to 9).foreach { i =>
+        SnapshotTable.append(Seq((i.toLong, i * 1.0)).toDF("k", "v").coalesce(1), path)
+      } catch { case t: Throwable => errs.add(t); () })
+    val constrainer = new Thread(() =>
+      try SnapshotTable.addCheckConstraint(spark, path, "v_pos", "v > 0")
+      catch { case t: Throwable => errs.add(t); () })
+    appender.start(); constrainer.start(); appender.join(); constrainer.join()
+    assert(errs.isEmpty, s"constraint race broke: ${errs.peek()}")
+    // the constraint survived every later carry-over recompute…
+    assert(SnapshotTable.checkConstraints(spark, path).contains("v_pos"))
+    assert(SnapshotTable.read(spark, path).count() === 9)
+    // …and is enforced on the next write
+    intercept[Exception] {
+      SnapshotTable.append(Seq((99L, -1.0)).toDF("k", "v").coalesce(1), path)
+    }
+  }
+}

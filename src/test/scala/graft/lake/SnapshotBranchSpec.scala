@@ -81,6 +81,26 @@ class SnapshotBranchSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, path, Some(2L)).count() === 10)
   }
 
+  test("fastForward preserves merge opKeys: CDF update images classify identically on main") {
+    val path = Files.createTempDirectory("graft-br-ffk").toString + "/t"
+    SnapshotTable.append(mkRows("a", Seq("2024-01-01")).coalesce(1), path)      // v1
+    SnapshotTable.createBranch(spark, path, "dev")
+    val bh = SnapshotTable.branchHandle(path, "dev")
+    val upd = Seq(("a-0-0", "2024-01-01", 99.0)).toDF("id", "event_date", "v")
+    SnapshotTable.merge(upd.coalesce(1), bh, Seq("id"))                         // branch v2
+    val branchTags = SnapshotTable.changes(spark, bh, 1L, 2L)
+      .select("_change_type").as[String].collect().sorted.toSeq
+    assert(branchTags.contains("update_preimage") &&
+      branchTags.contains("update_postimage"))
+    SnapshotTable.fastForward(spark, path, "dev")
+    // the SAME logical commit must classify the same on main — the
+    // replay carries the merge's #opKeys header
+    val mainTags = SnapshotTable.changes(spark, path, 1L, 2L)
+      .select("_change_type").as[String].collect().sorted.toSeq
+    assert(mainTags === branchTags,
+      s"fastForward dropped opKeys: main=$mainTags branch=$branchTags")
+  }
+
   test("fastForward refuses a diverged main; cherryPick applies the append") {
     val path = Files.createTempDirectory("graft-br-cp").toString + "/t"
     SnapshotTable.append(mkRows("a", Seq("2024-01-01")), path, Seq("event_date")) // v1

@@ -103,6 +103,41 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, path).count() === 6)
   }
 
+  test("vacuum checkpoint swap: .ckpt sidecar readable mid-crash, repaired by next vacuum") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-log-ckpt").toString + "/t"
+    (1 to 6).foreach { i =>
+      SnapshotTable.append(Seq((i.toLong, i.toString)).toDF("id", "s").coalesce(1), path)
+    }
+    // exercise the non-atomic-rename materialization branch (the
+    // object-store protocol) on the local FS
+    sys.props("graft.snapshot.testForceNonAtomic") = "true"
+    try {
+      SnapshotTable.vacuum(spark, path, keepVersions = 3)             // expires v1..v3
+      assert(!isDelta(path, 4), "v4 must be materialized via the sidecar protocol")
+      assert(!Files.exists(Paths.get(vFile(path, 4) + ".ckpt")),
+        "completed swap leaves no sidecar")
+      // simulate the crash window: v4 deleted, staged sidecar present
+      Files.move(Paths.get(vFile(path, 4)), Paths.get(vFile(path, 4) + ".ckpt"))
+      SnapshotTable.clearManifestCache()
+      assert(SnapshotTable.versions(spark, path) === Seq(4L, 5L, 6L),
+        "mid-swap, the sidecar IS version 4")
+      assert(SnapshotTable.read(spark, path, Some(4L)).count() === 4)
+      // the v5 delta replays onto the sidecar base
+      assert(SnapshotTable.read(spark, path).count() === 6)
+      // the next vacuum completes the swap before anything else
+      SnapshotTable.vacuum(spark, path, keepVersions = 3)
+      assert(Files.exists(Paths.get(vFile(path, 4))))
+      assert(!Files.exists(Paths.get(vFile(path, 4) + ".ckpt")))
+      // a leftover sidecar beside an INTACT version file is dropped
+      Files.copy(Paths.get(vFile(path, 5)), Paths.get(vFile(path, 5) + ".ckpt"))
+      SnapshotTable.vacuum(spark, path, keepVersions = 3)
+      assert(!Files.exists(Paths.get(vFile(path, 5) + ".ckpt")))
+      SnapshotTable.clearManifestCache()
+      assert(SnapshotTable.read(spark, path).count() === 6)
+    } finally { sys.props.remove("graft.snapshot.testForceNonAtomic"); () }
+  }
+
   test("branch fork manifests are checkpoints; branch commits are deltas in the branch log") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-log-br").toString + "/t"
