@@ -1576,6 +1576,47 @@ object EvQueries {
        |FROM gold WHERE opt_kwh IS NOT NULL
        |ORDER BY sessionId""".stripMargin
 
+  /** Column mapping — RENAME/DROP COLUMN as METADATA-ONLY commits
+    * (Delta name-mapping / Iceberg metadata-rename shape): the gold
+    * fact renames kwhTotal → energy_kwh and drops platform with ZERO
+    * files rewritten (`files_stable`, asserted against the live-file
+    * set), the post-rename read serves the new name, and time travel
+    * to v1 still reads the ORIGINAL schema and values
+    * (`old_schema_ok`). */
+  def columnMapping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-cm-gate")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"),
+      col("platform")).coalesce(1).persist()
+    try {
+      SnapshotTable.append(gold, path)                                  // v1
+      val files1 = SnapshotTable.liveFiles(spark, path).toSet
+      SnapshotTable.renameColumn(spark, path, "kwhTotal", "energy_kwh") // v2
+      SnapshotTable.dropColumn(spark, path, "platform")                 // v3
+      val filesStable = SnapshotTable.liveFiles(spark, path).toSet == files1
+      val old = SnapshotTable.read(spark, path, Some(1L))
+      val oldSchemaOk =
+        old.columns.toSeq == Seq("sessionId", "kwhTotal", "platform") &&
+          old.agg(round(sum("kwhTotal"), 2)).as[Double].head() ==
+            gold.agg(round(sum("kwhTotal"), 2)).as[Double].head()
+      SnapshotTable.read(spark, path)
+        .withColumn("files_stable", lit(filesStable))
+        .withColumn("old_schema_ok", lit(oldSchemaOk))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val columnMappingSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, kwhTotal AS energy_kwh,
+       |  true AS files_stable, true AS old_schema_ok
+       |FROM gold ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1607,5 +1648,6 @@ object EvQueries {
     QDef("ev26_bloom_skipping", bloomSkipping, Some(bloomSkippingSql)),
     QDef("ev27_cdc_update_images", cdcUpdateImages, Some(cdcUpdateImagesSql)),
     QDef("ev28_null_skipping", nullSkipping, Some(nullSkippingSql)),
+    QDef("ev29_column_mapping", columnMapping, Some(columnMappingSql)),
   )
 }

@@ -141,17 +141,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    val rest = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val rest = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
+      c.isInstanceOf[TableChange.RenameColumn] ||
+      c.isInstanceOf[TableChange.DeleteColumn])
       // table/column comments and properties have no manifest slot yet;
       // accept-and-ignore would silently drop user intent, so refuse
-    require(rest.isEmpty, "GraftCatalog supports ALTER TABLE ... ADD COLUMNS " +
-      s"only; got: ${rest.map(_.getClass.getSimpleName).mkString(", ")}")
+    require(rest.isEmpty, "GraftCatalog supports ALTER TABLE ... ADD COLUMNS / " +
+      "RENAME COLUMN / DROP COLUMN only; got: " +
+      rest.map(_.getClass.getSimpleName).mkString(", "))
     if (adds.nonEmpty) {
       adds.foreach(a => require(a.fieldNames.length == 1,
         "nested ADD COLUMN is not supported"))
       SnapshotTable.addColumns(spark, path, adds.map(a =>
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
           nullable = true)))
+    }
+    renames.foreach { r =>
+      require(r.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
+      SnapshotTable.renameColumn(spark, path, r.fieldNames.head, r.newName)
+    }
+    drops.foreach { d =>
+      require(d.fieldNames.length == 1, "nested DROP COLUMN is not supported")
+      SnapshotTable.dropColumn(spark, path, d.fieldNames.head)
     }
     GraftTable(ident.toString, path)
   }

@@ -107,7 +107,8 @@ object SnapshotIncremental {
       if (added.isEmpty)
         SnapshotTable.read(spark, path, Some(toVersion)).limit(0)
       else {
-        val raw = SnapshotTable.readGroups(spark, added, schema)
+        val raw = SnapshotTable.readGroups(spark, added, schema,
+          SnapshotTable.readManifestFull(spark, path, toVersion).colmap)
         // hidden partition columns are layout, not data
         raw.drop(raw.columns.filter(_.startsWith("__p_")).toSeq: _*)
       }

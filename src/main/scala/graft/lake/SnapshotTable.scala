@@ -189,13 +189,26 @@ object SnapshotTable {
     * per-application transaction watermarks (`txns`: app id → highest
     * committed version, the Delta SetTransaction shape backing the
     * exactly-once streaming sink) — all from a single file read. */
+  /** `colmap`: COLUMN MAPPING (Delta name-mapping shape) — logical
+    * column name → PHYSICAL (on-disk parquet) name; identity entries
+    * are omitted. Lets RENAME COLUMN be a metadata-only commit (the
+    * files keep the original physical name) and DROP COLUMN hide a
+    * column without rewrite. `droppedPhys` tombstones the physical
+    * names of dropped columns so a later ADD COLUMN can never
+    * silently resurrect the old bytes under a fresh logical name. */
   private[lake] case class Manifest(schema: Option[StructType], entries: Seq[Entry],
       op: Option[String], constraints: Map[String, String] = Map.empty,
       transforms: Seq[PartitionTransform] = Nil,
       retiredTransforms: Seq[PartitionTransform] = Nil,
       txns: Map[String, Long] = Map.empty,
       bloomCols: Seq[String] = Nil,
-      opKeys: Seq[String] = Nil)
+      opKeys: Seq[String] = Nil,
+      colmap: Map[String, String] = Map.empty,
+      droppedPhys: Seq[String] = Nil,
+      autoCompact: Option[(Int, Long)] = None) {
+    /** Physical (on-disk) name of a logical column. */
+    def phys(c: String): String = colmap.getOrElse(c, c)
+  }
 
   // `#constraints=` header codec: URL-encode every name/expr token so
   // no raw tab can appear, then tab-join (name, expr) pairs flat. Self
@@ -386,6 +399,19 @@ object SnapshotTable {
       .map(_.stripPrefix("#opKeys=").split(",").toSeq
         .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")))
       .getOrElse(Nil)
+    val colmap = lines.find(_.startsWith("#colmap="))
+      .map(l => decodeConstraints(l.stripPrefix("#colmap=")))
+      .getOrElse(Map.empty[String, String])
+    val droppedPhys = lines.find(_.startsWith("#colsDropped="))
+      .map(_.stripPrefix("#colsDropped=").split(",").toSeq
+        .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")))
+      .getOrElse(Nil)
+    val autoCompact = lines.find(_.startsWith("#autocompact="))
+      .map(_.stripPrefix("#autocompact=").split("#") match {
+        case Array(n, r) => (n.toInt, r.toLong)
+        case other => throw new IllegalArgumentException(
+          s"bad #autocompact header: ${other.mkString("#")}")
+      })
     val deltaBase = lines.find(_.startsWith("#delta="))
       .map(_.stripPrefix("#delta=").toLong)
     val adds = Seq.newBuilder[Entry]
@@ -396,7 +422,8 @@ object SnapshotTable {
       else adds += parseEntryLine(line)
     }
     (Manifest(schema, adds.result(), op, constraints, transforms, retired, txns,
-      bloomCols, opKeys), deltaBase, removes.result())
+      bloomCols, opKeys, colmap, droppedPhys, autoCompact),
+      deltaBase, removes.result())
   }
 
   /** Multiset a − b over full Entry equality (a file whose DV or
@@ -503,15 +530,12 @@ object SnapshotTable {
     * check-and-rename, restoring the CAS) or the explicit
     * single-writer opt-out. Content is fully written to the tmp file
     * first, so a reader can never observe a partial manifest. */
+  /** The manifest `m` is published WHOLE — every header field rides
+    * along, so a new Manifest field can never be silently dropped by
+    * a publish site (the bug class the old 11-parameter signature
+    * invited: fastForward once lost opKeys this way). */
   private def publishManifest(spark: SparkSession, path: String, version: Long,
-      entries: Seq[Entry], schema: Option[StructType] = None,
-      op: Option[String] = None,
-      constraints: Map[String, String] = Map.empty,
-      transforms: Seq[PartitionTransform] = Nil,
-      retiredTransforms: Seq[PartitionTransform] = Nil,
-      txns: Map[String, Long] = Map.empty,
-      bloomCols: Seq[String] = Nil,
-      opKeys: Seq[String] = Nil): Boolean = {
+      m: Manifest): Boolean = {
     val f = fs(spark, path)
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
     val atomicScheme = !nonAtomicSchemes.contains(scheme) && !forceNonAtomic
@@ -524,8 +548,7 @@ object SnapshotTable {
         "serialize publishes — the safe multi-writer path — or guarantee a " +
         "single writer and set -Dgraft.snapshot.allowNonAtomicPublish=true.")
     f.mkdirs(new Path(logDir(path)))
-    val m = Manifest(schema, entries, op, constraints, transforms,
-      retiredTransforms, txns, bloomCols, opKeys)
+    val entries = m.entries
     val fullBytes = manifestBytes(m)
     // Incremental log: publish a DELTA against v−1 when one exists
     // and is smaller — commit IO proportional to files touched, not
@@ -595,7 +618,13 @@ object SnapshotTable {
           .mkString(",")}\n" else "") +
       (if (m.opKeys.nonEmpty)
         s"#opKeys=${m.opKeys.map(java.net.URLEncoder.encode(_, "UTF-8"))
-          .mkString(",")}\n" else "")
+          .mkString(",")}\n" else "") +
+      (if (m.colmap.nonEmpty)
+        s"#colmap=${encodeConstraints(m.colmap)}\n" else "") +
+      (if (m.droppedPhys.nonEmpty)
+        s"#colsDropped=${m.droppedPhys.map(java.net.URLEncoder.encode(_, "UTF-8"))
+          .mkString(",")}\n" else "") +
+      m.autoCompact.map { case (n, r) => s"#autocompact=$n#$r\n" }.getOrElse("")
 
   private def entryLine(e: Entry): String = {
     val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
@@ -684,12 +713,16 @@ object SnapshotTable {
     * [[compact]]) must keep this layout or [[overwritePartitions]]'s
     * path-fragment matching silently stops finding the rewritten
     * files. */
-  private def inferPartitionCols(entries: Seq[Entry]): Seq[String] = {
+  private def inferPartitionCols(entries: Seq[Entry],
+      rev: Map[String, String] = Map.empty): Seq[String] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    // dirs carry PHYSICAL names; `rev` (physical -> logical) hands
+    // callers the logical layout their frames actually use
     entries.headOption.toSeq.flatMap { e =>
       e.filePath.stripPrefix(e.commitDir).split("/")
         .filter(seg => seg.nonEmpty && seg.contains("=")).toSeq
         .map(seg => ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '=')))
+        .map(c => rev.getOrElse(c, c))
     }
   }
 
@@ -792,11 +825,21 @@ object SnapshotTable {
         transforms.map(_.pcol) ++ partitionCols.filterNot(c =>
           c.startsWith("__p_") || transforms.map(_.pcol).contains(c)))
     val guarded = withConstraintGuard(data, guardedCs)
-    val w = guarded.write.mode("errorifexists").option("compression", "zstd")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(commitDir)
+    // column mapping: data files store PHYSICAL names — the logical
+    // frame is renamed just before the write (constraint guards above
+    // were bound against logical names), partition dirs included
+    val cm: Map[String, String] = prevMeta.map(_.colmap).getOrElse(Map.empty)
+    val physData =
+      if (cm.isEmpty) guarded
+      else guarded.select(guarded.columns.toSeq.map(c =>
+        col(c).as(cm.getOrElse(c, c))): _*)
+    val physPartCols = partCols.map(c => cm.getOrElse(c, c))
+    val w = physData.write.mode("errorifexists").option("compression", "zstd")
+    (if (physPartCols.nonEmpty) w.partitionBy(physPartCols: _*) else w)
+      .parquet(commitDir)
     val added: Seq[Entry] = withBlooms(spark,
-      commitEntries(spark, commitDir, statsCols),
-      prevMeta.map(_.bloomCols).getOrElse(Nil))
+      commitEntries(spark, commitDir, statsCols.map(c => cm.getOrElse(c, c))),
+      prevMeta.map(_.bloomCols.map(c => cm.getOrElse(c, c))).getOrElse(Nil))
     var attempt = 0
     while (attempt < maxAttempts) {
       // linearized log: the commit targets latest+1 and bases its
@@ -804,15 +847,21 @@ object SnapshotTable {
       // publishes first, the CAS fails and we re-read their manifest
       val version = latestVersion(spark, path).getOrElse(0L) + 1
       val (prevSchema, previous, prevCs, prevTs, prevRetired, prevTxns,
-          prevBloomCols) =
+          prevBloomCols, prevDropped, prevAuto) =
         if (version == 1L)
           (None, Nil, Map.empty[String, String],
             Seq.empty[PartitionTransform], Seq.empty[PartitionTransform],
-            Map.empty[String, Long], Seq.empty[String])
+            Map.empty[String, Long], Seq.empty[String], Seq.empty[String],
+            None: Option[(Int, Long)])
         else {
           val m = readManifestFull(spark, path, version - 1)
+          // our files were written under the PRE-WRITE mapping; a
+          // concurrent rename/drop would make their physical names
+          // stale — abort rather than publish mismatched files
+          require(m.colmap == cm,
+            s"concurrent column-mapping change at $path during commit — rerun")
           (m.schema, m.entries, m.constraints, m.transforms, m.retiredTransforms,
-            m.txns, m.bloomCols)
+            m.txns, m.bloomCols, m.droppedPhys, m.autoCompact)
         }
       // the partition spec may have CHANGED between our pre-write read
       // and this attempt (a concurrent evolvePartitionTransforms or
@@ -835,7 +884,14 @@ object SnapshotTable {
       // files directly (rare contention path, one bounded scan)
       val unguarded = prevCs -- guardedCs.keySet
       if (unguarded.nonEmpty && added.nonEmpty) {
-        val written = spark.read.parquet(commitDir)
+        val written0 = spark.read.parquet(commitDir)
+        // constraint exprs reference LOGICAL names; the files are
+        // physical — alias back before evaluating
+        val rev = cm.map(_.swap)
+        val written =
+          if (cm.isEmpty) written0
+          else written0.select(written0.columns.toSeq.map(c =>
+            col(c).as(rev.getOrElse(c, c))): _*)
         unguarded.foreach { case (name, e) =>
           val bad = written.filter(!coalesce(expr(e), lit(true))).limit(1).count()
           require(bad == 0L,
@@ -848,10 +904,28 @@ object SnapshotTable {
       // columns merge in, a type change on a shared column is drift
       // and fails loudly before any manifest is published
       val merged = mergeSchemas(prevSchema, data.schema, path)
-      if (publishManifest(spark, path, version, carryOver(previous) ++ added,
-          Some(merged), Some(op), prevCs, tsOut, retiredOut, prevTxns,
-          prevBloomCols, opKeys))
+      // a NEW logical column's physical name must not collide with a
+      // tombstoned or still-mapped physical name — either collision
+      // would silently read another column's bytes from old files
+      val newCols = merged.fieldNames.filterNot(c =>
+        prevSchema.exists(_.fieldNames.contains(c)))
+      val physInUse = cm.values.toSet
+      newCols.foreach(c => require(
+        !prevDropped.contains(c) && !physInUse(c),
+        s"cannot add column '$c' at $path: its physical name collides with " +
+          "a dropped or renamed column's on-disk data — choose another name"))
+      if (publishManifest(spark, path, version, Manifest(
+          Some(merged), carryOver(previous) ++ added, Some(op), prevCs,
+          tsOut, retiredOut, prevTxns, prevBloomCols, opKeys, cm, prevDropped,
+          prevAuto))) {
+        // commit-time auto-compaction (Delta autoOptimize posture):
+        // best-effort, never fails the user's commit, and skipped for
+        // the compaction's own commits (no recursion)
+        if (prevAuto.isDefined && op != "autocompact")
+          try maybeAutoCompact(spark, path)
+          catch { case scala.util.control.NonFatal(_) => () }
         return version
+      }
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
     }
@@ -1080,6 +1154,15 @@ object SnapshotTable {
         s"no branch '${branchOf(path).get}' at ${realPathOf(path)} — " +
           "createBranch first; a write through a dropped or unknown " +
           "branch handle does not re-create the branch")
+      // executor-side epoch writers emit the writer's (logical)
+      // column names; a column-mapped table stores PHYSICAL names —
+      // publishing mismatched files would corrupt reads. Honest
+      // limitation, enforced rather than hidden: compact the stream
+      // target or recreate it un-renamed before streaming into it.
+      require(prev.colmap.isEmpty,
+        s"streaming sink target $path uses column mapping (a RENAME " +
+          "COLUMN happened) — the exactly-once sink does not support " +
+          "mapped tables yet")
       if (prev.txns.get(txnAppId).exists(_ >= txnVersion)) {
         // a replay detected mid-retry abandons any re-laid dir too
         layoutDir.foreach(d => fs(spark, path).delete(new Path(d), true): Unit)
@@ -1131,16 +1214,27 @@ object SnapshotTable {
         bloomed = true
       }
       val merged = mergeSchemas(prev.schema, layoutSchema, path)
-      if (publishManifest(spark, path, version, prev.entries ++ added,
-          Some(merged), Some("streamAppend"), prev.constraints, prev.transforms,
-          prev.retiredTransforms, mergeTxns(prev.txns, Map(txnAppId -> txnVersion)),
-          prev.bloomCols)) {
+      merged.fieldNames
+        .filterNot(c => prev.schema.exists(_.fieldNames.contains(c)))
+        .foreach(c => require(!prev.droppedPhys.contains(c),
+          s"cannot stream column '$c' into $path: its physical name " +
+            "collides with a dropped column's on-disk data"))
+      if (publishManifest(spark, path, version, prev.copy(
+          schema = Some(merged), entries = prev.entries ++ added,
+          op = Some("streamAppend"),
+          txns = mergeTxns(prev.txns, Map(txnAppId -> txnVersion)),
+          opKeys = Nil))) {
         // the re-laid dir is what the manifest references now — the
         // epoch's original flat files are superseded
         if (layoutDir.isDefined)
           files.map(_._1).distinct.foreach { d =>
             fs(spark, path).delete(new Path(d), true): Unit
           }
+        // streaming microbatches are the classic small-file source —
+        // the auto-compaction policy fires here too (best-effort)
+        if (prev.autoCompact.isDefined)
+          try maybeAutoCompact(spark, path)
+          catch { case scala.util.control.NonFatal(_) => () }
         return Some(version)
       }
       attempt += 1
@@ -1180,8 +1274,8 @@ object SnapshotTable {
     ts.foreach(t => require(
       schema.fieldNames.exists(_.equalsIgnoreCase(t.src)),
       s"transform ${t.spec}: source column '${t.src}' not in the schema"))
-    require(publishManifest(spark, path, 1L, Nil, Some(schema),
-      Some("create"), transforms = ts),
+    require(publishManifest(spark, path, 1L,
+      Manifest(Some(schema), Nil, Some("create"), transforms = ts)),
       s"table already exists at $path (concurrent create won version 1)")
     1L
   }
@@ -1251,7 +1345,7 @@ object SnapshotTable {
     val analysisFrame = m.schema match {
       case Some(s) => spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
-      case None => readGroups(spark, m.entries, m.schema)
+      case None => readGroups(spark, m.entries, m.schema, m.colmap)
     }
     val raw = sqlAlias.foldLeft(analysisFrame)((df, a) => df.alias(a))
     val hiddenCols = raw.columns.filter(_.startsWith("__p_")).toSeq
@@ -1292,8 +1386,10 @@ object SnapshotTable {
       if (intervals.isEmpty && sbounds.isEmpty && pointKeys.isEmpty &&
           nullReqs.isEmpty) m.entries
       else m.entries.filter { e =>
+        // predicate columns are LOGICAL; every stat family is keyed
+        // by the PHYSICAL (on-disk) name — m.phys bridges renames
         pointKeys.forall { case (c, hs) =>
-          e.blooms.find(_._1 == c) match {
+          e.blooms.find(_._1 == m.phys(c)) match {
             case Some((_, payload)) =>
               val bf = decodeBloom(payload)
               hs.exists(bf.mightContainLong)
@@ -1301,7 +1397,7 @@ object SnapshotTable {
           }
         } &&
         nullReqs.forall { case (c, needsNull) =>
-          e.nulls.find(_._1 == c) match {
+          e.nulls.find(_._1 == m.phys(c)) match {
             // needsNull: the file must HOLD a null; else it must
             // hold a non-null (count < footer rows — unknowable when
             // the row count is unrecorded, so those stay readable).
@@ -1314,7 +1410,7 @@ object SnapshotTable {
           }
         } &&
         intervals.forall { case (c, lo, hi) =>
-          e.stats.find(_._1 == c) match {
+          e.stats.find(_._1 == m.phys(c)) match {
             // NaN-poisoned footer stats (a double/float file containing
             // NaN can record NaN min/max) compare false to everything,
             // which would silently SKIP a file that holds matching real
@@ -1325,7 +1421,7 @@ object SnapshotTable {
           }
         } &&
         sbounds.forall { case (c, lo, hi) =>
-          e.sstats.find(_._1 == c) match {
+          e.sstats.find(_._1 == m.phys(c)) match {
             case Some((_, mn, mx)) =>
               lo.forall(l => utf8Cmp(mx, l) >= 0) &&
                 hi.forall(h => utf8Cmp(mn, h) <= 0)
@@ -1338,7 +1434,7 @@ object SnapshotTable {
         return sqlAlias.foldLeft(emptyFrame(spark, path, v, m))(
           (df, a) => df.alias(a)).filter(predicate)
       else if (m.schema.isEmpty && live.size == m.entries.size) raw
-      else sqlAlias.foldLeft(readGroups(spark, live, m.schema))(
+      else sqlAlias.foldLeft(readGroups(spark, live, m.schema, m.colmap))(
         (df, a) => df.alias(a))
     base.filter(ppred && predicate).drop(hiddenCols: _*)
   }
@@ -1653,14 +1749,114 @@ object SnapshotTable {
       val sch = m.schema.getOrElse(throw new IllegalArgumentException(
         s"table at $path records no schema (pre-recording manifest) — " +
           "append once before evolving"))
-      newFields.foreach(f => require(
-        !sch.fieldNames.exists(_.equalsIgnoreCase(f.name)),
-        s"column '${f.name}' already exists at $path"))
+      newFields.foreach { f =>
+        require(!sch.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+          s"column '${f.name}' already exists at $path")
+        // the new logical name IS its physical name — it must not
+        // collide with a tombstoned or still-mapped physical name,
+        // or old files' bytes would resurface under the new column
+        require(!m.droppedPhys.contains(f.name) &&
+            !m.colmap.values.toSet.contains(f.name),
+          s"cannot add column '${f.name}' at $path: its physical name " +
+            "collides with a dropped or renamed column's on-disk data — " +
+            "choose another name")
+      }
       val (user, hidden) = sch.fields.partition(!_.name.startsWith("__p_"))
       m.copy(schema = Some(StructType(
         user ++ newFields.map(_.copy(nullable = true)) ++ hidden)))
     }
   }
+
+  /** Column names a SQL expression string references (top-level
+    * attribute identifiers), for the rename/drop reference guards —
+    * CHECK constraints and partition transforms record their exprs
+    * over LOGICAL names, which a metadata-only rename would break. */
+  private def exprColumnRefs(spark: SparkSession, exprSql: String): Set[String] =
+    scala.util.Try(
+      spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase
+      }.toSet).getOrElse(Set.empty)
+
+  /** ALTER TABLE ... RENAME COLUMN — METADATA-ONLY via column mapping
+    * (Delta name-mapping shape; Iceberg renames are metadata-only the
+    * same way): the logical name changes in the recorded schema while
+    * every data file keeps the original PHYSICAL parquet name — zero
+    * rewrite at any table size, and time travel to a pre-rename
+    * version still reads the old name (each version's manifest
+    * carries its own schema + mapping). Refused while a CHECK
+    * constraint or partition transform references the column (their
+    * recorded SQL is over logical names); bloom opt-ins follow the
+    * rename. */
+  def renameColumn(spark: SparkSession, path: String,
+      from: String, to: String): Long = {
+    require(to.nonEmpty && !to.startsWith("__p_"),
+      s"invalid column name '$to' ('__p_' is reserved)")
+    publishMetadataCommit(spark, path, "renameColumn") { m =>
+      val sch = m.schema.getOrElse(throw new IllegalArgumentException(
+        s"table at $path records no schema — append once before evolving"))
+      val f = sch.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(s"no column '$from' at $path"))
+      require(!f.name.startsWith("__p_"),
+        "hidden partition columns cannot be renamed")
+      require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists at $path")
+      val refs = m.constraints.filter { case (_, e) =>
+        exprColumnRefs(spark, e).contains(f.name.toLowerCase) }
+      require(refs.isEmpty,
+        s"cannot rename '$from': CHECK constraint(s) " +
+          s"${refs.keys.mkString(", ")} reference it — drop and re-add " +
+          "them around the rename")
+      require(!(m.transforms ++ m.retiredTransforms)
+          .exists(_.src.equalsIgnoreCase(f.name)),
+        s"cannot rename '$from': a partition transform derives from it")
+      val phys = m.phys(f.name)
+      m.copy(
+        schema = Some(StructType(sch.fields.map(x =>
+          if (x.name == f.name) x.copy(name = to) else x))),
+        // identity mappings are never stored; renaming back to the
+        // physical name dissolves the entry
+        colmap = (m.colmap - f.name) ++
+          (if (phys == to) Map.empty[String, String] else Map(to -> phys)),
+        bloomCols = m.bloomCols.map(c =>
+          if (c.equalsIgnoreCase(f.name)) to else c))
+    }
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — METADATA-ONLY: the field leaves
+    * the recorded schema (reads stop projecting it; no rewrite), the
+    * data files keep the bytes (time travel still serves them), and
+    * the physical name is TOMBSTONED so a later ADD COLUMN can never
+    * silently resurrect the old values under a recycled name.
+    * Refused while a CHECK constraint or partition transform
+    * references the column, and for the last user column. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long =
+    publishMetadataCommit(spark, path, "dropColumn") { m =>
+      val sch = m.schema.getOrElse(throw new IllegalArgumentException(
+        s"table at $path records no schema — append once before evolving"))
+      val f = sch.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' at $path"))
+      require(!f.name.startsWith("__p_"),
+        "hidden partition columns cannot be dropped")
+      require(sch.fields.count(!_.name.startsWith("__p_")) > 1,
+        s"cannot drop '$name': it is the table's last user column")
+      val refs = m.constraints.filter { case (_, e) =>
+        exprColumnRefs(spark, e).contains(f.name.toLowerCase) }
+      require(refs.isEmpty,
+        s"cannot drop '$name': CHECK constraint(s) " +
+          s"${refs.keys.mkString(", ")} reference it — drop them first")
+      require(!(m.transforms ++ m.retiredTransforms)
+          .exists(_.src.equalsIgnoreCase(f.name)),
+        s"cannot drop '$name': a partition transform derives from it")
+      require(!inferPartitionCols(m.entries, m.colmap.map(_.swap))
+          .exists(_.equalsIgnoreCase(f.name)),
+        s"cannot drop '$name': it is a hive partition column of the layout")
+      m.copy(
+        schema = Some(StructType(sch.fields.filterNot(_.name == f.name))),
+        colmap = m.colmap - f.name,
+        droppedPhys = (m.droppedPhys :+ m.phys(f.name)).distinct,
+        bloomCols = m.bloomCols.filterNot(_.equalsIgnoreCase(f.name)))
+    }
 
   /** CAS-retry publish of a metadata-only version: no data is
     * written; `mutate` derives the manifest to publish from the
@@ -1678,9 +1874,10 @@ object SnapshotTable {
       // in an old manifest wholesale): an idempotent streaming writer
       // must never re-commit an epoch the table has already seen —
       // Delta's restore keeps SetTransaction identities the same way
-      if (publishManifest(spark, path, base + 1, m.entries, m.schema,
-          Some(op), m.constraints, m.transforms, m.retiredTransforms,
-          mergeTxns(cur.txns, m.txns), m.bloomCols))
+      // metadata commits are never keyed rewrites — opKeys cleared
+      // rather than inherited from the previous commit's label
+      if (publishManifest(spark, path, base + 1, m.copy(op = Some(op),
+          txns = mergeTxns(cur.txns, m.txns), opKeys = Nil)))
         return base + 1
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
@@ -2234,13 +2431,22 @@ object SnapshotTable {
     val target = readManifestFull(spark, path, toVersion)
     publishMetadataCommit(spark, path, "restore") { cur =>
       val tSpecs = target.transforms.map(_.spec).toSet
+      // physical tombstones stay monotonic EXCEPT where the restore
+      // legitimately revives a later-dropped column (its physical
+      // name is back in the restored schema's use)
+      val physInUse = target.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+        .map(c => target.colmap.getOrElse(c, c))
       cur.copy(entries = target.entries, schema = target.schema,
         constraints = target.constraints,
         transforms = target.transforms,
         retiredTransforms =
           (cur.retiredTransforms ++ cur.transforms ++ target.retiredTransforms)
             .filterNot(t => tSpecs(t.spec))
-            .groupBy(_.spec).map(_._2.head).toSeq)
+            .groupBy(_.spec).map(_._2.head).toSeq,
+        bloomCols = target.bloomCols,
+        colmap = target.colmap,
+        droppedPhys = (cur.droppedPhys ++ target.droppedPhys).distinct
+          .filterNot(physInUse))
     }
   }
 
@@ -2271,9 +2477,8 @@ object SnapshotTable {
         throw new IllegalArgumentException(s"no committed version at $sourcePath"))
     }
     val m = readManifestFull(spark, sourcePath, v)
-    require(publishManifest(spark, targetPath, 1L, m.entries, m.schema,
-      Some("clone"), m.constraints, m.transforms, m.retiredTransforms, m.txns,
-      m.bloomCols),
+    require(publishManifest(spark, targetPath, 1L,
+      m.copy(op = Some("clone"), opKeys = Nil)),
       s"concurrent writer created $targetPath during shallowClone")
     1L
   }
@@ -2331,8 +2536,8 @@ object SnapshotTable {
     require(latestVersion(spark, bh).isEmpty,
       s"branch '$name' already exists at $path")
     val m = readManifestFull(spark, path, v)
-    require(publishManifest(spark, bh, v, m.entries, m.schema, Some("branch"),
-      m.constraints, m.transforms, m.retiredTransforms, m.txns, m.bloomCols),
+    require(publishManifest(spark, bh, v,
+      m.copy(op = Some("branch"), opKeys = Nil)),
       s"concurrent writer created branch '$name' during createBranch")
     v
   }
@@ -2407,10 +2612,10 @@ object SnapshotTable {
       s"main's v$mainHead differs from branch '$name' at v$mainHead — " +
         "histories diverged under the same version number; use cherryPick")
     bVersions.filter(_ > mainHead).foreach { v =>
+      // the manifest replays WHOLE (op, opKeys, colmap, …) — same
+      // logical commit, same classification on main
       val m = readManifestFull(spark, bh, v)
-      require(publishManifest(spark, path, v, m.entries, m.schema, m.op,
-        m.constraints, m.transforms, m.retiredTransforms, m.txns, m.bloomCols,
-        m.opKeys),
+      require(publishManifest(spark, path, v, m),
         s"concurrent main writer during fastForward at v$v — main holds a " +
           s"valid branch prefix up to v${v - 1}; re-run to continue")
     }
@@ -2633,10 +2838,10 @@ object SnapshotTable {
     require(box.nonEmpty, "readBox needs at least one (col, lo, hi)")
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-    val entries = readManifest(spark, path, v)
-    val live = entries.filter { e =>
+    val m = readManifestFull(spark, path, v)
+    val live = m.entries.filter { e =>
       box.forall { case (c, lo, hi) =>
-        e.stats.find(_._1 == c) match {
+        e.stats.find(_._1 == m.phys(c)) match {
           // NaN min/max (file contained NaN doubles) → stats unusable;
           // treat as absent so the file is still read, never skipped.
           case Some((_, mn, mx)) if !mn.isNaN && !mx.isNaN =>
@@ -2649,7 +2854,7 @@ object SnapshotTable {
       .reduce(_ && _)
     if (live.isEmpty)
       return (read(spark, path, Some(v)).filter(pred).limit(0), 0)
-    val df = readGroups(spark, live, schemaOf(spark, path, Some(v)))
+    val df = readGroups(spark, live, m.schema, m.colmap)
     val hidden = df.columns.filter(_.startsWith("__p_")).toSeq
     (df.filter(pred).drop(hidden: _*), live.size)
   }
@@ -2667,26 +2872,46 @@ object SnapshotTable {
     * (bounded by the deleteWithVectors collection cap), so the filter
     * costs no shuffle. Plain files keep the direct scan (no metadata
     * columns, nothing in the way of pushdown). */
+  /** `colmap` (logical → physical): the parquet files are read under
+    * the PHYSICAL names and aliased back to the logical schema — the
+    * column-mapping read half; identity (empty map) costs nothing. */
   private[lake] def readGroups(spark: SparkSession, entries: Seq[Entry],
-      schema: Option[StructType]): DataFrame = {
+      schema: Option[StructType],
+      colmap: Map[String, String] = Map.empty): DataFrame = {
     val (dvE, plainE) = entries.partition(_.dv.isDefined)
     val parts = Seq(
-      if (plainE.isEmpty) None else Some(readPlainGroups(spark, plainE, schema)),
+      if (plainE.isEmpty) None
+      else Some(readPlainGroups(spark, plainE, schema, colmap)),
       if (dvE.isEmpty) None
       else {
-        val withPos = readWithPositions(spark, dvE, schema)
+        val withPos = readWithPositions(spark, dvE, schema, colmap)
         val dataCols = withPos.columns.filterNot(_.startsWith("__graft_"))
         Some(applyDvFilter(spark, withPos, dvE).select(dataCols.map(col): _*))
       }).flatten
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  private def physicalSchema(s: StructType,
+      colmap: Map[String, String]): StructType =
+    if (colmap.isEmpty) s
+    else StructType(s.fields.map(f =>
+      f.copy(name = colmap.getOrElse(f.name, f.name))))
+
+  private def toLogical(df: DataFrame, s: StructType,
+      colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else df.select(s.fields.toSeq.map(f =>
+      col(colmap.getOrElse(f.name, f.name)).as(f.name)): _*)
+
   private def readPlainGroups(spark: SparkSession, entries: Seq[Entry],
-      schema: Option[StructType]): DataFrame =
+      schema: Option[StructType],
+      colmap: Map[String, String]): DataFrame =
     entries.groupBy(_.commitDir).map { case (dir, es) =>
       val base = spark.read.option("basePath", dir)
       schema match {
-        case Some(s) => base.schema(s).parquet(es.map(_.filePath): _*)
+        case Some(s) =>
+          toLogical(base.schema(physicalSchema(s, colmap))
+            .parquet(es.map(_.filePath): _*), s, colmap)
         case None    => base.option("mergeSchema", true).parquet(es.map(_.filePath): _*)
       }
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
@@ -2730,16 +2955,27 @@ object SnapshotTable {
     * `__graft_idx` (row index) position columns. No DV is applied
     * here — callers decide. */
   private def readWithPositions(spark: SparkSession, entries: Seq[Entry],
-      schema: Option[StructType]): DataFrame =
+      schema: Option[StructType],
+      colmap: Map[String, String] = Map.empty): DataFrame =
     entries.groupBy(_.commitDir).map { case (dir, es) =>
       val base = spark.read.option("basePath", dir)
-      val df = schema match {
-        case Some(s) => base.schema(s).parquet(es.map(_.filePath): _*)
+      val phys = schema match {
+        case Some(s) => base.schema(physicalSchema(s, colmap))
+          .parquet(es.map(_.filePath): _*)
         case None    => base.option("mergeSchema", true).parquet(es.map(_.filePath): _*)
       }
-      df.withColumn("__graft_fname",
+      // positions are tagged on the PHYSICAL frame (metadata columns
+      // resolve at the scan), then the logical rename keeps them
+      val tagged = phys.withColumn("__graft_fname",
           dvFileKeyCol(col("_metadata.file_path")))
         .withColumn("__graft_idx", col("_metadata.row_index"))
+      schema match {
+        case Some(s) if colmap.nonEmpty =>
+          tagged.select(s.fields.toSeq.map(f =>
+            col(colmap.getOrElse(f.name, f.name)).as(f.name)) ++
+            Seq(col("__graft_fname"), col("__graft_idx")): _*)
+        case _ => tagged
+      }
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
   /** Anti-join the dead (file, row_index) pairs of `dvEntries` out of
@@ -2794,6 +3030,10 @@ object SnapshotTable {
     // NULL becomes the hive default partition name — otherwise the
     // fragment never matches the on-disk path and stale files survive
     // into the new manifest.
+    // on-disk fragments carry PHYSICAL column names
+    val cmOw: Map[String, String] = latestVersion(df.sparkSession, path)
+      .map(v => readManifestFull(df.sparkSession, path, v).colmap)
+      .getOrElse(Map.empty)
     val touched: Set[String] = df.select(partitionCols.map(col): _*).distinct()
       .collect().map { r =>
         partitionCols.zipWithIndex.map { case (c, i) =>
@@ -2801,7 +3041,7 @@ object SnapshotTable {
           val escaped =
             if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
             else ExternalCatalogUtils.escapePathName(v.toString)
-          s"${ExternalCatalogUtils.escapePathName(c)}=$escaped"
+          s"${ExternalCatalogUtils.escapePathName(cmOw.getOrElse(c, c))}=$escaped"
         }.mkString("/")
       }.toSet
     commit(df, path, partitionCols,
@@ -2818,6 +3058,9 @@ object SnapshotTable {
   private def keyRewriteSet(spark: SparkSession, path: String, base: Long,
       entries0: Seq[Entry], source: DataFrame,
       keyCols: Seq[String]): Set[String] = {
+    // key columns are LOGICAL names; stats/blooms/null counts in
+    // entries are keyed by the PHYSICAL (on-disk) names
+    val pk: String => String = readManifestFull(spark, path, base).phys
     // a file recording ALL-NULL in some key column can never hold a
     // matched row — SQL equality never matches NULL, whatever the
     // source keys — so it is excluded outright (carried over, not
@@ -2826,20 +3069,20 @@ object SnapshotTable {
     // chunk records no min/max at all.
     val entries = entries0.filterNot(e =>
       e.rows >= 0 && keyCols.exists(c =>
-        e.nulls.find(_._1 == c).exists(_._2 == e.rows)))
+        e.nulls.find(_._1 == pk(c)).exists(_._2 == e.rows)))
     // files prunable via stats: those carrying min/max for EVERY key
     // column (others must be rewritten unconditionally). Numeric keys
     // compare against numeric footer intervals; STRING keys against
     // the UTF-8 byte-ordered string bounds — Spark's own StringType
     // comparison IS unsigned byte order, so the range join below is
     // sound for both without any casting tricks.
-    val statCols = keyCols.filter(c => entries.exists(_.stats.exists(_._1 == c)))
+    val statCols = keyCols.filter(c => entries.exists(_.stats.exists(_._1 == pk(c))))
     val sStatCols = keyCols.filterNot(statCols.contains)
-      .filter(c => entries.exists(_.sstats.exists(_._1 == c)))
+      .filter(c => entries.exists(_.sstats.exists(_._1 == pk(c))))
     val (prunable, unprunable) = entries.partition(e =>
       (statCols.nonEmpty || sStatCols.nonEmpty) &&
-        statCols.forall(c => e.stats.exists(_._1 == c)) &&
-        sStatCols.forall(c => e.sstats.exists(_._1 == c)))
+        statCols.forall(c => e.stats.exists(_._1 == pk(c))) &&
+        sStatCols.forall(c => e.sstats.exists(_._1 == pk(c))))
     val hit: Set[String] =
       if (prunable.isEmpty) Set.empty
       else {
@@ -2853,10 +3096,10 @@ object SnapshotTable {
         val ranges = spark.createDataFrame(
           prunable.map(e => Row.fromSeq(e.filePath +:
             (statCols.flatMap { c =>
-              val (_, mn, mx) = e.stats.find(_._1 == c).get
+              val (_, mn, mx) = e.stats.find(_._1 == pk(c)).get
               Seq(mn, mx)
             } ++ sStatCols.flatMap { c =>
-              val (_, mn, mx) = e.sstats.find(_._1 == c).get
+              val (_, mn, mx) = e.sstats.find(_._1 == pk(c)).get
               Seq(mn, mx)
             }))).asJava, schema)
         val srcKeys = source
@@ -2898,7 +3141,7 @@ object SnapshotTable {
           case _ => false
         }
       val bCols = keyCols.filter(c =>
-        entries.exists(_.blooms.exists(_._1 == c)) && sameDomain(c))
+        entries.exists(_.blooms.exists(_._1 == pk(c))) && sameDomain(c))
       if (bCols.isEmpty || rewrite0.isEmpty) rewrite0
       else {
         val cap = sys.props.get("graft.snapshot.mergeBloomProbeCap")
@@ -2931,10 +3174,10 @@ object SnapshotTable {
               byPath.get(f) match {
                 case Some(e) =>
                   val fbs = bCols.flatMap(c =>
-                    e.blooms.find(_._1 == c).map(b => decodeBloom(b._2)))
+                    e.blooms.find(_._1 == pk(c)).map(b => decodeBloom(b._2)))
                   // a file lacking SOME bloom still tests the ones it
                   // has; lacking all → keep
-                  val present = bCols.filter(c => e.blooms.exists(_._1 == c))
+                  val present = bCols.filter(c => e.blooms.exists(_._1 == pk(c)))
                   if (present.isEmpty) true
                   else {
                     val bfByCol = present.zip(fbs).toMap
@@ -2991,7 +3234,8 @@ object SnapshotTable {
                         statsCols = keyCols, op = "merge", opKeys = keyCols)
       case Some(v) => v
     }
-    val entries = readManifest(spark, path, base)
+    val bm = readManifestFull(spark, path, base)
+    val entries = bm.entries
 
     val rewrite: Set[String] = keyRewriteSet(spark, path, base, entries, source, keyCols)
 
@@ -3004,7 +3248,7 @@ object SnapshotTable {
       if (rewrite.isEmpty) source
       else {
         val touched = entries.filter(e => rewrite(e.filePath))
-        val current = readGroups(spark, touched, schemaOf(spark, path, Some(base)))
+        val current = readGroups(spark, touched, bm.schema, bm.colmap)
         val srcKeys = source.groupBy(keyCols.map(col): _*)
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("_graft_src_cnt"))
         current.join(srcKeys, keyCols.toSeq, "left")
@@ -3018,10 +3262,13 @@ object SnapshotTable {
     // keep pruning effective across merges: re-record stats for every
     // column any live file tracks (numeric or string), plus the merge
     // keys themselves
-    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
-      entries.flatMap(_.sstats.map(_._1)) ++ keyCols).distinct
+    val rev = bm.colmap.map(_.swap)
+    val statsOut = ((entries.flatMap(_.stats.map(_._1)) ++
+      entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))
+      ++ keyCols).distinct
     val partCols =
-      if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
+      if (partitionCols.nonEmpty) partitionCols
+      else inferPartitionCols(entries, rev)
     val baseState = guardState(entries)
     def raisedDup(t: Throwable): Boolean =
       t != null && (Option(t.getMessage).exists(_.contains("duplicate keys")) ||
@@ -3060,7 +3307,8 @@ object SnapshotTable {
       partitionCols: Seq[String] = Nil, sqlAlias: Option[String] = None): Long = {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-    val entries = readManifest(spark, path, base)
+    val bm = readManifestFull(spark, path, base)
+    val entries = bm.entries
     def normalize(p: String): String = normFile(p)
     // sqlAlias: the SQL path may qualify predicate columns with the
     // table name (`DELETE FROM t WHERE t.c = 1`) — aliasing the scan
@@ -3073,13 +3321,15 @@ object SnapshotTable {
       .collect().map(r => normalize(r.getString(0))).toSet
     if (touched.isEmpty) return base
     val rewrite = entries.filter(e => touched(normalize(e.filePath)))
-    val touchedDf = aliased(readGroups(spark, rewrite, schemaOf(spark, path, Some(base))))
+    val touchedDf = aliased(readGroups(spark, rewrite, bm.schema, bm.colmap))
     // keep rows where the predicate is FALSE or NULL
     val survivors = touchedDf.filter(!coalesce(predicate, lit(false)))
+    val rev = bm.colmap.map(_.swap)
     val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
-      entries.flatMap(_.sstats.map(_._1))).distinct
+      entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c)).distinct
     val partCols =
-      if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
+      if (partitionCols.nonEmpty) partitionCols
+      else inferPartitionCols(entries, rev)
     val rewriteSet = rewrite.map(_.filePath).toSet
     val baseState = guardState(entries)
     commit(survivors, path, partCols, prev => {
@@ -3110,17 +3360,21 @@ object SnapshotTable {
     val spark = source.sparkSession
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-    val entries = readManifest(spark, path, base)
+    val bm = readManifestFull(spark, path, base)
+    val entries = bm.entries
     val rewrite = keyRewriteSet(spark, path, base, entries, source, keyCols)
     if (rewrite.isEmpty) return base
     val touched = entries.filter(e => rewrite(e.filePath))
-    val current = readGroups(spark, touched, schemaOf(spark, path, Some(base)))
+    val current = readGroups(spark, touched, bm.schema, bm.colmap)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     val survivors = current.join(srcKeys, keyCols.toSeq, "left_anti")
-    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
-      entries.flatMap(_.sstats.map(_._1)) ++ keyCols).distinct
+    val rev = bm.colmap.map(_.swap)
+    val statsOut = ((entries.flatMap(_.stats.map(_._1)) ++
+      entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))
+      ++ keyCols).distinct
     val partCols =
-      if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
+      if (partitionCols.nonEmpty) partitionCols
+      else inferPartitionCols(entries, rev)
     val baseState = guardState(entries)
     commit(survivors, path, partCols, prev => {
       require(guardState(prev) == baseState,
@@ -3150,7 +3404,7 @@ object SnapshotTable {
     val m = readManifestFull(spark, path, base)
     // live rows with positions: existing DVs applied so an already
     // -dead row can never be re-deleted or double-counted
-    val withPos = readWithPositions(spark, m.entries, m.schema)
+    val withPos = readWithPositions(spark, m.entries, m.schema, m.colmap)
     val live = applyDvFilter(spark, withPos, m.entries.filter(_.dv.isDefined))
     val matched = live.filter(coalesce(predicate, lit(false)))
       .select(col("__graft_fname"), col("__graft_idx"))
@@ -3175,9 +3429,8 @@ object SnapshotTable {
     }
     // single-attempt CAS at base+1: a concurrent commit means our
     // positions may be stale (same policy as delete's rerun guard)
-    require(publishManifest(spark, path, base + 1, newEntries, m.schema,
-      Some("delete_dv"), m.constraints, m.transforms, m.retiredTransforms,
-      m.txns, m.bloomCols),
+    require(publishManifest(spark, path, base + 1, m.copy(
+      entries = newEntries, op = Some("delete_dv"), opKeys = Nil)),
       s"concurrent commit advanced $path during deleteWithVectors — rerun")
     base + 1
   }
@@ -3238,7 +3491,8 @@ object SnapshotTable {
       s"UPDATE SET assigns the same column more than once: ${dupCols.mkString(", ")}")
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-    val entries = readManifest(spark, path, base)
+    val bm = readManifestFull(spark, path, base)
+    val entries = bm.entries
     def normalize(p: String): String = normFile(p)
     def aliased(df: DataFrame): DataFrame = sqlAlias.fold(df)(df.alias(_))
     val current = aliased(read(spark, path, Some(base)))
@@ -3252,7 +3506,7 @@ object SnapshotTable {
       .collect().map(r => normalize(r.getString(0))).toSet
     if (touched.isEmpty) return base
     val rewrite = entries.filter(e => touched(normalize(e.filePath)))
-    val touchedDf = aliased(readGroups(spark, rewrite, schemaOf(spark, path, Some(base))))
+    val touchedDf = aliased(readGroups(spark, rewrite, bm.schema, bm.colmap))
     // rows where the predicate is NULL keep their old values, per SQL
     val fire = coalesce(predicate, lit(false))
     val updated = touchedDf.select(fields.map { f =>
@@ -3261,10 +3515,12 @@ object SnapshotTable {
         case None         => col(f.name)
       }
     }.toSeq: _*)
+    val rev = bm.colmap.map(_.swap)
     val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
-      entries.flatMap(_.sstats.map(_._1))).distinct
+      entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c)).distinct
     val partCols =
-      if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
+      if (partitionCols.nonEmpty) partitionCols
+      else inferPartitionCols(entries, rev)
     val rewriteSet = rewrite.map(_.filePath).toSet
     val baseState = guardState(entries)
     commit(updated, path, partCols, prev => {
@@ -3308,9 +3564,11 @@ object SnapshotTable {
     // raw read (hidden partition columns kept): zShape clusters
     // within partitions and needs them present; commit() re-derives
     // them anyway before writing
-    val current = readGroups(spark, entries, mFull.schema)
+    val current = readGroups(spark, entries, mFull.schema, mFull.colmap)
+    val rev = mFull.colmap.map(_.swap)
     val partCols =
-      if (partitionCols.nonEmpty) partitionCols else inferPartitionCols(entries)
+      if (partitionCols.nonEmpty) partitionCols
+      else inferPartitionCols(entries, rev)
     val shaped =
       if (zorderCols.nonEmpty) zShape(current, zorderCols, numFiles, partCols)
       else clusterCol match {
@@ -3320,14 +3578,86 @@ object SnapshotTable {
       }
     // keep every tracked stats column effective on the rewritten files
     val statsOut =
-      (entries.flatMap(_.stats.map(_._1)) ++
-        entries.flatMap(_.sstats.map(_._1)) ++ clusterCol ++ zorderCols).distinct
+      ((entries.flatMap(_.stats.map(_._1)) ++
+        entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))
+        ++ clusterCol ++ zorderCols).distinct
     val baseState = guardState(entries)
     commit(shaped, path, partCols, prev => {
       require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during compaction — rerun")
       Nil
     }, statsCols = statsOut, op = "compact")
+  }
+
+  /** Opt a table into COMMIT-TIME AUTO-COMPACTION (Delta
+    * autoOptimize posture): after every data commit, any partition
+    * holding at least `minSmallFiles` files with fewer than
+    * `smallFileRows` footer rows gets those files rewritten into one
+    * — a normal commit (op=autocompact), time travel intact, blooms
+    * re-recorded, best-effort under contention (a concurrent writer
+    * simply skips this round; the next commit retries). The policy
+    * decision reads ONLY the manifest (file counts + footer row
+    * counts — no filesystem metadata), so the check is O(live
+    * entries) driver work per commit and the rewrite is O(small
+    * files in the triggered partitions). `minSmallFiles <= 0`
+    * disables. */
+  def setAutoCompact(spark: SparkSession, path: String,
+      minSmallFiles: Int, smallFileRows: Long = 100000L): Long =
+    publishMetadataCommit(spark, path, "setAutoCompact") { m =>
+      m.copy(autoCompact =
+        if (minSmallFiles <= 0) None
+        else Some((minSmallFiles, smallFileRows)))
+    }
+
+  /** Current auto-compaction policy: (minSmallFiles, smallFileRows). */
+  def autoCompactPolicy(spark: SparkSession, path: String): Option[(Int, Long)] = {
+    val v = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    readManifestFull(spark, path, v).autoCompact
+  }
+
+  private def partitionFragmentOf(e: Entry): String = {
+    val rel = e.filePath.stripPrefix(e.commitDir)
+    rel.split("/").filter(seg => seg.nonEmpty && seg.contains("=")).mkString("/")
+  }
+
+  /** One best-effort auto-compaction round (see [[setAutoCompact]]):
+    * rewrite each over-threshold partition's small files into one.
+    * Throws on contention; the caller swallows (the policy re-fires
+    * on the next commit anyway). */
+  private def maybeAutoCompact(spark: SparkSession, path: String): Unit = {
+    val base = latestVersion(spark, path).getOrElse(return)
+    val m = readManifestFull(spark, path, base)
+    val (minFiles, smallRows) = m.autoCompact.getOrElse(return)
+    val small = m.entries.filter(e =>
+      e.rows >= 0 && e.rows < smallRows && e.dv.isEmpty)
+    val triggered = small.groupBy(partitionFragmentOf)
+      .filter(_._2.size >= minFiles)
+    if (triggered.isEmpty) return
+    val victims = triggered.values.flatten.toSeq
+    val victimSet = victims.map(_.filePath).toSet
+    val rev = m.colmap.map(_.swap)
+    val partCols = inferPartitionCols(victims, rev)
+    val merged0 = readGroups(spark, victims, m.schema, m.colmap)
+    // one writer task per triggered partition (hash on the partition
+    // columns), so each partition's small files collapse to ONE file
+    // — a bare coalesce would interleave partitions across tasks and
+    // re-fragment the very dirs being compacted
+    val merged =
+      if (partCols.isEmpty) merged0.coalesce(1)
+      else merged0.repartition(triggered.size, partCols.map(col): _*)
+    val statsOut = ((victims.flatMap(_.stats.map(_._1)) ++
+      victims.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))).distinct
+    commit(merged, path, partCols, prev => {
+      // weaker guard than compact's whole-table one: only the files
+      // being replaced must still be live in exactly their state — a
+      // concurrent commit elsewhere in the table composes fine
+      val live = guardState(prev)
+      require(victims.forall(e => live((e.filePath, e.dv))),
+        s"concurrent commit touched auto-compaction victims at $path — skip")
+      prev.filterNot(e => victimSet(e.filePath))
+    }, statsCols = statsOut, op = "autocompact")
+    ()
   }
 
   /** Expire history: keep only the latest `keepVersions` manifests
@@ -3499,7 +3829,7 @@ object SnapshotTable {
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val m = readManifestFull(spark, path, v)
     if (m.entries.isEmpty) return emptyFrame(spark, path, v, m)
-    val raw = readGroups(spark, m.entries, m.schema)
+    val raw = readGroups(spark, m.entries, m.schema, m.colmap)
     // hidden partition columns — CURRENT or retired-era — are an
     // implementation detail of the layout; user reads never see them
     val hiddenCols = raw.columns.filter(_.startsWith("__p_")).toSeq
@@ -3676,7 +4006,7 @@ object SnapshotTable {
           val fname = dvFileKey(e.filePath)
           idxs.map(fname -> _)
         }.toDF("__dv_fname", "__dv_idx")
-        val withPos = readWithPositions(spark, dvDeltas.map(_._1), sch)
+        val withPos = readWithPositions(spark, dvDeltas.map(_._1), sch, m.colmap)
         val dataCols = withPos.columns.filterNot(_.startsWith("__graft_"))
         Some(withPos.join(broadcast(deltaPairs),
             col("__graft_fname") === col("__dv_fname") &&
@@ -3691,7 +4021,7 @@ object SnapshotTable {
             "in one commit — no supported operation produces this shape")
         val sch = m.schema
         val sides = Seq(added, removed).map(es =>
-          if (es.isEmpty) None else Some(readGroups(spark, es, sch)))
+          if (es.isEmpty) None else Some(readGroups(spark, es, sch, m.colmap)))
         val target = sides.flatten.head.schema
         val Seq(addDf, remDf) = sides.map(
           _.map(conform(_, target)).getOrElse(

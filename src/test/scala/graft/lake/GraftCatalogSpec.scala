@@ -155,6 +155,31 @@ class GraftCatalogSpec extends SparkTestBase {
       .toSeq === Seq((1L, null), (2L, "fresh")))
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN: metadata-only, time travel across the rename") {
+    s2.sql("CREATE NAMESPACE graft.cm")
+    s2.sql("CREATE TABLE graft.cm.t (id BIGINT, v DOUBLE, s STRING) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.cm.t VALUES (1, 1.5, 'a'), (2, 2.5, 'b')") // v2
+    val tdir = s"$warehouse/cm/t"
+    val filesBefore = SnapshotTable.liveFiles(s2, tdir).toSet
+    s2.sql("ALTER TABLE graft.cm.t RENAME COLUMN v TO value")            // v3
+    assert(SnapshotTable.liveFiles(s2, tdir).toSet === filesBefore,
+      "SQL rename must rewrite zero files")
+    assert(s2.sql("SELECT sum(value) FROM graft.cm.t").head().getDouble(0) === 4.0)
+    s2.sql("INSERT INTO graft.cm.t VALUES (3, 3.5, 'c')")                // v4
+    assert(s2.sql("SELECT sum(value) FROM graft.cm.t").head().getDouble(0) === 7.5)
+    // time travel to before the rename: the OLD logical name
+    assert(s2.sql("SELECT sum(v) FROM graft.cm.t VERSION AS OF 2")
+      .head().getDouble(0) === 4.0)
+    s2.sql("ALTER TABLE graft.cm.t DROP COLUMN s")                       // v5
+    assert(s2.sql("SELECT * FROM graft.cm.t").columns.toSeq === Seq("id", "value"))
+    assert(s2.sql("SELECT s FROM graft.cm.t VERSION AS OF 4")
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b", "c"))
+    // SQL DML through the mapped table
+    s2.sql("UPDATE graft.cm.t SET value = 0.0 WHERE id = 1")
+    assert(s2.sql("SELECT value FROM graft.cm.t WHERE id = 1")
+      .head().getDouble(0) === 0.0)
+  }
+
   test("tags resolve through VERSION AS OF; metadata tables reachable by name") {
     s2.sql("CREATE NAMESPACE graft.meta")
     s2.sql("CREATE TABLE graft.meta.t (id BIGINT) USING `graft-snapshot`")
