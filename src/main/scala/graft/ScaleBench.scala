@@ -417,6 +417,80 @@ object ScaleBench {
           f"delta_bytes=$dSmall/$dBig readWhere small=$wSmall%.2fs big=$wBig%.2fs " +
           f"warm=$wBig2%.2fs cdc small=$cdcSmall%.2fs big=$cdcBig%.2fs")
       },
+      timed("bloom_probe_cache") {
+        // Decoded-bloom cache at 100× bloom-carrying files (100 vs
+        // 10⁴ fake entries, each with a DISTINCT realistic payload):
+        // the FIRST point probe pays manifest parse + every payload's
+        // base64+deserialize once; warm probes must be (a) far below
+        // the cold probe on the big table and (b) ~flat across the
+        // 100× — the decoded filters and the parsed manifest are both
+        // cached, so repeated point lookups cost no metadata-plane
+        // CPU proportional to bloom bytes.
+        import java.nio.file.{Files => JF, Paths => JP}
+        val base = JF.createTempDirectory("graft-scale-bloomcache")
+        def mkBloomTable(path: String, fakes: Int): Unit = {
+          val df = spark.range(500)
+            .select(col("id"), concat(lit("sid-"), col("id")).as("sid"))
+          graft.lake.SnapshotTable.create(spark, path, df.schema)
+          graft.lake.SnapshotTable.setBloomColumns(spark, path, Seq("sid"))
+          graft.lake.SnapshotTable.append(df.coalesce(1), path)
+          val vPath = JP.get(s"$path/_graft_log/v3")
+          val v = new String(JF.readAllBytes(vPath), "UTF-8")
+          val commitDir = v.split("\n").filterNot(_.startsWith("#"))
+            .head.split("\t").drop(if (v.contains("#delta=")) 1 else 0).head
+          val sb = new StringBuilder(
+            v.split("\n").filter(_.startsWith("#schema=")).mkString("\n"))
+          sb.append("\n").append(
+            v.split("\n").filterNot(_.startsWith("#"))
+              .map(_.stripPrefix("+\t")).mkString("\n"))
+          // the probe key must test NEGATIVE in every fake bloom (a
+          // ~1% false positive would route the scan to a parquet
+          // file that does not exist) — rebuild the rare colliders
+          val probeHash = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(
+              org.apache.spark.unsafe.types.UTF8String.fromString("zz-absent"), 42L)
+          var i = 0
+          while (i < fakes) {
+            var seed = 0L
+            var bf = org.apache.spark.util.sketch.BloomFilter.create(2000, 0.01)
+            var ok = false
+            while (!ok) {
+              bf = org.apache.spark.util.sketch.BloomFilter.create(2000, 0.01)
+              var j = 0
+              while (j < 100) { bf.putLong(i * 100000L + seed * 7919L + j); j += 1 }
+              ok = !bf.mightContainLong(probeHash)
+              seed += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos)
+            val payload = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+            sb.append(s"\n$commitDir\t$commitDir/fake-$i.parquet\trows=2000\tbloom=sid#$payload")
+            i += 1
+          }
+          JF.write(JP.get(s"$path/_graft_log/v4"), sb.toString.getBytes("UTF-8"))
+        }
+        val small = s"$base/small"; val big = s"$base/big"
+        mkBloomTable(small, 100); mkBloomTable(big, 10000)
+        def probeSec(path: String): Double = {
+          val t0 = System.nanoTime()
+          val n = graft.lake.SnapshotTable.readWhere(spark, path,
+            col("sid") === "zz-absent").count()
+          require(n == 0L, s"absent-key probe read $n rows")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val coldSmall = probeSec(small)
+        val coldBig = probeSec(big)
+        def warmAvg(path: String): Double =
+          (1 to 5).map(_ => probeSec(path)).sum / 5
+        val wSmall = warmAvg(small)
+        val wBig = warmAvg(big)
+        require(wBig < math.max(coldBig * 0.6, 0.4),
+          f"warm probe not ≪ cold at 10⁴ blooms: cold=$coldBig%.2fs warm=$wBig%.2fs")
+        require(wBig < wSmall * 5 + 0.4,
+          f"warm probe scales with bloom-file count: small=$wSmall%.3fs big=$wBig%.3fs")
+        System.err.println(f"[scale] bloom probe cold small=$coldSmall%.3fs " +
+          f"big=$coldBig%.3fs warm small=$wSmall%.3fs big=$wBig%.3fs")
+      },
       timed("snap_bootstrap_stage") {
         // stage a 1M-row snapshot table in a few fat files — the shape
         // where the streaming bootstrap used to degrade to one

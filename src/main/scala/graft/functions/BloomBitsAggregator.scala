@@ -21,6 +21,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * the per-row `reduce` is two bit-sets on a live object. NULL items
   * are skipped: a bloom never contains NULL, and `IS NULL` pruning is
   * the null-count stats' job, not this one's.
+  *
+  * A/B-verified (graft.BloomBench, 2M rows × 8 files, medians of 5
+  * interleaved rounds): a hand-rolled mapPartitions fold into live
+  * BloomFilters TIED this formulation exactly (0.254s vs 0.255s) —
+  * the cost over the bare 0.10s hash scan is per-row (file, hash)
+  * materialization, which both pay — so the declarative udaf form
+  * ships and the benchmark keeps both legs for regression tracking.
   */
 class BloomBitsAggregator(expectedItems: Long, numBits: Long)
     extends Aggregator[java.lang.Long, BloomFilter, Array[Byte]] {

