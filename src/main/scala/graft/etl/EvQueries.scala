@@ -1617,6 +1617,56 @@ object EvQueries {
        |  true AS files_stable, true AS old_schema_ok
        |FROM gold ORDER BY sessionId""".stripMargin
 
+  /** Commit-time AUTO-COMPACTION (Delta autoOptimize posture): the
+    * gold slice arrives as a burst of 8 tiny appends into a table
+    * whose policy is "≥4 small files → rewrite that partition"; the
+    * live-file count CONVERGES below the burst size (`converged`,
+    * from the manifest), the compactions appear in history as
+    * ordinary commits (`history_ok`), every pre-compaction version
+    * stays time-travelable (`travel_ok`), and the rows hash-match
+    * the oracle exactly — compaction moved bytes, never data. */
+  def autoCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-ac-gate")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .coalesce(1).persist()
+    try {
+      SnapshotTable.create(spark, path, gold.schema)
+      SnapshotTable.setAutoCompact(spark, path, minSmallFiles = 4,
+        smallFileRows = 1000L)
+      val rows = gold.as[(String, Double)].collect()
+      val nSlices = 8
+      (0 until nSlices).foreach { g =>
+        val slice = rows.zipWithIndex.collect {
+          case (r, i) if i % nSlices == g => r }.toSeq
+        SnapshotTable.append(slice.toDF("sessionId", "kwhTotal").coalesce(1), path)
+      }
+      val converged = SnapshotTable.liveFiles(spark, path).size < nSlices
+      val historyOk = SnapshotTable.history(spark, path)
+        .select("operation").as[String].collect().contains("autocompact")
+      // v3 = first data append (v1 create, v2 policy): its state is
+      // intact although its file has since been compacted away
+      val travelOk = SnapshotTable.read(spark, path, Some(3L)).count() ==
+        rows.zipWithIndex.count(_._2 % nSlices == 0).toLong
+      SnapshotTable.read(spark, path)
+        .withColumn("converged", lit(converged))
+        .withColumn("history_ok", lit(historyOk))
+        .withColumn("travel_ok", lit(travelOk))
+        .orderBy("sessionId", "kwhTotal")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val autoCompactionSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, kwhTotal,
+       |  true AS converged, true AS history_ok, true AS travel_ok
+       |FROM gold ORDER BY sessionId, kwhTotal""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1649,5 +1699,6 @@ object EvQueries {
     QDef("ev27_cdc_update_images", cdcUpdateImages, Some(cdcUpdateImagesSql)),
     QDef("ev28_null_skipping", nullSkipping, Some(nullSkippingSql)),
     QDef("ev29_column_mapping", columnMapping, Some(columnMappingSql)),
+    QDef("ev30_auto_compaction", autoCompaction, Some(autoCompactionSql)),
   )
 }

@@ -143,14 +143,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    // feature toggles via SET/UNSET TBLPROPERTIES — the two
+    // ALTER-able graft features; any OTHER property has no manifest
+    // slot, and accept-and-ignore would silently drop user intent
+    val featureProps = Set(GraftCatalog.BloomColsProp, GraftCatalog.AutoCompactProp)
+    val setProps = changes.collect {
+      case p: TableChange.SetProperty if featureProps(p.property) => p }
+    val unsetProps = changes.collect {
+      case p: TableChange.RemoveProperty if featureProps(p.property) => p }
     val rest = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
       c.isInstanceOf[TableChange.RenameColumn] ||
-      c.isInstanceOf[TableChange.DeleteColumn])
-      // table/column comments and properties have no manifest slot yet;
-      // accept-and-ignore would silently drop user intent, so refuse
+      c.isInstanceOf[TableChange.DeleteColumn] ||
+      setProps.contains(c) || unsetProps.contains(c))
     require(rest.isEmpty, "GraftCatalog supports ALTER TABLE ... ADD COLUMNS / " +
-      "RENAME COLUMN / DROP COLUMN only; got: " +
+      "RENAME COLUMN / DROP COLUMN / SET|UNSET TBLPROPERTIES(" +
+      s"${featureProps.mkString(", ")}) only; got: " +
       rest.map(_.getClass.getSimpleName).mkString(", "))
+    setProps.foreach { p =>
+      p.property match {
+        case GraftCatalog.BloomColsProp =>
+          SnapshotTable.setBloomColumns(spark, path,
+            p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case GraftCatalog.AutoCompactProp =>
+          p.value.split(",").map(_.trim) match {
+            case Array(n)    => SnapshotTable.setAutoCompact(spark, path, n.toInt)
+            case Array(n, r) =>
+              SnapshotTable.setAutoCompact(spark, path, n.toInt, r.toLong)
+            case _ => throw new IllegalArgumentException(
+              s"${GraftCatalog.AutoCompactProp} expects 'minSmallFiles[,smallFileRows]', " +
+                s"got '${p.value}'")
+          }
+      }
+    }
+    unsetProps.foreach { p =>
+      p.property match {
+        case GraftCatalog.BloomColsProp =>
+          SnapshotTable.setBloomColumns(spark, path, Nil)
+        case GraftCatalog.AutoCompactProp =>
+          SnapshotTable.setAutoCompact(spark, path, 0)
+      }
+    }
     if (adds.nonEmpty) {
       adds.foreach(a => require(a.fieldNames.length == 1,
         "nested ADD COLUMN is not supported"))
@@ -246,6 +278,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 object GraftCatalog {
 
+  /** SET TBLPROPERTIES key for per-file bloom columns (CSV). */
+  val BloomColsProp = "graft.bloomFilterColumns"
+  /** SET TBLPROPERTIES key for commit-time auto-compaction:
+    * `minSmallFiles[,smallFileRows]`; UNSET disables. */
+  val AutoCompactProp = "graft.autoCompact"
+
   /** DSv2 partition `Transform` → the snapshot spec grammar
     * ([[PartitionTransform.parse]]). Literal/reference argument order
     * is accepted either way (`truncate(4, c)` and `truncate(c, 4)`
@@ -339,9 +377,24 @@ case class GraftTable(identName: String, path: String,
     else SnapshotTable.partitionTransforms(spark, path)
       .map(GraftCatalog.v2Of).toArray
 
-  override def properties(): JMap[String, String] =
-    Map(TableCatalog.PROP_PROVIDER -> "graft-snapshot",
-      TableCatalog.PROP_LOCATION -> path).asJava
+  override def properties(): JMap[String, String] = {
+    // the two ALTER-able feature toggles surface so SHOW TBLPROPERTIES
+    // reflects what SET TBLPROPERTIES configured
+    val feature: Map[String, String] =
+      if (metaKind.isDefined || SnapshotTable.latestVersion(spark, path).isEmpty)
+        Map.empty
+      else {
+        val bloom = SnapshotTable.bloomColumns(spark, path)
+        val ac = SnapshotTable.autoCompactPolicy(spark, path)
+        (if (bloom.nonEmpty)
+          Map(GraftCatalog.BloomColsProp -> bloom.mkString(","))
+        else Map.empty[String, String]) ++
+          ac.map { case (n, r) =>
+            GraftCatalog.AutoCompactProp -> s"$n,$r" }.toMap
+      }
+    (Map(TableCatalog.PROP_PROVIDER -> "graft-snapshot",
+      TableCatalog.PROP_LOCATION -> path) ++ feature).asJava
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)

@@ -3330,10 +3330,14 @@ object SnapshotTable {
     // lets both qualified and bare references resolve
     def aliased(df: DataFrame): DataFrame =
       sqlAlias.fold(df)(df.alias(_))
-    val current = aliased(read(spark, path, Some(base)))
-    val touched: Set[String] = current.filter(predicate)
-      .select(input_file_name()).distinct()
-      .collect().map(r => normalize(r.getString(0))).toSet
+    // file finding goes through readWhere, so the manifest's stats
+    // triple (min/max, string bounds, blooms, null counts) prunes the
+    // SCAN too: a point delete on a stats-covered key opens only the
+    // candidate files, not the table
+    val touched: Set[String] =
+      readWhere(spark, path, predicate, Some(base), sqlAlias)
+        .select(input_file_name()).distinct()
+        .collect().map(r => normalize(r.getString(0))).toSet
     if (touched.isEmpty) return base
     val rewrite = entries.filter(e => touched(normalize(e.filePath)))
     val touchedDf = aliased(readGroups(spark, rewrite, bm.schema, bm.colmap))
@@ -3469,8 +3473,11 @@ object SnapshotTable {
     val probeLimit =
       if (dvThreshold >= Int.MaxValue.toLong) Int.MaxValue
       else (dvThreshold + 1).toInt
-    val matched = read(spark, path, Some(base))
-      .filter(coalesce(predicate, lit(false)))
+    // the probe rides readWhere so manifest stats prune its scan too
+    // (filter(pred) already excludes NULL evaluations, same row set
+    // as the old coalesce(pred, false) form — and a bare predicate
+    // keeps the skippers' conjunct extraction effective)
+    val matched = readWhere(spark, path, predicate, Some(base))
       .limit(probeLimit).count()
     if (matched == 0L) base
     else if (matched <= dvThreshold)
@@ -3510,15 +3517,16 @@ object SnapshotTable {
     val entries = bm.entries
     def normalize(p: String): String = normFile(p)
     def aliased(df: DataFrame): DataFrame = sqlAlias.fold(df)(df.alias(_))
-    val current = aliased(read(spark, path, Some(base)))
-    val fields = current.schema.fields
+    val fields = read(spark, path, Some(base)).schema.fields
     val unknown = assignments.map(_._1)
       .filterNot(n => fields.exists(_.name.equalsIgnoreCase(n)))
     require(unknown.isEmpty,
       s"UPDATE SET names columns not in the table: ${unknown.mkString(", ")}")
-    val touched: Set[String] = current.filter(predicate)
-      .select(input_file_name()).distinct()
-      .collect().map(r => normalize(r.getString(0))).toSet
+    // stats-pruned file finding, like delete's (see there)
+    val touched: Set[String] =
+      readWhere(spark, path, predicate, Some(base), sqlAlias)
+        .select(input_file_name()).distinct()
+        .collect().map(r => normalize(r.getString(0))).toSet
     if (touched.isEmpty) return base
     val rewrite = entries.filter(e => touched(normalize(e.filePath)))
     val touchedDf = aliased(readGroups(spark, rewrite, bm.schema, bm.colmap))

@@ -180,6 +180,38 @@ class GraftCatalogSpec extends SparkTestBase {
       .head().getDouble(0) === 0.0)
   }
 
+  test("SET/UNSET TBLPROPERTIES toggle bloom columns and auto-compaction") {
+    s2.sql("CREATE NAMESPACE graft.props")
+    s2.sql("CREATE TABLE graft.props.t (id STRING, v DOUBLE) USING `graft-snapshot`")
+    s2.sql("ALTER TABLE graft.props.t SET TBLPROPERTIES(" +
+      "'graft.bloomFilterColumns'='id', 'graft.autoCompact'='4,1000')")
+    val tdir = s"$warehouse/props/t"
+    assert(SnapshotTable.bloomColumns(s2, tdir) === Seq("id"))
+    assert(SnapshotTable.autoCompactPolicy(s2, tdir) === Some((4, 1000L)))
+    // SHOW TBLPROPERTIES reflects both
+    val props = s2.sql("SHOW TBLPROPERTIES graft.props.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("graft.bloomFilterColumns") === Some("id"))
+    assert(props.get("graft.autoCompact") === Some("4,1000"))
+    // the toggles act: a burst of tiny inserts converges and files
+    // carry blooms
+    (1 to 8).foreach(i =>
+      s2.sql(s"INSERT INTO graft.props.t VALUES ('x$i', $i.0)"))
+    assert(SnapshotTable.liveFiles(s2, tdir).size <= 4)
+    val entries = SnapshotTable.readManifest(s2, tdir,
+      SnapshotTable.latestVersion(s2, tdir).get).filter(_.rows > 1)
+    assert(entries.forall(_.blooms.exists(_._1 == "id")))
+    s2.sql("ALTER TABLE graft.props.t UNSET TBLPROPERTIES(" +
+      "'graft.bloomFilterColumns', 'graft.autoCompact')")
+    assert(SnapshotTable.bloomColumns(s2, tdir).isEmpty)
+    assert(SnapshotTable.autoCompactPolicy(s2, tdir).isEmpty)
+    // an unrelated property is refused loudly, not silently dropped
+    val e = intercept[Exception] {
+      s2.sql("ALTER TABLE graft.props.t SET TBLPROPERTIES('foo'='bar')")
+    }
+    assert(e.getMessage.contains("SET|UNSET TBLPROPERTIES"))
+  }
+
   test("tags resolve through VERSION AS OF; metadata tables reachable by name") {
     s2.sql("CREATE NAMESPACE graft.meta")
     s2.sql("CREATE TABLE graft.meta.t (id BIGINT) USING `graft-snapshot`")

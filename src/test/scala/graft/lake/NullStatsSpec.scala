@@ -130,6 +130,52 @@ class NullStatsSpec extends SparkTestBase {
       .filter(col("id") === "upd").count() === 1)
   }
 
+  test("delete/update file-finding scans are manifest-pruned (not a full-table scan)") {
+    val path = Files.createTempDirectory("graft-nulls8").toString + "/t"
+    buildTable(path) // 3 files: all-null, null-free, mixed in v
+    @volatile var filesScanned = 0L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      private def files(p: SparkPlan): Long = p.collect {
+        case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+        case q: QueryStageExec        => files(q.plan)
+        case s: FileSourceScanExec    => s.metrics("numFiles").value
+      }.sum
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        filesScanned += files(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def scannedDuring(body: => Unit): Long = {
+      spark.listenerManager.register(listener)
+      filesScanned = 0L
+      try { body; Thread.sleep(1000) } // listener delivery is async
+      finally spark.listenerManager.unregister(listener)
+      filesScanned
+    }
+    // a delete whose predicate requires v NOT NULL: the all-null file
+    // is never opened by the FINDING scan (readWhere pruning) — only
+    // the 2 candidate files plus their rewrite read (≤ 2 more)
+    val n1 = scannedDuring {
+      SnapshotTable.delete(spark, path, col("v") === 999.0)
+    }
+    assert(n1 <= 2, s"delete finding scan not pruned: $n1 files opened")
+    // an update inside one file's null profile: all-null file skipped
+    val n2 = scannedDuring {
+      SnapshotTable.update(spark, path, Seq("v" -> lit(0.5)), col("v") === 2.0)
+    }
+    // finding scan (2 pruned candidates) + rewrite of the 2 matching
+    // files (v=2.0 exists in the null-free AND mixed files); the
+    // all-null file is opened by NEITHER — unpruned would be 5
+    assert(n2 <= 4, s"update scans not pruned: $n2 files opened")
+    assert(SnapshotTable.read(spark, path)
+      .filter(col("v") === 0.5).count() === 2)
+  }
+
   test("null counts survive a rewrite (merge) and respect DV deletes conservatively") {
     val path = Files.createTempDirectory("graft-nulls6").toString + "/t"
     buildTable(path)
