@@ -1667,6 +1667,46 @@ object EvQueries {
        |  true AS converged, true AS history_ok, true AS travel_ok
        |FROM gold ORDER BY sessionId, kwhTotal""".stripMargin
 
+  /** OR-branch file skipping: the compiled skip predicate honors
+    * disjunctions, so `id = lo OR id = hi` on a clustered gold fact
+    * opens exactly the two boundary files (executed-plan numFiles:
+    * `or_pruned`) where a conjunct-only skipper reads all three;
+    * the unfiltered read still scans everything (`full_scan_ok`). */
+  def orSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-or-gate")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .coalesce(1).persist()
+    try {
+      SnapshotTable.appendClustered(gold, path, "sessionId", numFiles = 3)
+      import spark.implicits._
+      val ids = gold.select("sessionId").as[String].collect().sorted
+      val (lo, hi) = (ids.head, ids.last)
+      def q = SnapshotTable.readWhere(spark, path,
+        col("sessionId") === lo || col("sessionId") === hi)
+      val total = SnapshotTable.liveFiles(spark, path).size
+      val orPruned = total == 3 && scannedFiles(q) == 2L
+      val fullScanOk = scannedFiles(
+        SnapshotTable.readWhere(spark, path, lit(true))) == total.toLong
+      q.withColumn("or_pruned", lit(orPruned))
+        .withColumn("full_scan_ok", lit(fullScanOk))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val orSkippingSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad
+       |), b AS (
+       |  SELECT min(sessionId) AS lo, max(sessionId) AS hi FROM gold
+       |)
+       |SELECT g.sessionId, g.kwhTotal,
+       |  true AS or_pruned, true AS full_scan_ok
+       |FROM gold g, b WHERE g.sessionId = b.lo OR g.sessionId = b.hi
+       |ORDER BY g.sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1700,5 +1740,6 @@ object EvQueries {
     QDef("ev28_null_skipping", nullSkipping, Some(nullSkippingSql)),
     QDef("ev29_column_mapping", columnMapping, Some(columnMappingSql)),
     QDef("ev30_auto_compaction", autoCompaction, Some(autoCompactionSql)),
+    QDef("ev31_or_skipping", orSkipping, Some(orSkippingSql)),
   )
 }

@@ -1367,68 +1367,17 @@ object SnapshotTable {
       .map(c => PartitionTransform.translate(c, projectable))
       .getOrElse(lit(true))
     // manifest-stats file skipping (the Delta/Iceberg data-skipping
-    // half of pruning): conservative numeric intervals AND string
-    // bounds from the predicate's top-level conjuncts drop files
-    // whose recorded (min, max) cannot intersect — clustered/
-    // z-ordered tables skip on a plain SQL WHERE, not only through
-    // the readBox API. Files without a stat on a constrained column
-    // stay readable.
-    val intervals = analyzedCond.map(skipIntervals).getOrElse(Nil)
-    val sbounds = analyzedCond.map(skipStringBounds).getOrElse(Nil)
-    val nullReqs = analyzedCond.map(skipNullPredicates).getOrElse(Nil)
-    // bloom probes only make sense when some live file carries a
-    // bloom on a point-constrained column — compute hashes lazily
-    val pointKeys =
-      if (m.entries.exists(_.blooms.nonEmpty))
-        analyzedCond.map(skipPointHashes).getOrElse(Nil)
-      else Nil
-    val live =
-      if (intervals.isEmpty && sbounds.isEmpty && pointKeys.isEmpty &&
-          nullReqs.isEmpty) m.entries
-      else m.entries.filter { e =>
-        // predicate columns are LOGICAL; every stat family is keyed
-        // by the PHYSICAL (on-disk) name — m.phys bridges renames
-        pointKeys.forall { case (c, hs) =>
-          e.blooms.find(_._1 == m.phys(c)) match {
-            case Some((_, payload)) =>
-              val bf = decodeBloom(payload)
-              hs.exists(bf.mightContainLong)
-            case None => true
-          }
-        } &&
-        nullReqs.forall { case (c, needsNull) =>
-          e.nulls.find(_._1 == m.phys(c)) match {
-            // needsNull: the file must HOLD a null; else it must
-            // hold a non-null (count < footer rows — unknowable when
-            // the row count is unrecorded, so those stay readable).
-            // DV-safe both ways: deleted rows only ever SHRINK the
-            // live set, and "no null present" / "no non-null
-            // present" remain true of any subset.
-            case Some((_, n)) =>
-              if (needsNull) n > 0 else e.rows < 0 || n < e.rows
-            case None => true
-          }
-        } &&
-        intervals.forall { case (c, lo, hi) =>
-          e.stats.find(_._1 == m.phys(c)) match {
-            // NaN-poisoned footer stats (a double/float file containing
-            // NaN can record NaN min/max) compare false to everything,
-            // which would silently SKIP a file that holds matching real
-            // rows — treat NaN stats as absent instead.
-            case Some((_, mn, mx)) if !mn.isNaN && !mx.isNaN =>
-              mx >= lo && mn <= hi
-            case _ => true
-          }
-        } &&
-        sbounds.forall { case (c, lo, hi) =>
-          e.sstats.find(_._1 == m.phys(c)) match {
-            case Some((_, mn, mx)) =>
-              lo.forall(l => utf8Cmp(mx, l) >= 0) &&
-                hi.forall(h => utf8Cmp(mn, h) <= 0)
-            case None => true
-          }
-        }
-      }
+    // half of pruning): the analyzed condition compiles ONCE into an
+    // Entry => Boolean over the stats triple (numeric/string bounds,
+    // blooms, null counts) — AND combines per-branch verdicts, and
+    // OR branches prune too (a file is skipped when NO branch can
+    // match it, e.g. `k = 5 OR k = 900` opens two files of a
+    // clustered table). Files without a stat on a constrained column
+    // stay readable; unknown leaves are conservatively matchable.
+    val useBlooms = m.entries.exists(_.blooms.nonEmpty)
+    val canMatch: Option[Entry => Boolean] =
+      analyzedCond.map(c => compileSkipPredicate(c, m.phys, useBlooms))
+    val live = canMatch.fold(m.entries)(f => m.entries.filter(f))
     val base =
       if (live.isEmpty)
         return sqlAlias.foldLeft(emptyFrame(spark, path, v, m))(
@@ -1439,15 +1388,94 @@ object SnapshotTable {
     base.filter(ppred && predicate).drop(hiddenCols: _*)
   }
 
+  /** Compile a predicate into a conservative per-file matchability
+    * test over the manifest's stats triple. The boolean structure is
+    * honored recursively: `And` requires both branches matchable,
+    * `Or` either branch — so `k = 5 OR k = 900` prunes to the union
+    * of each point's candidate files, and a cross-family
+    * `k = 5 OR v IS NULL` combines bounds with null counts. Each
+    * LEAF compiles once through the four extractors
+    * ([[skipIntervals]], [[skipStringBounds]], [[skipNullPredicates]],
+    * [[skipPointHashes]]) and evaluates per entry; a leaf none of
+    * them understands compiles to constant-true, so skipping can
+    * only ever be conservative. `phys` bridges renamed columns to
+    * the physical stat keys. */
+  private[lake] def compileSkipPredicate(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      phys: String => String,
+      useBlooms: Boolean): Entry => Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Or}
+    cond match {
+      case And(l, r) =>
+        val a = compileSkipPredicate(l, phys, useBlooms)
+        val b = compileSkipPredicate(r, phys, useBlooms)
+        e => a(e) && b(e)
+      case Or(l, r) =>
+        val a = compileSkipPredicate(l, phys, useBlooms)
+        val b = compileSkipPredicate(r, phys, useBlooms)
+        e => a(e) || b(e)
+      case leaf =>
+        val intervals = skipIntervals(leaf)
+        val sbounds = skipStringBounds(leaf)
+        val nullReqs = skipNullPredicates(leaf)
+        val pointKeys = if (useBlooms) skipPointHashes(leaf) else Nil
+        if (intervals.isEmpty && sbounds.isEmpty && nullReqs.isEmpty &&
+            pointKeys.isEmpty) _ => true
+        else e =>
+          // stat families are keyed by PHYSICAL (on-disk) names
+          pointKeys.forall { case (c, hs) =>
+            e.blooms.find(_._1 == phys(c)) match {
+              case Some((_, payload)) =>
+                val bf = decodeBloom(payload)
+                hs.exists(bf.mightContainLong)
+              case None => true
+            }
+          } &&
+          nullReqs.forall { case (c, needsNull) =>
+            e.nulls.find(_._1 == phys(c)) match {
+              // needsNull: the file must HOLD a null; else it must
+              // hold a non-null (count < footer rows — unknowable
+              // when the row count is unrecorded, so those stay
+              // readable). DV-safe both ways: deleted rows only ever
+              // SHRINK the live set, and "no null present" / "no
+              // non-null present" remain true of any subset.
+              case Some((_, n)) =>
+                if (needsNull) n > 0 else e.rows < 0 || n < e.rows
+              case None => true
+            }
+          } &&
+          intervals.forall { case (c, lo, hi) =>
+            e.stats.find(_._1 == phys(c)) match {
+              // NaN-poisoned footer stats (a double/float file
+              // containing NaN can record NaN min/max) compare false
+              // to everything, which would silently SKIP a file that
+              // holds matching real rows — treat NaN stats as absent.
+              case Some((_, mn, mx)) if !mn.isNaN && !mx.isNaN =>
+                mx >= lo && mn <= hi
+              case _ => true
+            }
+          } &&
+          sbounds.forall { case (c, lo, hi) =>
+            e.sstats.find(_._1 == phys(c)) match {
+              case Some((_, mn, mx)) =>
+                lo.forall(l => utf8Cmp(mx, l) >= 0) &&
+                  hi.forall(h => utf8Cmp(mn, h) <= 0)
+              case None => true
+            }
+          }
+    }
+  }
+
   /** Conservative per-column numeric intervals implied by a predicate,
     * for manifest-stats file skipping. Only top-level conjuncts of
     * simple shape (attr ⟨cmp⟩ literal, attr IN (literals…)) contribute;
-    * anything else — OR branches, casts, functions, non-numeric
-    * literals — contributes nothing, so skipping can only ever be
-    * conservative (a file is dropped only when NO row in it can
-    * satisfy the conjunct). Wide-integer literals are widened by one
-    * ulp after the Double conversion so the same rounding the footer
-    * stats went through can never skip a boundary file. */
+    * anything else — casts, functions, non-numeric literals —
+    * contributes nothing, so skipping can only ever be conservative
+    * (a file is dropped only when NO row in it can satisfy the
+    * conjunct); OR structure is handled above this extractor by
+    * [[compileSkipPredicate]]. Wide-integer literals are widened by
+    * one ulp after the Double conversion so the same rounding the
+    * footer stats went through can never skip a boundary file. */
   private[lake] def skipIntervals(
       cond: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[(String, Double, Double)] = {

@@ -31,6 +31,7 @@ class SnapshotModelSpec extends SparkTestBase {
   private case object Overwrite extends Kind
   private case object Merge extends Kind
   private case object Restore extends Kind
+  private case object Rename extends Kind
 
   // an op: kind, partition key, source-op index (merge re-targets
   // that op's ids; restore targets that EXISTING version index),
@@ -40,7 +41,7 @@ class SnapshotModelSpec extends SparkTestBase {
   private val genOp: Gen[Op] = for {
     kind <- Gen.frequency(3 -> Gen.const(Append: Kind),
       2 -> Gen.const(Overwrite: Kind), 3 -> Gen.const(Merge: Kind),
-      1 -> Gen.const(Restore: Kind))
+      1 -> Gen.const(Restore: Kind), 2 -> Gen.const(Rename: Kind))
     part <- Gen.oneOf("p1", "p2", "p3")
     target <- Gen.choose(0, 7)
     n <- Gen.choose(1, 6)
@@ -71,12 +72,15 @@ class SnapshotModelSpec extends SparkTestBase {
       val path = Files.createTempDirectory(s"graft-snap-model-$seed").toString + "/t"
       val ops = sample(Gen.listOfN(nOps, genOp), seed).zipWithIndex
 
-      // model: id -> (partition, value); history: version -> model
+      // model: id -> (partition, value); history: version ->
+      // (model, value column's LOGICAL name — renameColumn toggles
+      // it, restore jumps it back with the schema)
       var model = Map[String, (String, Double)]()
-      var history = List.empty[(Long, Map[String, (String, Double)])]
+      var vName = "v"
+      var history = List.empty[(Long, Map[String, (String, Double)], String)]
 
       def tableState() = SnapshotTable.read(spark, path)
-        .select("id", "k", "v").collect()
+        .select("id", "k", vName).collect()
         .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
 
       ops.foreach { case (op, i) =>
@@ -85,7 +89,7 @@ class SnapshotModelSpec extends SparkTestBase {
             val ids = (0 until op.n).map(j => s"op$i-$j")
             val df = ids.zipWithIndex
               .map { case (id, j) => (id, op.part, i * 100.0 + j) }
-              .toDF("id", "k", "v")
+              .toDF("id", "k", vName)
             val ver = SnapshotTable.append(df, path, Seq("k"))
             model ++= ids.zipWithIndex.map { case (id, j) =>
               id -> (op.part, i * 100.0 + j)
@@ -95,7 +99,7 @@ class SnapshotModelSpec extends SparkTestBase {
             val ids = (0 until op.n).map(j => s"op$i-$j")
             val df = ids.zipWithIndex
               .map { case (id, j) => (id, op.part, i * 100.0 + j) }
-              .toDF("id", "k", "v")
+              .toDF("id", "k", vName)
             val ver = SnapshotTable.overwritePartitions(df, path, Seq("k"))
             model = model.filterNot(_._2._1 == op.part) ++
               ids.zipWithIndex.map { case (id, j) => id -> (op.part, i * 100.0 + j) }
@@ -109,7 +113,7 @@ class SnapshotModelSpec extends SparkTestBase {
             val ids = (0 until op.n).map(j => s"op$target-$j")
             val df = ids.zipWithIndex
               .map { case (id, j) => (id, op.part, i * 100.0 + j) }
-              .toDF("id", "k", "v")
+              .toDF("id", "k", vName)
             val ver = SnapshotTable.merge(df, path, Seq("id"), Seq("k"))
             model ++= ids.zipWithIndex.map { case (id, j) =>
               id -> (op.part, i * 100.0 + j)
@@ -117,21 +121,39 @@ class SnapshotModelSpec extends SparkTestBase {
             ver
           case Restore =>
             // jump the table back to a random EXISTING version; the
-            // model jumps to that version's recorded state. A first-op
-            // restore has no version to target — degrade to an append.
+            // model jumps to that version's recorded state AND value
+            // column name. A first-op restore has no version to
+            // target — degrade to an append.
             if (history.isEmpty) {
-              val df = Seq((s"op$i-0", op.part, i * 100.0)).toDF("id", "k", "v")
+              val df = Seq((s"op$i-0", op.part, i * 100.0)).toDF("id", "k", vName)
               val ver = SnapshotTable.append(df, path, Seq("k"))
               model += (s"op$i-0" -> (op.part, i * 100.0))
               ver
             } else {
-              val (tv, tm) = history(op.target % history.size)
+              val (tv, tm, tn) = history(op.target % history.size)
               val ver = SnapshotTable.restore(spark, path, tv)
               model = tm
+              vName = tn
+              ver
+            }
+          case Rename =>
+            // metadata-only rename of the value column, toggling
+            // between 'v' and 'w' — mixed-era physical files under a
+            // changing logical name, interleaved with every other op
+            // (and degraded to an append before the table exists)
+            if (history.isEmpty) {
+              val df = Seq((s"op$i-0", op.part, i * 100.0)).toDF("id", "k", vName)
+              val ver = SnapshotTable.append(df, path, Seq("k"))
+              model += (s"op$i-0" -> (op.part, i * 100.0))
+              ver
+            } else {
+              val to = if (vName == "v") "w" else "v"
+              val ver = SnapshotTable.renameColumn(spark, path, vName, to)
+              vName = to
               ver
             }
         }
-        history ::= (v, model)
+        history ::= (v, model, vName)
         assert(tableState() === model,
           s"seed=$seed after op $i ($op): table diverged from model")
 
@@ -149,9 +171,9 @@ class SnapshotModelSpec extends SparkTestBase {
       // time travel: every SURVIVING version still replays its model,
       // reconstructed cold (no cached manifests)
       SnapshotTable.clearManifestCache()
-      history.foreach { case (v, m) =>
+      history.foreach { case (v, m, n) =>
         val got = SnapshotTable.read(spark, path, Some(v))
-          .select("id", "k", "v").collect()
+          .select("id", "k", n).collect()
           .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
         assert(got === m, s"seed=$seed version $v diverged")
       }
