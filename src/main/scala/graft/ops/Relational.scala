@@ -1606,6 +1606,14 @@ object Relational {
     // below) would aggregate lineitem TWICE. A window min over one
     // aggregation is the same predicate with a single heavy scan —
     // the decorrelated plan we'd want Catalyst to reach.
+    // The `p_size <= 5` part filter broadcast-joins BEFORE the
+    // window: the filter is on part attributes (constant per window
+    // partition key), so restricting to surviving partkeys first is
+    // semantics-preserving and shrinks the window's exchange input
+    // ~10×. Measured (graft.Q73Bench, sf0.1, 5 interleaved pairs):
+    // join-before 0.702s vs filter-after 0.768s median, 4/5 pairwise
+    // — modest here because the lineitem group-by dominates, but the
+    // exchange reduction is the posture that compounds at 100 TB.
     // ps_supplycost stays UNROUNDED: min over identical IEEE
     // quotients is bit-identical on both engines, while round(x, 4)
     // itself diverges at display boundaries (seen live at sf0.1:
@@ -1615,18 +1623,20 @@ object Relational {
         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
         |         min(l_extendedprice / l_quantity) AS ps_supplycost
         |  FROM lineitem_q2 GROUP BY 1, 2),
+        |flt AS (SELECT p_partkey, p_name FROM part_q2 WHERE p_size <= 5),
+        |joined AS (
+        |  SELECT /*+ BROADCAST(f) */ f.p_partkey, f.p_name,
+        |         ps.ps_suppkey, ps.ps_supplycost
+        |  FROM partsupp ps JOIN flt f ON f.p_partkey = ps.ps_partkey),
         |ranked AS (
-        |  SELECT ps_partkey, ps_suppkey, ps_supplycost,
-        |         min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
-        |  FROM partsupp)
-        |SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, ps.ps_supplycost
-        |FROM ranked ps
-        |JOIN part_q2 p ON p.p_partkey = ps.ps_partkey
-        |JOIN supplier_q2 s ON s.s_suppkey = ps.ps_suppkey
+        |  SELECT *, min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+        |  FROM joined)
+        |SELECT r.p_partkey, r.p_name, s.s_name, n.n_name, r.ps_supplycost
+        |FROM ranked r
+        |JOIN supplier_q2 s ON s.s_suppkey = r.ps_suppkey
         |JOIN nation_q2 n ON n.n_nationkey = s.s_nationkey
-        |WHERE p.p_size <= 5
-        |  AND ps.ps_supplycost = ps.min_cost
-        |ORDER BY p.p_partkey, s.s_name""".stripMargin)
+        |WHERE r.ps_supplycost = r.min_cost
+        |ORDER BY r.p_partkey, s.s_name""".stripMargin)
   }
 
   private val minCostSupplierSql =
