@@ -2729,13 +2729,18 @@ object SnapshotTable {
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val m = readManifestFull(spark, path, v)
     val f = fs(spark, path)
+    // stats maps surface under LOGICAL names (reverse column mapping)
+    val rev = m.colmap.map(_.swap)
+    def log(c: String) = rev.getOrElse(c, c)
     val rows: Seq[Row] = m.entries.map { e =>
       val part = partitionFragment(e)
       val size = f.getFileStatus(new Path(e.filePath)).getLen
       Row(e.filePath, if (part.isEmpty) null else part,
         if (e.rows >= 0) Long.box(e.rows) else null,
         size, e.dv.map(d => Long.box(d._2)).getOrElse(Long.box(0L)),
-        e.commitDir)
+        e.commitDir,
+        e.nulls.map { case (c, n) => log(c) -> n }.toMap,
+        e.blooms.map(b => log(b._1)))
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("file_path", org.apache.spark.sql.types.StringType, nullable = false),
@@ -2743,7 +2748,12 @@ object SnapshotTable {
       StructField("rows", org.apache.spark.sql.types.LongType),
       StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false),
       StructField("dv_rows", org.apache.spark.sql.types.LongType, nullable = false),
-      StructField("commit_dir", org.apache.spark.sql.types.StringType, nullable = false))))
+      StructField("commit_dir", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("null_counts", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType), nullable = false),
+      StructField("bloom_columns", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType), nullable = false))))
   }
 
   /** Iceberg-style `t.partitions` metadata table: per hive-partition

@@ -52,6 +52,17 @@ class NullStatsSpec extends SparkTestBase {
     assert(counts === Seq(Some(0L), Some(5L), Some(10L)))
   }
 
+  test("files metadata exposes per-file null counts under logical names") {
+    val path = Files.createTempDirectory("graft-nulls-meta").toString + "/t"
+    buildTable(path)
+    SnapshotTable.renameColumn(spark, path, "v", "value")
+    val meta = SnapshotTable.filesMetadata(spark, path)
+      .select("rows", "null_counts").collect()
+      .map(r => r.getLong(0) -> r.getMap[String, Long](1).get("value"))
+    assert(meta.flatMap(_._2).sorted.toSeq === Seq(0L, 5L, 10L),
+      s"null_counts must surface under the RENAMED logical name: ${meta.toSeq}")
+  }
+
   test("IS NULL scans only files holding nulls; IS NOT NULL drops the all-null file") {
     val path = Files.createTempDirectory("graft-nulls2").toString + "/t"
     buildTable(path)
