@@ -1056,6 +1056,15 @@ object SnapshotTable {
       quarantinePath: String, files: Seq[(String, String, Long)],
       writeSchema: StructType, txnAppId: String,
       txnVersion: Long): (Option[Long], Long) = {
+    // quarantine mode splits and rewrites the epoch's files through
+    // the LOGICAL writer schema; composing that with column mapping
+    // (physical file names) is not wired — honest refusal, while the
+    // plain reject-mode sink supports mapped targets
+    require(latestVersion(spark, path).forall(v =>
+        readManifestFull(spark, path, v).colmap.isEmpty),
+      s"failMode=quarantine does not support column-mapped target $path " +
+        "(a RENAME COLUMN happened) — use reject mode or compact/recreate " +
+        "the table un-renamed")
     if (streamTxnVersion(spark, path, txnAppId).exists(_ >= txnVersion))
       return (None, 0L)
     val cs: Map[String, String] = latestVersion(spark, path)
@@ -1126,7 +1135,8 @@ object SnapshotTable {
     * reject-mode write gate. */
   def commitStreamEpoch(spark: SparkSession, path: String,
       files: Seq[(String, String, Long)], writeSchema: StructType,
-      txnAppId: String, txnVersion: Long, maxAttempts: Int = 20): Option[Long] = {
+      txnAppId: String, txnVersion: Long, maxAttempts: Int = 20,
+      writtenColmap: Map[String, String] = Map.empty): Option[Long] = {
     require(txnAppId.nonEmpty, "txnAppId must be nonempty")
     var added = files.map { case (dir, f, rows) => Entry(dir, f, rows) }
     // hidden-partitioned target: the epoch's flat files are re-laid
@@ -1154,15 +1164,16 @@ object SnapshotTable {
         s"no branch '${branchOf(path).get}' at ${realPathOf(path)} — " +
           "createBranch first; a write through a dropped or unknown " +
           "branch handle does not re-create the branch")
-      // executor-side epoch writers emit the writer's (logical)
-      // column names; a column-mapped table stores PHYSICAL names —
-      // publishing mismatched files would corrupt reads. Honest
-      // limitation, enforced rather than hidden: compact the stream
-      // target or recreate it un-renamed before streaming into it.
-      require(prev.colmap.isEmpty,
-        s"streaming sink target $path uses column mapping (a RENAME " +
-          "COLUMN happened) — the exactly-once sink does not support " +
-          "mapped tables yet")
+      // COLUMN MAPPING: the epoch's files were written under the
+      // mapping the sink read when the epoch STARTED (the factory
+      // renames logical -> physical before the executor writers run);
+      // a rename landing mid-epoch would make those physical names
+      // stale — fail the epoch (the engine retries the batch, and the
+      // retry's fresh factory picks up the new mapping).
+      require(prev.colmap == writtenColmap,
+        s"column mapping of $path changed during streaming epoch " +
+          s"$txnVersion of '$txnAppId' — the retry will re-write the " +
+          "batch under the current mapping")
       if (prev.txns.get(txnAppId).exists(_ >= txnVersion)) {
         // a replay detected mid-retry abandons any re-laid dir too
         layoutDir.foreach(d => fs(spark, path).delete(new Path(d), true): Unit)
@@ -1184,10 +1195,19 @@ object SnapshotTable {
       if (prev.transforms.nonEmpty && files.nonEmpty &&
           prev.transforms.map(_.spec) != layoutSpecs) {
         layoutDir.foreach(d => fs(spark, path).delete(new Path(d), true): Unit)
-        val flat = spark.read.schema(writeSchema).parquet(files.map(_._2): _*)
+        // the flat files carry PHYSICAL names; transforms derive from
+        // LOGICAL sources — rename in, derive, rename back for the
+        // re-laid write (hidden __p_ columns are never mapped)
+        val flat = toLogical(
+          spark.read.schema(physicalSchema(writeSchema, writtenColmap))
+            .parquet(files.map(_._2): _*), writeSchema, writtenColmap)
         val data = PartitionTransform.apply(flat, prev.transforms)
+        val physData =
+          if (writtenColmap.isEmpty) data
+          else data.select(data.columns.toSeq.map(c =>
+            col(c).as(writtenColmap.getOrElse(c, c))): _*)
         val dir = s"${dataDirOf(path)}/c-${java.util.UUID.randomUUID.toString.take(12)}"
-        data.write.mode("errorifexists").option("compression", "zstd")
+        physData.write.mode("errorifexists").option("compression", "zstd")
           .partitionBy(prev.transforms.map(_.pcol): _*).parquet(dir)
         added = commitEntries(spark, dir, Nil)
         bloomed = false // re-laid files need their blooms rebuilt
@@ -1200,7 +1220,13 @@ object SnapshotTable {
       // only for constraints added since the last attempt
       val toCheck = prev.constraints -- validatedCs
       if (toCheck.nonEmpty && added.nonEmpty) {
-        val written = spark.read.parquet(files.map(_._2): _*)
+        val written0 = spark.read.parquet(files.map(_._2): _*)
+        // constraint exprs are over LOGICAL names
+        val revCm = writtenColmap.map(_.swap)
+        val written =
+          if (writtenColmap.isEmpty) written0
+          else written0.select(written0.columns.toSeq.map(c =>
+            col(c).as(revCm.getOrElse(c, c))): _*)
         toCheck.foreach { case (name, e) =>
           val bad = written.filter(!coalesce(expr(e), lit(true))).limit(1).count()
           require(bad == 0L,
@@ -1210,7 +1236,8 @@ object SnapshotTable {
         validatedCs = validatedCs ++ toCheck.keySet
       }
       if (!bloomed && prev.bloomCols.nonEmpty && added.nonEmpty) {
-        added = withBlooms(spark, added, prev.bloomCols)
+        added = withBlooms(spark, added,
+          prev.bloomCols.map(c => writtenColmap.getOrElse(c, c)))
         bloomed = true
       }
       val merged = mergeSchemas(prev.schema, layoutSchema, path)
@@ -2219,6 +2246,14 @@ object SnapshotTable {
       }
       m.copy(bloomCols = cols.distinct)
     }
+
+  /** Current logical→physical column mapping (empty when identity
+    * or the table does not exist yet) — the sink reads it per epoch. */
+  private[graft] def columnMapping(spark: SparkSession,
+      path: String): Map[String, String] =
+    latestVersion(spark, path)
+      .map(v => readManifestFull(spark, path, v).colmap)
+      .getOrElse(Map.empty)
 
   /** Current bloom columns (empty when the feature is off). */
   def bloomColumns(spark: SparkSession, path: String): Seq[String] = {

@@ -83,15 +83,34 @@ private[sources] class SnapshotStreamingWrite(path: String, schema: StructType,
   // exactly the identity exactly-once needs
   private def txnAppId: String = s"stream-$queryId"
 
+  // the column mapping the CURRENT epoch's files were written under:
+  // read once per epoch at factory creation, handed to the commit so
+  // a rename landing mid-epoch fails the batch (the retry's fresh
+  // factory picks the new mapping up) — epochs are serial per query,
+  // so one slot suffices
+  @volatile private var epochColmap: Map[String, String] = Map.empty
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
+    // column-mapped target: executor writers emit PHYSICAL names so
+    // the files match every batch-written file of the table; the
+    // quarantine split path does not compose with mapping and refuses
+    val cm = SnapshotTable.columnMapping(spark, path)
+    require(failMode == "reject" || cm.isEmpty,
+      s"failMode=quarantine does not support column-mapped target $path — " +
+        "use reject mode or compact/recreate the table un-renamed")
+    epochColmap = cm
+    val physSchema =
+      if (cm.isEmpty) schema
+      else StructType(schema.fields.map(f =>
+        f.copy(name = cm.getOrElse(f.name, f.name))))
     // fresh commit dir per epoch ATTEMPT (factories are per-epoch in
     // microbatch mode): a replayed epoch writes to a new dir and the
     // watermark check discards it, so dirs are never shared
     val commitDir = s"${SnapshotTable.dataDirOf(path)}/c-" +
       java.util.UUID.randomUUID.toString.take(12)
-    new SnapshotStreamWriterFactory(commitDir, schema,
+    new SnapshotStreamWriterFactory(commitDir, physSchema,
       new SerializableWriterConf(spark.sessionState.newHadoopConf()))
   }
 
@@ -113,7 +132,7 @@ private[sources] class SnapshotStreamingWrite(path: String, schema: StructType,
           quarantinePath.get, triples, schema, txnAppId, epochId)._1
       else
         SnapshotTable.commitStreamEpoch(spark, path, triples, schema,
-          txnAppId, epochId)
+          txnAppId, epochId, writtenColmap = epochColmap)
     if (committed.isEmpty) {
       // replayed epoch: rows are already live from the pre-crash
       // commit — drop the duplicates this attempt wrote

@@ -148,6 +148,42 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(feed.count() === 1)
   }
 
+  test("exactly-once streaming sink writes PHYSICAL names into a mapped target") {
+    val base = Files.createTempDirectory("graft-cm-stream").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), dst)
+    SnapshotTable.renameColumn(spark, dst, "v", "value")
+    val before = SnapshotTable.liveFiles(spark, dst).toSet
+    // the stream's frame uses the CURRENT logical names
+    SnapshotTable.append(Seq((2L, 2.0), (3L, 3.0))
+      .toDF("k", "value").coalesce(1), src)
+    val q = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    val got = SnapshotTable.read(spark, dst).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // the streamed file stores the PHYSICAL name, like every batch file
+    val newFile = (SnapshotTable.liveFiles(spark, dst).toSet -- before).head
+    assert(spark.read.parquet(newFile).columns.toSeq === Seq("k", "v"))
+    // quarantine mode refuses mapped targets loudly
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("graft-snapshot").load(src)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .option("failMode", "quarantine")
+        .option("quarantinePath", s"$base/quar")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q2.awaitTermination()
+    }
+    assert(e.getMessage.contains("quarantine") ||
+      Option(e.getCause).exists(_.getMessage.contains("quarantine")))
+  }
+
   test("DV deletes and compact work across a rename") {
     val path = Files.createTempDirectory("graft-cm7").toString + "/t"
     SnapshotTable.append(
