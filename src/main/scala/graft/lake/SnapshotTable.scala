@@ -1241,11 +1241,17 @@ object SnapshotTable {
         bloomed = true
       }
       val merged = mergeSchemas(prev.schema, layoutSchema, path)
+      // same two-sided guard as commit() and evolveSchema: a streamed
+      // new column may neither resurrect a dropped column's bytes nor
+      // collide with a still-mapped column's PHYSICAL name (two
+      // logical columns resolving to one physical field would corrupt
+      // every subsequent read)
       merged.fieldNames
         .filterNot(c => prev.schema.exists(_.fieldNames.contains(c)))
-        .foreach(c => require(!prev.droppedPhys.contains(c),
+        .foreach(c => require(!prev.droppedPhys.contains(c) &&
+            !prev.colmap.values.toSet.contains(c),
           s"cannot stream column '$c' into $path: its physical name " +
-            "collides with a dropped column's on-disk data"))
+            "collides with a dropped or renamed column's on-disk data"))
       if (publishManifest(spark, path, version, prev.copy(
           schema = Some(merged), entries = prev.entries ++ added,
           op = Some("streamAppend"),

@@ -56,6 +56,21 @@ import graft.lake.SnapshotTable
   * (vectorized files split into byte ranges of at most this, default
   * 128 MiB, so one fat bootstrap file fans out over tasks).
   *
+  * COLUMN MAPPING: on a renamed table ([[SnapshotTable.renameColumn]])
+  * the data files store PHYSICAL names while the stream's schema uses
+  * LOGICAL ones. Both decode paths resolve each requested field
+  * through the table's logical→physical mapping, captured ONCE when
+  * the query (re)starts — the same moment the schema is inferred, so
+  * the two are consistent by construction. Physical names are STABLE
+  * across renames (a rename is metadata-only and a dropped physical
+  * name is tombstoned, never reused), which is what makes one
+  * captured mapping correct for every file in the stream regardless
+  * of which side of a rename wrote it: a field the mapping does not
+  * cover (e.g. the old logical name during a mid-query rename) is its
+  * own physical name, and a file that lacks the resolved physical
+  * field genuinely predates the column — the true schema-evolution
+  * NULL, now distinguishable from a renamed column's data.
+  *
   * Reader notes: TWO decode paths share the partition-value logic.
   * Small commit-sized batches use parquet-hadoop's Group API (simple,
   * per-row); batches at bootstrap scale route through Spark's
@@ -102,7 +117,11 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
     val vectorized = Option(opts.get("vectorizedreader")).getOrElse("auto")
     require(Set("auto", "always", "never")(vectorized),
       s"vectorizedReader must be auto|always|never, got '$vectorized'")
-    new SnapshotStreamTable(pathOf(opts), schema, SnapshotStreamOptions(
+    // logical→physical mapping captured at the same moment the schema
+    // was resolved (query start / restart) — see the class doc for why
+    // one capture is correct for every file the stream will read
+    val colmap = SnapshotTable.columnMapping(SparkSession.active, pathOf(opts))
+    new SnapshotStreamTable(pathOf(opts), schema, colmap, SnapshotStreamOptions(
       Option(opts.get("startingversion")).map(_.toLong).getOrElse(0L),
       opts.getBoolean("ignorechanges", false),
       Option(opts.get("maxversionspertrigger")).map(_.toLong),
@@ -118,6 +137,7 @@ private case class SnapshotStreamOptions(startingVersion: Long,
     maxBytesPerPartition: Long)
 
 private class SnapshotStreamTable(path: String, tableSchema: StructType,
+    colmap: Map[String, String],
     opts: SnapshotStreamOptions) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -138,7 +158,7 @@ private class SnapshotStreamTable(path: String, tableSchema: StructType,
       }
       override def description(): String = s"SnapshotStream $path"
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new SnapshotMicroBatchStream(path, tableSchema, opts)
+        new SnapshotMicroBatchStream(path, tableSchema, colmap, opts)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -159,7 +179,7 @@ private case class SnapshotVersionOffset(version: Long) extends Offset {
 }
 
 private class SnapshotMicroBatchStream(path: String, schema: StructType,
-    opts: SnapshotStreamOptions)
+    colmap: Map[String, String], opts: SnapshotStreamOptions)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -259,15 +279,15 @@ private class SnapshotMicroBatchStream(path: String, schema: StructType,
       totalBytes / math.max(1, spark.sparkContext.defaultParallelism)))
     sized.flatMap { case (en, len, dead) =>
       if (!vectorize || dead.nonEmpty)
-        Seq(SnapshotFilePartition(en.filePath, en.commitDir, schema, conf,
-          0L, Long.MaxValue, vectorized = false, dead): InputPartition)
+        Seq(SnapshotFilePartition(en.filePath, en.commitDir, schema, colmap,
+          conf, 0L, Long.MaxValue, vectorized = false, dead): InputPartition)
       else
         // byte-range splits: the parquet reader takes the row groups
         // whose midpoint falls in [start, start+length) — standard file
         // splitting, so one fat bootstrap file fans out over tasks
         (0L until math.max(len, 1L) by splitBytes).map { off =>
-          SnapshotFilePartition(en.filePath, en.commitDir, schema, conf,
-            off, math.min(splitBytes, len - off),
+          SnapshotFilePartition(en.filePath, en.commitDir, schema, colmap,
+            conf, off, math.min(splitBytes, len - off),
             vectorized = true): InputPartition
         }
     }.toArray
@@ -298,9 +318,14 @@ private class SerializableHadoopConf(
 }
 
 private case class SnapshotFilePartition(filePath: String, commitDir: String,
-    schema: StructType, conf: SerializableHadoopConf,
+    schema: StructType, colmap: Map[String, String],
+    conf: SerializableHadoopConf,
     start: Long, length: Long, vectorized: Boolean,
-    deadPositions: Array[Long] = Array.empty) extends InputPartition
+    deadPositions: Array[Long] = Array.empty) extends InputPartition {
+  /** Physical (on-disk parquet / partition-dir) name of a logical
+    * schema field — identity when the table was never renamed. */
+  def phys(c: String): String = colmap.getOrElse(c, c)
+}
 
 /** Hive partition-value handling shared by both decode paths: parse
   * the `k=v` path segments and convert a directory-string value to
@@ -355,15 +380,18 @@ private class SnapshotVectorReader(p: SnapshotFilePartition)
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 
+  // files and partition dirs are laid out under PHYSICAL names —
+  // resolve every schema field through the captured mapping
   private val partValues = SnapshotPartValues.parse(p.filePath, p.commitDir)
-  private val partFields = p.schema.fields.filter(f => partValues.contains(f.name))
-  private val dataFields = p.schema.fields.filterNot(f => partValues.contains(f.name))
+  private val partFields = p.schema.fields.filter(f => partValues.contains(p.phys(f.name)))
+  private val dataFields = p.schema.fields.filterNot(f => partValues.contains(p.phys(f.name)))
 
   private val conf = new org.apache.hadoop.conf.Configuration(p.conf.value)
   // the requested-schema contract of Spark's parquet record reader
-  // (missing columns surface as NULL vectors — schema evolution)
+  // (missing columns surface as NULL vectors — schema evolution);
+  // requested under physical names, projected back positionally below
   conf.set("org.apache.spark.sql.parquet.row.requested_schema",
-    StructType(dataFields).json)
+    StructType(dataFields.map(f => f.copy(name = p.phys(f.name)))).json)
   conf.set("parquet.read.support.class",
     "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
   // keys ParquetFileFormat normally pins on the hadoopConf before
@@ -386,7 +414,7 @@ private class SnapshotVectorReader(p: SnapshotFilePartition)
     new TaskAttemptContextImpl(conf, new TaskAttemptID()))
   reader.initBatch(StructType(partFields), InternalRow.fromSeq(
     partFields.toIndexedSeq.map(f =>
-      SnapshotPartValues.toCatalyst(partValues(f.name), f.dataType, f.name))))
+      SnapshotPartValues.toCatalyst(partValues(p.phys(f.name)), f.dataType, f.name))))
 
   // batch rows come out as (dataFields ++ partFields); project back to
   // the table schema's column order, copying off the mutable batch row
@@ -436,10 +464,15 @@ private class SnapshotFileReader(p: SnapshotFilePartition)
     val g = current
     val gt = g.getType
     InternalRow.fromSeq(p.schema.fields.toIndexedSeq.map { f =>
-      if (gt.containsField(f.name)) {
-        val idx = gt.getFieldIndex(f.name)
+      // the file (and partition dir) store PHYSICAL names — resolve
+      // the logical field through the captured mapping; a file that
+      // lacks the physical field genuinely predates the column (true
+      // schema-evolution NULL, never a renamed column's data)
+      val pn = p.phys(f.name)
+      if (gt.containsField(pn)) {
+        val idx = gt.getFieldIndex(pn)
         if (g.getFieldRepetitionCount(idx) == 0) null else extract(g, idx, f)
-      } else partValues.get(f.name) match {
+      } else partValues.get(pn) match {
         case None    => null
         case Some(v) => SnapshotPartValues.toCatalyst(v, f.dataType, f.name)
       }

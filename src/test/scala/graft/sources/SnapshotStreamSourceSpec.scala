@@ -209,6 +209,60 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(got2.head.schema.fieldNames.toSeq === Seq("id", "ts", "v"))
   }
 
+  test("column-mapped tables stream VALUES for renamed columns — both decode paths") {
+    val base = Files.createTempDirectory("graft-stream-cm").toString
+    val path = s"$base/t"
+    // v1 under the original names, partitioned so the hive-dir lookup
+    // is exercised through the mapping too
+    SnapshotTable.append(Seq((1L, 10.0, "p1"), (2L, 20.0, "p2"))
+      .toDF("k", "v", "part"), path, Seq("part"))
+    SnapshotTable.renameColumn(spark, path, "v", "val2")       // metadata-only
+    SnapshotTable.renameColumn(spark, path, "part", "region")  // partition col
+    // v4: appended AFTER the renames — files still store physical names
+    SnapshotTable.append(Seq((3L, 30.0, "p1")).toDF("k", "val2", "region"),
+      path, Seq("region"))
+    def got(ckpt: String, mode: String): Seq[Row] =
+      drain(path, s"$base/$ckpt", Map("vectorizedReader" -> mode))
+        .sortBy(_.getLong(0))
+    for (rows <- Seq(got("c-group", "never"), got("c-vec", "always"))) {
+      assert(rows.map(_.getLong(0)) === Seq(1L, 2L, 3L))
+      assert(rows.map(_.getDouble(1)) === Seq(10.0, 20.0, 30.0),
+        "renamed column must stream its values, not schema-evolution NULLs")
+      assert(rows.map(_.getString(2)) === Seq("p1", "p2", "p1"),
+        "renamed PARTITION column must resolve through the physical dir name")
+    }
+    // a column genuinely added after v1 still NULLs for the old files
+    // (the schema-evolution NULL stays distinguishable from a rename)
+    SnapshotTable.append(Seq((4L, 40.0, "p2", "w4"))
+      .toDF("k", "val2", "region", "w"), path, Seq("region"))
+    val evo = drain(path, s"$base/c-evo").sortBy(_.getLong(0))
+    assert(evo.filter(_.getLong(0) < 4L).forall(_.isNullAt(3)))
+    assert(evo.find(_.getLong(0) == 4L).get.getString(3) === "w4")
+    assert(evo.map(_.getDouble(1)) === Seq(10.0, 20.0, 30.0, 40.0))
+  }
+
+  test("checkpoint restart across a rename resumes under the new logical name") {
+    val base = Files.createTempDirectory("graft-stream-cm2").toString
+    val path = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), path)    // v1
+    assert(drain(path, ckpt).map(_.getLong(0)) === Seq(1L))      // consumed v1
+    SnapshotTable.renameColumn(spark, path, "v", "v2")           // v2
+    SnapshotTable.append(Seq((2L, 2.0)).toDF("k", "v2"), path)   // v3
+    // the restarted query re-infers schema (now k, v2) and re-captures
+    // the mapping; only v2..v3 replay, with correct values
+    val got = drain(path, ckpt)
+    assert(got.map(_.getLong(0)) === Seq(2L))
+    assert(got.head.schema.fieldNames.toSeq === Seq("k", "v2"))
+    assert(got.head.getDouble(1) === 2.0)
+    // a SECOND rename with history behind it: captured colmap maps the
+    // newest logical name to the ORIGINAL physical name
+    SnapshotTable.renameColumn(spark, path, "v2", "v3")          // v4
+    SnapshotTable.append(Seq((3L, 3.0)).toDF("k", "v3"), path)   // v5
+    val all = drain(path, s"$base/ckpt-fresh").sortBy(_.getLong(0))
+    assert(all.map(_.getDouble(1)) === Seq(1.0, 2.0, 3.0))
+  }
+
   test("DV commits: default refuses; ignoreChanges re-emits only the still-live rows") {
     val base = Files.createTempDirectory("graft-stream-dv").toString
     val path = s"$base/t"
