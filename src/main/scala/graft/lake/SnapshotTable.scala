@@ -1050,29 +1050,33 @@ object SnapshotTable {
     * files deleted), and the clean side commits — every row lands
     * exactly once on exactly one side.
     *
+    * COLUMN-MAPPED targets compose: the epoch's files carry PHYSICAL
+    * names (`writtenColmap`, captured by the sink when the epoch
+    * started — same contract as [[commitStreamEpoch]]); the split
+    * reads them back under the physical schema, evaluates constraints
+    * over LOGICAL names, and re-writes each side under ITS table's
+    * mapping — the clean side under `writtenColmap` (a mid-epoch
+    * rename still fails the epoch via commitStreamEpoch's check), the
+    * quarantine side under the quarantine table's own current mapping.
+    *
     * Returns (main-table version — None when the whole epoch was a
     * replay, rows quarantined THIS call). */
   def commitStreamEpochQuarantine(spark: SparkSession, path: String,
       quarantinePath: String, files: Seq[(String, String, Long)],
       writeSchema: StructType, txnAppId: String,
-      txnVersion: Long): (Option[Long], Long) = {
-    // quarantine mode splits and rewrites the epoch's files through
-    // the LOGICAL writer schema; composing that with column mapping
-    // (physical file names) is not wired — honest refusal, while the
-    // plain reject-mode sink supports mapped targets
-    require(latestVersion(spark, path).forall(v =>
-        readManifestFull(spark, path, v).colmap.isEmpty),
-      s"failMode=quarantine does not support column-mapped target $path " +
-        "(a RENAME COLUMN happened) — use reject mode or compact/recreate " +
-        "the table un-renamed")
+      txnVersion: Long,
+      writtenColmap: Map[String, String] = Map.empty): (Option[Long], Long) = {
     if (streamTxnVersion(spark, path, txnAppId).exists(_ >= txnVersion))
       return (None, 0L)
     val cs: Map[String, String] = latestVersion(spark, path)
       .map(v => readManifestFull(spark, path, v).constraints)
       .getOrElse(Map.empty)
+    // epoch files are physical; constraints and the split are logical
     val staged =
       if (files.isEmpty || cs.isEmpty) None
-      else Some(spark.read.schema(writeSchema).parquet(files.map(_._2): _*))
+      else Some(toLogical(
+        spark.read.schema(physicalSchema(writeSchema, writtenColmap))
+          .parquet(files.map(_._2): _*), writeSchema, writtenColmap))
     val anyBad = staged.exists { df =>
       val violated = cs.values
         .map(e => !coalesce(expr(e), lit(true))).reduce(_ || _)
@@ -1080,18 +1084,23 @@ object SnapshotTable {
     }
     if (!anyBad)
       return (commitStreamEpoch(spark, path, files, writeSchema,
-        txnAppId, txnVersion), 0L)
+        txnAppId, txnVersion, writtenColmap = writtenColmap), 0L)
 
     def freshDir(table: String): String =
       s"${dataDirOf(table)}/c-${java.util.UUID.randomUUID.toString.take(12)}"
     def triplesOf(dir: String): Seq[(String, String, Long)] =
       commitEntries(spark, dir, Nil).map(e => (e.commitDir, e.filePath, e.rows))
+    def toPhysical(df: DataFrame, cm: Map[String, String]): DataFrame =
+      if (cm.isEmpty) df
+      else df.select(df.columns.toSeq.map(c => col(c).as(cm.getOrElse(c, c))): _*)
 
     val tagged = staged.get.withColumn("_violated", violatedArray(cs))
     // quarantine first (its watermark makes a replay skip and clean
     // up): a crash window never silently drops a violating row
+    // the quarantine table may carry its OWN mapping — write under it
+    val qcm = columnMapping(spark, quarantinePath)
     val badDir = freshDir(quarantinePath)
-    tagged.filter(size(col("_violated")) > 0)
+    toPhysical(tagged.filter(size(col("_violated")) > 0), qcm)
       .write.mode("errorifexists").option("compression", "zstd").parquet(badDir)
     val badFiles = triplesOf(badDir)
     val nBad = badFiles.map(_._3).sum
@@ -1099,15 +1108,16 @@ object SnapshotTable {
       StructField("_violated", org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType)))
     if (commitStreamEpoch(spark, quarantinePath, badFiles, qSchema,
-        txnAppId, txnVersion).isEmpty)
+        txnAppId, txnVersion, writtenColmap = qcm).isEmpty)
       fs(spark, quarantinePath).delete(new Path(badDir), true): Unit
     // then the compliant side; an EMPTY clean side still publishes a
     // zero-file commit so the main watermark advances (idempotence)
     val cleanDir = freshDir(path)
-    tagged.filter(size(col("_violated")) === 0).drop("_violated")
+    toPhysical(tagged.filter(size(col("_violated")) === 0).drop("_violated"),
+      writtenColmap)
       .write.mode("errorifexists").option("compression", "zstd").parquet(cleanDir)
     val v = commitStreamEpoch(spark, path, triplesOf(cleanDir), writeSchema,
-      txnAppId, txnVersion)
+      txnAppId, txnVersion, writtenColmap = writtenColmap)
     if (v.isEmpty) fs(spark, path).delete(new Path(cleanDir), true): Unit
     // the original mixed epoch files are superseded by the split
     files.map(_._1).distinct.foreach { d =>

@@ -94,12 +94,10 @@ private[sources] class SnapshotStreamingWrite(path: String, schema: StructType,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
     // column-mapped target: executor writers emit PHYSICAL names so
-    // the files match every batch-written file of the table; the
-    // quarantine split path does not compose with mapping and refuses
+    // the files match every batch-written file of the table — in both
+    // fail modes (the quarantine split translates through the same
+    // captured mapping)
     val cm = SnapshotTable.columnMapping(spark, path)
-    require(failMode == "reject" || cm.isEmpty,
-      s"failMode=quarantine does not support column-mapped target $path — " +
-        "use reject mode or compact/recreate the table un-renamed")
     epochColmap = cm
     val physSchema =
       if (cm.isEmpty) schema
@@ -129,7 +127,8 @@ private[sources] class SnapshotStreamingWrite(path: String, schema: StructType,
         // rewrites; on its no-rewrite fast path (or a replay) the
         // dirs survive to the cleanup below
         SnapshotTable.commitStreamEpochQuarantine(spark, path,
-          quarantinePath.get, triples, schema, txnAppId, epochId)._1
+          quarantinePath.get, triples, schema, txnAppId, epochId,
+          writtenColmap = epochColmap)._1
       else
         SnapshotTable.commitStreamEpoch(spark, path, triples, schema,
           txnAppId, epochId, writtenColmap = epochColmap)

@@ -180,6 +180,66 @@ class SnapshotStreamSinkSpec extends SparkTestBase {
     assert(SnapshotTable.count(spark, qt) === 1L)
   }
 
+  test("failMode=quarantine on a COLUMN-MAPPED target: both sides land under " +
+      "physical names; crash replay stays exactly-once") {
+    val base = Files.createTempDirectory("graft-sink-qcm").toString
+    val (src, dst, qt, ckpt) = (s"$base/src", s"$base/dst", s"$base/q", s"$base/ckpt")
+    // target: (k, v, tag) with a constraint on v, then tag RENAMED —
+    // files keep physical name "tag" while the logical schema says
+    // "label"; the quarantine table is renamed too (its own mapping)
+    SnapshotTable.append(Seq((1L, 10.0, "t1")).toDF("k", "v", "tag"), dst)
+    SnapshotTable.addCheckConstraint(spark, dst, "v_nonneg", "v >= 0")
+    SnapshotTable.renameColumn(spark, dst, "tag", "label")
+    SnapshotTable.append(Seq((0L, 0.0, "q0", Seq("seed"))).toDF("k", "v", "tag", "_violated"), qt)
+    SnapshotTable.renameColumn(spark, qt, "tag", "label")
+    // two epochs at one version per trigger: compliant (fast path on a
+    // mapped target), then mixed (the split path on a mapped target)
+    SnapshotTable.append(Seq((2L, 5.0, "a"), (4L, 7.0, "b")).toDF("k", "v", "label"), src)
+    SnapshotTable.append(Seq((3L, -1.0, "c"), (5L, 9.0, "d")).toDF("k", "v", "label"), src)
+
+    def qpump(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", ckpt)
+        .option("failMode", "quarantine")
+        .option("quarantinePath", qt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    qpump()
+    assert(keysOf(dst) === Seq(1L, 2L, 4L, 5L))
+    // the renamed column's VALUES streamed through both sides (not
+    // NULLs), under the LOGICAL name on read
+    val got = SnapshotTable.read(spark, dst)
+    assert(got.columns.toSeq === Seq("k", "v", "label"))
+    assert(got.filter(col("label").isNull).count() === 0L)
+    assert(got.filter(col("k") === 5L).select("label").as[String].head() === "d")
+    val quar = SnapshotTable.read(spark, qt).filter(col("k") === 3L)
+    assert(quar.select("label").as[String].head() === "c")
+    assert(quar.select(array_join(col("_violated"), ",")).as[String].head()
+      === "v_nonneg")
+    // files on BOTH tables store the physical name, never the logical
+    val dstSchemas = SnapshotTable.liveFiles(spark, dst)
+      .map(f => spark.read.parquet(f).schema.fieldNames.toSeq)
+    assert(dstSchemas.forall(s => s.contains("tag") && !s.contains("label")))
+
+    // crash window on the SPLIT epoch: both watermarks must skip
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    require(commits.last.delete() && (!crc.exists() || crc.delete()))
+    val (vD, vQ) = (SnapshotTable.latestVersion(spark, dst).get,
+      SnapshotTable.latestVersion(spark, qt).get)
+    qpump()
+    assert(SnapshotTable.latestVersion(spark, dst).get === vD)
+    assert(SnapshotTable.latestVersion(spark, qt).get === vQ)
+    assert(keysOf(dst) === Seq(1L, 2L, 4L, 5L))
+    assert(SnapshotTable.read(spark, qt).filter(col("k") === 3L).count() === 1L)
+  }
+
   test("crash BETWEEN quarantine and main commit: the replayed split epoch " +
       "skips the quarantine side and completes the clean side") {
     val base = Files.createTempDirectory("graft-sink-qcrash").toString
