@@ -1764,6 +1764,63 @@ object EvQueries {
        |  true AS renamed_values_ok
        |FROM gold ORDER BY sessionId""".stripMargin
 
+  /** METADATA-ONLY type widening (`ALTER COLUMN ... TYPE`, Delta's
+    * type-widening shape): the gold fact lands CLUSTERED on an INT
+    * column (3 range files), the column widens to BIGINT without
+    * touching a single file (`files_stable`), a post-widen append
+    * writes the LONG era, and the final read serves BOTH eras under
+    * the wide type — hash-matched against the oracle. Contracts:
+    * `old_schema_ok` pins time travel to the pre-widen version still
+    * reading INT; `widen_pruned` is an executed-plan numFiles proof
+    * that min/max file skipping keeps pruning through the widened
+    * column (stats are recorded type-agnostically, so a LONG-literal
+    * point query on the clustered INT files opens fewer than all of
+    * them). */
+  def typeWidening(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-tw-gate")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val gold = good(spark).select(col("sessionId"),
+      floor(col("kwhTotal") * 100).cast("int").as("e_centi"))
+      .coalesce(1).persist()
+    try {
+      val all = gold.orderBy("sessionId")
+      val (head, tail) = (all.limit(30), all.exceptAll(all.limit(30)))
+      SnapshotTable.appendClustered(head, path, "e_centi", numFiles = 3) // v1: INT era
+      val files1 = SnapshotTable.liveFiles(spark, path).toSet
+      SnapshotTable.widenColumnType(spark, path, "e_centi", LongType)    // v2: metadata-only
+      val filesStable = SnapshotTable.liveFiles(spark, path).toSet == files1
+      val oldSchemaOk = SnapshotTable.read(spark, path, Some(1L))
+        .schema("e_centi").dataType == IntegerType
+      // numFiles proof on the widened column BEFORE the long era lands:
+      // 3 clustered INT files, LONG-literal point probe
+      import spark.implicits._
+      val lo = SnapshotTable.read(spark, path)
+        .agg(min("e_centi")).as[Long].head()
+      val widenPruned =
+        scannedFiles(SnapshotTable.readWhere(spark, path,
+          col("e_centi") === lit(lo))) < 3L
+      SnapshotTable.append(                                              // v3: LONG era
+        tail.withColumn("e_centi", col("e_centi").cast("long")), path)
+      SnapshotTable.read(spark, path)
+        .withColumn("files_stable", lit(filesStable))
+        .withColumn("old_schema_ok", lit(oldSchemaOk))
+        .withColumn("widen_pruned", lit(widenPruned))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val typeWideningSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, CAST(floor(kwhTotal * 100) AS BIGINT) AS e_centi
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, e_centi,
+       |  true AS files_stable, true AS old_schema_ok, true AS widen_pruned
+       |FROM gold ORDER BY sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1800,5 +1857,6 @@ object EvQueries {
     QDef("ev31_or_skipping", orSkipping, Some(orSkippingSql)),
     QDef("ev32_stream_column_mapping", streamColumnMapping,
       Some(streamColumnMappingSql)),
+    QDef("ev33_type_widening", typeWidening, Some(typeWideningSql)),
   )
 }

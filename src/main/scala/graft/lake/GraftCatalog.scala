@@ -137,66 +137,75 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(ident.toString, path)
   }
 
+  /** One ALTER TABLE statement = ONE manifest commit: every change is
+    * compiled to a `Manifest => Manifest` mutation and the composed
+    * function publishes atomically through the CAS — a mid-sequence
+    * validation failure (e.g. a rename refused by a CHECK-constraint
+    * reference) leaves NOTHING committed, where per-change commits
+    * would report the statement failed after half of it had already
+    * published. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
-    val adds = changes.collect { case a: TableChange.AddColumn => a }
-    val renames = changes.collect { case r: TableChange.RenameColumn => r }
-    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     // feature toggles via SET/UNSET TBLPROPERTIES — the two
     // ALTER-able graft features; any OTHER property has no manifest
     // slot, and accept-and-ignore would silently drop user intent
     val featureProps = Set(GraftCatalog.BloomColsProp, GraftCatalog.AutoCompactProp)
-    val setProps = changes.collect {
-      case p: TableChange.SetProperty if featureProps(p.property) => p }
-    val unsetProps = changes.collect {
-      case p: TableChange.RemoveProperty if featureProps(p.property) => p }
-    val rest = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
-      c.isInstanceOf[TableChange.RenameColumn] ||
-      c.isInstanceOf[TableChange.DeleteColumn] ||
-      setProps.contains(c) || unsetProps.contains(c))
-    require(rest.isEmpty, "GraftCatalog supports ALTER TABLE ... ADD COLUMNS / " +
-      "RENAME COLUMN / DROP COLUMN / SET|UNSET TBLPROPERTIES(" +
-      s"${featureProps.mkString(", ")}) only; got: " +
-      rest.map(_.getClass.getSimpleName).mkString(", "))
-    setProps.foreach { p =>
-      p.property match {
-        case GraftCatalog.BloomColsProp =>
-          SnapshotTable.setBloomColumns(spark, path,
-            p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        case GraftCatalog.AutoCompactProp =>
-          p.value.split(",").map(_.trim) match {
-            case Array(n)    => SnapshotTable.setAutoCompact(spark, path, n.toInt)
-            case Array(n, r) =>
-              SnapshotTable.setAutoCompact(spark, path, n.toInt, r.toLong)
-            case _ => throw new IllegalArgumentException(
-              s"${GraftCatalog.AutoCompactProp} expects 'minSmallFiles[,smallFileRows]', " +
-                s"got '${p.value}'")
+    val mutations: Seq[(String, SnapshotTable.Manifest => SnapshotTable.Manifest)] =
+      changes.toSeq.map {
+        case p: TableChange.SetProperty if featureProps(p.property) =>
+          p.property match {
+            case GraftCatalog.BloomColsProp =>
+              "setBloomCols" -> SnapshotTable.setBloomColumnsMutation(
+                p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            case GraftCatalog.AutoCompactProp =>
+              "setAutoCompact" -> (p.value.split(",").map(_.trim) match {
+                case Array(n) =>
+                  SnapshotTable.setAutoCompactMutation(n.toInt, 100000L)
+                case Array(n, r) =>
+                  SnapshotTable.setAutoCompactMutation(n.toInt, r.toLong)
+                case _ => throw new IllegalArgumentException(
+                  s"${GraftCatalog.AutoCompactProp} expects " +
+                    s"'minSmallFiles[,smallFileRows]', got '${p.value}'")
+              })
           }
+        case p: TableChange.RemoveProperty if featureProps(p.property) =>
+          p.property match {
+            case GraftCatalog.BloomColsProp =>
+              "setBloomCols" -> SnapshotTable.setBloomColumnsMutation(Nil)
+            case GraftCatalog.AutoCompactProp =>
+              "setAutoCompact" -> SnapshotTable.setAutoCompactMutation(0, 0L)
+          }
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames.length == 1, "nested ADD COLUMN is not supported")
+          "addColumns" -> SnapshotTable.addColumnsMutation(path, Seq(
+            org.apache.spark.sql.types.StructField(a.fieldNames.head,
+              a.dataType, nullable = true)))
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
+          "renameColumn" -> SnapshotTable.renameColumnMutation(spark, path,
+            r.fieldNames.head, r.newName)
+        case u: TableChange.UpdateColumnType =>
+          require(u.fieldNames.length == 1, "nested ALTER COLUMN is not supported")
+          "widenColumn" -> SnapshotTable.widenColumnMutation(path,
+            u.fieldNames.head, u.newDataType)
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames.length == 1, "nested DROP COLUMN is not supported")
+          "dropColumn" -> SnapshotTable.dropColumnMutation(spark, path,
+            d.fieldNames.head)
+        case other => throw new IllegalArgumentException(
+          "GraftCatalog supports ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / " +
+            "DROP COLUMN / ALTER COLUMN ... TYPE (lossless widening) / " +
+            s"SET|UNSET TBLPROPERTIES(${featureProps.mkString(", ")}) only; " +
+            s"got: ${other.getClass.getSimpleName}")
       }
-    }
-    unsetProps.foreach { p =>
-      p.property match {
-        case GraftCatalog.BloomColsProp =>
-          SnapshotTable.setBloomColumns(spark, path, Nil)
-        case GraftCatalog.AutoCompactProp =>
-          SnapshotTable.setAutoCompact(spark, path, 0)
+    if (mutations.nonEmpty) {
+      val op = mutations.map(_._1).distinct match {
+        case Seq(single) => single
+        case _           => "alterTable"
       }
-    }
-    if (adds.nonEmpty) {
-      adds.foreach(a => require(a.fieldNames.length == 1,
-        "nested ADD COLUMN is not supported"))
-      SnapshotTable.addColumns(spark, path, adds.map(a =>
-        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
-          nullable = true)))
-    }
-    renames.foreach { r =>
-      require(r.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
-      SnapshotTable.renameColumn(spark, path, r.fieldNames.head, r.newName)
-    }
-    drops.foreach { d =>
-      require(d.fieldNames.length == 1, "nested DROP COLUMN is not supported")
-      SnapshotTable.dropColumn(spark, path, d.fieldNames.head)
+      SnapshotTable.publishMetadataCommit(spark, path, op)(
+        mutations.map(_._2).reduce(_ andThen _))
     }
     GraftTable(ident.toString, path)
   }

@@ -6,8 +6,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
-  ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Minimal snapshot/commit-log table over parquet — the gap left by
   * emulating the reference's Iceberg sink with dynamic partition
@@ -1812,11 +1812,15 @@ object SnapshotTable {
     * fields land BEFORE any hidden `__p_` block so the user-visible
     * column order stays `old columns, new columns`. */
   def addColumns(spark: SparkSession, path: String,
-      newFields: Seq[StructField]): Long = {
-    require(newFields.nonEmpty, "addColumns needs at least one field")
-    require(newFields.forall(!_.name.startsWith("__p_")),
-      "column prefix '__p_' is reserved for hidden partition columns")
-    publishMetadataCommit(spark, path, "addColumns") { m =>
+      newFields: Seq[StructField]): Long =
+    publishMetadataCommit(spark, path, "addColumns")(
+      addColumnsMutation(path, newFields))
+
+  private[lake] def addColumnsMutation(path: String,
+      newFields: Seq[StructField]): Manifest => Manifest = { m =>
+      require(newFields.nonEmpty, "addColumns needs at least one field")
+      require(newFields.forall(!_.name.startsWith("__p_")),
+        "column prefix '__p_' is reserved for hidden partition columns")
       val sch = m.schema.getOrElse(throw new IllegalArgumentException(
         s"table at $path records no schema (pre-recording manifest) — " +
           "append once before evolving"))
@@ -1835,7 +1839,6 @@ object SnapshotTable {
       val (user, hidden) = sch.fields.partition(!_.name.startsWith("__p_"))
       m.copy(schema = Some(StructType(
         user ++ newFields.map(_.copy(nullable = true)) ++ hidden)))
-    }
   }
 
   /** Column names a SQL expression string references (top-level
@@ -1860,10 +1863,14 @@ object SnapshotTable {
     * recorded SQL is over logical names); bloom opt-ins follow the
     * rename. */
   def renameColumn(spark: SparkSession, path: String,
-      from: String, to: String): Long = {
-    require(to.nonEmpty && !to.startsWith("__p_"),
-      s"invalid column name '$to' ('__p_' is reserved)")
-    publishMetadataCommit(spark, path, "renameColumn") { m =>
+      from: String, to: String): Long =
+    publishMetadataCommit(spark, path, "renameColumn")(
+      renameColumnMutation(spark, path, from, to))
+
+  private[lake] def renameColumnMutation(spark: SparkSession, path: String,
+      from: String, to: String): Manifest => Manifest = { m =>
+      require(to.nonEmpty && !to.startsWith("__p_"),
+        s"invalid column name '$to' ('__p_' is reserved)")
       val sch = m.schema.getOrElse(throw new IllegalArgumentException(
         s"table at $path records no schema — append once before evolving"))
       val f = sch.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
@@ -1891,7 +1898,6 @@ object SnapshotTable {
           (if (phys == to) Map.empty[String, String] else Map(to -> phys)),
         bloomCols = m.bloomCols.map(c =>
           if (c.equalsIgnoreCase(f.name)) to else c))
-    }
   }
 
   /** ALTER TABLE ... DROP COLUMN — METADATA-ONLY: the field leaves
@@ -1902,7 +1908,11 @@ object SnapshotTable {
     * Refused while a CHECK constraint or partition transform
     * references the column, and for the last user column. */
   def dropColumn(spark: SparkSession, path: String, name: String): Long =
-    publishMetadataCommit(spark, path, "dropColumn") { m =>
+    publishMetadataCommit(spark, path, "dropColumn")(
+      dropColumnMutation(spark, path, name))
+
+  private[lake] def dropColumnMutation(spark: SparkSession, path: String,
+      name: String): Manifest => Manifest = { m =>
       val sch = m.schema.getOrElse(throw new IllegalArgumentException(
         s"table at $path records no schema — append once before evolving"))
       val f = sch.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
@@ -1927,13 +1937,65 @@ object SnapshotTable {
         colmap = m.colmap - f.name,
         droppedPhys = (m.droppedPhys :+ m.phys(f.name)).distinct,
         bloomCols = m.bloomCols.filterNot(_.equalsIgnoreCase(f.name)))
+  }
+
+  /** ALTER COLUMN ... TYPE — METADATA-ONLY lossless type WIDENING
+    * (Delta's type-widening shape): the recorded schema's field type
+    * changes; zero files rewrite. Existing narrow files read through
+    * the parquet readers' widening conversions (Spark 4's
+    * INT32→long/double and FLOAT→double updaters), so the allowlist
+    * is exactly the widenings BOTH readers serve losslessly:
+    * byte→short/int/long/double, short→int/long/double,
+    * int→long/double, float→double — the same `Cast.canUpCast`
+    * discipline the skip compiler applies to predicate casts, minus
+    * the precision-losing int→float/long→float/long→double corners.
+    * Manifest stats are stored type-agnostically (numeric min/max as
+    * doubles, bloom hashes as longs with integrals cast to long on
+    * both build and probe sides), so file skipping keeps pruning
+    * through the widened column unchanged; time travel reads each
+    * version under its own recorded type. Refused when a partition
+    * transform derives from the column (bucket/truncate derivation is
+    * type-sensitive — the old layout would prune wrongly). */
+  def widenColumnType(spark: SparkSession, path: String, name: String,
+      to: DataType): Long =
+    publishMetadataCommit(spark, path, "widenColumn")(
+      widenColumnMutation(path, name, to))
+
+  private[lake] def widenColumnMutation(path: String, name: String,
+      to: DataType): Manifest => Manifest = { m =>
+    val sch = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"table at $path records no schema — append once before evolving"))
+    val f = sch.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' at $path"))
+    require(!f.name.startsWith("__p_"),
+      "hidden partition columns cannot be widened")
+    val ok: Boolean = (f.dataType, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType)            => true
+      case (IntegerType, LongType | DoubleType)                        => true
+      case (FloatType, DoubleType)                                     => true
+      case _                                                           => false
     }
+    require(ok,
+      s"cannot change '${f.name}' ${f.dataType.simpleString} -> " +
+        s"${to.simpleString}: only lossless widenings the parquet " +
+        "readers serve from existing files are metadata-only " +
+        "(byte/short/int -> wider integral or double, float -> double)" +
+        " — anything else needs a rewrite")
+    require(!(m.transforms ++ m.retiredTransforms)
+        .exists(_.src.equalsIgnoreCase(f.name)),
+      s"cannot widen '$name': a partition transform derives from it — " +
+        "bucket/truncate derivation is type-sensitive, so the existing " +
+        "layout would prune incorrectly under the new type")
+    m.copy(schema = Some(StructType(sch.fields.map(x =>
+      if (x.name == f.name) x.copy(dataType = to) else x))))
+  }
 
   /** CAS-retry publish of a metadata-only version: no data is
     * written; `mutate` derives the manifest to publish from the
     * current one (constraint/transform changes keep entries+schema;
     * [[restore]] swaps in a prior version's whole state). */
-  private def publishMetadataCommit(spark: SparkSession, path: String,
+  private[lake] def publishMetadataCommit(spark: SparkSession, path: String,
       op: String)(mutate: Manifest => Manifest): Long = {
     var attempt = 0
     while (attempt < 20) {
@@ -2250,7 +2312,11 @@ object SnapshotTable {
     * recorded schema and be string/integral. Pass Nil to disable. */
   def setBloomColumns(spark: SparkSession, path: String,
       cols: Seq[String]): Long =
-    publishMetadataCommit(spark, path, "setBloomCols") { m =>
+    publishMetadataCommit(spark, path, "setBloomCols")(
+      setBloomColumnsMutation(cols))
+
+  private[lake] def setBloomColumnsMutation(
+      cols: Seq[String]): Manifest => Manifest = { m =>
       m.schema.foreach { s =>
         cols.foreach { c =>
           val f = s.fields.find(_.name.equalsIgnoreCase(c))
@@ -2261,7 +2327,7 @@ object SnapshotTable {
         }
       }
       m.copy(bloomCols = cols.distinct)
-    }
+  }
 
   /** Current logical→physical column mapping (empty when identity
     * or the table does not exist yet) — the sink reads it per epoch. */
@@ -3715,11 +3781,14 @@ object SnapshotTable {
     * disables. */
   def setAutoCompact(spark: SparkSession, path: String,
       minSmallFiles: Int, smallFileRows: Long = 100000L): Long =
-    publishMetadataCommit(spark, path, "setAutoCompact") { m =>
-      m.copy(autoCompact =
-        if (minSmallFiles <= 0) None
-        else Some((minSmallFiles, smallFileRows)))
-    }
+    publishMetadataCommit(spark, path, "setAutoCompact")(
+      setAutoCompactMutation(minSmallFiles, smallFileRows))
+
+  private[lake] def setAutoCompactMutation(minSmallFiles: Int,
+      smallFileRows: Long): Manifest => Manifest = m =>
+    m.copy(autoCompact =
+      if (minSmallFiles <= 0) None
+      else Some((minSmallFiles, smallFileRows)))
 
   /** Current auto-compaction policy: (minSmallFiles, smallFileRows). */
   def autoCompactPolicy(spark: SparkSession, path: String): Option[(Int, Long)] = {

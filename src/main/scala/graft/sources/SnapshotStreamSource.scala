@@ -513,10 +513,19 @@ private class SnapshotFileReader(p: SnapshotFilePartition)
     }
     val prim = pt.asPrimitiveType().getPrimitiveTypeName
     f.dataType match {
+      // files written before a METADATA-ONLY type widening
+      // ([[SnapshotTable.widenColumnType]]) store the narrower
+      // physical primitive — upcast exactly like the batch readers
+      case LongType if prim == PrimitiveTypeName.INT32 =>
+        g.getInteger(idx, 0).toLong
       case LongType    => g.getLong(idx, 0)
       case IntegerType => g.getInteger(idx, 0)
       case ShortType   => g.getInteger(idx, 0).toShort
       case ByteType    => g.getInteger(idx, 0).toByte
+      case DoubleType if prim == PrimitiveTypeName.FLOAT =>
+        g.getFloat(idx, 0).toDouble
+      case DoubleType if prim == PrimitiveTypeName.INT32 =>
+        g.getInteger(idx, 0).toDouble
       case DoubleType  => g.getDouble(idx, 0)
       case FloatType   => g.getFloat(idx, 0)
       case BooleanType => g.getBoolean(idx, 0)

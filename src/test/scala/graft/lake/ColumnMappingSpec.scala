@@ -169,19 +169,21 @@ class ColumnMappingSpec extends SparkTestBase {
     // the streamed file stores the PHYSICAL name, like every batch file
     val newFile = (SnapshotTable.liveFiles(spark, dst).toSet -- before).head
     assert(spark.read.parquet(newFile).columns.toSeq === Seq("k", "v"))
-    // quarantine mode refuses mapped targets loudly
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      val q2 = spark.readStream.format("graft-snapshot").load(src)
-        .writeStream.format("graft-snapshot")
-        .option("checkpointLocation", s"$base/ckpt2")
-        .option("failMode", "quarantine")
-        .option("quarantinePath", s"$base/quar")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start(dst)
-      q2.awaitTermination()
-    }
-    assert(e.getMessage.contains("quarantine") ||
-      Option(e.getCause).exists(_.getMessage.contains("quarantine")))
+    // quarantine mode composes with mapped targets too (fully
+    // compliant epoch → fast path, physical names; the split path is
+    // covered in SnapshotStreamSinkSpec)
+    val q2 = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .option("failMode", "quarantine")
+      .option("quarantinePath", s"$base/quar")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    q2.awaitTermination()
+    val got2 = SnapshotTable.read(spark, dst).filter(col("k") >= 2L)
+    assert(got2.count() === 4L, "quarantine mode must land the epoch on a mapped target")
+    assert(SnapshotTable.liveFiles(spark, dst)
+      .forall(f => !spark.read.parquet(f).columns.contains("value")))
   }
 
   test("DV deletes and compact work across a rename") {

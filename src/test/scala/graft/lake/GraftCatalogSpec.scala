@@ -180,6 +180,49 @@ class GraftCatalogSpec extends SparkTestBase {
       .head().getDouble(0) === 0.0)
   }
 
+  test("ALTER COLUMN TYPE widens losslessly via SQL; lossy changes refused") {
+    s2.sql("CREATE NAMESPACE graft.tw")
+    s2.sql("CREATE TABLE graft.tw.t (k INT, s STRING) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.tw.t VALUES (1, 'a')")                     // v2
+    val tdir = s"$warehouse/tw/t"
+    val filesBefore = SnapshotTable.liveFiles(s2, tdir).toSet
+    s2.sql("ALTER TABLE graft.tw.t ALTER COLUMN k TYPE BIGINT")          // v3
+    assert(SnapshotTable.liveFiles(s2, tdir).toSet === filesBefore,
+      "SQL widen must rewrite zero files")
+    assert(s2.table("graft.tw.t").schema("k").dataType
+      === org.apache.spark.sql.types.LongType)
+    s2.sql("INSERT INTO graft.tw.t VALUES (9000000000, 'big')")
+    assert(s2.sql("SELECT sum(k) FROM graft.tw.t").head().getLong(0)
+      === 9000000001L)
+    // the INT era is preserved under time travel
+    assert(s2.sql("SELECT k FROM graft.tw.t VERSION AS OF 2").schema("k")
+      .dataType === org.apache.spark.sql.types.IntegerType)
+    intercept[Exception](
+      s2.sql("ALTER TABLE graft.tw.t ALTER COLUMN k TYPE INT"))
+  }
+
+  test("a multi-change ALTER TABLE statement is ATOMIC: a refused change " +
+      "rolls the whole statement back") {
+    s2.sql("CREATE NAMESPACE graft.atomic")
+    s2.sql("CREATE TABLE graft.atomic.t (id BIGINT, v DOUBLE) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.atomic.t VALUES (1, 1.5)")
+    val tdir = s"$warehouse/atomic/t"
+    val vBefore = SnapshotTable.latestVersion(s2, tdir).get
+    // second ADD collides with an existing column — the statement must
+    // publish NOTHING, not land 'w' and then fail
+    intercept[Exception](
+      s2.sql("ALTER TABLE graft.atomic.t ADD COLUMNS (w STRING, v INT)"))
+    assert(SnapshotTable.latestVersion(s2, tdir).get === vBefore,
+      "half-applied ALTER must publish nothing")
+    assert(!s2.table("graft.atomic.t").columns.contains("w"))
+    // and a multi-change statement that is fully valid lands as ONE
+    // commit carrying every change
+    s2.sql("ALTER TABLE graft.atomic.t ADD COLUMNS (w STRING, n INT)")
+    assert(SnapshotTable.latestVersion(s2, tdir).get === vBefore + 1)
+    assert(s2.table("graft.atomic.t").columns.toSeq
+      === Seq("id", "v", "w", "n"))
+  }
+
   test("SET/UNSET TBLPROPERTIES toggle bloom columns and auto-compaction") {
     s2.sql("CREATE NAMESPACE graft.props")
     s2.sql("CREATE TABLE graft.props.t (id STRING, v DOUBLE) USING `graft-snapshot`")
