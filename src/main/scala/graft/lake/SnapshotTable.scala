@@ -828,7 +828,16 @@ object SnapshotTable {
     // column mapping: data files store PHYSICAL names — the logical
     // frame is renamed just before the write (constraint guards above
     // were bound against logical names), partition dirs included
-    val cm: Map[String, String] = prevMeta.map(_.colmap).getOrElse(Map.empty)
+    val cmBase: Map[String, String] = prevMeta.map(_.colmap).getOrElse(Map.empty)
+    // RE-ADD AFTER DROP via the write path: a NEW column whose
+    // identity physical name is tombstoned (or serving a renamed
+    // column) is written under a fresh physical name and the mapping
+    // entry publishes with this commit — same policy as addColumns
+    val reAdds: Map[String, String] = prevMeta.map { pm =>
+      freshPhysicalNames(pm, data.schema.fieldNames.toSeq.filterNot(c =>
+        pm.schema.exists(_.fieldNames.contains(c))))
+    }.getOrElse(Map.empty)
+    val cm = cmBase ++ reAdds
     val physData =
       if (cm.isEmpty) guarded
       else guarded.select(guarded.columns.toSeq.map(c =>
@@ -858,8 +867,15 @@ object SnapshotTable {
           // our files were written under the PRE-WRITE mapping; a
           // concurrent rename/drop would make their physical names
           // stale — abort rather than publish mismatched files
-          require(m.colmap == cm,
+          require(m.colmap == cmBase,
             s"concurrent column-mapping change at $path during commit — rerun")
+          // a re-added column our files store under a FRESH physical
+          // name must not have been added concurrently under a
+          // different identity — publishing our mapping would remap
+          // the concurrent writer's files too
+          reAdds.keys.foreach(c => require(
+            !m.schema.exists(_.fieldNames.contains(c)),
+            s"concurrent add of column '$c' at $path during commit — rerun"))
           (m.schema, m.entries, m.constraints, m.transforms, m.retiredTransforms,
             m.txns, m.bloomCols, m.droppedPhys, m.autoCompact)
         }
@@ -904,16 +920,20 @@ object SnapshotTable {
       // columns merge in, a type change on a shared column is drift
       // and fails loudly before any manifest is published
       val merged = mergeSchemas(prevSchema, data.schema, path)
-      // a NEW logical column's physical name must not collide with a
-      // tombstoned or still-mapped physical name — either collision
-      // would silently read another column's bytes from old files
+      // a NEW column's PHYSICAL name (fresh for re-adds, identity
+      // otherwise) must not collide with a tombstone or a still-mapped
+      // physical name AT CAS TIME — a concurrent drop could have
+      // tombstoned it since the pre-write read; either collision would
+      // silently read another column's bytes from old files
       val newCols = merged.fieldNames.filterNot(c =>
         prevSchema.exists(_.fieldNames.contains(c)))
-      val physInUse = cm.values.toSet
-      newCols.foreach(c => require(
-        !prevDropped.contains(c) && !physInUse(c),
-        s"cannot add column '$c' at $path: its physical name collides with " +
-          "a dropped or renamed column's on-disk data — choose another name"))
+      val physInUse = cmBase.values.toSet
+      newCols.foreach { c =>
+        val p = cm.getOrElse(c, c)
+        require(!prevDropped.contains(p) && !physInUse(p),
+          s"cannot add column '$c' at $path: its physical name '$p' collides " +
+            "with a dropped or renamed column's on-disk data — rerun")
+      }
       if (publishManifest(spark, path, version, Manifest(
           Some(merged), carryOver(previous) ++ added, Some(op), prevCs,
           tsOut, retiredOut, prevTxns, prevBloomCols, opKeys, cm, prevDropped,
@@ -1827,18 +1847,41 @@ object SnapshotTable {
       newFields.foreach { f =>
         require(!sch.fieldNames.exists(_.equalsIgnoreCase(f.name)),
           s"column '${f.name}' already exists at $path")
-        // the new logical name IS its physical name — it must not
-        // collide with a tombstoned or still-mapped physical name,
-        // or old files' bytes would resurface under the new column
-        require(!m.droppedPhys.contains(f.name) &&
-            !m.colmap.values.toSet.contains(f.name),
-          s"cannot add column '${f.name}' at $path: its physical name " +
-            "collides with a dropped or renamed column's on-disk data — " +
-            "choose another name")
       }
+      // RE-ADD AFTER DROP (and name-reuse after rename): a new logical
+      // name whose identity physical name is tombstoned or still
+      // serving a renamed column gets a FRESH physical name through
+      // the mapping — the stable-identity move field ids buy Iceberg,
+      // expressed in the colmap machinery the table already has. Old
+      // files lack the fresh physical field, so the re-added column
+      // reads NULL there (true schema evolution) and the dropped
+      // bytes can never resurface.
       val (user, hidden) = sch.fields.partition(!_.name.startsWith("__p_"))
-      m.copy(schema = Some(StructType(
-        user ++ newFields.map(_.copy(nullable = true)) ++ hidden)))
+      m.copy(
+        schema = Some(StructType(
+          user ++ newFields.map(_.copy(nullable = true)) ++ hidden)),
+        colmap = m.colmap ++ freshPhysicalNames(m, newFields.map(_.name)))
+  }
+
+  /** Fresh logical→physical entries for NEW columns whose identity
+    * physical name is already taken (tombstoned by a drop, or in use
+    * as a renamed column's on-disk name): `<name>__r2`, `__r3`, …,
+    * first suffix free of every recorded physical identity. Columns
+    * with a free identity name map implicitly (no entry). */
+  private def freshPhysicalNames(m: Manifest,
+      newCols: Seq[String]): Map[String, String] = {
+    val sch = m.schema.map(_.fieldNames.toSeq).getOrElse(Nil)
+    var taken: Set[String] =
+      m.droppedPhys.toSet ++ m.colmap.values ++ sch.map(m.phys)
+    newCols.flatMap { c =>
+      if (!taken(c)) { taken += c; None }
+      else {
+        val fresh = Iterator.from(2).map(i => s"${c}__r$i")
+          .find(p => !taken(p)).get
+        taken += fresh
+        Some(c -> fresh)
+      }
+    }.toMap
   }
 
   /** Column names a SQL expression string references (top-level
@@ -2875,7 +2918,16 @@ object SnapshotTable {
 
   /** Iceberg-style `t.partitions` metadata table: per hive-partition
     * aggregate of the live snapshot — files, live rows (footer rows
-    * minus DV'd), bytes. `SELECT * FROM <name>.partitions` in SQL. */
+    * minus DV'd), bytes, plus the SKIP-FAMILY rollups that answer
+    * "why doesn't this partition prune": `null_counts` sums a
+    * column's recorded null counts over the partition, included ONLY
+    * when every live file records it (partial coverage would read as
+    * an exact total and mislead the operator — same all-or-nothing
+    * rule the skip compiler applies per file); `bloom_file_counts`
+    * reports how many of the partition's files carry a bloom per
+    * column, so 3-of-5 explains a partial bloom prune at a glance.
+    * Logical names, like `t.files`. `SELECT * FROM
+    * <name>.partitions` in SQL. */
   def partitionsMetadata(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.Row
@@ -2883,20 +2935,38 @@ object SnapshotTable {
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val m = readManifestFull(spark, path, v)
     val f = fs(spark, path)
+    val rev = m.colmap.map(_.swap)
+    def log(c: String) = rev.getOrElse(c, c)
     val rows: Seq[Row] = m.entries.groupBy(partitionFragment).toSeq
       .sortBy(_._1).map { case (part, es) =>
         val nRows: java.lang.Long =
           if (es.forall(_.rows >= 0))
             Long.box(es.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
           else null
+        val nullRollup: Map[String, Long] = es.flatMap(_.nulls.map(_._1))
+          .distinct
+          .filter(c => es.forall(_.nulls.exists(_._1 == c)))
+          .map(c => log(c) -> es.map(_.nulls.find(_._1 == c).get._2).sum)
+          .toMap
+        val bloomRollup: Map[String, Int] = es.flatMap(_.blooms.map(_._1))
+          .distinct
+          .map(c => log(c) -> es.count(_.blooms.exists(_._1 == c)))
+          .toMap
         Row(if (part.isEmpty) null else part, es.size,
-          nRows, es.map(e => f.getFileStatus(new Path(e.filePath)).getLen).sum)
+          nRows, es.map(e => f.getFileStatus(new Path(e.filePath)).getLen).sum,
+          nullRollup, bloomRollup)
       }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("partition", org.apache.spark.sql.types.StringType),
       StructField("n_files", org.apache.spark.sql.types.IntegerType, nullable = false),
       StructField("n_rows", org.apache.spark.sql.types.LongType),
-      StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false))))
+      StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("null_counts", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType), nullable = false),
+      StructField("bloom_file_counts", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType), nullable = false))))
   }
 
   /** `k=v/k=v` hive fragment of a file's path under its commit dir

@@ -585,10 +585,74 @@ object Ivf {
     """SELECT CAST(0 AS BIGINT) AS query_id, CAST(1.0 AS DOUBLE) AS best_cosine,
       |  true AS planted_nn_returned, true AS all_allowed""".stripMargin
 
+  /** End-to-end drift-rebuild maintenance gate: the corpus is a
+    * snapshot table fed by COMMITS; [[maintainModel]] records its
+    * distortion baseline on first contact, stays QUIET through
+    * same-distribution growth, TRIPS on a planted far cluster
+    * (every vector an affine transform of a real embedding —
+    * x*0.05+8.0 — so the drift is derived from the provided table,
+    * not synthesized), retrains, halves the distortion, and the
+    * retrained index SERVES the drifted region: a planted exact
+    * duplicate pair inside the new cluster comes back at cosine
+    * exactly 1.0. Closed-form contract booleans, q131-style oracle. */
+  def ivfDriftRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfd-gate").toString
+    val (corpus, modelPath) = (s"$base/corpus", s"$base/model")
+    val emb0 = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // trainSampleSize must COVER the corpus: train()'s deterministic
+    // sample is the first-N ids, and the drifted rows carry high ids —
+    // a cap below corpus size would retrain blind to the very cluster
+    // that tripped the trigger (observed: distortion 2050 -> 2049)
+    def maintain(): Boolean =
+      maintainModel(spark, corpus, modelPath, sampleSize = 2000,
+        iters = 5, trainSampleSize = 10000)
+    // era 1: 80% of the corpus; era 2 is same-distribution growth
+    SnapshotTable.append(emb0.filter(col("vec_id") % 5 =!= 0), corpus)
+    val m0 = train(SnapshotTable.read(spark, corpus), k = 16, iters = 5,
+      sampleSize = 500)
+    save(spark, m0, modelPath)
+    val baselineQuiet = !maintain() // first contact records the baseline
+    SnapshotTable.append(emb0.filter(col("vec_id") % 5 === 0), corpus)
+    val stableQuiet = !maintain()
+    // drift: a far cluster + an identical query/copy pair inside it
+    // scale 2.0 keeps the cluster FAR (centered at 8·1, unit inputs)
+    // but loose enough that member-vs-member cosine rounds below
+    // 1.000000 at 6 dp — the planted identical pair stays the unique
+    // exact match instead of tying with the whole cluster
+    val far = emb0.select((col("vec_id") + 90000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f) + lit(8.0f))
+        .as("embedding"))
+    val pairVec = far.filter(col("vec_id") === 90000001L).select("embedding")
+    val pair = pairVec.select(lit(99000001L).as("vec_id"), col("embedding"))
+      .union(pairVec.select(lit(99000002L).as("vec_id"), col("embedding")))
+    SnapshotTable.append(far.union(pair), corpus)
+    val embAll = SnapshotTable.read(spark, corpus)
+    val before = distortion(embAll, load(spark, modelPath), sampleSize = 2000)
+    val rebuilt = maintain()
+    val after = distortion(embAll, load(spark, modelPath), sampleSize = 2000)
+    val r = search(embAll, load(spark, modelPath), Seq(99000001L), k = 10)
+      .collect()
+    val best = r.map(_.getAs[Double]("cosine")).max
+    val restabilized = !maintain()
+    Seq((99000001L, best,
+      baselineQuiet && stableQuiet, rebuilt && after < before / 2,
+      r.exists(_.getAs[Long]("vec_id") == 99000002L) && restabilized))
+      .toDF("query_id", "best_cosine", "stable_quiet", "drift_rebuilt",
+        "planted_nn_returned")
+  }
+
+  val ivfDriftRebuildSql: String =
+    """SELECT CAST(99000001 AS BIGINT) AS query_id,
+      |  CAST(1.0 AS DOUBLE) AS best_cosine, true AS stable_quiet,
+      |  true AS drift_rebuilt, true AS planted_nn_returned""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q62_ann_ivf", annIvf, Some(annIvfSql)),
     QDef("q107_ann_ivf_i8", annIvfQuantized, Some(annIvfQuantizedSql)),
     QDef("q130_hybrid_prefilter", hybridNarrow, Some(hybridNarrowSql)),
     QDef("q131_hybrid_postfilter", hybridWide, Some(hybridWideSql)),
+    QDef("q132_ivf_drift_rebuild", ivfDriftRebuild, Some(ivfDriftRebuildSql)),
   )
 }

@@ -130,6 +130,23 @@ class GraftExtensionsSpec extends SparkTestBase {
           "FROM snap_meta.partitions ORDER BY partition").collect()
         assert(parts.map(_.getString(0)).toSeq === Seq("p=d1", "p=d2"))
         assert(parts.map(_.getLong(2)).toSeq === Seq(2L, 2L))
+        // skip-family rollups: every file records null counts (sum
+        // exact per column), no blooms opted in yet
+        val roll = s2.sql("SELECT null_counts['s'], cardinality(bloom_file_counts) " +
+          "FROM snap_meta.partitions ORDER BY partition").collect()
+        assert(roll.map(_.getLong(0)).toSeq === Seq(0L, 0L))
+        assert(roll.forall(_.getInt(1) === 0))
+        // opt a bloom in: only the NEXT commit's files carry it, so
+        // the rollup exposes partial coverage per partition
+        graft.lake.SnapshotTable.setBloomColumns(s2, path, Seq("k"))
+        graft.lake.SnapshotTable.append(
+          Seq((5L, "e", "d2")).toDF("k", "s", "p"), path, Seq("p"))
+        val bc = s2.sql("SELECT partition, n_files, bloom_file_counts['k'] " +
+          "FROM snap_meta.partitions ORDER BY partition").collect()
+        assert(bc.map(r => (r.getString(0), r.getInt(1))).toSeq
+          === Seq(("p=d1", 1), ("p=d2", 3)))
+        assert(bc(0).isNullAt(2), "no bloomed file in d1 → no entry")
+        assert(bc(1).getInt(2) === 1, "1 of d2's 3 files carries the bloom")
       } finally graft.lake.SnapshotCatalog.unregister("snap_meta")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)

@@ -72,7 +72,8 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(q.count() === 50)
   }
 
-  test("drop hides without rewrite; tombstone blocks re-adding the name; time travel serves it") {
+  test("drop hides without rewrite; re-adding the name maps to a FRESH physical " +
+      "name — dropped bytes never resurface; time travel serves them") {
     val path = Files.createTempDirectory("graft-cm4").toString + "/t"
     SnapshotTable.append(
       Seq((1L, 1.0, "x1"), (2L, 2.0, "x2")).toDF("k", "v", "s").coalesce(1), path)
@@ -83,23 +84,59 @@ class ColumnMappingSpec extends SparkTestBase {
     // time travel: v1 still shows the column and its data
     assert(SnapshotTable.read(spark, path, Some(1L))
       .select("s").as[String].collect().sorted.toSeq === Seq("x1", "x2"))
-    // re-adding the same name must fail (old bytes would resurface)
-    val e = intercept[IllegalArgumentException] {
-      SnapshotTable.addColumns(spark, path,
-        Seq(org.apache.spark.sql.types.StructField("s",
-          org.apache.spark.sql.types.StringType)))
-    }
-    assert(e.getMessage.contains("collides"))
-    // …including via a widened append
-    val e2 = intercept[IllegalArgumentException] {
-      SnapshotTable.append(Seq((3L, 3.0, "x3")).toDF("k", "v", "s"), path)
-    }
-    assert(e2.getMessage.contains("collides"))
+    // RE-ADD the dropped name: the stable-field-id move via the
+    // mapping — logical 's' gets physical 's__r2', so old files read
+    // NULL (never the dropped bytes)
+    SnapshotTable.addColumns(spark, path,
+      Seq(org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))                                // v3
+    val m3 = SnapshotTable.readManifestFull(spark, path,
+      SnapshotTable.latestVersion(spark, path).get)
+    assert(m3.colmap.get("s") === Some("s__r2"), s"fresh mapping: ${m3.colmap}")
+    assert(SnapshotTable.read(spark, path).filter(col("s").isNotNull).count()
+      === 0L, "dropped bytes must not resurface under the re-added column")
+    // new writes land under the fresh physical name and read back
+    SnapshotTable.append(Seq((3L, 3.0, "fresh")).toDF("k", "v", "s")
+      .coalesce(1), path)                                                       // v4
+    val got = SnapshotTable.read(spark, path).orderBy("k")
+      .select("s").as[String].collect().toSeq
+    assert(got === Seq(null, null, "fresh"))
+    val newFile = (SnapshotTable.liveFiles(spark, path).toSet -- filesBefore).head
+    assert(spark.read.parquet(newFile).columns.contains("s__r2"))
+    // drop AGAIN (tombstones s__r2) and re-add via the APPEND path:
+    // the write remaps to s__r3 automatically
+    SnapshotTable.dropColumn(spark, path, "s")                                  // v5
+    SnapshotTable.append(Seq((4L, 4.0, "again")).toDF("k", "v", "s"), path)     // v6
+    val m6 = SnapshotTable.readManifestFull(spark, path,
+      SnapshotTable.latestVersion(spark, path).get)
+    assert(m6.colmap.get("s") === Some("s__r3"))
+    assert(SnapshotTable.read(spark, path).orderBy("k").select("s")
+      .as[String].collect().toSeq === Seq(null, null, null, "again"))
+    // every era stays time-travelable under its own mapping
+    assert(SnapshotTable.read(spark, path, Some(4L)).orderBy("k").select("s")
+      .as[String].collect().toSeq === Seq(null, null, "fresh"))
     // a DIFFERENT name is fine and reads NULL for old rows
     SnapshotTable.addColumns(spark, path,
       Seq(org.apache.spark.sql.types.StructField("s2",
         org.apache.spark.sql.types.StringType)))
-    assert(SnapshotTable.read(spark, path).filter(col("s2").isNull).count() === 2)
+    assert(SnapshotTable.read(spark, path).filter(col("s2").isNull).count() === 4)
+  }
+
+  test("re-using a RENAMED column's old name maps fresh too — the renamed " +
+      "column keeps its bytes, the new column starts empty") {
+    val path = Files.createTempDirectory("graft-cm4b").toString + "/t"
+    SnapshotTable.append(Seq((1L, 7.5)).toDF("k", "a").coalesce(1), path)  // v1
+    SnapshotTable.renameColumn(spark, path, "a", "b")                      // v2: b->a
+    // adding a new column named 'a' must NOT read the renamed column's
+    // physical 'a' bytes
+    SnapshotTable.append(Seq((2L, 8.5, 9.9)).toDF("k", "b", "a"), path)    // v3
+    val m = SnapshotTable.readManifestFull(spark, path,
+      SnapshotTable.latestVersion(spark, path).get)
+    assert(m.colmap.get("b") === Some("a") && m.colmap.get("a") === Some("a__r2"),
+      s"got ${m.colmap}")
+    val got = SnapshotTable.read(spark, path).orderBy("k").collect()
+    assert(got.map(_.getDouble(1)).toSeq === Seq(7.5, 8.5))  // b serves old bytes
+    assert(got(0).isNullAt(2) && got(1).getDouble(2) === 9.9) // a is fresh
   }
 
   test("rename guards: constraint and transform references refuse; restore undoes a rename") {
