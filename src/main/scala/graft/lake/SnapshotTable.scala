@@ -95,16 +95,28 @@ object SnapshotTable {
   private[lake] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(realPathOf(path)).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Scheme-stripped, percent-DECODED path — the one identity for
-    * matching `input_file_name()` output (a URI-escaped string:
-    * spaces arrive as `%20`) against manifest `filePath`s (Hadoop
-    * listing strings: literal spaces). A valid URI decodes through
-    * `java.net.URI`; a raw path with URI-illegal characters (the
-    * listing side) goes through Hadoop `Path`, whose encode+decode
-    * round-trip yields the same decoded form. Matching either side
-    * without this silently misses files whose path contains any
-    * URL-encodable character. */
+  /** Scheme-stripped LITERAL path of a manifest/listing-side string —
+    * one half of the shared file identity (the other is
+    * [[normInputFile]]). Hadoop listing strings carry characters
+    * literally (a space is a space, `a%20b` is a directory literally
+    * named that), so the normalization must NOT percent-decode:
+    * `Path`'s constructor treats its argument as unescaped (encoding
+    * a literal `%` as `%25` inside its URI), and `toUri.getPath`
+    * decodes that same encoding back — a lossless round-trip that
+    * only strips the scheme/authority. Feeding listing strings to
+    * `java.net.URI` instead would decode `a%20b` to `a b` on this
+    * side only and silently divorce the two identities (every
+    * stats/bloom/rewrite matcher would miss such files). */
   private[lake] def normFile(s: String): String =
+    new Path(s).toUri.getPath
+
+  /** Scheme-stripped, percent-DECODED path of an `input_file_name()`
+    * string — the executor reports the URI-ESCAPED form (a literal
+    * space arrives as `%20`, a literal `%` as `%25`), so URI decoding
+    * recovers exactly the literal path [[normFile]] produces for the
+    * same file. Falls back to the Path round-trip for strings that do
+    * not parse as a URI (defensive; Spark always emits valid ones). */
+  private[lake] def normInputFile(s: String): String =
     scala.util.Try(new java.net.URI(s)).toOption
       .flatMap(u => Option(u.getPath)).filter(_.nonEmpty)
       .getOrElse(new Path(s).toUri.getPath)
@@ -2321,7 +2333,7 @@ object SnapshotTable {
       .groupBy("_graft_file").agg(hashed.head, hashed.tail: _*)
       .collect()
     val byFile: Map[String, Map[String, String]] = perFile.map { r =>
-      normFile(r.getString(0)) -> eligible.zipWithIndex.map { case (c, i) =>
+      normInputFile(r.getString(0)) -> eligible.zipWithIndex.map { case (c, i) =>
         c -> java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](i + 1))
       }.toMap
     }.toMap
@@ -2547,8 +2559,11 @@ object SnapshotTable {
     val f = fs(spark, path)
     val rows: Seq[Row] = versions(spark, path).sorted.reverse.map { v =>
       val m = readManifestFull(spark, path, v)
+      // through the .ckpt-sidecar fallback: during a crashed vacuum
+      // checkpoint swap the v-file may be the staged sidecar, and
+      // history() must keep working exactly like reads do
       val ts = new java.sql.Timestamp(
-        f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime)
+        versionFileStatus(f, path, v)._2.getModificationTime)
       val nRows: java.lang.Long =
         if (m.entries.forall(_.rows >= 0))
           Long.box(m.entries.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
@@ -3549,7 +3564,6 @@ object SnapshotTable {
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val bm = readManifestFull(spark, path, base)
     val entries = bm.entries
-    def normalize(p: String): String = normFile(p)
     // sqlAlias: the SQL path may qualify predicate columns with the
     // table name (`DELETE FROM t WHERE t.c = 1`) — aliasing the scan
     // lets both qualified and bare references resolve
@@ -3562,9 +3576,9 @@ object SnapshotTable {
     val touched: Set[String] =
       readWhere(spark, path, predicate, Some(base), sqlAlias)
         .select(input_file_name()).distinct()
-        .collect().map(r => normalize(r.getString(0))).toSet
+        .collect().map(r => normInputFile(r.getString(0))).toSet
     if (touched.isEmpty) return base
-    val rewrite = entries.filter(e => touched(normalize(e.filePath)))
+    val rewrite = entries.filter(e => touched(normFile(e.filePath)))
     val touchedDf = aliased(readGroups(spark, rewrite, bm.schema, bm.colmap))
     // keep rows where the predicate is FALSE or NULL
     val survivors = touchedDf.filter(!coalesce(predicate, lit(false)))
@@ -3740,7 +3754,6 @@ object SnapshotTable {
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val bm = readManifestFull(spark, path, base)
     val entries = bm.entries
-    def normalize(p: String): String = normFile(p)
     def aliased(df: DataFrame): DataFrame = sqlAlias.fold(df)(df.alias(_))
     val fields = read(spark, path, Some(base)).schema.fields
     val unknown = assignments.map(_._1)
@@ -3751,9 +3764,9 @@ object SnapshotTable {
     val touched: Set[String] =
       readWhere(spark, path, predicate, Some(base), sqlAlias)
         .select(input_file_name()).distinct()
-        .collect().map(r => normalize(r.getString(0))).toSet
+        .collect().map(r => normInputFile(r.getString(0))).toSet
     if (touched.isEmpty) return base
-    val rewrite = entries.filter(e => touched(normalize(e.filePath)))
+    val rewrite = entries.filter(e => touched(normFile(e.filePath)))
     val touchedDf = aliased(readGroups(spark, rewrite, bm.schema, bm.colmap))
     // rows where the predicate is NULL keep their old values, per SQL
     val fire = coalesce(predicate, lit(false))
@@ -3991,7 +4004,8 @@ object SnapshotTable {
       v < floor && !tagged(v) &&
         !(pinSharedFiles && candEntries(v).exists(e => refFiles(e.filePath))) &&
         (minAgeMs <= 0L ||
-          f.getFileStatus(new Path(s"${logDir(path)}/v$v")).getModificationTime <= cutoff)
+          // sidecar-aware, like every other version-file stat
+          versionFileStatus(f, path, v)._2.getModificationTime <= cutoff)
     }
     val kept = young ++ kept0
     if (expired.isEmpty) return
