@@ -491,6 +491,45 @@ object ScaleBench {
         System.err.println(f"[scale] bloom probe cold small=$coldSmall%.3fs " +
           f"big=$coldBig%.3fs warm small=$wSmall%.3fs big=$wBig%.3fs")
       },
+      timed("widen_mixed_read") {
+        // METADATA-ONLY type widening must carry NO read tax: a table
+        // whose files are half INT-era, half LONG-era (64+64 files,
+        // ~2M rows) scans under the wide schema through the
+        // vectorized readers' in-decoder conversion — the mixed scan
+        // must track an all-LONG table of identical shape, not trail
+        // it (a per-row upcast shim or a fallback off the vectorized
+        // path would show up here immediately)
+        val base = java.nio.file.Files.createTempDirectory("graft-scale-widen")
+        val n = 1000000L
+        val half = spark.range(n).select(col("id"),
+          (col("id") % 997).cast("int").as("k"))
+        val mixed = s"$base/mixed"; val allLong = s"$base/long"
+        graft.lake.SnapshotTable.append(half.repartition(64), mixed)
+        graft.lake.SnapshotTable.widenColumnType(spark, mixed, "k",
+          org.apache.spark.sql.types.LongType)
+        graft.lake.SnapshotTable.append(half.select(col("id") + n,
+          col("k").cast("long").as("k")).repartition(64), mixed)
+        graft.lake.SnapshotTable.append(
+          half.select(col("id"), col("k").cast("long").as("k"))
+            .repartition(64), allLong)
+        graft.lake.SnapshotTable.append(half.select(col("id") + n,
+          col("k").cast("long").as("k")).repartition(64), allLong)
+        def scanSec(path: String): Double = {
+          val t0 = System.nanoTime()
+          val s = graft.lake.SnapshotTable.read(spark, path)
+            .agg(sum("k")).head().getLong(0)
+          require(s > 0L, "widen scan produced nothing")
+          (System.nanoTime() - t0) / 1e9
+        }
+        scanSec(mixed); scanSec(allLong) // warm both paths once
+        val mixedSec = (1 to 3).map(_ => scanSec(mixed)).min
+        val longSec = (1 to 3).map(_ => scanSec(allLong)).min
+        require(mixedSec < longSec * 2.0 + 0.5,
+          f"mixed-era widened scan trails all-long: mixed=$mixedSec%.3fs " +
+            f"long=$longSec%.3fs")
+        System.err.println(
+          f"[scale] widen mixed=$mixedSec%.3fs allLong=$longSec%.3fs")
+      },
       timed("snap_bootstrap_stage") {
         // stage a 1M-row snapshot table in a few fat files — the shape
         // where the streaming bootstrap used to degrade to one

@@ -108,6 +108,32 @@ class TypeWideningSpec extends SparkTestBase {
     assert(scannedFiles(q2) === 1L)
   }
 
+  test("DML and maintenance compose across a widen: merge, update, delete, " +
+      "compact, CDC all read the INT era through the wide type") {
+    val path = Files.createTempDirectory("graft-tw-dml").toString + "/t"
+    SnapshotTable.append((1 to 6).map(i => (i, i * 1.0)).toDF("k", "d")
+      .coalesce(2), path)                                              // v1 INT
+    SnapshotTable.widenColumnType(spark, path, "k", LongType)          // v2
+    // merge: source keys are LONG, matching rows live in INT-era files
+    SnapshotTable.merge(Seq((2L, 20.0), (7L, 70.0)).toDF("k", "d"),
+      path, Seq("k"), Nil)                                             // v3
+    assert(SnapshotTable.read(spark, path).orderBy("k").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 1.0), (2L, 20.0), (3L, 3.0),
+        (4L, 4.0), (5L, 5.0), (6L, 6.0), (7L, 70.0)))
+    SnapshotTable.update(spark, path, Seq("d" -> lit(0.0)), col("k") === 3L) // v4
+    SnapshotTable.delete(spark, path, col("k") === 4L)                 // v5
+    SnapshotTable.compact(spark, path)                                 // v6
+    assert(SnapshotTable.read(spark, path).orderBy("k").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 1.0), (2L, 20.0), (3L, 0.0),
+        (5L, 5.0), (6L, 6.0), (7L, 70.0)))
+    // CDC across the widen: the merge's changes surface under the
+    // WIDE schema (the range's target version type)
+    val feed = SnapshotTable.changes(spark, path, 2L, 3L)
+    assert(feed.schema("k").dataType === LongType)
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().sorted === Array(7L))
+  }
+
   test("widening composes with column mapping and the streaming source") {
     val path = Files.createTempDirectory("graft-tw-cm").toString + "/t"
     SnapshotTable.append(Seq((1, "a")).toDF("k", "s"), path)
