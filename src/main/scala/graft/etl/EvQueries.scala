@@ -1821,6 +1821,100 @@ object EvQueries {
        |  true AS files_stable, true AS old_schema_ok, true AS widen_pruned
        |FROM gold ORDER BY sessionId""".stripMargin
 
+  /** STREAMING change-data feed (`graft-changes`, the Delta
+    * `readChangeFeed`-stream shape): the ev27 DML lifecycle — merge
+    * images (v2), plain delete (v3), later-commit re-insert (v4) —
+    * consumed as a STREAM (one version per microbatch) into a
+    * snapshot sink, then a fifth commit lands and a RESTARTED query
+    * on the same checkpoint picks up exactly that one commit's
+    * changes. The sink table therefore holds each change row exactly
+    * once across the restart (`restart_exactly_once` pins the
+    * per-run row counts; the oracle hash would also catch any
+    * duplicate or loss). This is the feed an incremental downstream
+    * (index maintenance, replicated aggregate) consumes instead of
+    * rescanning the table. */
+  def streamChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cdf-gate").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    import graft.lake.SnapshotTable
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .coalesce(1).persist()
+    try {
+      SnapshotTable.append(gold, src)                                  // v1
+      // target keys: ids occurring exactly once — same discipline (and
+      // oracle mirror) as ev27; see the comment there
+      val ids = gold.groupBy("sessionId").agg(
+          count(lit(1)).as("n"), first(col("kwhTotal")).as("kwhTotal"))
+        .filter(col("n") === 1)
+        .orderBy("sessionId").limit(3)
+        .select("sessionId", "kwhTotal").as[(String, Double)].collect()
+      val upd = ids.take(2).toSeq.toDF("sessionId", "kwhTotal")
+        .select(col("sessionId"),
+          round(col("kwhTotal") + 100.0, 2).as("kwhTotal"))
+      SnapshotTable.merge(upd.coalesce(1), src, Seq("sessionId"))      // v2
+      val third = ids(2)._1
+      SnapshotTable.delete(spark, src, col("sessionId") === third)     // v3
+      SnapshotTable.append(Seq((third, -5.0))
+        .toDF("sessionId", "kwhTotal"), src)                           // v4
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-changes")
+          .option("startingVersion", 2)       // v1's bootstrap inserts excluded
+          .option("maxVersionsPerTrigger", 1) // one version per microbatch
+          .load(src)
+          .writeStream.format("graft-snapshot")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      run()                                          // streams v2..v4
+      val afterFirst = SnapshotTable.read(spark, dst).count()
+      SnapshotTable.append(Seq((third, -6.0))
+        .toDF("sessionId", "kwhTotal"), src)                           // v5
+      run()                                          // restart: ONLY v5
+      val afterSecond = SnapshotTable.read(spark, dst).count()
+      val exactlyOnce = afterFirst == 6L && afterSecond == 7L
+      SnapshotTable.read(spark, dst)
+        .select(col("sessionId"), round(col("kwhTotal"), 2).as("kwhTotal"),
+          col("_change_type"), col("_commit_version"))
+        .withColumn("restart_exactly_once", lit(exactlyOnce))
+        .orderBy("_commit_version", "_change_type", "sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val streamChangeFeedSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad
+       |),
+       |uniq AS (
+       |  SELECT sessionId, min(kwhTotal) AS kwhTotal
+       |  FROM gold GROUP BY sessionId HAVING count(*) = 1
+       |),
+       |ranked AS (
+       |  SELECT sessionId, kwhTotal,
+       |    row_number() OVER (ORDER BY sessionId) AS rk
+       |  FROM uniq
+       |),
+       |feed AS (
+       |  SELECT sessionId, round(kwhTotal + 100.0, 2) AS kwhTotal,
+       |    'update_postimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+       |  FROM ranked WHERE rk <= 2
+       |  UNION ALL SELECT sessionId, round(kwhTotal, 2), 'update_preimage', CAST(2 AS BIGINT)
+       |  FROM ranked WHERE rk <= 2
+       |  UNION ALL SELECT sessionId, round(kwhTotal, 2), 'delete', CAST(3 AS BIGINT)
+       |  FROM ranked WHERE rk = 3
+       |  UNION ALL SELECT sessionId, -5.0, 'insert', CAST(4 AS BIGINT)
+       |  FROM ranked WHERE rk = 3
+       |  -- v5: the commit only the RESTARTED query consumed
+       |  UNION ALL SELECT sessionId, -6.0, 'insert', CAST(5 AS BIGINT)
+       |  FROM ranked WHERE rk = 3
+       |)
+       |SELECT sessionId, kwhTotal, _change_type, _commit_version,
+       |  true AS restart_exactly_once
+       |FROM feed ORDER BY _commit_version, _change_type, sessionId""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -1858,5 +1952,6 @@ object EvQueries {
     QDef("ev32_stream_column_mapping", streamColumnMapping,
       Some(streamColumnMappingSql)),
     QDef("ev33_type_widening", typeWidening, Some(typeWideningSql)),
+    QDef("ev34_stream_change_feed", streamChangeFeed, Some(streamChangeFeedSql)),
   )
 }

@@ -2392,6 +2392,13 @@ object SnapshotTable {
       .map(v => readManifestFull(spark, path, v).colmap)
       .getOrElse(Map.empty)
 
+  /** Logical→physical column mapping at a specific version (the
+    * streaming change-feed source pins its schema-stability checks to
+    * a batch's end version, not whatever is latest mid-check). */
+  private[graft] def columnMappingAt(spark: SparkSession, path: String,
+      version: Long): Map[String, String] =
+    readManifestFull(spark, path, version).colmap
+
   /** Current bloom columns (empty when the feature is off). */
   def bloomColumns(spark: SparkSession, path: String): Seq[String] = {
     val v = latestVersion(spark, path)
@@ -4143,7 +4150,21 @@ object SnapshotTable {
     * version), consume in bounded sub-ranges via
     * [[SnapshotIncremental.readBatched]]. */
   def changes(spark: SparkSession, path: String, fromVersion: Long,
-      toVersion: Long): DataFrame = {
+      toVersion: Long): DataFrame =
+    changes(spark, path, fromVersion, toVersion, namesAsOf = None)
+
+  /** As [[changes]], but with every column served under the LOGICAL
+    * name it carries at version `namesAsOf` (≥ every version in the
+    * range) instead of the name its own commit's schema used — the
+    * "read the feed under the current schema" mode a streaming CDF
+    * consumer needs: after a metadata-only RENAME, pre-rename commits
+    * emit their values under the NEW name (identity = the stable
+    * physical name, never reused across renames/drops), and a column
+    * DROPPED by `namesAsOf` vanishes from the feed rather than
+    * leaking its physical name. `None` keeps per-version names (the
+    * batch default — each commit's rows under that commit's schema). */
+  def changes(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, namesAsOf: Option[Long]): DataFrame = {
     val avail = versions(spark, path).toSet
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
@@ -4161,6 +4182,33 @@ object SnapshotTable {
       if (es.forall(_.rows >= 0L))
         Some(es.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
       else None
+
+    // namesAsOf mode: physical name → the logical name it carries at
+    // the anchor version. Physical names are stable and never reused
+    // (renames are metadata-only; drops tombstone), so routing each
+    // step frame's columns through ITS colmap into this map serves
+    // every era under one schema; a physical absent here was dropped
+    // by the anchor version and vanishes from the feed.
+    val targetByPhys: Option[Map[String, String]] = namesAsOf.map { nv =>
+      require(nv >= toVersion,
+        s"namesAsOf $nv must be >= toVersion $toVersion (its schema names the feed)")
+      val m = readManifestFull(spark, path, nv)
+      val sch = m.schema.getOrElse(throw new IllegalArgumentException(
+        s"version $nv of $path records no schema — namesAsOf needs one"))
+      sch.fields.filterNot(_.name.startsWith("__p_"))
+        .map(f => m.phys(f.name) -> f.name).toMap
+    }
+    def translate(df: DataFrame, stepColmap: Map[String, String]): DataFrame =
+      targetByPhys match {
+        case None => df
+        case Some(live) =>
+          val cols = df.columns.toSeq.flatMap { c =>
+            if (c.startsWith("__p_") || c == "_change_type" || c == "_commit_version")
+              Some(col(c))
+            else live.get(stepColmap.getOrElse(c, c)).map(t => col(c).as(t))
+          }
+          df.select(cols: _*)
+      }
 
     val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
       // Incremental-log fast path: a DELTA manifest already lists
@@ -4273,10 +4321,10 @@ object SnapshotTable {
         }.toDF("__dv_fname", "__dv_idx")
         val withPos = readWithPositions(spark, dvDeltas.map(_._1), sch, m.colmap)
         val dataCols = withPos.columns.filterNot(_.startsWith("__graft_"))
-        Some(withPos.join(broadcast(deltaPairs),
+        Some(translate(withPos.join(broadcast(deltaPairs),
             col("__graft_fname") === col("__dv_fname") &&
               col("__graft_idx") === col("__dv_idx"), "left_semi")
-          .select(dataCols.map(col): _*)
+          .select(dataCols.map(col): _*), m.colmap)
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(v)))
       }
@@ -4319,13 +4367,14 @@ object SnapshotTable {
           } else
             insRaw.withColumn("_change_type", lit("insert"))
               .unionByName(delRaw.withColumn("_change_type", lit("delete")))
-        Some(tagged.withColumn("_commit_version", lit(v)))
+        Some(translate(tagged, m.colmap).withColumn("_commit_version", lit(v)))
       }
     }
     val feed = steps.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
-        val sch = schemaOf(spark, path, Some(toVersion))
-          .getOrElse(read(spark, path, Some(toVersion)).schema)
+        val anchor = namesAsOf.getOrElse(toVersion)
+        val sch = schemaOf(spark, path, Some(anchor))
+          .getOrElse(read(spark, path, Some(anchor)).schema)
         val out = StructType(sch.fields :+
           StructField("_change_type", org.apache.spark.sql.types.StringType, nullable = false) :+
           StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false))

@@ -13,4 +13,16 @@ object DatasetBridge {
   /** Analyzed logical plan of a DataFrame (for substitution into a
     * plan under analysis, e.g. view-style relation resolution). */
   def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Re-tag a batch DataFrame as a STREAMING one (`isStreaming=true`
+    * leaf) — what a v1 streaming `Source.getBatch` must return
+    * (MicroBatchExecution asserts it). The batch plan compiles to its
+    * InternalRow RDD lazily here; execution still happens distributed
+    * inside the microbatch that consumes it. This is the
+    * `internalCreateDataFrame` route Spark's own FileStreamSource-era
+    * sources use, private[sql] in Spark 4. */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
