@@ -1130,15 +1130,16 @@ object SnapshotTable {
     // quarantine first (its watermark makes a replay skip and clean
     // up): a crash window never silently drops a violating row
     // the quarantine table may carry its OWN mapping — write under it
-    val qcm = columnMapping(spark, quarantinePath)
+    // (with fresh names minted for columns IT has dropped/renamed)
+    val qSchema = StructType(writeSchema.fields :+
+      StructField("_violated", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+    val qcm = streamWriteMapping(spark, quarantinePath, qSchema)
     val badDir = freshDir(quarantinePath)
     toPhysical(tagged.filter(size(col("_violated")) > 0), qcm)
       .write.mode("errorifexists").option("compression", "zstd").parquet(badDir)
     val badFiles = triplesOf(badDir)
     val nBad = badFiles.map(_._3).sum
-    val qSchema = StructType(writeSchema.fields :+
-      StructField("_violated", org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType)))
     if (commitStreamEpoch(spark, quarantinePath, badFiles, qSchema,
         txnAppId, txnVersion, writtenColmap = qcm).isEmpty)
       fs(spark, quarantinePath).delete(new Path(badDir), true): Unit
@@ -1208,14 +1209,32 @@ object SnapshotTable {
           "branch handle does not re-create the branch")
       // COLUMN MAPPING: the epoch's files were written under the
       // mapping the sink read when the epoch STARTED (the factory
-      // renames logical -> physical before the executor writers run);
-      // a rename landing mid-epoch would make those physical names
-      // stale — fail the epoch (the engine retries the batch, and the
-      // retry's fresh factory picks up the new mapping).
-      require(prev.colmap == writtenColmap,
+      // renames logical -> physical before the executor writers run).
+      // Entries for columns the table KNOWS must equal the current
+      // colmap — a rename landing mid-epoch would make the written
+      // physical names stale, so fail the epoch (the engine retries
+      // the batch, and the retry's fresh factory picks up the new
+      // mapping). Entries for columns the table does NOT know are
+      // MINTED re-add names ([[streamWriteMapping]]): revalidate at
+      // CAS time that each minted physical is still free — a
+      // concurrent drop/add/rename racing the epoch fails it loudly
+      // rather than letting two logical columns share on-disk bytes.
+      val prevCols: Set[String] =
+        prev.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val (minted, inherited) =
+        writtenColmap.partition { case (l, _) => !prevCols.contains(l) }
+      require(prev.colmap == inherited,
         s"column mapping of $path changed during streaming epoch " +
           s"$txnVersion of '$txnAppId' — the retry will re-write the " +
           "batch under the current mapping")
+      if (minted.nonEmpty) {
+        val taken = prev.droppedPhys.toSet ++ prev.colmap.values ++
+          prevCols.map(prev.phys)
+        minted.foreach { case (l, p) => require(!taken(p),
+          s"cannot stream new column '$l' into $path as '$p': a " +
+            "concurrent schema change took that physical name mid-epoch " +
+            "— restart the query to re-mint against the current schema") }
+      }
       if (prev.txns.get(txnAppId).exists(_ >= txnVersion)) {
         // a replay detected mid-retry abandons any re-laid dir too
         layoutDir.foreach(d => fs(spark, path).delete(new Path(d), true): Unit)
@@ -1284,12 +1303,14 @@ object SnapshotTable {
       }
       val merged = mergeSchemas(prev.schema, layoutSchema, path)
       // same two-sided guard as commit() and evolveSchema: a streamed
-      // new column may neither resurrect a dropped column's bytes nor
-      // collide with a still-mapped column's PHYSICAL name (two
-      // logical columns resolving to one physical field would corrupt
-      // every subsequent read)
+      // new column without a minted mapping writes under its IDENTITY
+      // physical name, which may neither resurrect a dropped column's
+      // bytes nor collide with a still-mapped column's PHYSICAL name
+      // (two logical columns resolving to one physical field would
+      // corrupt every subsequent read). Minted columns were
+      // revalidated above.
       merged.fieldNames
-        .filterNot(c => prev.schema.exists(_.fieldNames.contains(c)))
+        .filterNot(c => prevCols.contains(c) || minted.contains(c))
         .foreach(c => require(!prev.droppedPhys.contains(c) &&
             !prev.colmap.values.toSet.contains(c),
           s"cannot stream column '$c' into $path: its physical name " +
@@ -1298,7 +1319,8 @@ object SnapshotTable {
           schema = Some(merged), entries = prev.entries ++ added,
           op = Some("streamAppend"),
           txns = mergeTxns(prev.txns, Map(txnAppId -> txnVersion)),
-          opKeys = Nil))) {
+          opKeys = Nil,
+          colmap = prev.colmap ++ minted))) {
         // the re-laid dir is what the manifest references now — the
         // epoch's original flat files are superseded
         if (layoutDir.isDefined)
@@ -2398,6 +2420,27 @@ object SnapshotTable {
   private[graft] def columnMappingAt(spark: SparkSession, path: String,
       version: Long): Map[String, String] =
     readManifestFull(spark, path, version).colmap
+
+  /** The mapping a streaming EPOCH's files must be written under:
+    * the table's current colmap, plus freshly-MINTED physical names
+    * for any query column the table does not know yet whose identity
+    * name is taken (tombstoned by a drop, or serving a renamed
+    * column) — the same re-add-after-drop move the batch write paths
+    * make ([[freshPhysicalNames]]), computed at epoch start so the
+    * executor writers emit the minted names directly.
+    * [[commitStreamEpoch]] revalidates the minted entries at CAS
+    * time and publishes them into the manifest's colmap. */
+  private[graft] def streamWriteMapping(spark: SparkSession, path: String,
+      querySchema: StructType): Map[String, String] =
+    latestVersion(spark, path) match {
+      case None => Map.empty
+      case Some(v) =>
+        val m = readManifestFull(spark, path, v)
+        val existing = m.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+        val fresh = querySchema.fieldNames.toSeq
+          .filterNot(c => existing(c) || c.startsWith("__p_"))
+        m.colmap ++ freshPhysicalNames(m, fresh)
+    }
 
   /** Current bloom columns (empty when the feature is off). */
   def bloomColumns(spark: SparkSession, path: String): Seq[String] = {

@@ -438,47 +438,92 @@ object Ivf {
       indexPath: String, checkpointDir: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
       deleteCollectCap: Int = 100000): Option[(Long, Long)] = {
-    import graft.lake.{SnapshotIncremental, SnapshotTable}
+    import graft.lake.SnapshotIncremental
     SnapshotIncremental.processNew(spark, corpusPath, checkpointDir,
       SnapshotIncremental.Cdc) { (changes, _, _) =>
-      // A drained batch can span SEVERAL commits, so the change rows
-      // must first collapse to the final state per id — latest
-      // `_commit_version` wins; within one commit an update emits
-      // delete(old)+insert(new) at the same version and the row IS
-      // present afterwards, so insert outranks delete at equal
-      // version. Without this reduction an id inserted in v2 and
-      // deleted in v3 of one batch would be upserted (stale vector
-      // persists forever), and an id updated in two commits would put
-      // duplicate keys into merge's source, which rejects them.
-      // update_postimage counts as the row's presence (the corpus
-      // table records merge keys, so its feed carries CDF update
-      // images); update_preimage/delete as absence
-      val present = col("_change_type").isin("insert", "update_postimage")
-      val w = Window.partitionBy(col(idCol)).orderBy(
-        col("_commit_version").desc,
-        when(present, 1).otherwise(0).desc)
-      val fin = changes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-      val ins = fin.filter(present).select(col(idCol), col(vecCol))
-      val insQ = Similarity.quantize(ins, idCol, vecCol)
-      val gone = fin.filter(!present).select(col(idCol))
-      if (!insQ.isEmpty) SnapshotTable.merge(insQ, indexPath, Seq(idCol))
-      if (SnapshotTable.latestVersion(spark, indexPath).isDefined) {
-        val ids = gone.limit(deleteCollectCap + 1)
-          .collect().map(_.getLong(0)).toSeq
-        if (ids.size <= deleteCollectCap) {
-          // fast path: bounded driver list → stats-pruned predicate
-          // delete (the common maintenance-trickle shape)
-          if (ids.nonEmpty)
-            SnapshotTable.delete(spark, indexPath, col(idCol).isin(ids: _*))
-        } else
-          // delete wave past the cap: never collect it — distributed
-          // anti-join delete (MERGE WHEN MATCHED THEN DELETE) over
-          // only the stats/bloom-pruned files. Same idempotence: a
-          // replay re-deletes already-absent ids to no effect.
-          SnapshotTable.deleteKeys(gone, indexPath, Seq(idCol))
-      }
+      applyChangeBatch(spark, changes, indexPath, idCol, vecCol,
+        deleteCollectCap)
     }
+  }
+
+  /** Apply ONE drained change-feed batch to the quantized index —
+    * the shared body of the batch checkpoint loop above and the
+    * streaming maintainer below. A batch can span SEVERAL commits,
+    * so the change rows first collapse to the final state per id —
+    * latest `_commit_version` wins; within one commit an update
+    * emits delete(old)+insert(new) at the same version and the row
+    * IS present afterwards, so insert outranks delete at equal
+    * version. Without this reduction an id inserted in v2 and
+    * deleted in v3 of one batch would be upserted (stale vector
+    * persists forever), and an id updated in two commits would put
+    * duplicate keys into merge's source, which rejects them.
+    * update_postimage counts as the row's presence (the corpus
+    * table records merge keys, so its feed carries CDF update
+    * images); update_preimage/delete as absence. Idempotent on
+    * replay: merge upserts to the same state, deletes of
+    * already-absent ids are no-ops. */
+  private[graft] def applyChangeBatch(spark: SparkSession, changes: DataFrame,
+      indexPath: String, idCol: String, vecCol: String,
+      deleteCollectCap: Int): Unit = {
+    import graft.lake.SnapshotTable
+    val present = col("_change_type").isin("insert", "update_postimage")
+    val w = Window.partitionBy(col(idCol)).orderBy(
+      col("_commit_version").desc,
+      when(present, 1).otherwise(0).desc)
+    val fin = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val ins = fin.filter(present).select(col(idCol), col(vecCol))
+    val insQ = Similarity.quantize(ins, idCol, vecCol)
+    val gone = fin.filter(!present).select(col(idCol))
+    if (!insQ.isEmpty) SnapshotTable.merge(insQ, indexPath, Seq(idCol))
+    if (SnapshotTable.latestVersion(spark, indexPath).isDefined) {
+      val ids = gone.limit(deleteCollectCap + 1)
+        .collect().map(_.getLong(0)).toSeq
+      if (ids.size <= deleteCollectCap) {
+        // fast path: bounded driver list → stats-pruned predicate
+        // delete (the common maintenance-trickle shape)
+        if (ids.nonEmpty)
+          SnapshotTable.delete(spark, indexPath, col(idCol).isin(ids: _*))
+      } else
+        // delete wave past the cap: never collect it — distributed
+        // anti-join delete (MERGE WHEN MATCHED THEN DELETE) over
+        // only the stats/bloom-pruned files. Same idempotence: a
+        // replay re-deletes already-absent ids to no effect.
+        SnapshotTable.deleteKeys(gone, indexPath, Seq(idCol))
+    }
+  }
+
+  /** CONTINUOUS index maintenance: the same convergence contract as
+    * [[syncQuantizedIndex]], driven by the streaming change feed
+    * (`graft-changes`) instead of scheduled batch drains — start it
+    * once and the index follows the corpus. Exactly-once by the same
+    * two-layer argument as the batch loop: the engine's checkpoint
+    * replays a crashed batch as the SAME version range (the feed is
+    * deterministic per range), and [[applyChangeBatch]] is
+    * idempotent, so a replay re-lands the identical state. With the
+    * default AvailableNow trigger the call drains pending commits
+    * and terminates (cron-style catch-up); pass a processing-time
+    * trigger for a resident maintainer. `maxVersionsPerTrigger`
+    * bounds the bootstrap the same way it does for the raw source. */
+  def syncQuantizedIndexStream(spark: SparkSession, corpusPath: String,
+      indexPath: String, checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", deleteCollectCap: Int = 100000,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxVersionsPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.format("graft-changes")
+    maxVersionsPerTrigger.foreach(m => reader.option("maxVersionsPerTrigger", m))
+    reader.load(corpusPath)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (changes: DataFrame, _: Long) =>
+        applyChangeBatch(spark, changes, indexPath, idCol, vecCol,
+          deleteCollectCap)
+        ()
+      }
+      .start()
   }
 
   /** IVF accuracy gate: top-10 for three stored queries over the

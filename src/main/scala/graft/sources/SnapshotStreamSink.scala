@@ -96,8 +96,11 @@ private[sources] class SnapshotStreamingWrite(path: String, schema: StructType,
     // column-mapped target: executor writers emit PHYSICAL names so
     // the files match every batch-written file of the table — in both
     // fail modes (the quarantine split translates through the same
-    // captured mapping)
-    val cm = SnapshotTable.columnMapping(spark, path)
+    // captured mapping). A NEW column whose identity physical name is
+    // taken (re-add after drop, or the freed side of a rename) gets a
+    // freshly MINTED name here, the same move the batch write paths
+    // make; the commit revalidates and publishes the minted entries.
+    val cm = SnapshotTable.streamWriteMapping(spark, path, schema)
     epochColmap = cm
     val physSchema =
       if (cm.isEmpty) schema

@@ -90,6 +90,42 @@ class AnnStreamSyncSpec extends SparkTestBase {
     assert(viaIndex === adhoc)
   }
 
+  test("streaming maintainer: the index follows the corpus through the graft-changes feed") {
+    val base = Files.createTempDirectory("graft-ann-cdfstream").toString
+    val (corpus, index, ckpt) = (s"$base/corpus", s"$base/index", s"$base/cdf-ckpt")
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+
+    def assertConverged(expectRows: Long): Unit = {
+      val got = SnapshotTable.read(spark, index).select("vec_id", "scale", "qvec")
+      val want = Similarity.quantize(
+        SnapshotTable.read(spark, corpus).select("vec_id", "embedding"))
+      assert(got.count() === expectRows)
+      assert(got.exceptAll(want).count() === 0 &&
+        want.exceptAll(got).count() === 0, "index != quantize(corpus)")
+    }
+    def drain(): Unit =
+      Ivf.syncQuantizedIndexStream(spark, corpus, index, ckpt)
+        .awaitTermination()
+
+    // bootstrap: the stream builds the index from the corpus history
+    SnapshotTable.append(emb.filter(col("vec_id") < 200), corpus)
+    drain()
+    assertConverged(200L)
+    // trickle: an update (merge → CDF images) and a delete, one drain
+    SnapshotTable.merge(
+      emb.filter(col("vec_id") < 10)
+        .withColumn("embedding", reverse(col("embedding"))),
+      corpus, Seq("vec_id"))
+    SnapshotTable.delete(spark, corpus, col("vec_id") >= 190)
+    drain()
+    assertConverged(190L)
+    // quiescent drain: no new commits, index untouched
+    val vBefore = SnapshotTable.latestVersion(spark, index)
+    drain()
+    assert(SnapshotTable.latestVersion(spark, index) === vBefore)
+    assertConverged(190L)
+  }
+
   test("delete wave past the collect cap routes through the distributed anti-join delete") {
     val base = Files.createTempDirectory("graft-ann-bigdel").toString
     val (corpus, index, syncCkpt) = (s"$base/corpus", s"$base/index", s"$base/sync-ckpt")

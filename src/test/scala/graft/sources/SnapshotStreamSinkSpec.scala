@@ -364,4 +364,46 @@ class SnapshotStreamSinkSpec extends SparkTestBase {
       }.mkString("|")).toSet
     assert(canon(got) === canon(want))
   }
+
+  test("re-add-after-drop THROUGH THE STREAM mints a fresh physical name — " +
+      "dropped bytes never resurface, later epochs reuse the published mapping") {
+    val base = Files.createTempDirectory("graft-sink-reAdd").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    SnapshotTable.append(Seq((1L, 10.0)).toDF("k", "v"), dst)  // v1: physical 'v'
+    SnapshotTable.dropColumn(spark, dst, "v")                  // v2: tombstones 'v'
+    // the stream carries a NEW column with the same logical name
+    SnapshotTable.append(Seq((2L, 99.0)).toDF("k", "v"), src)
+    pump(src, dst, ckpt)
+    val out = SnapshotTable.read(spark, dst)
+    assert(out.schema.fieldNames.toSeq === Seq("k", "v"))
+    // row 1 predates the re-added column → NULL, NOT the dropped 10.0
+    assert(out.filter(col("k") === 1L).select("v").collect().head.isNullAt(0))
+    assert(out.filter(col("k") === 2L).select("v").as[Double].head() === 99.0)
+    val cm = SnapshotTable.columnMapping(spark, dst)
+    assert(cm.get("v").exists(_ != "v"), s"expected a minted physical name, got $cm")
+    // a second epoch reuses the PUBLISHED mapping — no re-mint drift
+    SnapshotTable.append(Seq((3L, 7.0)).toDF("k", "v"), src)
+    pump(src, dst, ckpt)
+    assert(SnapshotTable.columnMapping(spark, dst) === cm)
+    assert(SnapshotTable.read(spark, dst).filter(col("v").isNotNull).count() === 2L)
+  }
+
+  test("streaming a new column whose name a RENAME freed mints around the taken physical") {
+    val base = Files.createTempDirectory("graft-sink-renameFree").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    SnapshotTable.append(Seq((1L, 5.0)).toDF("k", "a"), dst)   // v1: physical 'a'
+    SnapshotTable.renameColumn(spark, dst, "a", "b")           // v2: 'b' -> physical 'a'
+    // new logical 'a': its identity physical name is b's on-disk data
+    SnapshotTable.append(Seq((2L, 6.0, 7.0)).toDF("k", "b", "a"), src)
+    pump(src, dst, ckpt)
+    val out = SnapshotTable.read(spark, dst)
+    assert(out.schema.fieldNames.sorted.toSeq === Seq("a", "b", "k"))
+    assert(out.filter(col("k") === 1L).select("b").as[Double].head() === 5.0)
+    assert(out.filter(col("k") === 2L).select("b").as[Double].head() === 6.0)
+    assert(out.filter(col("k") === 2L).select("a").as[Double].head() === 7.0)
+    assert(out.filter(col("k") === 1L).select("a").collect().head.isNullAt(0))
+    val cm = SnapshotTable.columnMapping(spark, dst)
+    assert(cm.get("b").contains("a") && cm.get("a").exists(p => p != "a"),
+      s"expected b->a and a minted name for 'a', got $cm")
+  }
 }
