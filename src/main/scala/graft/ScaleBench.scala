@@ -603,6 +603,47 @@ object ScaleBench {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         require(q.awaitTermination(300000), "drain did not finish")
+      },
+      timed("cdf_stream_vs_batch") {
+        // the streaming change feed IS the batch changes() plan per
+        // version range — one AvailableNow drain of a CDC-shaped
+        // history must TRACK the batch feed (engine overhead, not a
+        // multiple), and the row sets must match exactly
+        import graft.lake.SnapshotTable
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-scale-cdf").toString
+        val t = s"$base/t"
+        (0 until 20).foreach { i =>
+          SnapshotTable.append(spark.range(i * 5000L, (i + 1) * 5000L)
+            .select(col("id"), (col("id") % 97).cast("double").as("v"))
+            .coalesce(2), t)
+        }
+        SnapshotTable.merge(spark.range(0L, 2000L)
+          .select(col("id"), lit(-1.0).as("v")).coalesce(2), t, Seq("id"))
+        SnapshotTable.delete(spark, t, col("id") >= 98000L)
+        val latest = SnapshotTable.latestVersion(spark, t).get
+        val b0 = System.nanoTime()
+        val nBatch = SnapshotTable.changes(spark, t, 0L, latest).count()
+        val batchSec = (System.nanoTime() - b0) / 1e9
+        val s0 = System.nanoTime()
+        val nStream = new java.util.concurrent.atomic.AtomicLong(0L)
+        val q = spark.readStream.format("graft-changes").load(t)
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            nStream.addAndGet(df.count()); ()
+          }
+          .start()
+        require(q.awaitTermination(300000), "cdf drain did not finish")
+        val streamSec = (System.nanoTime() - s0) / 1e9
+        require(nStream.get == nBatch,
+          s"stream feed rows ${nStream.get} != batch $nBatch")
+        require(streamSec < batchSec * 3 + 5.0,
+          f"cdf stream must track batch changes: batch=$batchSec%.2fs " +
+            f"stream=$streamSec%.2fs")
+        println(f"[scale] cdf_stream_vs_batch rows=$nBatch " +
+          f"batch=$batchSec%.2fs stream=$streamSec%.2fs")
       })
 
     // Locale.ROOT: a comma-decimal default locale would break the JSON

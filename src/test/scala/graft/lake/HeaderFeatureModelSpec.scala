@@ -254,4 +254,90 @@ class HeaderFeatureModelSpec extends SparkTestBase {
         s"seed=$seed: streamed rows diverged (values NULLed or rows lost)")
     }
   }
+
+  // ---- DML x change-feed-stream replica fuzz -----------------------
+
+  /** A downstream REPLICA maintained purely by applying the streaming
+    * change feed must converge to the table after every drain — the
+    * end-to-end contract `graft-changes` exists for. Random
+    * append/merge/delete/rename sequences; each drain is a
+    * checkpoint-resumed AvailableNow query (renames land BETWEEN
+    * drains, so each restart adopts the new schema and must serve
+    * the pre-rename history's VALUES under it). The replica applies
+    * the per-id final state of each drained batch (latest commit
+    * wins; presence outranks absence at equal version — the same
+    * reduction Ivf.applyChangeBatch ships). */
+  test("random DML x change-feed-drain sequences converge a feed-applied replica (3 seeds)") {
+    (41L to 43L).foreach { seed =>
+      val base = Files.createTempDirectory(s"graft-cdfm-$seed").toString
+      val (path, ckpt) = (s"$base/t", s"$base/cdf-ckpt")
+      val plan = sample(Gen.listOfN(16, Gen.frequency(
+        5 -> Gen.const("append"), 3 -> Gen.const("merge"),
+        2 -> Gen.const("delete"), 2 -> Gen.const("rename"),
+        4 -> Gen.const("drain"))), seed)
+      var vName = "v"
+      var table = Map[Long, Double]() // the truth the table should hold
+      var replica = Map[Long, Double]() // maintained ONLY from the feed
+      var nextId = 0L
+
+      def drain(i: Int): Unit = {
+        val rows = scala.collection.mutable.ArrayBuffer[(Long, Double, String, Long)]()
+        val q = spark.readStream.format("graft-changes").load(path)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            rows.synchronized {
+              rows ++= df.collect().map(r => (
+                r.getLong(r.fieldIndex("id")),
+                r.getDouble(r.fieldIndex(vName)),
+                r.getString(r.fieldIndex("_change_type")),
+                r.getLong(r.fieldIndex("_commit_version"))))
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        // per-id final state: latest commit wins, presence beats
+        // absence at equal version
+        rows.groupBy(_._1).foreach { case (id, es) =>
+          val (_, value, ct, _) = es.maxBy { case (_, _, ct, cv) =>
+            (cv, if (ct == "insert" || ct == "update_postimage") 1 else 0)
+          }
+          if (ct == "insert" || ct == "update_postimage") replica += id -> value
+          else replica -= id
+        }
+        assert(replica === table,
+          s"seed=$seed drain $i: feed-applied replica diverged from table")
+      }
+
+      plan.zipWithIndex.foreach { case (kind, i) =>
+        kind match {
+          case "append" =>
+            val rows = (0 until (i % 3) + 1).map(j => (nextId + j, i * 10.0 + j))
+            SnapshotTable.append(rows.toDF("id", vName).coalesce(1), path)
+            table ++= rows
+            nextId += rows.size
+          case "merge" if table.nonEmpty =>
+            val targets = table.keys.toSeq.sorted.take((i % 2) + 1)
+              .map(id => (id, i * 100.0))
+            SnapshotTable.merge(targets.toDF("id", vName).coalesce(1),
+              path, Seq("id"))
+            table ++= targets
+          case "delete" if table.nonEmpty =>
+            val victim = table.keys.max
+            SnapshotTable.delete(spark, path, col("id") === victim)
+            table -= victim
+          case "rename" if table.nonEmpty =>
+            val to = if (vName == "v") "w" else "v"
+            SnapshotTable.renameColumn(spark, path, vName, to)
+            vName = to
+          case "drain" if table.nonEmpty => drain(i)
+          case _ => () // op needs an existing table; skip
+        }
+      }
+      if (table.nonEmpty) drain(99)
+      assert(replica === table, s"seed=$seed: final replica diverged")
+    }
+  }
 }
