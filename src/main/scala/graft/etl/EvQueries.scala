@@ -1821,6 +1821,64 @@ object EvQueries {
        |  true AS files_stable, true AS old_schema_ok, true AS widen_pruned
        |FROM gold ORDER BY sessionId""".stripMargin
 
+  /** INITIAL column defaults (Iceberg v3 `initial-default` shape;
+    * `ALTER TABLE ... ADD COLUMN ... DEFAULT` in SQL): the gold fact
+    * lands WITHOUT the column (v1), the column is added with a
+    * default in a metadata-only commit (`files_stable` pins the
+    * zero-rewrite claim), and a post-add era appends real values —
+    * the final read serves the DEFAULT for every pre-add row and the
+    * written value for every post-add row, hash-matched. The default
+    * rides as existence-default metadata inside the recorded schema,
+    * so Spark's own parquet readers fill it (codegen path, no plan
+    * rewrite); `pre_add_hidden` pins time travel to the pre-add
+    * version not showing the column at all. */
+  def columnDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-cdef-gate")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    // unique-occurrence keys only: the default-vs-value split must be
+    // oracle-expressible per key (see ev27's comment on the fixture dup)
+    val gold = good(spark).groupBy("sessionId")
+      .agg(count(lit(1)).as("n"), first(col("kwhTotal")).as("kwhTotal"))
+      .filter(col("n") === 1).select("sessionId", "kwhTotal")
+      .coalesce(1).persist()
+    try {
+      val all = gold.orderBy("sessionId")
+      val (head, tail) = (all.limit(30), all.exceptAll(all.limit(30)))
+      SnapshotTable.append(head, path)                                 // v1: no score
+      val files1 = SnapshotTable.liveFiles(spark, path).toSet
+      SnapshotTable.addColumns(spark, path,
+        Seq(StructField("score", DoubleType)), Map("score" -> "1.5")) // v2: metadata-only
+      val filesStable = SnapshotTable.liveFiles(spark, path).toSet == files1
+      val preAddHidden =
+        !SnapshotTable.read(spark, path, Some(1L)).columns.contains("score")
+      SnapshotTable.append(
+        tail.withColumn("score", round(col("kwhTotal") * 2, 2)), path) // v3: values
+      SnapshotTable.read(spark, path)
+        .select(col("sessionId"), round(col("kwhTotal"), 2).as("kwhTotal"),
+          col("score"))
+        .withColumn("files_stable", lit(filesStable))
+        .withColumn("pre_add_hidden", lit(preAddHidden))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val columnDefaultsSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, min(kwhTotal) AS kwhTotal
+       |  FROM marked WHERE NOT is_bad GROUP BY sessionId HAVING count(*) = 1
+       |),
+       |ranked AS (
+       |  SELECT sessionId, kwhTotal, row_number() OVER (ORDER BY sessionId) AS rk
+       |  FROM gold
+       |)
+       |SELECT sessionId, round(kwhTotal, 2) AS kwhTotal,
+       |  CASE WHEN rk <= 30 THEN 1.5 ELSE round(kwhTotal * 2, 2) END AS score,
+       |  true AS files_stable, true AS pre_add_hidden
+       |FROM ranked ORDER BY sessionId""".stripMargin
+
   /** STREAMING change-data feed (`graft-changes`, the Delta
     * `readChangeFeed`-stream shape): the ev27 DML lifecycle — merge
     * images (v2), plain delete (v3), later-commit re-insert (v4) —
@@ -1953,5 +2011,6 @@ object EvQueries {
       Some(streamColumnMappingSql)),
     QDef("ev33_type_widening", typeWidening, Some(typeWideningSql)),
     QDef("ev34_stream_change_feed", streamChangeFeed, Some(streamChangeFeedSql)),
+    QDef("ev35_column_defaults", columnDefaults, Some(columnDefaultsSql)),
   )
 }

@@ -58,6 +58,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  // accept `DEFAULT <expr>` in column DDL (initial defaults) — without
+  // this capability the analyzer rejects the clause before alterTable
+  // ever sees it
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.Collections.singleton(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def dirOf(ns: Seq[String]): String = (warehouse +: ns).mkString("/")
 
   /** A table is a directory with a snapshot log. */
@@ -178,9 +186,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           }
         case a: TableChange.AddColumn =>
           require(a.fieldNames.length == 1, "nested ADD COLUMN is not supported")
-          "addColumns" -> SnapshotTable.addColumnsMutation(path, Seq(
-            org.apache.spark.sql.types.StructField(a.fieldNames.head,
-              a.dataType, nullable = true)))
+          // DEFAULT <expr> → initial default (Iceberg v3 shape): the
+          // validated metadata-carrying field comes from the same
+          // helper the API path uses
+          val field = org.apache.spark.sql.types.StructField(
+            a.fieldNames.head, a.dataType, nullable = true)
+          val fields = Option(a.defaultValue()) match {
+            case None => Seq(field)
+            case Some(d) => SnapshotTable.fieldsWithInitialDefaults(spark,
+              Seq(field), Map(field.name -> d.getSql))
+          }
+          "addColumns" -> SnapshotTable.addColumnsMutation(path, fields)
         case r: TableChange.RenameColumn =>
           require(r.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
           "renameColumn" -> SnapshotTable.renameColumnMutation(spark, path,

@@ -1867,8 +1867,66 @@ object SnapshotTable {
     * column order stays `old columns, new columns`. */
   def addColumns(spark: SparkSession, path: String,
       newFields: Seq[StructField]): Long =
+    addColumns(spark, path, newFields, Map.empty)
+
+  /** ALTER TABLE ... ADD COLUMN ... DEFAULT — INITIAL defaults
+    * (Iceberg v3 `initial-default` shape): a file that does not
+    * CONTAIN the column reads the declared default instead of NULL —
+    * metadata-only, no backfill rewrite. The default rides as
+    * `EXISTS_DEFAULT` StructField metadata INSIDE the recorded
+    * `#schema=` header, which is what every scan is built from, so
+    * the behavior needs no per-call-site plumbing and is era-exact by
+    * construction: a pre-add version's schema lacks the field
+    * entirely (time travel stays pre-add-correct), the add version
+    * onward serves the default for default-era-absent files, a
+    * genuine NULL written after the add stays NULL (the file contains
+    * the column), and DML rewrites/compaction MATERIALIZE the default
+    * into rewritten files because their source read already serves
+    * it. Spark's own parquet readers implement the fill (the
+    * ResolveDefaultColumns existence-default contract — vectorized
+    * and row paths), so the hot path stays whole-stage codegen.
+    * `defaults` maps new-column name → a foldable SQL expression; it
+    * is validated (parse, fold, lossless cast to the column type)
+    * and stored constant-folded. Only NEW columns can carry one —
+    * retrofitting a default onto an existing column would rewrite
+    * history's meaning. */
+  def addColumns(spark: SparkSession, path: String,
+      newFields: Seq[StructField], defaults: Map[String, String]): Long =
     publishMetadataCommit(spark, path, "addColumns")(
-      addColumnsMutation(path, newFields))
+      addColumnsMutation(path, fieldsWithInitialDefaults(spark, newFields, defaults)))
+
+  private[lake] def fieldsWithInitialDefaults(spark: SparkSession,
+      fields: Seq[StructField], defaults: Map[String, String]): Seq[StructField] = {
+    if (defaults.isEmpty) return fields
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    val names = fields.map(_.name).toSet
+    defaults.keys.foreach(n => require(names(n),
+      s"DEFAULT declared for '$n' which is not among the added columns"))
+    fields.map { f =>
+      defaults.get(f.name) match {
+        case None => f
+        case Some(sqlText) =>
+          val folded = scala.util.Try {
+            val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
+            require(parsed.foldable, "not a constant")
+            Cast(parsed, f.dataType, Some(java.time.ZoneId.systemDefault().getId))
+              .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          }.getOrElse(throw new IllegalArgumentException(
+            s"DEFAULT for '${f.name}' must be a constant expression castable to " +
+              s"${f.dataType.simpleString}, got: $sqlText"))
+          require(folded != null || sqlText.trim.equalsIgnoreCase("null"),
+            s"DEFAULT for '${f.name}' ($sqlText) does not cast to " +
+              s"${f.dataType.simpleString}")
+          val litSql = Literal(folded, f.dataType).sql
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, litSql)
+            .putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sqlText)
+            .build())
+      }
+    }
+  }
 
   private[lake] def addColumnsMutation(path: String,
       newFields: Seq[StructField]): Manifest => Manifest = { m =>

@@ -219,8 +219,13 @@ private class SnapshotChangesStreamingSource(spark: SparkSession, path: String,
     val out = feed.select(srcSchema.fields.toSeq.map { f =>
       if (!feed.columns.contains(f.name))
         // every range version predates the column — the genuine
-        // schema-evolution NULL, same as the batch reader
-        lit(null).cast(f.dataType).as(f.name)
+        // schema-evolution NULL, same as the batch reader; a column
+        // with an INITIAL DEFAULT serves it instead (the current
+        // schema's read contract)
+        (if (ExistsDefaults.has(f))
+          org.apache.spark.sql.functions.expr(
+            f.metadata.getString("EXISTS_DEFAULT"))
+        else lit(null)).cast(f.dataType).as(f.name)
       else {
         val dt = feed.schema(f.name).dataType
         if (dt == f.dataType) col(f.name)

@@ -327,6 +327,29 @@ private case class SnapshotFilePartition(filePath: String, commitDir: String,
   def phys(c: String): String = colmap.getOrElse(c, c)
 }
 
+/** Existence-default evaluation shared by the stream readers (the
+  * row-path mirror of what Spark's vectorized reader does natively
+  * from the same `EXISTS_DEFAULT` StructField metadata): a file that
+  * does not CONTAIN a defaulted column serves the declared default
+  * instead of NULL — [[graft.lake.SnapshotTable.addColumns]] initial
+  * defaults. Session-free (CatalystSqlParser + constant Cast), so it
+  * evaluates on executors; the stored text is a constant-folded
+  * literal by construction. */
+private[sources] object ExistsDefaults {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+
+  private val Key = "EXISTS_DEFAULT"
+
+  def of(f: StructField): Any =
+    if (!f.metadata.contains(Key)) null
+    else Cast(CatalystSqlParser.parseExpression(f.metadata.getString(Key)),
+      f.dataType, Some("UTC")).eval(InternalRow.empty)
+
+  def has(f: StructField): Boolean = f.metadata.contains(Key)
+}
+
 /** Hive partition-value handling shared by both decode paths: parse
   * the `k=v` path segments and convert a directory-string value to
   * its Catalyst representation under the table schema's type. */
@@ -460,20 +483,26 @@ private class SnapshotFileReader(p: SnapshotFilePartition)
     false
   }
 
+  // initial defaults for columns the file does not contain (computed
+  // once per reader; null for undecorated fields — the plain
+  // schema-evolution NULL)
+  private val fieldDefaults: Array[Any] = p.schema.fields.map(ExistsDefaults.of)
+
   override def get(): InternalRow = {
     val g = current
     val gt = g.getType
-    InternalRow.fromSeq(p.schema.fields.toIndexedSeq.map { f =>
+    InternalRow.fromSeq(p.schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
       // the file (and partition dir) store PHYSICAL names — resolve
       // the logical field through the captured mapping; a file that
       // lacks the physical field genuinely predates the column (true
-      // schema-evolution NULL, never a renamed column's data)
+      // schema-evolution NULL — or its declared initial default,
+      // never a renamed column's data)
       val pn = p.phys(f.name)
       if (gt.containsField(pn)) {
         val idx = gt.getFieldIndex(pn)
         if (g.getFieldRepetitionCount(idx) == 0) null else extract(g, idx, f)
       } else partValues.get(pn) match {
-        case None    => null
+        case None    => fieldDefaults(i)
         case Some(v) => SnapshotPartValues.toCatalyst(v, f.dataType, f.name)
       }
     })

@@ -345,4 +345,21 @@ class GraftCatalogSpec extends SparkTestBase {
     SnapshotTable.append(Seq(3L).toDF("id"), bh)
     assert(SnapshotTable.read(s2, bh).count() === 3L)
   }
+
+  test("ALTER TABLE ... ADD COLUMN ... DEFAULT: initial default via SQL DDL") {
+    import s2.implicits._
+    s2.sql("CREATE TABLE graft.cd.t (k BIGINT, s STRING) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.cd.t VALUES (1, 'a')")
+    // constant expressions fold at ALTER time (41 + 1 → 42)
+    s2.sql("ALTER TABLE graft.cd.t ADD COLUMN c INT DEFAULT 41 + 1")
+    s2.sql("INSERT INTO graft.cd.t VALUES (2, 'b', 7)")
+    val got = s2.sql("SELECT k, c FROM graft.cd.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((1L, 42), (2L, 7)))
+    // non-constant defaults are refused loudly
+    val e = intercept[Exception] {
+      s2.sql("ALTER TABLE graft.cd.t ADD COLUMN d INT DEFAULT k + 1")
+    }
+    assert(e.getMessage.toLowerCase.contains("default"))
+  }
 }
