@@ -140,7 +140,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val path = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(tablePath(ident))
     if (isTable(path)) throw new TableAlreadyExistsException(ident)
-    SnapshotTable.create(spark, path, schema,
+    // CREATE TABLE (... DEFAULT <expr>): the analyzer hands the
+    // default as CURRENT_DEFAULT field metadata — constant-fold it
+    // into the EXISTS_DEFAULT the read path serves (a later insert
+    // that omits the column then reads the default, the same
+    // file-absence semantics as ADD COLUMN ... DEFAULT)
+    val withDefaults = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .constantFoldCurrentDefaultsToExistDefaults(schema, "CREATE TABLE")
+    SnapshotTable.create(spark, path, withDefaults,
       partitions.toSeq.map(GraftCatalog.specOf))
     GraftTable(ident.toString, path)
   }

@@ -53,8 +53,10 @@ object SnapshotCatalog {
   private[lake] def versionAsOf(spark: SparkSession, path: String,
       tsMillis: Long): Long = {
     val f = SnapshotTable.fs(spark, path)
+    // through the .ckpt-sidecar fallback: a crashed vacuum checkpoint
+    // swap must not make TIMESTAMP AS OF throw FileNotFound
     val eligible = SnapshotTable.versions(spark, path).filter { v =>
-      f.getFileStatus(new Path(s"${SnapshotTable.logDir(path)}/v$v"))
+      SnapshotTable.versionFileStatus(f, path, v)._2
         .getModificationTime <= tsMillis
     }
     require(eligible.nonEmpty,

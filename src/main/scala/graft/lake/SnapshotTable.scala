@@ -173,7 +173,7 @@ object SnapshotTable {
     * when a vacuum checkpoint swap crashed between delete and rename
     * (content is identical — the sidecar is the staged replacement).
     * The common case costs exactly one getFileStatus. */
-  private def versionFileStatus(f: FileSystem, path: String, version: Long)
+  private[lake] def versionFileStatus(f: FileSystem, path: String, version: Long)
       : (Path, org.apache.hadoop.fs.FileStatus) = {
     val p = new Path(s"${logDir(path)}/v$version")
     try (p, f.getFileStatus(p))
@@ -186,6 +186,26 @@ object SnapshotTable {
 
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
+
+  /** Commit time of a version (the version file's mtime — the same
+    * clock `history()` and `TIMESTAMP AS OF` read), served through
+    * the `.ckpt` sidecar fallback so a crashed vacuum swap window
+    * cannot hide a version. */
+  private[graft] def commitTimeOf(spark: SparkSession, path: String,
+      version: Long): Long =
+    versionFileStatus(fs(spark, path), path, version)._2.getModificationTime
+
+  /** Smallest version whose commit time is >= `tsMillis` — the
+    * streaming sources' `startingTimestamp` resolution (Delta's
+    * option semantics: "changes committed at or after"). None when
+    * every existing commit predates the timestamp (the stream starts
+    * empty and tails future commits). */
+  private[graft] def firstVersionAtOrAfter(spark: SparkSession, path: String,
+      tsMillis: Long): Option[Long] = {
+    val f = fs(spark, path)
+    versions(spark, path)
+      .find(v => versionFileStatus(f, path, v)._2.getModificationTime >= tsMillis)
+  }
 
   /** Manifests are single small metadata files read/written on the
     * driver (the table-format norm — Delta/Iceberg logs are driver

@@ -86,6 +86,10 @@ class SnapshotChangesSource extends StreamSourceProvider with DataSourceRegister
     require(schema.isEmpty,
       "graft-changes serves the table's own schema (+ _change_type, _commit_version); " +
         "a user-specified schema is not supported")
+    // fail fast at load() — createSource only runs at query start
+    require(!(parameters.keys.exists(_.equalsIgnoreCase("startingVersion")) &&
+        parameters.keys.exists(_.equalsIgnoreCase("startingTimestamp"))),
+      "startingVersion and startingTimestamp are mutually exclusive")
     (shortName(), feedSchema(sqlContext.sparkSession, pathOf(parameters)))
   }
 
@@ -96,13 +100,36 @@ class SnapshotChangesSource extends StreamSourceProvider with DataSourceRegister
     val path = pathOf(parameters)
     def opt(k: String): Option[String] =
       parameters.collectFirst { case (p, v) if p.equalsIgnoreCase(k) => v }
-    val startingVersion = opt("startingVersion").map(_.toLong).getOrElse(1L)
+    val ts = opt("startingTimestamp")
+    require(ts.isEmpty || opt("startingVersion").isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    val startingVersion = ts.map(StartingTimestamp.resolve(spark, path, _))
+      .orElse(opt("startingVersion").map(_.toLong)).getOrElse(1L)
     require(startingVersion >= 1L,
       s"startingVersion must be >= 1 (version 1 is the first commit), got $startingVersion")
     new SnapshotChangesStreamingSource(spark, path,
       feedSchema(spark, path), startingVersion,
       opt("maxVersionsPerTrigger").map(_.toLong))
   }
+}
+
+/** `startingTimestamp` option parsing + resolution shared by the raw
+  * and change-feed streaming sources (Delta's option: emit commits at
+  * or after the timestamp). Accepts epoch millis, ISO-8601 instants,
+  * or `yyyy-MM-dd HH:mm:ss[.fff]`; resolves against version-file
+  * commit times at query start — a timestamp past the newest commit
+  * starts an empty stream that tails future commits. */
+private[sources] object StartingTimestamp {
+  def millis(s: String): Long =
+    s.trim.toLongOption.getOrElse {
+      scala.util.Try(java.time.Instant.parse(s.trim).toEpochMilli).getOrElse(
+        java.sql.Timestamp.valueOf(s.trim.replace('T', ' ')).getTime)
+    }
+
+  /** Inclusive starting VERSION equivalent of the timestamp. */
+  def resolve(spark: SparkSession, path: String, ts: String): Long =
+    SnapshotTable.firstVersionAtOrAfter(spark, path, millis(ts))
+      .getOrElse(SnapshotTable.latestVersion(spark, path).getOrElse(0L) + 1L)
 }
 
 /** Version offset of the change-feed source ((start, end] ranges,

@@ -117,12 +117,26 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
     val vectorized = Option(opts.get("vectorizedreader")).getOrElse("auto")
     require(Set("auto", "always", "never")(vectorized),
       s"vectorizedReader must be auto|always|never, got '$vectorized'")
+    // Delta spells streaming CDF as an option on the same format;
+    // here the change feed is its own source — point there rather
+    // than silently ignoring the option
+    require(!opts.getBoolean("readchangefeed", false),
+      "the change-data feed is its own source: " +
+        "spark.readStream.format(\"graft-changes\").load(tablePath)")
     // logical→physical mapping captured at the same moment the schema
     // was resolved (query start / restart) — see the class doc for why
     // one capture is correct for every file the stream will read
     val colmap = SnapshotTable.columnMapping(SparkSession.active, pathOf(opts))
+    // startingTimestamp (Delta's option): resolved to the first
+    // version committed at or after it, ONCE at query start
+    val ts = Option(opts.get("startingtimestamp"))
+    require(ts.isEmpty || opts.get("startingversion") == null,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    val startV = ts
+      .map(StartingTimestamp.resolve(SparkSession.active, pathOf(opts), _))
+      .orElse(Option(opts.get("startingversion")).map(_.toLong)).getOrElse(0L)
     new SnapshotStreamTable(pathOf(opts), schema, colmap, SnapshotStreamOptions(
-      Option(opts.get("startingversion")).map(_.toLong).getOrElse(0L),
+      startV,
       opts.getBoolean("ignorechanges", false),
       Option(opts.get("maxversionspertrigger")).map(_.toLong),
       vectorized,

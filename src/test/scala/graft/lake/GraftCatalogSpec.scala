@@ -362,4 +362,18 @@ class GraftCatalogSpec extends SparkTestBase {
     }
     assert(e.getMessage.toLowerCase.contains("default"))
   }
+
+  test("CREATE TABLE (... DEFAULT): column-list INSERT fills it; omitted-column appends read it") {
+    import s2.implicits._
+    s2.sql("CREATE TABLE graft.cd.t2 (k BIGINT, c INT DEFAULT 5) " +
+      "USING `graft-snapshot`")
+    // analyzer-side: a column-list INSERT missing c fills the default
+    s2.sql("INSERT INTO graft.cd.t2 (k) VALUES (1)")
+    // read-side: a direct append whose file simply lacks c serves it
+    SnapshotTable.append(Seq(2L).toDF("k"),
+      s"$warehouse/cd/t2")
+    val got = s2.sql("SELECT k, c FROM graft.cd.t2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((1L, 5), (2L, 5)))
+  }
 }

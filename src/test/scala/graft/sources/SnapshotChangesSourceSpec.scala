@@ -150,6 +150,40 @@ class SnapshotChangesSourceSpec extends SparkTestBase {
     assert(names === Set("k", "v", "_change_type", "_commit_version"))
   }
 
+  test("startingTimestamp starts at the first commit at or after it; future timestamps tail empty") {
+    val base = Files.createTempDirectory("graft-cdf-ts").toString
+    val path = s"$base/t"
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), path)
+    Thread.sleep(60)
+    SnapshotTable.append(Seq((2L, 2.0)).toDF("k", "v"), path)
+    Thread.sleep(60)
+    SnapshotTable.append(Seq((3L, 3.0)).toDF("k", "v"), path)
+    val t2 = SnapshotTable.commitTimeOf(spark, path, 2L)
+    val (got, _) = drain(path, s"$base/ckpt1",
+      Map("startingTimestamp" -> t2.toString))
+    assert(got.map(tag).sorted === Seq((2L, "insert", 2L), (3L, "insert", 3L)))
+    // a timestamp past the newest commit: empty now, tails later commits
+    val future = (System.currentTimeMillis() + 3600000L).toString
+    assert(drain(path, s"$base/ckpt2",
+      Map("startingTimestamp" -> future))._1.isEmpty)
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes")
+        .option("startingVersion", 1).option("startingTimestamp", t2.toString)
+        .load(path)
+    }
+  }
+
+  test("readChangeFeed on the raw source points at graft-changes instead of ignoring it") {
+    val base = Files.createTempDirectory("graft-cdf-ptr").toString
+    val path = s"$base/t"
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), path)
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(path)
+    }
+    assert(e.getMessage.contains("graft-changes"))
+  }
+
   test("startingVersion is inclusive and bounds the feed") {
     val base = Files.createTempDirectory("graft-cdf-sv").toString
     val (path, ckpt) = (s"$base/t", s"$base/ckpt")

@@ -57,6 +57,26 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(got.map(_.getLong(0)).sorted === Seq(2L, 3L))
   }
 
+  test("startingTimestamp resolves to the first commit at or after it (Delta's option)") {
+    val base = Files.createTempDirectory("graft-stream-ts").toString
+    val path = s"$base/t"
+    SnapshotTable.append(Seq((1L, "v1")).toDF("k", "s"), path)
+    Thread.sleep(60)
+    SnapshotTable.append(Seq((2L, "v2")).toDF("k", "s"), path)
+    Thread.sleep(60)
+    SnapshotTable.append(Seq((3L, "v3")).toDF("k", "s"), path)
+    val t2 = SnapshotTable.commitTimeOf(spark, path, 2L)
+    val got = drain(path, s"$base/ckpt",
+      Map("startingTimestamp" -> t2.toString))
+    assert(got.map(_.getLong(0)).sorted === Seq(2L, 3L))
+    // both options at once is refused at load()
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-snapshot")
+        .option("startingVersion", 1).option("startingTimestamp", t2.toString)
+        .load(path)
+    }
+  }
+
   test("date/timestamp/boolean/partition columns round-trip identical to the batch read") {
     val base = Files.createTempDirectory("graft-stream-types").toString
     val path = s"$base/t"
