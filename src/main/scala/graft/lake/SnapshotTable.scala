@@ -408,6 +408,18 @@ object SnapshotTable {
   private def parseManifest(content: String)
       : (Manifest, Option[Long], Seq[Entry]) = {
     val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+    // reader-features gate FIRST: interpreting any other field of a
+    // manifest that needs an unimplemented feature is the silent-
+    // wrong-answer path this header exists to close
+    lines.find(_.startsWith("#readerFeatures=")).foreach { l =>
+      val unknown = l.stripPrefix("#readerFeatures=").split(",")
+        .filter(_.nonEmpty).filterNot(SupportedReaderFeatures)
+      require(unknown.isEmpty,
+        s"this table requires reader feature(s) [${unknown.mkString(", ")}] " +
+          "this library does not implement (supported: " +
+          s"${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}) — " +
+          "upgrade the library before reading")
+    }
     val schema = lines.find(_.startsWith("#schema="))
       .map(l => DataType.fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType])
     val op = lines.find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
@@ -635,7 +647,39 @@ object SnapshotTable {
     won
   }
 
+  /** Reader features this library implements — the Delta
+    * table-features model, READER side: every published version file
+    * lists the features required to interpret the table correctly
+    * (`#readerFeatures=`, derived from the manifest state, never
+    * stored as mutable state), and [[parseManifest]] refuses a
+    * manifest listing a feature outside this set. Without the gate, a
+    * version of this library predating e.g. column mapping would
+    * "successfully" read a mapped table and silently serve NULL for
+    * every renamed column — the gate turns that class of
+    * forward-compat corruption into a loud upgrade error. Writer-only
+    * features (constraints, blooms, auto-compaction, txn watermarks)
+    * are deliberately absent: ignoring them cannot change read
+    * results. */
+  private[lake] val SupportedReaderFeatures: Set[String] =
+    Set("column-mapping", "deletion-vectors", "partition-transforms",
+      "column-defaults")
+
+  private def readerFeaturesOf(m: Manifest): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (m.colmap.nonEmpty || m.droppedPhys.nonEmpty) b += "column-mapping"
+    if (m.entries.exists(_.dv.isDefined)) b += "deletion-vectors"
+    if (m.transforms.nonEmpty || m.retiredTransforms.nonEmpty)
+      b += "partition-transforms"
+    if (m.schema.exists(_.fields.exists(_.metadata.contains("EXISTS_DEFAULT"))))
+      b += "column-defaults"
+    b.result()
+  }
+
   private def headerBlock(m: Manifest): String =
+    (readerFeaturesOf(m) match {
+      case Nil => ""
+      case fs  => s"#readerFeatures=${fs.mkString(",")}\n"
+    }) +
     m.schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
       m.op.map(o => s"#op=$o\n").getOrElse("") +
       (if (m.constraints.nonEmpty)
