@@ -693,11 +693,61 @@ object Ivf {
       |  CAST(1.0 AS DOUBLE) AS best_cosine, true AS stable_quiet,
       |  true AS drift_rebuilt, true AS planted_nn_returned""".stripMargin
 
+  /** STREAM-MAINTAINED index gate: the corpus table takes a commit
+    * lifecycle (bootstrap append, growth append, an UPDATE via merge
+    * — whose CDF images the maintainer must collapse — and a DELETE),
+    * while the quantized index follows purely through
+    * [[syncQuantizedIndexStream]] drains of the `graft-changes` feed
+    * across separate checkpoint-resumed runs. Contracts:
+    * `index_converged` pins index == quantize(live corpus) exactly
+    * (both directions of a multiset diff), and the maintained index
+    * then SERVES search under the same planted-copy contract as q107
+    * — best cosine exactly 1.0, the planted copy returned, every
+    * neighbor inside the exact top-N. An unapplied delete, a stale
+    * pre-update vector, or a duplicate upsert all break one of the
+    * two contracts. */
+  def ivfStreamMaintained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfsm-gate").toString
+    val (corpus, index, ckpt) = (s"$base/corpus", s"$base/index", s"$base/ckpt")
+    val emb = Similarity.withPlantedQueries(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), Seq(0L))
+    def drain(): Unit =
+      syncQuantizedIndexStream(spark, corpus, index, ckpt).awaitTermination()
+    SnapshotTable.append(emb.filter(col("vec_id") % 5 =!= 0), corpus)  // v1
+    drain()                                    // bootstrap the index
+    SnapshotTable.append(emb.filter(col("vec_id") % 5 === 0), corpus)  // v2
+    // UPDATE: re-point one real id at a transformed vector (CDF images)
+    SnapshotTable.merge(emb.filter(col("vec_id") === 7L)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+      .coalesce(1), corpus, Seq("vec_id"))                             // v3
+    SnapshotTable.delete(spark, corpus,
+      col("vec_id") % 97 === 13 && col("vec_id") < 1000000L)           // v4
+    drain()                                    // catch up across 3 commits
+    val live = SnapshotTable.read(spark, corpus).select("vec_id", "embedding")
+    val idx = SnapshotTable.read(spark, index).select("vec_id", "scale", "qvec")
+    val want = Similarity.quantize(live)
+    val converged = idx.exceptAll(want).isEmpty && want.exceptAll(idx).isEmpty
+    val model = train(live, k = 16, iters = 5, sampleSize = 500)
+    Similarity.annContract(
+      searchQuantizedIndexed(live, idx, model, Seq(0L), k = 10),
+      live, Seq(0L), rankBound = annIvfQuantizedRankBound)
+      .withColumn("index_converged", lit(converged))
+  }
+
+  val ivfStreamMaintainedSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS query_id, CAST(1.0 AS DOUBLE) AS best_cosine,
+       |  true AS planted_nn_returned, true AS all_in_exact_top$annIvfQuantizedRankBound,
+       |  true AS index_converged""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q62_ann_ivf", annIvf, Some(annIvfSql)),
     QDef("q107_ann_ivf_i8", annIvfQuantized, Some(annIvfQuantizedSql)),
     QDef("q130_hybrid_prefilter", hybridNarrow, Some(hybridNarrowSql)),
     QDef("q131_hybrid_postfilter", hybridWide, Some(hybridWideSql)),
     QDef("q132_ivf_drift_rebuild", ivfDriftRebuild, Some(ivfDriftRebuildSql)),
+    QDef("q133_ivf_stream_maintained", ivfStreamMaintained,
+      Some(ivfStreamMaintainedSql)),
   )
 }
