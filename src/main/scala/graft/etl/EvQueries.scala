@@ -1973,6 +1973,50 @@ object EvQueries {
        |  true AS restart_exactly_once
        |FROM feed ORDER BY _commit_version, _change_type, sessionId""".stripMargin
 
+  /** IN-PLACE ADOPTION of plain parquet (`CONVERT TO DELTA` /
+    * Iceberg-migrate shape, ev gate): the gold slice is written as
+    * ORDINARY hive-partitioned parquet by Spark's own writer — no
+    * engine involvement — then [[graft.lake.SnapshotTable.adopt]]
+    * publishes version 1 referencing those files where they sit.
+    * Contracts: `files_unmoved` pins the zero-copy claim (the live
+    * file set IS the original file set), `partition_pruned` is an
+    * executed-plan numFiles proof that the adopted partition dirs
+    * prune through the recorded stats immediately, and the full
+    * read hash-matches the oracle recomputing gold from the CSV. */
+  def adoptInPlace(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft-adopt-gate")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    val gold = good(spark)
+      .select(col("sessionId"), col("platform"), col("kwhTotal"))
+      .coalesce(1).persist()
+    try {
+      gold.write.partitionBy("platform").parquet(t) // plain parquet
+      def norm(p: String): String = new java.net.URI(p).getPath
+      val orig = spark.read.parquet(t).inputFiles.map(norm).toSet
+      SnapshotTable.adopt(spark, t, statsCols = Seq("sessionId"))
+      val unmoved = SnapshotTable.liveFiles(spark, t).map(p =>
+        norm(new org.apache.hadoop.fs.Path(p).toUri.toString)).toSet == orig
+      val pruned = scannedFiles(SnapshotTable.readWhere(spark, t,
+        col("platform") === "android")) < orig.size.toLong
+      SnapshotTable.read(spark, t)
+        .select(col("sessionId"), col("platform"),
+          round(col("kwhTotal"), 2).as("kwhTotal"))
+        .withColumn("files_unmoved", lit(unmoved))
+        .withColumn("partition_pruned", lit(pruned))
+        .orderBy("sessionId", "kwhTotal")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val adoptInPlaceSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, platform, kwhTotal FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, platform, round(kwhTotal, 2) AS kwhTotal,
+       |  true AS files_unmoved, true AS partition_pruned
+       |FROM gold ORDER BY sessionId, kwhTotal""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -2012,5 +2056,6 @@ object EvQueries {
     QDef("ev33_type_widening", typeWidening, Some(typeWideningSql)),
     QDef("ev34_stream_change_feed", streamChangeFeed, Some(streamChangeFeedSql)),
     QDef("ev35_column_defaults", columnDefaults, Some(columnDefaultsSql)),
+    QDef("ev36_adopt_in_place", adoptInPlace, Some(adoptInPlaceSql)),
   )
 }

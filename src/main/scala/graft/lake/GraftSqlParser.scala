@@ -30,6 +30,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *
   *   VACUUM t [KEEP n VERSIONS]
   *   OPTIMIZE t [FILES n | ZORDER BY (c1, c2)]
+  *   RESTORE [TABLE] t TO VERSION AS OF <n | 'tag'>
+  *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
   *   SHOW BRANCHES [IN] t / SHOW TAGS [IN] t
   *
   * Reading a ref needs no new syntax — `VERSION AS OF '<ref>'`
@@ -68,6 +70,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CherryPick(t, b, v) =>
       SnapshotRefDdlCommand(idents(t), "cherry_pick", b, Some(v.toLong), None)
     case ShowConstraints(t) => SnapshotShowConstraintsCommand(idents(t))
+    case RestoreVersion(t, v) =>
+      SnapshotRestoreCommand(idents(t), Some(v.toLong), None, None)
+    case RestoreTag(t, tag) =>
+      SnapshotRestoreCommand(idents(t), None, Some(tag), None)
+    case RestoreTimestamp(t, ts) =>
+      SnapshotRestoreCommand(idents(t), None, None, Some(ts))
     case VacuumKeep(t, n) =>
       SnapshotMaintenanceCommand(idents(t), "vacuum", keepVersions = n.toInt)
     case Vacuum(t) =>
@@ -136,6 +144,15 @@ private object GraftSqlParser {
   // maintenance statements (Delta-shaped VACUUM / OPTIMIZE)
   private def stmt(body: String) =
     new scala.util.matching.Regex(s"(?is)\\s*$body\\s*;?\\s*")
+  // Delta's RESTORE statement shapes; a quoted non-numeric version
+  // target is a TAG (branch heads move — restoring to one would be
+  // restoring to a moving target; use its version instead)
+  private[lake] val RestoreVersion =
+    stmt(s"RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
+  private[lake] val RestoreTag =
+    stmt(s"RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+$N")
+  private[lake] val RestoreTimestamp =
+    stmt(s"RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'")
   private[lake] val VacuumKeep =
     stmt(s"VACUUM\\s+$T\\s+KEEP\\s+(\\d+)\\s+VERSIONS?")
   private[lake] val Vacuum = stmt(s"VACUUM\\s+$T")
@@ -229,6 +246,44 @@ case class SnapshotRefDdlCommand(ident: Seq[String], op: String,
       case other => throw new IllegalStateException(s"unknown ref op: $other")
     }
     Seq(Row(v))
+  }
+}
+
+/** Runnable RESTORE command (Delta's statement): `RESTORE [TABLE] t
+  * TO VERSION AS OF <n | 'tag'>` / `TO TIMESTAMP AS OF '<ts>'` →
+  * [[SnapshotTable.restore]]. A tag resolves to its pinned version; a
+  * timestamp through the same commit-time resolution `TIMESTAMP AS
+  * OF` reads use. Branch refs are refused — a branch head moves, so
+  * "restore to it" has no stable meaning. Returns the NEW head
+  * version (restore is itself a commit; history is never rewritten). */
+case class SnapshotRestoreCommand(ident: Seq[String], version: Option[Long],
+    tag: Option[String], timestamp: Option[String]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  private def tsMillis(s: String): Long =
+    s.trim.toLongOption.getOrElse {
+      scala.util.Try(java.time.Instant.parse(s.trim).toEpochMilli).getOrElse(
+        java.sql.Timestamp.valueOf(s.trim.replace('T', ' ')).getTime)
+    }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    val target: Long = version
+      .orElse(tag.map { r =>
+        SnapshotTable.resolveRef(spark, path, r) match {
+          case Some((_, Some(v))) => v
+          case Some((_, None)) => throw new IllegalArgumentException(
+            s"'$r' is a BRANCH of $path — branch heads move; restore to " +
+              "a version or tag instead")
+          case None => throw new IllegalArgumentException(
+            s"no tag or branch '$r' at $path")
+        }
+      })
+      .getOrElse(SnapshotCatalog.versionAsOf(spark, path,
+        tsMillis(timestamp.get)))
+    Seq(Row(SnapshotTable.restore(spark, path, target)))
   }
 }
 

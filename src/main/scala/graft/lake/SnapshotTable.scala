@@ -1441,6 +1441,39 @@ object SnapshotTable {
     1L
   }
 
+  /** ADOPT an existing plain-parquet directory (flat or
+    * hive-partitioned) as a snapshot table IN PLACE, moving and
+    * rewriting nothing — Delta's `CONVERT TO DELTA` / Iceberg's
+    * migrate shape, and at 100 TB the only viable import (a
+    * rewrite-based load would copy the lake). One driver-side
+    * metadata pass: list the parquet files, read footer row counts +
+    * min/max stats for `statsCols` on the bounded pool (hive
+    * partition-dir values become stats for free, so partition-style
+    * pruning works immediately), record the inferred schema, publish
+    * version 1 referencing the files where they sit. From then on the
+    * directory IS the table: `readWhere` prunes through the recorded
+    * stats, appends land under the managed `data/c-*` layout, DML
+    * rewrites only touched files, `compact` migrates data fully into
+    * managed layout, and vacuum reclaims superseded adopted originals
+    * — the standard ownership contract conversion implies (and the
+    * spec pins). The publish itself is the usual v1 CAS: losing it
+    * means something else created the table first. */
+  def adopt(spark: SparkSession, dir: String,
+      statsCols: Seq[String] = Nil): Long = {
+    require(branchOf(dir).isEmpty, "adopt targets a plain directory, not a branch handle")
+    require(latestVersion(spark, dir).isEmpty,
+      s"$dir is already a snapshot table")
+    val schema = spark.read.parquet(dir).schema
+    require(schema.fieldNames.forall(!_.startsWith("__p_")),
+      "column prefix '__p_' is reserved for hidden partition columns")
+    val entries = commitEntries(spark, dir, statsCols)
+    require(entries.nonEmpty, s"no parquet files to adopt under $dir")
+    require(publishManifest(spark, dir, 1L,
+      Manifest(Some(schema), entries, Some("adopt"))),
+      s"concurrent writer created a table at $dir during adopt")
+    1L
+  }
+
   /** INSERT OVERWRITE / truncate-and-load: one commit replacing the
     * ENTIRE live file set with `df`'s rows. Previous versions stay
     * readable (time travel); the table's partition transforms and

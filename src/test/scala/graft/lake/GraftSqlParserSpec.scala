@@ -129,6 +129,35 @@ class GraftSqlParserSpec extends SparkTestBase {
     assert(SnapshotTable.read(s2, path).count() === 10)
   }
 
+  test("RESTORE TABLE ... TO VERSION/TAG/TIMESTAMP AS OF via SQL") {
+    val path = Files.createTempDirectory("graft-psql-rst").toString + "/t"
+    def mk(tag: String) =
+      (0 until 3).map(j => (s"$tag-$j", 1.0 * j)).toDF("id", "v")
+    SnapshotTable.append(mk("a"), path)                              // v1
+    SnapshotTable.append(mk("b"), path)                              // v2
+    SnapshotTable.tag(s2, path, "good", Some(1L))
+    SnapshotTable.append(mk("c"), path)                              // v3
+    SnapshotCatalog.register("psql_rst", path)
+
+    // numeric version: restore is a NEW commit, history intact
+    assert(s2.sql("RESTORE TABLE psql_rst TO VERSION AS OF 2").head().getLong(0) === 4L)
+    assert(SnapshotTable.read(s2, path).count() === 6L)
+    assert(SnapshotTable.read(s2, path, Some(3L)).count() === 9L)
+    // tag target
+    assert(s2.sql("RESTORE psql_rst TO VERSION AS OF 'good'").head().getLong(0) === 5L)
+    assert(SnapshotTable.read(s2, path).count() === 3L)
+    // timestamp target: commit time of v3 → the v3 state
+    val t3 = SnapshotTable.commitTimeOf(s2, path, 3L)
+    assert(s2.sql(s"RESTORE psql_rst TO TIMESTAMP AS OF '$t3'").head().getLong(0) === 6L)
+    assert(SnapshotTable.read(s2, path).count() === 9L)
+    // a branch is not a restore target
+    SnapshotTable.createBranch(s2, path, "wip", None, None)
+    val e = intercept[Exception] {
+      s2.sql("RESTORE psql_rst TO VERSION AS OF 'wip'").collect()
+    }
+    assert(e.getMessage.contains("BRANCH"))
+  }
+
   test("catalog idents resolve; branch from a tag; non-ref SQL delegates") {
     s2.sql("CREATE NAMESPACE IF NOT EXISTS graftp.ns")
     s2.sql("CREATE TABLE graftp.ns.bt (id STRING, v DOUBLE) USING `graft-snapshot`")
