@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *
   * and the Delta-shaped maintenance statements:
   *
-  *   VACUUM t [KEEP n VERSIONS]
+  *   VACUUM t [KEEP n VERSIONS] [DRY RUN]
   *   OPTIMIZE t [FILES n | ZORDER BY (c1, c2)]
   *   RESTORE [TABLE] t TO VERSION AS OF <n | 'tag'>
   *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
@@ -76,6 +76,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotRestoreCommand(idents(t), None, Some(tag), None)
     case RestoreTimestamp(t, ts) =>
       SnapshotRestoreCommand(idents(t), None, None, Some(ts))
+    case VacuumKeepDry(t, n) =>
+      SnapshotVacuumDryRunCommand(idents(t), keepVersions = n.toInt)
+    case VacuumDry(t) =>
+      SnapshotVacuumDryRunCommand(idents(t), keepVersions = 1)
     case VacuumKeep(t, n) =>
       SnapshotMaintenanceCommand(idents(t), "vacuum", keepVersions = n.toInt)
     case Vacuum(t) =>
@@ -153,6 +157,9 @@ private object GraftSqlParser {
     stmt(s"RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+$N")
   private[lake] val RestoreTimestamp =
     stmt(s"RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'")
+  private[lake] val VacuumKeepDry =
+    stmt(s"VACUUM\\s+$T\\s+KEEP\\s+(\\d+)\\s+VERSIONS?\\s+DRY\\s+RUN")
+  private[lake] val VacuumDry = stmt(s"VACUUM\\s+$T\\s+DRY\\s+RUN")
   private[lake] val VacuumKeep =
     stmt(s"VACUUM\\s+$T\\s+KEEP\\s+(\\d+)\\s+VERSIONS?")
   private[lake] val Vacuum = stmt(s"VACUUM\\s+$T")
@@ -284,6 +291,27 @@ case class SnapshotRestoreCommand(ident: Seq[String], version: Option[Long],
       .getOrElse(SnapshotCatalog.versionAsOf(spark, path,
         tsMillis(timestamp.get)))
     Seq(Row(SnapshotTable.restore(spark, path, target)))
+  }
+}
+
+/** `VACUUM t [KEEP n VERSIONS] DRY RUN` (Delta's dry run): one row
+  * per thing the real vacuum would reclaim — expired versions, data
+  * files, DV files — deleting nothing. */
+case class SnapshotVacuumDryRunCommand(ident: Seq[String],
+    keepVersions: Int) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("kind", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("item", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    val (expired, dead, deadDv) =
+      SnapshotTable.vacuumDryRun(spark, path, keepVersions = keepVersions)
+    expired.map(v => Row("version", s"v$v")) ++
+      dead.map(Row("data_file", _)) ++ deadDv.map(Row("dv_file", _))
   }
 }
 

@@ -4152,28 +4152,14 @@ object SnapshotTable {
     * with no progress yet protects the whole history, so a
     * provisioned-but-never-run consumer cannot silently lose its
     * bootstrap. */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
-      minAgeMs: Long = 0L, protectConsumers: Seq[String] = Nil): Unit = {
-    require(keepVersions >= 1, "must keep at least one version")
+  /** Shared retention planning for [[vacuum]] and [[vacuumDryRun]]:
+    * (expired versions, kept versions, data files to delete, DV files
+    * to delete) under the same pinning rules — tags, cross-ref shared
+    * files, consumer floors, min age (sidecar-aware). Read-only. */
+  private def vacuumPlan(spark: SparkSession, path: String,
+      keepVersions: Int, minAgeMs: Long, protectConsumers: Seq[String])
+      : (Seq[Long], Seq[Long], Set[String], Set[String]) = {
     val f = fs(spark, path)
-    // Complete any crashed checkpoint swap from a previous vacuum on
-    // a non-atomic-rename store (see the materialization loop below):
-    // a `v<k>.ckpt` sidecar with `v<k>` missing is the staged
-    // replacement — rename it into place; a sidecar beside an intact
-    // `v<k>` is a pre-delete leftover (same logical content) — drop
-    // it so this run's loop re-materializes from a clean slate.
-    if (f.exists(new Path(logDir(path))))
-      f.listStatus(new Path(logDir(path))).map(_.getPath).foreach { pth =>
-        pth.getName match {
-          case versionCkptName(n) =>
-            val vp = new Path(s"${logDir(path)}/v$n")
-            if (!f.exists(vp)) {
-              require(f.rename(pth, vp), s"vacuum: cannot repair $vp from $pth")
-              clearManifestCacheFor(path, n.toLong)
-            } else f.delete(pth, false)
-          case _ => ()
-        }
-      }
     val all = versions(spark, path)
     val cutoff = System.currentTimeMillis() - minAgeMs
     val floor: Long = protectConsumers
@@ -4213,7 +4199,6 @@ object SnapshotTable {
           versionFileStatus(f, path, v)._2.getModificationTime <= cutoff)
     }
     val kept = young ++ kept0
-    if (expired.isEmpty) return
     val keptEntries = kept.flatMap(v =>
       candEntries.getOrElse(v, readManifest(spark, path, v))) ++ refEntries
     val expiredEntries = expired.flatMap(candEntries)
@@ -4225,10 +4210,51 @@ object SnapshotTable {
       new Path(p).toUri.getPath.startsWith(new Path(table).toUri.getPath + "/")
     val dead = (expiredEntries.map(_.filePath).toSet --
       keptEntries.map(_.filePath).toSet).filter(owned)
-    dead.foreach(p => f.delete(new Path(p), false))
     // deletion-vector files referenced only by expired versions go too
     val deadDv = (expiredEntries.flatMap(_.dv.map(_._1)).toSet --
       keptEntries.flatMap(_.dv.map(_._1)).toSet).filter(owned)
+    (expired, kept, dead, deadDv)
+  }
+
+  /** What [[vacuum]] WOULD reclaim, deleting nothing (Delta's
+    * `VACUUM ... DRY RUN`): (expired versions, data files, DV files)
+    * under exactly the same pinning rules — the operator's
+    * look-before-you-leap for a destructive retention run. */
+  def vacuumDryRun(spark: SparkSession, path: String, keepVersions: Int = 1,
+      minAgeMs: Long = 0L, protectConsumers: Seq[String] = Nil)
+      : (Seq[Long], Seq[String], Seq[String]) = {
+    require(keepVersions >= 1, "must keep at least one version")
+    val (expired, _, dead, deadDv) =
+      vacuumPlan(spark, path, keepVersions, minAgeMs, protectConsumers)
+    (expired, dead.toSeq.sorted, deadDv.toSeq.sorted)
+  }
+
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+      minAgeMs: Long = 0L, protectConsumers: Seq[String] = Nil): Unit = {
+    require(keepVersions >= 1, "must keep at least one version")
+    val f = fs(spark, path)
+    // Complete any crashed checkpoint swap from a previous vacuum on
+    // a non-atomic-rename store (see the materialization loop below):
+    // a `v<k>.ckpt` sidecar with `v<k>` missing is the staged
+    // replacement — rename it into place; a sidecar beside an intact
+    // `v<k>` is a pre-delete leftover (same logical content) — drop
+    // it so this run's loop re-materializes from a clean slate.
+    if (f.exists(new Path(logDir(path))))
+      f.listStatus(new Path(logDir(path))).map(_.getPath).foreach { pth =>
+        pth.getName match {
+          case versionCkptName(n) =>
+            val vp = new Path(s"${logDir(path)}/v$n")
+            if (!f.exists(vp)) {
+              require(f.rename(pth, vp), s"vacuum: cannot repair $vp from $pth")
+              clearManifestCacheFor(path, n.toLong)
+            } else f.delete(pth, false)
+          case _ => ()
+        }
+      }
+    val (expired, kept, dead, deadDv) =
+      vacuumPlan(spark, path, keepVersions, minAgeMs, protectConsumers)
+    if (expired.isEmpty) return
+    dead.foreach(p => f.delete(new Path(p), false))
     deadDv.foreach(p => f.delete(new Path(p), false))
     // Incremental-log invariant: a surviving DELTA manifest must not
     // lose its replay base. Any kept version whose predecessor is

@@ -129,6 +129,31 @@ class GraftSqlParserSpec extends SparkTestBase {
     assert(SnapshotTable.read(s2, path).count() === 10)
   }
 
+  test("VACUUM ... DRY RUN lists exactly what the real vacuum then reclaims, deleting nothing") {
+    val path = Files.createTempDirectory("graft-psql-dry").toString + "/t"
+    def mk(tag: String) = (0 until 3).map(j => (s"$tag-$j", 1.0 * j)).toDF("id", "v")
+    SnapshotTable.append(mk("a").coalesce(1), path)                  // v1
+    SnapshotTable.overwrite(mk("b").coalesce(1), path)               // v2: v1's file dead
+    SnapshotTable.append(mk("c").coalesce(1), path)                  // v3
+    SnapshotCatalog.register("psql_dry", path)
+
+    val plan = s2.sql("VACUUM psql_dry KEEP 1 VERSIONS DRY RUN").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(plan.collect { case ("version", v) => v }.toSeq === Seq("v1", "v2"))
+    val plannedDead = plan.collect { case ("data_file", p) => p }.toSet
+    assert(plannedDead.size === 1, s"only v1's overwritten file is dead: $plan")
+    // nothing was deleted
+    val f = SnapshotTable.fs(s2, path)
+    assert(plannedDead.forall(p => f.exists(new org.apache.hadoop.fs.Path(p))))
+    assert(SnapshotTable.versions(s2, path) === Seq(1L, 2L, 3L))
+    // the real vacuum then does exactly the plan
+    assert(s2.sql("VACUUM psql_dry KEEP 1 VERSIONS").head().getLong(0) === 3L)
+    assert(plannedDead.forall(p => !f.exists(new org.apache.hadoop.fs.Path(p))))
+    assert(SnapshotTable.versions(s2, path) === Seq(3L))
+    // a dry run over a clean table plans nothing
+    assert(s2.sql("VACUUM psql_dry DRY RUN").collect().isEmpty)
+  }
+
   test("RESTORE TABLE ... TO VERSION/TAG/TIMESTAMP AS OF via SQL") {
     val path = Files.createTempDirectory("graft-psql-rst").toString + "/t"
     def mk(tag: String) =
