@@ -11,6 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   SELECT * FROM table_changes('fact', 2, 5)   -- (v2, v5] deltas
   *   SELECT * FROM table_changes('fact', 2)      -- v2 → latest
+  *   SELECT * FROM table_changes('fact', '2026-01-01 00:00:00', ...)
+  *     -- TIMESTAMP bounds (Delta's form): start = changes committed
+  *     -- AT OR AFTER the timestamp, end = last commit at or before
+  *     -- it; numbers and timestamps mix freely per argument
   *
   * The TVF expands at resolution time into the same logical plan
   * [[SnapshotTable.changes]] builds (manifest-diff-scoped IO, DV
@@ -20,7 +24,7 @@ object TableFunctions {
 
   def tableChanges(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 2 || exprs.length == 3,
-      "table_changes(table_name, from_version[, to_version])")
+      "table_changes(table_name, from_version_or_ts[, to_version_or_ts])")
     def constOf(e: Expression, what: String): Any = {
       require(e.foldable, s"table_changes: $what must be a constant")
       e.eval()
@@ -30,21 +34,45 @@ object TableFunctions {
       case other => throw new IllegalArgumentException(
         s"table_changes: table_name must be a string, got $other")
     }
-    def longOf(e: Expression, what: String): Long = constOf(e, what) match {
-      case n: java.lang.Number => n.longValue()
-      case other => throw new IllegalArgumentException(
-        s"table_changes: $what must be an integer, got $other")
-    }
     val spark = SparkSession.active
     val path = SnapshotCatalog.pathOf(name).getOrElse(
       throw new IllegalArgumentException(
         s"table_changes: unknown snapshot table '$name' — register it " +
           "via SnapshotCatalog.register or CREATE TABLE ... USING graft-snapshot"))
-    val from = longOf(exprs(1), "from_version")
+    def latest: Long = SnapshotTable.latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    // a timestamp bound resolves through commit times; which edge it
+    // snaps to depends on the argument position (see the class doc)
+    def tsOf(e: Expression, v: Any): Option[Long] = e.dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        Some(v.asInstanceOf[Long] / 1000L)
+      case _ => v match {
+        case s: UTF8String if s.toString.exists(!_.isDigit) =>
+          Some(graft.sources.StartingTimestamp.millis(s.toString))
+        case _ => None
+      }
+    }
+    def boundOf(e: Expression, what: String, start: Boolean): Long = {
+      val v = constOf(e, what)
+      tsOf(e, v) match {
+        case Some(ms) =>
+          if (start)
+            // exclusive from = (first version at/after ts) - 1
+            SnapshotTable.firstVersionAtOrAfter(spark, path, ms)
+              .getOrElse(latest + 1) - 1
+          else SnapshotCatalog.versionAsOf(spark, path, ms)
+        case None => v match {
+          case n: java.lang.Number => n.longValue()
+          case s: UTF8String => s.toString.toLong
+          case other => throw new IllegalArgumentException(
+            s"table_changes: $what must be a version number or timestamp, got $other")
+        }
+      }
+    }
+    val from = boundOf(exprs(1), "from_version", start = true)
     val to =
-      if (exprs.length == 3) longOf(exprs(2), "to_version")
-      else SnapshotTable.latestVersion(spark, path).getOrElse(
-        throw new IllegalArgumentException(s"no committed version at $path"))
+      if (exprs.length == 3) boundOf(exprs(2), "to_version", start = false)
+      else latest
     SnapshotTable.changes(spark, path, from, to).queryExecution.analyzed
   }
 }

@@ -119,7 +119,7 @@ class SnapshotChangesSource extends StreamSourceProvider with DataSourceRegister
   * or `yyyy-MM-dd HH:mm:ss[.fff]`; resolves against version-file
   * commit times at query start — a timestamp past the newest commit
   * starts an empty stream that tails future commits. */
-private[sources] object StartingTimestamp {
+private[graft] object StartingTimestamp {
   def millis(s: String): Long =
     s.trim.toLongOption.getOrElse {
       scala.util.Try(java.time.Instant.parse(s.trim).toEpochMilli).getOrElse(

@@ -424,8 +424,12 @@ class GraftExtensionsSpec extends SparkTestBase {
         .getOrCreate()
       import s2.implicits._
       val path = java.nio.file.Files.createTempDirectory("graft-tvf").toString + "/t"
+      // distinct commit mtimes so the timestamp-bound case below is
+      // deterministic at millisecond clock granularity
       graft.lake.SnapshotTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), path)
+      Thread.sleep(60)
       graft.lake.SnapshotTable.append(Seq((3L, "c")).toDF("k", "s"), path)
+      Thread.sleep(60)
       graft.lake.SnapshotTable.delete(s2, path,
         org.apache.spark.sql.functions.col("k") === 1L)
       graft.lake.SnapshotCatalog.register("snap_tvf", path)
@@ -450,6 +454,17 @@ class GraftExtensionsSpec extends SparkTestBase {
         val err = intercept[Exception](
           s2.sql("SELECT * FROM table_changes('nope', 0)").collect())
         assert(err.getMessage.contains("nope"))
+        // TIMESTAMP bounds (Delta's form): start at-or-after v2's
+        // commit time, end at-or-before v3's → exactly (v1, v3]
+        val t2 = graft.lake.SnapshotTable.commitTimeOf(s2, path, 2L)
+        val t3 = graft.lake.SnapshotTable.commitTimeOf(s2, path, 3L)
+        def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+        val tsForm = s2.sql(
+          s"SELECT k, _change_type, _commit_version FROM table_changes(" +
+            s"'snap_tvf', '${iso(t2 - 1)}', '${iso(t3)}') " +
+            "ORDER BY _commit_version, k")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        assert(tsForm === viaSql, "timestamp bounds must match version bounds")
       } finally graft.lake.SnapshotCatalog.unregister("snap_tvf")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
