@@ -76,7 +76,12 @@ class SnapshotChangesSource extends StreamSourceProvider with DataSourceRegister
       s"no committed version at $path — the change feed needs an existing table")
     val s = SnapshotTable.schemaOf(spark, path)
       .getOrElse(SnapshotTable.read(spark, path).schema)
-    StructType(s.fields.filterNot(_.name.startsWith("__p_")) :+
+    // data fields forced NULLABLE like the batch read (a version's
+    // rows may predate a column — the schema-evolution NULL must not
+    // zero-fill under a non-nullable declared field); the two feed
+    // metadata columns are always present
+    StructType(s.fields.filterNot(_.name.startsWith("__p_"))
+      .map(_.copy(nullable = true)) :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false))
   }
@@ -191,44 +196,17 @@ private class SnapshotChangesStreamingSource(spark: SparkSession, path: String,
 
   override def reportLatestOffset(): OffsetV2 = SnapshotChangesOffset(latest)
 
-  /** (logical, physical, type) of every data column at a version. */
-  private def fieldsAt(v: Long): Seq[(String, String, DataType)] = {
-    val cm = SnapshotTable.columnMappingAt(spark, path, v)
-    SnapshotTable.schemaOf(spark, path, Some(v))
-      .getOrElse(throw new IllegalStateException(
-        s"version $v of $path records no schema"))
-      .fields.filterNot(_.name.startsWith("__p_")).toSeq
-      .map(f => (f.name, cm.getOrElse(f.name, f.name), f.dataType))
-  }
-
   /** A schema change AFTER the capture fails the query loudly — the
     * restart-to-adopt contract (Delta's CDF streaming behavior), and
     * the guarantee that no rename can ever surface as silent NULLs
-    * here the way the round-11 raw-source hole did. Only versions
-    * past the capture are checked: pre-capture eras are legitimately
-    * different and the namesAsOf translation serves them. */
-  private def requireSchemaStable(to: Long): Unit = {
-    if (to <= capturedVersion) return
-    val now = fieldsAt(to)
-    val byPhys = now.map { case (l, p, t) => p -> ((l, t)) }.toMap
-    srcSchema.fields.filterNot(f =>
-        f.name == "_change_type" || f.name == "_commit_version").foreach { f =>
-      val p = capturedColmap.getOrElse(f.name, f.name)
-      byPhys.get(p) match {
-        case None => throw new IllegalStateException(
-          s"column '${f.name}' of $path was DROPPED during the stream " +
-            s"(by version $to) — restart the query to adopt the new schema")
-        case Some((l, _)) if l != f.name => throw new IllegalStateException(
-          s"column '${f.name}' of $path was RENAMED to '$l' during the stream " +
-            s"(by version $to) — restart the query to adopt the new schema")
-        case Some((_, t)) if t != f.dataType => throw new IllegalStateException(
-          s"column '${f.name}' of $path changed type ${f.dataType.simpleString} → " +
-            s"${t.simpleString} during the stream (by version $to) — restart " +
-            "the query to adopt the widened schema")
-        case _ => ()
-      }
-    }
-  }
+    * here the way the round-11 raw-source hole did. The check itself
+    * is [[SchemaStability.requireStable]], shared with the raw
+    * `graft-snapshot` source so both fail the identical DDL events
+    * with the identical message. */
+  private def requireSchemaStable(to: Long): Unit =
+    SchemaStability.requireStable(spark, path, capturedVersion,
+      capturedColmap, srcSchema.fields.toSeq.filterNot(f =>
+        f.name == "_change_type" || f.name == "_commit_version"), to)
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(o => ver(o)).getOrElse(startingVersion - 1)

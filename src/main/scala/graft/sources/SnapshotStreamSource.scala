@@ -71,6 +71,15 @@ import graft.lake.SnapshotTable
   * field genuinely predates the column — the true schema-evolution
   * NULL, now distinguishable from a renamed column's data.
   *
+  * SCHEMA CHANGES AFTER the capture (drop, drop+re-add, rename, type
+  * widening) fail the first batch that crosses them LOUDLY with a
+  * restart-to-adopt message — [[SchemaStability.requireStable]],
+  * shared with `graft-changes`, checked against each batch's end
+  * version before any read is planned. A restarted query re-captures
+  * and replays the same offset ranges exactly-once under the new
+  * schema; columns added after the capture stay invisible until a
+  * restart (Delta's semantics).
+  *
   * Reader notes: TWO decode paths share the partition-value logic.
   * Small commit-sized batches use parquet-hadoop's Group API (simple,
   * per-row); batches at bootstrap scale route through Spark's
@@ -103,8 +112,13 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
     val s = SnapshotTable.schemaOf(spark, path)
       .getOrElse(SnapshotTable.read(spark, path).schema)
     // hidden partition columns (any era) are layout, not data — the
-    // stream exposes the same user schema as the batch read
-    StructType(s.fields.filterNot(_.name.startsWith("__p_")))
+    // stream exposes the same user schema as the batch read; fields
+    // are forced NULLABLE exactly like Spark's file sources (and the
+    // batch read): a file predating a column null-fills it, and a
+    // non-nullable field would silently zero-fill that NULL when the
+    // row deserializes (Row over a non-nullable double reads 0.0)
+    StructType(s.fields.filterNot(_.name.startsWith("__p_"))
+      .map(_.copy(nullable = true)))
   }
 
   override def getTable(
@@ -125,8 +139,15 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
         "spark.readStream.format(\"graft-changes\").load(tablePath)")
     // logical→physical mapping captured at the same moment the schema
     // was resolved (query start / restart) — see the class doc for why
-    // one capture is correct for every file the stream will read
-    val colmap = SnapshotTable.columnMapping(SparkSession.active, pathOf(opts))
+    // one capture is correct for every file the stream will read; the
+    // capture VERSION anchors the post-capture stability guard
+    // ([[SchemaStability]]) every batch end is checked against
+    val capturedVersion =
+      SnapshotTable.latestVersion(SparkSession.active, pathOf(opts)).getOrElse(0L)
+    val colmap = capturedVersion match {
+      case 0L => Map.empty[String, String]
+      case v  => SnapshotTable.columnMappingAt(SparkSession.active, pathOf(opts), v)
+    }
     // startingTimestamp (Delta's option): resolved to the first
     // version committed at or after it, ONCE at query start
     val ts = Option(opts.get("startingtimestamp"))
@@ -135,7 +156,8 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
     val startV = ts
       .map(StartingTimestamp.resolve(SparkSession.active, pathOf(opts), _))
       .orElse(Option(opts.get("startingversion")).map(_.toLong)).getOrElse(0L)
-    new SnapshotStreamTable(pathOf(opts), schema, colmap, SnapshotStreamOptions(
+    new SnapshotStreamTable(pathOf(opts), schema, colmap, capturedVersion,
+      SnapshotStreamOptions(
       startV,
       opts.getBoolean("ignorechanges", false),
       Option(opts.get("maxversionspertrigger")).map(_.toLong),
@@ -151,7 +173,7 @@ private case class SnapshotStreamOptions(startingVersion: Long,
     maxBytesPerPartition: Long)
 
 private class SnapshotStreamTable(path: String, tableSchema: StructType,
-    colmap: Map[String, String],
+    colmap: Map[String, String], capturedVersion: Long,
     opts: SnapshotStreamOptions) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -172,7 +194,7 @@ private class SnapshotStreamTable(path: String, tableSchema: StructType,
       }
       override def description(): String = s"SnapshotStream $path"
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new SnapshotMicroBatchStream(path, tableSchema, colmap, opts)
+        new SnapshotMicroBatchStream(path, tableSchema, colmap, capturedVersion, opts)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -193,7 +215,8 @@ private case class SnapshotVersionOffset(version: Long) extends Offset {
 }
 
 private class SnapshotMicroBatchStream(path: String, schema: StructType,
-    colmap: Map[String, String], opts: SnapshotStreamOptions)
+    colmap: Map[String, String], capturedVersion: Long,
+    opts: SnapshotStreamOptions)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -247,6 +270,13 @@ private class SnapshotMicroBatchStream(path: String, schema: StructType,
     val s = start.asInstanceOf[SnapshotVersionOffset].version
     val e = end.asInstanceOf[SnapshotVersionOffset].version
     if (e <= s) return Array.empty
+    // a batch crossing a POST-capture schema change must fail BEFORE
+    // planning any read: the stale capture would silently null-fill a
+    // drop+re-add, serve a rename under the old logical name, or
+    // crash the decoder on a widen — same guard, same message as the
+    // change-feed source (restart-to-adopt; see [[SchemaStability]])
+    SchemaStability.requireStable(spark, path, capturedVersion, colmap,
+      schema.fields.toSeq, e)
     // one manifest read per version in the range (the file set carries
     // forward), with the append-only verification riding the same pass
     val (_, added, dvChanged) =

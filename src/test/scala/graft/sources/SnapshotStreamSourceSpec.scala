@@ -283,6 +283,123 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(all.map(_.getDouble(1)) === Seq(1.0, 2.0, 3.0))
   }
 
+  // ---- post-capture schema-stability guard (shared SchemaStability) ----
+  // A long-running query holds the schema + colmap captured at load();
+  // these tests pin that capture BEFORE the DDL by constructing the
+  // MicroBatchStream directly (what a live query holds), then assert
+  // the batch crossing the DDL fails loudly and a RESTART (fresh
+  // load = fresh capture, same checkpoint) replays exactly-once.
+
+  private def staleStream(path: String): SnapshotMicroBatchStream = {
+    val v = SnapshotTable.latestVersion(spark, path).get
+    val schema = org.apache.spark.sql.types.StructType(
+      SnapshotTable.schemaOf(spark, path).get.fields
+        .filterNot(_.name.startsWith("__p_")))
+    new SnapshotMicroBatchStream(path, schema,
+      SnapshotTable.columnMappingAt(spark, path, v), v,
+      SnapshotStreamOptions(0L, ignoreChanges = false, None, "auto",
+        16L << 20, 128L << 20))
+  }
+
+  test("mid-stream DROP + re-ADD fails loudly (no silent null-fill); " +
+      "restart on the same checkpoint replays exactly-once under the new capture") {
+    val base = Files.createTempDirectory("graft-stream-dropread").toString
+    val (path, ckpt) = (s"$base/t", s"$base/ckpt")
+    SnapshotTable.append(Seq((1L, 10.0)).toDF("k", "v"), path)       // v1
+    assert(drain(path, ckpt).map(_.getLong(0)) === Seq(1L))          // consumed v1
+    val live = staleStream(path)                                     // capture @ v1
+    SnapshotTable.dropColumn(spark, path, "v")                       // v2
+    // re-add via the append path mints a FRESH physical name the
+    // stale capture cannot see — without the guard these real values
+    // would stream as NULL, silently
+    SnapshotTable.append(Seq((2L, 99.0)).toDF("k", "v"), path)       // v3
+    val e = intercept[IllegalStateException] {
+      live.planInputPartitions(SnapshotVersionOffset(1L), SnapshotVersionOffset(3L))
+    }
+    assert(e.getMessage.contains("DROPPED") &&
+      e.getMessage.contains("restart the query"))
+    // restart (fresh capture, SAME checkpoint): only v2..v3 replay,
+    // and the re-added column streams its VALUE, not a null-fill
+    val got = drain(path, ckpt)
+    assert(got.map(_.getLong(0)) === Seq(2L))
+    assert(got.head.getDouble(got.head.fieldIndex("v")) === 99.0)
+    // a fresh bootstrap serves the old row NULL (dropped bytes never
+    // resurface under the re-added name) and the new row its value
+    val all = drain(path, s"$base/ckpt2").sortBy(_.getLong(0))
+    assert(all.head.isNullAt(all.head.fieldIndex("v")))
+    assert(all(1).getDouble(all(1).fieldIndex("v")) === 99.0)
+  }
+
+  test("mid-stream RENAME fails loudly instead of serving the stale logical name") {
+    val base = Files.createTempDirectory("graft-stream-midrn").toString
+    val path = s"$base/t"
+    SnapshotTable.append(Seq((1L, 10.0)).toDF("k", "v"), path)       // v1
+    val live = staleStream(path)                                     // capture @ v1
+    SnapshotTable.renameColumn(spark, path, "v", "value")            // v2
+    SnapshotTable.append(Seq((2L, 20.0)).toDF("k", "value"), path)   // v3
+    val e = intercept[IllegalStateException] {
+      live.planInputPartitions(SnapshotVersionOffset(0L), SnapshotVersionOffset(3L))
+    }
+    assert(e.getMessage.contains("RENAMED") && e.getMessage.contains("value"))
+    // restart: whole history under the new name, values intact
+    val got = drain(path, s"$base/ckpt").sortBy(_.getLong(0))
+    assert(got.head.schema.fieldNames.toSeq === Seq("k", "value"))
+    assert(got.map(_.getDouble(1)) === Seq(10.0, 20.0))
+  }
+
+  test("mid-stream type WIDENING fails loudly instead of a decoder ClassCastException") {
+    val base = Files.createTempDirectory("graft-stream-midwd").toString
+    val path = s"$base/t"
+    SnapshotTable.append(Seq((1L, 10)).toDF("k", "n"), path)         // v1: INT era
+    val live = staleStream(path)                                     // capture @ v1
+    SnapshotTable.widenColumnType(spark, path, "n",
+      org.apache.spark.sql.types.LongType)                           // v2
+    SnapshotTable.append(Seq((2L, 20L)).toDF("k", "n"), path)        // v3: LONG era
+    val e = intercept[IllegalStateException] {
+      live.planInputPartitions(SnapshotVersionOffset(0L), SnapshotVersionOffset(3L))
+    }
+    assert(e.getMessage.contains("changed type") &&
+      e.getMessage.contains("int") && e.getMessage.contains("bigint"))
+    // restart serves both eras wide
+    val got = drain(path, s"$base/ckpt").sortBy(_.getLong(0))
+    assert(got.map(_.getLong(1)) === Seq(10L, 20L))
+  }
+
+  test("a LIVE continuous query crossing a post-capture rename fails " +
+      "through the engine with the restart-to-adopt error") {
+    val base = Files.createTempDirectory("graft-stream-live").toString
+    val (path, ckpt) = (s"$base/t", s"$base/ckpt")
+    SnapshotTable.append(Seq((1L, 10.0)).toDF("k", "v"), path)       // v1
+    val buf = scala.collection.mutable.ArrayBuffer[Row]()
+    val q = spark.readStream.format("graft-snapshot").load(path)     // capture @ v1
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        buf.synchronized { buf ++= df.collect() }
+        ()
+      }
+      .start()
+    // wait for the capture-era batch, then change the schema under it
+    val deadline = System.currentTimeMillis() + 30000
+    while (buf.synchronized(buf.isEmpty) && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(buf.synchronized(buf.nonEmpty), "first batch never arrived")
+    SnapshotTable.renameColumn(spark, path, "v", "value")            // v2
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(30000)
+      q.awaitTermination() // if the 30s poll elapsed without failure
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("RENAMED") &&
+      m.contains("restart the query")))
+    // the restarted query (fresh load) resumes under the new name
+    val got = drain(path, ckpt)
+    assert(got.isEmpty || got.forall(
+      _.schema.fieldNames.toSeq === Seq("k", "value")))
+  }
+
   test("DV commits: default refuses; ignoreChanges re-emits only the still-live rows") {
     val base = Files.createTempDirectory("graft-stream-dv").toString
     val path = s"$base/t"
