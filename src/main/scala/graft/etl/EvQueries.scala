@@ -2017,6 +2017,97 @@ object EvQueries {
        |  true AS files_unmoved, true AS partition_pruned
        |FROM gold ORDER BY sessionId, kwhTotal""".stripMargin
 
+  /** DESCRIBE DETAIL (ev gate): the gold slice lands in a snapshot
+    * table partitioned by platform (coalesced — one file per platform
+    * value), gets renamed (minting the column-mapping reader feature)
+    * and constrained, and the SQL statement's single row must carry
+    * the manifest-derived facts the oracle recomputes from the CSV:
+    * numFiles = distinct platforms, numRows = gold rows, the
+    * partition column, the feature list, a positive byte size. */
+  def describeDetailGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft-dd-gate")
+      .toString + "/fact"
+    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    val gold = good(spark)
+      .select(col("sessionId"), col("platform"), col("kwhTotal"))
+    SnapshotTable.append(gold.coalesce(1), t, Seq("platform"))           // v1
+    SnapshotTable.renameColumn(spark, t, "kwhTotal", "kwh")              // v2
+    SnapshotTable.addCheckConstraint(spark, t, "kwh_nonneg", "kwh >= 0") // v3
+    SnapshotCatalog.register("ev37_dd", t)
+    try {
+      spark.sql("DESCRIBE DETAIL ev37_dd").select(
+        col("format"),
+        col("version"),
+        col("numFiles").as("num_files"),
+        concat_ws(",", col("partitionColumns")).as("partition_columns"),
+        concat_ws(",", col("readerFeatures")).as("reader_features"),
+        col("numRows").as("num_rows"),
+        (col("sizeInBytes") > 0L).as("has_size"))
+    } finally SnapshotCatalog.unregister("ev37_dd")
+  }
+
+  private val describeDetailSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, platform, kwhTotal FROM marked WHERE NOT is_bad
+       |)
+       |SELECT 'graft-snapshot' AS format, CAST(3 AS BIGINT) AS version,
+       |  CAST(count(DISTINCT platform) AS BIGINT) AS num_files,
+       |  'platform' AS partition_columns,
+       |  'column-mapping' AS reader_features,
+       |  CAST(count(*) AS BIGINT) AS num_rows,
+       |  true AS has_size
+       |FROM gold""".stripMargin
+
+  /** ADOPT × LATER SCHEMA LIFECYCLE (ev gate) — the migration story a
+    * real user lives: plain hive-partitioned parquet written by
+    * Spark's own writer is adopted in place, then the ADOPTED
+    * ORIGINALS go through the whole DDL alphabet — rename
+    * (column-mapping over files that store pre-mapping names), type
+    * widening (metadata-only over int-era files), a deletion-vector
+    * delete (no rewrite of the originals), and compaction (which must
+    * rewrite under the mapping, materialize the widened type, and
+    * drop the DV'd rows). Contracts: `dv_no_rewrite` pins that the DV
+    * delete left the adopted file set untouched, `compacted` that
+    * compaction collapsed it; the row content must hash-match the
+    * oracle recomputing (gold minus the deleted slice) from the CSV
+    * under the renamed/widened schema. */
+  def adoptLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft-adopt-life")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    val gold = good(spark).select(col("sessionId"), col("platform"),
+      col("kwhTotal"), col("managerVehicle"))
+    gold.coalesce(1).write.partitionBy("platform").parquet(t) // plain parquet
+    SnapshotTable.adopt(spark, t, statsCols = Seq("sessionId"))          // v1
+    val adopted = SnapshotTable.liveFiles(spark, t).toSet
+    SnapshotTable.renameColumn(spark, t, "kwhTotal", "kwh")              // v2
+    SnapshotTable.widenColumnType(spark, t, "managerVehicle",
+      org.apache.spark.sql.types.LongType)                               // v3
+    SnapshotTable.deleteWithVectors(spark, t, col("kwh") < 5.0)          // v4
+    val dvNoRewrite = SnapshotTable.liveFiles(spark, t).toSet == adopted
+    SnapshotTable.compact(spark, t, numFiles = 1)                        // v5
+    val compacted = SnapshotTable.liveFiles(spark, t).toSet != adopted
+    SnapshotTable.read(spark, t)
+      .select(col("sessionId"), col("platform"),
+        round(col("kwh"), 2).as("kwh"), col("managerVehicle"))
+      .withColumn("dv_no_rewrite", lit(dvNoRewrite))
+      .withColumn("compacted", lit(compacted))
+      .orderBy("sessionId", "kwh")
+  }
+
+  private val adoptLifecycleSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, platform, kwhTotal, managerVehicle
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, platform, round(kwhTotal, 2) AS kwh,
+       |  CAST(managerVehicle AS BIGINT) AS managerVehicle,
+       |  true AS dv_no_rewrite, true AS compacted
+       |FROM gold WHERE kwhTotal >= 5.0
+       |ORDER BY sessionId, kwh""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -2057,5 +2148,7 @@ object EvQueries {
     QDef("ev34_stream_change_feed", streamChangeFeed, Some(streamChangeFeedSql)),
     QDef("ev35_column_defaults", columnDefaults, Some(columnDefaultsSql)),
     QDef("ev36_adopt_in_place", adoptInPlace, Some(adoptInPlaceSql)),
+    QDef("ev37_describe_detail", describeDetailGate, Some(describeDetailSql)),
+    QDef("ev38_adopt_lifecycle", adoptLifecycle, Some(adoptLifecycleSql)),
   )
 }

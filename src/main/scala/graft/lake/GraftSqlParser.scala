@@ -93,6 +93,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotMaintenanceCommand(idents(t), "optimize")
     case ShowBranches(t) => SnapshotShowRefsCommand(idents(t), "branches")
     case ShowTags(t)     => SnapshotShowRefsCommand(idents(t), "tags")
+    case DescribeDetail(t) => SnapshotDescribeDetailCommand(idents(t))
     case ReplacePartitionSpec(t, specs) =>
       SnapshotEvolveSpecCommand(idents(t), GraftSqlParser.splitSpecs(specs))
     case ShowPartitionSpec(t) => SnapshotShowSpecCommand(idents(t))
@@ -168,6 +169,8 @@ private object GraftSqlParser {
   private[lake] val OptimizeFiles =
     stmt(s"OPTIMIZE\\s+$T\\s+FILES\\s+(\\d+)")
   private[lake] val Optimize = stmt(s"OPTIMIZE\\s+$T")
+  private[lake] val DescribeDetail =
+    stmt(s"DESC(?:RIBE)?\\s+DETAIL\\s+$T")
   private[lake] val ShowBranches = stmt(s"SHOW\\s+BRANCHES\\s+(?:IN\\s+|FROM\\s+)?$T")
   private[lake] val ShowTags = stmt(s"SHOW\\s+TAGS\\s+(?:IN\\s+|FROM\\s+)?$T")
   private[lake] val ShowConstraints =
@@ -338,6 +341,40 @@ case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
       case other => throw new IllegalStateException(s"unknown maintenance op: $other")
     }
     Seq(Row(v))
+  }
+}
+
+/** `DESCRIBE DETAIL t` (Delta's statement): the one-row table detail
+  * of [[SnapshotTable.describeDetail]] — format, location, version,
+  * created/modified times, partition columns, numFiles, sizeInBytes,
+  * numRows, properties, reader features — entirely from the cached
+  * manifest (file sizes stat'ed tiered: driver below 64 files,
+  * distributed above). */
+case class SnapshotDescribeDetailCommand(ident: Seq[String])
+    extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.types.{ArrayType, MapType, TimestampType}
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("createdAt", TimestampType, nullable = false)(),
+    AttributeReference("lastModified", TimestampType, nullable = false)(),
+    AttributeReference("partitionColumns",
+      ArrayType(StringType, containsNull = false), nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("sizeInBytes", LongType, nullable = false)(),
+    AttributeReference("numRows", LongType, nullable = true)(),
+    AttributeReference("properties",
+      MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false)(),
+    AttributeReference("readerFeatures",
+      ArrayType(StringType, containsNull = false), nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    SnapshotTable.describeDetail(spark, path).collect().toSeq
   }
 }
 

@@ -2784,6 +2784,84 @@ object SnapshotTable {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** One-row table detail (Delta's `DESCRIBE DETAIL` shape — format,
+    * location, version, created/modified times, partition columns,
+    * file count/bytes, live rows, properties, reader features),
+    * entirely from the cached manifest header plus version-file
+    * metadata. No data-file footer is opened; only file SIZES are
+    * stat'ed, tiered exactly like the DV reader (driver-side below 64
+    * files, distributed above), so the statement stays metadata-cheap
+    * at 100 TB. Partition columns report the CURRENT spec: hidden
+    * transforms as their spec text (`days(ts)`), identity hive keys
+    * by name. Row count is the manifest's footer-count sum net of
+    * deletion vectors (null if any entry predates row counting). */
+  def describeDetail(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.types._
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed version at $path")
+    val v = vs.last
+    val m = readManifestFull(spark, path, v)
+    val f = fs(spark, path)
+    val createdAt = new java.sql.Timestamp(
+      versionFileStatus(f, path, vs.head)._2.getModificationTime)
+    val lastModified = new java.sql.Timestamp(
+      versionFileStatus(f, path, v)._2.getModificationTime)
+    val identityKeys = m.entries.headOption.toSeq.flatMap { e =>
+      e.filePath.stripPrefix(e.commitDir).split("/")
+        .filter(s => s.nonEmpty && s.contains("="))
+        .map(s => ExternalCatalogUtils.unescapePathName(s.takeWhile(_ != '=')))
+        .filterNot(_.startsWith("__p_")).toSeq
+    }
+    val partCols = (m.transforms.map(_.spec) ++ identityKeys).distinct
+    val files = m.entries.map(_.filePath)
+    val sizeInBytes: Long =
+      if (files.size <= 64)
+        files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+      else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        spark.sparkContext.parallelize(files, math.min(files.size, 64))
+          .map(p => new Path(p).getFileSystem(conf.value)
+            .getFileStatus(new Path(p)).getLen)
+          .fold(0L)(_ + _)
+      }
+    val nRows: java.lang.Long =
+      if (m.entries.forall(_.rows >= 0))
+        Long.box(m.entries.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
+      else null
+    val props =
+      m.autoCompact.map { case (minF, target) => Map(
+        "autoCompact.minFiles" -> minF.toString,
+        "autoCompact.targetBytes" -> target.toString) }.getOrElse(Map.empty) ++
+      (if (m.bloomCols.nonEmpty)
+        Map("bloomFilterColumns" -> m.bloomCols.mkString(",")) else Map.empty) ++
+      (if (m.constraints.nonEmpty)
+        Map("checkConstraints" -> m.constraints.keys.toSeq.sorted.mkString(","))
+      else Map.empty)
+    val row = Row("graft-snapshot", path, v, createdAt, lastModified,
+      partCols, m.entries.size.toLong, sizeInBytes, nRows, props,
+      readerFeaturesOf(m))
+    val schema = StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("location", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("createdAt", TimestampType, nullable = false),
+      StructField("lastModified", TimestampType, nullable = false),
+      StructField("partitionColumns",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("numFiles", LongType, nullable = false),
+      StructField("sizeInBytes", LongType, nullable = false),
+      StructField("numRows", LongType),
+      StructField("properties",
+        MapType(StringType, StringType, valueContainsNull = false),
+        nullable = false),
+      StructField("readerFeatures",
+        ArrayType(StringType, containsNull = false), nullable = false)))
+    spark.createDataFrame(java.util.Collections.singletonList(row), schema)
+  }
+
   // ---- named refs (tags) + restore ---------------------------------
   private def refsDir(path: String) = s"${logDir(path)}/refs"
 

@@ -264,4 +264,45 @@ class GraftSqlParserSpec extends SparkTestBase {
         e.getMessage.toLowerCase.contains("nope"))
     } finally SnapshotCatalog.unregister("psql_spec")
   }
+
+  test("DESCRIBE DETAIL: one manifest-backed row — layout, sizes, properties, features") {
+    val path = Files.createTempDirectory("graft-psql-dd").toString + "/t"
+    // two partition values, one file each (coalesce) → numFiles = 2
+    SnapshotTable.append(
+      Seq(("a", "2024-01-01", 1.0), ("b", "2024-01-02", 2.0))
+        .toDF("id", "event_date", "v").coalesce(1), path, Seq("event_date")) // v1
+    SnapshotTable.renameColumn(s2, path, "v", "val")                         // v2
+    SnapshotTable.addCheckConstraint(s2, path, "val_pos", "val > 0")         // v3
+    SnapshotTable.setAutoCompact(s2, path, 4, 1 << 20)                       // v4
+    SnapshotCatalog.register("psql_dd", path)
+    try {
+      for (stmt <- Seq("DESCRIBE DETAIL psql_dd", "DESC DETAIL psql_dd")) {
+        val r = s2.sql(stmt).head()
+        assert(r.getString(r.fieldIndex("format")) === "graft-snapshot")
+        assert(r.getString(r.fieldIndex("location")) === path)
+        assert(r.getLong(r.fieldIndex("version")) === 4L)
+        assert(r.getSeq[String](r.fieldIndex("partitionColumns")) === Seq("event_date"))
+        assert(r.getLong(r.fieldIndex("numFiles")) === 2L)
+        assert(r.getLong(r.fieldIndex("sizeInBytes")) > 0L)
+        assert(r.getLong(r.fieldIndex("numRows")) === 2L)
+        val props = r.getMap[String, String](r.fieldIndex("properties"))
+        assert(props.get("checkConstraints") === Some("val_pos"))
+        assert(props.get("autoCompact.minFiles") === Some("4"))
+        assert(r.getSeq[String](r.fieldIndex("readerFeatures"))
+          === Seq("column-mapping"))
+        assert(!r.isNullAt(r.fieldIndex("createdAt")) &&
+          !r.isNullAt(r.fieldIndex("lastModified")))
+      }
+      // hidden-partitioned table reports the SPEC, not the __p_ column
+      val hp = Files.createTempDirectory("graft-psql-dd2").toString + "/t"
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      SnapshotTable.appendTransformed(
+        Seq(("x", ts("2024-03-01 10:00:00"), 1.0)).toDF("id", "ts", "v"),
+        hp, Seq("days(ts)"))
+      val hr = SnapshotTable.describeDetail(s2, hp).head()
+      assert(hr.getSeq[String](hr.fieldIndex("partitionColumns")) === Seq("days(ts)"))
+      assert(hr.getSeq[String](hr.fieldIndex("readerFeatures"))
+        === Seq("partition-transforms"))
+    } finally SnapshotCatalog.unregister("psql_dd")
+  }
 }
