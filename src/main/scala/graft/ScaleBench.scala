@@ -644,6 +644,119 @@ object ScaleBench {
             f"stream=$streamSec%.2fs")
         println(f"[scale] cdf_stream_vs_batch rows=$nBatch " +
           f"batch=$batchSec%.2fs stream=$streamSec%.2fs")
+      },
+      timed("vacuum_plan") {
+        // The last unmeasured driver-plane walk: vacuumPlan
+        // reconstructs every candidate version of the vacuumed handle
+        // PLUS every version of every other ref. Synthetic log fabric
+        // (the manifest_scale pattern — no 10^4 real writes): ~20k
+        // live file entries, deep delta histories with a full
+        // checkpoint republished every 20 versions (the writer's real
+        // cadence), each delta adding one fake file and removing the
+        // oldest initial fake (so expired versions strand dead files
+        // and the reclaim math is exercised), plus two branches of 50
+        // synthetic commits each. Contracts: (a) with branches
+        // present, branch-referenced files PIN every candidate —
+        // expired must be empty; (b) without branches, expired = all
+        // candidates and dead = exactly the removed fakes; (c) plan
+        // time scales ~linearly in history depth (4x commits may not
+        // cost more than ~8x cold time), checkpoint-amortized, never
+        // quadratic.
+        import java.nio.file.{Files => JF, Paths => JP}
+        import graft.lake.SnapshotTable
+        val base = JF.createTempDirectory("graft-scale-vacplan")
+
+        val fakes = 20000
+        def mkHistory(path: String, commits: Int): Int = {
+          val df = spark.range(1000)
+            .select(col("id"), col("id").cast("double").as("v"))
+          SnapshotTable.appendClustered(df, path, "id", numFiles = 1)
+          val v1 = new String(
+            JF.readAllBytes(JP.get(s"$path/_graft_log/v1")), "UTF-8")
+          val headers = v1.split("\n").filter(_.startsWith("#"))
+            .filterNot(_.startsWith("#delta=")).mkString("\n")
+          val realLines = v1.split("\n")
+            .filterNot(l => l.startsWith("#") || l.isEmpty).toSeq
+          val commitDir = realLines.head.split("\t")(0)
+          def fakeLine(i: Int): String = {
+            val lo = 1000000L + i * 10L
+            s"$commitDir\t$commitDir/fake-$i.parquet\trows=10\tid\t$lo.0\t${lo + 9}.0"
+          }
+          // v2: checkpoint carrying the initial fake fleet
+          val live = scala.collection.mutable.ArrayBuffer[String]()
+          live ++= realLines
+          live ++= (0 until fakes).map(fakeLine)
+          def writeCkpt(v: Long): Unit =
+            JF.write(JP.get(s"$path/_graft_log/v$v"),
+              (headers + "\n" + live.mkString("\n")).getBytes("UTF-8"))
+          def writeDelta(v: Long, add: String, remove: String): Unit =
+            JF.write(JP.get(s"$path/_graft_log/v$v"),
+              (headers + s"\n#delta=${v - 1}\n+\t$add\n-\t$remove")
+                .getBytes("UTF-8"))
+          writeCkpt(2L)
+          var removed = 0
+          var next = fakes
+          (3 to commits).foreach { v =>
+            val add = fakeLine(next); next += 1
+            val rm = live(1) // oldest surviving initial fake
+            live -= rm
+            live += add
+            removed += 1
+            if (v % 20 == 0) writeCkpt(v.toLong)
+            else writeDelta(v.toLong, add, rm)
+          }
+          // two branches forked at head: a checkpoint of the live list
+          // + 50 branch-local delta commits each
+          (1 to 2).foreach { b =>
+            val bdir = s"$path/_graft_log/branch-dev$b"
+            JF.createDirectories(JP.get(bdir))
+            JF.write(JP.get(s"$bdir/v$commits"),
+              (headers + "\n" + live.mkString("\n")).getBytes("UTF-8"))
+            (1 to 50).foreach { i =>
+              JF.write(JP.get(s"$bdir/v${commits + i}"),
+                (headers + s"\n#delta=${commits + i - 1}\n" +
+                  s"+\t${fakeLine(1000000 + b * 1000 + i)}").getBytes("UTF-8"))
+            }
+          }
+          removed
+        }
+
+        def dryRunSec(path: String): (Double, Seq[Long], Int) = {
+          val t0 = System.nanoTime()
+          val (expired, dead, _) = SnapshotTable.vacuumDryRun(spark, path)
+          ((System.nanoTime() - t0) / 1e9, expired, dead.size)
+        }
+
+        val small = s"$base/small"; val big = s"$base/big"
+        val rmSmall = mkHistory(small, 250)
+        val rmBig = mkHistory(big, 1000)
+        // (a) cold, branches present: branch-shared files pin all
+        val (tS1, expS1, _) = dryRunSec(small)
+        val (tB1, expB1, _) = dryRunSec(big)
+        require(expS1.isEmpty && expB1.isEmpty,
+          s"branch-referenced files must pin candidates: " +
+            s"small=${expS1.size} big=${expB1.size} expired")
+        // (b) branches dropped: full reclaim plan (warm main manifests)
+        def rmBranches(path: String): Unit = (1 to 2).foreach { b =>
+          val d = JP.get(s"$path/_graft_log/branch-dev$b")
+          JF.list(d).forEach(p => JF.delete(p)); JF.delete(d)
+        }
+        rmBranches(small); rmBranches(big)
+        val (tS2, expS2, deadS) = dryRunSec(small)
+        val (tB2, expB2, deadB) = dryRunSec(big)
+        require(expS2.size == 249 && expB2.size == 999,
+          s"unpinned dry run must expire all candidates: " +
+            s"small=${expS2.size} big=${expB2.size}")
+        require(deadS == rmSmall && deadB == rmBig,
+          s"dead files must be exactly the removed fakes: " +
+            s"small=$deadS/$rmSmall big=$deadB/$rmBig")
+        // (c) flatness: 4x history may not cost more than ~8x cold
+        require(tB1 < tS1 * 8 + 2.0,
+          f"vacuumPlan scales superlinearly in history depth: " +
+            f"small=$tS1%.2fs big=$tB1%.2fs")
+        println(f"[scale] vacuum_plan cold(branches) small=$tS1%.2fs " +
+          f"big=$tB1%.2fs warm(reclaim) small=$tS2%.2fs big=$tB2%.2fs " +
+          f"dead=$deadS/$deadB")
       })
 
     // Locale.ROOT: a comma-decimal default locale would break the JSON

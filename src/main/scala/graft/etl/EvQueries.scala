@@ -2108,6 +2108,56 @@ object EvQueries {
        |FROM gold WHERE kwhTotal >= 5.0
        |ORDER BY sessionId, kwh""".stripMargin
 
+  /** GENERATED ALWAYS AS columns (ev gate): a catalog table declares
+    * `cost_per_kwh` generated from dollars/kwhTotal; an INSERT that
+    * omits it derives it, an INSERT providing a WRONG value is
+    * rejected row-level (`wrong_value_rejected` contract), and an
+    * UPDATE doubling the source column RECOMPUTES it — the oracle
+    * recomputes the whole derivation from the CSV. */
+  def generatedColumnsGate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-gen-gate").toString
+    val cat = "evgen_" + java.util.UUID.randomUUID.toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"),
+      col("dollars")).coalesce(1).persist()
+    try {
+      gold.createOrReplaceTempView("ev_gen_src")
+      spark.sql(s"CREATE NAMESPACE $cat.g")
+      spark.sql(s"CREATE TABLE $cat.g.fact (sessionId STRING, " +
+        "kwhTotal DOUBLE, dollars DOUBLE, cost_per_kwh DOUBLE " +
+        "GENERATED ALWAYS AS (CASE WHEN kwhTotal > 0 THEN " +
+        "dollars / kwhTotal ELSE 0.0 END)) USING `graft-snapshot`")  // v1
+      spark.sql(s"INSERT INTO $cat.g.fact (sessionId, kwhTotal, dollars) " +
+        "SELECT sessionId, kwhTotal, dollars FROM ev_gen_src")       // v2
+      val rejected = scala.util.Try(spark.sql(
+        s"INSERT INTO $cat.g.fact VALUES ('zz', 1.0, 1.0, 99.0)")).isFailure
+      // UPDATE on a SOURCE column must recompute the generated one
+      graft.lake.SnapshotTable.update(spark, s"$wh/g/fact",
+        Seq("dollars" -> (col("dollars") * 2)), lit(true))           // v3
+      graft.lake.SnapshotTable.read(spark, s"$wh/g/fact")
+        .select(col("sessionId"), round(col("kwhTotal"), 2).as("kwhTotal"),
+          round(col("dollars"), 2).as("dollars"),
+          round(col("cost_per_kwh"), 4).as("cost_per_kwh"))
+        .withColumn("wrong_value_rejected", lit(rejected))
+        .orderBy("sessionId", "kwhTotal")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val generatedColumnsSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal, dollars * 2 AS dollars
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, round(kwhTotal, 2) AS kwhTotal,
+       |  round(dollars, 2) AS dollars,
+       |  round(CASE WHEN kwhTotal > 0 THEN dollars / kwhTotal
+       |    ELSE 0.0 END, 4) AS cost_per_kwh,
+       |  true AS wrong_value_rejected
+       |FROM gold ORDER BY sessionId, kwhTotal""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -2150,5 +2200,6 @@ object EvQueries {
     QDef("ev36_adopt_in_place", adoptInPlace, Some(adoptInPlaceSql)),
     QDef("ev37_describe_detail", describeDetailGate, Some(describeDetailSql)),
     QDef("ev38_adopt_lifecycle", adoptLifecycle, Some(adoptLifecycleSql)),
+    QDef("ev39_generated_columns", generatedColumnsGate, Some(generatedColumnsSql)),
   )
 }

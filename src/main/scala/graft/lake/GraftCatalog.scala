@@ -58,13 +58,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
-  // accept `DEFAULT <expr>` in column DDL (initial defaults) — without
-  // this capability the analyzer rejects the clause before alterTable
-  // ever sees it
+  // accept `DEFAULT <expr>` in column DDL (initial defaults) and
+  // `GENERATED ALWAYS AS (expr)` in CREATE TABLE — without these
+  // capabilities the analyzer rejects the clauses before the catalog
+  // ever sees them; the generation expression arrives as
+  // GENERATION_EXPRESSION field metadata inside the schema and is
+  // validated + enforced by SnapshotTable (create/commit)
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.Collections.singleton(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def dirOf(ns: Seq[String]): String = (warehouse +: ns).mkString("/")
 
@@ -133,6 +139,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(path)) throw new NoSuchTableException(ident)
     GraftTable(ident.toString, path, pinnedVersion =
       Some(SnapshotCatalog.versionAsOf(spark, path, timestamp / 1000L)))
+  }
+
+  /** The v2-Column entry point Spark's CREATE TABLE actually calls:
+    * the default bridge to the StructType overload DROPS the
+    * generation expression, so re-encode it here as
+    * GENERATION_EXPRESSION field metadata — the slot the manifest
+    * schema round-trips and SnapshotTable.create/commit enforce. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
+    val withGen = StructType(columns.map { c =>
+      val mb = new MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j => mb.withMetadata(Metadata.fromJson(j)))
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      // the same CURRENT/EXISTS default bridge Spark's StructType
+      // conversion performs (constant-folded below in the schema path)
+      Option(c.defaultValue()).foreach { d =>
+        mb.putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+          d.getSql())
+        mb.putString(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+          d.getSql())
+      }
+      Option(c.generationExpression()).foreach(e =>
+        mb.putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .GENERATION_EXPRESSION_METADATA_KEY, e))
+      StructField(c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+    createTable(ident, withGen, partitions, properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
