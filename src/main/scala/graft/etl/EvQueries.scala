@@ -2158,6 +2158,94 @@ object EvQueries {
        |  true AS wrong_value_rejected
        |FROM gold ORDER BY sessionId, kwhTotal""".stripMargin
 
+  /** DESCRIBE HISTORY (ev gate): a deterministic append → merge →
+    * delete lifecycle, then the statement's rows (newest first) must
+    * carry the per-version operation, file count, and LIVE row count
+    * the oracle recomputes from the CSV — n_rows is the manifest's
+    * footer-count sum net of DVs, no data scan. */
+  def describeHistoryGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft-dh-gate")
+      .toString + "/fact"
+    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    import spark.implicits._
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .coalesce(1).persist()
+    try {
+      SnapshotTable.append(gold, t)                                     // v1
+      // deterministic merge target: the lexicographically-first
+      // UNIQUE sessionId (the fixture duplicates one key)
+      val target = gold.groupBy("sessionId").count()
+        .filter(col("count") === 1).agg(min("sessionId")).head().getString(0)
+      SnapshotTable.merge(Seq((target, -1.0)).toDF("sessionId", "kwhTotal"),
+        t, Seq("sessionId"))                                            // v2
+      SnapshotTable.delete(spark, t, col("sessionId") === target)       // v3
+      SnapshotCatalog.register("ev40_dh", t)
+      try spark.sql("DESCRIBE HISTORY ev40_dh")
+        .select(col("version"), col("operation"), col("n_rows"))
+        .orderBy(col("version").desc)
+      finally SnapshotCatalog.unregister("ev40_dh")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val describeHistorySql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad
+       |),
+       |n AS (SELECT count(*) AS c FROM gold)
+       |SELECT CAST(3 AS BIGINT) AS version, 'delete' AS operation,
+       |  CAST(c - 1 AS BIGINT) AS n_rows FROM n
+       |UNION ALL SELECT CAST(2 AS BIGINT), 'merge', CAST(c AS BIGINT) FROM n
+       |UNION ALL SELECT CAST(1 AS BIGINT), 'append', CAST(c AS BIGINT) FROM n
+       |ORDER BY version DESC""".stripMargin
+
+  /** IDENTITY columns (ev gate): a catalog table declares
+    * `sid BIGINT GENERATED ALWAYS AS IDENTITY`; two sorted
+    * single-partition appends must assign 1..N then N+1..2N (the
+    * watermark persists across commits in the schema metadata), and
+    * an INSERT providing an explicit value must be rejected
+    * (`wrong_rejected` contract). The oracle recomputes the
+    * assignment as row_number over the same deterministic order. */
+  def identityColumnsGate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-id-gate").toString
+    val cat = "evid_" + java.util.UUID.randomUUID.toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.g")
+    spark.sql(s"CREATE TABLE $cat.g.fact (sid BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY, sessionId STRING, kwhTotal DOUBLE) USING `graft-snapshot`")
+    val t = s"$wh/g/fact"
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .orderBy("sessionId", "kwhTotal").coalesce(1)
+    graft.lake.SnapshotTable.append(gold, t)                          // ids 1..N
+    graft.lake.SnapshotTable.append(
+      gold.withColumn("kwhTotal", col("kwhTotal") + 1000.0)
+        .orderBy("sessionId", "kwhTotal").coalesce(1), t)             // N+1..2N
+    val rejected = scala.util.Try(spark.sql(
+      s"INSERT INTO $cat.g.fact VALUES (999, 'zz', 1.0)")).isFailure
+    graft.lake.SnapshotTable.read(spark, t)
+      .select(col("sid"), col("sessionId"),
+        round(col("kwhTotal"), 2).as("kwh"))
+      .withColumn("wrong_rejected", lit(rejected))
+      .orderBy("sid")
+  }
+
+  private val identityColumnsSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal,
+       |    row_number() OVER (ORDER BY sessionId, kwhTotal) AS rn
+       |  FROM marked WHERE NOT is_bad
+       |),
+       |n AS (SELECT count(*) AS c FROM gold)
+       |SELECT CAST(rn AS BIGINT) AS sid, sessionId,
+       |  round(kwhTotal, 2) AS kwh, true AS wrong_rejected FROM gold
+       |UNION ALL
+       |SELECT CAST(rn + (SELECT c FROM n) AS BIGINT), sessionId,
+       |  round(kwhTotal + 1000.0, 2), true FROM gold
+       |ORDER BY sid""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -2201,5 +2289,7 @@ object EvQueries {
     QDef("ev37_describe_detail", describeDetailGate, Some(describeDetailSql)),
     QDef("ev38_adopt_lifecycle", adoptLifecycle, Some(adoptLifecycleSql)),
     QDef("ev39_generated_columns", generatedColumnsGate, Some(generatedColumnsSql)),
+    QDef("ev40_describe_history", describeHistoryGate, Some(describeHistorySql)),
+    QDef("ev41_identity_columns", identityColumnsGate, Some(identityColumnsSql)),
   )
 }

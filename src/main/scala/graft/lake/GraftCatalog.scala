@@ -70,7 +70,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def dirOf(ns: Seq[String]): String = (warehouse +: ns).mkString("/")
 
@@ -166,6 +168,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Option(c.generationExpression()).foreach(e =>
         mb.putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
           .GENERATION_EXPRESSION_METADATA_KEY, e))
+      Option(c.identityColumnSpec()).foreach { s =>
+        val ic = org.apache.spark.sql.catalyst.util.IdentityColumn
+        mb.putLong(ic.IDENTITY_INFO_START, s.getStart)
+        mb.putLong(ic.IDENTITY_INFO_STEP, s.getStep)
+        mb.putBoolean(ic.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+          s.isAllowExplicitInsert)
+      }
       StructField(c.name(), c.dataType(), c.nullable(), mb.build())
     })
     createTable(ident, withGen, partitions, properties)

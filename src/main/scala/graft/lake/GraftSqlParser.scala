@@ -94,6 +94,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ShowBranches(t) => SnapshotShowRefsCommand(idents(t), "branches")
     case ShowTags(t)     => SnapshotShowRefsCommand(idents(t), "tags")
     case DescribeDetail(t) => SnapshotDescribeDetailCommand(idents(t))
+    case DescribeHistory(t) => SnapshotDescribeHistoryCommand(idents(t))
     case ReplacePartitionSpec(t, specs) =>
       SnapshotEvolveSpecCommand(idents(t), GraftSqlParser.splitSpecs(specs))
     case ShowPartitionSpec(t) => SnapshotShowSpecCommand(idents(t))
@@ -171,6 +172,8 @@ private object GraftSqlParser {
   private[lake] val Optimize = stmt(s"OPTIMIZE\\s+$T")
   private[lake] val DescribeDetail =
     stmt(s"DESC(?:RIBE)?\\s+DETAIL\\s+$T")
+  private[lake] val DescribeHistory =
+    stmt(s"DESC(?:RIBE)?\\s+HISTORY\\s+$T")
   private[lake] val ShowBranches = stmt(s"SHOW\\s+BRANCHES\\s+(?:IN\\s+|FROM\\s+)?$T")
   private[lake] val ShowTags = stmt(s"SHOW\\s+TAGS\\s+(?:IN\\s+|FROM\\s+)?$T")
   private[lake] val ShowConstraints =
@@ -375,6 +378,28 @@ case class SnapshotDescribeDetailCommand(ident: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val path = SnapshotStatementTarget.pathOf(spark, ident)
     SnapshotTable.describeDetail(spark, path).collect().toSeq
+  }
+}
+
+/** `DESCRIBE HISTORY t` (Delta's statement): one row per surviving
+  * version, newest first — [[SnapshotTable.history]] (version,
+  * operation, published_at, n_files, n_rows), read entirely from
+  * cached manifests + version-file mtimes. */
+case class SnapshotDescribeHistoryCommand(ident: Seq[String])
+    extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.types.{IntegerType, TimestampType}
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = true)(),
+    AttributeReference("published_at", TimestampType, nullable = false)(),
+    AttributeReference("n_files", IntegerType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    SnapshotTable.history(spark, path).collect().toSeq
   }
 }
 

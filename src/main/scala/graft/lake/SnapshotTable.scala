@@ -893,9 +893,12 @@ object SnapshotTable {
     if (transforms.isEmpty)
       require(df.columns.forall(!_.startsWith("__p_")),
         "column prefix '__p_' is reserved for hidden partition columns")
-    // GENERATED columns derive/validate BEFORE the partition
-    // transforms, so a transform may partition on a generated column
-    val dfG = withGeneratedColumns(df, prevMeta.flatMap(_.schema))
+    // IDENTITY assignment first (a generated expression may derive
+    // from an identity column), then GENERATED columns — both BEFORE
+    // the partition transforms, so a transform may partition on either
+    val (dfI, identBumps) =
+      withIdentityColumns(df, prevMeta.flatMap(_.schema), op)
+    val dfG = withGeneratedColumns(dfI, prevMeta.flatMap(_.schema))
     val (data, partCols) =
       if (transforms.isEmpty) (dfG, partitionCols)
       else (PartitionTransform.apply(dfG, transforms),
@@ -1013,8 +1016,34 @@ object SnapshotTable {
           s"cannot add column '$c' at $path: its physical name '$p' collides " +
             "with a dropped or renamed column's on-disk data — rerun")
       }
+      // IDENTITY watermark: our values were assigned from the
+      // pre-write watermark — a concurrent writer advancing it since
+      // would make them collide, so fail (values are baked into the
+      // written files; a silent retry cannot renumber them). The
+      // bump (step × rows written, gap-tolerant) publishes with this
+      // commit via the schema metadata.
+      val identRows = added.map(e => math.max(e.rows, 0L)).sum
+      identBumps.foreach { case (n, (high, _)) =>
+        val cur = prevSchema.flatMap(_.fields.find(_.name == n))
+          .map(f => if (f.metadata.contains(IdentityHighKey))
+            f.metadata.getLong(IdentityHighKey)
+          else identityInfo(f).map(_.getStart).getOrElse(high))
+        require(cur.forall(_ == high),
+          s"concurrent identity assignment on '$n' at $path — rerun")
+      }
+      val published =
+        if (identBumps.isEmpty) merged
+        else StructType(merged.fields.map { f =>
+          identBumps.get(f.name) match {
+            case None => f
+            case Some((high, step)) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong(IdentityHighKey, high + step * identRows).build())
+          }
+        })
       if (publishManifest(spark, path, version, Manifest(
-          Some(merged), carryOver(previous) ++ added, Some(op), prevCs,
+          Some(published), carryOver(previous) ++ added, Some(op), prevCs,
           tsOut, retiredOut, prevTxns, prevBloomCols, opKeys, cm, prevDropped,
           prevAuto))) {
         // commit-time auto-compaction (Delta autoOptimize posture):
@@ -1276,6 +1305,10 @@ object SnapshotTable {
         s"streaming into $path is not supported: the table declares " +
           "GENERATED columns (batch writes derive them; the streaming " +
           "sink does not) — write through the batch API instead")
+      require(prev.schema.forall(s => identityColumnsOf(s).isEmpty),
+        s"streaming into $path is not supported: the table declares " +
+          "IDENTITY columns (batch writes assign them; the streaming " +
+          "sink does not) — write through the batch API instead")
       // same guard as commit(): a first commit creates a TABLE, never
       // a branch — a stale handle after dropBranch must fail loudly
       require(branchOf(path).isEmpty || version > 1L,
@@ -1447,6 +1480,14 @@ object SnapshotTable {
       schema.fieldNames.exists(_.equalsIgnoreCase(t.src)),
       s"transform ${t.spec}: source column '${t.src}' not in the schema"))
     validateGeneratedColumns(spark, schema)
+    identityColumnsOf(schema).foreach { case (f, _, step, _) =>
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"identity column '${f.name}' must be BIGINT or INT, " +
+          s"got ${f.dataType.simpleString}")
+      require(step != 0L, s"identity column '${f.name}': step must be nonzero")
+      require(!f.metadata.contains(GenExprKey),
+        s"column '${f.name}' cannot be both IDENTITY and GENERATED ALWAYS AS")
+    }
     require(publishManifest(spark, path, 1L,
       Manifest(Some(schema), Nil, Some("create"), transforms = ts)),
       s"table already exists at $path (concurrent create won version 1)")
@@ -2028,6 +2069,80 @@ object SnapshotTable {
   private def generatedNamesOf(m: Manifest): Seq[String] =
     m.schema.map(generatedColumnsOf(_).map(_._1.name)).getOrElse(Nil)
 
+  // ---- IDENTITY columns (GENERATED ALWAYS / BY DEFAULT AS IDENTITY) --
+
+  /** High-watermark metadata key: the NEXT value this table will
+    * assign for the identity column. Rides the recorded `#schema=`
+    * header beside Spark's own IDENTITY_INFO_* keys (start / step /
+    * allow-explicit, written by CREATE TABLE through the catalog), so
+    * every commit path — including metadata-only mutations, which
+    * copy the schema wholesale — carries it forward for free, and
+    * RESTORE rewinds it together with the data it numbered. */
+  private[lake] val IdentityHighKey = "IDENTITY_HIGH_WATERMARK"
+
+  private def identityInfo(f: StructField)
+      : Option[org.apache.spark.sql.connector.catalog.IdentityColumnSpec] =
+    org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
+
+  /** Identity fields of a schema with (nextValue, step, allowExplicit). */
+  private[lake] def identityColumnsOf(
+      schema: StructType): Seq[(StructField, Long, Long, Boolean)] =
+    schema.fields.toSeq.flatMap { f =>
+      identityInfo(f).map { spec =>
+        val high = if (f.metadata.contains(IdentityHighKey))
+          f.metadata.getLong(IdentityHighKey) else spec.getStart
+        (f, high, spec.getStep, spec.isAllowExplicitInsert)
+      }
+    }
+
+  /** Write-side identity assignment, riding [[commit]]: ingest ops
+    * generate values `high + step * ordinal` over a dense per-row
+    * ordinal from ONE `zipWithIndex` pass (its internal count job is
+    * size-only, so nondeterministic row order cannot misnumber rows;
+    * values are unique and monotone per commit — contiguity across
+    * commits is NOT promised, matching Delta). GENERATED ALWAYS
+    * refuses a provided non-null value row-by-row; BY DEFAULT keeps
+    * provided values (the Delta caveat applies: explicit inserts do
+    * not advance the watermark) and fills NULLs. MERGE fills only the
+    * inserted rows' NULLs (carried/updated rows keep their values);
+    * pure-rewrite ops (delete/update/compact) pass values through
+    * untouched. The watermark advances by step × (rows written) in
+    * the SAME commit, guarded against concurrent assignment at CAS
+    * time. */
+  private def withIdentityColumns(df: DataFrame, schema: Option[StructType],
+      op: String): (DataFrame, Map[String, (Long, Long)]) = {
+    val ids = schema.map(identityColumnsOf).getOrElse(Nil)
+    if (ids.isEmpty) return (df, Map.empty)
+    val fillOnly = op == "merge"
+    val ingest = Set("append", "overwrite", "append_clustered",
+      "append_zordered", "overwrite_partitions")(op)
+    if (!ingest && !fillOnly) return (df, Map.empty) // rewrite: preserve
+    val spark = df.sparkSession
+    val ord = "__identity_ord"
+    require(!df.columns.contains(ord), s"column name '$ord' is reserved")
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    var out = spark.createDataFrame(rdd,
+      df.schema.add(ord, org.apache.spark.sql.types.LongType, nullable = false))
+    val bumps = scala.collection.mutable.Map[String, (Long, Long)]()
+    ids.foreach { case (f, high, step, allowExplicit) =>
+      val gen = (lit(high) + lit(step) * col(ord)).cast(f.dataType)
+      if (!out.columns.exists(_.equalsIgnoreCase(f.name)))
+        out = out.withColumn(f.name, gen)
+      else if (fillOnly || allowExplicit)
+        out = out.withColumn(f.name, coalesce(col(f.name), gen))
+      else
+        out = out.withColumn(f.name,
+          when(col(f.name).isNull, gen)
+            .otherwise(raise_error(concat(lit(
+              s"identity column '${f.name}' is GENERATED ALWAYS — " +
+                "remove it from the insert"))).cast(f.dataType)))
+      bumps(f.name) = (high, step)
+    }
+    (out.drop(ord), bumps.toMap)
+  }
+
   /** Current CHECK constraints (name → SQL expression). */
   def checkConstraints(spark: SparkSession, path: String): Map[String, String] = {
     val v = latestVersion(spark, path)
@@ -2148,6 +2263,9 @@ object SnapshotTable {
         require(!f.metadata.contains(GenExprKey),
           s"column '${f.name}': GENERATED columns are declared at table " +
             "creation — existing files cannot backfill an expression")
+        require(identityInfo(f).isEmpty,
+          s"column '${f.name}': IDENTITY columns are declared at table " +
+            "creation — existing rows have no identity values to backfill")
       }
       // RE-ADD AFTER DROP (and name-reuse after rename): a new logical
       // name whose identity physical name is tombstoned or still
@@ -3908,6 +4026,16 @@ object SnapshotTable {
     require(genInSource.isEmpty,
       s"merge source must not contain GENERATED column(s) " +
         s"${genInSource.mkString(", ")} — they derive from their expressions")
+    // GENERATED ALWAYS AS IDENTITY: the source may not provide values
+    // (BY DEFAULT may — its values flow through; inserted rows'
+    // NULLs are filled by the commit's identity pass either way)
+    val alwaysIds = bm.schema.map(identityColumnsOf).getOrElse(Nil)
+      .collect { case (f, _, _, false) => f.name }
+    val idInSource = source.columns.filter(c =>
+      alwaysIds.exists(_.equalsIgnoreCase(c)))
+    require(idInSource.isEmpty,
+      s"merge source must not contain GENERATED ALWAYS AS IDENTITY " +
+        s"column(s) ${idInSource.mkString(", ")}")
 
     val rewrite: Set[String] = keyRewriteSet(spark, path, base, entries, source, keyCols)
 
@@ -3921,14 +4049,31 @@ object SnapshotTable {
       else {
         val touched = entries.filter(e => rewrite(e.filePath))
         val current = readGroups(spark, touched, bm.schema, bm.colmap)
-        val srcKeys = source.groupBy(keyCols.map(col): _*)
+        // IDENTITY inheritance under replace-merge: a matched
+        // (updated) row KEEPS the target's identity value — the
+        // source row inherits it by key before the union; unmatched
+        // (inserted) rows stay NULL and the commit's identity pass
+        // assigns them fresh values. Only columns the source does not
+        // provide are inherited (BY DEFAULT may provide explicitly).
+        val inheritIds = bm.schema.map(identityColumnsOf(_).map(_._1.name))
+          .getOrElse(Nil)
+          .filterNot(n => source.columns.exists(_.equalsIgnoreCase(n)))
+        val src =
+          if (inheritIds.isEmpty) source
+          else {
+            val aggs = inheritIds.map(n => min(col(n)).as(n))
+            source.join(
+              current.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*),
+              keyCols.toSeq, "left")
+          }
+        val srcKeys = src.groupBy(keyCols.map(col): _*)
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("_graft_src_cnt"))
         current.join(srcKeys, keyCols.toSeq, "left")
           .filter(when(col("_graft_src_cnt") > 1,
               raise_error(lit(dupMsg)).cast("boolean"))
             .otherwise(col("_graft_src_cnt").isNull))
           .drop("_graft_src_cnt")
-          .unionByName(source, allowMissingColumns = true)
+          .unionByName(src, allowMissingColumns = true)
       }
 
     // keep pruning effective across merges: re-record stats for every
@@ -4186,6 +4331,12 @@ object SnapshotTable {
     require(genSet.isEmpty,
       s"UPDATE SET targets GENERATED column(s) ${genSet.mkString(", ")} — " +
         "they derive from their expressions; update the source columns")
+    val idCols = bm.schema.map(identityColumnsOf(_).map(_._1.name)).getOrElse(Nil)
+    val idSet = assignments.map(_._1).filter(n =>
+      idCols.exists(_.equalsIgnoreCase(n)))
+    require(idSet.isEmpty,
+      s"UPDATE SET targets IDENTITY column(s) ${idSet.mkString(", ")} — " +
+        "identity values are assigned by the table, not updated")
     // stats-pruned file finding, like delete's (see there)
     val touched: Set[String] =
       readWhere(spark, path, predicate, Some(base), sqlAlias)

@@ -305,4 +305,17 @@ class GraftSqlParserSpec extends SparkTestBase {
         === Seq("partition-transforms"))
     } finally SnapshotCatalog.unregister("psql_dd")
   }
+
+  test("DESCRIBE HISTORY: one row per version, newest first, ops and counts") {
+    val path = Files.createTempDirectory("graft-psql-dh").toString + "/t"
+    SnapshotTable.append(mk("a").coalesce(1), path)                        // v1: 5 rows
+    SnapshotTable.delete(s2, path, col("v") >= 40.0)                       // v2: -1 row
+    SnapshotCatalog.register("psql_dh", path)
+    try {
+      val rows = s2.sql("DESC HISTORY psql_dh").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSeq
+        === Seq((2L, "delete", 4L), (1L, "append", 5L)))
+      assert(rows.forall(!_.isNullAt(2))) // published_at present
+    } finally SnapshotCatalog.unregister("psql_dh")
+  }
 }

@@ -1,0 +1,175 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.util.IdentityColumn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** IDENTITY columns (`GENERATED ALWAYS / BY DEFAULT AS IDENTITY`,
+  * Delta's shape): declared at CREATE TABLE; ingest writes assign
+  * `high + step * ordinal` over one zipWithIndex pass and advance the
+  * high watermark in the same commit (schema metadata, so every
+  * commit path carries it and RESTORE rewinds it); values are unique
+  * and monotone per table — contiguity across commits is not promised
+  * (gaps, like Delta). ALWAYS refuses provided values; BY DEFAULT
+  * keeps them (without advancing the watermark — the documented Delta
+  * caveat). Merge fills inserted rows only; rewrites preserve. */
+class IdentityColumnsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def idField(name: String, dt: DataType = LongType,
+      start: Long = 1L, step: Long = 1L, allow: Boolean = false): StructField =
+    StructField(name, dt, nullable = true, new MetadataBuilder()
+      .putLong(IdentityColumn.IDENTITY_INFO_START, start)
+      .putLong(IdentityColumn.IDENTITY_INFO_STEP, step)
+      .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT, allow)
+      .build())
+
+  private def mk(dir: String, start: Long = 1L, step: Long = 1L,
+      allow: Boolean = false): String = {
+    val path = s"$dir/t"
+    SnapshotTable.create(spark, path, StructType(Seq(
+      idField("id", start = start, step = step, allow = allow),
+      StructField("v", DoubleType))))
+    path
+  }
+
+  test("ingest assigns unique monotone values; the watermark persists across commits") {
+    val path = mk(Files.createTempDirectory("graft-id1").toString)
+    SnapshotTable.append(Seq(10.0, 20.0, 30.0).toDF("v"), path)
+    SnapshotTable.append(Seq(40.0, 50.0).toDF("v"), path)
+    val got = SnapshotTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L),
+      "values must continue from the persisted watermark, no reuse")
+    assert(got.map(_._2).sorted === Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+  }
+
+  test("START WITH / INCREMENT BY are honored, including negative steps") {
+    val path = mk(Files.createTempDirectory("graft-id2").toString,
+      start = 100L, step = -5L)
+    SnapshotTable.append(Seq(1.0, 2.0).toDF("v"), path)
+    SnapshotTable.append(Seq(3.0).toDF("v"), path)
+    assert(SnapshotTable.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq === Seq(90L, 95L, 100L))
+  }
+
+  test("GENERATED ALWAYS refuses provided values; NULLs derive; BY DEFAULT keeps them") {
+    val always = mk(Files.createTempDirectory("graft-id3").toString)
+    val e = intercept[Exception] {
+      SnapshotTable.append(Seq((77L, 1.0)).toDF("id", "v"), always)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("GENERATED ALWAYS")))
+    // analyzer-style null-fill derives
+    SnapshotTable.append(Seq((null.asInstanceOf[java.lang.Long], 1.0))
+      .toDF("id", "v"), always)
+    assert(SnapshotTable.read(spark, always).select("id")
+      .as[Long].collect().toSeq === Seq(1L))
+
+    val byDefault = mk(Files.createTempDirectory("graft-id4").toString,
+      allow = true)
+    SnapshotTable.append(Seq((77L, 1.0)).toDF("id", "v"), byDefault)
+    SnapshotTable.append(Seq(2.0).toDF("v"), byDefault) // omitted → generated
+    // explicit rows still advance the watermark by row count (gap-
+    // tolerant) but never PAST a larger explicit value — the Delta
+    // SYNC IDENTITY caveat, documented
+    assert(SnapshotTable.read(spark, byDefault).select("id")
+      .as[Long].collect().sorted.toSeq === Seq(2L, 77L))
+  }
+
+  test("merge fills inserted rows; updated rows keep their identity; DML cannot touch it") {
+    val path = mk(Files.createTempDirectory("graft-id5").toString)
+    SnapshotTable.append(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+      .coalesce(1), path)
+    val ids0 = SnapshotTable.read(spark, path).select("k", "id")
+      .as[(String, Long)].collect().toMap
+    // update 'a', insert 'c' — 'a' keeps its id, 'c' gets a fresh one
+    SnapshotTable.merge(Seq(("a", 10.0), ("c", 3.0)).toDF("k", "v"),
+      path, Seq("k"))
+    val ids1 = SnapshotTable.read(spark, path).select("k", "id")
+      .as[(String, Long)].collect().toMap
+    assert(ids1("a") === ids0("a"), "updated row must keep its identity value")
+    assert(ids1("b") === ids0("b"))
+    assert(!ids0.values.toSet.contains(ids1("c")),
+      "inserted row must get a fresh identity value")
+    // a merge source providing an ALWAYS identity column is refused
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.merge(Seq((999L, "d", 4.0)).toDF("id", "k", "v"),
+        path, Seq("k"))
+    }.getMessage.contains("IDENTITY"))
+    // UPDATE SET on the identity column is refused
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.update(spark, path, Seq("id" -> lit(0L)), lit(true))
+    }.getMessage.contains("IDENTITY"))
+    // delete + compact preserve values (pure rewrites)
+    SnapshotTable.delete(spark, path, col("k") === "b")
+    SnapshotTable.compact(spark, path, numFiles = 1)
+    val ids2 = SnapshotTable.read(spark, path).select("k", "id")
+      .as[(String, Long)].collect().toMap
+    assert(ids2("a") === ids1("a") && ids2("c") === ids1("c"))
+  }
+
+  test("creation validates; later add and streaming are refused") {
+    val dir = Files.createTempDirectory("graft-id6").toString
+    assert(intercept[Exception](SnapshotTable.create(spark, s"$dir/bad1",
+      StructType(Seq(idField("id", DoubleType), StructField("v", DoubleType)))))
+      .getMessage.contains("BIGINT"))
+    assert(intercept[Exception](SnapshotTable.create(spark, s"$dir/bad2",
+      StructType(Seq(idField("id", step = 0L), StructField("v", DoubleType)))))
+      .getMessage.contains("nonzero"))
+    val path = mk(dir)
+    SnapshotTable.append(Seq(1.0).toDF("v"), path)
+    assert(intercept[Exception](SnapshotTable.addColumns(spark, path,
+      Seq(idField("id2")))).getMessage.contains("creation"))
+    // streaming sink refuses identity targets
+    val src = s"$dir/src"
+    SnapshotTable.append(Seq(9.0).toDF("v"), src)
+    val q = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("path", path)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[Exception](q.awaitTermination())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("IDENTITY")))
+  }
+
+  test("CREATE TABLE ... GENERATED ALWAYS AS IDENTITY via SQL; INSERT assigns") {
+    val warehouse = Files.createTempDirectory("graft-id-wh").toString
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-id-sql")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.catalog.graftid", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graftid.warehouse", warehouse)
+      .getOrCreate()
+    try {
+      s2.sql("CREATE TABLE graftid.ns.t (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY (START WITH 10 INCREMENT BY 2), v DOUBLE)")
+      s2.sql("INSERT INTO graftid.ns.t (v) VALUES (1.0), (2.0)")
+      s2.sql("INSERT INTO graftid.ns.t (v) VALUES (3.0)")
+      val got = s2.sql("SELECT id, v FROM graftid.ns.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) === Seq(10L, 12L, 14L))
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
