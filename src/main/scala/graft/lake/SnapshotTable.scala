@@ -3072,6 +3072,8 @@ object SnapshotTable {
       if (m.entries.forall(_.rows >= 0))
         Long.box(m.entries.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
       else null
+    val gens = m.schema.map(generatedColumnsOf).getOrElse(Nil)
+    val idents = m.schema.map(identityColumnsOf).getOrElse(Nil)
     val props =
       m.autoCompact.map { case (minF, target) => Map(
         "autoCompact.minFiles" -> minF.toString,
@@ -3080,6 +3082,15 @@ object SnapshotTable {
         Map("bloomFilterColumns" -> m.bloomCols.mkString(",")) else Map.empty) ++
       (if (m.constraints.nonEmpty)
         Map("checkConstraints" -> m.constraints.keys.toSeq.sorted.mkString(","))
+      else Map.empty) ++
+      (if (gens.nonEmpty)
+        Map("generatedColumns" -> gens.map { case (f, e) => s"${f.name}=($e)" }
+          .sorted.mkString("; "))
+      else Map.empty) ++
+      (if (idents.nonEmpty)
+        Map("identityColumns" -> idents.map { case (f, high, step, allow) =>
+          s"${f.name}(next=$high,step=$step,allowExplicit=$allow)"
+        }.sorted.mkString("; "))
       else Map.empty)
     val row = Row("graft-snapshot", path, v, createdAt, lastModified,
       partCols, m.entries.size.toLong, sizeInBytes, nRows, props,

@@ -162,6 +162,10 @@ class GeneratedColumnsSpec extends SparkTestBase {
       val got = s2.sql("SELECT id, y FROM graftg.ns.gen ORDER BY id")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got === Seq((1L, 4.0), (2L, 6.0)))
+      // DESCRIBE DETAIL surfaces the generation expression
+      val d = SnapshotTable.describeDetail(s2, s"$warehouse/ns/gen").head()
+      assert(d.getMap[String, String](d.fieldIndex("properties"))
+        .get("generatedColumns").exists(_.contains("y=(")))
       val e = intercept[Exception](
         s2.sql("INSERT INTO graftg.ns.gen VALUES (3, 4.0, 99.0)"))
       def messages(t: Throwable): Seq[String] =

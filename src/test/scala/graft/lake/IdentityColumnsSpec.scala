@@ -143,6 +143,65 @@ class IdentityColumnsSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("IDENTITY")))
   }
 
+  test("random append x merge x delete x compact plans keep identity values " +
+      "UNIQUE and STABLE for surviving keys (3 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    (61L to 63L).foreach { seed =>
+      val path = mk(java.nio.file.Files
+        .createTempDirectory(s"graft-idfuzz-$seed").toString)
+      // model: key -> (identity value once observed, latest v)
+      var pinned = Map[String, Long]() // key -> its identity, once seen
+      var liveKeys = Set[String]()
+      var nextKey = 0
+      val plan = sample(Gen.listOfN(14, Gen.frequency(
+        5 -> Gen.const("append"), 4 -> Gen.const("merge"),
+        2 -> Gen.const("delete"), 1 -> Gen.const("compact"))), seed)
+      plan.zipWithIndex.foreach { case (op, i) =>
+        op match {
+          case "append" =>
+            val ks = (0 until (i % 3) + 1).map(j => s"k${nextKey + j}")
+            nextKey += ks.size
+            SnapshotTable.append(
+              ks.map(k => (k, i * 1.0)).toDF("k", "v").coalesce(1), path)
+            liveKeys ++= ks
+          case "merge" if liveKeys.nonEmpty =>
+            // update one existing key, insert one new
+            val upd = liveKeys.toSeq.min
+            val ins = s"k${nextKey}"; nextKey += 1
+            SnapshotTable.merge(
+              Seq((upd, i * 10.0), (ins, i * 10.0 + 1)).toDF("k", "v")
+                .coalesce(1), path, Seq("k"))
+            liveKeys += ins
+          case "delete" if liveKeys.nonEmpty =>
+            val victim = liveKeys.toSeq.max
+            SnapshotTable.delete(spark, path, col("k") === victim)
+            liveKeys -= victim
+          case "compact" if liveKeys.nonEmpty =>
+            SnapshotTable.compact(spark, path, numFiles = 1)
+          case _ => ()
+        }
+        if (liveKeys.nonEmpty) {
+          val now = SnapshotTable.read(spark, path).select("k", "id")
+            .as[(String, Long)].collect()
+          assert(now.map(_._1).toSet === liveKeys,
+            s"seed=$seed op $i ($op): key set diverged")
+          assert(now.map(_._2).distinct.length === now.length,
+            s"seed=$seed op $i ($op): identity values not unique")
+          now.foreach { case (k, id) =>
+            pinned.get(k) match {
+              case Some(prev) => assert(id === prev,
+                s"seed=$seed op $i ($op): key $k identity moved $prev -> $id")
+              case None => pinned += k -> id
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("CREATE TABLE ... GENERATED ALWAYS AS IDENTITY via SQL; INSERT assigns") {
     val warehouse = Files.createTempDirectory("graft-id-wh").toString
     val prevDefault = SparkSession.getDefaultSession
@@ -166,6 +225,10 @@ class IdentityColumnsSpec extends SparkTestBase {
       val got = s2.sql("SELECT id, v FROM graftid.ns.t ORDER BY id")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got.map(_._1) === Seq(10L, 12L, 14L))
+      // DESCRIBE DETAIL surfaces the identity spec + live watermark
+      val d = SnapshotTable.describeDetail(s2, s"$warehouse/ns/t").head()
+      assert(d.getMap[String, String](d.fieldIndex("properties"))
+        .get("identityColumns").contains("id(next=16,step=2,allowExplicit=false)"))
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
