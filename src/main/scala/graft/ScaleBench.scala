@@ -645,6 +645,43 @@ object ScaleBench {
         println(f"[scale] cdf_stream_vs_batch rows=$nBatch " +
           f"batch=$batchSec%.2fs stream=$streamSec%.2fs")
       },
+      timed("identity_ingest") {
+        // The IDENTITY write path leaves whole-stage codegen for one
+        // zipWithIndex RDD round-trip (its count job is size-only).
+        // A/B the same 1M-row append against a plain table: the
+        // overhead must stay a small multiple, and the assigned values
+        // must be exactly 1..1M (unique, dense within one commit).
+        import graft.lake.SnapshotTable
+        import org.apache.spark.sql.types._
+        import org.apache.spark.sql.catalyst.util.IdentityColumn
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-scale-ident").toString
+        val df = spark.range(1000000L)
+          .select(col("id").as("k"), (col("id") % 97).cast("double").as("v"))
+        def t(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        val plainSec = t(SnapshotTable.append(df, s"$base/plain"))
+        SnapshotTable.create(spark, s"$base/ident", StructType(Seq(
+          StructField("sid", LongType, nullable = true, new MetadataBuilder()
+            .putLong(IdentityColumn.IDENTITY_INFO_START, 1L)
+            .putLong(IdentityColumn.IDENTITY_INFO_STEP, 1L)
+            .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+              false).build()),
+          StructField("k", LongType), StructField("v", DoubleType))))
+        val identSec = t(SnapshotTable.append(df, s"$base/ident"))
+        val ids = SnapshotTable.read(spark, s"$base/ident")
+          .agg(count(lit(1)), countDistinct(col("sid")),
+            min(col("sid")), max(col("sid"))).head()
+        require(ids.getLong(0) == 1000000L && ids.getLong(1) == 1000000L &&
+          ids.getLong(2) == 1L && ids.getLong(3) == 1000000L,
+          s"identity assignment broken at 1M rows: $ids")
+        require(identSec < plainSec * 5 + 5.0,
+          f"identity ingest overhead too high: plain=$plainSec%.2fs " +
+            f"ident=$identSec%.2fs")
+        println(f"[scale] identity_ingest plain=$plainSec%.2fs " +
+          f"ident=$identSec%.2fs overhead=${identSec / plainSec}%.2fx")
+      },
       timed("vacuum_plan") {
         // The last unmeasured driver-plane walk: vacuumPlan
         // reconstructs every candidate version of the vacuumed handle
