@@ -2462,6 +2462,21 @@ object SnapshotTable {
       s"cannot widen '$name': a partition transform derives from it — " +
         "bucket/truncate derivation is type-sensitive, so the existing " +
         "layout would prune incorrectly under the new type")
+    // a GENERATED expression over a widened source would compute wide
+    // values and cast them back into the generated column's NARROWER
+    // declared type — a silent overflow channel; refuse like
+    // rename/drop do (session-free ref extraction: this mutation runs
+    // inside the CAS loop)
+    val genRefs = generatedColumnsOf(sch).filter { case (_, e) =>
+      scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head.toLowerCase
+        }.toSet).getOrElse(Set.empty[String]).contains(f.name.toLowerCase)
+    }
+    require(genRefs.isEmpty,
+      s"cannot widen '$name': GENERATED column(s) " +
+        s"${genRefs.map(_._1.name).mkString(", ")} derive from it")
     m.copy(schema = Some(StructType(sch.fields.map(x =>
       if (x.name == f.name) x.copy(dataType = to) else x))))
   }

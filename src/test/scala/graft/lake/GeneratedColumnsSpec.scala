@@ -121,6 +121,35 @@ class GeneratedColumnsSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id", "w"))
   }
 
+  test("a table can PARTITION BY a generated column (derivation runs before layout)") {
+    val dir = Files.createTempDirectory("graft-gen-part").toString
+    val path = s"$dir/t"
+    SnapshotTable.create(spark, path, StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      genField("event_day", StringType, "date_format(ts, 'yyyy-MM-dd')"))))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    SnapshotTable.append(
+      Seq((1L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-02 11:00:00")))
+        .toDF("id", "ts"), path, Seq("event_day"))
+    // the derived column landed as the hive layout and reads back
+    assert(SnapshotTable.liveFiles(spark, path)
+      .exists(_.contains("event_day=2024-03-01")))
+    val got = SnapshotTable.read(spark, path).orderBy("id")
+      .select("event_day").as[String].collect().toSeq
+    assert(got === Seq("2024-03-01", "2024-03-02"))
+    // widening a SOURCE of a generated column is refused (silent
+    // narrow-cast overflow channel), completing the rename/drop guards
+    val n = s"$dir/n"
+    SnapshotTable.create(spark, n, StructType(Seq(
+      StructField("k", IntegerType),
+      genField("k2", IntegerType, "k * 2"))))
+    SnapshotTable.append(Seq(1).toDF("k"), n)
+    assert(intercept[Exception](
+      SnapshotTable.widenColumnType(spark, n, "k", LongType))
+      .getMessage.contains("GENERATED"))
+  }
+
   test("the streaming sink refuses a generated-column target loudly") {
     val dir = Files.createTempDirectory("graft-gen5").toString
     val path = mkTable(dir)
