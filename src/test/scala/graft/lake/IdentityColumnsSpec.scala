@@ -202,6 +202,24 @@ class IdentityColumnsSpec extends SparkTestBase {
     }
   }
 
+  test("the change feed carries STABLE identity values through a merge's update images") {
+    val path = mk(java.nio.file.Files.createTempDirectory("graft-idcdf").toString)
+    SnapshotTable.append(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+      .coalesce(1), path)                                             // v2 (v1=create)
+    val idA = SnapshotTable.read(spark, path).filter(col("k") === "a")
+      .select("id").as[Long].head()
+    SnapshotTable.merge(Seq(("a", 9.0)).toDF("k", "v").coalesce(1),
+      path, Seq("k"))                                                 // v3
+    val feed = SnapshotTable.changes(spark, path, 2L, 3L)
+      .select("k", "id", "_change_type").as[(String, Long, String)]
+      .collect().toSeq.sorted
+    // the update pre/post images carry the SAME identity value —
+    // downstream consumers can key incremental state on it
+    assert(feed === Seq(("a", idA, "update_postimage"),
+      ("a", idA, "update_preimage")),
+      s"identity must be stable across the merge's images: $feed")
+  }
+
   test("CREATE TABLE ... GENERATED ALWAYS AS IDENTITY via SQL; INSERT assigns") {
     val warehouse = Files.createTempDirectory("graft-id-wh").toString
     val prevDefault = SparkSession.getDefaultSession
