@@ -869,6 +869,20 @@ object SnapshotTable {
         "branch handle does not re-create the branch")
     val guardedCs: Map[String, String] =
       prevMeta.map(_.constraints).getOrElse(Map.empty)
+    // identity/generated-column signature of the schema this write
+    // derived its values from (or didn't: a pre-create read sees
+    // none). A CREATE or concurrent evolution landing between this
+    // read and the CAS would otherwise publish files that silently
+    // null-fill identity/generated columns under the creator's schema
+    // (mergeSchemas keeps the fields; the colmap guard passes because
+    // both mappings are empty) — so the CAS re-checks the signature,
+    // exactly like the colmap and watermark guards.
+    def identGenSig(s: Option[StructType])
+        : (Seq[(String, Long, Boolean)], Seq[(String, String)]) = s.map { sc =>
+      (identityColumnsOf(sc).map(t => (t._1.name, t._3, t._4)),
+        generatedColumnsOf(sc).map { case (f, e) => (f.name, e) })
+    }.getOrElse((Nil, Nil))
+    val preIdentGenSig = identGenSig(prevMeta.flatMap(_.schema))
     // hidden partitioning: the transform set is fixed at table
     // creation (changed only through evolvePartitionTransforms) and
     // every write path re-derives the partition columns from the
@@ -951,6 +965,13 @@ object SnapshotTable {
           // stale — abort rather than publish mismatched files
           require(m.colmap == cmBase,
             s"concurrent column-mapping change at $path during commit — rerun")
+          // identity/generated values (or their absence) were derived
+          // against the pre-write schema — a schema that gained (or
+          // changed) identity/generated columns since would make the
+          // written files silently null-fill them
+          require(identGenSig(m.schema) == preIdentGenSig,
+            s"concurrent identity/generated-column change at $path during " +
+              "commit — rerun")
           // a re-added column our files store under a FRESH physical
           // name must not have been added concurrently under a
           // different identity — publishing our mapping would remap
@@ -1021,8 +1042,18 @@ object SnapshotTable {
       // would make them collide, so fail (values are baked into the
       // written files; a silent retry cannot renumber them). The
       // bump (step × rows written, gap-tolerant) publishes with this
-      // commit via the schema metadata.
-      val identRows = added.map(e => math.max(e.rows, 0L)).sum
+      // commit via the schema metadata. Every written entry must
+      // carry its footer row count: clamping a missing count (−1) to
+      // 0 would under-advance the watermark and a later commit would
+      // silently reuse already-assigned values.
+      val identRows =
+        if (identBumps.isEmpty) 0L
+        else {
+          added.foreach(e => require(e.rows >= 0L,
+            s"identity assignment at $path needs a footer row count " +
+              s"for every written file — ${e.filePath} has none"))
+          added.map(_.rows).sum
+        }
       identBumps.foreach { case (n, (high, _)) =>
         val cur = prevSchema.flatMap(_.fields.find(_.name == n))
           .map(f => if (f.metadata.contains(IdentityHighKey))
@@ -1481,8 +1512,13 @@ object SnapshotTable {
       s"transform ${t.spec}: source column '${t.src}' not in the schema"))
     validateGeneratedColumns(spark, schema)
     identityColumnsOf(schema).foreach { case (f, _, step, _) =>
-      require(f.dataType == LongType || f.dataType == IntegerType,
-        s"identity column '${f.name}' must be BIGINT or INT, " +
+      // BIGINT only (Delta's rule): assignment computes Long
+      // `high + step * ordinal` — a narrower declared type would cast
+      // that down, silently wrapping past the type's range under
+      // non-ANSI evaluation while the Long watermark keeps advancing,
+      // so the CAS collision guard could never see the duplicates
+      require(f.dataType == LongType,
+        s"identity column '${f.name}' must be BIGINT, " +
           s"got ${f.dataType.simpleString}")
       require(step != 0L, s"identity column '${f.name}': step must be nonzero")
       require(!f.metadata.contains(GenExprKey),
@@ -2115,6 +2151,15 @@ object SnapshotTable {
       op: String): (DataFrame, Map[String, (Long, Long)]) = {
     val ids = schema.map(identityColumnsOf).getOrElse(Nil)
     if (ids.isEmpty) return (df, Map.empty)
+    // create() enforces BIGINT, but an identity field can also enter
+    // through a first-append schema's metadata — never assign into a
+    // narrower type (the Long arithmetic would silently wrap, see
+    // create()'s rationale)
+    ids.foreach { case (f, _, _, _) =>
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"identity column '${f.name}' must be BIGINT, " +
+          s"got ${f.dataType.simpleString}")
+    }
     val fillOnly = op == "merge"
     val ingest = Set("append", "overwrite", "append_clustered",
       "append_zordered", "overwrite_partitions")(op)

@@ -71,11 +71,12 @@ class SnapshotChangesSource extends StreamSourceProvider with DataSourceRegister
       .getOrElse(throw new IllegalArgumentException(
         "graft-changes needs the table path: .load(<tablePath>) or .option(\"path\", ...)"))
 
-  private def feedSchema(spark: SparkSession, path: String): StructType = {
+  private def feedSchema(spark: SparkSession, path: String,
+      atVersion: Option[Long] = None): StructType = {
     require(SnapshotTable.latestVersion(spark, path).nonEmpty,
       s"no committed version at $path — the change feed needs an existing table")
-    val s = SnapshotTable.schemaOf(spark, path)
-      .getOrElse(SnapshotTable.read(spark, path).schema)
+    val s = SnapshotTable.schemaOf(spark, path, atVersion)
+      .getOrElse(SnapshotTable.read(spark, path, atVersion).schema)
     // data fields forced NULLABLE like the batch read (a version's
     // rows may predate a column — the schema-evolution NULL must not
     // zero-fill under a non-nullable declared field); the two feed
@@ -112,9 +113,17 @@ class SnapshotChangesSource extends StreamSourceProvider with DataSourceRegister
       .orElse(opt("startingVersion").map(_.toLong)).getOrElse(1L)
     require(startingVersion >= 1L,
       s"startingVersion must be >= 1 (version 1 is the first commit), got $startingVersion")
+    // pin the capture version FIRST, then derive the schema AT it:
+    // (version, schema, colmap) must be one atomic capture — a commit
+    // landing between an unpinned schema read and the version pin
+    // would be <= capturedVersion, invisible to the stability guard,
+    // and the stale schema would serve silently. Version files are
+    // immutable, so reads at the pinned version are consistent.
+    val capturedVersion = SnapshotTable.latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
     new SnapshotChangesStreamingSource(spark, path,
-      feedSchema(spark, path), startingVersion,
-      opt("maxVersionsPerTrigger").map(_.toLong))
+      feedSchema(spark, path, Some(capturedVersion)), startingVersion,
+      opt("maxVersionsPerTrigger").map(_.toLong), capturedVersion)
   }
 }
 
@@ -146,15 +155,13 @@ private case class SnapshotChangesOffset(version: Long) extends OffsetV1 {
 
 private class SnapshotChangesStreamingSource(spark: SparkSession, path: String,
     srcSchema: StructType, startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long]) extends Source
+    maxVersionsPerTrigger: Option[Long], capturedVersion: Long) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  // schema capture: version + mapping resolved ONCE at query (re)start
-  // — the anchor every batch's namesAsOf translation and stability
-  // check compare against
-  private val capturedVersion: Long =
-    SnapshotTable.latestVersion(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $path"))
+  // schema capture: version + schema + mapping resolved ONCE, as one
+  // atomic capture at query (re)start (createSource pins the version
+  // and derives srcSchema at it) — the anchor every batch's namesAsOf
+  // translation and stability check compare against
   private val capturedColmap: Map[String, String] =
     SnapshotTable.columnMappingAt(spark, path, capturedVersion)
 

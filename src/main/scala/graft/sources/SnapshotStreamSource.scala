@@ -137,16 +137,31 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
     require(!opts.getBoolean("readchangefeed", false),
       "the change-data feed is its own source: " +
         "spark.readStream.format(\"graft-changes\").load(tablePath)")
-    // logical→physical mapping captured at the same moment the schema
-    // was resolved (query start / restart) — see the class doc for why
-    // one capture is correct for every file the stream will read; the
-    // capture VERSION anchors the post-capture stability guard
-    // ([[SchemaStability]]) every batch end is checked against
+    // version, schema and logical→physical mapping resolved as ONE
+    // atomic capture (query start / restart) — see the class doc for
+    // why one capture is correct for every file the stream will read;
+    // the capture VERSION anchors the post-capture stability guard
+    // ([[SchemaStability]]) every batch end is checked against. The
+    // schema is RE-derived here at the pinned version rather than
+    // trusting `schema` (inferSchema's capture, moments earlier): a
+    // DDL committed in that window is <= capturedVersion and therefore
+    // invisible to the stability guard — the stale capture would serve
+    // silently. Version files are immutable, so reads at one version
+    // are consistent by construction.
+    val spark = SparkSession.active
+    val path = pathOf(opts)
     val capturedVersion =
-      SnapshotTable.latestVersion(SparkSession.active, pathOf(opts)).getOrElse(0L)
+      SnapshotTable.latestVersion(spark, path).getOrElse(0L)
+    val pinnedSchema =
+      if (capturedVersion == 0L) schema // sink target: not yet created
+      else StructType(
+        SnapshotTable.schemaOf(spark, path, Some(capturedVersion))
+          .getOrElse(SnapshotTable.read(spark, path, Some(capturedVersion)).schema)
+          .fields.filterNot(_.name.startsWith("__p_"))
+          .map(_.copy(nullable = true)))
     val colmap = capturedVersion match {
       case 0L => Map.empty[String, String]
-      case v  => SnapshotTable.columnMappingAt(SparkSession.active, pathOf(opts), v)
+      case v  => SnapshotTable.columnMappingAt(spark, path, v)
     }
     // startingTimestamp (Delta's option): resolved to the first
     // version committed at or after it, ONCE at query start
@@ -156,7 +171,7 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
     val startV = ts
       .map(StartingTimestamp.resolve(SparkSession.active, pathOf(opts), _))
       .orElse(Option(opts.get("startingversion")).map(_.toLong)).getOrElse(0L)
-    new SnapshotStreamTable(pathOf(opts), schema, colmap, capturedVersion,
+    new SnapshotStreamTable(path, pinnedSchema, colmap, capturedVersion,
       SnapshotStreamOptions(
       startV,
       opts.getBoolean("ignorechanges", false),

@@ -121,6 +121,13 @@ class IdentityColumnsSpec extends SparkTestBase {
     assert(intercept[Exception](SnapshotTable.create(spark, s"$dir/bad1",
       StructType(Seq(idField("id", DoubleType), StructField("v", DoubleType)))))
       .getMessage.contains("BIGINT"))
+    // INT identity refused (Delta's BIGINT-only rule): Long
+    // `high + step * ordinal` cast to INT would silently wrap past
+    // Int.MaxValue under non-ANSI eval while the Long watermark keeps
+    // advancing — the collision guard could never see the duplicates
+    assert(intercept[Exception](SnapshotTable.create(spark, s"$dir/badInt",
+      StructType(Seq(idField("id", IntegerType), StructField("v", DoubleType)))))
+      .getMessage.contains("BIGINT"))
     assert(intercept[Exception](SnapshotTable.create(spark, s"$dir/bad2",
       StructType(Seq(idField("id", step = 0L), StructField("v", DoubleType)))))
       .getMessage.contains("nonzero"))
@@ -252,5 +259,57 @@ class IdentityColumnsSpec extends SparkTestBase {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
     }
+  }
+
+  test("a CREATE with identity columns racing into an append's " +
+      "pre-write/CAS window fails the append loudly") {
+    // The hole this pins: an append whose pre-write read saw NO table
+    // (no identity assignment) while a CREATE TABLE with identity
+    // columns lands before its CAS — without the signature guard the
+    // append's files would publish over the creator's schema with the
+    // identity column silently NULL-filled (colmap guard passes: both
+    // mappings empty). The slow UDF holds the append's write job open
+    // so the CREATE deterministically lands inside the window.
+    val dir = Files.createTempDirectory("graft-id-race").toString
+    val path = s"$dir/t"
+    IdentityRaceHolder.reset()
+    val slow = udf { (v: Double) =>
+      IdentityRaceHolder.started.countDown()
+      IdentityRaceHolder.go.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      v
+    }
+    @volatile var thrown: Throwable = null
+    val appender = new Thread(() => {
+      try SnapshotTable.append(
+        Seq(1.0, 2.0).toDF("v").repartition(1)
+          .withColumn("v", slow(col("v"))), path)
+      catch { case t: Throwable => thrown = t }
+    })
+    appender.start()
+    // once the write job is executing, the pre-write read is done
+    assert(IdentityRaceHolder.started.await(30,
+      java.util.concurrent.TimeUnit.SECONDS), "append write never started")
+    SnapshotTable.create(spark, path, StructType(Seq(
+      idField("id"), StructField("v", DoubleType))))
+    IdentityRaceHolder.go.countDown()
+    appender.join(60000)
+    assert(thrown != null,
+      "append must fail: its files would null-fill the identity column")
+    assert(thrown.getMessage.contains("identity"))
+    // the creator's table is intact and assigns normally afterwards
+    SnapshotTable.append(Seq(7.0).toDF("v"), path)
+    assert(SnapshotTable.read(spark, path).select("id")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+}
+
+/** Latch holder for the CREATE-race spec: static so the executor
+  * threads of local mode share it with the driver. */
+object IdentityRaceHolder {
+  @volatile var started = new java.util.concurrent.CountDownLatch(1)
+  @volatile var go = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    started = new java.util.concurrent.CountDownLatch(1)
+    go = new java.util.concurrent.CountDownLatch(1)
   }
 }

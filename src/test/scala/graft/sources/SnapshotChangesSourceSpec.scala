@@ -103,7 +103,7 @@ class SnapshotChangesSourceSpec extends SparkTestBase {
     val src = new SnapshotChangesStreamingSource(spark, path,
       new SnapshotChangesSource().createSource(spark.sqlContext, s"$base/meta",
         None, "graft-changes", Map("path" -> path)).schema,
-      1L, None)
+      1L, None, capturedVersion = 1L)
     SnapshotTable.renameColumn(spark, path, "v", "value")                 // v2
     SnapshotTable.append(Seq((2L, 20.0)).toDF("k", "value"), path)        // v3
     val e = intercept[IllegalStateException] {
@@ -124,7 +124,7 @@ class SnapshotChangesSourceSpec extends SparkTestBase {
     val src = new SnapshotChangesStreamingSource(spark, path,
       new SnapshotChangesSource().createSource(spark.sqlContext, s"$base/meta",
         None, "graft-changes", Map("path" -> path)).schema,
-      1L, None)
+      1L, None, capturedVersion = 1L)
     SnapshotTable.widenColumnType(spark, path, "n",
       org.apache.spark.sql.types.LongType)                                // v2
     SnapshotTable.append(Seq((2L, 20L)).toDF("k", "n"), path)             // v3: LONG era

@@ -430,4 +430,48 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
       "added-then-DV'd file must emit without its dead rows and " +
         "without re-emitting v1's file")
   }
+
+  test("getTable re-derives the schema at the pinned capture version — " +
+      "a DDL between inferSchema and getTable cannot serve stale") {
+    // The window this pins: Spark resolves a stream in two provider
+    // calls (inferSchema, then getTable). A rename committed between
+    // them is <= the version getTable captures, so the stability
+    // guard never checks it — the stale inferSchema capture would
+    // serve the OLD logical name silently. getTable must therefore
+    // derive (version, schema, colmap) as one atomic capture.
+    val base = Files.createTempDirectory("graft-stream-pin").toString
+    val path = s"$base/t"
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), path)
+    val provider = new SnapshotStreamSource()
+    val optMap = new java.util.HashMap[String, String]()
+    optMap.put("path", path)
+    val opts =
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(optMap)
+    val inferred = provider.inferSchema(opts)
+    assert(inferred.fieldNames.toSeq === Seq("k", "v"))
+    SnapshotTable.renameColumn(spark, path, "v", "w") // lands in the window
+    val table = provider.getTable(inferred, Array.empty, optMap)
+    assert(table.schema().fieldNames.toSeq === Seq("k", "w"),
+      "getTable must pin schema at its own captured version, not " +
+        "serve inferSchema's stale capture")
+    // end-to-end: a fresh stream over the renamed table serves 'w'
+    val got = drain(path, s"$base/ckpt")
+    assert(got.nonEmpty && got.head.schema.fieldNames.contains("w"))
+  }
+
+  test("change-feed source derives its schema at the pinned capture " +
+      "version (atomic with the colmap capture)") {
+    val base = Files.createTempDirectory("graft-changes-pin").toString
+    val path = s"$base/t"
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), path)
+    val src = new SnapshotChangesSource()
+    val params = Map("path" -> path)
+    val (_, s1) = src.sourceSchema(spark.sqlContext, None, "graft-changes", params)
+    assert(s1.fieldNames.contains("v"))
+    SnapshotTable.renameColumn(spark, path, "v", "w") // lands in the window
+    val source = src.createSource(spark.sqlContext,
+      s"$base/meta", None, "graft-changes", params)
+    assert(source.schema.fieldNames.contains("w"),
+      "createSource must pin version first and derive the schema AT it")
+  }
 }
