@@ -2246,6 +2246,56 @@ object EvQueries {
        |  round(kwhTotal + 1000.0, 2), true FROM gold
        |ORDER BY sid""".stripMargin
 
+  /** ROW TRACKING (ev gate): stable row identity pairing the change
+    * feed's update images under a KEYLESS rewrite — the case the
+    * opKeys heuristic structurally cannot pair (an `UPDATE ... WHERE`
+    * records no key columns; the reference's gold table relies on
+    * Iceberg v2 row-level semantics for the same update shape,
+    * reference jobs/ev_sessions_gold_etl.py:147-156). A row-tracking
+    * table appends the gold rows in one sorted file (ids = position),
+    * a predicate UPDATE rewrites the file, and the feed must emit
+    * exactly one preimage + one postimage PER ROW ID for the matched
+    * rows — carried rows cancel in the diff (same values, same id),
+    * so no bare insert/delete rows appear. The oracle recomputes ids
+    * as row_number over the same deterministic order. */
+  def rowTrackingGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft-rid-gate")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    import org.apache.spark.sql.types._
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .orderBy("sessionId", "kwhTotal").coalesce(1).persist()
+    try {
+      SnapshotTable.create(spark, t, StructType(Seq(
+        StructField("sessionId", StringType),
+        StructField("kwhTotal", DoubleType))), rowTracking = true)   // v1
+      SnapshotTable.append(gold, t)                                   // v2
+      val vU = SnapshotTable.update(spark, t,
+        Seq("kwhTotal" -> (col("kwhTotal") + 100.0)),
+        col("kwhTotal") > 8.0)                                        // v3
+      SnapshotTable.changes(spark, t, vU - 1, vU, None,
+          includeRowIds = true)
+        .select(col("_row_id"), col("_change_type"), col("sessionId"),
+          round(col("kwhTotal"), 2).as("kwh"))
+        .orderBy("_row_id", "_change_type")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val rowTrackingSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal,
+       |    row_number() OVER (ORDER BY sessionId, kwhTotal) - 1 AS rid
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT CAST(rid AS BIGINT) AS _row_id,
+       |  'update_preimage' AS _change_type, sessionId,
+       |  round(kwhTotal, 2) AS kwh FROM gold WHERE kwhTotal > 8.0
+       |UNION ALL
+       |SELECT CAST(rid AS BIGINT), 'update_postimage', sessionId,
+       |  round(kwhTotal + 100.0, 2) FROM gold WHERE kwhTotal > 8.0
+       |ORDER BY _row_id, _change_type""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -2291,5 +2341,6 @@ object EvQueries {
     QDef("ev39_generated_columns", generatedColumnsGate, Some(generatedColumnsSql)),
     QDef("ev40_describe_history", describeHistoryGate, Some(describeHistorySql)),
     QDef("ev41_identity_columns", identityColumnsGate, Some(identityColumnsSql)),
+    QDef("ev42_row_tracking", rowTrackingGate, Some(rowTrackingSql)),
   )
 }

@@ -69,12 +69,34 @@ object SnapshotTable {
     * comparison conjunct (an all-null file can't match — the case
     * min/max can't serve, because an all-null chunk records no
     * bounds at all). Files without a recorded count stay readable. */
+  /** `rid`: ROW-TRACKING base id (Delta row-tracking / Iceberg-v3
+    * row-lineage shape, opt-in per table): when the manifest carries a
+    * `#rowIdHigh=` watermark, every live file records the first row id
+    * of its assigned range — a row's stable id is `rid + row position`
+    * unless the file MATERIALIZES ids (`ridMat`: the file physically
+    * carries a `__rid` column — rewritten files do, so surviving rows
+    * keep the ids they were born with; a NULL materialized id falls
+    * back to `rid + position`, which is how rows INSERTED by a rewrite
+    * get fresh ids without any executor-side coordination). Bases are
+    * assigned driver-side at CAS time from the watermark + footer row
+    * counts, so appends pay ZERO data-path cost for row ids. */
   private[lake] case class Entry(commitDir: String, filePath: String,
       rows: Long = -1L, stats: Seq[(String, Double, Double)] = Nil,
       dv: Option[(String, Long)] = None,
       sstats: Seq[(String, String, String)] = Nil,
       blooms: Seq[(String, String)] = Nil,
-      nulls: Seq[(String, Long)] = Nil)
+      nulls: Seq[(String, Long)] = Nil,
+      rid: Option[Long] = None,
+      ridMat: Boolean = false)
+
+  /** Physical name of the materialized row-id column rewritten files
+    * carry. Never part of the recorded schema (user reads never see
+    * it); reserved in user frames like the `__p_` prefix. */
+  private[lake] val RidCol = "__rid"
+
+  /** Public column name [[readWithRowIds]] / the change feed expose
+    * stable row ids under. */
+  val RowIdCol = "_row_id"
 
   /** Unsigned UTF-8 byte-order comparison — the shared ordering of
     * parquet BINARY footer stats and Spark's UTF8String, so string
@@ -237,7 +259,8 @@ object SnapshotTable {
       opKeys: Seq[String] = Nil,
       colmap: Map[String, String] = Map.empty,
       droppedPhys: Seq[String] = Nil,
-      autoCompact: Option[(Int, Long)] = None) {
+      autoCompact: Option[(Int, Long)] = None,
+      rowIdHigh: Option[Long] = None) {
     /** Physical (on-disk) name of a logical column. */
     def phys(c: String): String = colmap.getOrElse(c, c)
   }
@@ -370,7 +393,16 @@ object SnapshotTable {
     // URL-encoded so '#' can never occur inside), the numeric stats
     // remain raw triples — filter by tag, then the remainder must
     // group cleanly
-    val (bloomToks, afterBloom) = afterDv.partition(_.startsWith("bloom="))
+    // row-tracking token: `rid=<base>` (ids = base + position) or
+    // `rid=<base>#m` (file materializes a physical __rid column)
+    val (ridToks, afterRid) = afterDv.partition(_.startsWith("rid="))
+    val (rid, ridMat) = ridToks.headOption.map(_.stripPrefix("rid=")) match {
+      case None => (None, false)
+      case Some(body) =>
+        if (body.endsWith("#m")) (Some(body.dropRight(2).toLong), true)
+        else (Some(body.toLong), false)
+    }
+    val (bloomToks, afterBloom) = afterRid.partition(_.startsWith("bloom="))
     val blooms = bloomToks.toSeq.map { t =>
       t.stripPrefix("bloom=").split("#", -1) match {
         case Array(c, payload) =>
@@ -398,7 +430,8 @@ object SnapshotTable {
     require(rest.length % 3 == 0, s"bad manifest line: $line")
     val stats = rest.grouped(3)
       .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
-    Entry(parts(0), parts(1), rows, stats, dv, sstats, blooms, nulls)
+    Entry(parts(0), parts(1), rows, stats, dv, sstats, blooms, nulls,
+      rid, ridMat)
   }
 
   /** Raw parse of one version file: headers + its OWN entry lines.
@@ -456,6 +489,10 @@ object SnapshotTable {
         case other => throw new IllegalArgumentException(
           s"bad #autocompact header: ${other.mkString("#")}")
       })
+    // row-tracking watermark: the NEXT row id this table will assign
+    // (monotone across the whole history — see restore())
+    val rowIdHigh = lines.find(_.startsWith("#rowIdHigh="))
+      .map(_.stripPrefix("#rowIdHigh=").toLong)
     val deltaBase = lines.find(_.startsWith("#delta="))
       .map(_.stripPrefix("#delta=").toLong)
     val adds = Seq.newBuilder[Entry]
@@ -466,7 +503,7 @@ object SnapshotTable {
       else adds += parseEntryLine(line)
     }
     (Manifest(schema, adds.result(), op, constraints, transforms, retired, txns,
-      bloomCols, opKeys, colmap, droppedPhys, autoCompact),
+      bloomCols, opKeys, colmap, droppedPhys, autoCompact, rowIdHigh),
       deltaBase, removes.result())
   }
 
@@ -662,7 +699,7 @@ object SnapshotTable {
     * results. */
   private[lake] val SupportedReaderFeatures: Set[String] =
     Set("column-mapping", "deletion-vectors", "partition-transforms",
-      "column-defaults")
+      "column-defaults", "row-tracking")
 
   private def readerFeaturesOf(m: Manifest): Seq[String] = {
     val b = Seq.newBuilder[String]
@@ -672,6 +709,10 @@ object SnapshotTable {
       b += "partition-transforms"
     if (m.schema.exists(_.fields.exists(_.metadata.contains("EXISTS_DEFAULT"))))
       b += "column-defaults"
+    // a pre-row-tracking reader would fail on the rid entry tokens
+    // anyway — the feature gate turns that into a clear upgrade error
+    if (m.rowIdHigh.isDefined || m.entries.exists(_.rid.isDefined))
+      b += "row-tracking"
     b.result()
   }
 
@@ -700,10 +741,13 @@ object SnapshotTable {
       (if (m.droppedPhys.nonEmpty)
         s"#colsDropped=${m.droppedPhys.map(java.net.URLEncoder.encode(_, "UTF-8"))
           .mkString(",")}\n" else "") +
-      m.autoCompact.map { case (n, r) => s"#autocompact=$n#$r\n" }.getOrElse("")
+      m.autoCompact.map { case (n, r) => s"#autocompact=$n#$r\n" }.getOrElse("") +
+      m.rowIdHigh.map(h => s"#rowIdHigh=$h\n").getOrElse("")
 
   private def entryLine(e: Entry): String = {
     val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
+    val rid = e.rid.map(b =>
+      if (e.ridMat) s"\trid=$b#m" else s"\trid=$b").getOrElse("")
     val dv = e.dv.map { case (p, n) =>
       s"\tdv=${java.net.URLEncoder.encode(p, "UTF-8")}#$n" }.getOrElse("")
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
@@ -715,7 +759,9 @@ object SnapshotTable {
     val nulls = e.nulls.map { case (c, n) =>
       s"\tnulls=${enc(c)}#$n" }.mkString
     val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
-    s"${e.commitDir}\t${e.filePath}$rows$dv$blooms$sstats$nulls$stats"
+    // rid must follow dv: the dv token is positional (first after
+    // rows), the tagged tokens (rid/bloom/sstat/nulls) are not
+    s"${e.commitDir}\t${e.filePath}$rows$dv$rid$blooms$sstats$nulls$stats"
   }
 
   /** Serialized CHECKPOINT manifest (header lines + one entry line
@@ -848,8 +894,12 @@ object SnapshotTable {
       carryOver: Seq[Entry] => Seq[Entry], maxAttempts: Int = 20,
       statsCols: Seq[String] = Nil, op: String = "append",
       newTransforms: Seq[PartitionTransform] = Nil,
-      opKeys: Seq[String] = Nil): Long = {
+      opKeys: Seq[String] = Nil, ridCarried: Boolean = false): Long = {
     val spark = df.sparkSession
+    // `__rid` is the row-tracking physical column: only the internal
+    // rewrite paths may pass it (ridCarried), never user data
+    require(ridCarried || !df.columns.contains(RidCol),
+      s"column name '$RidCol' is reserved for row tracking")
     val commitDir =
       s"${realPathOf(path)}/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
     // CHECK constraints ride the write job as a guard projection (no
@@ -931,7 +981,7 @@ object SnapshotTable {
     // entry publishes with this commit — same policy as addColumns
     val reAdds: Map[String, String] = prevMeta.map { pm =>
       freshPhysicalNames(pm, data.schema.fieldNames.toSeq.filterNot(c =>
-        pm.schema.exists(_.fieldNames.contains(c))))
+        c == RidCol || pm.schema.exists(_.fieldNames.contains(c))))
     }.getOrElse(Map.empty)
     val cm = cmBase ++ reAdds
     val physData =
@@ -952,12 +1002,12 @@ object SnapshotTable {
       // publishes first, the CAS fails and we re-read their manifest
       val version = latestVersion(spark, path).getOrElse(0L) + 1
       val (prevSchema, previous, prevCs, prevTs, prevRetired, prevTxns,
-          prevBloomCols, prevDropped, prevAuto) =
+          prevBloomCols, prevDropped, prevAuto, prevRidHigh) =
         if (version == 1L)
           (None, Nil, Map.empty[String, String],
             Seq.empty[PartitionTransform], Seq.empty[PartitionTransform],
             Map.empty[String, Long], Seq.empty[String], Seq.empty[String],
-            None: Option[(Int, Long)])
+            None: Option[(Int, Long)], None: Option[Long])
         else {
           val m = readManifestFull(spark, path, version - 1)
           // our files were written under the PRE-WRITE mapping; a
@@ -980,7 +1030,7 @@ object SnapshotTable {
             !m.schema.exists(_.fieldNames.contains(c)),
             s"concurrent add of column '$c' at $path during commit — rerun"))
           (m.schema, m.entries, m.constraints, m.transforms, m.retiredTransforms,
-            m.txns, m.bloomCols, m.droppedPhys, m.autoCompact)
+            m.txns, m.bloomCols, m.droppedPhys, m.autoCompact, m.rowIdHigh)
         }
       // the partition spec may have CHANGED between our pre-write read
       // and this attempt (a concurrent evolvePartitionTransforms or
@@ -1021,8 +1071,12 @@ object SnapshotTable {
       // drift gate + schema evolution, recomputed per attempt (a
       // contending writer may have evolved the schema): additive
       // columns merge in, a type change on a shared column is drift
-      // and fails loudly before any manifest is published
-      val merged = mergeSchemas(prevSchema, data.schema, path)
+      // and fails loudly before any manifest is published. The
+      // row-tracking `__rid` column is physical-only — it is written
+      // into the files but stripped from the recorded schema, so user
+      // reads (built from the schema) never see it.
+      val merged = mergeSchemas(prevSchema,
+        StructType(data.schema.fields.filterNot(_.name == RidCol)), path)
       // a NEW column's PHYSICAL name (fresh for re-adds, identity
       // otherwise) must not collide with a tombstone or a still-mapped
       // physical name AT CAS TIME — a concurrent drop could have
@@ -1073,10 +1127,30 @@ object SnapshotTable {
                 .putLong(IdentityHighKey, high + step * identRows).build())
           }
         })
+      // ROW TRACKING: bases assigned HERE, inside the CAS loop, from
+      // the latest watermark — pure driver-side metadata (ids = base +
+      // row position from footer row counts), so appends pay zero
+      // data-path cost and a CAS retry simply recomputes; nothing is
+      // baked that a concurrent writer could collide with (rewritten
+      // files materialize EXISTING ids, stable by definition, and
+      // their inserted rows fall back to base + position).
+      val (addedOut, ridHighOut) = prevRidHigh match {
+        case None => (added, None)
+        case Some(high) =>
+          var b = high
+          (added.map { e =>
+            require(e.rows >= 0L,
+              s"row tracking at $path needs a footer row count for every " +
+                s"written file — ${e.filePath} has none")
+            val x = e.copy(rid = Some(b), ridMat = ridCarried)
+            b += e.rows
+            x
+          }, Some(b))
+      }
       if (publishManifest(spark, path, version, Manifest(
-          Some(published), carryOver(previous) ++ added, Some(op), prevCs,
+          Some(published), carryOver(previous) ++ addedOut, Some(op), prevCs,
           tsOut, retiredOut, prevTxns, prevBloomCols, opKeys, cm, prevDropped,
-          prevAuto))) {
+          prevAuto, ridHighOut))) {
         // commit-time auto-compaction (Delta autoOptimize posture):
         // best-effort, never fails the user's commit, and skipped for
         // the compaction's own commits (no recursion)
@@ -1498,11 +1572,13 @@ object SnapshotTable {
     * create itself is a CAS on v1: losing it means another writer
     * created the table first, which surfaces as "already exists". */
   def create(spark: SparkSession, path: String, schema: StructType,
-      transformSpecs: Seq[String] = Nil): Long = {
+      transformSpecs: Seq[String] = Nil, rowTracking: Boolean = false): Long = {
     require(latestVersion(spark, path).isEmpty,
       s"table already exists at $path")
     require(schema.fieldNames.forall(!_.startsWith("__p_")),
       "column prefix '__p_' is reserved for hidden partition columns")
+    require(schema.fieldNames.forall(_ != RidCol),
+      s"column name '$RidCol' is reserved for row tracking")
     val ts = transformSpecs.map(PartitionTransform.parse)
     val dups = ts.groupBy(_.pcol).collect { case (c, xs) if xs.size > 1 => c }
     require(dups.isEmpty,
@@ -1525,9 +1601,105 @@ object SnapshotTable {
         s"column '${f.name}' cannot be both IDENTITY and GENERATED ALWAYS AS")
     }
     require(publishManifest(spark, path, 1L,
-      Manifest(Some(schema), Nil, Some("create"), transforms = ts)),
+      Manifest(Some(schema), Nil, Some("create"), transforms = ts,
+        rowIdHigh = if (rowTracking) Some(0L) else None)),
       s"table already exists at $path (concurrent create won version 1)")
     1L
+  }
+
+  // ---- ROW TRACKING (Delta row tracking / Iceberg v3 row lineage) --
+  // Opt-in stable row identity: every row gets a table-unique Long id
+  // that SURVIVES rewrites (update / merge / compact rewrite the row
+  // into a new file, the id goes with it) — the substrate for exact
+  // CDF update-image pairing under KEYLESS rewrites and for
+  // incremental consumers that need to recognize "the same row". The
+  // whole mechanism is driver-plane metadata:
+  //   - the manifest carries a `#rowIdHigh=` watermark (next id);
+  //   - each live file records a base id (`rid=` entry token); a
+  //     fresh file's row ids are base + row position — assignment
+  //     happens at CAS time from footer row counts, costing appends
+  //     NOTHING on the data path;
+  //   - rewrite paths read current ids and MATERIALIZE them into the
+  //     rewritten files as a physical `__rid` column (stripped from
+  //     the recorded schema — user reads never see it); rows a
+  //     rewrite INSERTS carry NULL there and fall back to base +
+  //     position, so even inserted-row ids need no executor
+  //     coordination;
+  //   - the watermark is MONOTONE across the entire history,
+  //     including RESTORE (Delta's rule: restored files keep the ids
+  //     they were born with, but the watermark never rewinds — a
+  //     rewound watermark would reassign ids of rows the restore
+  //     discarded, making a row id ambiguous across the restore
+  //     boundary in the change feed). This deliberately diverges from
+  //     IDENTITY columns, whose watermark rewinds with the data
+  //     (documented there): identity values are user data restored
+  //     with the rows; row ids are lineage, which must stay unique
+  //     forever.
+
+  /** Opt an EXISTING table into row tracking: one metadata commit
+    * assigning base ids to every live file from its footer row count.
+    * Idempotent (re-enabling is a no-op returning the current
+    * version). New tables can opt in at [[create]] (`rowTracking`). */
+  def enableRowTracking(spark: SparkSession, path: String): Long = {
+    val v = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    if (readManifestFull(spark, path, v).rowIdHigh.isDefined) return v
+    publishMetadataCommit(spark, path, "enableRowTracking") { m =>
+      if (m.rowIdHigh.isDefined) m
+      else {
+        var b = 0L
+        val entries = m.entries.map { e =>
+          require(e.rows >= 0L,
+            s"row tracking at $path needs a footer row count for every " +
+              s"live file — ${e.filePath} has none")
+          val x = e.copy(rid = Some(b))
+          b += e.rows
+          x
+        }
+        m.copy(entries = entries, rowIdHigh = Some(b))
+      }
+    }
+  }
+
+  /** Whether the table tracks row ids (at `version`, default latest). */
+  def rowTrackingEnabled(spark: SparkSession, path: String,
+      version: Option[Long] = None): Boolean =
+    version.orElse(latestVersion(spark, path))
+      .exists(v => readManifestFull(spark, path, v).rowIdHigh.isDefined)
+
+  /** The NEXT row id the table will assign (requires row tracking). */
+  def nextRowId(spark: SparkSession, path: String): Long = {
+    val v = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    readManifestFull(spark, path, v).rowIdHigh.getOrElse(
+      throw new IllegalArgumentException(
+        s"row tracking is not enabled at $path — enableRowTracking first"))
+  }
+
+  /** The table (at `version`, default latest) with a `_row_id` column
+    * of stable row ids appended — the [[read]] surface of row
+    * tracking. Same user schema as [[read]] (hidden partition columns
+    * dropped); `_row_id` is unique per table and stable across every
+    * rewrite (update / merge / compact / DV delete). */
+  def readWithRowIds(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val m = readManifestFull(spark, path, v)
+    require(m.rowIdHigh.isDefined,
+      s"row tracking is not enabled at $path (version $v) — " +
+        "enableRowTracking first")
+    if (m.entries.isEmpty) {
+      val sch = StructType(m.schema.map(_.fields.toSeq).getOrElse(Nil)
+        .filterNot(_.name.startsWith("__p_"))
+        .map(_.copy(nullable = true)) :+
+        StructField(RowIdCol, LongType, nullable = true))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+    }
+    val df = readGroupsWithRid(spark, m.entries, m.schema, m.colmap)
+      .withColumnRenamed(RidCol, RowIdCol)
+    df.drop(df.columns.filter(_.startsWith("__p_")).toSeq: _*)
   }
 
   /** ADOPT an existing plain-parquet directory (flat or
@@ -3251,7 +3423,34 @@ object SnapshotTable {
       // name is back in the restored schema's use)
       val physInUse = target.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
         .map(c => target.colmap.getOrElse(c, c))
-      cur.copy(entries = target.entries, schema = target.schema,
+      // ROW TRACKING across restore: restored files keep the ids they
+      // were born with (their rid bases travel with the entries), but
+      // the WATERMARK is monotone — max of both sides, never rewound
+      // (Delta's rule; unlike the identity watermark, which rewinds
+      // with the data it numbered: identity values are user data, row
+      // ids are lineage and must stay unique across the whole
+      // history, or a post-restore append would reuse ids of rows the
+      // restore discarded and make the change feed's identity
+      // ambiguous at the boundary). Restoring to a PRE-tracking
+      // version on a tracking table re-enables: the target's
+      // unnumbered files get fresh bases from the monotone watermark.
+      val (entriesOut, ridHighOut) = (cur.rowIdHigh, target.rowIdHigh) match {
+        case (None, t) => (target.entries, t)
+        case (Some(c), t) =>
+          var b = math.max(c, t.getOrElse(0L))
+          val es = target.entries.map { e =>
+            if (e.rid.isDefined) e
+            else {
+              require(e.rows >= 0L,
+                s"row tracking at $path needs a footer row count for " +
+                  s"${e.filePath} to restore across the enablement boundary")
+              val x = e.copy(rid = Some(b)); b += e.rows; x
+            }
+          }
+          (es, Some(b))
+      }
+      cur.copy(entries = entriesOut, rowIdHigh = ridHighOut,
+        schema = target.schema,
         constraints = target.constraints,
         transforms = target.transforms,
         retiredTransforms =
@@ -3393,10 +3592,11 @@ object SnapshotTable {
     * [[fastForward]]. DV-aware for the same reason the write-skew
     * guards are: a DV-only change IS a data change. */
   private def sameState(a: Manifest, b: Manifest): Boolean =
-    a.entries.map(e => (e.filePath, e.dv)).toSet ==
-      b.entries.map(e => (e.filePath, e.dv)).toSet &&
+    a.entries.map(e => (e.filePath, e.dv, e.rid)).toSet ==
+      b.entries.map(e => (e.filePath, e.dv, e.rid)).toSet &&
       a.schema == b.schema && a.constraints == b.constraints &&
-      a.transforms.map(_.spec) == b.transforms.map(_.spec)
+      a.transforms.map(_.spec) == b.transforms.map(_.spec) &&
+      a.rowIdHigh == b.rowIdHigh
 
   /** FAST-FORWARD main to a branch head (Iceberg
     * `fast_forward('main', <branch>)`): requires main to be an
@@ -3480,7 +3680,33 @@ object SnapshotTable {
           s"${dupes.size} already-live file(s) (e.g. ${dupes.head.filePath}) " +
           "— commit already picked")
       val removedKeys = removed.map(key).toSet
-      m.copy(entries = m.entries.filterNot(e => removedKeys(key(e))) ++ added,
+      // ROW TRACKING: the branch assigned its added files' bases from
+      // ITS watermark, which may overlap ids main has since assigned —
+      // re-base metadata-only files from main's watermark (their ids
+      // are base + position, so a new base renumbers them cleanly).
+      // A file that MATERIALIZES ids (rewritten on the branch) cannot
+      // be renumbered without a data rewrite — refuse loudly rather
+      // than publish colliding identities.
+      val (addedOut, ridHighOut) = m.rowIdHigh match {
+        case None => (added.map(e => e.copy(rid = None, ridMat = false)), None)
+        case Some(high) =>
+          val mat = added.filter(_.ridMat)
+          require(mat.isEmpty,
+            s"cherry-pick of branch '$name' v$branchVersion would import " +
+              s"${mat.size} file(s) with materialized row ids assigned on " +
+              s"the branch (e.g. ${mat.head.filePath}) — those ids may " +
+              "collide with main's; compact the branch commit or merge by " +
+              "fast-forward instead")
+          var b = high
+          (added.map { e =>
+            require(e.rows >= 0L,
+              s"row tracking at $path needs a footer row count for " +
+                s"cherry-picked file ${e.filePath}")
+            val x = e.copy(rid = Some(b)); b += e.rows; x
+          }, Some(b))
+      }
+      m.copy(entries = m.entries.filterNot(e => removedKeys(key(e))) ++ addedOut,
+        rowIdHigh = ridHighOut.orElse(m.rowIdHigh),
         schema = (m.schema, picked.schema) match {
           case (p @ Some(_), Some(c)) => Some(mergeSchemas(p, c, path))
           case (p, c) => c.orElse(p)
@@ -3743,6 +3969,32 @@ object SnapshotTable {
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** [[readGroups]] plus a computed `__rid` column holding each row's
+    * STABLE row id: the file's materialized id when present (rewritten
+    * files carry a physical `__rid`), else the entry's base + row
+    * position (`_metadata.row_index`). DVs are applied like
+    * readGroups. The per-file base map rides a BROADCAST join keyed
+    * like the DV anti-join — O(touched files) driver/broadcast state,
+    * never table-data-sized. */
+  private[lake] def readGroupsWithRid(spark: SparkSession, entries: Seq[Entry],
+      schema: Option[StructType],
+      colmap: Map[String, String]): DataFrame = {
+    entries.foreach(e => require(e.rid.isDefined,
+      s"row-tracking invariant violated: live file ${e.filePath} has no " +
+        "rid base"))
+    val withPos = readWithPositions(spark, entries, schema, colmap,
+      withRid = true)
+    import spark.implicits._
+    val baseDf = broadcast(entries.map(e => (dvFileKey(e.filePath), e.rid.get))
+      .toDF("__rid_fname", "__rid_base"))
+    val withId = withPos.join(baseDf,
+        col("__graft_fname") === col("__rid_fname"), "left")
+      .withColumn(RidCol,
+        coalesce(col(RidCol), col("__rid_base") + col("__graft_idx")))
+    applyDvFilter(spark, withId, entries.filter(_.dv.isDefined))
+      .drop("__rid_fname", "__rid_base", "__graft_fname", "__graft_idx")
+  }
+
   private def physicalSchema(s: StructType,
       colmap: Map[String, String]): StructType =
     if (colmap.isEmpty) s
@@ -3808,12 +4060,18 @@ object SnapshotTable {
     * here — callers decide. */
   private def readWithPositions(spark: SparkSession, entries: Seq[Entry],
       schema: Option[StructType],
-      colmap: Map[String, String] = Map.empty): DataFrame =
+      colmap: Map[String, String] = Map.empty,
+      withRid: Boolean = false): DataFrame =
     entries.groupBy(_.commitDir).map { case (dir, es) =>
       val base = spark.read.option("basePath", dir)
       val phys = schema match {
-        case Some(s) => base.schema(physicalSchema(s, colmap))
-          .parquet(es.map(_.filePath): _*)
+        case Some(s) =>
+          // withRid: the physical-only __rid column joins the read
+          // schema (nullable — files without it, or rewrite-inserted
+          // rows, null-fill and fall back to base + position)
+          val ps = physicalSchema(s, colmap)
+          base.schema(if (withRid) ps.add(RidCol, LongType, nullable = true)
+            else ps).parquet(es.map(_.filePath): _*)
         case None    => base.option("mergeSchema", true).parquet(es.map(_.filePath): _*)
       }
       // positions are tagged on the PHYSICAL frame (metadata columns
@@ -3825,6 +4083,7 @@ object SnapshotTable {
         case Some(s) if colmap.nonEmpty =>
           tagged.select(s.fields.toSeq.map(f =>
             col(colmap.getOrElse(f.name, f.name)).as(f.name)) ++
+            (if (withRid) Seq(col(RidCol)) else Nil) ++
             Seq(col("__graft_fname"), col("__graft_idx")): _*)
         case _ => tagged
       }
@@ -4111,6 +4370,7 @@ object SnapshotTable {
         s"column(s) ${idInSource.mkString(", ")}")
 
     val rewrite: Set[String] = keyRewriteSet(spark, path, base, entries, source, keyCols)
+    val ridTracked = bm.rowIdHigh.isDefined
 
     // survivors of the rewritten files = rows whose key matches no
     // source key; everything else in those files is superseded. The
@@ -4121,20 +4381,26 @@ object SnapshotTable {
       if (rewrite.isEmpty) source
       else {
         val touched = entries.filter(e => rewrite(e.filePath))
-        val current = readGroups(spark, touched, bm.schema, bm.colmap)
+        val current =
+          if (ridTracked) readGroupsWithRid(spark, touched, bm.schema, bm.colmap)
+          else readGroups(spark, touched, bm.schema, bm.colmap)
         // IDENTITY inheritance under replace-merge: a matched
         // (updated) row KEEPS the target's identity value — the
         // source row inherits it by key before the union; unmatched
         // (inserted) rows stay NULL and the commit's identity pass
         // assigns them fresh values. Only columns the source does not
         // provide are inherited (BY DEFAULT may provide explicitly).
+        // ROW IDS inherit the same way: an updated row keeps the
+        // target row's stable id (Delta row tracking's update rule);
+        // inserted rows stay NULL and fall back to base + position.
         val inheritIds = bm.schema.map(identityColumnsOf(_).map(_._1.name))
           .getOrElse(Nil)
           .filterNot(n => source.columns.exists(_.equalsIgnoreCase(n)))
+        val inherit = inheritIds ++ (if (ridTracked) Seq(RidCol) else Nil)
         val src =
-          if (inheritIds.isEmpty) source
+          if (inherit.isEmpty) source
           else {
-            val aggs = inheritIds.map(n => min(col(n)).as(n))
+            val aggs = inherit.map(n => min(col(n)).as(n))
             source.join(
               current.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*),
               keyCols.toSeq, "left")
@@ -4167,7 +4433,8 @@ object SnapshotTable {
       require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during merge — rerun the merge")
       prev.filterNot(e => rewrite(e.filePath))
-    }, statsCols = statsOut, op = "merge", opKeys = keyCols)
+    }, statsCols = statsOut, op = "merge", opKeys = keyCols,
+      ridCarried = ridTracked && rewrite.nonEmpty)
     catch {
       // surface the in-pass ambiguity guard as the API-level error
       // (the raise_error fires inside the rewrite job, wrapped in the
@@ -4214,7 +4481,10 @@ object SnapshotTable {
         .collect().map(r => normInputFile(r.getString(0))).toSet
     if (touched.isEmpty) return base
     val rewrite = entries.filter(e => touched(normFile(e.filePath)))
-    val touchedDf = aliased(readGroups(spark, rewrite, bm.schema, bm.colmap))
+    val ridTracked = bm.rowIdHigh.isDefined
+    val touchedDf = aliased(
+      if (ridTracked) readGroupsWithRid(spark, rewrite, bm.schema, bm.colmap)
+      else readGroups(spark, rewrite, bm.schema, bm.colmap))
     // keep rows where the predicate is FALSE or NULL
     val survivors = touchedDf.filter(!coalesce(predicate, lit(false)))
     val rev = bm.colmap.map(_.swap)
@@ -4229,7 +4499,7 @@ object SnapshotTable {
       require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during delete — rerun the delete")
       prev.filterNot(e => rewriteSet(e.filePath))
-    }, statsCols = statsOut, op = "delete")
+    }, statsCols = statsOut, op = "delete", ridCarried = ridTracked)
   }
 
   /** Distributed key-set DELETE — `MERGE ... WHEN MATCHED THEN
@@ -4258,7 +4528,10 @@ object SnapshotTable {
     val rewrite = keyRewriteSet(spark, path, base, entries, source, keyCols)
     if (rewrite.isEmpty) return base
     val touched = entries.filter(e => rewrite(e.filePath))
-    val current = readGroups(spark, touched, bm.schema, bm.colmap)
+    val ridTracked = bm.rowIdHigh.isDefined
+    val current =
+      if (ridTracked) readGroupsWithRid(spark, touched, bm.schema, bm.colmap)
+      else readGroups(spark, touched, bm.schema, bm.colmap)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     val survivors = current.join(srcKeys, keyCols.toSeq, "left_anti")
     val rev = bm.colmap.map(_.swap)
@@ -4273,7 +4546,7 @@ object SnapshotTable {
       require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during deleteKeys — rerun")
       prev.filterNot(e => rewrite(e.filePath))
-    }, statsCols = statsOut, op = "delete_keys")
+    }, statsCols = statsOut, op = "delete_keys", ridCarried = ridTracked)
   }
 
   /** Row-level DELETE via deletion vectors (Delta DV / Iceberg-v3
@@ -4417,7 +4690,10 @@ object SnapshotTable {
         .collect().map(r => normInputFile(r.getString(0))).toSet
     if (touched.isEmpty) return base
     val rewrite = entries.filter(e => touched(normFile(e.filePath)))
-    val touchedDf = aliased(readGroups(spark, rewrite, bm.schema, bm.colmap))
+    val ridTracked = bm.rowIdHigh.isDefined
+    val touchedDf = aliased(
+      if (ridTracked) readGroupsWithRid(spark, rewrite, bm.schema, bm.colmap)
+      else readGroups(spark, rewrite, bm.schema, bm.colmap))
     // rows where the predicate is NULL keep their old values, per SQL
     val fire = coalesce(predicate, lit(false))
     val updated = touchedDf.select(fields.map { f =>
@@ -4425,7 +4701,7 @@ object SnapshotTable {
         case Some((_, v)) => when(fire, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         case None         => col(f.name)
       }
-    }.toSeq: _*)
+    }.toSeq ++ (if (ridTracked) Seq(col(RidCol)) else Nil): _*)
     val rev = bm.colmap.map(_.swap)
     val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
       entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c)).distinct
@@ -4438,7 +4714,7 @@ object SnapshotTable {
       require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during update — rerun the update")
       prev.filterNot(e => rewriteSet(e.filePath))
-    }, statsCols = statsOut, op = "update")
+    }, statsCols = statsOut, op = "update", ridCarried = ridTracked)
   }
 
   /** Maintenance compaction: rewrite the CURRENT table state into
@@ -4475,7 +4751,10 @@ object SnapshotTable {
     // raw read (hidden partition columns kept): zShape clusters
     // within partitions and needs them present; commit() re-derives
     // them anyway before writing
-    val current = readGroups(spark, entries, mFull.schema, mFull.colmap)
+    val ridTracked = mFull.rowIdHigh.isDefined
+    val current =
+      if (ridTracked) readGroupsWithRid(spark, entries, mFull.schema, mFull.colmap)
+      else readGroups(spark, entries, mFull.schema, mFull.colmap)
     val rev = mFull.colmap.map(_.swap)
     val partCols =
       if (partitionCols.nonEmpty) partitionCols
@@ -4497,7 +4776,7 @@ object SnapshotTable {
       require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during compaction — rerun")
       Nil
-    }, statsCols = statsOut, op = "compact")
+    }, statsCols = statsOut, op = "compact", ridCarried = ridTracked)
   }
 
   /** Opt a table into COMMIT-TIME AUTO-COMPACTION (Delta
@@ -4552,7 +4831,10 @@ object SnapshotTable {
     val victimSet = victims.map(_.filePath).toSet
     val rev = m.colmap.map(_.swap)
     val partCols = inferPartitionCols(victims, rev)
-    val merged0 = readGroups(spark, victims, m.schema, m.colmap)
+    val ridTracked = m.rowIdHigh.isDefined
+    val merged0 =
+      if (ridTracked) readGroupsWithRid(spark, victims, m.schema, m.colmap)
+      else readGroups(spark, victims, m.schema, m.colmap)
     // one writer task per triggered partition (hash on the partition
     // columns), so each partition's small files collapse to ONE file
     // — a bare coalesce would interleave partitions across tasks and
@@ -4570,7 +4852,7 @@ object SnapshotTable {
       require(victims.forall(e => live((e.filePath, e.dv))),
         s"concurrent commit touched auto-compaction victims at $path — skip")
       prev.filterNot(e => victimSet(e.filePath))
-    }, statsCols = statsOut, op = "autocompact")
+    }, statsCols = statsOut, op = "autocompact", ridCarried = ridTracked)
     ()
   }
 
@@ -4843,8 +5125,13 @@ object SnapshotTable {
     * DROPPED by `namesAsOf` vanishes from the feed rather than
     * leaking its physical name. `None` keeps per-version names (the
     * batch default — each commit's rows under that commit's schema). */
+  /** `includeRowIds`: on a row-tracking table, keep the `_row_id`
+    * column in the feed (stable row identity — an update pair shares
+    * one id; a delete names the id that died). Default off: the feed
+    * schema matches the non-tracking shape. */
   def changes(spark: SparkSession, path: String, fromVersion: Long,
-      toVersion: Long, namesAsOf: Option[Long]): DataFrame = {
+      toVersion: Long, namesAsOf: Option[Long],
+      includeRowIds: Boolean = false): DataFrame = {
     val avail = versions(spark, path).toSet
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
@@ -4883,7 +5170,8 @@ object SnapshotTable {
         case None => df
         case Some(live) =>
           val cols = df.columns.toSeq.flatMap { c =>
-            if (c.startsWith("__p_") || c == "_change_type" || c == "_commit_version")
+            if (c.startsWith("__p_") || c == "_change_type" ||
+                c == "_commit_version" || c == RowIdCol)
               Some(col(c))
             else live.get(stepColmap.getOrElse(c, c)).map(t => col(c).as(t))
           }
@@ -4995,11 +5283,27 @@ object SnapshotTable {
         // pure DV commit: deletes only
         import spark.implicits._
         val sch = m.schema
+        val dvEntries = dvDeltas.map(_._1)
+        val ridStep = m.rowIdHigh.isDefined && dvEntries.forall(_.rid.isDefined)
         val deltaPairs = dvDeltas.flatMap { case (e, idxs) =>
           val fname = dvFileKey(e.filePath)
           idxs.map(fname -> _)
         }.toDF("__dv_fname", "__dv_idx")
-        val withPos = readWithPositions(spark, dvDeltas.map(_._1), sch, m.colmap)
+        val withPos0 = readWithPositions(spark, dvEntries, sch, m.colmap,
+          withRid = ridStep)
+        // row tracking: the dying rows' stable ids label the deletes
+        val withPos =
+          if (!ridStep) withPos0
+          else {
+            val baseDf = broadcast(
+              dvEntries.map(e => (dvFileKey(e.filePath), e.rid.get))
+                .toDF("__rid_fname", "__rid_base"))
+            withPos0.join(baseDf,
+                col("__graft_fname") === col("__rid_fname"), "left")
+              .withColumn(RowIdCol,
+                coalesce(col(RidCol), col("__rid_base") + col("__graft_idx")))
+              .drop(RidCol, "__rid_fname", "__rid_base")
+          }
         val dataCols = withPos.columns.filterNot(_.startsWith("__graft_"))
         Some(translate(withPos.join(broadcast(deltaPairs),
             col("__graft_fname") === col("__dv_fname") &&
@@ -5013,8 +5317,20 @@ object SnapshotTable {
           s"version $v of $path changes deletion vectors AND the file set " +
             "in one commit — no supported operation produces this shape")
         val sch = m.schema
+        // row tracking: both sides carry the stable `_row_id`, so the
+        // diff pairs update images by ROW IDENTITY — exact under ANY
+        // rewrite, keyed or not (the opKeys heuristic below stays the
+        // fallback for pre-tracking history). Carried-unchanged rows
+        // cancel in the multiset diff exactly as before: same values,
+        // same id.
+        val ridStep = m.rowIdHigh.isDefined &&
+          added.forall(_.rid.isDefined) && removed.forall(_.rid.isDefined)
         val sides = Seq(added, removed).map(es =>
-          if (es.isEmpty) None else Some(readGroups(spark, es, sch, m.colmap)))
+          if (es.isEmpty) None
+          else Some(
+            if (ridStep) readGroupsWithRid(spark, es, sch, m.colmap)
+              .withColumnRenamed(RidCol, RowIdCol)
+            else readGroups(spark, es, sch, m.colmap)))
         val target = sides.flatten.head.schema
         val Seq(addDf, remDf) = sides.map(
           _.map(conform(_, target)).getOrElse(
@@ -5031,9 +5347,10 @@ object SnapshotTable {
         // keep the raw two-row encoding. Cost: the semi+anti split
         // reads each side's TOUCHED-file subtree twice — still
         // scoped to the commit's files, never the table.
+        val pairKeys = if (ridStep) Seq(RowIdCol) else m.opKeys
         val tagged =
-          if (m.opKeys.nonEmpty && m.opKeys.forall(target.fieldNames.contains)) {
-            val ks = m.opKeys
+          if (pairKeys.nonEmpty && pairKeys.forall(target.fieldNames.contains)) {
+            val ks = pairKeys
             val insKeys = insRaw.select(ks.map(col): _*).distinct()
             val delKeys = delRaw.select(ks.map(col): _*).distinct()
             insRaw.join(delKeys, ks, "left_anti")
@@ -5061,7 +5378,9 @@ object SnapshotTable {
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), out)
       }
     // hidden partition columns (any era) are layout, not data — the
-    // change feed exposes the user schema like every other read
-    feed.drop(feed.columns.filter(_.startsWith("__p_")).toSeq: _*)
+    // change feed exposes the user schema like every other read;
+    // `_row_id` (used above for exact pairing) stays only on request
+    feed.drop(feed.columns.filter(c => c.startsWith("__p_") ||
+      (c == RowIdCol && !includeRowIds)).toSeq: _*)
   }
 }

@@ -1,0 +1,351 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** ROW TRACKING ([[SnapshotTable.enableRowTracking]] /
+  * [[SnapshotTable.readWithRowIds]]): stable per-row Long identity in
+  * the Delta row-tracking / Iceberg v3 row-lineage shape — driver-
+  * assigned base ids for appended files (zero data-path cost),
+  * materialized `__rid` only in rewritten files, a monotone
+  * `#rowIdHigh=` watermark, and exact CDF update-image pairing by row
+  * id even for KEYLESS rewrites (the gap the opKeys heuristic left).
+  * Reference intent: the gold sink's Iceberg v2 row-level semantics
+  * (reference jobs/ev_sessions_gold_etl.py:147-156) extended to the
+  * v3 row-lineage surface. */
+class RowTrackingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-rid").toString + "/t"
+
+  /** key -> row id map of the current table state. */
+  private def idsByKey(path: String): Map[Int, Long] =
+    SnapshotTable.readWithRowIds(spark, path)
+      .select(col("k").cast("int"), col(SnapshotTable.RowIdCol))
+      .as[(Int, Long)].collect().toMap
+
+  private def allIds(path: String): Seq[Long] =
+    SnapshotTable.readWithRowIds(spark, path)
+      .select(col(SnapshotTable.RowIdCol)).as[Long].collect().toSeq
+
+  test("create(rowTracking) assigns dense ids across appends; watermark advances") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    assert(SnapshotTable.rowTrackingEnabled(spark, path))
+    assert(SnapshotTable.nextRowId(spark, path) === 0L)
+    SnapshotTable.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), path)
+    SnapshotTable.append(Seq((4, "d"), (5, "e")).toDF("k", "v"), path)
+    val got = allIds(path)
+    assert(got.sorted === (0L until 5L), s"dense ids expected, got $got")
+    assert(SnapshotTable.nextRowId(spark, path) === 5L)
+    // plain read never exposes row ids or the physical column
+    val plain = SnapshotTable.read(spark, path)
+    assert(!plain.columns.contains(SnapshotTable.RowIdCol))
+    assert(!plain.columns.contains("__rid"))
+  }
+
+  test("enableRowTracking on an existing table numbers live rows; idempotent") {
+    val path = tmp()
+    SnapshotTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), path)
+    SnapshotTable.append(Seq((3, "c")).toDF("k", "v"), path)
+    assert(!SnapshotTable.rowTrackingEnabled(spark, path))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWithRowIds(spark, path)
+    }
+    val v = SnapshotTable.enableRowTracking(spark, path)
+    assert(allIds(path).sorted === (0L until 3L))
+    // second enable is a no-op returning the current version
+    assert(SnapshotTable.enableRowTracking(spark, path) === v)
+    assert(SnapshotTable.latestVersion(spark, path) === Some(v))
+  }
+
+  test("user data may not claim the reserved __rid column") {
+    val path = tmp()
+    intercept[IllegalArgumentException] {
+      SnapshotTable.create(spark, path,
+        StructType(Seq(StructField("__rid", LongType))), rowTracking = true)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(Seq((1L, "a")).toDF("__rid", "v"), path + "2")
+    }
+  }
+
+  test("UPDATE rewrite keeps every surviving row's id (changed and carried)") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append((1 to 8).map(i => (i, s"v$i")).toDF("k", "v"), path)
+    val before = idsByKey(path)
+    SnapshotTable.update(spark, path,
+      Seq("v" -> lit("UPDATED")), col("k") % 2 === 0)
+    val after = idsByKey(path)
+    assert(after === before, "update must not renumber any row")
+    val upd = SnapshotTable.read(spark, path)
+      .filter(col("v") === "UPDATED").select("k").as[Int].collect().sorted
+    assert(upd === Array(2, 4, 6, 8))
+  }
+
+  test("DELETE / deleteKeys / DV delete keep survivor ids") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append((1 to 10).map(i => (i, s"v$i")).toDF("k", "v"), path)
+    val before = idsByKey(path)
+    SnapshotTable.delete(spark, path, col("k") === 1)          // rewrite
+    SnapshotTable.deleteKeys(Seq(2).toDF("k"), path, Seq("k")) // keyed rewrite
+    SnapshotTable.deleteWithVectors(spark, path, col("k") === 3) // DV, no rewrite
+    val after = idsByKey(path)
+    assert(after.keySet === (4 to 10).toSet)
+    after.foreach { case (k, id) => assert(id === before(k),
+      s"survivor k=$k renumbered: ${before(k)} -> $id") }
+  }
+
+  test("MERGE: updated rows keep their id, inserted rows get fresh unique ids") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append((1 to 5).map(i => (i, s"v$i")).toDF("k", "v"), path)
+    val before = idsByKey(path)
+    // update k=2,4; insert k=6,7
+    SnapshotTable.merge(Seq((2, "U2"), (4, "U4"), (6, "N6"), (7, "N7"))
+      .toDF("k", "v"), path, Seq("k"))
+    val after = idsByKey(path)
+    (1 to 5).foreach(k => assert(after(k) === before(k),
+      s"merge renumbered existing row k=$k"))
+    val fresh = Seq(after(6), after(7))
+    assert(fresh.toSet.size === 2)
+    fresh.foreach(id => assert(!before.values.toSet.contains(id),
+      s"inserted row reused live id $id"))
+    assert(after.values.toSeq.distinct.size === after.size, "ids must stay unique")
+    assert(SnapshotTable.nextRowId(spark, path) > after.values.max)
+  }
+
+  test("compact preserves ids, including through an earlier DV delete") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    (1 to 4).foreach(i =>
+      SnapshotTable.append(Seq((i, s"v$i")).toDF("k", "v"), path))
+    SnapshotTable.deleteWithVectors(spark, path, col("k") === 2)
+    val before = idsByKey(path)
+    SnapshotTable.compact(spark, path, numFiles = 1)
+    val after = idsByKey(path)
+    assert(after === before, "compaction must not renumber rows")
+    assert(after.keySet === Set(1, 3, 4))
+  }
+
+  test("RESTORE: rows keep birth ids; watermark is monotone, never rewound") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), path) // v2
+    val idsV2 = idsByKey(path)
+    val highV2 = SnapshotTable.nextRowId(spark, path)
+    SnapshotTable.append(Seq((3, "c")).toDF("k", "v"), path)           // v3
+    val highV3 = SnapshotTable.nextRowId(spark, path)
+    assert(highV3 > highV2)
+    SnapshotTable.restore(spark, path, 2L)
+    assert(idsByKey(path) === idsV2, "restored rows must keep their birth ids")
+    assert(SnapshotTable.nextRowId(spark, path) === highV3,
+      "watermark must not rewind across restore")
+    // a post-restore append must not reuse the discarded rows' ids
+    SnapshotTable.append(Seq((9, "z")).toDF("k", "v"), path)
+    val ids = allIds(path)
+    assert(ids.distinct.size === ids.size)
+    assert(idsByKey(path)(9) >= highV3)
+  }
+
+  test("restore to a PRE-tracking version re-enables with fresh bases") {
+    val path = tmp()
+    SnapshotTable.append(Seq((1, "a")).toDF("k", "v"), path)  // v1, untracked
+    SnapshotTable.enableRowTracking(spark, path)               // v2
+    SnapshotTable.append(Seq((2, "b")).toDF("k", "v"), path)  // v3
+    val high = SnapshotTable.nextRowId(spark, path)
+    SnapshotTable.restore(spark, path, 1L)
+    assert(SnapshotTable.rowTrackingEnabled(spark, path),
+      "tracking survives a restore to pre-enable history")
+    val ids = allIds(path)
+    assert(ids.size === 1 && ids.head >= high,
+      s"pre-tracking file must be re-based above the watermark, got $ids")
+  }
+
+  test("CDF pairs a KEYLESS update by row id; off by default; ids stable in feed") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    // duplicate values make value-keyed pairing impossible: only row
+    // identity can match pre to post images
+    SnapshotTable.append(Seq((1, "same"), (1, "same"), (2, "x")).toDF("k", "v"), path)
+    val before = SnapshotTable.readWithRowIds(spark, path)
+    val dupIds = before.filter(col("k") === 1)
+      .select(SnapshotTable.RowIdCol).as[Long].collect().sorted
+    val vUpd = SnapshotTable.update(spark, path,
+      Seq("v" -> lit("upd")), col("k") === 1)
+    val feed = SnapshotTable.changes(spark, path, vUpd - 1, vUpd, None,
+      includeRowIds = true)
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+      .select(SnapshotTable.RowIdCol).as[Long].collect().sorted
+    val post = feed.filter(col("_change_type") === "update_postimage")
+      .select(SnapshotTable.RowIdCol).as[Long].collect().sorted
+    assert(pre === dupIds, s"preimages must carry the updated rows' ids")
+    assert(post === dupIds, "postimages must pair by the same ids")
+    assert(feed.filter(col("_change_type").isin("insert", "delete")).count() === 0,
+      "a pure update must emit no bare insert/delete rows when ids pair it")
+    // default shape: no _row_id column (feed schema matches untracked)
+    val plainFeed = SnapshotTable.changes(spark, path, vUpd - 1, vUpd)
+    assert(!plainFeed.columns.contains(SnapshotTable.RowIdCol))
+    // the carried row k=2 cancels in the diff entirely
+    assert(feed.filter(col("k") === 2).count() === 0)
+  }
+
+  test("CDF: DV delete names the dying row's id; merge inserts carry fresh ids") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), path)
+    val before = idsByKey(path)
+    val vDel = SnapshotTable.deleteWithVectors(spark, path, col("k") === 1)
+    val delFeed = SnapshotTable.changes(spark, path, vDel - 1, vDel, None,
+      includeRowIds = true)
+    val died = delFeed.filter(col("_change_type") === "delete")
+      .select(SnapshotTable.RowIdCol).as[Long].collect()
+    assert(died.toSeq === Seq(before(1)))
+    val vM = SnapshotTable.merge(Seq((2, "B2"), (5, "new")).toDF("k", "v"),
+      path, Seq("k"))
+    val mFeed = SnapshotTable.changes(spark, path, vM - 1, vM, None,
+      includeRowIds = true)
+    val pairIds = mFeed.filter(col("_change_type").startsWith("update_"))
+      .select(SnapshotTable.RowIdCol).as[Long].collect().toSeq
+    assert(pairIds.toSet === Set(before(2)), "update images pair on the stable id")
+    val ins = mFeed.filter(col("_change_type") === "insert")
+    assert(ins.count() === 1)
+    val insId = ins.select(SnapshotTable.RowIdCol).as[Long].head()
+    assert(!before.values.toSet.contains(insId))
+  }
+
+  test("pre-tracking history still serves through changes() untagged") {
+    val path = tmp()
+    SnapshotTable.append(Seq((1, "a")).toDF("k", "v"), path)   // v1 untracked
+    SnapshotTable.enableRowTracking(spark, path)                // v2
+    SnapshotTable.append(Seq((2, "b")).toDF("k", "v"), path)   // v3
+    val feed = SnapshotTable.changes(spark, path, 0L, 3L, None,
+      includeRowIds = true)
+    // v1's commit predates tracking: its rows surface without ids
+    val v1 = feed.filter(col("_commit_version") === 1L)
+    assert(v1.count() === 1)
+    if (v1.columns.contains(SnapshotTable.RowIdCol))
+      assert(v1.filter(col(SnapshotTable.RowIdCol).isNull).count() === 1)
+    val v3 = feed.filter(col("_commit_version") === 3L)
+    assert(v3.filter(col(SnapshotTable.RowIdCol).isNotNull).count() === 1)
+  }
+
+  test("cherry-pick re-bases a metadata-only commit; refuses materialized ids") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append(Seq((1, "a")).toDF("k", "v"), path)
+    SnapshotTable.createBranch(spark, path, "dev")
+    val dev = SnapshotTable.branchHandle(path, "dev")
+    // plain append on the branch: cherry-pick re-bases it onto main
+    SnapshotTable.append(Seq((2, "b")).toDF("k", "v"), dev)
+    // main advances so the branch's assigned base collides
+    SnapshotTable.append(Seq((3, "c")).toDF("k", "v"), path)
+    val bv = SnapshotTable.latestVersion(spark, dev).get
+    SnapshotTable.cherryPick(spark, path, "dev", bv)
+    val ids = allIds(path)
+    assert(ids.distinct.size === ids.size,
+      s"cherry-pick must re-base the imported file's ids, got $ids")
+    assert(SnapshotTable.read(spark, path).select("k").as[Int].collect().sorted
+      === Array(1, 2, 3))
+    // a branch REWRITE materializes ids assigned on the branch — the
+    // pick must refuse rather than import possibly-colliding identities
+    SnapshotTable.update(spark, dev, Seq("v" -> lit("X")), col("k") === 2)
+    val bv2 = SnapshotTable.latestVersion(spark, dev).get
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.cherryPick(spark, path, "dev", bv2)
+    }
+    assert(e.getMessage.contains("materialized row ids"))
+  }
+
+  test("reader-features gate names row-tracking") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType))), rowTracking = true)
+    assert(SnapshotTable.describeDetail(spark, path)
+      .select("readerFeatures").as[Seq[String]].head().contains("row-tracking"))
+  }
+
+  test("DML x row-id fuzz: ids unique and stable for carried rows across random op mix") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    val rnd = new scala.util.Random(15015)
+    var nextKey = 1
+    def freshRows(n: Int): Seq[(Int, String)] = {
+      val r = (nextKey until nextKey + n).map(i => (i, s"v$i"))
+      nextKey += n; r
+    }
+    SnapshotTable.append(freshRows(6).toDF("k", "v"), path)
+    // model: key -> id for rows whose identity must persist
+    var model: Map[Int, Long] = idsByKey(path)
+    for (step <- 1 to 18) {
+      val live = model.keys.toSeq.sorted
+      rnd.nextInt(7) match {
+        case 0 => // append
+          SnapshotTable.append(freshRows(1 + rnd.nextInt(3)).toDF("k", "v"), path)
+        case 1 if live.nonEmpty => // predicate update
+          val k = live(rnd.nextInt(live.size))
+          SnapshotTable.update(spark, path,
+            Seq("v" -> lit(s"u$step")), col("k") === k)
+        case 2 if live.nonEmpty => // rewrite delete
+          val k = live(rnd.nextInt(live.size))
+          SnapshotTable.delete(spark, path, col("k") === k)
+          model -= k
+        case 3 if live.nonEmpty => // DV delete
+          val k = live(rnd.nextInt(live.size))
+          SnapshotTable.deleteWithVectors(spark, path, col("k") === k)
+          model -= k
+        case 4 if live.nonEmpty => // merge: update one, insert one
+          val k = live(rnd.nextInt(live.size))
+          val ins = freshRows(1)
+          SnapshotTable.merge(
+            (Seq((k, s"m$step")) ++ ins).toDF("k", "v"), path, Seq("k"))
+        case 5 => // compact
+          SnapshotTable.compact(spark, path, numFiles = 2)
+        case _ if live.nonEmpty => // deleteKeys
+          val k = live(rnd.nextInt(live.size))
+          SnapshotTable.deleteKeys(Seq(k).toDF("k"), path, Seq("k"))
+          model -= k
+        case _ =>
+          SnapshotTable.append(freshRows(2).toDF("k", "v"), path)
+      }
+      val now = idsByKey(path)
+      assert(now.values.toSeq.distinct.size === now.size,
+        s"step $step: duplicate row ids: $now")
+      model.foreach { case (k, id) => assert(now(k) === id,
+        s"step $step: surviving row k=$k renumbered ${id} -> ${now(k)}") }
+      // adopt newly appeared rows (appends/merge inserts) into the model
+      model = now
+      val high = SnapshotTable.nextRowId(spark, path)
+      assert(now.values.forall(_ < high),
+        s"step $step: watermark $high not above a live id in $now")
+    }
+  }
+}
