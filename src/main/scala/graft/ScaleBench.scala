@@ -646,11 +646,14 @@ object ScaleBench {
           f"batch=$batchSec%.2fs stream=$streamSec%.2fs")
       },
       timed("identity_ingest") {
-        // The IDENTITY write path leaves whole-stage codegen for one
-        // zipWithIndex RDD round-trip (its count job is size-only).
-        // A/B the same 1M-row append against a plain table: the
-        // overhead must stay a small multiple, and the assigned values
-        // must be exactly 1..1M (unique, dense within one commit).
+        // The IDENTITY write path assigns values over a DF-native
+        // dense ordinal (monotonically_increasing_id local ordinal +
+        // broadcast per-partition offsets) — the write projection
+        // never leaves whole-stage codegen. A/B in ONE run against
+        // (a) a plain append and (b) the superseded zipWithIndex RDD
+        // round-trip (kept measured here so the losing formulation's
+        // cost stays on record: it materializes every Row twice).
+        // Assigned values must be exactly 1..1M (unique, dense).
         import graft.lake.SnapshotTable
         import org.apache.spark.sql.types._
         import org.apache.spark.sql.catalyst.util.IdentityColumn
@@ -670,6 +673,30 @@ object ScaleBench {
               false).build()),
           StructField("k", LongType), StructField("v", DoubleType))))
         val identSec = t(SnapshotTable.append(df, s"$base/ident"))
+        // formulation A/B, raw transform+write (no commit machinery),
+        // NARROW then WIDE — zipWithIndex materializes every Row, so
+        // its cost grows with row WIDTH; the DF-native count job is
+        // size-only and stays flat
+        val wide = df.withColumn("pad",
+          concat_ws("", (1 to 25).map(i => conv(col("k") + i, 10, 16)): _*))
+        def abPair(frame: DataFrame, tag: String): (Double, Double) = {
+          val dfSec = t {
+            SnapshotTable.withDenseOrdinal(frame, "sid")
+              .write.mode("overwrite").option("compression", "zstd")
+              .parquet(s"$base/df_$tag")
+          }
+          val rddSec = t {
+            val rdd = frame.rdd.zipWithIndex.map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+            }
+            spark.createDataFrame(rdd, frame.schema.add("sid", LongType))
+              .write.mode("overwrite").option("compression", "zstd")
+              .parquet(s"$base/rdd_$tag")
+          }
+          (dfSec, rddSec)
+        }
+        val (dfN, rddN) = abPair(df, "narrow")
+        val (dfW, rddW) = abPair(wide, "wide")
         val ids = SnapshotTable.read(spark, s"$base/ident")
           .agg(count(lit(1)), countDistinct(col("sid")),
             min(col("sid")), max(col("sid"))).head()
@@ -680,7 +707,9 @@ object ScaleBench {
           f"identity ingest overhead too high: plain=$plainSec%.2fs " +
             f"ident=$identSec%.2fs")
         println(f"[scale] identity_ingest plain=$plainSec%.2fs " +
-          f"ident=$identSec%.2fs overhead=${identSec / plainSec}%.2fx")
+          f"ident=$identSec%.2fs (${identSec / plainSec}%.2fx) " +
+          f"ab_narrow df=$dfN%.2fs rdd=$rddN%.2fs " +
+          f"ab_wide df=$dfW%.2fs rdd=$rddW%.2fs")
       },
       timed("vacuum_plan") {
         // The last unmeasured driver-plane walk: vacuumPlan
