@@ -1396,24 +1396,33 @@ object SnapshotTable {
     var layoutSchema: StructType = writeSchema
     var validatedCs: Set[String] = Set.empty
     var bloomed = false
+    // IDENTITY / GENERATED columns on the sink target: the epoch's
+    // flat files are ENRICHED by one distributed read+write (the same
+    // never-table-sized shape as the transform re-lay below) through
+    // the exact batch funnel — withIdentityColumns assigns
+    // `high + step * ordinal` from the pre-publish watermark,
+    // withGeneratedColumns derives/validates expressions — so epoch
+    // rows get the same values a batch append of the same frame would.
+    // Exactly-once holds because the txn watermark is checked BEFORE
+    // any enrichment (a replayed epoch never re-assigns), and the
+    // identity watermark bump publishes atomically with the epoch's
+    // manifest; a CAS retry that finds the watermark moved re-enriches
+    // from the new high (`enrichSig`), never publishing stale values.
+    var effFiles: Seq[String] = files.map(_._2) // current flat payload
+    var effSchema: StructType = writeSchema     // its LOGICAL schema
+    var effColmap: Map[String, String] = writtenColmap
+    var identBumps: Map[String, (Long, Long)] = Map.empty
+    var enrichSig: Option[(Seq[(String, Long, Long, Boolean)],
+      Seq[(String, String)])] = None
+    var enrichDir: Option[String] = None
+    def dropDir(d: Option[String]): Unit =
+      d.foreach(x => fs(spark, path).delete(new Path(x), true): Unit)
     var attempt = 0
     while (attempt < maxAttempts) {
       val version = latestVersion(spark, path).getOrElse(0L) + 1
       val prev =
         if (version == 1L) Manifest(None, Nil, None)
         else readManifestFull(spark, path, version - 1)
-      // GENERATED columns are derived/validated by the batch write
-      // funnel; the sink's executor writers have no derivation hook,
-      // and silently landing epochs without the expression would be
-      // wrong data — refuse loudly (documented limitation)
-      require(prev.schema.forall(s => generatedColumnsOf(s).isEmpty),
-        s"streaming into $path is not supported: the table declares " +
-          "GENERATED columns (batch writes derive them; the streaming " +
-          "sink does not) — write through the batch API instead")
-      require(prev.schema.forall(s => identityColumnsOf(s).isEmpty),
-        s"streaming into $path is not supported: the table declares " +
-          "IDENTITY columns (batch writes assign them; the streaming " +
-          "sink does not) — write through the batch API instead")
       // same guard as commit(): a first commit creates a TABLE, never
       // a branch — a stale handle after dropBranch must fail loudly
       require(branchOf(path).isEmpty || version > 1L,
@@ -1449,9 +1458,49 @@ object SnapshotTable {
             "— restart the query to re-mint against the current schema") }
       }
       if (prev.txns.get(txnAppId).exists(_ >= txnVersion)) {
-        // a replay detected mid-retry abandons any re-laid dir too
-        layoutDir.foreach(d => fs(spark, path).delete(new Path(d), true): Unit)
+        // a replay detected mid-retry abandons any rewrite dirs too
+        dropDir(layoutDir); dropDir(enrichDir)
         return None
+      }
+      // IDENTITY / GENERATED enrichment (see the header comment): one
+      // distributed rewrite of the EPOCH's rows through the batch
+      // funnel, re-done only when the identity/generated signature
+      // (incl. the watermark) changed since the last attempt
+      val identColsE = prev.schema.map(identityColumnsOf).getOrElse(Nil)
+      val genColsE = prev.schema.map(generatedColumnsOf(_)
+        .map { case (f, e) => (f.name, e) }).getOrElse(Nil)
+      if ((identColsE.nonEmpty || genColsE.nonEmpty) && files.nonEmpty) {
+        val sig = (identColsE.map(t => (t._1.name, t._2, t._3, t._4)), genColsE)
+        if (!enrichSig.contains(sig)) {
+          dropDir(enrichDir)
+          val flat = toLogical(
+            spark.read.schema(physicalSchema(writeSchema, writtenColmap))
+              .parquet(files.map(_._2): _*), writeSchema, writtenColmap)
+          val (dfI, bumps) = withIdentityColumns(flat, prev.schema, "append")
+          val dfG = withGeneratedColumns(dfI, prev.schema)
+          // enriched NEW columns (identity/generated) write under the
+          // table's recorded physical names; the writer's own columns
+          // keep the epoch mapping (inherited == prev.colmap there)
+          val cmE = prev.colmap ++ writtenColmap
+          val physE =
+            if (cmE.isEmpty) dfG
+            else dfG.select(dfG.columns.toSeq.map(c =>
+              col(c).as(cmE.getOrElse(c, c))): _*)
+          val dir =
+            s"${dataDirOf(path)}/c-${java.util.UUID.randomUUID.toString.take(12)}"
+          physE.write.mode("errorifexists").option("compression", "zstd")
+            .parquet(dir)
+          added = commitEntries(spark, dir, Nil)
+          enrichDir = Some(dir); enrichSig = Some(sig)
+          identBumps = bumps
+          effFiles = added.map(_.filePath)
+          effSchema = dfG.schema
+          effColmap = cmE
+          layoutSchema = dfG.schema
+          layoutSpecs = Nil     // transform re-lay must re-run off these
+          bloomed = false
+          validatedCs = Set.empty // CHECKs may reference enriched columns
+        }
       }
       // HIDDEN-PARTITIONED tables take the epoch too: the flat files
       // the executor-side epoch writers produced are re-laid into the
@@ -1468,18 +1517,20 @@ object SnapshotTable {
       // pays the rewrite.
       if (prev.transforms.nonEmpty && files.nonEmpty &&
           prev.transforms.map(_.spec) != layoutSpecs) {
-        layoutDir.foreach(d => fs(spark, path).delete(new Path(d), true): Unit)
+        dropDir(layoutDir)
         // the flat files carry PHYSICAL names; transforms derive from
         // LOGICAL sources — rename in, derive, rename back for the
-        // re-laid write (hidden __p_ columns are never mapped)
+        // re-laid write (hidden __p_ columns are never mapped). The
+        // payload may already be the ENRICHED rewrite (eff*), so a
+        // transform may partition on an identity or generated column.
         val flat = toLogical(
-          spark.read.schema(physicalSchema(writeSchema, writtenColmap))
-            .parquet(files.map(_._2): _*), writeSchema, writtenColmap)
+          spark.read.schema(physicalSchema(effSchema, effColmap))
+            .parquet(effFiles: _*), effSchema, effColmap)
         val data = PartitionTransform.apply(flat, prev.transforms)
         val physData =
-          if (writtenColmap.isEmpty) data
+          if (effColmap.isEmpty) data
           else data.select(data.columns.toSeq.map(c =>
-            col(c).as(writtenColmap.getOrElse(c, c))): _*)
+            col(c).as(effColmap.getOrElse(c, c))): _*)
         val dir = s"${dataDirOf(path)}/c-${java.util.UUID.randomUUID.toString.take(12)}"
         physData.write.mode("errorifexists").option("compression", "zstd")
           .partitionBy(prev.transforms.map(_.pcol): _*).parquet(dir)
@@ -1494,11 +1545,13 @@ object SnapshotTable {
       // only for constraints added since the last attempt
       val toCheck = prev.constraints -- validatedCs
       if (toCheck.nonEmpty && added.nonEmpty) {
-        val written0 = spark.read.parquet(files.map(_._2): _*)
+        // validated over the EFFECTIVE payload (post-enrichment), so
+        // a CHECK over an identity/generated column sees real values
+        val written0 = spark.read.parquet(effFiles: _*)
         // constraint exprs are over LOGICAL names
-        val revCm = writtenColmap.map(_.swap)
+        val revCm = effColmap.map(_.swap)
         val written =
-          if (writtenColmap.isEmpty) written0
+          if (effColmap.isEmpty) written0
           else written0.select(written0.columns.toSeq.map(c =>
             col(c).as(revCm.getOrElse(c, c))): _*)
         toCheck.foreach { case (name, e) =>
@@ -1528,18 +1581,59 @@ object SnapshotTable {
             !prev.colmap.values.toSet.contains(c),
           s"cannot stream column '$c' into $path: its physical name " +
             "collides with a dropped or renamed column's on-disk data"))
+      // IDENTITY watermark bump, batch-parity (see commit()): the
+      // enrichment assigned values from `prev`'s watermark THIS
+      // attempt (enrichSig re-derives on any change), so the bump is
+      // step × rows written, published atomically with the epoch
+      val identRows =
+        if (identBumps.isEmpty) 0L
+        else {
+          added.foreach(e => require(e.rows >= 0L,
+            s"identity assignment at $path needs a footer row count " +
+              s"for every epoch file — ${e.filePath} has none"))
+          added.map(_.rows).sum
+        }
+      val published =
+        if (identBumps.isEmpty) merged
+        else StructType(merged.fields.map { f =>
+          identBumps.get(f.name) match {
+            case None => f
+            case Some((high, step)) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong(IdentityHighKey, high + step * identRows).build())
+          }
+        })
+      // ROW TRACKING: stream epochs are appends — bases assigned here
+      // at CAS time from the watermark + footer row counts (the sink
+      // records per-file rows), zero data-path cost, replay-safe (a
+      // replayed epoch returns above before reaching this)
+      val (addedOut, ridHighOut) = prev.rowIdHigh match {
+        case None => (added, None)
+        case Some(high) =>
+          var b = high
+          (added.map { e =>
+            require(e.rows >= 0L,
+              s"row tracking at $path needs a footer row count for every " +
+                s"epoch file — ${e.filePath} has none")
+            val x = e.copy(rid = Some(b)); b += e.rows; x
+          }, Some(b))
+      }
       if (publishManifest(spark, path, version, prev.copy(
-          schema = Some(merged), entries = prev.entries ++ added,
+          schema = Some(published), entries = prev.entries ++ addedOut,
           op = Some("streamAppend"),
           txns = mergeTxns(prev.txns, Map(txnAppId -> txnVersion)),
           opKeys = Nil,
-          colmap = prev.colmap ++ minted))) {
-        // the re-laid dir is what the manifest references now — the
-        // epoch's original flat files are superseded
-        if (layoutDir.isDefined)
+          colmap = prev.colmap ++ minted,
+          rowIdHigh = ridHighOut.orElse(prev.rowIdHigh)))) {
+        // whichever rewrite the manifest references supersedes the
+        // stages before it: original flat files under a re-lay or an
+        // enrichment; the enriched dir too when a re-lay followed it
+        if (layoutDir.isDefined || enrichDir.isDefined)
           files.map(_._1).distinct.foreach { d =>
             fs(spark, path).delete(new Path(d), true): Unit
           }
+        if (layoutDir.isDefined) dropDir(enrichDir)
         // streaming microbatches are the classic small-file source —
         // the auto-compaction policy fires here too (best-effort)
         if (prev.autoCompact.isDefined)
@@ -1550,10 +1644,10 @@ object SnapshotTable {
       attempt += 1
       Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
     }
-    // no manifest ever referenced the re-laid dir, so vacuum could
-    // never reclaim it — clean it up before surfacing the failure,
+    // no manifest ever referenced the rewrite dirs, so vacuum could
+    // never reclaim them — clean up before surfacing the failure,
     // mirroring the replay-detected path
-    layoutDir.foreach(d => fs(spark, path).delete(new Path(d), true): Unit)
+    dropDir(layoutDir); dropDir(enrichDir)
     throw new ConcurrentCommitException(path, maxAttempts)
   }
 

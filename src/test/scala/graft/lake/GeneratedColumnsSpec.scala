@@ -16,7 +16,8 @@ import graft.SparkTestBase
   * null-filled) generated column and validates a provided non-null
   * value against the expression row-by-row; merge/update recompute;
   * DDL that would orphan the expression is refused; the streaming
-  * sink refuses generated targets loudly. */
+  * sink derives generated columns through the epoch enrichment
+  * rewrite (batch parity). */
 class GeneratedColumnsSpec extends SparkTestBase {
 
   import spark.implicits._
@@ -150,22 +151,44 @@ class GeneratedColumnsSpec extends SparkTestBase {
       .getMessage.contains("GENERATED"))
   }
 
-  test("the streaming sink refuses a generated-column target loudly") {
+  test("the streaming sink derives GENERATED columns per epoch (batch parity); " +
+      "a provided WRONG value fails the epoch") {
     val dir = Files.createTempDirectory("graft-gen5").toString
     val path = mkTable(dir)
     SnapshotTable.append(Seq((1L, 2.0)).toDF("id", "v"), path)
     val src = s"$dir/src"
     SnapshotTable.append(Seq((9L, 9.0)).toDF("id", "v"), src)
-    val q = spark.readStream.format("graft-snapshot").load(src)
+    def pump(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft-snapshot").load(src)
+        .writeStream.format("graft-snapshot")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pump(s"$dir/ckpt")
+    val got = SnapshotTable.read(spark, path)
+      .select("id", "v", "y").as[(Long, Double, Double)].collect().sorted
+    assert(got === Array((1L, 2.0, 4.0), (9L, 9.0, 18.0)),
+      "the epoch enrichment must derive y = v * 2 exactly like a batch write")
+    // a stream PROVIDING the generated column validates row-by-row:
+    // a wrong value fails the epoch before anything publishes
+    val src2 = s"$dir/src2"
+    SnapshotTable.append(Seq((7L, 1.0, 99.0)).toDF("id", "v", "y"), src2)
+    val vBefore = SnapshotTable.latestVersion(spark, path).get
+    val q2 = spark.readStream.format("graft-snapshot").load(src2)
       .writeStream.format("graft-snapshot")
       .option("path", path)
-      .option("checkpointLocation", s"$dir/ckpt")
+      .option("checkpointLocation", s"$dir/ckpt2")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    val e = intercept[Exception](q.awaitTermination())
+    val e = intercept[Exception](q2.awaitTermination())
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("GENERATED")))
+    assert(messages(e).exists(_.contains("generated column")))
+    assert(SnapshotTable.latestVersion(spark, path).get === vBefore,
+      "a failed epoch must publish nothing")
   }
 
   test("CREATE TABLE ... GENERATED ALWAYS AS via SQL on the catalog; INSERT derives") {

@@ -116,7 +116,7 @@ class IdentityColumnsSpec extends SparkTestBase {
     assert(ids2("a") === ids1("a") && ids2("c") === ids1("c"))
   }
 
-  test("creation validates; later add and streaming are refused") {
+  test("creation validates; later add is refused; the sink assigns") {
     val dir = Files.createTempDirectory("graft-id6").toString
     assert(intercept[Exception](SnapshotTable.create(spark, s"$dir/bad1",
       StructType(Seq(idField("id", DoubleType), StructField("v", DoubleType)))))
@@ -135,7 +135,8 @@ class IdentityColumnsSpec extends SparkTestBase {
     SnapshotTable.append(Seq(1.0).toDF("v"), path)
     assert(intercept[Exception](SnapshotTable.addColumns(spark, path,
       Seq(idField("id2")))).getMessage.contains("creation"))
-    // streaming sink refuses identity targets
+    // streaming sink ASSIGNS identity values through the epoch
+    // enrichment (exactly-once coverage: SnapshotStreamSinkSpec)
     val src = s"$dir/src"
     SnapshotTable.append(Seq(9.0).toDF("v"), src)
     val q = spark.readStream.format("graft-snapshot").load(src)
@@ -144,10 +145,11 @@ class IdentityColumnsSpec extends SparkTestBase {
       .option("checkpointLocation", s"$dir/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    val e = intercept[Exception](q.awaitTermination())
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("IDENTITY")))
+    q.awaitTermination()
+    val streamed = SnapshotTable.read(spark, path)
+      .filter(col("v") === 9.0).select("id").as[Long].collect()
+    assert(streamed.length === 1 && streamed.head > 0L,
+      s"the epoch must assign the identity value, got ${streamed.toSeq}")
   }
 
   test("random append x merge x delete x compact plans keep identity values " +

@@ -406,4 +406,88 @@ class SnapshotStreamSinkSpec extends SparkTestBase {
     assert(cm.get("b").contains("a") && cm.get("a").exists(p => p != "a"),
       s"expected b->a and a minted name for 'a', got $cm")
   }
+
+  // ---- IDENTITY / GENERATED targets: the epoch enrichment rewrite ----
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.IdentityColumn
+
+  private def idField(name: String): StructField =
+    StructField(name, LongType, nullable = true, new MetadataBuilder()
+      .putLong(IdentityColumn.IDENTITY_INFO_START, 1L)
+      .putLong(IdentityColumn.IDENTITY_INFO_STEP, 1L)
+      .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT, false)
+      .build())
+
+  private def sids(path: String): Seq[Long] =
+    SnapshotTable.read(spark, path).select("sid").as[Long].collect().toSeq.sorted
+
+  test("sink into an IDENTITY table: epochs assign dense unique values, " +
+      "the watermark persists across epochs") {
+    val base = Files.createTempDirectory("graft-sink-ident").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    SnapshotTable.create(spark, dst, StructType(Seq(
+      idField("sid"), StructField("k", LongType), StructField("s", StringType))))
+    SnapshotTable.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), src)
+    pump(src, dst, ckpt)
+    assert(sids(dst) === (1L to 3L), "first epoch assigns 1..3")
+    // a second epoch continues from the published watermark
+    SnapshotTable.append(Seq((4L, "d"), (5L, "e")).toDF("k", "s"), src)
+    pump(src, dst, ckpt)
+    assert(sids(dst) === (1L to 5L),
+      "second epoch must continue the watermark with no gap or overlap")
+    assert(keysOf(dst) === (1L to 5L))
+  }
+
+  test("crash replay on an IDENTITY target: the skipped epoch re-assigns " +
+      "nothing — no duplicate or gapped values") {
+    val base = Files.createTempDirectory("graft-sink-identcrash").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    SnapshotTable.create(spark, dst, StructType(Seq(
+      idField("sid"), StructField("k", LongType), StructField("s", StringType))))
+    SnapshotTable.append((1L to 100L).map(i => (i, s"r$i")).toDF("k", "s"), src)
+    pump(src, dst, ckpt)
+    assert(sids(dst) === (1L to 100L))
+    // crash window: sink committed, engine never acked — drop the
+    // newest checkpoint commit so restart replays the epoch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    val vBefore = SnapshotTable.latestVersion(spark, dst).get
+    pump(src, dst, ckpt)
+    assert(sids(dst) === (1L to 100L),
+      "replayed epoch must not re-assign identity values")
+    assert(SnapshotTable.latestVersion(spark, dst).get === vBefore)
+    // and the watermark did not burn values on the replay
+    SnapshotTable.append(Seq((999L, "z")).toDF("k", "s"), src)
+    pump(src, dst, ckpt)
+    assert(sids(dst) === (1L to 101L),
+      "post-replay epoch continues exactly at the watermark")
+  }
+
+  test("IDENTITY x hidden partitioning x row tracking compose through one epoch " +
+      "(enrichment feeds the transform re-lay; rid bases ride the same CAS)") {
+    val base = Files.createTempDirectory("graft-sink-identbucket").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    // partition ON the identity column: the re-lay must see assigned
+    // values, which only works if enrichment runs first
+    SnapshotTable.create(spark, dst, StructType(Seq(
+      idField("sid"), StructField("k", LongType), StructField("s", StringType))),
+      transformSpecs = Seq("bucket(4, sid)"), rowTracking = true)
+    SnapshotTable.append((1L to 20L).map(i => (i, s"r$i")).toDF("k", "s"), src)
+    pump(src, dst, ckpt)
+    assert(sids(dst) === (1L to 20L))
+    val withIds = SnapshotTable.readWithRowIds(spark, dst)
+    assert(withIds.select(SnapshotTable.RowIdCol).as[Long]
+      .collect().toSeq.sorted === (0L until 20L),
+      "row-id bases must cover the re-laid epoch files densely")
+    // bucket pruning works on the assigned values (4 bucket dirs)
+    val files = SnapshotTable.liveFiles(spark, dst)
+    assert(files.forall(_.contains("__p_sid_bucket=")),
+      s"epoch files must land in the transform layout, got ${files.take(2)}")
+  }
 }
