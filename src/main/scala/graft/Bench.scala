@@ -150,7 +150,18 @@ object Bench {
     def isWriteGate(n: String) = writeGates.exists(n.startsWith)
     val readTotal = results.collect { case (n, v, None) if !isWriteGate(n) => v }.sum
     val writeTotal = results.collect { case (n, v, None) if isWriteGate(n) => v }.sum
-    val splitJson = s""""read_total":${r3(readTotal)},"write_total":${r3(writeTotal)},"anchor_ratio":${r3(anchorRatio)},"anchors":$anchorJson,"bloom_ab":$abJson"""
+    // q133 is the suite's most expensive gate and times three regimes
+    // that regress independently (stream drain / k-means train / the
+    // lazy search+verify executed by the noop write) — split them so a
+    // maintainer regression is visible separately from training noise
+    val q133Json = results.find { case (n, _, e) =>
+      n.startsWith("q133") && e.isEmpty
+    }.flatMap { case (_, tot, _) =>
+      val p = graft.ops.Ivf.streamMaintainedPhases
+      for (d <- p.get("drain"); t <- p.get("train")) yield
+        s""","q133_phases":{"drain":${r3(d)},"train":${r3(t)},"rest":${r3(math.max(0.0, tot - d - t))}}"""
+    }.getOrElse("")
+    val splitJson = s""""read_total":${r3(readTotal)},"write_total":${r3(writeTotal)},"anchor_ratio":${r3(anchorRatio)},"anchors":$anchorJson,"bloom_ab":$abJson$q133Json"""
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
     }.mkString("{", ",", "}")
