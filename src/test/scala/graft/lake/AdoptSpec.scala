@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.SparkTestBase
 
@@ -85,6 +86,42 @@ class AdoptSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, dir).count() === 301L)
     assert(SnapshotTable.read(spark, dir)
       .filter(col("k") === 5L).select("v").as[Double].head() === 99.0)
+  }
+
+  test("DESCRIBE DETAIL / HISTORY on an ADOPTED table mid-lifecycle: " +
+      "rename + widen + DV delete surface correct files/rows/features") {
+    val dir = Files.createTempDirectory("graft-adopt-desc").toString + "/t"
+    (1 to 100).map(i => (i, i * 1.0)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).write.parquet(dir)
+    SnapshotTable.adopt(spark, dir, statsCols = Seq("k"))             // v1
+    SnapshotTable.renameColumn(spark, dir, "v", "w")                  // v2
+    SnapshotTable.widenColumnType(spark, dir, "k", LongType)          // v3
+    SnapshotTable.deleteWithVectors(spark, dir, col("k") <= 10L)      // v4
+    SnapshotTable.append(Seq((200L, 9.0)).toDF("k", "w"), dir)        // v5
+
+    val d = SnapshotTable.describeDetail(spark, dir).head()
+    assert(d.getAs[Long]("version") === 5L)
+    assert(d.getAs[Long]("numFiles") === 3L,
+      "2 adopted originals (DV'd, not rewritten) + 1 appended file")
+    assert(d.getAs[Long]("sizeInBytes") > 0L)
+    assert(d.getAs[Long]("numRows") === 91L,
+      "numRows must be net of deletion vectors: 100 - 10 + 1")
+    val feats = d.getSeq[String](d.fieldIndex("readerFeatures"))
+    assert(feats.contains("column-mapping") && feats.contains("deletion-vectors"),
+      s"adopt+rename+DV must surface both features, got $feats")
+
+    val h = SnapshotTable.history(spark, dir)
+      .select("version", "operation", "n_files", "n_rows")
+      .as[(Long, String, Int, java.lang.Long)].collect().toSeq
+    assert(h.map(x => (x._1, x._2)) === Seq(
+      (5L, "append"), (4L, "delete_dv"), (3L, "widenColumn"),
+      (2L, "renameColumn"), (1L, "adopt")))
+    assert(h.find(_._1 === 4L).get._4 === 90L,
+      "the DV commit's n_rows must be net of its vectors")
+    assert(h.find(_._1 === 1L).get._4 === 100L,
+      "the adopt commit records footer row counts for adopted files")
+    // reads under the evolved schema still serve (sanity of the walk)
+    assert(SnapshotTable.read(spark, dir).filter(col("k") > 10L).count() === 91L)
   }
 
   test("adopt refuses an existing snapshot table and an empty dir") {
