@@ -711,6 +711,49 @@ object ScaleBench {
           f"ab_narrow df=$dfN%.2fs rdd=$rddN%.2fs " +
           f"ab_wide df=$dfW%.2fs rdd=$rddW%.2fs")
       },
+      timed("row_tracking") {
+        // Row tracking's three cost claims, measured in ONE run at 1M
+        // rows: (a) appends pay ~ZERO data-path cost (bases are CAS-
+        // time metadata from footer counts); (b) readWithRowIds adds
+        // only a broadcast base-map join over the plain read; (c) a
+        // rewrite pays one extra Long column of materialization.
+        // Contracts, not just timings: ids dense after append, stable
+        // across the rewrite.
+        import graft.lake.SnapshotTable
+        import org.apache.spark.sql.types._
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-scale-rid").toString
+        val df = spark.range(1000000L)
+          .select(col("id").as("k"), (col("id") % 997).cast("double").as("v"))
+        def t(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        val plainAppend = t(SnapshotTable.append(df, s"$base/plain"))
+        SnapshotTable.create(spark, s"$base/rid", StructType(Seq(
+          StructField("k", LongType), StructField("v", DoubleType))),
+          rowTracking = true)
+        val ridAppend = t(SnapshotTable.append(df, s"$base/rid"))
+        def noopWrite(d: org.apache.spark.sql.DataFrame): Unit =
+          d.write.mode("overwrite").format("noop").save()
+        val plainRead = t(noopWrite(SnapshotTable.read(spark, s"$base/plain")))
+        val ridRead = t(noopWrite(SnapshotTable.readWithRowIds(spark, s"$base/rid")))
+        val plainUpd = t(SnapshotTable.update(spark, s"$base/plain",
+          Seq("v" -> (col("v") + 1.0)), col("k") % 100 === 0))
+        val ridUpd = t(SnapshotTable.update(spark, s"$base/rid",
+          Seq("v" -> (col("v") + 1.0)), col("k") % 100 === 0))
+        val ids = SnapshotTable.readWithRowIds(spark, s"$base/rid")
+          .agg(count(lit(1)), countDistinct(col(SnapshotTable.RowIdCol)),
+            min(col(SnapshotTable.RowIdCol)), max(col(SnapshotTable.RowIdCol)))
+          .head()
+        require(ids.getLong(0) == 1000000L && ids.getLong(1) == 1000000L &&
+          ids.getLong(2) == 0L && ids.getLong(3) == 999999L,
+          s"row ids must stay dense+stable across the rewrite: $ids")
+        require(ridAppend < plainAppend * 2 + 2.0,
+          f"tracked append overhead too high: $plainAppend%.2fs vs $ridAppend%.2fs")
+        println(f"[scale] row_tracking append plain=$plainAppend%.2fs " +
+          f"rid=$ridAppend%.2fs read plain=$plainRead%.2fs rid=$ridRead%.2fs " +
+          f"update plain=$plainUpd%.2fs rid=$ridUpd%.2fs")
+      },
       timed("vacuum_plan") {
         // The last unmeasured driver-plane walk: vacuumPlan
         // reconstructs every candidate version of the vacuumed handle

@@ -2407,15 +2407,15 @@ object SnapshotTable {
     * stability across the count job and the write job — the same
     * guarantee `rdd.zipWithIndex` relies on for its offsets. Measured
     * (ScaleBench `identity_ingest`, 1M rows, same-run A/B of the raw
-    * transform+write): NARROW 2-col frame 0.37s DF-native vs 0.42s
-    * zipWithIndex; WIDE frame (+ a ~100-char string) 1.55s vs 1.91s —
+    * transform+write, two runs): NARROW 2-col frame is within host
+    * noise (0.37s DF vs 0.42s RDD, then 0.52 vs 0.40 — no stable
+    * winner at 2 numeric columns); WIDE frame (+ a ~100-char string)
+    * consistently favors DF-native (1.55 vs 1.91, 1.39 vs 1.92) —
     * the round-trip's Row materialization cost grows with row WIDTH
-    * while this formulation's count job stays size-only. Full
-    * identity-append overhead over a plain append: 1.87× (was 2.1×
-    * with the round-trip); the residual is the extra count job + the
-    * identity projection itself. The losing formulation stays
-    * A/B-measured in the bench every round. Exposed private[graft]
-    * for exactly that A/B. */
+    * while this formulation's count job stays size-only, which is
+    * the regime that matters for real ingests. The losing
+    * formulation stays A/B-measured in the bench every round.
+    * Exposed private[graft] for exactly that A/B. */
   private[graft] def withDenseOrdinal(df: DataFrame, ord: String): DataFrame = {
     val spark = df.sparkSession
     val part = "__identity_part"

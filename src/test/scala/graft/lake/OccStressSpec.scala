@@ -166,4 +166,79 @@ class OccStressSpec extends SparkTestBase {
       SnapshotTable.append(Seq((99L, -1.0)).toDF("k", "v").coalesce(1), path)
     }
   }
+
+  test("8 contending appends on a ROW-TRACKING table: bases disjoint, ids " +
+      "dense, watermark = total rows (CAS retries recompute, never collide)") {
+    import org.apache.spark.sql.types._
+    val path = Files.createTempDirectory("graft-occ-rid").toString + "/t"
+    SnapshotTable.create(spark, path, StructType(Seq(
+      StructField("id", StringType), StructField("p", LongType))),
+      rowTracking = true)
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { tid =>
+      new Thread(() =>
+        try (1 to 3).foreach { j =>
+          SnapshotTable.append(
+            (1 to 5).map(r => (s"t$tid-$j-$r", tid.toLong)).toDF("id", "p")
+              .coalesce(1), path)
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"contended tracked appends failed: ${errs.peek()}")
+    val ids = SnapshotTable.readWithRowIds(spark, path)
+      .select(SnapshotTable.RowIdCol).as[Long].collect().toSeq.sorted
+    // 8 x 3 x 5 rows: every id unique AND dense — a CAS loser that
+    // failed to recompute its base would duplicate or gap the range
+    assert(ids === (0L until 120L),
+      s"expected dense 0..119, got ${ids.take(5)}..${ids.takeRight(5)}")
+    assert(SnapshotTable.nextRowId(spark, path) === 120L)
+  }
+
+  test("concurrent IDENTITY appends: values unique, watermark = sum of rows") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.IdentityColumn
+    val path = Files.createTempDirectory("graft-occ-ident").toString + "/t"
+    SnapshotTable.create(spark, path, StructType(Seq(
+      StructField("sid", LongType, nullable = true, new MetadataBuilder()
+        .putLong(IdentityColumn.IDENTITY_INFO_START, 1L)
+        .putLong(IdentityColumn.IDENTITY_INFO_STEP, 1L)
+        .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT, false)
+        .build()),
+      StructField("k", StringType))))
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    // the identity CAS guard makes a loser FAIL with a rerun message
+    // (its values were baked from a stale watermark; silently
+    // renumbering is impossible) — the caller's contract is to rerun,
+    // which recomputes the whole write from the fresh watermark
+    def rerunning(body: => Unit): Unit = {
+      var tries = 0
+      var done = false
+      while (!done) {
+        try { body; done = true }
+        catch {
+          case t: Throwable if tries < 50 &&
+              Option(t.getMessage).exists(_.contains("rerun")) =>
+            tries += 1
+        }
+      }
+    }
+    val threads = (1 to 6).map { tid =>
+      new Thread(() =>
+        try (1 to 2).foreach { j =>
+          rerunning(SnapshotTable.append(
+            (1 to 4).map(r => s"t$tid-$j-$r").toDF("k").coalesce(1), path))
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"contended identity appends failed: ${errs.peek()}")
+    // 6 x 2 x 4 = 48 rows, unique and within the advanced watermark
+    val sids = SnapshotTable.read(spark, path)
+      .select("sid").as[Long].collect().toSeq.sorted
+    assert(sids.size === 48 && sids.distinct.size === 48,
+      s"identity values must be unique under contention, got dupes")
+    assert(sids === (1L to 48L),
+      "per-commit-dense assignment over a linearized log is globally dense")
+  }
 }
