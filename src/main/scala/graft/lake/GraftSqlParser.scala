@@ -93,6 +93,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotMaintenanceCommand(idents(t), "optimize")
     case ShowBranches(t) => SnapshotShowRefsCommand(idents(t), "branches")
     case ShowTags(t)     => SnapshotShowRefsCommand(idents(t), "tags")
+    case EnableRowTracking(t) => SnapshotEnableRowTrackingCommand(idents(t))
     case DescribeDetail(t) => SnapshotDescribeDetailCommand(idents(t))
     case DescribeHistory(t) => SnapshotDescribeHistoryCommand(idents(t))
     case ReplacePartitionSpec(t, specs) =>
@@ -170,6 +171,10 @@ private object GraftSqlParser {
   private[lake] val OptimizeFiles =
     stmt(s"OPTIMIZE\\s+$T\\s+FILES\\s+(\\d+)")
   private[lake] val Optimize = stmt(s"OPTIMIZE\\s+$T")
+  // row tracking opt-in (Delta: SET TBLPROPERTIES delta.enableRowTracking;
+  // spelled as a first-class statement here, like the ref DDL)
+  private[lake] val EnableRowTracking =
+    stmt(s"ALTER\\s+TABLE\\s+$T\\s+ENABLE\\s+ROW\\s+TRACKING")
   private[lake] val DescribeDetail =
     stmt(s"DESC(?:RIBE)?\\s+DETAIL\\s+$T")
   private[lake] val DescribeHistory =
@@ -353,6 +358,22 @@ case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
   * numRows, properties, reader features — entirely from the cached
   * manifest (file sizes stat'ed tiered: driver below 64 files,
   * distributed above). */
+/** `ALTER TABLE t ENABLE ROW TRACKING` — opt an existing table into
+  * stable row ids ([[SnapshotTable.enableRowTracking]]: one metadata
+  * commit assigning base ids to every live file from its footer row
+  * count; idempotent). Returns the resulting table version. */
+case class SnapshotEnableRowTrackingCommand(ident: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    Seq(Row(SnapshotTable.enableRowTracking(spark, path)))
+  }
+}
+
 case class SnapshotDescribeDetailCommand(ident: Seq[String])
     extends LeafRunnableCommand {
 

@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object TableFunctions {
 
   def tableChanges(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.length == 2 || exprs.length == 3,
-      "table_changes(table_name, from_version_or_ts[, to_version_or_ts])")
+    require(exprs.length >= 2 && exprs.length <= 4,
+      "table_changes(table_name, from_version_or_ts[, to_version_or_ts" +
+        "[, include_row_ids]])")
     def constOf(e: Expression, what: String): Any = {
       require(e.foldable, s"table_changes: $what must be a constant")
       e.eval()
@@ -71,8 +72,19 @@ object TableFunctions {
     }
     val from = boundOf(exprs(1), "from_version", start = true)
     val to =
-      if (exprs.length == 3) boundOf(exprs(2), "to_version", start = false)
+      if (exprs.length >= 3) boundOf(exprs(2), "to_version", start = false)
       else latest
-    SnapshotTable.changes(spark, path, from, to).queryExecution.analyzed
+    // optional 4th arg: carry the stable `_row_id` column (requires a
+    // row-tracking table) — the SQL spelling of
+    // changes(..., includeRowIds = true)
+    val includeRowIds = exprs.length == 4 && (constOf(exprs(3),
+        "include_row_ids") match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case s: UTF8String => s.toString.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"table_changes: include_row_ids must be a boolean, got $other")
+    })
+    SnapshotTable.changes(spark, path, from, to, namesAsOf = None,
+      includeRowIds = includeRowIds).queryExecution.analyzed
   }
 }

@@ -37,7 +37,12 @@ import graft.lake.SnapshotTable
   * emitted, inclusive (default 1 = the full history; note the raw
   * source's bootstrap-then-tail pattern maps here to
   * `startingVersion = <version you bootstrapped>+1`);
-  * `maxVersionsPerTrigger` — rate limit per microbatch.
+  * `maxVersionsPerTrigger` — rate limit per microbatch;
+  * `includeRowIds` — on a ROW-TRACKING table, carry the stable
+  * `_row_id` column (an update's pre/post images share one id; a
+  * delete names the id that died; pre-tracking commits serve NULL),
+  * so a stateful consumer keys its state by row identity instead of
+  * hoping values are unique.
   *
   * SCHEMA LIFECYCLE (the part a naive CDF stream gets silently
   * wrong): the stream's schema is captured once at query (re)start.
@@ -72,7 +77,8 @@ class SnapshotChangesSource extends StreamSourceProvider with DataSourceRegister
         "graft-changes needs the table path: .load(<tablePath>) or .option(\"path\", ...)"))
 
   private def feedSchema(spark: SparkSession, path: String,
-      atVersion: Option[Long] = None): StructType = {
+      atVersion: Option[Long] = None,
+      includeRowIds: Boolean = false): StructType = {
     require(SnapshotTable.latestVersion(spark, path).nonEmpty,
       s"no committed version at $path — the change feed needs an existing table")
     val s = SnapshotTable.schemaOf(spark, path, atVersion)
@@ -80,12 +86,21 @@ class SnapshotChangesSource extends StreamSourceProvider with DataSourceRegister
     // data fields forced NULLABLE like the batch read (a version's
     // rows may predate a column — the schema-evolution NULL must not
     // zero-fill under a non-nullable declared field); the two feed
-    // metadata columns are always present
+    // metadata columns are always present. `includeRowIds` adds the
+    // stable `_row_id` (nullable: pre-tracking commits have none).
     StructType(s.fields.filterNot(_.name.startsWith("__p_"))
-      .map(_.copy(nullable = true)) :+
+      .map(_.copy(nullable = true)) ++
+      (if (includeRowIds)
+        Seq(StructField(SnapshotTable.RowIdCol, LongType, nullable = true))
+      else Nil) :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false))
   }
+
+  private def rowIdsOpt(parameters: Map[String, String]): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("includeRowIds") => v.toBoolean
+    }.getOrElse(false)
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
@@ -96,7 +111,15 @@ class SnapshotChangesSource extends StreamSourceProvider with DataSourceRegister
     require(!(parameters.keys.exists(_.equalsIgnoreCase("startingVersion")) &&
         parameters.keys.exists(_.equalsIgnoreCase("startingTimestamp"))),
       "startingVersion and startingTimestamp are mutually exclusive")
-    (shortName(), feedSchema(sqlContext.sparkSession, pathOf(parameters)))
+    val path = pathOf(parameters)
+    val rid = rowIdsOpt(parameters)
+    require(!rid ||
+        SnapshotTable.rowTrackingEnabled(sqlContext.sparkSession, path),
+      s"includeRowIds needs row tracking enabled at $path — " +
+        "SnapshotTable.enableRowTracking (or ALTER TABLE ... ENABLE ROW " +
+        "TRACKING) first")
+    (shortName(), feedSchema(sqlContext.sparkSession, path,
+      includeRowIds = rid))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -121,9 +144,14 @@ class SnapshotChangesSource extends StreamSourceProvider with DataSourceRegister
     // immutable, so reads at the pinned version are consistent.
     val capturedVersion = SnapshotTable.latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
+    val rid = rowIdsOpt(parameters)
+    require(!rid || SnapshotTable.rowTrackingEnabled(spark, path,
+        Some(capturedVersion)),
+      s"includeRowIds needs row tracking enabled at $path")
     new SnapshotChangesStreamingSource(spark, path,
-      feedSchema(spark, path, Some(capturedVersion)), startingVersion,
-      opt("maxVersionsPerTrigger").map(_.toLong), capturedVersion)
+      feedSchema(spark, path, Some(capturedVersion), includeRowIds = rid),
+      startingVersion,
+      opt("maxVersionsPerTrigger").map(_.toLong), capturedVersion, rid)
   }
 }
 
@@ -155,7 +183,8 @@ private case class SnapshotChangesOffset(version: Long) extends OffsetV1 {
 
 private class SnapshotChangesStreamingSource(spark: SparkSession, path: String,
     srcSchema: StructType, startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long], capturedVersion: Long) extends Source
+    maxVersionsPerTrigger: Option[Long], capturedVersion: Long,
+    includeRowIds: Boolean = false) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // schema capture: version + schema + mapping resolved ONCE, as one
@@ -213,7 +242,8 @@ private class SnapshotChangesStreamingSource(spark: SparkSession, path: String,
   private def requireSchemaStable(to: Long): Unit =
     SchemaStability.requireStable(spark, path, capturedVersion,
       capturedColmap, srcSchema.fields.toSeq.filterNot(f =>
-        f.name == "_change_type" || f.name == "_commit_version"), to)
+        f.name == "_change_type" || f.name == "_commit_version" ||
+          f.name == SnapshotTable.RowIdCol), to)
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(o => ver(o)).getOrElse(startingVersion - 1)
@@ -227,7 +257,8 @@ private class SnapshotChangesStreamingSource(spark: SparkSession, path: String,
     // the captured names and anchoring there satisfies namesAsOf's
     // range bound
     val feed = SnapshotTable.changes(spark, path, from, to,
-      namesAsOf = Some(math.max(capturedVersion, to)))
+      namesAsOf = Some(math.max(capturedVersion, to)),
+      includeRowIds = includeRowIds)
     val out = feed.select(srcSchema.fields.toSeq.map { f =>
       if (!feed.columns.contains(f.name))
         // every range version predates the column — the genuine

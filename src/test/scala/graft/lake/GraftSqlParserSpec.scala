@@ -318,4 +318,32 @@ class GraftSqlParserSpec extends SparkTestBase {
       assert(rows.forall(!_.isNullAt(2))) // published_at present
     } finally SnapshotCatalog.unregister("psql_dh")
   }
+
+  test("ALTER TABLE ... ENABLE ROW TRACKING + table_changes(..., include_row_ids)") {
+    val path = Files.createTempDirectory("graft-psql-rid").toString + "/t"
+    SnapshotTable.append(mk("a").coalesce(1), path)                    // v1
+    SnapshotCatalog.register("psql_rid", path)
+    try {
+      val v = s2.sql("ALTER TABLE psql_rid ENABLE ROW TRACKING")
+        .collect().head.getLong(0)                                     // v2
+      assert(SnapshotTable.rowTrackingEnabled(s2, path))
+      // idempotent: re-enabling returns the same version
+      assert(s2.sql("ALTER TABLE psql_rid ENABLE ROW TRACKING")
+        .collect().head.getLong(0) === v)
+      val vU = SnapshotTable.update(s2, path,
+        Seq("v" -> (col("v") + 1000.0)), lit(true))                    // v3
+      // SQL spelling of the row-id feed: keyless update arrives as
+      // image pairs keyed by _row_id
+      val feed = s2.sql(
+        s"SELECT * FROM table_changes('psql_rid', ${vU - 1}, $vU, true)")
+      assert(feed.columns.contains(SnapshotTable.RowIdCol))
+      val byType = feed.collect().groupBy(_.getString(feed.schema.fieldIndex("_change_type")))
+      assert(byType("update_preimage").length === 5 &&
+        byType("update_postimage").length === 5)
+      assert(!byType.contains("insert") && !byType.contains("delete"))
+      // 3-arg form keeps the untracked shape (no _row_id column)
+      assert(!s2.sql(s"SELECT * FROM table_changes('psql_rid', ${vU - 1}, $vU)")
+        .columns.contains(SnapshotTable.RowIdCol))
+    } finally SnapshotCatalog.unregister("psql_rid")
+  }
 }

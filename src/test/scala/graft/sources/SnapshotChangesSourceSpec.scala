@@ -191,4 +191,44 @@ class SnapshotChangesSourceSpec extends SparkTestBase {
     val (got, _) = drain(path, ckpt, Map("startingVersion" -> "2"))
     assert(got.map(tag).sorted === Seq((2L, "insert", 2L), (3L, "insert", 3L)))
   }
+
+  test("includeRowIds: a KEYLESS update streams as image pairs sharing a " +
+      "_row_id; pre-tracking commits serve NULL; untracked tables refuse") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-cdf-rid").toString
+    val (path, ckpt) = (s"$base/t", s"$base/ckpt")
+    // v1 BEFORE tracking: its feed rows must carry NULL ids, honestly
+    SnapshotTable.append(Seq((1L, 10.0)).toDF("k", "v"), path)       // v1
+    SnapshotTable.enableRowTracking(spark, path)                      // v2
+    // duplicate values: only row identity can pair the update images
+    SnapshotTable.append(Seq((2L, 5.0), (3L, 5.0)).toDF("k", "v"), path) // v3
+    val vU = SnapshotTable.update(spark, path,
+      Seq("v" -> lit(99.0)), col("v") === 5.0)                        // v4
+
+    val (got, _) = drain(path, ckpt, Map("includeRowIds" -> "true"))
+    def rid(r: Row): Option[Long] = {
+      val i = r.fieldIndex(SnapshotTable.RowIdCol)
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+    val v1Rows = got.filter(r => r.getLong(r.fieldIndex("_commit_version")) == 1L)
+    assert(v1Rows.size === 1 && rid(v1Rows.head).isEmpty,
+      "a pre-tracking commit's rows carry NULL _row_id")
+    val pre = got.filter(r => r.getString(r.fieldIndex("_change_type")) == "update_preimage")
+    val post = got.filter(r => r.getString(r.fieldIndex("_change_type")) == "update_postimage")
+    assert(pre.size === 2 && post.size === 2,
+      s"keyless update must pair by row id, got ${got.map(tag)}")
+    assert(pre.flatMap(rid).toSet === post.flatMap(rid).toSet)
+    assert(got.count(r => r.getLong(r.fieldIndex("_commit_version")) == vU &&
+      Set("insert", "delete")(r.getString(r.fieldIndex("_change_type")))) === 0)
+    // exactly-once: restart drains nothing
+    assert(drain(path, ckpt, Map("includeRowIds" -> "true"))._1.isEmpty)
+    // fail fast on an untracked table
+    val plain = s"$base/plain"
+    SnapshotTable.append(Seq((1L, 1.0)).toDF("k", "v"), plain)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-changes")
+        .option("includeRowIds", "true").load(plain)
+    }
+    assert(e.getMessage.contains("row tracking"))
+  }
 }
