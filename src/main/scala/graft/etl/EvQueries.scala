@@ -2296,6 +2296,62 @@ object EvQueries {
        |  round(kwhTotal + 100.0, 2) FROM gold WHERE kwhTotal > 8.0
        |ORDER BY _row_id, _change_type""".stripMargin
 
+  /** STREAMING SINK × IDENTITY (ev gate): `writeStream` into a table
+    * declaring `sid BIGINT GENERATED ALWAYS AS IDENTITY` — the epoch
+    * enrichment must assign values exactly like a batch append would
+    * (`high + step * ordinal` per epoch, watermark bumped atomically
+    * with the epoch's manifest). Two source commits drain as two
+    * rate-limited epochs in commit order, so the assignment is
+    * deterministic: the first 5 rows (by the total sort) get 1..5,
+    * the rest continue 6..N — the oracle recomputes it as one
+    * row_number over the same order. */
+  def streamIdentityGate(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-sid-gate").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    import graft.lake.SnapshotTable
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.IdentityColumn
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .orderBy("sessionId", "kwhTotal").coalesce(1).persist()
+    try {
+      val head = gold.limit(5)
+      val tail = gold.exceptAll(head)
+        .orderBy("sessionId", "kwhTotal").coalesce(1)
+      SnapshotTable.append(head, src)                                 // v1
+      SnapshotTable.append(tail, src)                                 // v2
+      SnapshotTable.create(spark, dst, StructType(Seq(
+        StructField("sid", LongType, nullable = true, new MetadataBuilder()
+          .putLong(IdentityColumn.IDENTITY_INFO_START, 1L)
+          .putLong(IdentityColumn.IDENTITY_INFO_STEP, 1L)
+          .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            false).build()),
+        StructField("sessionId", StringType),
+        StructField("kwhTotal", DoubleType))))
+      val q = spark.readStream.format("graft-snapshot")
+        .option("maxVersionsPerTrigger", 1)  // one epoch per src commit
+        .load(src)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+      SnapshotTable.read(spark, dst)
+        .select(col("sid"), col("sessionId"),
+          round(col("kwhTotal"), 2).as("kwh"))
+        .orderBy("sid")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val streamIdentitySql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal,
+       |    row_number() OVER (ORDER BY sessionId, kwhTotal) AS rn
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT CAST(rn AS BIGINT) AS sid, sessionId,
+       |  round(kwhTotal, 2) AS kwh FROM gold ORDER BY sid""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("ev01_silver_good", silverGood, Some(silverGoodSql)),
     QDef("ev02_quarantine_reasons", quarantineReasons, Some(quarantineReasonsSql)),
@@ -2342,5 +2398,6 @@ object EvQueries {
     QDef("ev40_describe_history", describeHistoryGate, Some(describeHistorySql)),
     QDef("ev41_identity_columns", identityColumnsGate, Some(identityColumnsSql)),
     QDef("ev42_row_tracking", rowTrackingGate, Some(rowTrackingSql)),
+    QDef("ev43_stream_identity", streamIdentityGate, Some(streamIdentitySql)),
   )
 }
