@@ -291,6 +291,53 @@ class RowTrackingSpec extends SparkTestBase {
       .select("readerFeatures").as[Seq[String]].head().contains("row-tracking"))
   }
 
+  test("rid state round-trips through CHECKPOINT manifests and survives vacuum") {
+    // 25 commits crosses the checkpoint cadence (20): the rid entry
+    // tokens and the #rowIdHigh header must serialize through the
+    // checkpoint writer identically to delta version files, and a
+    // vacuum that swaps checkpoints must not lose either
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    (1 to 22).foreach(i =>
+      SnapshotTable.append(Seq((i, s"v$i")).toDF("k", "v"), path))
+    SnapshotTable.update(spark, path, Seq("v" -> lit("X")), col("k") <= 3)
+    val before = idsByKey(path)
+    val high = SnapshotTable.nextRowId(spark, path)
+    SnapshotTable.compact(spark, path, numFiles = 1)
+    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    assert(idsByKey(path) === before,
+      "ids must survive checkpointed manifests + vacuum")
+    assert(SnapshotTable.nextRowId(spark, path) >= high)
+    SnapshotTable.append(Seq((99, "z")).toDF("k", "v"), path)
+    val ids = allIds(path)
+    assert(ids.distinct.size === ids.size)
+  }
+
+  test("shallowClone copies rid state; clone and source then diverge independently") {
+    val dir = Files.createTempDirectory("graft-rid-clone").toString
+    val (src, dst) = (s"$dir/src", s"$dir/dst")
+    SnapshotTable.create(spark, src,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), src)
+    val srcIds = idsByKey(src)
+    SnapshotTable.shallowClone(spark, src, dst)
+    // the clone reads the SAME ids (shared files, copied bases)
+    assert(idsByKey(dst) === srcIds)
+    assert(SnapshotTable.nextRowId(spark, dst) ===
+      SnapshotTable.nextRowId(spark, src))
+    // post-clone writes number independently per table (Delta's clone
+    // semantics: row ids are table-scoped lineage, not global)
+    SnapshotTable.append(Seq((3, "c")).toDF("k", "v"), dst)
+    SnapshotTable.append(Seq((4, "d")).toDF("k", "v"), src)
+    assert(idsByKey(dst)(3) === idsByKey(src)(4),
+      "both sides assign the next id from their own copied watermark")
+    val dstIds = allIds(dst)
+    assert(dstIds.distinct.size === dstIds.size)
+  }
+
   test("DML x row-id fuzz: ids unique and stable for carried rows across random op mix") {
     val path = tmp()
     SnapshotTable.create(spark, path,
