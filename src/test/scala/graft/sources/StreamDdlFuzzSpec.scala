@@ -77,6 +77,9 @@ class StreamDdlFuzzSpec extends SparkTestBase {
   private val genOp: Gen[String] = Gen.frequency(
     5 -> Gen.const("append"), 2 -> Gen.const("rename"),
     2 -> Gen.const("dropReadd"), 1 -> Gen.const("widen"),
+    // schema-INVARIANT metadata DDL: must never trip the stability
+    // guard or perturb the stream (its commit adds no files)
+    1 -> Gen.const("enableRid"),
     4 -> Gen.const("consume"))
 
   test("random append x rename x drop+re-add x widen plans under ONE long-lived " +
@@ -173,6 +176,8 @@ class StreamDdlFuzzSpec extends SparkTestBase {
           SnapshotTable.widenColumnType(spark, path, "n", LongType)
           widened = true
         case "widen"  => () // already wide — idempotent skip
+        case "enableRid" =>
+          SnapshotTable.enableRowTracking(spark, path); ()
         case "consume" => consume(i)
       }
     }
