@@ -3452,7 +3452,9 @@ object SnapshotTable {
         Map("identityColumns" -> idents.map { case (f, high, step, allow) =>
           s"${f.name}(next=$high,step=$step,allowExplicit=$allow)"
         }.sorted.mkString("; "))
-      else Map.empty)
+      else Map.empty) ++
+      m.rowIdHigh.map(h => Map("rowTracking" -> "true",
+        "rowIdHighWatermark" -> h.toString)).getOrElse(Map.empty)
     val row = Row("graft-snapshot", path, v, createdAt, lastModified,
       partCols, m.entries.size.toLong, sizeInBytes, nRows, props,
       readerFeaturesOf(m))

@@ -283,12 +283,17 @@ class RowTrackingSpec extends SparkTestBase {
     assert(e.getMessage.contains("materialized row ids"))
   }
 
-  test("reader-features gate names row-tracking") {
+  test("reader-features gate and DESCRIBE DETAIL properties name row tracking") {
     val path = tmp()
     SnapshotTable.create(spark, path,
       StructType(Seq(StructField("k", IntegerType))), rowTracking = true)
-    assert(SnapshotTable.describeDetail(spark, path)
-      .select("readerFeatures").as[Seq[String]].head().contains("row-tracking"))
+    SnapshotTable.append(Seq(1, 2, 3).toDF("k"), path)
+    val d = SnapshotTable.describeDetail(spark, path).head()
+    assert(d.getSeq[String](d.fieldIndex("readerFeatures"))
+      .contains("row-tracking"))
+    val props = d.getMap[String, String](d.fieldIndex("properties"))
+    assert(props.get("rowTracking").contains("true"))
+    assert(props.get("rowIdHighWatermark").contains("3"))
   }
 
   test("rid state round-trips through CHECKPOINT manifests and survives vacuum") {
