@@ -1223,6 +1223,41 @@ object SnapshotTable {
     * Returns (table version, rows quarantined). With no constraints
     * recorded this is plain [[append]] with 0 quarantined.
     */
+  /** `df` extended with the target's GENERATED columns it omits, so a
+    * CHECK constraint over a generated column can be evaluated BEFORE
+    * the write funnel derives it (the quarantine split's probe — the
+    * added columns are dropped again after tagging, never written by
+    * the split itself). A constraint referencing an ABSENT identity
+    * column is refused loudly: identity values exist only after
+    * commit-time assignment, so no pre-commit split can evaluate
+    * them. Returns (probe, namesAdded). */
+  private def constraintProbe(df: DataFrame, schema: Option[StructType],
+      cs: Map[String, String]): (DataFrame, Seq[String]) = {
+    if (schema.isEmpty || cs.isEmpty) return (df, Nil)
+    def absent(n: String) = !df.columns.exists(_.equalsIgnoreCase(n))
+    val gens = generatedColumnsOf(schema.get)
+      .filter { case (f, _) => absent(f.name) }
+    val idents = identityColumnsOf(schema.get).map(_._1.name).filter(absent)
+    if (idents.nonEmpty) {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val identSet = idents.map(_.toLowerCase).toSet
+      val offending = cs.filter { case (_, e) =>
+        df.sparkSession.sessionState.sqlParser.parseExpression(e)
+          .collect { case u: UnresolvedAttribute => u.name.toLowerCase }
+          .exists(identSet)
+      }
+      require(offending.isEmpty,
+        s"CHECK constraint(s) ${offending.keys.toSeq.sorted.mkString(", ")} " +
+          "reference identity column(s) the write does not provide — " +
+          "identity values are assigned at commit time, so a quarantine " +
+          "split cannot evaluate them; write through the rejecting API or " +
+          "drop the constraint")
+    }
+    (gens.foldLeft(df) { case (acc, (f, e)) =>
+      acc.withColumn(f.name, expr(e).cast(f.dataType))
+    }, gens.map(_._1.name))
+  }
+
   def appendQuarantine(df: DataFrame, path: String, quarantinePath: String,
       partitionCols: Seq[String] = Nil): (Long, Long) = {
     val spark = df.sparkSession
@@ -1230,15 +1265,18 @@ object SnapshotTable {
       "column name '_violated' is reserved for quarantine diagnostics")
     require(!df.columns.contains("__q_bad"),
       "column name '__q_bad' is reserved for the quarantine staging flag")
-    val cs: Map[String, String] = latestVersion(spark, path)
-      .map(v => readManifestFull(spark, path, v).constraints)
-      .getOrElse(Map.empty)
+    val m = latestVersion(spark, path).map(v => readManifestFull(spark, path, v))
+    val cs: Map[String, String] = m.map(_.constraints).getOrElse(Map.empty)
     if (cs.isEmpty) return (append(df, path, partitionCols), 0L)
     // int flag, not boolean: partition-column type inference on the
-    // staging re-read covers numerics but not booleans
-    val tagged = df
+    // staging re-read covers numerics but not booleans. The probe
+    // derives omitted GENERATED columns so constraints over them
+    // split correctly, then drops them (the write funnel re-derives).
+    val (probe, genAdded) = constraintProbe(df, m.flatMap(_.schema), cs)
+    val tagged = probe
       .withColumn("_violated", violatedArray(cs))
       .withColumn("__q_bad", when(size(col("_violated")) > 0, 1).otherwise(0))
+      .drop(genAdded: _*)
     val staging = s"${realPathOf(path)}/_staging/q-" +
       java.util.UUID.randomUUID.toString.take(12)
     tagged.write.mode("errorifexists").option("compression", "zstd")
@@ -1301,16 +1339,21 @@ object SnapshotTable {
       writtenColmap: Map[String, String] = Map.empty): (Option[Long], Long) = {
     if (streamTxnVersion(spark, path, txnAppId).exists(_ >= txnVersion))
       return (None, 0L)
-    val cs: Map[String, String] = latestVersion(spark, path)
-      .map(v => readManifestFull(spark, path, v).constraints)
-      .getOrElse(Map.empty)
-    // epoch files are physical; constraints and the split are logical
+    val mPrev = latestVersion(spark, path)
+      .map(v => readManifestFull(spark, path, v))
+    val cs: Map[String, String] = mPrev.map(_.constraints).getOrElse(Map.empty)
+    // epoch files are physical; constraints and the split are logical.
+    // The probe derives omitted GENERATED columns so a constraint over
+    // one splits correctly (the epoch enrichment re-derives them on
+    // whichever side commits); identity-referencing constraints are
+    // refused inside constraintProbe — assignment happens at commit.
     val staged =
       if (files.isEmpty || cs.isEmpty) None
-      else Some(toLogical(
+      else Some(constraintProbe(toLogical(
         spark.read.schema(physicalSchema(writeSchema, writtenColmap))
-          .parquet(files.map(_._2): _*), writeSchema, writtenColmap))
-    val anyBad = staged.exists { df =>
+          .parquet(files.map(_._2): _*), writeSchema, writtenColmap),
+        mPrev.flatMap(_.schema), cs))
+    val anyBad = staged.exists { case (df, _) =>
       val violated = cs.values
         .map(e => !coalesce(expr(e), lit(true))).reduce(_ || _)
       df.filter(violated).limit(1).count() > 0L
@@ -1327,7 +1370,9 @@ object SnapshotTable {
       if (cm.isEmpty) df
       else df.select(df.columns.toSeq.map(c => col(c).as(cm.getOrElse(c, c))): _*)
 
-    val tagged = staged.get.withColumn("_violated", violatedArray(cs))
+    val (probeDf, genAdded) = staged.get
+    val tagged = probeDf.withColumn("_violated", violatedArray(cs))
+      .drop(genAdded: _*)
     // quarantine first (its watermark makes a replay skip and clean
     // up): a crash window never silently drops a violating row
     // the quarantine table may carry its OWN mapping — write under it

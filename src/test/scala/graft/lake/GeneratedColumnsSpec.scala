@@ -191,6 +191,44 @@ class GeneratedColumnsSpec extends SparkTestBase {
       "a failed epoch must publish nothing")
   }
 
+  test("quarantine split evaluates CHECKs over a GENERATED column the write " +
+      "omits (probe derives; batch and stream paths)") {
+    val dir = Files.createTempDirectory("graft-gen-q").toString
+    val path = mkTable(dir)                                   // y = v * 2
+    SnapshotTable.append(Seq((1L, 2.0)).toDF("id", "v"), path)
+    SnapshotTable.addCheckConstraint(spark, path, "y_small", "y <= 10")
+    // batch: y(3.0)=6 passes, y(9.0)=18 violates — the split must
+    // derive y to know, since the writer never provides it
+    val (_, nBad) = SnapshotTable.appendQuarantine(
+      Seq((2L, 3.0), (3L, 9.0)).toDF("id", "v"), path, s"$dir/q")
+    assert(nBad === 1L)
+    val got = SnapshotTable.read(spark, path)
+      .select("id", "y").as[(Long, Double)].collect().sorted
+    assert(got === Array((1L, 4.0), (2L, 6.0)),
+      "clean side lands with y derived by the write funnel")
+    assert(SnapshotTable.read(spark, s"$dir/q")
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+    // stream: same split through failMode=quarantine
+    val src = s"$dir/src"
+    SnapshotTable.append(Seq((4L, 4.0), (5L, 8.0)).toDF("id", "v"), src)
+    val q = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("path", path)
+      .option("failMode", "quarantine")
+      .option("quarantinePath", s"$dir/q")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(SnapshotTable.read(spark, path)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 4L),
+      "y(8.0)=16 must divert to quarantine, y(4.0)=8 must land derived")
+    assert(SnapshotTable.read(spark, path).filter(col("id") === 4L)
+      .select("y").as[Double].head() === 8.0)
+    assert(SnapshotTable.read(spark, s"$dir/q")
+      .select("id").as[Long].collect().toSet === Set(3L, 5L))
+  }
+
   test("CREATE TABLE ... GENERATED ALWAYS AS via SQL on the catalog; INSERT derives") {
     val warehouse = Files.createTempDirectory("graft-gen-wh").toString
     val prevDefault = SparkSession.getDefaultSession

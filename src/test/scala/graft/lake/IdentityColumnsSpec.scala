@@ -152,6 +152,21 @@ class IdentityColumnsSpec extends SparkTestBase {
       s"the epoch must assign the identity value, got ${streamed.toSeq}")
   }
 
+  test("quarantine split refuses a CHECK referencing an unprovided identity " +
+      "column loudly (values exist only after commit-time assignment)") {
+    val dir = Files.createTempDirectory("graft-id-q").toString
+    val path = mk(dir)
+    SnapshotTable.append(Seq(1.0).toDF("v"), path)
+    SnapshotTable.addCheckConstraint(spark, path, "id_pos", "id > 0")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.appendQuarantine(Seq(2.0).toDF("v"), path, s"$dir/q")
+    }
+    assert(e.getMessage.contains("identity column"))
+    // providing the column is also refused for GENERATED ALWAYS — the
+    // rejecting API (plain append) remains the supported route
+    assert(SnapshotTable.append(Seq(3.0).toDF("v"), path) > 0L)
+  }
+
   test("random append x merge x delete x compact plans keep identity values " +
       "UNIQUE and STABLE for surviving keys (3 seeds)") {
     import org.scalacheck.Gen
