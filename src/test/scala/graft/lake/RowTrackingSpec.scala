@@ -238,6 +238,20 @@ class RowTrackingSpec extends SparkTestBase {
     assert(!before.values.toSet.contains(insId))
   }
 
+  test("CDF: a compaction on a tracked table contributes nothing (values AND ids cancel)") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    (1 to 4).foreach(i =>
+      SnapshotTable.append(Seq((i, s"v$i")).toDF("k", "v"), path))
+    val vC = SnapshotTable.compact(spark, path, numFiles = 1)
+    assert(SnapshotTable.opOf(spark, path, vC).contains("compact"))
+    assert(SnapshotTable.changes(spark, path, vC - 1, vC, None,
+      includeRowIds = true).count() === 0L,
+      "carried rows must cancel in the diff: same values, same ids")
+  }
+
   test("pre-tracking history still serves through changes() untagged") {
     val path = tmp()
     SnapshotTable.append(Seq((1, "a")).toDF("k", "v"), path)   // v1 untracked
