@@ -192,8 +192,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // file-absence semantics as ADD COLUMN ... DEFAULT)
     val withDefaults = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
       .constantFoldCurrentDefaultsToExistDefaults(schema, "CREATE TABLE")
+    val rowTracking = Option(properties.get(GraftCatalog.RowTrackingProp))
+      .exists { v =>
+        require(v.equalsIgnoreCase("true"),
+          s"${GraftCatalog.RowTrackingProp} accepts only 'true' " +
+            "(row tracking is one-way)")
+        true
+      }
     SnapshotTable.create(spark, path, withDefaults,
-      partitions.toSeq.map(GraftCatalog.specOf))
+      partitions.toSeq.map(GraftCatalog.specOf), rowTracking = rowTracking)
     GraftTable(ident.toString, path)
   }
 
@@ -210,7 +217,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // feature toggles via SET/UNSET TBLPROPERTIES — the two
     // ALTER-able graft features; any OTHER property has no manifest
     // slot, and accept-and-ignore would silently drop user intent
-    val featureProps = Set(GraftCatalog.BloomColsProp, GraftCatalog.AutoCompactProp)
+    val featureProps = Set(GraftCatalog.BloomColsProp,
+      GraftCatalog.AutoCompactProp, GraftCatalog.RowTrackingProp)
     val mutations: Seq[(String, SnapshotTable.Manifest => SnapshotTable.Manifest)] =
       changes.toSeq.map {
         case p: TableChange.SetProperty if featureProps(p.property) =>
@@ -228,6 +236,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                   s"${GraftCatalog.AutoCompactProp} expects " +
                     s"'minSmallFiles[,smallFileRows]', got '${p.value}'")
               })
+            case GraftCatalog.RowTrackingProp =>
+              require(p.value.equalsIgnoreCase("true"),
+                s"${GraftCatalog.RowTrackingProp} accepts only 'true' " +
+                  "(row tracking is one-way)")
+              "enableRowTracking" -> SnapshotTable.enableRowTrackingMutation(path)
           }
         case p: TableChange.RemoveProperty if featureProps(p.property) =>
           p.property match {
@@ -235,6 +248,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               "setBloomCols" -> SnapshotTable.setBloomColumnsMutation(Nil)
             case GraftCatalog.AutoCompactProp =>
               "setAutoCompact" -> SnapshotTable.setAutoCompactMutation(0, 0L)
+            case GraftCatalog.RowTrackingProp =>
+              throw new IllegalArgumentException(
+                "row tracking cannot be disabled: assigned ids are baked " +
+                  "into manifests and rewritten files")
           }
         case a: TableChange.AddColumn =>
           require(a.fieldNames.length == 1, "nested ADD COLUMN is not supported")
@@ -360,6 +377,10 @@ object GraftCatalog {
   /** SET TBLPROPERTIES key for commit-time auto-compaction:
     * `minSmallFiles[,smallFileRows]`; UNSET disables. */
   val AutoCompactProp = "graft.autoCompact"
+  /** TBLPROPERTIES key opting a table into row tracking — at CREATE
+    * TABLE or via SET TBLPROPERTIES (one-way: ids are baked into
+    * manifests and rewritten files, so UNSET is refused). */
+  val RowTrackingProp = "graft.rowTracking"
 
   /** DSv2 partition `Transform` → the snapshot spec grammar
     * ([[PartitionTransform.parse]]). Literal/reference argument order
@@ -467,7 +488,10 @@ case class GraftTable(identName: String, path: String,
           Map(GraftCatalog.BloomColsProp -> bloom.mkString(","))
         else Map.empty[String, String]) ++
           ac.map { case (n, r) =>
-            GraftCatalog.AutoCompactProp -> s"$n,$r" }.toMap
+            GraftCatalog.AutoCompactProp -> s"$n,$r" }.toMap ++
+          (if (SnapshotTable.rowTrackingEnabled(spark, path))
+            Map(GraftCatalog.RowTrackingProp -> "true")
+          else Map.empty[String, String])
       }
     (Map(TableCatalog.PROP_PROVIDER -> "graft-snapshot",
       TableCatalog.PROP_LOCATION -> path) ++ feature).asJava

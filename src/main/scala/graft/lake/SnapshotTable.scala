@@ -1783,20 +1783,27 @@ object SnapshotTable {
     val v = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     if (readManifestFull(spark, path, v).rowIdHigh.isDefined) return v
-    publishMetadataCommit(spark, path, "enableRowTracking") { m =>
-      if (m.rowIdHigh.isDefined) m
-      else {
-        var b = 0L
-        val entries = m.entries.map { e =>
-          require(e.rows >= 0L,
-            s"row tracking at $path needs a footer row count for every " +
-              s"live file — ${e.filePath} has none")
-          val x = e.copy(rid = Some(b))
-          b += e.rows
-          x
-        }
-        m.copy(entries = entries, rowIdHigh = Some(b))
+    publishMetadataCommit(spark, path, "enableRowTracking")(
+      enableRowTrackingMutation(path))
+  }
+
+  /** The manifest mutation behind [[enableRowTracking]] — also the
+    * ALTER TABLE ... SET TBLPROPERTIES('rowTracking'='true') hook.
+    * Idempotent on an already-tracking manifest. */
+  private[lake] def enableRowTrackingMutation(path: String)
+      : Manifest => Manifest = { m =>
+    if (m.rowIdHigh.isDefined) m
+    else {
+      var b = 0L
+      val entries = m.entries.map { e =>
+        require(e.rows >= 0L,
+          s"row tracking at $path needs a footer row count for every " +
+            s"live file — ${e.filePath} has none")
+        val x = e.copy(rid = Some(b))
+        b += e.rows
+        x
       }
+      m.copy(entries = entries, rowIdHigh = Some(b))
     }
   }
 

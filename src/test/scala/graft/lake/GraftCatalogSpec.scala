@@ -255,6 +255,35 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("SET|UNSET TBLPROPERTIES"))
   }
 
+  test("rowTracking via TBLPROPERTIES: CREATE opts in, SET enables later, " +
+      "UNSET refused, SHOW reflects it") {
+    s2.sql("CREATE NAMESPACE graft.rid")
+    s2.sql("CREATE TABLE graft.rid.born (id STRING, v DOUBLE) " +
+      "USING `graft-snapshot` TBLPROPERTIES('graft.rowTracking'='true')")
+    val born = s"$warehouse/rid/born"
+    assert(SnapshotTable.rowTrackingEnabled(s2, born))
+    s2.sql("INSERT INTO graft.rid.born VALUES ('a', 1.0), ('b', 2.0)")
+    assert(SnapshotTable.readWithRowIds(s2, born)
+      .select(SnapshotTable.RowIdCol).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted === Array(0L, 1L))
+    // later opt-in on an existing table
+    s2.sql("CREATE TABLE graft.rid.later (id STRING) USING `graft-snapshot`")
+    val later = s"$warehouse/rid/later"
+    s2.sql("INSERT INTO graft.rid.later VALUES ('x')")
+    s2.sql("ALTER TABLE graft.rid.later SET TBLPROPERTIES('graft.rowTracking'='true')")
+    assert(SnapshotTable.rowTrackingEnabled(s2, later))
+    val props = s2.sql("SHOW TBLPROPERTIES graft.rid.later").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("graft.rowTracking") === Some("true"))
+    // one-way: UNSET and non-'true' values are refused
+    assert(intercept[Exception] {
+      s2.sql("ALTER TABLE graft.rid.later UNSET TBLPROPERTIES('graft.rowTracking')")
+    }.getMessage.contains("cannot be disabled"))
+    assert(intercept[Exception] {
+      s2.sql("ALTER TABLE graft.rid.later SET TBLPROPERTIES('graft.rowTracking'='false')")
+    }.getMessage.contains("one-way"))
+  }
+
   test("tags resolve through VERSION AS OF; metadata tables reachable by name") {
     s2.sql("CREATE NAMESPACE graft.meta")
     s2.sql("CREATE TABLE graft.meta.t (id BIGINT) USING `graft-snapshot`")
