@@ -371,11 +371,21 @@ class RowTrackingSpec extends SparkTestBase {
     SnapshotTable.append(freshRows(6).toDF("k", "v"), path)
     // model: key -> id for rows whose identity must persist
     var model: Map[Int, Long] = idsByKey(path)
-    for (step <- 1 to 18) {
+    for (step <- 1 to 22) {
       val live = model.keys.toSeq.sorted
-      rnd.nextInt(7) match {
+      rnd.nextInt(9) match {
         case 0 => // append
           SnapshotTable.append(freshRows(1 + rnd.nextInt(3)).toDF("k", "v"), path)
+        case 7 => // full overwrite: every old id dies, fresh rows get new ids
+          val high = SnapshotTable.nextRowId(spark, path)
+          SnapshotTable.overwrite(freshRows(2).toDF("k", "v"), path)
+          val now0 = idsByKey(path)
+          assert(now0.values.forall(_ >= high),
+            s"step $step: overwrite must assign FRESH ids above $high, got $now0")
+          model = Map.empty // nothing survives an overwrite
+        case 8 => // clustered append (stats-carrying ingest path)
+          SnapshotTable.appendClustered(freshRows(3).toDF("k", "v"), path,
+            "k", numFiles = 2)
         case 1 if live.nonEmpty => // predicate update
           val k = live(rnd.nextInt(live.size))
           SnapshotTable.update(spark, path,
