@@ -36,6 +36,10 @@ object SnapshotIncremental {
   sealed trait Mode
   case object AppendOnly extends Mode
   case object Cdc extends Mode
+  /** [[Cdc]] plus the stable `_row_id` column (requires a row-tracking
+    * table): a stateful consumer keys its state by row identity —
+    * update images pair exactly even under keyless rewrites. */
+  case object CdcWithRowIds extends Mode
 
   /** Files the commits in (fromVersion, toVersion] added, plus the
     * schema recorded at toVersion — ONE manifest read per version in
@@ -96,6 +100,8 @@ object SnapshotIncremental {
   def readBetween(spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Long, mode: Mode = AppendOnly): DataFrame = mode match {
     case Cdc => SnapshotTable.changes(spark, path, fromVersion, toVersion)
+    case CdcWithRowIds => SnapshotTable.changes(spark, path, fromVersion,
+      toVersion, namesAsOf = None, includeRowIds = true)
     case AppendOnly =>
       val (schema, added, _) = addedBetween(spark, path, fromVersion, toVersion,
         onRemoved = Some { (v, n) =>

@@ -238,6 +238,22 @@ class RowTrackingSpec extends SparkTestBase {
     assert(!before.values.toSet.contains(insId))
   }
 
+  test("readWithRowIds time-travels: an old version serves the ids it had then") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), path) // v2
+    val atV2 = idsByKey(path)
+    SnapshotTable.delete(spark, path, col("k") === 1)                   // v3
+    SnapshotTable.append(Seq((3, "c")).toDF("k", "v"), path)           // v4
+    val old = SnapshotTable.readWithRowIds(spark, path, Some(2L))
+      .select(col("k").cast("int"), col(SnapshotTable.RowIdCol))
+      .as[(Int, Long)].collect().toMap
+    assert(old === atV2, "version 2 must serve its own id assignment")
+    assert(idsByKey(path).keySet === Set(2, 3))
+  }
+
   test("CDF: a compaction on a tracked table contributes nothing (values AND ids cancel)") {
     val path = tmp()
     SnapshotTable.create(spark, path,

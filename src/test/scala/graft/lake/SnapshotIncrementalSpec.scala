@@ -168,4 +168,28 @@ class SnapshotIncrementalSpec extends SparkTestBase {
     assert(feed.filter(col("_change_type") === "insert").count() === 5)
     assert(feed.filter(col("_change_type") === "delete").count() === 1)
   }
+
+  test("CdcWithRowIds keys a keyless update's images by stable row identity") {
+    import org.apache.spark.sql.types._
+    val path = Files.createTempDirectory("graft-inc-rid").toString + "/t"
+    SnapshotTable.create(spark, path, StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))),
+      rowTracking = true)
+    // duplicate values: nothing but row identity can pair the images
+    SnapshotTable.append(Seq((1L, 5.0), (2L, 5.0)).toDF("k", "v"), path) // v2
+    val vU = SnapshotTable.update(spark, path,
+      Seq("v" -> lit(9.0)), col("v") === 5.0)                            // v3
+    val feed = SnapshotIncremental.readBetween(spark, path, vU - 1, vU,
+      SnapshotIncremental.CdcWithRowIds)
+    assert(feed.columns.contains(SnapshotTable.RowIdCol))
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+      .select(SnapshotTable.RowIdCol).as[Long].collect().sorted
+    val post = feed.filter(col("_change_type") === "update_postimage")
+      .select(SnapshotTable.RowIdCol).as[Long].collect().sorted
+    assert(pre.length === 2 && pre === post,
+      "images must pair on the same stable ids")
+    // plain Cdc keeps the untracked shape
+    assert(!SnapshotIncremental.readBetween(spark, path, vU - 1, vU,
+      SnapshotIncremental.Cdc).columns.contains(SnapshotTable.RowIdCol))
+  }
 }
