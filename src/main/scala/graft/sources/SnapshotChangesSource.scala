@@ -247,10 +247,17 @@ private class SnapshotChangesStreamingSource(spark: SparkSession, path: String,
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(o => ver(o)).getOrElse(startingVersion - 1)
-    val to = ver(end)
+    DatasetBridge.asStreamingFrame(batchFor(from, ver(end)))
+  }
+
+  /** The BATCH frame getBatch wraps — the whole production path
+    * except the final streaming re-tag (which makes the frame
+    * uncollectable outside a running query; the DDL fuzz drives this
+    * seam directly). */
+  private[sources] def batchFor(from: Long, to: Long): DataFrame = {
     if (to <= from)
-      return DatasetBridge.asStreamingFrame(spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), srcSchema))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), srcSchema)
     requireSchemaStable(to)
     // names anchor: the capture covers every pre-capture version; a
     // post-capture `to` passed the stability check, so its names ARE
@@ -278,7 +285,7 @@ private class SnapshotChangesStreamingSource(spark: SparkSession, path: String,
             s"stream schema expects ${f.dataType.simpleString} — restart the query")
       }
     }: _*)
-    DatasetBridge.asStreamingFrame(out)
+    out
   }
 
   override def commit(end: OffsetV1): Unit = ()
