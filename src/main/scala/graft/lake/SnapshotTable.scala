@@ -2467,8 +2467,62 @@ object SnapshotTable {
     * while this formulation's count job stays size-only, which is
     * the regime that matters for real ingests. The losing
     * formulation stays A/B-measured in the bench every round.
-    * Exposed private[graft] for exactly that A/B. */
-  private[graft] def withDenseOrdinal(df: DataFrame, ord: String): DataFrame = {
+    * Exposed private[graft] for exactly that A/B.
+    *
+    * The size-stability guarantee HOLDS only when the two jobs plan
+    * to the same physical layout. Two things break it: (a) a
+    * nondeterministic input (a `sample()`, a `rand()`-derived
+    * filter) re-evaluates to different rows per job; (b) an
+    * EXCHANGE in the plan under AQE — the count job column-prunes
+    * the upstream, its shuffle byte sizes differ from the write
+    * job's, and AQE may coalesce/skew-split the two plans into
+    * different `spark_partition_id` layouts (zipWithIndex never had
+    * this failure because both of its jobs share one fixed RDD
+    * lineage). Either way the offset join mis-numbers rows —
+    * duplicate or skipped ids published silently. So any such plan
+    * is PINNED first: an eager localCheckpoint materializes one
+    * physical RDD layout that both jobs then share (measured A/B
+    * below vs the zipWithIndex fallback, which recomputes the
+    * upstream twice AND pays Row materialization — localCheckpoint
+    * wins and also de-risks re-evaluating nondeterministic inputs).
+    * The cached blocks are released by the ContextCleaner once the
+    * frame is unreferenced after the write. */
+  private[graft] def withDenseOrdinal(df: DataFrame, ord: String): DataFrame =
+    withDenseOrdinalUnpinned(
+      if (layoutUnstable(df)) df.localCheckpoint() else df, ord)
+
+  /** Whether `df`'s plan can change per-partition layout (or sizes)
+    * between two jobs over it. Shuffle-inducing logical nodes are
+    * the AQE hazard — runtime coalescing keys off post-shuffle byte
+    * sizes, which the column-pruned count query changes (detected on
+    * the OPTIMIZED plan: physical Exchanges only appear after the
+    * EnsureRequirements preparation / inside AQE's loop, neither
+    * visible from `sparkPlan`). A broadcast-only join never
+    * re-coalesces, so matching logical Join over-pins it — accepted:
+    * the pin costs one cached pass on a path that is already
+    * join-sized. Nondeterministic expressions / Sample are
+    * defense-in-depth (an unseeded rand() is seeded at analysis and
+    * is size-stable per fixed layout, but a genuinely
+    * nondeterministic UDF filter is not). */
+  private[graft] def layoutUnstable(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val qe = df.queryExecution
+    qe.analyzed.exists {
+      case _: Sample => true
+      case p => p.expressions.exists(e => e.exists(!_.deterministic))
+    } || qe.optimizedPlan.exists {
+      case _: Aggregate | _: Join | _: Window | _: Sort |
+           _: RepartitionOperation | _: GlobalLimit | _: Deduplicate |
+           _: MapGroups | _: CoGroup => true
+      case _ => false
+    }
+  }
+
+  /** The raw two-job formulation — correct ONLY on a layout-stable
+    * plan; callers go through [[withDenseOrdinal]], which pins
+    * unstable plans first. private[graft] so the guard spec can
+    * demonstrate the unguarded misnumbering. */
+  private[graft] def withDenseOrdinalUnpinned(df: DataFrame, ord: String): DataFrame = {
     val spark = df.sparkSession
     val part = "__identity_part"
     val withPart = df.withColumn(part, spark_partition_id())
