@@ -51,7 +51,13 @@ object ScaleBench {
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // GRAFT_SCALE_ONLY=a,b limits the run to the named cases (dev
+    // loop; skipped bodies never evaluate and report -1, dropped
+    // from the total)
+    val only = sys.env.get("GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def timed(name: String)(body: => Unit): (String, Double) = {
+      if (only.exists(!_.contains(name))) return name -> -1.0
       val t0 = System.nanoTime()
       body
       val s = (System.nanoTime() - t0) / 1e9
@@ -735,8 +741,16 @@ object ScaleBench {
         val ridAppend = t(SnapshotTable.append(df, s"$base/rid"))
         def noopWrite(d: org.apache.spark.sql.DataFrame): Unit =
           d.write.mode("overwrite").format("noop").save()
-        val plainRead = t(noopWrite(SnapshotTable.read(spark, s"$base/plain")))
-        val ridRead = t(noopWrite(SnapshotTable.readWithRowIds(spark, s"$base/rid")))
+        // reads: min-of-3 after one warmup each — the contract is
+        // steady-state read cost (tracked reads run per-batch in
+        // incremental consumers), and single-shot timings at this
+        // size are dominated by codegen/JIT warmup
+        def bestRead(d: => org.apache.spark.sql.DataFrame): Double = {
+          noopWrite(d)
+          (1 to 3).map(_ => t(noopWrite(d))).min
+        }
+        val plainRead = bestRead(SnapshotTable.read(spark, s"$base/plain"))
+        val ridRead = bestRead(SnapshotTable.readWithRowIds(spark, s"$base/rid"))
         val plainUpd = t(SnapshotTable.update(spark, s"$base/plain",
           Seq("v" -> (col("v") + 1.0)), col("k") % 100 === 0))
         val ridUpd = t(SnapshotTable.update(spark, s"$base/rid",
@@ -750,8 +764,15 @@ object ScaleBench {
           s"row ids must stay dense+stable across the rewrite: $ids")
         require(ridAppend < plainAppend * 2 + 2.0,
           f"tracked append overhead too high: $plainAppend%.2fs vs $ridAppend%.2fs")
+        // the tracked read must stay near plain-scan parity (the
+        // RidBaseLookup expression, not a join); generous bound —
+        // host noise at 0.1s scale swings 2x — with the honest ratio
+        // printed for the record
+        require(ridRead < plainRead * 2.5 + 1.0,
+          f"tracked read overhead too high: $plainRead%.2fs vs $ridRead%.2fs")
         println(f"[scale] row_tracking append plain=$plainAppend%.2fs " +
           f"rid=$ridAppend%.2fs read plain=$plainRead%.2fs rid=$ridRead%.2fs " +
+          f"(${ridRead / plainRead}%.2fx) " +
           f"update plain=$plainUpd%.2fs rid=$ridUpd%.2fs")
       },
       timed("vacuum_plan") {
@@ -870,9 +891,10 @@ object ScaleBench {
 
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val ran = results.filter(_._2 >= 0.0) // drop GRAFT_SCALE_ONLY skips
+    val qs = ran.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    val total = r3(ran.map(_._2).sum)
     println(s"""{"metric":"scale_total","value":$total,"unit":"sec","rows":$rows,"vecs":$vecs,"ops":$qs}""")
     spark.stop()
   }

@@ -4208,9 +4208,16 @@ object SnapshotTable {
     * STABLE row id: the file's materialized id when present (rewritten
     * files carry a physical `__rid`), else the entry's base + row
     * position (`_metadata.row_index`). DVs are applied like
-    * readGroups. The per-file base map rides a BROADCAST join keyed
-    * like the DV anti-join — O(touched files) driver/broadcast state,
-    * never table-data-sized. */
+    * readGroups. The per-file base map rides a BROADCAST join —
+    * O(touched files) driver/broadcast state, never table-data-sized
+    * — keyed on the RAW `_metadata.file_path` string (exact form
+    * derived driver-side by [[metadataFilePath]]), so the hot
+    * tracked-read path pays no per-row path normalization; the
+    * `__graft_fname` tag goes unreferenced here and is column-pruned
+    * out of the scan. A row that matches no base and carries no
+    * materialized id raises loudly (every live entry has a base, so
+    * a null would mean the driver-side form diverged from the scan's
+    * — corruption must never publish as silent null/duplicate ids). */
   private[lake] def readGroupsWithRid(spark: SparkSession, entries: Seq[Entry],
       schema: Option[StructType],
       colmap: Map[String, String]): DataFrame = {
@@ -4220,14 +4227,114 @@ object SnapshotTable {
     val withPos = readWithPositions(spark, entries, schema, colmap,
       withRid = true)
     import spark.implicits._
-    val baseDf = broadcast(entries.map(e => (dvFileKey(e.filePath), e.rid.get))
-      .toDF("__rid_fname", "__rid_base"))
-    val withId = withPos.join(baseDf,
-        col("__graft_fname") === col("__rid_fname"), "left")
-      .withColumn(RidCol,
-        coalesce(col(RidCol), col("__rid_base") + col("__graft_idx")))
-    applyDvFilter(spark, withId, entries.filter(_.dv.isDefined))
-      .drop("__rid_fname", "__rid_base", "__graft_fname", "__graft_idx")
+    val basePairs = entries
+      .map(e => (metadataFilePath(spark, e.filePath), e.rid.get))
+    // The derived key is exact only while no path segment
+    // percent-encodes (Spark's file index single-encodes under the
+    // explicit-list scan shape but RE-encodes once a literal '%' —
+    // e.g. a hive-escaped partition value — appears anywhere in the
+    // layout, at a depth that varies with listing-cache state;
+    // spec-pinned). An encoded character in ANY derived path falls
+    // the whole read back to the probe branch below — correctness
+    // over the read win for pathological names.
+    //
+    // The lookup is a native codegen'd expression ([[RidBaseLookup]]:
+    // xxhash64 + binary search over driver arrays), NOT a join —
+    // measured at plain-scan parity where every join formulation
+    // paid 1.5-6x (numbers in the expression's scaladoc). Hashing is
+    // COLLISION-SAFE without per-row verification: a probe row's
+    // true path is always IN the key set (the scan reads exactly the
+    // manifest's files), so with the keys pairwise distinct —
+    // checked here — a hash match can only be the right file; the
+    // astronomically rare key collision takes the probe fallback.
+    val hashedPairs = basePairs
+      .map { case (p, b) => (RidBaseLookup.hash(p), b) }.sortBy(_._1)
+    if (basePairs.forall(!_._1.contains('%')) &&
+        hashedPairs.iterator.map(_._1).toSet.size == entries.size) {
+      val lookup = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        RidBaseLookup(org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(col("__graft_path")),
+          hashedPairs.map(_._1).toArray, hashedPairs.map(_._2).toArray))
+      val withId = withPos.withColumn(RidCol,
+        coalesce(col(RidCol), lookup + col("__graft_idx"),
+          // static message: a per-row path here would keep the
+          // string column alive past the scan projection
+          raise_error(lit("row-tracking internal error: a scanned " +
+            "file matched no rid base — file_path derivation " +
+            "diverged from the scan"))
+            .cast(org.apache.spark.sql.types.LongType)))
+      applyDvFilter(spark, withId, entries.filter(_.dv.isDefined),
+        keyCol = "__graft_path", keyOf = p => metadataFilePath(spark, p))
+        .drop("__graft_fname", "__graft_path", "__graft_idx")
+    } else {
+      // Pathological layout (some path segment percent-encodes):
+      // Spark's re-encoding depth is not reproducible driver-side,
+      // so ask the SCAN for its exact strings — one O(files)
+      // metadata-only probe job — and match them to entries on the
+      // percent-decode FIXPOINT (both sides are encode^k of the same
+      // on-disk name, so their fixpoints agree; two distinct files
+      // whose fixpoints collide, e.g. 'a b' next to 'a%20b', cannot
+      // be told apart and are refused loudly). The join itself stays
+      // the raw-string form.
+      val metaStrs = withPos.select(col("__graft_path")).distinct()
+        .collect().map(_.getString(0))
+      val byCanon = entries.map(e =>
+        percentDecodeFixpoint(metadataFilePath(spark, e.filePath)) -> e).toMap
+      require(byCanon.size == entries.size,
+        s"row-tracking read at this layout has percent-decode-colliding " +
+          s"file names — rename the colliding files or disable tracking")
+      val toMeta: Map[String, String] = metaStrs.map { m =>
+        val e = byCanon.getOrElse(percentDecodeFixpoint(m),
+          throw new IllegalStateException(
+            s"row-tracking internal error: scanned file $m matches no " +
+              "manifest entry"))
+        e.filePath -> m
+      }.toMap
+      val baseDf = broadcast(metaStrs.map { m =>
+        (m, byCanon(percentDecodeFixpoint(m)).rid.get)
+      }.toSeq.toDF("__rid_path", "__rid_base"))
+      val withId = withPos.join(baseDf,
+          col("__graft_path") === col("__rid_path"), "left")
+        .withColumn(RidCol,
+          coalesce(col(RidCol), col("__rid_base") + col("__graft_idx"),
+            raise_error(concat(
+              lit("row-tracking internal error: no rid base matched "),
+              col("__graft_path"))).cast(org.apache.spark.sql.types.LongType)))
+      applyDvFilter(spark, withId, entries.filter(_.dv.isDefined),
+        keyCol = "__graft_path",
+        keyOf = p => toMeta.getOrElse(p, metadataFilePath(spark, p)))
+        .drop("__rid_path", "__rid_base", "__graft_fname", "__graft_path",
+          "__graft_idx")
+    }
+  }
+
+  /** Repeated %XX decoding until stable (no '+'-to-space semantics —
+    * URI paths, not form data). Bounded; a malformed escape decodes
+    * to itself and stops the loop. */
+  private def percentDecodeFixpoint(s: String): String = {
+    def decodeOnce(x: String): String = {
+      val sb = new StringBuilder(x.length)
+      var i = 0
+      while (i < x.length) {
+        val c = x.charAt(i)
+        if (c == '%' && i + 2 < x.length &&
+            Character.digit(x.charAt(i + 1), 16) >= 0 &&
+            Character.digit(x.charAt(i + 2), 16) >= 0) {
+          sb.append((Character.digit(x.charAt(i + 1), 16) * 16 +
+            Character.digit(x.charAt(i + 2), 16)).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    var cur = s
+    var n = 0
+    while (n < 20) {
+      val d = decodeOnce(cur)
+      if (d == cur) return cur
+      cur = d; n += 1
+    }
+    cur
   }
 
   private def physicalSchema(s: StructType,
@@ -4279,6 +4386,28 @@ object SnapshotTable {
     when(rel === lit(""), substring_index(p, "/", -3)).otherwise(rel)
   }
 
+  /** The EXACT `_metadata.file_path` string of a manifest file path,
+    * derived driver-side — so per-file lookups (rid bases, DV dead
+    * sets on the tracked read path) can join the RAW metadata column
+    * instead of normalizing it per row ([[dvFileKeyCol]]'s regexp +
+    * fallback cost 5.4x a plain read at 1M rows; the raw-string join
+    * is the readWithRowIds fast path). Spark populates the column
+    * from the listing Path's `toUri.toString`; a local-FS qualified
+    * path has a NULL authority and prints `file:/...` (one slash),
+    * while `makeQualified(...).toUri.toString` yields an EMPTY
+    * authority (`file:///...`) — so the form is rebuilt from the URI
+    * components: scheme + (authority when present) + RAW (encoded)
+    * path. Encoding quirks cancel: manifest strings and listing
+    * paths go through the same hadoop Path→URI machinery, so a
+    * literal `%` or space on disk encodes identically on both sides
+    * (spec-pinned across partitioned/special-char layouts). */
+  private[lake] def metadataFilePath(spark: SparkSession, filePath: String): String = {
+    val u = fs(spark, filePath).makeQualified(new Path(filePath)).toUri
+    val auth = Option(u.getAuthority).filter(_.nonEmpty)
+      .map(a => s"//$a").getOrElse("")
+    s"${u.getScheme}:$auth${u.getRawPath}"
+  }
+
   /** Write-skew guard identity for rewrite commits (merge / delete /
     * update / compact): a concurrent commit that changes ONLY a
     * file's deletion vector leaves the filePath set intact, but a
@@ -4311,25 +4440,34 @@ object SnapshotTable {
       }
       // positions are tagged on the PHYSICAL frame (metadata columns
       // resolve at the scan), then the logical rename keeps them
+      // `__graft_path` is the RAW metadata string (the rid fast
+      // path's join key); `__graft_fname` the normalized DV key —
+      // whichever a caller leaves unreferenced is column-pruned, so
+      // tagging both costs nothing
       val tagged = phys.withColumn("__graft_fname",
           dvFileKeyCol(col("_metadata.file_path")))
+        .withColumn("__graft_path", col("_metadata.file_path"))
         .withColumn("__graft_idx", col("_metadata.row_index"))
       schema match {
         case Some(s) if colmap.nonEmpty =>
           tagged.select(s.fields.toSeq.map(f =>
             col(colmap.getOrElse(f.name, f.name)).as(f.name)) ++
             (if (withRid) Seq(col(RidCol)) else Nil) ++
-            Seq(col("__graft_fname"), col("__graft_idx")): _*)
+            Seq(col("__graft_fname"), col("__graft_path"),
+              col("__graft_idx")): _*)
         case _ => tagged
       }
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
   /** Anti-join the dead (file, row_index) pairs of `dvEntries` out of
-    * a position-tagged frame. */
+    * a position-tagged frame. `keyCol`/`keyOf` pick the file-identity
+    * pairing: the normalized [[dvFileKey]] suffix (default), or the
+    * raw-path fast key on the tracked-read path. */
   private def applyDvFilter(spark: SparkSession, withPos: DataFrame,
-      dvEntries: Seq[Entry]): DataFrame = {
+      dvEntries: Seq[Entry], keyCol: String = "__graft_fname",
+      keyOf: String => String = dvFileKey): DataFrame = {
     val dead: Seq[(String, Long)] = dvEntries.flatMap { e =>
-      val fname = dvFileKey(e.filePath)
+      val fname = keyOf(e.filePath)
       e.dv.toSeq.flatMap(d => readDv(spark, e.filePath, d._1).map(fname -> _))
     }
     if (dead.isEmpty) withPos
@@ -4337,7 +4475,7 @@ object SnapshotTable {
       import spark.implicits._
       val deadDf = dead.toDF("__dv_fname", "__dv_idx")
       withPos.join(broadcast(deadDf),
-        col("__graft_fname") === col("__dv_fname") &&
+        col(keyCol) === col("__dv_fname") &&
           col("__graft_idx") === col("__dv_idx"),
         "left_anti")
     }
