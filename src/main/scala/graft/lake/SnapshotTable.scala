@@ -2563,10 +2563,19 @@ object SnapshotTable {
     // through a first-append schema's metadata — never assign into a
     // narrower type (the Long arithmetic would silently wrap, see
     // create()'s rationale)
+    // BIGINT-only is enforced at ASSIGNMENT time too (not just
+    // create()): an identity field can also enter through a
+    // first-append schema's metadata. A pre-tightening table with an
+    // INT identity column is refused here rather than silently
+    // wrapping Long arithmetic — the migration path is one metadata
+    // commit: widenColumnType(spark, path, name, LongType), after
+    // which existing int-era files upcast on read and new values
+    // assign wide.
     ids.foreach { case (f, _, _, _) =>
       require(f.dataType == org.apache.spark.sql.types.LongType,
         s"identity column '${f.name}' must be BIGINT, " +
-          s"got ${f.dataType.simpleString}")
+          s"got ${f.dataType.simpleString} — widen it first: " +
+          s"widenColumnType(spark, path, \"${f.name}\", LongType)")
     }
     val fillOnly = op == "merge"
     val ingest = Set("append", "overwrite", "append_clustered",
@@ -4710,6 +4719,13 @@ object SnapshotTable {
   def merge(source: DataFrame, path: String, keyCols: Seq[String],
       partitionCols: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    // mirror the generated/identity source guards: on a tracked
+    // target the rewrite carries its own __rid, and a source column
+    // of that name would otherwise surface as a confusing
+    // duplicate-column AnalysisException deep in the inheritance
+    // join instead of this reserved-name error
+    require(!source.columns.exists(_.equalsIgnoreCase(RidCol)),
+      s"merge source must not contain the reserved column '$RidCol'")
     val spark = source.sparkSession
     val dupMsg = s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — " +
       "each target row may be updated by at most one source row"
@@ -4893,6 +4909,8 @@ object SnapshotTable {
   def deleteKeys(source: DataFrame, path: String, keyCols: Seq[String],
       partitionCols: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    require(!source.columns.exists(_.equalsIgnoreCase(RidCol)),
+      s"deleteKeys source must not contain the reserved column '$RidCol'")
     val spark = source.sparkSession
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
@@ -5745,7 +5763,13 @@ object SnapshotTable {
         val anchor = namesAsOf.getOrElse(toVersion)
         val sch = schemaOf(spark, path, Some(anchor))
           .getOrElse(read(spark, path, Some(anchor)).schema)
-        val out = StructType(sch.fields :+
+        // the no-change fallback must keep the requested feed shape:
+        // with includeRowIds a consumer selects/unions on `_row_id`,
+        // so its absence here would throw on any quiet version range
+        val out = StructType(sch.fields ++
+          (if (includeRowIds)
+            Seq(StructField(RowIdCol, LongType, nullable = true))
+          else Nil) :+
           StructField("_change_type", org.apache.spark.sql.types.StringType, nullable = false) :+
           StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false))
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), out)

@@ -318,6 +318,35 @@ class IdentityColumnsSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, path).select("id")
       .as[Long].collect().toSeq === Seq(1L))
   }
+
+  test("a legacy INT identity column refuses with the widen migration in the message; " +
+      "widenColumnType migrates it (identity metadata + watermark survive)") {
+    // No current code path can CREATE an INT identity column (create
+    // and assignment both refuse), so fabricate the legacy state a
+    // pre-tightening engine could have written: stamp identity
+    // metadata onto an INT column via a metadata commit.
+    val dir = Files.createTempDirectory("graft-ident-widen").toString
+    val path = s"$dir/t"
+    SnapshotTable.create(spark, path, StructType(Seq(
+      StructField("id", IntegerType), StructField("v", DoubleType))))
+    SnapshotTable.append(Seq((7, 1.0)).toDF("id", "v"), path)
+    SnapshotTable.publishMetadataCommit(spark, path, "stampLegacyIdentity") { m =>
+      m.copy(schema = m.schema.map(s => StructType(s.fields.map(f =>
+        if (f.name == "id") idField("id", dt = IntegerType, start = 8L) else f))))
+    }
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.append(Seq(2.0).toDF("v"), path)
+    }
+    assert(e.getMessage.contains("widenColumnType"),
+      s"refusal must name the migration: ${e.getMessage}")
+    SnapshotTable.widenColumnType(spark, path, "id", LongType)
+    SnapshotTable.append(Seq(2.0, 3.0).toDF("v"), path)
+    val rows = SnapshotTable.read(spark, path)
+      .select(col("id").cast("long"), col("v")).as[(Long, Double)]
+      .collect().sortBy(_._2)
+    assert(rows.toSeq === Seq((7L, 1.0), (8L, 2.0), (9L, 3.0)),
+      s"identity start metadata must survive the widen: ${rows.toSeq}")
+  }
 }
 
 /** Latch holder for the CREATE-race spec: static so the executor

@@ -440,4 +440,48 @@ class RowTrackingSpec extends SparkTestBase {
         s"step $step: watermark $high not above a live id in $now")
     }
   }
+
+  test("a NO-CHANGE range keeps the requested feed shape (incl. _row_id)") {
+    // metadata-only commits contribute nothing to the feed, so a
+    // range covering only them hits the empty fallback — which must
+    // still carry _row_id when asked, or batch consumers that select
+    // or union on it throw on every quiet range
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append(Seq((1, "a")).toDF("k", "v"), path)
+    val vMeta = SnapshotTable.addCheckConstraint(spark, path, "kpos", "k > 0")
+    val quiet = SnapshotTable.changes(spark, path, vMeta - 1, vMeta,
+      None, includeRowIds = true)
+    assert(quiet.count() === 0)
+    assert(quiet.columns.contains(SnapshotTable.RowIdCol),
+      "empty-range fallback dropped _row_id from the feed schema")
+    // and it unions cleanly with a non-empty tracked feed
+    val busy = SnapshotTable.changes(spark, path, 1, 2, None,
+      includeRowIds = true)
+    assert(quiet.unionByName(busy).count() === busy.count())
+    // untracked shape stays untracked
+    assert(!SnapshotTable.changes(spark, path, vMeta - 1, vMeta)
+      .columns.contains(SnapshotTable.RowIdCol))
+  }
+
+  test("merge and deleteKeys refuse a source carrying the reserved __rid") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), path)
+    val bad = Seq((1, "z", 99L)).toDF("k", "v", "__rid")
+    val em = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(bad, path, Seq("k"))
+    }
+    assert(em.getMessage.contains("reserved column '__rid'"),
+      s"wrong merge error: ${em.getMessage}")
+    val ed = intercept[IllegalArgumentException] {
+      SnapshotTable.deleteKeys(bad.select("k", "__rid"), path, Seq("k"))
+    }
+    assert(ed.getMessage.contains("reserved column '__rid'"),
+      s"wrong deleteKeys error: ${ed.getMessage}")
+  }
 }
