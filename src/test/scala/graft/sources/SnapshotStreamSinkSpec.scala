@@ -490,4 +490,57 @@ class SnapshotStreamSinkSpec extends SparkTestBase {
     assert(files.forall(_.contains("__p_sid_bucket=")),
       s"epoch files must land in the transform layout, got ${files.take(2)}")
   }
+
+  test("quarantine split on a ROW-TRACKING target: rid bases cover only the " +
+      "committed rows; watermark never counts quarantined rows; stable across replay") {
+    val base = Files.createTempDirectory("graft-sink-q-rid").toString
+    val (src, dst, qt, ckpt) = (s"$base/src", s"$base/dst", s"$base/q", s"$base/ckpt")
+    SnapshotTable.create(spark, dst, StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))),
+      rowTracking = true)
+    SnapshotTable.addCheckConstraint(spark, dst, "v_nonneg", "v >= 0")
+    SnapshotTable.append(Seq((1L, 10.0)).toDF("k", "v"), dst)
+    // two epochs: clean, then mixed (2 violations of 4 rows)
+    SnapshotTable.append(Seq((2L, 5.0), (4L, 7.0)).toDF("k", "v"), src)
+    SnapshotTable.append(
+      Seq((3L, -1.0), (5L, 9.0), (6L, -2.0), (7L, 4.0)).toDF("k", "v"), src)
+    def qpump(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", ckpt)
+        .option("failMode", "quarantine")
+        .option("quarantinePath", qt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    qpump()
+    assert(keysOf(dst) === Seq(1L, 2L, 4L, 5L, 7L))
+    assert(SnapshotTable.read(spark, qt).select("k").as[Long]
+      .collect().toSeq.sorted === Seq(3L, 6L))
+    val ids = SnapshotTable.readWithRowIds(spark, dst)
+      .select(col("k"), col(SnapshotTable.RowIdCol)).as[(Long, Long)]
+      .collect().toMap
+    // dense over COMMITTED rows only: 5 rows -> ids 0..4, and the
+    // watermark advanced by exactly the committed count (a quarantined
+    // row must never consume an id)
+    assert(ids.values.toSeq.sorted === (0L until 5L),
+      s"rid bases must cover committed rows densely: $ids")
+    assert(SnapshotTable.nextRowId(spark, dst) === 5L,
+      "watermark must count only committed rows")
+    // crash window on the split epoch: ids and watermark are stable
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    require(commits.last.delete() && (!crc.exists() || crc.delete()))
+    qpump()
+    val after = SnapshotTable.readWithRowIds(spark, dst)
+      .select(col("k"), col(SnapshotTable.RowIdCol)).as[(Long, Long)]
+      .collect().toMap
+    assert(after === ids, "replayed split epoch must not renumber or re-commit")
+    assert(SnapshotTable.nextRowId(spark, dst) === 5L)
+    assert(SnapshotTable.count(spark, qt) === 2L)
+  }
 }
