@@ -366,23 +366,34 @@ object ScaleBench {
         // plan off one (cached) parse and scan only the real file.
         import java.nio.file.{Files => JF, Paths => JP}
         val base = JF.createTempDirectory("graft-scale-manifest")
-        def mk(path: String, fakes: Int): Unit = {
+        // rid=true fabricates the ROW-TRACKING shape of the same list:
+        // every entry line carries a `rid=<base>` token and the
+        // manifest a `#rowIdHigh=` header — the r15 feature's
+        // per-entry growth, measured against the untracked twin
+        def mk(path: String, fakes: Int, rid: Boolean = false): Unit = {
           val df = spark.range(1000)
             .select(col("id"), col("id").cast("double").as("v"))
           graft.lake.SnapshotTable.appendClustered(df, path, "id", numFiles = 1)
           val v1 = new String(JF.readAllBytes(JP.get(s"$path/_graft_log/v1")), "UTF-8")
           val commitDir = v1.split("\n").filterNot(_.startsWith("#")).head.split("\t")(0)
-          val sb = new StringBuilder(v1)
+          val sb = new StringBuilder()
+          if (rid) {
+            sb.append(s"#rowIdHigh=${1000L + fakes * 10L}\n")
+            sb.append(v1.split("\n").map(l =>
+              if (l.startsWith("#") || l.isEmpty) l else l + "\trid=0").mkString("\n"))
+          } else sb.append(v1)
           var i = 0
           while (i < fakes) {
             val lo = 1000000L + i * 10L
             sb.append(s"\n$commitDir\t$commitDir/fake-$i.parquet\trows=10\tid\t$lo.0\t${lo + 9}.0")
+            if (rid) sb.append(s"\trid=$lo")
             i += 1
           }
           JF.write(JP.get(s"$path/_graft_log/v2"), sb.toString.getBytes("UTF-8"))
         }
         val small = s"$base/small"; val big = s"$base/big"
-        mk(small, 1000); mk(big, 100000)
+        val bigRid = s"$base/bigrid"
+        mk(small, 1000); mk(big, 100000); mk(bigRid, 100000, rid = true)
         def commitSec(path: String): Double = {
           val t0 = System.nanoTime()
           graft.lake.SnapshotTable.append(spark.range(10)
@@ -419,9 +430,24 @@ object ScaleBench {
         val cdcBig = cdcSec(big)
         require(cdcBig < cdcSmall * 3 + 2.0,
           f"CDC feed scales with live-file count: small=$cdcSmall%.2fs big=$cdcBig%.2fs")
+        // rid-token growth audit at 10^5 entries: parse (cold
+        // readWhere) and 1-file commit on the TRACKED twin must stay
+        // within noise of the untracked table — rid adds one short
+        // token per line, so anything superlinear here is a parser
+        // regression, not a size effect
+        val cRid = commitSec(bigRid)  // CAS assigns a rid base too
+        val wRid = whereSec(bigRid)   // parse incl. rid tokens
+        val wRid2 = whereSec(bigRid)  // warm
+        require(wRid < wBig * 3 + 2.0,
+          f"tracked manifest parse off at 100k files: " +
+            f"untracked=$wBig%.2fs tracked=$wRid%.2fs")
+        require(cRid < cBig * 3 + 2.0,
+          f"tracked 1-file commit off at 100k files: " +
+            f"untracked=$cBig%.2fs tracked=$cRid%.2fs")
         System.err.println(f"[scale] manifest commit small=$cSmall%.2fs big=$cBig%.2fs " +
-          f"delta_bytes=$dSmall/$dBig readWhere small=$wSmall%.2fs big=$wBig%.2fs " +
-          f"warm=$wBig2%.2fs cdc small=$cdcSmall%.2fs big=$cdcBig%.2fs")
+          f"rid=$cRid%.2fs delta_bytes=$dSmall/$dBig readWhere small=$wSmall%.2fs " +
+          f"big=$wBig%.2fs warm=$wBig2%.2fs rid_cold=$wRid%.2fs rid_warm=$wRid2%.2fs " +
+          f"cdc small=$cdcSmall%.2fs big=$cdcBig%.2fs")
       },
       timed("bloom_probe_cache") {
         // Decoded-bloom cache at 100× bloom-carrying files (100 vs
@@ -810,7 +836,10 @@ object ScaleBench {
           val commitDir = realLines.head.split("\t")(0)
           def fakeLine(i: Int): String = {
             val lo = 1000000L + i * 10L
-            s"$commitDir\t$commitDir/fake-$i.parquet\trows=10\tid\t$lo.0\t${lo + 9}.0"
+            // rid tokens ride every entry (round-15 row tracking):
+            // the vacuum walk re-parses each candidate version, so
+            // the depth measurement now prices the tokens in
+            s"$commitDir\t$commitDir/fake-$i.parquet\trows=10\tid\t$lo.0\t${lo + 9}.0\trid=$lo"
           }
           // v2: checkpoint carrying the initial fake fleet
           val live = scala.collection.mutable.ArrayBuffer[String]()
@@ -859,7 +888,7 @@ object ScaleBench {
 
         val small = s"$base/small"; val big = s"$base/big"
         val rmSmall = mkHistory(small, 250)
-        val rmBig = mkHistory(big, 1000)
+        val rmBig = mkHistory(big, 2000) // 2x the r14 depth, rid-tokened
         // (a) cold, branches present: branch-shared files pin all
         val (tS1, expS1, _) = dryRunSec(small)
         val (tB1, expB1, _) = dryRunSec(big)
@@ -874,19 +903,19 @@ object ScaleBench {
         rmBranches(small); rmBranches(big)
         val (tS2, expS2, deadS) = dryRunSec(small)
         val (tB2, expB2, deadB) = dryRunSec(big)
-        require(expS2.size == 249 && expB2.size == 999,
+        require(expS2.size == 249 && expB2.size == 1999,
           s"unpinned dry run must expire all candidates: " +
             s"small=${expS2.size} big=${expB2.size}")
         require(deadS == rmSmall && deadB == rmBig,
           s"dead files must be exactly the removed fakes: " +
             s"small=$deadS/$rmSmall big=$deadB/$rmBig")
-        // (c) flatness: 4x history may not cost more than ~8x cold
-        require(tB1 < tS1 * 8 + 2.0,
+        // (c) flatness: 8x history may not cost more than ~16x cold
+        require(tB1 < tS1 * 16 + 2.0,
           f"vacuumPlan scales superlinearly in history depth: " +
             f"small=$tS1%.2fs big=$tB1%.2fs")
         println(f"[scale] vacuum_plan cold(branches) small=$tS1%.2fs " +
-          f"big=$tB1%.2fs warm(reclaim) small=$tS2%.2fs big=$tB2%.2fs " +
-          f"dead=$deadS/$deadB")
+          f"big=$tB1%.2fs (per-commit ${tS1 / 250}%.4f vs ${tB1 / 2000}%.4f s) " +
+          f"warm(reclaim) small=$tS2%.2fs big=$tB2%.2fs dead=$deadS/$deadB")
       })
 
     // Locale.ROOT: a comma-decimal default locale would break the JSON
