@@ -4208,7 +4208,8 @@ object SnapshotTable {
       else {
         val withPos = readWithPositions(spark, dvE, schema, colmap)
         val dataCols = withPos.columns.filterNot(_.startsWith("__graft_"))
-        Some(applyDvFilter(spark, withPos, dvE).select(dataCols.map(col): _*))
+        Some(applyDvFilter(spark, withPos, dvE,
+          scanFileKey(spark, withPos, dvE)).select(dataCols.map(col): _*))
       }).flatten
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
@@ -4221,9 +4222,8 @@ object SnapshotTable {
     * O(touched files) driver/broadcast state, never table-data-sized
     * — keyed on the RAW `_metadata.file_path` string (exact form
     * derived driver-side by [[metadataFilePath]]), so the hot
-    * tracked-read path pays no per-row path normalization; the
-    * `__graft_fname` tag goes unreferenced here and is column-pruned
-    * out of the scan. A row that matches no base and carries no
+    * tracked-read path pays no per-row path normalization. A row
+    * that matches no base and carries no
     * materialized id raises loudly (every live entry has a base, so
     * a null would mean the driver-side form diverged from the scan's
     * — corruption must never publish as silent null/duplicate ids). */
@@ -4273,8 +4273,8 @@ object SnapshotTable {
             "diverged from the scan"))
             .cast(org.apache.spark.sql.types.LongType)))
       applyDvFilter(spark, withId, entries.filter(_.dv.isDefined),
-        keyCol = "__graft_path", keyOf = p => metadataFilePath(spark, p))
-        .drop("__graft_fname", "__graft_path", "__graft_idx")
+        p => metadataFilePath(spark, p))
+        .drop("__graft_path", "__graft_idx")
     } else {
       // Pathological layout (some path segment percent-encodes):
       // Spark's re-encoding depth is not reproducible driver-side,
@@ -4310,10 +4310,41 @@ object SnapshotTable {
               lit("row-tracking internal error: no rid base matched "),
               col("__graft_path"))).cast(org.apache.spark.sql.types.LongType)))
       applyDvFilter(spark, withId, entries.filter(_.dv.isDefined),
-        keyCol = "__graft_path",
-        keyOf = p => toMeta.getOrElse(p, metadataFilePath(spark, p)))
-        .drop("__rid_path", "__rid_base", "__graft_fname", "__graft_path",
-          "__graft_idx")
+        p => toMeta.getOrElse(p, metadataFilePath(spark, p)))
+        .drop("__rid_path", "__rid_base", "__graft_path", "__graft_idx")
+    }
+  }
+
+  /** File-identity pairing between manifest entries and a
+    * position-tagged scan: a keyOf function mapping an entry's
+    * filePath to the scan's `__graft_path` value for that file.
+    * Clean layouts derive the raw metadata string driver-side
+    * ([[metadataFilePath]], exact under the explicit-list scan
+    * shape); any percent-encoding layout instead asks the SCAN for
+    * its strings (one O(files) metadata-only probe) and matches on
+    * the percent-decode fixpoint, refusing colliding names loudly.
+    * Shared by every DV consumer and the rid probe fallback — the
+    * one place scan-vs-driver path-form drift is allowed to matter. */
+  private def scanFileKey(spark: SparkSession, withPos: DataFrame,
+      entries: Seq[Entry]): String => String = {
+    val derived = entries.map(e => e.filePath -> metadataFilePath(spark, e.filePath))
+    if (derived.forall(!_._2.contains('%'))) {
+      val m = derived.toMap
+      p => m.getOrElse(p, metadataFilePath(spark, p))
+    } else {
+      val metaStrs = withPos.select(col("__graft_path")).distinct()
+        .collect().map(_.getString(0))
+      val byCanon = metaStrs.map(s0 => percentDecodeFixpoint(s0) -> s0).toMap
+      require(byCanon.size == metaStrs.length,
+        "percent-decode-colliding file names in scan — rename the " +
+          "colliding files")
+      val m = derived.map { case (p, d) =>
+        p -> byCanon.getOrElse(percentDecodeFixpoint(d),
+          throw new IllegalStateException(
+            s"file $p not found in the scan it should be part of"))
+      }.toMap
+      p => m.getOrElse(p,
+        throw new IllegalStateException(s"file $p has no scan key"))
     }
   }
 
@@ -4371,34 +4402,21 @@ object SnapshotTable {
       }
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
-  /** File identity for DV bookkeeping: the path RELATIVE to the
-    * table's `data/` dir (`c-<uuid>/<partition dirs…>/<leaf>`). The
-    * LEAF name alone is NOT unique: one task writing several
-    * partition dirs (e.g. coalesce(1) + partitionBy) emits the same
-    * part-file name into each of them — and a FIXED-depth suffix
-    * (the old last-3-segments key) breaks the same way once a table
-    * has 3+ partition levels, because the commit-dir UUID falls out
-    * of the key. Anchoring at `data/c-` keeps the UUID in the key at
-    * any partition depth, and a path suffix stays scheme-independent
-    * so the driver-side manifest path and the scan-side
-    * `_metadata.file_path` URI agree. Legacy fallback (no `data/c-`
-    * marker, e.g. externally-adopted files): last three segments. */
-  private val dvKeyPattern = ".*/data/(c-[^/]+/.+)$"
-  private def dvFileKey(filePath: String): String = {
-    val m = dvKeyPattern.r.findFirstMatchIn(filePath)
-    m.map(_.group(1)).getOrElse(filePath.split("/").takeRight(3).mkString("/"))
-  }
-
-  /** Scan-side mirror of [[dvFileKey]] over `_metadata.file_path`. */
-  private def dvFileKeyCol(p: Column): Column = {
-    val rel = regexp_extract(p, dvKeyPattern, 1)
-    when(rel === lit(""), substring_index(p, "/", -3)).otherwise(rel)
-  }
+  // File identity between manifest entries and scans used to be a
+  // normalized path SUFFIX (regexp-extracted per row on the scan
+  // side, recomputed driver-side) — which silently disagreed with
+  // the scan whenever a path segment percent-encoded (space-bearing
+  // roots, hive-escaped partition values), no-opping DV deletes and
+  // resurfacing DV'd rows on read. Identity is now the RAW
+  // `_metadata.file_path` string, paired driver-side by
+  // [[scanFileKey]] (exact derivation on clean layouts, probe +
+  // percent-decode-fixpoint match on encoding ones) — no per-row
+  // normalization anywhere, spec: DvSpecialCharSpec.
 
   /** The EXACT `_metadata.file_path` string of a manifest file path,
     * derived driver-side — so per-file lookups (rid bases, DV dead
     * sets on the tracked read path) can join the RAW metadata column
-    * instead of normalizing it per row ([[dvFileKeyCol]]'s regexp +
+    * instead of normalizing it per row (the old suffix regexp +
     * fallback cost 5.4x a plain read at 1M rows; the raw-string join
     * is the readWithRowIds fast path). Spark populates the column
     * from the listing Path's `toUri.toString`; a local-FS qualified
@@ -4428,7 +4446,7 @@ object SnapshotTable {
   private def guardState(es: Seq[Entry]): Set[(String, Option[(String, Long)])] =
     es.map(e => (e.filePath, e.dv)).toSet
 
-  /** Same scan plus `__graft_fname` (the [[dvFileKey]] path suffix) /
+  /** Same scan plus `__graft_path` (raw `_metadata.file_path`) /
     * `__graft_idx` (row index) position columns. No DV is applied
     * here — callers decide. */
   private def readWithPositions(spark: SparkSession, entries: Seq[Entry],
@@ -4449,12 +4467,10 @@ object SnapshotTable {
       }
       // positions are tagged on the PHYSICAL frame (metadata columns
       // resolve at the scan), then the logical rename keeps them
-      // `__graft_path` is the RAW metadata string (the rid fast
-      // path's join key); `__graft_fname` the normalized DV key —
-      // whichever a caller leaves unreferenced is column-pruned, so
-      // tagging both costs nothing
-      val tagged = phys.withColumn("__graft_fname",
-          dvFileKeyCol(col("_metadata.file_path")))
+      // `__graft_path` is the RAW metadata string — every per-file
+      // pairing (rid bases, DV dead sets) joins it as-is via
+      // [[scanFileKey]]-derived keys
+      val tagged = phys
         .withColumn("__graft_path", col("_metadata.file_path"))
         .withColumn("__graft_idx", col("_metadata.row_index"))
       schema match {
@@ -4462,19 +4478,18 @@ object SnapshotTable {
           tagged.select(s.fields.toSeq.map(f =>
             col(colmap.getOrElse(f.name, f.name)).as(f.name)) ++
             (if (withRid) Seq(col(RidCol)) else Nil) ++
-            Seq(col("__graft_fname"), col("__graft_path"),
-              col("__graft_idx")): _*)
+            Seq(col("__graft_path"), col("__graft_idx")): _*)
         case _ => tagged
       }
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
   /** Anti-join the dead (file, row_index) pairs of `dvEntries` out of
-    * a position-tagged frame. `keyCol`/`keyOf` pick the file-identity
-    * pairing: the normalized [[dvFileKey]] suffix (default), or the
-    * raw-path fast key on the tracked-read path. */
+    * a position-tagged frame. `keyOf` pairs each entry with the
+    * scan's raw `__graft_path` string ([[scanFileKey]] — exact by
+    * construction, never a normalized form the scan might encode
+    * differently). */
   private def applyDvFilter(spark: SparkSession, withPos: DataFrame,
-      dvEntries: Seq[Entry], keyCol: String = "__graft_fname",
-      keyOf: String => String = dvFileKey): DataFrame = {
+      dvEntries: Seq[Entry], keyOf: String => String): DataFrame = {
     val dead: Seq[(String, Long)] = dvEntries.flatMap { e =>
       val fname = keyOf(e.filePath)
       e.dv.toSeq.flatMap(d => readDv(spark, e.filePath, d._1).map(fname -> _))
@@ -4484,7 +4499,7 @@ object SnapshotTable {
       import spark.implicits._
       val deadDf = dead.toDF("__dv_fname", "__dv_idx")
       withPos.join(broadcast(deadDf),
-        col(keyCol) === col("__dv_fname") &&
+        col("__graft_path") === col("__dv_fname") &&
           col("__graft_idx") === col("__dv_idx"),
         "left_anti")
     }
@@ -4962,9 +4977,11 @@ object SnapshotTable {
     // live rows with positions: existing DVs applied so an already
     // -dead row can never be re-deleted or double-counted
     val withPos = readWithPositions(spark, m.entries, m.schema, m.colmap)
-    val live = applyDvFilter(spark, withPos, m.entries.filter(_.dv.isDefined))
+    val keyOf = scanFileKey(spark, withPos, m.entries)
+    val live = applyDvFilter(spark, withPos,
+      m.entries.filter(_.dv.isDefined), keyOf)
     val matched = live.filter(coalesce(predicate, lit(false)))
-      .select(col("__graft_fname"), col("__graft_idx"))
+      .select(col("__graft_path"), col("__graft_idx"))
     val cnt = matched.count()
     if (cnt == 0L) return base
     require(cnt <= maxDvRows,
@@ -4974,8 +4991,7 @@ object SnapshotTable {
       .groupBy(_.getString(0)).view
       .mapValues(_.map(_.getLong(1)).sorted).toMap
     val newEntries = m.entries.map { e =>
-      val fname = dvFileKey(e.filePath)
-      byFile.get(fname) match {
+      byFile.get(keyOf(e.filePath)) match {
         case None => e
         case Some(fresh) =>
           val existing = e.dv.map(d => readDv(spark, path, d._1))
@@ -5676,28 +5692,29 @@ object SnapshotTable {
         val sch = m.schema
         val dvEntries = dvDeltas.map(_._1)
         val ridStep = m.rowIdHigh.isDefined && dvEntries.forall(_.rid.isDefined)
-        val deltaPairs = dvDeltas.flatMap { case (e, idxs) =>
-          val fname = dvFileKey(e.filePath)
-          idxs.map(fname -> _)
-        }.toDF("__dv_fname", "__dv_idx")
         val withPos0 = readWithPositions(spark, dvEntries, sch, m.colmap,
           withRid = ridStep)
+        val keyOf = scanFileKey(spark, withPos0, dvEntries)
+        val deltaPairs = dvDeltas.flatMap { case (e, idxs) =>
+          val fname = keyOf(e.filePath)
+          idxs.map(fname -> _)
+        }.toDF("__dv_fname", "__dv_idx")
         // row tracking: the dying rows' stable ids label the deletes
         val withPos =
           if (!ridStep) withPos0
           else {
             val baseDf = broadcast(
-              dvEntries.map(e => (dvFileKey(e.filePath), e.rid.get))
+              dvEntries.map(e => (keyOf(e.filePath), e.rid.get))
                 .toDF("__rid_fname", "__rid_base"))
             withPos0.join(baseDf,
-                col("__graft_fname") === col("__rid_fname"), "left")
+                col("__graft_path") === col("__rid_fname"), "left")
               .withColumn(RowIdCol,
                 coalesce(col(RidCol), col("__rid_base") + col("__graft_idx")))
               .drop(RidCol, "__rid_fname", "__rid_base")
           }
         val dataCols = withPos.columns.filterNot(_.startsWith("__graft_"))
         Some(translate(withPos.join(broadcast(deltaPairs),
-            col("__graft_fname") === col("__dv_fname") &&
+            col("__graft_path") === col("__dv_fname") &&
               col("__graft_idx") === col("__dv_idx"), "left_semi")
           .select(dataCols.map(col): _*), m.colmap)
           .withColumn("_change_type", lit("delete"))
