@@ -729,6 +729,24 @@ object ScaleBench {
         }
         val (dfN, rddN) = abPair(df, "narrow")
         val (dfW, rddW) = abPair(wide, "wide")
+        // exchange-bearing regime: the guard routes these to the
+        // zipWithIndex formulation (fixed RDD lineage — AQE cannot
+        // re-coalesce between its two jobs). A/B the two CANDIDATE
+        // pins explicitly: eager-localCheckpoint + DF-native (loses:
+        // the cache write dominates) vs zipWithIndex (ships)
+        val grouped = wide.groupBy((col("k") % 200000).as("g"))
+          .agg(max(col("pad")).as("pad"), count(lit(1)).as("n"))
+        val dfG = t {
+          val pinned = grouped.localCheckpoint()
+          SnapshotTable.withDenseOrdinalUnpinned(pinned, "sid")
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(s"$base/df_grouped")
+        }
+        val rddG = t {
+          SnapshotTable.withDenseOrdinalZip(grouped, "sid")
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(s"$base/rdd_grouped")
+        }
         val ids = SnapshotTable.read(spark, s"$base/ident")
           .agg(count(lit(1)), countDistinct(col("sid")),
             min(col("sid")), max(col("sid"))).head()
@@ -741,7 +759,8 @@ object ScaleBench {
         println(f"[scale] identity_ingest plain=$plainSec%.2fs " +
           f"ident=$identSec%.2fs (${identSec / plainSec}%.2fx) " +
           f"ab_narrow df=$dfN%.2fs rdd=$rddN%.2fs " +
-          f"ab_wide df=$dfW%.2fs rdd=$rddW%.2fs")
+          f"ab_wide df=$dfW%.2fs rdd=$rddW%.2fs " +
+          f"ab_grouped ckpt_pin=$dfG%.2fs zip=$rddG%.2fs (zip ships)")
       },
       timed("row_tracking") {
         // Row tracking's three cost claims, measured in ONE run at 1M

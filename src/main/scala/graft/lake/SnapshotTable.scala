@@ -2480,16 +2480,39 @@ object SnapshotTable {
     * this failure because both of its jobs share one fixed RDD
     * lineage). Either way the offset join mis-numbers rows —
     * duplicate or skipped ids published silently. So any such plan
-    * is PINNED first: an eager localCheckpoint materializes one
-    * physical RDD layout that both jobs then share (measured A/B
-    * below vs the zipWithIndex fallback, which recomputes the
-    * upstream twice AND pays Row materialization — localCheckpoint
-    * wins and also de-risks re-evaluating nondeterministic inputs).
-    * The cached blocks are released by the ContextCleaner once the
-    * frame is unreferenced after the write. */
+    * is handled by regime (ScaleBench `identity_ingest`
+    * ab_grouped, 200k-row exchange-bearing wide frame, same run):
+    *
+    *  - EXCHANGE-bearing but deterministic → the zipWithIndex
+    *    formulation (1.16s): `df.rdd` finalizes ONE adaptive plan,
+    *    and zipWithIndex's two jobs share that RDD DAG (the second
+    *    job re-fetches the same shuffle output), so AQE cannot
+    *    re-coalesce between them. An eager localCheckpoint pin
+    *    measured 2.84s — the cache write dominates — and the
+    *    DF-native two-query form is the thing being guarded against.
+    *  - NONDETERMINISTIC (sample / rand-derived / nondet UDF) →
+    *    localCheckpoint pin: only materialization makes re-evaluation
+    *    impossible (zipWithIndex re-evaluates a nondeterministic
+    *    parent per job just like the two-query form). Cached blocks
+    *    are released by the ContextCleaner after the write.
+    *  - plain deterministic scan plans → the DF-native fast path. */
   private[graft] def withDenseOrdinal(df: DataFrame, ord: String): DataFrame =
-    withDenseOrdinalUnpinned(
-      if (layoutUnstable(df)) df.localCheckpoint() else df, ord)
+    if (nondeterministicPlan(df))
+      withDenseOrdinalUnpinned(df.localCheckpoint(), ord)
+    else if (shufflePlan(df)) withDenseOrdinalZip(df, ord)
+    else withDenseOrdinalUnpinned(df, ord)
+
+  /** zipWithIndex formulation: fixed physical lineage across its two
+    * jobs (layout-safe under AQE), pays Row materialization ∝ row
+    * width — the right tool ONLY for exchange-bearing deterministic
+    * plans (see [[withDenseOrdinal]]'s measured regimes). */
+  private[graft] def withDenseOrdinalZip(df: DataFrame, ord: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, df.schema.add(ord, LongType))
+  }
 
   /** Whether `df`'s plan can change per-partition layout (or sizes)
     * between two jobs over it. Shuffle-inducing logical nodes are
@@ -2504,13 +2527,27 @@ object SnapshotTable {
     * defense-in-depth (an unseeded rand() is seeded at analysis and
     * is size-stable per fixed layout, but a genuinely
     * nondeterministic UDF filter is not). */
-  private[graft] def layoutUnstable(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    val qe = df.queryExecution
-    qe.analyzed.exists {
+  private[graft] def layoutUnstable(df: DataFrame): Boolean =
+    nondeterministicPlan(df) || shufflePlan(df)
+
+  /** Sample nodes / nondeterministic expressions: re-evaluate per
+    * job, so only materialization stabilizes them. */
+  private[graft] def nondeterministicPlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Sample
+    df.queryExecution.analyzed.exists {
       case _: Sample => true
       case p => p.expressions.exists(e => e.exists(!_.deterministic))
-    } || qe.optimizedPlan.exists {
+    }
+  }
+
+  /** Shuffle-inducing logical nodes: AQE may coalesce two queries
+    * over the same frame into different partition layouts (a
+    * broadcast-only join never re-coalesces, so matching logical
+    * Join over-routes it to the zip formulation — accepted: that
+    * path is already join-sized). */
+  private[graft] def shufflePlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.exists {
       case _: Aggregate | _: Join | _: Window | _: Sort |
            _: RepartitionOperation | _: GlobalLimit | _: Deduplicate |
            _: MapGroups | _: CoGroup => true
