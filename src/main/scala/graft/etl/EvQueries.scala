@@ -766,6 +766,54 @@ object EvQueries {
     * month column never surfaces (`hidden_ok`). A fresh warehouse and
     * catalog name per run — Spark caches catalog instances, so a
     * reused name would pin the first run's warehouse. */
+
+  /** Deletion vectors on a PERCENT-ENCODING layout: the fact is
+    * hive-partitioned by a value containing ':' (escapes to a
+    * literal '%' in the directory name, the form that silently
+    * no-opped DV deletes before round 16 — SnapshotTable.scanFileKey
+    * now pairs files by the raw scan path with a percent-decode-
+    * fixpoint fallback). The gate proves the delete actually lands
+    * (survivor set hash-matches the oracle), the partition value
+    * round-trips through the escaping on read-back (`slot` column),
+    * and the commit is DV-metadata-only (`files_unchanged`). */
+  def dvDeleteEscaped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dvesc gate").toString + "/fact"
+    val gold = GoldFeatures.derive(good(spark))
+      .select(col("sessionId"),
+        concat(lit("s:"), substring(col("sessionId"), 1, 1)).as("slot"),
+        col("session_duration_minutes"))
+      .coalesce(1)
+      .persist()
+    try {
+      graft.lake.SnapshotTable.append(gold, path, Seq("slot"))
+      graft.lake.SnapshotTable.deleteWithVectors(spark, path,
+        col("session_duration_minutes") > 120)
+      val hist = graft.lake.SnapshotTable.history(spark, path)
+        .select("version", "n_files").as[(Long, Int)].collect().toMap
+      val filesUnchanged = hist(1L) == hist(2L) &&
+        graft.lake.SnapshotTable.opOf(spark, path, 2L).contains("delete_dv")
+      graft.lake.SnapshotTable.read(spark, path)
+        .select("sessionId", "slot", "session_duration_minutes")
+        .withColumn("files_unchanged", lit(filesUnchanged))
+        .orderBy("sessionId")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val dvDeleteEscapedSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId,
+       |    (epoch(ended) - epoch(created)) / 60.0 AS session_duration_minutes
+       |  FROM marked WHERE NOT is_bad
+       |)
+       |SELECT sessionId, concat('s:', substr(sessionId, 1, 1)) AS slot,
+       |  session_duration_minutes, true AS files_unchanged
+       |FROM gold WHERE NOT session_duration_minutes > 120
+       |ORDER BY sessionId""".stripMargin
+
+
   def catalogSql(spark: SparkSession, dir: String): DataFrame = {
     val wh = java.nio.file.Files.createTempDirectory("graft-cat-gate").toString
     val cat = "evcat_" + java.util.UUID.randomUUID.toString.take(8)
@@ -2399,5 +2447,6 @@ object EvQueries {
     QDef("ev41_identity_columns", identityColumnsGate, Some(identityColumnsSql)),
     QDef("ev42_row_tracking", rowTrackingGate, Some(rowTrackingSql)),
     QDef("ev43_stream_identity", streamIdentityGate, Some(streamIdentitySql)),
+    QDef("ev44_dv_escaped_partitions", dvDeleteEscaped, Some(dvDeleteEscapedSql)),
   )
 }
