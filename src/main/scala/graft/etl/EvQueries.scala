@@ -814,6 +814,62 @@ object EvQueries {
        |ORDER BY sessionId""".stripMargin
 
 
+
+  /** Pruned TRACKED read (readWhereWithRowIds): an incremental
+    * consumer's predicate must reach the manifest skippers while the
+    * scan still carries stable `_row_id`s — at 10^6 files the
+    * alternative (full readWithRowIds then filter) is the wrong
+    * plan. The fact lands as a 4-file clustered write on a UNIQUE
+    * sort key, so row ids are globally monotone in it (bases assign
+    * in sorted entry order), making the ABSOLUTE ids
+    * oracle-computable as row_number()-1; the gate reads the first
+    * half by key and proves (a) values+ids hash-match, (b) the scan
+    * physically pruned (executed-plan numFiles, strict subset). */
+  def readWhereRowIdsGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-rwrid-gate")
+      .toString + "/fact"
+    import graft.lake.SnapshotTable
+    import org.apache.spark.sql.types._
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .withColumn("skey", concat(col("sessionId"), lit("|"),
+        floor(col("kwhTotal") * 100).cast("int").cast("string")))
+      .persist()
+    try {
+      SnapshotTable.create(spark, t, StructType(Seq(
+        StructField("skey", StringType), StructField("sessionId", StringType),
+        StructField("kwhTotal", DoubleType))), rowTracking = true)
+      SnapshotTable.appendClustered(
+        gold.select("skey", "sessionId", "kwhTotal"), t, "skey", numFiles = 4)
+      val total = SnapshotTable.liveFiles(spark, t).size
+      val k = (gold.count() / 2).toInt
+      val mid = gold.select("skey").orderBy("skey").as[String]
+        .take(k).last
+      val q = SnapshotTable.readWhereWithRowIds(spark, t, col("skey") <= mid)
+      val scanned = scannedFiles(q.select("skey"))
+      val pruned = scanned >= 1 && scanned < total
+      q.select(col("_row_id"), col("sessionId"),
+          round(col("kwhTotal"), 2).as("kwh"))
+        .withColumn("pruned", lit(pruned))
+        .orderBy("_row_id")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val readWhereRowIdsSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal,
+       |    sessionId || '|' || CAST(CAST(floor(kwhTotal * 100) AS INT) AS VARCHAR) AS skey
+       |  FROM marked WHERE NOT is_bad
+       |), ids AS (
+       |  SELECT *, row_number() OVER (ORDER BY skey) - 1 AS rid FROM gold
+       |), cnt AS (SELECT CAST(count(*) / 2 AS INT) AS k FROM gold)
+       |SELECT CAST(rid AS BIGINT) AS _row_id, sessionId,
+       |  round(kwhTotal, 2) AS kwh, true AS pruned
+       |FROM ids WHERE rid < (SELECT k FROM cnt)
+       |ORDER BY _row_id""".stripMargin
+
+
   def catalogSql(spark: SparkSession, dir: String): DataFrame = {
     val wh = java.nio.file.Files.createTempDirectory("graft-cat-gate").toString
     val cat = "evcat_" + java.util.UUID.randomUUID.toString.take(8)
@@ -2448,5 +2504,6 @@ object EvQueries {
     QDef("ev42_row_tracking", rowTrackingGate, Some(rowTrackingSql)),
     QDef("ev43_stream_identity", streamIdentityGate, Some(streamIdentitySql)),
     QDef("ev44_dv_escaped_partitions", dvDeleteEscaped, Some(dvDeleteEscapedSql)),
+    QDef("ev45_readwhere_row_ids", readWhereRowIdsGate, Some(readWhereRowIdsSql)),
   )
 }

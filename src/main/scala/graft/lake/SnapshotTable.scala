@@ -865,7 +865,12 @@ object SnapshotTable {
     * many-file commit — one open per file, on a bounded pool. */
   private def commitEntries(spark: SparkSession, commitDir: String,
       statsCols: Seq[String]): Seq[Entry] = {
-    val files = listParquet(fs(spark, commitDir), new Path(commitDir))
+    // sorted: FileSystem listing order is not a contract, and entry
+    // order is semantic under row tracking (bases assign in entry
+    // order) — lexicographic part-file order equals the writer's
+    // partition index order, so a clustered/sorted write gets row
+    // ids monotone in its sort key, deterministically
+    val files = listParquet(fs(spark, commitDir), new Path(commitDir)).sorted
     if (files.isEmpty) Nil
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -1926,12 +1931,34 @@ object SnapshotTable {
     * exactly what querying the raw layout by hand would require the
     * user to know. On a plain table this is just `read().filter`. */
   def readWhere(spark: SparkSession, path: String, predicate: Column,
-      version: Option[Long] = None, sqlAlias: Option[String] = None): DataFrame = {
+      version: Option[Long] = None, sqlAlias: Option[String] = None): DataFrame =
+    readWhereImpl(spark, path, predicate, version, sqlAlias,
+      withRowIds = false)
+
+  /** [[readWhere]] composed with row tracking: the pruned scan (both
+    * pruning families — partition-transform projection and manifest-
+    * stats skipping) carries the stable `_row_id` column, so an
+    * incremental consumer reads ONLY the files its predicate can
+    * match while still keying state by row identity. Without this
+    * seam the consumer's only tracked read was the full-table
+    * [[readWithRowIds]] — the wrong plan at 10^6 files. */
+  def readWhereWithRowIds(spark: SparkSession, path: String,
+      predicate: Column, version: Option[Long] = None): DataFrame =
+    readWhereImpl(spark, path, predicate, version, None, withRowIds = true)
+
+  private def readWhereImpl(spark: SparkSession, path: String, predicate: Column,
+      version: Option[Long], sqlAlias: Option[String],
+      withRowIds: Boolean): DataFrame = {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val m = readManifestFull(spark, path, v)
+    require(!withRowIds || m.rowIdHigh.isDefined,
+      s"row tracking is not enabled at $path (version $v) — " +
+        "enableRowTracking first")
+    def withNullRid(df: DataFrame): DataFrame =
+      if (withRowIds) df.withColumn(RowIdCol, lit(null).cast(LongType)) else df
     if (m.entries.isEmpty)
-      return sqlAlias.foldLeft(emptyFrame(spark, path, v, m))(
+      return sqlAlias.foldLeft(withNullRid(emptyFrame(spark, path, v, m)))(
         (df, a) => df.alias(a)).filter(predicate)
     // Predicate ANALYSIS runs against a zero-row frame in the
     // recorded schema — resolving the user predicate must not build a
@@ -1981,11 +2008,16 @@ object SnapshotTable {
     val live = canMatch.fold(m.entries)(f => m.entries.filter(f))
     val base =
       if (live.isEmpty)
-        return sqlAlias.foldLeft(emptyFrame(spark, path, v, m))(
+        return sqlAlias.foldLeft(withNullRid(emptyFrame(spark, path, v, m)))(
           (df, a) => df.alias(a)).filter(predicate)
-      else if (m.schema.isEmpty && live.size == m.entries.size) raw
-      else sqlAlias.foldLeft(readGroups(spark, live, m.schema, m.colmap))(
-        (df, a) => df.alias(a))
+      else if (m.schema.isEmpty && live.size == m.entries.size && !withRowIds) raw
+      else {
+        val scan =
+          if (withRowIds) readGroupsWithRid(spark, live, m.schema, m.colmap)
+            .withColumnRenamed(RidCol, RowIdCol)
+          else readGroups(spark, live, m.schema, m.colmap)
+        sqlAlias.foldLeft(scan)((df, a) => df.alias(a))
+      }
     base.filter(ppred && predicate).drop(hiddenCols: _*)
   }
 

@@ -484,4 +484,52 @@ class RowTrackingSpec extends SparkTestBase {
     assert(ed.getMessage.contains("reserved column '__rid'"),
       s"wrong deleteKeys error: ${ed.getMessage}")
   }
+
+  test("readWhereWithRowIds: the pruned tracked read — fewer files, same ids") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    val df = (1 to 600).map(i => (i, s"v$i")).toDF("k", "v")
+    SnapshotTable.appendClustered(df, path, "k", numFiles = 6)
+    val total = SnapshotTable.liveFiles(spark, path).size
+    def scanned(q: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      q.collect() // execute THIS dataset's own QE (metrics live there)
+      def files(p: SparkPlan): Long = p.collect {
+        case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+        case st: QueryStageExec       => files(st.plan)
+        case sc: FileSourceScanExec   => sc.metrics("numFiles").value
+      }.sum
+      files(q.queryExecution.executedPlan)
+    }
+    val q = SnapshotTable.readWhereWithRowIds(spark, path, col("k") <= 100)
+    val n = scanned(q)
+    assert(n >= 1 && n < total, s"pruned tracked read scanned $n of $total files")
+    // same ids the full tracked read serves for that subset
+    val viaFull = SnapshotTable.readWithRowIds(spark, path)
+      .filter(col("k") <= 100)
+      .select(col("k"), col(SnapshotTable.RowIdCol)).as[(Int, Long)]
+      .collect().toMap
+    val viaPruned = q.select(col("k"), col(SnapshotTable.RowIdCol))
+      .as[(Int, Long)].collect().toMap
+    assert(viaPruned === viaFull)
+    // stable across a rewrite that touches the pruned range
+    SnapshotTable.update(spark, path, Seq("v" -> lit("U")), col("k") % 10 === 3)
+    val after = SnapshotTable.readWhereWithRowIds(spark, path, col("k") <= 100)
+      .select(col("k"), col(SnapshotTable.RowIdCol)).as[(Int, Long)]
+      .collect().toMap
+    assert(after === viaFull, "rewrite renumbered pruned tracked rows")
+    // empty prune keeps the feed shape
+    val none = SnapshotTable.readWhereWithRowIds(spark, path, col("k") > 10000)
+    assert(none.count() === 0)
+    assert(none.columns.contains(SnapshotTable.RowIdCol))
+    // refused without tracking
+    val plain = tmp()
+    SnapshotTable.append(Seq((1, "a")).toDF("k", "v"), plain)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWhereWithRowIds(spark, plain, col("k") > 0)
+    }
+  }
 }
