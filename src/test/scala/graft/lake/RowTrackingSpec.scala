@@ -374,34 +374,58 @@ class RowTrackingSpec extends SparkTestBase {
   }
 
   test("DML x row-id fuzz: ids unique and stable for carried rows across random op mix") {
-    val path = tmp()
+    dmlRidFuzz(seed = 15015, esc = false)
+  }
+
+  test("DML x row-id fuzz on an ESCAPED partition layout: the probe fallback " +
+      "holds under the full rewrite alphabet") {
+    // every read the rewrites make (readGroupsWithRid inheritance,
+    // DV anti-joins) rides the percent-decode-fixpoint probe here —
+    // the layout is partitioned by a ':'-bearing value
+    dmlRidFuzz(seed = 16016, esc = true)
+  }
+
+  /** The random op mix, on a plain layout (fast raw-path keys) or an
+    * ESCAPED hive layout (every path segment percent-encodes → the
+    * scanFileKey probe fallback). The model asserts per step: ids
+    * unique, carried rows never renumbered, watermark above every
+    * live id; overwrite assigns fresh ids above the old watermark. */
+  private def dmlRidFuzz(seed: Long, esc: Boolean): Unit = {
+    val dir = Files.createTempDirectory(
+      if (esc) "graft-ridfuzz esc" else "graft-ridfuzz").toString
+    val path = s"$dir/t"
     SnapshotTable.create(spark, path,
-      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      StructType(Seq(StructField("k", IntegerType),
+        StructField("p", StringType), StructField("v", StringType))),
       rowTracking = true)
-    val rnd = new scala.util.Random(15015)
+    val parts = if (esc) Seq("p") else Nil
+    val rnd = new scala.util.Random(seed)
     var nextKey = 1
-    def freshRows(n: Int): Seq[(Int, String)] = {
-      val r = (nextKey until nextKey + n).map(i => (i, s"v$i"))
+    def freshRows(n: Int): Seq[(Int, String, String)] = {
+      val r = (nextKey until nextKey + n).map(i => (i, s"c:${i % 3}", s"v$i"))
       nextKey += n; r
     }
-    SnapshotTable.append(freshRows(6).toDF("k", "v"), path)
+    SnapshotTable.append(freshRows(6).toDF("k", "p", "v"), path, parts)
     // model: key -> id for rows whose identity must persist
     var model: Map[Int, Long] = idsByKey(path)
     for (step <- 1 to 22) {
       val live = model.keys.toSeq.sorted
       rnd.nextInt(9) match {
         case 0 => // append
-          SnapshotTable.append(freshRows(1 + rnd.nextInt(3)).toDF("k", "v"), path)
+          SnapshotTable.append(
+            freshRows(1 + rnd.nextInt(3)).toDF("k", "p", "v"), path, parts)
         case 7 => // full overwrite: every old id dies, fresh rows get new ids
           val high = SnapshotTable.nextRowId(spark, path)
-          SnapshotTable.overwrite(freshRows(2).toDF("k", "v"), path)
+          SnapshotTable.overwrite(freshRows(2).toDF("k", "p", "v"), path, parts)
           val now0 = idsByKey(path)
           assert(now0.values.forall(_ >= high),
             s"step $step: overwrite must assign FRESH ids above $high, got $now0")
           model = Map.empty // nothing survives an overwrite
-        case 8 => // clustered append (stats-carrying ingest path)
-          SnapshotTable.appendClustered(freshRows(3).toDF("k", "v"), path,
-            "k", numFiles = 2)
+        case 8 => // clustered append (plain) / partitioned append (esc —
+          // a clustered write is unpartitioned and would mix layouts)
+          if (esc) SnapshotTable.append(freshRows(3).toDF("k", "p", "v"), path, parts)
+          else SnapshotTable.appendClustered(
+            freshRows(3).toDF("k", "p", "v"), path, "k", numFiles = 2)
         case 1 if live.nonEmpty => // predicate update
           val k = live(rnd.nextInt(live.size))
           SnapshotTable.update(spark, path,
@@ -418,7 +442,8 @@ class RowTrackingSpec extends SparkTestBase {
           val k = live(rnd.nextInt(live.size))
           val ins = freshRows(1)
           SnapshotTable.merge(
-            (Seq((k, s"m$step")) ++ ins).toDF("k", "v"), path, Seq("k"))
+            (Seq((k, s"c:${k % 3}", s"m$step")) ++ ins).toDF("k", "p", "v"),
+            path, Seq("k"))
         case 5 => // compact
           SnapshotTable.compact(spark, path, numFiles = 2)
         case _ if live.nonEmpty => // deleteKeys
@@ -426,7 +451,7 @@ class RowTrackingSpec extends SparkTestBase {
           SnapshotTable.deleteKeys(Seq(k).toDF("k"), path, Seq("k"))
           model -= k
         case _ =>
-          SnapshotTable.append(freshRows(2).toDF("k", "v"), path)
+          SnapshotTable.append(freshRows(2).toDF("k", "p", "v"), path, parts)
       }
       val now = idsByKey(path)
       assert(now.values.toSeq.distinct.size === now.size,
