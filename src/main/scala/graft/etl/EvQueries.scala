@@ -869,6 +869,78 @@ object EvQueries {
        |FROM ids WHERE rid < (SELECT k FROM cnt)
        |ORDER BY _row_id""".stripMargin
 
+  /** Full-clause MERGE through pure SQL (the SQL:2003 / Delta clause
+    * surface beyond the reference's Iceberg-v2 `UPDATE SET * / INSERT
+    * *` upsert, reference jobs/ev_sessions_gold_etl.py:147-156):
+    * conditional matched update AND matched delete, conditional
+    * insert, and both NOT MATCHED BY SOURCE forms in ONE statement
+    * over the gold fact. The oracle recomputes the post-merge state
+    * relationally (matched rows split by the update condition,
+    * unmatched target rows split by the NMBS conditions, anti-joined
+    * source rows filtered by the insert condition). */
+  def mergeClausesGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft-mc-gate")
+      .toString + "/fact"
+    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal")).persist()
+    val reg = "ev_mc_fact_" + java.util.UUID.randomUUID.toString.take(8)
+    try {
+      SnapshotTable.append(
+        gold.select(col("sessionId"), col("kwhTotal").as("kwh"),
+          lit("base").as("status")), t)
+      SnapshotCatalog.register(reg, t)
+      gold.filter(col("kwhTotal") >= 10.0)
+        .groupBy(col("sessionId"))
+        .agg((max(col("kwhTotal")) * 2.0).as("newKwh"))
+        .unionByName(spark.range(1).select(lit("mc-new-pos").as("sessionId"),
+          lit(5.0).as("newKwh")))
+        .unionByName(spark.range(1).select(lit("mc-new-neg").as("sessionId"),
+          lit(-3.0).as("newKwh")))
+        .createOrReplaceTempView("ev_mc_src")
+      spark.sql(
+        s"""MERGE INTO $reg t USING ev_mc_src s ON t.sessionId = s.sessionId
+           |WHEN MATCHED AND s.newKwh > 30.0
+           |  THEN UPDATE SET kwh = s.newKwh, status = 'boosted'
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED AND s.newKwh >= 0.0
+           |  THEN INSERT (sessionId, kwh, status) VALUES (s.sessionId, s.newKwh, 'inserted')
+           |WHEN NOT MATCHED BY SOURCE AND t.kwh < 1.0 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'
+           |""".stripMargin)
+      spark.sql(s"SELECT sessionId, round(kwh, 2) AS kwh, status FROM $reg")
+        .orderBy("sessionId", "kwh")
+    } finally { SnapshotCatalog.unregister(reg); gold.unpersist(); () }
+  }
+
+  private val mergeClausesSql =
+    s"""$prefix,
+       |gold AS (SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad),
+       |src AS (
+       |  SELECT sessionId, max(kwhTotal) * 2.0 AS newKwh
+       |  FROM gold WHERE kwhTotal >= 10.0 GROUP BY sessionId
+       |  UNION ALL SELECT 'mc-new-pos', 5.0
+       |  UNION ALL SELECT 'mc-new-neg', -3.0
+       |)
+       |SELECT * FROM (
+       |  -- matched: update where the condition holds, else the DELETE
+       |  -- clause claims the row
+       |  SELECT t.sessionId, round(s.newKwh, 2) AS kwh, 'boosted' AS status
+       |  FROM gold t JOIN src s USING (sessionId) WHERE s.newKwh > 30.0
+       |  UNION ALL
+       |  -- not matched by source: kwh<1 deletes, the rest go stale
+       |  SELECT t.sessionId, round(t.kwhTotal, 2), 'stale'
+       |  FROM gold t
+       |  WHERE t.sessionId NOT IN (SELECT sessionId FROM src)
+       |    AND NOT (t.kwhTotal < 1.0)
+       |  UNION ALL
+       |  -- not matched: conditional insert
+       |  SELECT s.sessionId, round(s.newKwh, 2), 'inserted'
+       |  FROM src s
+       |  WHERE s.sessionId NOT IN (SELECT sessionId FROM gold)
+       |    AND s.newKwh >= 0.0
+       |)
+       |ORDER BY sessionId, kwh""".stripMargin
+
 
   def catalogSql(spark: SparkSession, dir: String): DataFrame = {
     val wh = java.nio.file.Files.createTempDirectory("graft-cat-gate").toString
@@ -2505,5 +2577,6 @@ object EvQueries {
     QDef("ev43_stream_identity", streamIdentityGate, Some(streamIdentitySql)),
     QDef("ev44_dv_escaped_partitions", dvDeleteEscaped, Some(dvDeleteEscapedSql)),
     QDef("ev45_readwhere_row_ids", readWhereRowIdsGate, Some(readWhereRowIdsSql)),
+    QDef("ev46_merge_clauses", mergeClausesGate, Some(mergeClausesSql)),
   )
 }

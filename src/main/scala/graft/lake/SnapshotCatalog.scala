@@ -254,11 +254,58 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
             case InsertAction(None, assigns)     => fullRowAligned(assigns)
             case _                               => false
           } && m.notMatchedBySourceActions.isEmpty
-          if (!supported) throw new UnsupportedOperationException(
-            "snapshot MERGE supports exactly WHEN MATCHED THEN UPDATE SET * " +
-              "WHEN NOT MATCHED THEN INSERT * (unconditional); got: " + m.simpleString(5))
-          SnapshotMergeCommand(t.alias, t.path,
-            m.sourceTable, SnapshotSqlCommands.keyColsOf(m.mergeCondition))
+          require(!m.withSchemaEvolution, "snapshot MERGE does not " +
+            "support WITH SCHEMA EVOLUTION — ALTER TABLE first")
+          if (supported)
+            // the unconditional full-row upsert keeps its dedicated
+            // fast path (merge(): one join, identity/rid inheritance)
+            SnapshotMergeCommand(t.alias, t.path,
+              m.sourceTable, SnapshotSqlCommands.keyColsOf(m.mergeCondition))
+          else {
+            // qualifier-preserving re-target (unlike deresolve): both
+            // sides of a MERGE share column names, so a resolved
+            // attribute must keep its alias qualifier to re-resolve
+            // unambiguously against the command's joined frame
+            def qexpr(e: Expression): org.apache.spark.sql.Column =
+              ColumnBridge.column(e.transform {
+                case a: AttributeReference =>
+                  UnresolvedAttribute(a.qualifier.takeRight(1) :+ a.name)
+              })
+            def assignsOf(as: Seq[Assignment]): Seq[(String, org.apache.spark.sql.Column)] =
+              as.map { a =>
+                val name = a.key match {
+                  case ua: UnresolvedAttribute => ua.nameParts.last
+                  case at: Attribute           => at.name
+                  case other => throw new UnsupportedOperationException(
+                    "snapshot MERGE must assign plain columns, got: " + other.sql)
+                }
+                name -> qexpr(a.value)
+              }
+            def matchedOf(a: MergeAction, fam: String): MergeMatchedClause = a match {
+              case UpdateStarAction(c)      => MergeUpdate(c.map(qexpr), Nil)
+              case UpdateAction(c, as, _)   => MergeUpdate(c.map(qexpr), assignsOf(as))
+              case DeleteAction(c)          => MergeDelete(c.map(qexpr))
+              case other => throw new UnsupportedOperationException(
+                s"snapshot MERGE $fam supports UPDATE/DELETE, got: " + other.sql)
+            }
+            val nm = m.notMatchedActions.map {
+              case InsertStarAction(c)   => MergeInsert(c.map(qexpr), Nil)
+              case InsertAction(c, as)   => MergeInsert(c.map(qexpr), assignsOf(as))
+              case other => throw new UnsupportedOperationException(
+                "snapshot MERGE WHEN NOT MATCHED supports INSERT, got: " + other.sql)
+            }
+            // the statement's own source alias, so `s.c` references in
+            // clause expressions re-resolve against the command's frame
+            val sAlias = m.sourceTable match {
+              case SubqueryAlias(id, _)  => id.name
+              case u: UnresolvedRelation => u.multipartIdentifier.last
+              case _                     => "__graft_src"
+            }
+            SnapshotMergeClausesCommand(t.alias, t.path, m.sourceTable, sAlias,
+              SnapshotSqlCommands.keyColsOf(m.mergeCondition),
+              m.matchedActions.map(matchedOf(_, "WHEN MATCHED")), nm,
+              m.notMatchedBySourceActions.map(matchedOf(_, "WHEN NOT MATCHED BY SOURCE")))
+          }
         case None => m
       }
 

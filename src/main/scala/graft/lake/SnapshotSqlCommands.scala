@@ -67,6 +67,27 @@ case class SnapshotMergeCommand(table: String, path: String,
   }
 }
 
+/** Any other MERGE shape — conditional matched update/delete,
+  * conditional insert, `WHEN NOT MATCHED BY SOURCE` — →
+  * [[SnapshotTable.mergeClauses]]. Clause conditions/values ride as
+  * Columns (see [[SnapshotUpdateCommand]]'s note) qualified by the
+  * statement's own target/source aliases. */
+case class SnapshotMergeClausesCommand(table: String, path: String,
+    source: LogicalPlan, sourceAlias: String, keyCols: Seq[String],
+    matched: Seq[MergeMatchedClause], notMatched: Seq[MergeInsert],
+    notMatchedBySource: Seq[MergeMatchedClause]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = DatasetBridge.ofRows(spark, source)
+    Seq(Row(SnapshotTable.mergeClauses(src, path, keyCols,
+      matched, notMatched, notMatchedBySource,
+      targetAlias = table, sourceAlias = sourceAlias)))
+  }
+}
+
 /** `UPDATE <registered> SET c = e, ... WHERE p` →
   * [[SnapshotTable.update]]. */
 case class SnapshotUpdateCommand(table: String, path: String,

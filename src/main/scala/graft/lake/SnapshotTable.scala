@@ -4916,6 +4916,276 @@ object SnapshotTable {
     }
   }
 
+  /** Extended MERGE with the full SQL:2003 clause surface (the shape
+    * Delta's `whenMatched/whenNotMatched[BySource]` builder and
+    * Iceberg's MERGE SQL expose) — conditional `WHEN MATCHED` update
+    * or delete, conditional `WHEN NOT MATCHED` insert, and `WHEN NOT
+    * MATCHED BY SOURCE` update/delete; see [[MergeMatchedClause]] for
+    * the clause model and evaluation order. [[merge]] remains the
+    * dedicated fast path for the unconditional full-row upsert.
+    *
+    * Scale posture mirrors [[merge]]: the matched/insert passes touch
+    * only the files whose footer stats could contain a source key
+    * ([[keyRewriteSet]] — stats + blooms + null counts), and the NOT
+    * MATCHED BY SOURCE family — inherently a table-wide predicate —
+    * rewrites only the files where some clause condition COULD hold
+    * (the same stats-pruned file finding DELETE uses; an
+    * unconditional clause rewrites every file, as it must). The
+    * source is never collected to the driver; matching is one
+    * shuffle/broadcast join per pass.
+    *
+    * Row semantics: a target row matched by more than one source row
+    * raises the standard MERGE ambiguity error whenever a matched
+    * clause exists (detected inside the rewrite job, before any
+    * publish). Updated rows keep their stable row id and identity
+    * values; deleted rows drop; inserted rows get fresh ids from the
+    * commit's identity pass. Generated columns always recompute from
+    * the post-merge values and may not be assigned. Clause conditions
+    * evaluating NULL do not fire (SQL three-valued WHEN). NULL key
+    * components never match, so a NULL-keyed target row falls to the
+    * NOT MATCHED BY SOURCE family and a NULL-keyed source row to the
+    * insert family, per SQL equality.
+    *
+    * The target does not auto-create: unlike [[merge]] (whose INSERT
+    * * on an absent table IS a create), clause expansion needs the
+    * target schema — create/append first.
+    */
+  def mergeClauses(source: DataFrame, path: String, keyCols: Seq[String],
+      matched: Seq[MergeMatchedClause] = Nil,
+      notMatched: Seq[MergeInsert] = Nil,
+      notMatchedBySource: Seq[MergeMatchedClause] = Nil,
+      targetAlias: String = "t", sourceAlias: String = "s",
+      partitionCols: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "mergeClauses needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    require(!source.columns.exists(_.equalsIgnoreCase(RidCol)),
+      s"merge source must not contain the reserved column '$RidCol'")
+    require(!source.columns.exists(_.startsWith("__graft_")),
+      "merge source must not contain reserved '__graft_'-prefixed columns")
+    val spark = source.sparkSession
+    val base = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version at $path — mergeClauses needs an existing " +
+          "target (create/append it first; plain merge() creates on first use)"))
+    val bm = readManifestFull(spark, path, base)
+    val entries = bm.entries
+    val fields = read(spark, path, Some(base)).schema.fields
+    val genCols = generatedNamesOf(bm)
+    val idAll = bm.schema.map(identityColumnsOf(_)).getOrElse(Nil)
+    val idCols = idAll.map(_._1.name)
+    val alwaysIds = idAll.collect { case (f, _, _, false) => f.name }
+    def qcol(alias: String, name: String): Column = col(s"$alias.`$name`")
+
+    def checkAssigns(what: String, assigns: Seq[(String, Column)],
+        bannedIds: Seq[String]): Unit = {
+      val dup = assigns.groupBy(_._1.toLowerCase).collect {
+        case (c, as) if as.size > 1 => c
+      }
+      require(dup.isEmpty,
+        s"$what assigns the same column more than once: ${dup.mkString(", ")}")
+      val unknown = assigns.map(_._1)
+        .filterNot(n => fields.exists(_.name.equalsIgnoreCase(n)))
+      require(unknown.isEmpty,
+        s"$what names columns not in the table: ${unknown.mkString(", ")}")
+      val gen = assigns.map(_._1).filter(n => genCols.exists(_.equalsIgnoreCase(n)))
+      require(gen.isEmpty,
+        s"$what targets GENERATED column(s) ${gen.mkString(", ")} — " +
+          "they derive from their expressions")
+      val id = assigns.map(_._1).filter(n => bannedIds.exists(_.equalsIgnoreCase(n)))
+      require(id.isEmpty,
+        s"$what targets IDENTITY column(s) ${id.mkString(", ")}")
+    }
+    // `SET *` / `INSERT *`: every assignable target column with a
+    // same-named source column, from the source
+    val srcCols = source.columns.toSeq
+    def starAssigns(what: String, bannedIds: Seq[String]): Seq[(String, Column)] = {
+      val as = fields.map(_.name).toSeq
+        .filterNot(n => genCols.exists(_.equalsIgnoreCase(n)))
+        .filterNot(n => bannedIds.exists(_.equalsIgnoreCase(n)))
+        .flatMap(n => srcCols.find(_.equalsIgnoreCase(n))
+          .map(sc => n -> qcol(sourceAlias, sc)))
+      require(as.nonEmpty,
+        s"$what * found no source column matching an assignable target column")
+      as
+    }
+    val matchedX: Seq[MergeMatchedClause] = matched.map {
+      case MergeUpdate(c, Nil) => MergeUpdate(c, starAssigns("UPDATE SET", idCols))
+      case u @ MergeUpdate(_, as) =>
+        checkAssigns("MERGE UPDATE SET", as, idCols); u
+      case d: MergeDelete => d
+    }
+    val nmbsX: Seq[MergeMatchedClause] = notMatchedBySource.map {
+      case MergeUpdate(_, Nil) => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE has no source row — UPDATE SET * is " +
+          "meaningless there; assign explicit expressions")
+      case u @ MergeUpdate(_, as) =>
+        checkAssigns("NOT MATCHED BY SOURCE UPDATE SET", as, idCols); u
+      case d: MergeDelete => d
+    }
+    val insertX: Seq[MergeInsert] = notMatched.map {
+      case MergeInsert(c, Nil) => MergeInsert(c, starAssigns("INSERT", alwaysIds))
+      case i @ MergeInsert(_, vs) =>
+        checkAssigns("MERGE INSERT", vs, alwaysIds); i
+    }
+
+    def fireOf(cond: Option[Column]): Column =
+      cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+
+    // file sets: keyFiles = files that could hold a source-key match
+    // (read for matching; rewritten only when a matched clause
+    // exists); nmbsFiles = files where some NOT-MATCHED-BY-SOURCE
+    // condition could hold (always rewritten)
+    val keyFiles: Set[String] =
+      if (matchedX.nonEmpty || insertX.nonEmpty)
+        keyRewriteSet(spark, path, base, entries, source, keyCols)
+      else Set.empty
+    val nmbsFiles: Set[String] =
+      if (nmbsX.isEmpty) Set.empty
+      else if (nmbsX.exists(_.condition.isEmpty)) entries.map(_.filePath).toSet
+      else {
+        val pred = nmbsX.flatMap(_.condition)
+          .map(c => coalesce(c, lit(false))).reduce(_ || _)
+        val touched = readWhere(spark, path, pred, Some(base), Some(targetAlias))
+          .select(input_file_name()).distinct()
+          .collect().map(r => normInputFile(r.getString(0))).toSet
+        entries.filter(e => touched(normFile(e.filePath))).map(_.filePath).toSet
+      }
+    val rewriteEntries = entries.filter(e =>
+      (matchedX.nonEmpty && keyFiles(e.filePath)) || nmbsFiles(e.filePath))
+    val rewriteSet = rewriteEntries.map(_.filePath).toSet
+    val ridTracked = bm.rowIdHigh.isDefined
+
+    val sMark = "__graft_s_match"
+    val cntCol = "__graft_src_cnt"
+    val dupMsg = s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — " +
+      "each target row may be matched by at most one source row"
+    def joinCond(rAlias: String): Column =
+      keyCols.map(k => qcol(targetAlias, k) === qcol(rAlias, k)).reduce(_ && _)
+
+    // target-side pass: every row of a rewritten file is either
+    // matched (→ matched chain), or not matched by source (→ NMBS
+    // chain); a row no clause claims survives unchanged. With no
+    // matched clause, only key MEMBERSHIP is needed, so the join
+    // dedups to distinct keys and duplicate source keys stay legal.
+    val tOut: Option[DataFrame] =
+      if (rewriteEntries.isEmpty) None
+      else {
+        val curA = (if (ridTracked)
+            readGroupsWithRid(spark, rewriteEntries, bm.schema, bm.colmap)
+          else readGroups(spark, rewriteEntries, bm.schema, bm.colmap))
+          .alias(targetAlias)
+        val joined =
+          if (matchedX.nonEmpty) {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*)
+            curA.join(source
+                .withColumn(cntCol,
+                  org.apache.spark.sql.functions.count(lit(1)).over(w))
+                .withColumn(sMark, lit(true)).alias(sourceAlias),
+              joinCond(sourceAlias), "left")
+          } else {
+            curA.join(source.select(keyCols.map(col): _*).distinct()
+                .withColumn(sMark, lit(true)).alias(sourceAlias),
+              joinCond(sourceAlias), "left")
+          }
+        val matchedFlag = coalesce(col(s"$sourceAlias.$sMark"), lit(false))
+        def keepChain(clauses: Seq[MergeMatchedClause]): Column =
+          clauses.foldRight(lit(true)) { (cl, els) =>
+            cl match {
+              case u: MergeUpdate => when(fireOf(u.condition), lit(true)).otherwise(els)
+              case d: MergeDelete => when(fireOf(d.condition), lit(false)).otherwise(els)
+            }
+          }
+        def valueChain(clauses: Seq[MergeMatchedClause], f: StructField): Column = {
+          val tc = qcol(targetAlias, f.name)
+          clauses.foldRight(tc) { (cl, els) =>
+            cl match {
+              case MergeUpdate(cond, as) =>
+                val v = as.find(_._1.equalsIgnoreCase(f.name))
+                  .map(_._2.cast(f.dataType)).getOrElse(tc)
+                when(fireOf(cond), v).otherwise(els)
+              // value irrelevant — the keep chain drops the row
+              case MergeDelete(cond) => when(fireOf(cond), tc).otherwise(els)
+            }
+          }
+        }
+        val keepRow = when(matchedFlag, keepChain(matchedX))
+          .otherwise(keepChain(nmbsX))
+        val guarded =
+          if (matchedX.nonEmpty)
+            joined.filter(
+              when(matchedFlag && col(s"$sourceAlias.$cntCol") > 1,
+                raise_error(lit(dupMsg)).cast("boolean"))
+              .otherwise(keepRow))
+          else joined.filter(keepRow)
+        val outCols = fields.toSeq.map(f =>
+          when(matchedFlag, valueChain(matchedX, f))
+            .otherwise(valueChain(nmbsX, f)).as(f.name)) ++
+          (if (ridTracked) Seq(col(s"$targetAlias.$RidCol").as(RidCol)) else Nil)
+        Some(guarded.select(outCols: _*))
+      }
+
+    // insert pass: source rows matching NO target key. Only keyFiles
+    // can hold a matching key, so the anti join probes just their key
+    // columns (column-pruned scan).
+    val inserts: Option[DataFrame] =
+      if (insertX.isEmpty) None
+      else {
+        val srcA = source.alias(sourceAlias)
+        val keyEntries = entries.filter(e => keyFiles(e.filePath))
+        val unmatched =
+          if (keyEntries.isEmpty) srcA
+          else {
+            val tkAlias = "__graft_tk"
+            val curKeys = readGroups(spark, keyEntries, bm.schema, bm.colmap)
+              .select(keyCols.map(col): _*).alias(tkAlias)
+            srcA.join(curKeys,
+              keyCols.map(k => qcol(sourceAlias, k) === qcol(tkAlias, k))
+                .reduce(_ && _),
+              "left_anti")
+          }
+        val keepIns = insertX.foldRight(lit(false)) { (cl, els) =>
+          when(fireOf(cl.condition), lit(true)).otherwise(els)
+        }
+        def insValue(f: StructField): Column =
+          insertX.foldRight(lit(null).cast(f.dataType)) { (cl, els) =>
+            val v = cl.values.find(_._1.equalsIgnoreCase(f.name))
+              .map(_._2.cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType))
+            when(fireOf(cl.condition), v).otherwise(els)
+          }
+        val cols = fields.toSeq.map(f => insValue(f).as(f.name)) ++
+          (if (ridTracked) Seq(lit(null).cast(LongType).as(RidCol)) else Nil)
+        Some(unmatched.filter(keepIns).select(cols: _*))
+      }
+
+    val parts = tOut.toSeq ++ inserts.toSeq
+    if (parts.isEmpty) return base // every clause family pruned to nothing
+    val newData = parts.reduce(_.unionByName(_))
+
+    val rev = bm.colmap.map(_.swap)
+    val statsOut = ((entries.flatMap(_.stats.map(_._1)) ++
+      entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))
+      ++ keyCols).distinct
+    val partCols =
+      if (partitionCols.nonEmpty) partitionCols
+      else inferPartitionCols(entries, rev)
+    val baseState = guardState(entries)
+    def raisedDup(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("duplicate keys")) ||
+        raisedDup(t.getCause))
+    try commit(newData.drop(genCols: _*), path, partCols, prev => {
+      require(guardState(prev) == baseState,
+        s"concurrent commit advanced $path during merge — rerun the merge")
+      prev.filterNot(e => rewriteSet(e.filePath))
+    }, statsCols = statsOut, op = "merge", opKeys = keyCols,
+      ridCarried = ridTracked && rewriteEntries.nonEmpty)
+    catch {
+      case e: Throwable if raisedDup(e) => throw new IllegalArgumentException(dupMsg, e)
+    }
+  }
+
   /** Row-level DELETE: remove the rows matching `predicate` by
     * rewriting ONLY the files that contain at least one matching row
     * — `DELETE FROM t WHERE p`, the other half of the row-level

@@ -263,11 +263,15 @@ class GraftExtensionsSpec extends SparkTestBase {
         assert(s2.sql("SELECT count(*) FROM snap_dml VERSION AS OF 2").head().getLong(0) === 4L)
         // a no-match DELETE commits nothing and reports the current version
         assert(s2.sql("DELETE FROM snap_dml WHERE k = 999").head().getLong(0) === 4L)
-        // unsupported merge shapes fail loudly instead of diverging
-        val e = intercept[Exception](s2.sql(
+        // non-star shapes route to the clause engine (see
+        // MergeClausesSpec); this delete-merge matches nothing, so the
+        // content is unchanged (stat-less files are conservatively
+        // rewritten, so a version IS committed — same posture as merge)
+        val v4 = s2.sql(
           """MERGE INTO snap_dml t USING dml_src s ON t.k = s.k
-            |WHEN MATCHED THEN DELETE""".stripMargin).collect())
-        assert(e.getMessage.contains("snapshot MERGE supports exactly"))
+            |WHEN MATCHED THEN DELETE""".stripMargin).head().getLong(0)
+        assert(v4 === 5L)
+        assert(s2.sql("SELECT k FROM snap_dml").as[Long].collect().toSeq === Seq(3L))
       } finally graft.lake.SnapshotCatalog.unregister("snap_dml")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
