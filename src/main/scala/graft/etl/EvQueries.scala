@@ -869,6 +869,63 @@ object EvQueries {
        |FROM ids WHERE rid < (SELECT k FROM cnt)
        |ORDER BY _row_id""".stripMargin
 
+  /** `_row_id` as a SQL METADATA column (Delta row-tracking's read
+    * shape): the same clustered tracked table as ev45, read through a
+    * GraftCatalog name with `SELECT _row_id, ... WHERE skey <= mid` —
+    * AddMetadataColumns injects the column, the injected rule
+    * substitutes readWhereWithRowIds, and the executed plan proves
+    * file pruning survived the metadata-column path. Absolute ids are
+    * oracle-computable because rid bases assign in lexicographic file
+    * order over the skey-clustered layout (see ev45). */
+  def sqlRowIdsGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlrid-gate").toString
+    val cat = "evrid_" + java.util.UUID.randomUUID.toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    import graft.lake.SnapshotTable
+    import org.apache.spark.sql.types._
+    val t = s"$wh/gold/fact"
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .withColumn("skey", concat(col("sessionId"), lit("|"),
+        floor(col("kwhTotal") * 100).cast("int").cast("string")))
+      .persist()
+    try {
+      SnapshotTable.create(spark, t, StructType(Seq(
+        StructField("skey", StringType), StructField("sessionId", StringType),
+        StructField("kwhTotal", DoubleType))), rowTracking = true)
+      SnapshotTable.appendClustered(
+        gold.select("skey", "sessionId", "kwhTotal"), t, "skey", numFiles = 4)
+      val total = SnapshotTable.liveFiles(spark, t).size
+      val k = (gold.count() / 2).toInt
+      val mid = gold.select("skey").orderBy("skey").as[String].take(k).last
+      // SELECT * must NOT leak the metadata column
+      val starClean = !spark.sql(s"SELECT * FROM $cat.gold.fact").columns
+        .exists(_.equalsIgnoreCase("_row_id"))
+      def q = spark.sql(
+        s"""SELECT _row_id, sessionId, round(kwhTotal, 2) AS kwh
+           |FROM $cat.gold.fact WHERE skey <= '$mid'""".stripMargin)
+      val scanned = scannedFiles(q)
+      val pruned = scanned >= 1 && scanned < total
+      q.withColumn("pruned", lit(pruned && starClean)).orderBy("_row_id")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val sqlRowIdsSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal,
+       |    sessionId || '|' || CAST(CAST(floor(kwhTotal * 100) AS INT) AS VARCHAR) AS skey
+       |  FROM marked WHERE NOT is_bad
+       |), ids AS (
+       |  SELECT *, row_number() OVER (ORDER BY skey) - 1 AS rid FROM gold
+       |), cnt AS (SELECT CAST(count(*) / 2 AS INT) AS k FROM gold)
+       |SELECT CAST(rid AS BIGINT) AS _row_id, sessionId,
+       |  round(kwhTotal, 2) AS kwh, true AS pruned
+       |FROM ids WHERE rid < (SELECT k FROM cnt)
+       |ORDER BY _row_id""".stripMargin
+
   /** Full-clause MERGE through pure SQL (the SQL:2003 / Delta clause
     * surface beyond the reference's Iceberg-v2 `UPDATE SET * / INSERT
     * *` upsert, reference jobs/ev_sessions_gold_etl.py:147-156):
@@ -2578,5 +2635,6 @@ object EvQueries {
     QDef("ev44_dv_escaped_partitions", dvDeleteEscaped, Some(dvDeleteEscapedSql)),
     QDef("ev45_readwhere_row_ids", readWhereRowIdsGate, Some(readWhereRowIdsSql)),
     QDef("ev46_merge_clauses", mergeClausesGate, Some(mergeClausesSql)),
+    QDef("ev47_sql_row_ids", sqlRowIdsGate, Some(sqlRowIdsSql)),
   )
 }

@@ -448,7 +448,7 @@ object GraftCatalog {
 case class GraftTable(identName: String, path: String,
     pinnedVersion: Option[Long] = None, metaKind: Option[String] = None,
     readOnly: Boolean = false)
-  extends Table with SupportsWrite {
+  extends Table with SupportsWrite with SupportsMetadataColumns {
 
   private def spark = SparkSession.active
 
@@ -474,6 +474,27 @@ case class GraftTable(identName: String, path: String,
     if (metaKind.isDefined) Array.empty
     else SnapshotTable.partitionTransforms(spark, path)
       .map(GraftCatalog.v2Of).toArray
+
+  /** Row tracking surfaces in SQL as a `_row_id` METADATA column
+    * (Delta's row-tracking read shape): excluded from `SELECT *`,
+    * served only when referenced — the analyzer's AddMetadataColumns
+    * injects it into the relation output and
+    * [[ResolveSnapshotRelation]] then substitutes the
+    * readWithRowIds/readWhereWithRowIds plan instead of the plain
+    * read. Exposed only while the table has row tracking enabled. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (metaKind.isEmpty &&
+        SnapshotTable.latestVersion(spark, path).nonEmpty &&
+        SnapshotTable.rowTrackingEnabled(spark, path))
+      Array(new MetadataColumn {
+        override def name(): String = SnapshotTable.RowIdCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "stable row id (graft row tracking)"
+      })
+    else Array.empty
 
   override def properties(): JMap[String, String] = {
     // the two ALTER-able feature toggles surface so SHOW TBLPROPERTIES

@@ -153,17 +153,45 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
   // InsertIntoStatement / AppendData target must stay a relation for
   // Spark's own insert resolution and the V1 write fallback, while
   // the same relation in read position becomes the native plan.
-  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    rewrite(plan, pendingRowId(plan))
 
-  private def rewrite(p: LogicalPlan): LogicalPlan = {
-    val applied = cases.applyOrElse(p, identity[LogicalPlan])
+  /** An unresolved `_row_id` reference anywhere in the plan: the
+    * metadata column ([[GraftTable.metadataColumns]]) has not been
+    * injected into its relation's output yet (AddMetadataColumns runs
+    * in the same fixed-point batch). Substituting the relation now
+    * would strand the reference, so GraftTable read substitutions
+    * wait one iteration. */
+  private def pendingRowId(plan: LogicalPlan): Boolean =
+    plan.exists { n =>
+      // resolved from the relation's metadataOutput but not yet
+      // injected into its output (AddMetadataColumns pending);
+      // missingInput walks child outputs, so it is only safe — and
+      // only meaningful — once the children resolved
+      (n.childrenResolved &&
+        n.missingInput.exists(_.name.equalsIgnoreCase(SnapshotTable.RowIdCol))) ||
+        n.expressions.exists(_.exists {
+          case u: UnresolvedAttribute =>
+            u.nameParts.last.equalsIgnoreCase(SnapshotTable.RowIdCol)
+          case _ => false
+        })
+    }
+
+  private def rewrite(p: LogicalPlan, deferRid: Boolean): LogicalPlan = {
+    val deferred = deferRid && (p match {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+      case Filter(_, child)        => targetOf(child).isDefined
+      case _                       => false
+    })
+    val applied =
+      if (deferred) p else cases.applyOrElse(p, identity[LogicalPlan])
     if (!(applied eq p)) applied
     else p match {
       case w: V2WriteCommand =>
-        w.mapChildren(c => if (c eq w.table) c else rewrite(c))
+        w.mapChildren(c => if (c eq w.table) c else rewrite(c, deferRid))
       case i: InsertIntoStatement =>
-        i.mapChildren(c => if (c eq i.table) c else rewrite(c))
-      case _ => p.mapChildren(rewrite)
+        i.mapChildren(c => if (c eq i.table) c else rewrite(c, deferRid))
+      case _ => p.mapChildren(rewrite(_, deferRid))
     }
   }
 
@@ -357,8 +385,17 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
         if targetOf(child).isDefined &&
           !cond.exists(_.isInstanceOf[SubqueryExpression]) =>
       val t = targetOf(child).get
-      substituted(SnapshotTable.readWhere(spark, t.path,
-        ColumnBridge.column(deresolve(cond)), sqlAlias = Some(t.alias)), t.out)
+      // a relation whose output carries the injected `_row_id`
+      // metadata column reads through the tracked readWhere — both
+      // pruning families compose with row ids (the ev45 composition,
+      // here on the SQL path)
+      val df =
+        if (t.out.exists(_.exists(_.name.equalsIgnoreCase(SnapshotTable.RowIdCol))))
+          SnapshotTable.readWhereWithRowIds(spark, t.path,
+            ColumnBridge.column(deresolve(cond)), sqlAlias = Some(t.alias))
+        else SnapshotTable.readWhere(spark, t.path,
+          ColumnBridge.column(deresolve(cond)), sqlAlias = Some(t.alias))
+      substituted(df, t.out)
 
     // Iceberg-style metadata tables: `SELECT * FROM t.history`,
     // `t.files`, `t.partitions` — the inspection surface an Iceberg
@@ -386,9 +423,16 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
     // substitution IS the read path.
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
       val t = r.table.asInstanceOf[GraftTable]
+      val wantsRid = t.metaKind.isEmpty &&
+        r.output.exists(_.name.equalsIgnoreCase(SnapshotTable.RowIdCol))
       val df = t.metaKind match {
-        case Some(_) => t.metaFrame
-        case None    => SnapshotTable.read(spark, t.path, t.pinnedVersion)
+        case Some(_)          => t.metaFrame
+        case None if wantsRid =>
+          // `_row_id` metadata column referenced → tracked read (time
+          // travel included: a pinned relation serves the ids that
+          // version recorded)
+          SnapshotTable.readWithRowIds(spark, t.path, t.pinnedVersion)
+        case None             => SnapshotTable.read(spark, t.path, t.pinnedVersion)
       }
       substituted(df, Some(r.output))
   }

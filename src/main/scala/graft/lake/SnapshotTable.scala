@@ -1943,8 +1943,9 @@ object SnapshotTable {
     * seam the consumer's only tracked read was the full-table
     * [[readWithRowIds]] — the wrong plan at 10^6 files. */
   def readWhereWithRowIds(spark: SparkSession, path: String,
-      predicate: Column, version: Option[Long] = None): DataFrame =
-    readWhereImpl(spark, path, predicate, version, None, withRowIds = true)
+      predicate: Column, version: Option[Long] = None,
+      sqlAlias: Option[String] = None): DataFrame =
+    readWhereImpl(spark, path, predicate, version, sqlAlias, withRowIds = true)
 
   private def readWhereImpl(spark: SparkSession, path: String, predicate: Column,
       version: Option[Long], sqlAlias: Option[String],
@@ -1970,11 +1971,16 @@ object SnapshotTable {
     // so conditions analyzed here apply cleanly to the scan frame.
     // sqlAlias: the SQL path may qualify predicate columns with the
     // table (or AS) name — aliasing lets both forms resolve
-    val analysisFrame = m.schema match {
+    val analysisFrame0 = m.schema match {
       case Some(s) => spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
       case None => readGroups(spark, m.entries, m.schema, m.colmap)
     }
+    // tracked reads may predicate on `_row_id` itself — it resolves
+    // here and the skip compiler treats it as an unknown leaf
+    // (conservatively matchable)
+    val analysisFrame =
+      if (withRowIds) withNullRid(analysisFrame0) else analysisFrame0
     val raw = sqlAlias.foldLeft(analysisFrame)((df, a) => df.alias(a))
     val hiddenCols = raw.columns.filter(_.startsWith("__p_")).toSeq
     // resolve the user predicate against the table frame, then

@@ -1,0 +1,128 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.SparkTestBase
+
+/** `_row_id` as a SQL METADATA column on catalog tables: excluded
+  * from `SELECT *`, injected by AddMetadataColumns when referenced,
+  * substituted onto readWithRowIds / readWhereWithRowIds (pruning
+  * composes), stable across DML, time-travel-consistent. */
+class SqlRowIdSpec extends SparkTestBase {
+
+  private var prevDefault: Option[SparkSession] = None
+  private var prevActive: Option[SparkSession] = None
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-sqlrid-wh").toString
+
+  private lazy val s2: SparkSession = {
+    prevDefault = SparkSession.getDefaultSession
+    prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sqlrid-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    prevActive.foreach(SparkSession.setActiveSession)
+    super.afterAll()
+  }
+
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    def files(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => files(q.plan)
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    files(df.queryExecution.executedPlan)
+  }
+
+  test("_row_id metadata column: hidden from *, served when referenced, stable across DML") {
+    import s2.implicits._
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.rid")
+    s2.sql("CREATE TABLE graft.rid.t (k BIGINT, v DOUBLE) USING `graft-snapshot` " +
+      "TBLPROPERTIES ('graft.rowTracking'='true')")
+    s2.range(0, 8).selectExpr("id AS k", "CAST(id AS DOUBLE) * 10 AS v")
+      .createOrReplaceTempView("rid_src")
+    s2.sql("INSERT INTO graft.rid.t SELECT * FROM rid_src")
+    // SELECT * does NOT leak the metadata column
+    assert(s2.sql("SELECT * FROM graft.rid.t").columns.toSeq === Seq("k", "v"))
+    // referenced → served, and values match the API read
+    val sqlIds = s2.sql("SELECT _row_id, k FROM graft.rid.t")
+      .as[(Long, Long)].collect().toMap
+    val apiIds = SnapshotTable
+      .readWithRowIds(s2, warehouse + "/rid/t")
+      .selectExpr("_row_id", "k").as[(Long, Long)].collect().toMap
+    assert(sqlIds === apiIds)
+    assert(sqlIds.keySet.size === 8)
+    val before = s2.sql("SELECT _row_id, k, v FROM graft.rid.t")
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> (r._1, r._3)).toMap
+    // UPDATE rewrites files; row ids must survive
+    s2.sql("UPDATE graft.rid.t SET v = v + 1 WHERE k >= 4")
+    val after = s2.sql("SELECT _row_id, k, v FROM graft.rid.t")
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> (r._1, r._3)).toMap
+    (0L to 7L).foreach { k =>
+      assert(after(k)._1 === before(k)._1, s"row id of k=$k changed")
+      assert(after(k)._2 === before(k)._2 + (if (k >= 4) 1 else 0))
+    }
+    // time travel: the pre-update version serves its own (same) ids
+    val v1Ids = s2.sql("SELECT _row_id, k FROM graft.rid.t VERSION AS OF 2")
+      .as[(Long, Long)].collect().toMap
+    assert(v1Ids === sqlIds)
+  }
+
+  test("WHERE + _row_id composes through readWhereWithRowIds with file pruning") {
+    import s2.implicits._
+    val path = warehouse + "/rid/pruned"
+    SnapshotTable.create(s2, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))), rowTracking = true)
+    SnapshotTable.appendClustered(
+      s2.range(0, 64).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+      path, "k", numFiles = 8)
+    val total = SnapshotTable.liveFiles(s2, path).size
+    val q = s2.sql("SELECT _row_id, k FROM graft.rid.pruned WHERE k < 8")
+    val rows = q.as[(Long, Long)].collect()
+    assert(rows.map(_._2).sorted.toSeq === (0L until 8L))
+    val n = scannedFiles(s2.sql(
+      "SELECT _row_id, k FROM graft.rid.pruned WHERE k < 8"))
+    assert(n >= 1 && n < total, s"expected pruned scan, got $n of $total files")
+    // predicates on _row_id itself resolve and filter
+    val byRid = s2.sql(
+      "SELECT _row_id, k FROM graft.rid.pruned WHERE _row_id < 4")
+      .as[(Long, Long)].collect()
+    assert(byRid.length === 4 && byRid.forall(_._1 < 4))
+  }
+
+  test("untracked tables do not expose _row_id") {
+    s2.sql("CREATE TABLE graft.rid.plain (k BIGINT) USING `graft-snapshot`")
+    s2.range(0, 3).selectExpr("id AS k").createOrReplaceTempView("rid_plain_src")
+    s2.sql("INSERT INTO graft.rid.plain SELECT * FROM rid_plain_src")
+    val e = intercept[AnalysisException](
+      s2.sql("SELECT _row_id, k FROM graft.rid.plain").collect())
+    assert(e.getMessage.contains("_row_id"))
+    // ...until tracking is enabled
+    s2.sql("ALTER TABLE graft.rid.plain ENABLE ROW TRACKING")
+    val ids = s2.sql("SELECT _row_id FROM graft.rid.plain").collect()
+    assert(ids.length === 3)
+  }
+}
