@@ -325,6 +325,38 @@ object ScaleBench {
             byType.getOrElse("update_preimage", 0L) == 50,
           s"expected 50/50 update post/preimage in the merge feed, got $byType")
       },
+      timed("merge_clauses_prune") {
+        // full-clause MERGE at 1M rows: the matched/insert families
+        // prune by key stats exactly like merge(), and the NOT
+        // MATCHED BY SOURCE family — inherently table-wide — prunes
+        // to the files its CONDITIONS could touch (exact readWhere
+        // file finding). One conditional NMBS clause must not turn
+        // the statement into a full-table rewrite.
+        val base = java.nio.file.Files.createTempDirectory("graft-scale-mc")
+        val path = s"$base/t"
+        val df = spark.range(rows)
+          .select(col("id"), (col("id") % 97).cast("double").as("v"))
+        graft.lake.SnapshotTable.appendClustered(df, path, "id", numFiles = 256)
+        val v1 = graft.lake.SnapshotTable.liveFiles(spark, path).toSet
+        val src = spark.range(5000, 5050)
+          .select(col("id"), lit(999.0).as("nv"))
+        graft.lake.SnapshotTable.mergeClauses(src, path, Seq("id"),
+          matched = Seq(
+            graft.lake.MergeUpdate(Some(col("s.nv") > col("t.v")),
+              Seq("v" -> col("s.nv"))),
+            graft.lake.MergeDelete()),
+          notMatchedBySource = Seq(
+            graft.lake.MergeDelete(Some(col("t.id") >= lit(rows - 10)))))
+        val v2 = graft.lake.SnapshotTable.liveFiles(spark, path).toSet
+        val rewritten = (v1 -- v2).size
+        System.err.println(
+          s"[scale] merge_clauses rewrote $rewritten/${v1.size} files")
+        require(rewritten <= 8,
+          s"clause-merge pruning failed: rewrote $rewritten of ${v1.size} files")
+        val cnt = graft.lake.SnapshotTable.read(spark, path).count()
+        require(cnt == rows - 10,
+          s"NMBS delete should drop 10 rows, table has $cnt of $rows")
+      },
       timed("delete_dv_vs_rewrite") {
         // the deletion-vector fast path on the SAME 256-file table:
         // a 50-row delete as a metadata+DV commit (zero data files

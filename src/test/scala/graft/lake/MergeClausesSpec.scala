@@ -205,6 +205,94 @@ class MergeClausesSpec extends SparkTestBase {
     assert(rows(4).isNullAt(1) && rows(4).getDouble(2) === 900.0)
   }
 
+  test("CDC: the change feed pairs clause-merge updates by row id") {
+    import spark.implicits._
+    val path = tmp("cdc")
+    SnapshotTable.append(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("k", "s", "v"), path)
+    SnapshotTable.enableRowTracking(spark, path)
+    val v0 = SnapshotTable.latestVersion(spark, path).get
+    val src = Seq((2L, 99.0), (3L, 1.0), (9L, 90.0)).toDF("k", "nv")
+    val v1 = mergeClauses(src, path, Seq("k"),
+      matched = Seq(
+        MergeUpdate(Some(col("s.nv") > col("t.v")), Seq("v" -> col("s.nv"))),
+        MergeDelete()),
+      notMatched = Seq(MergeInsert(None,
+        Seq("k" -> col("s.k"), "v" -> col("s.nv")))),
+      notMatchedBySource = Seq(
+        MergeDelete(Some(col("t.v") >= 40.0)),
+        MergeUpdate(None, Seq("s" -> concat(col("t.s"), lit("_x"))))))
+    val feed = SnapshotTable.changes(spark, path, v0, v1, None,
+      includeRowIds = true).persist()
+    try {
+      // k=2 matched-update and k=1 NMBS-update → image pairs, each
+      // sharing ONE stable row id
+      val pairs = feed.filter(col("_change_type").startsWith("update_"))
+        .groupBy("k").agg(countDistinct("_row_id").as("ids"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(pairs === Seq((1L, 1L, 2L), (2L, 1L, 2L)))
+      // k=3 matched-delete and k=4 NMBS-delete died; k=9 inserted
+      assert(feed.filter(col("_change_type") === "delete")
+        .select("k").as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+      assert(feed.filter(col("_change_type") === "insert")
+        .select("k").as[Long].collect().toSeq === Seq(9L))
+    } finally { feed.unpersist(); () }
+  }
+
+  test("hidden partitioning: clause merge re-derives the layout, moved rows prune correctly") {
+    import spark.implicits._
+    val path = tmp("hp")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    SnapshotTable.appendTransformed(
+      Seq((1L, t("2024-01-01 10:00:00"), 1.0),
+        (2L, t("2024-01-02 10:00:00"), 2.0),
+        (3L, t("2024-01-03 10:00:00"), 3.0)).toDF("k", "ts", "v"),
+      path, Seq("days(ts)"))
+    // matched update MOVES k=1 to Jan 5 (cross-day rewrite) and NMBS
+    // stamps the rest
+    val src = Seq((1L, t("2024-01-05 09:00:00"))).toDF("k", "nts")
+    mergeClauses(src, path, Seq("k"),
+      matched = Seq(MergeUpdate(None, Seq("ts" -> col("s.nts")))),
+      notMatchedBySource = Seq(MergeUpdate(None, Seq("v" -> (col("t.v") + 100.0)))))
+    val jan5 = SnapshotTable.readWhere(spark, path,
+      col("ts") >= t("2024-01-05 00:00:00"))
+    assert(jan5.select("k").as[Long].collect().toSeq === Seq(1L))
+    val all = SnapshotTable.read(spark, path).orderBy("k")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    assert(all.map(_._3) === Seq(1.0, 102.0, 103.0))
+    // the moved row is NOT served from the stale Jan-1 layout
+    val jan1 = SnapshotTable.readWhere(spark, path,
+      col("ts") < t("2024-01-02 00:00:00"))
+    assert(jan1.count() === 0)
+  }
+
+  test("column mapping: clause merge works under renamed logical names") {
+    import spark.implicits._
+    val path = tmp("cm")
+    SnapshotTable.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), path)
+    SnapshotTable.renameColumn(spark, path, "v", "amount")
+    val src = Seq((2L, 99.0), (5L, 50.0)).toDF("k", "namount")
+    mergeClauses(src, path, Seq("k"),
+      matched = Seq(MergeUpdate(Some(col("s.namount") > col("t.amount")),
+        Seq("amount" -> col("s.namount")))),
+      notMatched = Seq(MergeInsert(None,
+        Seq("k" -> col("s.k"), "amount" -> col("s.namount")))))
+    assert(state2cm(path) === Seq((1L, 10.0), (2L, 99.0), (5L, 50.0)))
+    // the OLD name is gone from both the table and the clause surface
+    val e = intercept[Exception](
+      mergeClauses(src, path, Seq("k"),
+        matched = Seq(MergeUpdate(None, Seq("v" -> lit(0.0))))))
+    assert(e.getMessage.contains("not in the table"))
+  }
+
+  private def state2cm(path: String): Seq[(Long, Double)] = {
+    import spark.implicits._
+    read(spark, path).select("k", "amount").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+  }
+
   test("SQL: full clause surface end-to-end through MERGE INTO") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
