@@ -869,6 +869,56 @@ object EvQueries {
        |FROM ids WHERE rid < (SELECT k FROM cnt)
        |ORDER BY _row_id""".stripMargin
 
+  /** `MERGE WITH SCHEMA EVOLUTION` (Delta's autoMerge shape): the
+    * source carries a column the target lacks — the statement first
+    * evolves the target (nullable add, metadata-only), then star
+    * actions expand over the POST-evolution schema. Matched rows get
+    * the new column's value, untouched rows read NULL, inserted rows
+    * carry it. */
+  def mergeEvolutionGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft-mevo-gate")
+      .toString + "/fact"
+    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal")).persist()
+    val reg = "ev_mevo_fact_" + java.util.UUID.randomUUID.toString.take(8)
+    try {
+      SnapshotTable.append(
+        gold.select(col("sessionId"), col("kwhTotal").as("kwh")), t)
+      SnapshotCatalog.register(reg, t)
+      gold.filter(col("kwhTotal") >= 10.0)
+        .groupBy(col("sessionId"))
+        .agg(max(col("kwhTotal")).as("kwh"))
+        .withColumn("units", floor(col("kwh")).cast("int"))
+        .unionByName(spark.range(1).select(lit("mevo-new").as("sessionId"),
+          lit(7.5).as("kwh"), lit(7).cast("int").as("units")))
+        .createOrReplaceTempView("ev_mevo_src")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $reg t USING ev_mevo_src s
+           |ON t.sessionId = s.sessionId
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      spark.sql(s"SELECT sessionId, round(kwh, 2) AS kwh, units FROM $reg")
+        .orderBy("sessionId", "kwh")
+    } finally { SnapshotCatalog.unregister(reg); gold.unpersist(); () }
+  }
+
+  private val mergeEvolutionSql =
+    s"""$prefix,
+       |gold AS (SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad),
+       |src AS (
+       |  SELECT sessionId, max(kwhTotal) AS kwh,
+       |    CAST(floor(max(kwhTotal)) AS INT) AS units
+       |  FROM gold WHERE kwhTotal >= 10.0 GROUP BY sessionId
+       |  UNION ALL SELECT 'mevo-new', 7.5, 7
+       |)
+       |SELECT * FROM (
+       |  SELECT COALESCE(s.sessionId, t.sessionId) AS sessionId,
+       |    round(COALESCE(s.kwh, t.kwhTotal), 2) AS kwh, s.units
+       |  FROM gold t FULL OUTER JOIN src s ON t.sessionId = s.sessionId
+       |)
+       |ORDER BY sessionId, kwh""".stripMargin
+
   /** `_row_id` as a SQL METADATA column (Delta row-tracking's read
     * shape): the same clustered tracked table as ev45, read through a
     * GraftCatalog name with `SELECT _row_id, ... WHERE skey <= mid` —
@@ -2636,5 +2686,6 @@ object EvQueries {
     QDef("ev45_readwhere_row_ids", readWhereRowIdsGate, Some(readWhereRowIdsSql)),
     QDef("ev46_merge_clauses", mergeClausesGate, Some(mergeClausesSql)),
     QDef("ev47_sql_row_ids", sqlRowIdsGate, Some(sqlRowIdsSql)),
+    QDef("ev48_merge_schema_evolution", mergeEvolutionGate, Some(mergeEvolutionSql)),
   )
 }

@@ -281,9 +281,11 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
             case InsertStarAction(None)          => true
             case InsertAction(None, assigns)     => fullRowAligned(assigns)
             case _                               => false
-          } && m.notMatchedBySourceActions.isEmpty
-          require(!m.withSchemaEvolution, "snapshot MERGE does not " +
-            "support WITH SCHEMA EVOLUTION — ALTER TABLE first")
+          } && m.notMatchedBySourceActions.isEmpty &&
+            // WITH SCHEMA EVOLUTION always rides the clause engine —
+            // star actions then expand over the POST-evolution schema
+            // (new source columns included; target-only columns keep)
+            !m.withSchemaEvolution
           if (supported)
             // the unconditional full-row upsert keeps its dedicated
             // fast path (merge(): one join, identity/rid inheritance)
@@ -311,6 +313,11 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
               }
             def matchedOf(a: MergeAction, fam: String): MergeMatchedClause = a match {
               case UpdateStarAction(c)      => MergeUpdate(c.map(qexpr), Nil)
+              // an analyzer-expanded SET * under WITH SCHEMA EVOLUTION
+              // reverts to star form so the expansion happens over the
+              // POST-evolution schema (fromStar carries the intent)
+              case UpdateAction(c, _, true) if m.withSchemaEvolution =>
+                MergeUpdate(c.map(qexpr), Nil)
               case UpdateAction(c, as, _)   => MergeUpdate(c.map(qexpr), assignsOf(as))
               case DeleteAction(c)          => MergeDelete(c.map(qexpr))
               case other => throw new UnsupportedOperationException(
@@ -318,6 +325,14 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
             }
             val nm = m.notMatchedActions.map {
               case InsertStarAction(c)   => MergeInsert(c.map(qexpr), Nil)
+              // InsertAction has no fromStar flag, so an analyzer-
+              // expanded INSERT * under WITH SCHEMA EVOLUTION is
+              // recovered structurally: a full-width name-aligned
+              // identity list IS star (and a user writing that list
+              // out by hand asked for the same thing)
+              case InsertAction(c, as)
+                  if m.withSchemaEvolution && fullRowAligned(as) =>
+                MergeInsert(c.map(qexpr), Nil)
               case InsertAction(c, as)   => MergeInsert(c.map(qexpr), assignsOf(as))
               case other => throw new UnsupportedOperationException(
                 "snapshot MERGE WHEN NOT MATCHED supports INSERT, got: " + other.sql)
@@ -332,7 +347,8 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
             SnapshotMergeClausesCommand(t.alias, t.path, m.sourceTable, sAlias,
               SnapshotSqlCommands.keyColsOf(m.mergeCondition),
               m.matchedActions.map(matchedOf(_, "WHEN MATCHED")), nm,
-              m.notMatchedBySourceActions.map(matchedOf(_, "WHEN NOT MATCHED BY SOURCE")))
+              m.notMatchedBySourceActions.map(matchedOf(_, "WHEN NOT MATCHED BY SOURCE")),
+              schemaEvolution = m.withSchemaEvolution)
           }
         case None => m
       }

@@ -75,7 +75,8 @@ case class SnapshotMergeCommand(table: String, path: String,
 case class SnapshotMergeClausesCommand(table: String, path: String,
     source: LogicalPlan, sourceAlias: String, keyCols: Seq[String],
     matched: Seq[MergeMatchedClause], notMatched: Seq[MergeInsert],
-    notMatchedBySource: Seq[MergeMatchedClause]) extends LeafRunnableCommand {
+    notMatchedBySource: Seq[MergeMatchedClause],
+    schemaEvolution: Boolean = false) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -84,7 +85,8 @@ case class SnapshotMergeClausesCommand(table: String, path: String,
     val src = DatasetBridge.ofRows(spark, source)
     Seq(Row(SnapshotTable.mergeClauses(src, path, keyCols,
       matched, notMatched, notMatchedBySource,
-      targetAlias = table, sourceAlias = sourceAlias)))
+      targetAlias = table, sourceAlias = sourceAlias,
+      schemaEvolution = schemaEvolution)))
   }
 }
 

@@ -4961,7 +4961,8 @@ object SnapshotTable {
       notMatched: Seq[MergeInsert] = Nil,
       notMatchedBySource: Seq[MergeMatchedClause] = Nil,
       targetAlias: String = "t", sourceAlias: String = "s",
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      schemaEvolution: Boolean = false): Long = {
     require(keyCols.nonEmpty, "mergeClauses needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
@@ -4970,10 +4971,25 @@ object SnapshotTable {
     require(!source.columns.exists(_.startsWith("__graft_")),
       "merge source must not contain reserved '__graft_'-prefixed columns")
     val spark = source.sparkSession
-    val base = latestVersion(spark, path).getOrElse(
+    latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"no committed version at $path — mergeClauses needs an existing " +
           "target (create/append it first; plain merge() creates on first use)"))
+    // WITH SCHEMA EVOLUTION (Delta's autoMerge shape): top-level
+    // source columns absent from the target are ADDED (nullable,
+    // source type, no default) as a metadata-only commit first, so
+    // star expansion and explicit assignments then cover them; rows
+    // in untouched files read NULL for the new columns (file
+    // absence). Two commits — evolution then merge — each atomic; a
+    // racing writer aborts the merge half, per the usual guard.
+    if (schemaEvolution) {
+      val have = read(spark, path).schema.fields.map(_.name.toLowerCase).toSet
+      val fresh = source.schema.fields
+        .filterNot(f => have(f.name.toLowerCase))
+        .map(f => StructField(f.name, f.dataType, nullable = true))
+      if (fresh.nonEmpty) addColumns(spark, path, fresh.toSeq)
+    }
+    val base = latestVersion(spark, path).get
     val bm = readManifestFull(spark, path, base)
     val entries = bm.entries
     val fields = read(spark, path, Some(base)).schema.fields

@@ -142,6 +142,19 @@ class GraftCatalogSpec extends SparkTestBase {
     s2.sql("DELETE FROM graft.dml.t WHERE k = 2")
     assert(s2.sql("SELECT k FROM graft.dml.t ORDER BY k").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+    // WITH SCHEMA EVOLUTION on the catalog path: the analyzer may
+    // pre-expand SET * (fromStar) — star intent must survive so the
+    // new source column both evolves the schema and gets assigned
+    Seq((3L, "C", 30), (9L, "i", 90)).toDF("k", "s", "score")
+      .createOrReplaceTempView("evo_updates")
+    s2.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.dml.t t " +
+      "USING evo_updates s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val got = s2.sql("SELECT k, s, score FROM graft.dml.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(got === Seq((1L, "a", -1), (3L, "C", 30), (4L, "d!", -1),
+      (9L, "i", 90)))
   }
 
   test("ALTER TABLE ADD COLUMNS: old rows read NULL, inserts carry the column") {

@@ -293,6 +293,31 @@ class MergeClausesSpec extends SparkTestBase {
       .collect().sortBy(_._1).toSeq
   }
 
+  test("schema evolution: new source columns evolve the target; untouched rows read NULL") {
+    import spark.implicits._
+    val path = tmp("evo")
+    seed(path) // k=1..4 in one file set
+    val src = Seq((2L, 99.0, "gold"), (9L, 90.0, "new")).toDF("k", "v", "tier")
+    mergeClauses(src, path, Seq("k"),
+      matched = Seq(MergeUpdate(None, Nil)),
+      notMatched = Seq(MergeInsert(None, Nil)),
+      schemaEvolution = true)
+    val rows = read(spark, path).select("k", "s", "v", "tier").orderBy("k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    assert(rows === Seq(
+      (1L, "a", 10.0, null), (2L, "b", 99.0, "gold"), (3L, "c", 30.0, null),
+      (4L, "d", 40.0, null), (9L, null, 90.0, "new")))
+    // without the flag, the same source refuses at assignment check
+    val e = intercept[IllegalArgumentException](
+      mergeClauses(src, path, Seq("k"),
+        matched = Seq(MergeUpdate(None, Seq("nope2" -> lit(1))))))
+    assert(e.getMessage.contains("not in the table"))
+    // time travel: the pre-evolution version has no tier column
+    assert(!read(spark, path, Some(1L)).columns.contains("tier"))
+  }
+
   test("SQL: full clause surface end-to-end through MERGE INTO") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
@@ -368,12 +393,19 @@ class MergeClausesSpec extends SparkTestBase {
             |WHEN MATCHED THEN DELETE""".stripMargin).collect()
         assert(s2.sql("SELECT k FROM mc_r ORDER BY k").as[Long].collect().toSeq
           === Seq(1L))
-        // schema evolution stays refused loudly
-        val e = intercept[Exception](s2.sql(
-          """MERGE WITH SCHEMA EVOLUTION INTO mc_r t USING mc_rsrc s ON t.k = s.k
+        // WITH SCHEMA EVOLUTION: a new source column evolves the
+        // target (nullable add), star actions cover it, old rows
+        // read NULL
+        Seq((1L, 100.0, "ny"), (7L, 70.0, "sf")).toDF("k", "v", "city")
+          .createOrReplaceTempView("mc_evo_src")
+        s2.sql(
+          """MERGE WITH SCHEMA EVOLUTION INTO mc_r t USING mc_evo_src s ON t.k = s.k
             |WHEN MATCHED THEN UPDATE SET *
-            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
-        assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+        val evolved = s2.sql("SELECT k, v, city FROM mc_r ORDER BY k").collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            if (r.isNullAt(2)) null else r.getString(2))).toSeq
+        assert(evolved === Seq((1L, 100.0, "ny"), (7L, 70.0, "sf")))
       } finally SnapshotCatalog.unregister("mc_r")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
