@@ -4773,7 +4773,36 @@ object SnapshotTable {
         }
       }
     }
-    refined
+    // EXACT refinement (Delta's touched-file job): stats and blooms
+    // keep a file whenever its RANGE could contain a key — on a
+    // stat-less or unclustered table that is every file, turning a
+    // 50-row correction into a full-table rewrite. When the
+    // conservative set is still large, ONE column-pruned scan of the
+    // candidates' key columns, semi-joined against the distinct
+    // source keys, shrinks it to the files that actually CONTAIN a
+    // matching row. The extra job reads only the key columns of
+    // files that were about to be rewritten full-width, so it pays
+    // for itself whenever it drops even a small fraction of them;
+    // below `mergeExactFindingMin` candidates the conservative set
+    // is cheaper to rewrite than to re-scan (ScaleBench
+    // merge_statless measures both sides).
+    val exactMin = sys.props.get("graft.snapshot.mergeExactFindingMin")
+      .map(_.toInt).getOrElse(9)
+    val exactOn = sys.props.get("graft.snapshot.mergeExactFinding")
+      .forall(_.toBoolean)
+    if (!exactOn || refined.size < exactMin) refined
+    else {
+      val mf = readManifestFull(spark, path, base)
+      val cand = entries0.filter(e => refined(e.filePath))
+      val fcol = "__graft_exact_f"
+      val touched = readGroups(spark, cand, mf.schema, mf.colmap)
+        .select(keyCols.map(col) :+ input_file_name().as(fcol): _*)
+        .join(source.select(keyCols.map(col): _*).distinct(),
+          keyCols.toSeq, "left_semi")
+        .select(fcol).distinct()
+        .collect().map(r => normInputFile(r.getString(0))).toSet
+      cand.filter(e => touched(normFile(e.filePath))).map(_.filePath).toSet
+    }
   }
 
   /** Row-level MERGE (upsert): a source row whose `keyCols` match an
@@ -4786,8 +4815,10 @@ object SnapshotTable {
     * contain its key, not the whole partition: the manifest's per-file
     * footer stats prune the rewrite set with a broadcast range join
     * against the distinct source keys (the source is never collected
-    * to the driver), and files lacking stats on every key column are
-    * conservatively rewritten. Per-key-column stats are recorded on
+    * to the driver); when the conservative set is still large — files
+    * lacking key stats, or an unclustered key whose every range spans
+    * the space — one column-pruned EXACT scan shrinks it to the files
+    * actually holding a match (see keyRewriteSet). Per-key-column stats are recorded on
     * the files this merge writes, so successive merges keep pruning.
     *
     * Preconditions: a target row may be matched by at most ONE source

@@ -318,6 +318,31 @@ class MergeClausesSpec extends SparkTestBase {
     assert(!read(spark, path, Some(1L)).columns.contains("tier"))
   }
 
+  test("exact touched-file finding: stat-less candidates shrink to files with LIVE matches") {
+    import spark.implicits._
+    val path = tmp("exact")
+    // 12 stat-less round-robin files: range/bloom pruning keeps all
+    SnapshotTable.append(
+      spark.range(0, 120)
+        .select(col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+        .repartition(12), path)
+    // kill k=105 via a deletion vector — its file then holds no LIVE
+    // match for key 105, so exact finding must NOT rewrite it for
+    // that key (the source row inserts instead)
+    SnapshotTable.deleteWithVectors(spark, path, col("k") === 105L)
+    val before = SnapshotTable.liveFiles(spark, path).toSet
+    val src = Seq((5L, -5.0), (105L, -105.0)).toDF("k", "v")
+    SnapshotTable.merge(src, path, Seq("k"))
+    val after = SnapshotTable.liveFiles(spark, path).toSet
+    val rewritten = (before -- after).size
+    assert(rewritten === 1,
+      s"exact finding should rewrite only k=5's file, rewrote $rewritten")
+    val got = read(spark, path).filter(col("k").isin(5L, 105L))
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(5L -> -5.0, 105L -> -105.0))
+    assert(read(spark, path).count() === 120) // 119 live + 1 insert
+  }
+
   test("SQL: full clause surface end-to-end through MERGE INTO") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
