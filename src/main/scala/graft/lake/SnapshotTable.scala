@@ -1942,6 +1942,14 @@ object SnapshotTable {
     * match while still keying state by row identity. Without this
     * seam the consumer's only tracked read was the full-table
     * [[readWithRowIds]] — the wrong plan at 10^6 files. */
+  /** Does a (possibly unresolved) predicate/expression reference the
+    * `_row_id` metadata column? Drives the tracked-frame routing of
+    * DML: `DELETE FROM t WHERE _row_id IN (...)` must find files and
+    * rewrite through the rid-serving reads. */
+  private def mentionsRowId(c: Column): Boolean =
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .referencesName(c, RowIdCol)
+
   def readWhereWithRowIds(spark: SparkSession, path: String,
       predicate: Column, version: Option[Long] = None,
       sqlAlias: Option[String] = None): DataFrame =
@@ -5270,19 +5278,28 @@ object SnapshotTable {
     // file finding goes through readWhere, so the manifest's stats
     // triple (min/max, string bounds, blooms, null counts) prunes the
     // SCAN too: a point delete on a stats-covered key opens only the
-    // candidate files, not the table
+    // candidate files, not the table. On a tracked table the
+    // predicate may name `_row_id` itself — the incremental-consumer
+    // correction shape ("delete the row ids I just processed") —
+    // which routes file finding and the rewrite through the tracked
+    // read frames.
+    val ridTracked = bm.rowIdHigh.isDefined
+    val wantsRid = ridTracked && mentionsRowId(predicate)
     val touched: Set[String] =
-      readWhere(spark, path, predicate, Some(base), sqlAlias)
+      readWhereImpl(spark, path, predicate, Some(base), sqlAlias,
+          withRowIds = wantsRid)
         .select(input_file_name()).distinct()
         .collect().map(r => normInputFile(r.getString(0))).toSet
     if (touched.isEmpty) return base
     val rewrite = entries.filter(e => touched(normFile(e.filePath)))
-    val ridTracked = bm.rowIdHigh.isDefined
-    val touchedDf = aliased(
+    val touchedDf0 =
       if (ridTracked) readGroupsWithRid(spark, rewrite, bm.schema, bm.colmap)
-      else readGroups(spark, rewrite, bm.schema, bm.colmap))
+      else readGroups(spark, rewrite, bm.schema, bm.colmap)
+    val touchedDf = aliased(
+      if (wantsRid) touchedDf0.withColumn(RowIdCol, col(RidCol)) else touchedDf0)
     // keep rows where the predicate is FALSE or NULL
     val survivors = touchedDf.filter(!coalesce(predicate, lit(false)))
+      .drop(RowIdCol)
     val rev = bm.colmap.map(_.swap)
     val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
       entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c)).distinct
@@ -5419,6 +5436,12 @@ object SnapshotTable {
     val probeLimit =
       if (dvThreshold >= Int.MaxValue.toLong) Int.MaxValue
       else (dvThreshold + 1).toInt
+    // a `_row_id` predicate routes straight to the rewriting delete —
+    // the DV probe frames don't serve row ids, and an id-addressed
+    // correction is the rewrite shape anyway
+    if (readManifestFull(spark, path, base).rowIdHigh.isDefined &&
+        mentionsRowId(predicate))
+      return delete(spark, path, predicate, partitionCols)
     // the probe rides readWhere so manifest stats prune its scan too
     // (filter(pred) already excludes NULL evaluations, same row set
     // as the old coalesce(pred, false) form — and a bare predicate
@@ -5482,17 +5505,23 @@ object SnapshotTable {
     require(idSet.isEmpty,
       s"UPDATE SET targets IDENTITY column(s) ${idSet.mkString(", ")} — " +
         "identity values are assigned by the table, not updated")
-    // stats-pruned file finding, like delete's (see there)
+    // stats-pruned file finding, like delete's (see there) — incl.
+    // `_row_id` predicates on tracked tables ("update these row ids")
+    val ridTracked = bm.rowIdHigh.isDefined
+    val wantsRid = ridTracked && (mentionsRowId(predicate) ||
+      assignments.exists(a => mentionsRowId(a._2)))
     val touched: Set[String] =
-      readWhere(spark, path, predicate, Some(base), sqlAlias)
+      readWhereImpl(spark, path, predicate, Some(base), sqlAlias,
+          withRowIds = wantsRid)
         .select(input_file_name()).distinct()
         .collect().map(r => normInputFile(r.getString(0))).toSet
     if (touched.isEmpty) return base
     val rewrite = entries.filter(e => touched(normFile(e.filePath)))
-    val ridTracked = bm.rowIdHigh.isDefined
-    val touchedDf = aliased(
+    val touchedDf0 =
       if (ridTracked) readGroupsWithRid(spark, rewrite, bm.schema, bm.colmap)
-      else readGroups(spark, rewrite, bm.schema, bm.colmap))
+      else readGroups(spark, rewrite, bm.schema, bm.colmap)
+    val touchedDf = aliased(
+      if (wantsRid) touchedDf0.withColumn(RowIdCol, col(RidCol)) else touchedDf0)
     // rows where the predicate is NULL keep their old values, per SQL
     val fire = coalesce(predicate, lit(false))
     val updated = touchedDf.select(fields.map { f =>

@@ -12,4 +12,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Does the column reference an attribute with this (last-part)
+    * name? Looks through BOTH forms a Column can take: a real
+    * Expression tree (the SQL/command path) and the lazily-wrapped
+    * ColumnNode graph that `functions.col` builds (which
+    * [[expression]] surfaces as an opaque ColumnNodeExpression —
+    * its UnresolvedAttributes live in the node graph, not the
+    * Expression tree). */
+  def referencesName(c: Column, name: String): Boolean =
+    expression(c).exists {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.lastOption.exists(_.equalsIgnoreCase(name))
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name.equalsIgnoreCase(name)
+      case other =>
+        org.apache.spark.sql.classic.GraftColumnNodeBridge
+          .nodeAttributeNames(other).exists(_.equalsIgnoreCase(name))
+    }
 }

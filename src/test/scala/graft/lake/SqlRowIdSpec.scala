@@ -113,6 +113,41 @@ class SqlRowIdSpec extends SparkTestBase {
     assert(byRid.length === 4 && byRid.forall(_._1 < 4))
   }
 
+  test("DML by _row_id: DELETE and UPDATE address rows through the metadata column") {
+    import s2.implicits._
+    val path = warehouse + "/rid/dml"
+    SnapshotTable.create(s2, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))), rowTracking = true)
+    SnapshotTable.append(
+      s2.range(0, 6).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"), path)
+    val ids = s2.sql("SELECT _row_id, k FROM graft.rid.dml")
+      .as[(Long, Long)].collect().map(_.swap).toMap
+    // SQL DELETE addressed by row id
+    s2.sql(s"DELETE FROM graft.rid.dml WHERE _row_id = ${ids(3L)}")
+    assert(s2.sql("SELECT k FROM graft.rid.dml ORDER BY k").as[Long]
+      .collect().toSeq === Seq(0L, 1L, 2L, 4L, 5L))
+    // survivors keep their ids through the rewrite
+    val after = s2.sql("SELECT _row_id, k FROM graft.rid.dml")
+      .as[(Long, Long)].collect().map(_.swap).toMap
+    Seq(0L, 1L, 2L, 4L, 5L).foreach(k => assert(after(k) === ids(k)))
+    // SQL UPDATE addressed by a row-id set; SET may read _row_id too
+    s2.sql(s"UPDATE graft.rid.dml SET v = CAST(_row_id AS DOUBLE) * -1.0 " +
+      s"WHERE _row_id IN (${ids(0L)}, ${ids(5L)})")
+    val got = s2.sql("SELECT k, v FROM graft.rid.dml")
+      .as[(Long, Double)].collect().toMap
+    assert(got(0L) === -1.0 * ids(0L) && got(5L) === -1.0 * ids(5L))
+    assert(got(1L) === 1.0 && got(4L) === 4.0)
+    // API form, incl. deleteAuto routing
+    SnapshotTable.deleteAuto(s2, path,
+      org.apache.spark.sql.functions.col("_row_id") === after(1L))
+    assert(s2.sql("SELECT k FROM graft.rid.dml ORDER BY k").as[Long]
+      .collect().toSeq === Seq(0L, 2L, 4L, 5L))
+  }
+
   test("untracked tables do not expose _row_id") {
     s2.sql("CREATE TABLE graft.rid.plain (k BIGINT) USING `graft-snapshot`")
     s2.range(0, 3).selectExpr("id AS k").createOrReplaceTempView("rid_plain_src")
