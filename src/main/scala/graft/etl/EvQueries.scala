@@ -869,6 +869,57 @@ object EvQueries {
        |FROM ids WHERE rid < (SELECT k FROM cnt)
        |ORDER BY _row_id""".stripMargin
 
+  /** DML addressed by `_row_id` (the incremental-consumer correction
+    * shape): on the ev45 clustered tracked fixture — where absolute
+    * row ids equal the skey rank, so the oracle can compute them —
+    * a SQL `DELETE WHERE _row_id < k` drops the first quarter and a
+    * SQL `UPDATE ... WHERE _row_id >= 3k` flags the last; survivors
+    * keep their ids through both rewrites (read back via
+    * readWithRowIds and hash-pinned against row_number()). */
+  def dmlRowIdsGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-dmlrid-gate")
+      .toString + "/fact"
+    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    import org.apache.spark.sql.types._
+    val reg = "ev_dmlrid_" + java.util.UUID.randomUUID.toString.take(8)
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal"))
+      .withColumn("skey", concat(col("sessionId"), lit("|"),
+        floor(col("kwhTotal") * 100).cast("int").cast("string")))
+      .persist()
+    try {
+      SnapshotTable.create(spark, t, StructType(Seq(
+        StructField("skey", StringType), StructField("sessionId", StringType),
+        StructField("kwhTotal", DoubleType))), rowTracking = true)
+      SnapshotTable.appendClustered(
+        gold.select("skey", "sessionId", "kwhTotal"), t, "skey", numFiles = 4)
+      SnapshotCatalog.register(reg, t)
+      val n = gold.count()
+      val k = (n / 4).toInt
+      spark.sql(s"DELETE FROM $reg WHERE _row_id < $k")
+      spark.sql(s"UPDATE $reg SET kwhTotal = -1.0 WHERE _row_id >= ${3 * k}")
+      SnapshotTable.readWithRowIds(spark, t)
+        .select(col("_row_id"), col("sessionId"),
+          round(col("kwhTotal"), 2).as("kwh"))
+        .orderBy("_row_id")
+    } finally { SnapshotCatalog.unregister(reg); gold.unpersist(); () }
+  }
+
+  private val dmlRowIdsSql =
+    s"""$prefix,
+       |gold AS (
+       |  SELECT sessionId, kwhTotal,
+       |    sessionId || '|' || CAST(CAST(floor(kwhTotal * 100) AS INT) AS VARCHAR) AS skey
+       |  FROM marked WHERE NOT is_bad
+       |), ids AS (
+       |  SELECT *, row_number() OVER (ORDER BY skey) - 1 AS rid FROM gold
+       |), cnt AS (SELECT CAST(count(*) / 4 AS INT) AS k FROM gold)
+       |SELECT CAST(rid AS BIGINT) AS _row_id, sessionId,
+       |  round(CASE WHEN rid >= 3 * (SELECT k FROM cnt) THEN -1.0
+       |             ELSE kwhTotal END, 2) AS kwh
+       |FROM ids WHERE rid >= (SELECT k FROM cnt)
+       |ORDER BY _row_id""".stripMargin
+
   /** `MERGE WITH SCHEMA EVOLUTION` (Delta's autoMerge shape): the
     * source carries a column the target lacks — the statement first
     * evolves the target (nullable add, metadata-only), then star
@@ -2687,5 +2738,6 @@ object EvQueries {
     QDef("ev46_merge_clauses", mergeClausesGate, Some(mergeClausesSql)),
     QDef("ev47_sql_row_ids", sqlRowIdsGate, Some(sqlRowIdsSql)),
     QDef("ev48_merge_schema_evolution", mergeEvolutionGate, Some(mergeEvolutionSql)),
+    QDef("ev49_dml_row_ids", dmlRowIdsGate, Some(dmlRowIdsSql)),
   )
 }
