@@ -5364,6 +5364,84 @@ object SnapshotTable {
     }, statsCols = statsOut, op = "delete_keys", ridCarried = ridTracked)
   }
 
+  /** Distributed ROW-ID-set DELETE on a tracked table — the
+    * incremental-consumer retirement shape at scale: "delete the 10M
+    * row ids this batch processed", with the id set as a DataFrame
+    * (never collected to the driver). File pruning is FREE metadata:
+    * a file that never materialized `__rid` holds exactly the id
+    * range `[base, base + rows)` (position-derived), so a broadcast
+    * range join of the manifest's bases against the id set yields
+    * the candidates without any stats — only files REWRITTEN under
+    * tracking (materialized ids, arbitrary values) stay conservative
+    * candidates. Survivors are a distributed anti-join of just the
+    * touched files on `_row_id`; untouched files carry over by
+    * reference; survivor ids are preserved (ridCarried). `ids`'s
+    * first column is used, cast to BIGINT; duplicates are harmless.
+    */
+  def deleteRowIds(ids: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Long = {
+    val spark = ids.sparkSession
+    val base = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val bm = readManifestFull(spark, path, base)
+    require(bm.rowIdHigh.isDefined,
+      s"row tracking is not enabled at $path — enableRowTracking first")
+    val entries = bm.entries
+    val idCol = "__graft_del_rid"
+    val idsN = ids.select(col(ids.columns.head).cast(LongType).as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+    // range-prunable candidates: position-derived id ranges from the
+    // manifest alone; materialized files are always candidates
+    val (mat, positional) = entries.partition(e => e.ridMat || e.rows < 0L)
+    val hit: Set[String] =
+      if (positional.isEmpty) Set.empty
+      else {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val ranges = spark.createDataFrame(
+          positional.map(e => Row(e.filePath, Long.box(e.rid.get),
+            Long.box(e.rid.get + e.rows))).asJava,
+          StructType(Seq(StructField("_file", StringType),
+            StructField("_lo", LongType), StructField("_hi", LongType))))
+        idsN.join(broadcast(ranges),
+            col(idCol) >= col("_lo") && col(idCol) < col("_hi"))
+          .select("_file").distinct().collect().map(_.getString(0)).toSet
+      }
+    // materialized files (arbitrary id values) refine by ONE scan of
+    // just their __rid column, semi-joined with the id set — the
+    // id-column analogue of exact touched-file finding; without it
+    // every wave after the first rewrite would pay a full rewrite of
+    // all previously-rewritten files even when no id matches
+    val matTouched: Set[String] =
+      if (mat.isEmpty) Set.empty
+      else {
+        val fcol = "__graft_rid_f"
+        readGroupsWithRid(spark, mat, bm.schema, bm.colmap)
+          .select(col(RidCol), input_file_name().as(fcol))
+          .join(idsN, col(RidCol) === col(idCol), "left_semi")
+          .select(fcol).distinct()
+          .collect().map(r => normInputFile(r.getString(0))).toSet
+      }
+    val rewrite = entries.filter(e =>
+      hit(e.filePath) || matTouched(normFile(e.filePath)))
+    if (rewrite.isEmpty) return base
+    val survivors = readGroupsWithRid(spark, rewrite, bm.schema, bm.colmap)
+      .join(idsN, col(RidCol) === col(idCol), "left_anti")
+    val rev = bm.colmap.map(_.swap)
+    val statsOut = (entries.flatMap(_.stats.map(_._1)) ++
+      entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c)).distinct
+    val partCols =
+      if (partitionCols.nonEmpty) partitionCols
+      else inferPartitionCols(entries, rev)
+    val rewriteSet = rewrite.map(_.filePath).toSet
+    val baseState = guardState(entries)
+    commit(survivors, path, partCols, prev => {
+      require(guardState(prev) == baseState,
+        s"concurrent commit advanced $path during deleteRowIds — rerun")
+      prev.filterNot(e => rewriteSet(e.filePath))
+    }, statsCols = statsOut, op = "delete", ridCarried = true)
+  }
+
   /** Row-level DELETE via deletion vectors (Delta DV / Iceberg-v3
     * position-delete shape): instead of rewriting every file that
     * holds a matching row, record the matching ROW POSITIONS in a

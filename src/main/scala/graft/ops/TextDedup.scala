@@ -929,8 +929,45 @@ object TextDedup {
       |LEFT JOIN keptt k ON t.doc_id = k.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Exact dedup RETIREMENT through the lakehouse — the composition
+    * an incremental training-data pipeline actually runs: load the
+    * corpus into a ROW-TRACKED snapshot table, compute the losers of
+    * each exact-duplicate cluster as a set of STABLE ROW IDS (keeper
+    * = smallest id, q28's min-doc_id rule under the clustered
+    * layout), then retire them with [[graft.lake.SnapshotTable
+    * .deleteRowIds]] — a distributed id-set delete whose file pruning
+    * comes free from the manifest's position-derived id ranges. The
+    * final table IS the deduplicated corpus; the oracle recomputes
+    * keepers relationally. */
+  def dedupRetireByRid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    val t = java.nio.file.Files.createTempDirectory("graft-q134")
+      .toString + "/docs"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars")
+    SnapshotTable.create(spark, t, docs.schema, rowTracking = true)
+    SnapshotTable.appendClustered(docs, t, "doc_id", numFiles = 4)
+    val withIds = SnapshotTable.readWithRowIds(spark, t)
+    val keep = withIds.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("_row_id")).as("keep_rid"))
+    val losers = withIds.select(md5(col("text")).as("h"), col("_row_id"))
+      .join(keep, "h").filter(col("_row_id") =!= col("keep_rid"))
+      .select("_row_id")
+    SnapshotTable.deleteRowIds(losers, t)
+    SnapshotTable.read(spark, t)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val dedupRetireByRidSql: String =
+    """SELECT doc_id, md5(text) AS text_hash, n_chars
+      |FROM documents
+      |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q28_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QDef("q134_dedup_retire_by_rid", dedupRetireByRid, Some(dedupRetireByRidSql)),
     QDef("q30_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QDef("q35_minhash_near_dups", minhashNearDups, Some(minhashNearDupsSql)),
     QDef("q36_simhash", simhashReorderDups, Some(simhashReorderDupsSql)),

@@ -148,6 +148,42 @@ class SqlRowIdSpec extends SparkTestBase {
       .collect().toSeq === Seq(0L, 2L, 4L, 5L))
   }
 
+  test("deleteRowIds: distributed rid-set delete prunes by position-derived ranges") {
+    import s2.implicits._
+    val path = warehouse + "/rid/bulk"
+    SnapshotTable.create(s2, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))), rowTracking = true)
+    SnapshotTable.appendClustered(
+      s2.range(0, 64).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+      path, "k", numFiles = 8)
+    val before = SnapshotTable.liveFiles(s2, path).toSet
+    // ids 0..7 live in ONE positional file — manifest ranges alone
+    // must prune the rewrite to it (no stats involved)
+    SnapshotTable.deleteRowIds(s2.range(0, 8).toDF("rid"), path)
+    val after = SnapshotTable.liveFiles(s2, path).toSet
+    assert((before -- after).size === 1,
+      s"range pruning failed: rewrote ${(before -- after).size} files")
+    assert(SnapshotTable.read(s2, path).count() === 56)
+    // survivors keep their ids; a second wave crossing a MATERIALIZED
+    // file (the rewritten one, if any survived) still converges
+    val ids = SnapshotTable.readWithRowIds(s2, path)
+      .select("_row_id", "k").as[(Long, Long)].collect().toMap
+    assert(ids.keySet.size === 56 && !ids.values.toSet.exists(_ < 8L))
+    SnapshotTable.deleteRowIds(
+      s2.createDataset(ids.keys.filter(_ % 2 == 0L).toSeq).toDF("rid"), path)
+    val left = SnapshotTable.readWithRowIds(s2, path)
+      .select("_row_id").as[Long].collect().toSet
+    assert(left === ids.keySet.filter(_ % 2 == 1L))
+    // ids matching nothing are a no-op reporting the current version
+    val v = SnapshotTable.latestVersion(s2, path).get
+    assert(SnapshotTable.deleteRowIds(
+      s2.range(1000000, 1000010).toDF("rid"), path) === v)
+  }
+
   test("untracked tables do not expose _row_id") {
     s2.sql("CREATE TABLE graft.rid.plain (k BIGINT) USING `graft-snapshot`")
     s2.range(0, 3).selectExpr("id AS k").createOrReplaceTempView("rid_plain_src")
