@@ -997,8 +997,14 @@ object SnapshotTable {
     val w = physData.write.mode("errorifexists").option("compression", "zstd")
     (if (physPartCols.nonEmpty) w.partitionBy(physPartCols: _*) else w)
       .parquet(commitDir)
+    // files materializing __rid record its footer min/max too, so
+    // id-addressed maintenance (deleteRowIds) range-prunes rewritten
+    // files from the manifest alone, same as position-derived ranges
+    val physStatsCols = (statsCols.map(c => cm.getOrElse(c, c)) ++
+      (if (ridCarried && physData.columns.contains(RidCol)) Seq(RidCol)
+       else Nil)).distinct
     val added: Seq[Entry] = withBlooms(spark,
-      commitEntries(spark, commitDir, statsCols.map(c => cm.getOrElse(c, c))),
+      commitEntries(spark, commitDir, physStatsCols),
       prevMeta.map(_.bloomCols.map(c => cm.getOrElse(c, c))).getOrElse(Nil))
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -5390,17 +5396,28 @@ object SnapshotTable {
     val idCol = "__graft_del_rid"
     val idsN = ids.select(col(ids.columns.head).cast(LongType).as(idCol))
       .filter(col(idCol).isNotNull).distinct()
-    // range-prunable candidates: position-derived id ranges from the
-    // manifest alone; materialized files are always candidates
-    val (mat, positional) = entries.partition(e => e.ridMat || e.rows < 0L)
+    // range-prunable candidates from the manifest alone: positional
+    // files hold exactly [base, base + rows), and rewritten files
+    // record __rid footer min/max (see commit) — both range-join
+    // against the id set with zero data IO. Only mat files whose
+    // rewrite PREDATES rid stats fall back to the __rid-column scan.
+    val (mat0, positional) = entries.partition(e => e.ridMat || e.rows < 0L)
+    val (matStat, mat) = mat0.partition(_.stats.exists(_._1 == RidCol))
+    val rangeRows: Seq[(String, Long, Long)] =
+      positional.map(e => (e.filePath, e.rid.get, e.rid.get + e.rows)) ++
+        matStat.map { e =>
+          val (_, mn, mx) = e.stats.find(_._1 == RidCol).get
+          // footer stats are Doubles (exact for ids < 2^53); widen a
+          // unit each side so rounding can never skip a live id
+          (e.filePath, mn.floor.toLong - 1L, mx.ceil.toLong + 2L)
+        }
     val hit: Set[String] =
-      if (positional.isEmpty) Set.empty
+      if (rangeRows.isEmpty) Set.empty
       else {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types.{StringType, StructField, StructType}
         val ranges = spark.createDataFrame(
-          positional.map(e => Row(e.filePath, Long.box(e.rid.get),
-            Long.box(e.rid.get + e.rows))).asJava,
+          rangeRows.map(r => Row(r._1, Long.box(r._2), Long.box(r._3))).asJava,
           StructType(Seq(StructField("_file", StringType),
             StructField("_lo", LongType), StructField("_hi", LongType))))
         idsN.join(broadcast(ranges),

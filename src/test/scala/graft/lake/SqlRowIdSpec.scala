@@ -178,10 +178,25 @@ class SqlRowIdSpec extends SparkTestBase {
     val left = SnapshotTable.readWithRowIds(s2, path)
       .select("_row_id").as[Long].collect().toSet
     assert(left === ids.keySet.filter(_ % 2 == 1L))
-    // ids matching nothing are a no-op reporting the current version
+    // the table is now fully MATERIALIZED (every live file was
+    // rewritten): ids matching nothing must be a metadata-only no-op
+    // — the rewrite recorded __rid footer stats, so the range join
+    // prunes rewritten files without scanning them
     val v = SnapshotTable.latestVersion(s2, path).get
     assert(SnapshotTable.deleteRowIds(
       s2.range(1000000, 1000010).toDF("rid"), path) === v)
+    // ...and a point-id retirement rewrites only the file(s) whose
+    // recorded __rid range can contain it
+    val total = SnapshotTable.liveFiles(s2, path).size
+    val one = left.min
+    val b2 = SnapshotTable.liveFiles(s2, path).toSet
+    SnapshotTable.deleteRowIds(
+      s2.createDataset(Seq(one)).toDF("rid"), path)
+    val a2 = SnapshotTable.liveFiles(s2, path).toSet
+    assert((b2 -- a2).size < total,
+      s"rid-stats pruning failed: rewrote all $total materialized files")
+    assert(!SnapshotTable.readWithRowIds(s2, path)
+      .select("_row_id").as[Long].collect().contains(one))
   }
 
   test("untracked tables do not expose _row_id") {
