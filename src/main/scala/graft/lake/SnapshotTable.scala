@@ -3830,6 +3830,65 @@ object SnapshotTable {
     1L
   }
 
+  /** Delta-style DEEP CLONE: an independent physical copy of the
+    * table's state at `version` (default latest) under `targetPath`.
+    * Data and deletion-vector files are copied BYTE-FOR-BYTE in one
+    * distributed pass (no decode/re-encode — footer stats, DVs and
+    * materialized `__rid` columns carry over exactly), and the
+    * target's v1 manifest re-points at the copies while preserving
+    * every piece of table metadata the source manifest records
+    * (schema, column mapping, partition transforms, constraints,
+    * bloom columns, auto-compaction policy, row-tracking watermark —
+    * cloned rows KEEP their stable ids). Unlike [[shallowClone]], the
+    * clone shares nothing with the source: vacuum or DML on either
+    * side can never affect the other. History, tags and branches are
+    * deliberately NOT copied — a clone is a fork of one state, not of
+    * the log. */
+  def deepClone(spark: SparkSession, sourcePath: String, targetPath: String,
+      version: Option[Long] = None): Long = {
+    require(latestVersion(spark, targetPath).isEmpty,
+      s"deepClone target $targetPath already has commits")
+    val v = version.orElse(latestVersion(spark, sourcePath)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $sourcePath"))
+    val m = readManifestFull(spark, sourcePath, v)
+    val realTarget = realPathOf(targetPath)
+    val commitDir =
+      s"$realTarget/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
+    val dvTarget = s"$realTarget/_graft_dv"
+    // per-source-file destinations: an index prefix keeps leaf names
+    // unique even when different source commit dirs reused one
+    val dataDst: Map[String, String] = m.entries.zipWithIndex.map {
+      case (e, i) => e.filePath -> s"$commitDir/p$i-${new Path(e.filePath).getName}"
+    }.toMap
+    val dvDst: Map[String, String] = m.entries.flatMap(_.dv.map(_._1))
+      .distinct.zipWithIndex.map { case (p, i) =>
+        p -> s"$dvTarget/c$i-${new Path(p).getName}"
+      }.toMap
+    val copies = (dataDst.toSeq ++ dvDst.toSeq)
+    if (copies.nonEmpty) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext
+        .parallelize(copies, math.min(copies.size, 64))
+        .foreach { case (s, d) =>
+          val sp = new Path(s); val dp = new Path(d)
+          val ok = org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(conf.value), sp,
+            dp.getFileSystem(conf.value), dp,
+            false /* deleteSource */, true /* overwrite */, conf.value)
+          if (!ok) throw new java.io.IOException(s"deepClone copy failed: $s -> $d")
+        }
+    }
+    val cloned = m.entries.map(e => e.copy(
+      commitDir = commitDir,
+      filePath = dataDst(e.filePath),
+      dv = e.dv.map { case (p, n) => (dvDst(p), n) }))
+    require(publishManifest(spark, targetPath, 1L,
+      m.copy(entries = cloned, op = Some("clone_deep"), opKeys = Nil)),
+      s"concurrent writer created $targetPath during deepClone")
+    1L
+  }
+
   // ---- writable branches -------------------------------------------
 
   /** Handle routing every SnapshotTable operation onto branch `name`

@@ -1,0 +1,85 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[SnapshotTable.deepClone]] — independent physical copy: bytes
+  * copied (DVs and materialized row ids included), metadata carried,
+  * zero sharing with the source afterwards. */
+class DeepCloneSpec extends SparkTestBase {
+
+  import SnapshotTable._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-dclone-$tag").toString
+
+  test("clone carries data, DVs, row ids, constraints; then diverges independently") {
+    import spark.implicits._
+    val base = tmp("main")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    SnapshotTable.append(
+      spark.range(0, 40).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"), src)
+    SnapshotTable.enableRowTracking(spark, src)
+    SnapshotTable.addCheckConstraint(spark, src, "v_nonneg", "v >= 0")
+    // a DV delete (k=5) must carry over as a DV, not resurface
+    SnapshotTable.deleteWithVectors(spark, src, col("k") === 5L)
+    // a keyless update materializes __rid into a rewritten file
+    SnapshotTable.update(spark, src, Seq("v" -> (col("v") + 0.5)),
+      col("k") >= 30L)
+    val srcIds = SnapshotTable.readWithRowIds(spark, src)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+
+    deepClone(spark, src, dst)
+    val cloneIds = SnapshotTable.readWithRowIds(spark, dst)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(cloneIds === srcIds, "clone changed row ids or row set")
+    assert(!cloneIds.contains(5L), "DV'd row resurfaced in the clone")
+    // constraint carried: a violating append refuses on the clone
+    val e = intercept[Exception](SnapshotTable.append(
+      Seq((999L, -1.0)).toDF("k", "v"), dst))
+    assert(e.getMessage.contains("v_nonneg") ||
+      Option(e.getCause).exists(_.getMessage.contains("v_nonneg")))
+
+    // independence: source DML invisible to the clone and vice versa
+    SnapshotTable.delete(spark, src, col("k") < 10L)
+    assert(SnapshotTable.read(spark, dst).count() === 39)
+    SnapshotTable.append(Seq((100L, 1.0)).toDF("k", "v"), dst)
+    assert(SnapshotTable.read(spark, src).count() === 30)
+    // reclaiming every superseded source file cannot break the clone
+    SnapshotTable.compact(spark, src, numFiles = 1)
+    SnapshotTable.vacuum(spark, src, keepVersions = 1)
+    assert(SnapshotTable.read(spark, dst).count() === 40)
+    // and the clone's ids remain stable through its own rewrite
+    SnapshotTable.update(spark, dst, Seq("v" -> lit(0.0)), col("k") === 7L)
+    val after = SnapshotTable.readWithRowIds(spark, dst)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(after(7L) === cloneIds(7L))
+  }
+
+  test("hidden-partitioned clone keeps the transform spec and prunes") {
+    import spark.implicits._
+    val base = tmp("hp")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val src = base + "/src"
+    val dst = base + "/dst"
+    SnapshotTable.appendTransformed(
+      Seq((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-02 10:00:00")),
+        (3L, t("2024-01-03 10:00:00"))).toDF("k", "ts"),
+      src, Seq("days(ts)"))
+    deepClone(spark, src, dst)
+    assert(SnapshotTable.partitionTransforms(spark, dst) === Seq("days(ts)"))
+    val q = SnapshotTable.readWhere(spark, dst,
+      col("ts") >= t("2024-01-03 00:00:00"))
+    assert(q.select("k").as[Long].collect().toSeq === Seq(3L))
+    // a version pin clones the PAST state
+    SnapshotTable.append(Seq((9L, t("2024-02-01 00:00:00"))).toDF("k", "ts"), src)
+    val dst2 = base + "/dst2"
+    deepClone(spark, src, dst2, version = Some(1L))
+    assert(SnapshotTable.read(spark, dst2).count() === 3)
+    // target-in-use refusal
+    val e = intercept[IllegalArgumentException](deepClone(spark, src, dst))
+    assert(e.getMessage.contains("already has commits"))
+  }
+}
