@@ -93,6 +93,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotMaintenanceCommand(idents(t), "optimize")
     case ShowBranches(t) => SnapshotShowRefsCommand(idents(t), "branches")
     case ShowTags(t)     => SnapshotShowRefsCommand(idents(t), "tags")
+    case CloneVersion(dst, kind, src, v) =>
+      SnapshotCloneCommand(idents(dst), idents(src),
+        deep = kind.equalsIgnoreCase("deep"), Some(v.toLong), None)
+    case CloneTag(dst, kind, src, tag) =>
+      SnapshotCloneCommand(idents(dst), idents(src),
+        deep = kind.equalsIgnoreCase("deep"), None, Some(tag))
+    case Clone(dst, kind, src) =>
+      SnapshotCloneCommand(idents(dst), idents(src),
+        deep = kind.equalsIgnoreCase("deep"), None, None)
     case EnableRowTracking(t) => SnapshotEnableRowTrackingCommand(idents(t))
     case DescribeDetail(t) => SnapshotDescribeDetailCommand(idents(t))
     case DescribeHistory(t) => SnapshotDescribeHistoryCommand(idents(t))
@@ -171,6 +180,15 @@ private object GraftSqlParser {
   private[lake] val OptimizeFiles =
     stmt(s"OPTIMIZE\\s+$T\\s+FILES\\s+(\\d+)")
   private[lake] val Optimize = stmt(s"OPTIMIZE\\s+$T")
+  // Delta's CLONE statement: CREATE TABLE t2 [SHALLOW|DEEP] CLONE t1
+  // [VERSION AS OF <n|'tag'>] — target must be a catalog name (its
+  // storage path derives from the warehouse mapping)
+  private[lake] val CloneVersion = stmt(
+    s"CREATE\\s+TABLE\\s+$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
+  private[lake] val CloneTag = stmt(
+    s"CREATE\\s+TABLE\\s+$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T\\s+VERSION\\s+AS\\s+OF\\s+'(\\w[\\w-]*)'")
+  private[lake] val Clone = stmt(
+    s"CREATE\\s+TABLE\\s+$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T")
   // row tracking opt-in (Delta: SET TBLPROPERTIES delta.enableRowTracking;
   // spelled as a first-class statement here, like the ref DDL)
   private[lake] val EnableRowTracking =
@@ -362,6 +380,51 @@ case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
   * stable row ids ([[SnapshotTable.enableRowTracking]]: one metadata
   * commit assigning base ids to every live file from its footer row
   * count; idempotent). Returns the resulting table version. */
+/** `CREATE TABLE <target> [SHALLOW|DEEP] CLONE <source> [VERSION AS
+  * OF <n|'tag'>]` → [[SnapshotTable.shallowClone]] /
+  * [[SnapshotTable.deepClone]]. The target must be a CATALOG name —
+  * its storage path derives from the warehouse mapping; registry
+  * names map to pre-existing paths only (use the API for those). The
+  * cloned directory then IS the catalog table (a table is any
+  * directory with a `_graft_log`). */
+case class SnapshotCloneCommand(target: Seq[String], source: Seq[String],
+    deep: Boolean, version: Option[Long], tag: Option[String])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = SnapshotStatementTarget.pathOf(spark, source)
+    val dstPath = target match {
+      case Seq(n) => throw new IllegalArgumentException(
+        s"CLONE target '$n' has no storage mapping — registry names point " +
+          "at existing paths; clone to a catalog name (cat.ns.t) or call " +
+          "shallowClone/deepClone with an explicit path")
+      case parts =>
+        spark.sessionState.catalogManager.catalog(parts.head) match {
+          case gc: GraftCatalog =>
+            gc.tablePath(Identifier.of(
+              parts.slice(1, parts.size - 1).toArray, parts.last))
+          case other => throw new IllegalArgumentException(
+            s"catalog '${parts.head}' is not a GraftCatalog: $other")
+        }
+    }
+    val v =
+      if (deep) {
+        val pin = tag match {
+          case Some(t) => Some(SnapshotTable.tagVersion(spark, srcPath, t)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no tag '$t' at $srcPath")))
+          case None => version
+        }
+        SnapshotTable.deepClone(spark, srcPath, dstPath, pin)
+      } else
+        SnapshotTable.shallowClone(spark, srcPath, dstPath, version, tag)
+    Seq(Row(v))
+  }
+}
+
 case class SnapshotEnableRowTrackingCommand(ident: Seq[String])
     extends LeafRunnableCommand {
 

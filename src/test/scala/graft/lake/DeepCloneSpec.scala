@@ -58,6 +58,57 @@ class DeepCloneSpec extends SparkTestBase {
     assert(after(7L) === cloneIds(7L))
   }
 
+  test("SQL: CREATE TABLE ... SHALLOW|DEEP CLONE through the extension parser") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val wh = java.nio.file.Files.createTempDirectory("graft-clone-wh").toString
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("clone-sql")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+        .config("spark.sql.catalog.graft.warehouse", wh)
+        .getOrCreate()
+      import s2.implicits._
+      s2.sql("CREATE NAMESPACE graft.cl")
+      s2.sql("CREATE TABLE graft.cl.src (k BIGINT, v DOUBLE) USING `graft-snapshot`")
+      s2.range(0, 10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("cl_src")
+      s2.sql("INSERT INTO graft.cl.src SELECT * FROM cl_src")      // v2
+      s2.sql("DELETE FROM graft.cl.src WHERE k >= 8")              // v3
+      // deep clone of the CURRENT state
+      assert(s2.sql("CREATE TABLE graft.cl.deep DEEP CLONE graft.cl.src")
+        .head().getLong(0) === 1L)
+      assert(s2.sql("SELECT count(*) FROM graft.cl.deep").head().getLong(0) === 8L)
+      // shallow clone of a PINNED version (pre-delete)
+      s2.sql("CREATE TABLE graft.cl.shal SHALLOW CLONE graft.cl.src VERSION AS OF 2")
+      assert(s2.sql("SELECT count(*) FROM graft.cl.shal").head().getLong(0) === 10L)
+      // tag-pinned deep clone
+      s2.sql("ALTER TABLE graft.cl.src CREATE TAG full AS OF VERSION 2")
+      s2.sql("CREATE TABLE graft.cl.tagd DEEP CLONE graft.cl.src VERSION AS OF 'full'")
+      assert(s2.sql("SELECT count(*) FROM graft.cl.tagd").head().getLong(0) === 10L)
+      // divergence: writes to the deep clone never touch the source
+      s2.sql("INSERT INTO graft.cl.deep SELECT 100L, 1.0")
+      assert(s2.sql("SELECT count(*) FROM graft.cl.src").head().getLong(0) === 8L)
+      // a registry-name target refuses with a clear message
+      SnapshotCatalog.register("cl_reg", wh + "/cl/src")
+      try {
+        val e = intercept[Exception](s2.sql(
+          "CREATE TABLE nowhere SHALLOW CLONE cl_reg").collect())
+        assert(e.getMessage.contains("no storage mapping"))
+      } finally SnapshotCatalog.unregister("cl_reg")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("hidden-partitioned clone keeps the transform spec and prunes") {
     import spark.implicits._
     val base = tmp("hp")
