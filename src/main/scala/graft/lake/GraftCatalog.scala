@@ -448,7 +448,17 @@ object GraftCatalog {
 case class GraftTable(identName: String, path: String,
     pinnedVersion: Option[Long] = None, metaKind: Option[String] = None,
     readOnly: Boolean = false)
-  extends Table with SupportsWrite with SupportsMetadataColumns {
+  extends Table with SupportsWrite with SupportsMetadataColumns
+  with TruncatableTable {
+
+  /** `TRUNCATE TABLE cat.ns.t` → one metadata-only commit referencing
+    * zero files ([[SnapshotTable.truncate]]); O(1) at any size. */
+  override def truncateTable(): Boolean = {
+    require(metaKind.isEmpty && pinnedVersion.isEmpty && !readOnly,
+      s"TRUNCATE target $identName is not a writable snapshot table head")
+    SnapshotTable.truncate(spark, path)
+    true
+  }
 
   private def spark = SparkSession.active
 

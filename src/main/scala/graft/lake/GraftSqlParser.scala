@@ -364,6 +364,8 @@ case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
       case "optimize" =>
         SnapshotTable.compact(spark, path, numFiles = numFiles,
           zorderCols = zorderCols)
+      case "truncate" =>
+        SnapshotTable.truncate(spark, path)
       case other => throw new IllegalStateException(s"unknown maintenance op: $other")
     }
     Seq(Row(v))

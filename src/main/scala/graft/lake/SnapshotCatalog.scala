@@ -375,6 +375,18 @@ case class ResolveSnapshotRelation(spark: SparkSession) extends Rule[LogicalPlan
         case None => ac
       }
 
+    // TRUNCATE TABLE <registered>: catalog tables take the DSv2
+    // TruncatableTable path (GraftTable.truncateTable); registry
+    // names resolve here
+    case tt: TruncateTable =>
+      tt.table match {
+        case t: UnresolvedTable
+            if t.multipartIdentifier.size == 1 &&
+              SnapshotCatalog.pathOf(t.multipartIdentifier.head).isDefined =>
+          SnapshotMaintenanceCommand(t.multipartIdentifier, "truncate")
+        case _ => tt
+      }
+
     case dc: DropConstraint =>
       dc.table match {
         case t: UnresolvedTable

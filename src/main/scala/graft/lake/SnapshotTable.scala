@@ -3056,6 +3056,17 @@ object SnapshotTable {
     throw new ConcurrentCommitException(path, 20)
   }
 
+  /** TRUNCATE TABLE: remove every row as ONE metadata-only commit —
+    * no file is touched or deleted; the truncated version simply
+    * references zero files, so the operation is O(1) at any table
+    * size, earlier versions stay readable (time travel) and vacuum
+    * reclaims the orphaned files under normal retention. Schema,
+    * constraints, transforms, column mapping and the row-id/identity
+    * watermarks all survive — rows written after a truncate continue
+    * the id sequences (ids are lineage; never reused). */
+  def truncate(spark: SparkSession, path: String): Long =
+    publishMetadataCommit(spark, path, "truncate")(m => m.copy(entries = Nil))
+
   /** PARTITION EVOLUTION (Iceberg's evolve-partition-spec shape): a
     * metadata-only commit replacing the table's partition transforms.
     * Existing data files keep their old-era directory layout — no
