@@ -869,6 +869,55 @@ object EvQueries {
        |FROM ids WHERE rid < (SELECT k FROM cnt)
        |ORDER BY _row_id""".stripMargin
 
+  /** Deep clone + truncate lifecycle through pure SQL: tag the gold
+    * fact, `CREATE TABLE ... DEEP CLONE ... VERSION AS OF 'tag'` (an
+    * independent physical copy), then TRUNCATE the source (O(1)
+    * metadata commit) and reload it with one fresh row — the clone
+    * must still serve the tagged state byte-exactly while the source
+    * serves only the reload, and the source's pre-truncate version
+    * stays time-travelable. */
+  def cloneTruncateGate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ct-gate").toString
+    val cat = "evct_" + java.util.UUID.randomUUID.toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val gold = good(spark).select(col("sessionId"), col("kwhTotal")).persist()
+    try {
+      gold.createOrReplaceTempView("ev_ct_src")
+      spark.sql(s"CREATE NAMESPACE $cat.g")
+      spark.sql(s"CREATE TABLE $cat.g.fact (sessionId STRING, kwh DOUBLE) " +
+        "USING `graft-snapshot`")                                       // v1
+      spark.sql(s"INSERT INTO $cat.g.fact " +
+        "SELECT sessionId, kwhTotal FROM ev_ct_src")                    // v2
+      spark.sql(s"ALTER TABLE $cat.g.fact CREATE TAG base AS OF VERSION 2")
+      spark.sql(s"CREATE TABLE $cat.g.clone DEEP CLONE $cat.g.fact " +
+        "VERSION AS OF 'base'")
+      spark.sql(s"TRUNCATE TABLE $cat.g.fact")                          // v3
+      spark.sql(s"INSERT INTO $cat.g.fact VALUES ('fresh-1', CAST(42.0 AS DOUBLE))")
+      val ttOk = spark.sql(
+        s"SELECT count(*) FROM $cat.g.fact VERSION AS OF 2").head().getLong(0) ==
+        gold.count()
+      spark.sql(
+        s"""SELECT 'src' AS side, sessionId, round(kwh, 2) AS kwh FROM $cat.g.fact
+           |UNION ALL
+           |SELECT 'clone', sessionId, round(kwh, 2) FROM $cat.g.clone
+           |""".stripMargin)
+        .withColumn("tt_ok", lit(ttOk))
+        .orderBy("side", "sessionId", "kwh")
+    } finally { gold.unpersist(); () }
+  }
+
+  private val cloneTruncateSql =
+    s"""$prefix,
+       |gold AS (SELECT sessionId, kwhTotal FROM marked WHERE NOT is_bad)
+       |SELECT * FROM (
+       |  SELECT 'src' AS side, 'fresh-1' AS sessionId, 42.0 AS kwh, true AS tt_ok
+       |  UNION ALL
+       |  SELECT 'clone', sessionId, round(kwhTotal, 2), true FROM gold
+       |)
+       |ORDER BY side, sessionId, kwh""".stripMargin
+
   /** DML addressed by `_row_id` (the incremental-consumer correction
     * shape): on the ev45 clustered tracked fixture — where absolute
     * row ids equal the skey rank, so the oracle can compute them —
@@ -2739,5 +2788,6 @@ object EvQueries {
     QDef("ev47_sql_row_ids", sqlRowIdsGate, Some(sqlRowIdsSql)),
     QDef("ev48_merge_schema_evolution", mergeEvolutionGate, Some(mergeEvolutionSql)),
     QDef("ev49_dml_row_ids", dmlRowIdsGate, Some(dmlRowIdsSql)),
+    QDef("ev50_clone_truncate", cloneTruncateGate, Some(cloneTruncateSql)),
   )
 }
