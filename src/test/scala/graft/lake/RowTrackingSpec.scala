@@ -408,9 +408,9 @@ class RowTrackingSpec extends SparkTestBase {
     SnapshotTable.append(freshRows(6).toDF("k", "p", "v"), path, parts)
     // model: key -> id for rows whose identity must persist
     var model: Map[Int, Long] = idsByKey(path)
-    for (step <- 1 to 22) {
+    for (step <- 1 to 26) {
       val live = model.keys.toSeq.sorted
-      rnd.nextInt(9) match {
+      rnd.nextInt(11) match {
         case 0 => // append
           SnapshotTable.append(
             freshRows(1 + rnd.nextInt(3)).toDF("k", "p", "v"), path, parts)
@@ -446,6 +446,30 @@ class RowTrackingSpec extends SparkTestBase {
             path, Seq("k"))
         case 5 => // compact
           SnapshotTable.compact(spark, path, numFiles = 2)
+        case 9 if live.nonEmpty => // full-clause merge: conditional
+          // update one row, matched-DELETE another, star-insert a
+          // fresh one, NMBS-stamp the even keys
+          val k1 = live(rnd.nextInt(live.size))
+          val rest = live.filterNot(_ == k1)
+          val k2 = if (rest.nonEmpty) Some(rest(rnd.nextInt(rest.size))) else None
+          val src = (Seq((k1, s"c:${k1 % 3}", "up")) ++
+            k2.map(k => (k, s"c:${k % 3}", "del")) ++ freshRows(1))
+            .toDF("k", "p", "v")
+          SnapshotTable.mergeClauses(src, path, Seq("k"),
+            matched = Seq(
+              MergeUpdate(Some(col("s.v") === "up"),
+                Seq("v" -> lit(s"mc$step"))),
+              MergeDelete(Some(col("s.v") === "del"))),
+            notMatched = Seq(MergeInsert(None, Nil)),
+            notMatchedBySource = Seq(
+              MergeUpdate(Some(col("t.k") % 2 === 0),
+                Seq("v" -> lit(s"nm$step")))),
+            partitionCols = parts)
+          k2.foreach(model -= _)
+        case 10 if live.nonEmpty => // retire by stable row id
+          val k = live(rnd.nextInt(live.size))
+          SnapshotTable.deleteRowIds(Seq(model(k)).toDF("rid"), path)
+          model -= k
         case _ if live.nonEmpty => // deleteKeys
           val k = live(rnd.nextInt(live.size))
           SnapshotTable.deleteKeys(Seq(k).toDF("k"), path, Seq("k"))
