@@ -4865,11 +4865,16 @@ object SnapshotTable {
     // candidates' key columns, semi-joined against the distinct
     // source keys, shrinks it to the files that actually CONTAIN a
     // matching row. The extra job reads only the key columns of
-    // files that were about to be rewritten full-width, so it pays
-    // for itself whenever it drops even a small fraction of them;
-    // below `mergeExactFindingMin` candidates the conservative set
-    // is cheaper to rewrite than to re-scan (ScaleBench
-    // merge_statless measures both sides).
+    // files that were about to be rewritten full-width. Measured
+    // (ScaleBench merge_statless, 1M rows / 128 stat-less files /
+    // 50 keys): wall-clock is within host noise either way at this
+    // small-file scale (1.51s exact vs 1.73s conservative on one
+    // run, 1.09 vs 0.74 on a quieter one) while REWRITE IO drops
+    // 128 -> 41 files — and that saved IO scales with file WIDTH
+    // (the pre-scan reads one column; the rewrite reads+writes all),
+    // which is the 100 TB justification. Below
+    // `mergeExactFindingMin` candidates the pre-scan can't save
+    // enough to matter.
     val exactMin = sys.props.get("graft.snapshot.mergeExactFindingMin")
       .map(_.toInt).getOrElse(9)
     val exactOn = sys.props.get("graft.snapshot.mergeExactFinding")
