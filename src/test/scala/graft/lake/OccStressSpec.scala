@@ -78,6 +78,40 @@ class OccStressSpec extends SparkTestBase {
     assert((4L to 20L).forall(k => byK(k) === 0.0))
   }
 
+  test("conflicting CLAUSE merges: same write-skew guard, rerun converges") {
+    val path = Files.createTempDirectory("graft-occ-mc").toString + "/t"
+    SnapshotTable.append(
+      (1 to 20).map(i => (i.toLong, 0.0)).toDF("k", "v").coalesce(1), path)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    def wave(keys: Seq[Long], value: Double): Thread = new Thread(() => {
+      val src = keys.map((_, value)).toDF("k", "nv").coalesce(1)
+      def go(): Unit = SnapshotTable.mergeClauses(src, path, Seq("k"),
+        matched = Seq(MergeUpdate(Some(col("s.nv") > col("t.v")),
+          Seq("v" -> col("s.nv")))))
+      gate.await()
+      try go()
+      catch {
+        case t: Throwable if Option(t.getMessage)
+            .exists(_.contains("concurrent commit advanced")) =>
+          try go() catch { case u: Throwable => errs.add(u); () }
+        case t: Throwable => errs.add(t); ()
+      }
+    })
+    val a = wave(Seq(1L, 2L), 10.0)
+    val b = wave(Seq(2L, 3L), 20.0)
+    a.start(); b.start(); a.join(); b.join()
+    assert(errs.isEmpty, s"clause-merge contention broke: ${errs.peek()}")
+    val byK = SnapshotTable.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byK.size === 20, "clause-merge contention lost or duplicated rows")
+    // both conditions fire against v=0, and k=2's SECOND wave also
+    // fires against the first wave's value only if larger — so k=2
+    // must end at the MAX of whichever orders the CAS linearized
+    assert(byK(1L) === 10.0 && byK(3L) === 20.0 && byK(2L) === 20.0)
+    assert((4L to 20L).forall(k => byK(k) === 0.0))
+  }
+
   test("append racing a delete: the delete's rerun contract holds, no resurrection") {
     val path = Files.createTempDirectory("graft-occ-del").toString + "/t"
     SnapshotTable.append(
