@@ -895,11 +895,19 @@ object SnapshotTable {
     * attempt (data written, manifest never committed) leaves an orphan
     * dir that no manifest references.
     */
+  /** `txn`: Delta's idempotent-write shape (`txnAppId`/`txnVersion`)
+    * for foreachBatch writers — when the latest manifest already
+    * records `appId -> version' >= version`, the commit is a REPLAY
+    * and returns the current version without applying (checked before
+    * the data write, and re-checked inside the CAS loop with orphan
+    * cleanup); otherwise the watermark publishes atomically with the
+    * commit, so a crash can never double-apply an epoch. */
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
       carryOver: Seq[Entry] => Seq[Entry], maxAttempts: Int = 20,
       statsCols: Seq[String] = Nil, op: String = "append",
       newTransforms: Seq[PartitionTransform] = Nil,
-      opKeys: Seq[String] = Nil, ridCarried: Boolean = false): Long = {
+      opKeys: Seq[String] = Nil, ridCarried: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     // `__rid` is the row-tracking physical column: only the internal
     // rewrite paths may pass it (ridCarried), never user data
@@ -914,6 +922,11 @@ object SnapshotTable {
     // on that (rare) path.
     val prevMeta: Option[Manifest] = latestVersion(spark, path)
       .map(v => readManifestFull(spark, path, v))
+    // replay short-circuit BEFORE any data writes (see `txn` doc)
+    txn.foreach { case (app, ver) =>
+      if (prevMeta.exists(_.txns.get(app).exists(_ >= ver)))
+        return latestVersion(spark, path).getOrElse(0L)
+    }
     // a first commit CREATES a table — but never a branch: a write
     // through a stale handle after dropBranch (or a typo'd branch
     // name) must fail, not silently resurrect the ref as a fresh
@@ -1158,9 +1171,21 @@ object SnapshotTable {
             x
           }, Some(b))
       }
+      // a concurrent retry of the SAME epoch may have published while
+      // we were writing — abandon our unreferenced files and report
+      // the winner's version (exactly-once under races too)
+      txn.foreach { case (app, ver) =>
+        if (prevTxns.get(app).exists(_ >= ver)) {
+          val f = fs(spark, path)
+          f.delete(new Path(commitDir), true)
+          return version - 1
+        }
+      }
       if (publishManifest(spark, path, version, Manifest(
           Some(published), carryOver(previous) ++ addedOut, Some(op), prevCs,
-          tsOut, retiredOut, prevTxns, prevBloomCols, opKeys, cm, prevDropped,
+          tsOut, retiredOut,
+          txn.fold(prevTxns)(t => mergeTxns(prevTxns, Map(t))),
+          prevBloomCols, opKeys, cm, prevDropped,
           prevAuto, ridHighOut))) {
         // commit-time auto-compaction (Delta autoOptimize posture):
         // best-effort, never fails the user's commit, and skipped for
@@ -5082,7 +5107,8 @@ object SnapshotTable {
       notMatchedBySource: Seq[MergeMatchedClause] = Nil,
       targetAlias: String = "t", sourceAlias: String = "s",
       partitionCols: Seq[String] = Nil,
-      schemaEvolution: Boolean = false): Long = {
+      schemaEvolution: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     require(keyCols.nonEmpty, "mergeClauses needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
@@ -5111,6 +5137,12 @@ object SnapshotTable {
     }
     val base = latestVersion(spark, path).get
     val bm = readManifestFull(spark, path, base)
+    // idempotent-write gate (Delta txnAppId/txnVersion): a replayed
+    // epoch skips even the file-finding jobs; commit() re-checks
+    // atomically so a crash/race can never double-apply
+    txn.foreach { case (app, ver) =>
+      if (bm.txns.get(app).exists(_ >= ver)) return base
+    }
     val entries = bm.entries
     val fields = read(spark, path, Some(base)).schema.fields
     val genCols = generatedNamesOf(bm)
@@ -5322,7 +5354,7 @@ object SnapshotTable {
         s"concurrent commit advanced $path during merge — rerun the merge")
       prev.filterNot(e => rewriteSet(e.filePath))
     }, statsCols = statsOut, op = "merge", opKeys = keyCols,
-      ridCarried = ridTracked && rewriteEntries.nonEmpty)
+      ridCarried = ridTracked && rewriteEntries.nonEmpty, txn = txn)
     catch {
       case e: Throwable if raisedDup(e) => throw new IllegalArgumentException(dupMsg, e)
     }

@@ -278,6 +278,40 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CLAUSE-merge upsert sink: each microbatch runs one
+    * [[graft.lake.SnapshotTable.mergeClauses]] statement against the
+    * snapshot table — the conditional-upsert shape
+    * ("update only if newer, delete tombstones, insert the rest")
+    * that plain replace-merge cannot express. Unlike replace-merge,
+    * clause semantics are NOT naturally replay-idempotent (a matched
+    * DELETE followed by a replay would re-INSERT), so each epoch
+    * commits under a transaction watermark (Delta's txnAppId/
+    * txnVersion): the merge and the watermark publish atomically, a
+    * replayed epoch is skipped before any job runs, and a crash
+    * between commit and checkpoint can never double-apply. `appId`
+    * defaults to a checkpoint-derived identity, stable across
+    * restarts. */
+  def streamMergeClausesSnapshot(rows: DataFrame, tablePath: String,
+      keyCols: Seq[String],
+      matched: Seq[graft.lake.MergeMatchedClause] = Nil,
+      notMatched: Seq[graft.lake.MergeInsert] = Nil,
+      notMatchedBySource: Seq[graft.lake.MergeMatchedClause] = Nil,
+      checkpoint: String, appId: Option[String] = None): StreamingQuery = {
+    val app = appId.getOrElse(s"graft-merge-clauses:$checkpoint")
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val src = batch.dropDuplicates(keyCols)
+        if (!src.isEmpty)
+          graft.lake.SnapshotTable.mergeClauses(src, tablePath, keyCols,
+            matched, notMatched, notMatchedBySource,
+            txn = Some((app, epoch))): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming silver ETL: bronze CSVs arriving in a directory →
     * identical clean/validate logic as the batch job → per-microbatch
     * partitioned good/quarantine writes. Demonstrates that the

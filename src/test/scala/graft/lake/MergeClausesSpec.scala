@@ -343,6 +343,32 @@ class MergeClausesSpec extends SparkTestBase {
     assert(read(spark, path).count() === 120) // 119 live + 1 insert
   }
 
+  test("txn-gated clause merge: replayed epochs skip even non-idempotent clauses") {
+    import spark.implicits._
+    val path = tmp("txn")
+    SnapshotTable.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), path)
+    val src = Seq((1L, 5.0)).toDF("k", "dv")
+    // v = v + dv is NOT replay-idempotent — the watermark must gate it
+    val bump = Seq(MergeUpdate(None, Seq("v" -> (col("t.v") + col("s.dv")))))
+    def v1(): Double = read(spark, path).filter(col("k") === 1L)
+      .select("v").as[Double].head()
+    val c1 = mergeClauses(src, path, Seq("k"), matched = bump,
+      txn = Some(("app", 1L)))
+    assert(v1() === 15.0)
+    // exact replay and an OLDER epoch both skip (watermark semantics)
+    assert(mergeClauses(src, path, Seq("k"), matched = bump,
+      txn = Some(("app", 1L))) === c1)
+    assert(mergeClauses(src, path, Seq("k"), matched = bump,
+      txn = Some(("app", 0L))) === c1)
+    assert(v1() === 15.0)
+    // the next epoch applies; an unrelated app has its own watermark
+    mergeClauses(src, path, Seq("k"), matched = bump, txn = Some(("app", 2L)))
+    assert(v1() === 20.0)
+    mergeClauses(src, path, Seq("k"), matched = bump, txn = Some(("app2", 1L)))
+    assert(v1() === 25.0)
+    assert(SnapshotTable.streamTxnVersion(spark, path, "app") === Some(2L))
+  }
+
   test("SQL: full clause surface end-to-end through MERGE INTO") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession

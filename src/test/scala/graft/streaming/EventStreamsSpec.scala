@@ -403,4 +403,48 @@ class EventStreamsSpec extends SparkTestBase {
     assert(replayed.count() === 4, "replayed epoch must not duplicate rows")
     assert(replayed.filter(col("k") === 2).select("v").as[Double].head() === 25.0)
   }
+
+  test("streaming CLAUSE-merge sink: the txn watermark makes delete clauses exactly-once") {
+    import spark.implicits._
+    import graft.lake.{MergeDelete, MergeInsert, MergeUpdate}
+    val base = Files.createTempDirectory("graft-stream-mc")
+    val inDir = Files.createDirectory(base.resolve("in")).toString
+    val table = s"$base/fact"
+    graft.lake.SnapshotTable.append(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("k", "action", "v"), table)
+    def stage(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      rows.toDF("k", "action", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/stage-$name")
+      val part = Files.list(Paths.get(s"$base/stage-$name")).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, Paths.get(s"$inDir/$name.parquet")): Unit
+    }
+    // one wave: tombstone k=2, bump k=3, insert k=5
+    stage("w1", Seq((2L, "close", 0.0), (3L, "bump", 33.0), (5L, "new", 50.0)))
+    def open(dir: String, ckpt: String) =
+      EventStreams.streamMergeClausesSnapshot(
+        spark.readStream.schema("k LONG, action STRING, v DOUBLE").parquet(dir),
+        table, Seq("k"),
+        matched = Seq(
+          MergeDelete(Some(col("s.action") === "close")),
+          MergeUpdate(None, Seq("v" -> col("s.v")))),
+        notMatched = Seq(MergeInsert(None, Nil)),
+        checkpoint = ckpt, appId = Some("mc-sink-test"))
+    val q1 = open(inDir, s"$base/ckpt1")
+    try assert(q1.awaitTermination(120000)) finally q1.stop()
+    def state(): Map[Long, Double] = graft.lake.SnapshotTable.read(spark, table)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(state() === Map(1L -> 10.0, 3L -> 33.0, 5L -> 50.0))
+    // crash-retry shape: the SAME epoch redelivered under a FRESH
+    // checkpoint (epoch counter resets to 0 = already-committed 0).
+    // Without the watermark the tombstoned k=2 would RESURRECT as an
+    // insert — the delete clause is not replay-idempotent.
+    val re = Files.createDirectory(base.resolve("redeliver")).toString
+    Files.copy(Paths.get(s"$inDir/w1.parquet"), Paths.get(s"$re/w1.parquet"))
+    val q2 = open(re, s"$base/ckpt2")
+    try assert(q2.awaitTermination(120000)) finally q2.stop()
+    assert(state() === Map(1L -> 10.0, 3L -> 33.0, 5L -> 50.0),
+      "replayed epoch re-applied a non-idempotent clause")
+  }
 }
