@@ -4952,7 +4952,8 @@ object SnapshotTable {
     * the commit aborts (write-skew guard) — rerun the merge.
     */
   def merge(source: DataFrame, path: String, keyCols: Seq[String],
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // mirror the generated/identity source guards: on a tracked
     // target the rewrite carries its own __rid, and a source column
@@ -4966,10 +4967,16 @@ object SnapshotTable {
       "each target row may be updated by at most one source row"
     val base = latestVersion(spark, path) match {
       case None    => return commit(source, path, partitionCols, identity,
-                        statsCols = keyCols, op = "merge", opKeys = keyCols)
+                        statsCols = keyCols, op = "merge", opKeys = keyCols,
+                        txn = txn)
       case Some(v) => v
     }
     val bm = readManifestFull(spark, path, base)
+    // idempotent-write gate (see mergeClauses): replayed epochs skip
+    // the file-finding jobs; commit() re-checks atomically
+    txn.foreach { case (app, ver) =>
+      if (bm.txns.get(app).exists(_ >= ver)) return base
+    }
     val entries = bm.entries
 
     // a merge SOURCE must not carry generated columns — they are
@@ -5058,7 +5065,7 @@ object SnapshotTable {
         s"concurrent commit advanced $path during merge — rerun the merge")
       prev.filterNot(e => rewrite(e.filePath))
     }, statsCols = statsOut, op = "merge", opKeys = keyCols,
-      ridCarried = ridTracked && rewrite.nonEmpty)
+      ridCarried = ridTracked && rewrite.nonEmpty, txn = txn)
     catch {
       // surface the in-pass ambiguity guard as the API-level error
       // (the raise_error fires inside the rewrite job, wrapped in the
@@ -5492,11 +5499,17 @@ object SnapshotTable {
     * first column is used, cast to BIGINT; duplicates are harmless.
     */
   def deleteRowIds(ids: DataFrame, path: String,
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = ids.sparkSession
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val bm = readManifestFull(spark, path, base)
+    // idempotent-write gate: a replayed retirement wave (the
+    // foreachBatch consumer's crash-retry shape) skips entirely
+    txn.foreach { case (app, ver) =>
+      if (bm.txns.get(app).exists(_ >= ver)) return base
+    }
     require(bm.rowIdHigh.isDefined,
       s"row tracking is not enabled at $path — enableRowTracking first")
     val entries = bm.entries
@@ -5563,7 +5576,7 @@ object SnapshotTable {
       require(guardState(prev) == baseState,
         s"concurrent commit advanced $path during deleteRowIds — rerun")
       prev.filterNot(e => rewriteSet(e.filePath))
-    }, statsCols = statsOut, op = "delete", ridCarried = true)
+    }, statsCols = statsOut, op = "delete", ridCarried = true, txn = txn)
   }
 
   /** Row-level DELETE via deletion vectors (Delta DV / Iceberg-v3

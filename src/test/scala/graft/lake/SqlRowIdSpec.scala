@@ -197,6 +197,26 @@ class SqlRowIdSpec extends SparkTestBase {
       s"rid-stats pruning failed: rewrote all $total materialized files")
     assert(!SnapshotTable.readWithRowIds(s2, path)
       .select("_row_id").as[Long].collect().contains(one))
+    // txn-gated retirement: a replayed wave (same app+epoch) is a
+    // no-op even with different ids — the crash-retry shape of a
+    // foreachBatch consumer
+    val rem = SnapshotTable.readWithRowIds(s2, path)
+      .select("_row_id").as[Long].collect().sorted
+    val vA = SnapshotTable.deleteRowIds(
+      s2.createDataset(Seq(rem.head)).toDF("rid"), path,
+      txn = Some(("ret", 1L)))
+    assert(SnapshotTable.deleteRowIds(
+      s2.createDataset(Seq(rem(1))).toDF("rid"), path,
+      txn = Some(("ret", 1L))) === vA)
+    val after3 = SnapshotTable.readWithRowIds(s2, path)
+      .select("_row_id").as[Long].collect().toSet
+    assert(!after3.contains(rem.head) && after3.contains(rem(1)))
+    // the next epoch applies
+    SnapshotTable.deleteRowIds(
+      s2.createDataset(Seq(rem(1))).toDF("rid"), path,
+      txn = Some(("ret", 2L)))
+    assert(!SnapshotTable.readWithRowIds(s2, path)
+      .select("_row_id").as[Long].collect().contains(rem(1)))
   }
 
   test("untracked tables do not expose _row_id") {
