@@ -185,8 +185,12 @@ private object GraftSqlParser {
   // storage path derives from the warehouse mapping)
   private[lake] val CloneVersion = stmt(
     s"CREATE\\s+TABLE\\s+$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
+  // tag capture is permissive ([^']+): a tag created with dots or
+  // other punctuation must still match HERE so the clone command's
+  // tag lookup can raise its clear no-such-tag error, instead of
+  // falling through to the delegate parser's opaque syntax failure
   private[lake] val CloneTag = stmt(
-    s"CREATE\\s+TABLE\\s+$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T\\s+VERSION\\s+AS\\s+OF\\s+'(\\w[\\w-]*)'")
+    s"CREATE\\s+TABLE\\s+$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T\\s+VERSION\\s+AS\\s+OF\\s+'([^']+)'")
   private[lake] val Clone = stmt(
     s"CREATE\\s+TABLE\\s+$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T")
   // row tracking opt-in (Delta: SET TBLPROPERTIES delta.enableRowTracking;

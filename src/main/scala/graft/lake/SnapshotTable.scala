@@ -5196,14 +5196,40 @@ object SnapshotTable {
         checkAssigns("MERGE UPDATE SET", as, idCols); u
       case d: MergeDelete => d
     }
+    // NOT MATCHED BY SOURCE rows have NO source row: a source-alias
+    // reference (s.x) would resolve against the left-joined frame and
+    // silently read NULL (and a source-referencing CONDITION would
+    // silently coalesce to false) — refuse loudly, matching SQL's and
+    // Delta's rejection of source references in this clause family.
+    // A source-ONLY column name is an unambiguous source reference
+    // even unqualified; a name shared with the target resolves to the
+    // target side (its qualified form is legal NMBS input).
+    val srcOnlyCols = srcCols
+      .filterNot(n => fields.exists(_.name.equalsIgnoreCase(n)))
+    def checkNmbsExpr(what: String, c: Column): Unit = {
+      require(!org.apache.spark.sql.graftbridge.ColumnBridge
+          .referencesQualifiedBy(c, sourceAlias),
+        s"$what references the source alias '$sourceAlias' — NOT MATCHED " +
+          "BY SOURCE rows have no source row")
+      val hit = srcOnlyCols.filter(n =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.referencesName(c, n))
+      require(hit.isEmpty,
+        s"$what references source-only column(s) ${hit.mkString(", ")} — " +
+          "NOT MATCHED BY SOURCE rows have no source row")
+    }
     val nmbsX: Seq[MergeMatchedClause] = notMatchedBySource.map {
       case MergeUpdate(_, Nil) => throw new IllegalArgumentException(
         "WHEN NOT MATCHED BY SOURCE has no source row — UPDATE SET * is " +
           "meaningless there; assign explicit expressions")
       case u @ MergeUpdate(_, as) =>
-        checkAssigns("NOT MATCHED BY SOURCE UPDATE SET", as, idCols); u
+        checkAssigns("NOT MATCHED BY SOURCE UPDATE SET", as, idCols)
+        as.foreach { case (n, v) =>
+          checkNmbsExpr(s"NOT MATCHED BY SOURCE UPDATE SET $n", v) }
+        u
       case d: MergeDelete => d
     }
+    notMatchedBySource.foreach(_.condition.foreach(c =>
+      checkNmbsExpr("NOT MATCHED BY SOURCE condition", c)))
     val insertX: Seq[MergeInsert] = notMatched.map {
       case MergeInsert(c, Nil) => MergeInsert(c, starAssigns("INSERT", alwaysIds))
       case i @ MergeInsert(_, vs) =>
@@ -5223,6 +5249,12 @@ object SnapshotTable {
       else Set.empty
     val nmbsFiles: Set[String] =
       if (nmbsX.isEmpty) Set.empty
+      // An UNCONDITIONED NOT MATCHED BY SOURCE clause is a FULL-TABLE
+      // rewrite by semantics (every target row outside the source key
+      // set must be examined — Delta behaves the same). At 100 TB,
+      // condition the clause (e.g. on a partition/date bound) so file
+      // finding can prune; the conditioned branch below rewrites only
+      // files where some NMBS condition can hold.
       else if (nmbsX.exists(_.condition.isEmpty)) entries.map(_.filePath).toSet
       else {
         val pred = nmbsX.flatMap(_.condition)
@@ -5522,14 +5554,24 @@ object SnapshotTable {
     // against the id set with zero data IO. Only mat files whose
     // rewrite PREDATES rid stats fall back to the __rid-column scan.
     val (mat0, positional) = entries.partition(e => e.ridMat || e.rows < 0L)
-    val (matStat, mat) = mat0.partition(_.stats.exists(_._1 == RidCol))
+    val (matStat, mat) = mat0.partition(e =>
+      e.stats.exists(_._1 == RidCol) && e.rows >= 0L)
     val rangeRows: Seq[(String, Long, Long)] =
       positional.map(e => (e.filePath, e.rid.get, e.rid.get + e.rows)) ++
-        matStat.map { e =>
+        matStat.flatMap { e =>
           val (_, mn, mx) = e.stats.find(_._1 == RidCol).get
-          // footer stats are Doubles (exact for ids < 2^53); widen a
-          // unit each side so rounding can never skip a live id
-          (e.filePath, mn.floor.toLong - 1L, mx.ceil.toLong + 2L)
+          // footer stats are Doubles — exact below 2^53, above which
+          // one ulp exceeds 1 — so widen by the ulp at the magnitude
+          // plus a unit; rounding can then never skip a live id
+          val pad = 1L +
+            Math.ulp(Math.max(Math.abs(mn), Math.abs(mx))).toLong
+          Seq((e.filePath, mn.floor.toLong - pad, mx.ceil.toLong + pad + 1L),
+            // a rewrite can also INSERT rows (merge's not-matched
+            // clauses): those carry NULL __rid and read as the
+            // file's fresh base + position — values OUTSIDE the
+            // carried footer range — so the positional range
+            // [base, base + rows) is a candidate range too
+            (e.filePath, e.rid.get, e.rid.get + e.rows))
         }
     val hit: Set[String] =
       if (rangeRows.isEmpty) Set.empty

@@ -290,19 +290,30 @@ object EventStreams {
     * replayed epoch is skipped before any job runs, and a crash
     * between commit and checkpoint can never double-apply. `appId`
     * defaults to a checkpoint-derived identity, stable across
-    * restarts. */
+    * restarts.
+    *
+    * Duplicate keys WITHIN a microbatch: mergeClauses requires a
+    * unique-keyed source, so the batch is reduced to one row per key
+    * first. Pass `latestBy` (an ordering column, e.g. an event
+    * timestamp) to keep the row with the LARGEST value per key
+    * deterministically — the usual foreachBatch upsert pattern.
+    * Without it the sink falls back to `dropDuplicates(keyCols)`,
+    * which keeps an ARBITRARY row per key (nondeterministic across
+    * retries) — fine only when upstream guarantees at most one row
+    * per key per epoch. */
   def streamMergeClausesSnapshot(rows: DataFrame, tablePath: String,
       keyCols: Seq[String],
       matched: Seq[graft.lake.MergeMatchedClause] = Nil,
       notMatched: Seq[graft.lake.MergeInsert] = Nil,
       notMatchedBySource: Seq[graft.lake.MergeMatchedClause] = Nil,
-      checkpoint: String, appId: Option[String] = None): StreamingQuery = {
+      checkpoint: String, appId: Option[String] = None,
+      latestBy: Option[String] = None): StreamingQuery = {
     val app = appId.getOrElse(s"graft-merge-clauses:$checkpoint")
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val src = batch.dropDuplicates(keyCols)
+        val src = latestPerKey(batch, keyCols, latestBy)
         if (!src.isEmpty)
           graft.lake.SnapshotTable.mergeClauses(src, tablePath, keyCols,
             matched, notMatched, notMatchedBySource,
@@ -310,6 +321,20 @@ object EventStreams {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** One row per key: the max-`latestBy` row when an ordering column
+    * is given (deterministic up to ties on that column), else
+    * dropDuplicates' arbitrary pick. */
+  private def latestPerKey(batch: DataFrame, keyCols: Seq[String],
+      latestBy: Option[String]): DataFrame = latestBy match {
+    case None => batch.dropDuplicates(keyCols)
+    case Some(ord) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col(ord).desc_nulls_last)
+      batch.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
   }
 
   /** Streaming silver ETL: bronze CSVs arriving in a directory →

@@ -17,4 +17,13 @@ private[sql] object GraftColumnNodeBridge {
       node.collect { case ua: NodeAttr => ua.nameParts.lastOption }.flatten
     case _ => Nil
   }
+
+  /** Full name-part paths (qualifier included) of unresolved
+    * attributes inside a wrapped ColumnNode graph; empty for
+    * ordinary expressions. */
+  def nodeAttributeParts(e: Expression): Seq[Seq[String]] = e match {
+    case ColumnNodeExpression(node) =>
+      node.collect { case ua: NodeAttr => ua.nameParts }
+    case _ => Nil
+  }
 }

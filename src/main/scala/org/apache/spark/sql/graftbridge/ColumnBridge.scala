@@ -30,4 +30,19 @@ object ColumnBridge {
         org.apache.spark.sql.classic.GraftColumnNodeBridge
           .nodeAttributeNames(other).exists(_.equalsIgnoreCase(name))
     }
+
+  /** Does the column contain a QUALIFIED attribute reference whose
+    * leading qualifier is `alias` (e.g. `s`.`x` for alias "s")?
+    * Used to reject source-alias references in MERGE clause families
+    * that have no source row (NOT MATCHED BY SOURCE). Same two-form
+    * unwrap as [[referencesName]]. */
+  def referencesQualifiedBy(c: Column, alias: String): Boolean =
+    expression(c).exists {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.size > 1 && u.nameParts.head.equalsIgnoreCase(alias)
+      case other =>
+        org.apache.spark.sql.classic.GraftColumnNodeBridge
+          .nodeAttributeParts(other)
+          .exists(p => p.size > 1 && p.head.equalsIgnoreCase(alias))
+    }
 }

@@ -93,6 +93,18 @@ class DeepCloneSpec extends SparkTestBase {
       s2.sql("ALTER TABLE graft.cl.src CREATE TAG full AS OF VERSION 2")
       s2.sql("CREATE TABLE graft.cl.tagd DEEP CLONE graft.cl.src VERSION AS OF 'full'")
       assert(s2.sql("SELECT count(*) FROM graft.cl.tagd").head().getLong(0) === 10L)
+      // a DOTTED tag name (legal via the Scala API) must parse as a
+      // clone tag too: a missing one gets the clear graft-side error,
+      // not the delegate parser's opaque syntax failure
+      SnapshotTable.tag(s2, wh + "/cl/src", "rel.1-0", Some(2))
+      s2.sql("CREATE TABLE graft.cl.tagdot DEEP CLONE graft.cl.src " +
+        "VERSION AS OF 'rel.1-0'")
+      assert(s2.sql("SELECT count(*) FROM graft.cl.tagdot")
+        .head().getLong(0) === 10L)
+      val eTag = intercept[Exception](s2.sql(
+        "CREATE TABLE graft.cl.tagmiss DEEP CLONE graft.cl.src " +
+          "VERSION AS OF 'no.such.tag'").collect())
+      assert(eTag.getMessage.contains("no tag"))
       // divergence: writes to the deep clone never touch the source
       s2.sql("INSERT INTO graft.cl.deep SELECT 100L, 1.0")
       assert(s2.sql("SELECT count(*) FROM graft.cl.src").head().getLong(0) === 8L)

@@ -85,6 +85,36 @@ class MergeClausesSpec extends SparkTestBase {
       (3L, "c_stale", 30.0)))
   }
 
+  test("NOT MATCHED BY SOURCE refuses source references (alias and source-only names)") {
+    import spark.implicits._
+    val path = tmp("nmbsrc")
+    seed(path)
+    val src = Seq((1L, 11.0)).toDF("k", "nv")
+    // qualified source-alias reference in an NMBS assignment: there
+    // is NO source row in this family — it would silently assign NULL
+    val e1 = intercept[IllegalArgumentException](
+      mergeClauses(src, path, Seq("k"),
+        notMatchedBySource =
+          Seq(MergeUpdate(None, Seq("v" -> col("s.nv"))))))
+    assert(e1.getMessage.contains("source alias"))
+    // qualified source reference in an NMBS condition
+    val e2 = intercept[IllegalArgumentException](
+      mergeClauses(src, path, Seq("k"),
+        notMatchedBySource =
+          Seq(MergeDelete(Some(col("s.nv") > 0.0)))))
+    assert(e2.getMessage.contains("source alias"))
+    // UNQUALIFIED reference to a column only the source has is just
+    // as unambiguous a source reference
+    val e3 = intercept[IllegalArgumentException](
+      mergeClauses(src, path, Seq("k"),
+        notMatchedBySource =
+          Seq(MergeUpdate(None, Seq("v" -> (col("nv") + 1.0))))))
+    assert(e3.getMessage.contains("source-only"))
+    // nothing committed by any refused attempt
+    assert(state(path) === Seq((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
   test("insert-only merge with duplicate source keys is legal; matched clauses refuse them") {
     import spark.implicits._
     val path = tmp("dup")
@@ -140,6 +170,16 @@ class MergeClausesSpec extends SparkTestBase {
     assert((before intersect after).nonEmpty,
       "stats-prunable file was rewritten despite no clause reaching it")
     assert(state2(path) === Seq((1L, 9.0), (1000L, 10.0), (2000L, 20.0)))
+    // an UNCONDITIONED NMBS clause, by contrast, is a full-table
+    // rewrite by semantics — every pre-merge file must be replaced
+    // (the 100 TB guidance at the call site: condition the clause)
+    val preUncond = SnapshotTable.liveFiles(spark, path).toSet
+    mergeClauses(Seq((1L, 9.0)).toDF("k", "nv"), path, Seq("k"),
+      notMatchedBySource =
+        Seq(MergeUpdate(None, Seq("v" -> (col("t.v") + 0.0)))))
+    val postUncond = SnapshotTable.liveFiles(spark, path).toSet
+    assert((preUncond intersect postUncond).isEmpty,
+      "unconditioned NMBS must touch every live file (full-table rewrite)")
   }
 
   private def state2(path: String): Seq[(Long, Double)] = {

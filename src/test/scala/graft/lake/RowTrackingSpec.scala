@@ -131,6 +131,45 @@ class RowTrackingSpec extends SparkTestBase {
     assert(SnapshotTable.nextRowId(spark, path) > after.values.max)
   }
 
+  test("deleteRowIds retires merge-INSERTED rows in a MIXED rewritten file " +
+      "(ids above the carried __rid footer range)") {
+    val path = tmp()
+    SnapshotTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      rowTracking = true)
+    SnapshotTable.append((1 to 5).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1), path)
+    val before = idsByKey(path)
+    // ONE merge that both updates (k=2: carried row, materialized
+    // __rid) and inserts (k=6..10: NULL __rid, ids read as the fresh
+    // base + position): the rewritten file MIXES both families, so
+    // its __rid footer stats cover only the carried ids — the
+    // inserted rows' effective ids lie ABOVE that range
+    SnapshotTable.merge(
+      (Seq((2, "U2")) ++ (6 to 10).map(i => (i, s"N$i"))).toDF("k", "v"),
+      path, Seq("k"))
+    val after = idsByKey(path)
+    val mixed = SnapshotTable.readManifestFull(spark, path,
+        SnapshotTable.latestVersion(spark, path).get).entries
+      .filter(e => e.ridMat && e.stats.exists(_._1 == SnapshotTable.RidCol))
+    assert(mixed.nonEmpty,
+      "precondition: the rewritten file must carry __rid footer stats")
+    // target only inserted ids ABOVE the footer range's unit widening
+    // — exactly the ids a stats-only range prune would silently skip
+    val carriedMax = before.values.max
+    val victims = (6 to 10).map(after).filter(_ > carriedMax + 2)
+    assert(victims.nonEmpty,
+      "precondition: an inserted row must land past position 1")
+    SnapshotTable.deleteRowIds(victims.toDF("rid"), path)
+    val fin = idsByKey(path)
+    val goneKeys = (6 to 10).filter(k => victims.contains(after(k)))
+    goneKeys.foreach(k =>
+      assert(!fin.contains(k), s"inserted k=$k survived deleteRowIds"))
+    assert(fin.keySet === after.keySet -- goneKeys)
+    fin.foreach { case (k, id) => assert(id === after(k),
+      s"survivor k=$k renumbered by the mixed-file retirement") }
+  }
+
   test("compact preserves ids, including through an earlier DV delete") {
     val path = tmp()
     SnapshotTable.create(spark, path,

@@ -447,4 +447,36 @@ class EventStreamsSpec extends SparkTestBase {
     assert(state() === Map(1L -> 10.0, 3L -> 33.0, 5L -> 50.0),
       "replayed epoch re-applied a non-idempotent clause")
   }
+
+  test("clause-merge sink: latestBy keeps the newest row per key deterministically") {
+    import spark.implicits._
+    import graft.lake.{MergeInsert, MergeUpdate}
+    val base = Files.createTempDirectory("graft-stream-mcl")
+    val inDir = Files.createDirectory(base.resolve("in")).toString
+    val table = s"$base/fact"
+    graft.lake.SnapshotTable.append(
+      Seq((1L, 0L, 10.0)).toDF("k", "ts", "v"), table)
+    // one microbatch carrying THREE rows for k=1 and two for k=9:
+    // without an ordering column the winner is arbitrary; latestBy
+    // picks the max-ts row for each key
+    Seq((1L, 5L, 55.0), (1L, 9L, 99.0), (1L, 7L, 77.0),
+        (9L, 2L, 2.0), (9L, 3L, 3.0))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/stage")
+    val part = Files.list(Paths.get(s"$base/stage")).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, Paths.get(s"$inDir/w1.parquet"))
+    val q = EventStreams.streamMergeClausesSnapshot(
+      spark.readStream.schema("k LONG, ts LONG, v DOUBLE").parquet(inDir),
+      table, Seq("k"),
+      matched = Seq(MergeUpdate(None, Seq("ts" -> col("s.ts"), "v" -> col("s.v")))),
+      notMatched = Seq(MergeInsert(None, Nil)),
+      checkpoint = s"$base/ckpt", appId = Some("mc-latest-test"),
+      latestBy = Some("ts"))
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val got = graft.lake.SnapshotTable.read(spark, table)
+      .select("k", "ts", "v").as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 9L, 99.0), (9L, 3L, 3.0)),
+      "latestBy must keep exactly the max-ts row per key")
+  }
 }
