@@ -37,7 +37,8 @@ object PlanCheck {
       // how the TopBigramCount Long::sum fallback was caught).
       // Queries that run side-effecting snapshot commits during plan
       // construction are skipped — the gate runs them.
-      val sideEffecting = Set("q110_zorder_box", "q111_zorder_partitioned")
+      val sideEffecting = Set("q110_zorder_box", "q111_zorder_partitioned",
+        "q135_optimize_incremental")
       graft.functions.VectorFunctions.register(spark)
       var bad = 0
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -422,6 +422,89 @@ object ScaleBench {
             col("id").between(rwLo, rwLo + 49L)).count() == 0L)
         System.err.println(f"[scale] delete dv=$dvS%.2fs rewrite=$rwS%.2fs")
       },
+      timed("stream_clause_merge") {
+        // The streaming CLAUSE-merge sink (txn-watermarked
+        // conditional upsert) vs the replace-merge sink, as the
+        // scheduled-ingest mode runs them: E AvailableNow drains of
+        // one 50-row wave each into a 1M-row / 256-file clustered
+        // target. Contracts: per-epoch file touches stay pruned
+        // (each wave hits a narrow key range → a handful of files,
+        // never the table), and per-epoch cost is FLAT across epochs
+        // (the keyRewriteSet + clause rewrite must not accumulate
+        // state); the twin replace-merge timing calibrates the price
+        // of clause semantics + the txn watermark.
+        import java.nio.file.{Files => JF, Paths => JP}
+        val base = JF.createTempDirectory("graft-scale-scm")
+        def target(name: String): String = {
+          val p = s"$base/$name"
+          graft.lake.SnapshotTable.appendClustered(
+            spark.range(rows).select(col("id"),
+              (col("id") % 97).cast("double").as("v"), lit(0L).as("ts")),
+            p, "id", numFiles = 256)
+          p
+        }
+        val pClause = target("clause"); val pReplace = target("replace")
+        val inClause = JF.createDirectory(JP.get(s"$base/in-c")).toString
+        val inReplace = JF.createDirectory(JP.get(s"$base/in-r")).toString
+        val epochs = 6
+        def stage(inDir: String, e: Int): Unit = {
+          val lo = 4000L * e
+          spark.range(lo, lo + 50)
+            .select(col("id"), lit(e * 100.0).as("v"), lit(e.toLong).as("ts"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$base/stage")
+          import scala.jdk.CollectionConverters._
+          val part = JF.list(JP.get(s"$base/stage")).iterator.asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          JF.copy(part, JP.get(s"$inDir/w$e.parquet")): Unit
+        }
+        def src(inDir: String) = spark.readStream
+          .schema("id LONG, v DOUBLE, ts LONG").parquet(inDir)
+        def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+          try require(q.awaitTermination(300000), "stream drain timed out")
+          finally q.stop()
+        }
+        val perClause = (1 to epochs).map { e =>
+          stage(inClause, e)
+          val v1 = graft.lake.SnapshotTable.liveFiles(spark, pClause).toSet
+          val t0 = System.nanoTime()
+          drain(graft.streaming.EventStreams.streamMergeClausesSnapshot(
+            src(inClause), pClause, Seq("id"),
+            matched = Seq(graft.lake.MergeUpdate(
+              Some(col("s.ts") >= col("t.ts")),
+              Seq("v" -> col("s.v"), "ts" -> col("s.ts")))),
+            notMatched = Seq(graft.lake.MergeInsert(None, Nil)),
+            checkpoint = s"$base/ckpt-c", appId = Some("scale-scm"),
+            latestBy = Some("ts")))
+          val s = (System.nanoTime() - t0) / 1e9
+          val touched = (v1 --
+            graft.lake.SnapshotTable.liveFiles(spark, pClause).toSet).size
+          require(touched <= 8,
+            s"clause-merge sink epoch $e rewrote $touched files — pruning lost")
+          s
+        }
+        val perReplace = (1 to epochs).map { e =>
+          stage(inReplace, e)
+          val t0 = System.nanoTime()
+          drain(graft.streaming.EventStreams.streamMergeSnapshot(
+            src(inReplace), pReplace, Seq("id"), s"$base/ckpt-r"))
+          (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println(
+          f"[scale] stream_clause_merge per-epoch clause=" +
+            perClause.map(s => f"$s%.2f").mkString("/") +
+            "s replace=" + perReplace.map(s => f"$s%.2f").mkString("/") + "s")
+        // flatness: the mean of the last two epochs within 3x of the
+        // first two (generous for query-lifecycle noise; superlinear
+        // accumulation would blow straight past it)
+        val headC = (perClause(0) + perClause(1)) / 2
+        val tailC = (perClause(epochs - 2) + perClause(epochs - 1)) / 2
+        require(tailC <= headC * 3 + 1.0,
+          f"clause-merge sink per-epoch cost grew $headC%.2fs -> $tailC%.2fs")
+        val got = graft.lake.SnapshotTable.read(spark, pClause)
+          .filter(col("ts") > 0L).count()
+        require(got == epochs * 50L,
+          s"clause sink applied $got of ${epochs * 50} wave rows")
+      },
       timed("manifest_commit_scaling") {
         // The incremental-log posture at 10⁶-file scale, shrunk 10×:
         // two tables whose live-file lists differ 100× (10³ vs 10⁵

@@ -2424,6 +2424,7 @@ object EvQueries {
         col("numFiles").as("num_files"),
         concat_ws(",", col("partitionColumns")).as("partition_columns"),
         concat_ws(",", col("readerFeatures")).as("reader_features"),
+        concat_ws(",", col("writerFeatures")).as("writer_features"),
         col("numRows").as("num_rows"),
         (col("sizeInBytes") > 0L).as("has_size"))
     } finally SnapshotCatalog.unregister("ev37_dd")
@@ -2438,6 +2439,7 @@ object EvQueries {
        |  CAST(count(DISTINCT platform) AS BIGINT) AS num_files,
        |  'platform' AS partition_columns,
        |  'column-mapping' AS reader_features,
+       |  'check-constraints,column-mapping' AS writer_features,
        |  CAST(count(*) AS BIGINT) AS num_rows,
        |  true AS has_size
        |FROM gold""".stripMargin

@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   * and the Delta-shaped maintenance statements:
   *
   *   VACUUM t [KEEP n VERSIONS] [DRY RUN]
-  *   OPTIMIZE t [FILES n | ZORDER BY (c1, c2)]
+  *   OPTIMIZE t [FILES n | ZORDER BY (c1, c2) | INCREMENTAL]
   *   RESTORE [TABLE] t TO VERSION AS OF <n | 'tag'>
   *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
   *   SHOW BRANCHES [IN] t / SHOW TAGS [IN] t
@@ -87,6 +87,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OptimizeZorder(t, cols) =>
       SnapshotMaintenanceCommand(idents(t), "optimize",
         zorderCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case OptimizeIncremental(t) =>
+      SnapshotMaintenanceCommand(idents(t), "optimize_incremental")
     case OptimizeFiles(t, n) =>
       SnapshotMaintenanceCommand(idents(t), "optimize", numFiles = n.toInt)
     case Optimize(t) =>
@@ -177,6 +179,10 @@ private object GraftSqlParser {
   private[lake] val Vacuum = stmt(s"VACUUM\\s+$T")
   private[lake] val OptimizeZorder =
     stmt(s"OPTIMIZE\\s+$T\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)")
+  // liquid-clustering maintenance: cluster only files not yet marked
+  // under the recorded spec; settled files stay byte-identical
+  private[lake] val OptimizeIncremental =
+    stmt(s"OPTIMIZE\\s+$T\\s+INCREMENTAL")
   private[lake] val OptimizeFiles =
     stmt(s"OPTIMIZE\\s+$T\\s+FILES\\s+(\\d+)")
   private[lake] val Optimize = stmt(s"OPTIMIZE\\s+$T")
@@ -368,6 +374,8 @@ case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
       case "optimize" =>
         SnapshotTable.compact(spark, path, numFiles = numFiles,
           zorderCols = zorderCols)
+      case "optimize_incremental" =>
+        SnapshotTable.optimizeIncremental(spark, path)
       case "truncate" =>
         SnapshotTable.truncate(spark, path)
       case other => throw new IllegalStateException(s"unknown maintenance op: $other")
@@ -463,6 +471,8 @@ case class SnapshotDescribeDetailCommand(ident: Seq[String])
       MapType(StringType, StringType, valueContainsNull = false),
       nullable = false)(),
     AttributeReference("readerFeatures",
+      ArrayType(StringType, containsNull = false), nullable = false)(),
+    AttributeReference("writerFeatures",
       ArrayType(StringType, containsNull = false), nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {

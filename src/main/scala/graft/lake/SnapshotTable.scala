@@ -87,7 +87,14 @@ object SnapshotTable {
       blooms: Seq[(String, String)] = Nil,
       nulls: Seq[(String, Long)] = Nil,
       rid: Option[Long] = None,
-      ridMat: Boolean = false)
+      ridMat: Boolean = false,
+      /** Clustering mark (liquid-clustering shape): the spec-hash tag
+        * this file was last clustered under (`cl=` entry token).
+        * Rewritten files drop it (a rewrite loses physical order);
+        * [[optimizeIncremental]] re-clusters exactly the files whose
+        * tag differs from the CURRENT spec's hash — a spec change
+        * invalidates old marks without touching any entry. */
+      clusterTag: Option[String] = None)
 
   /** Physical name of the materialized row-id column rewritten files
     * carry. Never part of the recorded schema (user reads never see
@@ -260,7 +267,17 @@ object SnapshotTable {
       colmap: Map[String, String] = Map.empty,
       droppedPhys: Seq[String] = Nil,
       autoCompact: Option[(Int, Long)] = None,
-      rowIdHigh: Option[Long] = None) {
+      rowIdHigh: Option[Long] = None,
+      /** Liquid-clustering spec (`#clusterCols=`): the column list a
+        * full OPTIMIZE ... ZORDER BY recorded; [[optimizeIncremental]]
+        * clusters new files against it without touching settled data. */
+      clusterCols: Seq[String] = Nil,
+      /** RAW `#writerFeatures=` header as stored — populated ONLY by
+        * [[parseManifest]], never constructed; [[headerBlock]]
+        * re-derives at publish. Carried so the commit gate
+        * ([[requireWriterFeatures]]) judges what the file actually
+        * advertises, unknown (future-library) features included. */
+      writerFeatures: Seq[String] = Nil) {
     /** Physical (on-disk) name of a logical column. */
     def phys(c: String): String = colmap.getOrElse(c, c)
   }
@@ -402,7 +419,9 @@ object SnapshotTable {
         if (body.endsWith("#m")) (Some(body.dropRight(2).toLong), true)
         else (Some(body.toLong), false)
     }
-    val (bloomToks, afterBloom) = afterRid.partition(_.startsWith("bloom="))
+    val (clToks, afterCl) = afterRid.partition(_.startsWith("cl="))
+    val clusterTag = clToks.headOption.map(_.stripPrefix("cl="))
+    val (bloomToks, afterBloom) = afterCl.partition(_.startsWith("bloom="))
     val blooms = bloomToks.toSeq.map { t =>
       t.stripPrefix("bloom=").split("#", -1) match {
         case Array(c, payload) =>
@@ -431,7 +450,7 @@ object SnapshotTable {
     val stats = rest.grouped(3)
       .map { case Array(c, lo, hi) => (c, lo.toDouble, hi.toDouble) }.toSeq
     Entry(parts(0), parts(1), rows, stats, dv, sstats, blooms, nulls,
-      rid, ridMat)
+      rid, ridMat, clusterTag)
   }
 
   /** Raw parse of one version file: headers + its OWN entry lines.
@@ -493,6 +512,16 @@ object SnapshotTable {
     // (monotone across the whole history — see restore())
     val rowIdHigh = lines.find(_.startsWith("#rowIdHigh="))
       .map(_.stripPrefix("#rowIdHigh=").toLong)
+    val clusterCols = lines.find(_.startsWith("#clusterCols="))
+      .map(_.stripPrefix("#clusterCols=").split(",").toSeq
+        .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")))
+      .getOrElse(Nil)
+    // writer features are parsed but NOT gated here — unknown writer
+    // features must not block reads; the commit paths gate on them
+    // (requireWriterFeatures) before any write
+    val writerFeats = lines.find(_.startsWith("#writerFeatures="))
+      .map(_.stripPrefix("#writerFeatures=").split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
     val deltaBase = lines.find(_.startsWith("#delta="))
       .map(_.stripPrefix("#delta=").toLong)
     val adds = Seq.newBuilder[Entry]
@@ -503,7 +532,8 @@ object SnapshotTable {
       else adds += parseEntryLine(line)
     }
     (Manifest(schema, adds.result(), op, constraints, transforms, retired, txns,
-      bloomCols, opKeys, colmap, droppedPhys, autoCompact, rowIdHigh),
+      bloomCols, opKeys, colmap, droppedPhys, autoCompact, rowIdHigh,
+      clusterCols, writerFeats),
       deltaBase, removes.result())
   }
 
@@ -615,8 +645,8 @@ object SnapshotTable {
     * along, so a new Manifest field can never be silently dropped by
     * a publish site (the bug class the old 11-parameter signature
     * invited: fastForward once lost opKeys this way). */
-  private def publishManifest(spark: SparkSession, path: String, version: Long,
-      m: Manifest): Boolean = {
+  private[lake] def publishManifest(spark: SparkSession, path: String,
+      version: Long, m: Manifest): Boolean = {
     val f = fs(spark, path)
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
     val atomicScheme = !nonAtomicSchemes.contains(scheme) && !forceNonAtomic
@@ -629,6 +659,13 @@ object SnapshotTable {
         "serialize publishes — the safe multi-writer path — or guarantee a " +
         "single writer and set -Dgraft.snapshot.allowNonAtomicPublish=true.")
     f.mkdirs(new Path(logDir(path)))
+    // writer-features backstop: every commit path gates at its entry
+    // point (before file finding), but publish is the one funnel NO
+    // path can bypass — committing over a version that advertises an
+    // unimplemented writer feature would silently break the invariants
+    // that feature's consumers trust
+    if (version > 1 && f.exists(new Path(s"${logDir(path)}/v${version - 1}")))
+      requireWriterFeatures(readManifestFull(spark, path, version - 1), path)
     val entries = m.entries
     val fullBytes = manifestBytes(m)
     // Incremental log: publish a DELTA against v−1 when one exists
@@ -716,10 +753,71 @@ object SnapshotTable {
     b.result()
   }
 
+  /** Writer features this library implements — the WRITER half of the
+    * Delta table-features model, mirroring [[SupportedReaderFeatures]].
+    * A feature is writer-gated when a commit that IGNORES it corrupts
+    * an invariant every consumer then trusts: committing to a
+    * row-tracked table without advancing rid bases, to an identity
+    * table without assigning values, to a constrained table without
+    * enforcing the CHECK, to a mapped table under logical names, to a
+    * txn-watermarked table without honoring replay dedup. Every
+    * published version lists the features a writer must implement
+    * (`#writerFeatures=`, derived from manifest state, never mutable),
+    * and every commit path refuses a table whose header lists a
+    * feature outside this set — BEFORE file finding or data writes.
+    * Reading such a table stays allowed (ignoring a writer-only
+    * feature cannot change read results); that is the reader gate's
+    * job. Writer features are a superset of reader features: a writer
+    * must reconstruct current state to commit against it, so
+    * everything a reader needs, a writer needs. */
+  private[lake] val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures ++
+      Set("identity-columns", "generated-columns", "check-constraints",
+        "idempotent-writes", "clustering")
+
+  private def writerFeaturesOf(m: Manifest): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    b ++= readerFeaturesOf(m)
+    m.schema.foreach { sc =>
+      if (identityColumnsOf(sc).nonEmpty) b += "identity-columns"
+      if (generatedColumnsOf(sc).nonEmpty) b += "generated-columns"
+    }
+    if (m.constraints.nonEmpty) b += "check-constraints"
+    if (m.txns.nonEmpty) b += "idempotent-writes"
+    // a writer unaware of clustering would carry a rewritten file's
+    // stale `cl=` mark forward, making OPTIMIZE INCREMENTAL silently
+    // skip it — a write-side invariant, so writer-gated
+    if (m.clusterCols.nonEmpty || m.entries.exists(_.clusterTag.isDefined))
+      b += "clustering"
+    b.result()
+  }
+
+  /** The writer-features commit gate: refuse to commit against a
+    * manifest advertising a writer feature this library does not
+    * implement. Checked at every DML/DDL entry point right after the
+    * base-manifest load (before file finding or any data write) and
+    * again as an inescapable backstop inside [[publishManifest]] —
+    * the gate is against the RAW stored header (`m.writerFeatures`,
+    * populated only by parse), so a manifest written by a future
+    * library can never be committed over by one that would silently
+    * break its write-side invariants. */
+  private[lake] def requireWriterFeatures(m: Manifest, path: String): Unit = {
+    val unknown = m.writerFeatures.filterNot(SupportedWriterFeatures)
+    require(unknown.isEmpty,
+      s"table at $path requires writer feature(s) [${unknown.mkString(", ")}] " +
+        "this library does not implement (supported: " +
+        s"${SupportedWriterFeatures.toSeq.sorted.mkString(", ")}) — " +
+        "upgrade the library before writing; reads remain allowed")
+  }
+
   private def headerBlock(m: Manifest): String =
     (readerFeaturesOf(m) match {
       case Nil => ""
       case fs  => s"#readerFeatures=${fs.mkString(",")}\n"
+    }) +
+    (writerFeaturesOf(m) match {
+      case Nil => ""
+      case fs  => s"#writerFeatures=${fs.mkString(",")}\n"
     }) +
     m.schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
       m.op.map(o => s"#op=$o\n").getOrElse("") +
@@ -742,12 +840,16 @@ object SnapshotTable {
         s"#colsDropped=${m.droppedPhys.map(java.net.URLEncoder.encode(_, "UTF-8"))
           .mkString(",")}\n" else "") +
       m.autoCompact.map { case (n, r) => s"#autocompact=$n#$r\n" }.getOrElse("") +
+      (if (m.clusterCols.nonEmpty)
+        s"#clusterCols=${m.clusterCols.map(java.net.URLEncoder.encode(_, "UTF-8"))
+          .mkString(",")}\n" else "") +
       m.rowIdHigh.map(h => s"#rowIdHigh=$h\n").getOrElse("")
 
   private def entryLine(e: Entry): String = {
     val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
     val rid = e.rid.map(b =>
       if (e.ridMat) s"\trid=$b#m" else s"\trid=$b").getOrElse("")
+    val cl = e.clusterTag.map(t => s"\tcl=$t").getOrElse("")
     val dv = e.dv.map { case (p, n) =>
       s"\tdv=${java.net.URLEncoder.encode(p, "UTF-8")}#$n" }.getOrElse("")
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
@@ -761,7 +863,7 @@ object SnapshotTable {
     val stats = e.stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
     // rid must follow dv: the dv token is positional (first after
     // rows), the tagged tokens (rid/bloom/sstat/nulls) are not
-    s"${e.commitDir}\t${e.filePath}$rows$dv$rid$blooms$sstats$nulls$stats"
+    s"${e.commitDir}\t${e.filePath}$rows$dv$rid$cl$blooms$sstats$nulls$stats"
   }
 
   /** Serialized CHECKPOINT manifest (header lines + one entry line
@@ -907,7 +1009,9 @@ object SnapshotTable {
       statsCols: Seq[String] = Nil, op: String = "append",
       newTransforms: Seq[PartitionTransform] = Nil,
       opKeys: Seq[String] = Nil, ridCarried: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      clusterTag: Option[String] = None,
+      newClusterCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     // `__rid` is the row-tracking physical column: only the internal
     // rewrite paths may pass it (ridCarried), never user data
@@ -922,6 +1026,8 @@ object SnapshotTable {
     // on that (rare) path.
     val prevMeta: Option[Manifest] = latestVersion(spark, path)
       .map(v => readManifestFull(spark, path, v))
+    // writer-features gate BEFORE any data write (backstop in publish)
+    prevMeta.foreach(requireWriterFeatures(_, path))
     // replay short-circuit BEFORE any data writes (see `txn` doc)
     txn.foreach { case (app, ver) =>
       if (prevMeta.exists(_.txns.get(app).exists(_ >= ver)))
@@ -1026,12 +1132,12 @@ object SnapshotTable {
       // publishes first, the CAS fails and we re-read their manifest
       val version = latestVersion(spark, path).getOrElse(0L) + 1
       val (prevSchema, previous, prevCs, prevTs, prevRetired, prevTxns,
-          prevBloomCols, prevDropped, prevAuto, prevRidHigh) =
+          prevBloomCols, prevDropped, prevAuto, prevRidHigh, prevClusterCols) =
         if (version == 1L)
           (None, Nil, Map.empty[String, String],
             Seq.empty[PartitionTransform], Seq.empty[PartitionTransform],
             Map.empty[String, Long], Seq.empty[String], Seq.empty[String],
-            None: Option[(Int, Long)], None: Option[Long])
+            None: Option[(Int, Long)], None: Option[Long], Seq.empty[String])
         else {
           val m = readManifestFull(spark, path, version - 1)
           // our files were written under the PRE-WRITE mapping; a
@@ -1054,7 +1160,8 @@ object SnapshotTable {
             !m.schema.exists(_.fieldNames.contains(c)),
             s"concurrent add of column '$c' at $path during commit — rerun"))
           (m.schema, m.entries, m.constraints, m.transforms, m.retiredTransforms,
-            m.txns, m.bloomCols, m.droppedPhys, m.autoCompact, m.rowIdHigh)
+            m.txns, m.bloomCols, m.droppedPhys, m.autoCompact, m.rowIdHigh,
+            m.clusterCols)
         }
       // the partition spec may have CHANGED between our pre-write read
       // and this attempt (a concurrent evolvePartitionTransforms or
@@ -1181,12 +1288,18 @@ object SnapshotTable {
           return version - 1
         }
       }
+      val addedTagged = clusterTag match {
+        case None    => addedOut
+        case Some(t) => addedOut.map(_.copy(clusterTag = Some(t)))
+      }
       if (publishManifest(spark, path, version, Manifest(
-          Some(published), carryOver(previous) ++ addedOut, Some(op), prevCs,
+          Some(published), carryOver(previous) ++ addedTagged, Some(op), prevCs,
           tsOut, retiredOut,
           txn.fold(prevTxns)(t => mergeTxns(prevTxns, Map(t))),
           prevBloomCols, opKeys, cm, prevDropped,
-          prevAuto, ridHighOut))) {
+          prevAuto, ridHighOut,
+          clusterCols =
+            if (newClusterCols.nonEmpty) newClusterCols else prevClusterCols))) {
         // commit-time auto-compaction (Delta autoOptimize posture):
         // best-effort, never fails the user's commit, and skipped for
         // the compaction's own commits (no recursion)
@@ -1377,6 +1490,7 @@ object SnapshotTable {
       return (None, 0L)
     val mPrev = latestVersion(spark, path)
       .map(v => readManifestFull(spark, path, v))
+    mPrev.foreach(requireWriterFeatures(_, path))
     val cs: Map[String, String] = mPrev.map(_.constraints).getOrElse(Map.empty)
     // epoch files are physical; constraints and the split are logical.
     // The probe derives omitted GENERATED columns so a constraint over
@@ -1504,6 +1618,7 @@ object SnapshotTable {
       val prev =
         if (version == 1L) Manifest(None, Nil, None)
         else readManifestFull(spark, path, version - 1)
+      requireWriterFeatures(prev, path)
       // same guard as commit(): a first commit creates a TABLE, never
       // a branch — a stale handle after dropBranch must fail loudly
       require(branchOf(path).isEmpty || version > 1L,
@@ -3065,6 +3180,7 @@ object SnapshotTable {
       val base = latestVersion(spark, path)
         .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
       val cur = readManifestFull(spark, path, base)
+      requireWriterFeatures(cur, path)
       val m = mutate(cur)
       // txn watermarks are monotonic even across restore (which swaps
       // in an old manifest wholesale): an idempotent streaming writer
@@ -3697,7 +3813,10 @@ object SnapshotTable {
         "rowIdHighWatermark" -> h.toString)).getOrElse(Map.empty)
     val row = Row("graft-snapshot", path, v, createdAt, lastModified,
       partCols, m.entries.size.toLong, sizeInBytes, nRows, props,
-      readerFeaturesOf(m))
+      readerFeaturesOf(m),
+      // derived ∪ raw: a forged/future header rides along so DESCRIBE
+      // DETAIL shows exactly what a commit would be gated on
+      (writerFeaturesOf(m) ++ m.writerFeatures).distinct.sorted)
     val schema = StructType(Seq(
       StructField("format", StringType, nullable = false),
       StructField("location", StringType, nullable = false),
@@ -3713,6 +3832,8 @@ object SnapshotTable {
         MapType(StringType, StringType, valueContainsNull = false),
         nullable = false),
       StructField("readerFeatures",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("writerFeatures",
         ArrayType(StringType, containsNull = false), nullable = false)))
     spark.createDataFrame(java.util.Collections.singletonList(row), schema)
   }
@@ -3860,6 +3981,10 @@ object SnapshotTable {
         throw new IllegalArgumentException(s"no committed version at $sourcePath"))
     }
     val m = readManifestFull(spark, sourcePath, v)
+    // a clone is a writable fork of the source state: re-deriving the
+    // target's headers would silently drop (launder) a writer feature
+    // this library cannot uphold, so gate the SOURCE before forking
+    requireWriterFeatures(m, sourcePath)
     require(publishManifest(spark, targetPath, 1L,
       m.copy(op = Some("clone"), opKeys = Nil)),
       s"concurrent writer created $targetPath during shallowClone")
@@ -3887,6 +4012,7 @@ object SnapshotTable {
     val v = version.orElse(latestVersion(spark, sourcePath)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $sourcePath"))
     val m = readManifestFull(spark, sourcePath, v)
+    requireWriterFeatures(m, sourcePath)
     val realTarget = realPathOf(targetPath)
     val commitDir =
       s"$realTarget/data/c-${java.util.UUID.randomUUID.toString.take(12)}"
@@ -3978,6 +4104,9 @@ object SnapshotTable {
     require(latestVersion(spark, bh).isEmpty,
       s"branch '$name' already exists at $path")
     val m = readManifestFull(spark, path, v)
+    // same laundering hazard as clone: the fork manifest re-derives
+    // headers, so gate the source's writer features before forking
+    requireWriterFeatures(m, path)
     require(publishManifest(spark, bh, v,
       m.copy(op = Some("branch"), opKeys = Nil)),
       s"concurrent writer created branch '$name' during createBranch")
@@ -4252,7 +4381,7 @@ object SnapshotTable {
       .repartitionByRange(numFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
     commit(clustered, path, Nil, identity, statsCols = Seq(clusterCol),
-      op = "append_clustered")
+      op = "append_clustered", clusterTag = Some(clusterTagOf(Seq(clusterCol))))
   }
 
   /** Bits per dimension for the z-curve: capped at 16 and bounded so
@@ -4325,7 +4454,8 @@ object SnapshotTable {
   def appendZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
       numFiles: Int = 8, partitionCols: Seq[String] = Nil): Long =
     commit(zShape(df, clusterCols, numFiles, partitionCols), path, partitionCols,
-      identity, statsCols = clusterCols, op = "append_zordered")
+      identity, statsCols = clusterCols, op = "append_zordered",
+      clusterTag = Some(clusterTagOf(clusterCols)))
 
   /** Range read with file-level data skipping: only files whose
     * recorded [min, max] intersects [lo, hi] are opened (files with
@@ -4629,6 +4759,41 @@ object SnapshotTable {
     * posture). */
   private def guardState(es: Seq[Entry]): Set[(String, Option[(String, Long)])] =
     es.map(e => (e.filePath, e.dv)).toSet
+
+  /** OCC carry-over shared by the rewriting DMLs (merge, clause
+    * merge, delete, deleteKeys, deleteRowIds, update, compact) —
+    * Delta's ConflictChecker shape at its default WRITE-SERIALIZABLE
+    * isolation, at file granularity. When the CAS loses, the
+    * carry-over re-diffs the new head against the snapshot this DML
+    * planned on: if every (file, deletion-vector) state in OUR
+    * rewrite set is still live and unchanged, the concurrent commits
+    * touched only OTHER files — appends, disjoint-partition rewrites,
+    * DV adds elsewhere — and they compose through the carry-over, so
+    * the DML REBASES and commits instead of aborting (the
+    * append-during-merge case that dominates multi-writer traffic at
+    * scale; commit()'s CAS loop separately re-validates the metadata
+    * dimensions: colmap, identity/generated signature, transforms,
+    * concurrently-added constraints, schema drift). A concurrent
+    * removal or DV change of a file this DML rewrites means both
+    * commits decided about the same ROWS — that still aborts loudly
+    * and deterministically under the documented rerun contract. As in
+    * Delta's WriteSerializable, a blind append racing a key-driven
+    * DML is NOT a conflict even though the appended rows were not
+    * seen by the DML's file finding (writes serialize; reads may be
+    * one commit stale) — writers needing full serializability must
+    * serialize themselves. */
+  private def rebasingCarryOver(path: String, op: String,
+      base: Seq[Entry], rewriteSet: Set[String]): Seq[Entry] => Seq[Entry] = {
+    val claimed = guardState(base.filter(e => rewriteSet(e.filePath)))
+    prev => {
+      val lost = claimed.diff(guardState(prev))
+      require(lost.isEmpty,
+        s"concurrent commit advanced $path during $op and rewrote " +
+          s"${lost.size} file(s) this $op also rewrites " +
+          s"(e.g. ${lost.head._1}) — rerun the $op")
+      prev.filterNot(e => rewriteSet(e.filePath))
+    }
+  }
 
   /** Same scan plus `__graft_path` (raw `_metadata.file_path`) /
     * `__graft_idx` (row index) position columns. No DV is applied
@@ -4972,6 +5137,7 @@ object SnapshotTable {
       case Some(v) => v
     }
     val bm = readManifestFull(spark, path, base)
+    requireWriterFeatures(bm, path)
     // idempotent-write gate (see mergeClauses): replayed epochs skip
     // the file-finding jobs; commit() re-checks atomically
     txn.foreach { case (app, ver) =>
@@ -5056,15 +5222,12 @@ object SnapshotTable {
     val partCols =
       if (partitionCols.nonEmpty) partitionCols
       else inferPartitionCols(entries, rev)
-    val baseState = guardState(entries)
     def raisedDup(t: Throwable): Boolean =
       t != null && (Option(t.getMessage).exists(_.contains("duplicate keys")) ||
         raisedDup(t.getCause))
-    try commit(newData.drop(genCols: _*), path, partCols, prev => {
-      require(guardState(prev) == baseState,
-        s"concurrent commit advanced $path during merge — rerun the merge")
-      prev.filterNot(e => rewrite(e.filePath))
-    }, statsCols = statsOut, op = "merge", opKeys = keyCols,
+    try commit(newData.drop(genCols: _*), path, partCols,
+      rebasingCarryOver(path, "merge", entries, rewrite),
+      statsCols = statsOut, op = "merge", opKeys = keyCols,
       ridCarried = ridTracked && rewrite.nonEmpty, txn = txn)
     catch {
       // surface the in-pass ambiguity guard as the API-level error
@@ -5144,6 +5307,7 @@ object SnapshotTable {
     }
     val base = latestVersion(spark, path).get
     val bm = readManifestFull(spark, path, base)
+    requireWriterFeatures(bm, path)
     // idempotent-write gate (Delta txnAppId/txnVersion): a replayed
     // epoch skips even the file-finding jobs; commit() re-checks
     // atomically so a crash/race can never double-apply
@@ -5384,15 +5548,12 @@ object SnapshotTable {
     val partCols =
       if (partitionCols.nonEmpty) partitionCols
       else inferPartitionCols(entries, rev)
-    val baseState = guardState(entries)
     def raisedDup(t: Throwable): Boolean =
       t != null && (Option(t.getMessage).exists(_.contains("duplicate keys")) ||
         raisedDup(t.getCause))
-    try commit(newData.drop(genCols: _*), path, partCols, prev => {
-      require(guardState(prev) == baseState,
-        s"concurrent commit advanced $path during merge — rerun the merge")
-      prev.filterNot(e => rewriteSet(e.filePath))
-    }, statsCols = statsOut, op = "merge", opKeys = keyCols,
+    try commit(newData.drop(genCols: _*), path, partCols,
+      rebasingCarryOver(path, "merge", entries, rewriteSet),
+      statsCols = statsOut, op = "merge", opKeys = keyCols,
       ridCarried = ridTracked && rewriteEntries.nonEmpty, txn = txn)
     catch {
       case e: Throwable if raisedDup(e) => throw new IllegalArgumentException(dupMsg, e)
@@ -5421,6 +5582,7 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val bm = readManifestFull(spark, path, base)
+    requireWriterFeatures(bm, path)
     val entries = bm.entries
     // sqlAlias: the SQL path may qualify predicate columns with the
     // table name (`DELETE FROM t WHERE t.c = 1`) — aliasing the scan
@@ -5459,12 +5621,9 @@ object SnapshotTable {
       if (partitionCols.nonEmpty) partitionCols
       else inferPartitionCols(entries, rev)
     val rewriteSet = rewrite.map(_.filePath).toSet
-    val baseState = guardState(entries)
-    commit(survivors, path, partCols, prev => {
-      require(guardState(prev) == baseState,
-        s"concurrent commit advanced $path during delete — rerun the delete")
-      prev.filterNot(e => rewriteSet(e.filePath))
-    }, statsCols = statsOut, op = "delete", ridCarried = ridTracked)
+    commit(survivors, path, partCols,
+      rebasingCarryOver(path, "delete", entries, rewriteSet),
+      statsCols = statsOut, op = "delete", ridCarried = ridTracked)
   }
 
   /** Distributed key-set DELETE — `MERGE ... WHEN MATCHED THEN
@@ -5491,6 +5650,7 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val bm = readManifestFull(spark, path, base)
+    requireWriterFeatures(bm, path)
     val entries = bm.entries
     val rewrite = keyRewriteSet(spark, path, base, entries, source, keyCols)
     if (rewrite.isEmpty) return base
@@ -5508,12 +5668,9 @@ object SnapshotTable {
     val partCols =
       if (partitionCols.nonEmpty) partitionCols
       else inferPartitionCols(entries, rev)
-    val baseState = guardState(entries)
-    commit(survivors, path, partCols, prev => {
-      require(guardState(prev) == baseState,
-        s"concurrent commit advanced $path during deleteKeys — rerun")
-      prev.filterNot(e => rewrite(e.filePath))
-    }, statsCols = statsOut, op = "delete_keys", ridCarried = ridTracked)
+    commit(survivors, path, partCols,
+      rebasingCarryOver(path, "deleteKeys", entries, rewrite),
+      statsCols = statsOut, op = "delete_keys", ridCarried = ridTracked)
   }
 
   /** Distributed ROW-ID-set DELETE on a tracked table — the
@@ -5537,6 +5694,7 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val bm = readManifestFull(spark, path, base)
+    requireWriterFeatures(bm, path)
     // idempotent-write gate: a replayed retirement wave (the
     // foreachBatch consumer's crash-retry shape) skips entirely
     txn.foreach { case (app, ver) =>
@@ -5613,12 +5771,9 @@ object SnapshotTable {
       if (partitionCols.nonEmpty) partitionCols
       else inferPartitionCols(entries, rev)
     val rewriteSet = rewrite.map(_.filePath).toSet
-    val baseState = guardState(entries)
-    commit(survivors, path, partCols, prev => {
-      require(guardState(prev) == baseState,
-        s"concurrent commit advanced $path during deleteRowIds — rerun")
-      prev.filterNot(e => rewriteSet(e.filePath))
-    }, statsCols = statsOut, op = "delete", ridCarried = true, txn = txn)
+    commit(survivors, path, partCols,
+      rebasingCarryOver(path, "deleteRowIds", entries, rewriteSet),
+      statsCols = statsOut, op = "delete", ridCarried = true, txn = txn)
   }
 
   /** Row-level DELETE via deletion vectors (Delta DV / Iceberg-v3
@@ -5640,6 +5795,7 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val m = readManifestFull(spark, path, base)
+    requireWriterFeatures(m, path)
     // live rows with positions: existing DVs applied so an already
     // -dead row can never be re-deleted or double-counted
     val withPos = readWithPositions(spark, m.entries, m.schema, m.colmap)
@@ -5656,22 +5812,50 @@ object SnapshotTable {
     val byFile: Map[String, Array[Long]] = matched.collect()
       .groupBy(_.getString(0)).view
       .mapValues(_.map(_.getLong(1)).sorted).toMap
-    val newEntries = m.entries.map { e =>
-      byFile.get(keyOf(e.filePath)) match {
-        case None => e
-        case Some(fresh) =>
-          val existing = e.dv.map(d => readDv(spark, path, d._1))
-            .getOrElse(Array.empty[Long])
-          val merged = (existing ++ fresh).distinct.sorted
-          e.copy(dv = Some((writeDv(spark, path, merged), merged.length.toLong)))
+    // merged DVs are computed ONCE against the planning snapshot; the
+    // rebase below only ever republishes them while the touched files'
+    // (file, dv) states are PROVABLY unchanged, so the positions stay
+    // valid across rebases by construction
+    // keyed by the ENTRY path (not the scan key): concurrent-added
+    // entries seen on a rebase never pass through keyOf, whose
+    // percent-encoded fallback only knows the planning snapshot
+    val dvByKey: Map[String, (String, Long)] = m.entries.flatMap { e =>
+      byFile.get(keyOf(e.filePath)).map { fresh =>
+        val existing = e.dv.map(d => readDv(spark, path, d._1))
+          .getOrElse(Array.empty[Long])
+        val merged = (existing ++ fresh).distinct.sorted
+        e.filePath -> (writeDv(spark, path, merged), merged.length.toLong)
       }
+    }.toMap
+    val claimed = m.entries.filter(e => byFile.contains(keyOf(e.filePath)))
+      .map(e => (e.filePath, e.dv)).toSet
+    // OCC with auto-rebase (same WriteSerializable file-granularity
+    // contract as rebasingCarryOver): a concurrent commit that touched
+    // only OTHER files composes — rebuild the entry list from the new
+    // head and retry; a removal or DV change of a file this delete
+    // targets aborts loudly (our positions would be stale)
+    var attempt = 0
+    while (attempt < 20) {
+      val v = latestVersion(spark, path).get
+      val cur = if (v == base) m else readManifestFull(spark, path, v)
+      val lost = claimed.diff(guardState(cur.entries))
+      require(lost.isEmpty,
+        s"concurrent commit advanced $path during deleteWithVectors and " +
+          s"changed ${lost.size} file(s) this delete also targets " +
+          s"(e.g. ${lost.head._1}) — rerun")
+      val newEntries = cur.entries.map { e =>
+        dvByKey.get(e.filePath) match {
+          case None     => e
+          case Some(dv) => e.copy(dv = Some(dv))
+        }
+      }
+      if (publishManifest(spark, path, v + 1, cur.copy(
+          entries = newEntries, op = Some("delete_dv"), opKeys = Nil)))
+        return v + 1
+      attempt += 1
+      Thread.sleep(scala.util.Random.nextInt(50).toLong + 10)
     }
-    // single-attempt CAS at base+1: a concurrent commit means our
-    // positions may be stale (same policy as delete's rerun guard)
-    require(publishManifest(spark, path, base + 1, m.copy(
-      entries = newEntries, op = Some("delete_dv"), opKeys = Nil)),
-      s"concurrent commit advanced $path during deleteWithVectors — rerun")
-    base + 1
+    throw new ConcurrentCommitException(path, 20)
   }
 
   /** Auto-tiered DELETE (Delta's behavior): probe the matched-row
@@ -5740,6 +5924,7 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val bm = readManifestFull(spark, path, base)
+    requireWriterFeatures(bm, path)
     val entries = bm.entries
     def aliased(df: DataFrame): DataFrame = sqlAlias.fold(df)(df.alias(_))
     val fields = read(spark, path, Some(base)).schema.fields
@@ -5794,12 +5979,9 @@ object SnapshotTable {
       if (partitionCols.nonEmpty) partitionCols
       else inferPartitionCols(entries, rev)
     val rewriteSet = rewrite.map(_.filePath).toSet
-    val baseState = guardState(entries)
-    commit(updated.drop(genCols: _*), path, partCols, prev => {
-      require(guardState(prev) == baseState,
-        s"concurrent commit advanced $path during update — rerun the update")
-      prev.filterNot(e => rewriteSet(e.filePath))
-    }, statsCols = statsOut, op = "update", ridCarried = ridTracked)
+    commit(updated.drop(genCols: _*), path, partCols,
+      rebasingCarryOver(path, "update", entries, rewriteSet),
+      statsCols = statsOut, op = "update", ridCarried = ridTracked)
   }
 
   /** Maintenance compaction: rewrite the CURRENT table state into
@@ -5832,6 +6014,7 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val mFull = readManifestFull(spark, path, base)
+    requireWriterFeatures(mFull, path)
     val entries = mFull.entries
     // raw read (hidden partition columns kept): zShape clusters
     // within partitions and needs them present; commit() re-derives
@@ -5856,12 +6039,81 @@ object SnapshotTable {
       ((entries.flatMap(_.stats.map(_._1)) ++
         entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))
         ++ clusterCol ++ zorderCols).distinct
-    val baseState = guardState(entries)
-    commit(shaped, path, partCols, prev => {
-      require(guardState(prev) == baseState,
-        s"concurrent commit advanced $path during compaction — rerun")
-      Nil
-    }, statsCols = statsOut, op = "compact", ridCarried = ridTracked)
+    // a full clustered rewrite marks its outputs and records the spec
+    // so OPTIMIZE INCREMENTAL can later cluster only NEW files
+    val spec = if (zorderCols.nonEmpty) zorderCols else clusterCol.toSeq
+    commit(shaped, path, partCols,
+      rebasingCarryOver(path, "compaction", entries,
+        entries.map(_.filePath).toSet),
+      statsCols = statsOut, op = "compact", ridCarried = ridTracked,
+      clusterTag = if (spec.nonEmpty) Some(clusterTagOf(spec)) else None,
+      newClusterCols = spec)
+  }
+
+  /** Spec-hash mark stored per clustered file (`cl=` token): 16-hex
+    * of the canonical column list. Changing the spec changes the tag,
+    * so files clustered under an OLD spec read as unclustered without
+    * any entry rewrite. */
+  private[lake] def clusterTagOf(cols: Seq[String]): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(cols.mkString(" ")).toLong & 0xffffffffL}%08x"
+
+  /** INCREMENTAL CLUSTERING (the liquid-clustering maintenance
+    * shape): rewrite ONLY the files not yet clustered under the
+    * table's recorded spec — new appends, DML rewrites (which drop
+    * their `cl=` mark), and files from an older spec — z-shaping them
+    * against the SAME key space, and leave settled files untouched
+    * (their paths stay byte-identical, so 100 TB maintenance cost
+    * scales with NEW data, not table size; the stats/skipping benefit
+    * still lands because readWhere prunes per file). The spec comes
+    * from the last full `OPTIMIZE ... ZORDER BY` / clustered compact,
+    * or is (re)recorded by passing `zorderCols`. `numFiles <= 0`
+    * sizes the output from the stale row count (~1M rows per file).
+    * No-op (returns the current version) when everything is already
+    * clustered. */
+  def optimizeIncremental(spark: SparkSession, path: String,
+      zorderCols: Seq[String] = Nil, numFiles: Int = 0,
+      partitionCols: Seq[String] = Nil): Long = {
+    val base = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val m = readManifestFull(spark, path, base)
+    requireWriterFeatures(m, path)
+    val spec = if (zorderCols.nonEmpty) zorderCols else m.clusterCols
+    require(spec.nonEmpty,
+      s"no clustering columns recorded at $path — run " +
+        "OPTIMIZE ... ZORDER BY (...) once or pass zorderCols")
+    val tag = clusterTagOf(spec)
+    val stale = m.entries.filter(!_.clusterTag.contains(tag))
+    if (stale.isEmpty && m.clusterCols == spec) return base
+    val ridTracked = m.rowIdHigh.isDefined
+    val rev = m.colmap.map(_.swap)
+    val partCols =
+      if (partitionCols.nonEmpty) partitionCols
+      else inferPartitionCols(m.entries, rev)
+    if (stale.isEmpty)
+      // spec (re)recorded with no files to move: metadata-only commit
+      return publishMetadataCommit(spark, path, "optimize_incremental")(
+        cur => cur.copy(clusterCols = spec))
+    val current =
+      if (ridTracked) readGroupsWithRid(spark, stale, m.schema, m.colmap)
+      else readGroups(spark, stale, m.schema, m.colmap)
+    val staleRows = stale.map(e => math.max(e.rows, 0L)).sum
+    val outFiles =
+      if (numFiles > 0) numFiles
+      else math.max(1L, (staleRows + (1L << 20) - 1) / (1L << 20)).toInt
+    val shaped =
+      if (spec.size >= 2) zShape(current, spec, outFiles, partCols)
+      else current.repartitionByRange(outFiles, col(spec.head))
+        .sortWithinPartitions(spec.head)
+    val statsOut =
+      ((stale.flatMap(_.stats.map(_._1)) ++
+        stale.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))
+        ++ spec).distinct
+    commit(shaped, path, partCols,
+      rebasingCarryOver(path, "optimize_incremental", m.entries,
+        stale.map(_.filePath).toSet),
+      statsCols = statsOut, op = "optimize_incremental",
+      ridCarried = ridTracked,
+      clusterTag = Some(tag), newClusterCols = spec)
   }
 
   /** Opt a table into COMMIT-TIME AUTO-COMPACTION (Delta

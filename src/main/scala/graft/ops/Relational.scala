@@ -2443,9 +2443,70 @@ object Relational {
       |  AND l_partkey BETWEEN 100 AND 1000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** INCREMENTAL CLUSTERING gate (liquid-clustering maintenance):
+    * half the table is z-ordered by a full `OPTIMIZE ... ZORDER BY`
+    * (records the spec, marks its outputs), the other half appends
+    * unclustered, and `OPTIMIZE t INCREMENTAL` clusters ONLY the new
+    * files — the settled files' paths are required byte-identical
+    * across the pass, a second pass is required to be a version-level
+    * no-op, and the final box read (which the oracle recomputes over
+    * the raw rows) must still prune files. The 100 TB point:
+    * maintenance cost scales with NEW data, never with table size. */
+  def optimizeIncrementalGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-incl-gate").toString + "/t"
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    // modulo split: BOTH halves are non-empty at every scale factor
+    // (an absolute orderkey split degenerates to an empty wave at
+    // sf0.001, and z-ordering an empty frame is refused loudly)
+    SnapshotTable.append(
+      li.filter(col("l_orderkey") % 7 < 4).repartition(4), path)     // v1
+    SnapshotCatalog.register("q135_oi", path)
+    try {
+      spark.sql("OPTIMIZE q135_oi ZORDER BY (l_orderkey, l_partkey)") // v2
+      val settled = SnapshotTable.liveFiles(spark, path).toSet
+      SnapshotTable.append(
+        li.filter(col("l_orderkey") % 7 >= 4).repartition(3), path)  // v3
+      spark.sql("OPTIMIZE q135_oi INCREMENTAL")                      // v4
+      val after = SnapshotTable.liveFiles(spark, path).toSet
+      require(settled.subsetOf(after),
+        "incremental clustering rewrote settled files")
+      require((after -- settled).nonEmpty,
+        "incremental clustering produced no clustered output")
+      // a second pass with nothing stale must be a version-level no-op
+      val v = SnapshotTable.latestVersion(spark, path).get
+      spark.sql("OPTIMIZE q135_oi INCREMENTAL")
+      require(SnapshotTable.latestVersion(spark, path).get == v,
+        "re-running INCREMENTAL on a settled table must be a no-op")
+      require(SnapshotTable.liveFiles(spark, path).toSet == after)
+      // the clustered layout skips: the box read must not open every
+      // file. Bounds are RELATIVE (bottom quarter of the key range) so
+      // the box is selective at every scale factor — the testdata's
+      // orderkeys are dense, an absolute bound covers the whole table
+      // at sf0.001
+      val maxOk = li.agg(max("l_orderkey")).head().getLong(0)
+      val (df, opened) = SnapshotTable.readBox(spark, path,
+        Seq(("l_orderkey", 1.0, (maxOk / 4).toDouble)))
+      require(opened < after.size,
+        s"box read opened all $opened of ${after.size} files — skipping lost")
+      df.orderBy("l_orderkey", "l_linenumber")
+    } finally SnapshotCatalog.unregister("q135_oi")
+  }
+
+  private val optimizeIncrementalGateSql =
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1 AND
+      |  (SELECT max(l_orderkey) // 4 FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q110_zorder_box", zorderBoxRead, Some(zorderBoxReadSql)),
+    QDef("q135_optimize_incremental", optimizeIncrementalGate,
+      Some(optimizeIncrementalGateSql)),
     QDef("q111_zorder_partitioned", zorderPartitionedRead, Some(zorderPartitionedReadSql)),
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
     QDef("q02_scan_projection", scanProjection, Some(scanProjectionSql)),

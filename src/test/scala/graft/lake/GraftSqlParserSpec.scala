@@ -123,10 +123,19 @@ class GraftSqlParserSpec extends SparkTestBase {
     assert(SnapshotTable.read(s2, path).count() === 10)
     assert(s2.sql("OPTIMIZE psql_mnt ZORDER BY (v, w)").head().getLong(0) === 4L)
 
+    // OPTIMIZE INCREMENTAL clusters ONLY files not yet marked under
+    // the spec the ZORDER run recorded; the settled files stay put
+    val settled = SnapshotTable.liveFiles(s2, path).toSet
+    SnapshotTable.append(mk2("c"), path, Seq("event_date"))          // v5
+    assert(s2.sql("OPTIMIZE psql_mnt INCREMENTAL").head().getLong(0) === 6L)
+    assert(settled.subsetOf(SnapshotTable.liveFiles(s2, path).toSet),
+      "INCREMENTAL rewrote settled files")
+    assert(SnapshotTable.read(s2, path).count() === 15)
+
     // VACUUM trims history to the kept window
-    assert(s2.sql("VACUUM psql_mnt KEEP 1 VERSIONS").head().getLong(0) === 4L)
-    assert(SnapshotTable.versions(s2, path) === Seq(4L))
-    assert(SnapshotTable.read(s2, path).count() === 10)
+    assert(s2.sql("VACUUM psql_mnt KEEP 1 VERSIONS").head().getLong(0) === 6L)
+    assert(SnapshotTable.versions(s2, path) === Seq(6L))
+    assert(SnapshotTable.read(s2, path).count() === 15)
   }
 
   test("VACUUM ... DRY RUN lists exactly what the real vacuum then reclaims, deleting nothing") {

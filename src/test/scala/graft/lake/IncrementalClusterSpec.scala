@@ -1,0 +1,115 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** INCREMENTAL CLUSTERING (the liquid-clustering maintenance shape):
+  * a full OPTIMIZE ... ZORDER records the spec (`#clusterCols=`) and
+  * marks its outputs (`cl=<spec-hash>` entry token); OPTIMIZE
+  * INCREMENTAL then rewrites ONLY files not marked under the current
+  * spec — settled files stay byte-identical, re-running is a no-op,
+  * rewrites drop their mark (a rewrite loses physical order) and are
+  * picked up by the next incremental pass, and a spec change
+  * invalidates every old mark without touching an entry. */
+class IncrementalClusterSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"graft-incl-$tag").toString + "/t"
+
+  private def live(path: String): Set[String] =
+    SnapshotTable.liveFiles(spark, path).toSet
+
+  private def mk(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, (i * 7 % 100).toLong, s"r$i"))
+      .toDF("a", "b", "s")
+
+  test("incremental pass clusters only new files; settled files byte-identical") {
+    val path = fresh("main")
+    SnapshotTable.append(mk(0, 1000).repartition(4), path)
+    // full clustered rewrite: records the spec, marks the outputs
+    SnapshotTable.compact(spark, path, numFiles = 2,
+      zorderCols = Seq("a", "b"))
+    val settled = live(path)
+    // new unclustered waves
+    SnapshotTable.append(mk(1000, 1200).repartition(3), path)
+    val withWave = live(path)
+    assert(settled.subsetOf(withWave) && (withWave -- settled).size === 3)
+    val v = SnapshotTable.optimizeIncremental(spark, path)
+    val after = live(path)
+    // settled files untouched (paths byte-identical), wave files gone
+    assert(settled.subsetOf(after), "incremental pass rewrote settled files")
+    assert((withWave -- settled).intersect(after).isEmpty,
+      "incremental pass left unclustered files unmarked/unmoved")
+    assert(SnapshotTable.read(spark, path).count() === 1200)
+    // re-running with nothing stale is a no-op: same version, same files
+    assert(SnapshotTable.optimizeIncremental(spark, path) === v)
+    assert(live(path) === after)
+  }
+
+  test("a DML rewrite drops the mark; the next incremental re-clusters it only") {
+    val path = fresh("dml")
+    SnapshotTable.append(mk(0, 1000).repartition(4), path)
+    SnapshotTable.compact(spark, path, numFiles = 3,
+      zorderCols = Seq("a", "b"))
+    val settled = live(path)
+    // rewrite ONE file's rows: the rewritten output is unmarked
+    SnapshotTable.delete(spark, path, col("a") === 5L)
+    val afterDelete = live(path)
+    val untouched = settled.intersect(afterDelete)
+    assert(untouched.size === settled.size - 1, "delete touched too many files")
+    SnapshotTable.optimizeIncremental(spark, path)
+    val after = live(path)
+    assert(untouched.subsetOf(after),
+      "incremental pass rewrote files the delete never touched")
+    assert((afterDelete -- untouched).intersect(after).isEmpty,
+      "the rewritten (unmarked) file was not re-clustered")
+    assert(SnapshotTable.read(spark, path).count() === 999)
+  }
+
+  test("spec change invalidates every old mark; writer features advertise clustering") {
+    val path = fresh("spec")
+    SnapshotTable.append(mk(0, 500).repartition(2), path)
+    SnapshotTable.compact(spark, path, numFiles = 2, zorderCols = Seq("a", "b"))
+    val v = SnapshotTable.latestVersion(spark, path).get
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(s"$path/_graft_log/v$v")), "UTF-8")
+    assert(manifest.contains("#clusterCols=a,b"))
+    assert(manifest.contains("\tcl="), "clustered entries must carry the mark")
+    assert(manifest.linesIterator.find(_.startsWith("#writerFeatures="))
+      .exists(_.contains("clustering")))
+    val settled = live(path)
+    // new spec: every file is stale under it — full re-cluster
+    SnapshotTable.optimizeIncremental(spark, path, zorderCols = Seq("b", "a"))
+    val after = live(path)
+    assert(settled.intersect(after).isEmpty,
+      "spec change must invalidate old clustering marks")
+    assert(SnapshotTable.read(spark, path).count() === 500)
+    // and the new spec is now the recorded one: immediate re-run no-ops
+    val v2 = SnapshotTable.latestVersion(spark, path).get
+    assert(SnapshotTable.optimizeIncremental(spark, path) === v2)
+  }
+
+  test("single-column spec clusters by range; refusal without a recorded spec") {
+    val path = fresh("one")
+    SnapshotTable.append(mk(0, 300).repartition(3), path)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.optimizeIncremental(spark, path)
+    }
+    assert(e.getMessage.contains("no clustering columns recorded"))
+    SnapshotTable.optimizeIncremental(spark, path, zorderCols = Seq("a"))
+    SnapshotTable.append(mk(300, 400).repartition(2), path)
+    val before = live(path)
+    SnapshotTable.optimizeIncremental(spark, path)
+    assert(SnapshotTable.read(spark, path).count() === 400)
+    // the range-clustered output carries usable skipping stats
+    val (_, opened) = SnapshotTable.readRange(spark, path, "a", 0.0, 10.0)
+    assert(opened < live(path).size || live(path).size == 1,
+      s"range read opened every file ($opened of ${live(path).size})")
+    assert(before.intersect(live(path)).nonEmpty || before.size <= 3)
+  }
+}
