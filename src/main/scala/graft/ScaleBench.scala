@@ -948,6 +948,18 @@ object ScaleBench {
         }
         val plainRead = bestRead(SnapshotTable.read(spark, s"$base/plain"))
         val ridRead = bestRead(SnapshotTable.readWithRowIds(spark, s"$base/rid"))
+        // escaped layout: a hive partition value with a space percent-
+        // encodes in the scan's file strings, which routes the read
+        // through the probe fallback — after the one O(files) probe
+        // job the per-row lookup is the SAME hash expression as the
+        // clean path, so the tracked read must stay within noise
+        SnapshotTable.create(spark, s"$base/ridesc", StructType(Seq(
+          StructField("k", LongType), StructField("v", DoubleType),
+          StructField("p", StringType))), rowTracking = true)
+        SnapshotTable.append(df.withColumn("p", lit("a b")),
+          s"$base/ridesc", Seq("p"))
+        val ridEscRead = bestRead(
+          SnapshotTable.readWithRowIds(spark, s"$base/ridesc"))
         val plainUpd = t(SnapshotTable.update(spark, s"$base/plain",
           Seq("v" -> (col("v") + 1.0)), col("k") % 100 === 0))
         val ridUpd = t(SnapshotTable.update(spark, s"$base/rid",
@@ -967,9 +979,13 @@ object ScaleBench {
         // printed for the record
         require(ridRead < plainRead * 2.5 + 1.0,
           f"tracked read overhead too high: $plainRead%.2fs vs $ridRead%.2fs")
+        require(ridEscRead < ridRead * 2.5 + 1.0,
+          f"escaped-layout tracked read overhead too high: " +
+            f"clean=$ridRead%.2fs escaped=$ridEscRead%.2fs")
         println(f"[scale] row_tracking append plain=$plainAppend%.2fs " +
           f"rid=$ridAppend%.2fs read plain=$plainRead%.2fs rid=$ridRead%.2fs " +
-          f"(${ridRead / plainRead}%.2fx) " +
+          f"(${ridRead / plainRead}%.2fx) escaped=$ridEscRead%.2fs " +
+          f"(${ridEscRead / ridRead}%.2fx of clean) " +
           f"update plain=$plainUpd%.2fs rid=$ridUpd%.2fs")
       },
       timed("vacuum_plan") {
@@ -994,7 +1010,8 @@ object ScaleBench {
         val base = JF.createTempDirectory("graft-scale-vacplan")
 
         val fakes = 20000
-        def mkHistory(path: String, commits: Int): Int = {
+        def mkHistory(path: String, commits: Int,
+            branches: Boolean = true): Int = {
           val df = spark.range(1000)
             .select(col("id"), col("id").cast("double").as("v"))
           SnapshotTable.appendClustered(df, path, "id", numFiles = 1)
@@ -1037,7 +1054,7 @@ object ScaleBench {
           }
           // two branches forked at head: a checkpoint of the live list
           // + 50 branch-local delta commits each
-          (1 to 2).foreach { b =>
+          if (branches) (1 to 2).foreach { b =>
             val bdir = s"$path/_graft_log/branch-dev$b"
             JF.createDirectories(JP.get(bdir))
             JF.write(JP.get(s"$bdir/v$commits"),
@@ -1087,6 +1104,24 @@ object ScaleBench {
         println(f"[scale] vacuum_plan cold(branches) small=$tS1%.2fs " +
           f"big=$tB1%.2fs (per-commit ${tS1 / 250}%.4f vs ${tB1 / 2000}%.4f s) " +
           f"warm(reclaim) small=$tS2%.2fs big=$tB2%.2fs dead=$deadS/$deadB")
+        // (d) the 10k-commit point (5x the depth above): the
+        // per-commit slope must stay SUB-linear — a cold 10k plan may
+        // not cost more per commit than the cold 2000 plan (whose
+        // figure includes the branch walk, giving noise headroom);
+        // branch-free fabric, since the branch pin is priced in (a)
+        val deep = sys.env.get("GRAFT_SCALE_VACUUM_COMMITS")
+          .map(_.toInt).getOrElse(10000)
+        val huge = s"$base/huge"
+        val rmHuge = mkHistory(huge, deep, branches = false)
+        val (tH, expH, deadH) = dryRunSec(huge)
+        require(expH.size == deep - 1 && deadH == rmHuge,
+          s"10k dry run must expire all candidates: " +
+            s"expired=${expH.size}/${deep - 1} dead=$deadH/$rmHuge")
+        require(tH / deep <= tB1 / 2000 * 1.5 + 0.005,
+          f"per-commit vacuum plan cost grew with depth: " +
+            f"${tB1 / 2000}%.4fs at 2000 -> ${tH / deep}%.4fs at $deep")
+        println(f"[scale] vacuum_plan ${deep}-commit ${tH}%.2fs " +
+          f"(per-commit ${tH / deep}%.4fs vs ${tB1 / 2000}%.4fs at 2000)")
       })
 
     // Locale.ROOT: a comma-decimal default locale would break the JSON

@@ -4613,19 +4613,43 @@ object SnapshotTable {
               "manifest entry"))
         e.filePath -> m
       }.toMap
-      val baseDf = broadcast(metaStrs.map { m =>
-        (m, byCanon(percentDecodeFixpoint(m)).rid.get)
-      }.toSeq.toDF("__rid_path", "__rid_base"))
-      val withId = withPos.join(baseDf,
-          col("__graft_path") === col("__rid_path"), "left")
-        .withColumn(RidCol,
-          coalesce(col(RidCol), col("__rid_base") + col("__graft_idx"),
-            raise_error(concat(
-              lit("row-tracking internal error: no rid base matched "),
-              col("__graft_path"))).cast(org.apache.spark.sql.types.LongType)))
+      // the probe told us the scan's EXACT strings, so the per-row
+      // lookup can take the same codegen'd hash expression as the
+      // clean path (keyed on those strings) instead of a broadcast
+      // string join — escaped layouts pay the same read cost, plus
+      // one O(files) metadata-only probe job. Distinctness of the
+      // hashes gives the same collision-safety argument; the
+      // astronomically rare hash collision keeps the string join.
+      val scanPairs = metaStrs.map(m =>
+        (RidBaseLookup.hash(m), byCanon(percentDecodeFixpoint(m)).rid.get))
+        .sortBy(_._1)
+      val withId =
+        if (scanPairs.iterator.map(_._1).toSet.size == metaStrs.length) {
+          val lookup = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            RidBaseLookup(org.apache.spark.sql.graftbridge.ColumnBridge
+              .expression(col("__graft_path")),
+              scanPairs.map(_._1).toArray, scanPairs.map(_._2).toArray))
+          withPos.withColumn(RidCol,
+            coalesce(col(RidCol), lookup + col("__graft_idx"),
+              raise_error(lit("row-tracking internal error: a scanned " +
+                "file matched no rid base — probe diverged from the scan"))
+                .cast(org.apache.spark.sql.types.LongType)))
+        } else {
+          val baseDf = broadcast(metaStrs.map { m =>
+            (m, byCanon(percentDecodeFixpoint(m)).rid.get)
+          }.toSeq.toDF("__rid_path", "__rid_base"))
+          withPos.join(baseDf,
+              col("__graft_path") === col("__rid_path"), "left")
+            .withColumn(RidCol,
+              coalesce(col(RidCol), col("__rid_base") + col("__graft_idx"),
+                raise_error(concat(
+                  lit("row-tracking internal error: no rid base matched "),
+                  col("__graft_path"))).cast(org.apache.spark.sql.types.LongType)))
+            .drop("__rid_path", "__rid_base")
+        }
       applyDvFilter(spark, withId, entries.filter(_.dv.isDefined),
         p => toMeta.getOrElse(p, metadataFilePath(spark, p)))
-        .drop("__rid_path", "__rid_base", "__graft_path", "__graft_idx")
+        .drop("__graft_path", "__graft_idx")
     }
   }
 
@@ -6260,34 +6284,59 @@ object SnapshotTable {
       (if (self.isDefined) Seq(table) else Nil) ++
         branches(spark, table).filterNot(self.contains)
           .map(branchHandle(table, _))
-    val refEntries = otherRefs.flatMap(h =>
-      versions(spark, h).flatMap(readManifest(spark, h, _)))
-    val refFiles = refEntries.map(_.filePath).toSet
+    // STREAMED plan: the walk holds at most ONE version's entry list
+    // at a time; every accumulator is a file-path set bounded by the
+    // DISTINCT file count, never (versions x files). The old
+    // per-candidate Map materialized every candidate's full entry
+    // list simultaneously — at 10k commits x 20k files that is 2x10^8
+    // live Entry objects, an OOM the ScaleBench 10k point reproduces.
+    val refFiles = scala.collection.mutable.HashSet.empty[String]
+    val refDvs = scala.collection.mutable.HashSet.empty[String]
+    otherRefs.foreach(h => versions(spark, h).foreach { v =>
+      readManifest(spark, h, v).foreach { e =>
+        refFiles += e.filePath
+        e.dv.foreach(refDvs += _._1)
+      }
+    })
     val pinSharedFiles = self.isEmpty
-    val candEntries: Map[Long, Seq[Entry]] =
-      candidates.map(v => v -> readManifest(spark, path, v)).toMap
-    val (expired, young) = candidates.partition { v =>
-      v < floor && !tagged(v) &&
-        !(pinSharedFiles && candEntries(v).exists(e => refFiles(e.filePath))) &&
+    val expiredB = Seq.newBuilder[Long]
+    val youngB = Seq.newBuilder[Long]
+    val expFiles = scala.collection.mutable.HashSet.empty[String]
+    val expDvs = scala.collection.mutable.HashSet.empty[String]
+    val keptFiles = scala.collection.mutable.HashSet.empty[String]
+    val keptDvs = scala.collection.mutable.HashSet.empty[String]
+    def accumulate(es: Seq[Entry], files: scala.collection.mutable.HashSet[String],
+        dvs: scala.collection.mutable.HashSet[String]): Unit =
+      es.foreach { e =>
+        files += e.filePath
+        e.dv.foreach(dvs += _._1)
+      }
+    // ascending walk keeps each version's delta base warm in the
+    // manifest cache, so every step is one delta parse + one replay
+    candidates.foreach { v =>
+      val es = readManifest(spark, path, v)
+      val isExpired = v < floor && !tagged(v) &&
+        !(pinSharedFiles && es.exists(e => refFiles(e.filePath))) &&
         (minAgeMs <= 0L ||
           // sidecar-aware, like every other version-file stat
           versionFileStatus(f, path, v)._2.getModificationTime <= cutoff)
+      if (isExpired) { expiredB += v; accumulate(es, expFiles, expDvs) }
+      else { youngB += v; accumulate(es, keptFiles, keptDvs) }
     }
-    val kept = young ++ kept0
-    val keptEntries = kept.flatMap(v =>
-      candEntries.getOrElse(v, readManifest(spark, path, v))) ++ refEntries
-    val expiredEntries = expired.flatMap(candEntries)
+    kept0.foreach(v => accumulate(readManifest(spark, path, v), keptFiles, keptDvs))
+    val expired = expiredB.result()
+    val kept = youngB.result() ++ kept0
+    keptFiles ++= refFiles
+    keptDvs ++= refDvs
     // ownership guard: only ever delete files under THIS table's path
     // — a shallow clone's manifests reference the SOURCE table's
     // files, and expiring the clone's history must never reach into
     // the source's data
     def owned(p: String): Boolean =
       new Path(p).toUri.getPath.startsWith(new Path(table).toUri.getPath + "/")
-    val dead = (expiredEntries.map(_.filePath).toSet --
-      keptEntries.map(_.filePath).toSet).filter(owned)
+    val dead = (expFiles.toSet -- keptFiles).filter(owned)
     // deletion-vector files referenced only by expired versions go too
-    val deadDv = (expiredEntries.flatMap(_.dv.map(_._1)).toSet --
-      keptEntries.flatMap(_.dv.map(_._1)).toSet).filter(owned)
+    val deadDv = (expDvs.toSet -- keptDvs).filter(owned)
     (expired, kept, dead, deadDv)
   }
 

@@ -2453,7 +2453,7 @@ object Relational {
     * the raw rows) must still prune files. The 100 TB point:
     * maintenance cost scales with NEW data, never with table size. */
   def optimizeIncrementalGate(spark: SparkSession, dir: String): DataFrame = {
-    import graft.lake.{SnapshotCatalog, SnapshotTable}
+    import graft.lake.SnapshotTable
     val path = java.nio.file.Files
       .createTempDirectory("graft-incl-gate").toString + "/t"
     val li = Tables.lineitem(spark, dir)
@@ -2463,36 +2463,37 @@ object Relational {
     // sf0.001, and z-ordering an empty frame is refused loudly)
     SnapshotTable.append(
       li.filter(col("l_orderkey") % 7 < 4).repartition(4), path)     // v1
-    SnapshotCatalog.register("q135_oi", path)
-    try {
-      spark.sql("OPTIMIZE q135_oi ZORDER BY (l_orderkey, l_partkey)") // v2
-      val settled = SnapshotTable.liveFiles(spark, path).toSet
-      SnapshotTable.append(
-        li.filter(col("l_orderkey") % 7 >= 4).repartition(3), path)  // v3
-      spark.sql("OPTIMIZE q135_oi INCREMENTAL")                      // v4
-      val after = SnapshotTable.liveFiles(spark, path).toSet
-      require(settled.subsetOf(after),
-        "incremental clustering rewrote settled files")
-      require((after -- settled).nonEmpty,
-        "incremental clustering produced no clustered output")
-      // a second pass with nothing stale must be a version-level no-op
-      val v = SnapshotTable.latestVersion(spark, path).get
-      spark.sql("OPTIMIZE q135_oi INCREMENTAL")
-      require(SnapshotTable.latestVersion(spark, path).get == v,
-        "re-running INCREMENTAL on a settled table must be a no-op")
-      require(SnapshotTable.liveFiles(spark, path).toSet == after)
-      // the clustered layout skips: the box read must not open every
-      // file. Bounds are RELATIVE (bottom quarter of the key range) so
-      // the box is selective at every scale factor — the testdata's
-      // orderkeys are dense, an absolute bound covers the whole table
-      // at sf0.001
-      val maxOk = li.agg(max("l_orderkey")).head().getLong(0)
-      val (df, opened) = SnapshotTable.readBox(spark, path,
-        Seq(("l_orderkey", 1.0, (maxOk / 4).toDouble)))
-      require(opened < after.size,
-        s"box read opened all $opened of ${after.size} files — skipping lost")
-      df.orderBy("l_orderkey", "l_linenumber")
-    } finally SnapshotCatalog.unregister("q135_oi")
+    // API forms here (the SQL statements need the extension parser,
+    // which the plan-only spec sessions do not install; the SQL path
+    // is pinned end-to-end in GraftSqlParserSpec)
+    SnapshotTable.compact(spark, path, numFiles = 8,
+      zorderCols = Seq("l_orderkey", "l_partkey"))                   // v2
+    val settled = SnapshotTable.liveFiles(spark, path).toSet
+    SnapshotTable.append(
+      li.filter(col("l_orderkey") % 7 >= 4).repartition(3), path)  // v3
+    SnapshotTable.optimizeIncremental(spark, path)                 // v4
+    val after = SnapshotTable.liveFiles(spark, path).toSet
+    require(settled.subsetOf(after),
+      "incremental clustering rewrote settled files")
+    require((after -- settled).nonEmpty,
+      "incremental clustering produced no clustered output")
+    // a second pass with nothing stale must be a version-level no-op
+    val v = SnapshotTable.latestVersion(spark, path).get
+    SnapshotTable.optimizeIncremental(spark, path)
+    require(SnapshotTable.latestVersion(spark, path).get == v,
+      "re-running INCREMENTAL on a settled table must be a no-op")
+    require(SnapshotTable.liveFiles(spark, path).toSet == after)
+    // the clustered layout skips: the box read must not open every
+    // file. Bounds are RELATIVE (bottom quarter of the key range) so
+    // the box is selective at every scale factor — the testdata's
+    // orderkeys are dense, an absolute bound covers the whole table
+    // at sf0.001
+    val maxOk = li.agg(max("l_orderkey")).head().getLong(0)
+    val (df, opened) = SnapshotTable.readBox(spark, path,
+      Seq(("l_orderkey", 1.0, (maxOk / 4).toDouble)))
+    require(opened < after.size,
+      s"box read opened all $opened of ${after.size} files — skipping lost")
+    df.orderBy("l_orderkey", "l_linenumber")
   }
 
   private val optimizeIncrementalGateSql =
