@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   ALTER TABLE t DROP TAG golden
   *   ALTER TABLE t FAST FORWARD BRANCH dev
   *   ALTER TABLE t CHERRY PICK BRANCH dev VERSION 4
+  *   ALTER TABLE t CLUSTER BY (c1, c2)
   *
   * the constraint inspection statement Spark has no syntax for
   * (`ALTER TABLE ... ADD/DROP CONSTRAINT` itself parses NATIVELY in
@@ -105,6 +106,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotCloneCommand(idents(dst), idents(src),
         deep = kind.equalsIgnoreCase("deep"), None, None)
     case EnableRowTracking(t) => SnapshotEnableRowTrackingCommand(idents(t))
+    case ClusterBy(t, cols) =>
+      SnapshotMaintenanceCommand(idents(t), "cluster_by",
+        zorderCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case DescribeDetail(t) => SnapshotDescribeDetailCommand(idents(t))
     case DescribeHistory(t) => SnapshotDescribeHistoryCommand(idents(t))
     case ReplacePartitionSpec(t, specs) =>
@@ -203,6 +207,10 @@ private object GraftSqlParser {
   // spelled as a first-class statement here, like the ref DDL)
   private[lake] val EnableRowTracking =
     stmt(s"ALTER\\s+TABLE\\s+$T\\s+ENABLE\\s+ROW\\s+TRACKING")
+  // liquid-clustering DDL: record/change the spec as one metadata
+  // commit; OPTIMIZE ... INCREMENTAL then clusters against it
+  private[lake] val ClusterBy =
+    rx(s"CLUSTER\\s+BY\\s*\\(([^)]+)\\)")
   private[lake] val DescribeDetail =
     stmt(s"DESC(?:RIBE)?\\s+DETAIL\\s+$T")
   private[lake] val DescribeHistory =
@@ -376,6 +384,8 @@ case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
           zorderCols = zorderCols)
       case "optimize_incremental" =>
         SnapshotTable.optimizeIncremental(spark, path)
+      case "cluster_by" =>
+        SnapshotTable.clusterBy(spark, path, zorderCols)
       case "truncate" =>
         SnapshotTable.truncate(spark, path)
       case other => throw new IllegalStateException(s"unknown maintenance op: $other")

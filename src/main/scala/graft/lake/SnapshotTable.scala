@@ -905,6 +905,9 @@ object SnapshotTable {
     // still-delta v(n+1) onto an already-remapped v(n) would fail
     // (its removal entries reference the old paths).
     val all = versions(spark, path).map(v => v -> readManifestFull(spark, path, v))
+    // same in-place-rewrite posture as vacuum: gate before touching
+    // any log file (re-serialization re-derives headers)
+    all.lastOption.foreach { case (_, m) => requireWriterFeatures(m, path) }
     all.foreach { case (v, m) =>
       val mapped = m.copy(entries = m.entries.map(e => e.copy(
         commitDir = remap(e.commitDir),
@@ -6074,6 +6077,29 @@ object SnapshotTable {
       newClusterCols = spec)
   }
 
+  /** `ALTER TABLE t CLUSTER BY (c1, c2)` — record (or change) the
+    * clustering spec as ONE metadata commit (Delta liquid
+    * clustering's DDL): no data moves here; the next
+    * [[optimizeIncremental]] clusters against the new spec, and a
+    * spec CHANGE implicitly invalidates every existing `cl=` mark
+    * (the mark is the spec's hash) so settled files re-cluster
+    * lazily, never eagerly. Columns must exist in the recorded
+    * schema. */
+  def clusterBy(spark: SparkSession, path: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "CLUSTER BY needs at least one column")
+    publishMetadataCommit(spark, path, "clusterBy") { m =>
+      m.schema.foreach { sc =>
+        val missing = cols.filterNot(c =>
+          sc.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"CLUSTER BY column(s) ${missing.mkString(", ")} not in the " +
+            s"schema of $path")
+      }
+      m.copy(clusterCols = cols)
+    }
+  }
+
   /** Spec-hash mark stored per clustered file (`cl=` token): 16-hex
     * of the canonical column list. Changing the spec changes the tag,
     * so files clustered under an OLD spec read as unclustered without
@@ -6356,6 +6382,14 @@ object SnapshotTable {
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
       minAgeMs: Long = 0L, protectConsumers: Seq[String] = Nil): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
+    // vacuum bypasses publishManifest (it deletes data files and
+    // rewrites log files in place), so it carries its own writer
+    // gate: reclaiming under invariants this library does not
+    // implement could delete files a future feature still needs, and
+    // the checkpoint materialization re-serializes manifests — which
+    // would silently DROP an unknown raw feature header (laundering)
+    latestVersion(spark, path).foreach(v =>
+      requireWriterFeatures(readManifestFull(spark, path, v), path))
     val f = fs(spark, path)
     // Complete any crashed checkpoint swap from a previous vacuum on
     // a non-atomic-rename store (see the materialization loop below):

@@ -132,9 +132,20 @@ class GraftSqlParserSpec extends SparkTestBase {
       "INCREMENTAL rewrote settled files")
     assert(SnapshotTable.read(s2, path).count() === 15)
 
+    // CLUSTER BY changes the spec as a metadata commit (no file
+    // moves); the next INCREMENTAL re-clusters against it
+    val preDdl = SnapshotTable.liveFiles(s2, path).toSet
+    assert(s2.sql("ALTER TABLE psql_mnt CLUSTER BY (w, v)")
+      .head().getLong(0) === 7L)
+    assert(SnapshotTable.liveFiles(s2, path).toSet === preDdl)
+    assert(s2.sql("OPTIMIZE psql_mnt INCREMENTAL").head().getLong(0) === 8L)
+    assert(SnapshotTable.liveFiles(s2, path).toSet.intersect(preDdl).isEmpty,
+      "a spec change must invalidate every old clustering mark")
+    assert(SnapshotTable.read(s2, path).count() === 15)
+
     // VACUUM trims history to the kept window
-    assert(s2.sql("VACUUM psql_mnt KEEP 1 VERSIONS").head().getLong(0) === 6L)
-    assert(SnapshotTable.versions(s2, path) === Seq(6L))
+    assert(s2.sql("VACUUM psql_mnt KEEP 1 VERSIONS").head().getLong(0) === 8L)
+    assert(SnapshotTable.versions(s2, path) === Seq(8L))
     assert(SnapshotTable.read(s2, path).count() === 15)
   }
 

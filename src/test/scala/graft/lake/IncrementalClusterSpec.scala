@@ -94,6 +94,53 @@ class IncrementalClusterSpec extends SparkTestBase {
     assert(SnapshotTable.optimizeIncremental(spark, path) === v2)
   }
 
+  test("CLUSTER BY records the spec as one metadata commit; incremental applies it") {
+    val path = fresh("ddl")
+    SnapshotTable.append(mk(0, 400).repartition(3), path)
+    val before = live(path)
+    // DDL moves NO data — pure metadata commit
+    SnapshotTable.clusterBy(spark, path, Seq("a", "b"))
+    assert(live(path) === before)
+    // unknown column refused
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.clusterBy(spark, path, Seq("nope"))
+    }
+    assert(e.getMessage.contains("not in the schema"))
+    // the next incremental pass clusters everything against the spec
+    SnapshotTable.optimizeIncremental(spark, path)
+    assert(live(path).intersect(before).isEmpty)
+    assert(SnapshotTable.read(spark, path).count() === 400)
+    // changing the spec via DDL invalidates the marks lazily: the
+    // change itself is metadata-only, the NEXT pass re-clusters
+    val settled = live(path)
+    SnapshotTable.clusterBy(spark, path, Seq("b"))
+    assert(live(path) === settled)
+    SnapshotTable.optimizeIncremental(spark, path)
+    assert(live(path).intersect(settled).isEmpty,
+      "spec change via CLUSTER BY must invalidate old marks")
+  }
+
+  test("row ids stay stable across incremental clustering") {
+    val path = fresh("rid")
+    SnapshotTable.append(mk(0, 500).repartition(2), path)
+    SnapshotTable.enableRowTracking(spark, path)
+    def idsByKey(): Map[Long, Long] =
+      SnapshotTable.readWithRowIds(spark, path)
+        .select(col("a"), col(SnapshotTable.RowIdCol))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = idsByKey()
+    SnapshotTable.compact(spark, path, numFiles = 2, zorderCols = Seq("a", "b"))
+    SnapshotTable.append(mk(500, 600).repartition(2), path)
+    val withWave = idsByKey()
+    assert(withWave.filter(_._1 < 500) === before,
+      "full clustered rewrite moved ids")
+    SnapshotTable.optimizeIncremental(spark, path)
+    val after = idsByKey()
+    assert(after === withWave,
+      "incremental clustering must preserve every stable row id")
+    assert(after.values.toSet.size === 600, "ids must stay unique")
+  }
+
   test("single-column spec clusters by range; refusal without a recorded spec") {
     val path = fresh("one")
     SnapshotTable.append(mk(0, 300).repartition(3), path)

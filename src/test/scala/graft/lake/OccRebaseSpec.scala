@@ -144,6 +144,45 @@ class OccRebaseSpec extends SparkTestBase {
     assert(got === Map(1L -> 0.0, 2L -> 7.0))
   }
 
+  test("mixed writers on disjoint partitions: appends + updates all commit, no catches") {
+    // 3 appenders (fresh partitions) + 2 updaters (their own settled
+    // partitions) race with NO conflict handling in the callers: under
+    // the rebase contract every one of these commits first try or
+    // after internal rebase — any user-visible conflict fails the test
+    val path = fresh("mixed")
+    SnapshotTable.append(
+      Seq((1L, 1L, 0.0), (2L, 2L, 0.0)).toDF("k", "p", "v"), path, Seq("p"))
+    val gate = new java.util.concurrent.CyclicBarrier(5)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appenders = (1 to 3).map { i =>
+      new Thread(() => {
+        gate.await()
+        try (0 until 2).foreach { j =>
+          SnapshotTable.append(
+            Seq((100L * i + j, 100L * i + j, 1.0)).toDF("k", "p", "v"),
+            path, Seq("p"))
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    val updaters = Seq(1L, 2L).map { part =>
+      new Thread(() => {
+        gate.await()
+        try {
+          SnapshotTable.update(spark, path, Seq("v" -> lit(part * 10.0)),
+            col("p") === part)
+          ()
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    (appenders ++ updaters).foreach(_.start())
+    (appenders ++ updaters).foreach(_.join())
+    assert(errs.isEmpty, s"disjoint mixed writers conflicted: ${errs.peek()}")
+    val got = SnapshotTable.read(spark, path).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 10.0 && got(2L) === 20.0, "an update was lost")
+    assert(got.size === 8, s"an append was lost: ${got.keySet.toSeq.sorted}")
+  }
+
   test("compaction racing appends never loses an appended row") {
     val path = fresh("cmp")
     (1 to 4).foreach { i =>

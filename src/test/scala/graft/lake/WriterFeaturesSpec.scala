@@ -103,12 +103,34 @@ class WriterFeaturesSpec extends SparkTestBase {
     // forks of the forged state are refused too — re-deriving the
     // target's headers would silently launder the feature away
     refused(SnapshotTable.createBranch(spark, path, "b1"))
+    // vacuum rewrites log files in place (no publishManifest funnel)
+    // and its materialization would silently drop the unknown header
+    refused(SnapshotTable.vacuum(spark, path))
     refused(SnapshotTable.shallowClone(spark, path, fresh("clone-dst")))
     refused(SnapshotTable.deepClone(spark, path, fresh("dclone-dst")))
     // refusal happened BEFORE file finding / data writes: nothing new
     // under data/, and the version head did not move
     assert(dataFiles(path) === before)
     assert(SnapshotTable.latestVersion(spark, path).get === 2L)
+  }
+
+  test("a streaming epoch commit is writer-gated too") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+    val (path, before) = forged("stream")
+    val stage = Files.createTempDirectory("graft-wfeat-stage").toString
+    Seq((9L, 9.0)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/s")
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(Paths.get(s"$stage/s")).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get.toString
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitStreamEpoch(spark, path,
+        Seq((s"$stage/s", part, 1L)),
+        new StructType().add("k", LongType).add("v", DoubleType),
+        "wfeat-app", 0L)
+    }
+    assert(e.getMessage.contains("frobnication"))
+    assert(dataFiles(path) === before)
   }
 
   test("publish backstop refuses even a path with no entry-point gate") {
