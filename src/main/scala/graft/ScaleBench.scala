@@ -505,6 +505,49 @@ object ScaleBench {
         require(got == epochs * 50L,
           s"clause sink applied $got of ${epochs * 50} wave rows")
       },
+      timed("incremental_cluster") {
+        // The liquid-clustering maintenance claim, MEASURED: after a
+        // full clustered rewrite of 1M rows, appending a 50k wave and
+        // running OPTIMIZE INCREMENTAL must cost ~the wave, not the
+        // table — A/B against a full re-optimize of the IDENTICAL
+        // state. Contracts: settled files byte-identical through the
+        // incremental pass, and the pass materially cheaper than the
+        // full rewrite (the 100 TB case: maintenance scales with NEW
+        // data).
+        import java.nio.file.{Files => JF}
+        import graft.lake.SnapshotTable
+        val base = JF.createTempDirectory("graft-scale-incl")
+        def mk(lo: Long, hi: Long) = spark.range(lo, hi)
+          .select(col("id").as("a"), (col("id") % 9973).cast("double").as("b"))
+        def build(name: String): String = {
+          val p = s"$base/$name"
+          SnapshotTable.append(mk(0, rows).repartition(64), p)
+          SnapshotTable.compact(spark, p, numFiles = 32,
+            zorderCols = Seq("a", "b"))
+          SnapshotTable.append(mk(rows, rows + 50000).repartition(4), p)
+          p
+        }
+        val pInc = build("inc"); val pFull = build("full")
+        // live = 32 clustered + 4 wave files at this point
+        val settled = SnapshotTable.liveFiles(spark, pInc).toSet
+        def t(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        val tInc = t(SnapshotTable.optimizeIncremental(spark, pInc))
+        val after = SnapshotTable.liveFiles(spark, pInc).toSet
+        require(settled.intersect(after).size == settled.size - 4,
+          s"incremental pass must keep every settled file and replace the " +
+            s"4 wave files: ${settled.size} settled, " +
+            s"${settled.intersect(after).size} kept")
+        val tFull = t(SnapshotTable.compact(spark, pFull, numFiles = 32,
+          zorderCols = Seq("a", "b")))
+        require(tInc < tFull * 0.5 + 0.5,
+          f"incremental clustering not materially cheaper than full: " +
+            f"inc=$tInc%.2fs full=$tFull%.2fs")
+        System.err.println(
+          f"[scale] incremental_cluster inc=$tInc%.2fs full=$tFull%.2fs " +
+            f"(${tFull / tInc}%.1fx)")
+      },
       timed("manifest_commit_scaling") {
         // The incremental-log posture at 10⁶-file scale, shrunk 10×:
         // two tables whose live-file lists differ 100× (10³ vs 10⁵

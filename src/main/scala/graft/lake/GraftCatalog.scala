@@ -278,9 +278,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(d.fieldNames.length == 1, "nested DROP COLUMN is not supported")
           "dropColumn" -> SnapshotTable.dropColumnMutation(spark, path,
             d.fieldNames.head)
+        case pos: TableChange.UpdateColumnPosition =>
+          require(pos.fieldNames.length == 1,
+            "nested ALTER COLUMN is not supported")
+          val after = pos.position() match {
+            case _: TableChange.First => None
+            case a: TableChange.After => Some(a.column())
+            case other => throw new IllegalArgumentException(
+              s"unsupported column position: $other")
+          }
+          "reorderColumn" -> SnapshotTable.reorderColumnMutation(path,
+            pos.fieldNames.head, after)
         case other => throw new IllegalArgumentException(
           "GraftCatalog supports ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / " +
             "DROP COLUMN / ALTER COLUMN ... TYPE (lossless widening) / " +
+            "ALTER COLUMN ... FIRST|AFTER (metadata-only reorder) / " +
             s"SET|UNSET TBLPROPERTIES(${featureProps.mkString(", ")}) only; " +
             s"got: ${other.getClass.getSimpleName}")
       }

@@ -3060,6 +3060,38 @@ object SnapshotTable {
           if (c.equalsIgnoreCase(f.name)) to else c))
   }
 
+  /** ALTER COLUMN c FIRST / AFTER other — METADATA-ONLY column
+    * reordering (Delta's position change): only the recorded schema's
+    * field ORDER moves; files are read by (physical) NAME, so no byte
+    * is touched and every consumer (reads, DML rewrites, CDF,
+    * streams) simply projects in the new order. `afterCol = None`
+    * moves the column FIRST. */
+  def reorderColumn(spark: SparkSession, path: String, name: String,
+      afterCol: Option[String]): Long =
+    publishMetadataCommit(spark, path, "reorderColumn")(
+      reorderColumnMutation(path, name, afterCol))
+
+  private[lake] def reorderColumnMutation(path: String, name: String,
+      afterCol: Option[String]): Manifest => Manifest = { m =>
+    val sch = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"table at $path records no schema — append once before evolving"))
+    val f = sch.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' at $path"))
+    require(!f.name.startsWith("__p_"),
+      "hidden partition columns cannot be reordered")
+    val rest = sch.fields.filterNot(_.name.equalsIgnoreCase(name))
+    val reordered = afterCol match {
+      case None => f +: rest
+      case Some(a) =>
+        require(!a.equalsIgnoreCase(name),
+          s"cannot move '$name' after itself")
+        val i = rest.indexWhere(_.name.equalsIgnoreCase(a))
+        require(i >= 0, s"no column '$a' at $path")
+        (rest.take(i + 1) :+ f) ++ rest.drop(i + 1)
+    }
+    m.copy(schema = Some(StructType(reordered)))
+  }
+
   /** ALTER TABLE ... DROP COLUMN — METADATA-ONLY: the field leaves
     * the recorded schema (reads stop projecting it; no rewrite), the
     * data files keep the bytes (time travel still serves them), and

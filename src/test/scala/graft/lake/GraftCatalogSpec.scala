@@ -214,6 +214,33 @@ class GraftCatalogSpec extends SparkTestBase {
       s2.sql("ALTER TABLE graft.tw.t ALTER COLUMN k TYPE INT"))
   }
 
+  test("ALTER COLUMN FIRST/AFTER reorders metadata-only via SQL") {
+    s2.sql("CREATE NAMESPACE graft.ro")
+    s2.sql("CREATE TABLE graft.ro.t (a INT, b STRING, c DOUBLE) USING `graft-snapshot`")
+    s2.sql("INSERT INTO graft.ro.t VALUES (1, 'x', 2.5)")                // v2
+    val tdir = s"$warehouse/ro/t"
+    val filesBefore = SnapshotTable.liveFiles(s2, tdir).toSet
+    s2.sql("ALTER TABLE graft.ro.t ALTER COLUMN c FIRST")                // v3
+    assert(s2.table("graft.ro.t").columns.toSeq === Seq("c", "a", "b"))
+    s2.sql("ALTER TABLE graft.ro.t ALTER COLUMN c AFTER a")              // v4
+    assert(s2.table("graft.ro.t").columns.toSeq === Seq("a", "c", "b"))
+    assert(SnapshotTable.liveFiles(s2, tdir).toSet === filesBefore,
+      "SQL reorder must rewrite zero files")
+    // values still bind by NAME, order is pure projection
+    assert(s2.sql("SELECT a, b, c FROM graft.ro.t").head()
+      === org.apache.spark.sql.Row(1, "x", 2.5))
+    // positional INSERT follows the NEW order
+    s2.sql("INSERT INTO graft.ro.t VALUES (2, 9.5, 'y')")
+    assert(s2.sql("SELECT a, b, c FROM graft.ro.t WHERE a = 2").head()
+      === org.apache.spark.sql.Row(2, "y", 9.5))
+    // the old order is preserved under time travel
+    assert(s2.sql("SELECT * FROM graft.ro.t VERSION AS OF 2")
+      .columns.toSeq === Seq("a", "b", "c"))
+    // unknown anchors refused
+    intercept[Exception](
+      s2.sql("ALTER TABLE graft.ro.t ALTER COLUMN a AFTER nope"))
+  }
+
   test("a multi-change ALTER TABLE statement is ATOMIC: a refused change " +
       "rolls the whole statement back") {
     s2.sql("CREATE NAMESPACE graft.atomic")
