@@ -199,8 +199,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "(row tracking is one-way)")
         true
       }
+    // CREATE TABLE ... CLUSTER BY (a, b): Spark 4 hands the clause as
+    // a ClusterByTransform inside the partitioning array — record it
+    // as the table's clustering spec (liquid clustering at create; no
+    // data exists yet, OPTIMIZE INCREMENTAL clusters as files arrive)
+    val (clusterTs, partTs) = partitions.toSeq
+      .partition(_.name.equalsIgnoreCase("cluster_by"))
+    val clusterCols = clusterTs.flatMap(_.arguments.toSeq.collect {
+      case r: NamedReference =>
+        require(r.fieldNames.length == 1,
+          "nested CLUSTER BY columns are not supported")
+        r.fieldNames.head
+    })
     SnapshotTable.create(spark, path, withDefaults,
-      partitions.toSeq.map(GraftCatalog.specOf), rowTracking = rowTracking)
+      partTs.map(GraftCatalog.specOf), rowTracking = rowTracking,
+      clusterCols = clusterCols)
     GraftTable(ident.toString, path)
   }
 
@@ -278,6 +291,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(d.fieldNames.length == 1, "nested DROP COLUMN is not supported")
           "dropColumn" -> SnapshotTable.dropColumnMutation(spark, path,
             d.fieldNames.head)
+        case cb: TableChange.ClusterBy =>
+          "clusterBy" -> SnapshotTable.clusterByMutation(path,
+            cb.clusteringColumns().toSeq.map { r =>
+              require(r.fieldNames.length == 1,
+                "nested CLUSTER BY columns are not supported")
+              r.fieldNames.head
+            })
         case pos: TableChange.UpdateColumnPosition =>
           require(pos.fieldNames.length == 1,
             "nested ALTER COLUMN is not supported")

@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   * and the Delta-shaped maintenance statements:
   *
   *   VACUUM t [KEEP n VERSIONS] [DRY RUN]
-  *   OPTIMIZE t [FILES n | ZORDER BY (c1, c2) | INCREMENTAL]
+  *   OPTIMIZE t [FILES n | ZORDER BY (c1, c2) | INCREMENTAL
+  *               | WHERE <pred> [ZORDER BY (c1, c2)]]
   *   RESTORE [TABLE] t TO VERSION AS OF <n | 'tag'>
   *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
   *   SHOW BRANCHES [IN] t / SHOW TAGS [IN] t
@@ -92,6 +93,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotMaintenanceCommand(idents(t), "optimize_incremental")
     case OptimizeFiles(t, n) =>
       SnapshotMaintenanceCommand(idents(t), "optimize", numFiles = n.toInt)
+    case OptimizeWhereZorder(t, pred, cols) =>
+      SnapshotMaintenanceCommand(idents(t), "optimize",
+        zorderCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        whereSql = Some(pred.trim))
+    case OptimizeWhere(t, pred) =>
+      SnapshotMaintenanceCommand(idents(t), "optimize",
+        whereSql = Some(pred.trim))
     case Optimize(t) =>
       SnapshotMaintenanceCommand(idents(t), "optimize")
     case ShowBranches(t) => SnapshotShowRefsCommand(idents(t), "branches")
@@ -189,6 +197,12 @@ private object GraftSqlParser {
     stmt(s"OPTIMIZE\\s+$T\\s+INCREMENTAL")
   private[lake] val OptimizeFiles =
     stmt(s"OPTIMIZE\\s+$T\\s+FILES\\s+(\\d+)")
+  // Delta's partition-scoped maintenance: only files the predicate
+  // could touch are rewritten (whole-file; any predicate is safe)
+  private[lake] val OptimizeWhereZorder =
+    stmt(s"OPTIMIZE\\s+$T\\s+WHERE\\s+(.+?)\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)")
+  private[lake] val OptimizeWhere =
+    stmt(s"OPTIMIZE\\s+$T\\s+WHERE\\s+(.+?)")
   private[lake] val Optimize = stmt(s"OPTIMIZE\\s+$T")
   // Delta's CLONE statement: CREATE TABLE t2 [SHALLOW|DEEP] CLONE t1
   // [VERSION AS OF <n|'tag'>] — target must be a catalog name (its
@@ -368,7 +382,8 @@ case class SnapshotVacuumDryRunCommand(ident: Seq[String],
   * shapes). Returns the head version after the operation. */
 case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
     keepVersions: Int = 1, numFiles: Int = 8,
-    zorderCols: Seq[String] = Nil) extends LeafRunnableCommand {
+    zorderCols: Seq[String] = Nil,
+    whereSql: Option[String] = None) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -381,7 +396,8 @@ case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
         SnapshotTable.latestVersion(spark, path).getOrElse(0L)
       case "optimize" =>
         SnapshotTable.compact(spark, path, numFiles = numFiles,
-          zorderCols = zorderCols)
+          zorderCols = zorderCols,
+          where = whereSql.map(org.apache.spark.sql.functions.expr))
       case "optimize_incremental" =>
         SnapshotTable.optimizeIncremental(spark, path)
       case "cluster_by" =>

@@ -1865,7 +1865,8 @@ object SnapshotTable {
     * create itself is a CAS on v1: losing it means another writer
     * created the table first, which surfaces as "already exists". */
   def create(spark: SparkSession, path: String, schema: StructType,
-      transformSpecs: Seq[String] = Nil, rowTracking: Boolean = false): Long = {
+      transformSpecs: Seq[String] = Nil, rowTracking: Boolean = false,
+      clusterCols: Seq[String] = Nil): Long = {
     require(latestVersion(spark, path).isEmpty,
       s"table already exists at $path")
     require(schema.fieldNames.forall(!_.startsWith("__p_")),
@@ -1893,9 +1894,13 @@ object SnapshotTable {
       require(!f.metadata.contains(GenExprKey),
         s"column '${f.name}' cannot be both IDENTITY and GENERATED ALWAYS AS")
     }
+    clusterCols.foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"CLUSTER BY column '$c' not in the schema"))
     require(publishManifest(spark, path, 1L,
       Manifest(Some(schema), Nil, Some("create"), transforms = ts,
-        rowIdHigh = if (rowTracking) Some(0L) else None)),
+        rowIdHigh = if (rowTracking) Some(0L) else None,
+        clusterCols = clusterCols)),
       s"table already exists at $path (concurrent create won version 1)")
     1L
   }
@@ -6067,7 +6072,8 @@ object SnapshotTable {
   def compact(spark: SparkSession, path: String, numFiles: Int = 8,
       clusterCol: Option[String] = None,
       partitionCols: Seq[String] = Nil,
-      zorderCols: Seq[String] = Nil): Long = {
+      zorderCols: Seq[String] = Nil,
+      where: Option[Column] = None): Long = {
     require(clusterCol.isEmpty || zorderCols.isEmpty,
       "pass clusterCol (1-D range clustering) OR zorderCols (z-curve), not both")
     val base = latestVersion(spark, path)
@@ -6075,13 +6081,28 @@ object SnapshotTable {
     val mFull = readManifestFull(spark, path, base)
     requireWriterFeatures(mFull, path)
     val entries = mFull.entries
+    // `where` (Delta's OPTIMIZE ... WHERE): bound the rewrite to the
+    // files the predicate could touch — manifest-stat file finding,
+    // exactly like delete's — and carry every other file over
+    // untouched. Files are rewritten WHOLE (all rows preserved), so
+    // any predicate is safe; partition predicates give exact scoping.
+    val scope: Seq[Entry] = where match {
+      case None => entries
+      case Some(pred) =>
+        val touched = readWhereImpl(spark, path, pred, Some(base), None,
+            withRowIds = false)
+          .select(input_file_name()).distinct()
+          .collect().map(r => normInputFile(r.getString(0))).toSet
+        entries.filter(e => touched(normFile(e.filePath)))
+    }
+    if (scope.isEmpty) return base
     // raw read (hidden partition columns kept): zShape clusters
     // within partitions and needs them present; commit() re-derives
     // them anyway before writing
     val ridTracked = mFull.rowIdHigh.isDefined
     val current =
-      if (ridTracked) readGroupsWithRid(spark, entries, mFull.schema, mFull.colmap)
-      else readGroups(spark, entries, mFull.schema, mFull.colmap)
+      if (ridTracked) readGroupsWithRid(spark, scope, mFull.schema, mFull.colmap)
+      else readGroups(spark, scope, mFull.schema, mFull.colmap)
     val rev = mFull.colmap.map(_.swap)
     val partCols =
       if (partitionCols.nonEmpty) partitionCols
@@ -6095,18 +6116,19 @@ object SnapshotTable {
       }
     // keep every tracked stats column effective on the rewritten files
     val statsOut =
-      ((entries.flatMap(_.stats.map(_._1)) ++
-        entries.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))
+      ((scope.flatMap(_.stats.map(_._1)) ++
+        scope.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))
         ++ clusterCol ++ zorderCols).distinct
-    // a full clustered rewrite marks its outputs and records the spec
-    // so OPTIMIZE INCREMENTAL can later cluster only NEW files
+    // a clustered rewrite marks its outputs; only a FULL one records
+    // the spec table-wide (a scoped run clusters its slice — the
+    // marks still count if the table's spec matches)
     val spec = if (zorderCols.nonEmpty) zorderCols else clusterCol.toSeq
     commit(shaped, path, partCols,
       rebasingCarryOver(path, "compaction", entries,
-        entries.map(_.filePath).toSet),
+        scope.map(_.filePath).toSet),
       statsCols = statsOut, op = "compact", ridCarried = ridTracked,
       clusterTag = if (spec.nonEmpty) Some(clusterTagOf(spec)) else None,
-      newClusterCols = spec)
+      newClusterCols = if (where.isEmpty) spec else Nil)
   }
 
   /** `ALTER TABLE t CLUSTER BY (c1, c2)` — record (or change) the
@@ -6118,18 +6140,21 @@ object SnapshotTable {
     * lazily, never eagerly. Columns must exist in the recorded
     * schema. */
   def clusterBy(spark: SparkSession, path: String,
-      cols: Seq[String]): Long = {
+      cols: Seq[String]): Long =
+    publishMetadataCommit(spark, path, "clusterBy")(
+      clusterByMutation(path, cols))
+
+  private[lake] def clusterByMutation(path: String,
+      cols: Seq[String]): Manifest => Manifest = { m =>
     require(cols.nonEmpty, "CLUSTER BY needs at least one column")
-    publishMetadataCommit(spark, path, "clusterBy") { m =>
-      m.schema.foreach { sc =>
-        val missing = cols.filterNot(c =>
-          sc.fieldNames.exists(_.equalsIgnoreCase(c)))
-        require(missing.isEmpty,
-          s"CLUSTER BY column(s) ${missing.mkString(", ")} not in the " +
-            s"schema of $path")
-      }
-      m.copy(clusterCols = cols)
+    m.schema.foreach { sc =>
+      val missing = cols.filterNot(c =>
+        sc.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"CLUSTER BY column(s) ${missing.mkString(", ")} not in the " +
+          s"schema of $path")
     }
+    m.copy(clusterCols = cols)
   }
 
   /** Spec-hash mark stored per clustered file (`cl=` token): 16-hex

@@ -214,6 +214,26 @@ class GraftCatalogSpec extends SparkTestBase {
       s2.sql("ALTER TABLE graft.tw.t ALTER COLUMN k TYPE INT"))
   }
 
+  test("CREATE TABLE ... CLUSTER BY records the liquid spec at create") {
+    s2.sql("CREATE NAMESPACE graft.lc")
+    s2.sql("CREATE TABLE graft.lc.t (a BIGINT, b DOUBLE) " +
+      "USING `graft-snapshot` CLUSTER BY (a, b)")
+    val tdir = s"$warehouse/lc/t"
+    s2.sql("INSERT INTO graft.lc.t SELECT id, CAST(id % 7 AS DOUBLE) " +
+      "FROM range(1000)")
+    s2.sql("INSERT INTO graft.lc.t SELECT id, CAST(id % 7 AS DOUBLE) " +
+      "FROM range(1000, 2000)")
+    val before = SnapshotTable.liveFiles(s2, tdir).toSet
+    // the spec was recorded at CREATE: no full OPTIMIZE ZORDER needed
+    SnapshotTable.optimizeIncremental(s2, tdir)
+    assert(SnapshotTable.liveFiles(s2, tdir).toSet.intersect(before).isEmpty,
+      "every pre-pass file was unclustered and must be rewritten")
+    assert(s2.sql("SELECT count(*) FROM graft.lc.t").head().getLong(0) === 2000)
+    val v = SnapshotTable.latestVersion(s2, tdir).get
+    assert(SnapshotTable.optimizeIncremental(s2, tdir) === v,
+      "second pass must be a no-op")
+  }
+
   test("ALTER COLUMN FIRST/AFTER reorders metadata-only via SQL") {
     s2.sql("CREATE NAMESPACE graft.ro")
     s2.sql("CREATE TABLE graft.ro.t (a INT, b STRING, c DOUBLE) USING `graft-snapshot`")

@@ -149,6 +149,35 @@ class GraftSqlParserSpec extends SparkTestBase {
     assert(SnapshotTable.read(s2, path).count() === 15)
   }
 
+  test("OPTIMIZE ... WHERE rewrites only the files the predicate touches") {
+    val path = Files.createTempDirectory("graft-psql-ow").toString + "/t"
+    def wave(tag: String, p: Long) =
+      (0 until 4).map(j => (s"$tag-$j", p, 1.0 * j, 2.0 * j))
+        .toDF("id", "p", "v", "w")
+    // two partitions, two files each
+    SnapshotTable.append(wave("a", 1L).coalesce(1), path, Seq("p"))
+    SnapshotTable.append(wave("b", 1L).coalesce(1), path, Seq("p"))
+    SnapshotTable.append(wave("c", 2L).coalesce(1), path, Seq("p"))
+    SnapshotTable.append(wave("d", 2L).coalesce(1), path, Seq("p"))
+    SnapshotCatalog.register("psql_ow", path)
+    val live0 = SnapshotTable.liveFiles(s2, path).toSet
+    val p2Files = live0.filter(_.contains("p=2"))
+    assert(p2Files.size === 2)
+    s2.sql("OPTIMIZE psql_ow WHERE p = 1")
+    val after = SnapshotTable.liveFiles(s2, path).toSet
+    assert(after.filter(_.contains("p=2")) === p2Files,
+      "scoped OPTIMIZE must not touch the other partition")
+    assert(after.intersect(live0 -- p2Files).isEmpty,
+      "the scoped partition's files must be rewritten")
+    assert(SnapshotTable.read(s2, path).count() === 16)
+    // scoped ZORDER: same scoping, clustered output
+    s2.sql("OPTIMIZE psql_ow WHERE p = 2 ZORDER BY (v, w)")
+    assert(SnapshotTable.liveFiles(s2, path).toSet
+      .filter(_.contains("p=2")).intersect(p2Files).isEmpty,
+      "scoped ZORDER must rewrite its partition")
+    assert(SnapshotTable.read(s2, path).count() === 16)
+  }
+
   test("VACUUM ... DRY RUN lists exactly what the real vacuum then reclaims, deleting nothing") {
     val path = Files.createTempDirectory("graft-psql-dry").toString + "/t"
     def mk(tag: String) = (0 until 3).map(j => (s"$tag-$j", 1.0 * j)).toDF("id", "v")
