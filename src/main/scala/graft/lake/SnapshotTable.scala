@@ -663,8 +663,17 @@ object SnapshotTable {
     // point (before file finding), but publish is the one funnel NO
     // path can bypass — committing over a version that advertises an
     // unimplemented writer feature would silently break the invariants
-    // that feature's consumers trust
-    if (version > 1 && f.exists(new Path(s"${logDir(path)}/v${version - 1}")))
+    // that feature's consumers trust. The previous version resolves
+    // through versionFileStatus (not a bare exists on the v-file
+    // name): during a crashed vacuum checkpoint swap the version can
+    // legitimately exist only as its `.ckpt` sidecar, and that
+    // mid-repair window is exactly when the backstop must not be
+    // silently skipped.
+    val prevExists = version > 1 && {
+      try { versionFileStatus(f, path, version - 1); true }
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    if (prevExists)
       requireWriterFeatures(readManifestFull(spark, path, version - 1), path)
     val entries = m.entries
     val fullBytes = manifestBytes(m)
@@ -678,8 +687,7 @@ object SnapshotTable {
     // entry list a cold reader will reconstruct (base order, adds
     // appended) — cached below so warm reads agree byte-for-byte.
     val (bytes, canonical) =
-      if (version <= 1 || version % checkpointInterval == 0 ||
-          !f.exists(new Path(s"${logDir(path)}/v${version - 1}")))
+      if (version <= 1 || version % checkpointInterval == 0 || !prevExists)
         (fullBytes, entries)
       else {
         val prev = readManifestFull(spark, path, version - 1)
@@ -6048,6 +6056,39 @@ object SnapshotTable {
       statsCols = statsOut, op = "update", ridCarried = ridTracked)
   }
 
+  /** The candidate entry set a predicate-scoped maintenance
+    * operation targets: the manifest-stats pruning file finding uses
+    * (numeric/string bounds, blooms, null counts — hive partition
+    * values ride along as (v,v) stats), computed WITHOUT scanning
+    * any data file. Unlike rows-observed scoping, a file whose
+    * bounds could match stays a candidate even when no live row
+    * currently matches (e.g. fully DV-deleted). A predicate leaf the
+    * skip compiler can't evaluate keeps its files (conservative),
+    * and a tracked table's `_row_id` resolves as such a leaf. */
+  private[lake] def candidateEntries(spark: SparkSession, m: Manifest,
+      predicate: Column): Seq[Entry] = {
+    if (m.entries.isEmpty) return Nil
+    val analysisFrame0 = m.schema match {
+      case Some(s) => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+      case None => readGroups(spark, m.entries, m.schema, m.colmap)
+    }
+    val analysisFrame =
+      if (m.rowIdHigh.isDefined)
+        analysisFrame0.withColumn(RowIdCol, lit(null).cast(LongType))
+      else analysisFrame0
+    val analyzedCond = analysisFrame.filter(predicate)
+      .queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    val useBlooms = m.entries.exists(_.blooms.nonEmpty)
+    analyzedCond match {
+      case Some(c) => m.entries.filter(compileSkipPredicate(c, m.phys, useBlooms))
+      case None    => m.entries
+    }
+  }
+
   /** Maintenance compaction: rewrite the CURRENT table state into
     * `numFiles` files — optionally range-clustered on `clusterCol`,
     * which (re)builds the file-skipping index — and commit a version
@@ -6082,18 +6123,21 @@ object SnapshotTable {
     requireWriterFeatures(mFull, path)
     val entries = mFull.entries
     // `where` (Delta's OPTIMIZE ... WHERE): bound the rewrite to the
-    // files the predicate could touch — manifest-stat file finding,
-    // exactly like delete's — and carry every other file over
-    // untouched. Files are rewritten WHOLE (all rows preserved), so
-    // any predicate is safe; partition predicates give exact scoping.
+    // files whose recorded manifest stats COULD match the predicate —
+    // the same candidate set file finding computes, with NO data
+    // scan. Scoping by observed matching rows (input_file_name over a
+    // filtered read) would silently exclude a file in a targeted
+    // partition that holds zero matching LIVE rows — in particular a
+    // fully DV-deleted file, which a scoped OPTIMIZE must still be
+    // able to compact away; stats-candidate scoping matches Delta's
+    // partition-scope contract (all files of matching partitions are
+    // rewritten; hive partition values are free (v,v) stats here).
+    // Files are rewritten WHOLE (all rows preserved), so a wider
+    // candidate set is always safe; partition predicates give exact
+    // scoping.
     val scope: Seq[Entry] = where match {
       case None => entries
-      case Some(pred) =>
-        val touched = readWhereImpl(spark, path, pred, Some(base), None,
-            withRowIds = false)
-          .select(input_file_name()).distinct()
-          .collect().map(r => normInputFile(r.getString(0))).toSet
-        entries.filter(e => touched(normFile(e.filePath)))
+      case Some(pred) => candidateEntries(spark, mFull, pred)
     }
     if (scope.isEmpty) return base
     // raw read (hidden partition columns kept): zShape clusters
@@ -6157,12 +6201,19 @@ object SnapshotTable {
     m.copy(clusterCols = cols)
   }
 
-  /** Spec-hash mark stored per clustered file (`cl=` token): 16-hex
-    * of the canonical column list. Changing the spec changes the tag,
-    * so files clustered under an OLD spec read as unclustered without
-    * any entry rewrite. */
+  /** Spec-hash mark stored per clustered file (`cl=` token): 16 hex
+    * chars of xxhash64 over the canonical column list — each column
+    * URL-encoded before joining (matching the `#clusterCols=` header
+    * encoding), so no legal column name can alias a different spec
+    * through the join character. A tag collision would make
+    * [[optimizeIncremental]] silently treat files clustered under a
+    * DIFFERENT spec as settled forever, hence the 64-bit hash
+    * (~2^-64 per spec pair vs ~2^-32 for the 32-bit MurmurHash this
+    * replaces). Changing the spec changes the tag, so files
+    * clustered under an OLD spec read as unclustered without any
+    * entry rewrite. */
   private[lake] def clusterTagOf(cols: Seq[String]): String =
-    f"${scala.util.hashing.MurmurHash3.stringHash(cols.mkString(" ")).toLong & 0xffffffffL}%08x"
+    f"${RidBaseLookup.hash(cols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))}%016x"
 
   /** INCREMENTAL CLUSTERING (the liquid-clustering maintenance
     * shape): rewrite ONLY the files not yet clustered under the
