@@ -644,6 +644,58 @@ object ScaleBench {
           f"big=$wBig%.2fs warm=$wBig2%.2fs rid_cold=$wRid%.2fs rid_warm=$wRid2%.2fs " +
           f"cdc small=$cdcSmall%.2fs big=$cdcBig%.2fs")
       },
+      timed("commit_overhead") {
+        // Round-17 verdict #1: attribute the per-commit cost of the
+        // writer-features gate (entry-point raw-header checks + the
+        // publishManifest backstop's prev-version resolution and
+        // cached manifest fetch) on the many-small-commits shape —
+        // the reference's silver job is 8 actions over one tiny CSV
+        // (ev_sessions_silver_etl_clean.py:57-225). The counter
+        // ATTRIBUTES, it does not bypass: the gate stays inescapable,
+        // and the measured window over-attributes (prev-version
+        // resolution is shared with delta publishing), so a green
+        // contract is an upper bound. Contract: gate ≤ 5% of commit
+        // wall time, on a plain table AND a featured twin whose
+        // writer set is non-empty (check constraint + clustering).
+        import java.nio.file.{Files => JF}
+        val base = JF.createTempDirectory("graft-scale-commitov").toString
+        val plain = s"$base/plain"; val feat = s"$base/feat"
+        def seed(p: String): Unit = {
+          graft.lake.SnapshotTable.append(spark.range(1000)
+            .select(col("id"), col("id").cast("double").as("v")).coalesce(1), p)
+          ()
+        }
+        seed(plain); seed(feat)
+        graft.lake.SnapshotTable.addCheckConstraint(spark, feat, "v_nonneg", "v >= 0")
+        graft.lake.SnapshotTable.clusterBy(spark, feat, Seq("id"))
+        val waves = 40
+        def run(p: String): (Double, Double) = {
+          val g0 = graft.lake.SnapshotTable.writerGateNanos.sum()
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < waves) {
+            graft.lake.SnapshotTable.append(spark.range(50)
+              .select(col("id"), col("id").cast("double").as("v")).coalesce(1), p)
+            i += 1
+          }
+          val total = (System.nanoTime() - t0) / 1e9
+          val gate = (graft.lake.SnapshotTable.writerGateNanos.sum() - g0) / 1e9
+          (total, gate)
+        }
+        val (tP, gP) = run(plain)
+        val (tF, gF) = run(feat)
+        // +10ms absolute floor: at sub-millisecond gate times the
+        // ratio is numerically meaningless on a noisy host
+        require(gP <= tP * 0.05 + 0.01,
+          f"writer-features gate is ${100 * gP / tP}%.1f%% of plain commit cost " +
+            f"(gate=$gP%.4fs of $tP%.2fs over $waves commits)")
+        require(gF <= tF * 0.05 + 0.01,
+          f"writer-features gate is ${100 * gF / tF}%.1f%% of featured commit cost " +
+            f"(gate=$gF%.4fs of $tF%.2fs over $waves commits)")
+        System.err.println(f"[scale] commit_overhead plain=$tP%.2fs gate=$gP%.4fs " +
+          f"(${100 * gP / tP}%.2f%%) featured=$tF%.2fs gate=$gF%.4fs " +
+          f"(${100 * gF / tF}%.2f%%) per-commit=${tP / waves}%.4fs")
+      },
       timed("bloom_probe_cache") {
         // Decoded-bloom cache at 100× bloom-carrying files (100 vs
         // 10⁴ fake entries, each with a DISTINCT realistic payload):

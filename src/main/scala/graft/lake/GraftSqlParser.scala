@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *
   *   VACUUM t [KEEP n VERSIONS] [DRY RUN]
   *   OPTIMIZE t [FILES n | ZORDER BY (c1, c2) | INCREMENTAL
-  *               | WHERE <pred> [ZORDER BY (c1, c2)]]
+  *               | WHERE <pred> [ZORDER BY (c1, c2) | INCREMENTAL]]
   *   RESTORE [TABLE] t TO VERSION AS OF <n | 'tag'>
   *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
   *   SHOW BRANCHES [IN] t / SHOW TAGS [IN] t
@@ -96,6 +96,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OptimizeWhereZorder(t, pred, cols) =>
       SnapshotMaintenanceCommand(idents(t), "optimize",
         zorderCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        whereSql = Some(pred.trim))
+    case OptimizeWhereIncremental(t, pred) =>
+      SnapshotMaintenanceCommand(idents(t), "optimize_incremental",
         whereSql = Some(pred.trim))
     case OptimizeWhere(t, pred) =>
       SnapshotMaintenanceCommand(idents(t), "optimize",
@@ -201,6 +204,11 @@ private object GraftSqlParser {
   // could touch are rewritten (whole-file; any predicate is safe)
   private[lake] val OptimizeWhereZorder =
     stmt(s"OPTIMIZE\\s+$T\\s+WHERE\\s+(.+?)\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)")
+  // scoped maintenance wave: incremental clustering bounded to the
+  // predicate's candidate partitions (must match before OptimizeWhere,
+  // whose lazy predicate capture would swallow the INCREMENTAL token)
+  private[lake] val OptimizeWhereIncremental =
+    stmt(s"OPTIMIZE\\s+$T\\s+WHERE\\s+(.+?)\\s+INCREMENTAL")
   private[lake] val OptimizeWhere =
     stmt(s"OPTIMIZE\\s+$T\\s+WHERE\\s+(.+?)")
   private[lake] val Optimize = stmt(s"OPTIMIZE\\s+$T")
@@ -399,7 +407,8 @@ case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
           zorderCols = zorderCols,
           where = whereSql.map(org.apache.spark.sql.functions.expr))
       case "optimize_incremental" =>
-        SnapshotTable.optimizeIncremental(spark, path)
+        SnapshotTable.optimizeIncremental(spark, path,
+          where = whereSql.map(org.apache.spark.sql.functions.expr))
       case "cluster_by" =>
         SnapshotTable.clusterBy(spark, path, zorderCols)
       case "truncate" =>

@@ -274,10 +274,33 @@ object SnapshotTable {
       clusterCols: Seq[String] = Nil,
       /** RAW `#writerFeatures=` header as stored — populated ONLY by
         * [[parseManifest]], never constructed; [[headerBlock]]
-        * re-derives at publish. Carried so the commit gate
+        * re-derives at publish (but re-emits THIS line verbatim when
+        * it lists an unknown feature — see the forward-carry note
+        * there). Carried so the commit gate
         * ([[requireWriterFeatures]]) judges what the file actually
         * advertises, unknown (future-library) features included. */
-      writerFeatures: Seq[String] = Nil) {
+      writerFeatures: Seq[String] = Nil,
+      /** Header lines this library does not model (`#...` lines with
+        * an unrecognized prefix), carried VERBATIM so re-serializing
+        * a manifest — vacuum's delta→checkpoint materialization,
+        * [[relocate]] — never silently drops a future library's
+        * metadata. Populated only by [[parseManifest]]; rides every
+        * copy-through commit (preserving what we don't understand is
+        * the safe default, and data commits over a table advertising
+        * an unknown WRITER feature are refused anyway). */
+      unknownHeaders: Seq[String] = Nil,
+      /** Commit-time AUTO-CLUSTERING policy (`#autocluster=`): fire
+        * an incremental clustering pass after a data commit when any
+        * key region (hive partition; the whole table when
+        * unpartitioned) accumulates at least this many files not
+        * marked under the current `#clusterCols=` spec. Deliberately
+        * a CLUSTER-AWARE trigger, not a small-file one: a
+        * whole-partition merged file spans its full key range, and
+        * marking it clustered would WEAKEN skipping — so
+        * [[maybeAutoCompact]]'s outputs stay unmarked and THIS
+        * policy (or a manual `OPTIMIZE ... INCREMENTAL`) is what
+        * re-clusters them. */
+      autoCluster: Option[Int] = None) {
     /** Physical (on-disk) name of a logical column. */
     def phys(c: String): String = colmap.getOrElse(c, c)
   }
@@ -508,6 +531,8 @@ object SnapshotTable {
         case other => throw new IllegalArgumentException(
           s"bad #autocompact header: ${other.mkString("#")}")
       })
+    val autoCluster = lines.find(_.startsWith("#autocluster="))
+      .map(_.stripPrefix("#autocluster=").toInt)
     // row-tracking watermark: the NEXT row id this table will assign
     // (monotone across the whole history — see restore())
     val rowIdHigh = lines.find(_.startsWith("#rowIdHigh="))
@@ -524,6 +549,12 @@ object SnapshotTable {
       .getOrElse(Nil)
     val deltaBase = lines.find(_.startsWith("#delta="))
       .map(_.stripPrefix("#delta=").toLong)
+    // forward-carry: any `#` header this library does not model rides
+    // verbatim (field scaladoc on Manifest.unknownHeaders) —
+    // `#delta=` excluded, it describes THIS file's encoding, not
+    // table state
+    val unknownHeaders = lines.filter(l => l.startsWith("#") &&
+      !KnownHeaderPrefixes.exists(l.startsWith))
     val adds = Seq.newBuilder[Entry]
     val removes = Seq.newBuilder[Entry]
     lines.filterNot(_.startsWith("#")).foreach { line =>
@@ -533,7 +564,7 @@ object SnapshotTable {
     }
     (Manifest(schema, adds.result(), op, constraints, transforms, retired, txns,
       bloomCols, opKeys, colmap, droppedPhys, autoCompact, rowIdHigh,
-      clusterCols, writerFeats),
+      clusterCols, writerFeats, unknownHeaders, autoCluster),
       deltaBase, removes.result())
   }
 
@@ -669,12 +700,14 @@ object SnapshotTable {
     // legitimately exist only as its `.ckpt` sidecar, and that
     // mid-repair window is exactly when the backstop must not be
     // silently skipped.
+    val gate0 = System.nanoTime()
     val prevExists = version > 1 && {
       try { versionFileStatus(f, path, version - 1); true }
       catch { case _: java.io.FileNotFoundException => false }
     }
     if (prevExists)
       requireWriterFeatures(readManifestFull(spark, path, version - 1), path)
+    writerGateNanos.add(System.nanoTime() - gate0)
     val entries = m.entries
     val fullBytes = manifestBytes(m)
     // Incremental log: publish a DELTA against v−1 when one exists
@@ -810,7 +843,9 @@ object SnapshotTable {
     * library can never be committed over by one that would silently
     * break its write-side invariants. */
   private[lake] def requireWriterFeatures(m: Manifest, path: String): Unit = {
+    val t0 = System.nanoTime()
     val unknown = m.writerFeatures.filterNot(SupportedWriterFeatures)
+    writerGateNanos.add(System.nanoTime() - t0)
     require(unknown.isEmpty,
       s"table at $path requires writer feature(s) [${unknown.mkString(", ")}] " +
         "this library does not implement (supported: " +
@@ -818,12 +853,45 @@ object SnapshotTable {
         "upgrade the library before writing; reads remain allowed")
   }
 
+  /** Attribution counter, NOT a bypass: total wall nanos spent in
+    * the writer-features gate (the entry-point header checks plus the
+    * [[publishManifest]] backstop's prev-version resolution + cached
+    * manifest fetch). ScaleBench's `commit_overhead` entry reads the
+    * delta around N sequential small commits to pin the gate's share
+    * of commit cost (contract ≤5%); the measured window deliberately
+    * OVER-attributes — the backstop's prev-manifest resolution is
+    * work delta publishing needs anyway — so a green contract here
+    * is an upper bound on the gate's true marginal cost. */
+  private[graft] val writerGateNanos = new java.util.concurrent.atomic.LongAdder
+
+  /** Every header prefix this library models. [[parseManifest]]
+    * carries any other `#` line verbatim in
+    * `Manifest.unknownHeaders`; keep this list in sync with
+    * [[headerBlock]]'s emissions. */
+  private[lake] val KnownHeaderPrefixes: Seq[String] = Seq(
+    "#readerFeatures=", "#writerFeatures=", "#schema=", "#op=",
+    "#constraints=", "#ptransforms=", "#ptransformsRetired=", "#txns=",
+    "#bloomCols=", "#opKeys=", "#colmap=", "#colsDropped=",
+    "#autocompact=", "#autocluster=", "#clusterCols=", "#rowIdHigh=",
+    "#delta=")
+
   private def headerBlock(m: Manifest): String =
     (readerFeaturesOf(m) match {
       case Nil => ""
       case fs  => s"#readerFeatures=${fs.mkString(",")}\n"
     }) +
-    (writerFeaturesOf(m) match {
+    // Forward-carry (writer-features half): when the RAW stored
+    // header advertises a feature this library does not implement,
+    // re-emit it BYTE-IDENTICAL instead of re-deriving — vacuum's
+    // delta→checkpoint materialization and relocate re-serialize
+    // manifests of tables they cannot data-write, and a re-derived
+    // header would silently LAUNDER the unknown feature away. With
+    // no unknown feature the derived set is authoritative (the
+    // commit gate proved we implement everything the raw set names,
+    // and state decides what the next writer must implement).
+    (if (m.writerFeatures.exists(!SupportedWriterFeatures(_)))
+      s"#writerFeatures=${m.writerFeatures.mkString(",")}\n"
+    else writerFeaturesOf(m) match {
       case Nil => ""
       case fs  => s"#writerFeatures=${fs.mkString(",")}\n"
     }) +
@@ -848,10 +916,14 @@ object SnapshotTable {
         s"#colsDropped=${m.droppedPhys.map(java.net.URLEncoder.encode(_, "UTF-8"))
           .mkString(",")}\n" else "") +
       m.autoCompact.map { case (n, r) => s"#autocompact=$n#$r\n" }.getOrElse("") +
+      m.autoCluster.map(n => s"#autocluster=$n\n").getOrElse("") +
       (if (m.clusterCols.nonEmpty)
         s"#clusterCols=${m.clusterCols.map(java.net.URLEncoder.encode(_, "UTF-8"))
           .mkString(",")}\n" else "") +
-      m.rowIdHigh.map(h => s"#rowIdHigh=$h\n").getOrElse("")
+      m.rowIdHigh.map(h => s"#rowIdHigh=$h\n").getOrElse("") +
+      // unmodeled headers ride verbatim, last (order among them
+      // preserved from parse) — see Manifest.unknownHeaders
+      m.unknownHeaders.map(_ + "\n").mkString
 
   private def entryLine(e: Entry): String = {
     val rows = if (e.rows >= 0) s"\trows=${e.rows}" else ""
@@ -913,9 +985,11 @@ object SnapshotTable {
     // still-delta v(n+1) onto an already-remapped v(n) would fail
     // (its removal entries reference the old paths).
     val all = versions(spark, path).map(v => v -> readManifestFull(spark, path, v))
-    // same in-place-rewrite posture as vacuum: gate before touching
-    // any log file (re-serialization re-derives headers)
-    all.lastOption.foreach { case (_, m) => requireWriterFeatures(m, path) }
+    // no writer-features gate (same forward-carry posture as vacuum):
+    // the rewrite below is a lossless re-serialization — raw unknown
+    // `#writerFeatures=` and unmodeled headers ride verbatim (see
+    // headerBlock) — with only recorded paths re-anchored, so a
+    // renamed future-library table keeps its protocol intact
     all.foreach { case (v, m) =>
       val mapped = m.copy(entries = m.entries.map(e => e.copy(
         commitDir = remap(e.commitDir),
@@ -1143,12 +1217,14 @@ object SnapshotTable {
       // publishes first, the CAS fails and we re-read their manifest
       val version = latestVersion(spark, path).getOrElse(0L) + 1
       val (prevSchema, previous, prevCs, prevTs, prevRetired, prevTxns,
-          prevBloomCols, prevDropped, prevAuto, prevRidHigh, prevClusterCols) =
+          prevBloomCols, prevDropped, prevAuto, prevRidHigh, prevClusterCols,
+          prevAutoCluster, prevUnknown) =
         if (version == 1L)
           (None, Nil, Map.empty[String, String],
             Seq.empty[PartitionTransform], Seq.empty[PartitionTransform],
             Map.empty[String, Long], Seq.empty[String], Seq.empty[String],
-            None: Option[(Int, Long)], None: Option[Long], Seq.empty[String])
+            None: Option[(Int, Long)], None: Option[Long], Seq.empty[String],
+            None: Option[Int], Seq.empty[String])
         else {
           val m = readManifestFull(spark, path, version - 1)
           // our files were written under the PRE-WRITE mapping; a
@@ -1172,7 +1248,7 @@ object SnapshotTable {
             s"concurrent add of column '$c' at $path during commit — rerun"))
           (m.schema, m.entries, m.constraints, m.transforms, m.retiredTransforms,
             m.txns, m.bloomCols, m.droppedPhys, m.autoCompact, m.rowIdHigh,
-            m.clusterCols)
+            m.clusterCols, m.autoCluster, m.unknownHeaders)
         }
       // the partition spec may have CHANGED between our pre-write read
       // and this attempt (a concurrent evolvePartitionTransforms or
@@ -1310,13 +1386,26 @@ object SnapshotTable {
           prevBloomCols, opKeys, cm, prevDropped,
           prevAuto, ridHighOut,
           clusterCols =
-            if (newClusterCols.nonEmpty) newClusterCols else prevClusterCols))) {
-        // commit-time auto-compaction (Delta autoOptimize posture):
-        // best-effort, never fails the user's commit, and skipped for
-        // the compaction's own commits (no recursion)
-        if (prevAuto.isDefined && op != "autocompact")
-          try maybeAutoCompact(spark, path)
-          catch { case scala.util.control.NonFatal(_) => () }
+            if (newClusterCols.nonEmpty) newClusterCols else prevClusterCols,
+          unknownHeaders = prevUnknown,
+          autoCluster = prevAutoCluster))) {
+        // commit-time policies (Delta autoOptimize posture):
+        // best-effort, never fail the user's commit, and fire only
+        // from NON-policy commits (a policy commit re-evaluating
+        // policies could ping-pong; the next user commit re-checks
+        // anyway). Compaction first — its merged output lands
+        // UNMARKED (a whole-partition merge spans its full key
+        // range; marking it would weaken skipping) and the cluster
+        // policy below is what re-clusters it when its region
+        // crosses the stale threshold.
+        if (op != "autocompact" && op != "autocluster") {
+          if (prevAuto.isDefined)
+            try maybeAutoCompact(spark, path)
+            catch { case scala.util.control.NonFatal(_) => () }
+          if (prevAutoCluster.isDefined)
+            try maybeAutoCluster(spark, path)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
         return version
       }
       attempt += 1
@@ -3843,6 +3932,8 @@ object SnapshotTable {
       m.autoCompact.map { case (minF, target) => Map(
         "autoCompact.minFiles" -> minF.toString,
         "autoCompact.targetBytes" -> target.toString) }.getOrElse(Map.empty) ++
+      m.autoCluster.map(n => Map(
+        "autoCluster.minStaleFiles" -> n.toString)).getOrElse(Map.empty) ++
       (if (m.bloomCols.nonEmpty)
         Map("bloomFilterColumns" -> m.bloomCols.mkString(",")) else Map.empty) ++
       (if (m.constraints.nonEmpty)
@@ -6227,10 +6318,18 @@ object SnapshotTable {
     * or is (re)recorded by passing `zorderCols`. `numFiles <= 0`
     * sizes the output from the stale row count (~1M rows per file).
     * No-op (returns the current version) when everything is already
-    * clustered. */
+    * clustered. `where` (`OPTIMIZE t WHERE p INCREMENTAL`) further
+    * scopes the pass to the manifest-stats candidate files of the
+    * predicate ([[candidateEntries]] — partition predicates give
+    * exact scoping), the per-partition maintenance-wave shape:
+    * unmarked files OUTSIDE the scope stay byte-identical and
+    * unmarked, to be picked up by their own wave; a scoped pass
+    * never (re)records the table-wide spec, exactly like a scoped
+    * [[compact]]. */
   def optimizeIncremental(spark: SparkSession, path: String,
       zorderCols: Seq[String] = Nil, numFiles: Int = 0,
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      where: Option[Column] = None): Long = {
     val base = latestVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val m = readManifestFull(spark, path, base)
@@ -6240,8 +6339,17 @@ object SnapshotTable {
       s"no clustering columns recorded at $path — run " +
         "OPTIMIZE ... ZORDER BY (...) once or pass zorderCols")
     val tag = clusterTagOf(spec)
-    val stale = m.entries.filter(!_.clusterTag.contains(tag))
-    if (stale.isEmpty && m.clusterCols == spec) return base
+    val unmarked = m.entries.filter(!_.clusterTag.contains(tag))
+    val stale = where match {
+      case None => unmarked
+      case Some(pred) =>
+        // WHERE × INCREMENTAL: the wave touches only unmarked files
+        // the predicate's stats-candidate set covers — same file
+        // finding as a scoped compact, zero data scanned
+        val cand = candidateEntries(spark, m, pred).toSet
+        unmarked.filter(cand)
+    }
+    if (stale.isEmpty && (where.nonEmpty || m.clusterCols == spec)) return base
     val ridTracked = m.rowIdHigh.isDefined
     val rev = m.colmap.map(_.swap)
     val partCols =
@@ -6249,8 +6357,27 @@ object SnapshotTable {
       else inferPartitionCols(m.entries, rev)
     if (stale.isEmpty)
       // spec (re)recorded with no files to move: metadata-only commit
+      // (unreachable under `where` — a scoped wave never records)
       return publishMetadataCommit(spark, path, "optimize_incremental")(
         cur => cur.copy(clusterCols = spec))
+    clusterRewriteCommit(spark, path, m, spec, tag, stale, numFiles,
+      partCols, op = "optimize_incremental",
+      // a scoped wave clusters its slice without touching the
+      // table-wide spec (the marks still count when the specs match)
+      recordSpec = where.isEmpty)
+  }
+
+  /** Shared tail of [[optimizeIncremental]] and [[maybeAutoCluster]]:
+    * z-shape (≥2-col spec) or range-cluster (1-col) exactly the
+    * `stale` entries against the table's key space, mark the outputs
+    * with `tag`, and commit with the file-disjoint rebasing guard —
+    * settled files carry over by reference, byte-identical. */
+  private def clusterRewriteCommit(spark: SparkSession, path: String,
+      m: Manifest, spec: Seq[String], tag: String, stale: Seq[Entry],
+      numFiles: Int, partCols: Seq[String], op: String,
+      recordSpec: Boolean): Long = {
+    val ridTracked = m.rowIdHigh.isDefined
+    val rev = m.colmap.map(_.swap)
     val current =
       if (ridTracked) readGroupsWithRid(spark, stale, m.schema, m.colmap)
       else readGroups(spark, stale, m.schema, m.colmap)
@@ -6267,11 +6394,85 @@ object SnapshotTable {
         stale.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))
         ++ spec).distinct
     commit(shaped, path, partCols,
-      rebasingCarryOver(path, "optimize_incremental", m.entries,
+      rebasingCarryOver(path, op, m.entries,
         stale.map(_.filePath).toSet),
-      statsCols = statsOut, op = "optimize_incremental",
+      statsCols = statsOut, op = op,
       ridCarried = ridTracked,
-      clusterTag = Some(tag), newClusterCols = spec)
+      clusterTag = Some(tag),
+      newClusterCols = if (recordSpec) spec else Nil)
+  }
+
+  /** Opt a table into COMMIT-TIME AUTO-CLUSTERING (the liquid-
+    * clustering companion of [[setAutoCompact]]): after every data
+    * commit, any key region (hive partition; the whole table when
+    * unpartitioned) holding at least `minStaleFiles` files NOT
+    * marked under the current `#clusterCols=` spec gets exactly
+    * those files incrementally clustered — settled files stay
+    * byte-identical, best-effort under contention, never failing
+    * the user's commit. The trigger is deliberately CLUSTER-AWARE
+    * (unmarked-file count), not the small-file count:
+    * auto-compaction's whole-partition merge spans its full key
+    * range and is left UNMARKED, so this policy is what restores
+    * skipping over it. The policy decision is O(live entries)
+    * driver work per commit; the pass itself is O(stale files in
+    * the triggered regions) — at 100 TB, maintenance cost scales
+    * with new data, not table size. Requires a recorded spec
+    * ([[clusterBy]] or a full clustered OPTIMIZE) to have any
+    * effect. `minStaleFiles <= 0` disables. */
+  def setAutoCluster(spark: SparkSession, path: String,
+      minStaleFiles: Int): Long =
+    publishMetadataCommit(spark, path, "setAutoCluster")(
+      setAutoClusterMutation(minStaleFiles))
+
+  private[lake] def setAutoClusterMutation(minStaleFiles: Int)
+      : Manifest => Manifest = m =>
+    m.copy(autoCluster =
+      if (minStaleFiles <= 0) None else Some(minStaleFiles))
+
+  /** Observability for the clustering policies: how many live files
+    * are NOT marked under the table's current clustering spec (the
+    * set the next incremental pass would rewrite). 0 when no spec is
+    * recorded — there is nothing to be stale against. */
+  def unclusteredFileCount(spark: SparkSession, path: String): Int = {
+    val v = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val m = readManifestFull(spark, path, v)
+    if (m.clusterCols.isEmpty) 0
+    else {
+      val tag = clusterTagOf(m.clusterCols)
+      m.entries.count(!_.clusterTag.contains(tag))
+    }
+  }
+
+  /** Current auto-clustering policy: minimum unmarked files per key
+    * region that trigger the commit-time incremental pass. */
+  def autoClusterPolicy(spark: SparkSession, path: String): Option[Int] = {
+    val v = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    readManifestFull(spark, path, v).autoCluster
+  }
+
+  /** One best-effort auto-clustering round (see [[setAutoCluster]]):
+    * incrementally cluster each over-threshold key region's unmarked
+    * files. Throws on contention; the caller swallows (the policy
+    * re-fires on the next commit anyway). */
+  private def maybeAutoCluster(spark: SparkSession, path: String): Unit = {
+    val base = latestVersion(spark, path).getOrElse(return)
+    val m = readManifestFull(spark, path, base)
+    val minStale = m.autoCluster.getOrElse(return)
+    val spec = m.clusterCols
+    if (spec.isEmpty) return // no recorded spec: nothing to cluster against
+    val tag = clusterTagOf(spec)
+    val unmarked = m.entries.filter(!_.clusterTag.contains(tag))
+    val triggered = unmarked.groupBy(partitionFragmentOf)
+      .filter(_._2.size >= minStale)
+    if (triggered.isEmpty) return
+    val stale = triggered.values.flatten.toSeq
+    val rev = m.colmap.map(_.swap)
+    clusterRewriteCommit(spark, path, m, spec, tag, stale, numFiles = 0,
+      partCols = inferPartitionCols(m.entries, rev), op = "autocluster",
+      recordSpec = false)
+    ()
   }
 
   /** Opt a table into COMMIT-TIME AUTO-COMPACTION (Delta
@@ -6490,14 +6691,18 @@ object SnapshotTable {
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
       minAgeMs: Long = 0L, protectConsumers: Seq[String] = Nil): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
-    // vacuum bypasses publishManifest (it deletes data files and
-    // rewrites log files in place), so it carries its own writer
-    // gate: reclaiming under invariants this library does not
-    // implement could delete files a future feature still needs, and
-    // the checkpoint materialization re-serializes manifests — which
-    // would silently DROP an unknown raw feature header (laundering)
-    latestVersion(spark, path).foreach(v =>
-      requireWriterFeatures(readManifestFull(spark, path, v), path))
+    // No writer-features gate here (forward-carry, r17 verdict #3):
+    // vacuum changes no logical table state — it deletes files no
+    // kept version references (all reference sets come from parsed
+    // manifests, so a file an unknown feature references through a
+    // header we don't model is never a deletion candidate) — and the
+    // delta→checkpoint materialization below round-trips manifests
+    // LOSSLESSLY (raw `#writerFeatures=` re-emitted verbatim when it
+    // lists unknown features, unmodeled `#` headers carried — see
+    // headerBlock), so retention can run under a future-library
+    // table while data commits stay refused at every DML entry
+    // point. Unknown READER features still refuse at parse: planning
+    // retention over entries we cannot interpret is not safe.
     val f = fs(spark, path)
     // Complete any crashed checkpoint swap from a previous vacuum on
     // a non-atomic-rename store (see the materialization loop below):

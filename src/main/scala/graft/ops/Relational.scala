@@ -2503,11 +2503,62 @@ object Relational {
       |  (SELECT max(l_orderkey) // 4 FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q136: COMMIT-TIME AUTO-CLUSTERING (`SnapshotTable.setAutoCluster`
+    * — the liquid-clustering maintenance policy): under continuous
+    * single-file ingest with NO manual OPTIMIZE, the cluster-aware
+    * trigger (unmarked-file count per key region, never the
+    * small-file count) keeps the unmarked backlog under its
+    * threshold and box reads bounded — at 100 TB this is what keeps
+    * the skipping indexes alive on an always-ingesting corpus.
+    * Asserted in-gate BEFORE the oracle hash: the policy fired by
+    * itself, backlog < threshold, box read opened a strict subset. */
+  def autoClusterGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-aclu-gate").toString + "/t"
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    SnapshotTable.append(
+      li.filter(col("l_orderkey") % 7 < 4).repartition(4), path)     // v1
+    SnapshotTable.compact(spark, path, numFiles = 8,
+      zorderCols = Seq("l_orderkey", "l_partkey"))                   // v2: spec
+    SnapshotTable.setAutoCluster(spark, path, minStaleFiles = 2)     // v3
+    val settled = SnapshotTable.liveFiles(spark, path).toSet
+    // continuous ingest: three 1-file waves (modulo residues — every
+    // class is non-empty at all scale factors); the policy fires on
+    // its own when two unmarked files accumulate
+    (4 to 6).foreach { r =>
+      SnapshotTable.append(
+        li.filter(col("l_orderkey") % 7 === r).coalesce(1), path)
+    }
+    val ops = SnapshotTable.history(spark, path).select("operation")
+      .collect().map(_.getString(0)).toSeq
+    require(ops.contains("autocluster"),
+      "the auto-clustering policy never fired under continuous ingest")
+    require(settled.subsetOf(SnapshotTable.liveFiles(spark, path).toSet),
+      "the policy rewrote settled files")
+    val unmarked = SnapshotTable.unclusteredFileCount(spark, path)
+    require(unmarked < 2,
+      s"unmarked backlog grew past the threshold: $unmarked")
+    // skipping stayed alive without any manual OPTIMIZE
+    val maxOk = li.agg(max("l_orderkey")).head().getLong(0)
+    val (df, opened) = SnapshotTable.readBox(spark, path,
+      Seq(("l_orderkey", 1.0, (maxOk / 4).toDouble)))
+    val total = SnapshotTable.liveFiles(spark, path).size
+    require(opened < total,
+      s"box read opened all $opened of $total files — skipping lost")
+    df.orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val autoClusterGateSql = optimizeIncrementalGateSql
+
   /** The full oracle-checked relational catalog. */
   val catalog: Seq[QDef] = Seq(
     QDef("q110_zorder_box", zorderBoxRead, Some(zorderBoxReadSql)),
     QDef("q135_optimize_incremental", optimizeIncrementalGate,
       Some(optimizeIncrementalGateSql)),
+    QDef("q136_auto_cluster", autoClusterGate,
+      Some(autoClusterGateSql)),
     QDef("q111_zorder_partitioned", zorderPartitionedRead, Some(zorderPartitionedReadSql)),
     QDef("q01_tpch_q1", tpchQ1, Some(tpchQ1Sql)),
     QDef("q02_scan_projection", scanProjection, Some(scanProjectionSql)),

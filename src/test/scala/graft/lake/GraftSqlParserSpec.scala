@@ -176,6 +176,24 @@ class GraftSqlParserSpec extends SparkTestBase {
       .filter(_.contains("p=2")).intersect(p2Files).isEmpty,
       "scoped ZORDER must rewrite its partition")
     assert(SnapshotTable.read(s2, path).count() === 16)
+    // WHERE × INCREMENTAL: the scoped maintenance wave. A SCOPED
+    // zorder never records the table-wide spec, so record it via the
+    // DDL — the scoped run's marks count because the specs match.
+    // p=2 is then settled (just z-ordered), p=1 is not: a p=1 wave
+    // moves only p=1's unmarked files, a p=2 wave is a version no-op
+    s2.sql("ALTER TABLE psql_ow CLUSTER BY (v, w)")
+    val preWave = SnapshotTable.liveFiles(s2, path).toSet
+    val p2Settled = preWave.filter(_.contains("p=2"))
+    val vHead = SnapshotTable.latestVersion(s2, path).get
+    assert(s2.sql("OPTIMIZE psql_ow WHERE p = 2 INCREMENTAL")
+      .head().getLong(0) === vHead, "nothing stale in scope must no-op")
+    s2.sql("OPTIMIZE psql_ow WHERE p = 1 INCREMENTAL")
+    val afterWave = SnapshotTable.liveFiles(s2, path).toSet
+    assert(afterWave.filter(_.contains("p=2")) === p2Settled,
+      "scoped INCREMENTAL must not touch the settled partition")
+    assert(afterWave.intersect(preWave -- p2Settled).isEmpty,
+      "scoped INCREMENTAL must re-cluster its partition's unmarked files")
+    assert(SnapshotTable.read(s2, path).count() === 16)
   }
 
   test("VACUUM ... DRY RUN lists exactly what the real vacuum then reclaims, deleting nothing") {

@@ -159,4 +159,47 @@ class IncrementalClusterSpec extends SparkTestBase {
       s"range read opened every file ($opened of ${live(path).size})")
     assert(before.intersect(live(path)).nonEmpty || before.size <= 3)
   }
+
+  test("WHERE scopes the incremental pass to the predicate's " +
+      "partitions (per-partition maintenance waves)") {
+    val path = fresh("wave")
+    def mkp(lo: Int, hi: Int) =
+      (lo until hi).map(i =>
+        (i.toLong, (i * 7 % 100).toLong, if (i % 2 == 0) "p0" else "p1"))
+        .toDF("a", "b", "p")
+    SnapshotTable.append(mkp(0, 1000).repartition(3), path, Seq("p"))
+    SnapshotTable.compact(spark, path, numFiles = 2,
+      zorderCols = Seq("a", "b"))
+    val settled = live(path)
+    // a new wave lands unclustered in BOTH partitions
+    SnapshotTable.append(mkp(1000, 1400).repartition(3), path, Seq("p"))
+    val wave = live(path) -- settled
+    val waveP0 = wave.filter(_.contains("p=p0"))
+    val waveP1 = wave.filter(_.contains("p=p1"))
+    assert(waveP0.nonEmpty && waveP1.nonEmpty, "fixture: wave in both partitions")
+    // the p0 wave: only p0's unmarked files move; p1's stay put,
+    // byte-identical AND unmarked, for their own wave
+    SnapshotTable.optimizeIncremental(spark, path,
+      where = Some(col("p") === "p0"))
+    val afterP0 = live(path)
+    assert(settled.subsetOf(afterP0), "scoped wave rewrote settled files")
+    assert(waveP1.subsetOf(afterP0),
+      "scoped wave rewrote files outside its partition scope")
+    assert(waveP0.intersect(afterP0).isEmpty,
+      "scoped wave left its own partition's unmarked files in place")
+    assert(SnapshotTable.read(spark, path).count() === 1400)
+    // the p1 wave picks up the rest
+    SnapshotTable.optimizeIncremental(spark, path,
+      where = Some(col("p") === "p1"))
+    val afterP1 = live(path)
+    assert(waveP1.intersect(afterP1).isEmpty,
+      "second wave left its partition's unmarked files in place")
+    // everything is settled now: an UNSCOPED pass is a version no-op
+    val v = SnapshotTable.latestVersion(spark, path).get
+    assert(SnapshotTable.optimizeIncremental(spark, path) === v)
+    assert(live(path) === afterP1)
+    // and a scoped pass with nothing stale in scope no-ops too
+    assert(SnapshotTable.optimizeIncremental(spark, path,
+      where = Some(col("p") === "p0")) === v)
+  }
 }

@@ -103,9 +103,9 @@ class WriterFeaturesSpec extends SparkTestBase {
     // forks of the forged state are refused too — re-deriving the
     // target's headers would silently launder the feature away
     refused(SnapshotTable.createBranch(spark, path, "b1"))
-    // vacuum rewrites log files in place (no publishManifest funnel)
-    // and its materialization would silently drop the unknown header
-    refused(SnapshotTable.vacuum(spark, path))
+    // vacuum is deliberately NOT refused (forward-carry): retention
+    // changes no logical state and the materialization round-trips
+    // the raw header verbatim — see the dedicated test below
     refused(SnapshotTable.shallowClone(spark, path, fresh("clone-dst")))
     refused(SnapshotTable.deepClone(spark, path, fresh("dclone-dst")))
     // refusal happened BEFORE file finding / data writes: nothing new
@@ -167,5 +167,67 @@ class WriterFeaturesSpec extends SparkTestBase {
     val wf2 = SnapshotTable.describeDetail(spark, path)
       .select("writerFeatures").head().getSeq[String](0)
     assert(wf2.contains("frobnication"))
+  }
+
+  test("vacuum forward-carries a future writer-features header " +
+      "(retention runs on a future-library table, commits stay refused)") {
+    val path = fresh("fwdcarry")
+    SnapshotTable.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path) // v1 ckpt
+    SnapshotTable.compact(spark, path, numFiles = 1)                     // v2: v1's files dead once v1 expires
+    SnapshotTable.append(Seq((3L, 3.0)).toDF("k", "v"), path)            // v3 delta vs v2
+    // forge v3 as if a future library wrote it: an unknown writer
+    // feature plus a header line this library does not model
+    val v3 = new String(Files.readAllBytes(vFile(path, 3L)), "UTF-8")
+    assert(v3.contains("#delta="),
+      "fixture: v3 must be a delta so vacuum exercises materialization")
+    Files.write(vFile(path, 3L),
+      ("#writerFeatures=frobnication\n#frobnicationState=opaque payload 42\n"
+        + v3).getBytes("UTF-8"))
+    SnapshotTable.clearManifestCache()
+    val beforeData = dataFiles(path)
+    // retention RUNS — no refusal. keepVersions=1 expires v1+v2, so
+    // kept v3 (a delta whose base is going away) must be
+    // re-materialized as a checkpoint WITHOUT laundering the header.
+    SnapshotTable.vacuum(spark, path)
+    assert(!Files.exists(vFile(path, 1L)) && !Files.exists(vFile(path, 2L)))
+    val after = new String(Files.readAllBytes(vFile(path, 3L)), "UTF-8")
+    assert(!after.contains("#delta="),
+      "v3 must have been materialized as a self-sufficient checkpoint")
+    assert(after.linesIterator.contains("#writerFeatures=frobnication"),
+      "the raw writer-features header must survive byte-identical")
+    assert(after.linesIterator.contains("#frobnicationState=opaque payload 42"),
+      "unmodeled headers must ride the rewrite verbatim")
+    // retention did real work: v1's pre-compaction files are gone
+    assert(dataFiles(path).size < beforeData.size)
+    // reads still served; data commits still refused
+    assert(SnapshotTable.read(spark, path).count() === 3L)
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.append(Seq((4L, 4.0)).toDF("k", "v"), path))
+    assert(e.getMessage.contains("frobnication"))
+    // a second vacuum over the already-compacted log is a clean no-op
+    SnapshotTable.vacuum(spark, path)
+    assert(SnapshotTable.read(spark, path).count() === 3L)
+  }
+
+  test("relocate preserves a future writer-features header through " +
+      "its full-log rewrite") {
+    val dir = Files.createTempDirectory("graft-wfeat-reloc").toString
+    val src = s"$dir/a"; val dst = s"$dir/b"
+    SnapshotTable.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), src)
+    SnapshotTable.append(Seq((3L, 3.0)).toDF("k", "v"), src)
+    val v2 = new String(Files.readAllBytes(vFile(src, 2L)), "UTF-8")
+    Files.write(vFile(src, 2L),
+      ("#writerFeatures=frobnication\n#frobnicationState=xyz\n" + v2)
+        .getBytes("UTF-8"))
+    SnapshotTable.clearManifestCache()
+    Files.move(Paths.get(src), Paths.get(dst))
+    SnapshotTable.relocate(spark, dst, src)
+    val after = new String(Files.readAllBytes(vFile(dst, 2L)), "UTF-8")
+    assert(after.linesIterator.contains("#writerFeatures=frobnication"))
+    assert(after.linesIterator.contains("#frobnicationState=xyz"))
+    assert(SnapshotTable.read(spark, dst).count() === 3L)
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.append(Seq((4L, 4.0)).toDF("k", "v"), dst))
+    assert(e.getMessage.contains("frobnication"))
   }
 }
