@@ -643,6 +643,21 @@ object ScaleBench {
           f"rid=$cRid%.2fs delta_bytes=$dSmall/$dBig readWhere small=$wSmall%.2fs " +
           f"big=$wBig%.2fs warm=$wBig2%.2fs rid_cold=$wRid%.2fs rid_warm=$wRid2%.2fs " +
           f"cdc small=$cdcSmall%.2fs big=$cdcBig%.2fs")
+        // commit-time cluster-policy decision at 10^5 entries: with a
+        // spec recorded and AUTOCLUSTER armed above the table size
+        // (never fires), every commit pays the O(entries) driver
+        // decision (unmarked filter + key-region groupBy over 10^5
+        // strings) — it must stay within noise of the policy-less
+        // 1-file commit on the same manifest
+        graft.lake.SnapshotTable.clusterBy(spark, big, Seq("id"))
+        graft.lake.SnapshotTable.setAutoCluster(spark, big, 200001)
+        val cPol = commitSec(big)
+        require(cPol < cBig * 3 + 2.0,
+          f"auto-cluster decision off at 100k files: " +
+            f"plain=$cBig%.2fs policy=$cPol%.2fs")
+        System.err.println(
+          f"[scale] autocluster decision at 100k files: plain=$cBig%.2fs " +
+            f"policy=$cPol%.2fs")
       },
       timed("commit_overhead") {
         // Round-17 verdict #1: attribute the per-commit cost of the

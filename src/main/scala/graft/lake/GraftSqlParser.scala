@@ -32,6 +32,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   VACUUM t [KEEP n VERSIONS] [DRY RUN]
   *   OPTIMIZE t [FILES n | ZORDER BY (c1, c2) | INCREMENTAL
   *               | WHERE <pred> [ZORDER BY (c1, c2) | INCREMENTAL]]
+  *   ALTER TABLE t SET AUTOCOMPACT n [ROWS r] | UNSET AUTOCOMPACT
+  *   ALTER TABLE t SET AUTOCLUSTER n | UNSET AUTOCLUSTER
   *   RESTORE [TABLE] t TO VERSION AS OF <n | 'tag'>
   *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
   *   SHOW BRANCHES [IN] t / SHOW TAGS [IN] t
@@ -117,6 +119,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotCloneCommand(idents(dst), idents(src),
         deep = kind.equalsIgnoreCase("deep"), None, None)
     case EnableRowTracking(t) => SnapshotEnableRowTrackingCommand(idents(t))
+    case SetAutoCompact(t, minFiles, rows) =>
+      SnapshotPolicyCommand(idents(t), "autocompact", minFiles.toInt,
+        Option(rows).map(_.toLong))
+    case UnsetAutoCompact(t) =>
+      SnapshotPolicyCommand(idents(t), "autocompact", 0, None)
+    case SetAutoCluster(t, minStale) =>
+      SnapshotPolicyCommand(idents(t), "autocluster", minStale.toInt, None)
+    case UnsetAutoCluster(t) =>
+      SnapshotPolicyCommand(idents(t), "autocluster", 0, None)
     case ClusterBy(t, cols) =>
       SnapshotMaintenanceCommand(idents(t), "cluster_by",
         zorderCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -229,6 +240,18 @@ private object GraftSqlParser {
   // spelled as a first-class statement here, like the ref DDL)
   private[lake] val EnableRowTracking =
     stmt(s"ALTER\\s+TABLE\\s+$T\\s+ENABLE\\s+ROW\\s+TRACKING")
+  // commit-time maintenance policies (Delta: SET TBLPROPERTIES
+  // delta.autoOptimize.autoCompact; first-class statements here):
+  // SET AUTOCOMPACT <minSmallFiles> [ROWS <smallFileRows>] /
+  // SET AUTOCLUSTER <minStaleFiles> / UNSET either
+  private[lake] val SetAutoCompact = stmt(
+    s"ALTER\\s+TABLE\\s+$T\\s+SET\\s+AUTOCOMPACT\\s+(\\d+)(?:\\s+ROWS\\s+(\\d+))?")
+  private[lake] val UnsetAutoCompact =
+    stmt(s"ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+AUTOCOMPACT")
+  private[lake] val SetAutoCluster =
+    stmt(s"ALTER\\s+TABLE\\s+$T\\s+SET\\s+AUTOCLUSTER\\s+(\\d+)")
+  private[lake] val UnsetAutoCluster =
+    stmt(s"ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+AUTOCLUSTER")
   // liquid-clustering DDL: record/change the spec as one metadata
   // commit; OPTIMIZE ... INCREMENTAL then clusters against it
   private[lake] val ClusterBy =
@@ -414,6 +437,31 @@ case class SnapshotMaintenanceCommand(ident: Seq[String], op: String,
       case "truncate" =>
         SnapshotTable.truncate(spark, path)
       case other => throw new IllegalStateException(s"unknown maintenance op: $other")
+    }
+    Seq(Row(v))
+  }
+}
+
+/** Commit-time policy DDL: `ALTER TABLE t SET AUTOCOMPACT n [ROWS r]`
+  * → [[SnapshotTable.setAutoCompact]], `ALTER TABLE t SET AUTOCLUSTER
+  * n` → [[SnapshotTable.setAutoCluster]]; `UNSET` passes 0 (both
+  * policies treat non-positive as disable). One metadata commit
+  * either way; returns the resulting version. */
+case class SnapshotPolicyCommand(ident: Seq[String], policy: String,
+    threshold: Int, rows: Option[Long]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = SnapshotStatementTarget.pathOf(spark, ident)
+    val v = policy match {
+      case "autocompact" => rows match {
+        case Some(r) => SnapshotTable.setAutoCompact(spark, path, threshold, r)
+        case None    => SnapshotTable.setAutoCompact(spark, path, threshold)
+      }
+      case "autocluster" => SnapshotTable.setAutoCluster(spark, path, threshold)
+      case other => throw new IllegalStateException(s"unknown policy: $other")
     }
     Seq(Row(v))
   }

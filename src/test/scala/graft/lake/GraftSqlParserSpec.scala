@@ -413,4 +413,41 @@ class GraftSqlParserSpec extends SparkTestBase {
         .columns.contains(SnapshotTable.RowIdCol))
     } finally SnapshotCatalog.unregister("psql_rid")
   }
+
+  test("SET/UNSET AUTOCOMPACT and AUTOCLUSTER are metadata commits " +
+      "and the policies fire from SQL-configured state") {
+    val path = Files.createTempDirectory("graft-psql-pol").toString + "/t"
+    def mk(tag: String, lo: Int) =
+      (0 until 50).map(j => (s"$tag-$j", (lo + j).toLong, 1.0 * j))
+        .toDF("id", "k", "v")
+    SnapshotTable.append(mk("a", 0).coalesce(1), path)               // v1
+    SnapshotCatalog.register("psql_pol", path)
+    try {
+      assert(s2.sql("ALTER TABLE psql_pol SET AUTOCOMPACT 3 ROWS 500")
+        .head().getLong(0) === 2L)
+      assert(SnapshotTable.autoCompactPolicy(s2, path) === Some((3, 500L)))
+      assert(s2.sql("ALTER TABLE psql_pol SET AUTOCLUSTER 2")
+        .head().getLong(0) === 3L)
+      assert(SnapshotTable.autoClusterPolicy(s2, path) === Some(2))
+      // DESCRIBE DETAIL surfaces both policies
+      val props = s2.sql("DESCRIBE DETAIL psql_pol")
+        .select("properties").head().getMap[String, String](0)
+      assert(props.get("autoCompact.minFiles") === Some("3"))
+      assert(props.get("autoCluster.minStaleFiles") === Some("2"))
+      // the SQL-configured cluster policy fires: record a spec, then
+      // two 1-file appends cross the AUTOCLUSTER 2 threshold
+      s2.sql("ALTER TABLE psql_pol CLUSTER BY (k)")
+      SnapshotTable.append(mk("b", 100).coalesce(1), path)
+      SnapshotTable.append(mk("c", 200).coalesce(1), path)
+      val ops = SnapshotTable.history(s2, path).select("operation")
+        .collect().map(_.getString(0)).toSeq
+      assert(ops.contains("autocluster"), s"policy never fired: $ops")
+      assert(SnapshotTable.read(s2, path).count() === 150)
+      // UNSET disables both
+      s2.sql("ALTER TABLE psql_pol UNSET AUTOCOMPACT")
+      s2.sql("ALTER TABLE psql_pol UNSET AUTOCLUSTER")
+      assert(SnapshotTable.autoCompactPolicy(s2, path) === None)
+      assert(SnapshotTable.autoClusterPolicy(s2, path) === None)
+    } finally SnapshotCatalog.unregister("psql_pol")
+  }
 }
