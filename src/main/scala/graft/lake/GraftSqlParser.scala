@@ -99,7 +99,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotMaintenanceCommand(idents(t), "optimize",
         zorderCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         whereSql = Some(pred.trim))
-    case OptimizeWhereIncremental(t, pred) =>
+    // guard disambiguates a predicate whose LAST token is a column
+    // literally named `incremental`: the INCREMENTAL route is taken
+    // only when the captured prefix is itself a parsable expression
+    // ("p = 1" from "WHERE p = 1 INCREMENTAL"); "active AND" from
+    // "WHERE active AND incremental" is not, so that statement falls
+    // through to the plain scoped OPTIMIZE with its full predicate
+    case OptimizeWhereIncremental(t, pred) if parsesAsExpression(pred) =>
       SnapshotMaintenanceCommand(idents(t), "optimize_incremental",
         whereSql = Some(pred.trim))
     case OptimizeWhere(t, pred) =>
@@ -138,6 +144,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ShowPartitionSpec(t) => SnapshotShowSpecCommand(idents(t))
     case other => delegate.parsePlan(other)
   }
+
+  /** True when `s` parses as a WHERE-clause predicate — the
+    * OptimizeWhereIncremental disambiguation guard (a predicate that
+    * genuinely ends in a column named `incremental` AND wants the
+    * incremental route can parenthesize itself: `WHERE (... AND
+    * incremental) INCREMENTAL`). Parsed as a WHERE clause, not via
+    * parseExpression, because the latter's namedExpression rule
+    * accepts a trailing bare alias — parseExpression("active AND")
+    * is `active AS AND`, which would defeat the guard. Syntax-only
+    * (delegate.parsePlan), no analysis, no catalog. */
+  private def parsesAsExpression(s: String): Boolean =
+    try { delegate.parsePlan(s"SELECT * FROM __graft_probe WHERE $s"); true }
+    catch { case scala.util.control.NonFatal(_) => false }
 
   private def idents(t: String): Seq[String] =
     delegate.parseMultipartIdentifier(t)

@@ -1931,9 +1931,17 @@ object SnapshotTable {
           }
         if (layoutDir.isDefined) dropDir(enrichDir)
         // streaming microbatches are the classic small-file source —
-        // the auto-compaction policy fires here too (best-effort)
+        // BOTH commit-time policies fire here too (best-effort, same
+        // as commit()'s non-policy path): compaction merges the small
+        // epoch files, and the cluster policy re-marks the unmarked
+        // backlog — without it an AUTOCLUSTER table fed only by the
+        // streaming sink would accumulate unmarked files unboundedly
+        // and skipping would decay to full scans
         if (prev.autoCompact.isDefined)
           try maybeAutoCompact(spark, path)
+          catch { case scala.util.control.NonFatal(_) => () }
+        if (prev.autoCluster.isDefined)
+          try maybeAutoCluster(spark, path)
           catch { case scala.util.control.NonFatal(_) => () }
         return Some(version)
       }
@@ -6338,6 +6346,16 @@ object SnapshotTable {
     require(spec.nonEmpty,
       s"no clustering columns recorded at $path — run " +
         "OPTIMIZE ... ZORDER BY (...) once or pass zorderCols")
+    // a SCOPED wave never records the spec, so an explicit zorderCols
+    // that differs from the recorded one would mark its outputs under
+    // a tag no future pass computes — a full paid rewrite whose marks
+    // never count, re-rewritten by every later pass. Refuse instead.
+    require(where.isEmpty || zorderCols.isEmpty ||
+        zorderCols == m.clusterCols,
+      s"a scoped incremental pass clusters against the RECORDED spec " +
+        s"(${m.clusterCols.mkString(", ")}) — change it first with " +
+        s"ALTER TABLE ... CLUSTER BY (${zorderCols.mkString(", ")}) or " +
+        "run the unscoped pass with zorderCols")
     val tag = clusterTagOf(spec)
     val unmarked = m.entries.filter(!_.clusterTag.contains(tag))
     val stale = where match {
@@ -6350,7 +6368,6 @@ object SnapshotTable {
         unmarked.filter(cand)
     }
     if (stale.isEmpty && (where.nonEmpty || m.clusterCols == spec)) return base
-    val ridTracked = m.rowIdHigh.isDefined
     val rev = m.colmap.map(_.swap)
     val partCols =
       if (partitionCols.nonEmpty) partitionCols
@@ -6692,17 +6709,23 @@ object SnapshotTable {
       minAgeMs: Long = 0L, protectConsumers: Seq[String] = Nil): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
     // No writer-features gate here (forward-carry, r17 verdict #3):
-    // vacuum changes no logical table state — it deletes files no
-    // kept version references (all reference sets come from parsed
-    // manifests, so a file an unknown feature references through a
-    // header we don't model is never a deletion candidate) — and the
-    // delta→checkpoint materialization below round-trips manifests
-    // LOSSLESSLY (raw `#writerFeatures=` re-emitted verbatim when it
-    // lists unknown features, unmodeled `#` headers carried — see
-    // headerBlock), so retention can run under a future-library
-    // table while data commits stay refused at every DML entry
-    // point. Unknown READER features still refuse at parse: planning
-    // retention over entries we cannot interpret is not safe.
+    // vacuum changes no logical table state — it deletes only files
+    // referenced by EXPIRED versions' entry lines and by no kept
+    // version's — and the delta→checkpoint materialization below
+    // round-trips manifests LOSSLESSLY (raw `#writerFeatures=`
+    // re-emitted verbatim when it lists unknown features, unmodeled
+    // `#` headers carried — see headerBlock), so retention can run
+    // under a future-library table while data commits stay refused
+    // at every DML entry point. Why running is protocol-correct even
+    // though an unmodeled KEPT header could in principle name a file
+    // whose entry an expired version dropped: in this log design —
+    // as in Delta's action model — ENTRY LINES alone define file
+    // liveness; any feature that moved liveness into a header would
+    // change what READERS must reconstruct and is therefore
+    // definitionally a READER feature, and unknown reader features
+    // still refuse at parse (vacuum cannot even plan over them). A
+    // writer-only feature can constrain how commits are produced,
+    // never which files are live.
     val f = fs(spark, path)
     // Complete any crashed checkpoint swap from a previous vacuum on
     // a non-atomic-rename store (see the materialization loop below):

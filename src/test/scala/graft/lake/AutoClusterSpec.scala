@@ -127,6 +127,38 @@ class AutoClusterSpec extends SparkTestBase {
     assert(!ops.contains("autocluster"), "disabled policy must not fire")
   }
 
+  test("the cluster policy fires from the streaming epoch commit path too") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val path = fresh("stream")
+    SnapshotTable.append(mk(0, 1000).repartition(2), path)
+    SnapshotTable.compact(spark, path, numFiles = 2,
+      zorderCols = Seq("a", "b"))
+    SnapshotTable.setAutoCluster(spark, path, minStaleFiles = 1)
+    val settled = live(path)
+    // one streaming epoch lands one unmarked file; threshold 1 fires
+    // the pass from the epoch commit itself — without this hook an
+    // AUTOCLUSTER table fed only by the streaming sink would
+    // accumulate unmarked files unboundedly
+    val stage = Files.createTempDirectory("graft-aclu-stage").toString
+    mk(1000, 1100).coalesce(1).write.parquet(s"$stage/s")
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(java.nio.file.Paths.get(s"$stage/s"))
+      .iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get.toString
+    SnapshotTable.commitStreamEpoch(spark, path,
+      Seq((s"$stage/s", part, 100L)),
+      new StructType().add("a", LongType).add("b", LongType)
+        .add("s", StringType),
+      "aclu-app", 0L)
+    val ops = SnapshotTable.history(spark, path).select("operation")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.contains("autocluster"),
+      s"cluster policy never fired from the stream epoch path: $ops")
+    assert(settled.subsetOf(live(path)))
+    assert(SnapshotTable.read(spark, path).count() === 1100)
+    assert(SnapshotTable.unclusteredFileCount(spark, path) === 0)
+  }
+
   test("continuous appends keep box reads bounded with no manual OPTIMIZE") {
     val path = fresh("bounded")
     SnapshotTable.append(mk(0, 4000).repartition(2), path)

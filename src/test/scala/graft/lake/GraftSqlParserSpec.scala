@@ -450,4 +450,32 @@ class GraftSqlParserSpec extends SparkTestBase {
       assert(SnapshotTable.autoClusterPolicy(s2, path) === None)
     } finally SnapshotCatalog.unregister("psql_pol")
   }
+
+  test("OPTIMIZE WHERE ... INCREMENTAL disambiguates a trailing " +
+      "column literally named 'incremental'") {
+    val p = s2.sessionState.sqlParser
+    // the keyword route: prefix parses as an expression
+    p.parsePlan("OPTIMIZE t WHERE k = 1 INCREMENTAL") match {
+      case c: SnapshotMaintenanceCommand =>
+        assert(c.op === "optimize_incremental" &&
+          c.whereSql === Some("k = 1"))
+      case other => fail(s"unexpected plan: $other")
+    }
+    // the column route: "active AND" is not an expression, so the
+    // full predicate (ending in a column named incremental) routes to
+    // the plain scoped OPTIMIZE
+    p.parsePlan("OPTIMIZE t WHERE active AND incremental") match {
+      case c: SnapshotMaintenanceCommand =>
+        assert(c.op === "optimize" &&
+          c.whereSql === Some("active AND incremental"))
+      case other => fail(s"unexpected plan: $other")
+    }
+    // the escape hatch: parenthesize to force the incremental route
+    p.parsePlan("OPTIMIZE t WHERE (active AND incremental) INCREMENTAL") match {
+      case c: SnapshotMaintenanceCommand =>
+        assert(c.op === "optimize_incremental" &&
+          c.whereSql === Some("(active AND incremental)"))
+      case other => fail(s"unexpected plan: $other")
+    }
+  }
 }

@@ -201,5 +201,17 @@ class IncrementalClusterSpec extends SparkTestBase {
     // and a scoped pass with nothing stale in scope no-ops too
     assert(SnapshotTable.optimizeIncremental(spark, path,
       where = Some(col("p") === "p0")) === v)
+    // a scoped pass with an explicit spec that DIFFERS from the
+    // recorded one is refused: it would mark its outputs under a tag
+    // no future pass computes — a paid rewrite whose marks never
+    // count, re-rewritten by every later pass
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.optimizeIncremental(spark, path,
+        zorderCols = Seq("b"), where = Some(col("p") === "p0"))
+    }
+    assert(e.getMessage.contains("RECORDED spec"))
+    // restating the recorded spec is fine (equal → same tag)
+    assert(SnapshotTable.optimizeIncremental(spark, path,
+      zorderCols = Seq("a", "b"), where = Some(col("p") === "p0")) === v)
   }
 }
