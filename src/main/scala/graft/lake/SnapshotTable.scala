@@ -7025,14 +7025,21 @@ object SnapshotTable {
           dvChanged.flatMap { case (e, _, _) => deadByFile.get(e.filePath).map((e, _)) }
         }
       // op names are advisory elsewhere in this file (file sets are
-      // the truth), so the compact fast path must not take the label
+      // the truth), so the rewrite fast path must not take the label
       // on faith: verify row preservation from the manifest alone
       // (live rows = footer rows − DV'd rows, computed above from
       // either the delta's touched entries or the full lists). A
-      // non-row-preserving commit mislabelled op=compact falls
+      // non-row-preserving commit mislabelled with a rewrite op falls
       // through to the multiset diff instead of silently vanishing
-      // from the feed.
-      val compactPreservesRows = m.op.contains("compact") && rowsPreserved
+      // from the feed. All four maintenance rewrites qualify — the
+      // commit-time policies (autocompact/autocluster) and the
+      // incremental pass included, or a CDC reader crossing a
+      // maintenance version on a continuously-ingesting table would
+      // pay a full data diff of the touched files to learn that
+      // nothing logically changed.
+      val rewriteOps =
+        Set("compact", "autocompact", "autocluster", "optimize_incremental")
+      val compactPreservesRows = m.op.exists(rewriteOps) && rowsPreserved
       if (compactPreservesRows) None // verified row-preserving
       else if (removed.isEmpty && added.isEmpty && dvDeltas.isEmpty) None
       else if (removed.isEmpty && added.isEmpty) {

@@ -1153,6 +1153,18 @@ class SnapshotTableSpec extends SparkTestBase {
     SnapshotTable.compact(spark, path, numFiles = 1)
     val top = SnapshotTable.latestVersion(spark, path).get
     assert(SnapshotTable.changes(spark, path, top - 1, top).count() === 0)
+    // every verified row-preserving maintenance rewrite takes the
+    // same fast path: the commit-time policies' versions contribute
+    // zero changes too (a CDC reader crossing maintenance commits on
+    // a continuously-ingesting table must not pay a data diff)
+    SnapshotTable.compact(spark, path, numFiles = 1,
+      clusterCol = Some("v"))
+    SnapshotTable.setAutoCluster(spark, path, minStaleFiles = 1)
+    SnapshotTable.append(mkRows("z", Seq("2024-01-03")), path,
+      Seq("event_date"))                      // fires autocluster after it
+    val head = SnapshotTable.latestVersion(spark, path).get
+    assert(SnapshotTable.opOf(spark, path, head) === Some("autocluster"))
+    assert(SnapshotTable.changes(spark, path, head - 1, head).count() === 0)
   }
 
   test("restore publishes the old state as a new version; history and time travel intact") {
