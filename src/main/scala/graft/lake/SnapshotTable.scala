@@ -38,7 +38,7 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
   * external lock, the same posture as delta-on-S3 without a
   * LogStore/DynamoDB lock).
   */
-object SnapshotTable {
+object SnapshotTable extends org.apache.spark.internal.Logging {
 
   /** One live data file; `rows` is the footer row count (−1 when the
     * manifest predates row counting), `stats` carries (column, min,
@@ -1399,12 +1399,18 @@ object SnapshotTable {
         // policy below is what re-clusters it when its region
         // crosses the stale threshold.
         if (op != "autocompact" && op != "autocluster") {
+          // best-effort, never failing the user's commit — but a
+          // PERSISTENTLY failing policy (not just one lost race)
+          // would otherwise be invisible while its backlog grows, so
+          // the swallow logs what it ate
           if (prevAuto.isDefined)
             try maybeAutoCompact(spark, path)
-            catch { case scala.util.control.NonFatal(_) => () }
+            catch { case scala.util.control.NonFatal(e) =>
+              logWarning(s"auto-compaction skipped at $path: ${e.getMessage}") }
           if (prevAutoCluster.isDefined)
             try maybeAutoCluster(spark, path)
-            catch { case scala.util.control.NonFatal(_) => () }
+            catch { case scala.util.control.NonFatal(e) =>
+              logWarning(s"auto-clustering skipped at $path: ${e.getMessage}") }
         }
         return version
       }
@@ -1939,10 +1945,12 @@ object SnapshotTable {
         // and skipping would decay to full scans
         if (prev.autoCompact.isDefined)
           try maybeAutoCompact(spark, path)
-          catch { case scala.util.control.NonFatal(_) => () }
+          catch { case scala.util.control.NonFatal(e) =>
+            logWarning(s"auto-compaction skipped at $path: ${e.getMessage}") }
         if (prev.autoCluster.isDefined)
           try maybeAutoCluster(spark, path)
-          catch { case scala.util.control.NonFatal(_) => () }
+          catch { case scala.util.control.NonFatal(e) =>
+            logWarning(s"auto-clustering skipped at $path: ${e.getMessage}") }
         return Some(version)
       }
       attempt += 1
