@@ -659,6 +659,99 @@ object ScaleBench {
           f"[scale] autocluster decision at 100k files: plain=$cBig%.2fs " +
             f"policy=$cPol%.2fs")
       },
+      timed("manifest_scale_1m") {
+        // The driver-resident manifest's scale CEILING (r18 verdict
+        // #1): Manifest.entries is a driver Seq over all live files,
+        // so checkpoint parse, 1-file commit, readWhere planning, and
+        // the commit-time policy decision are all O(entries) driver
+        // work. A real 100 TB table at 10 MB files is ~10M entries;
+        // this point fabricates checkpoints at 10^5 AND 10^6 entries
+        // IN THE SAME RUN and pins each operation's 100k→1M slope
+        // near-linear (within-run comparison — the only weather-robust
+        // contract on this host) plus the retained heap per entry.
+        // The measured per-entry budgets live in the Manifest
+        // scaladoc; past ~4M entries (the manifest-cache weight bound)
+        // the design answer is sharded checkpoints, sketched there.
+        import java.nio.file.{Files => JF, Paths => JP}
+        val base = JF.createTempDirectory("graft-scale-1m")
+        def mk(path: String, fakes: Int): Unit = {
+          val df = spark.range(1000)
+            .select(col("id"), col("id").cast("double").as("v"))
+          graft.lake.SnapshotTable.appendClustered(df, path, "id", numFiles = 1)
+          val v1 = new String(JF.readAllBytes(JP.get(s"$path/_graft_log/v1")), "UTF-8")
+          val commitDir = v1.split("\n").filterNot(_.startsWith("#")).head.split("\t")(0)
+          val sb = new StringBuilder(fakes * 90 + v1.length)
+          sb.append(v1)
+          var i = 0
+          while (i < fakes) {
+            val lo = 1000000L + i * 10L
+            sb.append(s"\n$commitDir\t$commitDir/fake-$i.parquet\trows=10\tid\t$lo.0\t${lo + 9}.0")
+            i += 1
+          }
+          JF.write(JP.get(s"$path/_graft_log/v2"), sb.toString.getBytes("UTF-8"))
+        }
+        val k100 = s"$base/k100"; val m1 = s"$base/m1"
+        mk(k100, 100000); mk(m1, 1000000)
+        def gcUsed(): Long = {
+          System.gc(); System.gc()
+          Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+        }
+        var want100 = 1000L; var want1m = 1000L
+        def whereSec(path: String, want: Long): Double = {
+          val t0 = System.nanoTime()
+          val n = graft.lake.SnapshotTable.readWhere(spark, path,
+            col("id") < 1000L).count()
+          require(n == want, s"pruned read over $path got $n rows, want $want")
+          (System.nanoTime() - t0) / 1e9
+        }
+        def commitSec(path: String): Double = {
+          val t0 = System.nanoTime()
+          graft.lake.SnapshotTable.append(spark.range(10)
+            .select(col("id"), col("id").cast("double").as("v")).coalesce(1), path)
+          (System.nanoTime() - t0) / 1e9
+        }
+        // cold parse + plan, then warm plan-only, both sizes
+        val w100Cold = whereSec(k100, want100)
+        val w100Warm = whereSec(k100, want100)
+        val h0 = gcUsed()
+        val w1mCold = whereSec(m1, want1m)
+        val h1 = gcUsed()
+        val w1mWarm = whereSec(m1, want1m)
+        val heapPerEntry = (h1 - h0).toDouble / 1000000.0
+        // 1-file commits (delta publish + multiset diff over entries)
+        val c100 = commitSec(k100); want100 += 10
+        val c1m = commitSec(m1); want1m += 10
+        // policy decision armed above table size: every commit pays
+        // the O(entries) unmarked-filter + region groupBy, never fires
+        graft.lake.SnapshotTable.clusterBy(spark, k100, Seq("id"))
+        graft.lake.SnapshotTable.setAutoCluster(spark, k100, 2000001)
+        graft.lake.SnapshotTable.clusterBy(spark, m1, Seq("id"))
+        graft.lake.SnapshotTable.setAutoCluster(spark, m1, 2000001)
+        val p100 = commitSec(k100); want100 += 10
+        val p1m = commitSec(m1); want1m += 10
+        val wWarmAfter = whereSec(m1, want1m)
+        // contracts: each op ≤ 3× LINEAR in entry count (10× data →
+        // ≤30× time) plus a constant floor for fixed costs
+        require(w1mCold < w100Cold * 30 + 3.0,
+          f"cold parse superlinear: 100k=$w100Cold%.2fs 1M=$w1mCold%.2fs")
+        require(w1mWarm < w100Warm * 30 + 3.0,
+          f"warm planning superlinear: 100k=$w100Warm%.2fs 1M=$w1mWarm%.2fs")
+        require(c1m < c100 * 30 + 3.0,
+          f"1-file commit superlinear: 100k=$c100%.2fs 1M=$c1m%.2fs")
+        require(p1m < p100 * 30 + 5.0,
+          f"policy decision superlinear: 100k=$p100%.2fs 1M=$p1m%.2fs")
+        // retained heap: the cached 1M-entry Manifest must stay under
+        // 2 KB/entry (≈2 GB at the 10M-entry extrapolation — the
+        // point where sharded checkpoints become mandatory)
+        require(heapPerEntry < 2048,
+          f"manifest heap $heapPerEntry%.0f B/entry — driver-resident " +
+            "list needs the sharded-checkpoint path")
+        System.err.println(
+          f"[scale] manifest_1m parse cold=$w1mCold%.2fs (100k=$w100Cold%.2fs) " +
+            f"warm=$w1mWarm%.2fs/$wWarmAfter%.2fs (100k=$w100Warm%.2fs) " +
+            f"commit=$c1m%.2fs (100k=$c100%.2fs) policy=$p1m%.2fs " +
+            f"(100k=$p100%.2fs) heap=$heapPerEntry%.0fB/entry")
+      },
       timed("commit_overhead") {
         // Round-17 verdict #1: attribute the per-commit cost of the
         // writer-features gate (entry-point raw-header checks + the

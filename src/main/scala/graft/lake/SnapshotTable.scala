@@ -249,7 +249,28 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * producing operation, the table's CHECK constraints, and the
     * per-application transaction watermarks (`txns`: app id → highest
     * committed version, the Delta SetTransaction shape backing the
-    * exactly-once streaming sink) — all from a single file read. */
+    * exactly-once streaming sink) — all from a single file read.
+    *
+    * SCALE CEILING (measured, ScaleBench `manifest_scale_1m`):
+    * `entries` is a driver-resident Seq, so parse / commit / planning
+    * / policy decisions are O(entries) driver work. At 10^6 fabricated
+    * entries on this host: cold checkpoint parse 4.3s (~4.3 µs/entry),
+    * warm readWhere planning 0.5s, 1-file delta commit 6.2s
+    * (~6.2 µs/entry, dominated by the multiset diff + carryOver
+    * scan), commit-time policy decision ≈0.4s extra, retained heap
+    * ~560 B/entry — every slope SUB-linear from the 10^5 point.
+    * Stated budget: ≤10 µs/entry per driver-plane op and ≤2 KB/entry
+    * heap. Extrapolated, a 10M-entry table (100 TB at 10 MB files)
+    * costs ~45s parse / ~60s commit / ~5.6 GB heap: workable on a
+    * 100 TB driver but past the comfort line — the design answer at
+    * that scale is SHARDED CHECKPOINTS: split the checkpoint entry
+    * list into K partition-aligned shard files (`v<N>.shard-<k>`,
+    * header in the root file listing shard digests), parse shards
+    * lazily per readWhere partition predicate and in parallel for
+    * full scans, and let a 1-file commit rewrite only its shard's
+    * delta. Deltas already bound COMMIT IO (this measurement is CPU);
+    * sharding bounds parse+heap the same way. Not built yet — at the
+    * gated scale (≤1M entries) the flat list is measured fine. */
   /** `colmap`: COLUMN MAPPING (Delta name-mapping shape) — logical
     * column name → PHYSICAL (on-disk parquet) name; identity entries
     * are omitted. Lets RENAME COLUMN be a metadata-only commit (the
@@ -480,7 +501,7 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * For a checkpoint, `entries` is the complete list and `deltaBase`
     * is None; for a delta, `entries` holds the adds and `removes` the
     * removed entries, to be replayed onto `deltaBase`'s state. */
-  private def parseManifest(content: String)
+  private[lake] def parseManifest(content: String)
       : (Manifest, Option[Long], Seq[Entry]) = {
     val lines = content.split("\n").toSeq.filter(_.nonEmpty)
     // reader-features gate FIRST: interpreting any other field of a
@@ -700,14 +721,20 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     // legitimately exist only as its `.ckpt` sidecar, and that
     // mid-repair window is exactly when the backstop must not be
     // silently skipped.
+    // The resolution window closes BEFORE the gate call:
+    // requireWriterFeatures times itself, so including it here would
+    // add its elapsed time to the counter twice and the ScaleBench
+    // ≤5% contract would measure an inconsistent quantity.
     val gate0 = System.nanoTime()
-    val prevExists = version > 1 && {
-      try { versionFileStatus(f, path, version - 1); true }
-      catch { case _: java.io.FileNotFoundException => false }
+    val prevManifest = {
+      val exists = version > 1 && {
+        try { versionFileStatus(f, path, version - 1); true }
+        catch { case _: java.io.FileNotFoundException => false }
+      }
+      if (exists) Some(readManifestFull(spark, path, version - 1)) else None
     }
-    if (prevExists)
-      requireWriterFeatures(readManifestFull(spark, path, version - 1), path)
     writerGateNanos.add(System.nanoTime() - gate0)
+    prevManifest.foreach(requireWriterFeatures(_, path))
     val entries = m.entries
     val fullBytes = manifestBytes(m)
     // Incremental log: publish a DELTA against v−1 when one exists
@@ -720,10 +747,10 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     // entry list a cold reader will reconstruct (base order, adds
     // appended) — cached below so warm reads agree byte-for-byte.
     val (bytes, canonical) =
-      if (version <= 1 || version % checkpointInterval == 0 || !prevExists)
+      if (version <= 1 || version % checkpointInterval == 0 || prevManifest.isEmpty)
         (fullBytes, entries)
       else {
-        val prev = readManifestFull(spark, path, version - 1)
+        val prev = prevManifest.get
         val removes = multisetDiff(prev.entries, entries)
         val adds = multisetDiff(entries, prev.entries)
         val db = deltaManifestBytes(m, version - 1, adds, removes)
@@ -810,7 +837,26 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * feature cannot change read results); that is the reader gate's
     * job. Writer features are a superset of reader features: a writer
     * must reconstruct current state to commit against it, so
-    * everything a reader needs, a writer needs. */
+    * everything a reader needs, a writer needs.
+    *
+    * FEATURE-AUTHORING CONTRACT (what [[vacuum]]'s and relocate's
+    * gate-free operation depends on — binding on every future
+    * feature, not advisory): in this log design, ENTRY LINES ALONE
+    * define file liveness. A feature may add headers that constrain
+    * how commits are produced (writer feature) or change how entries
+    * are interpreted (reader feature), but a feature that moved
+    * liveness into a header — naming data files outside the entry
+    * list — changes what readers must reconstruct and is therefore
+    * definitionally a READER feature and MUST be listed in
+    * `#readerFeatures=`. Unknown reader features refuse at parse, so
+    * retention can never plan over state it cannot interpret; that is
+    * why vacuum/relocate safely skip the writer gate (forward-carry)
+    * while every DML entry point enforces it. Violating this rule —
+    * shipping a liveness-moving feature as writer-only — would let an
+    * older library's vacuum delete files the new feature still
+    * references. HeaderRoundTripSpec pins the mechanical half (every
+    * emitted header is a modeled prefix); this paragraph is the
+    * semantic half. */
   private[lake] val SupportedWriterFeatures: Set[String] =
     SupportedReaderFeatures ++
       Set("identity-columns", "generated-columns", "check-constraints",
@@ -875,7 +921,7 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     "#autocompact=", "#autocluster=", "#clusterCols=", "#rowIdHigh=",
     "#delta=")
 
-  private def headerBlock(m: Manifest): String =
+  private[lake] def headerBlock(m: Manifest): String =
     (readerFeaturesOf(m) match {
       case Nil => ""
       case fs  => s"#readerFeatures=${fs.mkString(",")}\n"
@@ -952,12 +998,12 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * [[readManifestFull]] is its inverse. Headers ride EVERY version
     * file (delta or checkpoint) — they are O(1)-sized and per-version
     * (op, txn watermarks), so only the entry list is incremental. */
-  private def manifestBytes(m: Manifest): Array[Byte] =
+  private[lake] def manifestBytes(m: Manifest): Array[Byte] =
     (headerBlock(m) + m.entries.map(entryLine).mkString("\n")).getBytes("UTF-8")
 
   /** Serialized DELTA manifest: same headers, then the touched
     * entries only, signed (`-` removed from the base, `+` added). */
-  private def deltaManifestBytes(m: Manifest, base: Long,
+  private[lake] def deltaManifestBytes(m: Manifest, base: Long,
       adds: Seq[Entry], removes: Seq[Entry]): Array[Byte] =
     (headerBlock(m) + s"#delta=$base\n" +
       (removes.map(e => s"-\t${entryLine(e)}") ++
@@ -6322,6 +6368,29 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
   private[lake] def clusterTagOf(cols: Seq[String]): String =
     f"${RidBaseLookup.hash(cols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))}%016x"
 
+  /** The pre-r18 tag format: 8 hex chars of 32-bit MurmurHash3 over
+    * the bare concatenated columns. Recognized READ-side only (see
+    * [[settledUnder]]) so a table clustered by an older library
+    * upgrades without a one-time full re-cluster: its settled files
+    * keep counting as settled, and the legacy marks age out naturally
+    * as DML rewrites drop them. New marks are always written in the
+    * 16-hex format — the two formats are length-disjoint, so no
+    * 64-bit tag can ever alias a legacy one. */
+  private[lake] def legacyClusterTagOf(cols: Seq[String]): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(cols.mkString("")).toLong & 0xffffffffL}%08x"
+
+  /** Is `e` settled under the spec whose current tag is `tag` and
+    * whose legacy (pre-r18) tag is `legacyTag`? Length-discriminated:
+    * an 8-char mark is compared against the legacy hash of the SAME
+    * spec, so upgrading the library never invalidates settled marks
+    * (the migration hazard the 16-hex switch otherwise created: every
+    * pre-upgrade mark would read as stale and the next incremental
+    * pass — or the auto-cluster policy — would rewrite the whole
+    * table once). */
+  private[lake] def settledUnder(e: Entry, tag: String,
+      legacyTag: String): Boolean =
+    e.clusterTag.exists(t => t == tag || (t.length == 8 && t == legacyTag))
+
   /** INCREMENTAL CLUSTERING (the liquid-clustering maintenance
     * shape): rewrite ONLY the files not yet clustered under the
     * table's recorded spec — new appends, DML rewrites (which drop
@@ -6365,7 +6434,8 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
         s"ALTER TABLE ... CLUSTER BY (${zorderCols.mkString(", ")}) or " +
         "run the unscoped pass with zorderCols")
     val tag = clusterTagOf(spec)
-    val unmarked = m.entries.filter(!_.clusterTag.contains(tag))
+    val legacy = legacyClusterTagOf(spec)
+    val unmarked = m.entries.filterNot(settledUnder(_, tag, legacy))
     val stale = where match {
       case None => unmarked
       case Some(pred) =>
@@ -6439,9 +6509,13 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * auto-compaction's whole-partition merge spans its full key
     * range and is left UNMARKED, so this policy is what restores
     * skipping over it. The policy decision is O(live entries)
-    * driver work per commit; the pass itself is O(stale files in
-    * the triggered regions) — at 100 TB, maintenance cost scales
-    * with new data, not table size. Requires a recorded spec
+    * driver work per commit; the pass itself is BOUNDED at
+    * `spark.graft.policy.maxFilesPerWave` files (default 100),
+    * worst-backlog region first, z-range-contiguous slices within a
+    * region — so enabling the policy on a backlogged table never
+    * makes the next 1-row append pay a full-backlog rewrite inline,
+    * and at 100 TB maintenance cost scales with new data, not table
+    * size. Requires a recorded spec
     * ([[clusterBy]] or a full clustered OPTIMIZE) to have any
     * effect. `minStaleFiles <= 0` disables. */
   def setAutoCluster(spark: SparkSession, path: String,
@@ -6465,7 +6539,8 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     if (m.clusterCols.isEmpty) 0
     else {
       val tag = clusterTagOf(m.clusterCols)
-      m.entries.count(!_.clusterTag.contains(tag))
+      val legacy = legacyClusterTagOf(m.clusterCols)
+      m.entries.count(!settledUnder(_, tag, legacy))
     }
   }
 
@@ -6488,16 +6563,84 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     val spec = m.clusterCols
     if (spec.isEmpty) return // no recorded spec: nothing to cluster against
     val tag = clusterTagOf(spec)
-    val unmarked = m.entries.filter(!_.clusterTag.contains(tag))
+    val legacy = legacyClusterTagOf(spec)
+    val unmarked = m.entries.filterNot(settledUnder(_, tag, legacy))
     val triggered = unmarked.groupBy(partitionFragmentOf)
       .filter(_._2.size >= minStale)
     if (triggered.isEmpty) return
-    val stale = triggered.values.flatten.toSeq
+    // CAP the wave: the pass runs synchronously inside the user's
+    // commit call, so on a backlogged table (policy just enabled, or
+    // a long policy outage) an uncapped pass would make the very next
+    // 1-row append pay a full-backlog rewrite inline — at 100 TB a
+    // surprise multi-hour commit. Instead rewrite at most
+    // `maxFilesPerWave` files, worst-backlog region first; the policy
+    // re-fires on every later non-policy commit, so the remainder
+    // drains for free (Delta bounds its auto-compaction passes the
+    // same way, by bytes).
+    val stale = cappedWave(triggered, policyMaxFilesPerWave(spark),
+      zRangeOrder(spec, m.colmap))
     val rev = m.colmap.map(_.swap)
     clusterRewriteCommit(spark, path, m, spec, tag, stale, numFiles = 0,
       partCols = inferPartitionCols(m.entries, rev), op = "autocluster",
       recordSpec = false)
     ()
+  }
+
+  /** Per-pass file cap for the commit-time maintenance policies
+    * ([[maybeAutoCluster]] / [[maybeAutoCompact]]). Session conf, not
+    * table state — the bound protects THIS writer's commit latency,
+    * like Delta's autoCompact.maxCompactBytes. The manifest records
+    * only row counts, so the cap is in files; size it against the
+    * table's target file size. */
+  private def policyMaxFilesPerWave(spark: SparkSession): Int = {
+    val v = spark.conf.get("spark.graft.policy.maxFilesPerWave", "100").toInt
+    require(v > 0, "spark.graft.policy.maxFilesPerWave must be positive")
+    v
+  }
+
+  /** Assemble one bounded policy wave from the over-threshold
+    * regions: regions ordered worst-backlog-first (the partition
+    * hurting most drains first, ties by key for determinism), files
+    * taken until `budget` is spent. An over-budget region contributes
+    * a slice that is CONTIGUOUS under `order` — for auto-clustering
+    * that order is the first clustering column's recorded min stat,
+    * so the slice is one z-range bucket of the partition's backlog
+    * and the capped rewrite's output covers a narrow key range
+    * instead of smearing the whole partition's range across a bounded
+    * file budget (the hot-partition ingest shape: one partition's
+    * backlog too big to rewrite at once drains as successive
+    * key-adjacent buckets). */
+  private def cappedWave(triggered: Map[String, Seq[Entry]], budget: Int,
+      order: Entry => (Int, Double, String, String)): Seq[Entry] = {
+    val worstFirst = triggered.toSeq.sortBy { case (k, es) => (-es.size, k) }
+    val wave = Seq.newBuilder[Entry]
+    var left = budget
+    worstFirst.foreach { case (_, es) =>
+      if (left > 0) {
+        val take = if (es.size <= left) es else es.sortBy(order).take(left)
+        wave ++= take
+        left -= take.size
+      }
+    }
+    wave.result()
+  }
+
+  /** Z-range ordering for [[cappedWave]] slices: by the first
+    * clustering column's recorded min stat (numeric stats first, then
+    * string stats, then files with no stat on that column), file path
+    * as the deterministic tiebreak. Stats are keyed by PHYSICAL
+    * column name, so the spec's logical head maps through the column
+    * mapping first. */
+  private def zRangeOrder(spec: Seq[String], colmap: Map[String, String])
+      : Entry => (Int, Double, String, String) = {
+    val phys = colmap.getOrElse(spec.head, spec.head)
+    e => e.stats.find(_._1 == phys) match {
+      case Some((_, mn, _)) => (0, mn, "", e.filePath)
+      case None => e.sstats.find(_._1 == phys) match {
+        case Some((_, mn, _)) => (1, 0.0, mn, e.filePath)
+        case None             => (2, 0.0, "", e.filePath)
+      }
+    }
   }
 
   /** Opt a table into COMMIT-TIME AUTO-COMPACTION (Delta
@@ -6509,8 +6652,10 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * simply skips this round; the next commit retries). The policy
     * decision reads ONLY the manifest (file counts + footer row
     * counts — no filesystem metadata), so the check is O(live
-    * entries) driver work per commit and the rewrite is O(small
-    * files in the triggered partitions). `minSmallFiles <= 0`
+    * entries) driver work per commit and the rewrite is bounded at
+    * `spark.graft.policy.maxFilesPerWave` files per pass
+    * (worst-backlog partition first, smallest files first — the
+    * remainder drains on later commits). `minSmallFiles <= 0`
     * disables. */
   def setAutoCompact(spark: SparkSession, path: String,
       minSmallFiles: Int, smallFileRows: Long = 100000L): Long =
@@ -6548,8 +6693,15 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     val triggered = small.groupBy(partitionFragmentOf)
       .filter(_._2.size >= minFiles)
     if (triggered.isEmpty) return
-    val victims = triggered.values.flatten.toSeq
+    // Capped like the auto-cluster wave (see [[maybeAutoCluster]]):
+    // worst-backlog partition first, smallest files first within an
+    // over-budget partition (merging the smallest buys the most
+    // file-count reduction per row rewritten); the remainder drains
+    // on later commits.
+    val victims = cappedWave(triggered, policyMaxFilesPerWave(spark),
+      e => (0, e.rows.toDouble, "", e.filePath))
     val victimSet = victims.map(_.filePath).toSet
+    val wavePartitions = victims.groupBy(partitionFragmentOf).size
     val rev = m.colmap.map(_.swap)
     val partCols = inferPartitionCols(victims, rev)
     val ridTracked = m.rowIdHigh.isDefined
@@ -6562,7 +6714,7 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     // re-fragment the very dirs being compacted
     val merged =
       if (partCols.isEmpty) merged0.coalesce(1)
-      else merged0.repartition(triggered.size, partCols.map(col): _*)
+      else merged0.repartition(wavePartitions, partCols.map(col): _*)
     val statsOut = ((victims.flatMap(_.stats.map(_._1)) ++
       victims.flatMap(_.sstats.map(_._1))).map(c => rev.getOrElse(c, c))).distinct
     commit(merged, path, partCols, prev => {

@@ -159,6 +159,118 @@ class AutoClusterSpec extends SparkTestBase {
     assert(SnapshotTable.unclusteredFileCount(spark, path) === 0)
   }
 
+  test("enablement on a backlogged table: the first wave is capped; " +
+      "later commits drain the remainder") {
+    val path = fresh("backlog")
+    SnapshotTable.append(mk(0, 1000).repartition(2), path)
+    SnapshotTable.compact(spark, path, numFiles = 2,
+      zorderCols = Seq("a", "b"))
+    val settled = live(path)
+    // 12 unmarked single-file appends land BEFORE the policy exists —
+    // the enablement-on-a-backlog shape where an uncapped pass would
+    // make the next tiny append pay the full rewrite inline
+    (0 until 12).foreach { i =>
+      SnapshotTable.append(
+        mk(1000 + i * 50, 1050 + i * 50).coalesce(1), path)
+    }
+    SnapshotTable.setAutoCluster(spark, path, minStaleFiles = 1)
+    assert(SnapshotTable.unclusteredFileCount(spark, path) === 12)
+    spark.conf.set("spark.graft.policy.maxFilesPerWave", "4")
+    try {
+      SnapshotTable.append(mk(9000, 9001).coalesce(1), path)
+      // 13 unmarked at decision time, wave capped at 4 → exactly 9 left
+      val left = SnapshotTable.unclusteredFileCount(spark, path)
+      assert(left === 9,
+        s"first wave must rewrite at most 4 of the 13 unmarked files ($left left)")
+      assert(settled.subsetOf(live(path)), "capped wave rewrote settled files")
+      // convergence is free: the policy re-fires on every non-policy
+      // commit, each adding 1 unmarked and clustering ≤4 (net −3)
+      var drains = 0
+      while (SnapshotTable.unclusteredFileCount(spark, path) > 0 && drains < 10) {
+        SnapshotTable.append(
+          mk(9100 + drains, 9101 + drains).coalesce(1), path)
+        drains += 1
+      }
+      assert(SnapshotTable.unclusteredFileCount(spark, path) === 0,
+        "later commits must drain the backlog to zero")
+      assert(drains <= 4, s"drain took $drains commits")
+      assert(SnapshotTable.read(spark, path).count() ===
+        1000L + 12 * 50 + 1 + drains)
+    } finally spark.conf.unset("spark.graft.policy.maxFilesPerWave")
+  }
+
+  test("an over-cap region drains as key-contiguous z-range buckets " +
+      "(hot-partition shape)") {
+    val path = fresh("hotpart")
+    SnapshotTable.append(mk(0, 1000).repartition(2), path)
+    SnapshotTable.compact(spark, path, numFiles = 2,
+      zorderCols = Seq("a", "b"))
+    // backlog with DISJOINT a-ranges and per-file a-stats:
+    // appendClustered marks under spec (a) — a different tag than the
+    // recorded (a, b), so the files read as unmarked but carry the
+    // min stat the z-range slicing orders by
+    (0 until 9).foreach { i =>
+      SnapshotTable.appendClustered(
+        mk(2000 + i * 100, 2000 + (i + 1) * 100), path, "a", numFiles = 1)
+    }
+    SnapshotTable.setAutoCluster(spark, path, minStaleFiles = 1)
+    spark.conf.set("spark.graft.policy.maxFilesPerWave", "3")
+    try {
+      val v = SnapshotTable.latestVersion(spark, path).get
+      val m = SnapshotTable.readManifestFull(spark, path, v)
+      val tag = SnapshotTable.clusterTagOf(m.clusterCols)
+      val legacy = SnapshotTable.legacyClusterTagOf(m.clusterCols)
+      val unmarkedBefore =
+        m.entries.filterNot(SnapshotTable.settledUnder(_, tag, legacy))
+      assert(unmarkedBefore.size === 9)
+      SnapshotTable.append(mk(9000, 9001).coalesce(1), path)
+      val v2 = SnapshotTable.latestVersion(spark, path).get
+      val m2 = SnapshotTable.readManifestFull(spark, path, v2)
+      val survivors = m2.entries.map(_.filePath).toSet
+      val rewritten = unmarkedBefore.filterNot(e => survivors(e.filePath))
+      assert(rewritten.size === 3, s"wave must be capped at 3 files")
+      // the slice is the three LOWEST a-ranges — one z-range bucket,
+      // not a smear across the whole backlog's key range
+      val mins = rewritten.flatMap(_.stats.find(_._1 == "a").map(_._2)).sorted
+      assert(mins === Seq(2000.0, 2100.0, 2200.0),
+        s"wave not key-contiguous: took mins $mins")
+      assert(SnapshotTable.read(spark, path).count() === 1000L + 900 + 1)
+    } finally spark.conf.unset("spark.graft.policy.maxFilesPerWave")
+  }
+
+  test("legacy 8-hex marks of the SAME spec count as settled — " +
+      "upgrading the library costs no re-cluster") {
+    val path = fresh("legacy")
+    SnapshotTable.append(mk(0, 1000).repartition(2), path)
+    SnapshotTable.compact(spark, path, numFiles = 2,
+      zorderCols = Seq("a", "b"))
+    val v = SnapshotTable.latestVersion(spark, path).get
+    val m = SnapshotTable.readManifestFull(spark, path, v)
+    val spec = m.clusterCols
+    val tag = SnapshotTable.clusterTagOf(spec)
+    val legacy = SnapshotTable.legacyClusterTagOf(spec)
+    assert(legacy.length === 8 && tag.length === 16)
+    // forge the pre-r18 on-disk state: same files, marks in the old
+    // 8-hex Murmur32 format
+    val forged = m.copy(entries = m.entries.map(e =>
+      if (e.clusterTag.contains(tag)) e.copy(clusterTag = Some(legacy)) else e))
+    assert(SnapshotTable.publishManifest(spark, path, v + 1, forged))
+    assert(SnapshotTable.unclusteredFileCount(spark, path) === 0,
+      "legacy marks of the same spec must read as settled")
+    val before = live(path)
+    assert(SnapshotTable.optimizeIncremental(spark, path) === v + 1,
+      "incremental pass must no-op over legacy-settled files")
+    assert(live(path) === before, "legacy-settled files were rewritten")
+    // a legacy mark of a DIFFERENT spec still reads as stale
+    val wrong = m.copy(entries = m.entries.map(e =>
+      if (e.clusterTag.contains(tag))
+        e.copy(clusterTag = Some(SnapshotTable.legacyClusterTagOf(Seq("b"))))
+      else e))
+    assert(SnapshotTable.publishManifest(spark, path, v + 2, wrong))
+    assert(SnapshotTable.unclusteredFileCount(spark, path) === m.entries.size,
+      "a different spec's legacy tag must not count as settled")
+  }
+
   test("continuous appends keep box reads bounded with no manual OPTIMIZE") {
     val path = fresh("bounded")
     SnapshotTable.append(mk(0, 4000).repartition(2), path)
