@@ -69,6 +69,8 @@ object ScaleBench {
     var mergeScaleBase: Option[String] = None
     var snapBootBase: Option[String] = None
     var qidxDir: Option[String] = None
+    var pqDir: Option[String] = None
+    var pqModel: Option[graft.ops.Ivf.PqModel] = None
     var dupUniformSec: Option[Double] = None
     val results: Seq[(String, Double)] = Seq(
       timed("exact_dedup")     { noop(graft.ops.TextDedup.exactDuplicates(docs)) },
@@ -131,6 +133,26 @@ object ScaleBench {
         val model = graft.ops.Ivf.train(emb, k = 64)
         val qcorp = graft.ops.Ivf.loadQuantizedIndex(spark, qidxDir.get)
         noop(graft.ops.Ivf.searchQuantizedIndexed(emb, qcorp, model, queryIds, 10))
+      },
+      timed("ivf_pq_build") {
+        // PQ ladder rung: train the m=8/ksub=256 product quantizer on
+        // the bounded sample and encode the full corpus to 8-byte
+        // codes + a norm — 32x smaller than the float corpus, the
+        // index a 100 TB embedding store actually serves from
+        val pq = graft.ops.Ivf.trainPq(emb, m = 8, ksub = 256)
+        pqModel = Some(pq)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-pqidx").toString
+        pqDir = Some(dir)
+        graft.ops.Ivf.encodePq(emb, pq).write.mode("overwrite").parquet(dir)
+      },
+      timed("ivf_pq_3q") {
+        // serve from codes: probe -> ADC over 8-byte codes ->
+        // shortlist -> exact rerank of shortlist only
+        val model = graft.ops.Ivf.train(emb, k = 64)
+        val codes = spark.read.parquet(pqDir.get)
+        noop(graft.ops.Ivf.searchPq(emb, codes, model, pqModel.get,
+          queryIds, k = 10, nProbe = 4, shortlist = 100))
       },
       timed("tfidf")           { noop(graft.ops.TextAnalysis.tfidfOf(docs)) },
       timed("inverted_index")  { noop(graft.ops.TextAnalysis.invertedIndexOf(docs)) },

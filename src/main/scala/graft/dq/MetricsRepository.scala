@@ -32,6 +32,74 @@ object MetricsRepository {
   def history(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** SNAPSHOT-TABLE repository — the durable form of [[append]]: each
+    * VerificationSuite run lands one commit of
+    * (dataset, run_tag, check, constraint, metric, success) rows, so
+    * the metric history gets the full table contract for free — time
+    * travel ("what did quality look like last Tuesday"), CDC (stream
+    * the metric feed), retention, and the commit-time policies for
+    * the one-small-file-per-run ingest shape this produces. Keyed by
+    * (dataset, run_tag): one repository table serves every dataset of
+    * a pipeline, the Deequ MetricsRepository posture. */
+  def appendRun(spark: SparkSession, tablePath: String, dataset: String,
+      runTag: String, result: VerificationResult): Long = {
+    import spark.implicits._
+    val rows = for {
+      cr <- result.checkResults
+      c <- cr.results
+    } yield (dataset, runTag, cr.description, c.constraint, c.metric, c.success)
+    graft.lake.SnapshotTable.append(
+      rows.toDF("dataset", "run_tag", "check", "constraint", "metric", "success")
+        .coalesce(1), tablePath)
+  }
+
+  /** One dataset's full metric history from the snapshot repository. */
+  def runHistory(spark: SparkSession, tablePath: String,
+      dataset: String): DataFrame =
+    graft.lake.SnapshotTable.read(spark, tablePath)
+      .filter(col("dataset") === dataset)
+
+  final case class Anomaly(constraint: String, current: Double,
+      windowMean: Double, windowStddev: Double)
+
+  /** TRAILING-WINDOW anomaly check (Deequ's OnlineNormalStrategy
+    * shape, over the snapshot repository): compare `currentTag`'s
+    * metric per constraint against the last `window` runs' mean, and
+    * flag when |current − mean| exceeds maxSigma·stddev plus a
+    * RELATIVE floor (`minRelDelta·|mean|`) — the sigma term adapts to
+    * each metric's own noise, the relative floor keeps a perfectly
+    * flat history (stddev 0: row counts on steady ingest, completeness
+    * pinned at 1.0) from flagging fp dust, and being relative lets one
+    * threshold serve metrics at any magnitude (Size ≈ 10^6 next to
+    * Completeness ≈ 1.0). Everything collected is bounded by the
+    * constraint count and the window — driver-trivial at any data
+    * scale; the heavy lifting stayed in the runs that produced the
+    * metrics. */
+  def anomalies(spark: SparkSession, tablePath: String, dataset: String,
+      currentTag: String, window: Int = 5, maxSigma: Double = 3.0,
+      minRelDelta: Double = 0.1): Seq[Anomaly] = {
+    require(window >= 1, "window must be >= 1")
+    val h = runHistory(spark, tablePath, dataset)
+    val tags = h.filter(col("run_tag") < currentTag)
+      .select("run_tag").distinct()
+      .orderBy(col("run_tag").desc).limit(window)
+      .collect().map(_.getString(0)).toSeq
+    if (tags.isEmpty) return Nil
+    val win = h.filter(col("run_tag").isin(tags: _*))
+      .groupBy("constraint")
+      .agg(avg("metric").as("w_mean"), stddev_pop("metric").as("w_std"))
+    h.filter(col("run_tag") === currentTag)
+      .select(col("constraint"), col("metric"))
+      .join(win, "constraint")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .collect { case (c, cur, m, s)
+          if math.abs(cur - m) >
+            maxSigma * s + minRelDelta * math.max(math.abs(m), 1e-12) =>
+        Anomaly(c, cur, m, s)
+      }
+  }
+
   final case class Drift(constraint: String, previous: Double, current: Double,
       relativeChange: Double)
 

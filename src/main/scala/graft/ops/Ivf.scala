@@ -757,8 +757,219 @@ object Ivf {
        |  true AS planted_nn_returned, true AS all_in_exact_top$annIvfQuantizedRankBound,
        |  true AS index_converged""".stripMargin
 
+  // ===================== IVF-PQ (product quantization) ==============
+
+  /** Product quantizer — the ladder rung past int8 (q106/q107): the
+    * vector space splits into `m` contiguous subspaces of dim/m dims,
+    * each with its own `ksub`-entry codebook, and a vector encodes as
+    * m byte codes (nearest sub-centroid per subspace). At dim=64,
+    * m=8: 8 bytes + one norm per vector — 32× smaller than the float
+    * corpus and 8× smaller than int8 — which is the index a 100 TB
+    * embedding corpus actually serves from (the full PQ index of 10^9
+    * vectors fits in one machine's RAM). Codebooks are driver state:
+    * m × ksub × subDim floats (dim × ksub total — KBs), broadcast
+    * with the task closure like the coarse centroids. */
+  final case class PqModel(dim: Int, m: Int,
+      codebooks: Array[Array[Array[Float]]]) {
+    val subDim: Int = dim / m
+
+    def encode(v: Array[Float]): Array[Byte] = {
+      val code = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val cb = codebooks(s)
+        val off = s * subDim
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val cent = cb(c)
+          var d = 0.0
+          var i = 0
+          while (i < subDim) { val t = v(off + i) - cent(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        code(s) = best.toByte
+        s += 1
+      }
+      code
+    }
+
+    /** ADC (asymmetric distance) lookup table for one FLOAT query:
+      * lut(s)(c) = dot(query_s, codebook(s)(c)). Scoring a code is
+      * then m table lookups + adds — the query is never quantized,
+      * so quantization error enters once (corpus side), not twice. */
+    def adcTable(q: Array[Float]): Array[Array[Float]] =
+      Array.tabulate(m) { s =>
+        val off = s * subDim
+        val cb = codebooks(s)
+        Array.tabulate(cb.length) { c =>
+          var d = 0f
+          var i = 0
+          while (i < subDim) { d += q(off + i) * cb(c)(i); i += 1 }
+          d
+        }
+      }
+  }
+
+  /** Per-subspace Lloyd's k-means on the same bounded deterministic
+    * sample discipline as [[train]] (first `sampleSize` ids, strided
+    * init, fixed iterations) — the corpus is never collected. */
+  def trainPq(emb: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 10,
+      sampleSize: Int = 10000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): PqModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = emb
+      .orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol).cast("array<float>")).as[Array[Float]].collect()
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample.head.length
+    require(m >= 1 && dim % m == 0,
+      s"PQ subspace count $m must divide the dimension $dim")
+    require(ksub >= 2 && ksub <= 256, s"ksub $ksub must fit one byte")
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      val off = s * subDim
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + subDim))
+      var cents = Array.tabulate(ksub)(c =>
+        sub(c * sub.length / ksub).map(_.toDouble))
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](subDim))
+        val counts = new Array[Long](ksub)
+        sub.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0
+            var i = 0
+            while (i < subDim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+        it += 1
+      }
+      cents.map(_.map(_.toFloat))
+    }
+    PqModel(dim, m, codebooks)
+  }
+
+  /** PQ-encode the corpus in one typed pass: (id, norm, pq_code) —
+    * the persisted index artifact (the [[buildQuantizedIndex]]
+    * analogue, 8× smaller again). The float norm rides along so ADC
+    * inner products normalize to cosine without touching the float
+    * corpus at search time. */
+  def encodePq(emb: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        (id, math.sqrt(n), model.encode(v))
+      }).toDF(idCol, "norm", "pq_code")
+  }
+
+  /** IVF-PQ search: coarse probe (float centroids, as everywhere) →
+    * ADC scoring of the probed cells' CODES (m lookups/candidate into
+    * a per-query table of m × ksub floats riding the closure) → a
+    * bounded `shortlist` per query → exact float rerank of the
+    * shortlist only. The scan side touches 8 bytes + a norm per
+    * candidate; the float corpus is read for exactly
+    * queries × shortlist rows — the standard serving shape for
+    * billion-vector indexes, expressed as two joins and a window. */
+  def searchPq(emb: DataFrame, codes: DataFrame, ivfModel: Model,
+      pq: PqModel, queryIds: Seq[Long], k: Int, nProbe: Int = 4,
+      shortlist: Int = 100, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(shortlist >= k, "shortlist must be at least k")
+    // per-query ADC tables: queries × m × ksub floats — driver-tiny
+    val luts: Map[Long, (Array[Array[Float]], Double)] = emb
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) =>
+        var n = 0.0
+        var i = 0
+        while (i < qv.length) { n += qv(i).toDouble * qv(i); i += 1 }
+        qid -> (pq.adcTable(qv), math.sqrt(n))
+      }.toMap
+    val adc = candidatesOf(emb, ivfModel, queryIds, nProbe, idCol, vecCol)
+      .join(codes, idCol)
+      .select(col("query_id"), col(idCol).cast("long"), col("norm"),
+        col("pq_code"))
+      .as[(Long, Long, Double, Array[Byte])]
+      .mapPartitions(_.map { case (qid, id, norm, code) =>
+        val (lut, qn) = luts(qid)
+        var ip = 0.0
+        var s = 0
+        while (s < code.length) { ip += lut(s)(code(s) & 0xff); s += 1 }
+        (qid, id, ip / (qn * math.max(norm, 1e-12)))
+      }).toDF("query_id", idCol, "adc_cosine")
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col(idCol).asc)
+    val short = adc
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col(idCol))
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wX = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    short.join(emb.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(Similarity.cosine(col(vecCol), col("qv")), 6).as("cosine"))
+      .withColumn("rn", row_number().over(wX))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** q138: the IVF-PQ gate under the planted-copy contract of
+    * q106/q107 — the exact copy must survive the coarse probe AND the
+    * ADC shortlist (that is the recall pinned in-gate: miss either
+    * and planted_nn_returned/best_cosine hash-mismatch), and every
+    * returned neighbor must sit inside the exact float top-N. The
+    * final cosine column is the exact rerank of the shortlist, so the
+    * copy scores exactly 1.0 — ADC ordering decides WHO is scored,
+    * never the reported value. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val qids = Similarity.annQueryIds
+    val corpus = Similarity.withPlantedQueries(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), qids)
+    val ivf = train(corpus, k = 16, iters = 5, sampleSize = 500)
+    val pq = trainPq(corpus, m = 8, ksub = 16, iters = 5, sampleSize = 500)
+    val codes = encodePq(corpus, pq)
+    Similarity.annContract(
+      searchPq(corpus, codes, ivf, pq, qids, k = 10, nProbe = 4,
+        shortlist = 100),
+      corpus, qids, rankBound = annIvfPqRankBound)
+  }
+
+  val annIvfPqRankBound = 100
+
+  val annIvfPqSql: String =
+    s"""SELECT vec_id AS query_id, CAST(1.0 AS DOUBLE) AS best_cosine,
+       |  true AS planted_nn_returned, true AS all_in_exact_top$annIvfPqRankBound
+       |FROM embeddings WHERE vec_id IN (0, 1, 2) ORDER BY query_id""".stripMargin
+
   val catalog: Seq[QDef] = Seq(
     QDef("q62_ann_ivf", annIvf, Some(annIvfSql)),
+    QDef("q138_ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
     QDef("q107_ann_ivf_i8", annIvfQuantized, Some(annIvfQuantizedSql)),
     QDef("q130_hybrid_prefilter", hybridNarrow, Some(hybridNarrowSql)),
     QDef("q131_hybrid_postfilter", hybridWide, Some(hybridWideSql)),

@@ -343,6 +343,70 @@ object Relational {
       | count(event_id) = count(DISTINCT event_id) AS event_id_unique
       |FROM events""".stripMargin
 
+  // -- §2.4 A6+: DQ metric repository + anomaly detection -----------
+  /** q137: the run-over-run half of the reference's Deequ dependence
+    * (jobs/ev_sessions_silver_etl_clean.py:135-158 runs one-shot
+    * checks; production pydeequ persists them via a
+    * MetricsRepository and anomaly-checks against history): five
+    * "daily" runs over deterministic slices of `documents` each
+    * persist their per-constraint metrics into a SNAPSHOT table
+    * keyed by (dataset, run_tag) — one commit per run, so the metric
+    * feed gets time travel/CDC/retention for free. Asserted in-gate
+    * BEFORE the oracle hash: history grows by exactly the constraint
+    * count per run, a same-distribution run raises NO anomaly
+    * against its trailing window, and the last run's injected volume
+    * drift (n_chars < 400 drops ~30% of the slice) trips the Size
+    * anomaly. The oracle recomputes the whole persisted metric
+    * history from the same slices. */
+  def dqMetricsRepository(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dq._
+    val repo = java.nio.file.Files
+      .createTempDirectory("graft-dqrepo-gate").toString + "/metrics"
+    val docs = Tables.documents(spark, dir)
+    val checks = Seq(Check(CheckLevel.Error, "docs volume and shape")
+      .hasSize(_ >= 0)
+      .isComplete("lang")
+      .add(Constraints.hasMean("n_chars", _ >= 0)))
+    (0 to 4).foreach { r =>
+      val slice0 = docs.filter(col("doc_id") % 5 === r)
+      val slice = if (r == 4) slice0.filter(col("n_chars") < 400) else slice0
+      val vr = VerificationSuite.run(slice, checks)
+      MetricsRepository.appendRun(spark, repo, "documents", s"r$r", vr)
+      val n = graft.lake.SnapshotTable.read(spark, repo).count()
+      require(n == (r + 1) * 3L,
+        s"metric history must grow 3 rows per run, got $n after r$r")
+    }
+    val quiet = MetricsRepository.anomalies(spark, repo, "documents", "r3")
+    require(quiet.isEmpty,
+      s"same-distribution run r3 flagged anomalous: $quiet")
+    val tripped = MetricsRepository.anomalies(spark, repo, "documents", "r4")
+    require(tripped.exists(_.constraint == "Size"),
+      s"injected volume drift did not trip the Size anomaly: $tripped")
+    graft.lake.SnapshotTable.read(spark, repo)
+      .select(col("run_tag"), col("constraint").as("constraint_name"),
+        round(col("metric"), 4).as("metric"))
+      .orderBy("run_tag", "constraint_name")
+  }
+
+  private val dqMetricsRepositorySql =
+    """WITH runs AS (SELECT unnest(generate_series(0, 4)) AS r),
+      |sl AS (SELECT 'r' || CAST(runs.r AS VARCHAR) AS run_tag, d.lang, d.n_chars
+      |       FROM documents d JOIN runs ON d.doc_id % 5 = runs.r
+      |       WHERE runs.r < 4 OR d.n_chars < 400),
+      |agg AS (SELECT run_tag,
+      |          CAST(count(*) AS DOUBLE) AS size_m,
+      |          avg(CASE WHEN lang IS NOT NULL THEN 1.0 ELSE 0.0 END) AS compl_m,
+      |          avg(CAST(n_chars AS DOUBLE)) AS mean_m
+      |        FROM sl GROUP BY run_tag)
+      |SELECT run_tag, c.constraint_name,
+      |  round(CASE c.constraint_name
+      |    WHEN 'Size' THEN size_m
+      |    WHEN 'Completeness(lang)' THEN compl_m
+      |    WHEN 'Mean(n_chars)' THEN mean_m END, 4) AS metric
+      |FROM agg, (VALUES ('Size'), ('Completeness(lang)'),
+      |           ('Mean(n_chars)')) c(constraint_name)
+      |ORDER BY run_tag, constraint_name""".stripMargin
+
   // -- §2.5 W1: ranking window (top-3 orders per customer) ----------
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -2574,6 +2638,8 @@ object Relational {
     QDef("q12_cube", cubeAgg, Some(cubeAggSql)),
     QDef("q13_distinct_agg", distinctAgg, Some(distinctAggSql)),
     QDef("q14_dq_metrics", dqMetrics, Some(dqMetricsSql)),
+    QDef("q137_dq_metrics_repo", dqMetricsRepository,
+      Some(dqMetricsRepositorySql)),
     QDef("q15_window_rank", windowRank, Some(windowRankSql)),
     QDef("q16_window_lag", windowLag, Some(windowLagSql)),
     QDef("q17_window_running", windowRunning, Some(windowRunningSql)),

@@ -82,4 +82,43 @@ class ChecksSpec extends SparkTestBase {
     // first run has no predecessor → no drift
     assert(MetricsRepository.driftFrom(spark, path, "2026-08-01", 0.1).isEmpty)
   }
+
+  test("snapshot repository: history accrues one commit per run; the " +
+      "trailing-window anomaly check stays quiet on stable metrics and " +
+      "trips on injected drift") {
+    import org.apache.spark.sql.functions.{col, when, rand}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dqrepo-snap").toString + "/metrics"
+    val check = Seq(SilverClean.silverCheck)
+    // four stable runs over the same silver frame
+    (1 to 4).foreach { i =>
+      val vr = VerificationSuite.run(silver, check)
+      MetricsRepository.appendRun(spark, path, "silver", s"2026-08-0$i", vr)
+    }
+    val perRun = VerificationSuite.run(silver, check)
+      .checkResults.map(_.results.size).sum
+    assert(MetricsRepository
+      .runHistory(spark, path, "silver").count() === 4L * perRun)
+    // time travel works on the metric table itself (it is a snapshot
+    // table, not a plain parquet dir)
+    assert(graft.lake.SnapshotTable
+      .read(spark, path, Some(1L)).count() === perRun.toLong)
+    // a fifth identical run: nothing anomalous against the window
+    val vr5 = VerificationSuite.run(silver, check)
+    MetricsRepository.appendRun(spark, path, "silver", "2026-08-05", vr5)
+    assert(MetricsRepository
+      .anomalies(spark, path, "silver", "2026-08-05").isEmpty)
+    // a sixth run over a corrupted slice: completeness collapses and
+    // the anomaly check names exactly that constraint
+    val corrupted = silver.withColumn("userId",
+      when(rand(7) < 0.5, silver("userId")))
+    val vr6 = VerificationSuite.run(corrupted, check)
+    MetricsRepository.appendRun(spark, path, "silver", "2026-08-06", vr6)
+    val hits = MetricsRepository.anomalies(spark, path, "silver", "2026-08-06")
+    assert(hits.exists(_.constraint == "Completeness(userId)"),
+      s"expected a userId completeness anomaly, got $hits")
+    // an unknown dataset reads as empty history, not someone else's
+    assert(MetricsRepository
+      .anomalies(spark, path, "other", "2026-08-06").isEmpty)
+  }
 }

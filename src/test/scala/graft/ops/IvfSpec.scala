@@ -128,6 +128,79 @@ class IvfSpec extends SparkTestBase {
     assert(adhoc === indexed)
   }
 
+  test("PQ training is deterministic; codes cover the codebook range") {
+    import spark.implicits._
+    val p1 = Ivf.trainPq(emb, m = 8, ksub = 16, iters = 5, sampleSize = 500)
+    val p2 = Ivf.trainPq(emb, m = 8, ksub = 16, iters = 5, sampleSize = 500)
+    p1.codebooks.zip(p2.codebooks).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+    assert(p1.subDim === 8)
+    val codes = Ivf.encodePq(emb, p1)
+    assert(codes.count() === emb.count())
+    val lens = codes.select("pq_code").as[Array[Byte]]
+      .collect().map(_.length).distinct
+    assert(lens.toSeq === Seq(8))
+  }
+
+  test("ADC table scoring equals reconstructed-dot-product by hand") {
+    import spark.implicits._
+    val pq = Ivf.trainPq(emb, m = 8, ksub = 16, iters = 5, sampleSize = 500)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    val v = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    val code = pq.encode(v)
+    val lut = pq.adcTable(q)
+    val viaLut = code.indices.map(s => lut(s)(code(s) & 0xff).toDouble).sum
+    // reconstruct v from its codes and dot with q directly
+    val recon = code.indices.flatMap(s =>
+      pq.codebooks(s)(code(s) & 0xff)).toArray
+    val direct = q.zip(recon).map { case (a, b) => a.toDouble * b }.sum
+    assert(math.abs(viaLut - direct) < 1e-4)
+  }
+
+  test("IVF-PQ search: planted exact copies survive probe + ADC " +
+      "shortlist and rule the exact rerank at cosine 1.0") {
+    import spark.implicits._
+    val qids = Seq(0L, 1L, 2L)
+    val corpus = Similarity.withPlantedQueries(
+      emb.select("vec_id", "embedding"), qids)
+    val ivf = Ivf.train(corpus, k = 16, iters = 5, sampleSize = 500)
+    val pq = Ivf.trainPq(corpus, m = 8, ksub = 16, iters = 5, sampleSize = 500)
+    val codes = Ivf.encodePq(corpus, pq)
+    val res = Ivf.searchPq(corpus, codes, ivf, pq, qids, k = 10,
+      nProbe = 4, shortlist = 100)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    qids.foreach { q =>
+      val mine = res.filter(_._1 == q)
+      assert(mine.length === 10)
+      assert(mine.exists(r => r._2 == q + 10000000L && r._3 == 1.0),
+        s"query $q: planted copy lost (probe or ADC shortlist dropped it)")
+      assert(mine.map(_._3).max === 1.0)
+    }
+  }
+
+  test("IVF-PQ returns mostly the float rerank's neighbors") {
+    import spark.implicits._
+    val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)
+    val pq = Ivf.trainPq(emb, m = 8, ksub = 16, iters = 5, sampleSize = 500)
+    val codes = Ivf.encodePq(emb, pq)
+    val qids = Seq(0L, 7L, 42L)
+    val fl = Ivf.search(emb, model, qids, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pqr = Ivf.searchPq(emb, codes, model, pq, qids, k = 10,
+      nProbe = 4, shortlist = 100)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qids.foreach { q =>
+      val overlap = (fl(q) intersect pqr(q)).size
+      assert(overlap >= 7, s"query $q: only $overlap/10 overlap with float rerank")
+    }
+  }
+
   test("filtered IVF search post-filters with over-fetch; planted allowed copy always found") {
     import spark.implicits._
     val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)
