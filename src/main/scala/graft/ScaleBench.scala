@@ -774,6 +774,67 @@ object ScaleBench {
             f"commit=$c1m%.2fs (100k=$c100%.2fs) policy=$p1m%.2fs " +
             f"(100k=$p100%.2fs) heap=$heapPerEntry%.0fB/entry")
       },
+      timed("autocluster_wave_cap") {
+        // Bounded per-wave policy cost under skewed ingest (r18
+        // verdict #2/#4 done-criterion): two identical tables carry a
+        // 40-file unmarked backlog in ONE key region (the hot-region
+        // shape — every ingest file lands in the same region, so the
+        // region's wave would be the whole backlog). Enabling the
+        // policy and committing 100 rows must pay a CAPPED wave (8
+        // files) on one table vs the full-backlog wave on its
+        // uncapped twin — measured in the same run so the comparison
+        // is weather-proof — and the capped table must still DRAIN to
+        // zero backlog across follow-up commits, each also bounded.
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-scale-wavecap").toString
+        def mk(path: String): Unit = {
+          graft.lake.SnapshotTable.append(spark.range(200000)
+            .select(col("id").as("a"), (col("id") * 7 % 1000).as("b")), path)
+          graft.lake.SnapshotTable.compact(spark, path, numFiles = 8,
+            zorderCols = Seq("a", "b"))
+          var i = 0
+          while (i < 40) {
+            graft.lake.SnapshotTable.append(
+              spark.range(1000000L + i * 20000L, 1000000L + (i + 1) * 20000L)
+                .select(col("id").as("a"), (col("id") * 7 % 1000).as("b"))
+                .coalesce(1), path)
+            i += 1
+          }
+          graft.lake.SnapshotTable.setAutoCluster(spark, path, minStaleFiles = 1)
+        }
+        val capped = s"$base/capped"; val uncapped = s"$base/uncapped"
+        mk(capped); mk(uncapped)
+        def commitSec(path: String): Double = {
+          val t0 = System.nanoTime()
+          graft.lake.SnapshotTable.append(spark.range(100)
+            .select(col("id").as("a"), (col("id") * 7 % 1000).as("b"))
+            .coalesce(1), path)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val key = "spark.graft.policy.maxFilesPerWave"
+        try {
+          spark.conf.set(key, "8")
+          val tCap = commitSec(capped)
+          spark.conf.set(key, "1000000")
+          val tFull = commitSec(uncapped)
+          spark.conf.set(key, "8")
+          val drains = scala.collection.mutable.ArrayBuffer.empty[Double]
+          while (graft.lake.SnapshotTable
+              .unclusteredFileCount(spark, capped) > 0 && drains.size < 20)
+            drains += commitSec(capped)
+          require(graft.lake.SnapshotTable
+              .unclusteredFileCount(spark, capped) == 0,
+            s"capped policy failed to drain the backlog in ${drains.size} commits")
+          require(tCap < tFull * 0.8,
+            f"capped first wave not bounded: capped=$tCap%.2fs full=$tFull%.2fs")
+          require(drains.max < tFull,
+            f"a drain commit (${drains.max}%.2fs) cost more than the " +
+              f"full-backlog wave ($tFull%.2fs)")
+          System.err.println(
+            f"[scale] autocluster_wave_cap first=$tCap%.2fs full=$tFull%.2fs " +
+              f"drains=${drains.size} max_drain=${drains.max}%.2fs")
+        } finally spark.conf.unset(key)
+      },
       timed("commit_overhead") {
         // Round-17 verdict #1: attribute the per-commit cost of the
         // writer-features gate (entry-point raw-header checks + the
