@@ -89,7 +89,7 @@ object Bench {
     // per gate; "wall_total" keeps the true suite wall time visible.
     val bestOfK = sys.env.getOrElse("SPARK_GRAFT_BESTOF_K", "2").toInt
     def isLifecycle(n: String) = n.startsWith("ev") ||
-      Seq("q133", "q134", "q135", "q136").exists(n.startsWith)
+      Seq("q133", "q134", "q135", "q136", "q137").exists(n.startsWith)
     val results: Seq[(String, Double, Option[String], Int, Double)] =
       selected.map { case (name, fn) =>
         val k = if (isLifecycle(name)) math.max(1, bestOfK) else 1
