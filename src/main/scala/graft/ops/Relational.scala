@@ -407,6 +407,110 @@ object Relational {
       |           ('Mean(n_chars)')) c(constraint_name)
       |ORDER BY run_tag, constraint_name""".stripMargin
 
+  /** q139: COLUMN PROFILING (Deequ ColumnProfilerRunner shape —
+    * reference dependencies/deequ jar, SURVEY.md §1): per-column
+    * completeness, exact distinct count, row count, and numeric
+    * min/max/mean for every `documents` column, computed as ONE fused
+    * aggregation job over one scan. The oracle recomputes the whole
+    * profile per column. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    graft.dq.Profiler.profile(Tables.documents(spark, dir),
+      exactDistinct = true)
+      .map(p => (p.column, p.dtype, r4(p.completeness), p.distinctCount,
+        p.rowCount, p.minValue.map(r4), p.maxValue.map(r4), p.mean.map(r4)))
+      .toDF("column_name", "dtype", "completeness", "distinct_count",
+        "row_count", "min_value", "max_value", "mean_value")
+      .orderBy("column_name")
+  }
+
+  private val columnProfileSql = {
+    def num(c: String, dt: String) =
+      s"""SELECT '$c' AS column_name, '$dt' AS dtype,
+         | round(avg(CASE WHEN $c IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS completeness,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS distinct_count,
+         | CAST(count(*) AS BIGINT) AS row_count,
+         | round(CAST(min($c) AS DOUBLE), 4) AS min_value,
+         | round(CAST(max($c) AS DOUBLE), 4) AS max_value,
+         | round(avg(CAST($c AS DOUBLE)), 4) AS mean_value
+         |FROM documents""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', 'string',
+         | round(avg(CASE WHEN $c IS NOT NULL THEN 1.0 ELSE 0.0 END), 4),
+         | CAST(count(DISTINCT $c) AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         |FROM documents""".stripMargin
+    Seq(num("doc_id", "bigint"), str("lang"), num("n_chars", "bigint"),
+      str("source"), str("text"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY column_name")
+  }
+
+  /** q140: CONSTRAINT SUGGESTION (Deequ ConstraintSuggestionRunner
+    * shape): derive checks from the q139 profile under the
+    * deterministic rules stated on [[graft.dq.Profiler
+    * .suggestConstraints]] — the oracle re-ENCODES the rules in SQL
+    * (conditions over the same aggregates, not constants), so the
+    * result stays correct at every scale factor even where the data
+    * changes which rules fire (documents.text is unique at sf0.01
+    * but not at sf0.1). Asserted in-gate before the oracle hash:
+    * every suggested constraint passes VerificationSuite on the frame
+    * it was derived from. */
+  def constraintSuggestions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.dq._
+    val df = Tables.documents(spark, dir)
+    val sugg = Profiler.suggestConstraints(df)
+    require(sugg.nonEmpty, "no constraints suggested over documents")
+    val vr = VerificationSuite.run(df,
+      Seq(Check(CheckLevel.Error, "suggested", sugg.map(_._2))))
+    require(vr.status == "Success",
+      s"a suggested constraint failed on its own source data: " +
+        vr.checkResults.flatMap(_.results).filterNot(_.success))
+    sugg.map(_._1)
+      .map(s => (s.column, s.suggestion, s.detail))
+      .toDF("column_name", "suggestion", "detail")
+      .orderBy("column_name", "suggestion")
+  }
+
+  private val constraintSuggestionsSql =
+    """WITH s AS (SELECT count(*) AS n,
+      |  count(DISTINCT doc_id) AS d_doc, min(doc_id) AS mn_doc,
+      |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nul_doc,
+      |  count(DISTINCT text) AS d_text,
+      |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nul_text,
+      |  count(DISTINCT lang) AS d_lang,
+      |  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nul_lang,
+      |  count(DISTINCT source) AS d_src,
+      |  sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nul_src,
+      |  count(DISTINCT n_chars) AS d_nch, min(n_chars) AS mn_nch,
+      |  sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nul_nch
+      |  FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'doc_id' AS column_name, 'isComplete' AS suggestion,
+      |    '' AS detail FROM s WHERE nul_doc = 0
+      |  UNION ALL SELECT 'doc_id', 'isNonNegative', '' FROM s WHERE mn_doc >= 0
+      |  UNION ALL SELECT 'doc_id', 'isUnique', '' FROM s
+      |    WHERE nul_doc = 0 AND d_doc = n
+      |  UNION ALL SELECT 'lang', 'isComplete', '' FROM s WHERE nul_lang = 0
+      |  UNION ALL SELECT 'lang', 'isContainedIn',
+      |    (SELECT string_agg(DISTINCT lang, ',' ORDER BY lang) FROM documents)
+      |    FROM s WHERE d_lang BETWEEN 1 AND 8
+      |  UNION ALL SELECT 'n_chars', 'isComplete', '' FROM s WHERE nul_nch = 0
+      |  UNION ALL SELECT 'n_chars', 'isNonNegative', '' FROM s WHERE mn_nch >= 0
+      |  UNION ALL SELECT 'n_chars', 'isUnique', '' FROM s
+      |    WHERE nul_nch = 0 AND d_nch = n
+      |  UNION ALL SELECT 'source', 'isComplete', '' FROM s WHERE nul_src = 0
+      |  UNION ALL SELECT 'source', 'isContainedIn',
+      |    (SELECT string_agg(DISTINCT source, ',' ORDER BY source) FROM documents)
+      |    FROM s WHERE d_src BETWEEN 1 AND 8
+      |  UNION ALL SELECT 'text', 'isComplete', '' FROM s WHERE nul_text = 0
+      |  UNION ALL SELECT 'text', 'isUnique', '' FROM s
+      |    WHERE nul_text = 0 AND d_text = n
+      |) ORDER BY column_name, suggestion""".stripMargin
+
   // -- §2.5 W1: ranking window (top-3 orders per customer) ----------
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -2640,6 +2744,9 @@ object Relational {
     QDef("q14_dq_metrics", dqMetrics, Some(dqMetricsSql)),
     QDef("q137_dq_metrics_repo", dqMetricsRepository,
       Some(dqMetricsRepositorySql)),
+    QDef("q139_column_profile", columnProfile, Some(columnProfileSql)),
+    QDef("q140_constraint_suggestions", constraintSuggestions,
+      Some(constraintSuggestionsSql)),
     QDef("q15_window_rank", windowRank, Some(windowRankSql)),
     QDef("q16_window_lag", windowLag, Some(windowLagSql)),
     QDef("q17_window_running", windowRunning, Some(windowRunningSql)),
