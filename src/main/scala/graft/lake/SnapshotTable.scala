@@ -254,11 +254,14 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * SCALE CEILING (measured, ScaleBench `manifest_scale_1m`):
     * `entries` is a driver-resident Seq, so parse / commit / planning
     * / policy decisions are O(entries) driver work. At 10^6 fabricated
-    * entries on this host: cold checkpoint parse 4.3s (~4.3 µs/entry),
-    * warm readWhere planning 0.5s, 1-file delta commit 6.2s
-    * (~6.2 µs/entry, dominated by the multiset diff + carryOver
-    * scan), commit-time policy decision ≈0.4s extra, retained heap
-    * ~560 B/entry — every slope SUB-linear from the 10^5 point.
+    * entries on this host: cold checkpoint parse 2.2–3.4s
+    * (~2–3 µs/entry; entry-line parse and serialization run on the
+    * common fork-join pool above 50k lines — the residual is file IO,
+    * the line split, and header scans), warm readWhere planning 0.5s,
+    * 1-file delta commit ~5s (~5 µs/entry, dominated by the multiset
+    * diff + carryOver scan), commit-time policy decision ≈0.4s extra,
+    * retained heap ~560 B/entry — every slope SUB-linear from the
+    * 10^5 point.
     * Stated budget: ≤10 µs/entry per driver-plane op and ≤2 KB/entry
     * heap. Extrapolated, a 10M-entry table (100 TB at 10 MB files)
     * costs ~45s parse / ~60s commit / ~5.6 GB heap: workable on a
@@ -435,6 +438,13 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** One data line with its delta sign: '+'/'-' for signed delta
+    * lines, '=' for a plain checkpoint line. */
+  private def parseSignedLine(line: String): (Char, Entry) =
+    if (line.startsWith("+\t")) ('+', parseEntryLine(line.drop(2)))
+    else if (line.startsWith("-\t")) ('-', parseEntryLine(line.drop(2)))
+    else ('=', parseEntryLine(line))
+
   private def parseEntryLine(line: String): Entry = {
     val parts = line.split("\t", -1)
     require(parts.length >= 2, s"bad manifest line: $line")
@@ -576,12 +586,28 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     // table state
     val unknownHeaders = lines.filter(l => l.startsWith("#") &&
       !KnownHeaderPrefixes.exists(l.startsWith))
+    val dataLines = lines.filterNot(_.startsWith("#")).toArray
+    // Entry parsing is the driver-plane hot loop at large live-file
+    // counts (manifest_scale_1m: the cold 10^6-entry parse), and
+    // parseEntryLine is pure — parallelize it order-preserving above
+    // a threshold where the fork-join overhead is certainly paid for;
+    // small manifests (the common case) stay on the cheap
+    // single-threaded path.
+    val signed: Array[(Char, Entry)] =
+      if (dataLines.length < 50000)
+        dataLines.map(parseSignedLine)
+      else {
+        val out = new Array[(Char, Entry)](dataLines.length)
+        java.util.stream.IntStream.range(0, dataLines.length).parallel()
+          .forEach(i => out(i) = parseSignedLine(dataLines(i)))
+        out
+      }
     val adds = Seq.newBuilder[Entry]
     val removes = Seq.newBuilder[Entry]
-    lines.filterNot(_.startsWith("#")).foreach { line =>
-      if (line.startsWith("+\t")) adds += parseEntryLine(line.drop(2))
-      else if (line.startsWith("-\t")) removes += parseEntryLine(line.drop(2))
-      else adds += parseEntryLine(line)
+    adds.sizeHint(signed.length)
+    signed.foreach {
+      case ('-', e) => removes += e
+      case (_, e)   => adds += e
     }
     (Manifest(schema, adds.result(), op, constraints, transforms, retired, txns,
       bloomCols, opKeys, colmap, droppedPhys, autoCompact, rowIdHigh,
@@ -999,7 +1025,21 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * file (delta or checkpoint) — they are O(1)-sized and per-version
     * (op, txn watermarks), so only the entry list is incremental. */
   private[lake] def manifestBytes(m: Manifest): Array[Byte] =
-    (headerBlock(m) + m.entries.map(entryLine).mkString("\n")).getBytes("UTF-8")
+    (headerBlock(m) + entryLines(m.entries)).getBytes("UTF-8")
+
+  /** Serialize entry lines, in parallel above the same threshold the
+    * parser uses (entryLine is pure; order preserved by index). The
+    * checkpoint write at large live-file counts is the commit-side
+    * twin of the parse hot loop. */
+  private def entryLines(entries: Seq[Entry]): String =
+    if (entries.size < 50000) entries.map(entryLine).mkString("\n")
+    else {
+      val arr = entries.toArray
+      val out = new Array[String](arr.length)
+      java.util.stream.IntStream.range(0, arr.length).parallel()
+        .forEach(i => out(i) = entryLine(arr(i)))
+      out.mkString("\n")
+    }
 
   /** Serialized DELTA manifest: same headers, then the touched
     * entries only, signed (`-` removed from the base, `+` added). */
