@@ -48,9 +48,20 @@ object MetricsRepository {
       cr <- result.checkResults
       c <- cr.results
     } yield (dataset, runTag, cr.description, c.constraint, c.metric, c.success)
-    graft.lake.SnapshotTable.append(
+    val creating =
+      graft.lake.SnapshotTable.latestVersion(spark, tablePath).isEmpty
+    val v = graft.lake.SnapshotTable.append(
       rows.toDF("dataset", "run_tag", "check", "constraint", "metric", "success")
         .coalesce(1), tablePath)
+    // the repository's ingest shape is one tiny file per run, forever
+    // — exactly what commit-time auto-compaction exists for. Arm it
+    // once at table creation so the repository maintains itself
+    // (merges are row-preserving: history counts, anomaly windows,
+    // and time travel are unaffected).
+    if (creating)
+      graft.lake.SnapshotTable.setAutoCompact(spark, tablePath,
+        minSmallFiles = 8, smallFileRows = 100000L)
+    v
   }
 
   /** One dataset's full metric history from the snapshot repository. */

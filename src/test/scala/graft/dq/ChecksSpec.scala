@@ -121,4 +121,29 @@ class ChecksSpec extends SparkTestBase {
     assert(MetricsRepository
       .anomalies(spark, path, "other", "2026-08-06").isEmpty)
   }
+
+  test("the repository maintains itself: auto-compaction merges " +
+      "run files without changing history or anomaly results") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dqrepo-ac").toString + "/metrics"
+    val check = Seq(SilverClean.silverCheck)
+    (1 to 9).foreach { i =>
+      val vr = VerificationSuite.run(silver, check)
+      MetricsRepository.appendRun(spark, path, "silver", f"2026-08-$i%02d", vr)
+    }
+    assert(graft.lake.SnapshotTable.autoCompactPolicy(spark, path)
+      === Some((8, 100000L)))
+    val ops = graft.lake.SnapshotTable.history(spark, path)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("autocompact"),
+      s"repository never self-compacted across 9 runs: $ops")
+    val perRun = VerificationSuite.run(silver, check)
+      .checkResults.map(_.results.size).sum
+    assert(MetricsRepository.runHistory(spark, path, "silver")
+      .count() === 9L * perRun, "compaction must preserve the history rows")
+    assert(MetricsRepository
+      .anomalies(spark, path, "silver", "2026-08-09").isEmpty)
+    // the live-file count proves the merge actually happened
+    assert(graft.lake.SnapshotTable.liveFiles(spark, path).size < 9)
+  }
 }
