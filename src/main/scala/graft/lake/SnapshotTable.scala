@@ -254,14 +254,16 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * SCALE CEILING (measured, ScaleBench `manifest_scale_1m`):
     * `entries` is a driver-resident Seq, so parse / commit / planning
     * / policy decisions are O(entries) driver work. At 10^6 fabricated
-    * entries on this host: cold checkpoint parse 2.2–3.4s
+    * entries on this host: cold checkpoint parse 2.1–3.4s
     * (~2–3 µs/entry; entry-line parse and serialization run on the
     * common fork-join pool above 50k lines — the residual is file IO,
-    * the line split, and header scans), warm readWhere planning 0.5s,
-    * 1-file delta commit ~5s (~5 µs/entry, dominated by the multiset
-    * diff + carryOver scan), commit-time policy decision ≈0.4s extra,
-    * retained heap ~560 B/entry — every slope SUB-linear from the
-    * 10^5 point.
+    * the line split, and header scans), warm readWhere planning
+    * 0.35–0.5s, 1-file delta commit ~2s (~2 µs/entry; the publish
+    * diff is path-keyed — [[entryDiff]] — so full structural Entry
+    * comparison runs once per entry instead of hashing the nested
+    * stats Seqs into a multiset map), commit-time policy decision
+    * ≈0.4s extra, retained heap ~560 B/entry — every slope SUB-linear
+    * from the 10^5 point.
     * Stated budget: ≤10 µs/entry per driver-plane op and ≤2 KB/entry
     * heap. Extrapolated, a 10M-entry table (100 TB at 10 MB files)
     * costs ~45s parse / ~60s commit / ~5.6 GB heap: workable on a
@@ -615,6 +617,40 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
       deltaBase, removes.result())
   }
 
+  /** (removes, adds) between two manifests' live-entry lists — the
+    * delta-publish diff. Live file paths are unique within a manifest
+    * in every normal history, so the common case is a path-keyed
+    * one-pass diff: java.lang.String caches its hash, and the full
+    * structural Entry comparison (whose hashCode walks the nested
+    * stats Seqs — the cost that dominated the 10^6-entry commit in
+    * manifest_scale_1m) runs only on path matches, once per entry.
+    * Duplicate paths on either side fall back to the general
+    * [[multisetDiff]], so the output is ALWAYS multiset-identical to
+    * (multisetDiff(prev, cur), multisetDiff(cur, prev)); both sides
+    * keep their input order, matching the fallback's byte-for-byte
+    * delta encoding. */
+  private def entryDiff(prev: Seq[Entry], cur: Seq[Entry])
+      : (Seq[Entry], Seq[Entry]) = {
+    val prevByPath = new java.util.HashMap[String, Entry](prev.size * 2)
+    var dup = false
+    prev.foreach(e => if (prevByPath.put(e.filePath, e) != null) dup = true)
+    if (!dup) {
+      val seen = new java.util.HashSet[String](cur.size * 2)
+      cur.foreach(e => if (!seen.add(e.filePath)) dup = true)
+    }
+    if (dup)
+      return (multisetDiff(prev, cur), multisetDiff(cur, prev))
+    val adds = Seq.newBuilder[Entry]
+    val unchanged = new java.util.HashSet[String]()
+    cur.foreach { e =>
+      val p = prevByPath.get(e.filePath)
+      if (p != null && p == e) unchanged.add(e.filePath)
+      else adds += e
+    }
+    val removes = prev.filter(e => !unchanged.contains(e.filePath))
+    (removes, adds.result())
+  }
+
   /** Multiset a − b over full Entry equality (a file whose DV or
     * stats changed is a different entry state, encoded remove+add). */
   private def multisetDiff(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] = {
@@ -777,8 +813,7 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
         (fullBytes, entries)
       else {
         val prev = prevManifest.get
-        val removes = multisetDiff(prev.entries, entries)
-        val adds = multisetDiff(entries, prev.entries)
+        val (removes, adds) = entryDiff(prev.entries, entries)
         val db = deltaManifestBytes(m, version - 1, adds, removes)
         if (db.length < fullBytes.length)
           (db, applyDelta(prev.entries, removes, adds))
