@@ -64,6 +64,43 @@ object MetricsRepository {
     v
   }
 
+  /** Persist a column PROFILE run into the same snapshot repository
+    * (check = "__profile"), one row per (column, statistic) — so the
+    * trailing-window [[anomalies]] check covers schema-level
+    * statistics too, not just constraint metrics: a column whose
+    * distinct count collapses or whose mean walks off passes every
+    * boolean check and still trips here. Numeric-only statistics are
+    * simply absent for non-numeric columns (no NaN padding — an
+    * absent constraint never joins the anomaly window). */
+  def appendProfile(spark: SparkSession, tablePath: String, dataset: String,
+      runTag: String, profiles: Seq[Profiler.ColumnProfile]): Long = {
+    import spark.implicits._
+    val rows = profiles.flatMap { p =>
+      Seq(
+        (dataset, runTag, "__profile", s"Completeness(${p.column})",
+          p.completeness, true),
+        (dataset, runTag, "__profile", s"Distinctness(${p.column})",
+          p.distinctCount.toDouble, true),
+        (dataset, runTag, "__profile", s"Size(${p.column})",
+          p.rowCount.toDouble, true)) ++
+        p.minValue.map(v => (dataset, runTag, "__profile",
+          s"Minimum(${p.column})", v, true)) ++
+        p.maxValue.map(v => (dataset, runTag, "__profile",
+          s"Maximum(${p.column})", v, true)) ++
+        p.mean.map(v => (dataset, runTag, "__profile",
+          s"Mean(${p.column})", v, true))
+    }
+    val creating =
+      graft.lake.SnapshotTable.latestVersion(spark, tablePath).isEmpty
+    val v = graft.lake.SnapshotTable.append(
+      rows.toDF("dataset", "run_tag", "check", "constraint", "metric", "success")
+        .coalesce(1), tablePath)
+    if (creating)
+      graft.lake.SnapshotTable.setAutoCompact(spark, tablePath,
+        minSmallFiles = 8, smallFileRows = 100000L)
+    v
+  }
+
   /** One dataset's full metric history from the snapshot repository. */
   def runHistory(spark: SparkSession, tablePath: String,
       dataset: String): DataFrame =

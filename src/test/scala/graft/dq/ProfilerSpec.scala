@@ -66,6 +66,31 @@ class ProfilerSpec extends SparkTestBase {
     assert(vr.status === "Success")
   }
 
+  test("profile runs persist to the repository and schema drift trips " +
+      "the trailing-window anomaly check") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-profrepo").toString + "/metrics"
+    // three stable profile runs over the same frame
+    (1 to 3).foreach { i =>
+      MetricsRepository.appendProfile(spark, path, "frame", s"r$i",
+        Profiler.profile(frame, exactDistinct = true))
+    }
+    assert(MetricsRepository.anomalies(spark, path, "frame", "r3").isEmpty,
+      "stable profile history must raise nothing")
+    // schema-level drift no boolean check would catch: cat's values
+    // all collapse to one — completeness unchanged, but Distinctness
+    // falls 3 -> 1
+    val collapsed = frame.withColumn("cat",
+      when(col("cat").isNotNull, lit("a")))
+    MetricsRepository.appendProfile(spark, path, "frame", "r4",
+      Profiler.profile(collapsed, exactDistinct = true))
+    val hits = MetricsRepository.anomalies(spark, path, "frame", "r4")
+    assert(hits.exists(_.constraint == "Distinctness(cat)"),
+      s"distinctness collapse must trip the profile anomaly: $hits")
+    assert(!hits.exists(_.constraint == "Completeness(cat)"),
+      s"completeness did not move and must stay quiet: $hits")
+  }
+
   test("maxDomain bounds containment suggestions") {
     val wide = (0 until 20).map(i => (i.toLong, s"s$i")).toDF("id", "s")
     val sugg = Profiler.suggestConstraints(wide, maxDomain = 8).map(_._1)
