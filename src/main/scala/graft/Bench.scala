@@ -89,10 +89,22 @@ object Bench {
     // per gate; "wall_total" keeps the true suite wall time visible.
     val bestOfK = sys.env.getOrElse("SPARK_GRAFT_BESTOF_K", "2").toInt
     def isLifecycle(n: String) = n.startsWith("ev") ||
-      Seq("q133", "q134", "q135", "q136", "q137").exists(n.startsWith)
-    val results: Seq[(String, Double, Option[String], Int, Double)] =
+      Seq("q133", "q134", "q135", "q136", "q137", "q142").exists(n.startsWith)
+    // JIT-sensitive pure-compute gates: steady but for one-time codegen
+    // /JIT warmup that lands on whichever gate runs a fresh plan shape
+    // first (the r19 q62 "+92% regression" was exactly this — its
+    // solo-warm steady state was unchanged). Best-of-k absorbs the
+    // warmup run; everything else stays true single-run.
+    def isJitSensitive(n: String) =
+      Seq("q62", "q58", "q61").exists(n.startsWith)
+    // (name, best seconds, error, runs, wall seconds, failed runs).
+    // failedRuns > 0 with no error means a flaky k-run gate: visible
+    // in the artifact's "failed_runs" instead of silently absorbed by
+    // the min (r19 advice).
+    val results: Seq[(String, Double, Option[String], Int, Double, Int)] =
       selected.map { case (name, fn) =>
-        val k = if (isLifecycle(name)) math.max(1, bestOfK) else 1
+        val k = if (isLifecycle(name) || isJitSensitive(name))
+          math.max(1, bestOfK) else 1
         val runs = (1 to k).map { _ =>
           val t0 = System.nanoTime()
           val err = try { exec(fn); None } catch {
@@ -108,9 +120,10 @@ object Bench {
           (dt, err)
         }
         val wall = runs.map(_._1).sum
+        val failed = runs.count(_._2.isDefined)
         val ok = runs.filter(_._2.isEmpty)
-        if (ok.nonEmpty) (name, ok.map(_._1).min, None, k, wall)
-        else (name, runs.head._1, runs.head._2, k, wall)
+        if (ok.nonEmpty) (name, ok.map(_._1).min, None, k, wall, failed)
+        else (name, runs.head._1, runs.head._2, k, wall, failed)
       }
     val anchorsEnd = runAnchors()
     // Locale.ROOT: a comma-decimal default locale would break the JSON
@@ -167,15 +180,15 @@ object Bench {
     val writeGates = Set("ev08", "ev09", "ev10", "ev11", "ev12", "ev13", "ev14",
       "ev15", "ev16", "ev17", "ev18")
     def isWriteGate(n: String) = writeGates.exists(n.startsWith)
-    val readTotal = results.collect { case (n, v, None, _, _) if !isWriteGate(n) => v }.sum
-    val writeTotal = results.collect { case (n, v, None, _, _) if isWriteGate(n) => v }.sum
+    val readTotal = results.collect { case (n, v, None, _, _, _) if !isWriteGate(n) => v }.sum
+    val writeTotal = results.collect { case (n, v, None, _, _, _) if isWriteGate(n) => v }.sum
     // q133 is the suite's most expensive gate and times three regimes
     // that regress independently (stream drain / k-means train / the
     // lazy search+verify executed by the noop write) — split them so a
     // maintainer regression is visible separately from training noise
-    val q133Json = results.find { case (n, _, e, _, _) =>
+    val q133Json = results.find { case (n, _, e, _, _, _) =>
       n.startsWith("q133") && e.isEmpty
-    }.flatMap { case (_, tot, _, _, _) =>
+    }.flatMap { case (_, tot, _, _, _, _) =>
       val p = graft.ops.Ivf.streamMaintainedPhases
       for (d <- p.get("drain"); t <- p.get("train")) yield
         s""","q133_phases":{"drain":${r3(d)},"train":${r3(t)},"rest":${r3(math.max(0.0, tot - d - t))}}"""
@@ -194,16 +207,27 @@ object Bench {
           "BENCH_LOCAL.json"))))
       val refQ = ref.get("queries")
       val common = results.collect {
-        case (n, v, None, _, _) if refQ.has(n) && refQ.get(n).isNumber =>
+        case (n, v, None, _, _, _) if refQ.has(n) && refQ.get(n).isNumber =>
           (v, refQ.get(n).asDouble)
       }
       val (curSum, refSum) = (common.map(_._1).sum, common.map(_._2).sum)
+      // host factor from BEST-OF anchor pairs on both sides (r19
+      // verdict #2): each side contributes min(start median, end
+      // median) per anchor — the two medians-of-3 are independent
+      // samples of the same fixed plans, and min is the stable
+      // statistic under one-sided JIT/weather noise (a single slow
+      // start-median swung the single-sample factor 0.56–0.98 between
+      // rounds). Older reference records with a one-element anchor
+      // array degrade to that sample.
       val hostFactor = scala.util.Try {
         val ra = ref.get("anchors")
         val pairs = anchorNames.flatMap { n =>
           val k = n.takeWhile(_ != '_')
-          if (ra.has(k)) Some((anchorsStart(n), ra.get(k).get(0).asDouble))
-          else None
+          if (ra.has(k)) {
+            val arr = ra.get(k)
+            val refBest = (0 until arr.size).map(arr.get(_).asDouble).min
+            Some((math.min(anchorsStart(n), anchorsEnd(n)), refBest))
+          } else None
         }
         if (pairs.nonEmpty && pairs.map(_._2).sum > 0)
           pairs.map(_._1).sum / pairs.map(_._2).sum else 1.0
@@ -211,23 +235,29 @@ object Bench {
       val sameSf = ref.has("sf") && ref.get("sf").asText() == sfDir
       if (sameSf && common.nonEmpty && refSum > 0) {
         val ratio = curSum / refSum
-        s""","vs_ref":{"common_n":${common.size},"ratio":${r3(ratio)},"host_factor":${r3(hostFactor)},"ratio_host_normalized":${r3(ratio / hostFactor)}}"""
+        s""","vs_ref":{"common_n":${common.size},"ratio":${r3(ratio)},"host_factor":${r3(hostFactor)},"ratio_host_normalized":${r3(ratio / hostFactor)},"host_factor_basis":"bestof_anchor_pairs","cur_bestof_k":$bestOfK}"""
       } else ""
     }.getOrElse("")
     val wallTotal = results.map(_._5).sum
     val splitJson = s""""read_total":${r3(readTotal)},"write_total":${r3(writeTotal)},"anchor_ratio":${r3(anchorRatio)},"anchors":$anchorJson,"bloom_ab":$abJson$q133Json$refJson"""
-    val qs = results.map { case (k, v, err, _, _) =>
+    val qs = results.map { case (k, v, err, _, _, _) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
     }.mkString("{", ",", "}")
     // per-gate run counts for the best-of gates only (k=1 implied
     // elsewhere) — rides the FILE json, not the tail line
-    val runsJson = results.collect { case (k, _, _, n, _) if n > 1 =>
+    val runsJson = results.collect { case (k, _, _, n, _, _) if n > 1 =>
       "\"" + k + "\":" + n
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _, _) => "\"" + k + "\":\"" + e + "\"" }
+    // gates where SOME of the k runs failed: a 1-of-2 failure on a
+    // best-of gate is a flake the min would otherwise hide — recorded
+    // here (count of failed runs) even when the gate reports success
+    val failedRunsJson = results.collect { case (k, _, _, _, _, f) if f > 0 =>
+      "\"" + k + "\":" + f
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e), _, _, _) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None, _, _) => v }.sum
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","wall_total":${r3(wallTotal)},"bestof_k":$bestOfK,"runs":$runsJson,$splitJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v, None, _, _, _) => v }.sum
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","wall_total":${r3(wallTotal)},"bestof_k":$bestOfK,"runs":$runsJson,"failed_runs":$failedRunsJson,$splitJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The driver scrapes the last stdout line, but its log tail buffer
     // has truncated r1–r3 (it keeps only ~2.2 KB and the full 91-query
     // line is longer, so the line head was cut and `parsed` came back
@@ -243,10 +273,10 @@ object Bench {
     val lastLine =
       if (json.length <= 1800) json
       else {
-        val bySlowest = results.sortBy { case (_, v, err, _, _) => if (err.isDefined) Double.MaxValue else -v }
+        val bySlowest = results.sortBy { case (_, v, err, _, _, _) => if (err.isDefined) Double.MaxValue else -v }
         def lineWith(n: Int): String = {
           val kept = bySlowest.take(n)
-          val qsub = kept.map { case (k, v, err, _, _) =>
+          val qsub = kept.map { case (k, v, err, _, _, _) =>
             "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
           }.mkString("{", ",", "}")
           s"""{"metric":"total","value":${r3(total)},"unit":"sec","wall_total":${r3(wallTotal)},"bestof_k":$bestOfK,$splitJson,"queries":$qsub,"errors":$errs,"queries_omitted":${results.size - n},"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}"""

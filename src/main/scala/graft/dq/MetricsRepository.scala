@@ -34,7 +34,8 @@ object MetricsRepository {
 
   /** SNAPSHOT-TABLE repository — the durable form of [[append]]: each
     * VerificationSuite run lands one commit of
-    * (dataset, run_tag, check, constraint, metric, success) rows, so
+    * (dataset, run_tag, check, constraint, metric, success, run_seq)
+    * rows, so
     * the metric history gets the full table contract for free — time
     * travel ("what did quality look like last Tuesday"), CDC (stream
     * the metric feed), retention, and the commit-time policies for
@@ -44,14 +45,16 @@ object MetricsRepository {
   def appendRun(spark: SparkSession, tablePath: String, dataset: String,
       runTag: String, result: VerificationResult): Long = {
     import spark.implicits._
+    val seq = nextRunSeq(spark, tablePath)
     val rows = for {
       cr <- result.checkResults
       c <- cr.results
-    } yield (dataset, runTag, cr.description, c.constraint, c.metric, c.success)
-    val creating =
-      graft.lake.SnapshotTable.latestVersion(spark, tablePath).isEmpty
+    } yield (dataset, runTag, cr.description, c.constraint, c.metric,
+      c.success, seq)
+    val creating = seq == 0L
     val v = graft.lake.SnapshotTable.append(
-      rows.toDF("dataset", "run_tag", "check", "constraint", "metric", "success")
+      rows.toDF("dataset", "run_tag", "check", "constraint", "metric",
+        "success", "run_seq")
         .coalesce(1), tablePath)
     // the repository's ingest shape is one tiny file per run, forever
     // — exactly what commit-time auto-compaction exists for. Arm it
@@ -75,6 +78,7 @@ object MetricsRepository {
   def appendProfile(spark: SparkSession, tablePath: String, dataset: String,
       runTag: String, profiles: Seq[Profiler.ColumnProfile]): Long = {
     import spark.implicits._
+    val seq = nextRunSeq(spark, tablePath)
     val rows = profiles.flatMap { p =>
       Seq(
         (dataset, runTag, "__profile", s"Completeness(${p.column})",
@@ -89,17 +93,28 @@ object MetricsRepository {
           s"Maximum(${p.column})", v, true)) ++
         p.mean.map(v => (dataset, runTag, "__profile",
           s"Mean(${p.column})", v, true))
-    }
-    val creating =
-      graft.lake.SnapshotTable.latestVersion(spark, tablePath).isEmpty
+    }.map { case (d, t, ch, c, m, s) => (d, t, ch, c, m, s, seq) }
+    val creating = seq == 0L
     val v = graft.lake.SnapshotTable.append(
-      rows.toDF("dataset", "run_tag", "check", "constraint", "metric", "success")
+      rows.toDF("dataset", "run_tag", "check", "constraint", "metric",
+        "success", "run_seq")
         .coalesce(1), tablePath)
     if (creating)
       graft.lake.SnapshotTable.setAutoCompact(spark, tablePath,
         minSmallFiles = 8, smallFileRows = 100000L)
     v
   }
+
+  /** Monotone per-append sequence a run's rows are stamped with: the
+    * table version this append will land at (or later, under
+    * contention — only monotonicity matters). [[anomalies]] orders
+    * runs by it instead of by run_tag STRING comparison, which
+    * mis-orders the common unpadded conventions ("r10" < "r2",
+    * "2026-8-9" > "2026-10-01") exactly when a dataset's history gets
+    * long enough for the window to matter. */
+  private def nextRunSeq(spark: SparkSession, tablePath: String): Long =
+    graft.lake.SnapshotTable.latestVersion(spark, tablePath)
+      .map(_ + 1L).getOrElse(0L)
 
   /** One dataset's full metric history from the snapshot repository. */
   def runHistory(spark: SparkSession, tablePath: String,
@@ -128,10 +143,28 @@ object MetricsRepository {
       minRelDelta: Double = 0.1): Seq[Anomaly] = {
     require(window >= 1, "window must be >= 1")
     val h = runHistory(spark, tablePath, dataset)
-    val tags = h.filter(col("run_tag") < currentTag)
-      .select("run_tag").distinct()
-      .orderBy(col("run_tag").desc).limit(window)
-      .collect().map(_.getString(0)).toSeq
+    // The trailing window is the `window` runs APPENDED most recently
+    // before the current run — ordered by the run_seq the append
+    // stamped, never by run_tag string comparison (which mis-orders
+    // "r10" before "r2" and breaks every unpadded tag convention once
+    // a dataset passes 10 runs). Repositories written before run_seq
+    // existed fall back to tag ordering, correct exactly when tags
+    // are zero-padded/sortable (the old documented requirement).
+    val tags: Seq[String] =
+      if (h.columns.contains("run_seq")) {
+        val seqs = h.groupBy("run_tag").agg(max("run_seq").as("seq"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        seqs.collectFirst { case (t, s) if t == currentTag => s } match {
+          case None => Nil // current run not persisted yet — no window
+          case Some(curSeq) => seqs.toSeq
+            .filter { case (t, s) => s < curSeq && t != currentTag }
+            .sortBy(-_._2).take(window).map(_._1)
+        }
+      } else
+        h.filter(col("run_tag") < currentTag)
+          .select("run_tag").distinct()
+          .orderBy(col("run_tag").desc).limit(window)
+          .collect().map(_.getString(0)).toSeq
     if (tags.isEmpty) return Nil
     val win = h.filter(col("run_tag").isin(tags: _*))
       .groupBy("constraint")

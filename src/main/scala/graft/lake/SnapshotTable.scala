@@ -6444,15 +6444,22 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     f"${RidBaseLookup.hash(cols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))}%016x"
 
   /** The pre-r18 tag format: 8 hex chars of 32-bit MurmurHash3 over
-    * the bare concatenated columns. Recognized READ-side only (see
-    * [[settledUnder]]) so a table clustered by an older library
-    * upgrades without a one-time full re-cluster: its settled files
-    * keep counting as settled, and the legacy marks age out naturally
-    * as DML rewrites drop them. New marks are always written in the
-    * 16-hex format — the two formats are length-disjoint, so no
-    * 64-bit tag can ever alias a legacy one. */
+    * the NUL-joined column list — the EXACT string the 8-hex-era
+    * library hashed (its `clusterTagOf` NUL-joined the list;
+    * verified against the historic source at commit 0f9f310, and the
+    * spec pins the literal hex values that era wrote to disk, NOT
+    * values recomputed through this function). Recognized READ-side
+    * only (see [[settledUnder]]) so a table clustered by an older
+    * library upgrades without a one-time full re-cluster: its settled
+    * files keep counting as settled, and the legacy marks age out
+    * naturally as DML rewrites drop them. New marks are always
+    * written in the 16-hex format — the two formats are
+    * length-disjoint, so no 64-bit tag can ever alias a legacy one.
+    * The NUL join also keeps multi-column specs unambiguous (a
+    * separator-less concat would alias `["ab"]` with `["a","b"]` —
+    * no legal column name contains NUL). */
   private[lake] def legacyClusterTagOf(cols: Seq[String]): String =
-    f"${scala.util.hashing.MurmurHash3.stringHash(cols.mkString("")).toLong & 0xffffffffL}%08x"
+    f"${scala.util.hashing.MurmurHash3.stringHash(cols.mkString("\u0000")).toLong & 0xffffffffL}%08x"
 
   /** Is `e` settled under the spec whose current tag is `tag` and
     * whose legacy (pre-r18) tag is `legacyTag`? Length-discriminated:

@@ -357,7 +357,22 @@ object Relational {
     * against its trailing window, and the last run's injected volume
     * drift (n_chars < 400 drops ~30% of the slice) trips the Size
     * anomaly. The oracle recomputes the whole persisted metric
-    * history from the same slices. */
+    * history from the same slices.
+    *
+    * RETENTION STORY (the storage half of "one small file per run,
+    * forever"): [[graft.dq.MetricsRepository.appendRun]] arms
+    * commit-time auto-compaction at table creation, so the LIVE file
+    * count stays bounded as runs accrue — but each superseded per-run
+    * file stays pinned by older versions until retention runs. The
+    * recipe is ordinary table maintenance, nothing
+    * repository-specific: `SnapshotTable.vacuum(spark, repo,
+    * keepVersions = K, minAgeMs = ...)` on whatever cadence the
+    * operator keeps for time travel elsewhere (keepVersions sized to
+    * the travel horizon). History counts, trailing-window anomalies,
+    * and subsequent appends are unaffected — windows are computed
+    * from LIVE rows' run_seq, never from expired versions — pinned by
+    * the ChecksSpec retention case driving 9 runs → VACUUM →
+    * unchanged history/anomalies → a 10th run. */
   def dqMetricsRepository(spark: SparkSession, dir: String): DataFrame = {
     import graft.dq._
     val repo = java.nio.file.Files
@@ -405,6 +420,72 @@ object Relational {
       |    WHEN 'Mean(n_chars)' THEN mean_m END, 4) AS metric
       |FROM agg, (VALUES ('Size'), ('Completeness(lang)'),
       |           ('Mean(n_chars)')) c(constraint_name)
+      |ORDER BY run_tag, constraint_name""".stripMargin
+
+  /** q142: PROFILE-DRIFT detection (the q137 anomaly machinery over
+    * PERSISTED COLUMN PROFILES, closing the Deequ loop: a column
+    * whose distribution shifts passes every boolean check and still
+    * trips here). Twelve "daily" runs profile nested growing slices
+    * of `documents.lang` (run r keeps doc_id % 100 < 40 + 4r — a
+    * steady ~5%-per-run volume ramp) and persist each profile via
+    * [[graft.dq.MetricsRepository.appendProfile]] (3 rows per run:
+    * Completeness/Distinctness/Size of lang); run r11 additionally
+    * collapses the column to the constant 'en'. Asserted in-gate
+    * BEFORE the oracle hash: (a) r10 raises NO anomaly — which pins
+    * the run_seq append-order window fix, because a string-ordered
+    * window for "r10" is {r1, r0} and the volume ramp reads as a
+    * 3-sigma Size anomaly against it; (b) r11 trips EXACTLY the
+    * injected Distinctness(lang) collapse while its on-ramp Size
+    * stays quiet. The oracle recomputes the whole persisted profile
+    * history from the same slices. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dq._
+    val repo = java.nio.file.Files
+      .createTempDirectory("graft-dqprof-gate").toString + "/metrics"
+    val docs = Tables.documents(spark, dir)
+    (0 to 11).foreach { r =>
+      val slice0 = docs.filter(col("doc_id") % 100 < 40 + 4 * r)
+        .select("lang")
+      val slice = if (r == 11) slice0.withColumn("lang", lit("en"))
+        else slice0
+      val profs = Profiler.profile(slice, exactDistinct = true)
+      MetricsRepository.appendProfile(spark, repo, "documents", s"r$r", profs)
+      val n = graft.lake.SnapshotTable.read(spark, repo).count()
+      require(n == (r + 1) * 3L,
+        s"profile history must grow 3 rows per run, got $n after r$r")
+    }
+    val quiet = MetricsRepository.anomalies(spark, repo, "documents", "r10")
+    require(quiet.isEmpty,
+      s"steady ramp run r10 flagged anomalous (append-order window " +
+        s"regression?): $quiet")
+    val tripped = MetricsRepository.anomalies(spark, repo, "documents", "r11")
+    require(tripped.exists(_.constraint == "Distinctness(lang)"),
+      s"injected distinct-count collapse did not trip: $tripped")
+    require(!tripped.exists(_.constraint.startsWith("Size")),
+      s"on-ramp Size must stay quiet at r11: $tripped")
+    graft.lake.SnapshotTable.read(spark, repo)
+      .select(col("run_tag"), col("constraint").as("constraint_name"),
+        round(col("metric"), 4).as("metric"))
+      .orderBy("run_tag", "constraint_name")
+  }
+
+  private val profileDriftSql =
+    """WITH runs AS (SELECT unnest(generate_series(0, 11)) AS r),
+      |sl AS (SELECT 'r' || CAST(runs.r AS VARCHAR) AS run_tag,
+      |         CASE WHEN runs.r = 11 THEN 'en' ELSE d.lang END AS lang
+      |       FROM documents d JOIN runs ON d.doc_id % 100 < 40 + 4 * runs.r),
+      |agg AS (SELECT run_tag,
+      |          avg(CASE WHEN lang IS NOT NULL THEN 1.0 ELSE 0.0 END) AS compl_m,
+      |          CAST(count(DISTINCT lang) AS DOUBLE) AS dist_m,
+      |          CAST(count(*) AS DOUBLE) AS size_m
+      |        FROM sl GROUP BY run_tag)
+      |SELECT run_tag, c.constraint_name,
+      |  round(CASE c.constraint_name
+      |    WHEN 'Completeness(lang)' THEN compl_m
+      |    WHEN 'Distinctness(lang)' THEN dist_m
+      |    WHEN 'Size(lang)' THEN size_m END, 4) AS metric
+      |FROM agg, (VALUES ('Completeness(lang)'), ('Distinctness(lang)'),
+      |           ('Size(lang)')) c(constraint_name)
       |ORDER BY run_tag, constraint_name""".stripMargin
 
   /** q139: COLUMN PROFILING (Deequ ColumnProfilerRunner shape —
@@ -2747,6 +2828,7 @@ object Relational {
     QDef("q139_column_profile", columnProfile, Some(columnProfileSql)),
     QDef("q140_constraint_suggestions", constraintSuggestions,
       Some(constraintSuggestionsSql)),
+    QDef("q142_profile_drift", profileDrift, Some(profileDriftSql)),
     QDef("q15_window_rank", windowRank, Some(windowRankSql)),
     QDef("q16_window_lag", windowLag, Some(windowLagSql)),
     QDef("q17_window_running", windowRunning, Some(windowRunningSql)),

@@ -146,4 +146,66 @@ class ChecksSpec extends SparkTestBase {
     // the live-file count proves the merge actually happened
     assert(graft.lake.SnapshotTable.liveFiles(spark, path).size < 9)
   }
+
+  test("anomaly windows follow append order, not run_tag string order " +
+      "(unpadded tags past 10 runs)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dqrepo-seq").toString + "/metrics"
+    val check = Seq(Check(CheckLevel.Error, "volume").hasSize(_ >= 0))
+    // a steady ramp: run r grows by 4 rows — each run is within noise
+    // of its TRUE trailing window, far outside a stale one
+    (0 to 11).foreach { r =>
+      val vr = VerificationSuite.run(spark.range(40L + 4L * r).toDF(), check)
+      MetricsRepository.appendRun(spark, path, "docs", s"r$r", vr)
+    }
+    // "r10" sorts lexicographically BEFORE "r2", so a string-ordered
+    // window for r10 would be {r1, r0} (Size mean 42 vs current 80 —
+    // a flagged anomaly). The append-ordered window is r5..r9 (mean
+    // 68, well inside 3 sigma of the ramp) and must stay quiet.
+    assert(MetricsRepository.anomalies(spark, path, "docs", "r10").isEmpty,
+      "steady ramp flagged anomalous — window was not append-ordered")
+    assert(MetricsRepository.anomalies(spark, path, "docs", "r11").isEmpty)
+    // a genuine collapse still trips against the append-ordered window
+    val vr = VerificationSuite.run(spark.range(10L).toDF(), check)
+    MetricsRepository.appendRun(spark, path, "docs", "r12", vr)
+    val hits = MetricsRepository.anomalies(spark, path, "docs", "r12")
+    assert(hits.exists(_.constraint == "Size"), s"expected Size, got $hits")
+  }
+
+  test("retention recipe: VACUUM after self-compaction reclaims the " +
+      "per-run small files without touching history or anomaly windows") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dqrepo-vac").toString + "/metrics"
+    val check = Seq(SilverClean.silverCheck)
+    (1 to 9).foreach { i =>
+      val vr = VerificationSuite.run(silver, check)
+      MetricsRepository.appendRun(spark, path, "silver", f"2026-08-$i%02d", vr)
+    }
+    def parquetFiles(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val perRun = VerificationSuite.run(silver, check)
+      .checkResults.map(_.results.size).sum
+    val filesBefore = parquetFiles()
+    val quietBefore = MetricsRepository
+      .anomalies(spark, path, "silver", "2026-08-09")
+    // auto-compaction (armed at creation) already merged the run
+    // files into few LIVE files; VACUUM is the storage half — it
+    // deletes the superseded per-run files old versions still pin
+    graft.lake.SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    assert(parquetFiles() < filesBefore,
+      s"vacuum reclaimed nothing ($filesBefore files before and after)")
+    assert(MetricsRepository.runHistory(spark, path, "silver")
+      .count() === 9L * perRun, "vacuum must not change the metric history")
+    assert(MetricsRepository
+      .anomalies(spark, path, "silver", "2026-08-09") === quietBefore,
+      "vacuum must not change anomaly results")
+    // and the repository keeps accepting runs afterwards
+    val vr = VerificationSuite.run(silver, check)
+    MetricsRepository.appendRun(spark, path, "silver", "2026-08-10", vr)
+    assert(MetricsRepository.runHistory(spark, path, "silver")
+      .count() === 10L * perRun)
+  }
 }

@@ -250,6 +250,17 @@ class AutoClusterSpec extends SparkTestBase {
     val tag = SnapshotTable.clusterTagOf(spec)
     val legacy = SnapshotTable.legacyClusterTagOf(spec)
     assert(legacy.length === 8 && tag.length === 16)
+    // the LITERAL values the 8-hex-era library wrote to disk
+    // (Murmur32 over the NUL-joined list — computed against the
+    // historic clusterTagOf at commit 0f9f310, NOT recomputed through
+    // the function under test, so a separator regression in
+    // legacyClusterTagOf cannot forge marks that pass its own check)
+    assert(spec === Seq("a", "b"))
+    assert(legacy === "d3cbe237",
+      "legacyClusterTagOf no longer matches the historic on-disk format")
+    assert(SnapshotTable.legacyClusterTagOf(Seq("b")) === "2658f166")
+    // the NUL join keeps multi-column specs unambiguous
+    assert(SnapshotTable.legacyClusterTagOf(Seq("ab")) !== legacy)
     // forge the pre-r18 on-disk state: same files, marks in the old
     // 8-hex Murmur32 format
     val forged = m.copy(entries = m.entries.map(e =>
