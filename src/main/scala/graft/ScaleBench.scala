@@ -71,7 +71,15 @@ object ScaleBench {
     var qidxDir: Option[String] = None
     var pqDir: Option[String] = None
     var pqModel: Option[graft.ops.Ivf.PqModel] = None
+    var adcDir: Option[String] = None
+    var opqModel: Option[graft.ops.Ivf.OpqModel] = None
     var dupUniformSec: Option[Double] = None
+    // coarse IVF model shared by the PQ serving points: trained ONCE,
+    // outside any timed block, so ivf_pq_3q (and the ADC A/B) measure
+    // probe + ADC + rerank, not k-means training (the r19 ivf_pq_3q
+    // number was mostly training). Lazy: only pays when a PQ point
+    // actually runs under GRAFT_SCALE_ONLY.
+    lazy val coarse64 = graft.ops.Ivf.train(emb, k = 64)
     val results: Seq[(String, Double)] = Seq(
       timed("exact_dedup")     { noop(graft.ops.TextDedup.exactDuplicates(docs)) },
       timed("minhash_buckets") { noop(graft.ops.TextDedup.minhashBuckets(docs)) },
@@ -134,6 +142,13 @@ object ScaleBench {
         val qcorp = graft.ops.Ivf.loadQuantizedIndex(spark, qidxDir.get)
         noop(graft.ops.Ivf.searchQuantizedIndexed(emb, qcorp, model, queryIds, 10))
       },
+      timed("ivf_coarse_train") {
+        // one-time coarse k-means the PQ/ADC serving points below
+        // share — timed as its OWN point so their numbers isolate
+        // serving (under GRAFT_SCALE_ONLY without this point, the
+        // first PQ point pays the lazy init — full runs never do)
+        val _ = coarse64
+      },
       timed("ivf_pq_build") {
         // PQ ladder rung: train the m=8/ksub=256 product quantizer on
         // the bounded sample and encode the full corpus to 8-byte
@@ -148,11 +163,60 @@ object ScaleBench {
       },
       timed("ivf_pq_3q") {
         // serve from codes: probe -> ADC over 8-byte codes ->
-        // shortlist -> exact rerank of shortlist only
-        val model = graft.ops.Ivf.train(emb, k = 64)
+        // shortlist -> exact rerank of shortlist only (coarse model
+        // pre-trained above — this point measures SERVING)
         val codes = spark.read.parquet(pqDir.get)
-        noop(graft.ops.Ivf.searchPq(emb, codes, model, pqModel.get,
+        noop(graft.ops.Ivf.searchPq(emb, codes, coarse64, pqModel.get,
           queryIds, k = 10, nProbe = 4, shortlist = 100))
+      },
+      timed("ivf_adc_build") {
+        // IVFADC rung (q141): learned OPQ rotation + PQ over coarse
+        // residuals, corpus encoded to (cell, norm, 8-byte code)
+        val opq = graft.ops.Ivf.trainOpqResidual(emb, coarse64,
+          m = 8, ksub = 256)
+        opqModel = Some(opq)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-adcidx").toString
+        adcDir = Some(dir)
+        graft.ops.Ivf.encodePqResidual(emb, coarse64, opq)
+          .write.mode("overwrite").parquet(dir)
+      },
+      timed("ivf_adc_3q") {
+        // serve from residual codes: probe -> cell-dot + residual ADC
+        // -> shortlist -> exact rerank (coarse model pre-trained)
+        val codes = spark.read.parquet(adcDir.get)
+        noop(graft.ops.Ivf.searchPqResidual(emb, codes, coarse64,
+          opqModel.get, queryIds, k = 10, nProbe = 4, shortlist = 100))
+      },
+      timed("pq_adc_recall_ab") {
+        // recall@10 A/B at 200k vectors (r19 verdict #3 done
+        // criterion): raw-vector PQ (q138 shape) vs OPQ+residual ADC
+        // (q141 shape), both vs the EXACT result under identical
+        // probe/tie-break conventions (nProbe = all cells ⇒ the
+        // candidate set is the whole corpus, rerank is exact cosine).
+        // Reported, and pinned loosely: the residual path must not be
+        // materially WORSE than raw PQ — the classic IVFADC claim.
+        import spark.implicits._
+        def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+          df.select("query_id", "vec_id").as[(Long, Long)].collect()
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val k = coarse64.centroids.length
+        val exact = hits(graft.ops.Ivf.search(emb, coarse64, queryIds,
+          10, nProbe = k))
+        val pq = hits(graft.ops.Ivf.searchPq(emb,
+          spark.read.parquet(pqDir.get), coarse64, pqModel.get,
+          queryIds, k = 10, nProbe = 4, shortlist = 100))
+        val adc = hits(graft.ops.Ivf.searchPqResidual(emb,
+          spark.read.parquet(adcDir.get), coarse64, opqModel.get,
+          queryIds, k = 10, nProbe = 4, shortlist = 100))
+        def recall(got: Map[Long, Set[Long]]): Int =
+          queryIds.map(q => (exact(q) intersect got.getOrElse(q, Set.empty)).size).sum
+        val (rPq, rAdc) = (recall(pq), recall(adc))
+        val n = queryIds.size * 10
+        System.err.println(
+          f"[scale] recall@10 x${queryIds.size} queries: pq=$rPq/$n adc=$rAdc/$n")
+        require(rAdc >= rPq - 4,
+          s"residual ADC recall $rAdc/$n materially below raw PQ $rPq/$n")
       },
       timed("tfidf")           { noop(graft.ops.TextAnalysis.tfidfOf(docs)) },
       timed("inverted_index")  { noop(graft.ops.TextAnalysis.invertedIndexOf(docs)) },

@@ -811,6 +811,19 @@ object Ivf {
           d
         }
       }
+
+    /** Reconstruction of a code: the concatenated sub-centroids —
+      * used by the OPQ Procrustes step and by distortion audits. */
+    def decode(code: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var s = 0
+      while (s < m) {
+        System.arraycopy(codebooks(s)(code(s) & 0xff), 0, out,
+          s * subDim, subDim)
+        s += 1
+      }
+      out
+    }
   }
 
   /** Per-subspace Lloyd's k-means on the same bounded deterministic
@@ -819,12 +832,27 @@ object Ivf {
   def trainPq(emb: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 10,
       sampleSize: Int = 10000, idCol: String = "vec_id",
       vecCol: String = "embedding"): PqModel = {
+    val sample = pqSample(emb, sampleSize, idCol, vecCol)
+    pqFromSample(sample, m, ksub, iters)
+  }
+
+  /** The bounded deterministic driver sample both PQ trainers share. */
+  private def pqSample(emb: DataFrame, sampleSize: Int, idCol: String,
+      vecCol: String): Array[Array[Float]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val sample: Array[Array[Float]] = emb
       .orderBy(col(idCol)).limit(sampleSize)
       .select(col(vecCol).cast("array<float>")).as[Array[Float]].collect()
     require(sample.nonEmpty, "empty PQ training sample")
+    sample
+  }
+
+  /** Per-subspace Lloyd's over a driver-resident sample — the shared
+    * trainer behind [[trainPq]] (raw vectors) and [[trainOpqResidual]]
+    * (rotated coarse residuals). */
+  private def pqFromSample(sample: Array[Array[Float]], m: Int, ksub: Int,
+      iters: Int): PqModel = {
     val dim = sample.head.length
     require(m >= 1 && dim % m == 0,
       s"PQ subspace count $m must divide the dimension $dim")
@@ -939,6 +967,308 @@ object Ivf {
       .drop("rn")
   }
 
+  // ============ OPQ + residual encoding (IVFADC layout) =============
+
+  /** OPQ: a learned ORTHONORMAL rotation applied before the subspace
+    * split (Ge et al., "Optimized Product Quantization", CVPR 2013 —
+    * the non-parametric variant), plus the product quantizer trained
+    * in the rotated space. Plain PQ quantizes each `subDim`-dim slice
+    * independently, so variance concentrated in a few dimensions (or
+    * correlated across the slice boundary) wastes codebook entropy;
+    * the rotation re-balances it. Rotation is `dim × dim` floats —
+    * driver state broadcast with the task closure, like the
+    * codebooks. Orthonormal ⇒ inner products survive rotation:
+    * `⟨q, x⟩ = ⟨Rq, Rx⟩`, so ADC tables are built from the ROTATED
+    * query against the rotated-space codebooks and score unrotated
+    * inner products exactly as [[PqModel.adcTable]] does. */
+  final case class OpqModel(rotation: Array[Array[Float]], pq: PqModel) {
+    val dim: Int = rotation.length
+
+    def rotate(v: Array[Float]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val row = rotation(i)
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += row(j) * v(j); j += 1 }
+        out(i) = s.toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * returns (eigenvalues, eigenvectors as COLUMNS of V). Driver-side
+    * only, on `dim × dim` (64×64 here): ~2k rotations per sweep,
+    * microseconds — no linear-algebra dependency needed. */
+  private def jacobiEigSym(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-20) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Orthogonal Procrustes: the rotation maximizing `tr(Rᵀ M)` is
+    * `R = U Vᵀ` for `M = U Σ Vᵀ` — computed via the eigendecomposition
+    * of `MᵀM` (no external SVD): `V` from Jacobi, `σⱼ = √λⱼ`,
+    * `uⱼ = M vⱼ / σⱼ`. None when M is near-singular (a degenerate
+    * direction would make `uⱼ` garbage) — the caller keeps its
+    * previous rotation for that iteration. */
+  private def procrustes(mm: Array[Array[Double]])
+      : Option[Array[Array[Double]]] = {
+    val n = mm.length
+    val mtm = Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < n) { s += mm(k)(i) * mm(k)(j); k += 1 }
+      s
+    }
+    val (lam, v) = jacobiEigSym(mtm)
+    val sig = lam.map(l => math.sqrt(math.max(l, 0.0)))
+    val sigMax = sig.max
+    if (sigMax <= 0.0 || sig.exists(_ < 1e-9 * sigMax)) return None
+    // uⱼ = M vⱼ / σⱼ, columns of U
+    val u = Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < n) { s += mm(i)(k) * v(k)(j); k += 1 }
+      s / sig(j)
+    }
+    // R = U Vᵀ
+    Some(Array.tabulate(n, n) { (i, k) =>
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += u(i)(j) * v(k)(j); j += 1 }
+      s
+    })
+  }
+
+  /** Train OPQ over COARSE RESIDUALS — the classic IVFADC stack: the
+    * quantized quantity is `v − centroid(cell(v))` (residuals are
+    * smaller and more isotropic than raw vectors, so the same code
+    * budget buys less distortion), rotated by the learned R before
+    * the subspace split. Non-parametric alternating optimization on
+    * the bounded driver sample: fit PQ in the rotated space → decode
+    * → Procrustes re-fit of R against the reconstructions → repeat;
+    * the returned (R, PQ) is the iteration with the LOWEST measured
+    * sample distortion, so the result is never worse than plain PQ
+    * on the same residual sample (iteration 0 is exactly that,
+    * R = identity) — the monotonicity the OpqSpec pins. */
+  def trainOpqResidual(emb: DataFrame, ivf: Model, m: Int = 8,
+      ksub: Int = 16, iters: Int = 10, opqIters: Int = 4,
+      sampleSize: Int = 10000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): OpqModel = {
+    val raw = pqSample(emb, sampleSize, idCol, vecCol)
+    val dim = raw.head.length
+    // residual sample: x_i = v_i − c(v_i)
+    val xs: Array[Array[Float]] = raw.map { vv =>
+      val cen = ivf.centroids(ivf.nearest(vv))
+      Array.tabulate(dim)(i => (vv(i) - cen(i)).toFloat)
+    }
+    def rotateAll(r: Array[Array[Double]]): Array[Array[Float]] =
+      xs.map { x =>
+        Array.tabulate(dim) { i =>
+          var s = 0.0
+          var j = 0
+          while (j < dim) { s += r(i)(j) * x(j); j += 1 }
+          s.toFloat
+        }
+      }
+    def distortion(ys: Array[Array[Float]], pq: PqModel): Double =
+      ys.map { y =>
+        val d = pq.decode(pq.encode(y))
+        var s = 0.0
+        var i = 0
+        while (i < dim) { val t = y(i) - d(i); s += t * t; i += 1 }
+        s
+      }.sum / ys.length
+    var r: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var best: (Double, Array[Array[Double]], PqModel) = null
+    var it = 0
+    while (it < math.max(1, opqIters)) {
+      val ys = rotateAll(r)
+      val pq = pqFromSample(ys, m, ksub, iters)
+      val d = distortion(ys, pq)
+      if (best == null || d < best._1) best = (d, r, pq)
+      // Procrustes against this iteration's reconstructions:
+      // M = Σ ŷ_i x_iᵀ (reconstruction outer original residual)
+      val mm = Array.ofDim[Double](dim, dim)
+      var s = 0
+      while (s < ys.length) {
+        val yhat = pq.decode(pq.encode(ys(s)))
+        val x = xs(s)
+        var i = 0
+        while (i < dim) {
+          val yi = yhat(i).toDouble
+          var j = 0
+          while (j < dim) { mm(i)(j) += yi * x(j); j += 1 }
+          i += 1
+        }
+        s += 1
+      }
+      procrustes(mm).foreach(r = _)
+      it += 1
+    }
+    OpqModel(best._2.map(_.map(_.toFloat)), best._3)
+  }
+
+  /** Residual-encode the corpus (the persisted IVFADC index): one
+    * typed pass producing (id, cell, norm, pq_code) where the code
+    * quantizes the ROTATED residual `R·(v − centroid(cell))`. Same
+    * footprint as [[encodePq]] plus one int cell id; the cell rides
+    * along so ADC scoring can add back the coarse term without
+    * touching the float corpus. */
+  def encodePqResidual(emb: DataFrame, ivf: Model, opq: OpqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val cell = ivf.nearest(v)
+        val cen = ivf.centroids(cell)
+        val res = Array.tabulate(v.length)(i => (v(i) - cen(i)).toFloat)
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        (id, cell, math.sqrt(n), opq.pq.encode(opq.rotate(res)))
+      }).toDF(idCol, "cell", "norm", "pq_code")
+  }
+
+  /** IVFADC search: coarse probe → ADC over the RESIDUAL codes →
+    * bounded shortlist → exact float rerank. The scored inner product
+    * decomposes exactly: `⟨q, x⟩ = ⟨q, c_cell⟩ + ⟨q, r⟩`, and the
+    * residual term reads from one rotated-query LUT —
+    * `⟨q, R⁻¹d⟩ = ⟨Rq, d⟩` — so per candidate the cost is one
+    * driver-tiny cell-dot lookup + m table adds, identical shape to
+    * [[searchPq]]. The per-query state riding the closure is
+    * `m × ksub` LUT floats + `nCells` cell dots — KBs. */
+  def searchPqResidual(emb: DataFrame, codes: DataFrame, ivf: Model,
+      opq: OpqModel, queryIds: Seq[Long], k: Int, nProbe: Int = 4,
+      shortlist: Int = 100, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(shortlist >= k, "shortlist must be at least k")
+    val luts: Map[Long, (Array[Array[Float]], Double, Array[Double])] = emb
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) =>
+        var n = 0.0
+        var i = 0
+        while (i < qv.length) { n += qv(i).toDouble * qv(i); i += 1 }
+        val cellDots = ivf.centroids.map { c =>
+          var s = 0.0
+          var j = 0
+          while (j < qv.length) { s += qv(j) * c(j); j += 1 }
+          s
+        }
+        qid -> ((opq.pq.adcTable(opq.rotate(qv)), math.sqrt(n), cellDots))
+      }.toMap
+    val adc = candidatesOf(emb, ivf, queryIds, nProbe, idCol, vecCol)
+      .join(codes, idCol)
+      .select(col("query_id"), col(idCol).cast("long"), col("cell"),
+        col("norm"), col("pq_code"))
+      .as[(Long, Long, Int, Double, Array[Byte])]
+      .mapPartitions(_.map { case (qid, id, cell, norm, code) =>
+        val (lut, qn, cellDots) = luts(qid)
+        var ip = cellDots(cell)
+        var s = 0
+        while (s < code.length) { ip += lut(s)(code(s) & 0xff); s += 1 }
+        (qid, id, ip / (qn * math.max(norm, 1e-12)))
+      }).toDF("query_id", idCol, "adc_cosine")
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col(idCol).asc)
+    val short = adc
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col(idCol))
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wX = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    short.join(emb.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(Similarity.cosine(col(vecCol), col("qv")), 6).as("cosine"))
+      .withColumn("rn", row_number().over(wX))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** q141: the OPQ + residual-encoding gate (IVFADC — ROADMAP #4 /
+    * r19 verdict #3) under the same planted-copy contract as q138:
+    * the exact copy must survive the coarse probe AND the residual
+    * ADC shortlist, every returned neighbor must sit inside the
+    * exact float top-100, and the reported cosine is the exact
+    * rerank (the copy scores exactly 1.0 — the rotation and codes
+    * decide WHO is scored, never the value). */
+  def annIvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val qids = Similarity.annQueryIds
+    val corpus = Similarity.withPlantedQueries(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), qids)
+    val ivf = train(corpus, k = 16, iters = 5, sampleSize = 500)
+    val opq = trainOpqResidual(corpus, ivf, m = 8, ksub = 16, iters = 5,
+      opqIters = 3, sampleSize = 500)
+    val codes = encodePqResidual(corpus, ivf, opq)
+    Similarity.annContract(
+      searchPqResidual(corpus, codes, ivf, opq, qids, k = 10, nProbe = 4,
+        shortlist = 100),
+      corpus, qids, rankBound = annIvfPqRankBound)
+  }
+
+  // literal 100, NOT $annIvfPqRankBound: that val is declared further
+  // down the object and would still be 0 when this one initializes
+  val annIvfAdcSql: String =
+    """SELECT vec_id AS query_id, CAST(1.0 AS DOUBLE) AS best_cosine,
+      |  true AS planted_nn_returned, true AS all_in_exact_top100
+      |FROM embeddings WHERE vec_id IN (0, 1, 2) ORDER BY query_id""".stripMargin
+
   /** q138: the IVF-PQ gate under the planted-copy contract of
     * q106/q107 — the exact copy must survive the coarse probe AND the
     * ADC shortlist (that is the recall pinned in-gate: miss either
@@ -970,6 +1300,7 @@ object Ivf {
   val catalog: Seq[QDef] = Seq(
     QDef("q62_ann_ivf", annIvf, Some(annIvfSql)),
     QDef("q138_ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
+    QDef("q141_ann_ivf_adc", annIvfAdc, Some(annIvfAdcSql)),
     QDef("q107_ann_ivf_i8", annIvfQuantized, Some(annIvfQuantizedSql)),
     QDef("q130_hybrid_prefilter", hybridNarrow, Some(hybridNarrowSql)),
     QDef("q131_hybrid_postfilter", hybridWide, Some(hybridWideSql)),

@@ -201,6 +201,127 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("OPQ: rotation is orthonormal, training is deterministic, and " +
+      "the kept iteration is never worse than plain residual PQ") {
+    import spark.implicits._
+    val ivf = Ivf.train(emb, k = 16, iters = 5, sampleSize = 500)
+    val o1 = Ivf.trainOpqResidual(emb, ivf, m = 8, ksub = 16, iters = 5,
+      opqIters = 3, sampleSize = 500)
+    val o2 = Ivf.trainOpqResidual(emb, ivf, m = 8, ksub = 16, iters = 5,
+      opqIters = 3, sampleSize = 500)
+    o1.rotation.zip(o2.rotation).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    // R^T R = I within float dust
+    val d = o1.dim
+    (0 until d).foreach { i =>
+      (0 until d).foreach { j =>
+        var s = 0.0
+        (0 until d).foreach(k => s += o1.rotation(k)(i).toDouble * o1.rotation(k)(j))
+        assert(math.abs(s - (if (i == j) 1.0 else 0.0)) < 1e-4,
+          s"R^T R deviates at ($i,$j): $s")
+      }
+    }
+    // the kept (R, PQ) minimizes measured sample distortion, so it is
+    // <= the opqIters=1 result (which IS plain residual PQ: identity
+    // rotation, no Procrustes applied before the only fit)
+    val plain = Ivf.trainOpqResidual(emb, ivf, m = 8, ksub = 16, iters = 5,
+      opqIters = 1, sampleSize = 500)
+    assert(plain.rotation.zipWithIndex.forall { case (row, i) =>
+      row.zipWithIndex.forall { case (x, j) =>
+        x == (if (i == j) 1.0f else 0.0f) } },
+      "opqIters=1 must return the identity rotation")
+    def residualDistortion(o: Ivf.OpqModel): Double = {
+      val sample = emb.orderBy(col("vec_id")).limit(500)
+        .select(col("embedding").cast("array<float>"))
+        .as[Array[Float]].collect()
+      sample.map { v =>
+        val cen = ivf.centroids(ivf.nearest(v))
+        val res = Array.tabulate(v.length)(i => (v(i) - cen(i)).toFloat)
+        val y = o.rotate(res)
+        val dec = o.pq.decode(o.pq.encode(y))
+        y.zip(dec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      }.sum / sample.length
+    }
+    assert(residualDistortion(o1) <= residualDistortion(plain) + 1e-9,
+      "OPQ kept an iteration worse than plain residual PQ")
+  }
+
+  test("residual ADC scoring equals the decomposed inner product by hand") {
+    import spark.implicits._
+    val ivf = Ivf.train(emb, k = 16, iters = 5, sampleSize = 500)
+    val opq = Ivf.trainOpqResidual(emb, ivf, m = 8, ksub = 16, iters = 5,
+      opqIters = 3, sampleSize = 500)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    val v = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    val cell = ivf.nearest(v)
+    val cen = ivf.centroids(cell)
+    val res = Array.tabulate(v.length)(i => (v(i) - cen(i)).toFloat)
+    val code = opq.pq.encode(opq.rotate(res))
+    // search-path score: <q, c_cell> + rotated-query LUT over the code
+    val lut = opq.pq.adcTable(opq.rotate(q))
+    val cellDot = q.zip(cen).map { case (a, b) => a.toDouble * b }.sum
+    val viaLut = cellDot +
+      code.indices.map(s => lut(s)(code(s) & 0xff).toDouble).sum
+    // by hand: un-rotate the reconstruction (R^T = R^{-1}) and dot
+    // the UNROTATED query against centroid + residual reconstruction
+    val dec = opq.pq.decode(code)
+    val d = opq.dim
+    val unrot = Array.tabulate(d) { i =>
+      (0 until d).map(k => opq.rotation(k)(i).toDouble * dec(k)).sum
+    }
+    val direct = cellDot + q.zip(unrot).map { case (a, b) => a * b }.sum
+    assert(math.abs(viaLut - direct) < 1e-3,
+      s"ADC $viaLut vs decomposed $direct")
+  }
+
+  test("IVFADC search: planted exact copies survive probe + residual " +
+      "ADC shortlist and rule the exact rerank at cosine 1.0") {
+    import spark.implicits._
+    val qids = Seq(0L, 1L, 2L)
+    val corpus = Similarity.withPlantedQueries(
+      emb.select("vec_id", "embedding"), qids)
+    val ivf = Ivf.train(corpus, k = 16, iters = 5, sampleSize = 500)
+    val opq = Ivf.trainOpqResidual(corpus, ivf, m = 8, ksub = 16, iters = 5,
+      opqIters = 3, sampleSize = 500)
+    val codes = Ivf.encodePqResidual(corpus, ivf, opq)
+    assert(codes.select("pq_code").as[Array[Byte]]
+      .collect().map(_.length).distinct.toSeq === Seq(8))
+    val res = Ivf.searchPqResidual(corpus, codes, ivf, opq, qids, k = 10,
+      nProbe = 4, shortlist = 100)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    qids.foreach { q =>
+      val mine = res.filter(_._1 == q)
+      assert(mine.length === 10)
+      assert(mine.exists(r => r._2 == q + 10000000L && r._3 == 1.0),
+        s"query $q: planted copy lost (probe or residual-ADC shortlist)")
+      assert(mine.map(_._3).max === 1.0)
+    }
+  }
+
+  test("IVFADC returns mostly the float rerank's neighbors") {
+    import spark.implicits._
+    val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)
+    val opq = Ivf.trainOpqResidual(emb, model, m = 8, ksub = 16, iters = 5,
+      opqIters = 3, sampleSize = 500)
+    val codes = Ivf.encodePqResidual(emb, model, opq)
+    val qids = Seq(0L, 7L, 42L)
+    val fl = Ivf.search(emb, model, qids, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = Ivf.searchPqResidual(emb, codes, model, opq, qids, k = 10,
+      nProbe = 4, shortlist = 100)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qids.foreach { q =>
+      val overlap = (fl(q) intersect adc(q)).size
+      assert(overlap >= 7, s"query $q: only $overlap/10 overlap with float rerank")
+    }
+  }
+
   test("filtered IVF search post-filters with over-fetch; planted allowed copy always found") {
     import spark.implicits._
     val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)
