@@ -822,8 +822,14 @@ object ScaleBench {
           f"cold parse superlinear: 100k=$w100Cold%.2fs 1M=$w1mCold%.2fs")
         require(w1mWarm < w100Warm * 30 + 3.0,
           f"warm planning superlinear: 100k=$w100Warm%.2fs 1M=$w1mWarm%.2fs")
-        require(c1m < c100 * 30 + 3.0,
-          f"1-file commit superlinear: 100k=$c100%.2fs 1M=$c1m%.2fs")
+        // tightened after the append fast path (reference-equal
+        // prefix scan in entryDiff + lazy full serialization): the
+        // 1-file commit no longer hashes or serializes the live list,
+        // so it sits near the constant data-write floor — measured
+        // 0.58s at 1M (was 2.34s). The bound still leaves ~3x for
+        // host weather on top of the within-run 100k comparison.
+        require(c1m < c100 * 6 + 1.5,
+          f"1-file commit pays O(entries) again: 100k=$c100%.2fs 1M=$c1m%.2fs")
         require(p1m < p100 * 30 + 5.0,
           f"policy decision superlinear: 100k=$p100%.2fs 1M=$p1m%.2fs")
         // retained heap: the cached 1M-entry Manifest must stay under

@@ -94,7 +94,17 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
         * [[optimizeIncremental]] re-clusters exactly the files whose
         * tag differs from the CURRENT spec's hash — a spec change
         * invalidates old marks without touching any entry. */
-      clusterTag: Option[String] = None)
+      clusterTag: Option[String] = None) {
+    /** Cached structural hash: multiset diff/replay paths key HashMaps
+      * by whole entries, and the default case-class hashCode walks the
+      * nested stat Seqs on EVERY probe — at 10^6 live entries that
+      * walk dominated DML-shaped commits. Entries are immutable, so
+      * one lazy computation (same product hash the synthesized
+      * hashCode would produce) serves every probe. Equality stays the
+      * synthesized structural one. */
+    override lazy val hashCode: Int =
+      scala.runtime.ScalaRunTime._hashCode(this)
+  }
 
   /** Physical name of the materialized row-id column rewritten files
     * carry. Never part of the recorded schema (user reads never see
@@ -629,8 +639,27 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * (multisetDiff(prev, cur), multisetDiff(cur, prev)); both sides
     * keep their input order, matching the fallback's byte-for-byte
     * delta encoding. */
-  private def entryDiff(prev: Seq[Entry], cur: Seq[Entry])
+  private[lake] def entryDiff(prev: Seq[Entry], cur: Seq[Entry])
       : (Seq[Entry], Seq[Entry]) = {
+    // PURE-APPEND fast path: append-shaped commits build their entry
+    // list as `previous ++ added` with the prefix SHARED (the same
+    // Entry instances as the cached previous manifest), so a
+    // reference-equal lockstep scan proves removes = Nil and adds =
+    // the suffix without hashing or comparing a single field — the
+    // O(entries) HashMap build below is what dominated the 1-file
+    // commit at 10^6 live entries (ScaleBench manifest_scale_1m).
+    // Sound because new files land under a fresh per-commit dir (a
+    // suffix entry can never duplicate a live path), and any other
+    // shape — DML rewrite, compact, re-parsed entries — fails the
+    // scan at the first non-shared element and falls through to the
+    // general diff unchanged.
+    if (cur.size >= prev.size) {
+      val pi = prev.iterator
+      val ci = cur.iterator
+      var shared = true
+      while (shared && pi.hasNext) shared = pi.next() eq ci.next()
+      if (shared) return (Nil, ci.toSeq)
+    }
     val prevByPath = new java.util.HashMap[String, Entry](prev.size * 2)
     var dup = false
     prev.foreach(e => if (prevByPath.put(e.filePath, e) != null) dup = true)
@@ -653,7 +682,7 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
 
   /** Multiset a − b over full Entry equality (a file whose DV or
     * stats changed is a different entry state, encoded remove+add). */
-  private def multisetDiff(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] = {
+  private[lake] def multisetDiff(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] = {
     val cnt = scala.collection.mutable.HashMap.empty[Entry, Int]
     b.foreach(e => cnt.update(e, cnt.getOrElse(e, 0) + 1))
     a.filter { e =>
@@ -798,7 +827,13 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     writerGateNanos.add(System.nanoTime() - gate0)
     prevManifest.foreach(requireWriterFeatures(_, path))
     val entries = m.entries
-    val fullBytes = manifestBytes(m)
+    // LAZY full serialization: a delta commit on a wide table used to
+    // serialize the ENTIRE live-entry list anyway just to compare
+    // byte sizes — the dominant cost of the 1-file commit at 10^6
+    // entries (ScaleBench manifest_scale_1m). Touched-entry count now
+    // decides the common case without materializing the checkpoint;
+    // the full bytes are built only when actually needed.
+    lazy val fullBytes = manifestBytes(m)
     // Incremental log: publish a DELTA against v−1 when one exists
     // and is smaller — commit IO proportional to files touched, not
     // total live files. Checkpoint (full list) every
@@ -814,10 +849,22 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
       else {
         val prev = prevManifest.get
         val (removes, adds) = entryDiff(prev.entries, entries)
-        val db = deltaManifestBytes(m, version - 1, adds, removes)
-        if (db.length < fullBytes.length)
+        // fewer than half the live entries touched → the delta wins
+        // (same lines plus a 2-byte prefix each; only pathological
+        // line-length skew could make it lose, and then only by a
+        // bounded constant) — publish it without serializing the full
+        // list. At or above half, fall back to the exact byte
+        // comparison, which still picks the checkpoint for full
+        // overwrites.
+        if ((removes.size + adds.size) * 2 < prev.entries.size) {
+          val db = deltaManifestBytes(m, version - 1, adds, removes)
           (db, applyDelta(prev.entries, removes, adds))
-        else (fullBytes, entries)
+        } else {
+          val db = deltaManifestBytes(m, version - 1, adds, removes)
+          if (db.length < fullBytes.length)
+            (db, applyDelta(prev.entries, removes, adds))
+          else (fullBytes, entries)
+        }
       }
     val tmp = new Path(s"${logDir(path)}/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
