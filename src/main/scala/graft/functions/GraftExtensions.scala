@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TermCounts].getName, "term_counts"),
       (exprs: Seq[Expression]) => TermCounts(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
+      (exprs: Seq[Expression]) => LangIdExpr(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("bigram_counts"),
       new ExpressionInfo(classOf[BigramCounts].getName, "bigram_counts"),
       (exprs: Seq[Expression]) => BigramCounts(exprs(0))))

@@ -330,6 +330,60 @@ object Ivf {
     Model(rows.map(_._2))
   }
 
+  /** Persist a product quantizer (with or without an OPQ rotation) as
+    * one small parquet file — codebook rows keyed by (subspace,
+    * code), rotation rows keyed by (-1, row index). Dim/m reconstruct
+    * from the stored shapes, so the artifact is self-describing and
+    * engine-agnostic, like [[save]]. The codes table ([[encodePq]] /
+    * [[encodePqResidual]] output) is the other, corpus-sized half of
+    * a persisted index; this is the driver-state half a fresh session
+    * needs to serve it. */
+  def savePq(spark: SparkSession, pq: PqModel, path: String,
+      rotation: Option[Array[Array[Float]]] = None): Unit = {
+    import spark.implicits._
+    val cbRows = for {
+      (cb, s) <- pq.codebooks.zipWithIndex.toSeq
+      (cent, c) <- cb.zipWithIndex
+    } yield (s, c, cent)
+    val rotRows = rotation.toSeq.flatMap(_.zipWithIndex.map {
+      case (row, i) => (-1, i, row)
+    })
+    (cbRows ++ rotRows).toDF("subspace", "code", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def saveOpq(spark: SparkSession, opq: OpqModel, path: String): Unit =
+    savePq(spark, opq.pq, path, Some(opq.rotation))
+
+  def loadPq(spark: SparkSession, path: String): PqModel =
+    loadPqWithRotation(spark, path)._1
+
+  def loadOpq(spark: SparkSession, path: String): OpqModel = {
+    val (pq, rot) = loadPqWithRotation(spark, path)
+    OpqModel(rot.getOrElse(throw new IllegalArgumentException(
+      s"no rotation stored at $path — saved with savePq, not saveOpq?")), pq)
+  }
+
+  private def loadPqWithRotation(spark: SparkSession, path: String)
+      : (PqModel, Option[Array[Array[Float]]]) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("subspace"), col("code"), col("vals").cast("array<float>"))
+      .as[(Int, Int, Array[Float])].collect()
+    val (rotRows, cbRows) = rows.partition(_._1 == -1)
+    require(cbRows.nonEmpty, s"no PQ codebooks stored at $path")
+    val m = cbRows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { s =>
+      cbRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    val subDim = codebooks.head.head.length
+    val pq = PqModel(subDim * m, m, codebooks)
+    val rot =
+      if (rotRows.isEmpty) None
+      else Some(rotRows.sortBy(_._2).map(_._3))
+    (pq, rot)
+  }
+
   /** Persist the quantized corpus as the second index artifact
     * (alongside [[save]]'s centroids): one quantization pass at
     * build time, after which every search reads the 4× smaller

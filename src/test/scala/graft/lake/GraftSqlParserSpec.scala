@@ -478,4 +478,17 @@ class GraftSqlParserSpec extends SparkTestBase {
       case other => fail(s"unexpected plan: $other")
     }
   }
+
+  test("injected lang_id SQL function is the native expression, " +
+      "edge cases included") {
+    val rows = s2.sql(
+      """SELECT lang_id('le la de') AS f, lang_id('the el le der') AS tie,
+        |  lang_id('') AS empty, lang_id(CAST(NULL AS STRING)) AS nul,
+        |  lang_id('der die und') AS d""".stripMargin).head()
+    assert(rows.getString(0) === "fr")  // la+de+le: fr 3 beats es 2
+    assert(rows.getString(1) === "en")  // four-way tie -> en
+    assert(rows.getString(2) === "en")  // zero counts -> en
+    assert(rows.getString(3) === "de")  // composed-form NULL quirk
+    assert(rows.getString(4) === "de")
+  }
 }

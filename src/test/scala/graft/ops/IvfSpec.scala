@@ -302,6 +302,35 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("saved PQ and OPQ models load back and serve identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqio").toString
+    val ivf = Ivf.train(emb, k = 16, iters = 5, sampleSize = 500)
+    val pq = Ivf.trainPq(emb, m = 8, ksub = 16, iters = 5, sampleSize = 500)
+    Ivf.savePq(spark, pq, s"$dir/pq")
+    val pq2 = Ivf.loadPq(spark, s"$dir/pq")
+    assert(pq2.dim === pq.dim && pq2.m === pq.m)
+    pq.codebooks.zip(pq2.codebooks).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+    val opq = Ivf.trainOpqResidual(emb, ivf, m = 8, ksub = 16, iters = 5,
+      opqIters = 3, sampleSize = 500)
+    Ivf.saveOpq(spark, opq, s"$dir/opq")
+    val opq2 = Ivf.loadOpq(spark, s"$dir/opq")
+    opq.rotation.zip(opq2.rotation).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    val codes = Ivf.encodePqResidual(emb, ivf, opq)
+    val a = Ivf.searchPqResidual(emb, codes, ivf, opq, Seq(0L, 7L), k = 5)
+      .collect().toSet
+    val b = Ivf.searchPqResidual(emb, codes, ivf, opq2, Seq(0L, 7L), k = 5)
+      .collect().toSet
+    assert(a === b)
+    // a plain-PQ artifact refuses to load as OPQ (no rotation stored)
+    val err = intercept[IllegalArgumentException](
+      Ivf.loadOpq(spark, s"$dir/pq"))
+    assert(err.getMessage.contains("no rotation"))
+  }
+
   test("IVFADC returns mostly the float rerank's neighbors") {
     import spark.implicits._
     val model = Ivf.train(emb, k = 8, iters = 3, sampleSize = 500)

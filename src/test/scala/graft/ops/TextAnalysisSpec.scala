@@ -23,6 +23,35 @@ class TextAnalysisSpec extends SparkTestBase {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  test("native lang_id is row-identical to the composed-Column " +
+      "formulation, edge cases included") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    // corpus-wide equivalence (also guards the native stopword table
+    // against drifting from TextAnalysis.stopwords)
+    assert(TextAnalysis.stopwords === graft.functions.LangId.stopwords)
+    val diff = docs.select(
+      TextAnalysis.predictLang(col("text")).as("native"),
+      TextAnalysis.predictLangComposed(col("text")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(diff === 0L, s"$diff docs classified differently")
+    // edge cases the composed form defines: NULL -> "de" (all when
+    // conditions NULL -> otherwise), empty/no-hit -> "en" (0 >= 0),
+    // consecutive spaces, ties resolved en > es > fr > de, and a
+    // token counting for several languages at once ("de"/"la")
+    val edges = Seq(null.asInstanceOf[String], "", "   ", "de la",
+      "zz qq", "the el le der", "DE LA the", "xx  the  yy")
+      .toDF("text")
+    val rows = edges.select(
+      TextAnalysis.predictLang(col("text")).as("native"),
+      TextAnalysis.predictLangComposed(col("text")).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+    assert(rows.head.getString(0) === "de") // NULL quirk preserved
+    // (the SQL-surface registration is pinned in GraftSqlParserSpec —
+    // this suite's shared session is built without the extensions)
+  }
+
   test("two-phase prefix sum matches the window formulation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val scan = TextAnalysis.runningTokenTotals(docs)
