@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
       (exprs: Seq[Expression]) => LangIdExpr(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[QualityScoreExpr].getName, "quality_score"),
+      (exprs: Seq[Expression]) => QualityScoreExpr(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("bigram_counts"),
       new ExpressionInfo(classOf[BigramCounts].getName, "bigram_counts"),
       (exprs: Seq[Expression]) => BigramCounts(exprs(0))))

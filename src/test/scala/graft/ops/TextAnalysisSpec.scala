@@ -52,6 +52,32 @@ class TextAnalysisSpec extends SparkTestBase {
     // this suite's shared session is built without the extensions)
   }
 
+  test("native quality_score is BIT-identical to the composed " +
+      "formulation (exact doubles — the q33 oracle compares unrounded)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val diff = docs.select(
+      TextAnalysis.qualityScore(col("text")).as("native"),
+      TextAnalysis.qualityScoreComposed(col("text")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(diff === 0L, s"$diff docs scored differently")
+    // edge cases: empty text (split('') = [''], n = 1), consecutive
+    // and trailing spaces (empty tokens count in n and distinct),
+    // stopword-dense text capping the stop term at 1.0, NULL -> NULL
+    val edges = Seq(null.asInstanceOf[String], "", "   ", "a  b ",
+      "the the the the", "the and of to a in is the and of")
+      .toDF("text")
+    val rows = edges.select(
+      TextAnalysis.qualityScore(col("text")).as("native"),
+      TextAnalysis.qualityScoreComposed(col("text")).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), r.toString)
+      else assert(r.getDouble(0) === r.getDouble(1), r.toString)
+    }
+    assert(rows.head.isNullAt(0), "NULL text must score NULL")
+  }
+
   test("two-phase prefix sum matches the window formulation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val scan = TextAnalysis.runningTokenTotals(docs)
