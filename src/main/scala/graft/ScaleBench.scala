@@ -73,6 +73,7 @@ object ScaleBench {
     var pqModel: Option[graft.ops.Ivf.PqModel] = None
     var adcDir: Option[String] = None
     var opqModel: Option[graft.ops.Ivf.OpqModel] = None
+    var bpeMerges: Option[Seq[(String, String)]] = None
     var dupUniformSec: Option[Double] = None
     // coarse IVF model shared by the PQ serving points: trained ONCE,
     // outside any timed block, so ivf_pq_3q (and the ADC A/B) measure
@@ -256,6 +257,14 @@ object ScaleBench {
         // floor keeps it vocabulary-sized)
         val merges = graft.ops.TextAnalysis.bpeTrain(docs, 8, minWordCount = 5)
         require(merges.size == 8, s"expected 8 merges, got ${merges.size}")
+        bpeMerges = Some(merges.map(m => (m._1, m._2)))
+      },
+      timed("bpe_encode_1m")   {
+        // the tokenize step AFTER training: all 8 merges applied
+        // corpus-wide as a fixed chain of literal replaces — map-only,
+        // whole-stage codegen'd, per-doc token counts out
+        noop(docs.select(col("doc_id"), graft.ops.TextAnalysis
+          .bpeTokenCount(col("text"), bpeMerges.get).as("n_bpe_tokens")))
       },
       timed("incr_dedup_1m")   {
         // 1M-doc batch probed against a 1M-fp history — both joins

@@ -1400,6 +1400,44 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** BPE ENCODING — apply a trained merge list to text, the tokenize
+    * step a training pipeline runs corpus-wide after [[bpeTrain]]
+    * (per-doc token counts feed budgeting/packing; whitespace counts
+    * under-estimate once the tokenizer exists). Semantics: merges
+    * apply SEQUENTIALLY in training order, one exhaustive
+    * left-to-right non-overlapping pass each — exactly the trainer's
+    * own per-round update rule, so encoding the training words
+    * reproduces the symbol sequences training ended with (pinned in
+    * spec). Spaces are hard boundaries: no merge contains a space, so
+    * a symbol never spans words.
+    *
+    * Shape: pure codegen'd column composition, no UDF and no
+    * per-row driver state — the text lowers and explodes to a
+    * unit-separator (U+001F) joined char string, and each merge (l, r) is ONE
+    * literal `replace(s, l+SEP+r, l+r)` (string replace is
+    * left-to-right non-overlapping, which is precisely the trainer's
+    * ArrayBuffer walk — "aaa" under merge (a,a) → [aa, a]). The merge
+    * list is bounded driver metadata (it IS the model), so the plan
+    * is a fixed chain of |merges| replaces — map-only, whole-stage
+    * codegen'd, scales like any projection. */
+  def bpeEncodeSymbols(text: Column, merges: Seq[(String, String)]): Column = {
+    val SEP = "\u001f"
+    val init = array_join(split(lower(text), ""), SEP)
+    val merged = merges.foldLeft(init) { case (c, (l, r)) =>
+      replace(c, lit(l + SEP + r), lit(l + r))
+    }
+    split(merged, SEP)
+  }
+
+  /** Word-internal BPE token count per document: encoded symbols
+    * minus the space symbols (a space is always exactly one symbol —
+    * never merged). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val lt = lower(text)
+    size(bpeEncodeSymbols(text, merges)) -
+      (length(lt) - length(replace(lt, lit(" "), lit(""))))
+  }
+
   /** Gate entry: the FIRST merge decision in closed form — weighted
     * adjacent-char pair counts over the word frequency table, top 10.
     * (The iterative trainer's later rounds depend on earlier merges —
@@ -1430,6 +1468,58 @@ object TextAnalysis {
       |SELECT l, r, CAST(sum(c) AS BIGINT) AS pair_count
       |FROM p GROUP BY l, r
       |ORDER BY pair_count DESC, l ASC, r ASC LIMIT 10""".stripMargin
+
+  /** q143: BPE TRAIN + ENCODE end-to-end — 8 merges trained on the
+    * corpus word table (minWordCount 5), then every document encoded
+    * with [[bpeTokenCount]] (per-doc word-internal token counts, the
+    * number budgeting/packing would consume). The oracle recomputes
+    * the WHOLE thing in SQL: eight chained CTE rounds each pick the
+    * top weighted pair (same n DESC, l, r tie order) and apply it as
+    * a separator-joined `replace` — the identical left-to-right
+    * non-overlapping rewrite — then the final merge list re-applies
+    * to every document. Train AND encode verified cross-engine, not
+    * just the first merge decision (q117). */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeTrain(docs, 8, minWordCount = 5)
+      .map(m => (m._1, m._2))
+    require(merges.size == 8, s"expected 8 merges, got ${merges.size}")
+    docs.select(col("doc_id"),
+      bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val bpeTokenCountsSql: String = {
+    val rounds = (0 until 8).map { k =>
+      s"""p$k AS (
+         |  SELECT l, r FROM (
+         |    SELECT syms[i] AS l, syms[i + 1] AS r, sum(c) AS n
+         |    FROM (SELECT string_split(s, chr(31)) AS syms, c FROM w$k),
+         |         unnest(range(1, len(syms))) AS t(i)
+         |    GROUP BY 1, 2 ORDER BY n DESC, l ASC, r ASC LIMIT 1)),
+         |w${k + 1} AS (SELECT replace(s, p$k.l || chr(31) || p$k.r,
+         |                     p$k.l || p$k.r) AS s, c FROM w$k, p$k),
+         |d${k + 1} AS (SELECT doc_id, lt, replace(s, p$k.l || chr(31) || p$k.r,
+         |                     p$k.l || p$k.r) AS s FROM d$k, p$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS (
+       |  SELECT word, count(*) AS c
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1 HAVING count(*) >= 5),
+       |w0 AS (SELECT array_to_string(string_split(word, ''), chr(31)) AS s, c
+       |       FROM wc),
+       |d0 AS (SELECT doc_id, lower(text) AS lt,
+       |         array_to_string(string_split(lower(text), ''), chr(31)) AS s
+       |       FROM documents),
+       |$rounds
+       |SELECT doc_id,
+       |  CAST(len(string_split(s, chr(31)))
+       |       - (length(lt) - length(replace(lt, ' ', ''))) AS INT)
+       |    AS n_bpe_tokens
+       |FROM d8 ORDER BY doc_id""".stripMargin
+  }
 
   /** FastText-style HASHED bag-of-ngrams features: each unigram and
     * word-bigram maps to a bucket in a fixed feature space via the
@@ -1579,6 +1669,7 @@ object TextAnalysis {
     QDef("q113_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QDef("q114_char_lm_score", charLmScore, Some(charLmScoreSql)),
     QDef("q117_bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
+    QDef("q143_bpe_token_counts", bpeTokenCounts, Some(bpeTokenCountsSql)),
     QDef("q118_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QDef("q119_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     QDef("q120_filter_funnel", filterFunnel, Some(filterFunnelSql)),

@@ -263,6 +263,55 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(merges.map(_._3) === Seq(9L, 9L, 7L, 7L, 6L))
   }
 
+  test("BPE encode applies trained merges like the trainer's own " +
+      "update rule; token counts match a driver reference") {
+    import spark.implicits._
+    val ms = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w"))
+    // textbook words under the textbook merges
+    val docs = Seq((0L, "low lower newest widest"), (1L, "lowest low"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      TextAnalysis.bpeEncodeSymbols(col("text"), ms).as("syms"),
+      TextAnalysis.bpeTokenCount(col("text"), ms).as("n"))
+      .as[(Long, Seq[String], Int)].collect().sortBy(_._1)
+    // low -> [low]; lower -> [low, e, r] (ew cannot form: e consumed
+    // by nothing, w inside low); newest -> [n, ew, est]; widest ->
+    // [w, i, d, est]; lowest -> [low, est]
+    assert(got(0)._2 === Seq("low", " ", "low", "e", "r", " ",
+      "n", "ew", "est", " ", "w", "i", "d", "est"))
+    assert(got(0)._3 === 11) // 14 symbols - 3 spaces
+    assert(got(1)._2 === Seq("low", "est", " ", "low"))
+    assert(got(1)._3 === 3)
+    // driver reference on real corpus text: the same sequential
+    // left-to-right replace walk the trainer uses per round
+    def refEncodeCount(text: String, merges: Seq[(String, String)]): Int = {
+      var words = text.toLowerCase.split(" ", -1).toSeq
+        .map(_.split("").toSeq.filter(_.nonEmpty))
+      merges.foreach { case (l, r) =>
+        words = words.map { syms =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq
+        }
+      }
+      words.map(_.size).sum
+    }
+    val sample = Tables.documents(spark, sf0001).limit(40)
+    val trained = TextAnalysis.bpeTrain(sample, 6, minWordCount = 2)
+      .map(m => (m._1, m._2))
+    val rows = sample.select(col("text"),
+      TextAnalysis.bpeTokenCount(col("text"), trained).as("n"))
+      .as[(String, Int)].collect()
+    rows.foreach { case (t, n) =>
+      assert(n === refEncodeCount(t, trained), s"text: ${t.take(60)}")
+    }
+  }
+
   test("BPE trainer matches a driver-side reference on real corpus text") {
     import spark.implicits._
     val sample = Tables.documents(spark, sf0001).limit(50)
