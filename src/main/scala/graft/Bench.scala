@@ -96,7 +96,7 @@ object Bench {
     // solo-warm steady state was unchanged). Best-of-k absorbs the
     // warmup run; everything else stays true single-run.
     def isJitSensitive(n: String) =
-      Seq("q62", "q58", "q61").exists(n.startsWith)
+      Seq("q62", "q58", "q61", "q143").exists(n.startsWith)
     // (name, best seconds, error, runs, wall seconds, failed runs).
     // failedRuns > 0 with no error means a flaky k-run gate: visible
     // in the artifact's "failed_runs" instead of silently absorbed by
