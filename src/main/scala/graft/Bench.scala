@@ -45,6 +45,41 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").schema)
       exec(graft.ops.Relational.tpchQ1)
     } catch { case _: Throwable => () }
+    // Lifecycle warmup (same purpose as the flagship warmup above —
+    // pay one-time JVM/codegen/classloading costs OUTSIDE the timed
+    // gates): an event-log profile of the r20 baseline showed the
+    // snapshot write/merge/CDC/streaming machinery JIT-warming INSIDE
+    // whichever lifecycle gates run first — the suite's 225 commit
+    // write jobs cost 51.5s total with 43s of it front-loaded into
+    // the first three minutes (ev08–ev15 charged 1.8–2.9s PER tiny
+    // 37-row write; the same job is ~0.1s warm). This block runs one
+    // tiny synthetic create/append/merge/delete/changes/stream-drain
+    // cycle on ITS OWN throwaway temp dir: no /root/testdata inputs,
+    // no reusable results — nothing a timed gate computes is cached,
+    // exactly the declared warmup methodology extended to the
+    // lifecycle surface.
+    try {
+      import spark.implicits._
+      val wbase = java.nio.file.Files
+        .createTempDirectory("graft-bench-warm").toString
+      val wt = s"$wbase/t"
+      val wdf = (1 to 64).map(i => (i.toLong, s"w$i", i * 1.0))
+        .toDF("k", "s", "v").coalesce(1)
+      graft.lake.SnapshotTable.append(wdf, wt)
+      graft.lake.SnapshotTable.merge(
+        Seq((1L, "wx", 9.0)).toDF("k", "s", "v").coalesce(1), wt, Seq("k"))
+      graft.lake.SnapshotTable.delete(spark, wt,
+        org.apache.spark.sql.functions.col("k") === 2L)
+      graft.lake.SnapshotTable.changes(spark, wt, 1L, 3L)
+        .write.mode("overwrite").format("noop").save()
+      spark.readStream.format("graft-changes").load(wt)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", s"$wbase/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$wbase/sink").awaitTermination()
+      graft.lake.SnapshotTable.read(spark, s"$wbase/sink")
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
 
     // Anchor repeats: the same 3 fixed queries (scan-agg / broadcast
     // join / text hash) timed as medians-of-3 BEFORE and AFTER the main
@@ -105,6 +140,10 @@ object Bench {
       selected.map { case (name, fn) =>
         val k = if (isLifecycle(name) || isJitSensitive(name))
           math.max(1, bestOfK) else 1
+        // label every job with its gate (guide §1.5) so an event-log
+        // profile attributes job time and driver gaps per gate;
+        // setJobDescription is thread-local and costs nothing here
+        spark.sparkContext.setJobDescription(name)
         val runs = (1 to k).map { _ =>
           val t0 = System.nanoTime()
           val err = try { exec(fn); None } catch {
@@ -119,6 +158,7 @@ object Bench {
           System.gc()
           (dt, err)
         }
+        spark.sparkContext.setJobDescription(null)
         val wall = runs.map(_._1).sum
         val failed = runs.count(_._2.isDefined)
         val ok = runs.filter(_._2.isEmpty)

@@ -5259,6 +5259,54 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     * per-file bloom refinement for small distinct key sets. Files
     * lacking stats on every key column are conservatively included.
     */
+  /** Driver-side view of a SMALL literal merge source: when the
+    * optimized plan is a bounded [[LocalRelation]] (the trickle-merge
+    * shape — a correction batch built from driver values, the single
+    * most common maintenance merge), the distinct key tuples are
+    * already IN DRIVER MEMORY, and launching Spark jobs to re-collect
+    * them (the stats range join + the bloom probe collect in
+    * [[keyRewriteSet]]) is pure fixed overhead: 2 jobs + 2 plan
+    * compilations per merge that return values we were holding all
+    * along. Returns the distinct key tuples as JVM values
+    * (UTF8String → String) or None when the plan is not local, larger
+    * than `cap` rows, or any key column's type is outside the
+    * numeric/string domain the stats logic compares (then the
+    * distributed path runs, bit-identical as before). At 100 TB this
+    * is exactly the small-correction fast path Delta's OPTIMIZE-era
+    * writers special-case: the decision data is O(keys), never
+    * row-count-bound. */
+  private def localKeyTuples(source: DataFrame, cols: Seq[String],
+      cap: Int): Option[Seq[Seq[Any]]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LocalRelation, LogicalPlan, Repartition, RepartitionByExpression}
+    @scala.annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case r: Repartition => strip(r.child)
+      case r: RepartitionByExpression => strip(r.child)
+      case other => other
+    }
+    def jvm(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case x => x
+    }
+    val okTypes: Set[DataType] = Set(ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType, StringType)
+    strip(source.queryExecution.optimizedPlan) match {
+      case lr: LocalRelation if lr.data.size <= cap =>
+        val idx = cols.map(c =>
+          lr.output.indexWhere(_.name.equalsIgnoreCase(c)))
+        val types = idx.map(i => if (i < 0) null else lr.output(i).dataType)
+        if (idx.exists(_ < 0) ||
+            types.exists(t => t == null ||
+              !(okTypes(t) || t.isInstanceOf[org.apache.spark.sql.types.DecimalType])))
+          None
+        else Some(lr.data.map(row =>
+          idx.zip(types).map { case (i, t) => jvm(row.get(i, t)) }).distinct)
+      case _ => None
+    }
+  }
+
   private def keyRewriteSet(spark: SparkSession, path: String, base: Long,
       entries0: Seq[Entry], source: DataFrame,
       keyCols: Seq[String]): Set[String] = {
@@ -5287,9 +5335,51 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
       (statCols.nonEmpty || sStatCols.nonEmpty) &&
         statCols.forall(c => e.stats.exists(_._1 == pk(c))) &&
         sStatCols.forall(c => e.sstats.exists(_._1 == pk(c))))
+    // literal-source fast path: key tuples already on the driver →
+    // the stats range check and the bloom probe below run as driver
+    // loops instead of 2 Spark jobs. Guarded by tuples × candidate
+    // files so the loop never grows past what a broadcast join would
+    // have been the right tool for.
+    val localCap = sys.props.get("graft.snapshot.mergeLocalKeysCap")
+      .map(_.toInt).getOrElse(1024)
+    val localTuples: Option[Seq[Seq[Any]]] =
+      localKeyTuples(source, statCols ++ sStatCols, localCap)
+        .filter(_.size.toLong * math.max(1, entries.size) <= 2000000L)
+    def asDouble(v: Any): Option[Double] = v match {
+      case null => None
+      case n: java.lang.Number => Some(n.doubleValue())
+      case b: java.lang.Boolean => Some(if (b) 1.0 else 0.0)
+      case _ => None
+    }
     val hit: Set[String] =
       if (prunable.isEmpty) Set.empty
-      else {
+      else localTuples match {
+        case Some(tuples) =>
+          import org.apache.spark.unsafe.types.UTF8String
+          val nStat = statCols.length
+          // pre-split tuples into numeric/string halves; a NULL key
+          // component matches no range (SQL equality never matches
+          // NULL), mirroring the join's null semantics exactly
+          val tupleVals = tuples.flatMap { t =>
+            val ds = t.take(nStat).map(asDouble)
+            val ss = t.drop(nStat).map {
+              case s: String => Some(UTF8String.fromString(s))
+              case _ => None
+            }
+            if (ds.contains(None) || ss.contains(None)) None
+            else Some((ds.map(_.get), ss.map(_.get)))
+          }
+          prunable.filter { e =>
+            val dB = statCols.map(c => e.stats.find(_._1 == pk(c)).get)
+            val sB = sStatCols.map(c => e.sstats.find(_._1 == pk(c)).get)
+            tupleVals.exists { case (ds, ss) =>
+              ds.zip(dB).forall { case (v, (_, mn, mx)) => v >= mn && v <= mx } &&
+                ss.zip(sB).forall { case (v, (_, mn, mx)) =>
+                  v.compareTo(UTF8String.fromString(mn)) >= 0 &&
+                    v.compareTo(UTF8String.fromString(mx)) <= 0 }
+            }
+          }.map(_.filePath).toSet
+        case None => {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
         val schema = StructType(StructField("_file", StringType) +:
@@ -5316,6 +5406,7 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
           .reduce(_ && _)
         srcKeys.join(broadcast(ranges), inRange)
           .select("_file").distinct().collect().map(_.getString(0)).toSet
+        }
       }
     val rewrite0: Set[String] = hit ++ unprunable.map(_.filePath)
     // bloom refinement: min/max kept a file because the key fell
@@ -5350,8 +5441,16 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
       else {
         val cap = sys.props.get("graft.snapshot.mergeBloomProbeCap")
           .map(_.toInt).getOrElse(1024)
-        val keyRows = source.select(bCols.map(col): _*)
-          .distinct().limit(cap + 1).collect()
+        // literal sources already produced their tuples on the driver
+        // (localKeyTuples above) — probe those instead of launching a
+        // distinct+collect job for values we are holding
+        val keyRows: Array[org.apache.spark.sql.Row] =
+          localKeyTuples(source, bCols, cap + 1) match {
+            case Some(ts) =>
+              ts.take(cap + 1).map(org.apache.spark.sql.Row.fromSeq).toArray
+            case None => source.select(bCols.map(col): _*)
+              .distinct().limit(cap + 1).collect()
+          }
         val hashTuples: Option[Seq[Map[String, Long]]] =
           if (keyRows.length > cap) None
           else {

@@ -524,27 +524,38 @@ object Ivf {
     val w = Window.partitionBy(col(idCol)).orderBy(
       col("_commit_version").desc,
       when(present, 1).otherwise(0).desc)
+    // the reduced batch is consumed THREE times below (emptiness
+    // probe, merge source, delete-id collect) — without a persist each
+    // consumer re-runs the whole window+shuffle subtree, tripling the
+    // per-epoch fixed cost (guide §2.4: share one exchange, don't
+    // recompute it). Size is bounded by the change batch (keys +
+    // vectors of changed rows), the thing a maintenance epoch is sized
+    // by anyway; unpersisted before return so no blocks outlive the
+    // batch.
     val fin = changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val ins = fin.filter(present).select(col(idCol), col(vecCol))
-    val insQ = Similarity.quantize(ins, idCol, vecCol)
-    val gone = fin.filter(!present).select(col(idCol))
-    if (!insQ.isEmpty) SnapshotTable.merge(insQ, indexPath, Seq(idCol))
-    if (SnapshotTable.latestVersion(spark, indexPath).isDefined) {
-      val ids = gone.limit(deleteCollectCap + 1)
-        .collect().map(_.getLong(0)).toSeq
-      if (ids.size <= deleteCollectCap) {
-        // fast path: bounded driver list → stats-pruned predicate
-        // delete (the common maintenance-trickle shape)
-        if (ids.nonEmpty)
-          SnapshotTable.delete(spark, indexPath, col(idCol).isin(ids: _*))
-      } else
-        // delete wave past the cap: never collect it — distributed
-        // anti-join delete (MERGE WHEN MATCHED THEN DELETE) over
-        // only the stats/bloom-pruned files. Same idempotence: a
-        // replay re-deletes already-absent ids to no effect.
-        SnapshotTable.deleteKeys(gone, indexPath, Seq(idCol))
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ins = fin.filter(present).select(col(idCol), col(vecCol))
+      val insQ = Similarity.quantize(ins, idCol, vecCol)
+      val gone = fin.filter(!present).select(col(idCol))
+      if (!insQ.isEmpty) SnapshotTable.merge(insQ, indexPath, Seq(idCol))
+      if (SnapshotTable.latestVersion(spark, indexPath).isDefined) {
+        val ids = gone.limit(deleteCollectCap + 1)
+          .collect().map(_.getLong(0)).toSeq
+        if (ids.size <= deleteCollectCap) {
+          // fast path: bounded driver list → stats-pruned predicate
+          // delete (the common maintenance-trickle shape)
+          if (ids.nonEmpty)
+            SnapshotTable.delete(spark, indexPath, col(idCol).isin(ids: _*))
+        } else
+          // delete wave past the cap: never collect it — distributed
+          // anti-join delete (MERGE WHEN MATCHED THEN DELETE) over
+          // only the stats/bloom-pruned files. Same idempotence: a
+          // replay re-deletes already-absent ids to no effect.
+          SnapshotTable.deleteKeys(gone, indexPath, Seq(idCol))
+      }
+    } finally { fin.unpersist(); () }
   }
 
   /** CONTINUOUS index maintenance: the same convergence contract as

@@ -387,7 +387,11 @@ object Relational {
       val slice = if (r == 4) slice0.filter(col("n_chars") < 400) else slice0
       val vr = VerificationSuite.run(slice, checks)
       MetricsRepository.appendRun(spark, repo, "documents", s"r$r", vr)
-      val n = graft.lake.SnapshotTable.read(spark, repo).count()
+      // footer-derived metadata count (SnapshotTable.count): the same
+      // growth assertion without a per-run scan job — 5 in-loop Spark
+      // jobs saved; the full history is still data-read and
+      // oracle-hashed by the returned frame below
+      val n = graft.lake.SnapshotTable.count(spark, repo)
       require(n == (r + 1) * 3L,
         s"metric history must grow 3 rows per run, got $n after r$r")
     }
@@ -450,7 +454,9 @@ object Relational {
         else slice0
       val profs = Profiler.profile(slice, exactDistinct = true)
       MetricsRepository.appendProfile(spark, repo, "documents", s"r$r", profs)
-      val n = graft.lake.SnapshotTable.read(spark, repo).count()
+      // metadata count, as in q137: 12 in-loop scan jobs saved; the
+      // returned frame still reads and oracle-hashes the full history
+      val n = graft.lake.SnapshotTable.count(spark, repo)
       require(n == (r + 1) * 3L,
         s"profile history must grow 3 rows per run, got $n after r$r")
     }

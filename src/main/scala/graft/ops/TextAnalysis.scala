@@ -1356,16 +1356,94 @@ object TextAnalysis {
   // legomena carry no merge signal).
 
   /** Learned merge rules, most frequent first: (left, right, count). */
+  /** Tiered like connectedComponents (TextDedup): the corpus-sized
+    * work is ONE combinable word-count job either way; when the
+    * surviving word table is small (≤ [[bpeDriverWordCap]], the
+    * common case — minWordCount floors the vocabulary), the merge
+    * rounds run as driver loops over the collected table instead of
+    * `numMerges` distributed jobs with typed-lambda SerDe and
+    * periodic lineage checkpoints (measured: the 8-round train was
+    * ~3–4 s of the q143 gate at sf0.1; the driver loop is
+    * milliseconds — and this is also the shape production tokenizer
+    * trainers use, an in-memory word-frequency table). Both tiers
+    * compute the identical deterministic sequence: weighted pair
+    * counts, argmax by (count desc, left asc, right asc), exhaustive
+    * left-to-right non-overlapping merge application. A vocabulary
+    * past the cap keeps the distributed rounds unchanged. */
+  private[graft] val bpeDriverWordCap: Int =
+    sys.props.get("graft.bpe.driverWordCap").map(_.toInt).getOrElse(500000)
+
+  private def bpeTrainDriver(words: Seq[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String, Long)] = {
+    val tbl = words.map { case (s, c) => (scala.collection.mutable.ArrayBuffer
+      .from(s), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    while (round < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      tbl.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) round = numMerges
+      else {
+        // argmax with the distributed tier's exact tie order:
+        // count desc, l asc, r asc — string comparisons in UTF-8
+        // binary order (UTF8String), i.e. exactly Spark's StringType
+        // ordering, not JVM UTF-16 order (they differ above U+DFFF)
+        import org.apache.spark.unsafe.types.UTF8String
+        def cmp(a: ((String, String), Long), b: ((String, String), Long)): Boolean = {
+          if (a._2 != b._2) return a._2 > b._2
+          val l = UTF8String.fromString(a._1._1)
+            .compareTo(UTF8String.fromString(b._1._1))
+          if (l != 0) return l < 0
+          UTF8String.fromString(a._1._2)
+            .compareTo(UTF8String.fromString(b._1._2)) < 0
+        }
+        val ((l, r), n) = counts.reduceLeft((a, b) => if (cmp(b, a)) b else a)
+        merges += ((l, r, n))
+        tbl.foreach { case (syms, _) =>
+          var i = 0
+          var w = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              syms(w) = l + r; i += 2
+            } else { syms(w) = syms(i); i += 1 }
+            w += 1
+          }
+          syms.takeInPlace(w)
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
   def bpeTrain(docs: DataFrame, numMerges: Int, minWordCount: Long = 1,
       textCol: String = "text"): Seq[(String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs.select(explode(tokens(col(textCol))).as("word"))
+    val wordTable = docs.select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minWordCount)
+    // driver tier: one bounded collect (cap+1 probes the bound), then
+    // the rounds are in-memory loops — identical decisions, zero
+    // further jobs. The symbol arrays come from the SAME Spark
+    // `split(word, "")` expression the distributed tier uses, so the
+    // two tiers consume byte-identical inputs.
+    val symsTable = wordTable
       .select(split(col("word"), "").as("syms"), col("c"))
-      .as[(Seq[String], Long)]
+    val head = symsTable.as[(Seq[String], Long)]
+      .limit(bpeDriverWordCap + 1).collect()
+    if (head.length <= bpeDriverWordCap)
+      return bpeTrainDriver(
+        head.toSeq.map { case (s, c) => (s.toArray, c) }, numMerges)
+    var words = symsTable.as[(Seq[String], Long)]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var round = 0
     while (round < numMerges) {
