@@ -5292,6 +5292,16 @@ object SnapshotTable extends org.apache.spark.internal.Logging {
     }
     val okTypes: Set[DataType] = Set(ByteType, ShortType, IntegerType,
       LongType, FloatType, DoubleType, StringType)
+    // cheap structural pre-check on the ALREADY-computed analyzed plan
+    // (Dataset construction runs the analyzer eagerly): only a plan
+    // whose every leaf is a LocalRelation can fold to one, so a
+    // distributed merge source never pays the optimizer pass below
+    // just to learn it is not local
+    val leaves = source.queryExecution.analyzed.collectLeaves()
+    if (leaves.isEmpty ||
+        !leaves.forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+      return None
     strip(source.queryExecution.optimizedPlan) match {
       case lr: LocalRelation if lr.data.size <= cap =>
         val idx = cols.map(c =>

@@ -524,38 +524,36 @@ object Ivf {
     val w = Window.partitionBy(col(idCol)).orderBy(
       col("_commit_version").desc,
       when(present, 1).otherwise(0).desc)
-    // the reduced batch is consumed THREE times below (emptiness
-    // probe, merge source, delete-id collect) — without a persist each
-    // consumer re-runs the whole window+shuffle subtree, tripling the
-    // per-epoch fixed cost (guide §2.4: share one exchange, don't
-    // recompute it). Size is bounded by the change batch (keys +
-    // vectors of changed rows), the thing a maintenance epoch is sized
-    // by anyway; unpersisted before return so no blocks outlive the
-    // batch.
+    // The reduced batch is consumed three times below (emptiness
+    // probe, merge source, delete-id collect), each re-running the
+    // window subtree. A persist(MEMORY_AND_DISK) here was A/B'd in
+    // r20 and REVERTED: materializing the vector-bearing batch into
+    // the block store cost more than the recomputes save (q133 drain
+    // 5.7 s → 10.1 s with the persist — the emptiness probe loses its
+    // limit-1 short-circuit and the cache write serializes every
+    // embedding), the exactPercentileHist lesson again: per-pass
+    // recompute of a cheap subtree beats caching it.
     val fin = changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val ins = fin.filter(present).select(col(idCol), col(vecCol))
-      val insQ = Similarity.quantize(ins, idCol, vecCol)
-      val gone = fin.filter(!present).select(col(idCol))
-      if (!insQ.isEmpty) SnapshotTable.merge(insQ, indexPath, Seq(idCol))
-      if (SnapshotTable.latestVersion(spark, indexPath).isDefined) {
-        val ids = gone.limit(deleteCollectCap + 1)
-          .collect().map(_.getLong(0)).toSeq
-        if (ids.size <= deleteCollectCap) {
-          // fast path: bounded driver list → stats-pruned predicate
-          // delete (the common maintenance-trickle shape)
-          if (ids.nonEmpty)
-            SnapshotTable.delete(spark, indexPath, col(idCol).isin(ids: _*))
-        } else
-          // delete wave past the cap: never collect it — distributed
-          // anti-join delete (MERGE WHEN MATCHED THEN DELETE) over
-          // only the stats/bloom-pruned files. Same idempotence: a
-          // replay re-deletes already-absent ids to no effect.
-          SnapshotTable.deleteKeys(gone, indexPath, Seq(idCol))
-      }
-    } finally { fin.unpersist(); () }
+    val ins = fin.filter(present).select(col(idCol), col(vecCol))
+    val insQ = Similarity.quantize(ins, idCol, vecCol)
+    val gone = fin.filter(!present).select(col(idCol))
+    if (!insQ.isEmpty) SnapshotTable.merge(insQ, indexPath, Seq(idCol))
+    if (SnapshotTable.latestVersion(spark, indexPath).isDefined) {
+      val ids = gone.limit(deleteCollectCap + 1)
+        .collect().map(_.getLong(0)).toSeq
+      if (ids.size <= deleteCollectCap) {
+        // fast path: bounded driver list → stats-pruned predicate
+        // delete (the common maintenance-trickle shape)
+        if (ids.nonEmpty)
+          SnapshotTable.delete(spark, indexPath, col(idCol).isin(ids: _*))
+      } else
+        // delete wave past the cap: never collect it — distributed
+        // anti-join delete (MERGE WHEN MATCHED THEN DELETE) over
+        // only the stats/bloom-pruned files. Same idempotence: a
+        // replay re-deletes already-absent ids to no effect.
+        SnapshotTable.deleteKeys(gone, indexPath, Seq(idCol))
+    }
   }
 
   /** CONTINUOUS index maintenance: the same convergence contract as
@@ -806,7 +804,17 @@ object Ivf {
     val live = SnapshotTable.read(spark, corpus).select("vec_id", "embedding")
     val idx = SnapshotTable.read(spark, index).select("vec_id", "scale", "qvec")
     val want = Similarity.quantize(live)
-    val converged = idx.exceptAll(want).isEmpty && want.exceptAll(idx).isEmpty
+    // multiset equality in ONE pass: tag each side ±1, group by the
+    // whole row, and any non-zero net count is a difference — same
+    // boolean as the former two exceptAll probes (A∖B = ∅ ∧ B∖A = ∅ ⟺
+    // per-row counts equal) at half the shuffles: one exchange over
+    // idx ∪ want instead of two anti-join exchanges over both inputs
+    val converged = idx.withColumn("__side", lit(1))
+      .unionByName(want.withColumn("__side", lit(-1)))
+      .groupBy("vec_id", "scale", "qvec")
+      .agg(sum(col("__side")).as("__net"))
+      .filter(col("__net") =!= 0)
+      .isEmpty
     val t1 = System.nanoTime()
     val model = train(live, k = 16, iters = 5, sampleSize = 500)
     val trainSec = (System.nanoTime() - t1) / 1e9
