@@ -260,7 +260,12 @@ object Similarity {
       .select(col("qid"), col(idCol).as("xid"),
         round(cosine(col(vecCol), col("xqv")), 6).as("xcos"))
       .withColumn("xrank", row_number().over(w))
-    ann
+    // the ANN result is bounded at queries × k rows BY CONSTRUCTION —
+    // broadcast it so the contract join streams the ranked corpus
+    // through a BroadcastHashJoin instead of sort-merge-exchanging
+    // BOTH sides (plan audit: every ANN gate carried SMJ ×2 +
+    // 2 extra exchanges here; the hint removes them at any scale)
+    broadcast(ann)
       .join(ranks, ann("query_id") === ranks("qid") && ann(idCol) === ranks("xid"))
       .groupBy(col("query_id"))
       .agg(
